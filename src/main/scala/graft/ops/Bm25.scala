@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval, Spark-first.
+  *
+  * The reference delegates BM25 to the VectorChord-bm25 PG extension
+  * (`ORDER BY kw <&> to_bm25query(...)` — /root/reference/vechord/
+  * client.py:356-380, index build spec.py:468-479). Here the "index" is a
+  * pair of pre-aggregated side tables (the classic IR decomposition):
+  *
+  *   postings: (id, term, tf)         — one shuffle at build
+  *   stats:    (term, df) + (N, avgdl) — tiny, broadcast at query time
+  *
+  * Scoring a query is then a broadcast semi-join of the postings with the
+  * query's terms + a groupBy(id) sum — map-side combinable, no full-corpus
+  * scan of text. At 100 TB the postings table is partitioned by term
+  * (skew-safe: tf rows are (doc,term) grains, heavy terms spread over many
+  * docs/partitions) and the per-query work touches only the query's terms.
+  *
+  * Tokenizer: lowercase, split on runs of non-alphanumerics — deterministic
+  * and portable (same expression exists in any SQL engine), standing in
+  * for the reference's `bert_base_uncased`/`wiki_tocken` PG tokenizers
+  * (client.py:130-144).
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Deterministic tokenizer: lowercase, non-alphanumeric runs split. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** The built "index". */
+  final case class Bm25Index(postings: DataFrame, // id, term, tf, dl
+                             termStats: DataFrame, // term, df
+                             n: Long, avgdl: Double)
+
+  /** Build corpus statistics (the index-build job, SURVEY.md S2). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(tokenize(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "id")
+    val termStats = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and avgdl from token-bearing docs; both exact integer aggregates,
+    // so avgdl (their double ratio) is order-independent.
+    val r = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = r.getLong(0)
+    Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs)
+  }
+
+  /** Okapi BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1). */
+  def idf(df: Column, n: Long): Column =
+    log((lit(n.toDouble) - df + 0.5) / (df + 0.5) + 1.0)
+
+  /** Score all docs containing at least one query term; returns
+    * (id, score) sorted desc, top k. Query terms are distinct. */
+  def search(index: Bm25Index, query: String, k: Int,
+             roundTo: Int = 6): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct.toSeq.toDF("term")
+    val perTerm = index.postings
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(index.termStats), "term")
+      .withColumn("w",
+        idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
+          (col("tf") + K1 * (1 - B + B * col("dl") / index.avgdl)))
+    perTerm.groupBy("id")
+      .agg(round(sum(col("w")), roundTo).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking fusion + hybrid set composition.
+  *
+  * Ports the reference's ReciprocalRankFusion (/root/reference/vechord/
+  * rerank.py:95-113, k=60) and its order-preserving union+dedup hybrid
+  * (model/web.py:87-93, examples/hybrid.py:48-57), replacing the Python
+  * enumerate/loop rank bookkeeping with window functions — the
+  * distributed-safe form of "position in list".
+  */
+object Fusion {
+
+  val RrfK = 60
+
+  /** Attach 1-based ranks to a scored list. `asc=false` ranks best-first
+    * for similarity scores; ties broken by id asc for determinism. */
+  def ranked(df: DataFrame, idCol: String, scoreCol: String,
+             asc: Boolean): DataFrame = {
+    val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+    df.withColumn("rank",
+      row_number().over(Window.orderBy(ord, col(idCol).asc)))
+      .select(col(idCol).as("id"), col("rank"))
+  }
+
+  /** RRF: score(id) = Σ_lists 1/(k + rank_list(id)); input frames must
+    * have columns (id, rank). Missing ids contribute nothing (same as the
+    * reference: absent from a list = no term). */
+  def rrf(lists: Seq[DataFrame], k: Int = RrfK, topK: Int = 10,
+          roundTo: Int = 6): DataFrame = {
+    val all = lists.reduce(_ unionByName _)
+    all.groupBy("id")
+      .agg(round(sum(lit(1.0) / (lit(k) + col("rank"))), roundTo)
+        .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** Order-preserving union + first-occurrence dedup: concatenate ranked
+    * lists in priority order and keep each id's first appearance,
+    * preserving the concatenated order. DataFrames are unordered, so the
+    * "position" is the explicit (src, rank) pair (SURVEY.md §7.3). */
+  def dedupUnion(lists: Seq[DataFrame], topK: Int): DataFrame = {
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.withColumn("src", lit(i))
+    }
+    val all = tagged.reduce(_ unionByName _)
+    val w = Window.partitionBy("id").orderBy(col("src").asc,
+      col("rank").asc)
+    all.withColumn("occ", row_number().over(w))
+      .filter(col("occ") === 1)
+      .drop("occ")
+      .orderBy(col("src").asc, col("rank").asc)
+      .limit(topK)
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational core of the engine: scan/filter/project, aggregation,
+  * joins (shuffle/broadcast/semi/anti), window, top-k, set ops, rollup.
+  *
+  * The reference delegates all of these to PostgreSQL inside its fixed
+  * SQL templates (SURVEY.md §2.7); here they are first-class DataFrame
+  * plans that Catalyst optimizes (predicate pushdown to parquet,
+  * TakeOrderedAndProject for top-k, broadcast joins for dims).
+  *
+  * Scale notes (100 TB): every aggregate uses map-side partial
+  * aggregation; small dims (region/nation/supplier at any SF, customer
+  * at small SF) are broadcast explicitly; top-k never full-sorts
+  * (TakeOrderedAndProject).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide partial-agg groupBy. */
+  def q01LineitemAgg(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Top-k without full sort: TakeOrderedAndProject. */
+  def q02TopkOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q3-style: filtered fact-dim join, per-order revenue, top 10.
+    * Customer side is broadcast (small at every SF relative to fact). */
+  def q03JoinTopkRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = lineitem(s, d)
+    l.join(broadcast(o.join(broadcast(c),
+        o("o_custkey") === c("c_custkey"))),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** EXISTS via left-semi join: orders with any heavy lineitem. */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val heavy = lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    orders(s, d)
+      .join(heavy, orders(s, d)("o_orderkey") === heavy("l_orderkey"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Dim-chain broadcast join: suppliers per ASIA nation. */
+  def q05RegionSupplierAgg(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val sup = supplier(s, d)
+    sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q6-style: tight filter fully pushed to the parquet scan. */
+  def q06FilterSum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window top-N per group (replaces the reference's Python
+    * enumerate-rank loops, SURVEY.md §2.7 "Window functions"). */
+  def q07WindowTopn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+        asc("l_linenumber"))
+    lineitem(s, d)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** NOT EXISTS via left-anti join: customers with no orders. */
+  def q08AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_custkey")
+    customer(s, d)
+      .join(o, customer(s, d)("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Set op: nations that have both customers and suppliers. */
+  def q09Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      .intersect(
+        supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy("nationkey")
+
+  /** Rollup (grouping sets family). */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_lineitem_agg" -> q01LineitemAgg,
+    "q02_topk_orders" -> q02TopkOrders,
+    "q03_join_topk_revenue" -> q03JoinTopkRevenue,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_region_supplier_agg" -> q05RegionSupplierAgg,
+    "q06_filter_sum" -> q06FilterSum,
+    "q07_window_topn" -> q07WindowTopn,
+    "q08_anti_join" -> q08AntiJoin,
+    "q09_intersect" -> q09Intersect,
+    "q10_rollup" -> q10Rollup)
+
+  val oracles: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_qty
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q03_join_topk_revenue" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY 1 ORDER BY 1""",
+    "q05_region_supplier_agg" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""",
+    "q06_filter_sum" ->
+      """SELECT
+         CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_rows FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""",
+    "q07_window_topn" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+    "q08_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q09_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared table access + determinism helpers for the declared query set. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Deterministic double sum: per-row cast to exact decimal (order-
+    * independent exact addition, unlike double sums whose partial-merge
+    * order varies across runs/engines), final cast back to double.
+    * The SQL oracle uses the same CAST(SUM(CAST(x AS DECIMAL(38,6))) AS
+    * DOUBLE) shape so values are bit-identical. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** timestamp_ntz literal matching DuckDB's naive TIMESTAMP 'lit'. */
+  def ts(litStr: String): Column = lit(litStr).cast("timestamp_ntz")
+}

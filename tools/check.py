@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs `sbt runMain graft.Verify <sfDir> <outDir>` results (already produced)
+against the DuckDB oracle: for each query parquet in outDir, executes the
+matching SQL from oracle_sql.json over views named after the testdata tables,
+then compares schema / row count / value hash (columns sorted by name, rows
+sorted by all columns).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # match a typical driver: repr of float
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(table):
+    cols = sorted(table.column_names)
+    rows = []
+    data = {c: table.column(c).to_pylist() for c in cols}
+    for i in range(table.num_rows):
+        rows.append(tuple(norm_cell(data[c][i]) for c in cols))
+    return cols, sorted(rows)
+
+
+def main(sf_dir, out_dir):
+    out = Path(out_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_skip = 0
+    for qdir in sorted(out.iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        parts = list(qdir.glob("*.parquet"))
+        if not parts:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = pq.read_table(parts[0])
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({got.num_rows} rows)")
+            n_skip += 1
+            continue
+        try:
+            want = con.sql(oracle[name]).arrow()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got)
+        wc, wr = canon(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+        elif len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
+            n_fail += 1
+        elif gr != wr:
+            bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            print(f"FAIL {name}: value mismatch at sorted-row {bad}:\n"
+                  f"  got  {gr[bad]}\n  want {wr[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
