@@ -77,5 +77,5 @@ object Vec {
     * 1-based positions per Spark's `slice`. */
   def asTokens(vec: Column, nTokens: Int, width: Int): Column =
     transform(sequence(lit(0), lit(nTokens - 1)),
-      i => slice(vec, i * width + 1, width))
+      i => slice(vec, i * width + 1, lit(width)))
 }

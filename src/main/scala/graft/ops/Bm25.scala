@@ -71,7 +71,7 @@ object Bm25 {
       .join(broadcast(index.termStats), "term")
       .withColumn("w",
         idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
-          (col("tf") + K1 * (1 - B + B * col("dl") / index.avgdl)))
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / index.avgdl)))
     perTerm.groupBy("id")
       .agg(round(sum(col("w")), roundTo).as("score"))
       .orderBy(col("score").desc, col("id").asc)

@@ -43,14 +43,17 @@ object Relational {
       .limit(10)
 
   /** TPC-H Q3-style: filtered fact-dim join, per-order revenue, top 10.
-    * Customer side is broadcast (small at every SF relative to fact). */
+    * Only the dimension (customer, post-filter) is broadcast; the two
+    * fact tables shuffle-join on l_orderkey — at 100 TB broadcasting the
+    * orders side would ship a multi-GB table to every executor. */
   def q03JoinTopkRevenue(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
     val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select("o_orderkey")
     val l = lineitem(s, d)
-    l.join(broadcast(o.join(broadcast(c),
-        o("o_custkey") === c("c_custkey"))),
-        l("l_orderkey") === o("o_orderkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy("l_orderkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -62,9 +65,8 @@ object Relational {
   def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
     val heavy = lineitem(s, d).filter(col("l_quantity") > 45)
       .select(col("l_orderkey"))
-    orders(s, d)
-      .join(heavy, orders(s, d)("o_orderkey") === heavy("l_orderkey"),
-        "left_semi")
+    val o = orders(s, d)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
@@ -109,8 +111,8 @@ object Relational {
   /** NOT EXISTS via left-anti join: customers with no orders. */
   def q08AntiJoin(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select("o_custkey")
-    customer(s, d)
-      .join(o, customer(s, d)("c_custkey") === o("o_custkey"), "left_anti")
+    val c = customer(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")

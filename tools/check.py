@@ -64,7 +64,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        got = pq.read_table(parts[0])
+        import pyarrow as pa
+        got = pa.concat_tables([pq.read_table(p) for p in sorted(parts)])
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({got.num_rows} rows)")
             n_skip += 1
