@@ -21,22 +21,51 @@ import graft.functions.Vec
   *    nearest `probes` cells. When the table is written partitioned by
   *    `centroid_id`, the `isin(probes)` filter becomes partition pruning —
   *    the semantic twin of `SET LOCAL vchordrq.probes`.
+  *  - batch kNN (the dedup/self-similarity primitive) broadcasts the query
+  *    set and keeps a bounded per-(partition, query) heap inside
+  *    `mapPartitions`: no N×Q shuffle ever materializes; the only shuffled
+  *    data is `numPartitions × Q × k` candidate rows.
   */
 object Ann {
 
   sealed trait Metric {
     /** Distance column (smaller = more similar). */
     def dist(a: Column, b: Column): Column
+    /** Same math on the driver/executor side; MUST fold in array order so
+      * it is bit-identical to the column form (both are sequential
+      * left-to-right double adds). */
+    def distScala(a: Array[Double], b: Array[Double]): Double
+    protected final def dotScala(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
   }
   case object L2 extends Metric {
     def dist(a: Column, b: Column): Column = Vec.l2Dist(a, b)
+    def distScala(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
   }
   case object Cosine extends Metric {
     def dist(a: Column, b: Column): Column = Vec.cosDist(a, b)
+    def distScala(a: Array[Double], b: Array[Double]): Double = {
+      var n2a = 0.0; var n2b = 0.0; var i = 0
+      while (i < a.length) { n2a += a(i) * a(i); n2b += b(i) * b(i); i += 1 }
+      1.0 - dotScala(a, b) / (math.sqrt(n2a) * math.sqrt(n2b))
+    }
   }
   case object InnerProduct extends Metric {
     def dist(a: Column, b: Column): Column = Vec.negDot(a, b)
+    def distScala(a: Array[Double], b: Array[Double]): Double =
+      -dotScala(a, b)
   }
+
+  /** HALF_UP rounding identical to Spark's / DuckDB's `round`. */
+  private def roundScala(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Exact brute-force top-k: distances rounded to `roundTo` decimals for
     * a reproducible ordering (ties broken by id asc). */
@@ -48,27 +77,59 @@ object Ann {
       .limit(k)
 
   /** Batch kNN join: for every query row, the top-k nearest docs.
-    * The query side is broadcast (queries << docs); rank within each
-    * query via a window over (dist, doc id).
+    * Returns (qId, dId, dist, rank), rank 1-based per query.
     *
-    * At scale: broadcast keeps the doc side shuffle-free; the window
-    * partitions by query id so state per task is bounded by k after the
-    * partial `filter`. */
+    * Scale shape: the query set is collected + broadcast (queries << docs);
+    * each doc partition keeps a bounded k-heap per query and emits at most
+    * Q×k candidate rows, so the shuffle into the final per-query merge is
+    * `numPartitions × Q × k` rows — independent of N. Exact semantics:
+    * every doc is scored against every query locally; only provably-
+    * non-top-k rows are dropped before the shuffle (same tie-break
+    * (dist, id) ordering in the heap and the final window). */
   def knnJoin(queries: DataFrame, qId: String, qVec: String,
               docs: DataFrame, dId: String, dVec: String,
               metric: Metric, k: Int, roundTo: Int = 6): DataFrame = {
-    val joined = docs.crossJoin(broadcast(queries))
-      .withColumn("dist",
-        round(metric.dist(col(dVec), col(qVec)), roundTo))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qRows)
+    val kk = k
+    val rt = roundTo
+    val cand = docs
+      .select(col(dId).cast("long"), col(dVec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { iter =>
+        val qs = bc.value
+        // max-heap on (dist, id): pop removes the current worst candidate.
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        iter.foreach { case (did, dvec) =>
+          var i = 0
+          while (i < qs.length) {
+            val d = roundScala(metric.distScala(qs(i)._2, dvec), rt)
+            val h = heaps(i)
+            if (h.size < kk) h.enqueue((d, did))
+            else if (ord.lt((d, did), h.head)) { h.dequeue(); h.enqueue((d, did)) }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (d, did) => (qs(i)._1, did, d) }
+        }
+      }
+      .toDF(qId, dId, "dist")
     val w = Window.partitionBy(col(qId))
       .orderBy(col("dist").asc, col(dId).asc)
-    joined
-      .select(col(qId), col(dId), col("dist"))
-      .withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** IVF model: one row per cell — (centroidId, centroid array<double>). */
+  /** IVF model: one row per cell — (centroid_id long, centroid
+    * array<double>). */
   final case class IvfModel(centroids: DataFrame, idCol: String,
                             vecCol: String)
 
@@ -80,7 +141,7 @@ object Ann {
   def buildIvf(docs: DataFrame, cellCol: String, vecCol: String,
                roundTo: Int = 5): IvfModel = {
     val dims = docs
-      .select(col(cellCol).as("centroid_id"),
+      .select(col(cellCol).cast("long").as("centroid_id"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("centroid_id", "pos")
       .agg(round(avg(col("x").cast("double")), roundTo).as("c"))
@@ -92,19 +153,27 @@ object Ann {
   }
 
   /** Assign every doc to its nearest centroid (argmin over cells, ties by
-    * centroid id asc). The centroid set is tiny → broadcast; at scale this
-    * is a map-only stage feeding a `partitionBy(centroid_id)` write. */
+    * centroid id asc). Map-only: the centroid set is tiny, so it is
+    * embedded as a literal array and the argmin is a sequential `aggregate`
+    * fold per row — no join, no window, no shuffle. At scale this stage
+    * feeds a `partitionBy(centroid_id)` write directly. */
   def assign(docs: DataFrame, vecCol: String, model: IvfModel,
              metric: Metric): DataFrame = {
-    val w = Window.partitionBy(col("__doc_row"))
-      .orderBy(col("__cdist").asc, col(model.idCol).asc)
-    val withAll = docs
-      .withColumn("__doc_row", monotonically_increasing_id())
-      .crossJoin(broadcast(model.centroids))
-      .withColumn("__cdist", metric.dist(col(vecCol), col(model.vecCol)))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") === 1)
-    withAll.drop("__doc_row", "__cdist", "__crank", model.vecCol)
+    val cents: Seq[(Long, Seq[Double])] = model.centroids
+      .select(col(model.idCol).cast("long"), col(model.vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val centArr = typedlit(cents) // array<struct<_1:long,_2:array<double>>>
+    val best = aggregate(
+      centArr,
+      struct(lit(Double.PositiveInfinity).as("d"), lit(Long.MaxValue).as("id")),
+      (acc, c) => {
+        val d = metric.dist(col(vecCol), c.getField("_2"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("_1").as("id"))).otherwise(acc)
+      })
+    docs.withColumn(model.idCol, best.getField("id"))
   }
 
   /** Nearest `probes` centroid ids for a query vector. */

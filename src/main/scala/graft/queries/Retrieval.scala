@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+import graft.ops.{Ann, Bm25, Fusion}
+import Tables._
+
+/** Oracle-gated retrieval queries: one per operator family (dense top-k,
+  * IVF-pruned ANN, batch kNN join, BM25 keyword, multi-vector maxsim,
+  * RRF fusion, hybrid ordered dedup-union).
+  *
+  * Each `queries` entry has a DuckDB `oracles` twin that recomputes the
+  * same semantics in ANSI-ish SQL over the same parquet tables — mirroring
+  * the reference's behavior contract (vector ops /root/reference/vechord/
+  * client.py:294-380, fusion rerank.py:95-113) without its engine.
+  *
+  * Determinism rules shared with the oracle: all vector math in double
+  * with sequential left-to-right folds, scores rounded to 6 decimals,
+  * ties broken by id ascending before every LIMIT.
+  */
+object Retrieval {
+
+  /** Collect one embedding as a double-array literal (a query parameter —
+    * driver-side by design, like the reference's client-supplied vector). */
+  private def qvec(s: SparkSession, d: String, id: Long): Column = {
+    val v = embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    typedlit(v)
+  }
+
+  /** Dense exact top-k, L2 — reference `<->` (client.py:294-321). */
+  def annTopkL2(s: SparkSession, d: String): DataFrame =
+    Ann.topK(embeddings(s, d), "vec_id", "embedding", qvec(s, d, 0),
+      Ann.L2, 10).select("vec_id", "dist")
+
+  /** Dense exact top-k, cosine — reference `<=>`. */
+  def annTopkCos(s: SparkSession, d: String): DataFrame =
+    Ann.topK(embeddings(s, d), "vec_id", "embedding", qvec(s, d, 7),
+      Ann.Cosine, 10).select("vec_id", "dist")
+
+  /** IVF build (cells = label) → assign → probe 3 cells → exact top-k
+    * within probed cells. The full index lifecycle under one oracle. */
+  def annIvfL2(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    Ann.searchIvf(assigned, "vec_id", "embedding", model, qvec(s, d, 3),
+      Ann.L2, probes = 3, k = 10).select("vec_id", "dist")
+  }
+
+  /** Batch kNN join: 5 query vectors × top-3 docs each. */
+  def knnJoinL2(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = e.select(col("vec_id").as("d_id"), col("embedding").as("dv"))
+    Ann.knnJoin(queries, "q_id", "qv", docs, "d_id", "dv", Ann.L2, 3)
+  }
+
+  val Bm25Query = "spark filter join"
+
+  /** BM25 keyword top-k over documents.text. */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val idx = Bm25.build(documents(s, d), "doc_id", "text")
+    Bm25.search(idx, Bm25Query, 10)
+  }
+
+  /** Multi-vector maxsim: docs = per-label vector bags, query = 2 tokens
+    * (vec_id 0,1); score = Σ_q max_d dot — reference `@#`
+    * (client.py:323-354). */
+  def maxsimLabel(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.groupBy(col("label").cast("long").as("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("vecs"))
+    docs
+      .withColumn("score", round(Vec.maxSimDot(typedlit(qts), col("vecs")), 6))
+      .select("label", "score")
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(5)
+  }
+
+  /** The two hybrid input lists: dense cosine top-20 over embeddings and
+    * BM25 top-20 over documents, fused on the shared id space
+    * (doc_id == vec_id in the testdata). */
+  private def hybridLists(s: SparkSession, d: String): Seq[DataFrame] = {
+    val vecList = Ann.topK(embeddings(s, d), "vec_id", "embedding",
+      qvec(s, d, 7), Ann.Cosine, 20).select("vec_id", "dist")
+    val idx = Bm25.build(documents(s, d), "doc_id", "text")
+    val kwList = Bm25.search(idx, "group hash join", 20)
+    Seq(
+      Fusion.ranked(vecList, "vec_id", "dist", asc = true),
+      Fusion.ranked(kwList, "id", "score", asc = false))
+  }
+
+  /** Hybrid reciprocal-rank fusion (rerank.py:95-113, k=60). */
+  def rrfHybrid(s: SparkSession, d: String): DataFrame =
+    Fusion.rrf(hybridLists(s, d), k = Fusion.RrfK, topK = 10)
+
+  /** Hybrid order-preserving union + first-occurrence dedup
+    * (model/web.py:87-93). */
+  def hybridDedup(s: SparkSession, d: String): DataFrame =
+    Fusion.dedupUnion(hybridLists(s, d), topK = 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_ann_topk_l2" -> annTopkL2,
+    "r02_ann_topk_cos" -> annTopkCos,
+    "r03_ann_ivf_l2" -> annIvfL2,
+    "r04_knn_join_l2" -> knnJoinL2,
+    "r05_bm25_topk" -> bm25Topk,
+    "r06_maxsim_label" -> maxsimLabel,
+    "r07_rrf_hybrid" -> rrfHybrid,
+    "r08_hybrid_dedup" -> hybridDedup)
+
+  /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
+    * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
+  private def bm25Cte(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x != '')) AS term
+        FROM documents),
+      tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      g AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qterms AS (SELECT unnest([$termList]) AS term),
+      scored AS (
+        SELECT tf.id,
+               ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1)) /
+                 (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl)) AS w
+        FROM tf
+        JOIN qterms USING (term)
+        JOIN stats s USING (term)
+        JOIN dl USING (id)
+        CROSS JOIN g)"""
+  }
+
+  private val qv0 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+  private val qv3 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)"
+  private val qv7 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)"
+
+  /** Cosine distance written as the exact double formula Vec.cosDist uses
+    * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
+    * by sqrt(n2a*n2b), which differs in the last ulp. */
+  private def cosDistSql(a: String, b: String): String =
+    s"""(1 - list_inner_product($a, $b) /
+        (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"""
+
+  val oracles: Map[String, String] = Map(
+    "r01_ann_topk_l2" ->
+      s"""SELECT vec_id,
+          round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
+          FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r02_ann_topk_cos" ->
+      s"""SELECT vec_id,
+          round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+          FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r03_ann_ivf_l2" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY list_distance(centroid, $qv3) ASC, centroid_id ASC
+            LIMIT 3)
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv3), 6) AS dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r04_knn_join_l2" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.q_id, e.vec_id AS d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS dist
+            FROM embeddings e CROSS JOIN q),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM scored)
+          SELECT q_id, d_id, dist, rank FROM r WHERE rank <= 3""",
+    "r05_bm25_topk" ->
+      s"""WITH ${bm25Cte(Seq("spark", "filter", "join"))}
+          SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+          ORDER BY score DESC, id ASC LIMIT 10""",
+    "r06_maxsim_label" ->
+      """WITH dt AS (SELECT CAST(label AS BIGINT) AS label,
+                            embedding::DOUBLE[] AS dv FROM embeddings),
+          q AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id IN (0, 1)),
+          best AS (SELECT dt.label, q.vec_id,
+                          max(list_inner_product(q.qv, dt.dv)) AS m
+                   FROM dt CROSS JOIN q GROUP BY 1, 2)
+          SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
+          ORDER BY score DESC, label ASC LIMIT 5""",
+    "r07_rrf_hybrid" ->
+      s"""WITH vecl AS (
+            SELECT vec_id AS id,
+                   round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+            FROM embeddings ORDER BY dist ASC, id ASC LIMIT 20),
+          vecr AS (SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC)
+                     AS rank FROM vecl),
+          ${bm25Cte(Seq("group", "hash", "join"))},
+          bml AS (SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+                  ORDER BY score DESC, id ASC LIMIT 20),
+          bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC)
+                    AS rank FROM bml),
+          u AS (SELECT id, rank FROM vecr UNION ALL SELECT id, rank FROM bmr)
+          SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score FROM u
+          GROUP BY id ORDER BY rrf_score DESC, id ASC LIMIT 10""",
+    "r08_hybrid_dedup" ->
+      s"""WITH vecl AS (
+            SELECT vec_id AS id,
+                   round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+            FROM embeddings ORDER BY dist ASC, id ASC LIMIT 20),
+          vecr AS (SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC)
+                     AS rank, 0 AS src FROM vecl),
+          ${bm25Cte(Seq("group", "hash", "join"))},
+          bml AS (SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+                  ORDER BY score DESC, id ASC LIMIT 20),
+          bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC)
+                    AS rank, 1 AS src FROM bml),
+          u AS (SELECT id, rank, src FROM vecr
+                UNION ALL SELECT id, rank, src FROM bmr),
+          f AS (SELECT id, rank, src,
+                  row_number() OVER (PARTITION BY id ORDER BY src ASC, rank ASC)
+                    AS occ FROM u)
+          SELECT id, rank, src FROM f WHERE occ = 1
+          ORDER BY src ASC, rank ASC LIMIT 10""")
+}
