@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), n-gram Jaccard (exact, inverted-index
+  * join), MinHash+LSH (banded candidates + exact verify), SimHash
+  * (banded Hamming blocking), and embedding-cosine near-dup (on top of
+  * [[Ann.knnJoin]]).
+  *
+  * The reference dedups only by content digest at load time
+  * (/root/reference/vechord/load.py:46) and by first-occurrence id in
+  * result lists (model/web.py:87-93); the near-dup family here is the
+  * north-star extension for 100 TB corpus curation.
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy shuffle, map-side combinable.
+  *  - jaccard: inverted-index self-join on shingles — the shuffle key is
+  *    the shingle, so hot shingles are the skew risk; `maxShingleDf`
+  *    drops shingles seen in more than that many docs (a standard
+  *    stop-shingle cap; pairs supported ONLY by ultra-common shingles
+  *    are below any useful threshold anyway — leave at MaxValue for
+  *    oracle-exact semantics).
+  *  - minhash: fixed-width signatures (one groupBy over exploded
+  *    shingles), then candidates join on (band, bandHash) — pair count
+  *    is bounded by bucket collisions, never all-pairs.
+  *  - simhash: 64-bit signature via per-bit majority; banded blocking
+  *    with `bands > maxDist` guarantees no false negatives (pigeonhole).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text` (lowercased, alnum runs). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = Bm25.tokenize(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: keep the lowest-id row per distinct text hash. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
+    docs.withColumn("__h", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
+  /** Corpus-level exact-duplication summary (1 row): total docs,
+    * distinct texts, groups with >1 copy, rows a dedup pass removes. */
+  def exactDedupStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("total_docs"),
+        count(lit(1)).as("distinct_texts"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(col("n") - 1).as("dup_rows_removed"))
+
+  /** Per-doc distinct shingle sets: (id, shingles array, size). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Returns (a, b, jaccard) with a < b, jaccard >= threshold, rounded
+    * to 6 decimals. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Long = Long.MaxValue,
+                   roundTo: Int = 6): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    var inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    if (maxShingleDf != Long.MaxValue) {
+      val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select("shingle")
+      inv = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val pairs = inv.as("x")
+      .join(inv.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val szA = sets.select(col("id").as("a"), col("sz").as("sza"))
+    val szB = sets.select(col("id").as("b"), col("sz").as("szb"))
+    pairs.join(szA, "a").join(szB, "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), roundTo))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signatures: (id, sig array<long> of length numHashes).
+    * Hash family h_i(s) = xxhash64(i, s); signature element i is the min
+    * over the doc's shingles — one groupBy, map-side combinable. */
+  def minHash(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val inv = shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    inv.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
+        .as("sig"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: (a, b) with
+    * a < b, distinct. `bands` must divide the signature length; two docs
+    * collide when any band of `sigLen/bands` consecutive signature
+    * elements matches exactly. */
+  def lshCandidates(sig: DataFrame, bands: Int): DataFrame = {
+    val rows = sig.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("r", size(col("sig")) / bands)
+      .select(col("id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * col("r") + 1,
+          col("r"))).as("bh"))
+    rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: LSH candidates, then
+    * exact Jaccard on the candidate pairs only (array_intersect on the
+    * two shingle sets — no second inverted-index pass). */
+  def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        roundTo: Int = 6): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val cand = lshCandidates(minHash(docs, idCol, textCol, n, numHashes),
+      bands)
+    cand
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), roundTo))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc: bit b is the sign of the tf-weighted sum of
+    * (2·bit_b(xxhash64(term)) − 1) over terms. Two shuffles, both
+    * map-side combinable (explode is 64× per distinct term — acceptable
+    * for the signature build; a custom codegen Expression is the
+    * hot-path alternative at extreme scale). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(Bm25.tokenize(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.select(col("id"), col("tf"), xxhash64(col("term")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        col("tf") * (expr("shiftright(h, bit) & 1") * 2 - 1))
+      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L))
+      .groupBy("id").agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
+    * banded blocking: the 64 bits are cut into `bands` equal slices and
+    * pairs must collide on at least one slice. With bands > maxDist the
+    * blocking is lossless (pigeonhole: <= maxDist differing bits cannot
+    * touch every band). Returns (a, b, hamming). */
+  def simHashPairs(sim: DataFrame, maxDist: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bands > maxDist, "bands must exceed maxDist for exact recall")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (BigInt(1) << width) - 1
+    val rows = sim.select(col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // arithmetic shift is fine: the & mask discards the sign-extended
+      // high bits, so this equals a logical shift's result.
+      .withColumn("bv",
+        expr(s"shiftright(simhash, band * $width) & ${mask.toLong}"))
+    rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
+  /** Globally closest `k` pairs by embedding distance (a < b). Built on
+    * the bounded-heap kNN join: each vector's top-(k+1) neighborhood is
+    * a superset of any global top-k pair's endpoints. */
+  def closestPairs(docs: DataFrame, idCol: String, vecCol: String,
+                   metric: Ann.Metric, k: Int,
+                   roundTo: Int = 6): DataFrame = {
+    val queries = docs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val base = docs.select(col(idCol).as("__did"), col(vecCol).as("__dv"))
+    Ann.knnJoin(queries, "__qid", "__qv", base, "__did", "__dv",
+        metric, k + 1, roundTo)
+      .filter(col("__qid") < col("__did"))
+      .select(col("__qid").as("a"), col("__did").as("b"), col("dist"))
+      .orderBy(col("dist").asc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+}

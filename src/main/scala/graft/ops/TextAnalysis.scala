@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting
+  * (whitespace + BPE-ish regex), quality scoring (length / punctuation /
+  * stopword ratios), language identification (stopword-profile n-gram
+  * heuristic), and document fingerprinting (min-k rolling shingle
+  * hashes).
+  *
+  * All are pure column expressions (whole-stage-codegen friendly, no
+  * UDFs) — a map-only stage over the corpus at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword tokens: alnum runs are cut into pieces of <= 4
+    * chars, digits stand alone, punctuation is one token per char. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  /** Per-doc descriptive stats used by the quality score. */
+  def stats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val alnum = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
+    val digits = length(regexp_replace(t, "[^0-9]", ""))
+    val spaces = length(regexp_replace(t, "[^ \\t\\n]", ""))
+    docs
+      .withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens_ws", size(wsTokens(t)).cast("long"))
+      .withColumn("n_tokens_bpe", size(bpeTokens(t)).cast("long"))
+      .withColumn("alnum_ratio", alnum.cast("double") / nChars)
+      .withColumn("digit_ratio", digits.cast("double") / nChars)
+      .withColumn("punct_ratio",
+        (nChars - alnum - spaces).cast("double") / nChars)
+      .withColumn("avg_token_len",
+        (nChars - spaces).cast("double") / size(wsTokens(t)))
+      .withColumn("stopword_ratio", stopwordRatio(t, EnStopwords))
+  }
+
+  /** English stopword profile (a small fixed set — deterministic). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /** Fraction of lowercase alnum tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = Bm25.tokenize(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Heuristic document quality in [0,1]: rewards a reasonable length,
+    * natural-language stopword density, alphabetic content, and low
+    * punctuation noise (Gopher-style rule-of-thumb mix, equal weights).
+    * Deterministic column math — the oracle reimplements it verbatim. */
+  def qualityScore(docs: DataFrame, textCol: String,
+                   roundTo: Int = 6): DataFrame =
+    stats(docs, textCol).withColumn("quality",
+      round(
+        (least(col("n_tokens_ws").cast("double") / 50.0, lit(1.0)) +
+          least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          col("alnum_ratio") +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))) / 4.0,
+        roundTo))
+
+  /** Stopword profiles for language ID. Profiles are disjoint-ish,
+    * hand-picked high-frequency function words. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "sich", "auf", "auch"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "with",
+      "for", "was", "are", "this", "not", "have"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en",
+      "un", "una", "por", "con", "para", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "en", "un",
+      "une", "du", "des", "pas", "pour", "dans"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non",
+      "sono", "con", "del", "si", "ma", "come"))
+
+  /** Language-ID: argmax over per-language stopword hit fractions
+    * (ties and no-hits → "und" for undetermined). */
+  def langId(text: Column): Column = {
+    val toks = Bm25.tokenize(text)
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isin(words: _*)))).cast("long").as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_sort(array(scored: _*)).getItem(0)
+    when(size(toks) === 0 || best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Min-k document fingerprint: the k smallest distinct xxhash64 values
+    * of word `n`-gram shingles, sorted ascending. Two docs' fingerprint
+    * overlap estimates containment (the MinHash bottom-k sketch). */
+  def fingerprint(text: Column, n: Int = 4, k: Int = 8): Column =
+    slice(array_sort(transform(Dedup.shingles(text, n),
+      s => xxhash64(s))), 1, k)
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, TextAnalysis}
+import Tables._
+
+/** Oracle-gated LLM-data-pipeline queries: dedup (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), embedding-space closest pairs, token stats,
+  * quality scoring, language ID. These are the north-star corpus-curation
+  * operators (repo:BASELINE.json) exercised over the `documents` /
+  * `embeddings` testdata tables.
+  */
+object DataOps {
+
+  def dedupExactStats(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedupStats(documents(s, d), "doc_id", "text")
+
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  /** MinHash+LSH candidates, exact-verified at the same threshold as
+    * [[jaccardPairs]] — on this corpus the banded LSH (32 hashes × 16
+    * bands) has verified-complete recall at j >= 0.5, so it shares the
+    * exact-Jaccard oracle. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashDedupPairs(documents(s, d), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = Dedup.simHash(documents(s, d), "doc_id", "text")
+    Dedup.simHashPairs(sim, maxDist = 3, bands = 4)
+  }
+
+  def closestPairsCos(s: SparkSession, d: String): DataFrame =
+    Dedup.closestPairs(embeddings(s, d), "vec_id", "embedding",
+      Ann.Cosine, 10)
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stats(documents(s, d), "text")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        round(sum(col("n_tokens_ws")).cast("double") / count(lit(1)), 6)
+          .as("avg_ws_tokens"),
+        round(sum(col("n_tokens_bpe")).cast("double") / count(lit(1)), 6)
+          .as("avg_bpe_tokens"))
+      .orderBy("lang")
+
+  def qualityTopk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(documents(s, d), "text")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .limit(10)
+
+  def langidCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> dedupExactStats,
+    "p02_jaccard_pairs" -> jaccardPairs,
+    "p03_minhash_pairs" -> minhashPairs,
+    "p04_simhash_pairs" -> simhashPairs,
+    "p05_closest_pairs_cos" -> closestPairsCos,
+    "p06_token_stats" -> tokenStats,
+    "p07_quality_topk" -> qualityTopk,
+    "p08_langid_counts" -> langidCounts)
+
+  /** DuckDB tokenizer mirroring Bm25.tokenize. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  /** DuckDB word-3-gram shingle CTEs mirroring Dedup.shingles /
+    * jaccardPairs (shared by the exact-Jaccard and MinHash oracles). */
+  private val jaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+                AS sh
+              FROM t),
+        sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+                  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT ai AS a, bi AS b,
+                round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+              FROM inter JOIN sz x ON ai = x.doc_id JOIN sz y ON bi = y.doc_id)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+  /** Per-language stopword-hit scoring branches for the langid oracle. */
+  private val langScoresSql: String =
+    TextAnalysis.LangProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+          '$lang' AS lang,
+          len(list_filter(toks, x -> list_contains([$lst], x))) AS hits
+          FROM t"""
+    }.mkString(" UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      """WITH g AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
+         SELECT sum(n) AS total_docs, count(*) AS distinct_texts,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups,
+           sum(n - 1) AS dup_rows_removed
+         FROM g""",
+    "p02_jaccard_pairs" -> jaccardSql,
+    "p03_minhash_pairs" -> jaccardSql,
+    "p05_closest_pairs_cos" ->
+      """WITH p AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             round(1 - list_inner_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6)
+             AS dist
+           FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         SELECT a, b, dist FROM p ORDER BY dist ASC, a ASC, b ASC LIMIT 10""",
+    "p06_token_stats" ->
+      s"""WITH t AS (SELECT lang, text,
+            len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+              AS nws,
+            len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]'))
+              AS nbpe
+          FROM documents)
+          SELECT lang, count(*) AS n_docs, sum(length(text)) AS sum_chars,
+            round(CAST(sum(nws) AS DOUBLE) / count(*), 6) AS avg_ws_tokens,
+            round(CAST(sum(nbpe) AS DOUBLE) / count(*), 6) AS avg_bpe_tokens
+          FROM t GROUP BY 1 ORDER BY 1""",
+    "p07_quality_topk" ->
+      s"""WITH st AS (SELECT doc_id,
+            length(text) AS nc,
+            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+            length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS spaces,
+            len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+              AS nws,
+            $toksSql AS toks
+          FROM documents),
+          r AS (SELECT doc_id,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
+                x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr,
+            CAST(alnum AS DOUBLE) / nc AS ar,
+            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
+            nws
+          FROM st)
+          SELECT doc_id,
+            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
+                   least(sr * 5.0, 1.0) + ar +
+                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
+          FROM r ORDER BY quality DESC, doc_id ASC LIMIT 10""",
+    "p08_langid_counts" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          scores AS ($langScoresSql),
+          best AS (SELECT doc_id, lang, hits,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) AS rn
+                   FROM scores),
+          pred AS (SELECT doc_id,
+                     CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang
+                   FROM best WHERE rn = 1)
+          SELECT pred_lang, count(*) AS n FROM pred GROUP BY 1 ORDER BY 1""")
+}
