@@ -1,0 +1,237 @@
+package graft.core
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Spec._
+
+/** The engine registry — Spark twin of `VechordRegistry`
+  * (/root/reference/vechord/registry.py) + the client's CRUD surface
+  * (/root/reference/vechord/client.py:112-283), over [[Catalog]]'s
+  * versioned-segment storage.
+  *
+  * Tables are namespaced `{ns}_{name}` (client.py:40-51). Mutations are
+  * staged as immutable parquet segments and published with one atomic
+  * manifest swap — either immediately (auto-commit) or at the end of a
+  * [[runTxn]] block (all-or-nothing across every table touched,
+  * rollback on exception; registry.py:28-62 semantics).
+  */
+final class Registry(val spark: SparkSession, root: String,
+                     val namespace: String = "public") {
+
+  val catalog = new Catalog(spark, root)
+  private val defs = mutable.LinkedHashMap[String, TableDef[_]]()
+
+  private def full(name: String): String = s"${namespace}_$name"
+
+  private def state(txn: Txn): Map[String, Vector[String]] =
+    if (txn == null) catalog.current else txn.staged
+
+  def tableDefs: Seq[TableDef[_]] = defs.values.toSeq
+
+  /** DDL twin (`create_table_if_not_exists`, client.py:112-128): record
+    * the defs and publish empty manifest entries for new tables. */
+  def register(tds: TableDef[_]*): Registry = {
+    tds.foreach(td => defs(td.name) = td)
+    val cur = catalog.current
+    val missing = tds.map(td => full(td.name)).filterNot(cur.contains)
+    if (missing.nonEmpty)
+      catalog.commit(cur ++ missing.map(_ -> Vector.empty[String]))
+    this
+  }
+
+  /** Read a table (optionally at a transaction's staged state). */
+  def table(td: TableDef[_], txn: Txn = null): DataFrame =
+    catalog.read(full(td.name), td.schema, state(txn))
+
+  /** Read ONLY the rows inserted by this transaction — the
+    * `WHERE xmin = pg_current_xact_id()` twin (client.py:222). */
+  def tableBuffer(td: TableDef[_], txn: Txn): DataFrame =
+    catalog.read(full(td.name), td.schema,
+      Map(full(td.name) -> txn.buffer.getOrElse(full(td.name), Vector.empty)))
+
+  private def mutate(txn: Txn)(
+      f: Map[String, Vector[String]] => Map[String, Vector[String]]): Unit =
+    if (txn == null) catalog.commit(f(catalog.current))
+    else txn.staged = f(txn.staged)
+
+  /** Append a DataFrame as a new segment (`copy_bulk`/`insert` twin,
+    * client.py:240-266). Assigns primary keys per the table's IdGen. */
+  def copyBulk(td: TableDef[_], df: DataFrame, txn: Txn = null): Unit = {
+    require(df.schema.fieldNames.sameElements(td.schema.fieldNames),
+      s"column mismatch for ${td.name}: ${df.columns.mkString(",")}")
+    val withIds = assignIds(td, df, txn)
+    val t = full(td.name)
+    val seg = catalog.writeSegment(t, withIds)
+    mutate(txn)(s => s + (t -> (s.getOrElse(t, Vector.empty) :+ seg)))
+    if (txn != null)
+      txn.buffer += t -> (txn.buffer.getOrElse(t, Vector.empty) :+ seg)
+  }
+
+  /** Insert typed rows (driver-side batch). */
+  def insert[T <: Product](td: TableDef[T], rows: Seq[T],
+                           txn: Txn = null): Unit =
+    if (rows.nonEmpty)
+      copyBulk(td, spark.createDataset(rows)(td.enc).toDF(), txn)
+
+  private def assignIds(td: TableDef[_], df: DataFrame,
+                        txn: Txn): DataFrame = td.idGen match {
+    case IdGen.Manual => df
+    case IdGen.AutoIncrement =>
+      val pk = td.pk
+      val pkIdx = td.schema.fieldIndex(pk)
+      val maxRow = table(td, txn).agg(max(col(pk))).head()
+      val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val schema = td.schema
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq.updated(pkIdx, base + i + 1))
+      }
+      spark.createDataFrame(rdd, schema)
+    case IdGen.UuidV7 =>
+      val pk = td.pk
+      val pkIdx = td.schema.fieldIndex(pk)
+      val schema = td.schema
+      val rdd = df.rdd.map { r =>
+        Row.fromSeq(r.toSeq.updated(pkIdx, graft.functions.Uuid.v7()))
+      }
+      spark.createDataFrame(rdd, schema)
+  }
+
+  /** Conjunctive predicate from a kv filter spec: plain value = equality,
+    * [[Spec.AnyOf]] = IN-list, [[Spec.IsNull]]/null = IS NULL
+    * (client.py:179-196). */
+  def predFrom(kvs: Map[String, Any]): Column =
+    kvs.map {
+      case (k, null) => col(k).isNull
+      case (k, IsNull) => col(k).isNull
+      case (k, AnyOf(vs)) => col(k).isin(vs: _*)
+      case (k, v) => col(k) === lit(v)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** `select_by` (client.py:198-228): projection + kv filter + limit,
+    * optionally restricted to the txn buffer. `cols = Nil` selects all. */
+  def selectBy(td: TableDef[_], kvs: Map[String, Any] = Map.empty,
+               cols: Seq[String] = Nil, limit: Int = -1,
+               fromBuffer: Boolean = false, txn: Txn = null): DataFrame = {
+    val base = if (fromBuffer) tableBuffer(td, txn) else table(td, txn)
+    val filtered = base.filter(predFrom(kvs))
+    val projected =
+      if (cols.isEmpty) filtered
+      else filtered.select(cols.map(col): _*)
+    if (limit >= 0) projected.limit(limit) else projected
+  }
+
+  /** Filtered DELETE with FK cascade (client.py:268-283 + the ON DELETE
+    * CASCADE edges, spec.py:170-173): rewrite each affected table's
+    * segment list to its survivors; children are cascaded via anti-joins
+    * on the deleted parent keys. Auto-commit mode wraps the whole cascade
+    * in one transaction, so it is all-or-nothing. */
+  def removeBy(td: TableDef[_], kvs: Map[String, Any],
+               txn: Txn = null): Unit =
+    if (txn == null) runTxn(t => removeBy(td, kvs, t))
+    else removeWhere(td, predFrom(kvs), txn)
+
+  private def removeWhere(td: TableDef[_], pred: Column, txn: Txn): Unit = {
+    val cur = table(td, txn)
+    val survivors = cur.filter(!coalesce(pred, lit(false)))
+    val deleted = cur.filter(coalesce(pred, lit(false)))
+    val t = full(td.name)
+    val seg = catalog.writeSegment(t, survivors)
+    mutate(txn)(s => s + (t -> Vector(seg)))
+    cascadeChildren(td, deleted, txn)
+  }
+
+  private def cascadeChildren(parent: TableDef[_], deletedParentRows: DataFrame,
+                              txn: Txn): Unit =
+    defs.values.filter(_.foreignKeys.exists(_.refTable == parent.name))
+      .foreach { child =>
+        child.foreignKeys.filter(_.refTable == parent.name).foreach { fk =>
+          val keys = deletedParentRows.select(col(fk.refColumn).as("__key"))
+            .distinct()
+          val cur = table(child, txn)
+          val childDeleted = cur.join(broadcast(keys),
+            cur(fk.column) === col("__key"), "left_semi")
+          val childSurvivors = cur.join(broadcast(keys),
+            cur(fk.column) === col("__key"), "left_anti")
+          val t = full(child.name)
+          val seg = catalog.writeSegment(t, childSurvivors)
+          mutate(txn)(s => s + (t -> Vector(seg)))
+          cascadeChildren(child, childDeleted, txn)
+        }
+      }
+
+  /** DROP TABLE (client.py:382-388). `cascade` also drops registered
+    * children (transitively). */
+  def drop(td: TableDef[_], cascade: Boolean = false): Unit = {
+    val toDrop = mutable.LinkedHashSet[String]()
+    def walk(t: TableDef[_]): Unit = {
+      toDrop += t.name
+      if (cascade)
+        defs.values.filter(_.foreignKeys.exists(_.refTable == t.name))
+          .foreach(c => if (!toDrop.contains(c.name)) walk(c))
+    }
+    walk(td)
+    catalog.commit(catalog.current -- toDrop.map(full))
+    toDrop.foreach(defs.remove)
+  }
+
+  /** `clear_storage` (registry.py:444-454): truncate every registered
+    * table in one commit. */
+  def clear(): Unit =
+    catalog.commit(catalog.current.map {
+      case (t, _) => t -> Vector.empty[String]
+    })
+
+  /** Unique-index validation job (spec.py:482-491): returns (column,
+    * value, n) rows for every violated unique constraint. */
+  def validateUnique(td: TableDef[_]): DataFrame = {
+    val dfs = td.indexes.collect { case UniqueIndex(c, nullNotDistinct) =>
+      val base = table(td)
+      val scoped = if (nullNotDistinct) base else base.filter(col(c).isNotNull)
+      scoped.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .select(lit(c).as("column"), col("value"), col("n"))
+    }
+    dfs.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("column"), lit("").as("value"), lit(0L).as("n"))
+        .limit(0))
+  }
+
+  /** Vector-dimension validation (spec.py:59-132's shape check, as a
+    * batch job): rows whose declared Vector[dim] columns have the wrong
+    * length. */
+  def validateVectorDims(td: TableDef[_]): DataFrame = {
+    val checks = td.vectorDims.map { case (c, dim) =>
+      col(c).isNotNull && size(col(c)) =!= dim
+    }
+    val pred = checks.reduceOption(_ || _).getOrElse(lit(false))
+    table(td).filter(pred)
+  }
+
+  /** Referential-integrity check: child rows whose FK has no parent. */
+  def validateForeignKeys(td: TableDef[_]): DataFrame = {
+    val orphans = td.foreignKeys.flatMap { fk =>
+      defs.get(fk.refTable).map { parent =>
+        val c = table(td)
+        c.filter(col(fk.column).isNotNull)
+          .join(table(parent).select(col(fk.refColumn).as("__pk")),
+            c(fk.column) === col("__pk"), "left_anti")
+      }
+    }
+    orphans.reduceOption(_ unionByName _)
+      .getOrElse(table(td).limit(0))
+  }
+
+  /** Run `f` in one transaction: every mutation through the txn is
+    * staged; the manifest is swapped once on success, never on failure
+    * (rollback test twin: tests/test_table.py:261-298). */
+  def runTxn[A](f: Txn => A): A = {
+    val txn = new Txn(catalog.current)
+    val res = f(txn)
+    catalog.commit(txn.staged)
+    res
+  }
+}

@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.types._
+
+import graft.ops.Ann
+
+/** Typed table/schema system — the Spark twin of the reference's
+  * msgspec-reflected `Table(Storage)` classes
+  * (/root/reference/vechord/spec.py:519-560): one case class = one table,
+  * schema derived from the class via its `Encoder`, with primary-key /
+  * foreign-key / index declarations carried as metadata (spec.py:135-180,
+  * 417-491).
+  *
+  * UNSET vs NULL (spec.py:621-648, SURVEY §7.3): a "partial row" here is a
+  * DataFrame projection — an unselected field simply has no column
+  * (UNSET), while a selected-but-null field is a SQL NULL. The projection
+  * mask replaces the reference's per-field UNSET sentinel.
+  */
+object Spec {
+
+  /** Primary-key generation strategy (spec.py:183-255). */
+  sealed trait IdGen
+  object IdGen {
+    /** Caller supplies the key. */
+    case object Manual extends IdGen
+    /** BIGINT identity twin: max(existing)+1.. assigned at insert. */
+    case object AutoIncrement extends IdGen
+    /** Time-sortable UUIDv7, client-generated (spec.py:213-255). */
+    case object UuidV7 extends IdGen
+  }
+
+  /** `Annotated[int, ForeignKey[Other.col]]` twin (spec.py:135-180);
+    * deletes always cascade (spec.py:170-173's ON DELETE CASCADE). */
+  final case class ForeignKey(column: String, refTable: String,
+                              refColumn: String)
+
+  /** Index declarations (spec.py:417-491). */
+  sealed trait IndexDef { def column: String }
+  /** vchordrq twin: IVF with `lists` cells under `distance`
+    * (spec.py:437-444). */
+  final case class VectorIndex(column: String, distance: Ann.Metric = Ann.L2,
+                               lists: Int = 0) extends IndexDef
+  /** Multi-vector maxsim index (spec.py:447-464). */
+  final case class MultiVectorIndex(column: String, lists: Int = 0)
+    extends IndexDef
+  /** BM25 keyword index with a tokenizer model (spec.py:468-479). */
+  final case class KeywordIndex(column: String,
+                                model: String = "simple") extends IndexDef
+  /** Unique constraint (spec.py:482-491) — validated, not enforced, in a
+    * batch engine; see Registry.validateUnique. */
+  final case class UniqueIndex(column: String,
+                               nullNotDistinct: Boolean = false)
+    extends IndexDef
+
+  /** One table: case class `T` + declarations. `vectorDims` pins the
+    * `Vector[dim]` dimension per column for validation (spec.py:59-132). */
+  final case class TableDef[T <: Product](
+      name: String,
+      primaryKey: Option[String] = None,
+      idGen: IdGen = IdGen.Manual,
+      foreignKeys: Seq[ForeignKey] = Nil,
+      indexes: Seq[IndexDef] = Nil,
+      vectorDims: Map[String, Int] = Map.empty)(implicit val enc: Encoder[T]) {
+
+    def schema: StructType = enc.schema
+    def columns: Seq[String] = schema.fieldNames.toSeq
+
+    require(primaryKey.forall(columns.contains),
+      s"primary key not in schema for table $name")
+    require(foreignKeys.forall(fk => columns.contains(fk.column)),
+      s"foreign key column not in schema for table $name")
+    require(indexes.forall(ix => columns.contains(ix.column)),
+      s"index column not in schema for table $name")
+
+    def pk: String = primaryKey.getOrElse(
+      throw new IllegalStateException(s"table $name has no primary key"))
+
+    private def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private def isMultiVec(dt: DataType): Boolean = dt match {
+      case ArrayType(inner, _) => isFloatArray(inner)
+      case _ => false
+    }
+
+    /** Columns holding dense vectors (array<float|double>). */
+    def vectorColumns: Seq[String] =
+      schema.fields.filter(f => isFloatArray(f.dataType)).map(_.name).toSeq
+    /** Columns holding multi-vectors (array<array<float|double>>). */
+    def multiVectorColumns: Seq[String] =
+      schema.fields.filter(f => isMultiVec(f.dataType)).map(_.name).toSeq
+    /** Keyword (BM25-indexed text) columns. */
+    def keywordColumns: Seq[String] =
+      indexes.collect { case KeywordIndex(c, _) => c }
+
+    /** Default search projection: everything except vector / multivec /
+      * keyword payloads (spec.py:585-596's `non_vec_columns`). */
+    def nonVecColumns: Seq[String] = {
+      val excluded = (vectorColumns ++ multiVectorColumns ++
+        keywordColumns).toSet
+      columns.filterNot(excluded)
+    }
+
+    def vectorIndex: Option[VectorIndex] =
+      indexes.collectFirst { case v: VectorIndex => v }
+    def keywordIndex: Option[KeywordIndex] =
+      indexes.collectFirst { case k: KeywordIndex => k }
+  }
+
+  /** `= ANY(list)` filter value (spec.py:513-516). */
+  final case class AnyOf(values: Seq[Any])
+  /** Explicit IS NULL filter value. */
+  case object IsNull
+}

@@ -1,0 +1,160 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.core.Spec._
+import graft.functions.Uuid
+
+/** CRUD + cascade + transaction semantics, porting the reference's DB
+  * integration assertions (/root/reference/tests/test_table.py:91-124
+  * select/AnyOf/limit, :181-201 FK cascade delete, :261-298 rollback). */
+case class TUser(uid: Long, name: String, email: Option[String])
+case class TDoc(did: Long, uid: Long, text: String)
+case class TChunk(cid: Long, did: Long, body: String, vec: Seq[Float])
+
+class RegistrySpec extends SparkSpecBase {
+
+  private def freshRegistry(): (Registry, TableDef[TUser], TableDef[TDoc],
+      TableDef[TChunk]) = {
+    val sp = spark
+    import sp.implicits._
+    val users = TableDef[TUser]("user", primaryKey = Some("uid"),
+      idGen = IdGen.AutoIncrement,
+      indexes = Seq(UniqueIndex("name")))
+    val docs = TableDef[TDoc]("doc", primaryKey = Some("did"),
+      foreignKeys = Seq(ForeignKey("uid", "user", "uid")))
+    val chunks = TableDef[TChunk]("chunk", primaryKey = Some("cid"),
+      foreignKeys = Seq(ForeignKey("did", "doc", "did")),
+      vectorDims = Map("vec" -> 3))
+    val root = Files.createTempDirectory("graft-reg").toString
+    val reg = new Registry(spark, root).register(users, docs, chunks)
+    (reg, users, docs, chunks)
+  }
+
+  test("insert + selectBy equality, AnyOf, IS NULL, limit") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(
+      TUser(0, "alice", Some("a@x.io")),
+      TUser(0, "bob", None),
+      TUser(0, "carol", Some("c@x.io"))))
+    assert(reg.table(users).count() === 3)
+    val alice = reg.selectBy(users, Map("name" -> "alice")).collect()
+    assert(alice.length === 1 && alice(0).getAs[String]("email") == "a@x.io")
+    val two = reg.selectBy(users,
+      Map("name" -> AnyOf(Seq("alice", "bob")))).collect()
+    assert(two.map(_.getAs[String]("name")).sorted.toSeq ===
+      Seq("alice", "bob"))
+    assert(reg.selectBy(users, Map("email" -> IsNull)).count() === 1)
+    assert(reg.selectBy(users, limit = 2).count() === 2)
+    // projection: a partial row has only the selected columns (UNSET twin)
+    val partial = reg.selectBy(users, cols = Seq("name"))
+    assert(partial.columns.toSeq === Seq("name"))
+  }
+
+  test("auto-increment ids are 1..n and continue across batches") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "a", None), TUser(0, "b", None)))
+    reg.insert(users, Seq(TUser(0, "c", None)))
+    val ids = reg.table(users).collect().map(_.getAs[Long]("uid")).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("FK cascade delete: user -> doc -> chunk") {
+    val (reg, users, docs, chunks) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "alice", None), TUser(0, "bob", None)))
+    reg.insert(docs, Seq(TDoc(10, 1, "d-alice"), TDoc(11, 2, "d-bob")))
+    reg.insert(chunks, Seq(
+      TChunk(100, 10, "c1", Seq(1f, 2f, 3f)),
+      TChunk(101, 11, "c2", Seq(4f, 5f, 6f))))
+    reg.removeBy(users, Map("name" -> "alice"))
+    assert(reg.table(users).count() === 1)
+    assert(reg.table(docs).collect().map(_.getAs[String]("text")).toSeq ===
+      Seq("d-bob"))
+    assert(reg.table(chunks).collect().map(_.getAs[String]("body")).toSeq ===
+      Seq("c2"))
+  }
+
+  test("empty-filter delete removes all rows") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "a", None)))
+    reg.removeBy(users, Map.empty)
+    assert(reg.table(users).count() === 0)
+  }
+
+  test("transaction rollback leaves no partial writes across tables") {
+    val (reg, users, docs, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "kept", None)))
+    intercept[RuntimeException] {
+      reg.runTxn { txn =>
+        reg.insert(users, Seq(TUser(0, "ghost", None)), txn)
+        reg.insert(docs, Seq(TDoc(1, 1, "ghost-doc")), txn)
+        assert(reg.table(users, txn).count() === 2) // txn sees its writes
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(reg.table(users).count() === 1)
+    assert(reg.table(docs).count() === 0)
+  }
+
+  test("txn buffer sees only this txn's inserts") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "old", None)))
+    reg.runTxn { txn =>
+      reg.insert(users, Seq(TUser(0, "new", None)), txn)
+      val buf = reg.tableBuffer(users, txn).collect()
+      assert(buf.map(_.getAs[String]("name")).toSeq === Seq("new"))
+      assert(reg.table(users, txn).count() === 2)
+      assert(reg.selectBy(users, fromBuffer = true, txn = txn).count() === 1)
+    }
+    assert(reg.table(users).count() === 2)
+  }
+
+  test("unique validation reports duplicate groups") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "dup", None), TUser(0, "dup", None),
+      TUser(0, "ok", None)))
+    val v = reg.validateUnique(users).collect()
+    assert(v.length === 1)
+    assert(v(0).getAs[String]("value") === "dup" && v(0).getAs[Long]("n") === 2)
+  }
+
+  test("vector-dim validation flags wrong lengths") {
+    val (reg, _, docs, chunks) = freshRegistry()
+    reg.insert(docs, Seq(TDoc(1, 1, "d")))
+    reg.insert(chunks, Seq(
+      TChunk(1, 1, "ok", Seq(1f, 2f, 3f)),
+      TChunk(2, 1, "bad", Seq(1f, 2f))))
+    val bad = reg.validateVectorDims(chunks).collect()
+    assert(bad.map(_.getAs[Long]("cid")).toSeq === Seq(2L))
+  }
+
+  test("foreign-key validation finds orphans") {
+    val (reg, users, docs, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "a", None)))
+    reg.insert(docs, Seq(TDoc(1, 1, "ok"), TDoc(2, 99, "orphan")))
+    val orphans = reg.validateForeignKeys(docs).collect()
+    assert(orphans.map(_.getAs[Long]("did")).toSeq === Seq(2L))
+  }
+
+  test("drop and clear") {
+    val (reg, users, docs, chunks) = freshRegistry()
+    reg.insert(users, Seq(TUser(0, "a", None)))
+    reg.insert(docs, Seq(TDoc(1, 1, "d")))
+    reg.clear()
+    assert(reg.table(users).count() === 0 && reg.table(docs).count() === 0)
+    reg.drop(users, cascade = true)
+    assert(!reg.catalog.tableExists("public_user"))
+    assert(!reg.catalog.tableExists("public_doc"))
+    assert(!reg.catalog.tableExists("public_chunk"))
+  }
+
+  test("uuid v7 ids are time-sortable and well-formed") {
+    val a = Uuid.v7(1000L, 1, 42L)
+    val b = Uuid.v7(2000L, 0, 7L)
+    assert(a < b)
+    assert(Uuid.timestampMs(a) === 1000L)
+    assert(java.util.UUID.fromString(a).version() === 7)
+    assert(java.util.UUID.fromString(a).variant() === 2)
+  }
+}
