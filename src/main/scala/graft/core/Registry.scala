@@ -99,6 +99,17 @@ final class Registry(val spark: SparkSession, root: String,
       spark.createDataFrame(rdd, schema)
   }
 
+  /** Replace a table's entire contents with `df` (one new segment). The
+    * frame-level upsert primitive: compute survivors ∪ merged however you
+    * like, then publish the result atomically. */
+  def overwrite(td: TableDef[_], df: DataFrame, txn: Txn = null): Unit = {
+    require(df.schema.fieldNames.sameElements(td.schema.fieldNames),
+      s"column mismatch for ${td.name}: ${df.columns.mkString(",")}")
+    val t = full(td.name)
+    val seg = catalog.writeSegment(t, df)
+    mutate(txn)(s => s + (t -> Vector(seg)))
+  }
+
   /** Conjunctive predicate from a kv filter spec: plain value = equality,
     * [[Spec.AnyOf]] = IN-list, [[Spec.IsNull]]/null = IS NULL
     * (client.py:179-196). */

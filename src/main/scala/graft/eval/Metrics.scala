@@ -1,0 +1,130 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics — native ports of the reference's
+  * pytrec_eval usage and hand-rolled formulas
+  * (/root/reference/vechord/evaluate.py:22-86 `evaluate`/`evaluate_one`/
+  * `calculate_avg_precision`/`calculate_mrr`, :210-231
+  * `evaluate_with_estimation`, examples/anthropic.py:205-225 Pass@K).
+  *
+  * Binary relevance throughout (the reference assigns gain 1 to every
+  * truth id). Two AP variants exist in the reference and both are here:
+  * trec MAP (divide by |truth|) and the `calculate_avg_precision` form
+  * (divide by #relevant-retrieved).
+  */
+object Metrics {
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** NDCG over the full ranking: DCG = Σ_rel 1/log2(rank+1); IDCG over
+    * the ideal ranking of ALL |truth| relevant docs (pytrec_eval ndcg). */
+  def ndcg(truth: Set[String], ranked: Seq[String]): Double =
+    if (truth.isEmpty) 0.0
+    else {
+      val dcg = ranked.iterator.zipWithIndex
+        .collect { case (id, i) if truth(id) => 1.0 / log2(i + 2.0) }.sum
+      val idcg = (1 to truth.size).map(i => 1.0 / log2(i + 1.0)).sum
+      dcg / idcg
+    }
+
+  /** trec MAP: Σ_{relevant at rank r} precision(r) / |truth|. */
+  def averagePrecision(truth: Set[String], ranked: Seq[String]): Double =
+    if (truth.isEmpty) 0.0
+    else {
+      var rel = 0
+      var s = 0.0
+      ranked.iterator.zipWithIndex.foreach { case (id, i) =>
+        if (truth(id)) { rel += 1; s += rel.toDouble / (i + 1) }
+      }
+      s / truth.size
+    }
+
+  /** `calculate_avg_precision` (evaluate.py:68-78): mean of precision at
+    * the relevant positions; 0 when nothing relevant. */
+  def avgPrecisionAtRelevant(isRelevant: Seq[Boolean]): Double = {
+    var rel = 0
+    val precs = isRelevant.zipWithIndex.collect {
+      case (true, i) => rel += 1; rel.toDouble / (i + 1)
+    }
+    if (precs.isEmpty) 0.0 else precs.sum / precs.length
+  }
+
+  /** Recall@k = |truth ∩ top-k| / |truth|. */
+  def recallAt(truth: Set[String], ranked: Seq[String], k: Int): Double =
+    if (truth.isEmpty) 0.0
+    else ranked.take(k).count(truth).toDouble / truth.size
+
+  /** Precision@k = relevant-in-top-k / k. */
+  def precisionAt(truth: Set[String], ranked: Seq[String], k: Int): Double =
+    if (k <= 0) 0.0 else ranked.take(k).count(truth).toDouble / k
+
+  /** MRR = 1 / rank of first relevant, 0 if none (evaluate.py:80-86). */
+  def mrr(truth: Set[String], ranked: Seq[String]): Double =
+    ranked.iterator.zipWithIndex.collectFirst {
+      case (id, i) if truth(id) => 1.0 / (i + 1)
+    }.getOrElse(0.0)
+
+  /** Pass@K (anthropic.py:211-221): share of golden ids found in the
+    * top-k — identical to recall@k under binary truth. */
+  def passAt(truth: Set[String], ranked: Seq[String], k: Int): Double =
+    recallAt(truth, ranked, k)
+
+  /** `evaluate_one` twin: the standard measure bundle for one query. */
+  def evaluateOne(truth: Set[String], ranked: Seq[String],
+                  k: Int = 10): Map[String, Double] = Map(
+    "ndcg" -> ndcg(truth, ranked),
+    "map" -> averagePrecision(truth, ranked),
+    s"recall_$k" -> recallAt(truth, ranked, k),
+    "mrr" -> mrr(truth, ranked))
+
+  /** Distributed per-query evaluation. `results` = (qid, id, rank 1-based),
+    * `truth` = (qid, id); returns one row per qid with ndcg / map /
+    * recall_k / precision_k / mrr. One shuffle per input (the join and the
+    * qid aggregation), map-side combinable. */
+  def evaluate(results: DataFrame, truth: DataFrame, k: Int = 10): DataFrame = {
+    val truthSz = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+    val marked = results
+      .join(truth.withColumn("rel", lit(1)), Seq("qid", "id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val w = Window.partitionBy("qid").orderBy(col("rank").asc)
+    val cum = marked.withColumn("cum_rel", sum(col("rel")).over(w))
+      .withColumn("prec", col("cum_rel").cast("double") / col("rank"))
+    val perQ = cum.groupBy("qid").agg(
+      sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + 1.0))
+        .otherwise(0.0)).as("dcg"),
+      sum(when(col("rel") === 1, col("prec")).otherwise(0.0)).as("ap_num"),
+      sum(when(col("rel") === 1 && col("rank") <= k, 1).otherwise(0))
+        .as(s"rel_at_k"),
+      max(when(col("rel") === 1, lit(1.0) / col("rank")).otherwise(0.0))
+        .as("mrr"))
+    perQ.join(truthSz, Seq("qid"), "left")
+      .withColumn("n_truth", coalesce(col("n_truth"), lit(0L)))
+      .withColumn("idcg",
+        aggregate(sequence(lit(1), col("n_truth").cast("int")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)))
+      .select(
+        col("qid"),
+        when(col("n_truth") > 0, col("dcg") / col("idcg")).otherwise(0.0)
+          .as("ndcg"),
+        when(col("n_truth") > 0, col("ap_num") / col("n_truth"))
+          .otherwise(0.0).as("map"),
+        when(col("n_truth") > 0,
+          col("rel_at_k").cast("double") / col("n_truth")).otherwise(0.0)
+          .as(s"recall_$k"),
+        (col("rel_at_k").cast("double") / k).as(s"precision_$k"),
+        col("mrr"))
+  }
+
+  /** Macro-average of [[evaluate]]'s per-query rows (evaluate.py:44-48). */
+  def macroAvg(perQuery: DataFrame): DataFrame = {
+    val cols = perQuery.columns.filterNot(_ == "qid")
+    perQuery.agg(
+      avg(col(cols.head)).as(cols.head),
+      cols.tail.map(c => avg(col(c)).as(c)): _*)
+  }
+
+  private def log2(c: Column): Column = log(c) / math.log(2.0)
+}

@@ -1,0 +1,247 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Registry, Txn}
+import graft.core.Spec.TableDef
+import graft.ops.Ann
+import graft.text.{Embed, Embedder}
+
+/** Graph (entity/relation) retrieval — Spark twin of the reference's
+  * `graph_insert` merge-upsert (/root/reference/vechord/pipeline.py:345-392)
+  * and 2-hop `graph_search` (pipeline.py:444-487), with the
+  * entity/relation shapes of model/internal.py:8-31.
+  *
+  * Deviation (documented): entity uids are `sha256(text)` and relation
+  * uids `sha256(sorted(source,target))` instead of fresh UUIDs per merge —
+  * stable ids make the merge idempotent and distributed-safe (the
+  * reference's delete-then-reinsert-with-new-uuid dance is a row-at-a-time
+  * pattern; here the merge is one aggregation + one full-outer join).
+  */
+final case class GraphEntity(uid: String, text: String, label: String,
+                             description: String, chunk_uuids: Seq[String],
+                             vec: Seq[Float])
+final case class GraphRelation(uid: String, source: String, target: String,
+                               description: String, vec: Seq[Float])
+
+/** Recognized (pre-embedding) extraction outputs (model/internal.py:8-31). */
+final case class RecognizedEntity(text: String, label: String,
+                                  description: String)
+final case class RecognizedRelation(source: String, target: String,
+                                    description: String)
+
+/** NER + relation extraction seat (graph.py:29-223). [[SimpleRecognizer]]
+  * is the deterministic local implementation (capitalized-token entities,
+  * adjacent-pair relations) standing in for spaCy/Gemini. */
+trait EntityRecognizer extends Serializable {
+  def recognize(text: String): (Seq[RecognizedEntity], Seq[RecognizedRelation])
+}
+
+final case class SimpleRecognizer() extends EntityRecognizer {
+  def recognize(text: String): (Seq[RecognizedEntity],
+      Seq[RecognizedRelation]) = {
+    val sentences = text.split("[.!?\\n]+").map(_.strip).filter(_.nonEmpty)
+    val ents = scala.collection.mutable.LinkedHashMap[String, RecognizedEntity]()
+    val rels = scala.collection.mutable.ArrayBuffer[RecognizedRelation]()
+    sentences.foreach { s =>
+      val caps = s.split("[^A-Za-z0-9]+").filter(t =>
+        t.length > 1 && t.head.isUpper)
+      caps.foreach(c =>
+        if (!ents.contains(c)) ents(c) = RecognizedEntity(c, "ENT", s))
+      caps.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a != b => rels += RecognizedRelation(a, b, s)
+        case _ =>
+      }
+    }
+    (ents.values.toSeq, rels.toSeq)
+  }
+}
+
+object Graph {
+
+  def entityDef(name: String = "entity"): TableDef[GraphEntity] = {
+    implicit val enc: org.apache.spark.sql.Encoder[GraphEntity] =
+      Encoders.product[GraphEntity]
+    TableDef[GraphEntity](name, primaryKey = Some("uid"))
+  }
+  def relationDef(name: String = "relation"): TableDef[GraphRelation] = {
+    implicit val enc: org.apache.spark.sql.Encoder[GraphRelation] =
+      Encoders.product[GraphRelation]
+    TableDef[GraphRelation](name, primaryKey = Some("uid"))
+  }
+
+  /** Stable entity uid. */
+  def entityUid(text: org.apache.spark.sql.Column) = sha2(text, 256)
+
+  /** Merge-insert entities (pipeline.py:345-372): group incoming rows by
+    * text (descriptions "\n"-joined in input order, chunk lists
+    * concatenated), then full-outer-merge with the stored table — new
+    * descriptions come first, like the reference's `ent.description +=
+    * "\n" + exist.description`. Embeds `text\ndescription` of every
+    * changed entity. One aggregation + one join; no per-row round trips.
+    *
+    * `incoming`: (text, label, description, chunk_uuids, ord) where ord
+    * fixes the merge order inside the batch. */
+  def mergeInsertEntities(reg: Registry, entDef: TableDef[GraphEntity],
+                          incoming: DataFrame, emb: Embedder,
+                          txn: Txn = null): Unit = {
+    val grouped = incoming
+      .groupBy("text")
+      .agg(
+        first(col("label")).as("label"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("ord"), col("description")))),
+          s => s.getField("description")), "\n").as("description"),
+        flatten(transform(array_sort(collect_list(
+          struct(col("ord"), col("chunk_uuids")))),
+          s => s.getField("chunk_uuids"))).as("chunk_uuids"))
+    val existing = reg.table(entDef, txn)
+      .select(col("text").as("e_text"), col("label").as("e_label"),
+        col("description").as("e_description"),
+        col("chunk_uuids").as("e_chunk_uuids"))
+    val merged = grouped.join(existing,
+        col("text") === col("e_text"), "full_outer")
+      .select(
+        coalesce(col("text"), col("e_text")).as("text"),
+        coalesce(col("label"), col("e_label")).as("label"),
+        when(col("text").isNull, col("e_description"))
+          .when(col("e_text").isNull, col("description"))
+          .otherwise(concat_ws("\n", col("description"),
+            col("e_description"))).as("description"),
+        when(col("text").isNull, col("e_chunk_uuids"))
+          .when(col("e_text").isNull, col("chunk_uuids"))
+          .otherwise(concat(col("chunk_uuids"), col("e_chunk_uuids")))
+          .as("chunk_uuids"))
+      .withColumn("uid", entityUid(col("text")))
+    val embedded = Embed.withEmbedding(
+      merged.withColumn("__embtext",
+        concat_ws("\n", col("text"), col("description"))),
+      "__embtext", "vec", emb).drop("__embtext")
+    reg.overwrite(entDef, embedded.select(entDef.columns.map(col): _*), txn)
+  }
+
+  /** Merge-insert relations (pipeline.py:373-392): key = the sorted
+    * (source, target) pair; descriptions "\n"-joined new-first; embeds
+    * the merged description. `incoming`: (source, target, description,
+    * ord). */
+  def mergeInsertRelations(reg: Registry, relDef: TableDef[GraphRelation],
+                           incoming: DataFrame, emb: Embedder,
+                           txn: Txn = null): Unit = {
+    val keyed = incoming
+      .withColumn("__k", concat_ws("|",
+        least(col("source"), col("target")),
+        greatest(col("source"), col("target"))))
+    val grouped = keyed.groupBy("__k")
+      .agg(
+        first(col("source")).as("source"),
+        first(col("target")).as("target"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("ord"), col("description")))),
+          s => s.getField("description")), "\n").as("description"))
+    val existing = reg.table(relDef, txn)
+      .withColumn("__k", concat_ws("|",
+        least(col("source"), col("target")),
+        greatest(col("source"), col("target"))))
+      .select(col("__k").as("e_k"), col("source").as("e_source"),
+        col("target").as("e_target"), col("description").as("e_description"))
+    val merged = grouped.join(existing, col("__k") === col("e_k"),
+        "full_outer")
+      .select(
+        coalesce(col("source"), col("e_source")).as("source"),
+        coalesce(col("target"), col("e_target")).as("target"),
+        when(col("__k").isNull, col("e_description"))
+          .when(col("e_k").isNull, col("description"))
+          .otherwise(concat_ws("\n", col("description"),
+            col("e_description"))).as("description"))
+      .withColumn("uid", sha2(concat_ws("|",
+        least(col("source"), col("target")),
+        greatest(col("source"), col("target"))), 256))
+    val embedded = Embed.withEmbedding(merged, "description", "vec", emb)
+    reg.overwrite(relDef, embedded.select(relDef.columns.map(col): _*), txn)
+  }
+
+  /** 2-hop graph search (pipeline.py:444-487):
+    * query → recognize → top-k similar relations (by embedded relation
+    * text) → endpoint entity uids (ordered dedup) ∪ recognized entities →
+    * top-k similar entities (by embedded entity text) → their chunk uuids
+    * (ordered dedup) → chunk rows, limit topk. Returns the chunk-uid
+    * DataFrame joined back to `chunks` on `uidCol`. */
+  def graphSearch(reg: Registry, query: String,
+                  chunks: DataFrame, uidCol: String,
+                  entDef: TableDef[GraphEntity],
+                  relDef: TableDef[GraphRelation],
+                  emb: Embedder, recognizer: EntityRecognizer,
+                  similarK: Int = 10, topk: Int = 10): DataFrame = {
+    val spark = reg.spark
+    val (qEnts, qRels) = recognizer.recognize(query)
+    var entTexts: Seq[(String, String)] = qEnts.map(e => (e.text, e.description))
+    if (qRels.nonEmpty) {
+      val relText = qRels.map(_.description).mkString(" ")
+      val simRels = Ann.topK(reg.table(relDef), "uid", "vec",
+          Embed.queryVec(emb, relText), Ann.Cosine, similarK)
+        .select("source", "target").collect()
+      val entUids = dedupOrdered(simRels.iterator.flatMap(r =>
+        Iterator(r.getString(0), r.getString(1))))
+      if (entUids.nonEmpty) {
+        val fetched = reg.table(entDef)
+          .filter(col("uid").isin(entUids: _*))
+          .select("text", "description").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        entTexts = entTexts ++ fetched
+      }
+    }
+    if (entTexts.isEmpty) {
+      chunks.limit(0)
+    } else {
+      val entText = entTexts.map { case (t, d) => s"$t $d" }.mkString(" ")
+      val simEnts = Ann.topK(reg.table(entDef), "uid", "vec",
+          Embed.queryVec(emb, entText), Ann.Cosine, similarK)
+        .select("chunk_uuids").collect()
+      val chunkUids = dedupOrdered(simEnts.iterator
+        .flatMap(_.getSeq[String](0)))
+      import spark.implicits._
+      val keys = chunkUids.zipWithIndex.toDF("__uid", "__ord")
+      chunks.join(broadcast(keys), chunks(uidCol) === col("__uid"))
+        .orderBy(col("__ord").asc)
+        .limit(topk)
+        .drop("__uid", "__ord")
+    }
+  }
+
+  /** Order-preserving dedup (pipeline.py:490-493). */
+  def dedupOrdered(it: Iterator[String]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    it.foreach(seen += _)
+    seen.toSeq
+  }
+
+  /** Build (entities, relations) input frames from recognizer output over
+    * a chunk frame: runs `recognizer` on every chunk (map-only), linking
+    * each entity to its chunk uid. Returns (entities, relations) with the
+    * `ord` columns [[mergeInsertEntities]] expects. */
+  def extractFromChunks(spark: SparkSession, chunks: DataFrame,
+                        uidCol: String, textCol: String,
+                        recognizer: EntityRecognizer):
+      (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rows = chunks.select(col(uidCol).cast("string"), col(textCol))
+      .as[(String, String)]
+    val ents = rows.flatMap { case (uid, text) =>
+      recognizer.recognize(text)._1.map(e =>
+        (e.text, e.label, e.description, Seq(uid)))
+    }.toDF("text", "label", "description", "chunk_uuids")
+      .withColumn("ord", monotonically_increasing_id())
+    val rels = rows.flatMap { case (uid, text) =>
+      recognizer.recognize(text)._2.map(r =>
+        (sha2Hex(r.source), sha2Hex(r.target), r.description))
+    }.toDF("source", "target", "description")
+      .withColumn("ord", monotonically_increasing_id())
+    (ents, rels)
+  }
+
+  private def sha2Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,91 @@
+package graft.eval
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.core.Registry
+
+/** Metric formula parity (evaluate.py:22-86,210-231) with hand-computed
+  * expectations, the reference's perfect-ranking NDCG==1.0 sanity
+  * (tests/test_groundtruth.py:57), and the GroundTruth harness. */
+class MetricsSpec extends SparkSpecBase {
+
+  private val truth = Set("a", "b", "c")
+  private val ranked = Seq("a", "x", "b", "y", "c")
+
+  test("ndcg / map / recall / mrr on a hand-computed case") {
+    assert(math.abs(Metrics.ndcg(truth, ranked) - 0.8854598815714875) < 1e-12)
+    assert(math.abs(Metrics.averagePrecision(truth, ranked) -
+      0.7555555555555555) < 1e-12)
+    assert(Metrics.recallAt(truth, ranked, 10) === 1.0)
+    assert(math.abs(Metrics.recallAt(truth, ranked, 2) - 1.0 / 3) < 1e-12)
+    assert(Metrics.mrr(truth, ranked) === 1.0)
+    assert(Metrics.precisionAt(truth, ranked, 5) === 0.6)
+    assert(math.abs(Metrics.avgPrecisionAtRelevant(
+      Seq(true, false, true, false, true)) - 0.7555555555555555) < 1e-12)
+  }
+
+  test("perfect ranking gives ndcg/map/recall = 1.0") {
+    val t = Set("a", "b")
+    val r = Seq("a", "b")
+    assert(Metrics.ndcg(t, r) === 1.0)
+    assert(Metrics.averagePrecision(t, r) === 1.0)
+    assert(Metrics.recallAt(t, r, 10) === 1.0)
+  }
+
+  test("miss cases give 0; mrr finds first relevant") {
+    assert(Metrics.ndcg(Set("z"), Seq("a", "b")) === 0.0)
+    assert(Metrics.averagePrecision(Set("z"), Seq("a")) === 0.0)
+    assert(Metrics.mrr(Set("z"), Seq("a", "z")) === 0.5)
+    assert(Metrics.avgPrecisionAtRelevant(Seq(false, false)) === 0.0)
+    assert(Metrics.passAt(Set("g1", "g2"), Seq("g2", "x"), 2) === 0.5)
+  }
+
+  test("distributed evaluate matches the scalar formulas per query") {
+    val sp = spark
+    import sp.implicits._
+    val results = Seq(
+      ("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3), ("q1", "y", 4),
+      ("q1", "c", 5),
+      ("q2", "u", 1), ("q2", "t", 2)).toDF("qid", "id", "rank")
+    val truthDf = Seq(("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "t"))
+      .toDF("qid", "id")
+    val per = Metrics.evaluate(results, truthDf, k = 10).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val q1 = per("q1")
+    assert(math.abs(q1.getDouble(1) - 0.8854598815714875) < 1e-12) // ndcg
+    assert(math.abs(q1.getDouble(2) - 0.7555555555555555) < 1e-12) // map
+    assert(q1.getDouble(3) === 1.0) // recall_10
+    assert(q1.getDouble(5) === 1.0) // mrr
+    val q2 = per("q2")
+    // truth {t} found at rank 2 -> dcg = 1/log2(3), idcg = 1 -> ndcg ~0.63
+    assert(math.abs(q2.getDouble(1) - 1.0 / (math.log(3) / math.log(2))) < 1e-12)
+    assert(q2.getDouble(5) === 0.5) // mrr
+    val avg = Metrics.macroAvg(Metrics.evaluate(results, truthDf, 10))
+      .collect()(0)
+    assert(math.abs(avg.getAs[Double]("mrr") - 0.75) < 1e-12)
+  }
+
+  test("ground-truth generate + evaluate round trip (mocked retriever)") {
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-gt").toString)
+    val gt = new GroundTruth("t", reg)
+    val corpus = Seq(
+      Retrieved("c1", "spark joins are fast"),
+      Retrieved("c2", "cats sleep all day"),
+      Retrieved("c3", "spark joins shuffle data"))
+    // retrieve = corpus ranked by naive overlap with the query
+    def retrieve(q: String): Seq[Retrieved] = {
+      val qs = q.toLowerCase.split(" ").toSet
+      corpus.sortBy(c => -c.text.split(" ").count(qs)).toSeq
+    }
+    gt.generate(Seq("spark joins"), retrieve, OverlapJudge())
+    val stored = reg.table(gt.queryDef).collect()
+    assert(stored.length === 1)
+    assert(stored(0).getAs[Seq[String]]("truth").toSet === Set("c1", "c3"))
+    val m = gt.evaluate(retrieve, topk = 10)
+    assert(m("ndcg") === 1.0) // both relevant docs ranked first
+    assert(m("map") === 1.0)
+    assert(m("recall_10") === 1.0)
+  }
+}

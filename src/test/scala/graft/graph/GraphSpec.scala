@@ -1,0 +1,107 @@
+package graft.graph
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Registry
+import graft.text.HashEmbedder
+
+/** Graph merge-upsert + 2-hop search semantics
+  * (pipeline.py:345-392, 444-487). */
+class GraphSpec extends SparkSpecBase {
+
+  private def fresh() = {
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-graph").toString)
+    val ents = Graph.entityDef()
+    val rels = Graph.relationDef()
+    reg.register(ents, rels)
+    (reg, ents, rels, HashEmbedder(dim = 32))
+  }
+
+  test("entity merge: same-text entities merge descriptions and chunks") {
+    val (reg, ents, _, emb) = fresh()
+    val sp = spark
+    import sp.implicits._
+    val batch1 = Seq(
+      ("Spark", "ENT", "a compute engine", Seq("c1"), 0L),
+      ("Spark", "ENT", "runs on clusters", Seq("c2"), 1L),
+      ("Flink", "ENT", "a stream engine", Seq("c3"), 2L))
+      .toDF("text", "label", "description", "chunk_uuids", "ord")
+    Graph.mergeInsertEntities(reg, ents, batch1, emb)
+    val afterOne = reg.table(ents).collect()
+      .map(r => r.getAs[String]("text") -> r).toMap
+    assert(afterOne.size === 2)
+    assert(afterOne("Spark").getAs[String]("description") ===
+      "a compute engine\nruns on clusters")
+    assert(afterOne("Spark").getAs[Seq[String]]("chunk_uuids") ===
+      Seq("c1", "c2"))
+    // second batch merges with the stored row, new description first
+    val batch2 = Seq(("Spark", "ENT", "version three", Seq("c9"), 0L))
+      .toDF("text", "label", "description", "chunk_uuids", "ord")
+    Graph.mergeInsertEntities(reg, ents, batch2, emb)
+    val spark2 = reg.table(ents).filter(col("text") === "Spark").collect()(0)
+    assert(spark2.getAs[String]("description") ===
+      "version three\na compute engine\nruns on clusters")
+    assert(spark2.getAs[Seq[String]]("chunk_uuids") === Seq("c9", "c1", "c2"))
+    assert(spark2.getAs[Seq[Float]]("vec").length === 32)
+    // uid stable across merges
+    assert(afterOne("Spark").getAs[String]("uid") ===
+      spark2.getAs[String]("uid"))
+  }
+
+  test("relation merge keys on the sorted endpoint pair") {
+    val (reg, _, rels, emb) = fresh()
+    val sp = spark
+    import sp.implicits._
+    val batch = Seq(
+      ("u1", "u2", "A links B", 0L),
+      ("u2", "u1", "B links A", 1L), // same undirected pair
+      ("u1", "u3", "A links C", 2L))
+      .toDF("source", "target", "description", "ord")
+    Graph.mergeInsertRelations(reg, rels, batch, emb)
+    val rows = reg.table(rels).collect()
+    assert(rows.length === 2)
+    val pair = rows.find(_.getAs[String]("description").contains("A links B"))
+      .get
+    assert(pair.getAs[String]("description") === "A links B\nB links A")
+  }
+
+  test("2-hop graph search reaches chunks through relations and entities") {
+    val (reg, ents, rels, emb) = fresh()
+    val sp = spark
+    import sp.implicits._
+    val chunks = Seq(
+      ("c1", "Spark processes big data with SQL"),
+      ("c2", "Flink streams events continuously"),
+      ("c3", "Postgres stores relational rows"))
+      .toDF("uid", "text")
+    val (entsDf, relsDf) = Graph.extractFromChunks(spark, chunks,
+      "uid", "text", SimpleRecognizer())
+    Graph.mergeInsertEntities(reg, ents, entsDf, emb)
+    Graph.mergeInsertRelations(reg, rels, relsDf, emb)
+    assert(reg.table(ents).count() >= 3)
+    val hits = Graph.graphSearch(reg, "Tell me about Spark SQL engines",
+      chunks, "uid", ents, rels, emb, SimpleRecognizer(),
+      similarK = 3, topk = 2)
+    val uids = hits.collect().map(_.getAs[String]("uid"))
+    assert(uids.nonEmpty)
+    assert(uids.contains("c1")) // the Spark chunk must surface
+  }
+
+  test("search with no recognizable entities returns empty") {
+    val (reg, ents, rels, emb) = fresh()
+    val sp = spark
+    import sp.implicits._
+    val chunks = Seq(("c1", "Spark rules")).toDF("uid", "text")
+    val (entsDf, relsDf) = Graph.extractFromChunks(spark, chunks,
+      "uid", "text", SimpleRecognizer())
+    Graph.mergeInsertEntities(reg, ents, entsDf, emb)
+    Graph.mergeInsertRelations(reg, rels, relsDf, emb)
+    val hits = Graph.graphSearch(reg, "all lowercase nothing here",
+      chunks, "uid", ents, rels, emb, SimpleRecognizer())
+    assert(hits.count() === 0)
+  }
+}
