@@ -192,7 +192,7 @@ object Graph {
       }
     }
     if (entTexts.isEmpty) {
-      chunks.limit(0)
+      chunks.limit(0).withColumn("g_rank", lit(0))
     } else {
       val entText = entTexts.map { case (t, d) => s"$t $d" }.mkString(" ")
       val simEnts = Ann.topK(reg.table(entDef), "uid", "vec",
@@ -205,6 +205,7 @@ object Graph {
       chunks.join(broadcast(keys), chunks(uidCol) === col("__uid"))
         .orderBy(col("__ord").asc)
         .limit(topk)
+        .withColumn("g_rank", col("__ord") + 1)
         .drop("__uid", "__ord")
     }
   }

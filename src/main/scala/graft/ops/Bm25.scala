@@ -36,13 +36,17 @@ object Bm25 {
   /** The built "index". */
   final case class Bm25Index(postings: DataFrame, // id, term, tf, dl
                              termStats: DataFrame, // term, df
-                             n: Long, avgdl: Double)
+                             n: Long, avgdl: Double,
+                             tokenizer: String = "simple")
 
-  /** Build corpus statistics (the index-build job, SURVEY.md S2). */
-  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+  /** Build corpus statistics (the index-build job, SURVEY.md S2).
+    * `tok` picks the tokenizer model (spec.py:276-278 per-column choice). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            tok: graft.functions.Tokenizers.Tokenizer =
+              graft.functions.Tokenizers.Simple): Bm25Index = {
     val toks = docs
       .select(col(idCol).as("id"),
-        explode(tokenize(col(textCol))).as("term"))
+        explode(tok.column(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")
@@ -51,7 +55,8 @@ object Bm25 {
     // so avgdl (their double ratio) is order-independent.
     val r = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val nDocs = r.getLong(0)
-    Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs)
+    Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs,
+      tok.name)
   }
 
   /** Okapi BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1). */
@@ -64,8 +69,8 @@ object Bm25 {
              roundTo: Int = 6): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val qTerms = query.toLowerCase.split("[^a-z0-9]+")
-      .filter(_.nonEmpty).distinct.toSeq.toDF("term")
+    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
+    val qTerms = tok.scala(query).distinct.toDF("term")
     val perTerm = index.postings
       .join(broadcast(qTerms), "term")
       .join(broadcast(index.termStats), "term")

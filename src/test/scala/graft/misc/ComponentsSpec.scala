@@ -1,0 +1,110 @@
+package graft.misc
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.functions.{HashSparseEmbedder, Sparse, Tokenizers}
+import graft.io.Load
+import graft.multimodal._
+import graft.rank.{OverlapReranker, Rerank}
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpecBase {
+
+  test("local loader reads files with digest and extension") {
+    val dir = Files.createTempDirectory("graft-load")
+    Files.write(dir.resolve("a.txt"), "hello".getBytes)
+    Files.write(dir.resolve("b.html"), "<p>x</p>".getBytes)
+    Files.write(dir.resolve("skip.bin"), Array[Byte](1, 2))
+    val df = Load.localDir(spark, dir.toString, "*.{txt,html}")
+    val rows = df.collect().map(r => r.getAs[String]("ext") ->
+      r.getAs[String]("digest")).toMap
+    assert(rows.keySet === Set(".txt", ".html"))
+    // sha256("hello")
+    assert(rows(".txt") ===
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("tokenizer column and scala forms agree") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq("Hello, World-123!", "  spaced   out.  ", "ümlaut têst")
+    for (tok <- Seq(Tokenizers.Simple, Tokenizers.Wordpiece, Tokenizers.Wiki)) {
+      val colRes = texts.toDF("t")
+        .select(tok.column(col("t")).as("toks"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      val scalaRes = texts.map(tok.scala)
+      assert(colRes.toSeq === scalaRes, s"tokenizer ${tok.name}")
+    }
+  }
+
+  test("reranker permutes a ranked list deterministically") {
+    val sp = spark
+    import sp.implicits._
+    val ranked = Seq((1L, "cats and dogs", 1), (2L, "spark sql joins", 2),
+      (3L, "spark joins fast", 3)).toDF("id", "text", "rank")
+    val out = Rerank.apply(ranked, "id", "text", "spark joins",
+      OverlapReranker()).collect()
+    // both spark docs tie on overlap 2 -> stable order by position
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(2L, 3L, 1L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("sparse embedder + sparse dot column") {
+    val e = HashSparseEmbedder(dim = 1024)
+    val a = e.embed("spark spark joins")
+    val b = e.embed("spark shuffles")
+    assert(a.indices === a.indices.sorted)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((a.indices, a.values, b.indices, b.values))
+      .toDF("ai", "av", "bi", "bv")
+    val got = df.select(Sparse.sparseDot(col("ai"), col("av"), col("bi"),
+      col("bv")).as("dot")).head().getDouble(0)
+    // shared term "spark": tf 2 in a, tf 1 in b -> dot 2.0
+    assert(got === 2.0)
+  }
+
+  test("multimodal stages preserve schema and batch shape") {
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](0, 1, 2, 3, 100, 101),
+        MediaMeta("png", 2, 3, 3, 0)),
+      MediaRow(2L, "video", Array.tabulate(100)(_.toByte),
+        MediaMeta("mp4", 8, 8, 3, 4000)),
+      MediaRow(3L, "audio", Array[Byte](9, 9, 9),
+        MediaMeta("wav", 0, 0, 1, 1500))).toDS()
+    val codec = FakeCodec()
+    val feats = Multimodal.extractFeatures(media, codec).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(_.features.length === 64))
+    // deterministic: same input -> same features
+    val feats2 = Multimodal.extractFeatures(media, codec).collect()
+    assert(feats.map(_.features.toSeq).toSeq ===
+      feats2.map(_.features.toSeq).toSeq)
+    val resized = Multimodal.resizeImages(media, codec, 4, 4).collect()
+    val img = resized.find(_.id == 1L).get
+    assert(img.data.length === 16 && img.meta.width === 4)
+    val frames = Multimodal.sampleFrames(media, codec, 1000).collect()
+    assert(frames.count(_.kind == "image") === 5) // 1 image + 4 frames
+    val emb = Multimodal.embedMedia(spark, media, codec, 32).collect()
+    assert(emb.forall(_.getSeq[Float](2).length === 32))
+    val norm = math.sqrt(emb.head.getSeq[Float](2)
+      .map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("bm25 with alternate tokenizer model ranks differently") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "Interoperability considerations"),
+      (2L, "inter op era bili ty"),
+      (3L, "cats")).toDF("id", "text")
+    val idx = graft.ops.Bm25.build(docs, "id", "text", Tokenizers.Wordpiece)
+    assert(idx.tokenizer === "bert_base_uncased")
+    val hits = graft.ops.Bm25.search(idx, "interoperability", 3).collect()
+    // wordpiece splits the query into <=4-char pieces shared by docs 1+2
+    assert(hits.map(_.getAs[Long]("id")).toSet.intersect(Set(1L, 2L)).size === 2)
+  }
+}
