@@ -152,6 +152,34 @@ object Ann {
     IvfModel(cents, "centroid_id", "centroid")
   }
 
+  /** Lloyd's-iteration KMeans IVF build (the reference's index-build job
+    * uses IVF clustering inside vchordrq — spec.py:437-444; SURVEY §2.1
+    * S2 maps it to a KMeans batch job). Deterministic: initial centroids
+    * are the k docs with the smallest xxhash64(vec) (a seedless
+    * pseudo-random draw that is stable across runs/engines), then `iters`
+    * rounds of broadcast-argmin assignment + per-cell mean. For cosine /
+    * inner-product, normalize vectors first (spherical KMeans,
+    * spec.py:458-464). Empty cells drop out naturally. */
+  def buildIvfKMeans(docs: DataFrame, vecCol: String, k: Int,
+                     metric: Metric = L2, iters: Int = 5,
+                     roundTo: Int = 5): IvfModel = {
+    val w = Window.orderBy(xxhash64(col(vecCol)))
+    var model = IvfModel(
+      docs.select(col(vecCol))
+        .withColumn("__h", xxhash64(col(vecCol)))
+        .orderBy(col("__h")).limit(k)
+        .withColumn("centroid_id", row_number().over(w).cast("long") - 1)
+        .select(col("centroid_id"),
+          transform(col(vecCol),
+            x => round(x.cast("double"), roundTo)).as("centroid")),
+      "centroid_id", "centroid")
+    for (_ <- 1 to iters) {
+      val assigned = assign(docs, vecCol, model, metric)
+      model = buildIvf(assigned, model.idCol, vecCol, roundTo)
+    }
+    model
+  }
+
   /** Assign every doc to its nearest centroid (argmin over cells, ties by
     * centroid id asc). Map-only: the centroid set is tiny, so it is
     * embedded as a literal array and the argmin is a sequential `aggregate`

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY §2.7) — its only
+  * incremental notion is the txn buffer, which [[graft.core.Txn]] already
+  * covers in batch. These operators are the engine's forward path for
+  * continuous ingest at scale: event-time windows bounded by watermarks
+  * (state is dropped once the watermark passes), and explicit keyed state
+  * for sessionization via `flatMapGroupsWithState`.
+  *
+  * The same DataFrame code runs in batch mode (spark.read) and streaming
+  * mode (spark.readStream) — tested both ways.
+  */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+final case class SessionOut(user_id: Long, n_events: Long, total: Double)
+
+object Stream {
+
+  /** Tumbling event-time window counts with a watermark: at 1000
+    * executors the state store holds only windows newer than the
+    * watermark — unbounded input, bounded state. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Per-user running session via explicit keyed state: counts events and
+    * sums value per user, emitting an updated row per batch. With
+    * `timeoutMs > 0` state times out after that much processing-time
+    * inactivity (note: an active timeout keeps scheduling micro-batches,
+    * so `processAllAvailable`-style draining never settles — use it with
+    * real triggers, 0 for tests). */
+  def sessionize(events: Dataset[Event],
+                 timeoutMs: Long = 0): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    val timeoutKind =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update(), timeoutKind)(
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionOut]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last)
+          } else {
+            val prev = state.getOption.getOrElse(SessionOut(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total
+            it.foreach { e => n += 1; tot += e.value }
+            val cur = SessionOut(uid, n, tot)
+            state.update(cur)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator.single(cur)
+          }
+        })
+  }
+}

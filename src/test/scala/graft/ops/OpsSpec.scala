@@ -1,0 +1,228 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+
+/** Operator math: distance expressions vs naive loops, BM25 vs
+  * hand-computed scores, RRF permutation invariance, maxsim, kNN join
+  * exactness, IVF probe behavior. */
+class OpsSpec extends SparkSpecBase {
+
+  private def naiveL2(a: Seq[Double], b: Seq[Double]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+  private def naiveCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    1.0 - dot / (na * nb)
+  }
+
+  test("distance expressions match naive loops") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Seq.fill(16)(rng.nextDouble() - 0.5))
+    val q = Seq.fill(16)(rng.nextDouble() - 0.5)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val got = df.select(col("id"),
+        Vec.l2Dist(col("vec"), typedlit(q)).as("l2"),
+        Vec.cosDist(col("vec"), typedlit(q)).as("cos"),
+        Vec.negDot(col("vec"), typedlit(q)).as("nd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val (l2, cos, nd) = got(i.toLong)
+      assert(math.abs(l2 - naiveL2(v, q)) < 1e-12)
+      assert(math.abs(cos - naiveCos(v, q)) < 1e-12)
+      assert(math.abs(nd + v.zip(q).map { case (x, y) => x * y }.sum) < 1e-12)
+    }
+  }
+
+  test("maxsim equals the sum of per-query-token max dots") {
+    val sp = spark
+    import sp.implicits._
+    val docTokens = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val qTokens = Seq(Seq(2.0, 0.0), Seq(0.0, 3.0))
+    val df = Seq(Tuple1(docTokens)).toDF("vecs")
+    val got = df.select(Vec.maxSimDot(typedlit(qTokens), col("vecs")))
+      .head().getDouble(0)
+    // token1: max(2,0,1)=2 ; token2: max(0,3,1.5)=3
+    assert(got === 5.0)
+  }
+
+  test("topK returns the exact k nearest with deterministic tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(2f, 2f))).toDF("id", "vec")
+    val got = Ann.topK(df, "id", "vec", typedlit(Seq(0.0, 0.0)), Ann.L2, 3)
+      .collect().map(_.getAs[Long]("id"))
+    assert(got.toSeq === Seq(1L, 2L, 3L)) // dist 0, 1, 1 (tie by id)
+  }
+
+  test("knnJoin equals brute-force per-query ranking") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat())))
+    val queries = docs.take(4).map { case (i, v) => (i, v) }
+    val docsDf = docs.toDF("d_id", "dv").repartition(5)
+    val qDf = queries.toDF("q_id", "qv")
+    val got = Ann.knnJoin(qDf, "q_id", "qv", docsDf, "d_id", "dv",
+      Ann.L2, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("d_id")).toMap
+    // brute force in scala (same rounding)
+    def dist(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = math.sqrt(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    queries.foreach { case (qid, qv) =>
+      val expect = docs.map { case (did, dv) => (dist(dv, qv), did) }
+        .sorted.take(5).map(_._2)
+      val gotIds = (1 to 5).map(r => got((qid, r)))
+      assert(gotIds === expect, s"query $qid")
+    }
+  }
+
+  test("bm25 matches a hand-computed two-doc corpus") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "red fish blue fish"), (2L, "red car")).toDF("id", "t")
+    val idx = Bm25.build(docs, "id", "t")
+    assert(idx.n === 2 && idx.avgdl === 3.0)
+    val hits = Bm25.search(idx, "fish", 10).collect()
+    assert(hits.length === 1 && hits(0).getAs[Long]("id") === 1L)
+    // idf = ln((2-1+0.5)/(1+0.5)+1) = ln 2 ; tf=2, dl=4
+    val expected = math.log(2.0) * (2 * 2.2) /
+      (2 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    val rounded = BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(hits(0).getAs[Double]("score") === rounded)
+  }
+
+  test("rrf is invariant to list order and matches 1/(k+rank) sums") {
+    val sp = spark
+    import sp.implicits._
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val l2 = Seq(("b", 1), ("a", 2)).toDF("id", "rank")
+    val f1 = Fusion.rrf(Seq(l1, l2), k = 60, topK = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val f2 = Fusion.rrf(Seq(l2, l1), k = 60, topK = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f1 === f2)
+    def rr(ranks: Seq[Int]) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f1("a") === rr(Seq(1, 2)))
+    assert(f1("b") === rr(Seq(2, 1)))
+    assert(f1("c") === rr(Seq(3)))
+  }
+
+  test("dedupUnion keeps first occurrence in priority order") {
+    val sp = spark
+    import sp.implicits._
+    val l1 = Seq(("x", 1), ("y", 2)).toDF("id", "rank")
+    val l2 = Seq(("y", 1), ("z", 2)).toDF("id", "rank")
+    val got = Fusion.dedupUnion(Seq(l1, l2), topK = 10).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rank"), r.getAs[Int]("src")))
+    assert(got.toSeq === Seq(("x", 1, 0), ("y", 2, 0), ("z", 2, 1)))
+  }
+
+  test("ivf probes restrict the scanned cells") {
+    val sp = spark
+    import sp.implicits._
+    // two well-separated blobs; cell = blob id
+    val rng = new scala.util.Random(3)
+    def blob(cx: Double, cy: Double, cell: Int, base: Int) =
+      (0 until 20).map(i => (base + i.toLong, cell,
+        Seq((cx + rng.nextGaussian() * 0.01).toFloat,
+          (cy + rng.nextGaussian() * 0.01).toFloat)))
+    val df = (blob(0, 0, 0, 0) ++ blob(10, 10, 1, 100))
+      .toDF("id", "cell", "vec")
+    val model = Ann.buildIvf(df, "cell", "vec")
+    val assigned = Ann.assign(df, "vec", model, Ann.L2)
+    // every vector must land in its own blob's cell
+    assert(assigned.filter(col("centroid_id") =!= col("cell")).count() === 0)
+    val hits = Ann.searchIvf(assigned, "id", "vec",
+      model, typedlit(Seq(0.0, 0.0)), Ann.L2, probes = 1, k = 5)
+    val ids = hits.collect().map(_.getAs[Long]("id"))
+    assert(ids.forall(_ < 100)) // only blob-0 scanned
+    assert(ids.length === 5)
+  }
+
+  test("planted duplicates: minhash-lsh finds them, simhash blocks them") {
+    val sp = spark
+    import sp.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls softly on the quiet green meadow at dusk today"
+    val nearDup = base.replace("dusk", "dawn")
+    val other = "completely different content about database engines " +
+      "and distributed query planning with shuffles and joins galore"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashDedupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(mh.contains((1L, 2L)) && mh.contains((1L, 4L)) &&
+      mh.contains((2L, 4L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact pair (1,4) must have jaccard 1.0
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(exact((1L, 4L)) === 1.0)
+    assert(mh === exact.keySet) // lsh+verify == exact on this corpus
+    val sim = Dedup.simHash(docs, "doc_id", "text")
+    val sh = Dedup.simHashPairs(sim, maxDist = 3, bands = 4).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(sh.contains((1L, 4L))) // identical docs -> hamming 0
+    assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dedup keeps lowest id per text") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(2L, 9L))
+    val stats = Dedup.exactDedupStats(docs, "doc_id", "text").head()
+    assert(stats.getAs[Long]("total_docs") === 3)
+    assert(stats.getAs[Long]("distinct_texts") === 2)
+    assert(stats.getAs[Long]("dup_groups") === 1)
+    assert(stats.getAs[Long]("dup_rows_removed") === 1)
+  }
+
+  test("text analysis: langid identifies hand-written samples") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("en", "the cat is on the mat and it is happy with this"),
+      ("de", "der hund ist nicht mit der katze und das ist auch gut"),
+      ("es", "el perro es grande y la casa es blanca por la noche"),
+      ("fr", "le chien est dans la maison et il est pour le chat"),
+      ("und", "zzz qqq xxx www")).toDF("expected", "text")
+    val got = df.withColumn("pred", TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(2))
+    got.foreach { case (exp, pred) => assert(exp === pred) }
+  }
+
+  test("fingerprint: shared shingles give overlapping min-k sketches") {
+    val sp = spark
+    import sp.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, a), (2L, a + " extra words here"), (3L, "nothing alike at all whatsoever"))
+      .toDF("id", "text")
+    val fp = df.select(col("id"),
+        TextAnalysis.fingerprint(col("text"), n = 3, k = 5).as("fp"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(fp(1L).intersect(fp(2L)).size >= 3)
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class StreamSpec extends SparkSpecBase {
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("windowed counts with watermark over a memory stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stream.windowedCounts(input.toDF(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0),
+      Event(3, ts(12), 11, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+    q.stop()
+    val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[Long]("n") === 2)
+    assert(clicks.getAs[Double]("total") === 3.0)
+    val views = rows.find(_.getAs[String]("event_type") == "view").get
+    assert(views.getAs[Long]("n") === 1)
+  }
+
+  test("the same windowed-count code runs in batch mode") {
+    val sp = spark
+    import sp.implicits._
+    val batch = Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0)).toDF()
+    val rows = Stream.windowedCounts(batch, "10 minutes", "20 minutes")
+      .collect()
+    assert(rows.length === 1 && rows(0).getAs[Long]("n") === 2)
+  }
+
+  test("sessionize keeps per-user state across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    input.addData(Event(1, ts(1), 7, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts(2), 7, "click", 2.5),
+      Event(3, ts(2), 8, "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total")))
+    q.stop()
+    // user 7 state accumulated across the two batches
+    assert(rows.contains((7L, 2L, 3.5)))
+    assert(rows.contains((8L, 1L, 4.0)))
+  }
+
+  test("kmeans ivf recovers planted blobs") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(5)
+    def blob(cx: Double, base: Int) = (0 until 30).map(i =>
+      (base + i.toLong, Seq((cx + rng.nextGaussian() * 0.05).toFloat,
+        (cx + rng.nextGaussian() * 0.05).toFloat)))
+    val df = (blob(0, 0) ++ blob(10, 100)).toDF("id", "vec")
+    val model = graft.ops.Ann.buildIvfKMeans(df, "vec", k = 2, iters = 4)
+    val assigned = graft.ops.Ann.assign(df, "vec", model, graft.ops.Ann.L2)
+    val byCell = assigned.groupBy("centroid_id")
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+        count(lit(1)).as("n")).collect()
+    assert(byCell.length === 2)
+    // each cell holds exactly one blob (ids 0-29 vs 100-129)
+    byCell.foreach { r =>
+      assert(r.getAs[Long]("n") === 30)
+      assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") === 29)
+    }
+  }
+}
