@@ -98,7 +98,10 @@ object Ann {
     val bc = spark.sparkContext.broadcast(qRows)
     val kk = k
     val rt = roundTo
+    // repartition: embedding tables are small on disk but the Q×N
+    // distance work is compute-heavy; bytes-based splits under-parallelize
     val cand = docs
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col(dId).cast("long"), col(dVec).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { iter =>

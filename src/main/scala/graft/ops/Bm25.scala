@@ -44,9 +44,19 @@ object Bm25 {
   def build(docs: DataFrame, idCol: String, textCol: String,
             tok: graft.functions.Tokenizers.Tokenizer =
               graft.functions.Tokenizers.Simple): Bm25Index = {
+    val spark = docs.sparkSession
+    // Tokenize AFTER an explicit repartition: text tables are tiny on
+    // disk (1-2 parquet splits) but tokenization is compute-heavy, and a
+    // plain column projection would be pushed below the repartition into
+    // the single-task scan. The UDF is marked nondeterministic purely as
+    // an optimizer barrier (it is pure; tok.scala == tok.column, tested
+    // in ComponentsSpec) so the heavy map runs at full parallelism.
+    val tokensUdf = udf((s: String) => tok.scala(s)).asNondeterministic()
     val toks = docs
-      .select(col(idCol).as("id"),
-        explode(tok.column(col(textCol))).as("term"))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), tokensUdf(col("__text")).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")

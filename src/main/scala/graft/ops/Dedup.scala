@@ -61,38 +61,89 @@ object Dedup {
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
         sum(col("n") - 1).as("dup_rows_removed"))
 
-  /** Per-doc distinct shingle sets: (id, shingles array, size). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+  /** Driver/executor-side twin of [[shingles]] — identical output
+    * (lowercase alnum tokens, n-gram windows, first-occurrence distinct). */
+  def shinglesScala(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    else Seq.empty
+  }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-    * Returns (a, b, jaccard) with a < b, jaccard >= threshold, rounded
-    * to 6 decimals. */
+  /** Per-doc distinct shingle sets: (id, shingles array, size).
+    * Built as a TYPED map stage after an explicit repartition: document
+    * tables are tiny on disk (1-2 parquet splits) but shingling is
+    * compute-heavy, and Catalyst pushes column projections below a
+    * repartition into the single-task scan — a typed mapPartitions is a
+    * real stage barrier, so the heavy work runs at full parallelism. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, shinglesScala(text, n))
+      })
+      .toDF("id", "sh")
+      .withColumn("sz", size(col("sh")))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED inverted
+    * index (the AllPairs/PPJoin family): each doc's shingles are sorted
+    * by (global df asc, shingle) and only the first
+    * `|A| − ⌈t·|A|⌉ + 1` (rarest) shingles are exploded into the join —
+    * any pair with jaccard >= t must share a prefix shingle, so the
+    * candidate set is complete; candidates are then verified with one
+    * `array_intersect` over the full sets. Hot shingles almost never
+    * appear in prefixes, which removes the quadratic blow-up a naive
+    * shingle self-join suffers on skewed corpora (the dominant cost at
+    * scale). Returns (a, b, jaccard) with a < b, rounded to 6 decimals. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDf: Long = Long.MaxValue,
                    roundTo: Int = 6): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sets = shingleSets(docs, idCol, textCol, n)
-    var inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    if (maxShingleDf != Long.MaxValue) {
-      val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf).select("shingle")
-      inv = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
-    val pairs = inv.as("x")
-      .join(inv.as("y"), col("x.shingle") === col("y.shingle") &&
-        col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val szA = sets.select(col("id").as("a"), col("sz").as("sza"))
-    val szB = sets.select(col("id").as("b"), col("sz").as("szb"))
-    pairs.join(szA, "a").join(szB, "b")
+    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // re-collect each doc's shingles ordered by (df, shingle).
+    // Shapes that matter: `df` is tiny → broadcast (no shuffle of inv);
+    // the explicit repartition pins the compute-heavy aggregation to
+    // full parallelism (AQE would coalesce the few-MB shuffle to 1
+    // partition and serialize it); persist + eager count because the
+    // prefix self-join and both verify broadcasts reuse it.
+    val sorted = inv.join(broadcast(df), "shingle")
+      .repartition(par, col("id"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(
+        struct(col("df"), col("shingle")))),
+        s => s.getField("shingle")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist()
+    sorted.count()
+    val prefix = sorted.select(col("id"), col("sz"),
+        explode(slice(col("sh"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as("shingle"))
+    // length filter: jaccard >= t forces t·|B| <= |A| <= |B|/t
+    val cand = prefix.as("x")
+      .join(prefix.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.id") < col("y.id") &&
+        col("x.sz") >= ceil(col("y.sz") * threshold) &&
+        col("x.sz") <= floor(col("y.sz") / threshold))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+      .repartition(par) // verify is compute-bound; don't let AQE serialize it
+    // Verify with the set tables broadcast (|docs| × ~1KB — small): the
+    // candidate pair table never shuffles. At a scale where the set
+    // table outgrows broadcast, partition both sides by id range instead.
+    val setsA = sorted.select(col("id").as("a"), col("sh").as("sha"))
+    val setsB = sorted.select(col("id").as("b"), col("sh").as("shb"))
+    cand.join(broadcast(setsA), "a").join(broadcast(setsB), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")), roundTo))
+          (size(col("sha")) + size(col("shb")) - col("inter")), roundTo))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -101,9 +152,11 @@ object Dedup {
     * Hash family h_i(s) = xxhash64(i, s); signature element i is the min
     * over the doc's shingles — one groupBy, map-side combinable. */
   def minHash(docs: DataFrame, idCol: String, textCol: String,
-              n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val inv = shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("shingle"))
+              n: Int = 3, numHashes: Int = 32): DataFrame =
+    minHashFromSets(shingleSets(docs, idCol, textCol, n), numHashes)
+
+  private def minHashFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -122,6 +175,7 @@ object Dedup {
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * col("r") + 1,
           col("r"))).as("bh"))
+      .persist() // both sides of the bucket self-join
     rows.as("x").join(rows.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
@@ -136,12 +190,17 @@ object Dedup {
                         n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                         threshold: Double = 0.5,
                         roundTo: Int = 6): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val cand = lshCandidates(minHash(docs, idCol, textCol, n, numHashes),
-      bands)
+    // persisted + eagerly materialized: the signature build and both
+    // verify broadcasts reuse it
+    val sets = shingleSets(docs, idCol, textCol, n).persist()
+    sets.count()
+    val cand = lshCandidates(minHashFromSets(sets, numHashes), bands)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
-      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .join(broadcast(sets.select(col("id").as("a"), col("sh").as("sha"))),
+        "a")
+      .join(broadcast(sets.select(col("id").as("b"), col("sh").as("shb"))),
+        "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -156,11 +215,23 @@ object Dedup {
     * for the signature build; a custom codegen Expression is the
     * hot-path alternative at extreme scale). */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed flatMap: tokenization runs post-repartition (stage barrier)
     val tf = docs
-      .select(col(idCol).cast("long").as("id"),
-        explode(Bm25.tokenize(col(textCol))).as("term"))
+      .select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.Tokenizers.Simple.scala(text).map(t => (id, t))
+      }
+      .toDF("id", "term")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    tf.select(col("id"), col("tf"), xxhash64(col("term")).as("h"),
+    // explicit repartition: the 64× bit explode + majority vote is
+    // compute-heavy and AQE would coalesce the small tf shuffle
+    tf.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"), col("term"))
+      .select(col("id"), col("tf"), xxhash64(col("term")).as("h"),
         explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("contrib",
         col("tf") * (expr("shiftright(h, bit) & 1") * 2 - 1))

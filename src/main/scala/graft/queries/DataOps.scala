@@ -38,8 +38,20 @@ object DataOps {
     Dedup.closestPairs(embeddings(s, d), "vec_id", "embedding",
       Ann.Cosine, 10)
 
+  /** Documents repartitioned for compute-bound text stages (the parquet
+    * is a single small file; regex-heavy maps need all cores). The text
+    * column is rebound through a nondeterministic identity UDF purely as
+    * an optimizer barrier: without it Catalyst pushes the regex-heavy
+    * projections below the repartition into the single-task scan. */
+  private def docsPar(s: SparkSession, d: String): DataFrame = {
+    val barrier = udf((t: String) => t).asNondeterministic()
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("text", barrier(col("text")))
+  }
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.stats(documents(s, d), "text")
+    TextAnalysis.stats(docsPar(s, d), "text")
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -51,13 +63,13 @@ object DataOps {
       .orderBy("lang")
 
   def qualityTopk(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.qualityScore(documents(s, d), "text")
+    TextAnalysis.qualityScore(docsPar(s, d), "text")
       .select(col("doc_id"), col("quality"))
       .orderBy(col("quality").desc, col("doc_id").asc)
       .limit(10)
 
   def langidCounts(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsPar(s, d)
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")

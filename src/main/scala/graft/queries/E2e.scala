@@ -24,6 +24,7 @@ object E2e {
     val chunker = RegexChunker(size = ChunkSize, overlap = ChunkOverlap)
     val emb = HashEmbedder(dim = Dim)
     val chunks = documents(s, d).select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         chunker.segment(t).zipWithIndex.map { case (c, i) =>
