@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Spec._
+import graft.functions.Vec
+import graft.ops.{Ann, Bm25}
+
+/** Typed search surface over a [[Registry]] — the Spark twin of
+  * `VechordRegistry.search_by_vector` / `search_by_multivec` /
+  * `search_by_keyword` (/root/reference/vechord/registry.py:190-302):
+  * resolves the table's index declarations, applies the reference's
+  * defaults (projection excludes vector/keyword payloads; probes default
+  * ceil(lists/16), client.py:285-292; maxsim_refine default 1000,
+  * registry.py:233), and returns ranked partial rows.
+  */
+final class Engine(reg: Registry) {
+
+  /** Dense top-k. With a [[Spec.VectorIndex]] whose `lists` > 0 an IVF
+    * model built by [[buildIndex]] prunes cells with `probes` (explicit,
+    * else ceil(lists/16)); otherwise exact brute-force top-k. */
+  def searchByVector(td: TableDef[_], queryVec: Seq[Double], topk: Int = 10,
+                     probes: Int = 0,
+                     returnFields: Seq[String] = Nil): DataFrame = {
+    val ix = td.vectorIndex.getOrElse(
+      throw new IllegalStateException(s"${td.name} has no vector index"))
+    val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
+    val q = typedlit(queryVec)
+    val base = reg.table(td)
+    val ranked =
+      indexModel(td) match {
+        case Some(model) if ix.lists > 0 =>
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          val assigned = Ann.assign(base, ix.column, model, ix.distance)
+          Ann.searchIvf(assigned, td.pk, ix.column, model, q, ix.distance,
+            p, topk)
+        case _ =>
+          Ann.topK(base, td.pk, ix.column, q, ix.distance, topk)
+      }
+    ranked.select((fields :+ "dist").map(col): _*)
+  }
+
+  /** Multi-vector maxsim top-k (registry.py:227-267) with the two-phase
+    * `refine` knob: when 0 < refine < table size, a cheap first phase
+    * scores each doc against the query-token centroid (one dot per doc)
+    * and only the top-`refine` candidates get exact maxsim — the
+    * batch twin of `vchordrq.maxsim_refine` full-precision rescoring. */
+  def searchByMultivec(td: TableDef[_], queryVecs: Seq[Seq[Double]],
+                       topk: Int = 10, refine: Int = 1000,
+                       returnFields: Seq[String] = Nil): DataFrame = {
+    val mvCol = td.indexes.collectFirst { case MultiVectorIndex(c, _) => c }
+      .orElse(td.multiVectorColumns.headOption)
+      .getOrElse(throw new IllegalStateException(
+        s"${td.name} has no multivector column"))
+    val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
+    val base = reg.table(td)
+    val q = typedlit(queryVecs)
+    val dim = queryVecs.head.length
+    val centroid: Seq[Double] = (0 until dim).map(i =>
+      queryVecs.map(_(i)).sum / queryVecs.length)
+    val candidates =
+      if (refine > 0) {
+        base.withColumn("__approx",
+            Vec.dot(flattenMean(col(mvCol), dim), typedlit(centroid)))
+          .orderBy(col("__approx").desc, col(td.pk).asc)
+          .limit(refine)
+          .drop("__approx")
+      } else base
+    candidates
+      .withColumn("score", round(Vec.maxSimDot(q, col(mvCol)), 6))
+      .orderBy(col("score").desc, col(td.pk).asc)
+      .limit(topk)
+      .select((fields :+ "score").map(col): _*)
+  }
+
+  /** Mean of a doc's token vectors (the quantized stand-in for phase-1
+    * scoring). */
+  private def flattenMean(mv: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(mv, lit(0.0), (acc, v) =>
+        acc + element_at(v, i + 1).cast("double")) / size(mv))
+
+  /** BM25 keyword top-k (registry.py:269-302): builds/reuses the side
+    * tables for the column's declared tokenizer model. */
+  def searchByKeyword(td: TableDef[_], query: String, topk: Int = 10,
+                      returnFields: Seq[String] = Nil): DataFrame = {
+    val kw = td.keywordIndex.getOrElse(
+      throw new IllegalStateException(s"${td.name} has no keyword index"))
+    val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
+    val tok = graft.functions.Tokenizers.all.getOrElse(kw.model,
+      graft.functions.Tokenizers.Simple)
+    val idx = Bm25.build(reg.table(td), td.pk, kw.column, tok)
+    val hits = Bm25.search(idx, query, topk)
+      .withColumnRenamed("id", "__hit_id")
+    reg.table(td)
+      .join(broadcast(hits), col(td.pk) === col("__hit_id"))
+      .orderBy(col("score").desc, col(td.pk).asc)
+      .select((fields :+ "score").map(col): _*)
+  }
+
+  /** IVF index build job (`create_index_if_not_exists` twin for vector
+    * indexes, client.py:146-174): KMeans over the vector column with
+    * `lists` cells, assigning under the index's declared distance (the
+    * cosine-distance assignment is the spherical-centroids analog,
+    * spec.py:458-464). Stored as a `<table>__ivf` side table in the
+    * same catalog. */
+  def buildIndex(td: TableDef[_]): Unit =
+    td.vectorIndex.filter(_.lists > 0).foreach { ix =>
+      val base = reg.table(td)
+      val model = Ann.buildIvfKMeans(base, ix.column, ix.lists, ix.distance)
+      val t = s"${td.name}__ivf"
+      val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
+        model.centroids)
+      reg.catalog.commit(reg.catalog.current +
+        (s"${reg.namespace}_$t" -> Vector(seg)))
+    }
+
+  private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] = {
+    val t = s"${reg.namespace}_${td.name}__ivf"
+    if (reg.catalog.current.get(t).exists(_.nonEmpty)) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      Some(Ann.IvfModel(reg.catalog.read(t, schema, reg.catalog.current),
+        "centroid_id", "centroid"))
+    } else None
+  }
+}

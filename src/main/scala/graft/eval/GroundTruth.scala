@@ -33,6 +33,31 @@ final case class OverlapJudge() extends RelevanceJudge {
   }
 }
 
+/** Judged-relevance metrics without stored truth — the UMBRELA
+  * `evaluate_with_estimation` port (evaluate.py:210-231): judge each
+  * passage, then Precision@K / AP@K (k ∈ kValues) and MRR over the
+  * judged relevance list. */
+object Judged {
+  def evaluateWithEstimation(query: String, passages: Seq[String],
+                             judge: RelevanceJudge,
+                             kValues: Seq[Int] = Seq(3, 5, 10)):
+      Map[String, Double] = {
+    require(query.nonEmpty && passages.exists(_.strip.nonEmpty),
+      "Query must be non-empty and passages must contain at least one " +
+        "non-empty string.")
+    val isRel = passages.map(p => judge.estimate(query, p) >= judge.threshold)
+    val base = kValues.filter(k => k > 0 && k <= isRel.length).flatMap { k =>
+      val topK = isRel.take(k)
+      Seq(
+        s"precision@$k" -> topK.count(identity).toDouble / k,
+        s"AP@$k" -> Metrics.avgPrecisionAtRelevant(topK))
+    }
+    (base :+ ("MRR" -> isRel.zipWithIndex.collectFirst {
+      case (true, i) => 1.0 / (i + 1)
+    }.getOrElse(0.0))).toMap
+  }
+}
+
 /** Ground-truth generation + evaluation
   * (/root/reference/vechord/groundtruth.py:28-127): run queries through a
   * retrieve function, judge the returned chunks, persist per-query truth

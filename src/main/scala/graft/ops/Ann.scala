@@ -207,6 +207,29 @@ object Ann {
     docs.withColumn(model.idCol, best.getField("id"))
   }
 
+  /** Persist an assigned vector table partitioned by `centroid_id`: the
+    * probe filter in [[searchIvfStored]] then becomes real partition
+    * pruning — unprobed cells are never read from disk. This is the
+    * at-rest form of the index for the 100 TB path (one directory per
+    * IVF cell; `spark.sql.files.maxPartitionBytes` splits big cells). */
+  def writePartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(path)
+
+  /** IVF search over a [[writePartitioned]] table: the `isin(probes)`
+    * filter prunes whole partition directories (verify via
+    * `PartitionFilters` in the scan plan). */
+  def searchIvfStored(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String, vecCol: String,
+                      model: IvfModel, queryVec: Column, metric: Metric,
+                      probes: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    val cells = probeCells(model, queryVec, metric, probes)
+      .collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(path)
+      .filter(col(model.idCol).isin(cells: _*))
+    topK(pruned, idCol, vecCol, queryVec, metric, k, roundTo)
+  }
+
   /** Nearest `probes` centroid ids for a query vector. */
   def probeCells(model: IvfModel, queryVec: Column, metric: Metric,
                  probes: Int): DataFrame =

@@ -1,0 +1,101 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.core.Spec._
+import graft.eval.{Judged, OverlapJudge}
+import graft.ops.Ann
+import graft.text.LocalAugmenter
+
+/** Typed search surface (registry.py:190-302 twins) + judged metrics +
+  * augmenters. */
+case class EChunk(cid: Long, text: String, vec: Seq[Float],
+                  mv: Seq[Seq[Float]])
+
+class EngineSpec extends SparkSpecBase {
+
+  private def fresh(lists: Int) = {
+    val sp = spark
+    import sp.implicits._
+    val td = TableDef[EChunk]("echunk", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = lists),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong,
+        if (i % 2 == 0) s"spark joins row $i" else s"cats meow row $i",
+        Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    (reg, td, new Engine(reg))
+  }
+
+  test("searchByVector exact: nonVec projection + ranked dists") {
+    val (_, td, eng) = fresh(lists = 0)
+    val hits = eng.searchByVector(td, Seq(0.0, 0.0), topk = 5).collect()
+    assert(hits.length === 5)
+    // default projection excludes vec/mv/keyword-indexed text
+    assert(hits(0).schema.fieldNames.toSeq === Seq("cid", "dist"))
+    assert(hits.map(_.getAs[Long]("cid")).head === 0L)
+    // all near the origin blob (even ids)
+    assert(hits.forall(_.getAs[Long]("cid") % 2 === 0))
+  }
+
+  test("searchByVector with an IVF index prunes and still finds the blob") {
+    val (_, td, eng) = fresh(lists = 2)
+    eng.buildIndex(td)
+    val hits = eng.searchByVector(td, Seq(10.0, 10.0), topk = 3, probes = 1)
+      .collect()
+    assert(hits.length === 3)
+    assert(hits.forall(_.getAs[Long]("cid") % 2 === 1))
+  }
+
+  test("searchByMultivec with refine returns maxsim-ranked rows") {
+    val (_, td, eng) = fresh(lists = 0)
+    val hits = eng.searchByMultivec(td, Seq(Seq(10.0, 10.0)), topk = 3,
+      refine = 10).collect()
+    assert(hits.length === 3)
+    assert(hits.forall(_.getAs[Long]("cid") % 2 === 1))
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("searchByKeyword ranks by bm25 over the declared tokenizer") {
+    val (_, td, eng) = fresh(lists = 0)
+    val hits = eng.searchByKeyword(td, "spark joins", topk = 4).collect()
+    assert(hits.length === 4)
+    assert(hits.forall(_.getAs[Long]("cid") % 2 === 0))
+  }
+
+  test("evaluate_with_estimation port: precision@k / AP@k / MRR") {
+    val m = Judged.evaluateWithEstimation(
+      "spark joins",
+      Seq("spark joins are great", "cats", "about spark joins", "dogs"),
+      OverlapJudge(), kValues = Seq(3))
+    assert(m("precision@3") === 2.0 / 3)
+    // relevant at ranks 1 and 3: AP = (1/1 + 2/3)/2
+    assert(math.abs(m("AP@3") - (1.0 + 2.0 / 3) / 2) < 1e-12)
+    assert(m("MRR") === 1.0)
+    intercept[IllegalArgumentException] {
+      Judged.evaluateWithEstimation("q", Seq("", "  "), OverlapJudge())
+    }
+  }
+
+  test("augmenter: deterministic context, query, summary") {
+    val a = LocalAugmenter()
+    val doc = "Spark is a compute engine. It runs joins. It scales well."
+    val ctx = a.augmentContext(doc, "It runs joins.")
+    assert(ctx.contains("Spark is a compute engine"))
+    assert(a.augmentContext(doc, "It runs joins.") === ctx)
+    val q = a.augmentQuery("distributed shuffle joins with big partitions")
+    assert(q.nonEmpty && q.split(" ").length <= 5)
+    assert(a.summarizeDoc(doc) === "Spark is a compute engine")
+  }
+}

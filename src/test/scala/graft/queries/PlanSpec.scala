@@ -70,4 +70,23 @@ class PlanSpec extends SparkSpecBase {
     val ap = plan(assigned)
     assert(!ap.contains("Exchange"), s"assign must be map-only:\n$ap")
   }
+
+  test("stored IVF table: probes become disk partition pruning") {
+    val e = Tables.embeddings(spark, sf)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.writePartitioned(assigned, dir)
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(cellDirs.length === 10)
+    val q = typedlit((0 until 64).map(_ => 0.0))
+    val hits = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+      model, q, Ann.L2, probes = 2, k = 5)
+    val p = plan(hits)
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("centroid_id#") , s"expected partition pruning:\n$p")
+    assert(hits.count() === 5)
+  }
 }
