@@ -17,7 +17,16 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read the raw int64 nanos and convert to
+    * microsecond-precision timestamp_ntz (identical to DuckDB's
+    * nanos→µs truncation, so oracle comparisons line up). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
