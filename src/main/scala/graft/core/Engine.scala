@@ -69,7 +69,8 @@ final class Engine(reg: Registry) {
           .drop("__approx")
       } else base
     candidates
-      .withColumn("score", round(Vec.maxSimDot(q, col(mvCol)), 6))
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(q, col(mvCol)), 6))
       .orderBy(col("score").desc, col(td.pk).asc)
       .limit(topk)
       .select((fields :+ "score").map(col): _*)

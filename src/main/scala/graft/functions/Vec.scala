@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * disk) so results are reproducible across engines; the fold is a
   * sequential left-fold (`aggregate`), deterministic for a given array
   * order. For the codegen'd hot path used by the scale-oriented operators
-  * see [[graft.expr.VecExprs]]; these composed-builtin forms are the
-  * reference semantics and the oracle-matching path.
+  * see `org.apache.spark.sql.graft.VecExprs` (bit-identical by
+  * construction); these composed-builtin forms document the reference
+  * semantics in plain DataFrame algebra.
   */
 object Vec {
 

@@ -42,7 +42,8 @@ object Ann {
     }
   }
   case object L2 extends Metric {
-    def dist(a: Column, b: Column): Column = Vec.l2Dist(a, b)
+    def dist(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.VecExprs.l2Dist(a, b)
     def distScala(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -50,7 +51,8 @@ object Ann {
     }
   }
   case object Cosine extends Metric {
-    def dist(a: Column, b: Column): Column = Vec.cosDist(a, b)
+    def dist(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.VecExprs.cosDist(a, b)
     def distScala(a: Array[Double], b: Array[Double]): Double = {
       var n2a = 0.0; var n2b = 0.0; var i = 0
       while (i < a.length) { n2a += a(i) * a(i); n2b += b(i) * b(i); i += 1 }
@@ -58,7 +60,8 @@ object Ann {
     }
   }
   case object InnerProduct extends Metric {
-    def dist(a: Column, b: Column): Column = Vec.negDot(a, b)
+    def dist(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.VecExprs.negDot(a, b)
     def distScala(a: Array[Double], b: Array[Double]): Double =
       -dotScala(a, b)
   }

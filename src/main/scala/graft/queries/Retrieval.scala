@@ -81,7 +81,8 @@ object Retrieval {
         array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
         x => x.getField("embedding")).as("vecs"))
     docs
-      .withColumn("score", round(Vec.maxSimDot(typedlit(qts), col("vecs")), 6))
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
       .select("label", "score")
       .orderBy(col("score").desc, col("label").asc)
       .limit(5)

@@ -1,0 +1,73 @@
+package graft.expr
+
+import graft.SparkSpecBase
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VecExprs
+
+/** Codegen expressions must be BIT-identical to the composed-builtin
+  * forms (same double fold order) — that contract is what lets the hot
+  * path swap in without touching any oracle. */
+class VecExprsSpec extends SparkSpecBase {
+
+  private def vecs(n: Int, dim: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rng.nextFloat()))
+  }
+
+  test("l2 / cos / dot match the Vec HOF forms bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val q = vecs(1, 64, 1).head.map(_.toDouble)
+    val df = vecs(50, 64, 2).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val rows = df.select(
+      Vec.l2Dist(col("vec"), typedlit(q)).as("l2a"),
+      VecExprs.l2Dist(col("vec"), typedlit(q)).as("l2b"),
+      Vec.cosDist(col("vec"), typedlit(q)).as("cosa"),
+      VecExprs.cosDist(col("vec"), typedlit(q)).as("cosb"),
+      Vec.dot(col("vec"), typedlit(q)).as("dota"),
+      VecExprs.dot(col("vec"), typedlit(q)).as("dotb")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(4) === r.getDouble(5))
+    }
+  }
+
+  test("maxsim matches the Vec HOF form bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val qts = vecs(3, 16, 3).map(_.map(_.toDouble))
+    val df = Seq.tabulate(10)(i => (i.toLong, vecs(4, 16, 10 + i)))
+      .toDF("id", "mv")
+    val rows = df.select(
+      Vec.maxSimDot(typedlit(qts), col("mv")).as("a"),
+      VecExprs.maxSimDot(typedlit(qts), col("mv")).as("b")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("expressions participate in whole-stage codegen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = vecs(1, 64, 5).head.map(_.toDouble)
+    val plan = e.select(VecExprs.l2Dist(col("embedding"), typedlit(q)))
+      .queryExecution.executedPlan
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty,
+      s"expected a WholeStageCodegen stage:\n$plan")
+  }
+
+  test("SQL registration exposes the functions to spark.sql") {
+    VecExprs.register(spark)
+    val sp = spark
+    import sp.implicits._
+    Seq((Seq(3.0, 4.0), Seq(0.0, 0.0))).toDF("a", "b")
+      .createOrReplaceTempView("vtest")
+    assert(spark.sql("SELECT l2_dist(a, b) FROM vtest").head().getDouble(0)
+      === 5.0)
+    assert(spark.sql("SELECT dot_product(a, a) FROM vtest").head()
+      .getDouble(0) === 25.0)
+  }
+}
