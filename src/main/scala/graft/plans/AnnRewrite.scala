@@ -1,0 +1,153 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{CosDist, DotProduct, L2Dist}
+
+import graft.ops.Ann
+
+/** Index-aware ANN top-k rewrite — a Catalyst optimizer rule that turns
+  * a brute-force `Sort(dist(vec, query)) [+ Limit]` over a REGISTERED
+  * IVF-indexed table into a probe-pruned scan: it injects
+  * `Filter(centroid_id IN nearest-probe cells)` below the sort. Physical
+  * planning then turns that filter into real partition pruning when the
+  * table is stored `partitionBy(centroid_id)` ([[Ann.writePartitioned]]).
+  *
+  * This is the declarative twin of the reference's
+  * `SET LOCAL vchordrq.probes = N` (client.py:285-309): registering an
+  * index (with its probe budget) is the user's opt-in to approximate
+  * search; unregistered queries are untouched.
+  *
+  * Scope contract: registration keys on the (vector column name,
+  * centroid column name) pair — any plan whose scan exposes both columns
+  * and sorts by a recognized distance expression over that vector column
+  * is rewritten. Register distinct column names per logical index.
+  */
+object AnnIndex {
+
+  final case class Entry(vecCol: String, cellCol: String,
+                         cents: Seq[(Long, Array[Double])],
+                         metric: Ann.Metric, probes: Int) {
+    def probeCells(q: Array[Double]): Seq[Long] =
+      cents.map { case (id, c) => (metric.distScala(c, q), id) }
+        .sorted.take(probes).map(_._2)
+  }
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  /** Register an IVF index for `vecCol`; `model` as built by
+    * [[Ann.buildIvf]] / [[Ann.buildIvfKMeans]]. */
+  def register(vecCol: String, model: Ann.IvfModel, metric: Ann.Metric,
+               probes: Int): Unit = {
+    val cents = model.centroids.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    entries(vecCol) = Entry(vecCol, model.idCol, cents, metric, probes)
+  }
+
+  def unregister(vecCol: String): Unit = entries.remove(vecCol)
+  private[plans] def lookup(vecCol: String): Option[Entry] =
+    entries.get(vecCol)
+
+  /** Install the rewrite on a session (the
+    * `spark.experimental.extraOptimizations` injection point; for a
+    * config-driven install use `spark.sql.extensions` with
+    * [[GraftExtensions]]). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[AnnTopKRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRule()
+}
+
+case class AnnTopKRule() extends Rule[LogicalPlan] {
+
+  /** (vector attribute, query literal) from a recognized distance
+    * expression, unwrapping an optional Round and element casts. */
+  private def extractDist(e: Expression):
+      Option[(AttributeReference, Array[Double], Ann.Metric)] = {
+    val inner = e match {
+      case r: Round => r.child
+      case other => other
+    }
+    def unwrap(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => unwrap(c)
+      case other => other
+    }
+    def lit(x: Expression): Option[Array[Double]] = unwrap(x) match {
+      case Literal(a: ArrayData, _) => Some(a.toDoubleArray())
+      case _ => None
+    }
+    def attr(x: Expression): Option[AttributeReference] = unwrap(x) match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    inner match {
+      case L2Dist(a, b) =>
+        for (at <- attr(a); q <- lit(b)) yield (at, q, Ann.L2: Ann.Metric)
+      case CosDist(a, b) =>
+        for (at <- attr(a); q <- lit(b)) yield (at, q, Ann.Cosine: Ann.Metric)
+      case UnaryMinus(DotProduct(a, b), _) =>
+        for (at <- attr(a); q <- lit(b))
+          yield (at, q, Ann.InnerProduct: Ann.Metric)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case s @ Sort(order, true, proj @ Project(fields, child), _)
+        if order.nonEmpty =>
+      val rewritten = for {
+        key <- order.head match {
+          case SortOrder(k: Attribute, Ascending, _, _) => Some(k)
+          case _ => None
+        }
+        alias <- fields.collectFirst {
+          case a: Alias if a.exprId == key.exprId => a }
+        (vecAttr, q, metric) <- extractDist(alias.child)
+        entry <- AnnIndex.lookup(vecAttr.name)
+        if entry.metric == metric
+      } yield {
+        val probes = entry.probeCells(q)
+        // place the filter directly above the leaf that carries the cell
+        // column (column pruning strips it from intermediate outputs) —
+        // FileSourceStrategy then lifts it into PartitionFilters
+        var injected = false
+        val newChild = child.transformUp {
+          case leaf: LeafNode if !injected &&
+              leaf.output.exists(_.name == entry.cellCol) =>
+            injected = true
+            val cellAttr = leaf.output.find(_.name == entry.cellCol).get
+            // literal type must match the column (partition columns read
+            // back as int) or the plan becomes unresolved post-analysis
+            val lits = probes.map { p =>
+              cellAttr.dataType match {
+                case org.apache.spark.sql.types.IntegerType =>
+                  Literal(p.toInt)
+                case org.apache.spark.sql.types.ShortType =>
+                  Literal(p.toShort)
+                case org.apache.spark.sql.types.StringType =>
+                  Literal(p.toString)
+                case _ => Literal(p)
+              }
+            }
+            Filter(In(cellAttr, lits), leaf)
+        }
+        if (injected) s.copy(child = proj.copy(child = newChild)) else s
+      }
+      rewritten.getOrElse(s)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` config-driven
+  * install (SparkSessionExtensions), injecting the ANN rewrite and the
+  * SQL vector functions. */
+class GraftExtensions
+  extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => AnnTopKRule())
+}

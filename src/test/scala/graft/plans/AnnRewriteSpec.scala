@@ -1,0 +1,87 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.ops.Ann
+import org.apache.spark.sql.functions._
+
+/** The ANN top-k rewrite rule: a plain orderBy(dist).limit(k) over a
+  * registered IVF table gets probe-pruned (partition pruning on disk);
+  * unregistered queries are untouched. */
+class AnnRewriteSpec extends SparkSpecBase {
+
+  private def setup() = {
+    AnnIndex.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = Files.createTempDirectory("graft-rewrite").toString
+    Ann.writePartitioned(assigned, dir)
+    (e, model, dir)
+  }
+
+  private def q64: Seq[Double] = (0 until 64).map(_ => 0.1)
+
+  test("registered index: sort+limit is rewritten to a probed scan") {
+    val (_, model, dir) = setup()
+    AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      val stored = spark.read.parquet(dir)
+      val df = stored
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("centroid_id"),
+        s"expected injected probe filter:\n$optimized")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters: [centroid_id"),
+        s"expected partition pruning:\n$physical")
+      // and the result equals the explicit IVF search path
+      val viaOp = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(q64), Ann.L2, probes = 3, k = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally AnnIndex.unregister("embedding")
+  }
+
+  test("unregistered queries keep exact brute-force semantics") {
+    val (_, model, dir) = setup()
+    AnnIndex.unregister("embedding")
+    val stored = spark.read.parquet(dir)
+    val df = stored
+      .withColumn("dist", round(
+        org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+          typedlit(q64)), 6))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "dist")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("PartitionFilters: [centroid_id"))
+    // exact result == brute force over the raw table
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Ann.topK(e, "vec_id", "embedding", typedlit(q64),
+      Ann.L2, 5).select("vec_id", "dist").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq === brute)
+  }
+
+  test("metric mismatch does not rewrite") {
+    val (_, model, dir) = setup()
+    AnnIndex.register("embedding", model, Ann.L2, probes = 2)
+    try {
+      val stored = spark.read.parquet(dir)
+      val df = stored
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.cosDist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("PartitionFilters: [centroid_id"))
+    } finally AnnIndex.unregister("embedding")
+  }
+}
