@@ -58,6 +58,32 @@ final case class SimpleRecognizer() extends EntityRecognizer {
   }
 }
 
+/** Gazetteer NER (the local stand-in the reference's spaCy matcher plays,
+  * graph.py:29-141): entities are occurrences of `vocab` terms (deduped
+  * per chunk, first-occurrence order), relations are adjacent vocab-term
+  * pairs within a sentence. Works on case-free corpora where the
+  * capitalization heuristic finds nothing. */
+final case class VocabRecognizer(vocab: Seq[String])
+    extends EntityRecognizer {
+  private val set = vocab.toSet
+  def recognize(text: String): (Seq[RecognizedEntity],
+      Seq[RecognizedRelation]) = {
+    val sentences = text.split("[.!?\\n]+").map(_.strip).filter(_.nonEmpty)
+    val ents = scala.collection.mutable.LinkedHashMap[String, RecognizedEntity]()
+    val rels = scala.collection.mutable.ArrayBuffer[RecognizedRelation]()
+    sentences.foreach { s =>
+      val hits = s.split("[^A-Za-z0-9]+").filter(set.contains)
+      hits.foreach(h =>
+        if (!ents.contains(h)) ents(h) = RecognizedEntity(h, "TERM", s))
+      hits.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a != b => rels += RecognizedRelation(a, b, s)
+        case _ =>
+      }
+    }
+    (ents.values.toSeq, rels.toSeq)
+  }
+}
+
 object Graph {
 
   def entityDef(name: String = "entity"): TableDef[GraphEntity] = {

@@ -1,0 +1,126 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Registry
+import graft.core.Spec.{AnyOf, ForeignKey, IdGen, TableDef}
+import Tables._
+
+/** Oracle-gated CRUD scenarios over the registry's versioned-segment
+  * storage — the reference's client surface exercised end-to-end:
+  * copy_bulk (/root/reference/vechord/client.py:253-266), insert with
+  * identity keys (client.py:240-251, spec.py:183-210), select_by with
+  * AnyOf (client.py:198-228, spec.py:513-516), and filtered DELETE with
+  * ON DELETE CASCADE (client.py:268-283, spec.py:170-173).
+  *
+  * Each scenario loads rows from the driver parquet into registry tables
+  * under a temp root, mutates them through the engine, and returns a
+  * final state that the DuckDB oracle recomputes directly against the
+  * source parquet — so the whole staged-segment/manifest path is under
+  * the hash-match gate, not just the query layer.
+  */
+object Crud {
+
+  final case class Cust(c_custkey: Long, c_nationkey: Int,
+                        c_mktsegment: String)
+  final case class Ord(o_orderkey: Long, o_custkey: Long,
+                       o_totalprice: Double)
+
+  private implicit val custEnc: org.apache.spark.sql.Encoder[Cust] =
+    org.apache.spark.sql.Encoders.product[Cust]
+  private implicit val ordEnc: org.apache.spark.sql.Encoder[Ord] =
+    org.apache.spark.sql.Encoders.product[Ord]
+
+  private def fresh(s: SparkSession): Registry =
+    new Registry(s, Files.createTempDirectory("graft_crud").toString)
+
+  private def custDef: TableDef[Cust] =
+    TableDef[Cust]("customer", primaryKey = Some("c_custkey"))
+  private def ordDef: TableDef[Ord] =
+    TableDef[Ord]("orders", primaryKey = Some("o_orderkey"),
+      foreignKeys = Seq(ForeignKey("o_custkey", "customer", "c_custkey")))
+
+  /** copy_bulk both tables → cascade-delete one market segment's
+    * customers → aggregate the surviving orders by segment. */
+  def crudCascade(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val (cd, od) = (custDef, ordDef)
+    reg.register(cd, od)
+    reg.copyBulk(cd,
+      customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"))
+    reg.copyBulk(od,
+      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
+    reg.removeBy(cd, Map("c_mktsegment" -> "BUILDING"))
+    val surv = reg.table(od)
+    val cust = reg.table(cd)
+    surv.join(cust, surv("o_custkey") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** select_by with an AnyOf (IN-list) + equality filter and projection,
+    * ordered for a stable LIMIT. */
+  def selectAnyOf(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val cd = custDef
+    reg.register(cd)
+    reg.copyBulk(cd,
+      customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"))
+    reg.selectBy(cd,
+        kvs = Map(
+          "c_mktsegment" -> AnyOf(Seq("AUTOMOBILE", "FURNITURE")),
+          "c_nationkey" -> 7),
+        cols = Seq("c_custkey", "c_mktsegment"))
+      .orderBy("c_custkey")
+      .limit(15)
+  }
+
+  /** insert with AutoIncrement identity keys (spec.py:183-210 IDENTITY
+    * semantics: the engine generates keys on every write path, including
+    * copy_bulk). Load assigns 1..N densely, the insert continues at
+    * N+1..N+5 — verified through count, max-key, and distinctness. */
+  def insertAutoInc(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val cd = TableDef[Cust]("customer", primaryKey = Some("c_custkey"),
+      idGen = IdGen.AutoIncrement)
+    reg.register(cd)
+    reg.copyBulk(cd,
+      customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"))
+    reg.insert(cd, Seq(
+      Cust(0L, 1, "BUILDING"), Cust(0L, 2, "MACHINERY"),
+      Cust(0L, 3, "AUTOMOBILE"), Cust(0L, 4, "HOUSEHOLD"),
+      Cust(0L, 5, "FURNITURE")))
+    reg.table(cd).agg(
+      count(lit(1)).as("n_rows"),
+      max(col("c_custkey")).as("max_key"),
+      countDistinct(col("c_custkey")).as("n_keys"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_crud_cascade" -> crudCascade,
+    "c02_select_anyof" -> selectAnyOf,
+    "c03_insert_autoinc" -> insertAutoInc)
+
+  val oracles: Map[String, String] = Map(
+    "c01_crud_cascade" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment <> 'BUILDING'
+         GROUP BY 1 ORDER BY 1""",
+    "c02_select_anyof" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+           AND c_nationkey = 7
+         ORDER BY c_custkey LIMIT 15""",
+    "c03_insert_autoinc" ->
+      """SELECT COUNT(*) + 5 AS n_rows, COUNT(*) + 5 AS max_key,
+           COUNT(*) + 5 AS n_keys
+         FROM customer""")
+}

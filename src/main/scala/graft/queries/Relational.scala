@@ -110,7 +110,10 @@ object Relational {
 
   /** NOT EXISTS via left-anti join: customers with no orders. */
   def q08AntiJoin(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d).select("o_custkey")
+    // restrict to recent orders so the anti side is non-empty in testdata
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
     val c = customer(s, d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
@@ -133,7 +136,29 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** Cube (full grouping-sets lattice). */
+  def q11Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Date + string scalar functions: month bucketing, casing, substring,
+    * concat — the built-in scalar layer under the oracle gate. */
+  def q12DateScalar(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("pri", concat(substring(col("o_orderpriority"), 1, 1),
+        lit(":"), lower(col("o_orderstatus"))))
+      .groupBy("month", "pri")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("month") >= "1997-01")
+      .orderBy("month", "pri")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_cube" -> q11Cube,
+    "q12_date_scalar" -> q12DateScalar,
     "q01_lineitem_agg" -> q01LineitemAgg,
     "q02_topk_orders" -> q02TopkOrders,
     "q03_join_topk_revenue" -> q03JoinTopkRevenue,
@@ -190,7 +215,8 @@ object Relational {
            FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""",
     "q08_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1998-01-01')
          GROUP BY 1 ORDER BY 1""",
     "q09_intersect" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -200,5 +226,19 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q12_date_scalar" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           substr(o_orderpriority, 1, 1) || ':' || lower(o_orderstatus)
+             AS pri,
+           COUNT(*) AS n
+         FROM orders
+         GROUP BY 1, 2 HAVING month >= '1997-01'
+         ORDER BY month, pri""")
 }
