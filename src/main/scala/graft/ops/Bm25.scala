@@ -57,8 +57,10 @@ object Bm25 {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), tokensUdf(col("__text")).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("term"))
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // ONE tokenize+shuffle pass: tf is the root; dl / df / corpus stats
+    // all derive from it (dl = Σ tf per doc), so the heavy map runs once.
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val postings = tf.join(dl, "id")
     val termStats = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N and avgdl from token-bearing docs; both exact integer aggregates,
@@ -68,6 +70,23 @@ object Bm25 {
     Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs,
       tok.name)
   }
+
+  /** Memoized [[build]]: the reference separates `create_index` (once)
+    * from queries (many, client.py:146-174 vs 356-380) — callers that
+    * re-enter with the same corpus key reuse the materialized index
+    * instead of re-aggregating the corpus. */
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, Bm25Index]()
+  def buildCached(docs: DataFrame, idCol: String, textCol: String,
+                  key: String,
+                  tok: graft.functions.Tokenizers.Tokenizer =
+                    graft.functions.Tokenizers.Simple): Bm25Index =
+    cache.getOrElseUpdate(s"$key|${tok.name}", {
+      val idx = build(docs, idCol, textCol, tok)
+      idx.postings.persist().count()
+      idx.termStats.persist().count()
+      idx
+    })
 
   /** Okapi BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1). */
   def idf(df: Column, n: Long): Column =

@@ -210,36 +210,38 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: bit b is the sign of the tf-weighted sum of
-    * (2·bit_b(xxhash64(term)) − 1) over terms. Two shuffles, both
-    * map-side combinable (explode is 64× per distinct term — acceptable
-    * for the signature build; a custom codegen Expression is the
-    * hot-path alternative at extreme scale). */
+    * (2·bit_b(xxhash64(term)) − 1) over the doc's distinct terms. The
+    * signature is a pure per-document function (tf is within-doc), so
+    * this is a SHUFFLE-FREE typed map stage — tokenize, count tf, and
+    * fold 64 bit-counters in one pass per row. Hash = Spark's xxhash64
+    * (seed 42), identical to the former column formulation. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // typed flatMap: tokenization runs post-repartition (stage barrier)
-    val tf = docs
+    docs
       .select(col(idCol).cast("long"), col(textCol))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.Tokenizers.Simple.scala(text).map(t => (id, t))
-      }
-      .toDF("id", "term")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    // explicit repartition: the 64× bit explode + majority vote is
-    // compute-heavy and AQE would coalesce the small tf shuffle
-    tf.repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("id"), col("term"))
-      .select(col("id"), col("tf"), xxhash64(col("term")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        col("tf") * (expr("shiftright(h, bit) & 1") * 2 - 1))
-      .groupBy("id", "bit").agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L))
-      .groupBy("id").agg(sum(col("bitval")).as("simhash"))
+      .mapPartitions(_.map { case (id, text) =>
+        val tf = scala.collection.mutable.HashMap.empty[String, Long]
+        graft.functions.Tokenizers.Simple.scala(text)
+          .foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+        val acc = new Array[Long](64)
+        tf.foreach { case (term, n) =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+              org.apache.spark.sql.types.StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            acc(b) += (if (((h >>> b) & 1L) == 1L) n else -n); b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      })
+      .toDF("id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via

@@ -62,9 +62,10 @@ object Retrieval {
 
   val Bm25Query = "spark filter join"
 
-  /** BM25 keyword top-k over documents.text. */
+  /** BM25 keyword top-k over documents.text (index built once per
+    * corpus dir — create_index vs query separation). */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
-    val idx = Bm25.build(documents(s, d), "doc_id", "text")
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text", d)
     Bm25.search(idx, Bm25Query, 10)
   }
 
@@ -94,7 +95,7 @@ object Retrieval {
   private def hybridLists(s: SparkSession, d: String): Seq[DataFrame] = {
     val vecList = Ann.topK(embeddings(s, d), "vec_id", "embedding",
       qvec(s, d, 7), Ann.Cosine, 20).select("vec_id", "dist")
-    val idx = Bm25.build(documents(s, d), "doc_id", "text")
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text", d)
     val kwList = Bm25.search(idx, "group hash join", 20)
     Seq(
       Fusion.ranked(vecList, "vec_id", "dist", asc = true),
