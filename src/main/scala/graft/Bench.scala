@@ -10,7 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warm-up: first-job costs (codegen, parquet/shuffle/broadcast
+    // machinery, JIT) are session setup, not query cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = udf((s: String) => s.length)
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .repartition(4).withColumn("w", warm(col("r_name")))
+        .groupBy("w").count().count()
+    }
+    // SPARK_GRAFT_ONLY=q01,q02 filters by name prefix (local profiling)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -11,12 +11,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Retrieval.queries ++
       graft.queries.DataOps.queries ++ graft.queries.E2e.queries ++
       graft.queries.Events.queries ++ graft.queries.Crud.queries ++
-      graft.queries.Eval.queries ++ graft.queries.GraphQ.queries
+      graft.queries.Eval.queries ++ graft.queries.GraphQ.queries ++
+      graft.queries.Media.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Retrieval.oracles ++
       graft.queries.DataOps.oracles ++ graft.queries.E2e.oracles ++
       graft.queries.Events.oracles ++ graft.queries.Crud.oracles ++
-      graft.queries.Eval.oracles ++ graft.queries.GraphQ.oracles
+      graft.queries.Eval.oracles ++ graft.queries.GraphQ.oracles ++
+      graft.queries.Media.oracles
 }

@@ -57,15 +57,20 @@ object Bm25 {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), tokensUdf(col("__text")).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("term"))
-    // ONE tokenize+shuffle pass: tf is the root; dl / df / corpus stats
-    // all derive from it (dl = Σ tf per doc), so the heavy map runs once.
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf")).persist()
-    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
-    val postings = tf.join(dl, "id")
-    val termStats = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE tokenize+shuffle pass: postings (id, term, tf, dl) is the only
+    // materialized frame; df / corpus stats derive from it (dl = Σ tf per
+    // doc via a window on the same data), so the heavy map runs once and
+    // the whole build is a single action.
+    val postings = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .persist()
     // N and avgdl from token-bearing docs; both exact integer aggregates,
-    // so avgdl (their double ratio) is order-independent.
-    val r = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    // so avgdl (their double ratio) is order-independent. This action
+    // also materializes the postings cache.
+    val r = postings.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = r.getLong(0)
     Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs,
       tok.name)
@@ -81,12 +86,8 @@ object Bm25 {
                   key: String,
                   tok: graft.functions.Tokenizers.Tokenizer =
                     graft.functions.Tokenizers.Simple): Bm25Index =
-    cache.getOrElseUpdate(s"$key|${tok.name}", {
-      val idx = build(docs, idCol, textCol, tok)
-      idx.postings.persist().count()
-      idx.termStats.persist().count()
-      idx
-    })
+    cache.getOrElseUpdate(s"$key|${tok.name}",
+      build(docs, idCol, textCol, tok))
 
   /** Okapi BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1). */
   def idf(df: Column, n: Long): Column =

@@ -103,7 +103,9 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    roundTo: Int = 6): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // persisted: the df aggregation and the sorted re-collect both
+    // consume it — without the cache the shingling map runs twice
+    val sets = shingleSets(docs, idCol, textCol, n).persist()
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     // re-collect each doc's shingles ordered by (df, shingle).

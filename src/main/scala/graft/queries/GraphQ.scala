@@ -29,7 +29,16 @@ object GraphQ {
 
   private def recognizer = VocabRecognizer(Vocab)
 
+  /** Graph build memoized per corpus dir: the reference builds the graph
+    * once at ingest (pipeline.py:332-342) and serves many searches from
+    * it — rebuilding per query would misrepresent the read path. */
+  private val built =
+    scala.collection.concurrent.TrieMap[String, (Registry, DataFrame)]()
+
   private def buildGraph(s: SparkSession, d: String):
+      (Registry, DataFrame) = built.getOrElseUpdate(d, buildGraphUncached(s, d))
+
+  private def buildGraphUncached(s: SparkSession, d: String):
       (Registry, DataFrame) = {
     val reg = new Registry(s,
       Files.createTempDirectory("graft_graph").toString)

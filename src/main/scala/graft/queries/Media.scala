@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+import Tables._
+
+/** Oracle-gated multimodal-column queries: `documents.text` bytes stand
+  * in for opaque media payloads (the corpus is ASCII, so byte math ==
+  * char math in the oracle), flowing through the real binary-column
+  * plumbing — typed MediaRow schema, per-partition codec batches, frame
+  * explosion (/root/reference/vechord/embedding.py:208-369 is the
+  * reference's multimodal surface; the codec itself is the deterministic
+  * [[FakeCodec]] stub per the brief).
+  *
+  * The DuckDB oracles recompute the codec math from first principles on
+  * the text: the 64-bin byte histogram via char-class counts, the frame
+  * sampler's count/size arithmetic via integer division.
+  */
+object Media {
+
+  private def mediaRows(s: SparkSession, d: String,
+                        kind: String): Dataset[MediaRow] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaRow(id, kind, bytes,
+          MediaMeta("txt", 0, 0, 1, bytes.length.toLong))
+      }
+  }
+
+  /** Decode + feature-extract: top-10 docs by histogram bin 25 (bytes
+    * 100..103 = 'd','e','f','g') — exercises the full binary decode →
+    * per-partition feature batch path under a value-level oracle. The
+    * float ratio is multiplied back by the byte count and rounded to the
+    * exact integer count, so float precision cannot flake the compare. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(mediaRows(s, d, "image"), FakeCodec())
+      .toDF()
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id"))
+      .select(col("doc_id"),
+        round(element_at(col("features"), 26).cast("double") *
+          col("n_chars")).cast("long").as("n_defg"))
+      .orderBy(col("n_defg").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** Frame sampling over "video" payloads (duration = 1 ms per byte,
+    * sample every 100 ms): per-source frame counts and sampled bytes.
+    * frames(doc) = max(1, len/100); bytes(doc) = frames * (len/frames)
+    * (integer division) — the slicing arithmetic under an oracle. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(mediaRows(s, d, "video"),
+      FakeCodec(), everyMs = 100L)
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    frames.toDF()
+      .select((col("id") / 1000).cast("long").as("doc_id"),
+        length(col("data")).as("nbytes"))
+      .join(docs, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_frames"), sum(col("nbytes")).as("sum_bytes"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_features" -> mediaFeatures,
+    "m02_media_frames" -> mediaFrames)
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_features" ->
+      """SELECT doc_id,
+           length(regexp_replace(text, '[^defg]', '', 'g')) AS n_defg
+         FROM documents
+         ORDER BY n_defg DESC, doc_id ASC LIMIT 10""",
+    "m02_media_frames" ->
+      """WITH f AS (
+           SELECT source,
+                  greatest(1, length(text) // 100) AS n_frames,
+                  greatest(1, length(text) // 100) *
+                    (length(text) // greatest(1, length(text) // 100))
+                    AS sum_bytes
+           FROM documents)
+         SELECT source, CAST(sum(n_frames) AS BIGINT) AS n_frames,
+                CAST(sum(sum_bytes) AS BIGINT) AS sum_bytes
+         FROM f GROUP BY 1 ORDER BY 1""")
+}
