@@ -64,6 +64,44 @@ object Prof {
       e.count() + r.count()
     }
     time("g01 full")(queries.GraphQ.entityMerge(spark, d).count())
-    spark.stop()
+
+    // p02 phases (mirror of Dedup.jaccardPairs internals)
+    locally {
+      val par = spark.sparkContext.defaultParallelism
+      val n = 3; val threshold = 0.5
+      import spark.implicits._
+      val sets = docs.select(col("doc_id").cast("long"), col("text"))
+        .repartition(par).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, ops.Dedup.shinglesScala(t, n)) })
+        .toDF("id", "sh").withColumn("sz", size(col("sh"))).persist()
+      time("p02 sets")(sets.count())
+      val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      time("p02 df count")(println("  df rows " + df.count()))
+      val sorted = inv.join(broadcast(df), "shingle")
+        .repartition(par, col("id"))
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(
+          struct(col("df"), col("shingle")))),
+          s => s.getField("shingle")).as("sh"))
+        .withColumn("sz", size(col("sh"))).persist()
+      time("p02 sorted")(sorted.count())
+      val prefix = sorted.select(col("id"), col("sz"),
+        explode(slice(col("sh"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as("shingle")).persist()
+      time("p02 prefix")(println("  prefix rows " + prefix.count()))
+      val cand = prefix.as("x")
+        .join(prefix.as("y"), col("x.shingle") === col("y.shingle") &&
+          col("x.id") < col("y.id") &&
+          col("x.sz") >= ceil(col("y.sz") * threshold) &&
+          col("x.sz") <= floor(col("y.sz") / threshold))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      time("p02 cand raw")(println("  cand raw " + cand.count()))
+      val candD = cand.distinct().persist()
+      time("p02 cand distinct")(println("  cand " + candD.count()))
+      spark.stop()
+    }
   }
 }

@@ -146,15 +146,14 @@ object Ann {
     * step is stable). */
   def buildIvf(docs: DataFrame, cellCol: String, vecCol: String,
                roundTo: Int = 5): IvfModel = {
-    val dims = docs
+    // one map-side-combinable shuffle: the vector-mean UDAF carries an
+    // (elementwise sum, count) buffer, vs posexplode shuffling dim× rows
+    val cents = docs
       .select(col(cellCol).cast("long").as("centroid_id"),
-        posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("centroid_id", "pos")
-      .agg(round(avg(col("x").cast("double")), roundTo).as("c"))
-    val cents = dims
+        col(vecCol).cast("array<double>").as("__v"))
       .groupBy("centroid_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("centroid"))
+      .agg(transform(graft.functions.VecAgg.vecMean(col("__v")),
+        x => round(x, roundTo)).as("centroid"))
     IvfModel(cents, "centroid_id", "centroid")
   }
 

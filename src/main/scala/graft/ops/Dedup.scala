@@ -94,11 +94,19 @@ object Dedup {
     * by (global df asc, shingle) and only the first
     * `|A| − ⌈t·|A|⌉ + 1` (rarest) shingles are exploded into the join —
     * any pair with jaccard >= t must share a prefix shingle, so the
-    * candidate set is complete; candidates are then verified with one
-    * `array_intersect` over the full sets. Hot shingles almost never
-    * appear in prefixes, which removes the quadratic blow-up a naive
-    * shingle self-join suffers on skewed corpora (the dominant cost at
-    * scale). Returns (a, b, jaccard) with a < b, rounded to 6 decimals. */
+    * candidate set is complete. Two further lossless cuts keep the
+    * verify phase small on skewed corpora (the dominant cost at scale):
+    *
+    *  - PPJoin positional bound: a prefix match at (df-order) positions
+    *    (px, py) caps the overlap at min(|A|−px, |B|−py); pairs whose
+    *    cap is below ⌈t·(|A|+|B|)/(1+t)⌉ (the overlap jaccard >= t
+    *    forces) are dropped before the distinct.
+    *  - shingles are verified as xxhash64 longs, not strings: the
+    *    intersect compares 8-byte values (hashing is deterministic, so
+    *    the result is reproducible; a 64-bit collision inside one doc
+    *    pair's sets is the only error source — negligible and stable).
+    *
+    * Returns (a, b, jaccard) with a < b, rounded to 6 decimals. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    roundTo: Int = 6): DataFrame = {
@@ -108,7 +116,7 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, n).persist()
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // re-collect each doc's shingles ordered by (df, shingle).
+    // re-collect each doc's shingles ordered by (df, shingle), hashed.
     // Shapes that matter: `df` is tiny → broadcast (no shuffle of inv);
     // the explicit repartition pins the compute-heavy aggregation to
     // full parallelism (AQE would coalesce the few-MB shuffle to 1
@@ -119,33 +127,41 @@ object Dedup {
       .groupBy("id")
       .agg(transform(array_sort(collect_list(
         struct(col("df"), col("shingle")))),
-        s => s.getField("shingle")).as("sh"))
+        s => xxhash64(s.getField("shingle"))).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .withColumn("hs", array_sort(col("sh"))) // numeric order for verify
       .persist()
     sorted.count()
     val prefix = sorted.select(col("id"), col("sz"),
-        explode(slice(col("sh"), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
-          .as("shingle"))
-    // length filter: jaccard >= t forces t·|B| <= |A| <= |B|/t
+      posexplode(slice(col("sh"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+        .as(Seq("pos", "h")))
+    // length filter: jaccard >= t forces t·|B| <= |A| <= |B|/t;
+    // positional filter: overlap needed is ⌈t·(|A|+|B|)/(1+t)⌉
+    val needed = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")))
     val cand = prefix.as("x")
-      .join(prefix.as("y"), col("x.shingle") === col("y.shingle") &&
+      .join(prefix.as("y"), col("x.h") === col("y.h") &&
         col("x.id") < col("y.id") &&
         col("x.sz") >= ceil(col("y.sz") * threshold) &&
-        col("x.sz") <= floor(col("y.sz") / threshold))
+        col("x.sz") <= floor(col("y.sz") / threshold) &&
+        least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))
+          >= needed)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
       .repartition(par) // verify is compute-bound; don't let AQE serialize it
-    // Verify with the set tables broadcast (|docs| × ~1KB — small): the
-    // candidate pair table never shuffles. At a scale where the set
-    // table outgrows broadcast, partition both sides by id range instead.
-    val setsA = sorted.select(col("id").as("a"), col("sh").as("sha"))
-    val setsB = sorted.select(col("id").as("b"), col("sh").as("shb"))
+    // Verify with the set tables broadcast (|docs| × ~2KB of longs —
+    // small): the candidate pair table never shuffles. At a scale where
+    // the set table outgrows broadcast, partition both sides by id range.
+    val setsA = sorted.select(col("id").as("a"), col("hs").as("hsa"),
+      col("sz").as("sza"))
+    val setsB = sorted.select(col("id").as("b"), col("hs").as("hsb"),
+      col("sz").as("szb"))
     cand.join(broadcast(setsA), "a").join(broadcast(setsB), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), roundTo))
+          (col("sza") + col("szb") - col("inter")), roundTo))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -193,20 +209,23 @@ object Dedup {
                         threshold: Double = 0.5,
                         roundTo: Int = 6): DataFrame = {
     // persisted + eagerly materialized: the signature build and both
-    // verify broadcasts reuse it
-    val sets = shingleSets(docs, idCol, textCol, n).persist()
+    // verify broadcasts reuse it. Verify intersects xxhash64'd shingles
+    // (8-byte compares, deterministic) like [[jaccardPairs]].
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .persist()
     sets.count()
     val cand = lshCandidates(minHashFromSets(sets, numHashes), bands)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
-      .join(broadcast(sets.select(col("id").as("a"), col("sh").as("sha"))),
-        "a")
-      .join(broadcast(sets.select(col("id").as("b"), col("sh").as("shb"))),
-        "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .join(broadcast(sets.select(col("id").as("a"), col("hs").as("hsa"),
+        col("sz").as("sza"))), "a")
+      .join(broadcast(sets.select(col("id").as("b"), col("hs").as("hsb"),
+        col("sz").as("szb"))), "b")
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), roundTo))
+          (col("sza") + col("szb") - col("inter")), roundTo))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -17,12 +17,25 @@ object Fusion {
   val RrfK = 60
 
   /** Attach 1-based ranks to a scored list. `asc=false` ranks best-first
-    * for similarity scores; ties broken by id asc for determinism. */
+    * for similarity scores; ties broken by id asc for determinism.
+    *
+    * SCALE CONTRACT: the input must already be a bounded top-k list
+    * (every call site ranks the `.limit(k)` output of a search op), so
+    * the unpartitioned window touches O(k) rows on one core by design.
+    * Ranking an unbounded frame belongs in the producing search operator
+    * (partitioned by query) — `maxRows` trips loudly if the contract is
+    * violated rather than letting a full table serialize through one
+    * partition. */
   def ranked(df: DataFrame, idCol: String, scoreCol: String,
-             asc: Boolean): DataFrame = {
+             asc: Boolean, maxRows: Int = 100000): DataFrame = {
     val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
     df.withColumn("rank",
-      row_number().over(Window.orderBy(ord, col(idCol).asc)))
+        row_number().over(Window.orderBy(ord, col(idCol).asc)))
+      .withColumn("rank",
+        when(col("rank") > maxRows, raise_error(
+          lit(s"Fusion.ranked input exceeds $maxRows rows — " +
+            "rank inside the search op instead")))
+          .otherwise(col("rank")))
       .select(col(idCol).as("id"), col("rank"))
   }
 

@@ -70,4 +70,23 @@ class VecExprsSpec extends SparkSpecBase {
     assert(spark.sql("SELECT dot_product(a, a) FROM vtest").head()
       .getDouble(0) === 25.0)
   }
+
+  test("vecMean UDAF equals the naive per-dimension mean") {
+    val sp = spark
+    import sp.implicits._
+    val data = vecs(40, 8, 7).zipWithIndex
+      .map { case (v, i) => (i.toLong % 3, v.map(_.toDouble)) }
+    val got = data.toDF("g", "v")
+      .repartition(8) // exercise partial/merge across partitions
+      .groupBy("g")
+      .agg(graft.functions.VecAgg.vecMean(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val n = rows.length
+      g -> (0 until 8).map(i => rows.map(_._2(i)).sum / n)
+    }
+    want.foreach { case (g, m) =>
+      got(g).zip(m).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
 }
