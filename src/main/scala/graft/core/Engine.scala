@@ -84,7 +84,10 @@ final class Engine(reg: Registry) {
         acc + element_at(v, i + 1).cast("double")) / size(mv))
 
   /** BM25 keyword top-k (registry.py:269-302): builds/reuses the side
-    * tables for the column's declared tokenizer model. */
+    * tables for the column's declared tokenizer model. The index is
+    * memoized per table VERSION (the segment manifest) — it lives until
+    * the table is written again, the create_index-once / query-many
+    * split of client.py:146-174 vs 356-380. */
   def searchByKeyword(td: TableDef[_], query: String, topk: Int = 10,
                       returnFields: Seq[String] = Nil): DataFrame = {
     val kw = td.keywordIndex.getOrElse(
@@ -92,7 +95,11 @@ final class Engine(reg: Registry) {
     val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
     val tok = graft.functions.Tokenizers.all.getOrElse(kw.model,
       graft.functions.Tokenizers.Simple)
-    val idx = Bm25.build(reg.table(td), td.pk, kw.column, tok)
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val key = s"kw|${System.identityHashCode(reg)}|${td.name}|" +
+      s"${kw.column}|$version"
+    val idx = Bm25.buildCached(reg.table(td), td.pk, kw.column, key, tok)
     val hits = Bm25.search(idx, query, topk)
       .withColumnRenamed("id", "__hit_id")
     reg.table(td)

@@ -254,16 +254,25 @@ object Graph {
     import spark.implicits._
     val rows = chunks.select(col(uidCol).cast("string"), col(textCol))
       .as[(String, String)]
-    val ents = rows.flatMap { case (uid, text) =>
-      recognizer.recognize(text)._1.map(e =>
-        (e.text, e.label, e.description, Seq(uid)))
-    }.toDF("text", "label", "description", "chunk_uuids")
+    // recognize ONCE per chunk: entities and relations come out of the
+    // same pass into a persisted tagged frame, then split by tag —
+    // without this the (potentially expensive) recognizer runs twice.
+    val both = rows.flatMap { case (uid, text) =>
+      val (es, rs) = recognizer.recognize(text)
+      es.iterator.map(e =>
+        ("e", e.text, e.label, e.description, Seq(uid))) ++
+        rs.iterator.map(r =>
+          ("r", sha2Hex(r.source), sha2Hex(r.target), r.description,
+            Seq.empty[String]))
+    }.toDF("kind", "c1", "c2", "description", "chunk_uuids")
       .withColumn("ord", monotonically_increasing_id())
-    val rels = rows.flatMap { case (uid, text) =>
-      recognizer.recognize(text)._2.map(r =>
-        (sha2Hex(r.source), sha2Hex(r.target), r.description))
-    }.toDF("source", "target", "description")
-      .withColumn("ord", monotonically_increasing_id())
+      .persist()
+    val ents = both.filter(col("kind") === "e")
+      .select(col("c1").as("text"), col("c2").as("label"),
+        col("description"), col("chunk_uuids"), col("ord"))
+    val rels = both.filter(col("kind") === "r")
+      .select(col("c1").as("source"), col("c2").as("target"),
+        col("description"), col("ord"))
     (ents, rels)
   }
 

@@ -69,6 +69,23 @@ object Dedup {
     else Seq.empty
   }
 
+  /** Memoized [[shingleSets]]: the Jaccard and MinHash operators over
+    * the same corpus share one persisted shingle table (the shingling
+    * map is the common heavy prefix of every near-dup family). Keyed by
+    * the semantic hash of the input plan, so "same corpus" is decided by
+    * Catalyst, not by reference identity. */
+  private val setsCache =
+    scala.collection.concurrent.TrieMap[(Int, Int, String, Int), DataFrame]()
+  private def shingleSetsCached(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    setsCache.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), s"$idCol|$textCol", n), {
+        val s = shingleSets(docs, idCol, textCol, n).persist()
+        s.count()
+        s
+      })
+
   /** Per-doc distinct shingle sets: (id, shingles array, size).
     * Built as a TYPED map stage after an explicit repartition: document
     * tables are tiny on disk (1-2 parquet splits) but shingling is
@@ -111,9 +128,9 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    roundTo: Int = 6): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // persisted: the df aggregation and the sorted re-collect both
-    // consume it — without the cache the shingling map runs twice
-    val sets = shingleSets(docs, idCol, textCol, n).persist()
+    // persisted (and shared with the MinHash family): the df aggregation
+    // and the sorted re-collect both consume it
+    val sets = shingleSetsCached(docs, idCol, textCol, n)
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     // re-collect each doc's shingles ordered by (df, shingle), hashed.
@@ -171,12 +188,17 @@ object Dedup {
     * over the doc's shingles — one groupBy, map-side combinable. */
   def minHash(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, numHashes: Int = 32): DataFrame =
-    minHashFromSets(shingleSets(docs, idCol, textCol, n), numHashes)
+    minHashFromSets(shingleSetsCached(docs, idCol, textCol, n), numHashes)
 
   private def minHashFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    // hash family h_i(s) = xxhash64(i, xxhash64(s)): the (long-ish)
+    // shingle string is hashed ONCE, the family then mixes the 8-byte
+    // value — 32× cheaper than re-hashing the string per family member,
+    // same independence for MinHash purposes.
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("h0", xxhash64(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
         .as("sig"))
@@ -208,13 +230,13 @@ object Dedup {
                         n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                         threshold: Double = 0.5,
                         roundTo: Int = 6): DataFrame = {
-    // persisted + eagerly materialized: the signature build and both
-    // verify broadcasts reuse it. Verify intersects xxhash64'd shingles
-    // (8-byte compares, deterministic) like [[jaccardPairs]].
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // the persisted shingle table is shared with [[jaccardPairs]]; `hs`
+    // (verify-ready hashed sets) derives from it per-use — cheap relative
+    // to spoiling the shared cache with an operator-specific column.
+    // Verify intersects xxhash64'd shingles (8-byte compares,
+    // deterministic) like [[jaccardPairs]].
+    val sets = shingleSetsCached(docs, idCol, textCol, n)
       .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
-      .persist()
-    sets.count()
     val cand = lshCandidates(minHashFromSets(sets, numHashes), bands)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
