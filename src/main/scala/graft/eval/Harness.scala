@@ -1,0 +1,132 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Bm25, Fusion}
+import graft.text.{HashEmbedder, LocalAugmenter}
+
+/** Pass@K + QPS strategy-matrix harness — the network-free twin of the
+  * reference's contextual-embeddings evaluation
+  * (/root/reference/examples/anthropic.py:205-253): each strategy in
+  * {vector, keyword, hybrid-RRF, hybrid-dedup} × {plain, contextual}
+  * retrieves top-k for synthetic queries whose golden chunk is known by
+  * construction; Pass@K = share of queries whose golden chunk is in the
+  * top k (Metrics.passAt with one truth id), QPS = queries / wall time.
+  *
+  * Deterministic seats: [[HashEmbedder]] replaces the embedding API,
+  * [[LocalAugmenter]] replaces the LLM context generator, the synthetic
+  * query for a chunk is its rarest-term slice (an engine-free stand-in
+  * for `GeminiEvaluator.produce_query`, evaluate.py:93-119).
+  */
+object Harness {
+
+  final case class StrategyResult(strategy: String, contextual: Boolean,
+                                  passAt5: Double, passAt10: Double,
+                                  qps: Double)
+
+  /** Synthetic query for a doc: its 5 rarest distinct tokens by corpus
+    * document frequency (ties by token). Rare terms discriminate, so the
+    * golden chunk is retrievable by construction — the deterministic
+    * stand-in for LLM query synthesis. */
+  def syntheticQuery(text: String, df: Map[String, Long]): String =
+    graft.functions.Tokenizers.Simple.scala(text)
+      .distinct.sortBy(t => (df.getOrElse(t, 0L), t)).take(5).mkString(" ")
+
+  /** Run the matrix over `docs` (idCol, textCol), sampling `nQueries`
+    * docs as query sources. Returns one row per strategy. */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String,
+          textCol: String, nQueries: Int = 50, dim: Int = 64,
+          topk: Int = 10): Seq[StrategyResult] = {
+    import spark.implicits._
+    val emb = HashEmbedder(dim)
+    val aug = LocalAugmenter()
+
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    val contextual = base.as[(Long, String)]
+      .map { case (id, t) => (id, aug.augmentContext(t, t) + "\n" + t) }
+      .toDF("id", "text")
+      .persist()
+
+    // corpus df for query synthesis (collected once; query corpora are
+    // sampled subsets — at raw-corpus scale this would stay distributed)
+    val dfMap: Map[String, Long] = base
+      .select(explode(array_distinct(Bm25.tokenize(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+
+    // query set: the first nQueries ids, with golden chunk = source id
+    val qRows: Seq[(Long, String)] = base
+      .orderBy("id").limit(nQueries).as[(Long, String)]
+      .collect().map { case (id, t) => (id, syntheticQuery(t, dfMap)) }.toSeq
+
+    def embedded(corpus: DataFrame): DataFrame =
+      graft.text.Embed.withEmbedding(corpus, "text", "vec", emb).persist()
+
+    val variants: Seq[(Boolean, DataFrame)] =
+      Seq(false -> base, true -> contextual)
+
+    variants.flatMap { case (ctx, corpus) =>
+      val vecs = embedded(corpus)
+      val bm = Bm25.build(corpus, "id", "text")
+
+      def vecTop(q: String, k: Int): DataFrame =
+        Ann.topK(vecs, "id", "vec",
+          typedlit(emb.embedQuery(q).toSeq.map(_.toDouble)),
+          Ann.Cosine, k).select(col("id"), col("dist"))
+      def kwTop(q: String, k: Int): DataFrame =
+        Bm25.search(bm, q, k)
+
+      val strategies: Seq[(String, String => DataFrame)] = Seq(
+        "vector" -> (q => vecTop(q, topk)),
+        "keyword" -> (q => kwTop(q, topk)),
+        "hybrid_rrf" -> (q => Fusion.rrf(Seq(
+          Fusion.ranked(vecTop(q, 20), "id", "dist", asc = true),
+          Fusion.ranked(kwTop(q, 20), "id", "score", asc = false)),
+          topK = topk)),
+        "hybrid_dedup" -> (q => Fusion.dedupUnion(Seq(
+          Fusion.ranked(vecTop(q, 20), "id", "dist", asc = true),
+          Fusion.ranked(kwTop(q, 20), "id", "score", asc = false)),
+          topK = topk)))
+
+      strategies.map { case (name, retrieve) =>
+        val t0 = System.nanoTime()
+        val hits = qRows.map { case (golden, q) =>
+          val ids = retrieve(q).select("id").collect()
+            .map(_.getLong(0)).toSeq
+          (Metrics.passAt(Set(golden.toString), ids.map(_.toString), 5),
+            Metrics.passAt(Set(golden.toString), ids.map(_.toString), 10))
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        StrategyResult(name, ctx,
+          hits.map(_._1).sum / hits.length,
+          hits.map(_._2).sum / hits.length,
+          qRows.length / secs)
+      }
+    }
+  }
+
+  /** Standalone main: SPARK_GRAFT_SF_DIR corpus, prints one line per
+    * strategy (the anthropic.py:223-225 printout shape). */
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    run(spark, docs, "doc_id", "text").foreach { r =>
+      println(f"${r.strategy}%-13s ctx=${r.contextual}%-5s " +
+        f"Pass@5=${r.passAt5}%.3f Pass@10=${r.passAt10}%.3f " +
+        f"QPS=${r.qps}%.1f")
+    }
+    spark.stop()
+  }
+}

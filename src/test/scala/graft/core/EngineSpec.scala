@@ -67,6 +67,29 @@ class EngineSpec extends SparkSpecBase {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("searchByMultivec accepts varying query widths (test_table.py:236-258)") {
+    val (_, td, eng) = fresh(lists = 0)
+    // 1, 2, and 3 query tokens against the same table: maxsim is a sum
+    // over query tokens, so more tokens never lowers a doc's score and
+    // every width returns a full, sorted top-k
+    val widths = Seq(
+      Seq(Seq(10.0, 10.0)),
+      Seq(Seq(10.0, 10.0), Seq(0.0, 0.0)),
+      Seq(Seq(10.0, 10.0), Seq(0.0, 0.0), Seq(0.0, 0.0)))
+    val scoresByWidth = widths.map { q =>
+      val hits = eng.searchByMultivec(td, q, topk = 3, refine = 10).collect()
+      assert(hits.length === 3)
+      val s = hits.map(_.getAs[Double]("score"))
+      assert(s.sameElements(s.sorted.reverse))
+      hits.map(r => r.getAs[Long]("cid") -> r.getAs[Double]("score")).toMap
+    }
+    // zero tokens contribute max_d(0·d) = 0 exactly: every width ranks
+    // identically with identical scores — the width axis is exercised
+    // end-to-end without perturbing the oracle ordering
+    assert(scoresByWidth(1) === scoresByWidth(0))
+    assert(scoresByWidth(2) === scoresByWidth(0))
+  }
+
   test("searchByKeyword ranks by bm25 over the declared tokenizer") {
     val (_, td, eng) = fresh(lists = 0)
     val hits = eng.searchByKeyword(td, "spark joins", topk = 4).collect()
