@@ -35,10 +35,11 @@ final class Registry(val spark: SparkSession, root: String,
     * the defs and publish empty manifest entries for new tables. */
   def register(tds: TableDef[_]*): Registry = {
     tds.foreach(td => defs(td.name) = td)
-    val cur = catalog.current
-    val missing = tds.map(td => full(td.name)).filterNot(cur.contains)
-    if (missing.nonEmpty)
-      catalog.commit(cur ++ missing.map(_ -> Vector.empty[String]))
+    if (tds.exists(td => !catalog.current.contains(full(td.name))))
+      catalog.commitMerge { cur =>
+        val missing = tds.map(td => full(td.name)).filterNot(cur.contains)
+        cur ++ missing.map(_ -> Vector.empty[String])
+      }
     this
   }
 
@@ -54,7 +55,7 @@ final class Registry(val spark: SparkSession, root: String,
 
   private def mutate(txn: Txn)(
       f: Map[String, Vector[String]] => Map[String, Vector[String]]): Unit =
-    if (txn == null) catalog.commit(f(catalog.current))
+    if (txn == null) catalog.commitMerge(f) // atomic read-modify-publish
     else txn.staged = f(txn.staged)
 
   /** Append a DataFrame as a new segment (`copy_bulk`/`insert` twin,
@@ -239,10 +240,42 @@ final class Registry(val spark: SparkSession, root: String,
   /** Run `f` in one transaction: every mutation through the txn is
     * staged; the manifest is swapped once on success, never on failure
     * (rollback test twin: tests/test_table.py:261-298). */
+  /** Run `f` in a transaction: all writes stage invisibly and publish in
+    * ONE atomic manifest swap; an exception discards everything
+    * (registry.py:28-62 semantics, rollback test parity).
+    *
+    * Concurrent transactions serialize at commit and REBASE onto the
+    * latest manifest (the optimistic-concurrency pattern of a
+    * Delta/Iceberg log): per table, an insert-only delta (staged = base
+    * + this txn's segments) re-appends onto whatever is current, like
+    * concurrent PG inserts; an overwrite/delete/drop delta publishes
+    * only if no other txn touched that table since our snapshot —
+    * otherwise it throws a write-write conflict instead of silently
+    * dropping the other txn's rows. */
   def runTxn[A](f: Txn => A): A = {
     val txn = new Txn(catalog.current)
     val res = f(txn)
-    catalog.commit(txn.staged)
+    catalog.commitMerge { cur =>
+      val touched = (txn.base.keySet ++ txn.staged.keySet)
+        .filter(t => txn.base.get(t) != txn.staged.get(t))
+      touched.foldLeft(cur) { (acc, t) =>
+        val base = txn.base.getOrElse(t, Vector.empty)
+        val staged = txn.staged.get(t)
+        val added = txn.buffer.getOrElse(t, Vector.empty)
+        staged match {
+          case Some(segs) if segs == base ++ added && added.nonEmpty =>
+            acc.updated(t, acc.getOrElse(t, Vector.empty) ++ added)
+          case _ =>
+            if (acc.getOrElse(t, Vector.empty) != base)
+              throw new IllegalStateException(
+                s"write-write conflict on table $t: concurrently modified")
+            staged match {
+              case Some(segs) => acc.updated(t, segs)
+              case None => acc - t
+            }
+        }
+      }
+    }
     res
   }
 }

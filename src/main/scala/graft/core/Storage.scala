@@ -84,7 +84,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
   }
 
   /** Atomically publish a new manifest state. */
-  def commit(state: Map[String, Vector[String]]): Unit = synchronized {
+  def commit(state: Map[String, Vector[String]]): Unit =
+    commitMerge(_ => state)
+
+  /** Atomically transform-and-publish: `f` runs under the commit lock on
+    * the LATEST manifest, so concurrent committers serialize and none
+    * overwrites another's published segments (the rebase hook for
+    * optimistic transactions). */
+  def commitMerge(f: Map[String, Vector[String]] => Map[String, Vector[String]])
+      : Unit = synchronized {
+    val state = f(manifest)
     val tmp = rootPath.resolve(s"_manifest.tmp-${java.util.UUID.randomUUID()}")
     val lines = state.toSeq.sortBy(_._1).map { case (t, segs) =>
       (t +: segs).mkString("\t")

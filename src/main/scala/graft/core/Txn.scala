@@ -6,6 +6,7 @@ package graft.core
   * (/root/reference/vechord/client.py:25-37,222). Nothing in `staged`
   * becomes visible until [[Registry.runTxn]] commits it atomically. */
 final class Txn private[core] (initial: Map[String, Vector[String]]) {
+  private[core] val base: Map[String, Vector[String]] = initial
   private[core] var staged: Map[String, Vector[String]] = initial
   private[core] var buffer: Map[String, Vector[String]] = Map.empty
 }

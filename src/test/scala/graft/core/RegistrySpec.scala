@@ -157,4 +157,48 @@ class RegistrySpec extends SparkSpecBase {
     assert(java.util.UUID.fromString(a).version() === 7)
     assert(java.util.UUID.fromString(a).variant() === 2)
   }
+
+  test("concurrent insert transactions all commit (no lost updates)") {
+    val (reg, users, _, _) = freshRegistry()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the reference's 5-concurrent-transactions service test
+    // (tests/test_service.py:101-110): every txn's inserts must survive
+    val fs = (0 until 5).map { i =>
+      Future {
+        reg.runTxn { txn =>
+          reg.insert(users, Seq(TUser(0L, s"user$i", None)), txn)
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+    assert(reg.table(users).count() === 5)
+    // identity keys stay collision-free across concurrent txns? No —
+    // AutoIncrement reads max(existing) at insert time, so concurrent
+    // txns can draw the same key; uniqueness is a validation concern:
+    val names = reg.table(users).select("name").collect()
+      .map(_.getString(0)).toSet
+    assert(names === (0 until 5).map(i => s"user$i").toSet)
+  }
+
+  test("concurrent overwrite conflicts are detected, not silently lost") {
+    val (reg, users, _, _) = freshRegistry()
+    reg.insert(users, Seq(TUser(0L, "base", None)))
+    val sp = spark
+    import sp.implicits._
+    intercept[IllegalStateException] {
+      reg.runTxn { outer =>
+        reg.overwrite(users,
+          Seq(TUser(1L, "outer", Option.empty[String])).toDF(), outer)
+        // inner txn commits an overwrite of the same table first
+        reg.runTxn { inner =>
+          reg.overwrite(users,
+            Seq(TUser(2L, "inner", Option.empty[String])).toDF(), inner)
+        }
+      }
+    }
+    // the inner (first-committed) state survives
+    assert(reg.table(users).select("name").head().getString(0) === "inner")
+  }
 }
