@@ -66,13 +66,19 @@ final case class SimpleRecognizer() extends EntityRecognizer {
 final case class VocabRecognizer(vocab: Seq[String])
     extends EntityRecognizer {
   private val set = vocab.toSet
+  // precompiled: String.split(regex) recompiles the Pattern per call,
+  // and recognize runs per sentence per chunk
+  @transient private lazy val sentRe = java.util.regex.Pattern
+    .compile("[.!?\\n]+")
+  @transient private lazy val tokRe = java.util.regex.Pattern
+    .compile("[^A-Za-z0-9]+")
   def recognize(text: String): (Seq[RecognizedEntity],
       Seq[RecognizedRelation]) = {
-    val sentences = text.split("[.!?\\n]+").map(_.strip).filter(_.nonEmpty)
+    val sentences = sentRe.split(text).map(_.strip).filter(_.nonEmpty)
     val ents = scala.collection.mutable.LinkedHashMap[String, RecognizedEntity]()
     val rels = scala.collection.mutable.ArrayBuffer[RecognizedRelation]()
     sentences.foreach { s =>
-      val hits = s.split("[^A-Za-z0-9]+").filter(set.contains)
+      val hits = tokRe.split(s).filter(set.contains)
       hits.foreach(h =>
         if (!ents.contains(h)) ents(h) = RecognizedEntity(h, "TERM", s))
       hits.toSeq.sliding(2).foreach {

@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale shapes:
   *  - exact: one hash-groupBy shuffle, map-side combinable.
   *  - jaccard: inverted-index self-join on shingles — the shuffle key is
-  *    the shingle, so hot shingles are the skew risk; `maxShingleDf`
-  *    drops shingles seen in more than that many docs (a standard
-  *    stop-shingle cap; pairs supported ONLY by ultra-common shingles
-  *    are below any useful threshold anyway — leave at MaxValue for
-  *    oracle-exact semantics).
+  *    the shingle, so hot shingles are the skew risk; the df-ordered
+  *    PREFIX filter keeps hot shingles out of the join almost entirely
+  *    (they sort to the end of every doc's shingle list), which is the
+  *    skew defense at scale.
   *  - minhash: fixed-width signatures (one groupBy over exploded
   *    shingles), then candidates join on (band, bandHash) — pair count
   *    is bounded by bucket collisions, never all-pairs.

@@ -19,9 +19,19 @@ trait Reranker extends Serializable {
   def rerank(query: String, docs: Seq[String]): Seq[Int]
 }
 
+/** Multimodal reranker seat (rerank.py:66-92's `rerank_multimodal`:
+  * Jina scores text queries against image documents). */
+trait MultimodalReranker extends Reranker {
+  /** Permutation over binary (image/media) docs, best first. */
+  def rerankMultimodal(query: String, docs: Seq[Array[Byte]]): Seq[Int]
+}
+
 /** Token-overlap cross-scorer: rank docs by |query ∩ doc| tokens desc,
-  * ties by original position (stable). */
-final case class OverlapReranker() extends Reranker {
+  * ties by original position (stable). The multimodal side scores media
+  * payloads by cosine between byte-histogram features and the query
+  * text's own byte histogram — deterministic, codec-backed
+  * ([[graft.multimodal.FakeCodec]] per the stub contract). */
+final case class OverlapReranker() extends MultimodalReranker {
   def name: String = "overlap_rerank"
   def rerank(query: String, docs: Seq[String]): Seq[Int] = {
     val q = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
@@ -31,6 +41,20 @@ final case class OverlapReranker() extends Reranker {
         (-toks.count(q), i)
       }
       .sorted.map(_._2)
+  }
+  def rerankMultimodal(query: String, docs: Seq[Array[Byte]]): Seq[Int] = {
+    val codec = graft.multimodal.FakeCodec()
+    def norm(v: Array[Float]): Double = math.sqrt(v.map(x => x * x.toDouble).sum)
+    val qf = codec.features(query.getBytes("UTF-8"))
+    val qn = norm(qf)
+    docs.zipWithIndex.map { case (d, i) =>
+      val f = codec.features(d)
+      val dn = norm(f)
+      val cos =
+        if (qn == 0 || dn == 0) 0.0
+        else qf.zip(f).map { case (a, b) => a * b.toDouble }.sum / (qn * dn)
+      (-cos, i)
+    }.sorted.map(_._2)
   }
 }
 

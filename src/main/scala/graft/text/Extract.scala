@@ -55,3 +55,49 @@ object Extract {
     nfkc(text)
   }
 }
+
+/** External-extraction provider seat (extract.py:103-169: Gemini OCR on
+  * PDFs/images, LlamaParse document parsing). HTTP implementations are
+  * interface parity only (zero egress); [[StubOcrExtractor]] is the
+  * deterministic local implementation for pipeline tests. */
+trait ExtractorProvider extends Serializable {
+  def name: String
+  def extractPdf(data: Array[Byte]): String
+  def extractImage(data: Array[Byte]): String
+}
+
+/** Deterministic OCR stand-in: derives stable text from the payload
+  * digest so pipelines built on the seat are testable end-to-end. */
+final case class StubOcrExtractor() extends ExtractorProvider {
+  def name: String = "stub_ocr"
+  private def tag(kind: String, data: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(data).take(4).map("%02x".format(_)).mkString
+    s"$kind $hex ${data.length} bytes"
+  }
+  def extractPdf(data: Array[Byte]): String = tag("pdf", data)
+  def extractImage(data: Array[Byte]): String = tag("image", data)
+}
+
+/** Upload→poll completion harness — the LlamaParse polling loop
+  * (/root/reference/vechord/provider.py:240-254: 30-minute deadline,
+  * 5-second interval) with injectable clock/sleep so the deadline path
+  * is unit-testable without waiting. */
+final class Poller(deadlineMs: Long = 30L * 60 * 1000,
+                   intervalMs: Long = 5000L,
+                   now: () => Long = () => System.currentTimeMillis(),
+                   sleep: Long => Unit = Thread.sleep) {
+  /** Calls `check` until it yields a value or the deadline passes. */
+  def await[T](check: () => Option[T]): T = {
+    val start = now()
+    var result = check()
+    while (result.isEmpty) {
+      if (now() - start >= deadlineMs)
+        throw new java.util.concurrent.TimeoutException(
+          s"poll deadline ${deadlineMs}ms exceeded")
+      sleep(intervalMs)
+      result = check()
+    }
+    result.get
+  }
+}

@@ -50,6 +50,16 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("multimodal rerank ranks byte payloads by histogram similarity") {
+    val r = OverlapReranker()
+    val query = "aaaa bbbb aaaa"
+    val near = "aaaa aaaa bbbb".getBytes("UTF-8") // same byte histogram
+    val far = Array.fill[Byte](16)(9)
+    val perm = r.rerankMultimodal(query, Seq(far, near))
+    assert(perm === Seq(1, 0)) // the histogram twin wins
+    assert(r.rerankMultimodal(query, Seq(near, far)) === Seq(0, 1))
+  }
+
   test("sparse embedder + sparse dot column") {
     val e = HashSparseEmbedder(dim = 1024)
     val a = e.embed("spark spark joins")

@@ -60,4 +60,30 @@ class ExtractEmbedSpec extends SparkSpecBase {
     val rows = out.collect()
     assert(rows.forall(_.getSeq[Float](2).length === 16))
   }
+
+  test("ocr provider seat is deterministic on payload bytes") {
+    val ocr = StubOcrExtractor()
+    val d = "payload".getBytes("UTF-8")
+    assert(ocr.extractPdf(d) === ocr.extractPdf(d.clone()))
+    assert(ocr.extractPdf(d) !== ocr.extractImage(d))
+    assert(ocr.extractPdf(d).endsWith("7 bytes"))
+  }
+
+  test("poller returns on success and times out at the deadline") {
+    var clock = 0L
+    var slept = Vector.empty[Long]
+    val p = new Poller(deadlineMs = 20L, intervalMs = 5L,
+      now = () => clock, sleep = ms => { slept :+= ms; clock += ms })
+    var calls = 0
+    val got = p.await { () =>
+      calls += 1; if (calls == 3) Some("done") else None
+    }
+    assert(got === "done" && slept === Vector(5L, 5L))
+    clock = 0L
+    intercept[java.util.concurrent.TimeoutException] {
+      new Poller(deadlineMs = 20L, intervalMs = 5L,
+        now = () => clock, sleep = ms => clock += ms)
+        .await[String] { () => None }
+    }
+  }
 }
