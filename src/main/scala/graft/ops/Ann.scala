@@ -35,6 +35,14 @@ object Ann {
       * it is bit-identical to the column form (both are sequential
       * left-to-right double adds). */
     def distScala(a: Array[Double], b: Array[Double]): Double
+    /** Per-vector precomputable factor (cosine: the L2 norm). */
+    def norm(a: Array[Double]): Double = 0.0
+    /** distScala with both norms precomputed — MUST be bit-identical to
+      * [[distScala]] (same operations in the same order); the batch kNN
+      * hot loop uses this so norms are computed once per vector, not
+      * once per pair. */
+    def distScalaN(a: Array[Double], na: Double,
+                   b: Array[Double], nb: Double): Double = distScala(a, b)
     protected final def dotScala(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -53,11 +61,16 @@ object Ann {
   case object Cosine extends Metric {
     def dist(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.VecExprs.cosDist(a, b)
-    def distScala(a: Array[Double], b: Array[Double]): Double = {
-      var n2a = 0.0; var n2b = 0.0; var i = 0
-      while (i < a.length) { n2a += a(i) * a(i); n2b += b(i) * b(i); i += 1 }
-      1.0 - dotScala(a, b) / (math.sqrt(n2a) * math.sqrt(n2b))
+    def distScala(a: Array[Double], b: Array[Double]): Double =
+      1.0 - dotScala(a, b) / (norm(a) * norm(b))
+    override def norm(a: Array[Double]): Double = {
+      var n2 = 0.0; var i = 0
+      while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+      math.sqrt(n2)
     }
+    override def distScalaN(a: Array[Double], na: Double,
+                            b: Array[Double], nb: Double): Double =
+      1.0 - dotScala(a, b) / (na * nb)
   }
   case object InnerProduct extends Metric {
     def dist(a: Column, b: Column): Column =
@@ -109,14 +122,19 @@ object Ann {
       .as[(Long, Array[Double])]
       .mapPartitions { iter =>
         val qs = bc.value
+        // per-vector factors (cosine norms) once per query / per doc,
+        // not once per pair — distScalaN is bit-identical to distScala
+        val qNorms = qs.map(q => metric.norm(q._2))
         // max-heap on (dist, id): pop removes the current worst candidate.
         val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
         val heaps = Array.fill(qs.length)(
           collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
         iter.foreach { case (did, dvec) =>
+          val dNorm = metric.norm(dvec)
           var i = 0
           while (i < qs.length) {
-            val d = roundScala(metric.distScala(qs(i)._2, dvec), rt)
+            val d = roundScala(
+              metric.distScalaN(qs(i)._2, qNorms(i), dvec, dNorm), rt)
             val h = heaps(i)
             if (h.size < kk) h.enqueue((d, did))
             else if (ord.lt((d, did), h.head)) { h.dequeue(); h.enqueue((d, did)) }

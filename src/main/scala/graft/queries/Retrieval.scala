@@ -89,6 +89,39 @@ object Retrieval {
       .limit(5)
   }
 
+  /** The Catalyst ANN-rewrite rule under the oracle: the IVF-assigned
+    * table is stored `partitionBy(centroid_id)`, the index is registered
+    * with the optimizer, and the query is a PLAIN brute-force
+    * sort-by-distance + limit — [[graft.plans.AnnTopKRule]] injects the
+    * probe filter (which becomes disk partition pruning), so the result
+    * must equal the explicitly-probed r03 semantics. The plan is forced
+    * while the registration is live, then the index is unregistered so
+    * no other declared query is affected. */
+  def annRewriteStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store").toString
+    Ann.writePartitioned(assigned, path)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      val q = qvec(s, d, 5)
+      val df = s.read.parquet(path)
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      // materialize while the registration is live: downstream actions
+      // (.write/.count) build fresh QueryExecutions, which would plan
+      // after the unregister below and lose the rewrite
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregister("embedding")
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -119,7 +152,8 @@ object Retrieval {
     "r05_bm25_topk" -> bm25Topk,
     "r06_maxsim_label" -> maxsimLabel,
     "r07_rrf_hybrid" -> rrfHybrid,
-    "r08_hybrid_dedup" -> hybridDedup)
+    "r08_hybrid_dedup" -> hybridDedup,
+    "r09_ann_rewrite_stored" -> annRewriteStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -151,6 +185,8 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
   private val qv3 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)"
+  private val qv5 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 5)"
   private val qv7 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)"
 
@@ -194,6 +230,32 @@ object Retrieval {
             LIMIT 3)
           SELECT a.vec_id,
                  round(list_distance(a.embedding::DOUBLE[], $qv3), 6) AS dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r09_ann_rewrite_stored" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY list_distance(centroid, $qv5) ASC, centroid_id ASC
+            LIMIT 3)
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
           FROM assigned a JOIN probes USING (centroid_id)
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     "r04_knn_join_l2" ->

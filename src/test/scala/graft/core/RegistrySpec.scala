@@ -158,6 +158,27 @@ class RegistrySpec extends SparkSpecBase {
     assert(java.util.UUID.fromString(a).variant() === 2)
   }
 
+  test("catalog recovery: a new registry on the same root sees only committed state") {
+    val sp = spark
+    import sp.implicits._
+    val users = TableDef[TUser]("user", primaryKey = Some("uid"))
+    val root = Files.createTempDirectory("graft-recover").toString
+    val reg = new Registry(spark, root).register(users)
+    reg.insert(users, Seq(TUser(1L, "alice", None)))
+    // a crashed transaction: segments staged, manifest never swapped
+    intercept[RuntimeException] {
+      reg.runTxn { txn =>
+        reg.insert(users, Seq(TUser(2L, "ghost", None)), txn)
+        throw new RuntimeException("crash before commit")
+      }
+    }
+    // "restart": fresh Registry over the same root reloads the manifest
+    val reg2 = new Registry(spark, root).register(users)
+    val names = reg2.table(users).select("name").collect()
+      .map(_.getString(0)).toSeq
+    assert(names === Seq("alice")) // the ghost segment is orphan garbage
+  }
+
   test("concurrent insert transactions all commit (no lost updates)") {
     val (reg, users, _, _) = freshRegistry()
     import scala.concurrent.{Await, Future}
