@@ -314,6 +314,86 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Random-hyperplane (SimHash-for-vectors) signatures: bit p =
+    * sign(v · plane_p), planes drawn from a seeded gaussian — the
+    * classic cosine-LSH sketch. Deterministic across runs/executors
+    * (seeded driver-side generation, broadcast). */
+  def cosineSignatures(docs: DataFrame, idCol: String, vecCol: String,
+                       planes: Int = 16, seed: Long = 42L): DataFrame = {
+    require(planes >= 1 && planes <= 64, "1..64 planes fit one long")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    val rng = new scala.util.Random(seed)
+    val ps = Array.fill(planes, dim)(rng.nextGaussian())
+    val bc = spark.sparkContext.broadcast(ps)
+    docs.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val planesArr = bc.value
+        it.map { case (id, v) =>
+          var sig = 0L
+          var p = 0
+          while (p < planesArr.length) {
+            val plane = planesArr(p)
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += v(j) * plane(j); j += 1 }
+            if (dot > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, sig)
+        }
+      }
+      .toDF("id", "sig")
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: cosine-LSH banded
+    * blocking (pairs must share one band of signature bits) + exact
+    * cosine verify via SHUFFLE joins — no driver-side collection and no
+    * full-table broadcast anywhere, so the shape survives corpus-scale
+    * inputs (the brute-force alternative, [[closestPairs]], broadcasts
+    * the whole table as its query set and is a top-k tool, not a dedup
+    * scan).
+    *
+    * Recall is probabilistic in general (tune planes/bands: miss prob
+    * for a pair at cos θ is (1 − (1 − acos θ/π)^(planes/bands))^bands)
+    * but DETERMINISTIC 1.0 for exact duplicates — identical vectors get
+    * identical signatures. Returns (a, b, cos) with a < b. */
+  def cosinePairsLsh(docs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, planes: Int = 32,
+                     bands: Int = 4, seed: Long = 42L,
+                     roundTo: Int = 6): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val width = planes / bands
+    val mask = (1L << width) - 1
+    val rows = cosineSignatures(docs, idCol, vecCol, planes, seed)
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(sig, band * $width) & $mask"))
+      .persist()
+    val cand = rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+      .repartition(par)
+    val va = docs.select(col(idCol).cast("long").as("a"),
+      col(vecCol).cast("array<double>").as("__va"))
+    val vb = docs.select(col(idCol).cast("long").as("b"),
+      col(vecCol).cast("array<double>").as("__vb"))
+    import org.apache.spark.sql.graft.VecExprs
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("cos",
+        VecExprs.dot(col("__va"), col("__vb")) /
+          (sqrt(VecExprs.dot(col("__va"), col("__va"))) *
+            sqrt(VecExprs.dot(col("__vb"), col("__vb")))))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), roundTo).as("cos"))
+  }
+
   /** Globally closest `k` pairs by embedding distance (a < b). Built on
     * the bounded-heap kNN join: each vector's top-(k+1) neighborhood is
     * a superset of any global top-k pair's endpoints. */

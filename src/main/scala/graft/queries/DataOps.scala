@@ -38,6 +38,21 @@ object DataOps {
     Dedup.closestPairs(embeddings(s, d), "vec_id", "embedding",
       Ann.Cosine, 10)
 
+  /** Cosine-LSH near-dup scan over a corpus with PLANTED duplicates
+    * (the table unioned with an id-shifted copy of itself): every
+    * duplicate pair must be found — identical vectors get identical
+    * signatures, so LSH recall is deterministic here — and the corpus
+    * itself contains no pair above the threshold (max cos ≈ 0.51), so
+    * the oracle is the exact all-pairs scan. */
+  def cosineLshDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    Dedup.cosinePairsLsh(e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95)
+      .orderBy("a", "b")
+  }
+
   /** Documents repartitioned for compute-bound text stages (the parquet
     * is a single small file; regex-heavy maps need all cores). The text
     * column is rebound through a nondeterministic identity UDF purely as
@@ -80,6 +95,7 @@ object DataOps {
     "p03_minhash_pairs" -> minhashPairs,
     "p04_simhash_pairs" -> simhashPairs,
     "p05_closest_pairs_cos" -> closestPairsCos,
+    "p09_cosine_lsh_dedup" -> cosineLshDedup,
     "p06_token_stats" -> tokenStats,
     "p07_quality_topk" -> qualityTopk,
     "p08_langid_counts" -> langidCounts)
@@ -134,6 +150,20 @@ object DataOps {
              AS dist
            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
          SELECT a, b, dist FROM p ORDER BY dist ASC, a ASC, b ASC LIMIT 10""",
+    "p09_cosine_lsh_dedup" ->
+      """WITH c AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+         p AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             list_inner_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))
+               AS cos
+           FROM c x JOIN c y ON x.vec_id < y.vec_id)
+         SELECT a, b, round(cos, 6) AS cos FROM p
+         WHERE cos >= 0.95 ORDER BY a, b""",
     "p06_token_stats" ->
       s"""WITH t AS (SELECT lang, text,
             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))

@@ -183,6 +183,33 @@ class OpsSpec extends SparkSpecBase {
     assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cosine-LSH near-dup finds planted noisy duplicates, no strangers") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 32
+    val bases = (0 until 20).map(i => (i.toLong, unit(dim)))
+    // near-dups: base + tiny noise (cos ≈ 0.9995+), ids 100+i
+    val dups = bases.take(3).map { case (i, v) =>
+      val noisy = v.map(x => x + rng.nextGaussian() * 0.005)
+      (100L + i, noisy)
+    }
+    val df = (bases ++ dups).map { case (i, v) => (i, v.toSeq) }
+      .toDF("id", "vec")
+    val pairs = Dedup.cosinePairsLsh(df, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs === Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    // and all reported cos values clear the threshold
+    val cosvals = Dedup.cosinePairsLsh(df, "id", "vec", threshold = 0.95)
+      .collect().map(_.getAs[Double]("cos"))
+    assert(cosvals.forall(_ >= 0.95))
+  }
+
   test("exact dedup keeps lowest id per text") {
     val sp = spark
     import sp.implicits._
