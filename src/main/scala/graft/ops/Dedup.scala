@@ -380,16 +380,19 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
       .repartition(par)
-    val va = docs.select(col(idCol).cast("long").as("a"),
-      col(vecCol).cast("array<double>").as("__va"))
-    val vb = docs.select(col(idCol).cast("long").as("b"),
-      col(vecCol).cast("array<double>").as("__vb"))
+    // norms precomputed once per vector, not once per candidate pair
+    // (same value either way — per-vector math, no fold-order change)
     import org.apache.spark.sql.graft.VecExprs
+    val va = docs.select(col(idCol).cast("long").as("a"),
+        col(vecCol).cast("array<double>").as("__va"))
+      .withColumn("__na", sqrt(VecExprs.dot(col("__va"), col("__va"))))
+    val vb = docs.select(col(idCol).cast("long").as("b"),
+        col(vecCol).cast("array<double>").as("__vb"))
+      .withColumn("__nb", sqrt(VecExprs.dot(col("__vb"), col("__vb"))))
     cand.join(va, "a").join(vb, "b")
       .withColumn("cos",
         VecExprs.dot(col("__va"), col("__vb")) /
-          (sqrt(VecExprs.dot(col("__va"), col("__va"))) *
-            sqrt(VecExprs.dot(col("__vb"), col("__vb")))))
+          (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), roundTo).as("cos"))
   }
