@@ -72,8 +72,10 @@ object Bm25 {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = r.getLong(0)
-    Bm25Index(postings, termStats, nDocs, r.getLong(1).toDouble / nDocs,
-      tok.name)
+    // empty corpus: sum is NULL and any avgdl would divide by zero
+    val avgdl = if (nDocs == 0 || r.isNullAt(1)) 0.0
+      else r.getLong(1).toDouble / nDocs
+    Bm25Index(postings, termStats, nDocs, avgdl, tok.name)
   }
 
   /** Memoized [[build]]: the reference separates `create_index` (once)

@@ -23,23 +23,29 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"), lit(0))
 
-  /** Per-doc descriptive stats used by the quality score. */
+  /** Per-doc descriptive stats used by the quality score. Empty text
+    * (and token-free text for avg_token_len) yields 0.0 ratios rather
+    * than a DIVIDE_BY_ZERO job failure — any real corpus slice contains
+    * empty documents. */
   def stats(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val alnum = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
     val digits = length(regexp_replace(t, "[^0-9]", ""))
     val spaces = length(regexp_replace(t, "[^ \\t\\n]", ""))
+    def ratio(num: Column): Column =
+      when(nChars > 0, num.cast("double") / nChars).otherwise(0.0)
     docs
       .withColumn("n_chars", nChars.cast("long"))
       .withColumn("n_tokens_ws", size(wsTokens(t)).cast("long"))
       .withColumn("n_tokens_bpe", size(bpeTokens(t)).cast("long"))
-      .withColumn("alnum_ratio", alnum.cast("double") / nChars)
-      .withColumn("digit_ratio", digits.cast("double") / nChars)
-      .withColumn("punct_ratio",
-        (nChars - alnum - spaces).cast("double") / nChars)
+      .withColumn("alnum_ratio", ratio(alnum))
+      .withColumn("digit_ratio", ratio(digits))
+      .withColumn("punct_ratio", ratio(nChars - alnum - spaces))
       .withColumn("avg_token_len",
-        (nChars - spaces).cast("double") / size(wsTokens(t)))
+        when(size(wsTokens(t)) > 0,
+          (nChars - spaces).cast("double") / size(wsTokens(t)))
+          .otherwise(0.0))
       .withColumn("stopword_ratio", stopwordRatio(t, EnStopwords))
   }
 

@@ -1,0 +1,79 @@
+package graft.misc
+
+import graft.SparkSpecBase
+import graft.ops.{Ann, Bm25, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty corpora, empty/whitespace text,
+  * single rows. A batch engine meets all of these on real data slices
+  * (empty partitions, filtered-to-nothing inputs) — they must return
+  * empty/neutral results, not throw. */
+class EdgeCaseSpec extends SparkSpecBase {
+
+  private def emptyDocs = {
+    val sp = spark
+    import sp.implicits._
+    Seq.empty[(Long, String)].toDF("id", "text")
+  }
+
+  test("bm25 on an empty corpus: empty search results, no NaN stats") {
+    val idx = Bm25.build(emptyDocs, "id", "text")
+    assert(idx.n === 0)
+    assert(!idx.avgdl.isNaN)
+    assert(Bm25.search(idx, "anything", 5).count() === 0)
+  }
+
+  test("bm25 with empty/whitespace-only docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+      .toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text")
+    assert(idx.n === 1) // only token-bearing docs count
+    val hits = Bm25.search(idx, "words", 5).collect()
+    assert(hits.map(_.getAs[Long]("id")).toSeq === Seq(3L))
+  }
+
+  test("dedup families on empty and single-row corpora") {
+    assert(Dedup.exactDedup(emptyDocs, "id", "text").count() === 0)
+    assert(Dedup.jaccardPairs(emptyDocs, "id", "text").count() === 0)
+    assert(Dedup.minHashDedupPairs(emptyDocs, "id", "text").count() === 0)
+    val sp = spark
+    import sp.implicits._
+    val one = Seq((1L, "just one doc")).toDF("id", "text")
+    assert(Dedup.jaccardPairs(one, "id", "text", n = 2).count() === 0)
+    assert(Dedup.simHashPairs(Dedup.simHash(one, "id", "text")).count() === 0)
+  }
+
+  test("ann topK with k larger than the table") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val hits = Ann.topK(df, "id", "vec", typedlit(Seq(1.0, 0.0)),
+      Ann.L2, k = 10)
+    assert(hits.count() === 2)
+  }
+
+  test("text analysis on empty text: ratios defined, quality in range") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, ""), (2L, "ok text then")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Any]("quality")).toMap
+    // empty text: n_chars = 0 -> ratios divide by zero; quality must not
+    // be NaN-poisoned for the non-empty doc
+    val ok = q(2L).asInstanceOf[Double]
+    assert(ok >= 0.0 && ok <= 1.0)
+  }
+
+  test("cosine LSH on corpus smaller than a bucket") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val pairs = Dedup.cosinePairsLsh(df, "id", "vec").collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("cos") === 1.0)
+  }
+}
