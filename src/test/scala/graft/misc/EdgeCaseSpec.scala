@@ -67,6 +67,52 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(ok >= 0.0 && ok <= 1.0)
   }
 
+  test("metrics on empty truth / empty ranked lists") {
+    import graft.eval.Metrics
+    val m = Metrics.evaluateOne(Set.empty, Seq("a", "b"))
+    assert(m.values.forall(v => v === 0.0 || v.isNaN === false))
+    val m2 = Metrics.evaluateOne(Set("x"), Seq.empty)
+    assert(m2("ndcg") === 0.0 && m2("mrr") === 0.0)
+  }
+
+  test("chunker on empty / tiny / separator-free text") {
+    import graft.text.RegexChunker
+    val c = RegexChunker(size = 20, overlap = 5)
+    assert(c.segment("") === Seq.empty || c.segment("") === Seq(""))
+    assert(c.segment("short").mkString === "short")
+    // a run longer than `size` with no separators must still terminate
+    val long = "x" * 100
+    val out = c.segment(long)
+    assert(out.nonEmpty && out.mkString("").contains("x"))
+  }
+
+  test("fusion on a single list and dedupUnion on empty frames") {
+    import graft.ops.Fusion
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    assert(Fusion.rrf(Seq(l), topK = 5).count() === 2)
+    val empty = Seq.empty[(Long, Int)].toDF("id", "rank")
+    assert(Fusion.rrf(Seq(empty, empty), topK = 5).count() === 0)
+    assert(Fusion.dedupUnion(Seq(empty), topK = 5).count() === 0)
+  }
+
+  test("graph extraction on an empty chunk table") {
+    import graft.graph.{Graph, VocabRecognizer}
+    val sp = spark
+    import sp.implicits._
+    val chunks = Seq.empty[(Long, String)].toDF("uid", "text")
+    val (e, r) = Graph.extractFromChunks(sp, chunks, "uid", "text",
+      VocabRecognizer(Seq("spark")))
+    assert(e.count() === 0 && r.count() === 0)
+  }
+
+  test("media features on an empty payload") {
+    import graft.multimodal.FakeCodec
+    val f = FakeCodec().features(Array.emptyByteArray)
+    assert(f.length === 64 && f.forall(x => !x.isNaN))
+  }
+
   test("cosine LSH on corpus smaller than a bucket") {
     val sp = spark
     import sp.implicits._
