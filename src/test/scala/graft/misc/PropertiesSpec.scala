@@ -1,0 +1,134 @@
+package graft.misc
+
+import org.scalacheck.{Gen, rng}
+
+import graft.SparkSpecBase
+import graft.eval.Metrics
+import graft.ops.{Ann, Dedup, Fusion}
+import graft.text.RegexChunker
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY §5 port strategy): chunker bounds,
+  * metric identities, RRF permutation invariance, dedup idempotence,
+  * column-vs-scala distance equivalence. Deterministic: samples are
+  * drawn from seeded ScalaCheck generators. */
+class PropertiesSpec extends SparkSpecBase {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default,
+      rng.Seed(seed + i)))
+
+  private val word = Gen.choose(1, 8)
+    .flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val sentenceText = Gen.choose(1, 60)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(". ")))
+
+  test("chunker: pieces preserved, bounded when overlap = 0") {
+    val c = RegexChunker(size = 40, overlap = 0)
+    samples(sentenceText, 60, 1L).foreach { text =>
+      val chunks = c.segment(text)
+      val pieces = text.split(c.separator, -1).map(_.strip).filter(_.nonEmpty)
+      if (pieces.nonEmpty) {
+        assert(chunks.nonEmpty)
+        // every input piece survives somewhere
+        pieces.foreach(p => assert(chunks.exists(_.contains(p)), p))
+        // with overlap 0, per-chunk piece mass <= size unless a single
+        // piece alone exceeds it (reference keeps long pieces whole)
+        chunks.foreach { ch =>
+          val parts = ch.split(java.util.regex.Pattern.quote(c.concat))
+          val mass = parts.map(_.length).sum
+          assert(mass <= 40 || parts.length == 1, s"mass $mass in '$ch'")
+        }
+      }
+    }
+  }
+
+  test("metric identities on random truth/ranking pairs") {
+    val ids = Gen.choose(0, 30).map(_.toString)
+    val cases = for {
+      truth <- Gen.listOf(ids).map(_.toSet)
+      ranked <- Gen.listOf(ids).map(_.distinct)
+    } yield (truth, ranked)
+    samples(cases, 200, 2L).foreach { case (truth, ranked) =>
+      val m = Metrics.evaluateOne(truth, ranked)
+      m.foreach { case (name, v) =>
+        assert(v >= 0.0 && v <= 1.0 + 1e-12, s"$name=$v out of range")
+      }
+      if (truth.nonEmpty) {
+        // perfect ranking: list exactly the truth set
+        val perfect = Metrics.evaluateOne(truth,
+          truth.toSeq.sorted, k = truth.size)
+        assert(math.abs(perfect("ndcg") - 1.0) < 1e-12)
+        assert(math.abs(perfect("map") - 1.0) < 1e-12)
+        assert(perfect("mrr") === 1.0)
+      }
+    }
+  }
+
+  test("rrf is invariant under list permutation") {
+    val sp = spark
+    import sp.implicits._
+    val listGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.pick(n, 0L to 20L).map(_.toSeq.zipWithIndex
+        .map { case (id, r) => (id, r + 1) }))
+    samples(Gen.listOfN(3, listGen), 5, 3L).foreach { lists =>
+      val dfs = lists.map(_.toDF("id", "rank"))
+      val a = Fusion.rrf(dfs, topK = 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val b = Fusion.rrf(dfs.reverse, topK = 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(a === b)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Gen.listOf(for {
+      id <- Gen.choose(0L, 50L)
+      t <- Gen.oneOf("aa", "bb", "cc", "dd")
+    } yield (id, t))
+    samples(rows, 5, 4L).filter(_.nonEmpty).foreach { data =>
+      val df = data.toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "doc_id", "text")
+      val twice = Dedup.exactDedup(once, "doc_id", "text")
+      assert(once.collect().map(_.toSeq).toSet ===
+        twice.collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("distance expressions equal the scala fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 24
+    val pairs = Seq.fill(200)((
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      Ann.L2.dist(col("a"), col("b")).as("l2"),
+      Ann.Cosine.dist(col("a"), col("b")).as("cos"),
+      Ann.InnerProduct.dist(col("a"), col("b")).as("neg")).collect()
+    pairs.zip(got).foreach { case ((a, b), row) =>
+      val (aa, bb) = (a.toArray, b.toArray)
+      assert(row.getDouble(0) === Ann.L2.distScala(aa, bb))
+      assert(row.getDouble(1) === Ann.Cosine.distScala(aa, bb))
+      assert(row.getDouble(2) === Ann.InnerProduct.distScala(aa, bb))
+    }
+  }
+
+  test("shingles column matches shinglesScala on random texts") {
+    val sp = spark
+    import sp.implicits._
+    val texts = samples(sentenceText, 30, 5L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val fromCol = df.select(col("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fromCol(i.toLong) === Dedup.shinglesScala(t, 3), s"text $i")
+    }
+  }
+}
