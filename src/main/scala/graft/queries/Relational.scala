@@ -156,9 +156,24 @@ object Relational {
       .filter(col("month") >= "1997-01")
       .orderBy("month", "pri")
 
+  /** Left outer join with null-aware aggregation: every nation, its
+    * customer count and total account balance — including nations with
+    * no customers (null-extension rows feed the aggregates). */
+  def q13OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val c = customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_customers"),
+        coalesce(dsum(col("c_acctbal")), lit(0.0)).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_cube" -> q11Cube,
     "q12_date_scalar" -> q12DateScalar,
+    "q13_outer_join" -> q13OuterJoin,
     "q01_lineitem_agg" -> q01LineitemAgg,
     "q02_topk_orders" -> q02TopkOrders,
     "q03_join_topk_revenue" -> q03JoinTopkRevenue,
@@ -233,6 +248,13 @@ object Relational {
            AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q13_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers,
+           COALESCE(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE),
+             0.0) AS sum_bal
+         FROM nation LEFT OUTER JOIN customer
+           ON n_nationkey = c_nationkey AND c_mktsegment = 'AUTOMOBILE'
+         GROUP BY 1 ORDER BY 1""",
     "q12_date_scalar" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
            substr(o_orderpriority, 1, 1) || ':' || lower(o_orderstatus)
