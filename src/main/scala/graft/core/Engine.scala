@@ -33,7 +33,7 @@ final class Engine(reg: Registry) {
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          val assigned = Ann.assign(base, ix.column, model, ix.distance)
+          val assigned = assignedCached(td, ix, base, model)
           Ann.searchIvf(assigned, td.pk, ix.column, model, q, ix.distance,
             p, topk)
         case _ =>
@@ -124,6 +124,23 @@ final class Engine(reg: Registry) {
       reg.catalog.commit(reg.catalog.current +
         (s"${reg.namespace}_$t" -> Vector(seg)))
     }
+
+  /** IVF assignment memoized per table VERSION: assigning is a map-only
+    * stage but still O(N·cells) compute — the index at rest is the
+    * assignment, recomputed only when the table is rewritten (at real
+    * scale it is written `partitionBy(centroid_id)`, Ann.writePartitioned;
+    * here the persisted frame plays that role). */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def assignedCached(td: TableDef[_], ix: VectorIndex,
+                             base: DataFrame,
+                             model: Ann.IvfModel): DataFrame = {
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    assignCache.getOrElseUpdate(
+      s"${System.identityHashCode(reg)}|${td.name}|${ix.column}|$version",
+      Ann.assign(base, ix.column, model, ix.distance).persist())
+  }
 
   private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] = {
     val t = s"${reg.namespace}_${td.name}__ivf"

@@ -89,7 +89,31 @@ object DataOps {
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
 
+  /** Document fingerprint overlap: min-k shingle-hash sketches per doc,
+    * top-10 doc pairs by sketch intersection (the bottom-k containment
+    * estimate). Rows-only: xxhash64 is not reproducible in the oracle
+    * engine; the sketch math itself is covered by OpsSpec. */
+  def fingerprintOverlap(s: SparkSession, d: String): DataFrame = {
+    val fpAll = docsPar(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.fingerprint(col("text"), n = 4, k = 16))
+          .as("h"))
+    // stop-hash cap (standard sketch-join skew defense): a hash shared
+    // by very many docs carries no near-dup signal but quadratically
+    // dominates the self-join at corpus scale
+    val hot = fpAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("h")
+    val fp = fpAll.join(broadcast(hot), Seq("h"), "left_anti")
+    fp.as("x").join(fp.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_fingerprint_overlap" -> fingerprintOverlap,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
