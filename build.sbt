@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with per-query persisted index/sketch caches needs real
-  // heap; 8g GC-thrashes late in a 45-query bench run (container: 128g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // measured: 8g beats larger heaps here (cold-page + GC ergonomics;
+  // persisted caches spill via MEMORY_AND_DISK under pressure)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
