@@ -101,10 +101,38 @@ object Crud {
       countDistinct(col("c_custkey")).as("n_keys"))
   }
 
+  final case class Mv(label: Long, vecs: Seq[Seq[Float]])
+  private implicit val mvEnc: org.apache.spark.sql.Encoder[Mv] =
+    org.apache.spark.sql.Encoders.product[Mv]
+
+  /** The full Engine read path under the oracle: per-label multivector
+    * bags stored through the registry, searched with
+    * `Engine.searchByMultivec` (refine=0 → exact maxsim) — same
+    * semantics as the frame-level r06 but through typed storage +
+    * the table-level searcher (registry.py:227-267). */
+  def engineMultivec(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Mv]("mv", primaryKey = Some("label"),
+      indexes = Seq(graft.core.Spec.MultiVectorIndex("vecs")))
+    reg.register(td)
+    val e = embeddings(s, d)
+    val docs = e.groupBy(col("label").cast("long").as("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("vecs"))
+    reg.copyBulk(td, docs)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    new graft.core.Engine(reg)
+      .searchByMultivec(td, qts, topk = 5, refine = 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_crud_cascade" -> crudCascade,
     "c02_select_anyof" -> selectAnyOf,
-    "c03_insert_autoinc" -> insertAutoInc)
+    "c03_insert_autoinc" -> insertAutoInc,
+    "c04_engine_multivec" -> engineMultivec)
 
   val oracles: Map[String, String] = Map(
     "c01_crud_cascade" ->
@@ -122,5 +150,15 @@ object Crud {
     "c03_insert_autoinc" ->
       """SELECT COUNT(*) + 5 AS n_rows, COUNT(*) + 5 AS max_key,
            COUNT(*) + 5 AS n_keys
-         FROM customer""")
+         FROM customer""",
+    "c04_engine_multivec" ->
+      """WITH dt AS (SELECT CAST(label AS BIGINT) AS label,
+                            embedding::DOUBLE[] AS dv FROM embeddings),
+          q AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id IN (0, 1)),
+          best AS (SELECT dt.label, q.vec_id,
+                          max(list_inner_product(q.qv, dt.dv)) AS m
+                   FROM dt CROSS JOIN q GROUP BY 1, 2)
+          SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
+          ORDER BY score DESC, label ASC LIMIT 5""")
 }

@@ -170,10 +170,24 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Explicit GROUPING SETS (distinct from rollup/cube): per-status and
+    * per-priority totals in one pass, tagged by grouping id. */
+  def q14GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_cube" -> q11Cube,
     "q12_date_scalar" -> q12DateScalar,
     "q13_outer_join" -> q13OuterJoin,
+    "q14_grouping_sets" -> q14GroupingSets,
     "q01_lineitem_agg" -> q01LineitemAgg,
     "q02_topk_orders" -> q02TopkOrders,
     "q03_join_topk_revenue" -> q03JoinTopkRevenue,
@@ -247,6 +261,13 @@ object Relational {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
            AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q13_outer_join" ->
       """SELECT n_name, COUNT(c_custkey) AS n_customers,
