@@ -183,7 +183,39 @@ object Relational {
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
   }
 
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance (decorrelated by Catalyst into an aggregate + join). */
+  def q15CorrelatedSub(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_q15")
+    s.sql("""
+      SELECT c_nationkey, COUNT(*) AS n_above
+      FROM customer_q15 c
+      WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_q15 c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  /** Running window aggregate (frame, not ranking): cumulative order
+    * value per priority over months. */
+  def q16RunningSum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders(s, d)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy("o_orderpriority", "month")
+      .agg(dsum(col("o_totalprice")).as("m_total"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("running_total",
+        round(sum(col("m_total")).over(w), 4))
+      .select(col("o_orderpriority"), col("month"),
+        round(col("m_total"), 4).as("m_total"), col("running_total"))
+      .orderBy("o_orderpriority", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_correlated_sub" -> q15CorrelatedSub,
+    "q16_running_sum" -> q16RunningSum,
     "q11_cube" -> q11Cube,
     "q12_date_scalar" -> q12DateScalar,
     "q13_outer_join" -> q13OuterJoin,
@@ -262,6 +294,24 @@ object Relational {
            AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q15_correlated_sub" ->
+      """SELECT c_nationkey, COUNT(*) AS n_above
+         FROM customer c
+         WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q16_running_sum" ->
+      """WITH m AS (
+           SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                    AS m_total
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, month, round(m_total, 4) AS m_total,
+                round(SUM(m_total) OVER (
+                  PARTITION BY o_orderpriority ORDER BY month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS running_total
+         FROM m ORDER BY 1, 2""",
     "q14_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
