@@ -159,9 +159,11 @@ object DataOps {
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" ->
       """WITH g AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
-         SELECT sum(n) AS total_docs, count(*) AS distinct_texts,
-           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups,
-           sum(n - 1) AS dup_rows_removed
+         SELECT CAST(sum(n) AS BIGINT) AS total_docs,
+           count(*) AS distinct_texts,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_groups,
+           CAST(sum(n - 1) AS BIGINT) AS dup_rows_removed
          FROM g""",
     "p02_jaccard_pairs" -> jaccardSql,
     "p03_minhash_pairs" -> jaccardSql,
@@ -195,7 +197,8 @@ object DataOps {
             len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]'))
               AS nbpe
           FROM documents)
-          SELECT lang, count(*) AS n_docs, sum(length(text)) AS sum_chars,
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(length(text)) AS BIGINT) AS sum_chars,
             round(CAST(sum(nws) AS DOUBLE) / count(*), 6) AS avg_ws_tokens,
             round(CAST(sum(nbpe) AS DOUBLE) / count(*), 6) AS avg_bpe_tokens
           FROM t GROUP BY 1 ORDER BY 1""",

@@ -72,7 +72,8 @@ object Events {
                     > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS ns
            FROM events)
-         SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events,
+         SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
              AS total_value
          FROM x GROUP BY 1 ORDER BY 1""",

@@ -47,14 +47,23 @@ case class L2Dist(left: Expression, right: Expression) extends VecBinary {
   }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      double ${ev.value}Acc = 0.0;
-      int ${ev.value}N = $a.numElements();
-      for (int i = 0; i < ${ev.value}N; i++) {
-        double d = $a.getDouble(i) - $b.getDouble(i);
-        ${ev.value}Acc += d * d;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local must be freshName'd: this expression can occur more
+      // than once in a single generated method (e.g. an aggregate result
+      // projection), where bare names collide and janino rejects the class
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+      double $acc = 0.0;
+      int $n = $a.numElements();
+      for (int $i = 0; $i < $n; $i++) {
+        double $d = $a.getDouble($i) - $b.getDouble($i);
+        $acc += $d * $d;
       }
-      ${ev.value} = Math.sqrt(${ev.value}Acc);""")
+      ${ev.value} = Math.sqrt($acc);"""
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -74,13 +83,18 @@ case class DotProduct(left: Expression, right: Expression) extends VecBinary {
   }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      double ${ev.value}Acc = 0.0;
-      int ${ev.value}N = $a.numElements();
-      for (int i = 0; i < ${ev.value}N; i++) {
-        ${ev.value}Acc += $a.getDouble(i) * $b.getDouble(i);
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+      double $acc = 0.0;
+      int $n = $a.numElements();
+      for (int $i = 0; $i < $n; $i++) {
+        $acc += $a.getDouble($i) * $b.getDouble($i);
       }
-      ${ev.value} = ${ev.value}Acc;""")
+      ${ev.value} = $acc;"""
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -110,17 +124,25 @@ case class CosDist(left: Expression, right: Expression) extends VecBinary {
   }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      double ${ev.value}Dot = 0.0, ${ev.value}Na = 0.0, ${ev.value}Nb = 0.0;
-      int ${ev.value}N = $a.numElements();
-      for (int i = 0; i < ${ev.value}N; i++) {
-        double xi = $a.getDouble(i); double yi = $b.getDouble(i);
-        ${ev.value}Dot += xi * yi;
-        ${ev.value}Na += xi * xi;
-        ${ev.value}Nb += yi * yi;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+      double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      int $n = $a.numElements();
+      for (int $i = 0; $i < $n; $i++) {
+        double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+        $dot += $xi * $yi;
+        $na += $xi * $xi;
+        $nb += $yi * $yi;
       }
-      ${ev.value} = 1.0 - ${ev.value}Dot /
-        (Math.sqrt(${ev.value}Na) * Math.sqrt(${ev.value}Nb));""")
+      ${ev.value} = 1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb));"""
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -159,23 +181,34 @@ case class MaxSimDot(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      double ${ev.value}Acc = 0.0;
-      for (int i = 0; i < $a.numElements(); i++) {
-        org.apache.spark.sql.catalyst.util.ArrayData qv = $a.getArray(i);
-        int dim = qv.numElements();
-        double best = Double.NEGATIVE_INFINITY;
-        for (int j = 0; j < $b.numElements(); j++) {
-          org.apache.spark.sql.catalyst.util.ArrayData dv = $b.getArray(j);
-          double dot = 0.0;
-          for (int k = 0; k < dim; k++) {
-            dot += qv.getDouble(k) * dv.getDouble(k);
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val qv = ctx.freshName("qv")
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val j = ctx.freshName("j")
+      val dv = ctx.freshName("dv")
+      val dot = ctx.freshName("dot")
+      val k = ctx.freshName("k")
+      s"""
+      double $acc = 0.0;
+      for (int $i = 0; $i < $a.numElements(); $i++) {
+        org.apache.spark.sql.catalyst.util.ArrayData $qv = $a.getArray($i);
+        int $dim = $qv.numElements();
+        double $best = Double.NEGATIVE_INFINITY;
+        for (int $j = 0; $j < $b.numElements(); $j++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $dv = $b.getArray($j);
+          double $dot = 0.0;
+          for (int $k = 0; $k < $dim; $k++) {
+            $dot += $qv.getDouble($k) * $dv.getDouble($k);
           }
-          if (dot > best) best = dot;
+          if ($dot > $best) $best = $dot;
         }
-        ${ev.value}Acc += best;
+        $acc += $best;
       }
-      ${ev.value} = ${ev.value}Acc;""")
+      ${ev.value} = $acc;"""
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -78,6 +78,15 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(got)
         wc, wr = canon(want)
+        # The real driver hashes typed values: a DuckDB HUGEINT (int128 /
+        # decimal128) next to a Spark BIGINT passes the normalized compare
+        # below but fails the driver. Surface any physical-type divergence.
+        gt = {f.name: f.type for f in got.schema}
+        wt = {f.name: f.type for f in want.schema}
+        for c0 in sorted(set(gt) & set(wt)):
+            if gt[c0] != wt[c0]:
+                print(f"WARN {name}: col '{c0}' type spark={gt[c0]} "
+                      f"oracle={wt[c0]} (driver may hash-mismatch)")
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1
