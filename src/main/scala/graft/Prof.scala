@@ -22,18 +22,24 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def audit(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      println(s"\n===== PLAN $label =====")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    }
-
     val docs = queries.Tables.documents(spark, d)
-    val idx = ops.Bm25.buildCached(docs, "doc_id", "text", d)
-    audit("bm25.search", ops.Bm25.search(idx, "spark filter join", 10))
-    audit("jaccard", ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
-    audit("c01_cascade", queries.Crud.crudCascade(spark, d))
-    audit("s02_sessions", queries.Events.queries("s02_user_sessions")(spark, d))
+    time("warmup")(docs.select(count(lit(1))).head())
+
+    time("p02_full")(
+      ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    time("p03_full")(
+      ops.Dedup.minHashDedupPairs(docs, "doc_id", "text", 3, 32, 16, 0.5)
+        .count())
+    time("p02_again")(
+      ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    time("p10_full")(
+      queries.DataOps.fingerprintOverlap(spark, d).count())
+    time("g01_full")(
+      queries.GraphQ.queries("g01_entity_merge")(spark, d).count())
+    time("p05_full")(
+      queries.DataOps.closestPairsCos(spark, d).count())
+    time("r05_full")(
+      queries.Retrieval.queries("r05_bm25_topk")(spark, d).count())
     spark.stop()
   }
 }

@@ -68,6 +68,17 @@ object Dedup {
     else Seq.empty
   }
 
+  /** [[shinglesScala]] hashed to longs with Spark's `xxhash64` (seed 42)
+    * — bit-identical to `xxhash64(shingle)` in SQL. Distinctness is
+    * decided on the STRINGS (then hashed), so set sizes match the string
+    * formulation even under a (negligible) 64-bit collision. */
+  def shingleHashesScala(text: String, n: Int): Array[Long] =
+    shinglesScala(text, n).map { s =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+    }.toArray
+
   /** Memoized [[shingleSets]]: the Jaccard and MinHash operators over
     * the same corpus share one persisted shingle table (the shingling
     * map is the common heavy prefix of every near-dup family). Keyed by
@@ -85,7 +96,10 @@ object Dedup {
         s
       })
 
-  /** Per-doc distinct shingle sets: (id, shingles array, size).
+  /** Per-doc distinct shingle sets, pre-hashed: (id, sh array<long>, sz).
+    * Shingles are xxhash64'd ONCE here — every consumer (df counting,
+    * prefix ordering, minhash family, verify intersects) then works on
+    * 8-byte longs instead of repeated string hashing/compares.
     * Built as a TYPED map stage after an explicit repartition: document
     * tables are tiny on disk (1-2 parquet splits) but shingling is
     * compute-heavy, and Catalyst pushes column projections below a
@@ -99,7 +113,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, shinglesScala(text, n))
+        (id, shingleHashesScala(text, n))
       })
       .toDF("id", "sh")
       .withColumn("sz", size(col("sh")))
@@ -127,31 +141,25 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    roundTo: Int = 6): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // persisted (and shared with the MinHash family): the df aggregation
-    // and the sorted re-collect both consume it
+    // persisted (and shared with the MinHash family): the df aggregation,
+    // the prefix ranking, and the verify sides all consume it
     val sets = shingleSetsCached(docs, idCol, textCol, n)
-    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // re-collect each doc's shingles ordered by (df, shingle), hashed.
-    // Shapes that matter: `df` is tiny → broadcast (no shuffle of inv);
-    // the explicit repartition pins the compute-heavy aggregation to
-    // full parallelism (AQE would coalesce the few-MB shuffle to 1
-    // partition and serialize it); persist + eager count because the
-    // prefix self-join and both verify broadcasts reuse it.
-    val sorted = inv.join(broadcast(df), "shingle")
-      .repartition(par, col("id"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(
-        struct(col("df"), col("shingle")))),
-        s => xxhash64(s.getField("shingle"))).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .withColumn("hs", array_sort(col("sh"))) // numeric order for verify
-      .persist()
-    sorted.count()
-    val prefix = sorted.select(col("id"), col("sz"),
-      posexplode(slice(col("sh"), lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
-        .as(Seq("pos", "h")))
+    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("h"))
+    val df = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    // rank each doc's shingles by (global df asc, h) with a window and
+    // keep only the prefix — any consistent GLOBAL order keeps the
+    // prefix filter complete. A window rank over the inverted list is
+    // one shuffle and no array re-collection (the earlier formulation
+    // collected sorted arrays per doc and re-exploded them — a second
+    // aggregation pipeline for the same information). `df` is tiny →
+    // broadcast (the inverted list itself never shuffles for the join).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "h")
+    val prefix = inv.join(broadcast(df), "h")
+      .withColumn("pos", row_number().over(w) - 1)
+      .filter(col("pos") <
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id"), col("sz"), col("pos"), col("h"))
     // length filter: jaccard >= t forces t·|B| <= |A| <= |B|/t;
     // positional filter: overlap needed is ⌈t·(|A|+|B|)/(1+t)⌉
     val needed = ceil(lit(threshold / (1 + threshold)) *
@@ -169,12 +177,17 @@ object Dedup {
     // Verify with the set tables broadcast (|docs| × ~2KB of longs —
     // small): the candidate pair table never shuffles. At a scale where
     // the set table outgrows broadcast, partition both sides by id range.
-    val setsA = sorted.select(col("id").as("a"), col("hs").as("hsa"),
+    // `hs` (ascending hashes for the sorted-merge intersect) is a
+    // map-only projection of the persisted shingle cache.
+    val hsets = sets.select(col("id"), array_sort(col("sh")).as("hs"),
+      col("sz"))
+    val setsA = hsets.select(col("id").as("a"), col("hs").as("hsa"),
       col("sz").as("sza"))
-    val setsB = sorted.select(col("id").as("b"), col("hs").as("hsb"),
+    val setsB = hsets.select(col("id").as("b"), col("hs").as("hsb"),
       col("sz").as("szb"))
     cand.join(broadcast(setsA), "a").join(broadcast(setsB), "b")
-      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("inter", org.apache.spark.sql.graft.VecExprs
+        .sortedIntersectSize(col("hsa"), col("hsb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")), roundTo))
@@ -190,12 +203,11 @@ object Dedup {
     minHashFromSets(shingleSetsCached(docs, idCol, textCol, n), numHashes)
 
   private def minHashFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
-    // hash family h_i(s) = xxhash64(i, xxhash64(s)): the (long-ish)
-    // shingle string is hashed ONCE, the family then mixes the 8-byte
-    // value — 32× cheaper than re-hashing the string per family member,
-    // same independence for MinHash purposes.
-    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
-      .withColumn("h0", xxhash64(col("shingle")))
+    // hash family h_i(s) = xxhash64(i, xxhash64(s)): the shingle string
+    // was hashed ONCE at shingling time ([[shingleSets]]), the family
+    // then mixes the 8-byte value — 32× cheaper than re-hashing the
+    // string per family member, same independence for MinHash purposes.
+    val inv = sets.select(col("id"), explode(col("sh")).as("h0"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -230,12 +242,12 @@ object Dedup {
                         threshold: Double = 0.5,
                         roundTo: Int = 6): DataFrame = {
     // the persisted shingle table is shared with [[jaccardPairs]]; `hs`
-    // (verify-ready hashed sets) derives from it per-use — cheap relative
-    // to spoiling the shared cache with an operator-specific column.
-    // Verify intersects xxhash64'd shingles (8-byte compares,
-    // deterministic) like [[jaccardPairs]].
+    // (verify-ready sorted hashes) derives from it per-use — cheap
+    // relative to spoiling the shared cache with an operator-specific
+    // column. Verify intersects the pre-hashed shingles (8-byte sorted
+    // merge, deterministic) like [[jaccardPairs]].
     val sets = shingleSetsCached(docs, idCol, textCol, n)
-      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("hs", array_sort(col("sh")))
     val cand = lshCandidates(minHashFromSets(sets, numHashes), bands)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
@@ -243,7 +255,8 @@ object Dedup {
         col("sz").as("sza"))), "a")
       .join(broadcast(sets.select(col("id").as("b"), col("hs").as("hsb"),
         col("sz").as("szb"))), "b")
-      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("inter", org.apache.spark.sql.graft.VecExprs
+        .sortedIntersectSize(col("hsa"), col("hsb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")), roundTo))

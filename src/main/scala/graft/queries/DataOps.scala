@@ -94,10 +94,13 @@ object DataOps {
     * estimate). Rows-only: xxhash64 is not reproducible in the oracle
     * engine; the sketch math itself is covered by OpsSpec. */
   def fingerprintOverlap(s: SparkSession, d: String): DataFrame = {
+    // persisted: consumed twice (stop-hash counting AND the pair join) —
+    // without it the shingle+sort fingerprint computation runs twice
     val fpAll = docsPar(s, d)
       .select(col("doc_id"),
         explode(TextAnalysis.fingerprint(col("text"), n = 4, k = 16))
           .as("h"))
+      .persist()
     // stop-hash cap (standard sketch-join skew defense): a hash shared
     // by very many docs carries no near-dup signal but quadratically
     // dominates the self-join at corpus scale

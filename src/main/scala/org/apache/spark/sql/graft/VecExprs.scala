@@ -214,6 +214,76 @@ case class MaxSimDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two ASCENDING-sorted long arrays — the verify
+  * kernel of the dedup family (Jaccard / MinHash candidate verification
+  * over xxhash64'd shingle sets). A sorted two-pointer merge: O(m+n),
+  * zero allocation, codegen-friendly — `array_intersect` by contrast
+  * builds a hash set per row. Duplicate values count once (set
+  * semantics, matching `array_intersect`). Inputs MUST be sorted
+  * ascending (callers use `array_sort`); elements assumed non-null. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  override def prettyName: String = "sorted_intersect_size"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = x.numElements()
+    val n = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < m && j < n) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        // skip duplicates of the matched value on both sides
+        val v = xv
+        while (i < m && x.getLong(i) == v) i += 1
+        while (j < n && y.getLong(j) == v) j += 1
+      }
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val v = ctx.freshName("v")
+      s"""
+      int $m = $a.numElements();
+      int $n = $b.numElements();
+      int $i = 0; int $j = 0; int $c = 0;
+      while ($i < $m && $j < $n) {
+        long $xv = $a.getLong($i);
+        long $yv = $b.getLong($j);
+        if ($xv < $yv) { $i++; }
+        else if ($xv > $yv) { $j++; }
+        else {
+          $c++;
+          long $v = $xv;
+          while ($i < $m && $a.getLong($i) == $v) { $i++; }
+          while ($j < $n && $b.getLong($j) == $v) { $j++; }
+        }
+      }
+      ${ev.value} = $c;"""
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
 
@@ -226,6 +296,9 @@ object VecExprs {
   def negDot(a: Column, b: Column): Column = -dot(a, b)
   def maxSimDot(a: Column, b: Column): Column =
     c(MaxSimDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    c(SortedIntersectSize(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
 
   /** Register the SQL function forms (`l2_dist`, `cos_dist`,
     * `dot_product`, `maxsim_dot`) on a session — the
