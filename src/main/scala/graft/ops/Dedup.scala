@@ -410,6 +410,92 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), roundTo).as("cos"))
   }
 
+  /** Connected components over a near-dup pair list → duplicate
+    * CLUSTERS: (id, component) where component is the minimum id
+    * reachable through any chain of pairs. Pair generators (exact,
+    * Jaccard, MinHash, SimHash, cosine-LSH) emit edges; clustering them
+    * is what turns "125k pairwise matches" into "keep one doc per
+    * group" — the final step of every corpus-dedup pipeline.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    * round is a window-min + projection (NO neighbor-list collection,
+    * so a 100M-member component costs the same per row as a pair), and
+    * the round count is O(log n) vs O(diameter) for naive label
+    * propagation. Lineage is truncated per round with an eager
+    * localCheckpoint — iterative plans otherwise grow without bound.
+    *
+    * Convergence: the edge set is a fixed point (checked exactly via
+    * count + anti-join, not a checksum). Only ids appearing in `pairs`
+    * are returned; callers union untouched ids as their own component
+    * (see [[dedupByPairs]]). */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                 maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val empty = {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "component")
+    }
+    // canonical orientation: u > v, deduped
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (edges.isEmpty) return empty
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min over u's full neighborhood (∪ {u});
+      // connect every LARGER neighbor v to m — (v, m) keeps v > m
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wu = Window.partitionBy("u")
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(wu), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: over (u > v) edges, m(u) = min of u's smaller
+      // neighbors; rewire them (and u itself) to m
+      val ss0 = ls.withColumn("m", min(col("v")).over(wu))
+      val ss = ss0.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ss0.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      converged = ss.count() == edges.count() &&
+        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = ss
+      round += 1
+    }
+    // fixed point = stars rooted at component minima: edges map each
+    // non-root member; roots map to themselves
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+    nodes.join(edges.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("component"))
+  }
+
+  /** Near-dup removal by pair clustering: keep one CANONICAL row per
+    * duplicate cluster (the minimum id) plus every row not named in any
+    * pair. The end-to-end "dedup this corpus" operator: feed it the
+    * pair output of any family above. */
+  def dedupByPairs(docs: DataFrame, idCol: String,
+                   pairs: DataFrame, aCol: String = "a",
+                   bCol: String = "b"): DataFrame = {
+    val drop = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
+    docs.join(drop, docs(idCol).cast("long") === col("__drop_id"),
+        "left_anti")
+  }
+
   /** Globally closest `k` pairs by embedding distance (a < b). Built on
     * the bounded-heap kNN join: each vector's top-(k+1) neighborhood is
     * a superset of any global top-k pair's endpoints. */

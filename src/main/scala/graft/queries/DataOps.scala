@@ -115,8 +115,20 @@ object DataOps {
       .limit(10)
   }
 
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * pair graph (alternating large-star/small-star), each doc labeled
+    * with the minimum id reachable through any chain of near-dup pairs.
+    * The oracle recomputes the same components with a recursive
+    * reachability CTE over the identical pair set. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.components(
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_fingerprint_overlap" -> fingerprintOverlap,
+    "p11_dup_clusters" -> dupClusters,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -131,10 +143,12 @@ object DataOps {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
-  /** DuckDB word-3-gram shingle CTEs mirroring Dedup.shingles /
-    * jaccardPairs (shared by the exact-Jaccard and MinHash oracles). */
-  private val jaccardSql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** DuckDB word-3-gram shingle CTE chain mirroring Dedup.shingles /
+    * jaccardPairs, ending in `jp` = the (a, b, jaccard) pairs at
+    * threshold 0.5 (shared by the exact-Jaccard, MinHash, and
+    * dup-cluster oracles). */
+  private val jaccardCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         s AS (SELECT doc_id,
                 unnest(list_distinct(list_transform(range(len(toks) - 2),
                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
@@ -146,8 +160,11 @@ object DataOps {
                   GROUP BY 1, 2),
         j AS (SELECT ai AS a, bi AS b,
                 round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
-              FROM inter JOIN sz x ON ai = x.doc_id JOIN sz y ON bi = y.doc_id)
-        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+              FROM inter JOIN sz x ON ai = x.doc_id JOIN sz y ON bi = y.doc_id),
+        jp AS (SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5)"""
+
+  private val jaccardSql: String =
+    s"WITH $jaccardCtes SELECT a, b, jaccard FROM jp"
 
   /** Per-language stopword-hit scoring branches for the langid oracle. */
   private val langScoresSql: String =
@@ -170,6 +187,17 @@ object DataOps {
          FROM g""",
     "p02_jaccard_pairs" -> jaccardSql,
     "p03_minhash_pairs" -> jaccardSql,
+    "p11_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+          edges AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+                    FROM jp
+                    UNION
+                    SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM jp),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (SELECT id, id AS x FROM nodes
+                    UNION
+                    SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x)
+          SELECT id, min(x) AS component FROM reach GROUP BY 1 ORDER BY 1""",
     "p05_closest_pairs_cos" ->
       """WITH p AS (
            SELECT x.vec_id AS a, y.vec_id AS b,

@@ -183,6 +183,36 @@ class OpsSpec extends SparkSpecBase {
     assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("components: chains collapse to min id; dedupByPairs keeps canonicals") {
+    val sp = spark
+    import sp.implicits._
+    // two chains (1-2-3, 10-11) + a pair (20,21) + untouched node 30;
+    // chain edges only adjacent — transitivity must be discovered
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L).toDF("doc_id")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 10L, 20L, 30L))
+  }
+
+  test("components: long path converges within log rounds; empty pairs ok") {
+    val sp = spark
+    import sp.implicits._
+    // a 40-node path — naive propagation needs ~40 rounds, star-based
+    // contraction must finish well inside the default round budget
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.components(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+    assert(comp.length === 40 && comp.forall(_._2 === 0L))
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .count() === 0)
+  }
+
   test("cosine-LSH near-dup finds planted noisy duplicates, no strangers") {
     val sp = spark
     import sp.implicits._
