@@ -83,6 +83,25 @@ object Ann {
   private def roundScala(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** [[roundScala]] without the per-call BigDecimal allocation on the
+    * common path: `v·10^scale` decides the rounding unless its fractional
+    * part sits within a few ulps of the .5 boundary (where the multiply's
+    * rounding error could flip the decision) — only then fall back to
+    * exact BigDecimal. `m / 10^scale` is IEEE-correctly-rounded, i.e. the
+    * same double BigDecimal produces for the integer m, so the fast and
+    * slow paths agree bit-for-bit. Heap comparisons in the kNN hot loop
+    * therefore keep EXACTLY the rounded ordering (tie-breaks included)
+    * at ~zero allocation cost. */
+  private def roundFast(v: Double, scale: Int, pow: Double): Double = {
+    val y = v * pow
+    if (math.abs(y) >= (1L << 52).toDouble) return roundScala(v, scale)
+    val f = math.floor(y)
+    val frac = y - f
+    val eps = 8.0 * math.ulp(math.max(math.abs(y), 1.0))
+    if (math.abs(frac - 0.5) <= eps) roundScala(v, scale)
+    else (if (frac > 0.5) f + 1.0 else f) / pow
+  }
+
   /** Exact brute-force top-k: distances rounded to `roundTo` decimals for
     * a reproducible ordering (ties broken by id asc). */
   def topK(docs: DataFrame, idCol: String, vecCol: String, queryVec: Column,
@@ -114,6 +133,7 @@ object Ann {
     val bc = spark.sparkContext.broadcast(qRows)
     val kk = k
     val rt = roundTo
+    val pow = math.pow(10.0, roundTo)
     // repartition: embedding tables are small on disk but the Q×N
     // distance work is compute-heavy; bytes-based splits under-parallelize
     val cand = docs
@@ -133,8 +153,8 @@ object Ann {
           val dNorm = metric.norm(dvec)
           var i = 0
           while (i < qs.length) {
-            val d = roundScala(
-              metric.distScalaN(qs(i)._2, qNorms(i), dvec, dNorm), rt)
+            val d = roundFast(
+              metric.distScalaN(qs(i)._2, qNorms(i), dvec, dNorm), rt, pow)
             val h = heaps(i)
             if (h.size < kk) h.enqueue((d, did))
             else if (ord.lt((d, did), h.head)) { h.dequeue(); h.enqueue((d, did)) }
@@ -186,12 +206,17 @@ object Ann {
   def buildIvfKMeans(docs: DataFrame, vecCol: String, k: Int,
                      metric: Metric = L2, iters: Int = 5,
                      roundTo: Int = 5): IvfModel = {
-    val w = Window.orderBy(xxhash64(col(vecCol)))
+    // seed ranking without a global window: the k seed rows are already
+    // a TakeOrderedAndProject result; pin them to one partition, sort
+    // within it, and number by in-partition row order (ids 0..k-1) —
+    // no WindowExec-moves-everything-to-one-partition stage, and the
+    // "single partition" is k rows by construction, not the table.
     var model = IvfModel(
       docs.select(col(vecCol))
         .withColumn("__h", xxhash64(col(vecCol)))
         .orderBy(col("__h")).limit(k)
-        .withColumn("centroid_id", row_number().over(w).cast("long") - 1)
+        .coalesce(1).sortWithinPartitions("__h")
+        .withColumn("centroid_id", monotonically_increasing_id())
         .select(col("centroid_id"),
           transform(col(vecCol),
             x => round(x.cast("double"), roundTo)).as("centroid")),

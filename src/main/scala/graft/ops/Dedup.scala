@@ -155,7 +155,11 @@ object Dedup {
     // broadcast (the inverted list itself never shuffles for the join).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "h")
-    val prefix = inv.join(broadcast(df), "h")
+    // no broadcast hint on `df`: at corpus scale the distinct-shingle
+    // table is itself huge; AQE's size-estimated auto-broadcast picks
+    // the broadcast plan whenever it actually fits, and the shuffle
+    // join on `h` (with AQE skew splitting) is the safe default.
+    val prefix = inv.join(df, "h")
       .withColumn("pos", row_number().over(w) - 1)
       .filter(col("pos") <
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
@@ -174,18 +178,20 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
       .repartition(par) // verify is compute-bound; don't let AQE serialize it
-    // Verify with the set tables broadcast (|docs| × ~2KB of longs —
-    // small): the candidate pair table never shuffles. At a scale where
-    // the set table outgrows broadcast, partition both sides by id range.
-    // `hs` (ascending hashes for the sorted-merge intersect) is a
-    // map-only projection of the persisted shingle cache.
+    // Verify via SHUFFLE joins on the pair ids: the per-doc set table is
+    // |docs| × ~2KB — broadcasting it is an executor-OOM at corpus
+    // scale, so no hint here; AQE still auto-broadcasts when the table
+    // is genuinely small (the size gate), and the shuffle join is the
+    // shape that survives 100 TB. `hs` (ascending hashes for the
+    // sorted-merge intersect) is a map-only projection of the persisted
+    // shingle cache.
     val hsets = sets.select(col("id"), array_sort(col("sh")).as("hs"),
       col("sz"))
     val setsA = hsets.select(col("id").as("a"), col("hs").as("hsa"),
       col("sz").as("sza"))
     val setsB = hsets.select(col("id").as("b"), col("hs").as("hsb"),
       col("sz").as("szb"))
-    cand.join(broadcast(setsA), "a").join(broadcast(setsB), "b")
+    cand.join(setsA, "a").join(setsB, "b")
       .withColumn("inter", org.apache.spark.sql.graft.VecExprs
         .sortedIntersectSize(col("hsa"), col("hsb")))
       .withColumn("jaccard",
@@ -246,15 +252,18 @@ object Dedup {
     // relative to spoiling the shared cache with an operator-specific
     // column. Verify intersects the pre-hashed shingles (8-byte sorted
     // merge, deterministic) like [[jaccardPairs]].
+    // Verify joins are UNHINTED shuffle joins like [[jaccardPairs]]'s:
+    // the set table must never be force-broadcast (executor-OOM at
+    // corpus scale); AQE auto-broadcasts when its size estimate fits.
     val sets = shingleSetsCached(docs, idCol, textCol, n)
       .withColumn("hs", array_sort(col("sh")))
     val cand = lshCandidates(minHashFromSets(sets, numHashes), bands)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
-      .join(broadcast(sets.select(col("id").as("a"), col("hs").as("hsa"),
-        col("sz").as("sza"))), "a")
-      .join(broadcast(sets.select(col("id").as("b"), col("hs").as("hsb"),
-        col("sz").as("szb"))), "b")
+      .join(sets.select(col("id").as("a"), col("hs").as("hsa"),
+        col("sz").as("sza")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hsb"),
+        col("sz").as("szb")), "b")
       .withColumn("inter", org.apache.spark.sql.graft.VecExprs
         .sortedIntersectSize(col("hsa"), col("hsb")))
       .withColumn("jaccard",
@@ -422,13 +431,23 @@ object Dedup {
     * round is a window-min + projection (NO neighbor-list collection,
     * so a 100M-member component costs the same per row as a pair), and
     * the round count is O(log n) vs O(diameter) for naive label
-    * propagation. Lineage is truncated per round with an eager
-    * localCheckpoint — iterative plans otherwise grow without bound.
+    * propagation.
     *
-    * Convergence: the edge set is a fixed point (checked exactly via
-    * count + anti-join, not a checksum). Only ids appearing in `pairs`
-    * are returned; callers union untouched ids as their own component
-    * (see [[dedupByPairs]]). */
+    * Job-count discipline (the dominant cost is per-job fixed overhead
+    * once the graph shrinks, and per-round shuffles before that): TWO
+    * large+small rounds are fused per iteration with a single distinct
+    * and a single eager localCheckpoint at the iteration boundary —
+    * the window-min stages are insensitive to intermediate duplicate
+    * rows, and per-stage row growth is bounded (each stage emits at
+    * most one row per input row plus one per distinct u), so deferring
+    * the dedup across a fused pair is safe at scale. Convergence is a
+    * count-equality fast path (free: the checkpoint materialization
+    * already scans the data) with the exact anti-join check run ONLY
+    * once counts stabilize — the anti-join never runs on a
+    * non-converged iteration.
+    *
+    * Only ids appearing in `pairs` are returned; callers union
+    * untouched ids as their own component (see [[dedupByPairs]]). */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                  maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -437,44 +456,53 @@ object Dedup {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "component")
     }
-    // canonical orientation: u > v, deduped
-    var edges = pairs
+    // canonical orientation: u > v, deduped. Checkpointed once — every
+    // downstream consumer (iterations AND the final node list) reuses
+    // the materialized edges instead of re-running the pair pipeline.
+    val edges0 = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    if (edges.isEmpty) return empty
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      // large-star: m(u) = min over u's full neighborhood (∪ {u});
-      // connect every LARGER neighbor v to m — (v, m) keeps v > m
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val wu = Window.partitionBy("u")
-      val ls = sym
-        .withColumn("m", least(min(col("v")).over(wu), col("u")))
+    var prevCnt = edges0.count()
+    if (prevCnt == 0L) return empty
+    val wu = Window.partitionBy("u")
+    // large-star: m(u) = min over u's full neighborhood (∪ {u});
+    // connect every LARGER neighbor v to m — (v, m) keeps v > m
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star: over (u > v) edges, m(u) = min of u's smaller
-      // neighbors; rewire them (and u itself) to m
-      val ss0 = ls.withColumn("m", min(col("v")).over(wu))
-      val ss = ss0.filter(col("v") =!= col("m"))
+    }
+    // small-star: over (u > v) edges, m(u) = min of u's smaller
+    // neighbors; rewire them (and u itself) to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val s0 = e.withColumn("m", min(col("v")).over(wu))
+      s0.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(ss0.select(col("u"), col("m").as("v")))
+        .union(s0.select(col("u"), col("m").as("v")))
+    }
+    var edges = edges0
+    var converged = false
+    var iter = 0
+    while (!converged && iter * 2 < maxRounds) {
+      val next = smallStar(largeStar(smallStar(largeStar(edges))))
         .distinct()
         .localCheckpoint(true)
-      converged = ss.count() == edges.count() &&
-        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      edges = ss
-      round += 1
+      val cnt = next.count()
+      converged = cnt == prevCnt &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      prevCnt = cnt
+      iter += 1
     }
     // fixed point = stars rooted at component minima: edges map each
     // non-root member; roots map to themselves
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id")))
+    val nodes = edges0.select(col("u").as("id"))
+      .union(edges0.select(col("v").as("id")))
       .distinct()
     nodes.join(edges.select(col("u").as("id"), col("v").as("component")),
         Seq("id"), "left")
@@ -496,18 +524,49 @@ object Dedup {
         "left_anti")
   }
 
-  /** Globally closest `k` pairs by embedding distance (a < b). Built on
-    * the bounded-heap kNN join: each vector's top-(k+1) neighborhood is
-    * a superset of any global top-k pair's endpoints. */
+  /** Globally closest `k` pairs by embedding distance (a < b), EXACT,
+    * via block-partitioned self-join (the "triangle join"): rows are
+    * hashed into `blocks` buckets, every unordered bucket pair (i <= j)
+    * becomes one equi-join group, and each doc pair is scored exactly
+    * once inside its group. The global top-k is a TakeOrderedAndProject
+    * (per-partition bounded heap + driver merge of k rows).
+    *
+    * Scale shape: NOTHING is collected to the driver and no table-sized
+    * broadcast exists (the only broadcast is the blocks²-row bucket-pair
+    * table). Shuffle volume is N × (blocks+1)/2 replicated rows — the
+    * standard triangle-join trade: larger `blocks` → more replication
+    * but smaller per-task pair counts. The O(N²) distance work itself is
+    * inherent to the EXACT global-closest-pairs contract and spreads
+    * evenly over blocks·(blocks+1)/2 tasks; for approximate near-dup
+    * scans at corpus scale use [[cosinePairsLsh]], which prunes the
+    * quadratic work probabilistically. */
   def closestPairs(docs: DataFrame, idCol: String, vecCol: String,
                    metric: Ann.Metric, k: Int,
-                   roundTo: Int = 6): DataFrame = {
-    val queries = docs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-    val base = docs.select(col(idCol).as("__did"), col(vecCol).as("__dv"))
-    Ann.knnJoin(queries, "__qid", "__qv", base, "__did", "__dv",
-        metric, k + 1, roundTo)
-      .filter(col("__qid") < col("__did"))
-      .select(col("__qid").as("a"), col("__did").as("b"), col("dist"))
+                   roundTo: Int = 6, blocks: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nb = if (blocks > 0) blocks
+      else math.max(4, math.sqrt(spark.sparkContext.defaultParallelism * 2)
+        .toInt) // nb(nb+1)/2 join groups ≈ cores: every task busy once
+    val ids = docs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nb)).cast("int"))
+    val bp = (for { i <- 0 until nb; j <- i until nb } yield (i, j))
+      .toDF("bi", "bj")
+    val left = ids.join(broadcast(bp), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("la"), col("v").as("va"))
+    val right = ids.join(broadcast(bp), col("blk") === col("bj"))
+      .select(col("bi"), col("bj"), col("id").as("lb"), col("v").as("vb"))
+    // cross-bucket pairs appear exactly once (in group (min,max), the
+    // lower-bucket row on the left — either id order, canonicalized
+    // below); same-bucket pairs dedup by id order. Distances are
+    // symmetric bit-for-bit (same fold order either way).
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("la") < col("lb"))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("dist", round(metric.dist(col("va"), col("vb")), roundTo))
+      .select(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"), col("dist"))
       .orderBy(col("dist").asc, col("a").asc, col("b").asc)
       .limit(k)
   }
