@@ -90,6 +90,164 @@ final case class VocabRecognizer(vocab: Seq[String])
   }
 }
 
+/** Token-pattern relation extraction — the POS-free twin of the
+  * reference's 5 spaCy matcher patterns (graph.py:36-94):
+  * ENT_VERB_ENT, ENT_PREP_ENT, ENT_POSSESSIVE_ENT, ENT_APPOSITION_ENT,
+  * ENT_ATTRIBUTE_ENT. spaCy's POS tags are approximated by
+  * deterministic token classes: the closed classes (auxiliaries,
+  * prepositions, determiners, punctuation, the possessive marker,
+  * numbers) are enumerated exactly; ENT is the capitalized-token
+  * heuristic (∪ `vocab`, like [[VocabRecognizer]]); VERB is a suffix
+  * (-ed/-ing/-s) + irregular-list heuristic; everything else is NOUN.
+  *
+  * Match semantics mirror graph.py:113-139: for each pattern match
+  * span, source = the first ENT token, target = the second (falling
+  * back to the span's first/last token, graph.py:129-136), and the
+  * relation description is the span's tokens joined by spaces
+  * (graph.py:137). One (longest) match per pattern per start token.
+  * Entities are the capitalized/vocab tokens per sentence, deduped in
+  * first-occurrence order like [[SimpleRecognizer]]. */
+final case class PatternRecognizer(vocab: Seq[String] = Nil)
+    extends EntityRecognizer {
+  import PatternRecognizer._
+  private val vocabSet = vocab.toSet
+
+  @transient private lazy val sentRe =
+    java.util.regex.Pattern.compile("[.!?\\n]+")
+  // tokens: the possessive clitic, words, or single punctuation marks
+  @transient private lazy val tokRe =
+    java.util.regex.Pattern.compile("'s\\b|[A-Za-z0-9]+|[,;:()\"“”—-]")
+
+  private def classify(t: String): String = {
+    val lower = t.toLowerCase
+    if (t == "'s") "POSS"
+    else if (!t.exists(_.isLetterOrDigit)) "PUNCT"
+    else if (t.head.isDigit || NumWords(lower)) "NUM"
+    else if (vocabSet.contains(t) ||
+      (t.length > 1 && t.head.isUpper)) "ENT"
+    else if (Aux(lower)) "AUX"
+    else if (Adp(lower)) "ADP"
+    else if (Det(lower)) "DET"
+    else if (Irregular(lower) || lower.endsWith("ed") ||
+      lower.endsWith("ing") ||
+      (lower.length > 3 && lower.endsWith("s") && !lower.endsWith("ss")))
+      "VERB"
+    else "NOUN"
+  }
+
+  /** Longest span of `pat` starting at `i`, or -1. Backtracking over the
+    * tiny optional/repeat elements (patterns are ≤6 elements). */
+  private def matchAt(toks: Array[(String, String)], i: Int,
+                      pat: List[Elem]): Int = pat match {
+    case Nil => i
+    case Cls(c) :: rest =>
+      if (i < toks.length && toks(i)._2 == c) matchAt(toks, i + 1, rest)
+      else -1
+    case Plus(c) :: rest =>
+      var j = i
+      while (j < toks.length && toks(j)._2 == c) j += 1
+      // greedy with backoff: longest repeat first
+      var e = -1
+      while (e < 0 && j > i) { e = matchAt(toks, j, rest); j -= 1 }
+      e
+    case Star(c) :: rest =>
+      var j = i
+      while (j < toks.length && toks(j)._2 == c) j += 1
+      var e = -1
+      while (e < 0 && j >= i) { e = matchAt(toks, j, rest); j -= 1 }
+      e
+    case OptCls(c) :: rest =>
+      val viaOne = if (i < toks.length && toks(i)._2 == c)
+        matchAt(toks, i + 1, rest) else -1
+      if (viaOne >= 0) viaOne else matchAt(toks, i, rest)
+    case OptLit(w) :: rest =>
+      val viaOne = if (i < toks.length && toks(i)._1.toLowerCase == w)
+        matchAt(toks, i + 1, rest) else -1
+      if (viaOne >= 0) viaOne else matchAt(toks, i, rest)
+  }
+
+  def recognize(text: String): (Seq[RecognizedEntity],
+      Seq[RecognizedRelation]) = {
+    val sentences = sentRe.split(text).map(_.strip).filter(_.nonEmpty)
+    val ents = scala.collection.mutable.LinkedHashMap[String, RecognizedEntity]()
+    val rels = scala.collection.mutable.ArrayBuffer[RecognizedRelation]()
+    sentences.foreach { s =>
+      val m = tokRe.matcher(s)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (m.find()) { val t = m.group(); buf += ((t, classify(t))) }
+      val toks = buf.toArray
+      toks.foreach { case (t, c) =>
+        if (c == "ENT" && !ents.contains(t))
+          ents(t) = RecognizedEntity(t, "ENT", s)
+      }
+      var i = 0
+      while (i < toks.length) {
+        Patterns.foreach { pat =>
+          val end = matchAt(toks, i, pat)
+          if (end > i) {
+            val span = toks.slice(i, end)
+            val entToks = span.collect { case (t, "ENT") => t }
+            val source = entToks.headOption.getOrElse(span.head._1)
+            val target = if (entToks.length > 1) entToks(1)
+              else span.last._1
+            rels += RecognizedRelation(source, target,
+              span.map(_._1).mkString(" "))
+          }
+        }
+        i += 1
+      }
+    }
+    (ents.values.toSeq, rels.toSeq.distinct)
+  }
+}
+
+object PatternRecognizer {
+  sealed trait Elem
+  final case class Cls(c: String) extends Elem
+  final case class Plus(c: String) extends Elem
+  final case class Star(c: String) extends Elem
+  final case class OptCls(c: String) extends Elem
+  final case class OptLit(w: String) extends Elem
+
+  /** The 5 reference patterns (graph.py:37-94), POS → token class. */
+  val Patterns: List[List[Elem]] = List(
+    // ENT_VERB_ENT: {ENT_TYPE}, {POS: VERB, OP: +}, {ENT_TYPE}
+    List(Cls("ENT"), Plus("VERB"), Cls("ENT")),
+    // ENT_PREP_ENT: {ENT_TYPE}, {AUX *}, {VERB}, {ADP}, {ENT_TYPE}
+    List(Cls("ENT"), Star("AUX"), Cls("VERB"), Cls("ADP"), Cls("ENT")),
+    // ENT_POSSESSIVE_ENT: {ENT}, {PUNCT ?}, {'s ?}, {NOUN}, {is ?}, {ENT}
+    List(Cls("ENT"), OptCls("PUNCT"), OptCls("POSS"), Cls("NOUN"),
+      OptLit("is"), Cls("ENT")),
+    // ENT_APPOSITION_ENT: {ENT}, {PUNCT ?}, {NOUN +}, {of ?}, {ENT}
+    List(Cls("ENT"), OptCls("PUNCT"), Plus("NOUN"), OptLit("of"),
+      Cls("ENT")),
+    // ENT_ATTRIBUTE_ENT: {ENT}, {PUNCT ?}, {NOUN}, {LIKE_NUM}
+    List(Cls("ENT"), OptCls("PUNCT"), Cls("NOUN"), Cls("NUM")))
+
+  val Aux: Set[String] = Set("is", "are", "was", "were", "am", "be",
+    "been", "being", "has", "have", "had", "do", "does", "did", "will",
+    "would", "shall", "should", "can", "could", "may", "might", "must")
+  val Adp: Set[String] = Set("of", "in", "on", "at", "by", "for",
+    "with", "from", "to", "into", "onto", "over", "under", "about",
+    "after", "before", "between", "through", "during", "against",
+    "among", "around", "upon", "near", "within", "without", "across",
+    "behind", "beyond", "toward", "towards")
+  val Det: Set[String] = Set("the", "a", "an", "this", "that", "these",
+    "those", "his", "her", "its", "their", "our", "my", "your", "some",
+    "any", "each", "every", "no", "all", "both")
+  val NumWords: Set[String] = Set("zero", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine", "ten", "eleven", "twelve",
+    "hundred", "thousand", "million", "billion", "first", "second",
+    "third")
+  /** Irregular/suffix-free verbs the -ed/-ing/-s heuristic misses. */
+  val Irregular: Set[String] = Set("born", "met", "made", "wrote",
+    "won", "ran", "led", "built", "became", "began", "bought", "sold",
+    "took", "gave", "went", "saw", "said", "held", "kept", "knew",
+    "left", "lost", "paid", "sent", "set", "told", "got", "grew",
+    "drove", "chose", "spoke", "wore", "broke", "threw", "taught",
+    "caught", "brought", "thought", "stood", "found")
+}
+
 object Graph {
 
   def entityDef(name: String = "entity"): TableDef[GraphEntity] = {

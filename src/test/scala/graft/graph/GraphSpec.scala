@@ -91,6 +91,80 @@ class GraphSpec extends SparkSpecBase {
     assert(uids.contains("c1")) // the Spark chunk must surface
   }
 
+  // PatternRecognizer: the 5 reference matcher patterns (graph.py:37-94),
+  // POS-free. Each test mirrors one pattern's span semantics
+  // (graph.py:113-139: source = first ENT, target = second ENT or the
+  // span's last token, description = span text).
+  test("pattern ENT_VERB_ENT: ENT VERB+ ENT") {
+    val (_, rels) = PatternRecognizer().recognize("Alice founded Acme.")
+    val r = rels.find(_.description == "Alice founded Acme")
+    assert(r.isDefined)
+    assert(r.get.source === "Alice" && r.get.target === "Acme")
+  }
+
+  test("pattern ENT_PREP_ENT: ENT AUX* VERB ADP ENT") {
+    val (_, rels) = PatternRecognizer()
+      .recognize("Obama was born in Hawaii.")
+    val r = rels.find(_.description == "Obama was born in Hawaii")
+    assert(r.isDefined)
+    assert(r.get.source === "Obama" && r.get.target === "Hawaii")
+    // zero-aux variant also matches (OP: * allows empty)
+    val (_, rels2) = PatternRecognizer()
+      .recognize("Alice works at Acme.")
+    assert(rels2.exists(r => r.source == "Alice" && r.target == "Acme" &&
+      r.description == "Alice works at Acme"))
+  }
+
+  test("pattern ENT_POSSESSIVE_ENT: ENT PUNCT? 's? NOUN is? ENT") {
+    val (_, rels) = PatternRecognizer()
+      .recognize("Obama's wife is Michelle.")
+    val r = rels.find(_.description == "Obama 's wife is Michelle")
+    assert(r.isDefined)
+    assert(r.get.source === "Obama" && r.get.target === "Michelle")
+  }
+
+  test("pattern ENT_APPOSITION_ENT: ENT PUNCT? NOUN+ of? ENT") {
+    val (_, rels) = PatternRecognizer()
+      .recognize("Paris , capital of France")
+    val r = rels.find(_.description == "Paris , capital of France")
+    assert(r.isDefined)
+    assert(r.get.source === "Paris" && r.get.target === "France")
+  }
+
+  test("pattern ENT_ATTRIBUTE_ENT: ENT PUNCT? NOUN LIKE_NUM") {
+    val (_, rels) = PatternRecognizer()
+      .recognize("Acme revenue 2024 grew")
+    val r = rels.find(_.description == "Acme revenue 2024")
+    assert(r.isDefined)
+    // one ENT in span: target falls back to the span's last token
+    // (graph.py:133-136)
+    assert(r.get.source === "Acme" && r.get.target === "2024")
+  }
+
+  test("pattern recognizer: entities are capitalized/vocab tokens, " +
+      "deduped in order; vocab extends ENT class") {
+    val (ents, _) = PatternRecognizer()
+      .recognize("Spark beats Spark. Flink differs.")
+    assert(ents.map(_.text) === Seq("Spark", "Flink"))
+    // lowercase vocab terms become ENT and participate in patterns
+    val (ents2, rels2) = PatternRecognizer(vocab = Seq("spark", "flink"))
+      .recognize("spark outperforms flink")
+    assert(ents2.map(_.text) === Seq("spark", "flink"))
+    assert(rels2.exists(r => r.source == "spark" && r.target == "flink"))
+  }
+
+  test("pattern recognizer works through extractFromChunks") {
+    val sp = spark
+    import sp.implicits._
+    val chunks = Seq(
+      ("c1", "Alice founded Acme. Obama was born in Hawaii."))
+      .toDF("uid", "text")
+    val (entsDf, relsDf) = Graph.extractFromChunks(spark, chunks,
+      "uid", "text", PatternRecognizer())
+    assert(entsDf.count() >= 4)
+    assert(relsDf.count() >= 2)
+  }
+
   test("search with no recognizable entities returns empty") {
     val (reg, ents, rels, emb) = fresh()
     val sp = spark
