@@ -26,15 +26,25 @@ object Bench {
         ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Per-query min over SPARK_GRAFT_PASSES runs (default 2): the host
+    // has external load spikes, and the min is the standard noise
+    // filter. A pass that throws reports -1 regardless of other passes.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    def once(fn: (SparkSession, String) => org.apache.spark.sql
+        .DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to passes).map(_ => once(fn))
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

@@ -81,15 +81,54 @@ object Bm25 {
   /** Memoized [[build]]: the reference separates `create_index` (once)
     * from queries (many, client.py:146-174 vs 356-380) — callers that
     * re-enter with the same corpus key reuse the materialized index
-    * instead of re-aggregating the corpus. */
+    * instead of re-aggregating the corpus.
+    *
+    * Callers must put a CONTENT version in the key ([[dirVersion]] for
+    * file-backed corpora, the catalog version for Registry tables —
+    * core/Engine.scala keyword path): a path-only key goes stale when
+    * files are replaced under the same path. Bounded: on overflow the
+    * oldest entry is dropped and its postings unpersisted, so stale
+    * versions don't pin executor storage. */
+  private val MaxCached = 8
   private val cache =
-    scala.collection.concurrent.TrieMap[String, Bm25Index]()
+    scala.collection.mutable.LinkedHashMap[String, Bm25Index]()
   def buildCached(docs: DataFrame, idCol: String, textCol: String,
                   key: String,
                   tok: graft.functions.Tokenizers.Tokenizer =
                     graft.functions.Tokenizers.Simple): Bm25Index =
-    cache.getOrElseUpdate(s"$key|${tok.name}",
-      build(docs, idCol, textCol, tok))
+    cache.synchronized {
+      cache.getOrElseUpdate(s"$key|${tok.name}", {
+        while (cache.size >= MaxCached) {
+          val (_, old) = cache.head
+          old.postings.unpersist(false)
+          cache.remove(cache.head._1)
+        }
+        build(docs, idCol, textCol, tok)
+      })
+    }
+
+  /** Content version of a file-backed corpus path: order-independent
+    * hash of the (file path, length, mtime) manifest. Cheap (one
+    * driver-side listing) and changes whenever any data file under the
+    * path is added, removed, or rewritten. */
+  def dirVersion(spark: org.apache.spark.sql.SparkSession,
+                 path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var acc = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        var h = f.getPath.toString.hashCode.toLong
+        h = h * 1000003L + f.getLen
+        h = h * 1000003L + f.getModificationTime
+        acc ^= h * -7046029254386353131L // order-independent combine
+      }
+      java.lang.Long.toHexString(acc)
+    }
+  }
 
   /** Okapi BM25 idf: ln((N - df + 0.5)/(df + 0.5) + 1). */
   def idf(df: Column, n: Long): Column =

@@ -84,17 +84,27 @@ object Dedup {
     * map is the common heavy prefix of every near-dup family). Keyed by
     * the semantic hash of the input plan, so "same corpus" is decided by
     * Catalyst, not by reference identity. */
-  private val setsCache =
-    scala.collection.concurrent.TrieMap[(Int, Int, String, Int), DataFrame]()
+  private val MaxCachedSets = 8
+  private val setsCache = scala.collection.mutable
+    .LinkedHashMap[(Int, Int, String, Int), DataFrame]()
   private def shingleSetsCached(docs: DataFrame, idCol: String,
                                 textCol: String, n: Int): DataFrame =
-    setsCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession),
-        docs.queryExecution.analyzed.semanticHash(), s"$idCol|$textCol", n), {
-        val s = shingleSets(docs, idCol, textCol, n).persist()
-        s.count()
-        s
-      })
+    setsCache.synchronized {
+      setsCache.getOrElseUpdate(
+        (System.identityHashCode(docs.sparkSession),
+          docs.queryExecution.analyzed.semanticHash(),
+          s"$idCol|$textCol", n), {
+          // bounded: evict oldest + unpersist so replaced corpora don't
+          // pin executor storage forever
+          while (setsCache.size >= MaxCachedSets) {
+            setsCache.head._2.unpersist(false)
+            setsCache.remove(setsCache.head._1)
+          }
+          val s = shingleSets(docs, idCol, textCol, n).persist()
+          s.count()
+          s
+        })
+    }
 
   /** Per-doc distinct shingle sets, pre-hashed: (id, sh array<long>, sz).
     * Shingles are xxhash64'd ONCE here — every consumer (df counting,

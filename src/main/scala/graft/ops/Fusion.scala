@@ -29,8 +29,14 @@ object Fusion {
   def ranked(df: DataFrame, idCol: String, scoreCol: String,
              asc: Boolean, maxRows: Int = 100000): DataFrame = {
     val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
-    df.withColumn("rank",
-        row_number().over(Window.orderBy(ord, col(idCol).asc)))
+    // rank by construction instead of a global window: pin the ≤k rows
+    // to one partition, sort within it, number by in-partition row order
+    // (monotonically_increasing_id is 0..n-1 on partition 0) — same
+    // single-core O(k) work the contract already mandates, without a
+    // WindowExec-moves-everything warning muddying real scale signals
+    df.coalesce(1).sortWithinPartitions(ord, col(idCol).asc)
+      .withColumn("rank",
+        (monotonically_increasing_id() + 1).cast("int"))
       .withColumn("rank",
         when(col("rank") > maxRows, raise_error(
           lit(s"Fusion.ranked input exceeds $maxRows rows — " +

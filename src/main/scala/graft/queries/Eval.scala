@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.eval.Metrics
+import graft.core.Registry
+import graft.eval.{GroundTruth, Metrics, OverlapJudge, Retrieved}
 import graft.ops.Ann
 import Tables._
 
@@ -62,9 +63,68 @@ object Eval {
         round(col(s"precision_$K"), 6).as(s"precision_$K"),
         round(col("mrr"), 6).as("mrr"))
 
+  /** e04: the full GroundTruth loop (groundtruth.py:36-127) under the
+    * oracle gate. Queries = the first 8 tokens of documents 0..7;
+    * retrieval = docs ranked by distinct-token overlap with the query
+    * (desc, doc_id asc) — computed ONCE distributed (queries broadcast,
+    * Q≪N like the kNN join; the per-query top-k window partitions on
+    * the 8 qids, fine for bounded Q). generate() judges the top-20
+    * with [[OverlapJudge]] (score ≥ 2 ⟺ 2·|q∩p| ≥ |q|, exact integer
+    * form) and persists the truth lists; evaluate() re-retrieves at
+    * top-10 and macro-averages ndcg / map / recall@10 — the depth gap
+    * makes recall non-trivial, like the reference's generate-at-100 /
+    * evaluate-at-10 example (groundtruth.py:58-66, 104). */
+  val NGtQ = 8
+  val KGen = 20
+
+  def groundtruthLoop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = documents(s, d)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .withColumn("rt",
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")))
+    val docs = raw.select(col("id"), col("text"),
+      array_distinct(col("rt")).as("dt"))
+    val qs = raw.filter(col("id") < NGtQ)
+      .select(col("id").as("qid"),
+        concat_ws(" ", slice(col("rt"), 1, 8)).as("qtext"),
+        array_distinct(slice(col("rt"), 1, 8)).as("qt"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("ov").desc, col("id").asc)
+    val ranked = docs.crossJoin(broadcast(qs))
+      .withColumn("ov", size(array_intersect(col("dt"), col("qt"))))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= KGen)
+      .select("qid", "rank", "id", "text", "qtext")
+      .orderBy("qid", "rank")
+      .collect()
+    val byText: Map[String, Seq[Retrieved]] = ranked
+      .groupBy(_.getAs[String]("qtext"))
+      .map { case (qt, rows) =>
+        qt -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => Retrieved(r.getAs[Long]("id").toString,
+            r.getAs[String]("text"))).toSeq
+      }
+    val qtexts = ranked.map(_.getAs[String]("qtext")).distinct.sorted.toSeq
+    val retrieveGen: String => Seq[Retrieved] = q => byText.getOrElse(q, Nil)
+    val retrieveEval: String => Seq[Retrieved] =
+      q => byText.getOrElse(q, Nil).take(K)
+    val reg = new Registry(s,
+      java.nio.file.Files.createTempDirectory("graft_e04").toString)
+    val gt = new GroundTruth("e04", reg)
+    gt.generate(qtexts, retrieveGen, OverlapJudge())
+    val m = gt.evaluate(retrieveEval, topk = K)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((r6(m("ndcg")), r6(m("map")), r6(m(s"recall_$K"))))
+      .toDF("ndcg", "map", s"recall_$K")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e02_metrics_knn" -> metricsKnn,
-    "e03_metrics_macro" -> metricsMacro)
+    "e03_metrics_macro" -> metricsMacro,
+    "e04_groundtruth_loop" -> groundtruthLoop)
 
   /** Shared oracle CTE chain: ranked top-10 per query with binary
     * relevance, cumulative precision, per-query measures. */
@@ -119,6 +179,54 @@ object Eval {
   val oracles: Map[String, String] = Map(
     "e02_metrics_knn" ->
       s"$perQuerySql SELECT * FROM meas ORDER BY qid",
+    // e04: recompute the whole loop from first principles — tokenize,
+    // rank by distinct-token overlap, judge top-KGen (relevance ⟺
+    // 2·|q∩p| ≥ |q|, the integer form of OverlapJudge's round(frac·3) ≥ 2
+    // threshold), then evaluateOne over the top-K prefix.
+    "e04_groundtruth_loop" ->
+      s"""WITH rt AS (SELECT doc_id AS id,
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x != '') AS toks
+            FROM documents),
+        d AS (SELECT id, list_distinct(toks) AS dt FROM rt),
+        q AS (SELECT id AS qid, list_distinct(toks[1:8]) AS qt
+              FROM rt WHERE id < $NGtQ),
+        ranked AS (SELECT qid, id, rel, rank FROM (
+            SELECT q.qid, d.id,
+                   CAST(2 * len(list_intersect(d.dt, q.qt)) >= len(q.qt)
+                     AS INT) AS rel,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY len(list_intersect(d.dt, q.qt)) DESC,
+                              d.id ASC) AS rank
+            FROM q CROSS JOIN d) WHERE rank <= $KGen),
+        tsz AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_truth
+                FROM ranked GROUP BY 1),
+        cum AS (SELECT qid, rel, rank,
+                       sum(rel) OVER (PARTITION BY qid ORDER BY rank)
+                         AS cum_rel
+                FROM ranked WHERE rank <= $K),
+        perq AS (SELECT qid,
+            sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0 END)
+              AS dcg,
+            sum(CASE WHEN rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank
+                ELSE 0 END) AS ap_num,
+            sum(rel) AS rel_at_k
+          FROM cum GROUP BY 1),
+        idcg AS (SELECT qid, sum(1.0 / log2(i + 1.0)) AS idcg
+                 FROM (SELECT qid, unnest(generate_series(1, n_truth)) AS i
+                       FROM tsz)
+                 GROUP BY 1),
+        meas AS (SELECT p.qid,
+            CASE WHEN t.n_truth > 0 THEN p.dcg / i.idcg ELSE 0 END AS ndcg,
+            CASE WHEN t.n_truth > 0 THEN p.ap_num / t.n_truth ELSE 0 END
+              AS map,
+            CASE WHEN t.n_truth > 0
+              THEN CAST(p.rel_at_k AS DOUBLE) / t.n_truth ELSE 0 END
+              AS recall_$K
+          FROM perq p JOIN tsz t USING (qid) LEFT JOIN idcg i USING (qid))
+        SELECT round(avg(ndcg), 6) AS ndcg, round(avg(map), 6) AS map,
+               round(avg(recall_$K), 6) AS recall_$K
+        FROM meas""",
     "e03_metrics_macro" ->
       s"""$perQuerySql,
         raw AS (

@@ -63,9 +63,13 @@ object Retrieval {
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
-    * corpus dir — create_index vs query separation). */
+    * corpus dir — create_index vs query separation). The cache key
+    * carries the dir's content version ([[Bm25.dirVersion]]), so
+    * rewriting files under the same path invalidates the index — same
+    * pattern as Engine's catalog-versioned keyword key. */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
-    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text", d)
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text",
+      s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
     Bm25.search(idx, Bm25Query, 10)
   }
 

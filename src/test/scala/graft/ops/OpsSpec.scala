@@ -105,6 +105,28 @@ class OpsSpec extends SparkSpecBase {
     assert(hits(0).getAs[Double]("score") === rounded)
   }
 
+  test("bm25 cache: rewriting the corpus dir changes dirVersion and " +
+      "invalidates the cached index") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ver").toString
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "t")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def key() = s"$dir|${Bm25.dirVersion(sp, dir)}"
+    val idx1 = Bm25.buildCached(sp.read.parquet(dir), "id", "t", key())
+    assert(idx1.n === 2)
+    // same content → same key → the SAME index instance comes back
+    val idx1b = Bm25.buildCached(sp.read.parquet(dir), "id", "t", key())
+    assert(idx1b eq idx1)
+    // mutate the corpus under the same path → version changes → rebuild
+    Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("id", "t").coalesce(1).write.mode("overwrite").parquet(dir)
+    val idx2 = Bm25.buildCached(sp.read.parquet(dir), "id", "t", key())
+    assert(idx2.n === 3)
+    assert(Bm25.dirVersion(sp, dir) !== "absent")
+  }
+
   test("rrf is invariant to list order and matches 1/(k+rank) sums") {
     val sp = spark
     import sp.implicits._

@@ -28,6 +28,57 @@ class ExtractEmbedSpec extends SparkSpecBase {
     assert(Extract.extract(".html", html) === "hi")
   }
 
+  // hand-authored minimal PDF: catalog/pages/page + one content stream
+  private def fixturePdf(stream: String, filter: String = ""): Array[Byte] = {
+    val body = if (filter == "/FlateDecode") {
+      val d = new java.util.zip.Deflater()
+      d.setInput(stream.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      new String(buf, 0, n, "ISO-8859-1")
+    } else stream
+    val filt = if (filter.nonEmpty) s" /Filter $filter" else ""
+    (s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+       |4 0 obj << /Length ${body.length}$filt >>
+       |stream
+       |$body
+       |endstream endobj
+       |trailer << /Root 1 0 R >>
+       |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+  }
+
+  test("pdf extraction: literal content stream, Tj/TJ/escapes/hex") {
+    val content = "BT /F1 12 Tf 72 712 Td (Hello \\(PDF\\) World) Tj " +
+      "0 -14 Td [(spl) -20 (it array)] TJ " +
+      "0 -14 Td <48657821> Tj ET"
+    val text = Extract.pdf(fixturePdf(content))
+    assert(text.contains("Hello (PDF) World"))
+    assert(text.contains("split array")) // TJ pieces concatenate
+    assert(text.contains("Hex!"))        // hex string decodes
+    // Td line moves separate the shows
+    assert(text.linesIterator.size >= 3)
+  }
+
+  test("pdf extraction: FlateDecode stream and octal escapes") {
+    val content = "BT (Compressed \\164ext) Tj ET" // \164 = 't'
+    val text = Extract.pdf(fixturePdf(content, "/FlateDecode"))
+    assert(text === "Compressed text")
+    // dispatch integration + NFKC
+    assert(Extract.extract(".pdf",
+      fixturePdf(content, "/FlateDecode")) === "Compressed text")
+  }
+
+  test("pdf extraction: non-PDF bytes and image streams yield nothing") {
+    assert(Extract.pdf("not a pdf".getBytes("UTF-8")) === "")
+    val img = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 4 >>\n" +
+      "stream\n\nendstream endobj\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(Extract.pdf(img) === "")
+  }
+
   test("hash embedder is deterministic, unit-norm, dimension-correct") {
     val e = HashEmbedder(dim = 64)
     val v1 = e.embedChunk("the quick brown fox")
