@@ -52,6 +52,31 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("dedup verify joins are shuffle joins, not forced broadcasts") {
+    // with auto-broadcast off, no BroadcastExchange may remain on the
+    // per-doc set tables: a forced broadcast of |docs|×~2KB of shingle
+    // hashes is an executor-OOM at corpus scale (VERDICT r03 #1). AQE
+    // may still SIZE-gate a broadcast in production — the assertion is
+    // that no unconditional hint exists.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      for (df <- Seq(
+        graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5),
+        graft.ops.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5))) {
+        val p = plan(df)
+        assert(!p.contains("BroadcastExchange"),
+          s"verify stage must not force-broadcast the set table:\n$p")
+        assert(p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"))
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("knnJoin plan contains no cartesian/broadcast nested loop join") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)
