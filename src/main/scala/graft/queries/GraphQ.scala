@@ -85,7 +85,7 @@ object GraphQ {
 
   val oracles: Map[String, String] = Map(
     "g01_entity_merge" ->
-      s"""SELECT token AS text, COUNT(DISTINCT doc_id) AS n_chunks
+      s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks
          FROM (
            SELECT doc_id,
                   unnest(list_filter(

@@ -269,7 +269,9 @@ object Relational {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""",
     "q07_window_topn" ->
-      """SELECT * FROM (
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                CAST(rn AS INTEGER) AS rn
+         FROM (
            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_suppkey
                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn

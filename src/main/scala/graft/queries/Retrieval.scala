@@ -132,7 +132,8 @@ object Retrieval {
   private def hybridLists(s: SparkSession, d: String): Seq[DataFrame] = {
     val vecList = Ann.topK(embeddings(s, d), "vec_id", "embedding",
       qvec(s, d, 7), Ann.Cosine, 20).select("vec_id", "dist")
-    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text", d)
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text",
+      s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
     val kwList = Bm25.search(idx, "group hash join", 20)
     Seq(
       Fusion.ranked(vecList, "vec_id", "dist", asc = true),
@@ -273,7 +274,7 @@ object Retrieval {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY dist ASC, d_id ASC) AS rank
                 FROM scored)
-          SELECT q_id, d_id, dist, rank FROM r WHERE rank <= 3""",
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3""",
     "r05_bm25_topk" ->
       s"""WITH ${bm25Cte(Seq("spark", "filter", "join"))}
           SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
@@ -320,6 +321,7 @@ object Retrieval {
           f AS (SELECT id, rank, src,
                   row_number() OVER (PARTITION BY id ORDER BY src ASC, rank ASC)
                     AS occ FROM u)
-          SELECT id, rank, src FROM f WHERE occ = 1
+          SELECT id, CAST(rank AS INTEGER) AS rank, src FROM f
+          WHERE occ = 1
           ORDER BY src ASC, rank ASC LIMIT 10""")
 }

@@ -37,6 +37,27 @@ object Stream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact dedup for continuous document ingest — the
+    * incremental form of the batch hash-dedup (ops/Dedup.exactDedup,
+    * reference digest dedup load.py:46): drop every record whose content
+    * digest was already seen, with state bounded by the event-time
+    * watermark (a duplicate arriving later than `watermark` after the
+    * original is passed through — the documented at-scale trade; widen
+    * the watermark to widen the guarantee). Works identically in batch
+    * mode, where it degenerates to a full exact dedup. */
+  def dedupByDigest(docs: DataFrame, tsCol: String, contentCol: String,
+                    watermark: String = "1 hour"): DataFrame = {
+    val digested = docs
+      .withColumn("__digest", sha2(col(contentCol).cast("string"), 256))
+    val deduped =
+      if (docs.isStreaming)
+        digested.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__digest")
+      else // batch twin: the bounded-state operator is streaming-only
+        digested.dropDuplicates("__digest")
+    deduped.drop("__digest")
+  }
+
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With
     * `timeoutMs > 0` state times out after that much processing-time

@@ -66,6 +66,41 @@ class StreamSpec extends SparkSpecBase {
     assert(rows.contains((8L, 1L, 4.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicate digests") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Stream.dedupByDigest(
+        input.toDF().toDF("id", "ts", "text"), "ts", "text",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts(1), "same content"),
+      (2L, ts(2), "same content"), // duplicate digest → dropped
+      (3L, ts(3), "other content"))
+    q.processAllAvailable()
+    input.addData((4L, ts(5), "same content")) // still within watermark
+    q.processAllAvailable()
+    val ids = spark.table("dd").collect().map(_.getAs[Long]("id")).sorted
+    q.stop()
+    assert(ids === Array(1L, 3L))
+  }
+
+  test("the same dedup code runs in batch mode") {
+    val sp = spark
+    import sp.implicits._
+    val batch = Seq(
+      (1L, ts(1), "same content"),
+      (2L, ts(2), "same content"),
+      (3L, ts(3), "other content")).toDF("id", "ts", "text")
+    val out = Stream.dedupByDigest(batch, "ts", "text").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("text")).sorted ===
+      Array("other content", "same content"))
+  }
+
   test("kmeans ivf recovers planted blobs") {
     val sp = spark
     import sp.implicits._
