@@ -456,13 +456,19 @@ object Dedup {
     * once counts stabilize — the anti-join never runs on a
     * non-converged iteration.
     *
+    * Scale-adaptive: below `smallGraphEdges` canonical edges the
+    * whole graph is exact-union-found on the driver in one collect
+    * (size-gated like AQE's plan choices; set 0 to force the
+    * distributed path). Both paths produce identical min-id labels.
+    *
     * Only ids appearing in `pairs` are returned; callers union
     * untouched ids as their own component (see [[dedupByPairs]]). */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                 maxRounds: Int = 25): DataFrame = {
+                 maxRounds: Int = 25,
+                 smallGraphEdges: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = pairs.sparkSession
     val empty = {
-      val spark = pairs.sparkSession
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "component")
     }
@@ -478,6 +484,38 @@ object Dedup {
       .localCheckpoint(true)
     var prevCnt = edges0.count()
     if (prevCnt == 0L) return empty
+    // Scale-adaptive fast path (the count above gates it, like AQE's
+    // size-gated plan choices): a pair graph under `smallGraphEdges`
+    // is exact-union-find territory — one collect of (u,v) longs
+    // (≤16 MB at the default gate) replaces O(log n) shuffle
+    // iterations whose per-job fixed overhead dominates at this size.
+    // The distributed large/small-star path below is the corpus-scale
+    // route and stays the default above the gate.
+    if (prevCnt <= smallGraphEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      val collected = edges0.collect()
+      val ids = scala.collection.mutable.LongMap.empty[Boolean]
+      collected.foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        ids(u) = true; ids(v) = true
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { // union by min id → labels = component minima
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      import spark.implicits._
+      return ids.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
     val wu = Window.partitionBy("u")
     // large-star: m(u) = min over u's full neighborhood (∪ {u});
     // connect every LARGER neighbor v to m — (v, m) keeps v > m

@@ -233,6 +233,18 @@ class OpsSpec extends SparkSpecBase {
     assert(comp.length === 40 && comp.forall(_._2 === 0L))
     assert(Dedup.components(Seq.empty[(Long, Long)].toDF("a", "b"))
       .count() === 0)
+    // force the DISTRIBUTED large/small-star path (smallGraphEdges=0)
+    // and check it labels identically to the driver union-find path
+    val dist = Dedup.components(path, smallGraphEdges = 0L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+    assert(dist.sortBy(_._1) === comp.sortBy(_._1))
+    val chains = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val distChains = Dedup.components(chains, smallGraphEdges = 0L)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(distChains === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
   test("cosine-LSH near-dup finds planted noisy duplicates, no strangers") {
