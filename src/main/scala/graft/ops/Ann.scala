@@ -80,7 +80,7 @@ object Ann {
   }
 
   /** HALF_UP rounding identical to Spark's / DuckDB's `round`. */
-  private def roundScala(v: Double, scale: Int): Double =
+  private[graft] def roundScala(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** [[roundScala]] without the per-call BigDecimal allocation on the
@@ -92,7 +92,7 @@ object Ann {
     * slow paths agree bit-for-bit. Heap comparisons in the kNN hot loop
     * therefore keep EXACTLY the rounded ordering (tie-breaks included)
     * at ~zero allocation cost. */
-  private def roundFast(v: Double, scale: Int, pow: Double): Double = {
+  private[graft] def roundFast(v: Double, scale: Int, pow: Double): Double = {
     val y = v * pow
     if (math.abs(y) >= (1L << 52).toDouble) return roundScala(v, scale)
     val f = math.floor(y)

@@ -118,6 +118,58 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("roundFast equals BigDecimal rounding bit-for-bit") {
+    val rnd = new scala.util.Random(17)
+    for (scale <- 0 to 8) {
+      val pow = math.pow(10.0, scale)
+      // broad magnitudes
+      (0 until 20000).foreach { _ =>
+        val v = (rnd.nextDouble() * 2 - 1) *
+          math.pow(10.0, rnd.nextInt(9) - 4)
+        assert(Ann.roundFast(v, scale, pow) === Ann.roundScala(v, scale),
+          s"v=$v scale=$scale")
+      }
+      // adversarial: values landing exactly on / near the .5 boundary
+      (0 until 5000).foreach { _ =>
+        val base = (rnd.nextInt(2000001) - 1000000).toDouble
+        val v = (base + 0.5) / pow
+        Seq(v, math.nextUp(v), math.nextDown(v), -v).foreach { x =>
+          assert(Ann.roundFast(x, scale, pow) === Ann.roundScala(x, scale),
+            s"x=$x scale=$scale")
+        }
+      }
+    }
+    // huge magnitudes overflow the fast path's integer range → fallback
+    Seq(1e18, -3.7e20, 9.99e15).foreach { v =>
+      assert(Ann.roundFast(v, 6, 1e6) === Ann.roundScala(v, 6))
+    }
+  }
+
+  test("closestPairs triangle join equals brute force on random vectors") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val dim = 8
+    val vecs = (0L until n).map(i =>
+      (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("id", "vec")
+    for (metric <- Seq[Ann.Metric](Ann.L2, Ann.Cosine)) {
+      val got = Dedup.closestPairs(df, "id", "vec", metric, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2)))
+      // brute force over all unordered pairs with identical rounding
+      val brute = (for {
+        i <- 0 until n; j <- i + 1 until n
+      } yield {
+        val d = Ann.roundScala(metric.distScala(
+          vecs(i)._2.toArray, vecs(j)._2.toArray), 6)
+        (vecs(i)._1, vecs(j)._1, d)
+      }).sortBy(t => (t._3, t._1, t._2)).take(15)
+      assert(got.toSeq === brute.toSeq, metric.toString)
+    }
+  }
+
   test("shingles column matches shinglesScala on random texts") {
     val sp = spark
     import sp.implicits._
