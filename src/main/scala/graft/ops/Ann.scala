@@ -284,6 +284,46 @@ object Ann {
       .limit(probes)
       .select(col(model.idCol))
 
+  /** IVF-accelerated batch kNN join — the corpus-scale ANN join shape:
+    * each query row replicates to its `probes` nearest cells (a map-only
+    * explode against the broadcast-literal centroid table), candidates
+    * come from ONE equi-join on `centroid_id` (co-partitioned with the
+    * doc table's cell partitioning; disk-partitioned cells prune at the
+    * scan), and per-query top-k is a partitioned window. Shuffle volume
+    * is |Q|·probes·(cell size), never |Q|·|N| — vs [[knnJoin]]'s exact
+    * broadcast-queries scan, this is the path when BOTH sides are large.
+    * Approximate with exactly [[searchIvf]]'s contract: a doc in an
+    * unprobed cell is invisible to that query. Deterministic given the
+    * deterministic model (ties: centroid id asc, then doc id asc). */
+  def knnJoinIvf(queries: DataFrame, qId: String, qVec: String,
+                 assigned: DataFrame, dId: String, dVec: String,
+                 model: IvfModel, metric: Metric, probes: Int, k: Int,
+                 roundTo: Int = 6): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] = model.centroids
+      .select(col(model.idCol).cast("long"), col(model.vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val centArr = typedlit(cents)
+    // nearest `probes` cells per query: literal-centroid struct scores,
+    // array_sort's lexicographic (dist, id) order = the probe tie-break
+    val scored = transform(centArr, c => struct(
+      metric.dist(col(qVec), c.getField("_2")).as("d"),
+      c.getField("_1").as("id")))
+    val probed = queries
+      .withColumn(model.idCol,
+        explode(transform(slice(array_sort(scored), 1, probes),
+          x => x.getField("id"))))
+    val cand = probed.join(assigned
+        .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
+      .withColumn("dist", round(metric.dist(col(qVec), col(dVec)), roundTo))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("dist").asc, col(dId).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(dId), col("dist"), col("rank"))
+  }
+
   /** IVF-pruned ANN top-k: scan only the probed cells, then exact top-k
     * within them. `assigned` must carry a `centroid_id` column (from
     * [[assign]]); when the underlying table is disk-partitioned by it,

@@ -60,6 +60,21 @@ object Retrieval {
     Ann.knnJoin(queries, "q_id", "qv", docs, "d_id", "dv", Ann.L2, 3)
   }
 
+  /** IVF batch ANN join: 5 query vectors × top-3 docs each, probing the
+    * 2 nearest label-centroid cells — [[Ann.knnJoinIvf]], the
+    * both-sides-large scale path, under the oracle. */
+  def knnJoinIvfL2(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    Ann.knnJoinIvf(queries, "q_id", "qv",
+      assigned.select(col("vec_id").as("d_id"),
+        col("embedding").as("dv"), col("centroid_id")),
+      "d_id", "dv", model, Ann.L2, probes = 2, k = 3)
+  }
+
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
@@ -158,7 +173,8 @@ object Retrieval {
     "r06_maxsim_label" -> maxsimLabel,
     "r07_rrf_hybrid" -> rrfHybrid,
     "r08_hybrid_dedup" -> hybridDedup,
-    "r09_ann_rewrite_stored" -> annRewriteStored)
+    "r09_ann_rewrite_stored" -> annRewriteStored,
+    "r10_knn_join_ivf" -> knnJoinIvfL2)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -237,6 +253,47 @@ object Retrieval {
                  round(list_distance(a.embedding::DOUBLE[], $qv3), 6) AS dist
           FROM assigned a JOIN probes USING (centroid_id)
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r10: the IVF batch ANN join recomputed from first principles —
+    // label-mean centroids, min-dist assignment, per-query 2-probe cell
+    // set, candidates from the cell join, per-query top-3.
+    "r10_knn_join_ivf" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          cand AS (
+            SELECT p.q_id, a.vec_id AS d_id,
+                   round(list_distance(a.embedding::DOUBLE[], p.qv), 6)
+                     AS dist
+            FROM qprobes p JOIN assigned a USING (centroid_id)),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM cand)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
     "r09_ann_rewrite_stored" ->
       s"""WITH dims AS (
             SELECT CAST(label AS BIGINT) AS centroid_id, pos,

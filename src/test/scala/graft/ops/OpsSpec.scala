@@ -89,6 +89,44 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("knnJoinIvf: all-probe equals exact knnJoin; fewer probes " +
+      "restrict candidates to probed cells") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    // two well-separated blobs labeled 0/1
+    def blob(cx: Double, lab: Long, base: Long) = (0 until 12).map(i =>
+      (base + i, lab, Seq(cx + rng.nextGaussian() * 0.1,
+        cx + rng.nextGaussian() * 0.1)))
+    val rows = blob(0.0, 0L, 0L) ++ blob(8.0, 1L, 100L)
+    val e = rows.toDF("id", "label", "vec")
+    val model = Ann.buildIvf(e, "label", "vec")
+    val assigned = Ann.assign(e, "vec", model, Ann.L2)
+    val queries = e.filter(col("id").isin(0L, 100L))
+      .select(col("id").as("q_id"), col("vec").as("qv"))
+    val docs = assigned.select(col("id").as("d_id"),
+      col("vec").as("dv"), col("centroid_id"))
+    // probing every cell ⇒ identical to the exact join
+    val full = Ann.knnJoinIvf(queries, "q_id", "qv", docs, "d_id", "dv",
+        model, Ann.L2, probes = 2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4))
+    val exact = Ann.knnJoin(queries, "q_id", "qv",
+        docs.select(col("d_id"), col("dv")), "d_id", "dv",
+        Ann.L2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4))
+    assert(full.toSeq === exact.toSeq)
+    // probes=1 ⇒ each query only sees its own blob's cell
+    val one = Ann.knnJoinIvf(queries, "q_id", "qv", docs, "d_id", "dv",
+        model, Ann.L2, probes = 1, k = 100).collect()
+    assert(one.forall { r =>
+      val (q, dd) = (r.getLong(0), r.getLong(1))
+      (q < 100L) == (dd < 100L) // same blob only
+    })
+    assert(one.length === 24) // 12 candidates per query
+  }
+
   test("bm25 matches a hand-computed two-doc corpus") {
     val sp = spark
     import sp.implicits._
