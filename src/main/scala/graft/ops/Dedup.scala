@@ -129,6 +129,39 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
   }
 
+  /** Cross-corpus n-gram containment — benchmark DECONTAMINATION: for
+    * each benchmark document, the training documents containing at
+    * least `threshold` of its distinct n-gram shingles
+    * (containment(b, t) = |shingles(b) ∩ shingles(t)| / |shingles(b)|,
+    * the asymmetric overlap decontamination uses — a benchmark item
+    * fully quoted inside a long training doc scores 1.0 where Jaccard
+    * would vanish). Returns (bench_id, train_id, containment) at
+    * containment >= threshold.
+    *
+    * Scale shape: shingles join on their 64-bit hash; the benchmark
+    * side is small by the nature of the task (test sets are thousands
+    * of docs vs a 100 TB train corpus), so AQE broadcasts it and the
+    * train side streams map-side — no full shuffle of the train
+    * shingle table and no unconditional broadcast hint. */
+  def containmentPairs(bench: DataFrame, benchId: String, benchText: String,
+                       train: DataFrame, trainId: String, trainText: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       roundTo: Int = 6): DataFrame = {
+    val b = shingleSets(bench, benchId, benchText, n)
+      .filter(col("sz") > 0)
+      .select(col("id").as("b_id"), explode(col("sh")).as("h"),
+        col("sz").as("b_sz"))
+    val t = shingleSets(train, trainId, trainText, n)
+      .select(col("id").as("t_id"), explode(col("sh")).as("h"))
+    b.join(t, Seq("h"))
+      .groupBy("b_id", "t_id", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("b_sz"), roundTo))
+      .filter(col("containment") >= threshold)
+      .select(col("b_id"), col("t_id"), col("containment"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED inverted
     * index (the AllPairs/PPJoin family): each doc's shingles are sorted
     * by (global df asc, shingle) and only the first

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting — the train/val/test assignment a
+  * training-data pipeline needs to be REPRODUCIBLE and engine-portable:
+  * the split of a row depends only on its id (never on partitioning,
+  * sampling order, or a session seed), so re-running the pipeline — or
+  * recomputing the assignment in another engine — lands every document
+  * in the same split. (The reference has no splitting surface; this is
+  * a north-star extension like ops/Dedup.)
+  *
+  * Map-only: no shuffle, no state; at 100 TB it fuses into the scan.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the row id: the first 16 bits
+    * of md5(id-as-string), mod buckets. md5 (not xxhash64) so any
+    * engine reproduces the assignment bit-for-bit; the 16-bit source
+    * gives a ≤0.06% modulo bias at buckets=100 — negligible for split
+    * sizing and irrelevant to determinism. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % buckets).as("bucket")
+
+  /** Add a `split` column from (name, weight) fractions, e.g.
+    * Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)). Weights are
+    * normalized; boundaries are cumulative-weight thresholds over the
+    * [[hashBucket]] value, so splits are disjoint, exhaustive, and
+    * stable under re-runs and corpus growth (a document's split never
+    * changes when other documents are added). */
+  def withSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)],
+                buckets: Int = 100): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) =>
+      acc + w / total }.tail // cumulative upper fractions
+    val b = hashBucket(col(idCol), buckets)
+    // when-chain, first split outermost: bucket < ceil(hi·buckets) → name
+    val chain = weights.zip(bounds).reverse
+      .foldLeft(lit(weights.last._1)) { case (els, ((name, _), hi)) =>
+        when(b < math.ceil(hi * buckets - 1e-9).toInt, lit(name))
+          .otherwise(els)
+      }
+    df.withColumn("split", chain)
+  }
+}

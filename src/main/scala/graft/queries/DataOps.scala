@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, TextAnalysis}
+import graft.ops.{Ann, Dedup, Sampling, TextAnalysis}
 import Tables._
 
 /** Oracle-gated LLM-data-pipeline queries: dedup (exact, n-gram Jaccard,
@@ -126,7 +126,35 @@ object DataOps {
           n = 3, threshold = 0.5))
       .orderBy("id")
 
+  /** Benchmark decontamination: every 10th document plays the held-out
+    * benchmark set, the rest the training corpus; report training docs
+    * containing >= 30% of a benchmark doc's distinct 3-gram shingles
+    * ([[Dedup.containmentPairs]] — the asymmetric-overlap scan test-set
+    * leakage checks use). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.containmentPairs(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        n = 3, threshold = 0.3)
+      .orderBy(col("containment").desc, col("b_id").asc, col("t_id").asc)
+  }
+
+  /** Deterministic 80/10/10 hash split ([[Sampling.withSplit]]):
+    * per-split document counts + char mass. The assignment depends only
+    * on doc_id (md5-derived bucket), so the oracle reproduces it
+    * bit-for-bit and re-runs never move a document between splits. */
+  def hashSplits(s: SparkSession, d: String): DataFrame =
+    Sampling.withSplit(documents(s, d), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_decontaminate" -> decontaminate,
+    "p13_hash_splits" -> hashSplits,
     "p10_fingerprint_overlap" -> fingerprintOverlap,
     "p11_dup_clusters" -> dupClusters,
     "p01_dedup_exact" -> dedupExactStats,
@@ -177,6 +205,37 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p12_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+                  AS sh
+                FROM t),
+          bs AS (SELECT doc_id AS b_id, sh FROM s WHERE doc_id % 10 = 0),
+          bsz AS (SELECT b_id, count(*) AS b_sz FROM bs GROUP BY 1),
+          ts AS (SELECT doc_id AS t_id, sh FROM s WHERE doc_id % 10 <> 0),
+          inter AS (SELECT b_id, t_id, count(*) AS c
+                    FROM bs JOIN ts USING (sh) GROUP BY 1, 2),
+          cont AS (SELECT b_id, t_id,
+                     round(CAST(c AS DOUBLE) / b_sz, 6) AS containment
+                   FROM inter JOIN bsz USING (b_id))
+          SELECT b_id, t_id, containment FROM cont
+          WHERE containment >= 0.3
+          ORDER BY containment DESC, b_id ASC, t_id ASC""",
+    "p13_hash_splits" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 100 AS bucket
+           FROM documents),
+          sp AS (SELECT n_chars,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM b)
+          SELECT split, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM sp GROUP BY 1 ORDER BY 1""",
     "p01_dedup_exact" ->
       """WITH g AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
          SELECT CAST(sum(n) AS BIGINT) AS total_docs,

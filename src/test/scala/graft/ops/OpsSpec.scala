@@ -312,6 +312,57 @@ class OpsSpec extends SparkSpecBase {
     assert(cosvals.forall(_ >= 0.95))
   }
 
+  test("containmentPairs: quoted benchmark doc scores 1.0 against its " +
+      "containing train doc, asymmetric") {
+    val sp = spark
+    import sp.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((1L, benchText), (2L, "completely unrelated words " +
+      "about distributed query engines")).toDF("id", "text")
+    val train = Seq(
+      (10L, s"intro paragraph $benchText closing paragraph here"),
+      (11L, "nothing shared with any benchmark document at all"))
+      .toDF("id", "text")
+    val hits = Dedup.containmentPairs(bench, "id", "text",
+        train, "id", "text", n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // bench doc 1 fully contained in train doc 10 → containment 1.0
+    assert(hits.toSeq === Seq((1L, 10L, 1.0)))
+    // asymmetry: jaccard of that pair is well below the containment
+    val j = Dedup.jaccardPairs(bench.unionByName(train), "id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(!j.exists(r => r.getAs[Long]("a") == 1L &&
+      r.getAs[Long]("b") == 10L))
+  }
+
+  test("hash splits: deterministic, disjoint, stable under corpus growth") {
+    val sp = spark
+    import sp.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val s1 = graft.ops.Sampling.withSplit(ids, "id", w).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    // re-run identical
+    val s2 = graft.ops.Sampling.withSplit(ids, "id", w).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(s1 === s2)
+    // roughly the requested proportions (md5 is uniform)
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 160)
+    assert(counts("test") > 50 && counts("test") < 160)
+    // growing the corpus never moves an existing row's split
+    val grown = graft.ops.Sampling
+      .withSplit((0L until 2000L).toDF("id"), "id", w).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(s1.forall { case (id, sp0) => grown(id) == sp0 })
+    // un-normalized weights give the same assignment
+    val scaled = graft.ops.Sampling.withSplit(ids, "id",
+        Seq(("train", 8.0), ("val", 1.0), ("test", 1.0))).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(scaled === s1)
+  }
+
   test("exact dedup keeps lowest id per text") {
     val sp = spark
     import sp.implicits._
