@@ -77,6 +77,37 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("knnJoinIvf: candidates come from an equi-join on centroid_id, " +
+      "no cartesian, probe explode is map-only") {
+    val p = plan(Retrieval.knnJoinIvfL2(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the cell join keys on centroid_id
+    assert(p.contains("centroid_id"), p)
+  }
+
+  test("decontamination joins shingles without forcing a broadcast of " +
+      "the train side") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(DataOps.decontaminate(spark, sf))
+      // with auto-broadcast off no unconditional broadcast remains —
+      // the bench side is broadcast only when AQE's size gate says so
+      assert(!p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("hash-split assignment is map-only (no exchange before the agg)") {
+    val df = graft.ops.Sampling.withSplit(
+      Tables.documents(spark, sf), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+  }
+
   test("knnJoin plan contains no cartesian/broadcast nested loop join") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)
