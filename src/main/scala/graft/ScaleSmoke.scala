@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke — NOT part of the graded bench: inflates the sf0.1
+  * tables by `SPARK_GRAFT_SCALE_X` (default 16: 80k docs / 32k
+  * vectors, with every doc near-duplicated across copies — the
+  * CommonCrawl-shaped adversarial case for dedup) and times the
+  * operators whose scale behavior matters most. The point is shape
+  * regression: a quadratic blowup or skew collapse shows up here long
+  * before corpus scale. Prints one JSON line like Bench.
+  *
+  * Copies perturb the text tail (" copyN" suffix) so copy-pairs are
+  * NEAR-duplicates (not byte-exact), keeping the verify stages honest.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val xf = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "16").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val nDocs = docs0.count()
+    val nVecs = emb0.count()
+    def inflateDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copy$i tail")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    def inflateVecs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+
+    val docs = inflateDocs(xf)
+    val vecs = inflateVecs(xf)
+    docs.count(); vecs.count() // materialize outside the timers
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      results(name) = (System.nanoTime() - t0) / 1e9
+      counts(name) = n
+    }
+
+    time("jaccard_pairs") {
+      ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).count()
+    }
+    time("dup_clusters") {
+      ops.Dedup.components(ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)).count()
+    }
+    time("minhash_pairs") {
+      ops.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5).count()
+    }
+    time("simhash_pairs") {
+      ops.Dedup.simHashPairs(
+        ops.Dedup.simHash(docs, "doc_id", "text"),
+        maxDist = 3, bands = 4).count()
+    }
+    time("cosine_lsh_pairs") {
+      ops.Dedup.cosinePairsLsh(vecs, "vec_id", "embedding",
+        threshold = 0.95).count()
+    }
+    time("knn_join_ivf") {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        iters = 2)
+      val assigned = ops.Ann.assign(vecs, "embedding", model, ops.Ann.L2)
+      val queries = vecs.limit(1000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      ops.Ann.knnJoinIvf(queries, "q_id", "qv",
+        assigned.select(col("vec_id").as("d_id"),
+          col("embedding").as("dv"), col("centroid_id")),
+        "d_id", "dv", model, ops.Ann.L2, probes = 4, k = 10).count()
+    }
+    time("closest_pairs_exact") {
+      ops.Dedup.closestPairs(vecs, "vec_id", "embedding",
+        ops.Ann.Cosine, k = 10).count()
+    }
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) =>
+      s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","value":$total,"unit":"sec",""" +
+      s""""scale_x":$xf,"docs":${nDocs * xf},"vecs":${nVecs * xf},""" +
+      s""""ops":$qs}""")
+    spark.stop()
+  }
+}
