@@ -284,6 +284,85 @@ object Ann {
       .limit(probes)
       .select(col(model.idCol))
 
+  /** Scalar-quantization (SQ) model: per-dimension [min, max] over the
+    * corpus. The reference's index quantizes vectors internally (RaBitQ
+    * inside vchordrq — spec.py:437-444 index options); this is the
+    * engine-level equivalent: 8-bit codes cut the stored vector bytes
+    * 4× (the difference between an embedding store fitting executor
+    * memory or not at 100 TB), searched via asymmetric distance
+    * (full-precision query vs dequantized codes) + exact re-rank. Bounds
+    * are exact input values (min/max), so any engine reproduces codes
+    * and distances bit-for-bit. */
+  final case class SqModel(mins: Seq[Double], maxs: Seq[Double])
+
+  /** Per-dimension min/max — one shuffle of dim× rows. */
+  def buildSq(docs: DataFrame, vecCol: String): SqModel = {
+    val mm = docs
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("pos").collect()
+    SqModel(mm.map(_.getAs[Double]("mn")).toSeq,
+      mm.map(_.getAs[Double]("mx")).toSeq)
+  }
+
+  /** 8-bit codes: round((x−mn)/(mx−mn)·255), clamped; constant dims
+    * code to 0. Map-only (model embedded as literals). Codes are kept
+    * as array<int> for portability; the at-rest form packs them to
+    * binary. */
+  def quantizeSq(docs: DataFrame, vecCol: String, model: SqModel,
+                 outCol: String = "codes"): DataFrame = {
+    val mins = typedlit(model.mins)
+    val maxs = typedlit(model.maxs)
+    docs.withColumn(outCol,
+      transform(col(vecCol).cast("array<double>"), (x, i) => {
+        val mn = element_at(mins, i + 1)
+        val mx = element_at(maxs, i + 1)
+        when(mx > mn,
+          least(greatest(round((x - mn) / (mx - mn) * 255.0, 0), lit(0.0)),
+            lit(255.0)).cast("int"))
+          .otherwise(lit(0))
+      }))
+  }
+
+  /** Asymmetric SQ L2 distance: full-precision query vs dequantized
+    * codes (dq_i = mn_i + c_i/255·(mx_i−mn_i)), sequential
+    * left-to-right sum then sqrt — the same scale as [[L2]].dist. */
+  def sqDist(queryVec: Column, codes: Column, model: SqModel): Column = {
+    val mins = typedlit(model.mins)
+    val maxs = typedlit(model.maxs)
+    val dq = transform(codes, (c, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      mn + c.cast("double") / 255.0 * (mx - mn)
+    })
+    sqrt(aggregate(
+      zip_with(queryVec, dq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** SQ search: top-(k·refine) by asymmetric quantized distance (the
+    * cheap scan — 1 byte/dim), exact re-rank of the survivors on the
+    * full-precision vectors. Same two-phase refine shape as the
+    * reference's maxsim path (Engine.searchByMultivec). */
+  def searchSq(quantized: DataFrame, idCol: String, vecCol: String,
+               codesCol: String, model: SqModel, queryVec: Column,
+               metric: Metric, k: Int, refine: Int = 5,
+               roundTo: Int = 6): DataFrame = {
+    val cand = quantized
+      .withColumn("qdist",
+        round(sqDist(queryVec, col(codesCol), model), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+    cand
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), queryVec), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+  }
+
   /** IVF-accelerated batch kNN join — the corpus-scale ANN join shape:
     * each query row replicates to its `probes` nearest cells (a map-only
     * explode against the broadcast-literal centroid table), candidates

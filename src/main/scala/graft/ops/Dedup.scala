@@ -180,9 +180,35 @@ object Dedup {
     *    pair's sets is the only error source — negligible and stable).
     *
     * Returns (a, b, jaccard) with a < b, rounded to 6 decimals. */
+  /** Memoized pair tables ([[jaccardPairs]] results): a dedup pipeline
+    * consumes the same pair set repeatedly (pair listing, clustering,
+    * canonical filtering) — same bounded LinkedHashMap +
+    * unpersist-on-evict discipline as [[setsCache]]. */
+  private val pairsCache = scala.collection.mutable
+    .LinkedHashMap[(Int, Int, String), DataFrame]()
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   roundTo: Int = 6): DataFrame = {
+                   roundTo: Int = 6): DataFrame = pairsCache.synchronized {
+    pairsCache.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(),
+        s"$idCol|$textCol|$n|$threshold|$roundTo"), {
+        while (pairsCache.size >= MaxCachedSets) {
+          pairsCache.head._2.unpersist(false)
+          pairsCache.remove(pairsCache.head._1)
+        }
+        val p = jaccardPairsUncached(docs, idCol, textCol, n, threshold,
+          roundTo).persist()
+        p.count()
+        p
+      })
+  }
+
+  private def jaccardPairsUncached(docs: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   threshold: Double,
+                                   roundTo: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // persisted (and shared with the MinHash family): the df aggregation,
     // the prefix ranking, and the verify sides all consume it

@@ -75,6 +75,17 @@ object Retrieval {
       "d_id", "dv", model, Ann.L2, probes = 2, k = 3)
   }
 
+  /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
+    * → exact re-rank top-10 ([[Ann.searchSq]] — the quantized-index
+    * two-phase the reference's vchordrq uses internally). */
+  def sqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildSq(e, "embedding")
+    val q = Ann.quantizeSq(e, "embedding", model)
+    Ann.searchSq(q, "vec_id", "embedding", "codes", model,
+      qvec(s, d, 9), Ann.L2, k = 10, refine = 5)
+  }
+
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
@@ -174,7 +185,8 @@ object Retrieval {
     "r07_rrf_hybrid" -> rrfHybrid,
     "r08_hybrid_dedup" -> hybridDedup,
     "r09_ann_rewrite_stored" -> annRewriteStored,
-    "r10_knn_join_ivf" -> knnJoinIvfL2)
+    "r10_knn_join_ivf" -> knnJoinIvfL2,
+    "r11_sq_topk" -> sqTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -210,6 +222,8 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 5)"
   private val qv7 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)"
+  private val qv9 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 9)"
 
   /** Cosine distance written as the exact double formula Vec.cosDist uses
     * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
@@ -252,6 +266,41 @@ object Retrieval {
           SELECT a.vec_id,
                  round(list_distance(a.embedding::DOUBLE[], $qv3), 6) AS dist
           FROM assigned a JOIN probes USING (centroid_id)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r11: scalar quantization from first principles — per-dim min/max,
+    // 8-bit codes, asymmetric dequantized distance top-50, exact rerank.
+    "r11_sq_topk" ->
+      s"""WITH mm AS (
+            SELECT pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1),
+          m AS (SELECT list(mn ORDER BY pos) AS mins,
+                       list(mx ORDER BY pos) AS maxs FROM mm),
+          q AS (SELECT $qv9 AS qv),
+          codes AS (
+            SELECT e.vec_id, e.embedding,
+              list_transform(range(len(e.embedding)), i ->
+                CASE WHEN m.maxs[i+1] > m.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (e.embedding[i+1]::DOUBLE - m.mins[i+1]) /
+                    (m.maxs[i+1] - m.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM embeddings e CROSS JOIN m),
+          cand AS (
+            SELECT c.vec_id, c.embedding,
+              round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+                (q.qv[i+1] - (m.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (m.maxs[i+1] - m.mins[i+1]))) *
+                (q.qv[i+1] - (m.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (m.maxs[i+1] - m.mins[i+1])))))), 6) AS qdist
+            FROM codes c CROSS JOIN m CROSS JOIN q
+            ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT cand.vec_id,
+            round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
+          FROM cand CROSS JOIN q
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r10: the IVF batch ANN join recomputed from first principles —
     // label-mean centroids, min-dist assignment, per-query 2-probe cell

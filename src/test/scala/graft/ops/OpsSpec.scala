@@ -312,6 +312,37 @@ class OpsSpec extends SparkSpecBase {
     assert(cosvals.forall(_ >= 0.95))
   }
 
+  test("scalar quantization: codes bounded, dequantized distance close, " +
+      "search recovers exact neighbors after refine") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(13)
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rng.nextDouble() * 4 - 2))).toDF("id", "vec")
+    val model = Ann.buildSq(docs, "vec")
+    assert(model.mins.length === 16)
+    assert(model.mins.zip(model.maxs).forall { case (a, b) => a < b })
+    val q = Ann.quantizeSq(docs, "vec", model)
+    val codes = q.select("codes").collect()
+      .flatMap(_.getSeq[Int](0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    // quantization error per dim <= range/255/2 → bounded dist error
+    val qv = typedlit(Seq.fill(16)(0.5))
+    val cmp = q.withColumn("qd", Ann.sqDist(qv, col("codes"), model))
+      .withColumn("xd", Ann.L2.dist(col("vec"), qv))
+      .select("qd", "xd").collect()
+    cmp.foreach { r =>
+      // both are L2-scale; per-dim quantization error <= range/255/2
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.05)
+    }
+    // refine recovers the exact top-5
+    val viaSq = Ann.searchSq(q, "id", "vec", "codes", model, qv,
+      Ann.L2, k = 5, refine = 4).collect().map(_.getLong(0))
+    val exact = Ann.topK(docs, "id", "vec", qv, Ann.L2, 5)
+      .collect().map(_.getLong(0))
+    assert(viaSq.toSeq === exact.toSeq)
+  }
+
   test("containmentPairs: quoted benchmark doc scores 1.0 against its " +
       "containing train doc, asymmetric") {
     val sp = spark
