@@ -122,4 +122,46 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(pairs.length === 1)
     assert(pairs.head.getAs[Double]("cos") === 1.0)
   }
+
+  test("containment with an empty or shingle-free benchmark side") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, "some training text with enough words here"))
+      .toDF("id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.containmentPairs(emptyBench, "id", "text",
+      train, "id", "text").count() === 0)
+    // a doc shorter than the shingle width has zero shingles → excluded
+    val tiny = Seq((2L, "two words")).toDF("id", "text")
+    assert(Dedup.containmentPairs(tiny, "id", "text",
+      train, "id", "text", n = 3).count() === 0)
+  }
+
+  test("scalar quantization with constant dimensions and single row") {
+    import graft.ops.Ann
+    val sp = spark
+    import sp.implicits._
+    // dim 1 constant across corpus → range 0 → codes 0, no NaN
+    val docs = Seq((1L, Seq(0.5, 7.0)), (2L, Seq(-0.5, 7.0)))
+      .toDF("id", "vec")
+    val model = Ann.buildSq(docs, "vec")
+    assert(model.mins(1) === model.maxs(1))
+    val q = Ann.quantizeSq(docs, "vec", model)
+    assert(q.select("codes").collect()
+      .forall(_.getSeq[Int](0)(1) === 0))
+    val hits = Ann.searchSq(q, "id", "vec", "codes", model,
+      org.apache.spark.sql.functions.typedlit(Seq(0.4, 7.0)),
+      Ann.L2, k = 1).collect()
+    assert(hits.length === 1 && hits.head.getLong(0) === 1L)
+    assert(!hits.head.getDouble(1).isNaN)
+  }
+
+  test("hash split with a single weight puts everything in it") {
+    import graft.ops.Sampling
+    val sp = spark
+    import sp.implicits._
+    val out = Sampling.withSplit((0L until 50L).toDF("id"), "id",
+      Seq(("all", 1.0))).collect()
+    assert(out.forall(_.getAs[String]("split") === "all"))
+  }
 }
