@@ -342,13 +342,51 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Term→long hash families for [[simHash]]. [[Xx64TermHash]] (Spark's
+    * seed-42 xxhash64) is the production path — fastest, but not
+    * reproducible outside Spark. [[Md5Prefix60TermHash]] maps a term to
+    * its md5's first 15 hex chars as a 60-bit value — slower, but
+    * bit-identical in any SQL engine
+    * (`('0x' || substring(md5(t), 1, 15))::BIGINT` in DuckDB), which
+    * lets an external oracle gate the full simhash pipeline. The 4
+    * unused high bits stay 0 in every signature, so Hamming distances
+    * and the banded blocking are unaffected. */
+  sealed trait TermHash extends Serializable { def hash(term: String): Long }
+
+  case object Xx64TermHash extends TermHash {
+    def hash(term: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L)
+  }
+
+  case object Md5Prefix60TermHash extends TermHash {
+    // MessageDigest is stateful and not thread-safe; one per task thread
+    @transient private lazy val md =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    def hash(term: String): Long = {
+      val d = md.get()
+      d.reset()
+      val b = d.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var x = 0L
+      var i = 0
+      while (i < 8) { x = (x << 8) | (b(i) & 0xffL); i += 1 }
+      x >>> 4 // first 15 hex chars == top 60 bits of the first 8 bytes
+    }
+  }
+
   /** 64-bit SimHash per doc: bit b is the sign of the tf-weighted sum of
-    * (2·bit_b(xxhash64(term)) − 1) over the doc's distinct terms. The
+    * (2·bit_b(hash(term)) − 1) over the doc's distinct terms. The
     * signature is a pure per-document function (tf is within-doc), so
     * this is a SHUFFLE-FREE typed map stage — tokenize, count tf, and
-    * fold 64 bit-counters in one pass per row. Hash = Spark's xxhash64
-    * (seed 42), identical to the former column formulation. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * fold 64 bit-counters in one pass per row. Hash family is pluggable
+    * ([[TermHash]]); the default xxhash64(seed 42) is identical to the
+    * former column formulation. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              hasher: TermHash = Xx64TermHash): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -361,9 +399,7 @@ object Dedup {
           .foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
         val acc = new Array[Long](64)
         tf.foreach { case (term, n) =>
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
-              org.apache.spark.sql.types.StringType, 42L)
+          val h = hasher.hash(term)
           var b = 0
           while (b < 64) {
             acc(b) += (if (((h >>> b) & 1L) == 1L) n else -n); b += 1

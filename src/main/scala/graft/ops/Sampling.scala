@@ -47,4 +47,24 @@ object Sampling {
       }
     df.withColumn("split", chain)
   }
+
+  /** Deterministic stratified sampling: keep a row iff its
+    * [[hashBucket]] falls below its stratum's fraction of `buckets`.
+    * The classic use is rebalancing a corpus by downsampling dominant
+    * strata (language, source domain) — per-row reproducible (no RNG,
+    * no partition-order dependence: resampling a grown corpus keeps
+    * every previously kept row). Strata absent from `fractions` keep
+    * everything. Map-only — fuses into the scan at any scale. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       buckets: Int = 100): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val cut = fractions.foldLeft(lit(buckets): Column) {
+      case (els, (stratum, f)) =>
+        when(col(strataCol) === stratum,
+          lit(math.round(f * buckets).toInt)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < cut)
+  }
 }

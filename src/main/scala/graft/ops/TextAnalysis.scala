@@ -111,4 +111,53 @@ object TextAnalysis {
   def fingerprint(text: Column, n: Int = 4, k: Int = 8): Column =
     slice(array_sort(transform(Dedup.shingles(text, n),
       s => xxhash64(s))), 1, k)
+
+  /** [[fingerprint]] with the md5-prefix-60 shingle hash
+    * ([[Dedup.Md5Prefix60TermHash]]'s column twin): slower than xxhash64
+    * (md5 + hex parse per shingle) but bit-reproducible in any SQL
+    * engine, so an external oracle can verify the full sketch-overlap
+    * pipeline. Still a pure column expression — codegen'd, map-only. */
+  def fingerprintMd5(text: Column, n: Int = 4, k: Int = 8): Column =
+    slice(array_sort(transform(Dedup.shingles(text, n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))), 1, k)
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", repetition filters — re-expressed as
+    * Spark aggregations):
+    *
+    *  - `dup_trigram_frac`: fraction of word-trigram OCCURRENCES that
+    *    are repeats of an earlier occurrence — pure column math
+    *    (map-only, no shuffle).
+    *  - `top_bigram_frac`: share of all word-bigram occurrences taken
+    *    by the single most frequent bigram — one explode + two
+    *    map-side-combinable aggregations keyed by (doc, bigram) then
+    *    doc, so the heavy reduce is distributed at any corpus size
+    *    (never a per-doc in-memory histogram of unbounded width).
+    *
+    * High values mark boilerplate / template spam for corpus filtering.
+    * Returns (doc_id, dup_trigram_frac, top_bigram_frac). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = Bm25.tokenize(col("text"))
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val dup = t.select(col("doc_id"), grams(3).as("tg"))
+      .select(col("doc_id"),
+        when(size(col("tg")) > 0,
+          round((size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg")), roundTo))
+          .otherwise(0.0).as("dup_trigram_frac"))
+    val top = t.select(col("doc_id"), explode(grams(2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(round(max(col("n")).cast("double") / sum(col("n")), roundTo)
+        .as("top_bigram_frac"))
+    // left join + fill: docs with < 2 tokens have no bigrams at all
+    dup.join(top, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+  }
 }
