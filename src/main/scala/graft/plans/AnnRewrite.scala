@@ -111,6 +111,14 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         (vecAttr, q, metric) <- extractDist(alias.child)
         entry <- AnnIndex.lookup(vecAttr.name)
         if entry.metric == metric
+        // idempotence: without this the rule re-injects a fresh Filter on
+        // every optimizer iteration and the batch never reaches fixpoint
+        // ("Max iterations (100) reached" in the driver log)
+        if !child.exists {
+          case Filter(In(c: Attribute, _), _: LeafNode) =>
+            c.name == entry.cellCol
+          case _ => false
+        }
       } yield {
         val probes = entry.probeCells(q)
         // place the filter directly above the leaf that carries the cell

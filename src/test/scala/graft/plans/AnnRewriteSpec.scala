@@ -49,6 +49,25 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregister("embedding")
   }
 
+  test("rule is a fixpoint: re-applying to a rewritten plan is a no-op") {
+    val (_, model, dir) = setup()
+    AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      val stored = spark.read.parquet(dir)
+      val df = stored
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val once = AnnTopKRule()(df.queryExecution.analyzed)
+      val twice = AnnTopKRule()(once)
+      assert(once.fastEquals(twice),
+        s"rule not idempotent:\nonce: $once\ntwice: $twice")
+    } finally AnnIndex.unregister("embedding")
+  }
+
   test("unregistered queries keep exact brute-force semantics") {
     val (_, model, dir) = setup()
     AnnIndex.unregister("embedding")
