@@ -64,6 +64,22 @@ object AnnIndex {
         spark.experimental.extraOptimizations :+ AnnTopKRule()
 }
 
+object AnnTopKRule {
+  /** Marks the injected probe Filter so the idempotence guard survives
+    * whatever the surrounding optimizer batch does to its shape:
+    * in the `injectOptimizerRule` path this rule runs inside the operator-
+    * optimization fixpoint, where OptimizeIn rewrites the injected In to
+    * InSet (probes > inSetConversionThreshold) and ColumnPruning inserts
+    * a Project between the Filter and the leaf — both defeat a purely
+    * structural `Filter(In(...), LeafNode)` match and the batch then
+    * re-injects every iteration until "Max iterations reached". Catalyst
+    * copies tags through makeCopy/withNewChildren, so the tag outlives
+    * those rewrites; the semantic In/InSet check below is the backstop
+    * for rules that build a replacement Filter from scratch. */
+  private[plans] val Injected =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.ann.injected")
+}
+
 case class AnnTopKRule() extends Rule[LogicalPlan] {
 
   /** (vector attribute, query literal) from a recognized distance
@@ -111,39 +127,55 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         (vecAttr, q, metric) <- extractDist(alias.child)
         entry <- AnnIndex.lookup(vecAttr.name)
         if entry.metric == metric
-        // idempotence: without this the rule re-injects a fresh Filter on
-        // every optimizer iteration and the batch never reaches fixpoint
-        // ("Max iterations (100) reached" in the driver log)
+        // target leaf: the one that PRODUCES this sort's vector attribute
+        // (exprId match, so a same-named column on the other side of a
+        // join never confuses the rule) and exposes the cell column
+        leaf <- child.collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
+              l.output.exists(_.name == entry.cellCol) => l
+        }
+        cellAttr = leaf.output.find(_.name == entry.cellCol).get
+        // idempotence: skip when a probe filter for THIS leaf's cell
+        // attribute already exists anywhere above — by tag (survives
+        // makeCopy/withNewChildren rewrites) or semantically as In/InSet
+        // on the same exprId (survives rules that rebuild the Filter).
+        // A user's own In-filter on the cell column also matches: they
+        // have pruned cells themselves, re-pruning could only hide rows.
         if !child.exists {
-          case Filter(In(c: Attribute, _), _: LeafNode) =>
-            c.name == entry.cellCol
+          case f: Filter =>
+            f.getTagValue(AnnTopKRule.Injected).isDefined ||
+              f.condition.exists {
+                case In(c: AttributeReference, _) => c.exprId == cellAttr.exprId
+                case InSet(c: AttributeReference, _) =>
+                  c.exprId == cellAttr.exprId
+                case _ => false
+              }
           case _ => false
         }
       } yield {
         val probes = entry.probeCells(q)
-        // place the filter directly above the leaf that carries the cell
-        // column (column pruning strips it from intermediate outputs) —
+        // literal type must match the column (partition columns read
+        // back as int) or the plan becomes unresolved post-analysis
+        val lits = probes.map { p =>
+          cellAttr.dataType match {
+            case org.apache.spark.sql.types.IntegerType =>
+              Literal(p.toInt)
+            case org.apache.spark.sql.types.ShortType =>
+              Literal(p.toShort)
+            case org.apache.spark.sql.types.StringType =>
+              Literal(p.toString)
+            case _ => Literal(p)
+          }
+        }
+        // place the filter directly above the target leaf —
         // FileSourceStrategy then lifts it into PartitionFilters
         var injected = false
         val newChild = child.transformUp {
-          case leaf: LeafNode if !injected &&
-              leaf.output.exists(_.name == entry.cellCol) =>
+          case l: LeafNode if !injected && (l fastEquals leaf) =>
             injected = true
-            val cellAttr = leaf.output.find(_.name == entry.cellCol).get
-            // literal type must match the column (partition columns read
-            // back as int) or the plan becomes unresolved post-analysis
-            val lits = probes.map { p =>
-              cellAttr.dataType match {
-                case org.apache.spark.sql.types.IntegerType =>
-                  Literal(p.toInt)
-                case org.apache.spark.sql.types.ShortType =>
-                  Literal(p.toShort)
-                case org.apache.spark.sql.types.StringType =>
-                  Literal(p.toString)
-                case _ => Literal(p)
-              }
-            }
-            Filter(In(cellAttr, lits), leaf)
+            val probeFilter = Filter(In(cellAttr, lits), l)
+            probeFilter.setTagValue(AnnTopKRule.Injected, ())
+            probeFilter
         }
         if (injected) s.copy(child = proj.copy(child = newChild)) else s
       }

@@ -68,6 +68,75 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregister("embedding")
   }
 
+  test("injectOptimizerRule path reaches fixpoint with probes > InSet threshold") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // A fresh session (same SparkContext) with the config-driven
+    // GraftExtensions install: the rule then runs INSIDE the operator-
+    // optimization fixpoint, where OptimizeIn turns the injected In into
+    // InSet (probes > spark.sql.optimizer.inSetConversionThreshold = 10)
+    // and ColumnPruning inserts Projects — the exact interleavings that
+    // defeat a purely structural idempotence guard.
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions rather than the spark.sql.extensions conf: the conf
+    // is static and cannot attach to the suite's pre-existing
+    // SparkContext; both feed the same injectOptimizerRule path.
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val docs = s2.range(0, 320).select(
+        col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          (col("id") % 16).cast("double") + lit(j * 0.001)): _*)
+          .as("embedding"),
+        (col("id") % 16).as("cell"))
+      val model = Ann.buildIvf(docs, "cell", "embedding")
+      val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+      val dir = Files.createTempDirectory("graft-rewrite-ext").toString
+      Ann.writePartitioned(assigned, dir)
+      AnnIndex.register("embedding", model, Ann.L2, probes = 12)
+      val q8 = (0 until 8).map(_ => 0.1)
+      val df = s2.read.parquet(dir)
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q8)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan
+      // exactly ONE injected probe predicate: per-iteration re-injection
+      // (the broken-guard failure mode) stacks duplicates and runs the
+      // batch to "Max iterations (100) reached"
+      val nProbePredicates = optimized.collect { case f: Filter =>
+        var n = 0
+        f.condition.foreach {
+          case In(c: AttributeReference, _) if c.name == "centroid_id" =>
+            n += 1
+          case InSet(c: AttributeReference, _) if c.name == "centroid_id" =>
+            n += 1
+          case _ => ()
+        }
+        n
+      }.sum
+      assert(nProbePredicates === 1,
+        s"expected exactly one probe predicate:\n$optimized")
+      assert(df.count() === 5)
+    } finally {
+      AnnIndex.unregister("embedding")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("unregistered queries keep exact brute-force semantics") {
     val (_, model, dir) = setup()
     AnnIndex.unregister("embedding")
