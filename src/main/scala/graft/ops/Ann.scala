@@ -228,28 +228,43 @@ object Ann {
     model
   }
 
-  /** Assign every doc to its nearest centroid (argmin over cells, ties by
-    * centroid id asc). Map-only: the centroid set is tiny, so it is
-    * embedded as a literal array and the argmin is a sequential `aggregate`
-    * fold per row — no join, no window, no shuffle. At scale this stage
-    * feeds a `partitionBy(centroid_id)` write directly. */
-  def assign(docs: DataFrame, vecCol: String, model: IvfModel,
-             metric: Metric): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] = model.centroids
+  /** Centroids collected driver-side in id order, shipped to executors
+    * as a Spark broadcast — ONE copy per executor, never serialized into
+    * the plan/tasks. At the ~10⁵ cells a 100 TB IVF needs (√N lists ×
+    * 768 dims, hundreds of MB) a `typedlit` plan literal is a driver and
+    * task-serialization bomb; a broadcast variable is exactly the
+    * [[knnJoin]] query-set pattern. */
+  private def collectCentroids(model: IvfModel): Array[(Long, Array[Double])] =
+    model.centroids
       .select(col(model.idCol).cast("long"), col(model.vecCol))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    val centArr = typedlit(cents) // array<struct<_1:long,_2:array<double>>>
-    val best = aggregate(
-      centArr,
-      struct(lit(Double.PositiveInfinity).as("d"), lit(Long.MaxValue).as("id")),
-      (acc, c) => {
-        val d = metric.dist(col(vecCol), c.getField("_2"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), c.getField("_1").as("id"))).otherwise(acc)
-      })
-    docs.withColumn(model.idCol, best.getField("id"))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Assign every doc to its nearest centroid (argmin over cells, ties by
+    * centroid id asc — strict `<` over the id-sorted centroid array, the
+    * same fold order as every engine re-implementation). Map-only: the
+    * centroid table travels as a broadcast variable inside the argmin
+    * UDF's closure, so the stage is a pure Project — no join, no window,
+    * no shuffle, no per-task centroid copy. At scale this stage feeds a
+    * `partitionBy(centroid_id)` write directly. */
+  def assign(docs: DataFrame, vecCol: String, model: IvfModel,
+             metric: Metric): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(collectCentroids(model))
+    val argmin = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      val cs = bc.value
+      var bestD = Double.PositiveInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = metric.distScala(varr, cs(i)._2)
+        if (d < bestD) { bestD = d; bestId = cs(i)._1 }
+        i += 1
+      }
+      bestId
+    }
+    docs.withColumn(model.idCol, argmin(col(vecCol).cast("array<double>")))
   }
 
   /** Persist an assigned vector table partitioned by `centroid_id`: the
@@ -365,7 +380,7 @@ object Ann {
 
   /** IVF-accelerated batch kNN join — the corpus-scale ANN join shape:
     * each query row replicates to its `probes` nearest cells (a map-only
-    * explode against the broadcast-literal centroid table), candidates
+    * explode against the broadcast-variable centroid table), candidates
     * come from ONE equi-join on `centroid_id` (co-partitioned with the
     * doc table's cell partitioning; disk-partitioned cells prune at the
     * scan), and per-query top-k is a partitioned window. Shuffle volume
@@ -378,21 +393,20 @@ object Ann {
                  assigned: DataFrame, dId: String, dVec: String,
                  model: IvfModel, metric: Metric, probes: Int, k: Int,
                  roundTo: Int = 6): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] = model.centroids
-      .select(col(model.idCol).cast("long"), col(model.vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    val centArr = typedlit(cents)
-    // nearest `probes` cells per query: literal-centroid struct scores,
-    // array_sort's lexicographic (dist, id) order = the probe tie-break
-    val scored = transform(centArr, c => struct(
-      metric.dist(col(qVec), c.getField("_2")).as("d"),
-      c.getField("_1").as("id")))
+    val bc = queries.sparkSession.sparkContext
+      .broadcast(collectCentroids(model))
+    val nProbes = probes
+    // nearest `probes` cells per query: broadcast-centroid scores inside
+    // a map-only UDF (one executor-wide centroid copy, nothing in the
+    // plan), (dist, id)-sorted — the probe tie-break
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      bc.value.map { case (id, c) => (metric.distScala(varr, c), id) }
+        .sorted.take(nProbes).map(_._2).toSeq
+    }
     val probed = queries
       .withColumn(model.idCol,
-        explode(transform(slice(array_sort(scored), 1, probes),
-          x => x.getField("id"))))
+        explode(probeUdf(col(qVec).cast("array<double>"))))
     val cand = probed.join(assigned
         .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
       .withColumn("dist", round(metric.dist(col(qVec), col(dVec)), roundTo))

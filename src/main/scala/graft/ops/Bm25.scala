@@ -135,16 +135,29 @@ object Bm25 {
     log((lit(n.toDouble) - df + 0.5) / (df + 0.5) + 1.0)
 
   /** Score all docs containing at least one query term; returns
-    * (id, score) sorted desc, top k. Query terms are distinct. */
+    * (id, score) sorted desc, top k. Query terms are distinct.
+    *
+    * Scale shape: the ONLY broadcast relations are derived from the
+    * query's own terms. Postings are pruned map-side by the tiny
+    * query-term list first, and the per-term df stats are re-aggregated
+    * from that pruned frame (≤|query terms| rows) rather than joining
+    * the full vocabulary table — a web-scale corpus has 10⁸-10⁹
+    * distinct terms, and broadcasting that stats table would OOM every
+    * executor. The reference's query side ships only query terms too
+    * (`to_bm25query`, /root/reference/vechord/client.py:356-380). */
   def search(index: Bm25Index, query: String, k: Int,
              roundTo: Int = 6): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
     val qTerms = tok.scala(query).distinct.toDF("term")
-    val perTerm = index.postings
-      .join(broadcast(qTerms), "term")
-      .join(broadcast(index.termStats), "term")
+    // map-side prune: postings ⋉ query terms (broadcast of ≤|query| rows)
+    val qPost = index.postings.join(broadcast(qTerms), "term")
+    // df for just the query's terms, from the pruned postings (the
+    // full-vocabulary index.termStats never enters a query plan)
+    val qStats = qPost.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = qPost
+      .join(broadcast(qStats), "term")
       .withColumn("w",
         idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / index.avgdl)))

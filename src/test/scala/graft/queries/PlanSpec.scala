@@ -108,6 +108,56 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
   }
 
+  test("bm25 broadcasts derive from the query's terms, never the full " +
+      "vocabulary stats table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LocalRelation}
+    val docs = Tables.documents(spark, sf)
+    val idx = graft.ops.Bm25.build(docs, "doc_id", "text")
+    val df = graft.ops.Bm25.search(idx, "minhash dedup spark corpus", 10)
+    val lp = df.queryExecution.optimizedPlan
+    val hintedSides = lp.collect { case j: Join =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+        case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+      }
+    }.flatten
+    assert(hintedSides.nonEmpty)
+    // every broadcast-hinted side must bottom out in the query's own
+    // literal term list (LocalRelation): a broadcast whose subtree scans
+    // postings WITHOUT that prune is the full-vocabulary stats table —
+    // 10⁸-10⁹ rows at web scale, an executor OOM (VERDICT r04 #1)
+    hintedSides.foreach { side =>
+      assert(side.exists {
+        case _: LocalRelation => true
+        case _ => false
+      }, s"broadcast side is not query-term-derived:\n$side")
+    }
+  }
+
+  test("ivf knnJoin/assign plans embed no centroid literal") {
+    // the centroid table must travel as a broadcast VARIABLE (one copy
+    // per executor), not a typedlit plan literal that Catalyst
+    // serializes into every task (VERDICT r04 #2): at 10⁵ cells × 768
+    // dims a literal is a driver/plan bomb. Detectable at any scale: no
+    // array-of-struct literal may appear in the optimized plan.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val e = Tables.embeddings(spark, sf)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val join = Ann.knnJoinIvf(q, "q_id", "qv", assigned, "vec_id",
+      "embedding", model, Ann.L2, probes = 2, k = 3)
+    for (df <- Seq(assigned, join)) {
+      val lits = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case l @ Literal(_, ArrayType(_: StructType, _)) => l
+        })
+      }.flatten
+      assert(lits.isEmpty, s"centroid plan literal found: $lits")
+    }
+  }
+
   test("knnJoin plan contains no cartesian/broadcast nested loop join") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)
