@@ -97,6 +97,34 @@ object ScaleSmoke {
       ops.Dedup.closestPairs(vecs, "vec_id", "embedding",
         ops.Ann.Cosine, k = 10).count()
     }
+    // Adversarial giant cluster: 20k IDENTICAL docs + the corpus. All
+    // copies land in ONE LSH bucket per band; without the hot-bucket
+    // cap each band bucket is 20k² = 4·10⁸ candidate rows in one task.
+    // With the cap (4096) the cluster contributes ~20k·16 chained
+    // candidates and must stay near-linear.
+    time("minhash_giant_cluster") {
+      val giant = spark.range(1, 20001)
+        .select((col("id") + 900000000L).as("doc_id"),
+          lit("the exact same document body repeated verbatim in every " +
+            "copy of this giant duplicate cluster").as("text"))
+      ops.Dedup.minHashDedupPairs(
+        docs.unionByName(giant), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5).count()
+    }
+    // IVF at index scale: 1024 cells — with plan-literal centroids this
+    // was a driver/plan bomb; with broadcast centroids the plan stays
+    // flat and only assignment cost grows (linear in cells)
+    time("ivf_1024_cells") {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 1024,
+        iters = 1)
+      val assigned = ops.Ann.assign(vecs, "embedding", model, ops.Ann.L2)
+      val queries = vecs.limit(200)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      ops.Ann.knnJoinIvf(queries, "q_id", "qv",
+        assigned.select(col("vec_id").as("d_id"),
+          col("embedding").as("dv"), col("centroid_id")),
+        "d_id", "dv", model, ops.Ann.L2, probes = 8, k = 10).count()
+    }
 
     val total = results.values.sum
     val qs = results.map { case (k, v) =>

@@ -290,23 +290,73 @@ object Dedup {
         .as("sig"))
   }
 
+  /** Banded-bucket candidate self-join with a HOT-BUCKET cap — the
+    * skew defense shared by the minhash / simhash / cosine LSH
+    * families (the same idea as the fingerprint join's stop-hash cap,
+    * queries/DataOps.scala). `rows` must have columns (id, band, bh).
+    *
+    * Buckets of ≤ `hotCap` members get the normal all-pairs self-join.
+    * An over-cap bucket — a mega-cluster of identical/near-identical
+    * docs puts B members in one bucket, and B² candidate rows would
+    * land in ONE task — degrades to windowed chaining: members are
+    * ranked by id within the bucket and each pairs with its next
+    * `hotWindow` successors only, so per-bucket work is B·W, not B².
+    *
+    * Recall contract under the cap: identical docs in an over-cap
+    * bucket stay fully connected through the chain (every consecutive
+    * pair verifies at similarity 1), so duplicate CLUSTERS are
+    * preserved; a non-identical near-dup pair separated by ≥ hotWindow
+    * other members inside an over-cap bucket can be missed on that
+    * band (it still has its other bands). Candidates only ever shrink,
+    * never grow — precision of the downstream exact verify is
+    * untouched. Returns distinct (a, b), a < b. */
+  private[ops] def bucketedCandidates(rows0: DataFrame, hotCap: Int,
+                                      hotWindow: Int): DataFrame = {
+    // bucket size + in-bucket rank via ONE window shuffle on (band, bh)
+    // — the very partitioning the self-join requires, so the join
+    // reuses it; no broadcast, no extra join, and the mega-bucket costs
+    // one linear count/rank pass in its task
+    val wb = Window.partitionBy("band", "bh")
+    val sized = rows0
+      .withColumn("__n", count(lit(1)).over(wb))
+      .withColumn("rn", row_number().over(wb.orderBy("id")))
+      .persist() // both sides of both self-joins
+    val cold = sized.filter(col("__n") <= hotCap)
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    // over-cap buckets: chain each member to its next `hotWindow`
+    // successors in id-rank order (bounded by the bucket size)
+    val hot = sized.filter(col("__n") > hotCap)
+    val hotPairs = hot
+      // rn < __n guard: sequence(start, stop) counts DOWN when
+      // start > stop, which would emit reversed (a > b) pairs for the
+      // last member of each bucket
+      .filter(col("rn") < col("__n"))
+      .withColumn("rn2", explode(sequence(col("rn") + 1,
+        least(col("rn") + hotWindow, col("__n")))))
+      .as("x").join(hot.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.rn2") === col("y.rn"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
   /** LSH candidate pairs from banded minhash signatures: (a, b) with
     * a < b, distinct. `bands` must divide the signature length; two docs
     * collide when any band of `sigLen/bands` consecutive signature
-    * elements matches exactly. */
-  def lshCandidates(sig: DataFrame, bands: Int): DataFrame = {
+    * elements matches exactly. Over-cap buckets degrade to windowed
+    * chaining ([[bucketedCandidates]] recall contract). */
+  def lshCandidates(sig: DataFrame, bands: Int, hotCap: Int = 4096,
+                    hotWindow: Int = 16): DataFrame = {
     val rows = sig.select(col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("r", size(col("sig")) / bands)
       .select(col("id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * col("r") + 1,
           col("r"))).as("bh"))
-      .persist() // both sides of the bucket self-join
-    rows.as("x").join(rows.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    bucketedCandidates(rows, hotCap, hotWindow)
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified: LSH candidates, then
@@ -417,9 +467,12 @@ object Dedup {
     * banded blocking: the 64 bits are cut into `bands` equal slices and
     * pairs must collide on at least one slice. With bands > maxDist the
     * blocking is lossless (pigeonhole: <= maxDist differing bits cannot
-    * touch every band). Returns (a, b, hamming). */
-  def simHashPairs(sim: DataFrame, maxDist: Int = 3,
-                   bands: Int = 4): DataFrame = {
+    * touch every band) — EXCEPT inside an over-cap bucket, where the
+    * [[bucketedCandidates]] windowed-chaining recall contract applies
+    * (identical signatures stay chain-connected). Returns
+    * (a, b, hamming). */
+  def simHashPairs(sim: DataFrame, maxDist: Int = 3, bands: Int = 4,
+                   hotCap: Int = 4096, hotWindow: Int = 16): DataFrame = {
     require(bands > maxDist, "bands must exceed maxDist for exact recall")
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
@@ -430,12 +483,10 @@ object Dedup {
       // high bits, so this equals a logical shift's result.
       .withColumn("bv",
         expr(s"shiftright(simhash, band * $width) & ${mask.toLong}"))
-    rows.as("x").join(rows.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
+      .select(col("id"), col("band"), col("bv").as("bh"))
+    bucketedCandidates(rows, hotCap, hotWindow)
+      .join(sim.select(col("id").as("a"), col("simhash").as("ha")), "a")
+      .join(sim.select(col("id").as("b"), col("simhash").as("hb")), "b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
@@ -491,7 +542,8 @@ object Dedup {
   def cosinePairsLsh(docs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 32,
                      bands: Int = 4, seed: Long = 42L,
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 6, hotCap: Int = 4096,
+                     hotWindow: Int = 16): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val width = planes / bands
@@ -499,13 +551,9 @@ object Dedup {
     val rows = cosineSignatures(docs, idCol, vecCol, planes, seed)
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bv", expr(s"shiftright(sig, band * $width) & $mask"))
-      .persist()
-    val cand = rows.as("x").join(rows.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+      .withColumn("bh", expr(s"shiftright(sig, band * $width) & $mask"))
+      .select(col("id"), col("band"), col("bh"))
+    val cand = bucketedCandidates(rows, hotCap, hotWindow)
       .repartition(par)
     // norms precomputed once per vector, not once per candidate pair
     // (same value either way — per-vector math, no fold-order change)

@@ -423,6 +423,37 @@ class OpsSpec extends SparkSpecBase {
     got.foreach { case (exp, pred) => assert(exp === pred) }
   }
 
+  test("hot-bucket cap: over-cap buckets chain instead of all-pairs, " +
+      "cold buckets keep all pairs, clusters stay connected") {
+    val sp = spark
+    import sp.implicits._
+    // one bucket of 30 members (hot at cap 8) + one of 4 (cold)
+    val rows = ((1L to 30L).map(i => (i, 0, 77L)) ++
+      (101L to 104L).map(i => (i, 0, 88L))).toDF("id", "band", "bh")
+    val pairs = Dedup.bucketedCandidates(rows, hotCap = 8, hotWindow = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cold bucket: all 6 pairs
+    for (i <- 101L to 104L; j <- (i + 1) to 104L)
+      assert(pairs.contains((i, j)), s"missing cold pair ($i,$j)")
+    // hot bucket: exactly the 3-successor windows (27*3 + 2 + 1 = 84)
+    val hotPairs = pairs.filter(_._1 <= 30L)
+    assert(hotPairs.size === 84, s"expected 84 windowed pairs: $hotPairs")
+    for (i <- 1L to 29L)
+      assert(pairs.contains((i, i + 1)), s"chain broken at $i")
+    assert(!pairs.contains((1L, 10L)), "beyond-window pair must be capped")
+    // a giant identical-doc cluster survives capped simhash end-to-end:
+    // every signature identical -> one over-cap bucket per band -> the
+    // chain pairs all verify at hamming 0 -> components = one cluster
+    val docs = (1L to 20L).map(i => (i, "same text for everyone here"))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simHash(docs, "doc_id", "text")
+    val p = Dedup.simHashPairs(sim, maxDist = 3, bands = 4,
+      hotCap = 4, hotWindow = 2)
+    val comps = Dedup.components(p.select(col("a"), col("b")))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(comps === Set(1L), s"cluster split by the cap: $comps")
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._
