@@ -54,15 +54,22 @@ object DataOps {
   }
 
   /** Documents repartitioned for compute-bound text stages (the parquet
-    * is a single small file; regex-heavy maps need all cores). The text
-    * column is rebound through a nondeterministic identity UDF purely as
-    * an optimizer barrier: without it Catalyst pushes the regex-heavy
-    * projections below the repartition into the single-task scan. */
+    * is a single small file; regex-heavy maps need all cores). The rows
+    * pass through a typed identity mapPartitions stage: the object-mode
+    * boundary (Deserialize/Serialize) is a projection barrier Catalyst
+    * cannot push the regex-heavy downstream expressions through, so the
+    * heavy maps run at full post-repartition parallelism. Self-
+    * documenting (no nondeterminism lie) and codegen resumes above the
+    * serialize. At real corpus scale the scan has many splits and this
+    * helper is unnecessary — it exists for the small-file test corpus. */
   private def docsPar(s: SparkSession, d: String): DataFrame = {
-    val barrier = udf((t: String) => t).asNondeterministic()
+    import s.implicits._
     documents(s, d)
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("text", barrier(col("text")))
+      .as[(Long, String, String)]
+      .mapPartitions(identity)
+      .toDF("doc_id", "lang", "text")
   }
 
   def tokenStats(s: SparkSession, d: String): DataFrame =

@@ -100,6 +100,17 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("text-analysis queries carry no UDF barrier in their plans") {
+    // the docsPar parallelism barrier is a typed mapPartitions stage,
+    // not a nondeterministic identity UDF (VERDICT r04 hygiene item)
+    for (df <- Seq(DataOps.tokenStats(spark, sf),
+        DataOps.qualityTopk(spark, sf), DataOps.langidCounts(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("UDF"), s"UDF found in plan:\n$p")
+      assert(p.contains("MapPartitions"), p)
+    }
+  }
+
   test("hash-split assignment is map-only (no exchange before the agg)") {
     val df = graft.ops.Sampling.withSplit(
       Tables.documents(spark, sf), "doc_id",
