@@ -163,10 +163,8 @@ final class Registry(val spark: SparkSession, root: String,
           val keys = deletedParentRows.select(col(fk.refColumn).as("__key"))
             .distinct()
           val cur = table(child, txn)
-          val childDeleted = cur.join(broadcast(keys),
-            cur(fk.column) === col("__key"), "left_semi")
-          val childSurvivors = cur.join(broadcast(keys),
-            cur(fk.column) === col("__key"), "left_anti")
+          val (childDeleted, childSurvivors) =
+            Registry.cascadeSplit(cur, keys, fk.column)
           val t = full(child.name)
           val seg = catalog.writeSegment(t, childSurvivors)
           mutate(txn)(s => s + (t -> Vector(seg)))
@@ -277,5 +275,19 @@ final class Registry(val spark: SparkSession, root: String,
       }
     }
     res
+  }
+}
+
+object Registry {
+  /** Split a child table into (cascade-deleted, survivors) by the
+    * deleted parent key set. UNHINTED joins: a mass delete's key set
+    * can be half a table, and force-broadcasting it is an executor
+    * OOM at scale — AQE size-gates the broadcast at runtime, so
+    * CRUD-sized deletes still get the broadcast plan for free. */
+  private[core] def cascadeSplit(cur: DataFrame, keys: DataFrame,
+                                 fkCol: String): (DataFrame, DataFrame) = {
+    val deleted = cur.join(keys, cur(fkCol) === col("__key"), "left_semi")
+    val survivors = cur.join(keys, cur(fkCol) === col("__key"), "left_anti")
+    (deleted, survivors)
   }
 }

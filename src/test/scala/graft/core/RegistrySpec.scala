@@ -222,4 +222,27 @@ class RegistrySpec extends SparkSpecBase {
     // the inner (first-committed) state survives
     assert(reg.table(users).select("name").head().getString(0) === "inner")
   }
+
+  test("cascade split never force-broadcasts the deleted-key set") {
+    // a mass delete's key set can be half a table; with auto-broadcast
+    // off, the (production) cascadeSplit joins must stay shuffle joins —
+    // AQE re-adds the broadcast at runtime only when the keys are small
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val child = spark.range(0, 100000).select(
+        col("id").as("pk"), (col("id") % 50000).as("fk"))
+      val keys = spark.range(0, 25000).select(col("id").as("__key"))
+      val (deleted, survivors) = Registry.cascadeSplit(child, keys, "fk")
+      for (df <- Seq(deleted, survivors)) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"cascade split must not force-broadcast keys:\n$p")
+      }
+      assert(deleted.count() === 50000L)
+      assert(survivors.count() === 50000L)
+    } finally spark.conf.set(key, old)
+  }
 }
