@@ -37,14 +37,23 @@ object Bench {
         catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to passes).map(_ => once(fn))
+    // Per query, keep BOTH the first (cold) pass and the min over all
+    // passes: the min is the noise-filtered headline, the cold pass
+    // makes cache-derived speedups (memoized pair/shingle/BM25 tables)
+    // visible instead of implicit (VERDICT r04 bench-hygiene item).
+    val timesByQ = selected.map { case (name, fn) =>
+      name -> (1 to passes).map(_ => once(fn))
+    }
+    val results = timesByQ.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val cold = timesByQ.map { case (name, times) => name -> times.head }
+    def toJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_cold":${toJson(cold)},"total_cold":$totalCold,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }
