@@ -322,31 +322,33 @@ object Ann {
       mm.map(_.getAs[Double]("mx")).toSeq)
   }
 
-  /** 8-bit codes: round((x−mn)/(mx−mn)·255), clamped; constant dims
-    * code to 0. Map-only (model embedded as literals). Codes are kept
-    * as array<int> for portability; the at-rest form packs them to
-    * binary. */
-  def quantizeSq(docs: DataFrame, vecCol: String, model: SqModel,
-                 outCol: String = "codes"): DataFrame = {
-    val mins = typedlit(model.mins)
-    val maxs = typedlit(model.maxs)
-    docs.withColumn(outCol,
-      transform(col(vecCol).cast("array<double>"), (x, i) => {
-        val mn = element_at(mins, i + 1)
-        val mx = element_at(maxs, i + 1)
-        when(mx > mn,
-          least(greatest(round((x - mn) / (mx - mn) * 255.0, 0), lit(0.0)),
-            lit(255.0)).cast("int"))
-          .otherwise(lit(0))
-      }))
-  }
+  /** 8-bit codes from per-dimension bound COLUMNS:
+    * round((x−mn)/(mx−mn)·255), clamped; constant dims code to 0. */
+  def quantizeSqCols(vec: Column, mins: Column, maxs: Column): Column =
+    transform(vec.cast("array<double>"), (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      when(mx > mn,
+        least(greatest(round((x - mn) / (mx - mn) * 255.0, 0), lit(0.0)),
+          lit(255.0)).cast("int"))
+        .otherwise(lit(0))
+    })
 
-  /** Asymmetric SQ L2 distance: full-precision query vs dequantized
-    * codes (dq_i = mn_i + c_i/255·(mx_i−mn_i)), sequential
-    * left-to-right sum then sqrt — the same scale as [[L2]].dist. */
-  def sqDist(queryVec: Column, codes: Column, model: SqModel): Column = {
-    val mins = typedlit(model.mins)
-    val maxs = typedlit(model.maxs)
+  /** [[quantizeSqCols]] with corpus-global bounds from an [[SqModel]]
+    * (dim-sized literals — small, not a plan bomb). Map-only. Codes are
+    * kept as array<int> for portability; the at-rest form packs them
+    * to binary. */
+  def quantizeSq(docs: DataFrame, vecCol: String, model: SqModel,
+                 outCol: String = "codes"): DataFrame =
+    docs.withColumn(outCol, quantizeSqCols(col(vecCol),
+      typedlit(model.mins), typedlit(model.maxs)))
+
+  /** Asymmetric SQ L2 distance vs bound COLUMNS: full-precision query
+    * vs dequantized codes (dq_i = mn_i + c_i/255·(mx_i−mn_i)),
+    * sequential left-to-right sum then sqrt — the same scale as
+    * [[L2]].dist. */
+  def sqDistCols(queryVec: Column, codes: Column, mins: Column,
+                 maxs: Column): Column = {
     val dq = transform(codes, (c, i) => {
       val mn = element_at(mins, i + 1)
       val mx = element_at(maxs, i + 1)
@@ -356,6 +358,10 @@ object Ann {
       zip_with(queryVec, dq, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v))
   }
+
+  /** [[sqDistCols]] with corpus-global [[SqModel]] bounds. */
+  def sqDist(queryVec: Column, codes: Column, model: SqModel): Column =
+    sqDistCols(queryVec, codes, typedlit(model.mins), typedlit(model.maxs))
 
   /** SQ search: top-(k·refine) by asymmetric quantized distance (the
     * cheap scan — 1 byte/dim), exact re-rank of the survivors on the
@@ -427,5 +433,66 @@ object Ann {
     val cells = probeCells(model, queryVec, metric, probes)
     val pruned = assigned.join(broadcast(cells), Seq(model.idCol))
     topK(pruned, idCol, vecCol, queryVec, metric, k, roundTo)
+  }
+
+  /** IVF + scalar quantization composed — the actual vchordrq index
+    * shape (RaBitQ-style quantized codes INSIDE IVF cells + exact
+    * re-rank; /root/reference/vechord/spec.py:437-444, README.md:30-31):
+    *  - `quantized`: the doc table with (centroid_id, codes) appended —
+    *    the at-rest form is `partitionBy(centroid_id)` with 1-byte/dim
+    *    codes, i.e. probes prune whole directories and the scanned
+    *    bytes are 1/4 of full precision;
+    *  - `bounds`: (centroid_id, mins, maxs) — per-CELL quantization
+    *    bounds (residual-style: each cell's codes span only its local
+    *    value range, tighter than corpus-global bounds exactly where
+    *    the probe scan happens). Exact min/max inputs, so any engine
+    *    reproduces codes and distances bit-for-bit. */
+  final case class IvfSqIndex(quantized: DataFrame, bounds: DataFrame,
+                              model: IvfModel)
+
+  /** Build: assign cells, per-cell bound aggregation (one map-side-
+    * combinable shuffle on centroid_id), quantize via the co-keyed
+    * bounds join (AQE broadcasts the tiny bounds side). */
+  def buildIvfSq(docs: DataFrame, vecCol: String, model: IvfModel,
+                 metric: Metric): IvfSqIndex = {
+    val assigned = assign(docs, vecCol, model, metric)
+    val bounds = assigned.groupBy(col(model.idCol))
+      .agg(graft.functions.VecAgg.vecMinMax(
+        col(vecCol).cast("array<double>")).as("__mm"))
+      .select(col(model.idCol), col("__mm.mins").as("__mins"),
+        col("__mm.maxs").as("__maxs"))
+    val quantized = assigned
+      .join(bounds, model.idCol)
+      .withColumn("codes",
+        quantizeSqCols(col(vecCol), col("__mins"), col("__maxs")))
+      .drop("__mins", "__maxs")
+    IvfSqIndex(quantized, bounds, model)
+  }
+
+  /** Search: probe `probes` cells, asymmetric quantized scan WITHIN the
+    * probed cells only (top-k·refine), exact re-rank of the survivors.
+    * The per-cell bounds for the scan arrive via a broadcast of the
+    * ≤`probes` relevant bounds rows — query-derived, never the full
+    * bounds table. */
+  def searchIvfSq(index: IvfSqIndex, idCol: String, vecCol: String,
+                  queryVec: Column, metric: Metric, probes: Int, k: Int,
+                  refine: Int = 5, roundTo: Int = 6): DataFrame = {
+    val cellCol = index.model.idCol
+    val cells = probeCells(index.model, queryVec, metric, probes)
+    val probedBounds = index.bounds.join(broadcast(cells), Seq(cellCol))
+    val pruned = index.quantized
+      .join(broadcast(probedBounds), Seq(cellCol))
+    val cand = pruned
+      .withColumn("qdist", round(
+        sqDistCols(queryVec, col("codes"), col("__mins"), col("__maxs")),
+        roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+    cand
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), queryVec), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
   }
 }

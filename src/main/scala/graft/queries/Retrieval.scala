@@ -86,6 +86,17 @@ object Retrieval {
       qvec(s, d, 9), Ann.L2, k = 10, refine = 5)
   }
 
+  /** IVF + per-cell scalar quantization composed ([[Ann.buildIvfSq]] /
+    * [[Ann.searchIvfSq]] — the actual vchordrq shape: quantized codes
+    * inside probed IVF cells, asymmetric scan, exact re-rank). */
+  def ivfSqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    Ann.searchIvfSq(index, "vec_id", "embedding", qvec(s, d, 11), Ann.L2,
+      probes = 3, k = 10, refine = 5)
+  }
+
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
@@ -186,7 +197,8 @@ object Retrieval {
     "r08_hybrid_dedup" -> hybridDedup,
     "r09_ann_rewrite_stored" -> annRewriteStored,
     "r10_knn_join_ivf" -> knnJoinIvfL2,
-    "r11_sq_topk" -> sqTopk)
+    "r11_sq_topk" -> sqTopk,
+    "r12_ivf_sq_topk" -> ivfSqTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -224,6 +236,8 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)"
   private val qv9 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 9)"
+  private val qv11 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11)"
 
   /** Cosine distance written as the exact double formula Vec.cosDist uses
     * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
@@ -297,6 +311,69 @@ object Retrieval {
                 (q.qv[i+1] - (m.mins[i+1] + c.codes[i+1] / 255.0 *
                    (m.maxs[i+1] - m.mins[i+1])))))), 6) AS qdist
             FROM codes c CROSS JOIN m CROSS JOIN q
+            ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT cand.vec_id,
+            round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
+          FROM cand CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r12: IVF + per-cell SQ from first principles — label-mean
+    // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
+    // codes, probe 3 cells, asymmetric scan top-50 within them, exact
+    // re-rank top-10.
+    "r12_ivf_sq_topk" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT $qv11 AS qv),
+          probes AS (
+            SELECT centroid_id FROM cents CROSS JOIN q
+            ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
+            LIMIT 3),
+          mm AS (
+            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)
+            GROUP BY 1, 2),
+          bounds AS (
+            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                   list(mx ORDER BY pos) AS maxs
+            FROM mm GROUP BY 1),
+          codes AS (
+            SELECT a.vec_id, a.embedding, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
+                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM assigned a JOIN bounds b USING (centroid_id)),
+          cand AS (
+            SELECT c.vec_id, c.embedding,
+              round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+                (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1]))) *
+                (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1])))))), 6) AS qdist
+            FROM codes c
+            JOIN bounds b USING (centroid_id)
+            JOIN probes USING (centroid_id)
+            CROSS JOIN q
             ORDER BY qdist ASC, vec_id ASC LIMIT 50)
           SELECT cand.vec_id,
             round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist

@@ -343,6 +343,40 @@ class OpsSpec extends SparkSpecBase {
     assert(viaSq.toSeq === exact.toSeq)
   }
 
+  test("ivf+sq: all-probe search with generous refine equals exact topK; " +
+      "per-cell bounds nest inside global bounds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val nCells = model.centroids.count().toInt
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val q = org.apache.spark.sql.functions.typedlit(
+      (0 until 64).map(i => 0.01 * i))
+    // probing every cell + refine >> k makes the quantized scan a
+    // recall-complete candidate stage, so the re-rank must equal exact
+    val got = Ann.searchIvfSq(index, "vec_id", "embedding", q, Ann.L2,
+      probes = nCells, k = 5, refine = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Ann.topK(e, "vec_id", "embedding", q, Ann.L2, 5)
+      .select("vec_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+    // per-cell bounds are at least as tight as the corpus-global model
+    val g = Ann.buildSq(e, "embedding")
+    index.bounds.collect().foreach { r =>
+      val mins = r.getSeq[Double](1)
+      val maxs = r.getSeq[Double](2)
+      mins.indices.foreach { i =>
+        assert(mins(i) >= g.mins(i) && maxs(i) <= g.maxs(i))
+        assert(mins(i) <= maxs(i))
+      }
+    }
+    // codes stay in the 8-bit range
+    import org.apache.spark.sql.functions._
+    val bad = index.quantized.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad === 0L)
+  }
+
   test("containmentPairs: quoted benchmark doc scores 1.0 against its " +
       "containing train doc, asymmetric") {
     val sp = spark
