@@ -183,4 +183,95 @@ class PropertiesSpec extends SparkSpecBase {
       assert(fromCol(i.toLong) === Dedup.shinglesScala(t, 3), s"text $i")
     }
   }
+
+  test("minhash-LSH recall meets the analytic banded-collision bound") {
+    // seeded corpus: 120 base docs of 30 unique tokens, each with a
+    // near-dup whose tail m tokens are replaced (m cycles 3/8/14 →
+    // three true-Jaccard levels). Exact pairs + their true j come from
+    // the exact AllPairs scan; minHashDedupPairs verifies candidates
+    // exactly, so found/exact measures CANDIDATE recall.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7L)
+    var next = 0
+    def tok(): String = { next += 1; s"w$next-${rnd.nextInt(1000)}" }
+    val docs = (0 until 120).flatMap { i =>
+      val base = Seq.fill(30)(tok())
+      val m = Seq(3, 8, 14)(i % 3)
+      val dup = base.dropRight(m) ++ Seq.fill(m)(tok())
+      Seq((i.toLong * 2, base.mkString(" ")),
+        (i.toLong * 2 + 1, dup.mkString(" ")))
+    }.toDF("id", "text")
+    val threshold = 0.3
+    val numHashes = 32
+    val bands = 16
+    val exact = Dedup.jaccardPairs(docs, "id", "text", n = 3,
+        threshold = threshold)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.length >= 80, s"seed corpus too sparse: ${exact.length}")
+    val found = Dedup.minHashDedupPairs(docs, "id", "text", n = 3,
+        numHashes = numHashes, bands = bands, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // analytic collision prob for a pair at Jaccard j with b bands of
+    // r rows: p = 1 − (1 − j^r)^b (Dedup scaladoc formula). The found
+    // count is a sum of independent-ish Bernoullis → require
+    // observed ≥ Σp − 3·σ (σ² = Σ p(1−p)).
+    val r = numHashes / bands
+    val ps = exact.map { case (_, j) =>
+      1.0 - math.pow(1.0 - math.pow(j, r.toDouble), bands.toDouble) }
+    val mu = ps.sum
+    val sigma = math.sqrt(ps.map(p => p * (1.0 - p)).sum)
+    val obs = exact.count { case (pair, _) => found(pair) }
+    assert(obs >= mu - 3.0 * sigma - 1e-9,
+      s"recall $obs/${exact.length} below analytic bound $mu ± $sigma")
+    assert(found.subsetOf(exact.map(_._1).toSet),
+      "verify must never pass a below-threshold pair")
+  }
+
+  test("cosine-LSH recall meets the analytic hyperplane bound") {
+    // 100 base vectors (dim 16) + 2 noisy copies each; exact pairs at
+    // cos ≥ 0.9 computed driver-side; cosinePairsLsh verifies its
+    // candidates exactly, so found/exact measures candidate recall.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11L)
+    def gauss(d: Int): Array[Double] = Array.fill(d)(rnd.nextGaussian())
+    val vecs: Seq[(Long, Array[Double])] = (0 until 100).flatMap { i =>
+      val base = gauss(16)
+      def noisy(eps: Double): Array[Double] =
+        base.zip(gauss(16)).map { case (x, n) => x + eps * n }
+      Seq((i.toLong * 3, base), (i.toLong * 3 + 1, noisy(0.05)),
+        (i.toLong * 3 + 2, noisy(0.25)))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val threshold = 0.9
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2) if c >= threshold
+    } yield ((math.min(vecs(i)._1, vecs(j)._1),
+        math.max(vecs(i)._1, vecs(j)._1)), c))
+    assert(exact.length >= 80, s"seed corpus too sparse: ${exact.length}")
+    val planes = 32
+    val bands = 4
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("id", "embedding")
+    val found = Dedup.cosinePairsLsh(df, "id", "embedding",
+        threshold = threshold, planes = planes, bands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p(θ) = 1 − (1 − (1 − θ/π)^w)^b, w = planes/bands (Dedup scaladoc)
+    val w = planes / bands
+    val ps = exact.map { case (_, c) =>
+      val pBit = 1.0 - math.acos(math.min(1.0, c)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(pBit, w.toDouble), bands.toDouble)
+    }
+    val mu = ps.sum
+    val sigma = math.sqrt(ps.map(p => p * (1.0 - p)).sum)
+    val obs = exact.count { case (pair, _) => found(pair) }
+    assert(obs >= mu - 3.0 * sigma - 1e-9,
+      s"recall $obs/${exact.length} below analytic bound $mu ± $sigma")
+  }
 }
