@@ -38,54 +38,159 @@ object Extract {
 
   /** PDF text extraction — minimal pure-JVM implementation of the seat
     * the reference fills with pdfium (extract.py:71-78). Handles the
-    * common simple-PDF class: literal and FlateDecode-compressed content
-    * streams, text shown via Tj / ' / " / TJ with literal `(...)`
-    * (escape + octal) and hex `<...>` strings, single-byte encodings.
-    * Out of scope (returns whatever text IS recoverable): CID/Type0
-    * composite fonts, encrypted PDFs, image-only pages — the full
-    * renderer remains a swap-in point, but simple generated PDFs now
-    * extract real text. Per-stream texts join with "\n" like the
+    * common classic-layout PDF class: literal and FlateDecode-compressed
+    * content streams, text shown via Tj / ' / " / TJ with literal
+    * `(...)` (escape + octal) and hex `<...>` strings, single-byte
+    * encodings, AND CID/Type0 composite fonts with a /ToUnicode CMap
+    * (the Identity-H case every mainstream generator emits): 2-byte
+    * CIDs map through the font's bfchar/bfrange entries, tracked per
+    * content stream via the page /Font resources and Tf operators.
+    * Out of scope (returns whatever text IS recoverable): encrypted
+    * PDFs, cross-reference/object streams (/ObjStm), CID fonts WITHOUT
+    * a ToUnicode CMap, image-only pages — the full renderer remains a
+    * swap-in point. Per-stream texts join with "\n" like the
     * reference's per-page join. */
   def pdf(data: Array[Byte]): String = {
     // latin-1 maps bytes 1:1 to chars, so string indices == byte offsets
     val raw = new String(data, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return ""
+    val objs = parseObjects(raw)
+    val byNum = objs.map(o => o.num -> o).toMap
+    def decoded(o: PObj): Option[String] = o.body.flatMap { b =>
+      if (o.dict.contains("/FlateDecode"))
+        Some(inflate(b.getBytes(StandardCharsets.ISO_8859_1)))
+      else if (!o.dict.contains("/Filter")) Some(b)
+      else None // unsupported filter (DCT, LZW, ...)
+    }
+    // ToUnicode CMap streams of Type0 fonts, keyed by their obj number
+    val toUniRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+    val cmapByObj: Map[Int, Map[Int, String]] = objs
+      .filter(_.dict.contains("/Type0"))
+      .flatMap(f => toUniRef.findFirstMatchIn(f.dict))
+      .map(_.group(1).toInt).distinct
+      .flatMap(n => byNum.get(n).flatMap(decoded).map(n -> parseCMap(_)))
+      .toMap
+    val fonts = collectFonts(objs, byNum, cmapByObj)
+    // never treat CMaps / embedded font programs / metadata as content
+    val skip: Set[Int] = cmapByObj.keySet ++ objs.filter(o =>
+      o.dict.contains("/FontFile") || o.dict.contains("/Metadata") ||
+        o.dict.contains("/ObjStm") || o.dict.contains("/XRef") ||
+        o.dict.contains("/Image")).map(_.num)
     val out = new StringBuilder
-    var from = 0
-    var i = raw.indexOf("stream", from)
-    while (i >= 0) {
-      if (i >= 3 && raw.regionMatches(i - 3, "end", 0, 3)) {
-        from = i + 6 // the "stream" inside an "endstream" keyword
-      } else {
-      val end = raw.indexOf("endstream", i)
-      if (end < 0) { from = raw.length }
-      else {
-        // dict = text between the owning `obj` and `stream`
-        val objAt = raw.lastIndexOf(" obj", i)
-        val dict = raw.substring(math.max(0, objAt), i)
-        var body = raw.substring(
-          i + 6 + (if (raw.startsWith("\r\n", i + 6)) 2
-                   else if (raw.startsWith("\n", i + 6)) 1 else 0), end)
-        val isImage = dict.contains("/Image")
-        val flate = dict.contains("/FlateDecode")
-        val plain = !dict.contains("/Filter")
-        if (!isImage && (flate || plain)) {
-          if (flate) body = inflate(
-            body.getBytes(StandardCharsets.ISO_8859_1))
+    objs.foreach { o =>
+      if (o.body.isDefined && !skip(o.num)) {
+        decoded(o).foreach { body =>
           if (body.nonEmpty) {
-            val t = contentText(body)
+            val t = contentText(body, fonts)
             if (t.nonEmpty) {
               if (out.nonEmpty) out.append('\n')
               out.append(t)
             }
           }
         }
-        from = end + 9
       }
-      }
-      i = raw.indexOf("stream", from)
     }
     out.toString.strip
+  }
+
+  private final case class PObj(num: Int, dict: String,
+                                body: Option[String])
+
+  /** Split the raw file into `N G obj ... endobj` objects (classic
+    * cross-reference layout; objects inside /ObjStm containers are not
+    * unpacked). */
+  private def parseObjects(raw: String): Vector[PObj] = {
+    val res = Vector.newBuilder[PObj]
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+      .matcher(raw)
+    while (m.find()) {
+      val num = m.group(1).toInt
+      val start = m.end()
+      val endObj = raw.indexOf("endobj", start)
+      val end = if (endObj < 0) raw.length else endObj
+      val streamAt = raw.indexOf("stream", start)
+      if (streamAt >= 0 && streamAt < end &&
+          !(streamAt >= 3 && raw.regionMatches(streamAt - 3, "end", 0, 3))) {
+        val dict = raw.substring(start, streamAt)
+        val bodyStart = streamAt + 6 +
+          (if (raw.startsWith("\r\n", streamAt + 6)) 2
+           else if (raw.startsWith("\n", streamAt + 6)) 1 else 0)
+        val endStream = raw.indexOf("endstream", bodyStart)
+        val bodyEnd = if (endStream < 0) end else endStream
+        res += PObj(num, dict,
+          Some(raw.substring(bodyStart, math.max(bodyStart, bodyEnd))))
+      } else res += PObj(num, raw.substring(start, end), None)
+    }
+    res.result()
+  }
+
+  /** Resource font name → ToUnicode CID map, from inline
+    * `/Font << /F1 N 0 R ... >>` dicts and `/Font N 0 R` references.
+    * Names are unioned document-wide (the minimal extractor does not
+    * scope resources per page; same-name different-font collisions take
+    * the last definition). */
+  private def collectFonts(objs: Vector[PObj], byNum: Map[Int, PObj],
+      cmapByObj: Map[Int, Map[Int, String]]): Map[String, Map[Int, String]] = {
+    val inline = "(?s)/Font\\s*<<(.*?)>>".r
+    val ref = "/Font\\s+(\\d+)\\s+\\d+\\s+R".r
+    val entry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    val toUniRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+    val entryStrs =
+      objs.flatMap(o => inline.findAllMatchIn(o.dict).map(_.group(1))) ++
+        objs.flatMap(o => ref.findAllMatchIn(o.dict).map(_.group(1).toInt))
+          .distinct.flatMap(n => byNum.get(n).map(_.dict))
+    entryStrs.flatMap { s =>
+      entry.findAllMatchIn(s).flatMap { m =>
+        val name = m.group(1)
+        byNum.get(m.group(2).toInt)
+          .filter(_.dict.contains("/Type0"))
+          .flatMap(f => toUniRef.findFirstMatchIn(f.dict))
+          .flatMap(mm => cmapByObj.get(mm.group(1).toInt))
+          .map(name -> _)
+      }
+    }.toMap
+  }
+
+  /** bfchar/bfrange entries of a ToUnicode CMap → CID → unicode string
+    * (destinations are UTF-16BE hex; scalar ranges increment the last
+    * code unit per the CMap spec). Capped at 65536 entries. */
+  private def parseCMap(s: String): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+    def utf16(hex: String): String = {
+      val padded =
+        if (hex.length % 4 == 0) hex
+        else ("0" * (4 - hex.length % 4)) + hex
+      new String(padded.grouped(4)
+        .map(u => Integer.parseInt(u, 16).toChar).toArray)
+    }
+    val pair = "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+    for (blk <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(s);
+         m <- pair.findAllMatchIn(blk.group(1)))
+      out(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+    val triple = ("(?s)<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+      "(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])").r
+    for (blk <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s);
+         m <- triple.findAllMatchIn(blk.group(1))) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      if (m.group(3) != null) {
+        val base = utf16(m.group(3))
+        var cid = lo
+        while (cid <= hi && out.size < 65536) {
+          val chars = base.toCharArray
+          chars(chars.length - 1) =
+            (chars(chars.length - 1) + (cid - lo)).toChar
+          out(cid) = new String(chars)
+          cid += 1
+        }
+      } else {
+        "<([0-9A-Fa-f]+)>".r.findAllMatchIn(m.group(4)).map(_.group(1))
+          .zipWithIndex.foreach { case (d, k) =>
+            if (lo + k <= hi) out(lo + k) = utf16(d)
+          }
+      }
+    }
+    out.toMap
   }
 
   private def inflate(bytes: Array[Byte]): String =
@@ -105,31 +210,50 @@ object Extract {
 
   /** Text-showing operators of a decoded content stream: strings are
     * buffered as parsed and emitted when a Tj / ' / " / TJ operator
-    * consumes them; Td / TD / T* / ET line moves emit "\n". */
-  private def contentText(content: String): String = {
+    * consumes them; Td / TD / T* / ET line moves emit "\n". `fonts`
+    * maps resource font names to ToUnicode CID maps; while a mapped
+    * font is selected (Tf), strings decode as big-endian 2-byte CIDs
+    * through it (unmapped CIDs drop); otherwise bytes pass through
+    * single-byte, as before. */
+  private def contentText(content: String,
+      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val out = new StringBuilder
     val pending = new StringBuilder
+    var lastName = ""
+    var cmap: Map[Int, String] = null
     var i = 0
     val n = content.length
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
+    // a parsed string lands in `pending` either byte-wise or CID-mapped
+    def emit(sb: StringBuilder): Unit =
+      if (cmap == null) pending.append(sb)
+      else {
+        var k = 0
+        while (k + 1 < sb.length) {
+          val cid = ((sb.charAt(k) & 0xff) << 8) | (sb.charAt(k + 1) & 0xff)
+          cmap.get(cid).foreach(pending.append)
+          k += 2
+        }
+      }
     while (i < n) {
       content(i) match {
         case '(' =>
           // literal string: balanced parens, backslash escapes, octal
+          val sb = new StringBuilder
           var depth = 1; i += 1
           while (i < n && depth > 0) {
             content(i) match {
               case '\\' if i + 1 < n =>
                 content(i + 1) match {
-                  case 'n' => pending.append('\n'); i += 2
-                  case 'r' => pending.append('\r'); i += 2
-                  case 't' => pending.append('\t'); i += 2
-                  case 'b' => pending.append('\b'); i += 2
-                  case 'f' => pending.append('\f'); i += 2
-                  case '(' => pending.append('('); i += 2
-                  case ')' => pending.append(')'); i += 2
-                  case '\\' => pending.append('\\'); i += 2
+                  case 'n' => sb.append('\n'); i += 2
+                  case 'r' => sb.append('\r'); i += 2
+                  case 't' => sb.append('\t'); i += 2
+                  case 'b' => sb.append('\b'); i += 2
+                  case 'f' => sb.append('\f'); i += 2
+                  case '(' => sb.append('('); i += 2
+                  case ')' => sb.append(')'); i += 2
+                  case '\\' => sb.append('\\'); i += 2
                   case '\n' => i += 2 // line continuation
                   case d if d >= '0' && d <= '7' =>
                     var v = 0; var k = 0; i += 1
@@ -137,17 +261,18 @@ object Extract {
                       content(i) <= '7') {
                       v = v * 8 + (content(i) - '0'); i += 1; k += 1
                     }
-                    pending.append(v.toChar)
-                  case c => pending.append(c); i += 2
+                    sb.append(v.toChar)
+                  case c => sb.append(c); i += 2
                 }
-              case '(' => depth += 1; pending.append('('); i += 1
+              case '(' => depth += 1; sb.append('('); i += 1
               case ')' =>
                 depth -= 1
-                if (depth > 0) pending.append(')')
+                if (depth > 0) sb.append(')')
                 i += 1
-              case c => pending.append(c); i += 1
+              case c => sb.append(c); i += 1
             }
           }
+          emit(sb)
         case '<' if i + 1 < n && content(i + 1) != '<' =>
           // hex string
           val close = content.indexOf('>', i)
@@ -156,10 +281,19 @@ object Extract {
             val hex = content.substring(i + 1, close)
               .filter(c => Character.digit(c, 16) >= 0)
             val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            val sb = new StringBuilder
             padded.grouped(2).foreach(h =>
-              pending.append(Integer.parseInt(h, 16).toChar))
+              sb.append(Integer.parseInt(h, 16).toChar))
+            emit(sb)
             i = close + 1
           }
+        case '/' =>
+          // name token (font selection operand for Tf, among others)
+          val start = i + 1
+          i += 1
+          while (i < n && !content(i).isWhitespace &&
+            !"()<>[]/%".contains(content(i))) i += 1
+          lastName = content.substring(start, i)
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           val start = i
           while (i < n && !content(i).isWhitespace &&
@@ -169,6 +303,8 @@ object Extract {
               out.append(pending); pending.clear()
             case "Td" | "TD" | "T*" | "ET" =>
               pending.clear(); newline()
+            case "Tf" =>
+              cmap = fonts.getOrElse(lastName, null); pending.clear()
             case _ => pending.clear()
           }
         case '%' => // comment to end of line

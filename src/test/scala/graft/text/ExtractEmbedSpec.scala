@@ -71,6 +71,55 @@ class ExtractEmbedSpec extends SparkSpecBase {
       fixturePdf(content, "/FlateDecode")) === "Compressed text")
   }
 
+  test("pdf extraction: CID/Type0 font with Identity-H ToUnicode CMap") {
+    def flate(s: String): String = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      new String(buf, 0, n, "ISO-8859-1")
+    }
+    // bfchar 0001->H 0002->e; scalar bfrange 0003..0004 -> l,m;
+    // array bfrange 0010->o 0011->'!'
+    val cmap = flate(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |2 beginbfrange
+        |<0003> <0004> <006C>
+        |<0010> <0011> [<006F> <0021>]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin)
+    // hex string = CIDs 0001 0002 0003 0003 0010 0011 -> "Hello!";
+    // literal string with raw 2-byte CIDs 0001 0002 -> "He"
+    val content = "BT /F1 12 Tf <00010002000300030010 0011> Tj " +
+      "0 -14 Td (\u0000\u0001\u0000\u0002) Tj ET"
+    val pdf = (s"""%PDF-1.4
+      |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+      |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+      |3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >> endobj
+      |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID /Encoding /Identity-H /ToUnicode 5 0 R >> endobj
+      |5 0 obj << /Length ${cmap.length} /Filter /FlateDecode >>
+      |stream
+      |$cmap
+      |endstream endobj
+      |6 0 obj << /Length ${content.length} >>
+      |stream
+      |$content
+      |endstream endobj
+      |trailer << /Root 1 0 R >>
+      |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    val text = Extract.pdf(pdf)
+    assert(text.linesIterator.toSeq === Seq("Hello!", "He"), text)
+  }
+
   test("pdf extraction: non-PDF bytes and image streams yield nothing") {
     assert(Extract.pdf("not a pdf".getBytes("UTF-8")) === "")
     val img = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 4 >>\n" +
