@@ -363,6 +363,26 @@ object Ann {
   def sqDist(queryVec: Column, codes: Column, model: SqModel): Column =
     sqDistCols(queryVec, codes, typedlit(model.mins), typedlit(model.maxs))
 
+  /** Pack `array<int>` 8-bit codes into a `binary` column — the
+    * compact form of a quantized vector store: one byte per dimension
+    * in executor memory / shuffle buffers (vs 4-byte ints plus
+    * per-element array overhead) and in any non-dictionary storage.
+    * On parquet specifically, array<int> codes already dictionary-
+    * encode to ~1 byte/element, so the at-rest 4× of quantization is
+    * vs the FULL-PRECISION vector column, not vs unpacked codes.
+    * Unpack at scan time with [[unpackCodes]] and feed [[sqDistCols]]
+    * unchanged. */
+  def packCodes(codes: Column): Column = {
+    val pack = udf { (cs: Seq[Int]) => cs.map(_.toByte).toArray }
+    pack(codes)
+  }
+
+  /** Inverse of [[packCodes]]: binary → `array<int>` of 0..255. */
+  def unpackCodes(bin: Column): Column = {
+    val unpack = udf { (b: Array[Byte]) => b.map(x => x & 0xff).toSeq }
+    unpack(bin)
+  }
+
   /** SQ search: top-(k·refine) by asymmetric quantized distance (the
     * cheap scan — 1 byte/dim), exact re-rank of the survivors on the
     * full-precision vectors. Same two-phase refine shape as the

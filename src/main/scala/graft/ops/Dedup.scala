@@ -309,9 +309,22 @@ object Dedup {
     * other members inside an over-cap bucket can be missed on that
     * band (it still has its other bands). Candidates only ever shrink,
     * never grow — precision of the downstream exact verify is
-    * untouched. Returns distinct (a, b), a < b. */
+    * untouched.
+    *
+    * Columns beyond (id, band, bh) ride along: the pair stream carries
+    * them as `<col>_a` / `<col>_b`. `prune` runs on the RAW pair
+    * stream BEFORE the distinct — a cheap per-pair filter there (e.g.
+    * simhash's Hamming test) shrinks the distinct's input by orders of
+    * magnitude on dup-heavy corpora, where banded blocking emits tens
+    * of millions of raw collisions. Returns distinct rows with
+    * (a, b, carried...), a < b. */
   private[ops] def bucketedCandidates(rows0: DataFrame, hotCap: Int,
-                                      hotWindow: Int): DataFrame = {
+      hotWindow: Int,
+      prune: DataFrame => DataFrame = identity): DataFrame = {
+    val carried = rows0.columns.filterNot(Set("id", "band", "bh")).toSeq
+    def pairCols(suffix: String, side: String): Seq[Column] =
+      col(s"$side.id").as(suffix) +:
+        carried.map(c => col(s"$side.$c").as(s"${c}_$suffix"))
     // bucket size + in-bucket rank via ONE window shuffle on (band, bh)
     // — the very partitioning the self-join requires, so the join
     // reuses it; no broadcast, no extra join, and the mega-bucket costs
@@ -325,7 +338,7 @@ object Dedup {
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .select(pairCols("a", "x") ++ pairCols("b", "y"): _*)
     // over-cap buckets: chain each member to its next `hotWindow`
     // successors in id-rank order (bounded by the bucket size)
     val hot = sized.filter(col("__n") > hotCap)
@@ -339,8 +352,8 @@ object Dedup {
       .as("x").join(hot.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.rn2") === col("y.rn"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    coldPairs.unionByName(hotPairs).distinct()
+      .select(pairCols("a", "x") ++ pairCols("b", "y"): _*)
+    prune(coldPairs.unionByName(hotPairs)).distinct()
   }
 
   /** LSH candidate pairs from banded minhash signatures: (a, b) with
@@ -483,12 +496,15 @@ object Dedup {
       // high bits, so this equals a logical shift's result.
       .withColumn("bv",
         expr(s"shiftright(simhash, band * $width) & ${mask.toLong}"))
-      .select(col("id"), col("band"), col("bv").as("bh"))
-    bucketedCandidates(rows, hotCap, hotWindow)
-      .join(sim.select(col("id").as("a"), col("simhash").as("ha")), "a")
-      .join(sim.select(col("id").as("b"), col("simhash").as("hb")), "b")
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .filter(col("hamming") <= maxDist)
+      .select(col("id"), col("band"), col("bv").as("bh"), col("simhash"))
+    // signatures ride through the candidate join and the Hamming test
+    // prunes the RAW pair stream before its distinct: dup-heavy corpora
+    // emit 10⁷-10⁸ banded collisions, and filtering first cuts the
+    // distinct's input by ~the band count × rejection rate
+    bucketedCandidates(rows, hotCap, hotWindow, raw => raw
+        .withColumn("hamming",
+          expr("bit_count(simhash_a ^ simhash_b)").cast("int"))
+        .filter(col("hamming") <= maxDist))
       .select("a", "b", "hamming")
   }
 

@@ -377,6 +377,34 @@ class OpsSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("packed SQ codes roundtrip and shrink the at-rest footprint") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildSq(e, "embedding")
+    val q = Ann.quantizeSq(e, "embedding", model)
+    // roundtrip: unpack(pack(codes)) == codes, including 255 (sign bit)
+    val bad = q.select(col("codes"),
+        Ann.unpackCodes(Ann.packCodes(col("codes"))).as("rt"))
+      .filter(col("codes") =!= col("rt")).count()
+    assert(bad === 0L)
+    // at-rest: the packed quantized store is a small fraction of the
+    // full-precision vector store (the 4×+ claim of quantization —
+    // parquet already dictionary-encodes int codes, so the comparison
+    // that matters is vs the float/double column)
+    def sizeOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sq").toFile
+      df.write.mode("overwrite").parquet(dir.toString)
+      dir.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }
+    val full = sizeOf(e.select(col("vec_id"),
+      col("embedding").cast("array<double>")))
+    val packed = sizeOf(q.select(col("vec_id"),
+      Ann.packCodes(col("codes")).as("codes")))
+    assert(packed < full / 4,
+      s"packed $packed should be under a quarter of full-precision $full")
+  }
+
   test("containmentPairs: quoted benchmark doc scores 1.0 against its " +
       "containing train doc, asymmetric") {
     val sp = spark
