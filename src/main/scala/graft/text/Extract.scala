@@ -45,23 +45,25 @@ object Extract {
     * (the Identity-H case every mainstream generator emits): 2-byte
     * CIDs map through the font's bfchar/bfrange entries, tracked per
     * content stream via the page /Font resources and Tf operators.
-    * Out of scope (returns whatever text IS recoverable): encrypted
-    * PDFs, cross-reference/object streams (/ObjStm), CID fonts WITHOUT
-    * a ToUnicode CMap, image-only pages — the full renderer remains a
-    * swap-in point. Per-stream texts join with "\n" like the
+    * Structure objects packed into /ObjStm object streams (the PDF 1.5+
+    * compressed layout every modern generator emits) are expanded, so
+    * fonts and resources defined there resolve too. Out of scope
+    * (returns whatever text IS recoverable): encrypted PDFs, CID fonts
+    * WITHOUT a ToUnicode CMap, image-only pages — the full renderer
+    * remains a swap-in point. Per-stream texts join with "\n" like the
     * reference's per-page join. */
   def pdf(data: Array[Byte]): String = {
     // latin-1 maps bytes 1:1 to chars, so string indices == byte offsets
     val raw = new String(data, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return ""
-    val objs = parseObjects(raw)
-    val byNum = objs.map(o => o.num -> o).toMap
     def decoded(o: PObj): Option[String] = o.body.flatMap { b =>
       if (o.dict.contains("/FlateDecode"))
         Some(inflate(b.getBytes(StandardCharsets.ISO_8859_1)))
       else if (!o.dict.contains("/Filter")) Some(b)
       else None // unsupported filter (DCT, LZW, ...)
     }
+    val objs = expandObjStm(parseObjects(raw), decoded)
+    val byNum = objs.map(o => o.num -> o).toMap
     // ToUnicode CMap streams of Type0 fonts, keyed by their obj number
     val toUniRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
     val cmapByObj: Map[Int, Map[Int, String]] = objs
@@ -122,6 +124,36 @@ object Extract {
       } else res += PObj(num, raw.substring(start, end), None)
     }
     res.result()
+  }
+
+  /** Expand /ObjStm object streams: the decoded stream starts with N
+    * (objnum, offset) integer pairs, then the bare objects back-to-back
+    * from /First. The unpacked dicts join the object list (stream-less
+    * by spec), so fonts/resources packed there resolve normally. */
+  private def expandObjStm(objs: Vector[PObj],
+      decoded: PObj => Option[String]): Vector[PObj] = {
+    val intRef = "(\\d+)".r
+    val packed = objs.filter(_.dict.contains("/ObjStm")).flatMap { o =>
+      decoded(o).toSeq.flatMap { s =>
+        val n = "/N\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+          .map(_.group(1).toInt).getOrElse(0)
+        val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+          .map(_.group(1).toInt).getOrElse(0)
+        val header = intRef.findAllMatchIn(s.take(first))
+          .map(_.group(1).toInt).toVector
+        val pairs = header.grouped(2).take(n)
+          .collect { case Vector(num, off) => (num, off) }.toVector
+        pairs.zipWithIndex.map { case ((num, off), k) =>
+          val start = math.min(first + off, s.length)
+          val end =
+            if (k + 1 < pairs.length) math.min(first + pairs(k + 1)._2,
+              s.length)
+            else s.length
+          PObj(num, s.substring(start, math.max(start, end)), None)
+        }
+      }
+    }
+    objs ++ packed
   }
 
   /** Resource font name → ToUnicode CID map, from inline

@@ -164,4 +164,43 @@ class EdgeCaseSpec extends SparkSpecBase {
       Seq(("all", 1.0))).collect()
     assert(out.forall(_.getAs[String]("split") === "all"))
   }
+
+  test("ivf+sq on a tiny corpus: k and refine beyond the corpus size") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, Seq(0.0, 0.0), 0L), (2L, Seq(1.0, 1.0), 1L),
+      (3L, Seq(0.1, 0.1), 0L)).toDF("id", "vec", "cell")
+    val model = Ann.buildIvf(docs, "cell", "vec")
+    val index = Ann.buildIvfSq(docs, "vec", model, Ann.L2)
+    // probes/k/refine all exceed what exists — returns everything probed
+    val got = Ann.searchIvfSq(index, "id", "vec",
+      typedlit(Seq(0.0, 0.0)), Ann.L2, probes = 10, k = 10, refine = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L, 2L))
+    // single-member cells: per-cell min == max on every dim -> codes 0,
+    // dequantized distance still exact-rank-compatible after re-rank
+    val one = Seq((9L, Seq(0.5, 0.7), 4L)).toDF("id", "vec", "cell")
+    val m1 = Ann.buildIvf(one, "cell", "vec")
+    val i1 = Ann.buildIvfSq(one, "vec", m1, Ann.L2)
+    assert(i1.quantized.select(col("codes")).head()
+      .getSeq[Int](0) === Seq(0, 0))
+    assert(Ann.searchIvfSq(i1, "id", "vec", typedlit(Seq(0.0, 0.0)),
+      Ann.L2, probes = 1, k = 1).count() === 1L)
+  }
+
+  test("packed codes on empty and boundary values") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq.empty[Int]), (2L, Seq(0, 255, 128)))
+      .toDF("id", "codes")
+    val rt = df.select(col("id"),
+        Ann.unpackCodes(Ann.packCodes(col("codes"))).as("rt"))
+      .orderBy("id").collect()
+    assert(rt(0).getSeq[Int](1) === Seq.empty[Int])
+    assert(rt(1).getSeq[Int](1) === Seq(0, 255, 128))
+  }
+
 }

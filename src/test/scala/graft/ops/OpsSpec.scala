@@ -516,6 +516,22 @@ class OpsSpec extends SparkSpecBase {
     assert(comps === Set(1L), s"cluster split by the cap: $comps")
   }
 
+  test("banded candidates on empty and single-doc inputs") {
+    val sp = spark
+    import sp.implicits._
+    val empty = sp.emptyDataset[(Long, Int, Long)]
+      .toDF("id", "band", "bh")
+    assert(Dedup.bucketedCandidates(empty, 8, 2).count() === 0L)
+    val single = Seq((1L, 0, 7L)).toDF("id", "band", "bh")
+    assert(Dedup.bucketedCandidates(single, 8, 2).count() === 0L)
+    // exactly hotCap members stays all-pairs (boundary is strict >)
+    val atCap = (1L to 4L).map(i => (i, 0, 7L)).toDF("id", "band", "bh")
+    assert(Dedup.bucketedCandidates(atCap, 4, 1).count() === 6L)
+    // hotCap + 1 switches to chaining with the given window
+    val overCap = (1L to 5L).map(i => (i, 0, 7L)).toDF("id", "band", "bh")
+    assert(Dedup.bucketedCandidates(overCap, 4, 1).count() === 4L)
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._

@@ -120,6 +120,51 @@ class ExtractEmbedSpec extends SparkSpecBase {
     assert(text.linesIterator.toSeq === Seq("Hello!", "He"), text)
   }
 
+  test("pdf extraction: font dicts packed in an /ObjStm still resolve") {
+    def flate(s: String): String = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      new String(buf, 0, n, "ISO-8859-1")
+    }
+    val cmap = flate(
+      """begincmap
+        |1 beginbfchar
+        |<0001> <0048>
+        |endbfchar
+        |1 beginbfrange
+        |<0002> <0003> <0069>
+        |endbfrange
+        |endcmap""".stripMargin)
+    // page (obj 3) and Type0 font (obj 4) packed into ObjStm obj 8:
+    // header = "3 0 4 <off>", bodies back-to-back after /First
+    val o3 = "<< /Type /Page /Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>\n"
+    val o4 = "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 5 0 R >>\n"
+    val header = s"3 0 4 ${o3.length} "
+    val stm = flate(header + o3 + o4)
+    // CIDs 0001 0002 -> "Hi"
+    val content = "BT /F1 12 Tf <00010002> Tj ET"
+    val pdf = (s"""%PDF-1.5
+      |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+      |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+      |8 0 obj << /Type /ObjStm /N 2 /First ${header.length} /Length ${stm.length} /Filter /FlateDecode >>
+      |stream
+      |$stm
+      |endstream endobj
+      |5 0 obj << /Length ${cmap.length} /Filter /FlateDecode >>
+      |stream
+      |$cmap
+      |endstream endobj
+      |6 0 obj << /Length ${content.length} >>
+      |stream
+      |$content
+      |endstream endobj
+      |trailer << /Root 1 0 R >>
+      |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    assert(Extract.pdf(pdf) === "Hi")
+  }
+
   test("pdf extraction: non-PDF bytes and image streams yield nothing") {
     assert(Extract.pdf("not a pdf".getBytes("UTF-8")) === "")
     val img = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 4 >>\n" +
