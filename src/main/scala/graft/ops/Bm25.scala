@@ -166,4 +166,42 @@ object Bm25 {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Batch keyword search: top-k docs for EVERY query row in one job —
+    * the BM25 twin of [[Ann.knnJoin]], what an evaluation loop or a
+    * query-log replay runs at scale instead of one driver round-trip
+    * per query. `queries`: (qIdCol, qTextCol). Returns
+    * (qid, id, score, rank), rank 1-based per query, ties
+    * (score desc, id asc).
+    *
+    * Scale shape: the tokenized (qid, term) relation and the per-term
+    * df stats (aggregated from the term-pruned postings — never the
+    * full vocabulary) are both query-bounded broadcasts; candidate
+    * scoring is one map-side postings join + a groupBy(qid, id); the
+    * per-query top-k is a rank-window over per-query partitions. */
+  def searchBatch(index: Bm25Index, queries: DataFrame, qIdCol: String,
+                  qTextCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
+    val tokensUdf = udf((s: String) => tok.scala(s).distinct)
+    val qTerms = queries.select(col(qIdCol).cast("long").as("qid"),
+      explode(tokensUdf(col(qTextCol))).as("term"))
+    // df per DISTINCT query term, from the pruned postings (a term
+    // shared by many queries is counted once)
+    val terms = qTerms.select("term").distinct()
+    val tStats = index.postings.join(broadcast(terms), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = index.postings
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(tStats), "term")
+      .withColumn("w",
+        idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / index.avgdl)))
+    val scored = perTerm.groupBy("qid", "id")
+      .agg(round(sum(col("w")), roundTo).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "score", "rank")
+  }
 }

@@ -110,6 +110,25 @@ object Retrieval {
     Bm25.search(idx, Bm25Query, 10)
   }
 
+  /** The three fixed query strings of the batch-BM25 gate (shared with
+    * its oracle). */
+  val BatchQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark filter join"),
+    (2L, "group hash join"),
+    (3L, "window partition order"))
+
+  /** Batch BM25: top-5 docs for every query row in ONE job
+    * ([[Bm25.searchBatch]] — the keyword twin of the batch kNN join;
+    * what an eval loop runs at scale instead of per-query driver
+    * round-trips). */
+  def bm25Batch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text",
+      s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
+    Bm25.searchBatch(idx, BatchQueries.toDF("qid", "qtext"),
+      "qid", "qtext", k = 5)
+  }
+
   /** Multi-vector maxsim: docs = per-label vector bags, query = 2 tokens
     * (vec_id 0,1); score = Σ_q max_d dot — reference `@#`
     * (client.py:323-354). */
@@ -198,7 +217,8 @@ object Retrieval {
     "r09_ann_rewrite_stored" -> annRewriteStored,
     "r10_knn_join_ivf" -> knnJoinIvfL2,
     "r11_sq_topk" -> sqTopk,
-    "r12_ivf_sq_topk" -> ivfSqTopk)
+    "r12_ivf_sq_topk" -> ivfSqTopk,
+    "r13_bm25_batch" -> bm25Batch)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -446,6 +466,44 @@ object Retrieval {
                  round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
           FROM assigned a JOIN probes USING (centroid_id)
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r13: batch BM25 — same tf/df/dl/avgdl CTEs, qid-carrying query
+    // terms, per-(qid, id) scoring, rank window per qid.
+    "r13_bm25_batch" -> {
+      val qtValues = BatchQueries.flatMap { case (qid, text) =>
+        graft.functions.Tokenizers.Simple.scala(text).distinct
+          .map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x != '')) AS term
+            FROM documents),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          qt AS (SELECT * FROM (VALUES $qtValues) AS t(qid, term)),
+          scored AS (
+            SELECT qt.qid, tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl)) AS w
+            FROM tf
+            JOIN qt USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g),
+          agg AS (SELECT qid, id, round(sum(w), 6) AS score
+                  FROM scored GROUP BY 1, 2),
+          r AS (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM agg)
+          SELECT CAST(qid AS BIGINT) AS qid, id, score,
+                 CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 5"""
+    },
     "r04_knn_join_l2" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

@@ -165,6 +165,33 @@ class OpsSpec extends SparkSpecBase {
     assert(Bm25.dirVersion(sp, dir) !== "absent")
   }
 
+  test("bm25 searchBatch: each query's ranking equals the single-query " +
+      "search; shared terms count df once") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "red fish blue fish"), (2L, "red car fast"),
+      (3L, "blue sky red sunset"), (4L, "fish market fish stew fish"))
+      .toDF("id", "t")
+    val idx = Bm25.build(docs, "id", "t")
+    val queries = Seq((10L, "red fish"), (20L, "blue"), (30L, "fish red"))
+      .toDF("qid", "qtext")
+    val batch = Bm25.searchBatch(idx, queries, "qid", "qtext", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for ((qid, qtext) <- Seq((10L, "red fish"), (20L, "blue"),
+        (30L, "fish red"))) {
+      val single = Bm25.search(idx, qtext, 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      single.zipWithIndex.foreach { case ((id, score), i) =>
+        assert(batch((qid, i + 1)) === ((id, score)),
+          s"qid $qid rank ${i + 1}")
+      }
+    }
+    // term-order permutation of the same query set -> same scores
+    assert(batch((10L, 1)) === batch((30L, 1)))
+  }
+
   test("rrf is invariant to list order and matches 1/(k+rank) sums") {
     val sp = spark
     import sp.implicits._
