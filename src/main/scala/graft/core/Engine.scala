@@ -19,9 +19,12 @@ final class Engine(reg: Registry) {
 
   /** Dense top-k. With a [[Spec.VectorIndex]] whose `lists` > 0 an IVF
     * model built by [[buildIndex]] prunes cells with `probes` (explicit,
-    * else ceil(lists/16)); otherwise exact brute-force top-k. */
+    * else ceil(lists/16)); otherwise exact brute-force top-k. A
+    * `quantized` index additionally scans 8-bit codes within the probed
+    * cells and exact-re-ranks the top-(topk·refine) survivors — the
+    * vchordrq in-index quantization (spec.py:437-444) at engine level. */
   def searchByVector(td: TableDef[_], queryVec: Seq[Double], topk: Int = 10,
-                     probes: Int = 0,
+                     probes: Int = 0, refine: Int = 8,
                      returnFields: Seq[String] = Nil): DataFrame = {
     val ix = td.vectorIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no vector index"))
@@ -30,6 +33,11 @@ final class Engine(reg: Registry) {
     val base = reg.table(td)
     val ranked =
       indexModel(td) match {
+        case Some(model) if ix.lists > 0 && ix.quantized =>
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          Ann.searchIvfSq(ivfSqCached(td, ix, base, model), td.pk,
+            ix.column, q, ix.distance, p, topk, refine)
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
@@ -140,6 +148,24 @@ final class Engine(reg: Registry) {
     assignCache.getOrElseUpdate(
       s"${System.identityHashCode(reg)}|${td.name}|${ix.column}|$version",
       Ann.assign(base, ix.column, model, ix.distance).persist())
+  }
+
+  /** IVF+SQ index memoized per table VERSION (same lifecycle as
+    * [[assignedCached]]): per-cell bounds + quantized codes persist
+    * until the table is rewritten. */
+  private val ivfSqCacheMap =
+    scala.collection.concurrent.TrieMap[String, Ann.IvfSqIndex]()
+  private def ivfSqCached(td: TableDef[_], ix: VectorIndex,
+                          base: DataFrame,
+                          model: Ann.IvfModel): Ann.IvfSqIndex = {
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    ivfSqCacheMap.getOrElseUpdate(
+      s"${System.identityHashCode(reg)}|${td.name}|${ix.column}|$version", {
+        val idx = Ann.buildIvfSq(base, ix.column, model, ix.distance)
+        Ann.IvfSqIndex(idx.quantized.persist(), idx.bounds.persist(),
+          idx.model)
+      })
   }
 
   private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] = {

@@ -40,7 +40,8 @@ object Spec {
   /** vchordrq twin: IVF with `lists` cells under `distance`
     * (spec.py:437-444). */
   final case class VectorIndex(column: String, distance: Ann.Metric = Ann.L2,
-                               lists: Int = 0) extends IndexDef
+                               lists: Int = 0,
+                               quantized: Boolean = false) extends IndexDef
   /** Multi-vector maxsim index (spec.py:447-464). */
   final case class MultiVectorIndex(column: String, lists: Int = 0)
     extends IndexDef

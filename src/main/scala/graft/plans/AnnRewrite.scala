@@ -41,7 +41,16 @@ object AnnIndex {
   private val entries = TrieMap.empty[String, Entry]
 
   /** Register an IVF index for `vecCol`; `model` as built by
-    * [[Ann.buildIvf]] / [[Ann.buildIvfKMeans]]. */
+    * [[Ann.buildIvf]] / [[Ann.buildIvfKMeans]].
+    *
+    * Centroids live driver-side BY DESIGN: probe cells are chosen at
+    * PLAN time (the rule injects the cell filter before execution), so
+    * the rule needs them where the optimizer runs — the same place
+    * Catalyst keeps table statistics. Budget accordingly: ~1k cells ×
+    * 768 dims ≈ 6 MB is nothing; at ~10⁵ cells collect cost grows to
+    * ~hundreds of MB of driver heap — prefer the executor-side probe
+    * path ([[graft.ops.Ann.searchIvf]]/[[graft.ops.Ann.knnJoinIvf]],
+    * broadcast-variable centroids) beyond that. */
   def register(vecCol: String, model: Ann.IvfModel, metric: Ann.Metric,
                probes: Int): Unit = {
     val cents = model.centroids.collect().map(r =>
