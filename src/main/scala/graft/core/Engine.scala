@@ -139,33 +139,53 @@ final class Engine(reg: Registry) {
     * scale it is written `partitionBy(centroid_id)`, Ann.writePartitioned;
     * here the persisted frame plays that role). */
   private val assignCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
   private def assignedCached(td: TableDef[_], ix: VectorIndex,
                              base: DataFrame,
                              model: Ann.IvfModel): DataFrame = {
     val version = reg.catalog.current
       .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
-    assignCache.getOrElseUpdate(
-      s"${System.identityHashCode(reg)}|${td.name}|${ix.column}|$version",
-      Ann.assign(base, ix.column, model, ix.distance).persist())
+    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    assignCache.synchronized {
+      assignCache.get(key) match {
+        case Some((v, df)) if v == version => df
+        case stale =>
+          // a rewritten table must not pin its old assignment in
+          // executor storage — evict before caching the new version
+          stale.foreach(_._2.unpersist(false))
+          val df = Ann.assign(base, ix.column, model, ix.distance).persist()
+          assignCache(key) = (version, df)
+          df
+      }
+    }
   }
 
   /** IVF+SQ index memoized per table VERSION (same lifecycle as
     * [[assignedCached]]): per-cell bounds + quantized codes persist
     * until the table is rewritten. */
   private val ivfSqCacheMap =
-    scala.collection.concurrent.TrieMap[String, Ann.IvfSqIndex]()
+    scala.collection.mutable.HashMap[String, (Int, Ann.IvfSqIndex)]()
   private def ivfSqCached(td: TableDef[_], ix: VectorIndex,
                           base: DataFrame,
                           model: Ann.IvfModel): Ann.IvfSqIndex = {
     val version = reg.catalog.current
       .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
-    ivfSqCacheMap.getOrElseUpdate(
-      s"${System.identityHashCode(reg)}|${td.name}|${ix.column}|$version", {
-        val idx = Ann.buildIvfSq(base, ix.column, model, ix.distance)
-        Ann.IvfSqIndex(idx.quantized.persist(), idx.bounds.persist(),
-          idx.model)
-      })
+    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    ivfSqCacheMap.synchronized {
+      ivfSqCacheMap.get(key) match {
+        case Some((v, idx)) if v == version => idx
+        case stale =>
+          stale.foreach { case (_, old) =>
+            old.quantized.unpersist(false)
+            old.bounds.unpersist(false)
+          }
+          val built = Ann.buildIvfSq(base, ix.column, model, ix.distance)
+          val idx = Ann.IvfSqIndex(built.quantized.persist(),
+            built.bounds.persist(), built.model)
+          ivfSqCacheMap(key) = (version, idx)
+          idx
+      }
+    }
   }
 
   private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] = {
