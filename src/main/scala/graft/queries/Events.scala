@@ -52,10 +52,50 @@ object Events {
       .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"))
       .orderBy("k_bucket")
 
+  /** As-of join gate: every `view` event enriched with the latest
+    * at-or-before `purchase` of the same user ([[graft.ops.Temporal
+    * .asofJoin]] — union + ordered window, ONE shuffle), rolled up per
+    * user. Right side is pre-aggregated per (user, ts) — the
+    * determinism contract the operator documents. */
+  def asofPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(sum("value").as("val"))
+    graft.ops.Temporal.asofJoin(
+        views, purchases, Seq("user_id"), "ts", Seq("val"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        count(col("asof_val")).as("n_matched"),
+        round(dsum(col("asof_val")), 6).as("matched_total"))
+      .orderBy("user_id")
+  }
+
+  /** Interval-join gate: clicks in the 6 hours before each error of
+    * the same user ([[graft.ops.Temporal.rangeJoin]] — bucketed
+    * equi-join, never a broadcast-nested-loop), rolled up per user. */
+  def rangeClicks(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    graft.ops.Temporal.rangeJoin(
+        errors, clicks, Seq("user_id"), "ts", "6 hours", Seq("value"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_id")).as("n_errors_with_click"),
+        count(lit(1)).as("n_pairs"),
+        round(dsum(col("r_value")), 6).as("click_total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
-    "s03_props_json" -> propsJson)
+    "s03_props_json" -> propsJson,
+    "s04_asof_purchase" -> asofPurchase,
+    "s05_range_clicks" -> rangeClicks)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -83,5 +123,31 @@ object Events {
            count(*) AS n,
            round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
              AS avg_k
-         FROM events GROUP BY 1 ORDER BY 1""")
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "s04_asof_purchase" ->
+      """WITH v AS (SELECT user_id, ts
+           FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, sum(value) AS val
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          j AS (SELECT v.user_id, p.val
+                FROM v ASOF LEFT JOIN p
+                ON v.user_id = p.user_id AND v.ts >= p.ts)
+         SELECT user_id, count(*) AS n_views,
+           count(val) AS n_matched,
+           round(CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS matched_total
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "s05_range_clicks" ->
+      """WITH e AS (SELECT user_id, ts, event_id
+           FROM events WHERE event_type = 'error'),
+          c AS (SELECT user_id, ts, value
+                FROM events WHERE event_type = 'click'),
+          j AS (SELECT e.user_id, e.event_id, c.value
+                FROM e JOIN c ON e.user_id = c.user_id
+                AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts < e.ts)
+         SELECT user_id, count(DISTINCT event_id) AS n_errors_with_click,
+           count(*) AS n_pairs,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS click_total
+         FROM j GROUP BY 1 ORDER BY 1""")
 }
