@@ -60,6 +60,59 @@ object Dedup {
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
         sum(col("n") - 1).as("dup_rows_removed"))
 
+  /** Corpus-level exact-substring dedup at word n-gram granularity —
+    * the Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" operation, re-expressed relationally: an n-gram occurring
+    * >= `minOcc` times across the corpus keeps only its FIRST occurrence
+    * (lexicographic (doc, pos)); every other occurrence's n-token span
+    * is stripped from its document. Returns one row per input doc:
+    * (doc_id, n_tokens, n_removed, clean_text), clean_text = the
+    * surviving tokens in order.
+    *
+    * Scale shape: per-gram stats use a combinable groupBy (count +
+    * min(struct(doc, pos))) — NOT a per-gram window, whose single
+    * partition per hot gram (a stop-phrase can occur 10^9 times at
+    * 100 TB) would skew; the stats join back to occurrences is a plain
+    * shuffle join AQE can skew-split. Span→position expansion is a
+    * bounded explode (n rows per removed span), and reassembly is one
+    * groupBy over kept tokens. No windows over unbounded key groups,
+    * no driver-side state. */
+  def dupNgramStrip(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minOcc: Int = 2): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      Bm25.tokenize(col(textCol)).as("toks"))
+    // positional n-grams — NOT distinct: every occurrence matters
+    val grams = t.select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "gram")
+    val stats = grams.groupBy("gram").agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val removedPos = grams
+      .join(stats.filter(col("occ") >= minOcc), "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val tokens = t.select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "p", "tok")
+    val keptAgg = tokens.join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Driver/executor-side twin of [[shingles]] — identical output
     * (lowercase alnum tokens, n-gram windows, first-occurrence distinct). */
   def shinglesScala(text: String, n: Int): Seq[String] = {

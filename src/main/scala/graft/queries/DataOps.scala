@@ -159,7 +159,17 @@ object DataOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("split")
 
+  /** Corpus-level duplicated-n-gram strip ([[Dedup.dupNgramStrip]],
+    * the Lee-et-al exact-substring dedup): repeated word 3-grams keep
+    * only their first (doc, pos) occurrence; the full cleaned text per
+    * doc is the gate (any wrong span boundary changes the hash). */
+  def dupNgrams(s: SparkSession, d: String): DataFrame =
+    Dedup.dupNgramStrip(documents(s, d), "doc_id", "text",
+        n = 3, minOcc = 2)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_dup_ngram_strip" -> dupNgrams,
     "p12_decontaminate" -> decontaminate,
     "p13_hash_splits" -> hashSplits,
     "p10_fingerprint_overlap" -> fingerprintOverlap,
@@ -212,6 +222,36 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p14_dup_ngram_strip" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g0 AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos
+                 FROM t WHERE len(toks) >= 3),
+          g AS (SELECT doc_id, pos,
+                  toks[pos+1] || ' ' || toks[pos+2] || ' ' || toks[pos+3]
+                    AS gram
+                FROM g0),
+          r AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY gram
+                      ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY gram) AS occ
+                  FROM g) WHERE occ >= 2 AND rn > 1),
+          rp0 AS (SELECT doc_id, pos, unnest(range(3)) AS d FROM r),
+          rp AS (SELECT DISTINCT doc_id, pos + d AS p FROM rp0),
+          tok AS (SELECT doc_id, unnest(range(len(toks))) AS p,
+                    unnest(toks) AS tok FROM t),
+          kept AS (SELECT tok.doc_id, tok.p, tok.tok
+                   FROM tok LEFT JOIN rp
+                   ON tok.doc_id = rp.doc_id AND tok.p = rp.p
+                   WHERE rp.p IS NULL),
+          k AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY p) AS clean_text
+                FROM kept GROUP BY 1)
+          SELECT t.doc_id, len(t.toks) AS n_tokens,
+            len(t.toks) - coalesce(k.n_kept, 0) AS n_removed,
+            coalesce(k.clean_text, '') AS clean_text
+          FROM t LEFT JOIN k USING (doc_id)
+          ORDER BY t.doc_id""",
     "p12_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           s AS (SELECT doc_id,

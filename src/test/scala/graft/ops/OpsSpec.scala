@@ -559,6 +559,51 @@ class OpsSpec extends SparkSpecBase {
     assert(Dedup.bucketedCandidates(overCap, 4, 1).count() === 4L)
   }
 
+  test("dupNgramStrip keeps first occurrence, strips merged later spans") {
+    val sp = spark
+    import sp.implicits._
+    // "a b c" occurs in docs 1 (pos 0) and 2 (pos 1): doc 1 keeps it,
+    // doc 2 loses positions 1..3. Doc 3 shares nothing corpus-repeated.
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "q a b c r s"),
+      (3L, "u v w m n o")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramStrip(docs, "doc_id", "text", n = 3, minOcc = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 0L, "a b c x y z")))
+    assert(out(2L) === ((6L, 3L, "q r s")))
+    assert(out(3L) === ((6L, 0L, "u v w m n o")))
+  }
+
+  test("dupNgramStrip merges overlapping removed spans within a doc") {
+    val sp = spark
+    import sp.implicits._
+    // doc 2 repeats doc 1's 4-token run: its 3-grams at pos 0 and 1 are
+    // both corpus-dups → overlapping spans [0,3) and [1,4) merge to 4
+    // removed tokens, not 6.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d tail words here")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramStrip(docs, "doc_id", "text", n = 3, minOcc = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((0L, "a b c d")))
+    assert(out(2L) === ((4L, "tail words here")))
+  }
+
+  test("dupNgramStrip: short and empty docs pass through untouched") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramStrip(docs, "doc_id", "text", n = 3, minOcc = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, "a b")))
+    assert(out(2L) === ((0L, 0L, "")))
+    assert(out(3L) === ((2L, 0L, "a b")))
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._
