@@ -168,7 +168,21 @@ object DataOps {
         n = 3, minOcc = 2)
       .orderBy("doc_id")
 
+  /** Deterministic source rebalancing ([[Sampling.stratifiedSample]]):
+    * downsample dominant language strata to target fractions (the
+    * corpus-mixing step of a pretraining pipeline — e.g. cap English
+    * at 50%, keep low-resource languages whole). Map-only, no RNG:
+    * the oracle reproduces every kept row from doc_id alone. */
+  def stratifiedMix(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.75, "fr" -> 0.75))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_stratified_mix" -> stratifiedMix,
     "p14_dup_ngram_strip" -> dupNgrams,
     "p12_decontaminate" -> decontaminate,
     "p13_hash_splits" -> hashSplits,
@@ -222,6 +236,17 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p15_stratified_mix" ->
+      """WITH b AS (SELECT lang, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 100 AS bucket
+           FROM documents),
+          kept AS (SELECT lang, n_chars FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 75
+                                     WHEN 'fr' THEN 75 ELSE 100 END)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM kept GROUP BY 1 ORDER BY 1""",
     "p14_dup_ngram_strip" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           g0 AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos
