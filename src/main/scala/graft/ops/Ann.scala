@@ -515,4 +515,93 @@ object Ann {
       .limit(k)
       .select(col(idCol), col("dist"))
   }
+
+  /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each
+    * residual dimension (v − centroid) plus the residual norm — 1 bit
+    * per dimension at rest (32× vs float32, 8× denser than SQ8), the
+    * vchordrq default quantization (RaBitQ inside IVF,
+    * /root/reference/vechord/spec.py:437-444, README.md:30-31).
+    * `quantized` columns: doc cols + centroid_id + bits (array<int>
+    * 0/1) + rnorm. */
+  final case class IvfBitIndex(quantized: DataFrame, model: IvfModel)
+
+  /** Build: assign cells (map-only broadcast argmin), then a plain
+    * equi-join with the centroid table on centroid_id for the residual
+    * — co-keyed with the assignment, AQE-broadcastable when centroids
+    * are small, a shuffle join when they are not (10⁵ cells at 100 TB:
+    * never a plan literal, never a forced broadcast). rnorm is rounded
+    * so every engine reproduces codes + estimator bit-for-bit. */
+  def buildIvfBitq(docs: DataFrame, vecCol: String, model: IvfModel,
+                   metric: Metric, roundTo: Int = 6): IvfBitIndex = {
+    val joined = assign(docs, vecCol, model, metric)
+      .join(model.centroids, model.idCol)
+    val r = zip_with(col(vecCol).cast("array<double>"),
+      col(model.vecCol), (a, b) => a - b)
+    val quantized = joined
+      .withColumn("bits", transform(r, x => when(x > 0, 1).otherwise(0)))
+      .withColumn("rnorm", round(
+        sqrt(aggregate(transform(r, x => x * x), lit(0.0), (a, x) => a + x)),
+        roundTo))
+      .drop(model.vecCol)
+    IvfBitIndex(quantized, model)
+  }
+
+  /** Asymmetric 1-bit L2 estimator, all codegen'd column math (no UDF):
+    * with qr = query − centroid and r̂ = rnorm·sign(bits)/√D,
+    * est‖q − v‖² = ‖qr‖² + rnorm² − 2·(rnorm/√D)·Σ signᵢ·qrᵢ.
+    * An ESTIMATOR, not a bound — so the contract is top-(k·refine) by
+    * estimate, exact re-rank of the survivors (same two-phase shape as
+    * [[searchIvfSq]]); the probed centroids ship as a query-derived
+    * broadcast (≤ probes rows), never the full centroid table. */
+  def searchIvfBitq(index: IvfBitIndex, idCol: String, vecCol: String,
+                    queryVec: Column, metric: Metric, probes: Int, k: Int,
+                    refine: Int = 5, roundTo: Int = 6): DataFrame = {
+    val cellCol = index.model.idCol
+    val cells = probeCells(index.model, queryVec, metric, probes)
+    val probedCents = index.model.centroids.join(broadcast(cells), Seq(cellCol))
+    val pruned = index.quantized.join(broadcast(probedCents), Seq(cellCol))
+    val qr = zip_with(queryVec, col(index.model.vecCol), (a, b) => a - b)
+    val qr2 = aggregate(transform(qr, x => x * x), lit(0.0), (a, x) => a + x)
+    val dot = aggregate(
+      zip_with(col("bits"), qr, (b, x) => (b * 2 - 1).cast("double") * x),
+      lit(0.0), (a, x) => a + x)
+    val est = qr2 + col("rnorm") * col("rnorm") -
+      lit(2.0) * col("rnorm") / sqrt(size(col("bits")).cast("double")) * dot
+    val cand = pruned
+      .withColumn("qdist", round(est, roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+    cand
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), queryVec), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+  }
+
+  /** Pack 0/1 bit codes into a `binary` column, 8 bits per byte
+    * MSB-first (dims pad to a whole byte) — the at-rest form of a
+    * [[IvfBitIndex]]: 1 bit/dim in storage, shuffle buffers, and
+    * executor memory. [[unpackBits]] restores `array<int>` for
+    * [[searchIvfBitq]]'s estimator. */
+  def packBits(bits: Column): Column = {
+    val pack = udf { (bs: Seq[Int]) =>
+      val out = new Array[Byte]((bs.length + 7) / 8)
+      var i = 0
+      while (i < bs.length) {
+        if (bs(i) != 0) out(i / 8) = (out(i / 8) | (0x80 >> (i % 8))).toByte
+        i += 1
+      }
+      out
+    }
+    pack(bits)
+  }
+
+  /** Inverse of [[packBits]] given the original dimension count. */
+  def unpackBits(bin: Column, dims: Int): Column = {
+    val unpack = udf { (b: Array[Byte]) =>
+      (0 until dims).map(i => (b(i / 8) >> (7 - i % 8)) & 1)
+    }
+    unpack(bin)
+  }
 }

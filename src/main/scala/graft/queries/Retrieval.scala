@@ -97,6 +97,17 @@ object Retrieval {
       probes = 3, k = 10, refine = 5)
   }
 
+  /** IVF + 1-bit RaBitQ-style quantization: sign-bit residual codes,
+    * asymmetric estimator scan within probed cells, exact re-rank —
+    * the vchordrq default index shape at 32× vector compression. */
+  def ivfBitqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    Ann.searchIvfBitq(index, "vec_id", "embedding", qvec(s, d, 13), Ann.L2,
+      probes = 3, k = 10, refine = 5)
+  }
+
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
@@ -218,7 +229,8 @@ object Retrieval {
     "r10_knn_join_ivf" -> knnJoinIvfL2,
     "r11_sq_topk" -> sqTopk,
     "r12_ivf_sq_topk" -> ivfSqTopk,
-    "r13_bm25_batch" -> bm25Batch)
+    "r13_bm25_batch" -> bm25Batch,
+    "r14_ivf_bitq_topk" -> ivfBitqTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -258,6 +270,8 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 9)"
   private val qv11 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11)"
+  private val qv13 =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 13)"
 
   /** Cosine distance written as the exact double formula Vec.cosDist uses
     * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
@@ -392,6 +406,64 @@ object Retrieval {
                    (b.maxs[i+1] - b.mins[i+1])))))), 6) AS qdist
             FROM codes c
             JOIN bounds b USING (centroid_id)
+            JOIN probes USING (centroid_id)
+            CROSS JOIN q
+            ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT cand.vec_id,
+            round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
+          FROM cand CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r14: IVF + 1-bit codes from first principles — label-mean
+    // centroids, sign-bit residual codes + rounded residual norm, the
+    // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr
+    // within the 3 probed cells, exact re-rank of the top-50.
+    "r14_ivf_bitq_topk" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT $qv13 AS qv),
+          probes AS (
+            SELECT centroid_id FROM cents CROSS JOIN q
+            ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
+            LIMIT 3),
+          bitq AS (
+            SELECT a.vec_id, a.embedding, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN a.embedding[i+1]::DOUBLE - c.centroid[i+1] > 0
+                  THEN 1 ELSE 0 END) AS bits,
+              round(sqrt(list_sum(list_transform(range(len(a.embedding)),
+                i -> (a.embedding[i+1]::DOUBLE - c.centroid[i+1]) *
+                     (a.embedding[i+1]::DOUBLE - c.centroid[i+1])))), 6)
+                AS rnorm
+            FROM assigned a JOIN cents c USING (centroid_id)),
+          cand AS (
+            SELECT b.vec_id, b.embedding,
+              round(
+                list_sum(list_transform(range(len(b.bits)), i ->
+                  (q.qv[i+1] - c.centroid[i+1]) *
+                  (q.qv[i+1] - c.centroid[i+1])))
+                + b.rnorm * b.rnorm
+                - 2.0 * b.rnorm / sqrt(len(b.bits)) *
+                  list_sum(list_transform(range(len(b.bits)), i ->
+                    (b.bits[i+1] * 2 - 1) *
+                    (q.qv[i+1] - c.centroid[i+1]))),
+                6) AS qdist
+            FROM bitq b
+            JOIN cents c USING (centroid_id)
             JOIN probes USING (centroid_id)
             CROSS JOIN q
             ORDER BY qdist ASC, vec_id ASC LIMIT 50)

@@ -404,6 +404,74 @@ class OpsSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("ivf+bitq: all-probe generous-refine search equals exact topK; " +
+      "bits are residual signs, rnorm the residual norm") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val nCells = model.centroids.count().toInt
+    val nVecs = e.count().toInt
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val q = org.apache.spark.sql.functions.typedlit(
+      (0 until 64).map(i => 0.01 * i))
+    // all cells probed + refine covering the whole corpus → the
+    // estimator stage is recall-complete and re-rank must equal exact
+    val got = Ann.searchIvfBitq(index, "vec_id", "embedding", q, Ann.L2,
+      probes = nCells, k = 5, refine = nVecs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Ann.topK(e, "vec_id", "embedding", q, Ann.L2, 5)
+      .select("vec_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+    // spot-verify bits/rnorm against a driver-side recompute
+    import org.apache.spark.sql.functions._
+    val cents = model.centroids
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    index.quantized.limit(20).collect().foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val c = cents(r.getLong(r.fieldIndex("centroid_id")))
+      val bits = r.getSeq[Int](r.fieldIndex("bits"))
+      val res = v.zip(c).map { case (a, b) => a - b }
+      assert(bits === res.map(x => if (x > 0) 1 else 0))
+      val rn = math.sqrt(res.map(x => x * x).sum)
+      assert(math.abs(r.getDouble(r.fieldIndex("rnorm")) - rn) < 1e-5)
+    }
+  }
+
+  test("bitq: restricted refine keeps good recall on clustered data") {
+    val sp = spark
+    import sp.implicits._
+    // 3 tight clusters; querying a member must find it (dist 0) first
+    val base = Seq(Seq(0.0, 0.0, 10.0), Seq(10.0, 0.0, 0.0),
+      Seq(0.0, 10.0, 0.0))
+    val vecs = for (c <- 0 until 3; i <- 0 until 20) yield
+      (c.toLong * 20 + i, base(c).zipWithIndex.map { case (x, j) =>
+        x + 0.01 * i + 0.001 * j }, c)
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val index = Ann.buildIvfBitq(df, "embedding", model, Ann.L2)
+    val q = org.apache.spark.sql.functions.typedlit(vecs(7)._2)
+    val top = Ann.searchIvfBitq(index, "vec_id", "embedding", q, Ann.L2,
+      probes = 1, k = 3, refine = 10).collect()
+    assert(top.head.getLong(0) === 7L && top.head.getDouble(1) === 0.0)
+  }
+
+  test("packBits/unpackBits roundtrip on non-byte-aligned dims") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dims = 13 // forces a padded final byte
+    val rows = Seq.tabulate(9)(r => (r.toLong,
+      Seq.tabulate(dims)(i => (r + i) % 3 match { case 0 => 1; case _ => 0 })))
+    val df = rows.toDF("id", "bits")
+    val packed = df.withColumn("bin", Ann.packBits(col("bits")))
+    // 13 bits pack to 2 bytes
+    assert(packed.select(length(col("bin"))).distinct().head().getInt(0) === 2)
+    val round = packed
+      .withColumn("back", Ann.unpackBits(col("bin"), dims))
+      .filter(col("back") =!= col("bits")).count()
+    assert(round === 0L)
+  }
+
   test("packed SQ codes roundtrip and shrink the at-rest footprint") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
