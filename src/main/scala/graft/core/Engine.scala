@@ -33,6 +33,11 @@ final class Engine(reg: Registry) {
     val base = reg.table(td)
     val ranked =
       indexModel(td) match {
+        case Some(model) if ix.lists > 0 && ix.oneBit =>
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          Ann.searchIvfBitq(ivfBitqCached(td, ix, base, model), td.pk,
+            ix.column, q, ix.distance, p, topk, refine)
         case Some(model) if ix.lists > 0 && ix.quantized =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
@@ -183,6 +188,30 @@ final class Engine(reg: Registry) {
           val idx = Ann.IvfSqIndex(built.quantized.persist(),
             built.bounds.persist(), built.model)
           ivfSqCacheMap(key) = (version, idx)
+          idx
+      }
+    }
+  }
+
+  /** IVF+1-bit index memoized per table VERSION (same lifecycle as
+    * [[ivfSqCached]]): residual-sign codes + norms persist until the
+    * table is rewritten. */
+  private val ivfBitqCacheMap =
+    scala.collection.mutable.HashMap[String, (Int, Ann.IvfBitIndex)]()
+  private def ivfBitqCached(td: TableDef[_], ix: VectorIndex,
+                            base: DataFrame,
+                            model: Ann.IvfModel): Ann.IvfBitIndex = {
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    ivfBitqCacheMap.synchronized {
+      ivfBitqCacheMap.get(key) match {
+        case Some((v, idx)) if v == version => idx
+        case stale =>
+          stale.foreach(_._2.quantized.unpersist(false))
+          val built = Ann.buildIvfBitq(base, ix.column, model, ix.distance)
+          val idx = Ann.IvfBitIndex(built.quantized.persist(), built.model)
+          ivfBitqCacheMap(key) = (version, idx)
           idx
       }
     }

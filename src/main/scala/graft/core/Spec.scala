@@ -38,10 +38,13 @@ object Spec {
   /** Index declarations (spec.py:417-491). */
   sealed trait IndexDef { def column: String }
   /** vchordrq twin: IVF with `lists` cells under `distance`
-    * (spec.py:437-444). */
+    * (spec.py:437-444). `quantized` scans 8-bit SQ codes within probed
+    * cells; `oneBit` scans 1-bit RaBitQ-style residual-sign codes (the
+    * vchordrq default quantization) — both exact-re-rank survivors. */
   final case class VectorIndex(column: String, distance: Ann.Metric = Ann.L2,
                                lists: Int = 0,
-                               quantized: Boolean = false) extends IndexDef
+                               quantized: Boolean = false,
+                               oneBit: Boolean = false) extends IndexDef
   /** Multi-vector maxsim index (spec.py:447-464). */
   final case class MultiVectorIndex(column: String, lists: Int = 0)
     extends IndexDef

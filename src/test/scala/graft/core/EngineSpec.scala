@@ -91,6 +91,45 @@ class EngineSpec extends SparkSpecBase {
     assert(one.forall(_ % 2 === 1))
   }
 
+  test("searchByVector with a oneBit IVF index matches the plain IVF " +
+      "ranking after re-rank") {
+    val sp = spark
+    import sp.implicits._
+    val td = TableDef[EChunk]("echunkb", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2, oneBit = true),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-b").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i",
+        Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    // refine spanning the probed cells => the 1-bit estimator phase is
+    // recall-complete and the exact re-rank equals plain IVF
+    val q = eng.searchByVector(td, Seq(0.0, 0.0), topk = 5, probes = 2,
+        refine = 40).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    val tdPlain = TableDef[EChunk]("echunkb", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    reg.register(tdPlain)
+    val plain = new Engine(reg).searchByVector(tdPlain, Seq(0.0, 0.0),
+        topk = 5, probes = 2).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    assert(q === plain)
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)
