@@ -47,22 +47,35 @@ object Extract {
     * content stream via the page /Font resources and Tf operators.
     * Structure objects packed into /ObjStm object streams (the PDF 1.5+
     * compressed layout every modern generator emits) are expanded, so
-    * fonts and resources defined there resolve too. Out of scope
-    * (returns whatever text IS recoverable): encrypted PDFs, CID fonts
-    * WITHOUT a ToUnicode CMap, image-only pages — the full renderer
-    * remains a swap-in point. Per-stream texts join with "\n" like the
-    * reference's per-page join. */
+    * fonts and resources defined there resolve too. Standard-security-
+    * handler encryption (R2-R4: RC4 40/128-bit and AES-128 /AESV2)
+    * decrypts under the EMPTY user password — the owner-locked class
+    * that dominates encrypted PDFs in web corpora. Out of scope
+    * (returns whatever text IS recoverable): password-protected R5/6
+    * AES-256, CID fonts WITHOUT a ToUnicode CMap, image-only pages —
+    * the full renderer remains a swap-in point. Per-stream texts join
+    * with "\n" like the reference's per-page join. */
   def pdf(data: Array[Byte]): String = {
     // latin-1 maps bytes 1:1 to chars, so string indices == byte offsets
     val raw = new String(data, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return ""
+    val top = parseObjects(raw)
+    val crypt = detectCrypt(raw, top)
     def decoded(o: PObj): Option[String] = o.body.flatMap { b =>
-      if (o.dict.contains("/FlateDecode"))
-        Some(inflate(b.getBytes(StandardCharsets.ISO_8859_1)))
-      else if (!o.dict.contains("/Filter")) Some(b)
+      val bytes0 = b.getBytes(StandardCharsets.ISO_8859_1)
+      // standard-security-handler stream decryption (XRef streams are
+      // never encrypted per spec; they carry no text and are skipped)
+      val bytes = crypt match {
+        case Some(c) if !o.dict.contains("/XRef") =>
+          c.decrypt(o.num, o.gen, bytes0)
+        case _ => bytes0
+      }
+      if (o.dict.contains("/FlateDecode")) Some(inflate(bytes))
+      else if (!o.dict.contains("/Filter"))
+        Some(new String(bytes, StandardCharsets.ISO_8859_1))
       else None // unsupported filter (DCT, LZW, ...)
     }
-    val objs = expandObjStm(parseObjects(raw), decoded)
+    val objs = expandObjStm(top, decoded)
     val byNum = objs.map(o => o.num -> o).toMap
     // ToUnicode CMap streams of Type0 fonts, keyed by their obj number
     val toUniRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
@@ -96,17 +109,18 @@ object Extract {
   }
 
   private final case class PObj(num: Int, dict: String,
-                                body: Option[String])
+                                body: Option[String], gen: Int = 0)
 
   /** Split the raw file into `N G obj ... endobj` objects (classic
     * cross-reference layout; objects inside /ObjStm containers are not
     * unpacked). */
   private def parseObjects(raw: String): Vector[PObj] = {
     val res = Vector.newBuilder[PObj]
-    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
       .matcher(raw)
     while (m.find()) {
       val num = m.group(1).toInt
+      val gen = m.group(2).toInt
       val start = m.end()
       val endObj = raw.indexOf("endobj", start)
       val end = if (endObj < 0) raw.length else endObj
@@ -120,10 +134,153 @@ object Extract {
         val endStream = raw.indexOf("endstream", bodyStart)
         val bodyEnd = if (endStream < 0) end else endStream
         res += PObj(num, dict,
-          Some(raw.substring(bodyStart, math.max(bodyStart, bodyEnd))))
-      } else res += PObj(num, raw.substring(start, end), None)
+          Some(raw.substring(bodyStart, math.max(bodyStart, bodyEnd))), gen)
+      } else res += PObj(num, raw.substring(start, end), None, gen)
     }
     res.result()
+  }
+
+  /** The standard security handler's 32-byte password pad (PDF 1.7,
+    * 7.6.3.3). An EMPTY user password — the owner-locked PDFs mass
+    * corpora are full of — pads to exactly this constant. */
+  private val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** RC4 / AES-128 stream decryption for the standard security handler
+    * (R2-R4) under the empty user password. `fileKey` is the Algorithm-2
+    * file key; per-object keys follow Algorithm 1 (MD5 over key + objnum
+    * LE24 + gennum LE16, + the AES salt for /AESV2, truncated to
+    * min(n+5, 16)). AES payloads carry their IV in the first 16 bytes
+    * (CBC, PKCS#5 pad stripped). */
+  private final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fileKey)
+      md.update(Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte,
+        ((gen >> 8) & 0xff).toByte))
+      if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54))
+      val objKey = md.digest().take(math.min(fileKey.length + 5, 16))
+      try {
+        if (aes) {
+          if (data.length < 32) return Array.emptyByteArray
+          val body = data.drop(16).take((data.length - 16) / 16 * 16)
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+            new javax.crypto.spec.IvParameterSpec(data.take(16)))
+          val out = c.doFinal(body)
+          val pad = out.last & 0xff
+          if (pad >= 1 && pad <= 16 && pad <= out.length)
+            out.dropRight(pad)
+          else out
+        } else {
+          val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey, "ARCFOUR"))
+          c.doFinal(data)
+        }
+      } catch { case _: java.security.GeneralSecurityException =>
+        Array.emptyByteArray }
+    }
+  }
+
+  /** A PDF string value following `key` in dict text `d`: literal
+    * `(...)` with escapes/octal, or hex `<...>`. */
+  private def dictString(d: String, key: String): Option[Array[Byte]] = {
+    var i = d.indexOf(key)
+    while (i >= 0) {
+      var j = i + key.length
+      while (j < d.length && d(j).isWhitespace) j += 1
+      if (j < d.length && d(j) == '(') {
+        val sb = new scala.collection.mutable.ArrayBuffer[Byte]
+        var depth = 1; var k = j + 1
+        while (k < d.length && depth > 0) {
+          d(k) match {
+            case '\\' if k + 1 < d.length =>
+              d(k + 1) match {
+                case 'n' => sb += '\n'.toByte; k += 2
+                case 'r' => sb += '\r'.toByte; k += 2
+                case 't' => sb += '\t'.toByte; k += 2
+                case 'b' => sb += '\b'.toByte; k += 2
+                case 'f' => sb += '\f'.toByte; k += 2
+                case c if c >= '0' && c <= '7' =>
+                  var v = 0; var cnt = 0; k += 1
+                  while (cnt < 3 && k < d.length && d(k) >= '0' &&
+                    d(k) <= '7') { v = v * 8 + (d(k) - '0'); k += 1; cnt += 1 }
+                  sb += v.toByte
+                case c => sb += c.toByte; k += 2
+              }
+            case '(' => depth += 1; sb += '('.toByte; k += 1
+            case ')' =>
+              depth -= 1; if (depth > 0) sb += ')'.toByte; k += 1
+            case c => sb += c.toByte; k += 1
+          }
+        }
+        return Some(sb.toArray)
+      } else if (j < d.length && d(j) == '<' &&
+          (j + 1 >= d.length || d(j + 1) != '<')) {
+        val close = d.indexOf('>', j)
+        if (close > j) {
+          val hex = d.substring(j + 1, close)
+            .filter(c => Character.digit(c, 16) >= 0)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          return Some(padded.grouped(2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray)
+        }
+      }
+      i = d.indexOf(key, i + 1)
+    }
+    None
+  }
+
+  /** Detect a /Standard /Encrypt dict and derive the empty-user-password
+    * file key (PDF 1.7 Algorithm 2): MD5(pad ‖ O[0..32) ‖ P as LE32 ‖
+    * ID[0] ‖ [FFFFFFFF when R4 skips metadata]), truncated to Length/8
+    * (5 bytes for R2), re-hashed 50× for R3+. R5/6 (AES-256) and
+    * non-Standard handlers return None — the file stays undecrypted and
+    * extraction yields whatever plaintext exists. */
+  private def detectCrypt(raw: String, objs: Vector[PObj]): Option[PdfCrypt] = {
+    val byNum = objs.map(o => o.num -> o).toMap
+    for {
+      m <- "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(raw)
+      o <- byNum.get(m.group(1).toInt)
+      d = o.dict
+      if d.contains("/Standard")
+      r = "/R\\s+(\\d+)".r.findFirstMatchIn(d)
+        .map(_.group(1).toInt).getOrElse(2)
+      if r >= 2 && r <= 4
+      oBytes <- dictString(d, "/O")
+      idPart = "/ID".r.findFirstMatchIn(raw)
+        .map(mm => raw.substring(mm.end, math.min(mm.end + 200, raw.length)))
+      id0 = idPart.flatMap(dictString(_, "[")).getOrElse(Array.emptyByteArray)
+    } yield {
+      val p = "/P\\s+(-?\\d+)".r.findFirstMatchIn(d)
+        .map(_.group(1).toLong).getOrElse(-1L).toInt
+      val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(d)
+        .map(_.group(1).toInt).getOrElse(40)
+      val skipMeta = r >= 4 && "/EncryptMetadata\\s+false".r
+        .findFirstIn(d).isDefined
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(PasswordPad)
+      md.update(oBytes.take(32))
+      md.update(Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >>> 24) & 0xff).toByte))
+      md.update(id0)
+      if (skipMeta)
+        md.update(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+          0xff.toByte))
+      val keyLen = if (r == 2) 5 else math.max(5, math.min(16, len / 8))
+      var key = md.digest().take(keyLen)
+      if (r >= 3)
+        for (_ <- 0 until 50)
+          key = java.security.MessageDigest.getInstance("MD5")
+            .digest(key).take(keyLen)
+      PdfCrypt(key, r >= 4 && d.contains("/AESV2"))
+    }
   }
 
   /** Expand /ObjStm object streams: the decoded stream starts with N

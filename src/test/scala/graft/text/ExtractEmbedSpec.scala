@@ -165,6 +165,97 @@ class ExtractEmbedSpec extends SparkSpecBase {
     assert(Extract.pdf(pdf) === "Hi")
   }
 
+  // --- encrypted fixtures: standard security handler, empty user pw ---
+
+  /** Independent spec-derived key schedule (PDF 1.7 Algorithms 1+2) so
+    * the fixture encrypts with its own derivation, not the extractor's. */
+  private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+                      lenBits: Int): Array[Byte] = {
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64,
+      0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6,
+      0xD0, 0x68, 0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69,
+      0x7A).map(_.toByte)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(pad); md.update(o)
+    md.update(Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+      (p >>> 24).toByte))
+    md.update(id0)
+    val n = if (r == 2) 5 else lenBits / 8
+    var key = md.digest().take(n)
+    if (r >= 3) (0 until 50).foreach { _ =>
+      key = java.security.MessageDigest.getInstance("MD5").digest(key).take(n)
+    }
+    key
+  }
+
+  private def objKey(key: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(key)
+    md.update(Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+      0, 0))
+    if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54))
+    md.digest().take(math.min(key.length + 5, 16))
+  }
+
+  private def encryptedPdf(content: String, r: Int, lenBits: Int,
+                           aes: Boolean): Array[Byte] = {
+    val o = Array.tabulate(32)(i => (i * 7 + 3).toByte) // arbitrary /O
+    val id0 = Array.tabulate(16)(i => (i * 11 + 5).toByte)
+    val p = -44
+    val key = fileKey(o, p, id0, r, lenBits)
+    val ok = objKey(key, 4, aes)
+    val enc: Array[Byte] =
+      if (aes) {
+        val iv = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ok, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(content.getBytes("ISO-8859-1"))
+      } else {
+        val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ok, "ARCFOUR"))
+        c.doFinal(content.getBytes("ISO-8859-1"))
+      }
+    val body = new String(enc, "ISO-8859-1")
+    val oHex = o.map("%02X".format(_)).mkString
+    val idHex = id0.map("%02X".format(_)).mkString
+    val v = if (r == 2) 1 else if (r == 3) 2 else 4
+    val cf = if (aes)
+      " /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF" else ""
+    (s"""%PDF-1.6
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+       |4 0 obj << /Length ${body.length} >>
+       |stream
+       |$body
+       |endstream endobj
+       |5 0 obj << /Filter /Standard /V $v /R $r /Length $lenBits$cf
+       | /O <$oHex> /U <00000000000000000000000000000000> /P $p >> endobj
+       |trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<$idHex> <$idHex>] >>
+       |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+  }
+
+  test("pdf extraction: RC4-encrypted (R3, 128-bit), empty user pw") {
+    val pdf = encryptedPdf("BT (Locked but mine) Tj ET", r = 3,
+      lenBits = 128, aes = false)
+    assert(Extract.pdf(pdf) === "Locked but mine")
+  }
+
+  test("pdf extraction: RC4-encrypted (R2, 40-bit) legacy handler") {
+    val pdf = encryptedPdf("BT (Old crypt) Tj ET", r = 2,
+      lenBits = 40, aes = false)
+    assert(Extract.pdf(pdf) === "Old crypt")
+  }
+
+  test("pdf extraction: AES-128 /AESV2 (R4) with IV-prefixed stream") {
+    val pdf = encryptedPdf("BT (Modern lock) Tj ET", r = 4,
+      lenBits = 128, aes = true)
+    assert(Extract.pdf(pdf) === "Modern lock")
+  }
+
   test("pdf extraction: non-PDF bytes and image streams yield nothing") {
     assert(Extract.pdf("not a pdf".getBytes("UTF-8")) === "")
     val img = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 4 >>\n" +
