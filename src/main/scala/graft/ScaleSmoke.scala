@@ -126,6 +126,58 @@ object ScaleSmoke {
         "d_id", "dv", model, ops.Ann.L2, probes = 8, k = 10).count()
     }
 
+    // Corpus-repeated n-grams at dup-heavy scale: every 3-gram of every
+    // base doc repeats xf× (plus intra-corpus repeats) — the per-gram
+    // stats groupBy must stay combinable (no per-gram window) and the
+    // span expansion output-bound, so time scales with data + removed
+    // spans, never gram-frequency².
+    time("dup_ngram_strip") {
+      // aggregate a computed column so column pruning cannot skip the
+      // strip itself (count() alone would)
+      ops.Dedup.dupNgramStrip(docs, "doc_id", "text", n = 3, minOcc = 2)
+        .agg(sum(col("n_removed") + length(col("clean_text"))))
+        .head().getLong(0)
+    }
+    // Temporal joins at event scale: inflate events xf× across distinct
+    // users (key-partitioned window / bucketed equi-join must scale in
+    // events, with no per-key quadratic pairing)
+    val ev0 = graft.queries.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_type", "value")
+    val ev = (0 until xf).map { i =>
+      ev0.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism).persist()
+    ev.count()
+    time("asof_join") {
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(sum("value").as("val"))
+      ops.Temporal.asofJoin(views, purchases, Seq("user_id"), "ts",
+          Seq("val"))
+        .agg(count(col("asof_val"))).head().getLong(0)
+    }
+    time("range_join") {
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      ops.Temporal.rangeJoin(errors, clicks, Seq("user_id"), "ts",
+        "6 hours", Seq("value")).count()
+    }
+    // 1-bit quantized IVF at index scale: build + search with 256 cells
+    // over the inflated vectors — codes are map-only over the cell join,
+    // the estimator scan prunes to probed cells
+    time("ivf_bitq") {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 256,
+        iters = 1)
+      val index = ops.Ann.buildIvfBitq(vecs, "embedding", model, ops.Ann.L2)
+      val q = typedlit((0 until 64).map(i => 0.01 * i))
+      ops.Ann.searchIvfBitq(index, "vec_id", "embedding", q, ops.Ann.L2,
+        probes = 8, k = 10, refine = 10).count()
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")
