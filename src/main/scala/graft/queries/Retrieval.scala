@@ -108,6 +108,20 @@ object Retrieval {
       probes = 3, k = 10, refine = 5)
   }
 
+  /** MMR-diversified rerank over a cosine top-20 candidate list:
+    * greedy λ·rel − (1−λ)·max-sim selection ([[graft.rank.Rerank.mmr]],
+    * executor-side per query group). Greedy selection is not cleanly
+    * SQL-expressible → rows-only gate; the math is ScalaTest-verified
+    * against a naive reference in ComponentsSpec. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cand = Ann.topK(e, "vec_id", "embedding", qvec(s, d, 5),
+        Ann.Cosine, 20)
+      .withColumn("rel", lit(1.0) - col("dist"))
+    graft.rank.Rerank.mmr(cand, "vec_id", "embedding", "rel", k = 10)
+      .orderBy("mmr_rank")
+  }
+
   val Bm25Query = "spark filter join"
 
   /** BM25 keyword top-k over documents.text (index built once per
@@ -230,7 +244,8 @@ object Retrieval {
     "r11_sq_topk" -> sqTopk,
     "r12_ivf_sq_topk" -> ivfSqTopk,
     "r13_bm25_batch" -> bm25Batch,
-    "r14_ivf_bitq_topk" -> ivfBitqTopk)
+    "r14_ivf_bitq_topk" -> ivfBitqTopk,
+    "r15_mmr_rerank" -> mmrRerank)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */

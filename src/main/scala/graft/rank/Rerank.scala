@@ -60,6 +60,86 @@ final case class OverlapReranker() extends MultimodalReranker {
 
 object Rerank {
 
+  /** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    * over one candidate list: picks argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s), ties by id asc; the
+    * first pick is pure relevance. Returns (id, mmrScore) in pick
+    * order, scores rounded for cross-engine determinism. */
+  def mmrSelect(cands: Seq[(Long, Array[Double], Double)], k: Int,
+                lambda: Double): Seq[(Long, Double)] = {
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val withNorm = cands.map { case (id, v, rel) => (id, v, rel, norm(v)) }
+    def cos(a: (Long, Array[Double], Double, Double),
+            b: (Long, Array[Double], Double, Double)): Double =
+      if (a._4 == 0 || b._4 == 0) 0.0
+      else {
+        var s = 0.0; var i = 0
+        while (i < a._2.length && i < b._2.length) {
+          s += a._2(i) * b._2(i); i += 1
+        }
+        s / (a._4 * b._4)
+      }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double], Double, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val rest = scala.collection.mutable.ArrayBuffer(withNorm: _*)
+    while (out.length < k && rest.nonEmpty) {
+      var bestIdx = 0
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < rest.length) {
+        val d = rest(i)
+        val maxSim =
+          if (picked.isEmpty) 0.0 else picked.map(cos(d, _)).max
+        val s = lambda * d._3 - (1 - lambda) * maxSim
+        // strictly-greater + id-asc tiebreak = deterministic pick order
+        if (s > bestScore ||
+            (s == bestScore && d._1 < rest(bestIdx)._1)) {
+          bestScore = s; bestIdx = i
+        }
+        i += 1
+      }
+      val d = rest.remove(bestIdx)
+      picked += d
+      out += ((d._1, math.rint(bestScore * 1e6) / 1e6))
+    }
+    out.toSeq
+  }
+
+  /** MMR over per-query candidate groups — the DISTRIBUTED diversify
+    * step: candidates (already top-N per query from an ANN/BM25 stage)
+    * group by query id, each group runs the greedy selection inside its
+    * executor via flatMapGroups (no driver collect, one shuffle on the
+    * query id — at 100 TB the group is top-N-bounded, so state per key
+    * is O(N·dim), never corpus-sized). Returns (qid, id, mmr_rank,
+    * mmr_score). */
+  def mmrBatch(candidates: DataFrame, qidCol: String, idCol: String,
+               vecCol: String, scoreCol: String, k: Int,
+               lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col(scoreCol).cast("double"))
+      .as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // relevance-desc, id-asc presort: greedy input order is stable
+        val cands = it.map(t => (t._2, t._3.toArray, t._4)).toSeq
+          .sortBy(t => (-t._3, t._1))
+        mmrSelect(cands, k, lambda).zipWithIndex.map {
+          case ((id, s), r) => (qid, id, r + 1, s)
+        }
+      }
+      .toDF(qidCol, idCol, "mmr_rank", "mmr_score")
+  }
+
+  /** Single-list MMR: [[mmrBatch]] degenerated to one group. */
+  def mmr(candidates: DataFrame, idCol: String, vecCol: String,
+          scoreCol: String, k: Int, lambda: Double = 0.7): DataFrame =
+    mmrBatch(candidates.withColumn("__q", lit(0L)), "__q", idCol,
+      vecCol, scoreCol, k, lambda).drop("__q")
+
   /** Apply a reranker to a ranked list frame (id, text, rank): collects
     * the (small, already top-k) list, queries the reranker once, joins
     * the permutation back — the distributed form of `reorder`

@@ -117,4 +117,62 @@ class ComponentsSpec extends SparkSpecBase {
     // wordpiece splits the query into <=4-char pieces shared by docs 1+2
     assert(hits.map(_.getAs[Long]("id")).toSet.intersect(Set(1L, 2L)).size === 2)
   }
+
+  test("mmrSelect: first pick is pure relevance, second trades near-dup " +
+      "for diversity") {
+    // 1 and 2 are near-identical directions; 3 is orthogonal with lower
+    // relevance. Pure relevance ranks (1, 2, 3); MMR at λ=0.5 must pick
+    // the diverse doc 3 second.
+    val cands = Seq(
+      (1L, Array(1.0, 0.0), 0.95),
+      (2L, Array(0.999, 0.01), 0.94),
+      (3L, Array(0.0, 1.0), 0.60))
+    val picked = Rerank.mmrSelect(cands, k = 3, lambda = 0.5).map(_._1)
+    assert(picked === Seq(1L, 3L, 2L))
+    // λ=1 degenerates to relevance order
+    val rel = Rerank.mmrSelect(cands, k = 3, lambda = 1.0).map(_._1)
+    assert(rel === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect matches a naive reference implementation") {
+    val rng = new scala.util.Random(7)
+    val cands = (1L to 12L).map(i =>
+      (i, Array.fill(4)(rng.nextDouble()), rng.nextDouble()))
+    def naive(k: Int, lam: Double): Seq[Long] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0
+        else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+      }
+      var sel = Vector.empty[(Long, Array[Double], Double)]
+      var rest = cands.toVector
+      while (sel.length < k && rest.nonEmpty) {
+        val best = rest.minBy { d =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(d._2, s._2)).max
+          (-(lam * d._3 - (1 - lam) * ms), d._1)
+        }
+        sel :+= best
+        rest = rest.filterNot(_._1 == best._1)
+      }
+      sel.map(_._1)
+    }
+    for (lam <- Seq(0.3, 0.7, 1.0))
+      assert(Rerank.mmrSelect(cands, 8, lam).map(_._1) === naive(8, lam))
+  }
+
+  test("mmrBatch diversifies per query group without a driver collect") {
+    val sp = spark
+    import sp.implicits._
+    val rows = for (q <- Seq(10L, 20L); (id, v, rel) <- Seq(
+      (1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.99, 0.01), 0.89),
+      (3L, Seq(0.0, 1.0), 0.5))) yield (q, id + q, v, rel)
+    val out = Rerank.mmrBatch(rows.toDF("qid", "id", "vec", "rel"),
+      "qid", "id", "vec", "rel", k = 2, lambda = 0.5)
+    val byQ = out.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    assert(byQ(10L) === Seq(11L, 13L)) // diverse doc second, per group
+    assert(byQ(20L) === Seq(21L, 23L))
+  }
 }
