@@ -96,9 +96,14 @@ final case class VocabRecognizer(vocab: Seq[String])
   * ENT_ATTRIBUTE_ENT. spaCy's POS tags are approximated by
   * deterministic token classes: the closed classes (auxiliaries,
   * prepositions, determiners, punctuation, the possessive marker,
-  * numbers) are enumerated exactly; ENT is the capitalized-token
-  * heuristic (∪ `vocab`, like [[VocabRecognizer]]); VERB is a suffix
-  * (-ed/-ing/-s) + irregular-list heuristic; everything else is NOUN.
+  * numbers, pronouns) are enumerated exactly; ENT is the
+  * capitalized-token heuristic (∪ `vocab`, like [[VocabRecognizer]]);
+  * VERB combines irregular + common-base-form lists with suffix
+  * morphology (-ed/-ing/-s, each with noun exception lists — plural
+  * derivational nouns like "cities"/"actions" stay NOUN); adverbs
+  * (-ly) and derivational adjectives (-ous/-ful/-ive/...) get their
+  * own non-NOUN classes so the NOUN-consuming patterns skip them,
+  * as spaCy's tagger would.
   *
   * Match semantics mirror graph.py:113-139: for each pattern match
   * span, source = the first ENT token, target = the second (falling
@@ -128,10 +133,15 @@ final case class PatternRecognizer(vocab: Seq[String] = Nil)
     else if (Aux(lower)) "AUX"
     else if (Adp(lower)) "ADP"
     else if (Det(lower)) "DET"
-    else if (Irregular(lower) || lower.endsWith("ed") ||
-      lower.endsWith("ing") ||
-      (lower.length > 3 && lower.endsWith("s") && !lower.endsWith("ss")))
+    else if (Pron(lower)) "PRON"
+    else if (Irregular(lower) || BaseVerbs(lower)) "VERB"
+    else if (lower.endsWith("ing") && !IngNouns(lower)) "VERB"
+    else if (lower.endsWith("ed") && !EdNonVerbs(lower)) "VERB"
+    else if (lower.length > 3 && lower.endsWith("s") &&
+      !lower.endsWith("ss") && !NounPluralSuffix.exists(lower.endsWith))
       "VERB"
+    else if (lower.endsWith("ly") && !LyNonAdverbs(lower)) "ADV"
+    else if (AdjSuffix.exists(lower.endsWith)) "ADJ"
     else "NOUN"
   }
 
@@ -246,6 +256,56 @@ object PatternRecognizer {
     "left", "lost", "paid", "sent", "set", "told", "got", "grew",
     "drove", "chose", "spoke", "wore", "broke", "threw", "taught",
     "caught", "brought", "thought", "stood", "found")
+  /** Common base-form verbs (suffix-free present tense: "they run
+    * Acme") — without these every uninflected verb fell through to
+    * NOUN and the VERB patterns missed plural-subject clauses. */
+  val BaseVerbs: Set[String] = Set("go", "make", "take", "come", "see",
+    "know", "get", "give", "find", "think", "tell", "become", "show",
+    "leave", "feel", "put", "bring", "begin", "keep", "hold", "write",
+    "stand", "hear", "let", "mean", "meet", "run", "pay", "sit",
+    "speak", "lead", "read", "grow", "lose", "fall", "send", "build",
+    "understand", "draw", "break", "spend", "cut", "rise", "drive",
+    "buy", "wear", "choose", "seem", "help", "talk", "turn", "start",
+    "play", "move", "like", "live", "believe", "happen", "include",
+    "continue", "serve", "die", "expect", "stay", "reach", "kill",
+    "remain", "suggest", "raise", "pass", "sell", "require", "report",
+    "decide", "pull", "return", "explain", "hope", "develop", "carry",
+    "drink", "eat", "sleep", "walk", "win", "offer", "remember",
+    "love", "consider", "appear", "wait", "cover", "create", "open",
+    "change", "watch", "follow", "stop", "need", "want", "use", "work",
+    "call", "try", "ask", "add", "learn", "study", "visit", "join",
+    "acquire", "found", "establish", "own", "operate", "manage",
+    "direct", "produce", "release", "launch", "announce", "employ",
+    "hire", "merge")
+  /** -ing words that are ordinary nouns, not gerunds/participles. */
+  val IngNouns: Set[String] = Set("morning", "evening", "thing",
+    "king", "ring", "spring", "string", "wing", "building", "feeling",
+    "meeting", "nothing", "something", "anything", "everything",
+    "ceiling", "wedding", "clothing")
+  /** -ed words where "ed" is not the past-tense suffix (or the word is
+    * an adjective spaCy would not tag VERB). */
+  val EdNonVerbs: Set[String] = Set("bed", "red", "hundred", "seed",
+    "speed", "deed", "indeed", "sacred", "naked", "wicked")
+  /** Pluralized derivational-NOUN suffixes: words like "cities",
+    * "actions", "movements", "teachers" are confidently plural nouns —
+    * without this carve-out the -s rule tagged every plural VERB and
+    * the NOUN patterns (apposition, possessive) missed them. */
+  val NounPluralSuffix: Seq[String] = Seq("ions", "ments", "nesses",
+    "ities", "ers", "ists", "isms", "ances", "ences", "ships", "hoods",
+    "ages", "ures", "ogies", "ields")
+  /** -ly words that are not adverbs. */
+  val LyNonAdverbs: Set[String] = Set("family", "fly", "supply",
+    "reply", "butterfly", "assembly", "july", "italy", "monopoly",
+    "anomaly", "jelly", "belly", "rally", "ally", "early")
+  /** Derivational ADJECTIVE suffixes — classified ADJ (not NOUN) so
+    * the NOUN-consuming patterns skip them, matching spaCy's tags. */
+  val AdjSuffix: Seq[String] = Seq("ous", "ful", "ive", "able", "ible",
+    "ish", "less")
+  /** Personal pronouns — PRON (not NOUN), so "Alice , it is Bob" does
+    * not fake a possessive-pattern NOUN slot. */
+  val Pron: Set[String] = Set("he", "she", "it", "they", "we", "i",
+    "you", "him", "them", "us", "me", "who", "whom", "himself",
+    "herself", "itself", "themselves")
 }
 
 object Graph {

@@ -141,6 +141,26 @@ class GraphSpec extends SparkSpecBase {
     assert(r.get.source === "Acme" && r.get.target === "2024")
   }
 
+  test("tagger: base-form verbs, plural nouns, pronouns, adjectives") {
+    // base-form verb after a plural subject: "run" must tag VERB
+    val (_, rels) = PatternRecognizer()
+      .recognize("Bob and Alice run Acme.")
+    assert(rels.exists(r => r.source == "Alice" && r.target == "Acme" &&
+      r.description == "Alice run Acme"))
+    // pluralized derivational noun stays NOUN: apposition matches
+    val (_, rels2) = PatternRecognizer()
+      .recognize("Paris , regions of France")
+    assert(rels2.exists(r => r.source == "Paris" && r.target == "France"))
+    // pronoun is PRON, not NOUN: no fake possessive-pattern slot
+    val (_, rels3) = PatternRecognizer()
+      .recognize("Alice , it is Bob")
+    assert(!rels3.exists(r => r.description.contains("it is")))
+    // adjective is ADJ, not NOUN: the NOUN+ element cannot start on it
+    val (_, rels4) = PatternRecognizer()
+      .recognize("Alice , famous Bob")
+    assert(!rels4.exists(r => r.description == "Alice , famous Bob"))
+  }
+
   test("pattern recognizer: entities are capitalized/vocab tokens, " +
       "deduped in order; vocab extends ENT class") {
     val (ents, _) = PatternRecognizer()
