@@ -48,6 +48,34 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** Deterministic sequence packing — the pretraining batcher's
+    * "concatenate docs in order, cut every `budget` tokens" assignment,
+    * doc-granular: within a hash shard, docs order by id and land in
+    * pack `floor(tokens-before-this-doc / budget)`. Adds `shard`,
+    * `pack_id`. Reproducible from (id, token count) alone — no RNG, no
+    * partition-order dependence — so any engine re-derives the exact
+    * same packs and a grown corpus only appends to the tail of each
+    * shard's last pack.
+    *
+    * Scale shape: one shuffle (hash shard), then a per-shard ordered
+    * cumulative sum. Shards bound window-partition size: pick `shards`
+    * ≈ corpus_tokens / (desired packs per task × budget); the window
+    * state is a single running counter. */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    budget: Int, shards: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("__n")).over(w), lit(0L)) / budget)
+          .cast("long"))
+      .drop("__n")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its
     * [[hashBucket]] falls below its stratum's fraction of `buckets`.
     * The classic use is rebalancing a corpus by downsampling dominant

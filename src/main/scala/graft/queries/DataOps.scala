@@ -181,7 +181,22 @@ object DataOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  /** Sequence packing ([[Sampling.packSequences]]): 8 hash shards,
+    * 512-token packs over whitespace token counts; per-pack doc count
+    * + token mass is the gate (any off-by-one in the running cut moves
+    * a doc across packs and changes the hash). */
+  def packSeqs(s: SparkSession, d: String): DataFrame =
+    Sampling.packSequences(documents(s, d), "doc_id",
+        size(filter(split(col("text"), " "), t => t =!= "")),
+        budget = 512, shards = 8)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+          .as("sum_tokens"))
+      .orderBy("shard", "pack_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_pack_sequences" -> packSeqs,
     "p15_stratified_mix" -> stratifiedMix,
     "p14_dup_ngram_strip" -> dupNgrams,
     "p12_decontaminate" -> decontaminate,
@@ -236,6 +251,21 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p16_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+               % 8 AS shard,
+             len(list_filter(regexp_split_to_array(text, ' '),
+               x -> x != '')) AS n_tok
+           FROM documents),
+          c AS (SELECT shard, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM t)
+          SELECT shard, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "p15_stratified_mix" ->
       """WITH b AS (SELECT lang, n_chars,
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER

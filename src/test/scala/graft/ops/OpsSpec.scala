@@ -551,6 +551,39 @@ class OpsSpec extends SparkSpecBase {
     assert(scaled === s1)
   }
 
+  test("packSequences: running cut per shard, stable under growth") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Sampling
+    // one shard isolates the running-cut math: 100-token docs, 250
+    // budget → packs cut where the doc's FIRST token lands
+    val docs = (1L to 5L).map(i => (i, 100)).toDF("id", "n")
+    val packed = Sampling.packSequences(docs, "id", col("n"),
+        budget = 250, shards = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pack_id"))
+      .toMap
+    assert(packed === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // growth appends: earlier docs never move packs
+    val grown = Sampling.packSequences(
+        (1L to 8L).map(i => (i, 100)).toDF("id", "n"), "id", col("n"),
+        budget = 250, shards = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pack_id"))
+      .toMap
+    assert(packed.forall { case (id, p) => grown(id) == p })
+    // multi-shard: every doc keeps its md5 shard, packs restart per shard
+    val sharded = Sampling.packSequences(
+      (1L to 200L).map(i => (i, 50)).toDF("id", "n"), "id", col("n"),
+      budget = 100, shards = 4)
+    val byShard = sharded.collect()
+      .groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.size === 4)
+    byShard.values.foreach { rows =>
+      val packs = rows.sortBy(_.getAs[Long]("id")).map(_.getAs[Long]("pack_id"))
+      assert(packs.head === 0L) // each shard starts at pack 0
+      assert(packs.zip(packs.tail).forall { case (a, b) => b - a <= 1 && b >= a })
+    }
+  }
+
   test("exact dedup keeps lowest id per text") {
     val sp = spark
     import sp.implicits._
