@@ -1,0 +1,114 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.core.Registry
+import graft.core.Spec.TableDef
+import org.apache.spark.sql.Encoders
+
+final case class SDoc(doc_id: Long, text: String)
+
+class ServiceSpec extends SparkSpecBase {
+
+  private def sdocDef: TableDef[SDoc] = {
+    implicit val enc = Encoders.product[SDoc]
+    TableDef[SDoc]("sdoc", primaryKey = Some("doc_id"))
+  }
+
+  private lazy val service: GraftService = {
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-svc").toString)
+    new GraftService(reg, Seq(sdocDef), port = 0).start()
+  }
+  private lazy val base = s"http://127.0.0.1:${service.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("GET / answers the health check") {
+    val r = get("/")
+    assert(r.statusCode() === 200 && r.body() === "Ok")
+  }
+
+  test("table route: insert via POST, filter via GET params, DELETE") {
+    val ins = post("/api/table/sdoc", """{"doc_id": 7, "text": "hello"}""")
+    assert(ins.statusCode() === 201)
+    post("/api/table/sdoc", """{"doc_id": 8, "text": "other"}""")
+    val got = get("/api/table/sdoc?doc_id=7")
+    assert(got.statusCode() === 200)
+    assert(got.body().contains("\"text\":\"hello\""))
+    assert(!got.body().contains("other")) // typed equality filter applied
+    val del = delete("/api/table/sdoc?doc_id=7")
+    assert(del.statusCode() === 200)
+    assert(!get("/api/table/sdoc?doc_id=7").body().contains("hello"))
+    assert(get("/api/table/sdoc?doc_id=8").body().contains("other"))
+  }
+
+  test("table route: malformed insert body is a 400, not a crash") {
+    val r = post("/api/table/sdoc", """not json at all""")
+    assert(r.statusCode() === 400)
+  }
+
+  test("POST /api/run: index then search round-trips through the " +
+      "dynamic pipeline") {
+    val steps =
+      """[{"kind":"chunk","provider":"regex","args":{"size":"64","overlap":"8"}},
+         {"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+         {"kind":"index","provider":"graft"}]"""
+    val ing = post("/api/run",
+      s"""{"name":"doc-1","data":"${b64("spark joins are fast. " +
+        "windows partition data. shuffles move rows.")}",
+          "steps":$steps}""")
+    assert(ing.statusCode() === 200)
+    assert(ing.body().contains("\"msg\":\"ingested\""))
+    val searchSteps =
+      """[{"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+         {"kind":"search","provider":"graft","args":{"topk":"3"}}]"""
+    val res = post("/api/run",
+      s"""{"name":"q","data":"${b64("spark joins")}","steps":$searchSteps}""")
+    assert(res.statusCode() === 200)
+    assert(res.body().contains("\"chunks\":["))
+    assert(res.body().contains("spark"))
+  }
+
+  test("POST /api/run: the reference's validation errors map to 400") {
+    // no embedding provider → pipeline.py:174-184 RequestError
+    val r = post("/api/run",
+      s"""{"name":"x","data":"${b64("q")}",
+          "steps":[{"kind":"search","provider":"graft"}]}""")
+    assert(r.statusCode() === 400)
+    assert(r.body().contains("No embedding provider"))
+    // unknown provider kind
+    val r2 = post("/api/run",
+      s"""{"name":"x","data":"${b64("q")}",
+          "steps":[{"kind":"nope","provider":"zzz"}]}""")
+    assert(r2.statusCode() === 400)
+    assert(r2.body().contains("Unsupported provider kind"))
+  }
+
+  test("GET /openapi/spec.json lists the route set") {
+    val r = get("/openapi/spec.json")
+    assert(r.statusCode() === 200)
+    val b = r.body()
+    assert(b.contains("\"/api/run\"") && b.contains("\"/api/table/sdoc\"")
+      && b.contains("health check"))
+  }
+}
