@@ -274,4 +274,57 @@ class PropertiesSpec extends SparkSpecBase {
     assert(obs >= mu - 3.0 * sigma - 1e-9,
       s"recall $obs/${exact.length} below analytic bound $mu ± $sigma")
   }
+
+  test("asofJoin equals the naive per-row argmax on random event sets") {
+    val sp = spark
+    import sp.implicits._
+    val eventGen = for {
+      key <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(0, 100)
+    } yield (key, t, v.toDouble)
+    samples(Gen.listOfN(80, eventGen), 4, 91L).foreach { evs =>
+      // dedupe right side per (key, ts) — the operator's contract
+      val right = evs.groupBy(e => (e._1, e._2)).map { case ((k, t), g) =>
+        (k, t, g.map(_._3).max) }.toSeq
+      val left = evs.take(40).map(e => (e._1, e._2 + 1))
+      val lDf = left.toDF("k", "ts").withColumn("ts",
+        timestamp_seconds(col("ts")).cast("timestamp"))
+      val rDf = right.toDF("k", "ts", "v").withColumn("ts",
+        timestamp_seconds(col("ts")).cast("timestamp"))
+      val got = graft.ops.Temporal
+        .asofJoin(lDf, rDf, Seq("k"), "ts", Seq("v"))
+        .select(col("k"), unix_timestamp(col("ts")),
+          col("asof_v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2))
+      val want = left.map { case (k, t) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= t)
+        (k, t, if (prior.isEmpty) None
+               else Some(prior.maxBy(_._2)._3))
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("packBits/unpackBits roundtrip on random widths and patterns") {
+    val sp = spark
+    import sp.implicits._
+    val rowGen = for {
+      dims <- Gen.choose(1, 40)
+      bits <- Gen.listOfN(dims, Gen.oneOf(0, 1))
+    } yield bits
+    samples(Gen.listOfN(12, rowGen), 3, 17L).foreach { rows =>
+      rows.groupBy(_.length).foreach { case (dims, group) =>
+        val df = group.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+          .toDF("id", "bits")
+        val bad = df
+          .withColumn("back",
+            Ann.unpackBits(Ann.packBits(col("bits")), dims))
+          .filter(col("back") =!= col("bits")).count()
+        assert(bad === 0L)
+      }
+    }
+  }
 }

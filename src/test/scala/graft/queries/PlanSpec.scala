@@ -188,6 +188,46 @@ class PlanSpec extends SparkSpecBase {
     assert(!ap.contains("Exchange"), s"assign must be map-only:\n$ap")
   }
 
+  test("dup-ngram strip: per-gram stats are a combinable aggregate, " +
+      "never a window over gram") {
+    val p = plan(DataOps.dupNgrams(spark, sf))
+    // the stats stage must be HashAggregate (partial+final, map-side
+    // combinable on hot grams); a Window keyed on gram would serialize
+    // every occurrence of a hot gram through one partition
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    val windows = p.split("\n").filter(_.contains("Window"))
+    assert(!windows.exists(_.contains("gram")),
+      s"found a gram-keyed window:\n${windows.mkString("\n")}")
+  }
+
+  test("pack-sequences: the shard window's exchange is reused by the " +
+      "pack aggregation (one shuffle total)") {
+    val p = plan(DataOps.packSeqs(spark, sf))
+    // hashpartitioning(shard) satisfies the (shard, pack_id) grouping,
+    // so the groupBy must NOT re-exchange after the window
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("ivf-bitq search: probed centroids enter as a broadcast of " +
+      "query-derived rows, codes join without a literal") {
+    val p = plan(Retrieval.ivfBitqTopk(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // no array-of-struct centroid literal anywhere in the plan
+    assert(!p.contains("[[0.0,"), "centroid table leaked as a plan literal")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("stratified mix + splits share the map-only exchange-free scan") {
+    val p = plan(DataOps.stratifiedMix(spark, sf))
+    // the sample filter is map-side: exactly the aggregation's own
+    // exchange, nothing before it
+    val pre = p.split("HashAggregate")(p.split("HashAggregate").length - 1)
+    assert(!pre.contains("Exchange"),
+      s"sampling should not shuffle before aggregating:\n$p")
+  }
+
   test("stored IVF table: probes become disk partition pruning") {
     val e = Tables.embeddings(spark, sf)
     val model = Ann.buildIvf(e, "label", "embedding")
