@@ -58,6 +58,37 @@ object Stream {
     deduped.drop("__digest")
   }
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose `ts` falls in
+    * `[left.ts − window, left.ts)` — the continuous form of
+    * [[graft.ops.Temporal.rangeJoin]], expressed as Spark's NATIVE
+    * stream-stream join (equi-key + time-range condition). Both sides
+    * carry the watermark, which bounds the join state: rows older than
+    * watermark + window are evicted from the state store, so unbounded
+    * streams run with bounded memory at any executor count. In batch
+    * mode the same plan is an ordinary equi-join + range filter. Left
+    * columns keep their names; right ts/value columns come back
+    * `r_`-prefixed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String, window: String,
+                   rightVals: Seq[String],
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(tsCol, watermark)
+            else left
+    val r0 = right
+      .select((Seq(col(key), col(tsCol).as(s"r_$tsCol")) ++
+        rightVals.map(c => col(c).as(s"r_$c"))): _*)
+      .withColumnRenamed(key, s"__rk")
+    val r = if (right.isStreaming)
+        r0.withWatermark(s"r_$tsCol", watermark)
+      else r0
+    l.join(r,
+      col(key) === col("__rk") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $window") &&
+        col(s"r_$tsCol") < col(tsCol))
+      .drop("__rk")
+  }
+
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With
     * `timeoutMs > 0` state times out after that much processing-time

@@ -101,6 +101,46 @@ class StreamSpec extends SparkSpecBase {
       Array("other content", "same content"))
   }
 
+  test("stream-stream interval join pairs in-window rows, bounded state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val lefts = MemoryStream[(Long, Timestamp, Long)]
+    val rights = MemoryStream[(Long, Timestamp, Double)]
+    val q = Stream.intervalJoin(
+        lefts.toDF().toDF("k", "ts", "event_id"),
+        rights.toDF().toDF("k", "ts", "value"),
+        "k", "ts", "10 minutes", Seq("value"), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    rights.addData((1L, ts(4), 1.0), (1L, ts(14), 2.0), (2L, ts(10), 9.0))
+    lefts.addData((1L, ts(15), 100L)) // window [05:00, 15:00): only 14:00
+    q.processAllAvailable()
+    val rows = spark.table("ij").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Double]("r_value")).sorted === Array(2.0))
+  }
+
+  test("the same interval-join code runs in batch mode and matches " +
+      "Temporal.rangeJoin") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts(15), 100L), (2L, ts(20), 101L))
+      .toDF("k", "ts", "event_id")
+    val right = Seq((1L, ts(4), 1.0), (1L, ts(14), 2.0), (2L, ts(12), 9.0),
+      (2L, ts(20), 8.0)).toDF("k", "ts", "value")
+    val stream = Stream.intervalJoin(left, right, "k", "ts",
+        "10 minutes", Seq("value"))
+      .select("k", "event_id", "r_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val batch = graft.ops.Temporal.rangeJoin(left, right, Seq("k"), "ts",
+        "10 minutes", Seq("value"))
+      .select("k", "event_id", "r_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(stream.toSeq === batch.toSeq)
+    assert(stream.toSeq === Seq((1L, 100L, 2.0), (2L, 101L, 9.0)))
+  }
+
   test("kmeans ivf recovers planted blobs") {
     val sp = spark
     import sp.implicits._
