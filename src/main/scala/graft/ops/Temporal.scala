@@ -49,8 +49,13 @@ object Temporal {
     * the naive `l JOIN r ON key AND r.ts <= l.ts` + argmax, whose
     * range join is quadratic per key.
     */
+  /** Optional `tolerance` (e.g. "15 minutes") nulls out matches older
+    * than `left.ts − tolerance` — pandas `merge_asof(tolerance=...)`
+    * semantics; applied AFTER the window carry, so it is a row-local
+    * filter with no extra shuffle. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, rightVals: Seq[String]): DataFrame = {
+               tsCol: String, rightVals: Seq[String],
+               tolerance: Option[String] = None): DataFrame = {
     val leftOnly = left.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     val lTagged = left
@@ -70,10 +75,21 @@ object Temporal {
     val carriedTs =
       last(when(col("__tag") === 0, col(tsCol)), ignoreNulls = true).over(w)
         .as("asof_ts")
-    lTagged.unionByName(rTagged)
+    val carriedAll = lTagged.unionByName(rTagged)
       .select(col("*") +: carriedTs +: carried: _*)
       .where(col("__tag") === 1)
       .drop("__tag" +: rightVals: _*)
+    tolerance match {
+      case None => carriedAll
+      case Some(tol) =>
+        val inTol = col("asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
+        carriedAll.select(
+          carriedAll.columns.map {
+            case c if c.startsWith("asof_") =>
+              when(inTol, col(c)).otherwise(lit(null)).as(c)
+            case c => col(c)
+          }: _*)
+    }
   }
 
   /** Interval (range) join: pairs with equal `keys` and `right.tsCol`

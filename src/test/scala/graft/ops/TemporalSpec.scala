@@ -46,6 +46,45 @@ class TemporalSpec extends SparkSpecBase {
     assert(out(0).getAs[Timestamp]("asof_ts") === ts("2024-01-01 09:45:00"))
   }
 
+  test("asofJoin tolerance nulls matches older than the bound") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x"),
+      (2L, ts("2024-01-01 10:00:00"), "y")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:58:00"), 1.0),  // in tolerance
+      (2L, ts("2024-01-01 09:00:00"), 2.0))  // too old
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"),
+        tolerance = Some("5 minutes"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("asof_v")))).toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(2L) === None)
+  }
+
+  test("temporal joins handle empty and single-sided inputs") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "tag")
+    val emptyRight = sp.emptyDataset[(Long, Timestamp, Double)]
+      .toDF("k", "ts", "v")
+    // as-of against an empty right: all left rows survive, null match
+    val asof = Temporal.asofJoin(left, emptyRight, Seq("k"), "ts", Seq("v"))
+      .collect()
+    assert(asof.length === 1 &&
+      asof(0).isNullAt(asof(0).fieldIndex("asof_v")))
+    // range join against an empty right: inner semantics, empty out
+    assert(Temporal.rangeJoin(left, emptyRight, Seq("k"), "ts",
+      "1 hour", Seq("v")).count() === 0L)
+    // empty left passes through both
+    val emptyLeft = sp.emptyDataset[(Long, Timestamp, String)]
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    assert(Temporal.asofJoin(emptyLeft, right, Seq("k"), "ts",
+      Seq("v")).count() === 0L)
+    assert(Temporal.rangeJoin(emptyLeft, right, Seq("k"), "ts",
+      "1 hour", Seq("v")).count() === 0L)
+  }
+
   test("rangeJoin emits [ts-window, ts) pairs exactly once across buckets") {
     // left at 10:00; window 1 hour → right must be in [09:00, 10:00)
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
