@@ -90,12 +90,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** The STREAMING interval join ([[graft.streaming.Stream
+    * .intervalJoin]] — watermark-bounded stream-stream join) executed
+    * in batch mode: same pairs contract as [[rangeClicks]], same
+    * oracle shape, different operator — the batch-twin gate the other
+    * streaming ops (s01) already have. */
+  def streamIntervalTwin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    graft.streaming.Stream.intervalJoin(errors, clicks, "user_id", "ts",
+        "6 hours", Seq("value"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_id")).as("n_errors_with_click"),
+        count(lit(1)).as("n_pairs"),
+        round(dsum(col("r_value")), 6).as("click_total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
     "s03_props_json" -> propsJson,
     "s04_asof_purchase" -> asofPurchase,
-    "s05_range_clicks" -> rangeClicks)
+    "s05_range_clicks" -> rangeClicks,
+    "s06_stream_interval_twin" -> streamIntervalTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -138,6 +159,20 @@ object Events {
              AS matched_total
          FROM j GROUP BY 1 ORDER BY 1""",
     "s05_range_clicks" ->
+      """WITH e AS (SELECT user_id, ts, event_id
+           FROM events WHERE event_type = 'error'),
+          c AS (SELECT user_id, ts, value
+                FROM events WHERE event_type = 'click'),
+          j AS (SELECT e.user_id, e.event_id, c.value
+                FROM e JOIN c ON e.user_id = c.user_id
+                AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts < e.ts)
+         SELECT user_id, count(DISTINCT event_id) AS n_errors_with_click,
+           count(*) AS n_pairs,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS click_total
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // the streaming operator's batch twin shares s05's pair contract
+    "s06_stream_interval_twin" ->
       """WITH e AS (SELECT user_id, ts, event_id
            FROM events WHERE event_type = 'error'),
           c AS (SELECT user_id, ts, value
