@@ -160,4 +160,32 @@ object TextAnalysis {
     dup.join(top, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("top_bigram_frac"))
   }
+
+  /** PII patterns shared by [[scrubPii]] and its oracle: RE2-safe (no
+    * lookarounds), identical semantics under Java regex and DuckDB so
+    * the scrub is engine-portable. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass every released training corpus
+    * runs (emails / IPv4 / phone-shaped numbers → typed placeholders).
+    * Map-only column math: at 100 TB it fuses into the scan with zero
+    * shuffle. Order matters and is fixed (email → ip → phone) so
+    * every engine produces byte-identical output; counts are taken on
+    * the ORIGINAL text before any replacement. Returns the input plus
+    * n_emails / n_ips / n_phones / `clean` (scrubbed `textCol`). */
+  def scrubPii(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
 }

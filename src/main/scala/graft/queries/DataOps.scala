@@ -195,7 +195,22 @@ object DataOps {
           .as("sum_tokens"))
       .orderBy("shard", "pack_id")
 
+  /** PII scrub ([[TextAnalysis.scrubPii]]): deterministic synthetic
+    * PII (email/IP/phone derived from doc_id) is planted into each doc,
+    * then redacted; the full scrubbed text is the gate. Map-only —
+    * fuses into the scan at any scale. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), col("doc_id") % 256,
+        lit(".7 call 555-0199")).as("aug"))
+    TextAnalysis.scrubPii(aug, "aug")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_pii_scrub" -> piiScrub,
     "p16_pack_sequences" -> packSeqs,
     "p15_stratified_mix" -> stratifiedMix,
     "p14_dup_ngram_strip" -> dupNgrams,
@@ -251,6 +266,23 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p17_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 call 555-0199' AS aug
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(aug,
+              '${TextAnalysis.EmailRe}')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(aug,
+              '${TextAnalysis.Ipv4Re}')) AS INT) AS n_ips,
+            CAST(len(regexp_extract_all(aug,
+              '${TextAnalysis.PhoneRe}')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(aug,
+              '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
+          FROM t ORDER BY doc_id""",
     "p16_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER

@@ -705,6 +705,26 @@ class OpsSpec extends SparkSpecBase {
     assert(out(3L) === ((2L, 0L, "a b")))
   }
 
+  test("scrubPii redacts emails/ips/phones, counts before replacing") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org and b@x.io from 10.0.0.7 call 555-0199"),
+      (2L, "nothing sensitive here at all"),
+      (3L, "ip 256.1.1.1 still matches the shape; 1.2.3 does not"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("clean")))).toMap
+    assert(out(1L) === ((2, 1, 1,
+      "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")))
+    assert(out(2L) === ((0, 0, 0, "nothing sensitive here at all")))
+    // the shape-based IPv4 rule is deliberately permissive (256 ok)
+    assert(out(3L)._2 === 1)
+    assert(out(3L)._4.contains("<IP>") && out(3L)._4.contains("1.2.3"))
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._
