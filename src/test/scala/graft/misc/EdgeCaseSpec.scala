@@ -203,4 +203,47 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(rt(1).getSeq[Int](1) === Seq(0, 255, 128))
   }
 
+  test("mmrSelect degenerate inputs: empty, k > n, zero vectors") {
+    import graft.rank.Rerank
+    assert(Rerank.mmrSelect(Nil, 5, 0.7) === Nil)
+    val one = Seq((3L, Array(1.0, 0.0), 0.5))
+    assert(Rerank.mmrSelect(one, 10, 0.7).map(_._1) === Seq(3L))
+    // zero-norm vectors: cos defined as 0, selection still total
+    val zeros = Seq((1L, Array(0.0, 0.0), 0.9), (2L, Array(0.0, 0.0), 0.8))
+    assert(Rerank.mmrSelect(zeros, 2, 0.5).map(_._1) === Seq(1L, 2L))
+  }
+
+  test("dupNgramStrip with minOcc = 1 keeps only first gram occurrences") {
+    val sp = spark
+    import sp.implicits._
+    // every gram "occurs >= 1": doc 1 keeps its (first-seen) text, the
+    // exact repeat in doc 2 is fully stripped
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .dupNgramStrip(docs, "doc_id", "text", n = 3, minOcc = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "a b c" && out(2L) === "")
+  }
+
+  test("packSequences with budget 1: every doc starts its own pack") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 4L).map(i => (i, 3)).toDF("id", "n")
+    val packs = graft.ops.Sampling
+      .packSequences(docs, "id", org.apache.spark.sql.functions.col("n"),
+        budget = 1, shards = 1)
+      .orderBy("id").collect().map(_.getAs[Long]("pack_id"))
+    assert(packs.toSeq === Seq(0L, 3L, 6L, 9L))
+  }
+
+  test("scrubPii on empty text and pure-PII text") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, ""), (2L, "a@b.io")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.scrubPii(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean") === "")
+    assert(out(0).getAs[Int]("n_emails") === 0)
+    assert(out(1).getAs[String]("clean") === "<EMAIL>")
+  }
 }
