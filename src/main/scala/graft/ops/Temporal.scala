@@ -58,6 +58,9 @@ object Temporal {
                tolerance: Option[String] = None): DataFrame = {
     val leftOnly = left.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
+    require(rightVals.intersect(leftOnly).isEmpty,
+      s"right value columns ${rightVals.intersect(leftOnly).mkString(",")} " +
+        "collide with left columns — alias one side first")
     val lTagged = left
       .select((keys.map(col) :+ col(tsCol) :+ lit(1).as("__tag")) ++
         leftOnly.map(col) ++

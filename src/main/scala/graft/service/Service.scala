@@ -38,7 +38,8 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** The bound port (useful with port = 0 → ephemeral). */
   def boundPort: Int = server.getAddress.getPort
@@ -56,7 +57,7 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- routing plumbing -------------------------------------------------
 
