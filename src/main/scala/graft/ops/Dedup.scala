@@ -195,17 +195,35 @@ object Dedup {
     * side is small by the nature of the task (test sets are thousands
     * of docs vs a 100 TB train corpus), so AQE broadcasts it and the
     * train side streams map-side — no full shuffle of the train
-    * shingle table and no unconditional broadcast hint. */
+    * shingle table and no unconditional broadcast hint.
+    *
+    * `bloomFpp > 0` adds the explicit scale path for when the bench
+    * side outgrows the broadcast threshold (a big eval suite) and the
+    * join would otherwise shuffle the FULL train shingle table: a
+    * Bloom filter over the bench shingle hashes (a few MB even at 10⁷
+    * shingles) ships as a broadcast variable and prunes train shingles
+    * map-side, so only probable-match rows reach the shuffle. False
+    * positives only add rows to the exact join — results are
+    * bit-identical to the unfiltered run. */
   def containmentPairs(bench: DataFrame, benchId: String, benchText: String,
                        train: DataFrame, trainId: String, trainText: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6, bloomFpp: Double = 0.0): DataFrame = {
     val b = shingleSets(bench, benchId, benchText, n)
       .filter(col("sz") > 0)
       .select(col("id").as("b_id"), explode(col("sh")).as("h"),
         col("sz").as("b_sz"))
-    val t = shingleSets(train, trainId, trainText, n)
+    val tAll = shingleSets(train, trainId, trainText, n)
       .select(col("id").as("t_id"), explode(col("sh")).as("h"))
+    val t = if (bloomFpp > 0) {
+      val bHashes = shingleSets(bench, benchId, benchText, n)
+        .select(explode(col("sh")).as("h")).distinct()
+      val bf = bHashes.stat.bloomFilter("h",
+        math.max(1L, bHashes.count()), bloomFpp)
+      val bc = train.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+      tAll.filter(mightContain(col("h")))
+    } else tAll
     b.join(t, Seq("h"))
       .groupBy("b_id", "t_id", "b_sz")
       .agg(count(lit(1)).as("inter"))

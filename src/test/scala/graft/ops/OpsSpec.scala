@@ -660,6 +660,20 @@ class OpsSpec extends SparkSpecBase {
     assert(Dedup.bucketedCandidates(overCap, 4, 1).count() === 4L)
   }
 
+  test("bloom-prefiltered decontamination equals the exact join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    def collectPairs(fpp: Double) =
+      Dedup.containmentPairs(bench, "doc_id", "text",
+          train, "doc_id", "text", n = 3, threshold = 0.3, bloomFpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val exact = collectPairs(0.0)
+    assert(exact.nonEmpty) // the synthetic corpus has real containment
+    assert(collectPairs(0.01) === exact) // FPs never change the result
+  }
+
   test("dupNgramStrip keeps first occurrence, strips merged later spans") {
     val sp = spark
     import sp.implicits._
