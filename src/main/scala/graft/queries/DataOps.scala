@@ -29,8 +29,16 @@ object DataOps {
     Dedup.minHashDedupPairs(documents(s, d), "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.5)
 
+  /** SimHash near-dup pairs under the md5-prefix-60 term hash
+    * ([[Dedup.Md5Prefix60TermHash]]) — bit-reproducible in DuckDB via
+    * `('0x' || substring(md5(t), 1, 15))::BIGINT`, so the FULL pipeline
+    * (tokenize → tf → per-bit majority signature → banded Hamming
+    * pairs) is oracle-gated. Banding is lossless here (bands=4 >
+    * maxDist=3, pigeonhole; no over-cap buckets at test scale), so the
+    * oracle can compute pairs by exact all-pairs Hamming. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = Dedup.simHash(documents(s, d), "doc_id", "text")
+    val sim = Dedup.simHash(documents(s, d), "doc_id", "text",
+      Dedup.Md5Prefix60TermHash)
     Dedup.simHashPairs(sim, maxDist = 3, bands = 4)
   }
 
@@ -98,14 +106,15 @@ object DataOps {
 
   /** Document fingerprint overlap: min-k shingle-hash sketches per doc,
     * top-10 doc pairs by sketch intersection (the bottom-k containment
-    * estimate). Rows-only: xxhash64 is not reproducible in the oracle
-    * engine; the sketch math itself is covered by OpsSpec. */
+    * estimate). Runs the md5-prefix-60 hash family
+    * ([[TextAnalysis.fingerprintMd5]]) so the full sketch pipeline is
+    * reproducible in — and gated by — the DuckDB oracle. */
   def fingerprintOverlap(s: SparkSession, d: String): DataFrame = {
     // persisted: consumed twice (stop-hash counting AND the pair join) —
     // without it the shingle+sort fingerprint computation runs twice
     val fpAll = docsPar(s, d)
       .select(col("doc_id"),
-        explode(TextAnalysis.fingerprint(col("text"), n = 4, k = 16))
+        explode(TextAnalysis.fingerprintMd5(col("text"), n = 4, k = 16))
           .as("h"))
       .persist()
     // stop-hash cap (standard sketch-join skew defense): a hash shared
@@ -266,6 +275,53 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p04_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                 GROUP BY 1, 2),
+          h AS (SELECT doc_id, tf,
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                FROM tf),
+          bits AS (SELECT doc_id, b,
+                     sum(tf * (CASE WHEN (h >> b) & 1 = 1
+                               THEN 1 ELSE -1 END)) AS acc
+                   FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+                   GROUP BY 1, 2),
+          sig0 AS (SELECT doc_id,
+                     sum(CASE WHEN acc > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END) AS sig
+                   FROM bits GROUP BY 1),
+          sig AS (SELECT t.doc_id, coalesce(sig0.sig, 0) AS sig
+                  FROM t LEFT JOIN sig0 USING (doc_id)),
+          p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+                FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+          SELECT a, b, hamming FROM p WHERE hamming <= 3""",
+    "p10_fingerprint_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(len(toks) - 3),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                         toks[i+3] || ' ' || toks[i+4]))) AS sh
+                FROM t),
+          h0 AS (SELECT doc_id,
+                   ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h
+                 FROM s),
+          fp AS (SELECT doc_id, h FROM (
+                   SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h)
+                       AS rn
+                   FROM h0) WHERE rn <= 16),
+          hot AS (SELECT h FROM fp GROUP BY 1 HAVING count(*) > 64),
+          f AS (SELECT fp.doc_id, fp.h
+                FROM fp LEFT JOIN hot ON fp.h = hot.h
+                WHERE hot.h IS NULL),
+          p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+                FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+          SELECT a, b, n_shared FROM p
+          ORDER BY n_shared DESC, a ASC, b ASC LIMIT 10""",
     "p17_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id,
             text || ' contact user' || doc_id || '@example.com from 10.0.'
