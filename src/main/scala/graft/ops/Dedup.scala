@@ -209,17 +209,22 @@ object Dedup {
                        train: DataFrame, trainId: String, trainText: String,
                        n: Int = 3, threshold: Double = 0.5,
                        roundTo: Int = 6, bloomFpp: Double = 0.0): DataFrame = {
-    val b = shingleSets(bench, benchId, benchText, n)
+    // bloom path: the bench shingle table is consumed twice (bloom
+    // build + join side), so persist it once rather than re-shingling
+    val bSets0 = shingleSets(bench, benchId, benchText, n)
+    val bSets = if (bloomFpp > 0) bSets0.persist() else bSets0
+    val b = bSets
       .filter(col("sz") > 0)
       .select(col("id").as("b_id"), explode(col("sh")).as("h"),
         col("sz").as("b_sz"))
     val tAll = shingleSets(train, trainId, trainText, n)
       .select(col("id").as("t_id"), explode(col("sh")).as("h"))
     val t = if (bloomFpp > 0) {
-      val bHashes = shingleSets(bench, benchId, benchText, n)
-        .select(explode(col("sh")).as("h")).distinct()
+      val bHashes = bSets.select(explode(col("sh")).as("h"))
+        .distinct().persist()
       val bf = bHashes.stat.bloomFilter("h",
         math.max(1L, bHashes.count()), bloomFpp)
+      bHashes.unpersist(false)
       val bc = train.sparkSession.sparkContext.broadcast(bf)
       val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
       tAll.filter(mightContain(col("h")))

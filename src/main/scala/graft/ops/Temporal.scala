@@ -61,6 +61,14 @@ object Temporal {
     require(rightVals.intersect(leftOnly).isEmpty,
       s"right value columns ${rightVals.intersect(leftOnly).mkString(",")} " +
         "collide with left columns — alias one side first")
+    // the GENERATED output names collide too (e.g. chaining two asofJoin
+    // calls with the same rightVals): a left column named asof_ts /
+    // asof_<v> would duplicate an output column and break the tolerance
+    // branch's column rewrite
+    val generated = "asof_ts" +: rightVals.map("asof_" + _)
+    require(left.columns.intersect(generated).isEmpty,
+      s"left columns ${left.columns.intersect(generated).mkString(",")} " +
+        "collide with generated asof_* output columns — alias them first")
     val lTagged = left
       .select((keys.map(col) :+ col(tsCol) :+ lit(1).as("__tag")) ++
         leftOnly.map(col) ++

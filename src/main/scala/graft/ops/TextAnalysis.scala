@@ -176,7 +176,10 @@ object TextAnalysis {
     * the ORIGINAL text before any replacement. Returns the input plus
     * n_emails / n_ips / n_phones / `clean` (scrubbed `textCol`). */
   def scrubPii(docs: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // null docs behave like empty docs (counts 0, clean "") — without
+    // the coalesce, regexp_extract_all(null) makes size() return -1
+    // and `clean` comes back null
+    val t = coalesce(col(textCol), lit(""))
     docs
       .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
       .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))

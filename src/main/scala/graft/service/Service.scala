@@ -9,6 +9,7 @@ import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
 
 import graft.core.Registry
 import graft.core.Spec.TableDef
@@ -35,6 +36,11 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
                          chunks: TableDef[Dynamic.DynChunk] =
                            Dynamic.chunkDef(),
                          port: Int = 0) {
+
+  /** Reserved GET query params (not column filters). */
+  private val ReservedParams = Set("_limit", "_cols")
+  /** Default GET row cap — overridable per-request via `_limit`. */
+  private val DefaultGetLimit = 10000
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -96,16 +102,24 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
-  /** `?col=v&col2=v2` → typed equality filters per the table schema. */
-  private def params(ex: HttpExchange, td: TableDef[_]): Map[String, Any] = {
+  private def rawParams(ex: HttpExchange): Map[String, String] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     q.split("&").filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2)
-      val key = java.net.URLDecoder.decode(k, "UTF-8")
-      val value = java.net.URLDecoder.decode(v, "UTF-8")
-      key -> cast(td, key, value)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
   }
+
+  /** `?col=v&col2=v2` → typed equality filters per the table schema.
+    * Unknown columns are a 400 (IllegalArgumentException), not a
+    * planning-time 500. */
+  private def params(ex: HttpExchange, td: TableDef[_]): Map[String, Any] =
+    (rawParams(ex) -- ReservedParams).map { case (key, value) =>
+      require(td.columns.contains(key),
+        s"unknown column for table ${td.name}: $key")
+      key -> cast(td, key, value)
+    }
 
   private def cast(td: TableDef[_], field: String, v: String): Any =
     td.schema.fields.find(_.name == field).map(_.dataType) match {
@@ -122,19 +136,50 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
   private def tableRoute(td: TableDef[_])(ex: HttpExchange): Reply =
     ex.getRequestMethod match {
       case "GET" =>
-        val rows = reg.selectBy(td, params(ex, td)).toJSON.collect()
+        // reserved params expose selectBy's existing projection/limit
+        // surface (Registry.selectBy, the reference's LIMIT at
+        // client.py:223-224): `_cols` = comma-separated projection,
+        // `_limit` = row cap. The cap defaults to DefaultGetLimit so
+        // the route never materializes an unbounded table on the
+        // driver.
+        val raw = rawParams(ex)
+        val limit = raw.get("_limit").map { v =>
+          require(v.matches("-?\\d+"), s"_limit must be an integer: $v")
+          v.toInt
+        }.getOrElse(DefaultGetLimit)
+        val cols = raw.get("_cols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        cols.foreach(c => require(td.columns.contains(c),
+          s"unknown column for table ${td.name}: $c"))
+        val rows = reg.selectBy(td, params(ex, td), cols, limit)
+          .toJSON.collect()
         (200, "application/json", rows.mkString("[", ",", "]"))
       case "POST" =>
         val spark = reg.spark
         import spark.implicits._
+        val raw = body(ex).trim
+        require(raw.nonEmpty, "empty request body for table " + td.name)
         val df = spark.read.schema(td.schema)
-          .json(spark.createDataset(Seq(body(ex))))
-        // a malformed body yields all-null rows; reject like the
-        // reference's validate_request 400 path
-        require(!df.head().anyNull || td.schema.fields.isEmpty,
-          "Invalid request body for table " + td.name)
-        reg.copyBulk(td, df.select(td.columns.map(
-          org.apache.spark.sql.functions.col): _*))
+          .json(spark.createDataset(Seq(raw)))
+          .select(td.columns.map(F.col): _*)
+        // validate EVERY record, not just the first: a malformed record
+        // parses to an all-null row, and a client-keyed table (manual
+        // IdGen) must carry its primary key on each record. Optional
+        // nullable fields are fine — only these two conditions reject.
+        val allNull = td.columns.map(F.col(_).isNull)
+          .reduceOption(_ && _).getOrElse(F.lit(false))
+        val pkNull =
+          if (td.primaryKey.isDefined && td.idGen == graft.core.Spec.IdGen.Manual)
+            F.col(td.pk).isNull
+          else F.lit(false)
+        val counts = df.agg(F.count(F.lit(1)),
+          F.sum(F.when(allNull || pkNull, 1).otherwise(0))).head()
+        require(counts.getLong(0) > 0,
+          "empty request body for table " + td.name)
+        require(counts.getLong(1) == 0,
+          "invalid record(s) in request body for table " + td.name)
+        reg.copyBulk(td, df)
         (201, "application/json", "{}")
       case "DELETE" =>
         reg.removeBy(td, params(ex, td))

@@ -739,6 +739,18 @@ class OpsSpec extends SparkSpecBase {
     assert(out(3L)._4.contains("<IP>") && out(3L)._4.contains("1.2.3"))
   }
 
+  test("scrubPii treats null text like empty text") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("clean")))).toMap
+    assert(out(1L) === ((0, 0, 0, "")))
+    assert(out(2L) === ((0, 0, 0, "")))
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._

@@ -61,6 +61,18 @@ class TemporalSpec extends SparkSpecBase {
     assert(out(2L) === None)
   }
 
+  test("asofJoin rejects left columns that collide with generated " +
+      "asof_* outputs (e.g. chained calls)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    val once = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+    // chaining with the same rightVals would duplicate asof_ts / asof_v
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(once, right, Seq("k"), "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("asof_"))
+  }
+
   test("temporal joins handle empty and single-sided inputs") {
     val sp = spark
     import sp.implicits._

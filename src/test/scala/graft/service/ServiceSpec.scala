@@ -67,6 +67,42 @@ class ServiceSpec extends SparkSpecBase {
     assert(r.statusCode() === 400)
   }
 
+  test("table route: empty body and empty array are 400s; a malformed " +
+      "record ANYWHERE in a batch rejects the whole batch") {
+    assert(post("/api/table/sdoc", "").statusCode() === 400)
+    assert(post("/api/table/sdoc", "[]").statusCode() === 400)
+    // second record is garbage → all-null row → whole batch rejected,
+    // nothing inserted
+    val r = post("/api/table/sdoc",
+      """[{"doc_id": 41, "text": "ok"}, {"doc_id": "not-a-long-at-all!"}]""")
+    assert(r.statusCode() === 400)
+    assert(!get("/api/table/sdoc?doc_id=41").body().contains("ok"))
+  }
+
+  test("table route: a null OPTIONAL field is accepted; a null primary " +
+      "key is not") {
+    val r = post("/api/table/sdoc", """{"doc_id": 42}""")
+    assert(r.statusCode() === 201)
+    assert(get("/api/table/sdoc?doc_id=42").body().contains("42"))
+    assert(post("/api/table/sdoc", """{"text": "no key"}""")
+      .statusCode() === 400)
+  }
+
+  test("table route: GET honors _limit and _cols; unknown columns are " +
+      "400s") {
+    (1 to 5).foreach(i =>
+      post("/api/table/sdoc", s"""{"doc_id": ${100 + i}, "text": "bulk"}"""))
+    val lim = get("/api/table/sdoc?text=bulk&_limit=2")
+    assert(lim.statusCode() === 200)
+    assert(lim.body().split("\\{").length - 1 === 2) // 2 JSON rows
+    val proj = get("/api/table/sdoc?doc_id=101&_cols=doc_id")
+    assert(proj.statusCode() === 200)
+    assert(proj.body().contains("101") && !proj.body().contains("text"))
+    assert(get("/api/table/sdoc?_cols=nope").statusCode() === 400)
+    assert(get("/api/table/sdoc?nope=1").statusCode() === 400)
+    assert(get("/api/table/sdoc?_limit=abc").statusCode() === 400)
+  }
+
   test("POST /api/run: index then search round-trips through the " +
       "dynamic pipeline") {
     val steps =
