@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ann
-import graft.text.{Embed, HashEmbedder, RegexChunker}
+import graft.text.{Embed, Md5Embedder, RegexChunker}
 import Tables._
 
 /** End-to-end ingest→search flow — the reference's `examples/simple.py`
   * shape: load documents, chunk (RegexChunker), embed (deterministic
   * local embedder), then answer a dense top-k query over the chunks.
-  * Not SQL-expressible (feature-hash embedding) → rows-only entry.
+  * Runs [[Md5Embedder]] (md5 feature hashing, integer-exact cosine) so
+  * the WHOLE loop — greedy chunker, embedding, brute-force cosine
+  * top-k — is reproduced by the DuckDB oracle below (the chunker as a
+  * recursive CTE over the same per-piece state machine).
   */
 object E2e {
 
@@ -21,8 +24,14 @@ object E2e {
 
   def ingestSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val chunker = RegexChunker(size = ChunkSize, overlap = ChunkOverlap)
-    val emb = HashEmbedder(dim = Dim)
+    // whitespace separator: the testdata documents carry no sentence
+    // punctuation, so the default separator would leave every doc a
+    // single (overlong) piece and the greedy pack/overlap loop would
+    // never run — word pieces make every doc exercise it (~2 chunks
+    // per ~300-char doc at size=200/overlap=40)
+    val chunker = RegexChunker(size = ChunkSize, overlap = ChunkOverlap,
+      separator = "\\s+", concat = " ")
+    val emb = Md5Embedder(dim = Dim)
     val chunks = documents(s, d).select("doc_id", "text")
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
@@ -41,5 +50,120 @@ object E2e {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch)
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
+    * CTE stepping the same per-piece state machine as
+    * [[graft.text.RegexChunker.segment]] (state = previous / current /
+    * totalLength / emitted chunks; LATERALs t0-t4 are the loop body's
+    * three phases: maybe-emit, append, overflow-emit). `ko(...)` =
+    * keepOverlap (maximal suffix under `overlap` chars); the overflow
+    * branch's prefix drop mirrors the overlapIndex scan. Chunk bodies
+    * were validated identical to an independent re-implementation over
+    * the whole corpus, not just the top-k gate. Embedding/cosine are
+    * bit-exact: [[graft.text.Md5Embedder]] vectors are small integers,
+    * so dot/norm are exact in double and `round(..., 6)` agrees. */
+  val oracles: Map[String, String] = {
+    def sumlen(l: String): String =
+      s"coalesce(list_sum(list_transform($l, x -> length(x))), 0)"
+    def ko(l: String): String =
+      s"($l)[coalesce(list_min(list_filter(range(1, len($l) + 2), " +
+        s"s -> ${sumlen(s"($l)[s:]")} < $ChunkOverlap)), 1):]"
+    def feats(toks: String): String =
+      s"$toks || list_transform(range(len($toks) - 1), " +
+        s"j -> ($toks)[j + 1] || ' ' || ($toks)[j + 2])"
+    val h = "('0x' || substring(md5(f), 1, 8))::BIGINT"
+    Map("e01_ingest_search" ->
+      s"""WITH RECURSIVE
+        p0 AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              regexp_split_to_array(text, '[\\s]+'),
+              x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) ||
+                           chr(11) || chr(12))),
+              x -> x != '') AS pieces
+          FROM documents),
+        rec AS (
+          SELECT doc_id, pieces, 0 AS i,
+                 []::VARCHAR[] AS prev, []::VARCHAR[] AS cur,
+                 0 AS total, []::VARCHAR[] AS chunks
+          FROM p0
+          UNION ALL
+          SELECT r.doc_id, r.pieces, r.i + 1,
+                 t4.prevD, t4.curD, t4.totalD, t4.chunksD
+          FROM rec r,
+          LATERAL (SELECT r.pieces[r.i + 1] AS p,
+            (r.total + length(r.pieces[r.i + 1]) > $ChunkSize
+              AND len(r.cur) > 0) AS emit1,
+            ${ko("r.cur")} AS koCur) t0,
+          LATERAL (SELECT
+            CASE WHEN t0.emit1
+              THEN r.chunks || [array_to_string(r.prev || r.cur, ' ')]
+              ELSE r.chunks END AS chunksA,
+            CASE WHEN t0.emit1 THEN t0.koCur ELSE r.prev END AS prevA,
+            CASE WHEN t0.emit1 THEN ${sumlen("t0.koCur")}
+              ELSE r.total END AS totalA,
+            CASE WHEN t0.emit1 THEN []::VARCHAR[] ELSE r.cur END AS curA) t1,
+          LATERAL (SELECT list_append(t1.curA, t0.p) AS curB,
+            t1.totalA + length(t0.p) AS totalB) t2,
+          LATERAL (SELECT (t2.totalB > $ChunkSize) AS over,
+            (t1.prevA)[coalesce(list_min(list_filter(
+              range(1, len(t1.prevA) + 1),
+              j -> t2.totalB - ${sumlen("(t1.prevA)[1:j]")} <= $ChunkSize)),
+              len(t1.prevA)) + 1:] AS prevC,
+            ${ko("t2.curB")} AS koCurB) t3,
+          LATERAL (SELECT
+            CASE WHEN t3.over
+              THEN t1.chunksA ||
+                [array_to_string(t3.prevC || t2.curB, ' ')]
+              ELSE t1.chunksA END AS chunksD,
+            CASE WHEN t3.over THEN t3.koCurB ELSE t1.prevA END AS prevD,
+            CASE WHEN t3.over THEN ${sumlen("t3.koCurB")}
+              ELSE t2.totalB END AS totalD,
+            CASE WHEN t3.over THEN []::VARCHAR[] ELSE t2.curB END AS curD) t4
+          WHERE r.i < len(r.pieces)),
+        fin AS (
+          SELECT doc_id,
+            CASE WHEN array_to_string(prev || cur, ' ') != ''
+              THEN chunks || [array_to_string(prev || cur, ' ')]
+              ELSE chunks END AS chunks
+          FROM rec WHERE i = len(pieces)),
+        ch AS (
+          SELECT doc_id * 1000 + i AS chunk_id, doc_id,
+                 chunks[i + 1] AS body
+          FROM (SELECT doc_id, chunks, unnest(range(len(chunks))) AS i
+                FROM fin)),
+        tok AS (
+          SELECT chunk_id, doc_id,
+            list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'),
+              x -> x != '') AS toks
+          FROM ch),
+        feat AS (
+          SELECT chunk_id, doc_id, unnest(${feats("toks")}) AS f
+          FROM tok),
+        hw AS (
+          SELECT chunk_id, doc_id, ($h // 2) % $Dim AS bucket,
+            CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM feat),
+        emb AS (SELECT chunk_id, doc_id, bucket, sum(s) AS w
+                FROM hw GROUP BY 1, 2, 3),
+        qfeat AS (
+          SELECT unnest(${feats("toks")}) AS f
+          FROM (SELECT list_filter(regexp_split_to_array(lower('$Query'),
+              '[^a-z0-9]+'), x -> x != '') AS toks)),
+        qv AS (
+          SELECT ($h // 2) % $Dim AS bucket,
+            sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS qw
+          FROM qfeat GROUP BY 1),
+        qn AS (SELECT sqrt(sum(qw * qw)) AS nq FROM qv),
+        cn AS (SELECT chunk_id, doc_id, sqrt(sum(w * w)) AS nc
+               FROM emb GROUP BY 1, 2),
+        dots AS (SELECT e.chunk_id, sum(e.w * q.qw) AS dot
+                 FROM emb e JOIN qv q USING (bucket) GROUP BY 1),
+        scored AS (
+          SELECT cn.chunk_id, cn.doc_id,
+            round(1 - coalesce(d.dot, 0) /
+              (cn.nc * (SELECT nq FROM qn)), 6) AS dist
+          FROM cn LEFT JOIN dots d USING (chunk_id))
+        SELECT chunk_id, doc_id, dist FROM scored
+        ORDER BY dist ASC, chunk_id ASC LIMIT 10""")
+  }
 }

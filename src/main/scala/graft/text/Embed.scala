@@ -60,6 +60,50 @@ final case class HashEmbedder(dim: Int = 64, seed: Int = 42)
   }
 }
 
+/** Engine-portable deterministic embedder: md5-derived feature hashing
+  * over uni+bigrams, accumulating UNNORMALIZED ±1 integer counts. Every
+  * component is a small integer — exactly representable in float — so
+  * dot products and squared norms are EXACT in double arithmetic and
+  * any SQL engine reproduces cosine distances bit-for-bit. Recipe per
+  * feature f: h = first 8 hex chars of md5(f) as a 32-bit value
+  * (`('0x' || substring(md5(f), 1, 8))::BIGINT` in DuckDB), bucket =
+  * (h/2) mod dim, sign = +1 if h even else -1. Cosine-equivalent to an
+  * L2-normalized variant (normalization cancels in cosine); slower
+  * than [[HashEmbedder]] (one md5 per feature) — its purpose is
+  * letting an external oracle gate a full chunk→embed→search loop. */
+final case class Md5Embedder(dim: Int = 64) extends Embedder {
+
+  def name: String = s"md5_emb_$dim"
+
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  def embedChunk(text: String): Array[Float] = {
+    val v = new Array[Int](dim)
+    val ts = tokens(text)
+    val feats = ts.iterator ++
+      ts.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+    val d = md.get()
+    feats.foreach { f =>
+      d.reset()
+      val b = d.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 4) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+      val bucket = ((h >>> 1) % dim).toInt
+      v(bucket) += (if ((h & 1L) == 0L) 1 else -1)
+    }
+    v.map(_.toFloat)
+  }
+}
+
 object Embed {
   /** Frame-level embedding stage: adds `outCol` = embedder(textCol).
     * (A UDF by necessity — the hash math has no builtin form; it is a

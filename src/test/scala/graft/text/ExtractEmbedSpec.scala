@@ -278,6 +278,24 @@ class ExtractEmbedSpec extends SparkSpecBase {
     assert(e.embedChunk("").forall(_ == 0f))
   }
 
+  test("md5 embedder: integer components, engine-portable hash recipe") {
+    val e = Md5Embedder(dim = 64)
+    val v1 = e.embedChunk("the quick brown fox")
+    assert(v1.toSeq === e.embedChunk("the quick brown fox").toSeq)
+    assert(v1.length === 64)
+    // every component is an exact small integer (the bit-reproducible
+    // cosine contract) and at least one is nonzero
+    assert(v1.forall(x => x == math.rint(x)))
+    assert(v1.exists(_ != 0f))
+    // pin one feature against the documented recipe:
+    // md5("fox") = 2b95d1f09b8b66c5c43622a4d9ec9a04 -> h = 0x2b95d1f0,
+    // bucket = (h/2) % 64, sign = +1 (h even)
+    val h = java.lang.Long.parseLong("2b95d1f0", 16)
+    val vFox = e.embedChunk("fox")
+    assert(vFox(((h >>> 1) % 64).toInt) === 1f)
+    assert(e.embedChunk("").forall(_ == 0f))
+  }
+
   test("similar texts embed closer than dissimilar ones") {
     val e = HashEmbedder(dim = 64)
     def cos(a: Array[Float], b: Array[Float]): Double =
