@@ -138,6 +138,42 @@ final class Engine(reg: Registry) {
         (s"${reg.namespace}_$t" -> Vector(seg)))
     }
 
+  /** Register the table's vector index for DECLARATIVE queries: after
+    * this, a plain `orderBy(dist(vecCol, q)).limit(k)` DataFrame plan
+    * over the table is rewritten by [[graft.plans.AnnTopKRule]] into
+    * the index's scan shape — probe-pruned IVF, or the two-phase
+    * semi-join for `quantized` / `oneBit` indexes (codes scanned,
+    * full-precision vectors read only for the top-(k·refine)
+    * candidates). The Engine-surface twin of `SET vchordrq.probes`
+    * (client.py:285-309): registration is the opt-in to approximate
+    * search. Requires a built IVF model ([[buildIndex]] first). */
+  def installDeclarative(td: TableDef[_], probes: Int = 0,
+                         refine: Int = 5): Unit = {
+    val ix = td.vectorIndex.getOrElse(
+      throw new IllegalStateException(s"${td.name} has no vector index"))
+    val model = indexModel(td).getOrElse(throw new IllegalStateException(
+      s"${td.name} has no built IVF model — run buildIndex first"))
+    graft.plans.AnnIndex.install(reg.spark)
+    val p = if (probes > 0) probes
+      else math.ceil(ix.lists / 16.0).toInt.max(1)
+    val base = reg.table(td)
+    if (ix.oneBit)
+      graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
+        ivfBitqCached(td, ix, base, model), ix.distance, p, refine)
+    else if (ix.quantized)
+      graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
+        ivfSqCached(td, ix, base, model), ix.distance, p, refine)
+    else
+      graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
+  }
+
+  /** Remove [[installDeclarative]]'s registrations for the table. */
+  def uninstallDeclarative(td: TableDef[_]): Unit =
+    td.vectorIndex.foreach { ix =>
+      graft.plans.AnnIndex.unregister(ix.column)
+      graft.plans.AnnIndex.unregisterQuantized(ix.column)
+    }
+
   /** IVF assignment memoized per table VERSION: assigning is a map-only
     * stage but still O(N·cells) compute — the index at rest is the
     * assignment, recomputed only when the table is rewritten (at real

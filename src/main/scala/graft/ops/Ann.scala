@@ -496,24 +496,32 @@ object Ann {
     * bounds table. */
   def searchIvfSq(index: IvfSqIndex, idCol: String, vecCol: String,
                   queryVec: Column, metric: Metric, probes: Int, k: Int,
-                  refine: Int = 5, roundTo: Int = 6): DataFrame = {
-    val cellCol = index.model.idCol
-    val cells = probeCells(index.model, queryVec, metric, probes)
-    val probedBounds = index.bounds.join(broadcast(cells), Seq(cellCol))
-    val pruned = index.quantized
-      .join(broadcast(probedBounds), Seq(cellCol))
-    val cand = pruned
-      .withColumn("qdist", round(
-        sqDistCols(queryVec, col("codes"), col("__mins"), col("__maxs")),
-        roundTo))
-      .orderBy(col("qdist").asc, col(idCol).asc)
-      .limit(k * refine)
-    cand
+                  refine: Int = 5, roundTo: Int = 6): DataFrame =
+    sqCandidates(index, idCol, queryVec, metric, probes, k * refine, roundTo)
       .withColumn("dist", round(metric.dist(
         col(vecCol).cast("array<double>"), queryVec), roundTo))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("dist"))
+
+  /** Phase-1 of [[searchIvfSq]] alone: the probed asymmetric-quantized
+    * scan, top-`n` by (qdist, id) with all doc columns — the candidate
+    * generator the declarative [[graft.plans.AnnTopKRule]] rewrite
+    * injects as a semi-join (its exact re-rank is the plan's own
+    * Sort+Limit). */
+  def sqCandidates(index: IvfSqIndex, idCol: String, queryVec: Column,
+                   metric: Metric, probes: Int, n: Int,
+                   roundTo: Int = 6): DataFrame = {
+    val cellCol = index.model.idCol
+    val cells = probeCells(index.model, queryVec, metric, probes)
+    val probedBounds = index.bounds.join(broadcast(cells), Seq(cellCol))
+    index.quantized
+      .join(broadcast(probedBounds), Seq(cellCol))
+      .withColumn("qdist", round(
+        sqDistCols(queryVec, col("codes"), col("__mins"), col("__maxs")),
+        roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(n)
   }
 
   /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each
@@ -555,7 +563,22 @@ object Ann {
     * broadcast (≤ probes rows), never the full centroid table. */
   def searchIvfBitq(index: IvfBitIndex, idCol: String, vecCol: String,
                     queryVec: Column, metric: Metric, probes: Int, k: Int,
-                    refine: Int = 5, roundTo: Int = 6): DataFrame = {
+                    refine: Int = 5, roundTo: Int = 6): DataFrame =
+    bitqCandidates(index, idCol, queryVec, metric, probes, k * refine,
+        roundTo)
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), queryVec), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+
+  /** Phase-1 of [[searchIvfBitq]] alone: probed 1-bit estimator scan,
+    * top-`n` by (estimate, id) with all doc columns — the candidate
+    * generator for the declarative quantized rewrite (see
+    * [[sqCandidates]]). */
+  def bitqCandidates(index: IvfBitIndex, idCol: String, queryVec: Column,
+                     metric: Metric, probes: Int, n: Int,
+                     roundTo: Int = 6): DataFrame = {
     val cellCol = index.model.idCol
     val cells = probeCells(index.model, queryVec, metric, probes)
     val probedCents = index.model.centroids.join(broadcast(cells), Seq(cellCol))
@@ -567,16 +590,10 @@ object Ann {
       lit(0.0), (a, x) => a + x)
     val est = qr2 + col("rnorm") * col("rnorm") -
       lit(2.0) * col("rnorm") / sqrt(size(col("bits")).cast("double")) * dot
-    val cand = pruned
+    pruned
       .withColumn("qdist", round(est, roundTo))
       .orderBy(col("qdist").asc, col(idCol).asc)
-      .limit(k * refine)
-    cand
-      .withColumn("dist", round(metric.dist(
-        col(vecCol).cast("array<double>"), queryVec), roundTo))
-      .orderBy(col("dist").asc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("dist"))
+      .limit(n)
   }
 
   /** Pack 0/1 bit codes into a `binary` column, 8 bits per byte

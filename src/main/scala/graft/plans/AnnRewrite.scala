@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -62,6 +63,75 @@ object AnnIndex {
   private[plans] def lookup(vecCol: String): Option[Entry] =
     entries.get(vecCol)
 
+  /** Quantized registrations: a declarative `orderBy(dist).limit(k)`
+    * over a registered column is rewritten into the TWO-PHASE quantized
+    * path — a semi-join against the top-(k·refine) candidate ids from
+    * the probed code scan (1 byte/dim for SQ, 1 bit/dim + norm for the
+    * RaBitQ-style index), with the plan's own Sort+Limit as the exact
+    * re-rank of the survivors. The full-precision vector column is then
+    * only read for the candidate rows — the vchordrq scan shape, now
+    * reachable from a plain DataFrame query. L2 only (both estimators
+    * are L2 asymmetric distances). */
+  sealed trait QuantEntry {
+    def idCol: String
+    def metric: Ann.Metric
+    def probes: Int
+    def refine: Int
+    def candidateIds(q: Array[Double],
+                     n: Int): org.apache.spark.sql.DataFrame
+  }
+
+  private final case class SqQuant(index: Ann.IvfSqIndex, idCol: String,
+                                   metric: Ann.Metric, probes: Int,
+                                   refine: Int) extends QuantEntry {
+    def candidateIds(q: Array[Double], n: Int) =
+      Ann.sqCandidates(index, idCol,
+          org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
+          probes, n)
+        // Alias mints a FRESH exprId: the index tables usually derive
+        // from the very relation the rewritten plan scans, and a
+        // semi-join whose right output reuses the left's exprIds is an
+        // unresolved (ambiguous) plan
+        .select(org.apache.spark.sql.functions.col(idCol)
+          .as(s"__cand_$idCol"))
+  }
+
+  private final case class BitQuant(index: Ann.IvfBitIndex, idCol: String,
+                                    metric: Ann.Metric, probes: Int,
+                                    refine: Int) extends QuantEntry {
+    def candidateIds(q: Array[Double], n: Int) =
+      Ann.bitqCandidates(index, idCol,
+          org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
+          probes, n)
+        .select(org.apache.spark.sql.functions.col(idCol)
+          .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+  }
+
+  private val quantEntries = TrieMap.empty[String, QuantEntry]
+
+  /** Register an IVF+SQ index ([[Ann.buildIvfSq]]) for declarative
+    * rewrite of `orderBy(dist(vecCol, q)).limit(k)` plans. */
+  def registerQuantized(vecCol: String, idCol: String,
+                        index: Ann.IvfSqIndex, metric: Ann.Metric,
+                        probes: Int, refine: Int = 5): Unit = {
+    require(metric == Ann.L2, "quantized rewrite supports L2 only")
+    quantEntries(vecCol) = SqQuant(index, idCol, metric, probes, refine)
+  }
+
+  /** Register an IVF+1-bit (RaBitQ-style) index ([[Ann.buildIvfBitq]])
+    * for declarative rewrite — `VectorIndex.oneBit`'s Engine shape. */
+  def registerOneBit(vecCol: String, idCol: String,
+                     index: Ann.IvfBitIndex, metric: Ann.Metric,
+                     probes: Int, refine: Int = 5): Unit = {
+    require(metric == Ann.L2, "quantized rewrite supports L2 only")
+    quantEntries(vecCol) = BitQuant(index, idCol, metric, probes, refine)
+  }
+
+  def unregisterQuantized(vecCol: String): Unit =
+    quantEntries.remove(vecCol)
+  private[plans] def lookupQuant(vecCol: String): Option[QuantEntry] =
+    quantEntries.get(vecCol)
+
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
     * config-driven install use `spark.sql.extensions` with
@@ -87,6 +157,11 @@ object AnnTopKRule {
     * for rules that build a replacement Filter from scratch. */
   private[plans] val Injected =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.ann.injected")
+  /** Marks the semi-join injected by the QUANTIZED rewrite (same
+    * idempotence rationale as [[Injected]]). */
+  private[plans] val InjectedQuant =
+    org.apache.spark.sql.catalyst.trees
+      .TreeNodeTag[Unit]("graft.ann.injectedQuant")
 }
 
 case class AnnTopKRule() extends Rule[LogicalPlan] {
@@ -124,6 +199,68 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // QUANTIZED rewrite: needs k (phase-1 scans top-k·refine codes), so
+    // it matches the Limit over the Sort. The candidate sub-plan is
+    // built from the registered index's DataFrames and injected as a
+    // LEFT SEMI join above the leaf — the surviving Sort+Limit then IS
+    // the exact re-rank, and the full-precision vectors are only read
+    // for candidate rows.
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        ll @ LocalLimit(_,
+          s @ Sort(order, true, proj @ Project(fields, child), _)))
+        if order.nonEmpty && k > 0 =>
+      val rewritten = for {
+        key <- order.head match {
+          case SortOrder(a: Attribute, Ascending, _, _) => Some(a)
+          case _ => None
+        }
+        alias <- fields.collectFirst {
+          case a: Alias if a.exprId == key.exprId => a }
+        (vecAttr, q, metric) <- extractDist(alias.child)
+        entry <- AnnIndex.lookupQuant(vecAttr.name)
+        if entry.metric == metric
+        leaf <- child.collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
+              l.output.exists(_.name == entry.idCol) => l
+        }
+        idAttr = leaf.output.find(_.name == entry.idCol).get
+        // idempotence: one injected semi-join per plan (tag survives
+        // makeCopy/withNewChildren; a LeftSemi on the same id exprId is
+        // the semantic backstop)
+        if !child.exists {
+          case j: Join =>
+            j.getTagValue(AnnTopKRule.InjectedQuant).isDefined ||
+              (j.joinType == LeftSemi && j.condition.exists(_.exists {
+                case EqualTo(a: AttributeReference, _) =>
+                  a.exprId == idAttr.exprId
+                case _ => false
+              }))
+          case _ => false
+        }
+      } yield {
+        val n = math.max(k * entry.refine, k)
+        // pre-optimized: this rule can run as the LAST optimizer batch
+        // (experimental.extraOptimizations), where an un-optimized
+        // injected subtree would never get pruning/pushdown of its own
+        val candPlan = entry.candidateIds(q, n).queryExecution.optimizedPlan
+        val candId = candPlan.output.head
+        var injected = false
+        val newChild = child.transformUp {
+          case l: LeafNode if !injected && (l fastEquals leaf) =>
+            injected = true
+            val j = Join(l, candPlan, LeftSemi,
+              Some(EqualTo(idAttr, candId)),
+              org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+            j.setTagValue(AnnTopKRule.InjectedQuant, ())
+            j
+        }
+        if (injected)
+          gl.copy(child = ll.copy(child =
+            s.copy(child = proj.copy(child = newChild))))
+        else gl
+      }
+      rewritten.getOrElse(gl)
+
     case s @ Sort(order, true, proj @ Project(fields, child), _)
         if order.nonEmpty =>
       val rewritten = for {

@@ -130,6 +130,49 @@ class EngineSpec extends SparkSpecBase {
     assert(q === plain)
   }
 
+  test("installDeclarative: a plain orderBy(dist).limit(k) DataFrame " +
+      "over a oneBit-indexed table hits the two-phase quantized path") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkd", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2, oneBit = true),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-d").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i",
+        Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    eng.installDeclarative(td, probes = 2, refine = 40)
+    try {
+      val q = Seq(0.0, 0.0)
+      val df = reg.table(td)
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("vec"), typedlit(q)), 6))
+        .orderBy(col("dist").asc, col("cid").asc)
+        .limit(5)
+        .select("cid", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected the quantized semi-join:\n$optimized")
+      val declarative = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaEngine = eng.searchByVector(td, q, topk = 5, probes = 2,
+          refine = 40).collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+      assert(declarative === viaEngine)
+    } finally eng.uninstallDeclarative(td)
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)

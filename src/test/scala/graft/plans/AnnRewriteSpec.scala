@@ -137,6 +137,99 @@ class AnnRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("quantized (SQ) index: sort+limit becomes the two-phase " +
+      "semi-join, scanning codes instead of full vectors") {
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    // persisted = the index at rest: phase-1 scans the materialized
+    // codes, never the full-precision vector column
+    val index = Ann.IvfSqIndex(built.quantized.persist(),
+      built.bounds.persist(), model)
+    AnnIndex.registerQuantized("embedding", "vec_id", index, Ann.L2,
+      probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected injected candidate semi-join:\n$optimized")
+      assert(optimized.contains("qdist"),
+        s"expected quantized phase-1 under the semi-join:\n$optimized")
+      // the candidate scan reads the materialized codes (in-memory
+      // index), not a second full-vector parquet pass
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("InMemoryTableScan"),
+        s"expected code-table scan:\n$physical")
+      val viaOp = Ann.searchIvfSq(index, "vec_id", "embedding",
+        typedlit(q64), Ann.L2, probes = 3, k = 5, refine = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+      index.bounds.unpersist(false)
+    }
+  }
+
+  test("quantized (1-bit RaBitQ-style) index: declarative plan hits the " +
+      "two-phase path and matches the explicit operator") {
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val index = Ann.IvfBitIndex(built.quantized.persist(), model)
+    AnnIndex.registerOneBit("embedding", "vec_id", index, Ann.L2,
+      probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected injected candidate semi-join:\n$optimized")
+      val viaOp = Ann.searchIvfBitq(index, "vec_id", "embedding",
+        typedlit(q64), Ann.L2, probes = 3, k = 5, refine = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+    }
+  }
+
+  test("quantized rewrite is a fixpoint on its own output") {
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val index = Ann.IvfSqIndex(built.quantized.persist(),
+      built.bounds.persist(), model)
+    AnnIndex.registerQuantized("embedding", "vec_id", index, Ann.L2,
+      probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val once = AnnTopKRule()(df.queryExecution.analyzed)
+      val twice = AnnTopKRule()(once)
+      assert(once.fastEquals(twice),
+        s"quantized rewrite not idempotent:\nonce: $once\ntwice: $twice")
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+      index.bounds.unpersist(false)
+    }
+  }
+
   test("unregistered queries keep exact brute-force semantics") {
     val (_, model, dir) = setup()
     AnnIndex.unregister("embedding")
