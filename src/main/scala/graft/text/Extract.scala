@@ -48,13 +48,16 @@ object Extract {
     * Structure objects packed into /ObjStm object streams (the PDF 1.5+
     * compressed layout every modern generator emits) are expanded, so
     * fonts and resources defined there resolve too. Standard-security-
-    * handler encryption (R2-R4: RC4 40/128-bit and AES-128 /AESV2)
-    * decrypts under the EMPTY user password — the owner-locked class
-    * that dominates encrypted PDFs in web corpora. Out of scope
-    * (returns whatever text IS recoverable): password-protected R5/6
-    * AES-256, CID fonts WITHOUT a ToUnicode CMap, image-only pages —
-    * the full renderer remains a swap-in point. Per-stream texts join
-    * with "\n" like the reference's per-page join. */
+    * handler encryption decrypts under the EMPTY user password — the
+    * owner-locked class that dominates encrypted PDFs in web corpora:
+    * R2-R4 (RC4 40/128-bit, AES-128 /AESV2) and R5/R6 (AES-256 /AESV3,
+    * Algorithm 2.B key derivation). Identity-H CID fonts WITHOUT a
+    * ToUnicode CMap fall back to decoding CIDs as UTF-16 code units
+    * ([[CidIdentity]] — exact for CID==Unicode subset fonts). Out of
+    * scope (returns whatever text IS recoverable): files with a real
+    * user password, image-only pages — the full renderer remains a
+    * swap-in point. Per-stream texts join with "\n" like the
+    * reference's per-page join. */
   def pdf(data: Array[Byte]): String = {
     // latin-1 maps bytes 1:1 to chars, so string indices == byte offsets
     val raw = new String(data, StandardCharsets.ISO_8859_1)
@@ -149,13 +152,36 @@ object Extract {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  private sealed trait PdfCrypt {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte]
+  }
+
+  /** IV-prefixed AES-CBC decrypt with manual PKCS#5 pad strip (shared
+    * by /AESV2 object keys and /AESV3 file keys). */
+  private def aesCbcDecrypt(key: Array[Byte],
+                            data: Array[Byte]): Array[Byte] =
+    try {
+      if (data.length < 32) return Array.emptyByteArray
+      val body = data.drop(16).take((data.length - 16) / 16 * 16)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      val out = c.doFinal(body)
+      val pad = out.last & 0xff
+      if (pad >= 1 && pad <= 16 && pad <= out.length) out.dropRight(pad)
+      else out
+    } catch { case _: java.security.GeneralSecurityException =>
+      Array.emptyByteArray }
+
   /** RC4 / AES-128 stream decryption for the standard security handler
     * (R2-R4) under the empty user password. `fileKey` is the Algorithm-2
     * file key; per-object keys follow Algorithm 1 (MD5 over key + objnum
     * LE24 + gennum LE16, + the AES salt for /AESV2, truncated to
     * min(n+5, 16)). AES payloads carry their IV in the first 16 bytes
     * (CBC, PKCS#5 pad stripped). */
-  private final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
+  private final case class PdfCryptRc4(fileKey: Array[Byte], aes: Boolean)
+      extends PdfCrypt {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(fileKey)
@@ -164,28 +190,54 @@ object Extract {
         ((gen >> 8) & 0xff).toByte))
       if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54))
       val objKey = md.digest().take(math.min(fileKey.length + 5, 16))
-      try {
-        if (aes) {
-          if (data.length < 32) return Array.emptyByteArray
-          val body = data.drop(16).take((data.length - 16) / 16 * 16)
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-          c.init(javax.crypto.Cipher.DECRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
-            new javax.crypto.spec.IvParameterSpec(data.take(16)))
-          val out = c.doFinal(body)
-          val pad = out.last & 0xff
-          if (pad >= 1 && pad <= 16 && pad <= out.length)
-            out.dropRight(pad)
-          else out
-        } else {
-          val c = javax.crypto.Cipher.getInstance("ARCFOUR")
-          c.init(javax.crypto.Cipher.DECRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(objKey, "ARCFOUR"))
-          c.doFinal(data)
-        }
+      if (aes) aesCbcDecrypt(objKey, data)
+      else try {
+        val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "ARCFOUR"))
+        c.doFinal(data)
       } catch { case _: java.security.GeneralSecurityException =>
         Array.emptyByteArray }
     }
+  }
+
+  /** AES-256 (R5/R6 /AESV3) stream decryption: the 32-byte file key is
+    * used DIRECTLY (no per-object derivation, PDF 2.0 7.6.3.3). */
+  private final case class PdfCryptAes256(fileKey: Array[Byte])
+      extends PdfCrypt {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      aesCbcDecrypt(fileKey, data)
+  }
+
+  /** PDF 2.0 Algorithm 2.B password hash (R6; R5 is the plain SHA-256
+    * prefix): iterate AES-128-CBC(K[0..16), iv=K[16..32)) over
+    * (password ‖ K) ×64, picking SHA-256/384/512 by the first 16 bytes
+    * mod 3, at least 64 rounds, until lastByte(E) <= round − 32. */
+  private def hash2B(password: Array[Byte], salt: Array[Byte],
+                     r: Int): Array[Byte] = {
+    var k = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(password ++ salt)
+    if (r == 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      val base = password ++ k
+      val k1 = Array.fill(64)(base).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val alg = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      round += 1
+      done = round >= 64 && (e.last & 0xff) <= round - 32
+    }
+    k.take(32)
   }
 
   /** A PDF string value following `key` in dict text `d`: literal
@@ -237,12 +289,30 @@ object Extract {
     None
   }
 
+  /** The trailer's /ID[0]: matches of `/ID\s*[` scanned from the END of
+    * the file (the trailer lives there), taking the first that parses
+    * to a string — so "/ID" bytes inside an earlier stream body or an
+    * /IDTree name never win (they either don't match the anchored
+    * pattern or don't parse an array). */
+  private def trailerId0(raw: String): Array[Byte] =
+    "/ID\\s*\\[".r.findAllMatchIn(raw).toSeq.reverseIterator
+      .flatMap { mm =>
+        dictString(raw.substring(mm.start,
+          math.min(mm.start + 200, raw.length)), "[")
+      }
+      .nextOption()
+      .getOrElse(Array.emptyByteArray)
+
   /** Detect a /Standard /Encrypt dict and derive the empty-user-password
-    * file key (PDF 1.7 Algorithm 2): MD5(pad ‖ O[0..32) ‖ P as LE32 ‖
-    * ID[0] ‖ [FFFFFFFF when R4 skips metadata]), truncated to Length/8
-    * (5 bytes for R2), re-hashed 50× for R3+. R5/6 (AES-256) and
-    * non-Standard handlers return None — the file stays undecrypted and
-    * extraction yields whatever plaintext exists. */
+    * file key. R2-R4: PDF 1.7 Algorithm 2 — MD5(pad ‖ O[0..32) ‖ P as
+    * LE32 ‖ ID[0] ‖ [FFFFFFFF when R4 skips metadata]), truncated to
+    * Length/8 (5 bytes for R2), re-hashed 50× for R3+. R5/R6 (AES-256
+    * /AESV3): the Algorithm 2.B hash of the empty password against /U's
+    * validation salt must match /U's hash (else a real password is set
+    * and the file stays undecrypted), then the file key is /UE
+    * decrypted with the key-salt hash (AES-256-CBC, zero IV).
+    * Non-Standard handlers return None — extraction yields whatever
+    * plaintext exists. */
   private def detectCrypt(raw: String, objs: Vector[PObj]): Option[PdfCrypt] = {
     val byNum = objs.map(o => o.num -> o).toMap
     for {
@@ -252,12 +322,16 @@ object Extract {
       if d.contains("/Standard")
       r = "/R\\s+(\\d+)".r.findFirstMatchIn(d)
         .map(_.group(1).toInt).getOrElse(2)
-      if r >= 2 && r <= 4
-      oBytes <- dictString(d, "/O")
-      idPart = "/ID".r.findFirstMatchIn(raw)
-        .map(mm => raw.substring(mm.end, math.min(mm.end + 200, raw.length)))
-      id0 = idPart.flatMap(dictString(_, "[")).getOrElse(Array.emptyByteArray)
-    } yield {
+      crypt <- if (r >= 2 && r <= 4) cryptClassic(raw, d, r)
+               else if (r == 5 || r == 6) cryptAes256(d, r)
+               else None
+    } yield crypt
+  }
+
+  private def cryptClassic(raw: String, d: String,
+                           r: Int): Option[PdfCrypt] =
+    dictString(d, "/O").map { oBytes =>
+      val id0 = trailerId0(raw)
       val p = "/P\\s+(-?\\d+)".r.findFirstMatchIn(d)
         .map(_.group(1).toLong).getOrElse(-1L).toInt
       val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(d)
@@ -279,9 +353,28 @@ object Extract {
         for (_ <- 0 until 50)
           key = java.security.MessageDigest.getInstance("MD5")
             .digest(key).take(keyLen)
-      PdfCrypt(key, r >= 4 && d.contains("/AESV2"))
+      PdfCryptRc4(key, r >= 4 && d.contains("/AESV2"))
     }
-  }
+
+  private def cryptAes256(d: String, r: Int): Option[PdfCrypt] =
+    for {
+      u <- dictString(d, "/U")
+      ue <- dictString(d, "/UE")
+      if u.length >= 48 && ue.length >= 32
+      valSalt = u.slice(32, 40)
+      keySalt = u.slice(40, 48)
+      // empty-password validation: wrong hash = a real user password
+      if hash2B(Array.emptyByteArray, valSalt, r)
+        .sameElements(u.take(32))
+      fileKey <- try {
+        val ik = hash2B(Array.emptyByteArray, keySalt, r)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        Some(c.doFinal(ue.take(32)))
+      } catch { case _: java.security.GeneralSecurityException => None }
+    } yield PdfCryptAes256(fileKey)
 
   /** Expand /ObjStm object streams: the decoded stream starts with N
     * (objnum, offset) integer pairs, then the bare objects back-to-back
@@ -313,13 +406,23 @@ object Extract {
     objs ++ packed
   }
 
-  /** Resource font name → ToUnicode CID map, from inline
+  /** How strings decode under a selected composite font. */
+  private sealed trait FontMap
+  /** CIDs map through the font's ToUnicode CMap. */
+  private final case class CidMap(m: Map[Int, String]) extends FontMap
+  /** Identity-H WITHOUT a ToUnicode CMap: 2-byte CIDs decode as UTF-16
+    * code units — exact when the generator kept CID == Unicode (the
+    * /CIDToGIDMap /Identity subset-font case), a readable approximation
+    * otherwise; control codes drop. */
+  private case object CidIdentity extends FontMap
+
+  /** Resource font name → [[FontMap]], from inline
     * `/Font << /F1 N 0 R ... >>` dicts and `/Font N 0 R` references.
     * Names are unioned document-wide (the minimal extractor does not
     * scope resources per page; same-name different-font collisions take
     * the last definition). */
   private def collectFonts(objs: Vector[PObj], byNum: Map[Int, PObj],
-      cmapByObj: Map[Int, Map[Int, String]]): Map[String, Map[Int, String]] = {
+      cmapByObj: Map[Int, Map[Int, String]]): Map[String, FontMap] = {
     val inline = "(?s)/Font\\s*<<(.*?)>>".r
     val ref = "/Font\\s+(\\d+)\\s+\\d+\\s+R".r
     val entry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
@@ -333,8 +436,14 @@ object Extract {
         val name = m.group(1)
         byNum.get(m.group(2).toInt)
           .filter(_.dict.contains("/Type0"))
-          .flatMap(f => toUniRef.findFirstMatchIn(f.dict))
-          .flatMap(mm => cmapByObj.get(mm.group(1).toInt))
+          .flatMap { f =>
+            toUniRef.findFirstMatchIn(f.dict)
+              .flatMap(mm => cmapByObj.get(mm.group(1).toInt))
+              .map(cm => CidMap(cm): FontMap)
+              .orElse(if (f.dict.contains("/Identity-H"))
+                Some(CidIdentity: FontMap)
+              else None)
+          }
           .map(name -> _)
       }
     }.toMap
@@ -405,26 +514,34 @@ object Extract {
     * through it (unmapped CIDs drop); otherwise bytes pass through
     * single-byte, as before. */
   private def contentText(content: String,
-      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
+      fonts: Map[String, FontMap] = Map.empty): String = {
     val out = new StringBuilder
     val pending = new StringBuilder
     var lastName = ""
-    var cmap: Map[Int, String] = null
+    var cmap: FontMap = null
     var i = 0
     val n = content.length
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
     // a parsed string lands in `pending` either byte-wise or CID-mapped
-    def emit(sb: StringBuilder): Unit =
-      if (cmap == null) pending.append(sb)
-      else {
+    def emit(sb: StringBuilder): Unit = cmap match {
+      case null => pending.append(sb)
+      case CidMap(m) =>
         var k = 0
         while (k + 1 < sb.length) {
           val cid = ((sb.charAt(k) & 0xff) << 8) | (sb.charAt(k + 1) & 0xff)
-          cmap.get(cid).foreach(pending.append)
+          m.get(cid).foreach(pending.append)
           k += 2
         }
-      }
+      case CidIdentity =>
+        var k = 0
+        while (k + 1 < sb.length) {
+          val cid = ((sb.charAt(k) & 0xff) << 8) | (sb.charAt(k + 1) & 0xff)
+          if (cid >= 0x20 && cid != 0xfffe && cid != 0xffff)
+            pending.append(cid.toChar)
+          k += 2
+        }
+    }
     while (i < n) {
       content(i) match {
         case '(' =>

@@ -256,6 +256,116 @@ class ExtractEmbedSpec extends SparkSpecBase {
     assert(Extract.pdf(pdf) === "Modern lock")
   }
 
+  /** Spec-derived Algorithm 2.B (independent of the extractor's). */
+  private def alg2B(pwd: Array[Byte], salt: Array[Byte],
+                    r: Int): Array[Byte] = {
+    var k = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(pwd ++ salt)
+    if (r == 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      val k1 = Array.fill(64)(pwd ++ k).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val alg = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      round += 1
+      done = round >= 64 && (e.last & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  private def encryptedPdf256(content: String, r: Int): Array[Byte] = {
+    val fileKey = Array.tabulate(32)(i => (i * 17 + 9).toByte)
+    val valSalt = Array.tabulate(8)(i => (i * 3 + 1).toByte)
+    val keySalt = Array.tabulate(8)(i => (i * 5 + 2).toByte)
+    val uHash = alg2B(Array.emptyByteArray, valSalt, r)
+    val ik = alg2B(Array.emptyByteArray, keySalt, r)
+    val cUe = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cUe.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = cUe.doFinal(fileKey)
+    val iv = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val body = new String(iv ++ c.doFinal(content.getBytes("ISO-8859-1")),
+      "ISO-8859-1")
+    val uHex = (uHash ++ valSalt ++ keySalt).map("%02X".format(_)).mkString
+    val ueHex = ue.map("%02X".format(_)).mkString
+    (s"""%PDF-1.7
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+       |4 0 obj << /Length ${body.length} >>
+       |stream
+       |$body
+       |endstream endobj
+       |5 0 obj << /Filter /Standard /V 5 /R $r /Length 256
+       | /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF
+       | /O <00> /OE <00> /U <$uHex> /UE <$ueHex> /P -44 >> endobj
+       |trailer << /Root 1 0 R /Encrypt 5 0 R >>
+       |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+  }
+
+  test("pdf extraction: AES-256 /AESV3 (R6), empty user pw") {
+    val pdf = encryptedPdf256("BT (Vault six) Tj ET", r = 6)
+    assert(Extract.pdf(pdf) === "Vault six")
+  }
+
+  test("pdf extraction: AES-256 (R5 legacy) and a real password locks") {
+    val pdf = encryptedPdf256("BT (Vault five) Tj ET", r = 5)
+    assert(Extract.pdf(pdf) === "Vault five")
+    // flip a validation-salt byte => empty-password check fails =>
+    // no key, no plaintext leaks
+    val tampered = new String(encryptedPdf256("BT (Nope) Tj ET", r = 6),
+      "ISO-8859-1")
+    val at = tampered.indexOf("/U <") + 4
+    val flipped = tampered.substring(0, at + 64) +
+      (if (tampered.charAt(at + 64) == '0') "1" else "0") +
+      tampered.substring(at + 65)
+    assert(!Extract.pdf(flipped.getBytes("ISO-8859-1")).contains("Nope"))
+  }
+
+  test("pdf extraction: /ID inside an earlier stream body does not " +
+      "derail RC4 key derivation") {
+    val pdf = encryptedPdf("BT (Anchored) Tj ET", r = 3,
+      lenBits = 128, aes = false)
+    // prepend a decoy object whose stream carries '/ID [<00>]' bytes —
+    // the trailer /ID must still win (reverse-anchored scan)
+    val s = new String(pdf, "ISO-8859-1")
+    val decoy = "9 0 obj << /Length 12 >>\nstream\n/ID [<0000>]\nendstream endobj\n"
+    val at = s.indexOf("1 0 obj")
+    val withDecoy = s.substring(0, at) + decoy + s.substring(at)
+    assert(Extract.pdf(withDecoy.getBytes("ISO-8859-1")) === "Anchored")
+  }
+
+  test("pdf extraction: Identity-H CID font WITHOUT ToUnicode decodes " +
+      "via the UTF-16 heuristic") {
+    val pdf = (s"""%PDF-1.6
+      |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+      |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+      |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R
+      | /Resources << /Font << /F7 6 0 R >> >> >> endobj
+      |4 0 obj << /Length 44 >>
+      |stream
+      |BT /F7 12 Tf <0048006500780079> Tj ET
+      |endstream endobj
+      |6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Sub-CID
+      | /Encoding /Identity-H >> endobj
+      |trailer << /Root 1 0 R >>
+      |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    assert(Extract.pdf(pdf) === "Hexy")
+  }
+
   test("pdf extraction: non-PDF bytes and image streams yield nothing") {
     assert(Extract.pdf("not a pdf".getBytes("UTF-8")) === "")
     val img = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 4 >>\n" +
