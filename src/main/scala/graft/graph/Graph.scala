@@ -93,7 +93,24 @@ final case class VocabRecognizer(vocab: Seq[String])
 /** Token-pattern relation extraction — the POS-free twin of the
   * reference's 5 spaCy matcher patterns (graph.py:36-94):
   * ENT_VERB_ENT, ENT_PREP_ENT, ENT_POSSESSIVE_ENT, ENT_APPOSITION_ENT,
-  * ENT_ATTRIBUTE_ENT. spaCy's POS tags are approximated by
+  * ENT_ATTRIBUTE_ENT.
+  *
+  * ACCEPTED CONTRACT (not residue): spaCy's statistical tagger is
+  * APPROXIMATED by the deterministic token classes below, by design.
+  * A faithful trained tagger needs model weights learned from a
+  * labeled corpus — a data dependency this zero-dependency engine
+  * deliberately excludes (the same reasoning that makes the LLM/OCR
+  * seats provider interfaces rather than bundled models). The
+  * consequence, stated plainly: on open-domain text the extracted
+  * relation SET can differ from the reference's where tagging is
+  * genuinely ambiguous (e.g. noun/verb homographs outside the
+  * enumerated lists); the five pattern SHAPES, the match semantics,
+  * and the source/target selection are exact twins. Deterministic
+  * output (no model drift) is part of this contract, and a trained
+  * tagger remains a clean swap-in behind `classify`. Recorded in
+  * SURVEY §8.
+  *
+  * spaCy's POS tags are approximated by
   * deterministic token classes: the closed classes (auxiliaries,
   * prepositions, determiners, punctuation, the possessive marker,
   * numbers, pronouns) are enumerated exactly; ENT is the
