@@ -178,6 +178,90 @@ object ScaleSmoke {
         probes = 8, k = 10, refine = 10).count()
     }
 
+    // Control plane under sustained load: a real HTTP service instance
+    // taking a POST /api/run ingest loop (chunk→embed→index per
+    // request) plus a search tail — measures per-request driver
+    // overhead of the service facade, previously asserted not measured.
+    time("service_run_ingest") {
+      val reg = new core.Registry(spark, java.nio.file.Files
+        .createTempDirectory("graft-smoke-svc").toString)
+      val svc = new service.GraftService(reg, Nil).start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val base = s"http://127.0.0.1:${svc.boundPort}/api/run"
+        def post(body: String): Int =
+          client.send(java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(base))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+            .statusCode()
+        def b64(s: String): String = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes("UTF-8"))
+        val ingestSteps =
+          """[{"kind":"chunk","provider":"regex",
+             |  "args":{"size":"128","overlap":"16"}},
+             | {"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+             | {"kind":"index","provider":"graft"}]""".stripMargin
+        val searchSteps =
+          """[{"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+             | {"kind":"search","provider":"graft","args":{"topk":"5"}}]"""
+            .stripMargin
+        var ok = 0L
+        (0 until 40).foreach { i =>
+          val text = s"sustained ingest doc $i. " +
+            ("spark rows shuffle join filter window. " * 12)
+          if (post(s"""{"name":"doc-$i","data":"${b64(text)}",""" +
+              s""""steps":$ingestSteps}""") == 200) ok += 1
+        }
+        (0 until 10).foreach { i =>
+          if (post(s"""{"name":"q-$i","data":"${b64("spark join")}",""" +
+              s""""steps":$searchSteps}""") == 200) ok += 1
+        }
+        ok
+      } finally svc.stop()
+    }
+    // Streaming interval join under a rate-limited feed: the inflated
+    // error/click events arrive in ts-ordered micro-batches through
+    // MemoryStreams; the watermark-bounded stream-stream join must
+    // drain every batch with bounded state (shape previously covered
+    // only by the batch twin).
+    time("stream_interval_join") {
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts")).limit(50000)
+        .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value")).limit(100000)
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+        .sortBy(_._2.getTime)
+      val lefts = MemoryStream[(Long, java.sql.Timestamp)]
+      val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val joined = graft.streaming.Stream.intervalJoin(
+        lefts.toDF().toDF("user_id", "ts"),
+        rights.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "ts", "6 hours", Seq("value"),
+        watermark = "12 hours")
+      val q = joined.writeStream.format("memory")
+        .queryName("smoke_sij").outputMode("append").start()
+      try {
+        val batches = 10
+        (0 until batches).foreach { b =>
+          val ls = errs.slice(b * errs.length / batches,
+            (b + 1) * errs.length / batches)
+          val rs = clicks.slice(b * clicks.length / batches,
+            (b + 1) * clicks.length / batches)
+          if (ls.nonEmpty) lefts.addData(ls.toSeq)
+          if (rs.nonEmpty) rights.addData(rs.toSeq)
+          q.processAllAvailable()
+        }
+        spark.table("smoke_sij").count()
+      } finally q.stop()
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")

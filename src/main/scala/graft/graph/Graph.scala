@@ -401,11 +401,16 @@ object Graph {
         greatest(col("source"), col("target"))))
     val grouped = keyed.groupBy("__k")
       .agg(
-        first(col("source")).as("source"),
-        first(col("target")).as("target"),
+        // the EARLIEST occurrence's orientation survives (ord-min, like
+        // the reference's insertion-order merge) — first() would pick a
+        // partition-order-dependent one
+        min(struct(col("ord"), col("source"), col("target")))
+          .as("__first"),
         array_join(transform(array_sort(collect_list(
           struct(col("ord"), col("description")))),
           s => s.getField("description")), "\n").as("description"))
+      .select(col("__k"), col("__first.source").as("source"),
+        col("__first.target").as("target"), col("description"))
     val existing = reg.table(relDef, txn)
       .withColumn("__k", concat_ws("|",
         least(col("source"), col("target")),
@@ -441,6 +446,36 @@ object Graph {
                   emb: Embedder, recognizer: EntityRecognizer,
                   similarK: Int = 10, topk: Int = 10): DataFrame = {
     val spark = reg.spark
+    val simEnts = graphSearchEntities(reg, query, entDef, relDef, emb,
+      recognizer, similarK)
+      .select("chunk_uuids").collect()
+    if (simEnts.isEmpty) {
+      chunks.limit(0).withColumn("g_rank", lit(0))
+    } else {
+      val chunkUids = dedupOrdered(simEnts.iterator
+        .flatMap(_.getSeq[String](0)))
+      import spark.implicits._
+      val keys = chunkUids.zipWithIndex.toDF("__uid", "__ord")
+      chunks.join(broadcast(keys), chunks(uidCol) === col("__uid"))
+        .orderBy(col("__ord").asc)
+        .limit(topk)
+        .withColumn("g_rank", col("__ord") + 1)
+        .drop("__uid", "__ord")
+    }
+  }
+
+  /** The first 1.5 hops of [[graphSearch]], exposed as a frame: query →
+    * recognize → top-`similarK` similar relations → endpoint entities
+    * (rank-ordered dedup) ∪ recognized entities → the SECOND similarity
+    * ranking over entities. Returns the ranked entity rows (uid, text,
+    * chunk_uuids, dist) — [[graphSearch]] flattens their chunk lists;
+    * declared separately (g03) so the merge/embedding phases are gated
+    * at full sensitivity. Empty when the recognizer finds nothing. */
+  def graphSearchEntities(reg: Registry, query: String,
+                          entDef: TableDef[GraphEntity],
+                          relDef: TableDef[GraphRelation],
+                          emb: Embedder, recognizer: EntityRecognizer,
+                          similarK: Int = 10): DataFrame = {
     val (qEnts, qRels) = recognizer.recognize(query)
     var entTexts: Seq[(String, String)] = qEnts.map(e => (e.text, e.description))
     if (qRels.nonEmpty) {
@@ -451,29 +486,24 @@ object Graph {
       val entUids = dedupOrdered(simRels.iterator.flatMap(r =>
         Iterator(r.getString(0), r.getString(1))))
       if (entUids.nonEmpty) {
+        // deterministic fetch order: the entUids rank (the reference
+        // iterates uids in relation-rank order) — a bare collect() of
+        // the filtered scan would surface rows in partition order
+        val rankOf = entUids.zipWithIndex.toMap
         val fetched = reg.table(entDef)
           .filter(col("uid").isin(entUids: _*))
-          .select("text", "description").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
+          .select("uid", "text", "description").collect()
+          .sortBy(r => rankOf(r.getString(0)))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
         entTexts = entTexts ++ fetched
       }
     }
-    if (entTexts.isEmpty) {
-      chunks.limit(0).withColumn("g_rank", lit(0))
-    } else {
+    if (entTexts.isEmpty)
+      reg.table(entDef).limit(0).withColumn("dist", lit(0.0))
+    else {
       val entText = entTexts.map { case (t, d) => s"$t $d" }.mkString(" ")
-      val simEnts = Ann.topK(reg.table(entDef), "uid", "vec",
-          Embed.queryVec(emb, entText), Ann.Cosine, similarK)
-        .select("chunk_uuids").collect()
-      val chunkUids = dedupOrdered(simEnts.iterator
-        .flatMap(_.getSeq[String](0)))
-      import spark.implicits._
-      val keys = chunkUids.zipWithIndex.toDF("__uid", "__ord")
-      chunks.join(broadcast(keys), chunks(uidCol) === col("__uid"))
-        .orderBy(col("__ord").asc)
-        .limit(topk)
-        .withColumn("g_rank", col("__ord") + 1)
-        .drop("__uid", "__ord")
+      Ann.topK(reg.table(entDef), "uid", "vec",
+        Embed.queryVec(emb, entText), Ann.Cosine, similarK)
     }
   }
 
@@ -498,15 +528,21 @@ object Graph {
     // recognize ONCE per chunk: entities and relations come out of the
     // same pass into a persisted tagged frame, then split by tag —
     // without this the (potentially expensive) recognizer runs twice.
+    // ord is DATA-derived ((chunk uid, within-chunk index) as a sortable
+    // string), not monotonically_increasing_id: the merge's description
+    // join order must not depend on partitioning/parallelism — the same
+    // corpus must build byte-identical graphs at any cluster size.
     val both = rows.flatMap { case (uid, text) =>
       val (es, rs) = recognizer.recognize(text)
-      es.iterator.map(e =>
+      (es.iterator.map(e =>
         ("e", e.text, e.label, e.description, Seq(uid))) ++
         rs.iterator.map(r =>
           ("r", sha2Hex(r.source), sha2Hex(r.target), r.description,
-            Seq.empty[String]))
-    }.toDF("kind", "c1", "c2", "description", "chunk_uuids")
-      .withColumn("ord", monotonically_increasing_id())
+            Seq.empty[String])))
+        .zipWithIndex.map { case ((k, c1, c2, d, cu), i) =>
+          (k, c1, c2, d, cu, f"$uid%s#$i%06d")
+        }
+    }.toDF("kind", "c1", "c2", "description", "chunk_uuids", "ord")
       .persist()
     val ents = both.filter(col("kind") === "e")
       .select(col("c1").as("text"), col("c2").as("label"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Registry
 import graft.graph.{Graph, VocabRecognizer}
-import graft.text.HashEmbedder
+import graft.text.Md5Embedder
 import Tables._
 
 /** Graph-retrieval queries over entities/relations extracted from the
@@ -15,11 +15,13 @@ import Tables._
   * (/root/reference/vechord/pipeline.py:345-392) and 2-hop
   * `graph_search` (pipeline.py:444-487).
   *
-  * g01 is oracle-gated: the [[VocabRecognizer]] entity rule (gazetteer
-  * terms, deduped per chunk) is SQL-expressible, so DuckDB recomputes
-  * the post-merge entity table's (text, n_chunks) directly from the raw
-  * text. g02 (the full 2-hop search over hash embeddings) is not
-  * SQL-expressible → rows-only.
+  * ALL of g01-g03 are oracle-gated. g02/g03 replay the complete
+  * build + search relationally (see [[g2Ctes]]): determinism comes
+  * from data-derived merge ordering (extractFromChunks ord,
+  * arg-min relation orientation, rank-ordered entity fetch) plus the
+  * engine-portable [[Md5Embedder]] — no partition-order dependence
+  * anywhere in the pipeline, which is also what makes the build
+  * reproducible run-to-run at any cluster size.
   */
 object GraphQ {
 
@@ -47,7 +49,7 @@ object GraphQ {
     val chunks = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"))
-    val emb = HashEmbedder(dim = 32)
+    val emb = Md5Embedder(dim = 32)
     val (ents, rels) = Graph.extractFromChunks(s, chunks, "doc_id", "text",
       recognizer)
     reg.runTxn { txn =>
@@ -74,16 +76,223 @@ object GraphQ {
   def graphSearch(s: SparkSession, d: String): DataFrame = {
     val (reg, chunks) = buildGraph(s, d)
     Graph.graphSearch(reg, "spark filter join", chunks, "doc_id",
-      Graph.entityDef(), Graph.relationDef(), HashEmbedder(dim = 32),
+      Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
       recognizer, similarK = 10, topk = 10)
       .select("doc_id", "g_rank")
   }
 
+  /** Hop-1.5 entity ranking of the same search ([[Graph
+    * .graphSearchEntities]]): (text, dist) of the top-10 entities —
+    * declared separately so the merge + embedding phases are gated at
+    * full sensitivity (g02's chunk output is dominated by the chunk
+    * lists of the leading entities). */
+  def graphEntities(s: SparkSession, d: String): DataFrame = {
+    val (reg, _) = buildGraph(s, d)
+    Graph.graphSearchEntities(reg, "spark filter join",
+        Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
+        recognizer, similarK = 10)
+      .select("text", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_entity_merge" -> entityMerge,
-    "g02_graph_search" -> graphSearch)
+    "g02_graph_search" -> graphSearch,
+    "g03_graph_entities" -> graphEntities)
+
+  /** Shared oracle prefix: the FULL graph build + 2-hop search replayed
+    * relationally — recognizer (sentence split → vocab hits → first-
+    * occurrence entities + adjacent-pair relations, ord = (chunk uid,
+    * emission index)), both merge-upserts (descriptions "\n"-joined in
+    * ord order, relation orientation = arg_min(ord)), md5-feature-hash
+    * embeddings as (bucket, weight) tables, and the two cosine top-k
+    * hops (relations under the literal query relation text, entities
+    * under the data-dependent concatenated entity text built by
+    * string_agg in rank order). Deterministic end-to-end because the
+    * Spark side derives every order from data, never partitioning. */
+  private def g2Ctes: String = {
+    def toksOf(s: String): String =
+      s"list_filter(regexp_split_to_array(lower($s), '[^a-z0-9]+'), " +
+        "x -> x != '')"
+    def feats(toks: String): String =
+      s"$toks || list_transform(range(len($toks) - 1), " +
+        s"j -> ($toks)[j + 1] || ' ' || ($toks)[j + 2])"
+    val h = "('0x' || substring(md5(f), 1, 8))::BIGINT"
+    val dim = 32
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    val vocab = Vocab.map(v => s"'$v'").mkString(",")
+    s"""WITH
+      ch AS (SELECT CAST(doc_id AS VARCHAR) AS uid, doc_id, text
+             FROM documents),
+      sent AS (
+        SELECT uid, i AS si,
+          trim(regexp_split_to_array(text, '[.!?\\n]+')[i + 1], $ws)
+            AS sentence
+        FROM (SELECT uid, text,
+                unnest(range(len(regexp_split_to_array(text,
+                  '[.!?\\n]+')))) AS i
+              FROM ch)),
+      sentok AS (SELECT uid, si, sentence FROM sent WHERE sentence != ''),
+      hits0 AS (
+        SELECT uid, si, sentence, j AS hi,
+          regexp_split_to_array(sentence, '[^A-Za-z0-9]+')[j + 1] AS tok
+        FROM (SELECT uid, si, sentence,
+                unnest(range(len(regexp_split_to_array(sentence,
+                  '[^A-Za-z0-9]+')))) AS j
+              FROM sentok)),
+      hits AS (SELECT * FROM hits0 WHERE tok IN ($vocab)),
+      ents0 AS (
+        SELECT uid, si, hi, sentence, tok,
+          row_number() OVER (PARTITION BY uid, tok ORDER BY si, hi)
+            AS occ
+        FROM hits),
+      ents1 AS (SELECT uid, tok, sentence, si, hi FROM ents0
+                WHERE occ = 1),
+      ents AS (
+        SELECT uid, tok AS etext, sentence AS edesc,
+          row_number() OVER (PARTITION BY uid ORDER BY si, hi) - 1 AS ei,
+          count(*) OVER (PARTITION BY uid) AS ne
+        FROM ents1),
+      hr AS (
+        SELECT uid, si, sentence, tok,
+          row_number() OVER (PARTITION BY uid, si ORDER BY hi) AS rn
+        FROM hits),
+      rels0 AS (
+        SELECT a.uid, a.si, a.rn, a.tok AS src, b.tok AS dst, a.sentence
+        FROM hr a JOIN hr b ON a.uid = b.uid AND a.si = b.si
+          AND b.rn = a.rn + 1
+        WHERE a.tok != b.tok),
+      rels AS (
+        SELECT uid, src, dst, sentence AS rdesc,
+          coalesce((SELECT any_value(ne) FROM ents e
+                    WHERE e.uid = r.uid), 0)
+            + row_number() OVER (PARTITION BY uid ORDER BY si, rn) - 1
+            AS ri
+        FROM rels0 r),
+      entity AS (
+        SELECT etext AS text,
+          string_agg(edesc, chr(10)
+            ORDER BY uid || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
+            AS description,
+          list(uid
+            ORDER BY uid || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
+            AS chunk_uuids,
+          sha256(etext) AS uid
+        FROM ents GROUP BY etext),
+      relk AS (
+        SELECT uid AS cuid, sha256(src) AS s, sha256(dst) AS t, rdesc,
+          uid || '#' || lpad(CAST(ri AS VARCHAR), 6, '0') AS ord
+        FROM rels),
+      relation AS (
+        SELECT least(s, t) || '|' || greatest(s, t) AS k,
+          arg_min(s, ord) AS source, arg_min(t, ord) AS target,
+          string_agg(rdesc, chr(10) ORDER BY ord) AS description,
+          sha256(least(s, t) || '|' || greatest(s, t)) AS uid
+        FROM relk GROUP BY least(s, t) || '|' || greatest(s, t)),
+      ent_feat AS (
+        SELECT uid, unnest(${feats("toks")}) AS f
+        FROM (SELECT uid,
+                ${toksOf("text || chr(10) || description")} AS toks
+              FROM entity)),
+      ent_w AS (
+        SELECT uid, ($h // 2) % $dim AS bucket,
+          sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS w
+        FROM ent_feat GROUP BY 1, 2),
+      ent_n AS (SELECT uid, sqrt(sum(w * w)) AS nrm FROM ent_w
+                GROUP BY 1),
+      rel_feat AS (
+        SELECT uid, unnest(${feats("toks")}) AS f
+        FROM (SELECT uid, ${toksOf("description")} AS toks
+              FROM relation)),
+      rel_w AS (
+        SELECT uid, ($h // 2) % $dim AS bucket,
+          sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS w
+        FROM rel_feat GROUP BY 1, 2),
+      rel_n AS (SELECT uid, sqrt(sum(w * w)) AS nrm FROM rel_w
+                GROUP BY 1),
+      qrel_feat AS (
+        SELECT unnest(${feats("toks")}) AS f
+        FROM (SELECT
+          ${toksOf("'spark filter join spark filter join'")} AS toks)),
+      qrel_w AS (
+        SELECT ($h // 2) % $dim AS bucket,
+          sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS qw
+        FROM qrel_feat GROUP BY 1),
+      qrel_n AS (SELECT sqrt(sum(qw * qw)) AS nq FROM qrel_w),
+      simrel AS (
+        SELECT r.uid, r.source, r.target,
+          round(1 - coalesce(d.dot, 0) /
+            (rn.nrm * (SELECT nq FROM qrel_n)), 6) AS dist
+        FROM relation r
+        JOIN rel_n rn ON rn.uid = r.uid
+        LEFT JOIN (SELECT w.uid, sum(w.w * q.qw) AS dot
+                   FROM rel_w w JOIN qrel_w q USING (bucket)
+                   GROUP BY 1) d ON d.uid = r.uid
+        ORDER BY dist ASC, r.uid ASC LIMIT 10),
+      simrel_ranked AS (
+        SELECT uid, source, target,
+          row_number() OVER (ORDER BY dist ASC, uid ASC) AS rrank
+        FROM simrel),
+      pairs AS (
+        SELECT source AS u, rrank * 2 - 1 AS pos FROM simrel_ranked
+        UNION ALL
+        SELECT target, rrank * 2 FROM simrel_ranked),
+      entuids AS (
+        SELECT u, row_number() OVER (ORDER BY min(pos)) AS urank
+        FROM pairs GROUP BY u),
+      ent_text_parts AS (
+        SELECT t || ' ' || d AS part, seq FROM (
+          SELECT 'spark' AS t, 'spark filter join' AS d, 1 AS seq
+          UNION ALL SELECT 'filter', 'spark filter join', 2
+          UNION ALL SELECT 'join', 'spark filter join', 3
+          UNION ALL
+          SELECT e.text, e.description, 3 + eu.urank
+          FROM entuids eu JOIN entity e ON e.uid = eu.u)),
+      ent_text AS (SELECT string_agg(part, ' ' ORDER BY seq) AS s
+                   FROM ent_text_parts),
+      qent_feat AS (
+        SELECT unnest(${feats("toks")}) AS f
+        FROM (SELECT ${toksOf("(SELECT s FROM ent_text)")} AS toks)),
+      qent_w AS (
+        SELECT ($h // 2) % $dim AS bucket,
+          sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS qw
+        FROM qent_feat GROUP BY 1),
+      qent_n AS (SELECT sqrt(sum(qw * qw)) AS nq FROM qent_w),
+      siment AS (
+        SELECT e.uid, e.text, e.chunk_uuids,
+          round(1 - coalesce(d.dot, 0) /
+            (en.nrm * (SELECT nq FROM qent_n)), 6) AS dist
+        FROM entity e
+        JOIN ent_n en ON en.uid = e.uid
+        LEFT JOIN (SELECT w.uid, sum(w.w * q.qw) AS dot
+                   FROM ent_w w JOIN qent_w q USING (bucket)
+                   GROUP BY 1) d ON d.uid = e.uid
+        ORDER BY dist ASC, e.uid ASC LIMIT 10),
+      siment_ranked AS (
+        SELECT uid, text, chunk_uuids, dist,
+          row_number() OVER (ORDER BY dist ASC, uid ASC) AS erank
+        FROM siment)"""
+  }
 
   val oracles: Map[String, String] = Map(
+    "g02_graph_search" ->
+      s"""$g2Ctes,
+        cu AS (
+          SELECT chunk_uuids[j + 1] AS u, erank, j
+          FROM (SELECT chunk_uuids, erank,
+                  unnest(range(len(chunk_uuids))) AS j
+                FROM siment_ranked)),
+        chunk_ranked AS (
+          SELECT u,
+            row_number() OVER (ORDER BY min(erank * 1000000 + j))
+              AS crank
+          FROM cu GROUP BY u)
+        SELECT d.doc_id, CAST(c.crank AS INT) AS g_rank
+        FROM chunk_ranked c JOIN ch d ON d.uid = c.u
+        WHERE c.crank <= 10
+        ORDER BY g_rank""",
+    "g03_graph_entities" ->
+      s"""$g2Ctes
+        SELECT text, dist FROM siment_ranked ORDER BY erank""",
     "g01_entity_merge" ->
       s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks
          FROM (

@@ -110,9 +110,11 @@ object Retrieval {
 
   /** MMR-diversified rerank over a cosine top-20 candidate list:
     * greedy λ·rel − (1−λ)·max-sim selection ([[graft.rank.Rerank.mmr]],
-    * executor-side per query group). Greedy selection is not cleanly
-    * SQL-expressible → rows-only gate; the math is ScalaTest-verified
-    * against a naive reference in ComponentsSpec. */
+    * executor-side per query group). Fully oracle-gated: everything
+    * derives from stored float embeddings in exact double arithmetic,
+    * so the DuckDB twin replays the greedy loop as a recursive CTE
+    * (state = picked ids; each step an argmax LATERAL with the same
+    * strictly-greater / id-asc tie-break) and matches bit-for-bit. */
   def mmrRerank(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cand = Ann.topK(e, "vec_id", "embedding", qvec(s, d, 5),
@@ -296,6 +298,46 @@ object Retrieval {
         (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"""
 
   val oracles: Map[String, String] = Map(
+    "r15_mmr_rerank" ->
+      """WITH RECURSIVE
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 5),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cand0 AS (
+          SELECT vec_id, v,
+            round(1 - list_inner_product(v, (SELECT qv FROM q)) /
+              (sqrt(list_inner_product(v, v)) *
+               sqrt(list_inner_product((SELECT qv FROM q),
+                                       (SELECT qv FROM q)))), 6) AS dist,
+            sqrt(list_inner_product(v, v)) AS nrm
+          FROM e),
+        cand AS (
+          SELECT vec_id, v, 1 - dist AS rel, nrm FROM cand0
+          ORDER BY dist ASC, vec_id ASC
+          LIMIT 20),
+        sel AS (
+          SELECT 0 AS r, []::BIGINT[] AS ids, []::DOUBLE[] AS scores
+          UNION ALL
+          SELECT s.r + 1, list_append(s.ids, p.vec_id),
+                 list_append(s.scores, p.sraw)
+          FROM sel s,
+          LATERAL (
+            SELECT c.vec_id,
+              0.7 * c.rel - 0.3 * coalesce(
+                (SELECT max(list_inner_product(c.v, p2.v) /
+                            (c.nrm * p2.nrm))
+                 FROM cand p2
+                 WHERE list_contains(s.ids, p2.vec_id)), 0.0) AS sraw
+            FROM cand c
+            WHERE NOT list_contains(s.ids, c.vec_id)
+            ORDER BY sraw DESC, c.vec_id ASC
+            LIMIT 1) p
+          WHERE s.r < 10),
+        fin AS (SELECT ids, scores FROM sel WHERE r = 10)
+        SELECT ids[i + 1] AS vec_id, CAST(i + 1 AS INT) AS mmr_rank,
+          round_even(scores[i + 1] * 1000000, 0) / 1000000 AS mmr_score
+        FROM (SELECT ids, scores, unnest(range(len(ids))) AS i FROM fin)
+        ORDER BY mmr_rank""",
     "r01_ann_topk_l2" ->
       s"""SELECT vec_id,
           round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
