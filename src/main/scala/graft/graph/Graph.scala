@@ -444,11 +444,21 @@ object Graph {
                   entDef: TableDef[GraphEntity],
                   relDef: TableDef[GraphRelation],
                   emb: Embedder, recognizer: EntityRecognizer,
-                  similarK: Int = 10, topk: Int = 10): DataFrame = {
-    val spark = reg.spark
-    val simEnts = graphSearchEntities(reg, query, entDef, relDef, emb,
-      recognizer, similarK)
-      .select("chunk_uuids").collect()
+                  similarK: Int = 10, topk: Int = 10): DataFrame =
+    graphSearchFromEntities(
+      graphSearchEntities(reg, query, entDef, relDef, emb, recognizer,
+        similarK),
+      chunks, uidCol, topk)
+
+  /** Hop 2 of [[graphSearch]] given an already-ranked entity frame
+    * (from [[graphSearchEntities]], possibly cached by the caller —
+    * the entity ranking is the expensive phase and a fixed query's
+    * ranking is reusable across result-shaping calls). */
+  def graphSearchFromEntities(rankedEntities: DataFrame,
+                              chunks: DataFrame, uidCol: String,
+                              topk: Int = 10): DataFrame = {
+    val spark = chunks.sparkSession
+    val simEnts = rankedEntities.select("chunk_uuids").collect()
     if (simEnts.isEmpty) {
       chunks.limit(0).withColumn("g_rank", lit(0))
     } else {
