@@ -524,6 +524,49 @@ object Ann {
       .limit(n)
   }
 
+  /** Persist an [[IvfSqIndex]] at rest — the index layout the scaladocs
+    * promise: `dir/quantized` is the doc table disk-partitioned by
+    * centroid_id with codes PACKED to 1 byte/dim binary ([[packCodes]]),
+    * `dir/bounds` / `dir/centroids` the side tables. Probed searches
+    * over the loaded layout prune whole cell directories. */
+  def writeIvfSq(index: IvfSqIndex, dir: String): Unit = {
+    index.quantized
+      .withColumn("codes", packCodes(col("codes")))
+      .write.mode("overwrite").partitionBy(index.model.idCol)
+      .parquet(s"$dir/quantized")
+    index.bounds.write.mode("overwrite").parquet(s"$dir/bounds")
+    index.model.centroids.write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Load a [[writeIvfSq]] layout; codes unpack at scan time. */
+  def loadIvfSq(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfSqIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val quantized = spark.read.parquet(s"$dir/quantized")
+      .withColumn("codes", unpackCodes(col("codes")))
+    IvfSqIndex(quantized, spark.read.parquet(s"$dir/bounds"),
+      IvfModel(cents, "centroid_id", "centroid"))
+  }
+
+  /** [[searchIvfSq]] over a stored layout: probe cells become a LITERAL
+    * isin on the partition column (PartitionFilters in the scan — whole
+    * unprobed cell directories are never read), then the usual
+    * asymmetric scan + exact re-rank. */
+  def searchIvfSqStored(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, idCol: String, vecCol: String,
+                        queryVec: Column, metric: Metric, probes: Int,
+                        k: Int, refine: Int = 5,
+                        roundTo: Int = 6): DataFrame = {
+    val index = loadIvfSq(spark, dir)
+    val cells = probeCells(index.model, queryVec, metric, probes)
+      .collect().map(_.getLong(0))
+    val pruned = index.copy(quantized = index.quantized
+      .filter(col(index.model.idCol).isin(cells: _*)))
+    searchIvfSq(pruned, idCol, vecCol, queryVec, metric, probes, k,
+      refine, roundTo)
+  }
+
   /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each
     * residual dimension (v − centroid) plus the residual norm — 1 bit
     * per dimension at rest (32× vs float32, 8× denser than SQ8), the
@@ -594,6 +637,45 @@ object Ann {
       .withColumn("qdist", round(est, roundTo))
       .orderBy(col("qdist").asc, col(idCol).asc)
       .limit(n)
+  }
+
+  /** Persist an [[IvfBitIndex]] at rest: cell-partitioned parquet with
+    * bits PACKED 1 bit/dim ([[packBits]]) — 32× vs float32 for the code
+    * column — plus the centroid side table. */
+  def writeIvfBitq(index: IvfBitIndex, dir: String): Unit = {
+    index.quantized
+      .withColumn("bits", packBits(col("bits")))
+      .write.mode("overwrite").partitionBy(index.model.idCol)
+      .parquet(s"$dir/quantized")
+    index.model.centroids.write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Load a [[writeIvfBitq]] layout (dims come from the centroid
+    * table); bits unpack at scan time. */
+  def loadIvfBitq(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): IvfBitIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val dims = cents.select(size(col("centroid"))).head().getInt(0)
+    val quantized = spark.read.parquet(s"$dir/quantized")
+      .withColumn("bits", unpackBits(col("bits"), dims))
+    IvfBitIndex(quantized, IvfModel(cents, "centroid_id", "centroid"))
+  }
+
+  /** [[searchIvfBitq]] over a stored layout with literal partition
+    * pruning (see [[searchIvfSqStored]]). */
+  def searchIvfBitqStored(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String, vecCol: String,
+                          queryVec: Column, metric: Metric, probes: Int,
+                          k: Int, refine: Int = 5,
+                          roundTo: Int = 6): DataFrame = {
+    val index = loadIvfBitq(spark, dir)
+    val cells = probeCells(index.model, queryVec, metric, probes)
+      .collect().map(_.getLong(0))
+    val pruned = index.copy(quantized = index.quantized
+      .filter(col(index.model.idCol).isin(cells: _*)))
+    searchIvfBitq(pruned, idCol, vecCol, queryVec, metric, probes, k,
+      refine, roundTo)
   }
 
   /** Pack 0/1 bit codes into a `binary` column, 8 bits per byte

@@ -404,6 +404,46 @@ class OpsSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("quantized indexes at rest: write/load round-trips packed codes " +
+      "and stored search prunes cell directories") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val q = org.apache.spark.sql.functions.typedlit(
+      (0 until 64).map(i => 0.01 * i))
+    // SQ layout
+    val sq = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("graft-sq-rest").toString
+    Ann.writeIvfSq(sq, sqDir)
+    val sqMem = Ann.searchIvfSq(sq, "vec_id", "embedding", q, Ann.L2,
+      probes = 3, k = 5).collect().map(_.toSeq).toSeq
+    val sqStoredDf = Ann.searchIvfSqStored(spark, sqDir, "vec_id",
+      "embedding", q, Ann.L2, probes = 3, k = 5)
+    assert(sqStoredDf.collect().map(_.toSeq).toSeq === sqMem)
+    // probes reach the scan as PartitionFilters (directory pruning)
+    assert(sqStoredDf.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [centroid_id"))
+    // 1-bit layout
+    val bitq = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-bitq-rest").toString
+    Ann.writeIvfBitq(bitq, bDir)
+    val bMem = Ann.searchIvfBitq(bitq, "vec_id", "embedding", q, Ann.L2,
+      probes = 3, k = 5).collect().map(_.toSeq).toSeq
+    val bStoredDf = Ann.searchIvfBitqStored(spark, bDir, "vec_id",
+      "embedding", q, Ann.L2, probes = 3, k = 5)
+    assert(bStoredDf.collect().map(_.toSeq).toSeq === bMem)
+    assert(bStoredDf.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [centroid_id"))
+    // the packed code columns really are 1 byte/dim and 1 bit/dim
+    val sqRow = spark.read.parquet(s"$sqDir/quantized")
+      .select("codes").head().getAs[Array[Byte]](0)
+    assert(sqRow.length === 64)
+    val bRow = spark.read.parquet(s"$bDir/quantized")
+      .select("bits").head().getAs[Array[Byte]](0)
+    assert(bRow.length === 8)
+  }
+
   test("ivf+bitq: all-probe generous-refine search equals exact topK; " +
       "bits are residual signs, rnorm the residual norm") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

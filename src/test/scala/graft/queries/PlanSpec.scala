@@ -52,6 +52,34 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("hot-bucket cap is GATED: no Window machinery in the candidate " +
+      "plan when no bucket is over-cap; chaining appears when one is") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta $i"))
+      .toDF("doc_id", "text")
+    // distinct texts, default cap (4096): the plain self-join path —
+    // no window rank/count anywhere in the candidate plan
+    val cold = graft.ops.Dedup.simHashPairs(
+      graft.ops.Dedup.simHash(docs, "doc_id", "text"),
+      maxDist = 3, bands = 4)
+    assert(!plan(cold).contains("Window"),
+      s"expected the gated plain path (no Window):\n${plan(cold)}")
+    // 30 identical docs with hotCap=4: over-cap buckets → the windowed
+    // chaining path engages
+    val dup = (0 until 30)
+      .map(i => (i.toLong, "the very same text in every copy"))
+      .toDF("doc_id", "text")
+    val hot = graft.ops.Dedup.simHashPairs(
+      graft.ops.Dedup.simHash(dup, "doc_id", "text"),
+      maxDist = 3, bands = 4, hotCap = 4, hotWindow = 2)
+    assert(plan(hot).contains("Window"),
+      s"expected the chaining path (Window present):\n${plan(hot)}")
+    // and the chained candidates still connect the identical cluster
+    assert(hot.count() > 0)
+  }
+
   test("dedup verify joins are shuffle joins, not forced broadcasts") {
     // with auto-broadcast off, no BroadcastExchange may remain on the
     // per-doc set tables: a forced broadcast of |docs|×~2KB of shingle
