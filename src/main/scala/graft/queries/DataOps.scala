@@ -218,7 +218,51 @@ object DataOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus curation — the LLM-pipeline operators COMPOSED
+    * the way a real pretraining data pipeline chains them (each stage
+    * is individually gated by p01-p17; this gates the composition):
+    * quality filter (score >= 0.6) → exact dedup (keep lowest doc_id
+    * per text) → benchmark decontamination (drop the bench split
+    * itself and any surviving train doc with >= 30% 3-gram containment
+    * of a bench doc) → deterministic source mixing (cap en 0.5,
+    * de/fr 0.75) → 80/10/10 hash split → 512-token packing in 4 hash
+    * shards per split. One row per split: (n_docs, sum_chars,
+    * n_packs). Every stage is map-only or one combinable shuffle —
+    * the whole chain survives 100 TB because each link does. */
+  def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select("doc_id", "lang", "text", "n_chars")
+    val scored = TextAnalysis.qualityScore(
+        docs.repartition(s.sparkContext.defaultParallelism), "text")
+      .filter(col("quality") >= 0.6)
+      .select("doc_id", "lang", "text", "n_chars")
+    val deduped = Dedup.exactDedup(scored, "doc_id", "text")
+    val bench = documents(s, d).filter(col("doc_id") % 10 === 0)
+    val train = deduped.filter(col("doc_id") % 10 =!= 0)
+    val contaminated = Dedup.containmentPairs(
+        bench, "doc_id", "text", train, "doc_id", "text",
+        n = 3, threshold = 0.3)
+      .select(col("t_id").as("doc_id")).distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = Sampling.stratifiedSample(clean, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.75, "fr" -> 0.75))
+    val bySplit = Sampling.withSplit(mixed, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
+    val packed = Seq("train", "val", "test").map { sp =>
+      Sampling.packSequences(bySplit.filter(col("split") === sp),
+        "doc_id", nTok, budget = 512, shards = 4)
+    }.reduce(_ unionByName _)
+    packed.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(concat_ws("-", col("shard"), col("pack_id")))
+          .as("n_packs"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_curation_e2e" -> curationE2e,
     "p17_pii_scrub" -> piiScrub,
     "p16_pack_sequences" -> packSeqs,
     "p15_stratified_mix" -> stratifiedMix,
@@ -275,6 +319,92 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p18_curation_e2e" ->
+      s"""WITH st AS (SELECT doc_id,
+            length(text) AS nc,
+            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+              AS alnum,
+            length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS spaces,
+            len(list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> x != '')) AS nws,
+            $toksSql AS toks
+          FROM documents),
+          qr AS (SELECT doc_id,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
+                x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr,
+            CAST(alnum AS DOUBLE) / nc AS ar,
+            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
+            nws
+          FROM st),
+          qual AS (SELECT doc_id,
+            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
+                   least(sr * 5.0, 1.0) + ar +
+                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
+          FROM qr),
+          base AS (SELECT d.doc_id, d.lang, d.text, d.n_chars
+                   FROM documents d JOIN qual q USING (doc_id)
+                   WHERE q.quality >= 0.6),
+          dd AS (SELECT * FROM base
+                 QUALIFY row_number() OVER (PARTITION BY text
+                   ORDER BY doc_id) = 1),
+          tb AS (SELECT doc_id, $toksSql AS toks FROM documents
+                 WHERE doc_id % 10 = 0),
+          bs AS (SELECT doc_id AS b_id,
+                   unnest(list_distinct(list_transform(
+                     range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                          toks[i+3]))) AS sh
+                 FROM tb),
+          bsz AS (SELECT b_id, count(*) AS b_sz FROM bs GROUP BY 1),
+          tt AS (SELECT doc_id, $toksSql AS toks FROM dd
+                 WHERE doc_id % 10 <> 0),
+          ts AS (SELECT doc_id AS t_id,
+                   unnest(list_distinct(list_transform(
+                     range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                          toks[i+3]))) AS sh
+                 FROM tt),
+          inter AS (SELECT b_id, t_id, count(*) AS c
+                    FROM bs JOIN ts USING (sh) GROUP BY 1, 2),
+          cont AS (SELECT DISTINCT t_id
+                   FROM inter JOIN bsz USING (b_id)
+                   WHERE round(CAST(c AS DOUBLE) / b_sz, 6) >= 0.3),
+          clean AS (SELECT * FROM dd
+                    WHERE doc_id % 10 <> 0
+                      AND doc_id NOT IN (SELECT t_id FROM cont)),
+          mixed AS (SELECT * FROM clean
+                    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 4))::INTEGER % 100 <
+                      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 75
+                                WHEN 'fr' THEN 75 ELSE 100 END),
+          sp AS (SELECT *,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM (SELECT *,
+                         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                           1, 4))::INTEGER % 100 AS bucket
+                       FROM mixed)),
+          tok AS (SELECT split, doc_id, n_chars,
+                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                      1, 4))::INTEGER % 4 AS shard,
+                    len(list_filter(regexp_split_to_array(text, ' '),
+                      x -> x != '')) AS n_tok
+                  FROM sp),
+          c AS (SELECT split, shard, doc_id, n_chars, n_tok,
+                  coalesce(sum(n_tok) OVER (PARTITION BY split, shard
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM tok)
+          SELECT split, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(count(DISTINCT shard || '-' ||
+              CAST(cum_before // 512 AS BIGINT)) AS BIGINT) AS n_packs
+          FROM c GROUP BY 1 ORDER BY 1""",
     "p04_simhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           tf AS (SELECT doc_id, tok, count(*) AS tf
