@@ -246,8 +246,12 @@ object DataOps {
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
     val mixed = Sampling.stratifiedSample(clean, "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.75, "fr" -> 0.75))
+    // persisted: the per-split packing fans out into three branches
+    // below, and without the cache each would re-run the whole
+    // quality→dedup→decontaminate chain (3× the containment join)
     val bySplit = Sampling.withSplit(mixed, "doc_id",
-      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .persist()
     val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
     val packed = Seq("train", "val", "test").map { sp =>
       Sampling.packSequences(bySplit.filter(col("split") === sp),
