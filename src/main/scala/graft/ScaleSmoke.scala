@@ -28,7 +28,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "lang", "text", "n_chars")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
     val nDocs = docs0.count()
@@ -36,7 +36,9 @@ object ScaleSmoke {
     def inflateDocs(k: Int): DataFrame =
       (0 until k).map { i =>
         docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          concat(col("text"), lit(s" copy$i tail")).as("text"))
+          col("lang"),
+          concat(col("text"), lit(s" copy$i tail")).as("text"),
+          col("n_chars"))
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
@@ -105,8 +107,10 @@ object ScaleSmoke {
     time("minhash_giant_cluster") {
       val giant = spark.range(1, 20001)
         .select((col("id") + 900000000L).as("doc_id"),
+          lit("en").as("lang"),
           lit("the exact same document body repeated verbatim in every " +
             "copy of this giant duplicate cluster").as("text"))
+        .withColumn("n_chars", length(col("text")))
       ops.Dedup.minHashDedupPairs(
         docs.unionByName(giant), "doc_id", "text",
         n = 3, numHashes = 32, bands = 16, threshold = 0.5).count()
@@ -178,6 +182,32 @@ object ScaleSmoke {
         probes = 8, k = 10, refine = 10).count()
     }
 
+    // The composed curation chain (p18's shape) on the dup-heavy
+    // inflated corpus: quality filter → exact dedup (keeps every
+    // inflated copy — texts differ by the copy tail — so the
+    // CONTAINMENT stage faces the full xf× train side against an xf×
+    // bench side: the adversarial case, run through the broadcast-
+    // Bloom prefilter path) → decontaminate → mix → split. Must scale
+    // like its stages: one combinable shuffle each, the shingle join
+    // bounded by shingle-match density.
+    time("curation_chain") {
+      val scored = ops.TextAnalysis.qualityScore(docs, "text")
+        .filter(col("quality") >= 0.6)
+        .select("doc_id", "lang", "text", "n_chars")
+      val deduped = ops.Dedup.exactDedup(scored, "doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = deduped.filter(col("doc_id") % 10 =!= 0)
+      val contaminated = ops.Dedup.containmentPairs(
+          bench, "doc_id", "text", train, "doc_id", "text",
+          n = 3, threshold = 0.3, bloomFpp = 0.01)
+        .select(col("t_id").as("doc_id")).distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = ops.Sampling.stratifiedSample(clean, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.75, "fr" -> 0.75))
+      ops.Sampling.withSplit(mixed, "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split").agg(count(lit(1)).as("n")).count()
+    }
     // Control plane under sustained load: a real HTTP service instance
     // taking a POST /api/run ingest loop (chunk→embed→index per
     // request) plus a search tail — measures per-request driver
