@@ -265,7 +265,16 @@ object DataOps {
       .orderBy("split")
   }
 
+  /** Gopher-style repetition signals per doc ([[TextAnalysis
+    * .repetitionStats]]): fraction of repeated word-trigram
+    * occurrences + share of the single most frequent bigram —
+    * full-table gate (every doc row hash-compared). */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(docsPar(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_repetition" -> repetition,
     "p18_curation_e2e" -> curationE2e,
     "p17_pii_scrub" -> piiScrub,
     "p16_pack_sequences" -> packSeqs,
@@ -323,6 +332,38 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p19_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tg AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(len(toks) - 2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                            toks[i+3])
+                     ELSE []::VARCHAR[] END AS g
+                 FROM t),
+          dup AS (SELECT doc_id,
+                    CASE WHEN len(g) > 0
+                      THEN round(CAST(len(g) - len(list_distinct(g))
+                        AS DOUBLE) / len(g), 6)
+                      ELSE 0.0 END AS dup_trigram_frac
+                  FROM tg),
+          bg0 AS (SELECT doc_id,
+                    unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(len(toks) - 1),
+                        i -> toks[i+1] || ' ' || toks[i+2])
+                      ELSE []::VARCHAR[] END) AS bg
+                  FROM t),
+          bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0
+                  GROUP BY 1, 2),
+          top AS (SELECT doc_id,
+                    round(CAST(max(n) AS DOUBLE) / sum(n), 6)
+                      AS top_bigram_frac
+                  FROM bgc GROUP BY 1)
+          SELECT t.doc_id, dup.dup_trigram_frac,
+            coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+          FROM t JOIN dup USING (doc_id)
+          LEFT JOIN top USING (doc_id)
+          ORDER BY t.doc_id""",
     "p18_curation_e2e" ->
       s"""WITH st AS (SELECT doc_id,
             length(text) AS nc,

@@ -209,6 +209,33 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregister("embedding")
   }
 
+  /** Declarative QUANTIZED rewrite gate: a plain orderBy(dist).limit(k)
+    * DataFrame over a registered IVF+SQ index, with r12's exact
+    * parameters — the optimizer must inject the two-phase code-scan
+    * semi-join AND the result must equal the explicit operator
+    * (shared oracle). The plan shape is asserted here, so a silent
+    * non-rewrite cannot slide through as a brute-force false green. */
+  def annRewriteQuant(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerQuantized("embedding", "vec_id", index,
+      Ann.L2, probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), qvec(s, d, 11)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "quantized rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -247,7 +274,8 @@ object Retrieval {
     "r12_ivf_sq_topk" -> ivfSqTopk,
     "r13_bm25_batch" -> bm25Batch,
     "r14_ivf_bitq_topk" -> ivfBitqTopk,
-    "r15_mmr_rerank" -> mmrRerank)
+    "r15_mmr_rerank" -> mmrRerank,
+    "r16_ann_rewrite_quant" -> annRewriteQuant)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -296,6 +324,71 @@ object Retrieval {
   private def cosDistSql(a: String, b: String): String =
     s"""(1 - list_inner_product($a, $b) /
         (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"""
+
+  /** IVF+SQ two-phase search from first principles (label-mean
+    * centroids rounded to 5, per-cell min/max bounds, 8-bit codes,
+    * asymmetric qdist over the 3 probed cells, exact re-rank of the
+    * top-50) — shared by r12 (the explicit operator) and r16 (the
+    * declarative plan the optimizer rewrite produces). */
+  private val ivfSqOracle: String =
+    s"""WITH dims AS (
+          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        q AS (SELECT $qv11 AS qv),
+        probes AS (
+          SELECT centroid_id FROM cents CROSS JOIN q
+          ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
+          LIMIT 3),
+        mm AS (
+          SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+          FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM assigned)
+          GROUP BY 1, 2),
+        bounds AS (
+          SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                 list(mx ORDER BY pos) AS maxs
+          FROM mm GROUP BY 1),
+        codes AS (
+          SELECT a.vec_id, a.embedding, a.centroid_id,
+            list_transform(range(len(a.embedding)), i ->
+              CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                THEN CAST(least(greatest(round(
+                  (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
+                  (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                  AS INTEGER)
+                ELSE 0 END) AS codes
+          FROM assigned a JOIN bounds b USING (centroid_id)),
+        cand AS (
+          SELECT c.vec_id, c.embedding,
+            round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+              (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                 (b.maxs[i+1] - b.mins[i+1]))) *
+              (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                 (b.maxs[i+1] - b.mins[i+1])))))), 6) AS qdist
+          FROM codes c
+          JOIN bounds b USING (centroid_id)
+          JOIN probes USING (centroid_id)
+          CROSS JOIN q
+          ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+        SELECT cand.vec_id,
+          round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
+        FROM cand CROSS JOIN q
+        ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
     "r15_mmr_rerank" ->
@@ -411,65 +504,11 @@ object Retrieval {
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
     // codes, probe 3 cells, asymmetric scan top-50 within them, exact
     // re-rank top-10.
-    "r12_ivf_sq_topk" ->
-      s"""WITH dims AS (
-            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT label, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          q AS (SELECT $qv11 AS qv),
-          probes AS (
-            SELECT centroid_id FROM cents CROSS JOIN q
-            ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
-            LIMIT 3),
-          mm AS (
-            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
-            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM assigned)
-            GROUP BY 1, 2),
-          bounds AS (
-            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
-                   list(mx ORDER BY pos) AS maxs
-            FROM mm GROUP BY 1),
-          codes AS (
-            SELECT a.vec_id, a.embedding, a.centroid_id,
-              list_transform(range(len(a.embedding)), i ->
-                CASE WHEN b.maxs[i+1] > b.mins[i+1]
-                  THEN CAST(least(greatest(round(
-                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
-                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
-                    AS INTEGER)
-                  ELSE 0 END) AS codes
-            FROM assigned a JOIN bounds b USING (centroid_id)),
-          cand AS (
-            SELECT c.vec_id, c.embedding,
-              round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
-                (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
-                   (b.maxs[i+1] - b.mins[i+1]))) *
-                (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
-                   (b.maxs[i+1] - b.mins[i+1])))))), 6) AS qdist
-            FROM codes c
-            JOIN bounds b USING (centroid_id)
-            JOIN probes USING (centroid_id)
-            CROSS JOIN q
-            ORDER BY qdist ASC, vec_id ASC LIMIT 50)
-          SELECT cand.vec_id,
-            round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
-          FROM cand CROSS JOIN q
-          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r12_ivf_sq_topk" -> ivfSqOracle,
+    // r16 runs the DECLARATIVE plan over the registered SQ index with
+    // r12's exact parameters — the optimizer rewrite must reproduce
+    // the explicit operator bit-for-bit, so they share one oracle.
+    "r16_ann_rewrite_quant" -> ivfSqOracle,
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr
