@@ -67,9 +67,25 @@ object Media {
       .orderBy("source")
   }
 
+  /** Resize stage over "image" payloads (16×8 → 128-byte payloads,
+    * cyclic repeat/truncate per [[FakeCodec.resize]]): per doc, the
+    * count of 'a' bytes in the RESIZED payload plus the updated meta
+    * dims — full-table gate; the cyclic-fill arithmetic (full cycles +
+    * remainder prefix) is recomputed by the oracle. */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.resizeImages(mediaRows(s, d, "image"), FakeCodec(),
+        w = 16, h = 8)
+      .map(m => (m.id, m.data.count(_ == 'a'.toByte).toLong,
+        m.meta.width, m.meta.height))
+      .toDF("doc_id", "n_a", "w", "h")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> mediaFeatures,
-    "m02_media_frames" -> mediaFrames)
+    "m02_media_frames" -> mediaFrames,
+    "m03_media_resize" -> mediaResize)
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" ->
@@ -77,6 +93,15 @@ object Media {
            length(regexp_replace(text, '[^defg]', '', 'g')) AS n_defg
          FROM documents
          ORDER BY n_defg DESC, doc_id ASC LIMIT 10""",
+    "m03_media_resize" ->
+      """SELECT doc_id,
+           CAST((128 // length(text)) *
+             length(regexp_replace(text, '[^a]', '', 'g')) +
+             length(regexp_replace(
+               substring(text, 1, 128 % length(text)),
+               '[^a]', '', 'g')) AS BIGINT) AS n_a,
+           CAST(16 AS INT) AS w, CAST(8 AS INT) AS h
+         FROM documents ORDER BY doc_id""",
     "m02_media_frames" ->
       """WITH f AS (
            SELECT source,
