@@ -331,9 +331,23 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` config-driven
   * install (SparkSessionExtensions), injecting the ANN rewrite and the
-  * SQL vector functions. */
+  * SQL vector functions (`l2_dist`, `cos_dist`, `dot_product`,
+  * `maxsim_dot` — the same codegen'd expressions the Column API uses,
+  * so `spark.sql("... ORDER BY l2_dist(vec, q) LIMIT k")` plans hit
+  * the registered-index rewrites too). */
 class GraftExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnTopKRule())
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.graft.{CosDist => CD, DotProduct => DP,
+      L2Dist => L2D, MaxSimDot => MSD}
+    def fn(name: String, build: Seq[Expression] => Expression) =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), build))
+    fn("l2_dist", es => L2D(es.head, es(1)))
+    fn("cos_dist", es => CD(es.head, es(1)))
+    fn("dot_product", es => DP(es.head, es(1)))
+    fn("maxsim_dot", es => MSD(es.head, es(1)))
+  }
 }

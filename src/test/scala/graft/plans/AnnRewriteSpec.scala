@@ -128,6 +128,20 @@ class AnnRewriteSpec extends SparkSpecBase {
       assert(nProbePredicates === 1,
         s"expected exactly one probe predicate:\n$optimized")
       assert(df.count() === 5)
+      // the injected SQL functions compose with the rewrite: a pure-SQL
+      // ORDER BY l2_dist(...) LIMIT plan (array literal folded by
+      // ConstantFolding) hits the probe filter too
+      s2.read.parquet(dir).createOrReplaceTempView("stored_vecs")
+      val sqlDf = s2.sql(
+        "SELECT vec_id, round(l2_dist(embedding, array(" +
+          q8.map(_.toString).mkString(", ") +
+          ")), 6) AS dist FROM stored_vecs " +
+          "ORDER BY dist ASC, vec_id ASC LIMIT 5")
+      assert(sqlDf.queryExecution.optimizedPlan.toString
+        .contains("centroid_id"),
+        "expected the SQL-function plan to be probe-rewritten")
+      assert(sqlDf.collect().map(_.toSeq).toSeq ===
+        df.collect().map(_.toSeq).toSeq)
     } finally {
       AnnIndex.unregister("embedding")
       SparkSession.clearActiveSession()
