@@ -89,6 +89,29 @@ object Stream {
       .drop("__rk")
   }
 
+  /** Continuous IVF-index ingest — the streaming twin of
+    * [[graft.ops.Ann.writePartitioned]]: each arriving vector is
+    * assigned to its nearest cell ([[graft.ops.Ann.assign]] is a pure
+    * broadcast-variable map, so it is streaming-safe with zero state)
+    * and appended to the cell-partitioned at-rest layout that
+    * [[graft.ops.Ann.searchIvfStored]] probes with directory pruning.
+    * The index GROWS under queries with no rebuild — each micro-batch
+    * lands its rows in their cell directories, exactly-once via the
+    * file-sink commit log — which is the continuous-ingest shape the
+    * reference's insert-then-query loop implies at corpus scale. */
+  def ingestIvf(vectors: DataFrame, vecCol: String,
+                model: graft.ops.Ann.IvfModel,
+                metric: graft.ops.Ann.Metric, dir: String,
+                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.Ann.assign(vectors, vecCol, model, metric)
+      .writeStream
+      .partitionBy(model.idCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(dir)
+
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With
     * `timeoutMs > 0` state times out after that much processing-time

@@ -101,6 +101,41 @@ class StreamSpec extends SparkSpecBase {
       Array("other content", "same content"))
   }
 
+  test("ingestIvf: streamed vectors land in cell directories and the " +
+      "stored search finds them with directory pruning") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    // 2-cell model from a static seed (blobs at 0 and 10)
+    val seed = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val model = Ann.buildIvfKMeans(seed, "embedding", k = 2, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivf").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivf-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvf(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", model, Ann.L2, dir, ckpt)
+    try {
+      input.addData((10L, Seq(0.1, 0.2)), (11L, Seq(9.8, 10.1)))
+      q.processAllAvailable()
+      input.addData((12L, Seq(0.3, 0.1)), (13L, Seq(10.2, 9.9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // cell directories exist (the at-rest partitioned layout)
+    val cells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(cells.length === 2, cells.mkString(","))
+    // stored probe search over the GROWN index: nearest to the origin
+    // blob are exactly the two origin-side streamed vectors
+    val got = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(Seq(0.0, 0.0)), Ann.L2, probes = 1, k = 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Array(10L, 12L))
+  }
+
   test("stream-stream interval join pairs in-window rows, bounded state") {
     val sp = spark
     import sp.implicits._
