@@ -37,17 +37,28 @@ object Bench {
         catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Per query, keep BOTH the first (cold) pass and the min over all
-    // passes: the min is the noise-filtered headline, the cold pass
-    // makes cache-derived speedups (memoized pair/shingle/BM25 tables)
-    // visible instead of implicit (VERDICT r04 bench-hygiene item).
-    val timesByQ = selected.map { case (name, fn) =>
-      name -> (1 to passes).map(_ => once(fn))
+    // Passes are TIME-SEPARATED: pass 1 runs every query (sorted name
+    // order), then pass 2 runs every query again. Back-to-back passes
+    // of one query share any host-load spike, so `min` cannot filter
+    // it (round-6 record showed phantom 7x regressions from exactly
+    // that); with full-pass separation the two samples of a query are
+    // minutes apart and a spike poisons at most one. Sorted order also
+    // makes the record comparable round-over-round (hash-map order
+    // moved with every added query).
+    val ordered = selected.toSeq.sortBy(_._1)
+    val passTimes: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) => name -> once(fn) }
     }
-    val results = timesByQ.map { case (name, times) =>
+    val byQ: Seq[(String, Seq[Double])] = ordered.map { case (name, _) =>
+      name -> passTimes.map(_.find(_._1 == name).get._2)
+    }
+    val results = byQ.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
-    val cold = timesByQ.map { case (name, times) => name -> times.head }
+    }.toMap
+    val cold = byQ.map { case (name, times) => name -> times.head }.toMap
+    // Per-pass totals on their own line: a noisy pass is diagnosable
+    // from the record itself instead of needing a rerun.
+    val passTotals = passTimes.map(p => p.map(_._2).filter(_ >= 0).sum)
     // 3-decimal cap keeps both lines short: the driver captures only a
     // bounded stdout tail, and round 5's full-precision doubles pushed
     // the headline line past it (BENCH_r05.json came back unparseable).
@@ -61,6 +72,7 @@ object Bench {
     // Cold-pass detail on its own line FIRST; the compact headline JSON
     // (warm min per query + totals) is the LAST stdout line so the
     // driver's tail capture always contains a parseable record.
+    println(s"""{"metric":"pass_totals","value":[${passTotals.map(fmt).mkString(",")}],"unit":"sec"}""")
     println(s"""{"metric":"total_cold","value":${fmt(totalCold)},"unit":"sec","queries_cold":${toJson(cold)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"total_cold":${fmt(totalCold)},"sf":"$sfDir","passes":$passes}""")
     spark.stop()
