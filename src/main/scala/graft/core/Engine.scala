@@ -146,25 +146,55 @@ final class Engine(reg: Registry) {
     * full-precision vectors read only for the top-(k·refine)
     * candidates). The Engine-surface twin of `SET vchordrq.probes`
     * (client.py:285-309): registration is the opt-in to approximate
-    * search. Requires a built IVF model ([[buildIndex]] first). */
+    * search. Requires a built IVF model ([[buildIndex]] first).
+    *
+    * Quantized registrations hold a RESOLVER backed by the version-keyed
+    * caches below, so the declarative plan re-resolves the index at
+    * every rewrite: writes to the table after install are visible to
+    * the next declarative query, same as [[searchByVector]] — no
+    * re-install needed (round-6 advisor: the previous frozen snapshot
+    * silently excluded post-install rows). */
   def installDeclarative(td: TableDef[_], probes: Int = 0,
                          refine: Int = 5): Unit = {
     val ix = td.vectorIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no vector index"))
-    val model = indexModel(td).getOrElse(throw new IllegalStateException(
+    def model = indexModel(td).getOrElse(throw new IllegalStateException(
       s"${td.name} has no built IVF model — run buildIndex first"))
+    model // fail install-time, not first-query-time, when unbuilt
     graft.plans.AnnIndex.install(reg.spark)
     val p = if (probes > 0) probes
       else math.ceil(ix.lists / 16.0).toInt.max(1)
-    val base = reg.table(td)
     if (ix.oneBit)
       graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
-        ivfBitqCached(td, ix, base, model), ix.distance, p, refine)
+        () => ivfBitqCached(td, ix, reg.table(td), model),
+        ix.distance, p, refine)
     else if (ix.quantized)
       graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
-        ivfSqCached(td, ix, base, model), ix.distance, p, refine)
+        () => ivfSqCached(td, ix, reg.table(td), model),
+        ix.distance, p, refine)
     else
       graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
+  }
+
+  /** Attach an AT-REST index layout to a table's delete lifecycle:
+    * after this, every committed `Registry.removeBy` on the table
+    * (including rows deleted INTO it by FK cascade) rewrites the
+    * layout's affected cell directories ([[Ann.deleteStoredIds]]), so
+    * stored searches ([[Ann.searchIvfSqStored]] etc.) and declarative
+    * rewrites over the loaded layout never surface removed rows — the
+    * maintenance PostgreSQL's DELETE performs implicitly on the
+    * reference's indexes (client.py:268-283). `dir` is a
+    * [[Ann.writeIvfSq]] / [[Ann.writeIvfBitq]] root (the `quantized`
+    * subdir is detected) or a [[Ann.writePartitioned]] path. */
+  def attachStoredIndex(td: TableDef[_], dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
+    val q = new org.apache.hadoop.fs.Path(root, "quantized")
+    val path = if (fs.exists(q)) q.toString else dir
+    reg.onDelete(td.name) { deleted =>
+      Ann.deleteStoredIds(reg.spark, path, td.pk, deleted.select(td.pk))
+      ()
+    }
   }
 
   /** Remove [[installDeclarative]]'s registrations for the table. */

@@ -145,6 +145,31 @@ final class Registry(val spark: SparkSession, root: String,
     if (txn == null) runTxn(t => removeBy(td, kvs, t))
     else removeWhere(td, predFrom(kvs), txn)
 
+  /** Register a post-delete hook for a table: invoked with the DELETED
+    * rows after the removing transaction COMMITS (rolled-back deletes
+    * never fire; cascaded child deletes fire the child's hooks). The
+    * deleted frame reads the pre-delete segments, which are immutable
+    * files that survive the commit. Engine uses this to keep at-rest
+    * index layouts in sync with `removeBy` — the Spark twin of the
+    * index maintenance PostgreSQL's DELETE does implicitly for the
+    * reference (client.py:268-283). */
+  def onDelete(tableName: String)(hook: DataFrame => Unit): Unit =
+    deleteHooks.synchronized {
+      deleteHooks.getOrElseUpdate(tableName, mutable.Buffer()) += hook
+    }
+
+  private val deleteHooks =
+    mutable.Map[String, mutable.Buffer[DataFrame => Unit]]()
+
+  private def fireOnCommit(txn: Txn, tableName: String,
+                           deleted: DataFrame): Unit = {
+    val hooks = deleteHooks.synchronized {
+      deleteHooks.get(tableName).map(_.toList).getOrElse(Nil)
+    }
+    if (hooks.nonEmpty)
+      txn.afterCommit = (() => hooks.foreach(_(deleted))) :: txn.afterCommit
+  }
+
   private def removeWhere(td: TableDef[_], pred: Column, txn: Txn): Unit = {
     val cur = table(td, txn)
     val survivors = cur.filter(!coalesce(pred, lit(false)))
@@ -152,6 +177,7 @@ final class Registry(val spark: SparkSession, root: String,
     val t = full(td.name)
     val seg = catalog.writeSegment(t, survivors)
     mutate(txn)(s => s + (t -> Vector(seg)))
+    fireOnCommit(txn, td.name, deleted)
     cascadeChildren(td, deleted, txn)
   }
 
@@ -168,6 +194,7 @@ final class Registry(val spark: SparkSession, root: String,
           val t = full(child.name)
           val seg = catalog.writeSegment(t, childSurvivors)
           mutate(txn)(s => s + (t -> Vector(seg)))
+          fireOnCommit(txn, child.name, childDeleted)
           cascadeChildren(child, childDeleted, txn)
         }
       }
@@ -274,6 +301,9 @@ final class Registry(val spark: SparkSession, root: String,
         }
       }
     }
+    // post-commit actions (delete hooks) in registration order; a
+    // conflict-thrown commit above never reaches them
+    txn.afterCommit.reverse.foreach(_())
     res
   }
 }

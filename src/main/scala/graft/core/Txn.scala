@@ -9,4 +9,7 @@ final class Txn private[core] (initial: Map[String, Vector[String]]) {
   private[core] val base: Map[String, Vector[String]] = initial
   private[core] var staged: Map[String, Vector[String]] = initial
   private[core] var buffer: Map[String, Vector[String]] = Map.empty
+  /** Deferred post-commit actions (delete hooks): run only after the
+    * atomic manifest swap succeeds, never for a rolled-back txn. */
+  private[core] var afterCommit: List[() => Unit] = Nil
 }

@@ -79,6 +79,39 @@ object Ann {
       -dotScala(a, b)
   }
 
+  /** L2-normalize a vector column: x_i / sqrt(Σ x²), the sequential
+    * left-to-right double fold every other vector op uses. On the unit
+    * sphere, L2 ordering equals cosine-distance ordering
+    * (‖a−b‖² = 2·(1−a·b) for unit a, b) — the normalize-then-L2
+    * equivalence behind spherical centroids (the reference's default
+    * for cos/dot indexes, /root/reference/vechord/spec.py:437-444).
+    * NOTE: O(dim²) as a single expression (the norm subtree repeats per
+    * element) — fine for query vectors and centroid tables; bulk doc
+    * normalization goes through [[withNormalized]] instead. */
+  def l2Normalize(vec: Column): Column = {
+    val dv = vec.cast("array<double>")
+    val n = sqrt(aggregate(dv, lit(0.0), (a, x) => a + x * x))
+    transform(dv, x => x / n)
+  }
+
+  /** Bulk form of [[l2Normalize]]: materialize the norm once per row
+    * (O(dim) per vector), emit the normalized copy as `out`. */
+  private def withNormalized(docs: DataFrame, vecCol: String,
+                             out: String): DataFrame =
+    docs
+      .withColumn("__nrm", sqrt(aggregate(col(vecCol).cast("array<double>"),
+        lit(0.0), (a, x) => a + x * x)))
+      .withColumn(out, transform(col(vecCol).cast("array<double>"),
+        x => x / col("__nrm")))
+      .drop("__nrm")
+
+  /** Model with unit-norm centroids (spherical form): same argmin cells
+    * and probe choices as cosine against the raw centroids, but usable
+    * with the L2 machinery on normalized vectors. */
+  def normalizeModel(model: IvfModel): IvfModel =
+    model.copy(centroids = model.centroids
+      .withColumn(model.vecCol, l2Normalize(col(model.vecCol))))
+
   /** HALF_UP rounding identical to Spark's / DuckDB's `round`. */
   private[graft] def roundScala(v: Double, scale: Int): Double =
     BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -472,22 +505,43 @@ object Ann {
 
   /** Build: assign cells, per-cell bound aggregation (one map-side-
     * combinable shuffle on centroid_id), quantize via the co-keyed
-    * bounds join (AQE broadcasts the tiny bounds side). */
+    * bounds join (AQE broadcasts the tiny bounds side).
+    *
+    * Cosine builds SPHERICAL: docs and centroids are L2-normalized and
+    * the whole index (assignment, bounds, codes, the asymmetric scan)
+    * runs as L2 on the unit sphere — same cells and candidate ranking
+    * as cosine (spec.py:437-444 `spherical_centroids`). The stored
+    * vecCol stays RAW, so the exact re-rank is true cosine distance. */
   def buildIvfSq(docs: DataFrame, vecCol: String, model: IvfModel,
-                 metric: Metric): IvfSqIndex = {
-    val assigned = assign(docs, vecCol, model, metric)
-    val bounds = assigned.groupBy(col(model.idCol))
-      .agg(graft.functions.VecAgg.vecMinMax(
-        col(vecCol).cast("array<double>")).as("__mm"))
-      .select(col(model.idCol), col("__mm.mins").as("__mins"),
-        col("__mm.maxs").as("__maxs"))
-    val quantized = assigned
-      .join(bounds, model.idCol)
-      .withColumn("codes",
-        quantizeSqCols(col(vecCol), col("__mins"), col("__maxs")))
-      .drop("__mins", "__maxs")
-    IvfSqIndex(quantized, bounds, model)
-  }
+                 metric: Metric): IvfSqIndex =
+    if (metric == Cosine) {
+      val modelN = normalizeModel(model)
+      val assigned = assign(withNormalized(docs, vecCol, "__nvec"),
+        "__nvec", modelN, L2)
+      val bounds = assigned.groupBy(col(modelN.idCol))
+        .agg(graft.functions.VecAgg.vecMinMax(col("__nvec")).as("__mm"))
+        .select(col(modelN.idCol), col("__mm.mins").as("__mins"),
+          col("__mm.maxs").as("__maxs"))
+      val quantized = assigned
+        .join(bounds, modelN.idCol)
+        .withColumn("codes",
+          quantizeSqCols(col("__nvec"), col("__mins"), col("__maxs")))
+        .drop("__mins", "__maxs", "__nvec")
+      IvfSqIndex(quantized, bounds, modelN)
+    } else {
+      val assigned = assign(docs, vecCol, model, metric)
+      val bounds = assigned.groupBy(col(model.idCol))
+        .agg(graft.functions.VecAgg.vecMinMax(
+          col(vecCol).cast("array<double>")).as("__mm"))
+        .select(col(model.idCol), col("__mm.mins").as("__mins"),
+          col("__mm.maxs").as("__maxs"))
+      val quantized = assigned
+        .join(bounds, model.idCol)
+        .withColumn("codes",
+          quantizeSqCols(col(vecCol), col("__mins"), col("__maxs")))
+        .drop("__mins", "__maxs")
+      IvfSqIndex(quantized, bounds, model)
+    }
 
   /** Search: probe `probes` cells, asymmetric quantized scan WITHIN the
     * probed cells only (top-k·refine), exact re-rank of the survivors.
@@ -512,13 +566,19 @@ object Ann {
   def sqCandidates(index: IvfSqIndex, idCol: String, queryVec: Column,
                    metric: Metric, probes: Int, n: Int,
                    roundTo: Int = 6): DataFrame = {
+    // cosine index = spherical ([[buildIvfSq]]): codes and centroids
+    // live on the unit sphere, so the query joins them there and the
+    // asymmetric scan is plain L2 — ordering identical to cosine
+    val (qv, m) =
+      if (metric == Cosine) (l2Normalize(queryVec), L2: Metric)
+      else (queryVec, metric)
     val cellCol = index.model.idCol
-    val cells = probeCells(index.model, queryVec, metric, probes)
+    val cells = probeCells(index.model, qv, m, probes)
     val probedBounds = index.bounds.join(broadcast(cells), Seq(cellCol))
     index.quantized
       .join(broadcast(probedBounds), Seq(cellCol))
       .withColumn("qdist", round(
-        sqDistCols(queryVec, col("codes"), col("__mins"), col("__maxs")),
+        sqDistCols(qv, col("codes"), col("__mins"), col("__maxs")),
         roundTo))
       .orderBy(col("qdist").asc, col(idCol).asc)
       .limit(n)
@@ -583,19 +643,36 @@ object Ann {
     * never a plan literal, never a forced broadcast). rnorm is rounded
     * so every engine reproduces codes + estimator bit-for-bit. */
   def buildIvfBitq(docs: DataFrame, vecCol: String, model: IvfModel,
-                   metric: Metric, roundTo: Int = 6): IvfBitIndex = {
-    val joined = assign(docs, vecCol, model, metric)
-      .join(model.centroids, model.idCol)
-    val r = zip_with(col(vecCol).cast("array<double>"),
-      col(model.vecCol), (a, b) => a - b)
-    val quantized = joined
-      .withColumn("bits", transform(r, x => when(x > 0, 1).otherwise(0)))
-      .withColumn("rnorm", round(
-        sqrt(aggregate(transform(r, x => x * x), lit(0.0), (a, x) => a + x)),
-        roundTo))
-      .drop(model.vecCol)
-    IvfBitIndex(quantized, model)
-  }
+                   metric: Metric, roundTo: Int = 6): IvfBitIndex =
+    if (metric == Cosine) {
+      // spherical: residuals taken on the unit sphere against unit
+      // centroids; estimator and probes run as L2 there (see
+      // [[buildIvfSq]]), exact re-rank stays true cosine on the raw col
+      val modelN = normalizeModel(model)
+      val joined = assign(withNormalized(docs, vecCol, "__nvec"),
+        "__nvec", modelN, L2)
+        .join(modelN.centroids, modelN.idCol)
+      val r = zip_with(col("__nvec"), col(modelN.vecCol), (a, b) => a - b)
+      val quantized = joined
+        .withColumn("bits", transform(r, x => when(x > 0, 1).otherwise(0)))
+        .withColumn("rnorm", round(
+          sqrt(aggregate(transform(r, x => x * x), lit(0.0),
+            (a, x) => a + x)), roundTo))
+        .drop(modelN.vecCol, "__nvec")
+      IvfBitIndex(quantized, modelN)
+    } else {
+      val joined = assign(docs, vecCol, model, metric)
+        .join(model.centroids, model.idCol)
+      val r = zip_with(col(vecCol).cast("array<double>"),
+        col(model.vecCol), (a, b) => a - b)
+      val quantized = joined
+        .withColumn("bits", transform(r, x => when(x > 0, 1).otherwise(0)))
+        .withColumn("rnorm", round(
+          sqrt(aggregate(transform(r, x => x * x), lit(0.0), (a, x) => a + x)),
+          roundTo))
+        .drop(model.vecCol)
+      IvfBitIndex(quantized, model)
+    }
 
   /** Asymmetric 1-bit L2 estimator, all codegen'd column math (no UDF):
     * with qr = query − centroid and r̂ = rnorm·sign(bits)/√D,
@@ -622,11 +699,16 @@ object Ann {
   def bitqCandidates(index: IvfBitIndex, idCol: String, queryVec: Column,
                      metric: Metric, probes: Int, n: Int,
                      roundTo: Int = 6): DataFrame = {
+    // cosine index = spherical (see [[sqCandidates]]): normalized query,
+    // L2 estimator on the unit sphere
+    val (qv, m) =
+      if (metric == Cosine) (l2Normalize(queryVec), L2: Metric)
+      else (queryVec, metric)
     val cellCol = index.model.idCol
-    val cells = probeCells(index.model, queryVec, metric, probes)
+    val cells = probeCells(index.model, qv, m, probes)
     val probedCents = index.model.centroids.join(broadcast(cells), Seq(cellCol))
     val pruned = index.quantized.join(broadcast(probedCents), Seq(cellCol))
-    val qr = zip_with(queryVec, col(index.model.vecCol), (a, b) => a - b)
+    val qr = zip_with(qv, col(index.model.vecCol), (a, b) => a - b)
     val qr2 = aggregate(transform(qr, x => x * x), lit(0.0), (a, x) => a + x)
     val dot = aggregate(
       zip_with(col("bits"), qr, (b, x) => (b * 2 - 1).cast("double") * x),
@@ -702,5 +784,70 @@ object Ann {
       (0 until dims).map(i => (b(i / 8) >> (7 - i % 8)) & 1)
     }
     unpack(bin)
+  }
+
+  /** DELETE from a stored cell-partitioned index layout
+    * ([[writePartitioned]] dir, or the `quantized` subdir of
+    * [[writeIvfSq]] / [[writeIvfBitq]]): rewrite ONLY the cell
+    * directories that contain matching rows — the index-maintenance
+    * twin of the reference's `DELETE` (which PostgreSQL's index AM
+    * gives it for free, /root/reference/vechord/client.py:268-283).
+    *
+    * Scale shape: the affected-cell set is found with one scan bounded
+    * by the predicate (collected cell IDS only — at most `lists` longs),
+    * survivors of those cells are materialized (bounded by the affected
+    * cells' size, the inherent cost of a rewrite-cell delete) and
+    * republished via dynamic partition overwrite; cells left EMPTY are
+    * removed explicitly (dynamic overwrite only replaces partitions
+    * present in the written data). Unaffected cell directories are
+    * never read or written. Codes/bits columns pass through opaquely
+    * (packed bytes are not unpacked), and side tables (bounds,
+    * centroids) are intentionally untouched: codes were built against
+    * those bounds, so they must outlive the deleted rows.
+    *
+    * Returns the number of rows removed. */
+  def deleteStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                   pred: Column, cellCol: String = "centroid_id"): Long =
+    deleteStoredImpl(spark, path, cellCol,
+      df => df.filter(pred),
+      df => df.filter(!coalesce(pred, lit(false))))
+
+  /** [[deleteStored]] with the doomed ids as a DataFrame (single column
+    * matching `idCol`'s values) — the cascade-friendly form: candidate
+    * cells come from a semi-join, survivors from an anti-join, so the
+    * id set is never collected to the driver. */
+  def deleteStoredIds(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, ids: DataFrame,
+                      cellCol: String = "centroid_id"): Long = {
+    val key = ids.columns.head
+    deleteStoredImpl(spark, path, cellCol,
+      df => df.join(ids, df(idCol) === ids(key), "left_semi"),
+      df => df.join(ids, df(idCol) === ids(key), "left_anti"))
+  }
+
+  private def deleteStoredImpl(spark: org.apache.spark.sql.SparkSession,
+                               path: String, cellCol: String,
+                               doomed: DataFrame => DataFrame,
+                               survivors: DataFrame => DataFrame): Long = {
+    val df = spark.read.parquet(path)
+    val hit = doomed(df).select(col(cellCol)).distinct()
+      .collect().map(_.get(0))
+    if (hit.isEmpty) return 0L
+    val affected = df.filter(col(cellCol).isin(hit: _*))
+    // materialize BEFORE the overwrite: the plan reads the very files
+    // the commit below replaces
+    val keep = survivors(affected).localCheckpoint(true)
+    val removed = affected.count() - keep.count()
+    val keepCells = keep.select(col(cellCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    keep.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cellCol).parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    hit.filterNot(keepCells).foreach { cell =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$cellCol=$cell"), true)
+    }
+    removed
   }
 }

@@ -70,8 +70,16 @@ object AnnIndex {
     * RaBitQ-style index), with the plan's own Sort+Limit as the exact
     * re-rank of the survivors. The full-precision vector column is then
     * only read for the candidate rows — the vchordrq scan shape, now
-    * reachable from a plain DataFrame query. L2 only (both estimators
-    * are L2 asymmetric distances). */
+    * reachable from a plain DataFrame query. L2 and cosine (cosine
+    * indexes are built spherical — normalize-then-L2, the reference's
+    * `spherical_centroids` default for cos/dot, spec.py:437-444);
+    * inner-product has no bounded-norm equivalence and stays out.
+    *
+    * Registrations hold a RESOLVER, not a snapshot: the index is
+    * re-resolved at every rewrite, so an Engine registration backed by
+    * its version-keyed cache picks up table writes automatically —
+    * declarative queries after an insert see the new rows (advisor
+    * round-6 finding: a frozen snapshot silently excluded them). */
   sealed trait QuantEntry {
     def idCol: String
     def metric: Ann.Metric
@@ -81,11 +89,12 @@ object AnnIndex {
                      n: Int): org.apache.spark.sql.DataFrame
   }
 
-  private final case class SqQuant(index: Ann.IvfSqIndex, idCol: String,
+  private final case class SqQuant(resolve: () => Ann.IvfSqIndex,
+                                   idCol: String,
                                    metric: Ann.Metric, probes: Int,
                                    refine: Int) extends QuantEntry {
     def candidateIds(q: Array[Double], n: Int) =
-      Ann.sqCandidates(index, idCol,
+      Ann.sqCandidates(resolve(), idCol,
           org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
           probes, n)
         // Alias mints a FRESH exprId: the index tables usually derive
@@ -96,11 +105,12 @@ object AnnIndex {
           .as(s"__cand_$idCol"))
   }
 
-  private final case class BitQuant(index: Ann.IvfBitIndex, idCol: String,
+  private final case class BitQuant(resolve: () => Ann.IvfBitIndex,
+                                    idCol: String,
                                     metric: Ann.Metric, probes: Int,
                                     refine: Int) extends QuantEntry {
     def candidateIds(q: Array[Double], n: Int) =
-      Ann.bitqCandidates(index, idCol,
+      Ann.bitqCandidates(resolve(), idCol,
           org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
           probes, n)
         .select(org.apache.spark.sql.functions.col(idCol)
@@ -109,22 +119,41 @@ object AnnIndex {
 
   private val quantEntries = TrieMap.empty[String, QuantEntry]
 
+  private def requireQuantMetric(metric: Ann.Metric): Unit =
+    require(metric == Ann.L2 || metric == Ann.Cosine,
+      "quantized rewrite supports L2 and cosine (spherical) only")
+
   /** Register an IVF+SQ index ([[Ann.buildIvfSq]]) for declarative
-    * rewrite of `orderBy(dist(vecCol, q)).limit(k)` plans. */
+    * rewrite of `orderBy(dist(vecCol, q)).limit(k)` plans. The fixed
+    * `index` form freezes the registered snapshot; prefer the resolver
+    * form when the underlying table can be written after install. */
   def registerQuantized(vecCol: String, idCol: String,
                         index: Ann.IvfSqIndex, metric: Ann.Metric,
-                        probes: Int, refine: Int = 5): Unit = {
-    require(metric == Ann.L2, "quantized rewrite supports L2 only")
-    quantEntries(vecCol) = SqQuant(index, idCol, metric, probes, refine)
+                        probes: Int, refine: Int = 5): Unit =
+    registerQuantized(vecCol, idCol, () => index, metric, probes, refine)
+
+  /** Resolver form of [[registerQuantized]]: `resolve` runs at every
+    * rewrite (back it with a version-keyed cache — Engine does). */
+  def registerQuantized(vecCol: String, idCol: String,
+                        resolve: () => Ann.IvfSqIndex, metric: Ann.Metric,
+                        probes: Int, refine: Int): Unit = {
+    requireQuantMetric(metric)
+    quantEntries(vecCol) = SqQuant(resolve, idCol, metric, probes, refine)
   }
 
   /** Register an IVF+1-bit (RaBitQ-style) index ([[Ann.buildIvfBitq]])
     * for declarative rewrite — `VectorIndex.oneBit`'s Engine shape. */
   def registerOneBit(vecCol: String, idCol: String,
                      index: Ann.IvfBitIndex, metric: Ann.Metric,
-                     probes: Int, refine: Int = 5): Unit = {
-    require(metric == Ann.L2, "quantized rewrite supports L2 only")
-    quantEntries(vecCol) = BitQuant(index, idCol, metric, probes, refine)
+                     probes: Int, refine: Int = 5): Unit =
+    registerOneBit(vecCol, idCol, () => index, metric, probes, refine)
+
+  /** Resolver form of [[registerOneBit]] (see [[registerQuantized]]). */
+  def registerOneBit(vecCol: String, idCol: String,
+                     resolve: () => Ann.IvfBitIndex, metric: Ann.Metric,
+                     probes: Int, refine: Int): Unit = {
+    requireQuantMetric(metric)
+    quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes, refine)
   }
 
   def unregisterQuantized(vecCol: String): Unit =

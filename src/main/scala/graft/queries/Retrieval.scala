@@ -236,6 +236,67 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
   }
 
+  /** IVF + per-cell SQ on a COSINE index — the spherical build
+    * ([[Ann.buildIvfSq]] normalize-then-L2, the reference's
+    * `spherical_centroids` default for cos/dot indexes,
+    * spec.py:437-444): assignment, probes, bounds, codes and the
+    * asymmetric scan all live on the unit sphere; the exact re-rank is
+    * true cosine distance on the raw vectors. */
+  def ivfSqCosTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.Cosine)
+    Ann.searchIvfSq(index, "vec_id", "embedding", qvec(s, d, 17),
+      Ann.Cosine, probes = 3, k = 10, refine = 5)
+  }
+
+  /** Declarative COSINE quantized rewrite: r17's exact parameters
+    * behind a plain `orderBy(cos_dist).limit(k)` DataFrame — the
+    * optimizer must inject the spherical two-phase semi-join and
+    * reproduce the explicit operator bit-for-bit (shared oracle).
+    * LeftSemi asserted in-query so a silent non-rewrite cannot fake
+    * green (the r16 pattern, extended to the cosine metric). */
+  def annRewriteCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.Cosine)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerQuantized("embedding", "vec_id", index,
+      Ann.Cosine, probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .cosDist(col("embedding"), qvec(s, d, 17)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "cosine quantized rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
+  /** Index maintenance on the AT-REST layout: write the r12 IVF+SQ
+    * index to disk ([[Ann.writeIvfSq]]), DELETE every vec_id divisible
+    * by 7 via the cell-rewrite delete ([[Ann.deleteStored]] — only
+    * affected cell directories are rewritten), then run the stored
+    * search: removed vectors must never surface, while codes/bounds
+    * built before the delete stay valid for the survivors. */
+  def storedDelete(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_del").toString
+    Ann.writeIvfSq(index, dir)
+    val removed = Ann.deleteStored(s, s"$dir/quantized",
+      col("vec_id") % 7 === 0)
+    require(removed > 0, "stored delete removed nothing — gate is vacuous")
+    Ann.searchIvfSqStored(s, dir, "vec_id", "embedding", qvec(s, d, 11),
+      Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -275,7 +336,10 @@ object Retrieval {
     "r13_bm25_batch" -> bm25Batch,
     "r14_ivf_bitq_topk" -> ivfBitqTopk,
     "r15_mmr_rerank" -> mmrRerank,
-    "r16_ann_rewrite_quant" -> annRewriteQuant)
+    "r16_ann_rewrite_quant" -> annRewriteQuant,
+    "r17_ivf_sq_cos" -> ivfSqCosTopk,
+    "r18_ann_rewrite_cos" -> annRewriteCos,
+    "r19_stored_delete" -> storedDelete)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -329,8 +393,11 @@ object Retrieval {
     * centroids rounded to 5, per-cell min/max bounds, 8-bit codes,
     * asymmetric qdist over the 3 probed cells, exact re-rank of the
     * top-50) — shared by r12 (the explicit operator) and r16 (the
-    * declarative plan the optimizer rewrite produces). */
-  private val ivfSqOracle: String =
+    * declarative plan the optimizer rewrite produces). r19 passes a
+    * `candFilter` excluding the rows its stored-layout delete removed:
+    * bounds/codes stay the PRE-delete ones (codes were built against
+    * them — exactly the stored layout's post-delete state). */
+  private def ivfSqOracle(candFilter: String): String =
     s"""WITH dims AS (
           SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -384,9 +451,96 @@ object Retrieval {
           JOIN bounds b USING (centroid_id)
           JOIN probes USING (centroid_id)
           CROSS JOIN q
+          $candFilter
           ORDER BY qdist ASC, vec_id ASC LIMIT 50)
         SELECT cand.vec_id,
           round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
+        FROM cand CROSS JOIN q
+        ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** Spherical (cosine) IVF+SQ from first principles — the
+    * normalize-then-L2 twin of [[ivfSqOracle]]: label-mean centroids
+    * rounded to 5 then unit-normalized, docs and query normalized the
+    * same way (x / sqrt(Σx²), sequential folds), assignment / probes /
+    * bounds / codes / asymmetric scan all as L2 on the unit sphere,
+    * exact re-rank as TRUE cosine distance on the raw vectors. Shared
+    * by r17 (explicit operator) and r18 (declarative rewrite). */
+  private val ivfSqCosOracle: String =
+    s"""WITH dims AS (
+          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents0 AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        cents AS (
+          SELECT centroid_id,
+                 list_transform(centroid, x ->
+                   x / sqrt(list_inner_product(centroid, centroid)))
+                   AS centroid
+          FROM cents0),
+        nv AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding::DOUBLE[], x ->
+                   x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])))
+                   AS nvec
+          FROM embeddings),
+        assigned AS (
+          SELECT vec_id, embedding, nvec, centroid_id FROM (
+            SELECT n.vec_id, n.embedding, n.nvec, c.centroid_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY list_distance(n.nvec, c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+        q AS (SELECT embedding::DOUBLE[] AS qraw,
+                     list_transform(embedding::DOUBLE[], x ->
+                       x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])))
+                       AS qv
+              FROM embeddings WHERE vec_id = 17),
+        probes AS (
+          SELECT centroid_id FROM cents CROSS JOIN q
+          ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
+          LIMIT 3),
+        mm AS (
+          SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+          FROM (SELECT centroid_id, unnest(nvec) AS x,
+                       unnest(range(len(nvec))) AS pos
+                FROM assigned)
+          GROUP BY 1, 2),
+        bounds AS (
+          SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                 list(mx ORDER BY pos) AS maxs
+          FROM mm GROUP BY 1),
+        codes AS (
+          SELECT a.vec_id, a.embedding, a.centroid_id,
+            list_transform(range(len(a.nvec)), i ->
+              CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                THEN CAST(least(greatest(round(
+                  (a.nvec[i+1] - b.mins[i+1]) /
+                  (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                  AS INTEGER)
+                ELSE 0 END) AS codes
+          FROM assigned a JOIN bounds b USING (centroid_id)),
+        cand AS (
+          SELECT c.vec_id, c.embedding,
+            round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+              (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                 (b.maxs[i+1] - b.mins[i+1]))) *
+              (q.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                 (b.maxs[i+1] - b.mins[i+1])))))), 6) AS qdist
+          FROM codes c
+          JOIN bounds b USING (centroid_id)
+          JOIN probes USING (centroid_id)
+          CROSS JOIN q
+          ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+        SELECT cand.vec_id,
+          round(${cosDistSql("cand.embedding::DOUBLE[]", "q.qraw")}, 6)
+            AS dist
         FROM cand CROSS JOIN q
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
@@ -504,11 +658,18 @@ object Retrieval {
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
     // codes, probe 3 cells, asymmetric scan top-50 within them, exact
     // re-rank top-10.
-    "r12_ivf_sq_topk" -> ivfSqOracle,
+    "r12_ivf_sq_topk" -> ivfSqOracle(""),
     // r16 runs the DECLARATIVE plan over the registered SQ index with
     // r12's exact parameters — the optimizer rewrite must reproduce
     // the explicit operator bit-for-bit, so they share one oracle.
-    "r16_ann_rewrite_quant" -> ivfSqOracle,
+    "r16_ann_rewrite_quant" -> ivfSqOracle(""),
+    // r17/r18 share the spherical oracle the same way (explicit
+    // operator vs declarative cosine rewrite).
+    "r17_ivf_sq_cos" -> ivfSqCosOracle,
+    "r18_ann_rewrite_cos" -> ivfSqCosOracle,
+    // r19: the stored layout after the cell-rewrite delete — candidates
+    // exclude the deleted rows, bounds/codes stay pre-delete.
+    "r19_stored_delete" -> ivfSqOracle("WHERE c.vec_id % 7 <> 0"),
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr

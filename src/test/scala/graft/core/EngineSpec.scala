@@ -173,6 +173,51 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("installDeclarative resolves the index per query: rows inserted " +
+      "AFTER install surface in later declarative plans (advisor r6)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkw", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2, quantized = true),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-w").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    eng.installDeclarative(td, probes = 2, refine = 50)
+    try {
+      def top = {
+        val df = reg.table(td)
+          .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("vec"), typedlit(Seq(0.0, 0.0))), 6))
+          .orderBy(col("dist").asc, col("cid").asc)
+          .limit(3)
+          .select("cid", "dist")
+        assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+          "declarative quantized rewrite did not engage")
+        df.collect().map(_.getLong(0)).toSeq
+      }
+      assert(!top.contains(100L))
+      // write AFTER install: the next declarative query must see it
+      // (the registration resolves the version-keyed index, it does
+      // not freeze a snapshot)
+      reg.insert(td, Seq(
+        EChunk(100L, "late closest row", Seq(0.01f, 0.0f),
+          Seq(Seq(0f, 0f)))))
+      assert(top.head === 100L)
+    } finally eng.uninstallDeclarative(td)
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)

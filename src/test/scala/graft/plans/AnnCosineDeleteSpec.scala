@@ -1,0 +1,237 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.core.{Engine, Registry, Spec}
+import graft.ops.Ann
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions to the ANN layer:
+  *  - cosine (spherical) support in the quantized declarative rewrite
+  *    (normalize-then-L2, the reference's `spherical_centroids` default
+  *    for cos/dot indexes, /root/reference/vechord/spec.py:437-444);
+  *  - resolver-backed quantized registrations (post-install writes are
+  *    visible to later declarative queries — round-6 advisor finding);
+  *  - the cell-rewrite DELETE on at-rest index layouts, wired to
+  *    Registry.removeBy via Engine.attachStoredIndex.
+  */
+class AnnCosineDeleteSpec extends SparkSpecBase {
+
+  private def embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def q64: Seq[Double] = (0 until 64).map(i => 0.1 + i * 0.003)
+
+  test("cosine quantized index: declarative cos_dist plan hits the " +
+      "two-phase semi-join and matches the explicit spherical operator") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val built = Ann.buildIvfSq(e, "embedding", model, Ann.Cosine)
+    // NB: register with built.model — the spherical build normalizes
+    // the centroids, and probes must be chosen against those
+    val index = Ann.IvfSqIndex(built.quantized.persist(),
+      built.bounds.persist(), built.model)
+    AnnIndex.install(spark)
+    AnnIndex.registerQuantized("embedding", "vec_id", index, Ann.Cosine,
+      probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.cosDist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected injected candidate semi-join:\n$optimized")
+      val viaOp = Ann.searchIvfSq(index, "vec_id", "embedding",
+        typedlit(q64), Ann.Cosine, probes = 3, k = 5, refine = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+      // sanity: cosine distances, not L2 (all in [0, 2])
+      assert(viaOp.forall(r => {
+        val d = r(1).asInstanceOf[Double]; d >= 0.0 && d <= 2.0
+      }))
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+      index.bounds.unpersist(false)
+    }
+  }
+
+  test("cosine 1-bit index: declarative plan matches the explicit " +
+      "spherical bitq operator") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val built = Ann.buildIvfBitq(e, "embedding", model, Ann.Cosine)
+    val index = Ann.IvfBitIndex(built.quantized.persist(), built.model)
+    AnnIndex.install(spark)
+    AnnIndex.registerOneBit("embedding", "vec_id", index, Ann.Cosine,
+      probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.cosDist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val viaOp = Ann.searchIvfBitq(index, "vec_id", "embedding",
+        typedlit(q64), Ann.Cosine, probes = 3, k = 5, refine = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+    }
+  }
+
+  test("spherical candidates: all-probe cosine search recalls the exact " +
+      "brute-force cosine top-k") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.Cosine)
+    val lists = model.centroids.count().toInt
+    // probe everything + refine spanning the table: phase 1 is
+    // recall-complete, so the exact re-rank equals brute force
+    val got = Ann.searchIvfSq(index, "vec_id", "embedding", typedlit(q64),
+      Ann.Cosine, probes = lists, k = 10, refine = 1000)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Ann.topK(e, "vec_id", "embedding", typedlit(q64),
+      Ann.Cosine, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === brute)
+  }
+
+  test("inner-product registration is rejected (no bounded-norm " +
+      "spherical equivalence)") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    intercept[IllegalArgumentException] {
+      AnnIndex.registerQuantized("embedding", "vec_id", index,
+        Ann.InnerProduct, probes = 3, refine = 5)
+    }
+  }
+
+  test("resolver registration re-resolves per rewrite: rows indexed " +
+      "after install surface in later declarative queries") {
+    val sp = spark
+    import sp.implicits._
+    val mk = (n: Int) => (0 until n).map { i =>
+      val v = if (i == 20) Seq(0.001, 0.0) // the late, closest row
+        else Seq(5.0 + i * 0.01, 5.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+      .withColumn("cell", (col("vec_id") % 2).cast("long"))
+    val before = mk(20)
+    // through parquet: a LocalRelation leaf would be constant-folded
+    // (dist computed eagerly) before the last-batch rewrite ever runs
+    val afterDir = Files.createTempDirectory("graft-resolver").toString
+    mk(21).write.mode("overwrite").parquet(afterDir)
+    val after = spark.read.parquet(afterDir)
+    val model = Ann.buildIvf(after, "cell", "embedding")
+    var current = Ann.buildIvfSq(before, "embedding", model, Ann.L2)
+    AnnIndex.install(spark)
+    AnnIndex.registerQuantized("embedding", "vec_id", () => current,
+      Ann.L2, probes = 2, refine = 21)
+    try {
+      def topIds = after
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(Seq(0.0, 0.0))), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(3).select("vec_id", "dist")
+        .collect().map(_.getLong(0)).toSeq
+      // index snapshot predates row 20: the semi-join excludes it even
+      // though the scanned frame contains it (the round-6 frozen bug,
+      // now explicit behavior of a STALE resolver result)
+      assert(!topIds.contains(20L))
+      // the write path refreshes what the resolver returns -> visible
+      current = Ann.buildIvfSq(after, "embedding", model, Ann.L2)
+      assert(topIds.head === 20L)
+    } finally AnnIndex.unregisterQuantized("embedding")
+  }
+
+  test("deleteStored rewrites only affected cells and removes emptied " +
+      "cell directories") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = Files.createTempDirectory("graft-del").toString
+    Ann.writePartitioned(assigned, dir)
+    val total = spark.read.parquet(dir).count()
+    // victim cell: empty it entirely; plus a partial delete elsewhere
+    val victimCell = assigned.select("centroid_id").distinct()
+      .orderBy("centroid_id").head().getLong(0)
+    val removed = Ann.deleteStored(spark, dir,
+      col("centroid_id") === victimCell || col("vec_id") % 11 === 0)
+    assert(removed > 0)
+    val left = spark.read.parquet(dir)
+    assert(left.count() === total - removed)
+    assert(left.filter(col("centroid_id") === victimCell).count() === 0)
+    assert(left.filter(col("vec_id") % 11 === 0).count() === 0)
+    // the emptied cell's directory is physically gone
+    assert(!new java.io.File(s"$dir/centroid_id=$victimCell").exists())
+    // no-match delete is a no-op
+    assert(Ann.deleteStored(spark, dir, col("vec_id") === -1L) === 0L)
+  }
+
+  test("stored bitq layout: delete + loaded search never surfaces " +
+      "removed ids (packed bits pass through opaquely)") {
+    val e = embeddings
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val dir = Files.createTempDirectory("graft-del-bitq").toString
+    Ann.writeIvfBitq(index, dir)
+    val doomed = Ann.searchIvfBitqStored(spark, dir, "vec_id", "embedding",
+      typedlit(q64), Ann.L2, probes = 3, k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ann.deleteStored(spark, s"$dir/quantized", col("vec_id").isin(doomed: _*))
+    val after = Ann.searchIvfBitqStored(spark, dir, "vec_id", "embedding",
+      typedlit(q64), Ann.L2, probes = 3, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(d => !after.contains(d)))
+    assert(after.nonEmpty)
+  }
+
+  test("attachStoredIndex: Registry.removeBy rewrites the layout " +
+      "post-commit; rolled-back deletes leave it untouched") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("vecrow", primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 2)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-del-reg").toString).register(td)
+    val rows = (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 3).toFloat * 10f, (i % 3).toFloat * 10f)))
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    // at-rest layout of the table's index
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 2)
+    val assigned = Ann.assign(reg.table(td), "v", model, Ann.L2)
+    val dir = Files.createTempDirectory("graft-del-attach").toString
+    Ann.writePartitioned(assigned, dir)
+    eng.attachStoredIndex(td, dir)
+    // rollback: hook must NOT fire
+    intercept[RuntimeException] {
+      reg.runTxn { txn =>
+        reg.removeBy(td, Map("rid" -> 5L), txn)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.read.parquet(dir).filter(col("rid") === 5L).count() === 1)
+    // committed delete: stored layout rewritten
+    reg.removeBy(td, Map("rid" -> 5L))
+    assert(spark.read.parquet(dir).filter(col("rid") === 5L).count() === 0)
+    assert(reg.table(td).filter(col("rid") === 5L).count() === 0)
+  }
+}
+
+/** Minimal vector-table row for the attach test. */
+case class VecRow(rid: Long, v: Seq[Float])
