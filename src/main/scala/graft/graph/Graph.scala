@@ -458,7 +458,13 @@ object Graph {
                               chunks: DataFrame, uidCol: String,
                               topk: Int = 10): DataFrame = {
     val spark = chunks.sparkSession
-    val simEnts = rankedEntities.select("chunk_uuids").collect()
+    // re-assert the ranking before the driver-side collect: callers
+    // legitimately pass a PERSISTED copy of the ranked frame, and Spark
+    // does not guarantee InMemoryRelation scans preserve the original
+    // sort (advisor r6) — (dist, uid) is exactly Ann.topK's ordering
+    val simEnts = rankedEntities
+      .orderBy(col("dist").asc, col("uid").asc)
+      .select("chunk_uuids").collect()
     if (simEnts.isEmpty) {
       chunks.limit(0).withColumn("g_rank", lit(0))
     } else {
@@ -550,7 +556,11 @@ object Graph {
           ("r", sha2Hex(r.source), sha2Hex(r.target), r.description,
             Seq.empty[String])))
         .zipWithIndex.map { case ((k, c1, c2, d, cu), i) =>
-          (k, c1, c2, d, cu, f"$uid%s#$i%06d")
+          // shortlex uid component (length-prefixed): plain "$uid#$i"
+          // sorts "10" before "2", so with variable-length uids the
+          // lexicographic merge order would diverge from true emission
+          // order (advisor r6). 3-digit length covers any sane uid.
+          (k, c1, c2, d, cu, f"${uid.length}%03d$uid%s#$i%06d")
         }
     }.toDF("kind", "c1", "c2", "description", "chunk_uuids", "ord")
       .persist()

@@ -132,20 +132,59 @@ object Dedup {
         org.apache.spark.sql.types.StringType, 42L)
     }.toArray
 
+  /** Content version of a DataFrame's FILE inputs: a hash of every
+    * file-source relation's resolved file listing (paths + total
+    * bytes). An in-place rewrite or append under the same path changes
+    * this even though the plan's semantic hash is unchanged — without
+    * it the memos below would silently serve stale frames (advisor
+    * round-6 finding). The listing is the FileIndex's own cached one
+    * (no extra filesystem round-trip), i.e. the version tracks what
+    * the plan would actually read. Non-file inputs contribute 0 and
+    * rely on the semantic hash alone. */
+  private def inputVersion(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation =>
+          fsr.location.inputFiles.foldLeft(fsr.sizeInBytes.toLong) {
+            (a, f) => a * 1000003L + f.hashCode
+          }
+        case _ => 0L
+      }
+    }.foldLeft(0L)(_ ^ _)
+  }
+
+  /** Drop and unpersist every memoized frame (shingle tables, gate
+    * rows) — the explicit invalidation point for long-lived sessions
+    * whose inputs mutate outside what [[inputVersion]] can observe. */
+  def clearCaches(): Unit = {
+    setsCache.synchronized {
+      setsCache.values.foreach(_.unpersist(false))
+      setsCache.clear()
+    }
+    gateCache.synchronized {
+      gateCache.values.foreach(_._1.unpersist(false))
+      gateCache.clear()
+    }
+  }
+
   /** Memoized [[shingleSets]]: the Jaccard and MinHash operators over
     * the same corpus share one persisted shingle table (the shingling
     * map is the common heavy prefix of every near-dup family). Keyed by
-    * the semantic hash of the input plan, so "same corpus" is decided by
-    * Catalyst, not by reference identity. */
+    * the semantic hash of the input plan PLUS the resolved input-file
+    * version, so "same corpus" is decided by Catalyst AND by what is
+    * actually on disk. */
   private val MaxCachedSets = 8
   private val setsCache = scala.collection.mutable
-    .LinkedHashMap[(Int, Int, String, Int), DataFrame]()
+    .LinkedHashMap[(Int, Int, Long, String, Int), DataFrame]()
   private def shingleSetsCached(docs: DataFrame, idCol: String,
                                 textCol: String, n: Int): DataFrame =
     setsCache.synchronized {
       setsCache.getOrElseUpdate(
         (System.identityHashCode(docs.sparkSession),
           docs.queryExecution.analyzed.semanticHash(),
+          inputVersion(docs),
           s"$idCol|$textCol", n), {
           // bounded: evict oldest + unpersist so replaced corpora don't
           // pin executor storage forever
@@ -375,12 +414,13 @@ object Dedup {
     * materialized rows and the gate scalar. */
   private val MaxCachedGates = 16
   private val gateCache = scala.collection.mutable
-    .LinkedHashMap[(Int, Int), (DataFrame, Long)]()
+    .LinkedHashMap[(Int, Int, Long), (DataFrame, Long)]()
   private def gateCached(rows0: DataFrame): (DataFrame, Long) =
     gateCache.synchronized {
       gateCache.getOrElseUpdate(
         (System.identityHashCode(rows0.sparkSession),
-          rows0.queryExecution.analyzed.semanticHash()), {
+          rows0.queryExecution.analyzed.semanticHash(),
+          inputVersion(rows0)), {
           while (gateCache.size >= MaxCachedGates) {
             gateCache.head._2._1.unpersist(false)
             gateCache.remove(gateCache.head._1)

@@ -31,14 +31,38 @@ object GraphQ {
 
   private def recognizer = VocabRecognizer(Vocab)
 
-  /** Graph build memoized per corpus dir: the reference builds the graph
-    * once at ingest (pipeline.py:332-342) and serves many searches from
-    * it — rebuilding per query would misrepresent the read path. */
-  private val built =
-    scala.collection.concurrent.TrieMap[String, (Registry, DataFrame)]()
+  /** Graph build memoized per (session, corpus dir): the reference
+    * builds the graph once at ingest (pipeline.py:332-342) and serves
+    * many searches from it — rebuilding per query would misrepresent
+    * the read path. Session-keyed (a second session in the same JVM
+    * must not receive frames bound to a stopped one) and CAPPED with
+    * unpersist-on-evict, the [[graft.ops.Dedup]] cache discipline —
+    * un-evicted entries were a slow leak in long-lived multi-corpus
+    * sessions (advisor + verdict r6). */
+  private val MaxCachedGraphs = 4
+  private val built = scala.collection.mutable
+    .LinkedHashMap[(Int, String), (Registry, DataFrame)]()
+
+  private def evictOldest(): Unit = {
+    val (k, (reg, _)) = built.head
+    built.remove(k)
+    // lock order is always built -> ranked (rankedEntities resolves
+    // buildGraph BEFORE taking the ranked lock), so this cannot deadlock
+    ranked.synchronized(ranked.remove(k)).foreach(r =>
+      try r.unpersist(false) catch { case _: Throwable => () })
+    try {
+      reg.table(Graph.entityDef()).unpersist(false)
+      reg.table(Graph.relationDef()).unpersist(false)
+    } catch { case _: Throwable => () } // stopped session: nothing to free
+  }
 
   private def buildGraph(s: SparkSession, d: String):
-      (Registry, DataFrame) = built.getOrElseUpdate(d, buildGraphUncached(s, d))
+      (Registry, DataFrame) = built.synchronized {
+    built.getOrElseUpdate((System.identityHashCode(s), d), {
+      while (built.size >= MaxCachedGraphs) evictOldest()
+      buildGraphUncached(s, d)
+    })
+  }
 
   private def buildGraphUncached(s: SparkSession, d: String):
       (Registry, DataFrame) = {
@@ -82,17 +106,20 @@ object GraphQ {
     * embeds the concatenated entity descriptions — the expensive
     * phase) is the shared sub-computation of g02 and g03, exactly the
     * [[graft.ops.Dedup]] shared-shingle-table discipline. */
-  private val ranked =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def rankedEntities(s: SparkSession, d: String): DataFrame =
-    ranked.getOrElseUpdate(d, {
-      val (reg, _) = buildGraph(s, d)
-      val r = Graph.graphSearchEntities(reg, "spark filter join",
-        Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
-        recognizer, similarK = 10).persist()
-      r.count()
-      r
-    })
+  private val ranked = scala.collection.mutable
+    .LinkedHashMap[(Int, String), DataFrame]()
+  private def rankedEntities(s: SparkSession, d: String): DataFrame = {
+    val reg = buildGraph(s, d)._1 // outside the ranked lock (lock order)
+    ranked.synchronized {
+      ranked.getOrElseUpdate((System.identityHashCode(s), d), {
+        val r = Graph.graphSearchEntities(reg, "spark filter join",
+          Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
+          recognizer, similarK = 10).persist()
+        r.count()
+        r
+      })
+    }
+  }
 
   /** 2-hop graph search: query → similar relations → endpoint entities →
     * their chunks (full relational oracle below). */
@@ -188,16 +215,19 @@ object GraphQ {
       entity AS (
         SELECT etext AS text,
           string_agg(edesc, chr(10)
-            ORDER BY uid || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
+            ORDER BY lpad(CAST(length(uid) AS VARCHAR), 3, '0') || uid
+              || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
             AS description,
           list(uid
-            ORDER BY uid || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
+            ORDER BY lpad(CAST(length(uid) AS VARCHAR), 3, '0') || uid
+              || '#' || lpad(CAST(ei AS VARCHAR), 6, '0'))
             AS chunk_uuids,
           sha256(etext) AS uid
         FROM ents GROUP BY etext),
       relk AS (
         SELECT uid AS cuid, sha256(src) AS s, sha256(dst) AS t, rdesc,
-          uid || '#' || lpad(CAST(ri AS VARCHAR), 6, '0') AS ord
+          lpad(CAST(length(uid) AS VARCHAR), 3, '0') || uid || '#' ||
+            lpad(CAST(ri AS VARCHAR), 6, '0') AS ord
         FROM rels),
       relation AS (
         SELECT least(s, t) || '|' || greatest(s, t) AS k,

@@ -143,8 +143,12 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
         // the route never materializes an unbounded table on the
         // driver.
         val raw = rawParams(ex)
+        // non-negative only: selectBy treats limit < 0 as "no limit",
+        // so a signed value here would let a client disable the
+        // unbounded-collect guard per-request (advisor r6)
         val limit = raw.get("_limit").map { v =>
-          require(v.matches("-?\\d+"), s"_limit must be an integer: $v")
+          require(v.matches("\\d+"),
+            s"_limit must be a non-negative integer: $v")
           v.toInt
         }.getOrElse(DefaultGetLimit)
         val cols = raw.get("_cols")

@@ -101,6 +101,9 @@ class ServiceSpec extends SparkSpecBase {
     assert(get("/api/table/sdoc?_cols=nope").statusCode() === 400)
     assert(get("/api/table/sdoc?nope=1").statusCode() === 400)
     assert(get("/api/table/sdoc?_limit=abc").statusCode() === 400)
+    // negative would flow into selectBy's "no limit" branch and disable
+    // the unbounded-collect guard per-request (advisor r6) — reject
+    assert(get("/api/table/sdoc?_limit=-1").statusCode() === 400)
   }
 
   test("POST /api/run: index then search round-trips through the " +
