@@ -25,14 +25,17 @@ final case class MediaRow(id: Long, kind: String, data: Array[Byte],
 final case class MediaFeatures(id: Long, kind: String,
                                features: Array[Float])
 
-/** The codec seat. [[FakeCodec]] = deterministic stand-in: "pixels" are
-  * the raw bytes, features are a 64-bin byte histogram (L1-normalized),
-  * resize truncates/repeats deterministically, frame-sample slices the
-  * payload at fixed strides. */
+/** The codec seat. [[ImageIoCodec]] is the REAL image half (JDK
+  * `javax.imageio`, zero new dependencies); [[FakeCodec]] remains the
+  * deterministic stand-in for audio/video kinds and for tests that gate
+  * the stage plumbing rather than the codec: "pixels" are the raw
+  * bytes, features are a 64-bin byte histogram (L1-normalized), resize
+  * truncates/repeats deterministically, frame-sample slices the payload
+  * at fixed strides. `meta` carries source dimensions into resize. */
 trait MediaCodec extends Serializable {
   def decode(data: Array[Byte], meta: MediaMeta): Array[Byte]
   def features(pixels: Array[Byte]): Array[Float]
-  def resize(pixels: Array[Byte], w: Int, h: Int): Array[Byte]
+  def resize(pixels: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte]
   def frames(data: Array[Byte], meta: MediaMeta, everyMs: Long): Seq[Array[Byte]]
 }
 
@@ -44,7 +47,8 @@ final case class FakeCodec() extends MediaCodec {
     val n = math.max(1, pixels.length).toFloat
     hist.map(_ / n)
   }
-  def resize(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def resize(pixels: Array[Byte], meta: MediaMeta,
+             w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, w * h)
     Array.tabulate(target)(i => pixels(i % math.max(1, pixels.length)))
   }
@@ -54,6 +58,114 @@ final case class FakeCodec() extends MediaCodec {
     val step = math.max(1, data.length / n)
     (0 until n).map(i => data.slice(i * step,
       math.min(data.length, (i + 1) * step)))
+  }
+}
+
+/** Real image decode on the JDK's bundled `javax.imageio` readers
+  * (PNG / JPEG / GIF / BMP — zero external dependencies), closing the
+  * reference's real-image-bytes input path
+  * (/root/reference/vechord/embedding.py:208-369):
+  *
+  *  - `decode` → one LUMINANCE byte per pixel, row-major. Grayscale
+  *    images pass their sample through untouched (the 299/587/114
+  *    integer weights sum to 1000, so r=g=b=v maps back to exactly v
+  *    — lossless for gray PNGs, which makes full-value DuckDB oracles
+  *    possible); color images get the same integer ITU-R 601 luma.
+  *  - `features` → the same 64-bin L1-normalized histogram contract as
+  *    [[FakeCodec]], now over real pixels.
+  *  - `resize` → deterministic nearest-neighbor (src = floor(dst ·
+  *    src/dst) per axis): reproducible in plain integer arithmetic by
+  *    any engine, unlike platform-variant interpolation.
+  *  - `frames` → delegates to [[FakeCodec]]: video decode has no JDK
+  *    codec and stays the documented stub seat.
+  */
+final case class ImageIoCodec() extends MediaCodec {
+  private val fake = FakeCodec()
+
+  def decode(data: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(data))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  def features(pixels: Array[Byte]): Array[Float] = fake.features(pixels)
+
+  def resize(pixels: Array[Byte], meta: MediaMeta,
+             w: Int, h: Int): Array[Byte] = {
+    val (sw, sh) = (meta.width, meta.height)
+    require(sw > 0 && sh > 0 && pixels.length >= sw * sh,
+      s"resize needs source dims in meta (got ${sw}x$sh for " +
+        s"${pixels.length} pixels)")
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * sh / h
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = pixels(sy * sw + x * sw / w)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def frames(data: Array[Byte], meta: MediaMeta,
+             everyMs: Long): Seq[Array[Byte]] =
+    fake.frames(data, meta, everyMs) // video decode: documented stub seat
+}
+
+object ImageIoCodec {
+  /** Encode one-byte-per-pixel grayscale pixels as a PNG (lossless:
+    * [[ImageIoCodec.decode]] returns exactly these bytes back) — the
+    * fixture generator for tests/gates, and the write half of the
+    * image path. */
+  def grayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"need $w*$h pixels")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixels(y * w + x) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }
 
@@ -82,7 +194,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         if (m.kind == "image")
-          m.copy(data = codec.resize(codec.decode(m.data, m.meta), w, h),
+          m.copy(data = codec.resize(codec.decode(m.data, m.meta),
+              m.meta, w, h),
             meta = m.meta.copy(width = w, height = h))
         else m
       }

