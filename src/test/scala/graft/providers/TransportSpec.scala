@@ -1,0 +1,179 @@
+package graft.providers
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpecBase
+
+/** The provider transport shell against an in-process JDK HttpServer
+  * stub (the ServiceSpec pattern): rate limiting is observable from
+  * request timestamps, batch shape from request bodies, and the
+  * retry/deadline ladder from scripted status sequences — network-free
+  * e2e for the one layer the deterministic local providers don't cover
+  * (/root/reference/vechord/utils.py:38-68, provider.py:240-254). */
+class TransportSpec extends SparkSpecBase {
+
+  /** Stub server: /embed answers vec[j] = len(text) + j (dim 4), and
+    * records (arrival nanos, batch size) per request. A scripted status
+    * queue can force 429/500 prefixes. */
+  private final class Stub {
+    val arrivals = mutable.ArrayBuffer[Long]()
+    val batchSizes = mutable.ArrayBuffer[Int]()
+    val attempts = new AtomicInteger(0)
+    var statusScript: List[Int] = Nil // statuses to serve BEFORE 200s
+    val server: HttpServer =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+    private def body(ex: HttpExchange): String =
+      new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+    private def reply(ex: HttpExchange, status: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    server.createContext("/embed", (ex: HttpExchange) => {
+      attempts.incrementAndGet()
+      val scripted = this.synchronized {
+        statusScript match {
+          case h :: t => statusScript = t; Some(h)
+          case Nil => None
+        }
+      }
+      scripted match {
+        case Some(code) => reply(ex, code, """{"error":"scripted"}""")
+        case None =>
+          val req = JsonMethods.parse(body(ex))
+          val texts = (req \ "input") match {
+            case JArray(xs) => xs.map { case JString(s) => s; case _ => "" }
+            case _ => Nil
+          }
+          this.synchronized {
+            arrivals += System.nanoTime()
+            batchSizes += texts.length
+          }
+          val data = JArray(texts.map(t => JArray(
+            (0 until 4).map(j => JDouble(t.length + j)).toList)))
+          reply(ex, 200,
+            JsonMethods.compact(JsonMethods.render(JObject("data" -> data))))
+      }
+    })
+    server.createContext("/rerank", (ex: HttpExchange) => {
+      val req = JsonMethods.parse(body(ex))
+      val n = (req \ "documents") match {
+        case JArray(xs) => xs.length
+        case _ => 0
+      }
+      // reverse order: obviously not the identity permutation
+      reply(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "order" -> JArray((n - 1 to 0 by -1).map(JInt(_)).toList)))))
+    })
+    server.createContext("/complete", (ex: HttpExchange) => {
+      val req = JsonMethods.parse(body(ex))
+      val p = (req \ "prompt") match { case JString(s) => s; case _ => "" }
+      reply(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "text" -> JString(s"echo: $p")))))
+    })
+    server.start()
+    def url(path: String): String =
+      s"http://127.0.0.1:${server.getAddress.getPort}$path"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("batched ingest: N rows cost ceil(N/batchSize) requests, every " +
+      "batch bounded, vectors land in row order") {
+    val stub = new Stub
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = (0 until 40).map(i => (i.toLong, "x" * (i + 1)))
+        .toDF("id", "text").repartition(2)
+      val emb = HttpEmbedder("stub-model", dim = 4,
+        HttpJson(stub.url("/embed"), rps = 1000.0, burst = 8))
+      val out = RemoteEmbed.withEmbeddingBatched(docs, "text", "vec",
+        emb, batchSize = 8).collect()
+      assert(out.length === 40)
+      // vec[0] == text length for every row: order preserved per batch
+      out.foreach { r =>
+        assert(r.getAs[Seq[Float]]("vec").head ===
+          r.getAs[String]("text").length.toFloat)
+      }
+      // batch shape: ≤ 8 per request, and with 2 partitions of 20 rows
+      // that is 3 requests each (8+8+4) = 6 total
+      assert(stub.batchSizes.forall(_ <= 8))
+      assert(stub.batchSizes.length === 6)
+      assert(stub.batchSizes.sum === 40)
+    } finally stub.stop()
+  }
+
+  test("token bucket: observed request rate is capped at rps") {
+    val stub = new Stub
+    try {
+      val emb = HttpEmbedder("stub-model", dim = 4,
+        HttpJson(stub.url("/embed"), rps = 20.0, burst = 1))
+      (0 until 6).foreach(i => emb.embedChunk(s"t$i"))
+      val arr = stub.arrivals.toSeq.sorted
+      assert(arr.length === 6)
+      // 6 requests, burst 1, 20 rps -> at least 5/20 = 250 ms of
+      // enforced spacing (50 ms slack for scheduler jitter)
+      val elapsedMs = (arr.last - arr.head) / 1e6
+      assert(elapsedMs >= 200.0,
+        s"6 calls at rps=20 took only $elapsedMs ms — limiter not applied")
+    } finally stub.stop()
+  }
+
+  test("retry ladder: 429/5xx retry with backoff then succeed; 4xx " +
+      "fails fast; exhausted retries throw") {
+    val stub = new Stub
+    try {
+      // two 429s then success -> 3 attempts total
+      stub.statusScript = List(429, 503)
+      val http = HttpJson(stub.url("/embed"), rps = 1000.0, burst = 4,
+        maxRetries = 4, backoffMs = 10)
+      val emb = HttpEmbedder("stub-model", dim = 4, http)
+      assert(emb.embedChunk("abc").head === 3.0f)
+      assert(stub.attempts.get() === 3)
+      // a 400 is NOT retried
+      stub.attempts.set(0)
+      stub.statusScript = List(400)
+      val e1 = intercept[IllegalStateException] { emb.embedChunk("x") }
+      assert(e1.getMessage.contains("400") && stub.attempts.get() === 1)
+      // permanent 500s exhaust maxRetries (1 + maxRetries attempts)
+      stub.attempts.set(0)
+      stub.statusScript = List.fill(10)(500)
+      val e2 = intercept[IllegalStateException] { emb.embedChunk("x") }
+      assert(e2.getMessage.contains("failed after"))
+      assert(stub.attempts.get() === 5)
+    } finally stub.stop()
+  }
+
+  test("reranker and completer seats round-trip the stub protocol") {
+    val stub = new Stub
+    try {
+      val http = HttpJson(stub.url("/rerank"), rps = 1000.0, burst = 4)
+      val rr = HttpReranker("stub-rerank", http)
+      assert(rr.rerank("q", Seq("a", "b", "c")) === Seq(2, 1, 0))
+      val cc = HttpCompleter("stub-llm",
+        HttpJson(stub.url("/complete"), rps = 1000.0, burst = 4))
+      assert(cc.complete("hello") === "echo: hello")
+    } finally stub.stop()
+  }
+
+  test("embedder validates vector count and dimension from the provider") {
+    val stub = new Stub
+    try {
+      // dim mismatch: provider returns dim 4, embedder declares 8
+      val emb = HttpEmbedder("stub-model", dim = 8,
+        HttpJson(stub.url("/embed"), rps = 1000.0, burst = 4))
+      intercept[IllegalArgumentException] { emb.embedChunk("abc") }
+    } finally stub.stop()
+  }
+}

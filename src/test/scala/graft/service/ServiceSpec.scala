@@ -106,6 +106,25 @@ class ServiceSpec extends SparkSpecBase {
     assert(get("/api/table/sdoc?_limit=-1").statusCode() === 400)
   }
 
+  test("CLI main: serve boots a working service from option strings") {
+    val svc = graft.Main.serve(Map("port" -> "0",
+      "root" -> Files.createTempDirectory("graft-cli").toString))
+    try {
+      val health = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${svc.boundPort}/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() === 200)
+      assert(health.body().toLowerCase.contains("ok"))
+    } finally svc.stop()
+    // option parsing: unknown/odd options are rejected
+    intercept[IllegalArgumentException] {
+      graft.Main.parseOpts(List("--nope", "1"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parseOpts(List("--port"))
+    }
+  }
+
   test("POST /api/run: index then search round-trips through the " +
       "dynamic pipeline") {
     val steps =
