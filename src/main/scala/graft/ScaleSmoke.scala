@@ -182,6 +182,74 @@ object ScaleSmoke {
         probes = 8, k = 10, refine = 10).count()
     }
 
+    // Index maintenance at scale: write the at-rest IVF+SQ layout for
+    // the inflated vector table, then DELETE one copy-stripe of ids
+    // (1/xf of all rows, touching EVERY cell — the worst case for the
+    // cell-rewrite delete) and search the survivors. Cost must be
+    // bounded by the affected cells' size (here: all of them, one
+    // rewrite) — the shape to watch is "write + delete + search"
+    // staying linear in the table, never quadratic.
+    time("stored_delete") {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        iters = 1)
+      val index = ops.Ann.buildIvfSq(vecs, "embedding", model, ops.Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_del").toString
+      ops.Ann.writeIvfSq(index, dir)
+      val removed = ops.Ann.deleteStored(spark, s"$dir/quantized",
+        col("vec_id") >= 10000000L && col("vec_id") < 20000000L)
+      val q = typedlit((0 until 64).map(i => 0.01 * i))
+      ops.Ann.searchIvfSqStored(spark, dir, "vec_id", "embedding", q,
+        ops.Ann.L2, probes = 8, k = 10).count()
+      removed
+    }
+
+    // Batched provider ingest at scale: the inflated doc table through
+    // RemoteEmbed.withEmbeddingBatched against an in-process HTTP stub
+    // (rps high enough to not throttle — this row measures the BATCH
+    // SHAPE and per-request overhead of the transport, not the bucket:
+    // rows/batchSize requests, map-only, no shuffle).
+    time("remote_embed_batch") {
+      val stubServer = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val nReq = new java.util.concurrent.atomic.AtomicLong(0)
+      stubServer.createContext("/embed",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          nReq.incrementAndGet()
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          // batch size = #input texts; reply one fixed 8-dim vec each
+          val n = org.json4s.jackson.JsonMethods.parse(body) \ "input" match {
+            case org.json4s.JArray(xs) => xs.length
+            case _ => 1
+          }
+          val vec = (0 until 8).map(_ => "1.0").mkString("[", ",", "]")
+          val out = (0 until n).map(_ => vec)
+            .mkString("""{"data":[""", ",", "]}")
+          val b = out.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        })
+      // keep the pool so it can be shut down: HttpServer.stop does NOT
+      // stop a user-provided executor, and its non-daemon threads would
+      // keep the JVM alive after main returns
+      val stubPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      stubServer.setExecutor(stubPool)
+      stubServer.start()
+      try {
+        val url =
+          s"http://127.0.0.1:${stubServer.getAddress.getPort}/embed"
+        val emb = providers.HttpEmbedder("smoke", dim = 8,
+          providers.HttpJson(url, rps = 1e6, burst = 1024))
+        val out = providers.RemoteEmbed.withEmbeddingBatched(
+          docs.select("doc_id", "text"), "text", "vec", emb,
+          batchSize = 256).count()
+        require(nReq.get() <= out / 256 + cpus.toInt * 2,
+          s"batching broke: ${nReq.get()} requests for $out rows")
+        out
+      } finally { stubServer.stop(0); stubPool.shutdownNow() }
+    }
+
     // The composed curation chain (p18's shape) on the dup-heavy
     // inflated corpus: quality filter → exact dedup (keeps every
     // inflated copy — texts differ by the copy tail — so the

@@ -94,23 +94,55 @@ object Ann {
     transform(dv, x => x / n)
   }
 
-  /** Bulk form of [[l2Normalize]]: materialize the norm once per row
-    * (O(dim) per vector), emit the normalized copy as `out`. */
+  /** [[l2Normalize]] for QUERY vectors: a literal column normalizes on
+    * the driver (same IEEE ops in the same order — left-to-right
+    * squared-sum fold, sqrt, divide — so the result is bit-identical
+    * to the column form and to the DuckDB twin), which keeps the
+    * per-query expression tree O(dim) instead of embedding the O(dim²)
+    * normalize subtree into every downstream zip_with/codegen unit.
+    * Non-literal columns fall back to the expression form. */
+  private def l2NormalizeQuery(queryVec: Column): Column =
+    org.apache.spark.sql.graft.VecExprs.exprOf(queryVec) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _)) =>
+        val arr = a.toDoubleArray()
+        val n = math.sqrt(arr.foldLeft(0.0)((acc, x) => acc + x * x))
+        typedlit(arr.map(_ / n).toSeq)
+      case _ => l2Normalize(queryVec)
+    }
+
+  /** Bulk form of [[l2Normalize]] as a single-pass UDF: higher-order
+    * column functions (transform/aggregate) evaluate INTERPRETED with
+    * per-element boxing, and once CollapseProject inlines the norm
+    * subtree into the element lambda the column form degrades to
+    * O(dim²) boxed ops per row in every consuming branch — measured 2×
+    * on the cosine index build. The UDF does the identical IEEE ops in
+    * the identical order (left-to-right squared-sum fold, sqrt,
+    * divide), so results are bit-for-bit the same. */
+  private val l2NormalizeUdf = udf { (v: Seq[Double]) =>
+    val arr = v.toArray
+    var n2 = 0.0
+    var i = 0
+    while (i < arr.length) { n2 += arr(i) * arr(i); i += 1 }
+    val n = math.sqrt(n2)
+    val out = new Array[Double](arr.length)
+    i = 0
+    while (i < arr.length) { out(i) = arr(i) / n; i += 1 }
+    out
+  }
   private def withNormalized(docs: DataFrame, vecCol: String,
                              out: String): DataFrame =
-    docs
-      .withColumn("__nrm", sqrt(aggregate(col(vecCol).cast("array<double>"),
-        lit(0.0), (a, x) => a + x * x)))
-      .withColumn(out, transform(col(vecCol).cast("array<double>"),
-        x => x / col("__nrm")))
-      .drop("__nrm")
+    docs.withColumn(out, l2NormalizeUdf(col(vecCol).cast("array<double>")))
 
   /** Model with unit-norm centroids (spherical form): same argmin cells
     * and probe choices as cosine against the raw centroids, but usable
     * with the L2 machinery on normalized vectors. */
   def normalizeModel(model: IvfModel): IvfModel =
     model.copy(centroids = model.centroids
-      .withColumn(model.vecCol, l2Normalize(col(model.vecCol))))
+      .withColumn(model.vecCol,
+        l2NormalizeUdf(col(model.vecCol).cast("array<double>"))))
 
   /** HALF_UP rounding identical to Spark's / DuckDB's `round`. */
   private[graft] def roundScala(v: Double, scale: Int): Double =
@@ -570,7 +602,7 @@ object Ann {
     // live on the unit sphere, so the query joins them there and the
     // asymmetric scan is plain L2 — ordering identical to cosine
     val (qv, m) =
-      if (metric == Cosine) (l2Normalize(queryVec), L2: Metric)
+      if (metric == Cosine) (l2NormalizeQuery(queryVec), L2: Metric)
       else (queryVec, metric)
     val cellCol = index.model.idCol
     val cells = probeCells(index.model, qv, m, probes)
@@ -702,7 +734,7 @@ object Ann {
     // cosine index = spherical (see [[sqCandidates]]): normalized query,
     // L2 estimator on the unit sphere
     val (qv, m) =
-      if (metric == Cosine) (l2Normalize(queryVec), L2: Metric)
+      if (metric == Cosine) (l2NormalizeQuery(queryVec), L2: Metric)
       else (queryVec, metric)
     val cellCol = index.model.idCol
     val cells = probeCells(index.model, qv, m, probes)

@@ -41,6 +41,14 @@ object Retrieval {
     Ann.topK(embeddings(s, d), "vec_id", "embedding", qvec(s, d, 7),
       Ann.Cosine, 10).select("vec_id", "dist")
 
+  /** Dense exact top-k, inner product — reference `<#>` (negated dot,
+    * spec.py:426-435): the third and last distance operator of the
+    * reference's query_vec surface, completing the metric family's
+    * gate coverage (L2 = r01, cosine = r02). */
+  def annTopkIp(s: SparkSession, d: String): DataFrame =
+    Ann.topK(embeddings(s, d), "vec_id", "embedding", qvec(s, d, 19),
+      Ann.InnerProduct, 10).select("vec_id", "dist")
+
   /** IVF build (cells = label) → assign → probe 3 cells → exact top-k
     * within probed cells. The full index lifecycle under one oracle. */
   def annIvfL2(s: SparkSession, d: String): DataFrame = {
@@ -339,7 +347,8 @@ object Retrieval {
     "r16_ann_rewrite_quant" -> annRewriteQuant,
     "r17_ivf_sq_cos" -> ivfSqCosTopk,
     "r18_ann_rewrite_cos" -> annRewriteCos,
-    "r19_stored_delete" -> storedDelete)
+    "r19_stored_delete" -> storedDelete,
+    "r20_ann_topk_ip" -> annTopkIp)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -592,6 +601,12 @@ object Retrieval {
     "r02_ann_topk_cos" ->
       s"""SELECT vec_id,
           round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+          FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r20_ann_topk_ip" ->
+      """SELECT vec_id,
+          round(-list_inner_product(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 19)),
+            6) AS dist
           FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     "r03_ann_ivf_l2" ->
       s"""WITH dims AS (

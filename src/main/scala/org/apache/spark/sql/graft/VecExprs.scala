@@ -335,6 +335,11 @@ case class ScaledL2(first: Expression, second: Expression,
 object VecExprs {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Column → catalyst Expression, re-exported for graft's operator
+    * layer (ExpressionUtils is package-private to org.apache.spark.sql;
+    * used e.g. to detect literal query vectors and pre-fold them). */
+  def exprOf(col: Column): Expression = ExpressionUtils.expression(col)
+
   def l2Dist(a: Column, b: Column): Column =
     c(L2Dist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def cosDist(a: Column, b: Column): Column =
