@@ -66,6 +66,19 @@ object Dynamic {
         case ("text-emb", "hash") =>
           c = c.copy(textEmb = Some(HashEmbedder(
             dim = s.args.getOrElse("dim", "64").toInt)))
+        // a REAL provider endpoint through the rate-limited transport
+        // (providers/Transport.scala) — the drop-in the reference's
+        // PROVIDER_MAP offers for its HTTP embedders
+        // (pipeline.py:112-134); ingest batches via mapPartitions
+        case ("text-emb", "http") =>
+          val endpoint = s.args.getOrElse("endpoint",
+            throw RequestError("http embedder requires an endpoint arg"))
+          c = c.copy(textEmb = Some(graft.providers.HttpEmbedder(
+            name = s.args.getOrElse("model", "default"),
+            dim = s.args.getOrElse("dim", "64").toInt,
+            graft.providers.HttpJson(endpoint,
+              rps = s.args.getOrElse("rps", "8").toDouble,
+              burst = s.args.getOrElse("burst", "1").toInt))))
         case ("rerank", "overlap") => c = c.copy(rerank = Some(OverlapReranker()))
         case ("graph", "simple") => c = c.copy(graph = Some(SimpleRecognizer()))
         case ("index", "graft") =>
@@ -112,8 +125,14 @@ object Dynamic {
         }
       }
       .toDF("uid", "doc_id", "seq", "text")
-    val embedded = Embed.withEmbedding(chunked, "text", "vec", emb)
-      .select(chunks.columns.map(col): _*)
+    // remote providers ingest BATCHED (one rate-limited request per
+    // batchSize chunks); local embedders stay the per-row map stage
+    val embedded = (emb match {
+      case h: graft.providers.HttpEmbedder =>
+        graft.providers.RemoteEmbed.withEmbeddingBatched(
+          chunked, "text", "vec", h)
+      case _ => Embed.withEmbedding(chunked, "text", "vec", emb)
+    }).select(chunks.columns.map(col): _*)
     reg.runTxn { txn =>
       reg.copyBulk(chunks, embedded, txn)
       if (c.indexGraph) {

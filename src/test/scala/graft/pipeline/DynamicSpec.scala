@@ -74,4 +74,74 @@ class DynamicSpec extends SparkSpecBase {
     // top hit after overlap-rerank must be a Spark chunk
     assert(res.head.getAs[String]("text").toLowerCase.contains("spark"))
   }
+
+  test("http embedding provider: index + search through the rate-limited " +
+      "transport (batched ingest), endpoint required") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // stub provider: vec = [len, #tokens, 1, 1] per text — enough
+    // structure for a cosine search to prefer like-length chunks
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/embed",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        nBatches.incrementAndGet()
+        val req = JsonMethods.parse(
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        val texts = (req \ "input") match {
+          case JArray(xs) => xs.map { case JString(s) => s; case _ => "" }
+          case _ => Nil
+        }
+        val data = JArray(texts.map(t => JArray(List(
+          JDouble(t.length), JDouble(t.split("\\s+").length),
+          JDouble(1), JDouble(1)))))
+        val out = JsonMethods.compact(JsonMethods.render(
+          JObject("data" -> data))).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/embed"
+      val sp = spark
+      import sp.implicits._
+      val reg = new Registry(spark,
+        Files.createTempDirectory("graft-dyn-http").toString)
+      val chunks = chunkDef("dynchunk_http")
+      reg.register(chunks)
+      val cfg = fromSteps(Seq(
+        ResourceRequest("chunk", "regex",
+          Map("size" -> "60", "overlap" -> "10")),
+        ResourceRequest("text-emb", "http", Map("endpoint" -> url,
+          "dim" -> "4", "rps" -> "1000", "burst" -> "64")),
+        ResourceRequest("index", "graft")))
+      val docs = Seq(
+        (1L, "Spark runs distributed SQL. Spark joins are shuffle heavy."),
+        (2L, "Postgres stores rows. Postgres uses indexes for lookups."))
+        .toDF("doc_id", "text")
+      runIndex(reg, cfg, docs, chunks)
+      val stored = reg.table(chunks).collect()
+      assert(stored.length >= 2)
+      // every chunk got its provider vector: [len, ...] matches text
+      stored.foreach { r =>
+        assert(r.getAs[Seq[Float]]("vec").head ===
+          r.getAs[String]("text").length.toFloat)
+      }
+      // batched ingest: far fewer requests than chunks (+1 per partial
+      // partition batch is fine, but never one per row at batch 32)
+      assert(nBatches.get() <= stored.length)
+      val searchCfg = fromSteps(Seq(
+        ResourceRequest("text-emb", "http", Map("endpoint" -> url,
+          "dim" -> "4", "rps" -> "1000", "burst" -> "64")),
+        ResourceRequest("search", "graft", Map("topk" -> "3"))))
+      assert(runSearch(reg, searchCfg, "Spark joins", chunks)
+        .collect().nonEmpty)
+      // endpoint is mandatory for the http provider
+      assert(intercept[RequestError] {
+        fromSteps(Seq(ResourceRequest("text-emb", "http")))
+      }.getMessage.contains("endpoint"))
+    } finally server.stop(0)
+  }
 }
