@@ -173,6 +173,49 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("cosine quantized index on the Engine surface: spherical build, " +
+      "recall-complete settings equal plain exact cosine") {
+    val sp = spark
+    import sp.implicits._
+    val td = TableDef[EChunk]("echunkcos", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.Cosine, lists = 2, quantized = true),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-cos").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      // distinct directions (cosine cares about angle, not magnitude)
+      val a = 0.1 + (i % 7) * 0.2
+      EChunk(i.toLong, s"row $i",
+        Seq(math.cos(a).toFloat * (1 + i), math.sin(a).toFloat * (1 + i)),
+        Seq(Seq(1f, 0f)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    // probes = all cells, refine spanning the table: phase 1 is
+    // recall-complete, so the exact re-rank equals brute-force cosine
+    val got = eng.searchByVector(td, Seq(1.0, 0.2), topk = 5, probes = 2,
+        refine = 40).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    val tdPlain = TableDef[EChunk]("echunkcos2", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.Cosine),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    reg.register(tdPlain)
+    reg.insert(tdPlain, rows)
+    val brute = new Engine(reg).searchByVector(tdPlain, Seq(1.0, 0.2),
+        topk = 5).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    assert(got === brute)
+    // distances are cosine (angle-only): in [0, 2]
+    assert(got.forall { case (_, d) => d >= 0.0 && d <= 2.0 })
+  }
+
   test("installDeclarative resolves the index per query: rows inserted " +
       "AFTER install surface in later declarative plans (advisor r6)") {
     val sp = spark

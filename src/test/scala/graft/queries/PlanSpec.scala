@@ -274,4 +274,30 @@ class PlanSpec extends SparkSpecBase {
       p.contains("centroid_id#") , s"expected partition pruning:\n$p")
     assert(hits.count() === 5)
   }
+
+  test("q12 pushes the base-column date predicate into the scan") {
+    val p = plan(Relational.q12DateScalar(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      s"expected the pushable date twin in PushedFilters:\n$p")
+  }
+
+  test("stored IVF+SQ layout keeps partition pruning AFTER a " +
+      "cell-rewrite delete") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plan-del").toString
+    Ann.writeIvfSq(index, dir)
+    val removed = Ann.deleteStored(spark, s"$dir/quantized",
+      col("vec_id") % 3 === 0)
+    assert(removed > 0)
+    val q = typedlit((0 until 64).map(_ => 0.0))
+    val hits = Ann.searchIvfSqStored(spark, dir, "vec_id", "embedding",
+      q, Ann.L2, probes = 2, k = 5)
+    val p = plan(hits)
+    assert(p.contains("PartitionFilters:") && p.contains("centroid_id#"),
+      s"expected partition pruning on the rewritten layout:\n$p")
+    assert(hits.count() === 5)
+  }
 }
