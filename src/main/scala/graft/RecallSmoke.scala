@@ -1,23 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ann
 
 /** ANN recall-curve smoke: recall@10 vs probe budget for the three
   * index types (plain IVF, IVF+SQ, IVF+1-bit) against the exact
-  * brute-force top-10 — the measured form of the engine's
-  * approximate-search contract (speed is benched by graft.Bench;
-  * recall was previously only unit-asserted). Run:
+  * brute-force top-10, under BOTH metrics the quantized family
+  * supports — L2 and cosine (the spherical normalize-then-L2 build).
+  * This is the measured form of the engine's approximate-search
+  * contract (speed is benched by graft.Bench; recall was previously
+  * only unit-asserted). Run:
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RecallSmoke"
   *
-  * Prints one JSON line per (index, probes) cell plus a summary table;
-  * results are recorded in SURVEY.md §8. The probe ladder ends at
-  * lists (all cells probed), where plain IVF recall MUST be 1.0 and
-  * the quantized types approach it bounded by their refine budget —
-  * a built-in sanity row. */
+  * Prints one JSON line per (metric, index, probes) cell; results are
+  * recorded in SURVEY.md §8. The probe ladder ends at lists (all cells
+  * probed), where plain IVF recall MUST be 1.0 and the quantized types
+  * approach it bounded by their refine budget — a built-in sanity row.
+  */
 object RecallSmoke {
 
   def main(args: Array[String]): Unit = {
@@ -37,15 +39,6 @@ object RecallSmoke {
 
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     val n = e.count()
-    val model = Ann.buildIvfKMeans(e, "embedding", lists, Ann.L2)
-    val assigned = Ann.assign(e, "embedding", model, Ann.L2).persist()
-    assigned.count()
-    val sqBuilt = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
-    val sq = Ann.IvfSqIndex(sqBuilt.quantized.persist(),
-      sqBuilt.bounds.persist(), model)
-    val bitBuilt = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
-    val bitq = Ann.IvfBitIndex(bitBuilt.quantized.persist(), model)
-
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .persist()
@@ -54,57 +47,74 @@ object RecallSmoke {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
 
-    // exact truth: one batch kNN join
-    val truth: Map[Long, Set[Long]] = Ann.knnJoin(queries, "q_id", "qv",
-        e.select(col("vec_id").as("d_id"), col("embedding").as("dv")),
-        "d_id", "dv", Ann.L2, k)
-      .select("q_id", "d_id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) =>
-        q -> rs.map(_.getLong(1)).toSet }
-
-    def recallOf(got: Map[Long, Set[Long]]): Double = {
-      val per = truth.map { case (q, t) =>
-        got.getOrElse(q, Set.empty).count(t) / k.toDouble }
-      per.sum / per.size
-    }
-
-    val probeLadder = Seq(2, 8, lists)
-    val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
-    for (probes <- probeLadder) {
-      // plain IVF: the batch join covers all queries in one job
-      val ivfGot = Ann.knnJoinIvf(queries, "q_id", "qv",
-          assigned.select(col("vec_id").as("d_id"),
-            col("embedding").as("dv"), col("centroid_id")),
-          "d_id", "dv", model, Ann.L2, probes, k)
-        .select("q_id", "d_id").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      rows += (("ivf", probes, recallOf(ivfGot)))
-      // quantized types: per-query two-phase searches
-      def perQuery(search: Seq[Double] => Array[Long]):
-          Map[Long, Set[Long]] =
-        qVecs.map { case (q, v) => q -> search(v).toSet }.toMap
-      rows += (("ivf_sq", probes, recallOf(perQuery(v =>
-        Ann.searchIvfSq(sq, "vec_id", "embedding", typedlit(v), Ann.L2,
-            probes, k, refine)
-          .select("vec_id").collect().map(_.getLong(0))))))
-      rows += (("ivf_bitq", probes, recallOf(perQuery(v =>
-        Ann.searchIvfBitq(bitq, "vec_id", "embedding", typedlit(v), Ann.L2,
-            probes, k, refine)
-          .select("vec_id").collect().map(_.getLong(0))))))
-    }
-
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    rows.foreach { case (ix, p, r) =>
-      println(s"""{"smoke":"recall","index":"$ix","probes":$p,""" +
-        s""""recall_at_10":${fmt(r)},"lists":$lists,"n":$n,""" +
-        s""""queries":${qVecs.length},"refine":$refine}""")
+
+    def runMetric(metric: Ann.Metric, label: String): Unit = {
+      val model = Ann.buildIvfKMeans(e, "embedding", lists, metric)
+      val assigned = Ann.assign(e, "embedding", model, metric).persist()
+      assigned.count()
+      val sqBuilt = Ann.buildIvfSq(e, "embedding", model, metric)
+      val sq = Ann.IvfSqIndex(sqBuilt.quantized.persist(),
+        sqBuilt.bounds.persist(), sqBuilt.model)
+      val bitBuilt = Ann.buildIvfBitq(e, "embedding", model, metric)
+      val bitq = Ann.IvfBitIndex(bitBuilt.quantized.persist(),
+        bitBuilt.model)
+
+      // exact truth: one batch kNN join under this metric
+      val truth: Map[Long, Set[Long]] = Ann.knnJoin(queries, "q_id", "qv",
+          e.select(col("vec_id").as("d_id"), col("embedding").as("dv")),
+          "d_id", "dv", metric, k)
+        .select("q_id", "d_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+
+      def recallOf(got: Map[Long, Set[Long]]): Double = {
+        val per = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).count(t) / k.toDouble }
+        per.sum / per.size
+      }
+
+      val rows =
+        scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+      for (probes <- Seq(2, 8, lists)) {
+        // plain IVF: the batch join covers all queries in one job
+        val ivfGot = Ann.knnJoinIvf(queries, "q_id", "qv",
+            assigned.select(col("vec_id").as("d_id"),
+              col("embedding").as("dv"), col("centroid_id")),
+            "d_id", "dv", model, metric, probes, k)
+          .select("q_id", "d_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        rows += (("ivf", probes, recallOf(ivfGot)))
+        // quantized types: per-query two-phase searches
+        def perQuery(search: Seq[Double] => Array[Long]):
+            Map[Long, Set[Long]] =
+          qVecs.map { case (q, v) => q -> search(v).toSet }.toMap
+        rows += (("ivf_sq", probes, recallOf(perQuery(v =>
+          Ann.searchIvfSq(sq, "vec_id", "embedding", typedlit(v), metric,
+              probes, k, refine)
+            .select("vec_id").collect().map(_.getLong(0))))))
+        rows += (("ivf_bitq", probes, recallOf(perQuery(v =>
+          Ann.searchIvfBitq(bitq, "vec_id", "embedding", typedlit(v),
+              metric, probes, k, refine)
+            .select("vec_id").collect().map(_.getLong(0))))))
+      }
+      rows.foreach { case (ix, p, r) =>
+        println(s"""{"smoke":"recall","metric":"$label","index":"$ix",""" +
+          s""""probes":$p,"recall_at_10":${fmt(r)},"lists":$lists,""" +
+          s""""n":$n,"queries":${qVecs.length},"refine":$refine}""")
+      }
+      // all-probe sanity: plain IVF must be exact
+      val allProbe = rows.find(r => r._1 == "ivf" && r._2 == lists).get._3
+      require(allProbe == 1.0,
+        s"$label IVF with probes=lists must be exact, got $allProbe")
+      Seq(assigned, sq.quantized, sq.bounds, bitq.quantized)
+        .foreach(_.unpersist(false))
     }
-    // all-probe sanity: plain IVF must be exact
-    val allProbe = rows.find(r => r._1 == "ivf" && r._2 == lists).get._3
-    require(allProbe == 1.0,
-      s"IVF with probes=lists must be exact, got $allProbe")
+
+    runMetric(Ann.L2, "l2")
+    runMetric(Ann.Cosine, "cos")
     spark.stop()
   }
 }

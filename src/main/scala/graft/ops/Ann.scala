@@ -862,14 +862,17 @@ object Ann {
                                doomed: DataFrame => DataFrame,
                                survivors: DataFrame => DataFrame): Long = {
     val df = spark.read.parquet(path)
-    val hit = doomed(df).select(col(cellCol)).distinct()
-      .collect().map(_.get(0))
+    // one aggregation gives BOTH the affected-cell set and the removed
+    // count (vs a distinct + two counts: three scans of the doomed set)
+    val perCell = doomed(df).groupBy(col(cellCol))
+      .agg(count(lit(1)).as("__n")).collect()
+    val hit = perCell.map(_.get(0))
+    val removed = perCell.map(_.getLong(1)).sum
     if (hit.isEmpty) return 0L
     val affected = df.filter(col(cellCol).isin(hit: _*))
     // materialize BEFORE the overwrite: the plan reads the very files
     // the commit below replaces
     val keep = survivors(affected).localCheckpoint(true)
-    val removed = affected.count() - keep.count()
     val keepCells = keep.select(col(cellCol)).distinct()
       .collect().map(_.get(0)).toSet
     keep.write.mode("overwrite")
