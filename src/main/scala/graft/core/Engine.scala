@@ -155,25 +155,41 @@ final class Engine(reg: Registry) {
     * re-install needed (round-6 advisor: the previous frozen snapshot
     * silently excluded post-install rows). */
   def installDeclarative(td: TableDef[_], probes: Int = 0,
-                         refine: Int = 5): Unit = {
-    val ix = td.vectorIndex.getOrElse(
-      throw new IllegalStateException(s"${td.name} has no vector index"))
-    def model = indexModel(td).getOrElse(throw new IllegalStateException(
-      s"${td.name} has no built IVF model — run buildIndex first"))
-    model // fail install-time, not first-query-time, when unbuilt
+                         refine: Int = 5,
+                         maxsimRefine: Int = 1000): Unit = {
     graft.plans.AnnIndex.install(reg.spark)
-    val p = if (probes > 0) probes
-      else math.ceil(ix.lists / 16.0).toInt.max(1)
-    if (ix.oneBit)
-      graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
-        () => ivfBitqCached(td, ix, reg.table(td), model),
-        ix.distance, p, refine)
-    else if (ix.quantized)
-      graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
-        () => ivfSqCached(td, ix, reg.table(td), model),
-        ix.distance, p, refine)
-    else
-      graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
+    // lists == 0 means exact brute-force — nothing to register for the
+    // dense column (the maxsim registration below still applies)
+    td.vectorIndex.filter(_.lists > 0).foreach { ix =>
+      def model = indexModel(td).getOrElse(throw new IllegalStateException(
+        s"${td.name} has no built IVF model — run buildIndex first"))
+      model // fail install-time, not first-query-time, when unbuilt
+      val p = if (probes > 0) probes
+        else math.ceil(ix.lists / 16.0).toInt.max(1)
+      if (ix.oneBit)
+        graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
+          () => ivfBitqCached(td, ix, reg.table(td), model),
+          ix.distance, p, refine)
+      else if (ix.quantized)
+        graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
+          () => ivfSqCached(td, ix, reg.table(td), model),
+          ix.distance, p, refine)
+      else
+        graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
+    }
+    // multivector column: plain orderBy(maxsim_dot(q, mv).desc).limit(k)
+    // plans rewrite into the two-phase refine (the declarative
+    // `maxsim_refine`, registry.py:233) — resolver-backed like the
+    // dense registrations, so post-install writes stay visible
+    td.indexes.collectFirst { case Spec.MultiVectorIndex(c, _) => c }
+      .foreach { mvCol =>
+        graft.plans.AnnIndex.registerMaxsim(mvCol, td.pk,
+          () => reg.table(td), maxsimRefine)
+      }
+    if (td.vectorIndex.isEmpty &&
+        !td.indexes.exists(_.isInstanceOf[Spec.MultiVectorIndex]))
+      throw new IllegalStateException(
+        s"${td.name} has no vector or multivector index")
   }
 
   /** Attach an AT-REST index layout to a table's delete lifecycle:
@@ -198,11 +214,14 @@ final class Engine(reg: Registry) {
   }
 
   /** Remove [[installDeclarative]]'s registrations for the table. */
-  def uninstallDeclarative(td: TableDef[_]): Unit =
+  def uninstallDeclarative(td: TableDef[_]): Unit = {
     td.vectorIndex.foreach { ix =>
       graft.plans.AnnIndex.unregister(ix.column)
       graft.plans.AnnIndex.unregisterQuantized(ix.column)
     }
+    td.indexes.collectFirst { case Spec.MultiVectorIndex(c, _) => c }
+      .foreach(graft.plans.AnnIndex.unregisterMaxsim)
+  }
 
   /** IVF assignment memoized per table VERSION: assigning is a map-only
     * stage but still O(N·cells) compute — the index at rest is the

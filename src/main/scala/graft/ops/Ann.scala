@@ -818,6 +818,35 @@ object Ann {
     unpack(bin)
   }
 
+  /** Mean of a doc's token vectors — maxsim's phase-1 summary (one dot
+    * per doc instead of |q|·|d|): the quantized stand-in the Engine's
+    * `searchByMultivec` refine uses, shared with the declarative
+    * maxsim rewrite. Input bags must be deterministically ordered
+    * (e.g. array_sort) for the sequential fold to be reproducible. */
+  def flattenMean(mv: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(mv, lit(0.0), (acc, v) =>
+        acc + element_at(v, i + 1).cast("double")) / size(mv))
+
+  /** Phase-1 of a two-phase maxsim search: top-`n` docs by the rounded
+    * dot of each doc's token-mean against the query-token centroid
+    * (rounding makes the cutoff engine-portable; ties by id asc) —
+    * the candidate generator for [[graft.plans.AnnTopKRule]]'s maxsim
+    * rewrite, whose surviving Sort+Limit is the exact maxsim re-rank. */
+  def maxsimCandidates(docs: DataFrame, idCol: String, mvCol: String,
+                       queryVecs: Seq[Seq[Double]], n: Int,
+                       roundTo: Int = 6): DataFrame = {
+    val dim = queryVecs.head.length
+    val centroid: Seq[Double] = (0 until dim).map(i =>
+      queryVecs.map(_(i)).sum / queryVecs.length)
+    docs
+      .withColumn("__approx", round(graft.functions.Vec.dot(
+        flattenMean(col(mvCol), dim), typedlit(centroid)), roundTo))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol))
+  }
+
   /** DELETE from a stored cell-partitioned index layout
     * ([[writePartitioned]] dir, or the `quantized` subdir of
     * [[writeIvfSq]] / [[writeIvfBitq]]): rewrite ONLY the cell

@@ -161,6 +161,36 @@ object AnnIndex {
   private[plans] def lookupQuant(vecCol: String): Option[QuantEntry] =
     quantEntries.get(vecCol)
 
+  /** MAXSIM registrations — the declarative form of the reference's
+    * `maxsim_refine` two-phase (client.py:337-343, registry.py:233):
+    * a plain `orderBy(maxsim_dot(q, mv).desc).limit(k)` plan over a
+    * registered multivector column rewrites into a semi-join against
+    * the top-max(refine, k) ids of the cheap phase-1 scan (one dot of
+    * the doc's token-mean vs the query-token centroid per doc,
+    * [[Ann.maxsimCandidates]]); the plan's own Sort+Limit is the exact
+    * maxsim re-rank, so the O(|q|·|d|·dim) interaction runs only on
+    * the candidates. Resolver-backed like the quantized entries. */
+  final case class MaxsimEntry(mvCol: String, idCol: String,
+                               resolve: () => org.apache.spark.sql
+                                 .DataFrame,
+                               refine: Int) {
+    def candidateIds(q: Array[Array[Double]], n: Int) =
+      Ann.maxsimCandidates(resolve(), idCol, mvCol,
+          q.map(_.toSeq).toSeq, n)
+        .select(org.apache.spark.sql.functions.col(idCol)
+          .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+  }
+
+  private val maxsimEntries = TrieMap.empty[String, MaxsimEntry]
+
+  def registerMaxsim(mvCol: String, idCol: String,
+                     resolve: () => org.apache.spark.sql.DataFrame,
+                     refine: Int = 1000): Unit =
+    maxsimEntries(mvCol) = MaxsimEntry(mvCol, idCol, resolve, refine)
+  def unregisterMaxsim(mvCol: String): Unit = maxsimEntries.remove(mvCol)
+  private[plans] def lookupMaxsim(mvCol: String): Option[MaxsimEntry] =
+    maxsimEntries.get(mvCol)
+
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
     * config-driven install use `spark.sql.extensions` with
@@ -227,6 +257,51 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
     }
   }
 
+  /** (multivector attribute, query token vectors) from a maxsim score
+    * expression — `maxsim_dot(queryLit, mvCol)`, optionally rounded. */
+  private def extractMaxsim(e: Expression):
+      Option[(AttributeReference, Array[Array[Double]])] = {
+    val inner = e match {
+      case r: Round => r.child
+      case other => other
+    }
+    def unwrap(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => unwrap(c)
+      case other => other
+    }
+    inner match {
+      case org.apache.spark.sql.graft.MaxSimDot(a, b) =>
+        (unwrap(a), unwrap(b)) match {
+          case (Literal(q: ArrayData,
+              org.apache.spark.sql.types.ArrayType(et, _)),
+              at: AttributeReference) =>
+            val qs = q.toObjectArray(et).map {
+              case ad: ArrayData => ad.toDoubleArray()
+              case _ => return None
+            }
+            if (qs.nonEmpty) Some((at, qs)) else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** True when `child` already carries an injected (or semantically
+    * equivalent) candidate semi-join on this id attribute — the shared
+    * idempotence guard of the quantized and maxsim rewrites. */
+  private def hasCandidateSemiJoin(child: LogicalPlan,
+                                   idAttr: Attribute): Boolean =
+    child.exists {
+      case j: Join =>
+        j.getTagValue(AnnTopKRule.InjectedQuant).isDefined ||
+          (j.joinType == LeftSemi && j.condition.exists(_.exists {
+            case EqualTo(a: AttributeReference, _) =>
+              a.exprId == idAttr.exprId
+            case _ => false
+          }))
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // QUANTIZED rewrite: needs k (phase-1 scans top-k·refine codes), so
     // it matches the Limit over the Sort. The candidate sub-plan is
@@ -238,40 +313,14 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         ll @ LocalLimit(_,
           s @ Sort(order, true, proj @ Project(fields, child), _)))
         if order.nonEmpty && k > 0 =>
-      val rewritten = for {
-        key <- order.head match {
-          case SortOrder(a: Attribute, Ascending, _, _) => Some(a)
-          case _ => None
-        }
-        alias <- fields.collectFirst {
-          case a: Alias if a.exprId == key.exprId => a }
-        (vecAttr, q, metric) <- extractDist(alias.child)
-        entry <- AnnIndex.lookupQuant(vecAttr.name)
-        if entry.metric == metric
-        leaf <- child.collectFirst {
-          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
-              l.output.exists(_.name == entry.idCol) => l
-        }
-        idAttr = leaf.output.find(_.name == entry.idCol).get
-        // idempotence: one injected semi-join per plan (tag survives
-        // makeCopy/withNewChildren; a LeftSemi on the same id exprId is
-        // the semantic backstop)
-        if !child.exists {
-          case j: Join =>
-            j.getTagValue(AnnTopKRule.InjectedQuant).isDefined ||
-              (j.joinType == LeftSemi && j.condition.exists(_.exists {
-                case EqualTo(a: AttributeReference, _) =>
-                  a.exprId == idAttr.exprId
-                case _ => false
-              }))
-          case _ => false
-        }
-      } yield {
-        val n = math.max(k * entry.refine, k)
+      // shared injection: semi-join the candidate plan above the leaf,
+      // keep the plan's own Sort+Limit as the exact re-rank
+      def inject(leaf: LeafNode, idAttr: Attribute,
+                 candidates: org.apache.spark.sql.DataFrame): LogicalPlan = {
         // pre-optimized: this rule can run as the LAST optimizer batch
         // (experimental.extraOptimizations), where an un-optimized
         // injected subtree would never get pruning/pushdown of its own
-        val candPlan = entry.candidateIds(q, n).queryExecution.optimizedPlan
+        val candPlan = candidates.queryExecution.optimizedPlan
         val candId = candPlan.output.head
         var injected = false
         val newChild = child.transformUp {
@@ -288,7 +337,45 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
             s.copy(child = proj.copy(child = newChild))))
         else gl
       }
-      rewritten.getOrElse(gl)
+      def sortKey(dir: SortDirection): Option[Alias] = for {
+        key <- order.head match {
+          case SortOrder(a: Attribute, d, _, _) if d == dir => Some(a)
+          case _ => None
+        }
+        alias <- fields.collectFirst {
+          case a: Alias if a.exprId == key.exprId => a }
+      } yield alias
+      def leafFor(attr: AttributeReference,
+                  idCol: String): Option[LeafNode] =
+        child.collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == attr.exprId) &&
+              l.output.exists(_.name == idCol) => l
+        }
+      // quantized dense path: ASCENDING by a recognized distance
+      val quant = for {
+        alias <- sortKey(Ascending)
+        (vecAttr, q, metric) <- extractDist(alias.child)
+        entry <- AnnIndex.lookupQuant(vecAttr.name)
+        if entry.metric == metric
+        leaf <- leafFor(vecAttr, entry.idCol)
+        idAttr = leaf.output.find(_.name == entry.idCol).get
+        // idempotence: one injected semi-join per plan (tag survives
+        // makeCopy/withNewChildren; a LeftSemi on the same id exprId is
+        // the semantic backstop)
+        if !hasCandidateSemiJoin(child, idAttr)
+      } yield inject(leaf, idAttr,
+        entry.candidateIds(q, math.max(k * entry.refine, k)))
+      // maxsim path: DESCENDING by a maxsim_dot score
+      val maxsim = for {
+        alias <- sortKey(Descending)
+        (mvAttr, qs) <- extractMaxsim(alias.child)
+        entry <- AnnIndex.lookupMaxsim(mvAttr.name)
+        leaf <- leafFor(mvAttr, entry.idCol)
+        idAttr = leaf.output.find(_.name == entry.idCol).get
+        if !hasCandidateSemiJoin(child, idAttr)
+      } yield inject(leaf, idAttr,
+        entry.candidateIds(qs, math.max(entry.refine, k)))
+      quant.orElse(maxsim).getOrElse(gl)
 
     case s @ Sort(order, true, proj @ Project(fields, child), _)
         if order.nonEmpty =>

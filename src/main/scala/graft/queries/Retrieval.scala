@@ -305,6 +305,47 @@ object Retrieval {
       Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** Declarative MAXSIM rewrite — the third query shape joins the
+    * declarative layer: a plain `orderBy(maxsim_dot(q, mv).desc)
+    * .limit(k)` plan over a registered multivector table rewrites into
+    * the two-phase `maxsim_refine` (client.py:337-343): a semi-join
+    * against the top-`refine` docs by the cheap token-mean dot
+    * ([[Ann.maxsimCandidates]]), with the plan's own Sort+Limit as the
+    * exact maxsim re-rank. refine=3 < #labels makes the gate
+    * PHASE-SENSITIVE (the oracle replays both phases — a silent
+    * non-rewrite returns 5 rows where the oracle has 3, and a wrong
+    * phase-1 ranking picks different candidates). LeftSemi asserted
+    * in-query per the r16/r18 pattern. */
+  def maxsimRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.groupBy(col("label").cast("long").as("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("vecs"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_rw").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stored = s.read.parquet(dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerMaxsim("vecs", "label", () => stored,
+      refine = 3)
+    try {
+      val df = stored
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(qts), col("vecs")), 6))
+        .orderBy(col("score").desc, col("label").asc)
+        .limit(3) // k == refine: exactly 3 candidates, all phase-1-chosen
+        .select("label", "score")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "maxsim rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -348,7 +389,8 @@ object Retrieval {
     "r17_ivf_sq_cos" -> ivfSqCosTopk,
     "r18_ann_rewrite_cos" -> annRewriteCos,
     "r19_stored_delete" -> storedDelete,
-    "r20_ann_topk_ip" -> annTopkIp)
+    "r20_ann_topk_ip" -> annTopkIp,
+    "r21_maxsim_rewrite" -> maxsimRewrite)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -685,6 +727,38 @@ object Retrieval {
     // r19: the stored layout after the cell-rewrite delete — candidates
     // exclude the deleted rows, bounds/codes stay pre-delete.
     "r19_stored_delete" -> ivfSqOracle("WHERE c.vec_id % 7 <> 0"),
+    // r21: BOTH maxsim phases replayed — phase 1 = per-label token-mean
+    // dot against the query-token centroid, top-3 labels; phase 2 = the
+    // exact maxsim (sum of per-query-token max dots) over those labels
+    // only. A non-rewritten plan would return the global top-3, which
+    // differs whenever phase 1's cheap ranking disagrees with maxsim.
+    "r21_maxsim_rewrite" ->
+      """WITH dt AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                            embedding::DOUBLE[] AS dv FROM embeddings),
+        q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id IN (0, 1)),
+        qc AS (SELECT list_transform(range(len(a.qv)), i ->
+                 (a.qv[i+1] + b.qv[i+1]) / 2) AS qc
+               FROM (SELECT qv FROM q WHERE vec_id = 0) a,
+                    (SELECT qv FROM q WHERE vec_id = 1) b),
+        fmd AS (SELECT label, pos, sum(x) / count(*) AS fmv
+                FROM (SELECT label, unnest(dv) AS x,
+                             unnest(range(len(dv))) AS pos FROM dt)
+                GROUP BY 1, 2),
+        fml AS (SELECT label, list(fmv ORDER BY pos) AS fm
+                FROM fmd GROUP BY 1),
+        approx AS (SELECT label,
+                     round(list_inner_product(fm, (SELECT qc FROM qc)), 6)
+                       AS ap
+                   FROM fml),
+        cand AS (SELECT label FROM approx
+                 ORDER BY ap DESC, label ASC LIMIT 3),
+        best AS (SELECT dt.label, q.vec_id,
+                        max(list_inner_product(q.qv, dt.dv)) AS m
+                 FROM dt JOIN cand USING (label) CROSS JOIN q
+                 GROUP BY 1, 2)
+        SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
+        ORDER BY score DESC, label ASC LIMIT 3""",
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr

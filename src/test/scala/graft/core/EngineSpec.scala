@@ -261,6 +261,50 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("installDeclarative registers the multivector column: a plain " +
+      "orderBy(maxsim desc).limit(k) plan hits the two-phase refine " +
+      "and matches searchByMultivec") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkmv", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 0),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-mv").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base, base),
+        Seq(Seq(base + i * 0.01f, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.installDeclarative(td, maxsimRefine = 10)
+    try {
+      val q = Seq(Seq(10.0, 10.0))
+      val df = reg.table(td)
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(q), col("mv")), 6))
+        .orderBy(col("score").desc, col("cid").asc)
+        .limit(5)
+        .select("cid", "score")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected the maxsim candidate semi-join:\n$optimized")
+      val declarative = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaEngine = eng.searchByMultivec(td, q, topk = 5, refine = 10)
+        .collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("score"))).toSeq
+      assert(declarative === viaEngine)
+      // all from the far blob (odd ids): phase 1 must rank correctly
+      assert(declarative.forall(_._1 % 2 === 1))
+    } finally eng.uninstallDeclarative(td)
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)
