@@ -155,6 +155,33 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     } finally AnnIndex.unregisterQuantized("embedding")
   }
 
+  test("maxsim rewrite is a fixpoint on its own output") {
+    val dir = Files.createTempDirectory("graft-maxsim-fix").toString
+    val sp = spark
+    import sp.implicits._
+    (0 until 12).map(i => (i.toLong,
+        Seq(Seq(i * 1.0, 1.0), Seq(0.5, i * 0.5))))
+      .toDF("doc_id", "mv").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    AnnIndex.install(spark)
+    AnnIndex.registerMaxsim("mv", "doc_id", () => stored, refine = 4)
+    try {
+      val q: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0))
+      val df = stored
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(q), col("mv")), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(3)
+        .select("doc_id", "score")
+      val once = AnnTopKRule()(df.queryExecution.analyzed)
+      assert(once.toString.contains("LeftSemi"),
+        s"maxsim rewrite did not engage:\n$once")
+      val twice = AnnTopKRule()(once)
+      assert(once.fastEquals(twice),
+        s"maxsim rewrite not idempotent:\nonce: $once\ntwice: $twice")
+    } finally AnnIndex.unregisterMaxsim("mv")
+  }
+
   test("deleteStored rewrites only affected cells and removes emptied " +
       "cell directories") {
     val e = embeddings
