@@ -144,6 +144,101 @@ final case class ImageIoCodec() extends MediaCodec {
     fake.frames(data, meta, everyMs) // video decode: documented stub seat
 }
 
+/** Real audio decode on the JDK's bundled `javax.sound.sampled` WAV /
+  * AIFF / AU readers (zero external dependencies) — the audio twin of
+  * [[ImageIoCodec]], closing the audio half of the codec seat (video
+  * remains the one documented stub: the JDK ships no video codec).
+  *
+  *  - `decode` → one UNSIGNED byte per sample frame, row-major in time:
+  *    channels are averaged (integer mean), 16-bit PCM keeps its high
+  *    byte recentred to unsigned, 8-bit unsigned PCM passes through
+  *    UNTOUCHED — so [[WavCodec.pcmWav]] fixtures round-trip exactly,
+  *    which makes full-value DuckDB oracles possible (same trick as
+  *    [[ImageIoCodec]]'s gray PNGs).
+  *  - `features` → the shared 64-bin L1-normalized histogram contract,
+  *    now over real PCM samples.
+  *  - `frames` → REAL time-based clip slicing: the WAV header's actual
+  *    sample rate converts `everyMs` into samples-per-clip
+  *    (`max(1, rate·everyMs/1000)`); clips partition the decoded
+  *    samples exactly (last clip short), so total bytes are preserved.
+  *  - `resize` → delegates to [[FakeCodec]]: no spatial dims in audio.
+  */
+final case class WavCodec() extends MediaCodec {
+  import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+  private val fake = FakeCodec()
+
+  def decode(data: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED ||
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported encoding ${fmt.getEncoding}")
+      val raw = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bytesPer = fmt.getSampleSizeInBits / 8
+      val frameSize = fmt.getFrameSize
+      val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      val n = raw.length / frameSize
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val off = i * frameSize + c * bytesPer
+          val hi = if (bytesPer == 1 || fmt.isBigEndian) off
+                   else off + bytesPer - 1
+          val v = if (unsigned) raw(hi) & 0xFF else (raw(hi) + 128) & 0xFF
+          acc += v
+          c += 1
+        }
+        out(i) = (acc / ch).toByte
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  def features(pixels: Array[Byte]): Array[Float] = fake.features(pixels)
+
+  def resize(pixels: Array[Byte], meta: MediaMeta,
+             w: Int, h: Int): Array[Byte] =
+    fake.resize(pixels, meta, w, h) // audio has no spatial dims
+
+  def frames(data: Array[Byte], meta: MediaMeta,
+             everyMs: Long): Seq[Array[Byte]] = {
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val rate = try in.getFormat.getSampleRate finally in.close()
+    val samples = decode(data, meta)
+    val per = math.max(1, (rate * everyMs / 1000.0).toInt)
+    samples.grouped(per).toSeq
+  }
+}
+
+object WavCodec {
+  /** Encode samples as a mono 8-bit unsigned PCM WAV at `rate` Hz
+    * (lossless: [[WavCodec.decode]] returns exactly these bytes back) —
+    * the fixture generator for tests/gates, and the write half of the
+    * audio path. */
+  def pcmWav(samples: Array[Byte], rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, rate,
+      8, 1, 1, rate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt,
+      samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+}
+
 object ImageIoCodec {
   /** Encode one-byte-per-pixel grayscale pixels as a PNG (lossless:
     * [[ImageIoCodec.decode]] returns exactly these bytes back) — the
@@ -203,16 +298,18 @@ object Multimodal {
   }
 
   /** Frame sampling: one output row per sampled video frame (kind
-    * becomes "image"); non-video rows pass through. */
+    * becomes "image") or audio clip (kind stays "audio"); other rows
+    * pass through. */
   def sampleFrames(media: Dataset[MediaRow], codec: MediaCodec,
                    everyMs: Long): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     media.mapPartitions { it =>
       it.flatMap { m =>
-        if (m.kind != "video") Iterator.single(m)
+        if (m.kind != "video" && m.kind != "audio") Iterator.single(m)
         else codec.frames(m.data, m.meta, everyMs).iterator.zipWithIndex
           .map { case (f, i) =>
-            MediaRow(m.id * 1000 + i, "image", f,
+            MediaRow(m.id * 1000 + i,
+              if (m.kind == "video") "image" else "audio", f,
               m.meta.copy(format = "frame", durationMs = 0))
           }
       }

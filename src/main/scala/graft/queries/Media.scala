@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.{FakeCodec, ImageIoCodec, MediaMeta, MediaRow,
-  Multimodal}
+  Multimodal, WavCodec}
 import Tables._
 
 /** Oracle-gated multimodal-column queries: `documents.text` bytes stand
@@ -116,11 +116,49 @@ object Media {
     feats.join(resized, "doc_id").orderBy("doc_id")
   }
 
+  /** REAL audio decode under a full-value oracle: each doc's text bytes
+    * become the PCM samples of a mono 8-bit unsigned WAV at 1000 Hz
+    * ([[WavCodec.pcmWav]], lossless), which then flows through the real
+    * `javax.sound.sampled` decode: n_defg = histogram bin 25 of the
+    * DECODED samples un-normalized back to the exact integer count;
+    * n_frames = clip count from REAL time-based slicing (header rate
+    * 1000 Hz × 100 ms ⇒ 100 samples/clip ⇒ ceil(len/100) clips);
+    * sum_bytes = total clip bytes (slicing partitions the samples, so
+    * it must equal len exactly). The oracle recomputes all three from
+    * the text — closes the audio half of the codec seat (video remains
+    * the one documented stub). */
+  def mediaAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val codec = WavCodec()
+    val wavs: Dataset[MediaRow] = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaRow(id, "audio", WavCodec.pcmWav(bytes, 1000f),
+          MediaMeta("wav", 0, 0, 1, bytes.length.toLong))
+      }
+    val feats = Multimodal.extractFeatures(wavs, codec).toDF()
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id"))
+      .select(col("doc_id"),
+        round(element_at(col("features"), 26).cast("double") *
+          col("n_chars")).cast("long").as("n_defg"))
+    val clips = Multimodal.sampleFrames(wavs, codec, everyMs = 100L)
+      .toDF()
+      .groupBy((col("id") / 1000).cast("long").as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("data"))).as("sum_bytes"))
+    feats.join(clips, "doc_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_frames" -> mediaFrames,
     "m03_media_resize" -> mediaResize,
-    "m04_media_decode" -> mediaDecode)
+    "m04_media_decode" -> mediaDecode,
+    "m05_audio_decode" -> mediaAudio)
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" ->
@@ -155,6 +193,17 @@ object Media {
              substring(s, 32 * (j // 8) + 2 * (j % 8) + 1, 1) = 'a'))
              AS BIGINT) AS n_a
          FROM smp ORDER BY doc_id""",
+    // m05: WAV 8-bit unsigned PCM is lossless on ASCII text bytes, so
+    // all three outputs recompute from text: n_defg = [defg]-count;
+    // n_frames = ceil(len/100) (1000 Hz header rate x 100 ms clips);
+    // sum_bytes = len (clips partition the samples exactly).
+    "m05_audio_decode" ->
+      """SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^defg]', '', 'g'))
+             AS BIGINT) AS n_defg,
+           CAST((length(text) + 99) // 100 AS BIGINT) AS n_frames,
+           CAST(length(text) AS BIGINT) AS sum_bytes
+         FROM documents ORDER BY doc_id""",
     "m02_media_frames" ->
       """WITH f AS (
            SELECT source,

@@ -142,6 +142,42 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("WavCodec: 8-bit PCM WAV round-trips samples exactly; 16-bit " +
+      "stereo downmixes to high-byte mean; clips slice at header rate") {
+    val codec = WavCodec()
+    // lossless round-trip: decode(pcmWav(s)) == s
+    val samples = Array.tabulate(250)(i => (i % 251).toByte)
+    val wav = WavCodec.pcmWav(samples, 1000f)
+    assert(new String(wav.take(4)) === "RIFF" &&
+      new String(wav.slice(8, 12)) === "WAVE") // real WAV container
+    val meta = MediaMeta("wav", 0, 0, 1, 250)
+    assert(codec.decode(wav, meta).toSeq === samples.toSeq)
+    // 16-bit signed stereo: channel mean of the recentred high bytes
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val fmt16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+      16, 2, 4, 8000f, false)
+    // two frames, little-endian: L=(0x0100=256>>8 -> 1+128), R=(0x0300 -> 3+128)
+    val raw = Array[Byte](0, 1, 0, 3, 0, 0x7F, 0, 0x7F)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt16, 2),
+      AudioFileFormat.Type.WAVE, bos)
+    val mono = codec.decode(bos.toByteArray, meta)
+    assert(mono.length === 2)
+    assert((mono(0) & 0xFF) === ((1 + 128) + (3 + 128)) / 2)
+    assert((mono(1) & 0xFF) === 0x7F + 128)
+    // real time-based slicing: 1000 Hz x 100 ms = 100 samples/clip
+    val clips = codec.frames(wav, meta, everyMs = 100L)
+    assert(clips.length === 3) // ceil(250/100)
+    assert(clips.map(_.length).toSeq === Seq(100, 100, 50))
+    assert(clips.flatten.toSeq === samples.toSeq) // partition, no loss
+    // non-audio payloads fail loudly, not silently
+    intercept[Exception] {
+      codec.decode("not audio".getBytes, meta)
+    }
+  }
+
   test("bm25 with alternate tokenizer model ranks differently") {
     val sp = spark
     import sp.implicits._
