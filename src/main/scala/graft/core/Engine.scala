@@ -103,16 +103,10 @@ final class Engine(reg: Registry) {
     * split of client.py:146-174 vs 356-380. */
   def searchByKeyword(td: TableDef[_], query: String, topk: Int = 10,
                       returnFields: Seq[String] = Nil): DataFrame = {
+    val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
     val kw = td.keywordIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no keyword index"))
-    val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
-    val tok = graft.functions.Tokenizers.all.getOrElse(kw.model,
-      graft.functions.Tokenizers.Simple)
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
-    val key = s"kw|${System.identityHashCode(reg)}|${td.name}|" +
-      s"${kw.column}|$version"
-    val idx = Bm25.buildCached(reg.table(td), td.pk, kw.column, key, tok)
+    val idx = keywordIndex(td)
     val hits = Bm25.search(idx, query, topk)
       .withColumnRenamed("id", "__hit_id")
     reg.table(td)
@@ -120,6 +114,29 @@ final class Engine(reg: Registry) {
       .orderBy(col("score").desc, col(td.pk).asc)
       .select((fields :+ "score").map(col): _*)
   }
+
+  /** The table's BM25 side tables, memoized per table VERSION (the
+    * resolver behind [[searchByKeyword]] and the declarative keyword
+    * registration in [[installDeclarative]]). */
+  def keywordIndex(td: TableDef[_]): Bm25.Bm25Index = {
+    val kw = td.keywordIndex.getOrElse(
+      throw new IllegalStateException(s"${td.name} has no keyword index"))
+    val tok = graft.functions.Tokenizers.all.getOrElse(kw.model,
+      graft.functions.Tokenizers.Simple)
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val key = s"kw|${System.identityHashCode(reg)}|${td.name}|" +
+      s"${kw.column}|$version"
+    Bm25.buildCached(reg.table(td), td.pk, kw.column, key, tok)
+  }
+
+  /** Scalar BM25 score column for a declarative keyword query over the
+    * table (stats bound from the current version's index —
+    * [[Bm25.scoreColumn]]). */
+  def keywordScoreColumn(td: TableDef[_], query: String,
+                         roundTo: Int = 6): org.apache.spark.sql.Column =
+    Bm25.scoreColumn(keywordIndex(td), query,
+      col(td.keywordIndex.get.column), roundTo)
 
   /** IVF index build job (`create_index_if_not_exists` twin for vector
     * indexes, client.py:146-174): KMeans over the vector column with
@@ -186,10 +203,18 @@ final class Engine(reg: Registry) {
         graft.plans.AnnIndex.registerMaxsim(mvCol, td.pk,
           () => reg.table(td), maxsimRefine)
       }
-    if (td.vectorIndex.isEmpty &&
+    // keyword column: plain orderBy(bm25_score.desc).limit(k) plans
+    // ([[keywordScoreColumn]] builds the score) rewrite into the
+    // postings-index semi-join — the declarative `<&>` (client.py:
+    // 356-380); resolver-backed via the version-keyed keywordIndex
+    td.keywordIndex.foreach { kw =>
+      graft.plans.AnnIndex.registerBm25(kw.column, td.pk,
+        () => keywordIndex(td))
+    }
+    if (td.vectorIndex.isEmpty && td.keywordIndex.isEmpty &&
         !td.indexes.exists(_.isInstanceOf[Spec.MultiVectorIndex]))
       throw new IllegalStateException(
-        s"${td.name} has no vector or multivector index")
+        s"${td.name} has no vector, multivector, or keyword index")
   }
 
   /** Attach an AT-REST index layout to a table's delete lifecycle:
@@ -221,6 +246,8 @@ final class Engine(reg: Registry) {
     }
     td.indexes.collectFirst { case Spec.MultiVectorIndex(c, _) => c }
       .foreach(graft.plans.AnnIndex.unregisterMaxsim)
+    td.keywordIndex.foreach(kw =>
+      graft.plans.AnnIndex.unregisterBm25(kw.column))
   }
 
   /** IVF assignment memoized per table VERSION: assigning is a map-only

@@ -171,7 +171,12 @@ final case class WavCodec() extends MediaCodec {
   def decode(data: Array[Byte], meta: MediaMeta): Array[Byte] = {
     val in = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(data))
-    try {
+    try decodeStream(in) finally in.close()
+  }
+
+  private def decodeStream(
+      in: javax.sound.sampled.AudioInputStream): Array[Byte] = {
+    {
       val fmt = in.getFormat
       require(fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED ||
           fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
@@ -199,7 +204,7 @@ final case class WavCodec() extends MediaCodec {
         i += 1
       }
       out
-    } finally in.close()
+    }
   }
 
   def features(pixels: Array[Byte]): Array[Float] = fake.features(pixels)
@@ -210,10 +215,13 @@ final case class WavCodec() extends MediaCodec {
 
   def frames(data: Array[Byte], meta: MediaMeta,
              everyMs: Long): Seq[Array[Byte]] = {
+    // one header parse + decode per payload (provider lookup inside
+    // getAudioInputStream is the expensive part, not the PCM math)
     val in = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(data))
-    val rate = try in.getFormat.getSampleRate finally in.close()
-    val samples = decode(data, meta)
+    val (rate, samples) =
+      try (in.getFormat.getSampleRate, decodeStream(in))
+      finally in.close()
     val per = math.max(1, (rate * everyMs / 1000.0).toInt)
     samples.grouped(per).toSeq
   }

@@ -51,7 +51,9 @@ object Bm25 {
     // the single-task scan. The UDF is marked nondeterministic purely as
     // an optimizer barrier (it is pure; tok.scala == tok.column, tested
     // in ComponentsSpec) so the heavy map runs at full parallelism.
-    val tokensUdf = udf((s: String) => tok.scala(s)).asNondeterministic()
+    val tokensUdf = udf((s: String) =>
+      if (s == null) Seq.empty[String] else tok.scala(s))
+      .asNondeterministic()
     val toks = docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -147,10 +149,18 @@ object Bm25 {
     * (`to_bm25query`, /root/reference/vechord/client.py:356-380). */
   def search(index: Bm25Index, query: String, k: Int,
              roundTo: Int = 6): DataFrame = {
+    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
+    searchTerms(index, tok.scala(query).distinct, k, roundTo)
+  }
+
+  /** [[search]] over pre-tokenized distinct terms — the entry the
+    * declarative rewrite uses (the query terms are already literals in
+    * the recognized [[org.apache.spark.sql.graft.Bm25Score]] node). */
+  def searchTerms(index: Bm25Index, terms: Seq[String], k: Int,
+                  roundTo: Int = 6): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
-    val qTerms = tok.scala(query).distinct.toDF("term")
+    val qTerms = terms.toDF("term")
     // map-side prune: postings ⋉ query terms (broadcast of ≤|query| rows)
     val qPost = index.postings.join(broadcast(qTerms), "term")
     // df for just the query's terms, from the pruned postings (the
@@ -165,6 +175,36 @@ object Bm25 {
       .agg(round(sum(col("w")), roundTo).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Scalar BM25 score column against `query`, with the index's corpus
+    * statistics (N, avgdl, per-query-term df) bound in as literals —
+    * the declarative form of the reference's
+    * `kw <&> to_bm25query('idx', q)` (client.py:356-380): write
+    * `docs.withColumn("score", Bm25.scoreColumn(idx, q, col("text")))
+    * .orderBy(desc("score"), asc(id)).limit(k)` and, with the column
+    * registered ([[graft.plans.AnnIndex.registerBm25]]), the plan
+    * rewrites into a candidate semi-join from the postings with this
+    * expression as the exact re-rank. Un-registered it evaluates
+    * brute-force (full scan, score 0 for no-term docs).
+    *
+    * One bounded driver action at construction: the dfs of the query's
+    * own terms (≤ |query terms| rows) — the same driver-side budget as
+    * the rewrite rule's probe cells. */
+  def scoreColumn(index: Bm25Index, query: String,
+                  text: org.apache.spark.sql.Column,
+                  roundTo: Int = 6): org.apache.spark.sql.Column = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
+    val terms = tok.scala(query).distinct
+    val dfMap = index.postings
+      .join(broadcast(terms.toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    org.apache.spark.sql.graft.VecExprs.bm25Score(text, terms,
+      terms.map(dfMap.getOrElse(_, 0L)), index.n, index.avgdl,
+      index.tokenizer, roundTo)
   }
 
   /** Batch keyword search: top-k docs for EVERY query row in one job —
@@ -182,7 +222,8 @@ object Bm25 {
   def searchBatch(index: Bm25Index, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int, roundTo: Int = 6): DataFrame = {
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
-    val tokensUdf = udf((s: String) => tok.scala(s).distinct)
+    val tokensUdf = udf((s: String) =>
+      if (s == null) Seq.empty[String] else tok.scala(s).distinct)
     val qTerms = queries.select(col(qIdCol).cast("long").as("qid"),
       explode(tokensUdf(col(qTextCol))).as("term"))
     // df per DISTINCT query term, from the pruned postings (a term

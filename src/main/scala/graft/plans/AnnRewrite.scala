@@ -191,6 +191,38 @@ object AnnIndex {
   private[plans] def lookupMaxsim(mvCol: String): Option[MaxsimEntry] =
     maxsimEntries.get(mvCol)
 
+  /** BM25 registrations — the declarative form of the reference's
+    * keyword search (`ORDER BY kw <&> to_bm25query(...)`,
+    * client.py:356-380): a plain `orderBy(bm25_score.desc).limit(k)`
+    * plan ([[graft.ops.Bm25.scoreColumn]] builds the score) over a
+    * registered text column rewrites into a semi-join against the
+    * top-(k·refine) ids of the postings-index search
+    * ([[graft.ops.Bm25.searchTerms]] — map-side term-pruned, never a
+    * full-corpus tokenize), with the plan's own Sort+Limit as the exact
+    * re-rank. Scoring is EXACT on both sides, so the rewrite only
+    * changes semantics for docs containing NO query term (brute scores
+    * them 0, the index never ranks them — the reference's contract);
+    * `refine` buffers tie-break divergence at the k boundary.
+    * Resolver-backed like the quantized entries. */
+  final case class Bm25Entry(textCol: String, idCol: String,
+                             resolve: () => graft.ops.Bm25.Bm25Index,
+                             refine: Int) {
+    def candidateIds(terms: Seq[String], n: Int) =
+      graft.ops.Bm25.searchTerms(resolve(), terms, n)
+        .select(org.apache.spark.sql.functions.col("id")
+          .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+  }
+
+  private val bm25Entries = TrieMap.empty[String, Bm25Entry]
+
+  def registerBm25(textCol: String, idCol: String,
+                   resolve: () => graft.ops.Bm25.Bm25Index,
+                   refine: Int = 4): Unit =
+    bm25Entries(textCol) = Bm25Entry(textCol, idCol, resolve, refine)
+  def unregisterBm25(textCol: String): Unit = bm25Entries.remove(textCol)
+  private[plans] def lookupBm25(textCol: String): Option[Bm25Entry] =
+    bm25Entries.get(textCol)
+
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
     * config-driven install use `spark.sql.extensions` with
@@ -286,6 +318,30 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
     }
   }
 
+  /** (text attribute, query terms) from a BM25 score expression —
+    * [[org.apache.spark.sql.graft.Bm25Score]], optionally rounded. The
+    * node already rounds internally, so query terms live in its own
+    * fields, not a child literal. */
+  private def extractBm25(e: Expression):
+      Option[(AttributeReference, Seq[String])] = {
+    val inner = e match {
+      case r: Round => r.child
+      case other => other
+    }
+    def unwrap(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => unwrap(c)
+      case other => other
+    }
+    inner match {
+      case b: org.apache.spark.sql.graft.Bm25Score =>
+        unwrap(b.child) match {
+          case at: AttributeReference => Some((at, b.terms))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** True when `child` already carries an injected (or semantically
     * equivalent) candidate semi-join on this id attribute — the shared
     * idempotence guard of the quantized and maxsim rewrites. */
@@ -375,7 +431,17 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,
         entry.candidateIds(qs, math.max(entry.refine, k)))
-      quant.orElse(maxsim).getOrElse(gl)
+      // keyword path: DESCENDING by a bm25_score
+      val bm25 = for {
+        alias <- sortKey(Descending)
+        (textAttr, terms) <- extractBm25(alias.child)
+        entry <- AnnIndex.lookupBm25(textAttr.name)
+        leaf <- leafFor(textAttr, entry.idCol)
+        idAttr = leaf.output.find(_.name == entry.idCol).get
+        if !hasCandidateSemiJoin(child, idAttr)
+      } yield inject(leaf, idAttr,
+        entry.candidateIds(terms, math.max(k * entry.refine, k)))
+      quant.orElse(maxsim).orElse(bm25).getOrElse(gl)
 
     case s @ Sort(order, true, proj @ Project(fields, child), _)
         if order.nonEmpty =>

@@ -139,6 +139,9 @@ object Media {
         MediaRow(id, "audio", WavCodec.pcmWav(bytes, 1000f),
           MediaMeta("wav", 0, 0, 1, bytes.length.toLong))
       }
+      // both downstream branches (features + clips) re-decode; encode
+      // the WAVs once instead of once per branch
+      .localCheckpoint(true)
     val feats = Multimodal.extractFeatures(wavs, codec).toDF()
       .join(documents(s, d).select(col("doc_id"), col("n_chars")),
         col("id") === col("doc_id"))

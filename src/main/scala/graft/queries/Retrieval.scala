@@ -346,6 +346,39 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")
   }
 
+  /** Declarative BM25 rewrite — keyword search joins the declarative
+    * layer (the FOURTH query shape, completing the reference's search
+    * triad: vector, multivec, keyword): a plain
+    * `orderBy(bm25_score.desc).limit(k)` plan over a registered text
+    * column ([[Bm25.scoreColumn]] binds the index's corpus stats into
+    * the scalar) rewrites into a semi-join against the top-(k·refine)
+    * ids of the postings-index search — the declarative
+    * `kw <&> to_bm25query` (client.py:356-380) — with the plan's own
+    * Sort+Limit as the exact re-rank. Both phases share one total
+    * order (score desc, id asc), so the result equals the global BM25
+    * top-k over term-matching docs; the oracle replays that global
+    * ranking, and the in-query LeftSemi require proves the candidates
+    * actually came through the index path. */
+  def bm25Rewrite(s: SparkSession, d: String): DataFrame = {
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text",
+      s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerBm25("text", "doc_id", () => idx,
+      refine = 2)
+    try {
+      val df = documents(s, d)
+        .withColumn("score",
+          Bm25.scoreColumn(idx, "shuffle sort merge", col("text")))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+        .select("doc_id", "score")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "bm25 rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterBm25("text")
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -390,7 +423,8 @@ object Retrieval {
     "r18_ann_rewrite_cos" -> annRewriteCos,
     "r19_stored_delete" -> storedDelete,
     "r20_ann_topk_ip" -> annTopkIp,
-    "r21_maxsim_rewrite" -> maxsimRewrite)
+    "r21_maxsim_rewrite" -> maxsimRewrite,
+    "r22_bm25_rewrite" -> bm25Rewrite)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -759,6 +793,13 @@ object Retrieval {
                  GROUP BY 1, 2)
         SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
         ORDER BY score DESC, label ASC LIMIT 3""",
+    // r22: both phases of the rewrite share one total order, so the
+    // result is the global BM25 top-5 over term-matching docs — the
+    // r05 replay with this query's terms and k.
+    "r22_bm25_rewrite" ->
+      s"""WITH ${bm25Cte(Seq("shuffle", "sort", "merge"))}
+          SELECT id AS doc_id, round(sum(w), 6) AS score FROM scored
+          GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 5""",
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr

@@ -355,6 +355,11 @@ object VecExprs {
   def scaledL2(a: Column, b: Column, scales: Column): Column =
     c(ScaledL2(ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(scales)))
+  def bm25Score(text: Column, terms: Seq[String], dfs: Seq[Long],
+                n: Long, avgdl: Double, tokenizer: String,
+                roundTo: Int): Column =
+    c(Bm25Score(ExpressionUtils.expression(text), terms, dfs, n, avgdl,
+      tokenizer, roundTo))
 
   /** Register the SQL function forms (`l2_dist`, `cos_dist`,
     * `dot_product`, `maxsim_dot`) on a session — the

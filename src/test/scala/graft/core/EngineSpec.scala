@@ -173,6 +173,32 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("installDeclarative keyword: a plain orderBy(bm25_score.desc)" +
+      ".limit(k) plan hits the postings semi-join and matches " +
+      "searchByKeyword") {
+    import org.apache.spark.sql.functions._
+    val (reg, td, eng) = fresh(lists = 0)
+    eng.installDeclarative(td)
+    try {
+      val df = reg.table(td)
+        .withColumn("score", eng.keywordScoreColumn(td, "spark joins"))
+        .orderBy(col("score").desc, col("cid").asc)
+        .limit(5)
+        .select("cid", "score")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected the postings semi-join:\n$optimized")
+      val declarative = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaEngine = eng.searchByKeyword(td, "spark joins", topk = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("score"))).toSeq
+      assert(declarative === viaEngine)
+      // every hit is from the "spark joins" half of the corpus
+      assert(declarative.forall(_._1 % 2 == 0))
+    } finally eng.uninstallDeclarative(td)
+  }
+
   test("cosine quantized index on the Engine surface: spherical build, " +
       "recall-complete settings equal plain exact cosine") {
     val sp = spark

@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.ops.Bm25
+import org.apache.spark.sql.functions._
+
+/** The declarative BM25 rewrite — keyword search as a plain
+  * `orderBy(bm25_score.desc).limit(k)` plan ([[Bm25.scoreColumn]] +
+  * [[AnnIndex.registerBm25]]), the fourth query shape of the
+  * declarative layer. */
+class Bm25RewriteSpec extends SparkSpecBase {
+
+  private def corpus = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "spark shuffle join filter scan"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by plan"),
+      (4L, "merge sort spill to disk sort"),
+      (5L, "broadcast join small table"),
+      (6L, "window partition order frame"),
+      (7L, "shuffle sort merge join exchange"),
+      (8L, "catalyst optimizer rule batch"))
+      .toDF("doc_id", "text")
+  }
+
+  test("scoreColumn brute evaluation matches the operator path's scores") {
+    val docs = corpus
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val brute = docs
+      .withColumn("score", Bm25.scoreColumn(idx, "shuffle sort merge",
+        col("text")))
+      .filter(col("score") > 0)
+      .select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val op = Bm25.search(idx, "shuffle sort merge", k = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(brute === op) // same docs, same rounded scores
+    idx.postings.unpersist(false)
+  }
+
+  test("registered text column: sort+limit rewrites to the postings " +
+      "semi-join, result equals brute top-k, fixpoint holds") {
+    val docs = corpus.localCheckpoint(true) // stable leaf for the rule
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val scoreCol = Bm25.scoreColumn(idx, "shuffle sort merge", col("text"))
+    def plan(k: Int) = docs
+      .withColumn("score", scoreCol)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+    // brute answer BEFORE registration (no rewrite installed)
+    val brute = plan(3).collect().map(_.toSeq).toSeq
+    AnnIndex.install(spark)
+    AnnIndex.registerBm25("text", "doc_id", () => idx, refine = 2)
+    try {
+      val df = plan(3)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.toString.contains("LeftSemi"),
+        s"bm25 rewrite did not engage:\n$opt")
+      assert(df.collect().map(_.toSeq).toSeq === brute)
+      // idempotence on the rule's own output
+      val once = AnnTopKRule()(df.queryExecution.analyzed)
+      val twice = AnnTopKRule()(once)
+      assert(once.fastEquals(twice),
+        s"bm25 rewrite not idempotent:\nonce: $once\ntwice: $twice")
+    } finally {
+      AnnIndex.unregisterBm25("text")
+      idx.postings.unpersist(false)
+    }
+  }
+
+  test("null text scores null and does not break the rewrite") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, Option("shuffle sort")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val scored = docs
+      .withColumn("score", Bm25.scoreColumn(idx, "shuffle", col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1 + 1)) null else r.getDouble(2))).toMap
+    assert(scored(2L) === null)
+    assert(scored(1L).asInstanceOf[Double] > 0)
+    idx.postings.unpersist(false)
+  }
+}
