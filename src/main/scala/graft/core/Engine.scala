@@ -132,7 +132,10 @@ final class Engine(reg: Registry) {
 
   /** Scalar BM25 score column for a declarative keyword query over the
     * table (stats bound from the current version's index —
-    * [[Bm25.scoreColumn]]). */
+    * [[Bm25.scoreColumn]]). Call per query: the returned column
+    * freezes this version's corpus stats, so a column retained across
+    * table writes goes stale (the registered candidate phase does NOT
+    * — it re-resolves per rewrite). */
   def keywordScoreColumn(td: TableDef[_], query: String,
                          roundTo: Int = 6): org.apache.spark.sql.Column =
     Bm25.scoreColumn(keywordIndex(td), query,
@@ -247,7 +250,7 @@ final class Engine(reg: Registry) {
     td.indexes.collectFirst { case Spec.MultiVectorIndex(c, _) => c }
       .foreach(graft.plans.AnnIndex.unregisterMaxsim)
     td.keywordIndex.foreach(kw =>
-      graft.plans.AnnIndex.unregisterBm25(kw.column))
+      graft.plans.AnnIndex.unregisterBm25(kw.column, td.pk))
   }
 
   /** IVF assignment memoized per table VERSION: assigning is a map-only

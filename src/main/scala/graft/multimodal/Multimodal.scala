@@ -307,7 +307,10 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled video frame (kind
     * becomes "image") or audio clip (kind stays "audio"); other rows
-    * pass through. */
+    * pass through. Output ids are `id·1000 + frameIdx` — the id-space
+    * contract caps a source row at 1000 frames/clips (pick a coarser
+    * `everyMs` for longer media); over-cap rows fail LOUDLY here
+    * rather than silently colliding into the next id's space. */
   def sampleFrames(media: Dataset[MediaRow], codec: MediaCodec,
                    everyMs: Long): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
@@ -316,6 +319,8 @@ object Multimodal {
         if (m.kind != "video" && m.kind != "audio") Iterator.single(m)
         else codec.frames(m.data, m.meta, everyMs).iterator.zipWithIndex
           .map { case (f, i) =>
+            require(i < 1000, s"row ${m.id}: more than 1000 frames at " +
+              s"everyMs=$everyMs — coarsen the sampling interval")
             MediaRow(m.id * 1000 + i,
               if (m.kind == "video") "image" else "audio", f,
               m.meta.copy(format = "frame", durationMs = 0))

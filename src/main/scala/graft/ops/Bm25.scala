@@ -136,6 +136,20 @@ object Bm25 {
   def idf(df: Column, n: Long): Column =
     log((lit(n.toDouble) - df + 0.5) / (df + 0.5) + 1.0)
 
+  /** Query-term-pruned postings — the only postings subset any query
+    * plan touches (`termsDf`: one `term` column, query-bounded,
+    * broadcast). */
+  private def prunedPostings(index: Bm25Index,
+                             termsDf: DataFrame): DataFrame =
+    index.postings.join(broadcast(termsDf), "term")
+
+  /** Per-term df from pruned postings. ONE definition shared by the
+    * operator searches and [[scoreColumn]]: the declarative rewrite's
+    * exactness contract (candidate phase == re-rank scores) rests on
+    * both phases computing df identically. */
+  private def termDf(qPost: DataFrame): DataFrame =
+    qPost.groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Score all docs containing at least one query term; returns
     * (id, score) sorted desc, top k. Query terms are distinct.
     *
@@ -160,12 +174,11 @@ object Bm25 {
                   roundTo: Int = 6): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val qTerms = terms.toDF("term")
     // map-side prune: postings ⋉ query terms (broadcast of ≤|query| rows)
-    val qPost = index.postings.join(broadcast(qTerms), "term")
+    val qPost = prunedPostings(index, terms.toDF("term"))
     // df for just the query's terms, from the pruned postings (the
     // full-vocabulary index.termStats never enters a query plan)
-    val qStats = qPost.groupBy("term").agg(count(lit(1)).as("df"))
+    val qStats = termDf(qPost)
     val perTerm = qPost
       .join(broadcast(qStats), "term")
       .withColumn("w",
@@ -190,7 +203,14 @@ object Bm25 {
     *
     * One bounded driver action at construction: the dfs of the query's
     * own terms (≤ |query terms| rows) — the same driver-side budget as
-    * the rewrite rule's probe cells. */
+    * the rewrite rule's probe cells.
+    *
+    * STALENESS: the embedded stats are frozen at CONSTRUCTION, while a
+    * resolver-backed registration re-resolves its index per rewrite —
+    * a retained Column re-executed after the corpus changes would rank
+    * fresh candidates under stale stats. Rebuild the column per query
+    * against the current index (Engine.keywordScoreColumn does —
+    * its index cache is version-keyed). */
   def scoreColumn(index: Bm25Index, query: String,
                   text: org.apache.spark.sql.Column,
                   roundTo: Int = 6): org.apache.spark.sql.Column = {
@@ -198,9 +218,7 @@ object Bm25 {
     import spark.implicits._
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
     val terms = tok.scala(query).distinct
-    val dfMap = index.postings
-      .join(broadcast(terms.toDF("term")), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfMap = termDf(prunedPostings(index, terms.toDF("term")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     org.apache.spark.sql.graft.VecExprs.bm25Score(text, terms,
       terms.map(dfMap.getOrElse(_, 0L)), index.n, index.avgdl,
@@ -228,9 +246,8 @@ object Bm25 {
       explode(tokensUdf(col(qTextCol))).as("term"))
     // df per DISTINCT query term, from the pruned postings (a term
     // shared by many queries is counted once)
-    val terms = qTerms.select("term").distinct()
-    val tStats = index.postings.join(broadcast(terms), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tStats = termDf(prunedPostings(index,
+      qTerms.select("term").distinct()))
     val perTerm = index.postings
       .join(broadcast(qTerms), "term")
       .join(broadcast(tStats), "term")

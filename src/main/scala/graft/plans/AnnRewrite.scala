@@ -213,15 +213,30 @@ object AnnIndex {
           .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
   }
 
-  private val bm25Entries = TrieMap.empty[String, Bm25Entry]
+  /** Keyword columns are commonly all named "text", so unlike the
+    * vector registries (scope contract: distinct column names per
+    * logical index) BM25 keeps a LIST per column name and the rule
+    * disambiguates by which entry's id column the plan's leaf exposes
+    * — two tables with keyword column "text" but different primary
+    * keys coexist. Same (textCol, idCol) pair re-registers in place;
+    * identical pairs across tables: latest registration wins. */
+  private val bm25Entries = TrieMap.empty[String, List[Bm25Entry]]
 
   def registerBm25(textCol: String, idCol: String,
                    resolve: () => graft.ops.Bm25.Bm25Index,
-                   refine: Int = 4): Unit =
-    bm25Entries(textCol) = Bm25Entry(textCol, idCol, resolve, refine)
+                   refine: Int = 4): Unit = {
+    val e = Bm25Entry(textCol, idCol, resolve, refine)
+    bm25Entries(textCol) =
+      e :: bm25Entries.getOrElse(textCol, Nil).filterNot(_.idCol == idCol)
+  }
+  /** Remove ALL registrations for the column (test teardown). */
   def unregisterBm25(textCol: String): Unit = bm25Entries.remove(textCol)
-  private[plans] def lookupBm25(textCol: String): Option[Bm25Entry] =
-    bm25Entries.get(textCol)
+  /** Remove one table's registration (its id column) only. */
+  def unregisterBm25(textCol: String, idCol: String): Unit =
+    bm25Entries.updateWith(textCol)(
+      _.map(_.filterNot(_.idCol == idCol)).filter(_.nonEmpty))
+  private[plans] def lookupBm25(textCol: String): List[Bm25Entry] =
+    bm25Entries.getOrElse(textCol, Nil)
 
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
@@ -257,18 +272,23 @@ object AnnTopKRule {
 
 case class AnnTopKRule() extends Rule[LogicalPlan] {
 
+  /** Strip an optional top-level Round — score/dist columns are
+    * typically `round(expr, n)` for oracle stability. */
+  private def stripRound(e: Expression): Expression = e match {
+    case r: Round => r.child
+    case other => other
+  }
+
+  /** Strip any chain of casts (element casts, implicit widenings). */
+  private def unwrap(x: Expression): Expression = x match {
+    case Cast(c, _, _, _) => unwrap(c)
+    case other => other
+  }
+
   /** (vector attribute, query literal) from a recognized distance
     * expression, unwrapping an optional Round and element casts. */
   private def extractDist(e: Expression):
       Option[(AttributeReference, Array[Double], Ann.Metric)] = {
-    val inner = e match {
-      case r: Round => r.child
-      case other => other
-    }
-    def unwrap(x: Expression): Expression = x match {
-      case Cast(c, _, _, _) => unwrap(c)
-      case other => other
-    }
     def lit(x: Expression): Option[Array[Double]] = unwrap(x) match {
       case Literal(a: ArrayData, _) => Some(a.toDoubleArray())
       case _ => None
@@ -277,7 +297,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       case a: AttributeReference => Some(a)
       case _ => None
     }
-    inner match {
+    stripRound(e) match {
       case L2Dist(a, b) =>
         for (at <- attr(a); q <- lit(b)) yield (at, q, Ann.L2: Ann.Metric)
       case CosDist(a, b) =>
@@ -293,15 +313,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
     * expression — `maxsim_dot(queryLit, mvCol)`, optionally rounded. */
   private def extractMaxsim(e: Expression):
       Option[(AttributeReference, Array[Array[Double]])] = {
-    val inner = e match {
-      case r: Round => r.child
-      case other => other
-    }
-    def unwrap(x: Expression): Expression = x match {
-      case Cast(c, _, _, _) => unwrap(c)
-      case other => other
-    }
-    inner match {
+    stripRound(e) match {
       case org.apache.spark.sql.graft.MaxSimDot(a, b) =>
         (unwrap(a), unwrap(b)) match {
           case (Literal(q: ArrayData,
@@ -324,15 +336,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
     * fields, not a child literal. */
   private def extractBm25(e: Expression):
       Option[(AttributeReference, Seq[String])] = {
-    val inner = e match {
-      case r: Round => r.child
-      case other => other
-    }
-    def unwrap(x: Expression): Expression = x match {
-      case Cast(c, _, _, _) => unwrap(c)
-      case other => other
-    }
-    inner match {
+    stripRound(e) match {
       case b: org.apache.spark.sql.graft.Bm25Score =>
         unwrap(b.child) match {
           case at: AttributeReference => Some((at, b.terms))
@@ -431,12 +435,15 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,
         entry.candidateIds(qs, math.max(entry.refine, k)))
-      // keyword path: DESCENDING by a bm25_score
+      // keyword path: DESCENDING by a bm25_score; among same-named
+      // registrations, the entry whose id column this plan's leaf
+      // exposes wins (see the bm25Entries scope note)
       val bm25 = for {
         alias <- sortKey(Descending)
         (textAttr, terms) <- extractBm25(alias.child)
-        entry <- AnnIndex.lookupBm25(textAttr.name)
-        leaf <- leafFor(textAttr, entry.idCol)
+        (entry, leaf) <- AnnIndex.lookupBm25(textAttr.name)
+          .flatMap(e => leafFor(textAttr, e.idCol).map((e, _)))
+          .headOption
         idAttr = leaf.output.find(_.name == entry.idCol).get
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,

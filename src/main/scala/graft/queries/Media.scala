@@ -135,25 +135,35 @@ object Media {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
+        val bytes =
+          if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
         MediaRow(id, "audio", WavCodec.pcmWav(bytes, 1000f),
           MediaMeta("wav", 0, 0, 1, bytes.length.toLong))
       }
       // both downstream branches (features + clips) re-decode; encode
       // the WAVs once instead of once per branch
       .localCheckpoint(true)
+    // un-normalize via the sample count the rows already carry
+    // (meta.durationMs = byte length at 1000 Hz) — no second scan of
+    // the documents table, no ASCII n_chars==bytes coupling
     val feats = Multimodal.extractFeatures(wavs, codec).toDF()
-      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
-        col("id") === col("doc_id"))
-      .select(col("doc_id"),
+      .join(wavs.toDF().select(col("id"),
+        col("meta.durationMs").as("n_samples")), "id")
+      .select(col("id").as("doc_id"),
         round(element_at(col("features"), 26).cast("double") *
-          col("n_chars")).cast("long").as("n_defg"))
+          col("n_samples")).cast("long").as("n_defg"))
     val clips = Multimodal.sampleFrames(wavs, codec, everyMs = 100L)
       .toDF()
       .groupBy((col("id") / 1000).cast("long").as("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("data"))).as("sum_bytes"))
-    feats.join(clips, "doc_id").orderBy("doc_id")
+    // left + coalesce: a zero-length payload has no clips but must
+    // still gate as (n_frames, sum_bytes) = (0, 0), like the oracle
+    feats.join(clips, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_defg"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("sum_bytes"), lit(0L)).as("sum_bytes"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,6 +71,44 @@ class Bm25RewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("same-named text columns on two tables: each plan resolves its " +
+      "own registration via its id column") {
+    val sp = spark
+    import sp.implicits._
+    val a = corpus.localCheckpoint(true)
+    val b = Seq((10L, "shuffle everywhere shuffle again"),
+        (11L, "nothing relevant here at all"))
+      .toDF("cid", "text").localCheckpoint(true)
+    val idxA = Bm25.build(a, "doc_id", "text")
+    val idxB = Bm25.build(b, "cid", "text")
+    AnnIndex.install(spark)
+    AnnIndex.registerBm25("text", "doc_id", () => idxA, refine = 2)
+    AnnIndex.registerBm25("text", "cid", () => idxB, refine = 2)
+    try {
+      def top(docs: org.apache.spark.sql.DataFrame, idx: Bm25.Bm25Index,
+              id: String, k: Int) = docs
+        .withColumn("score", Bm25.scoreColumn(idx, "shuffle", col("text")))
+        .orderBy(col("score").desc, col(id).asc)
+        .limit(k).select(id, "score")
+      val dfA = top(a, idxA, "doc_id", 3)
+      val dfB = top(b, idxB, "cid", 1)
+      assert(dfA.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(dfB.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // each table's hits come from ITS OWN corpus, not the other's
+      val idsA = dfA.collect().map(_.getLong(0)).toSet
+      assert(idsA.nonEmpty && idsA.subsetOf((1L to 8L).toSet))
+      assert(dfB.collect().map(_.getLong(0)).toSeq === Seq(10L))
+      // removing one table's registration leaves the other's live
+      AnnIndex.unregisterBm25("text", "cid")
+      assert(top(a, idxA, "doc_id", 3).queryExecution.optimizedPlan
+        .toString.contains("LeftSemi"))
+    } finally {
+      AnnIndex.unregisterBm25("text")
+      idxA.postings.unpersist(false)
+      idxB.postings.unpersist(false)
+    }
+  }
+
   test("null text scores null and does not break the rewrite") {
     val sp = spark
     import sp.implicits._
