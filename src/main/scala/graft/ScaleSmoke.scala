@@ -204,6 +204,35 @@ object ScaleSmoke {
       removed
     }
 
+    // Declarative BM25 at scale: index build is the corpus-linear part
+    // (one tokenize+shuffle over 16x docs); the registered rewrite's
+    // QUERY cost is bounded by the query's terms (pruned postings +
+    // top-(k·refine) semi-join + re-rank over candidates), so the
+    // query row should sit far below the build row and barely move
+    // with corpus size.
+    time("bm25_index_build") {
+      val idx = ops.Bm25.buildCached(docs, "doc_id", "text",
+        s"smoke|$xf")
+      idx.postings.count()
+    }
+    time("bm25_declarative_query") {
+      val idx = ops.Bm25.buildCached(docs, "doc_id", "text",
+        s"smoke|$xf")
+      plans.AnnIndex.install(spark)
+      plans.AnnIndex.registerBm25("text", "doc_id", () => idx,
+        refine = 2)
+      try {
+        val df = docs
+          .withColumn("score", ops.Bm25.scoreColumn(idx,
+            "shuffle sort merge", col("text")))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10).select("doc_id", "score")
+        require(df.queryExecution.optimizedPlan.toString
+          .contains("LeftSemi"), "bm25 rewrite did not engage at scale")
+        df.count()
+      } finally plans.AnnIndex.unregisterBm25("text")
+    }
+
     // Batched provider ingest at scale: the inflated doc table through
     // RemoteEmbed.withEmbeddingBatched against an in-process HTTP stub
     // (rps high enough to not throttle — this row measures the BATCH

@@ -190,6 +190,59 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Per-doc postings rows (id, term, tf, dl, bucket) as a MAP-ONLY
+    * transform — tf and dl are functions of one document alone, so no
+    * groupBy is needed and the same expression runs in batch AND
+    * Structured Streaming ([[graft.streaming.Stream.ingestBm25]]).
+    * `bucket = pmod(hash(term), buckets)` is the at-rest partition key:
+    * a query's term list prunes to its own buckets on disk. */
+  def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                 tok: graft.functions.Tokenizers.Tokenizer =
+                   graft.functions.Tokenizers.Simple,
+                 buckets: Int = 64): DataFrame = {
+    val postUdf = udf((s: String) => {
+      val toks = if (s == null) Seq.empty[String] else tok.scala(s)
+      val dl = toks.length.toLong
+      toks.groupBy(identity)
+        .map { case (t, g) => (t, g.size.toLong, dl) }.toSeq
+    })
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(postUdf(col(textCol))).as("p"))
+      .select(col("id"), col("p._1").as("term"), col("p._2").as("tf"),
+        col("p._3").as("dl"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+  }
+
+  /** Write a batch corpus as the term-bucketed at-rest postings layout
+    * (the bootstrap for [[graft.streaming.Stream.ingestBm25]]'s
+    * continuous appends). */
+  def writePostings(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String,
+                    tok: graft.functions.Tokenizers.Tokenizer =
+                      graft.functions.Tokenizers.Simple,
+                    buckets: Int = 64): Unit =
+    postingsOf(docs, idCol, textCol, tok, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Load a stored postings layout into a queryable [[Bm25Index]]:
+    * re-derives N and avgdl with one aggregate (exact integer sums —
+    * order-independent) and declares termStats lazily; [[search]]/
+    * [[searchTerms]]/[[scoreColumn]] then work unchanged over the
+    * grown index. Call again after appends for fresh stats. */
+  def loadStoredPostings(spark: org.apache.spark.sql.SparkSession,
+                         dir: String,
+                         tokenizer: String = "simple"): Bm25Index = {
+    val postings = spark.read.parquet(dir)
+      .select("id", "term", "tf", "dl")
+    val r = postings.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = r.getLong(0)
+    val avgdl = if (nDocs == 0 || r.isNullAt(1)) 0.0
+      else r.getLong(1).toDouble / nDocs
+    Bm25Index(postings, termDf(postings), nDocs, avgdl, tokenizer)
+  }
+
   /** Scalar BM25 score column against `query`, with the index's corpus
     * statistics (N, avgdl, per-query-term df) bound in as literals —
     * the declarative form of the reference's

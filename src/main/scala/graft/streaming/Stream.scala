@@ -112,6 +112,32 @@ object Stream {
       .format("parquet")
       .start(dir)
 
+  /** Continuous keyword-index ingest — the BM25 twin of [[ingestIvf]]:
+    * per-doc postings (id, term, tf, dl) are a MAP-ONLY function of
+    * each document ([[graft.ops.Bm25.postingsOf]] — tokenize once,
+    * count within the doc, no cross-doc aggregation), so a document
+    * stream appends its postings exactly-once via the file-sink commit
+    * log into the term-bucketed at-rest layout.
+    * [[graft.ops.Bm25.loadStoredPostings]] re-derives corpus stats at
+    * query time, and every query path (search / searchBatch /
+    * scoreColumn / the declarative rewrite) works unchanged over the
+    * GROWN index with no rebuild — the incremental insert-then-query
+    * loop the reference gets from PostgreSQL's bm25 index
+    * (client.py:146-174). */
+  def ingestBm25(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String, checkpoint: String,
+                 tok: graft.functions.Tokenizers.Tokenizer =
+                   graft.functions.Tokenizers.Simple,
+                 buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
+      .writeStream
+      .partitionBy("bucket")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(dir)
+
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With
     * `timeoutMs > 0` state times out after that much processing-time

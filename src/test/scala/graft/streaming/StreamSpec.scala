@@ -136,6 +136,47 @@ class StreamSpec extends SparkSpecBase {
     assert(got === Array(10L, 12L))
   }
 
+  test("ingestBm25: streamed docs land in term buckets and the loaded " +
+      "index scores EXACTLY like a batch build over the same corpus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25-ckpt").toString
+    val corpus = Seq(
+      (1L, "spark shuffle join filter"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by"),
+      (4L, "merge sort spill disk sort"))
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, buckets = 8)
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // term-bucket directories exist (the at-rest pruned layout)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).length
+    assert(bucketDirs > 0)
+    // loaded index == batch build: same stats, same scores, any order
+    val grown = Bm25.loadStoredPostings(spark, dir)
+    val batch = Bm25.build(corpus.toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(grown.n === batch.n && grown.avgdl === batch.avgdl)
+    def hits(ix: Bm25.Bm25Index) =
+      Bm25.search(ix, "shuffle sort", k = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(grown) === hits(batch))
+    // the declarative path works over the grown index too
+    batch.postings.unpersist(false)
+  }
+
   test("stream-stream interval join pairs in-window rows, bounded state") {
     val sp = spark
     import sp.implicits._
