@@ -33,11 +33,14 @@ object Bm25 {
   def tokenize(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** The built "index". */
+  /** The built "index". `bucketCount > 0` marks postings loaded from a
+    * term-bucketed at-rest layout ([[writePostings]]): query paths then
+    * prune to the query terms' own bucket partitions on disk. */
   final case class Bm25Index(postings: DataFrame, // id, term, tf, dl
                              termStats: DataFrame, // term, df
                              n: Long, avgdl: Double,
-                             tokenizer: String = "simple")
+                             tokenizer: String = "simple",
+                             bucketCount: Int = 0)
 
   /** Build corpus statistics (the index-build job, SURVEY.md S2).
     * `tok` picks the tokenizer model (spec.py:276-278 per-column choice). */
@@ -136,12 +139,34 @@ object Bm25 {
   def idf(df: Column, n: Long): Column =
     log((lit(n.toDouble) - df + 0.5) / (df + 0.5) + 1.0)
 
+  /** The bucket a term lands in — evaluates the SAME catalyst
+    * expressions ([[org.apache.spark.sql.functions.hash]] = Murmur3
+    * seed 42, `pmod`) that [[postingsOf]] uses to write the layout, so
+    * driver-side pruning can never disagree with the stored partition
+    * values. */
+  def bucketOf(term: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit,
+      Murmur3Hash, Pmod}
+    Pmod(new Murmur3Hash(Seq(CLit.create(term))), CLit(buckets))
+      .eval(null).asInstanceOf[Int]
+  }
+
   /** Query-term-pruned postings — the only postings subset any query
     * plan touches (`termsDf`: one `term` column, query-bounded,
-    * broadcast). */
-  private def prunedPostings(index: Bm25Index,
-                             termsDf: DataFrame): DataFrame =
-    index.postings.join(broadcast(termsDf), "term")
+    * broadcast). With a bucketed at-rest index the scan is FIRST
+    * pruned to the query terms' own bucket partitions — literal
+    * partition filters, so the file source skips every other bucket
+    * directory on disk (the keyword twin of centroid-cell pruning). */
+  private def prunedPostings(index: Bm25Index, termsDf: DataFrame,
+                             terms: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (index.bucketCount > 0 && terms.nonEmpty &&
+          index.postings.columns.contains("bucket"))
+        index.postings.filter(col("bucket").isin(
+          terms.map(bucketOf(_, index.bucketCount)).distinct: _*))
+      else index.postings
+    base.join(broadcast(termsDf), "term")
+  }
 
   /** Per-term df from pruned postings. ONE definition shared by the
     * operator searches and [[scoreColumn]]: the declarative rewrite's
@@ -175,7 +200,7 @@ object Bm25 {
     val spark = index.postings.sparkSession
     import spark.implicits._
     // map-side prune: postings ⋉ query terms (broadcast of ≤|query| rows)
-    val qPost = prunedPostings(index, terms.toDF("term"))
+    val qPost = prunedPostings(index, terms.toDF("term"), terms)
     // df for just the query's terms, from the pruned postings (the
     // full-vocabulary index.termStats never enters a query plan)
     val qStats = termDf(qPost)
@@ -214,6 +239,37 @@ object Bm25 {
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
   }
 
+  /** The layout's bucket count, recorded next to the data: pruning
+    * with a DIFFERENT modulus than the writer's would silently drop
+    * terms, so the layout is self-describing and the load side never
+    * guesses. */
+  private val BucketsMarker = "_graft_buckets"
+
+  def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
   /** Write a batch corpus as the term-bucketed at-rest postings layout
     * (the bootstrap for [[graft.streaming.Stream.ingestBm25]]'s
     * continuous appends). */
@@ -221,9 +277,11 @@ object Bm25 {
                     dir: String,
                     tok: graft.functions.Tokenizers.Tokenizer =
                       graft.functions.Tokenizers.Simple,
-                    buckets: Int = 64): Unit =
+                    buckets: Int = 64): Unit = {
     postingsOf(docs, idCol, textCol, tok, buckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    writeBucketsMarker(docs.sparkSession, dir, buckets)
+  }
 
   /** Load a stored postings layout into a queryable [[Bm25Index]]:
     * re-derives N and avgdl with one aggregate (exact integer sums —
@@ -233,14 +291,22 @@ object Bm25 {
   def loadStoredPostings(spark: org.apache.spark.sql.SparkSession,
                          dir: String,
                          tokenizer: String = "simple"): Bm25Index = {
+    // bucket count comes from the layout's own marker — pruning with
+    // a guessed modulus would silently drop terms
+    val buckets = readBucketsMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no $BucketsMarker marker — not a graft postings " +
+          "layout (writePostings / Stream.ingestBm25 record it)"))
+    // keep the bucket partition column: query paths prune by it
     val postings = spark.read.parquet(dir)
-      .select("id", "term", "tf", "dl")
+      .select("id", "term", "tf", "dl", "bucket")
     val r = postings.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val nDocs = r.getLong(0)
     val avgdl = if (nDocs == 0 || r.isNullAt(1)) 0.0
       else r.getLong(1).toDouble / nDocs
-    Bm25Index(postings, termDf(postings), nDocs, avgdl, tokenizer)
+    Bm25Index(postings, termDf(postings), nDocs, avgdl, tokenizer,
+      buckets)
   }
 
   /** Scalar BM25 score column against `query`, with the index's corpus
@@ -271,7 +337,7 @@ object Bm25 {
     import spark.implicits._
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
     val terms = tok.scala(query).distinct
-    val dfMap = termDf(prunedPostings(index, terms.toDF("term")))
+    val dfMap = termDf(prunedPostings(index, terms.toDF("term"), terms))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     org.apache.spark.sql.graft.VecExprs.bm25Score(text, terms,
       terms.map(dfMap.getOrElse(_, 0L)), index.n, index.avgdl,

@@ -379,6 +379,28 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterBm25("text")
   }
 
+  /** BM25 over the AT-REST term-bucketed postings layout — the full
+    * write→load→search index lifecycle in one gate
+    * ([[Bm25.writePostings]] / [[Bm25.loadStoredPostings]], the layout
+    * [[graft.streaming.Stream.ingestBm25]] grows continuously): the
+    * loaded index re-derives N/avgdl/df from the stored rows, and the
+    * query scan prunes to the query terms' own bucket partitions
+    * (literal PartitionFilters, asserted in-query — the keyword twin
+    * of centroid-cell pruning). Scores must equal the from-text
+    * replay, proving the stored postings are a lossless index form. */
+  def bm25Stored(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_store").toString
+    Bm25.writePostings(documents(s, d), "doc_id", "text", dir,
+      buckets = 16)
+    val idx = Bm25.loadStoredPostings(s, dir)
+    val df = Bm25.search(idx, "window partition order", 10)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") && phys.contains("bucket#"),
+      "stored bm25 search did not prune bucket partitions")
+    df
+  }
+
   /** The two hybrid input lists: dense cosine top-20 over embeddings and
     * BM25 top-20 over documents, fused on the shared id space
     * (doc_id == vec_id in the testdata). */
@@ -424,7 +446,8 @@ object Retrieval {
     "r19_stored_delete" -> storedDelete,
     "r20_ann_topk_ip" -> annTopkIp,
     "r21_maxsim_rewrite" -> maxsimRewrite,
-    "r22_bm25_rewrite" -> bm25Rewrite)
+    "r22_bm25_rewrite" -> bm25Rewrite,
+    "r23_bm25_stored" -> bm25Stored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -800,6 +823,12 @@ object Retrieval {
       s"""WITH ${bm25Cte(Seq("shuffle", "sort", "merge"))}
           SELECT id AS doc_id, round(sum(w), 6) AS score FROM scored
           GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 5""",
+    // r23: the stored postings layout is lossless, so the replay is
+    // identical in shape to r05 — same scores recomputed from text.
+    "r23_bm25_stored" ->
+      s"""WITH ${bm25Cte(Seq("window", "partition", "order"))}
+          SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+          ORDER BY score DESC, id ASC LIMIT 10""",
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr

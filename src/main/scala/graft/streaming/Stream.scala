@@ -129,7 +129,10 @@ object Stream {
                  tok: graft.functions.Tokenizers.Tokenizer =
                    graft.functions.Tokenizers.Simple,
                  buckets: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the layout is self-describing: record the bucket modulus up
+    // front so loads never prune with a guessed (wrong) one
+    graft.ops.Bm25.writeBucketsMarker(docs.sparkSession, dir, buckets)
     graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
       .writeStream
       .partitionBy("bucket")
@@ -137,6 +140,7 @@ object Stream {
       .outputMode("append")
       .format("parquet")
       .start(dir)
+  }
 
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With

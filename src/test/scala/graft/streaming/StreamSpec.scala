@@ -173,7 +173,12 @@ class StreamSpec extends SparkSpecBase {
       Bm25.search(ix, "shuffle sort", k = 4).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(grown) === hits(batch))
-    // the declarative path works over the grown index too
+    // term-bucket disk pruning: the stored search's scan carries
+    // literal bucket partition filters (other bucket dirs are skipped)
+    val phys = Bm25.search(grown, "shuffle sort", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters") && phys.contains("bucket#"),
+      s"expected bucket partition pruning:\n$phys")
     batch.postings.unpersist(false)
   }
 
