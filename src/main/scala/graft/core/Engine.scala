@@ -229,14 +229,22 @@ final class Engine(reg: Registry) {
     * maintenance PostgreSQL's DELETE performs implicitly on the
     * reference's indexes (client.py:268-283). `dir` is a
     * [[Ann.writeIvfSq]] / [[Ann.writeIvfBitq]] root (the `quantized`
-    * subdir is detected) or a [[Ann.writePartitioned]] path. */
+    * subdir is detected), a [[Ann.writePartitioned]] path, or a
+    * [[Bm25.writePostings]] keyword layout (detected by its
+    * `_graft_buckets` marker — deletes rewrite the affected term
+    * buckets). */
   def attachStoredIndex(td: TableDef[_], dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
     val q = new org.apache.hadoop.fs.Path(root, "quantized")
+    // keyword postings layouts are self-describing (_graft_buckets)
+    val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val path = if (fs.exists(q)) q.toString else dir
     reg.onDelete(td.name) { deleted =>
-      Ann.deleteStoredIds(reg.spark, path, td.pk, deleted.select(td.pk))
+      if (keyword)
+        Bm25.deleteStoredPostings(reg.spark, path, deleted.select(td.pk))
+      else
+        Ann.deleteStoredIds(reg.spark, path, td.pk, deleted.select(td.pk))
       ()
     }
   }

@@ -232,7 +232,9 @@ object Bm25 {
         .map { case (t, g) => (t, g.size.toLong, dl) }.toSeq
     })
     docs
-      .select(col(idCol).cast("long").as("id"),
+      // id keeps its natural type (string/uuid pks must not null out
+      // under a long cast); search treats it opaquely
+      .select(col(idCol).as("id"),
         explode(postUdf(col(textCol))).as("p"))
       .select(col("id"), col("p._1").as("term"), col("p._2").as("tf"),
         col("p._3").as("dl"))
@@ -308,6 +310,22 @@ object Bm25 {
     Bm25Index(postings, termDf(postings), nDocs, avgdl, tokenizer,
       buckets)
   }
+
+  /** Delete documents' postings from an at-rest layout
+    * ([[writePostings]]): rewrites ONLY the bucket partitions that
+    * contain the doomed ids' rows (dynamic partition overwrite —
+    * [[Ann.deleteStoredIds]] generalized over the partition column).
+    * Because [[loadStoredPostings]] re-derives N/avgdl/df from the
+    * stored rows, a stored delete is EXACTLY equivalent to rebuilding
+    * the index without those docs — tf/dl are per-doc quantities, so
+    * surviving rows are untouched. Returns removed row count.
+    *
+    * Batch layouts only: a streaming-grown dir is governed by its
+    * file-sink commit log, which a batch overwrite would desync —
+    * compact (read + writePostings) first. */
+  def deleteStoredPostings(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, ids: DataFrame): Long =
+    Ann.deleteStoredIds(spark, dir, "id", ids, cellCol = "bucket")
 
   /** Scalar BM25 score column against `query`, with the index's corpus
     * statistics (N, avgdl, per-query-term df) bound in as literals —

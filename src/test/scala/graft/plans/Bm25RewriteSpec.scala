@@ -109,6 +109,30 @@ class Bm25RewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("deleteStoredPostings: a stored delete equals a rebuild without " +
+      "the removed docs (stats re-derived at load)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-del").toString
+    Bm25.writePostings(docs, "doc_id", "text", dir, buckets = 8)
+    val removed = Bm25.deleteStoredPostings(spark, dir,
+      Seq(2L, 7L).toDF("doc_id"))
+    assert(removed > 0)
+    val after = Bm25.loadStoredPostings(spark, dir)
+    val rebuilt = Bm25.build(docs.filter(!col("doc_id").isin(2L, 7L)),
+      "doc_id", "text")
+    assert(after.n === rebuilt.n && after.avgdl === rebuilt.avgdl)
+    def hits(ix: Bm25.Bm25Index) =
+      Bm25.search(ix, "shuffle sort merge", k = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = hits(after)
+    assert(got === hits(rebuilt))
+    assert(!got.exists(h => h._1 == 2L || h._1 == 7L))
+    rebuilt.postings.unpersist(false)
+  }
+
   test("null text scores null and does not break the rewrite") {
     val sp = spark
     import sp.implicits._
