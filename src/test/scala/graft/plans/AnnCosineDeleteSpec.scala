@@ -258,7 +258,37 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).filter(col("rid") === 5L).count() === 0)
     assert(reg.table(td).filter(col("rid") === 5L).count() === 0)
   }
+
+  test("attachStoredIndex keyword layout: removeBy rewrites the " +
+      "postings buckets post-commit (marker auto-detected)") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    import graft.ops.Bm25
+    val td = Spec.TableDef[KwRow]("kwrow", primaryKey = Some("kid"),
+      indexes = Seq(KeywordIndex("body", model = "simple")))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-kwdel-reg").toString).register(td)
+    reg.insert(td, Seq(
+      KwRow(1L, "spark shuffle join"),
+      KwRow(2L, "sort merge shuffle"),
+      KwRow(3L, "hash aggregate plan")))
+    val eng = new Engine(reg)
+    val dir = Files.createTempDirectory("graft-kwdel-attach").toString
+    Bm25.writePostings(reg.table(td), "kid", "body", dir, buckets = 8)
+    eng.attachStoredIndex(td, dir) // keyword layout via _graft_buckets
+    reg.removeBy(td, Map("kid" -> 2L))
+    val after = Bm25.loadStoredPostings(spark, dir)
+    val hits = Bm25.search(after, "shuffle", k = 5).collect()
+      .map(_.getLong(0)).toSeq
+    assert(hits === Seq(1L)) // doc 2 gone from the stored index
+    // stats re-derived: N shrank with the delete
+    assert(after.n === 2L)
+  }
 }
+
+/** Minimal keyword-table row for the attach test. */
+case class KwRow(kid: Long, body: String)
 
 /** Minimal vector-table row for the attach test. */
 case class VecRow(rid: Long, v: Seq[Float])
