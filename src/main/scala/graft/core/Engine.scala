@@ -212,7 +212,8 @@ final class Engine(reg: Registry) {
     // 356-380); resolver-backed via the version-keyed keywordIndex
     td.keywordIndex.foreach { kw =>
       graft.plans.AnnIndex.registerBm25(kw.column, td.pk,
-        () => keywordIndex(td))
+        () => keywordIndex(td),
+        owner = s"${reg.namespace}.${td.name}")
     }
     if (td.vectorIndex.isEmpty && td.keywordIndex.isEmpty &&
         !td.indexes.exists(_.isInstanceOf[Spec.MultiVectorIndex]))
@@ -240,14 +241,37 @@ final class Engine(reg: Registry) {
     // keyword postings layouts are self-describing (_graft_buckets)
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val path = if (fs.exists(q)) q.toString else dir
-    reg.onDelete(td.name) { deleted =>
-      if (keyword)
-        Bm25.deleteStoredPostings(reg.spark, path, deleted.select(td.pk))
-      else
-        Ann.deleteStoredIds(reg.spark, path, td.pk, deleted.select(td.pk))
-      ()
+    // fail at ATTACH, not first delete: a streaming-grown dir
+    // (_spark_metadata commit log) cannot take batch cell rewrites —
+    // compact it first (Stream.compactStored)
+    Ann.requireBatchLayout(reg.spark, path)
+    storedAttachments.synchronized {
+      // idempotent per (table, dir): re-attaching must not stack a
+      // second hook that rewrites the same layout twice per delete
+      if (!storedAttachments.contains((td.name, dir))) {
+        storedAttachments((td.name, dir)) = reg.onDelete(td.name) {
+          deleted =>
+            if (keyword)
+              Bm25.deleteStoredPostings(reg.spark, path,
+                deleted.select(td.pk))
+            else
+              Ann.deleteStoredIds(reg.spark, path, td.pk,
+                deleted.select(td.pk))
+            ()
+        }
+      }
     }
   }
+
+  /** Undo [[attachStoredIndex]]: the layout stops tracking the table's
+    * deletes (no-op if never attached). */
+  def detachStoredIndex(td: TableDef[_], dir: String): Unit =
+    storedAttachments.synchronized {
+      storedAttachments.remove((td.name, dir)).foreach(detach => detach())
+    }
+
+  private val storedAttachments =
+    scala.collection.mutable.Map[(String, String), () => Unit]()
 
   /** Remove [[installDeclarative]]'s registrations for the table. */
   def uninstallDeclarative(td: TableDef[_]): Unit = {

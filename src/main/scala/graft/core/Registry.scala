@@ -153,13 +153,29 @@ final class Registry(val spark: SparkSession, root: String,
     * index layouts in sync with `removeBy` — the Spark twin of the
     * index maintenance PostgreSQL's DELETE does implicitly for the
     * reference (client.py:268-283). */
-  def onDelete(tableName: String)(hook: DataFrame => Unit): Unit =
+  def onDelete(tableName: String)(hook: DataFrame => Unit): () => Unit =
     deleteHooks.synchronized {
       deleteHooks.getOrElseUpdate(tableName, mutable.Buffer()) += hook
+      // detach handle: removes THIS registration (reference identity —
+      // the same function literal registered twice detaches one copy)
+      () => deleteHooks.synchronized {
+        deleteHooks.get(tableName).foreach { b =>
+          val i = b.indexWhere(_ eq hook)
+          if (i >= 0) b.remove(i)
+        }
+      }
     }
 
   private val deleteHooks =
     mutable.Map[String, mutable.Buffer[DataFrame => Unit]]()
+
+  /** Post-commit hook failures from the most recent [[runTxn]] on this
+    * registry (empty = all hooks ran clean). The COMMIT itself never
+    * fails for a hook: by the time hooks run the manifest is already
+    * swapped, so throwing would tell the caller a committed delete
+    * failed. Callers that must react to index-maintenance failures
+    * (e.g. schedule a layout rebuild) check here. */
+  @volatile var lastHookFailures: List[Throwable] = Nil
 
   private def fireOnCommit(txn: Txn, tableName: String,
                            deleted: DataFrame): Unit = {
@@ -302,8 +318,21 @@ final class Registry(val spark: SparkSession, root: String,
       }
     }
     // post-commit actions (delete hooks) in registration order; a
-    // conflict-thrown commit above never reaches them
-    txn.afterCommit.reverse.foreach(_())
+    // conflict-thrown commit above never reaches them. A hook failure
+    // must NOT mask the committed result (the manifest is already
+    // swapped — the delete HAPPENED): every hook still runs, failures
+    // are collected into lastHookFailures and logged, and the caller
+    // gets the committed result back.
+    val failures = List.newBuilder[Throwable]
+    txn.afterCommit.reverse.foreach { a =>
+      try a()
+      catch { case scala.util.control.NonFatal(e) =>
+        failures += e
+        org.slf4j.LoggerFactory.getLogger(classOf[Registry])
+          .warn(s"post-commit hook failed (txn already committed)", e)
+      }
+    }
+    lastHookFailures = failures.result()
     res
   }
 }

@@ -7,9 +7,16 @@ import org.apache.spark.sql.functions._
   * twin (/root/reference/vechord/client.py:130-144, spec.py:265,276-278:
   * models `bert_base_uncased` and `wiki_tocken`).
   *
-  * Each tokenizer has a column form (codegen'd, used in index builds)
-  * and a Scala form (used for query strings on the driver); the two are
+  * Each tokenizer has a column form (used in index builds) and a Scala
+  * form (used for query strings on the driver); the two are
   * behavior-identical by construction and tested as such.
+  *
+  * The registry is MUTABLE: [[wordpiece]] builds a real trained-vocab
+  * WordPiece tokenizer at runtime and registers it under its model name,
+  * replacing the vocab-less seat — the Spark twin of the reference
+  * registering a trained tokenizer in PG. The vocab is data, not code:
+  * it loads from a caller-supplied file/word list, exactly like the POS
+  * lexicon contract (SURVEY §8).
   */
 object Tokenizers {
 
@@ -24,8 +31,10 @@ object Tokenizers {
     c => filter(split(lower(c), "[^a-z0-9]+"), t => t =!= ""),
     s => s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
 
-  /** WordPiece-ish subwords: alnum runs cut into <= 4-char pieces,
-    * digits standalone (the `bert_base_uncased` seat). */
+  /** WordPiece SEAT: alnum runs cut into <= 4-char pieces, digits
+    * standalone — the deterministic no-vocab fallback for
+    * `bert_base_uncased`. Register a real vocab with [[wordpiece]] /
+    * [[wordpieceFromFile]] to replace it. */
   val Wordpiece: Tokenizer = Tokenizer(
     "bert_base_uncased",
     c => regexp_extract_all(lower(c), lit("[a-z]{1,4}|[0-9]"), lit(0)),
@@ -41,10 +50,137 @@ object Tokenizers {
     s => s.split("\\s+").map(_.replaceAll("^\\p{Punct}+|\\p{Punct}+$", ""))
       .filter(_.nonEmpty).toSeq)
 
-  val all: Map[String, Tokenizer] =
-    Seq(Simple, Wordpiece, Wiki).map(t => t.name -> t).toMap
+  private val registered =
+    scala.collection.concurrent.TrieMap[String, Tokenizer](
+      Seq(Simple, Wordpiece, Wiki).map(t => t.name -> t): _*)
+
+  /** Install (or replace) a tokenizer under its model name.
+    *
+    * DRIVER-side registry: a registered tokenizer's own functions are
+    * serializable (the vocab rides along in the task binary, which
+    * Spark broadcasts once per executor), but resolution BY NAME from
+    * executor-side code (e.g. a brute-force-evaluated
+    * [[org.apache.spark.sql.graft.Bm25Score]]) sees each executor
+    * JVM's own registry — on a real cluster, run the same `register`
+    * in an executor-side initializer for those paths. Every operator
+    * path (build / search / searchBatch) resolves on the driver. */
+  def register(t: Tokenizer): Unit = registered(t.name) = t
+
+  def all: Map[String, Tokenizer] = registered.readOnlySnapshot().toMap
 
   def byName(model: String): Tokenizer =
-    all.getOrElse(model,
+    registered.getOrElse(model,
       throw new IllegalArgumentException(s"unknown tokenizer: $model"))
+
+  // --------------------------------------------------------------------
+  // Real WordPiece (greedy longest-match over a trained vocab) — the
+  // algorithm behind the reference's `bert_base_uncased` PG tokenizer.
+  // --------------------------------------------------------------------
+
+  /** BERT basic-tokenizer punctuation: the ASCII punct ranges plus
+    * Unicode category P* (so `$`, `^` etc. count as punctuation even
+    * though Unicode classes them as symbols). */
+  private def isPunct(ch: Char): Boolean = {
+    val cp = ch.toInt
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+    (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+      val t = Character.getType(ch)
+      t == Character.CONNECTOR_PUNCTUATION ||
+      t == Character.DASH_PUNCTUATION ||
+      t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+      t == Character.INITIAL_QUOTE_PUNCTUATION ||
+      t == Character.FINAL_QUOTE_PUNCTUATION ||
+      t == Character.OTHER_PUNCTUATION
+    }
+  }
+
+  /** BERT basic tokenization (uncased): lowercase, strip accents (NFD,
+    * drop combining marks), words split on whitespace, every
+    * punctuation character its own token. */
+  def basicTokens(s: String): Seq[String] = {
+    val lowered = java.text.Normalizer.normalize(
+      s.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFD)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+    var i = 0
+    while (i < lowered.length) {
+      val ch = lowered.charAt(i)
+      if (Character.getType(ch) == Character.NON_SPACING_MARK) ()
+      else if (Character.isWhitespace(ch)) flush()
+      else if (isPunct(ch)) { flush(); out += ch.toString }
+      else cur.append(ch)
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Greedy longest-match WordPiece of ONE basic token: repeatedly take
+    * the longest vocab piece matching at the cursor (pieces after the
+    * first carry the `##` continuation prefix); a position with no
+    * matching piece makes the whole word `unk`. */
+  def wordpiecePieces(vocab: Set[String], word: String,
+                      unk: String = "[UNK]",
+                      maxChars: Int = 100): Seq[String] = {
+    if (word.length > maxChars) return Seq(unk)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var piece: String = null
+      while (end > start && piece == null) {
+        val sub = (if (start > 0) "##" else "") + word.substring(start, end)
+        if (vocab.contains(sub)) piece = sub else end -= 1
+      }
+      if (piece == null) return Seq(unk)
+      out += piece
+      start = end
+    }
+    out.toSeq
+  }
+
+  /** Full WordPiece tokenization: basic tokens, each greedily split
+    * into vocab pieces. */
+  def wordpieceScala(vocab: Set[String], s: String,
+                     unk: String = "[UNK]"): Seq[String] =
+    basicTokens(s).flatMap(w => wordpiecePieces(vocab, w, unk))
+
+  /** Build AND register a real WordPiece tokenizer from a vocab word
+    * list (one piece per entry, `##`-prefixed continuations — the
+    * layout of a BERT `vocab.txt`). The column form is a UDF capturing
+    * the vocab set: Spark ships it once per executor inside the
+    * broadcast task binary, so a 30k-piece vocab costs one ~300 KB
+    * transfer, not a per-row or per-task one. */
+  def wordpiece(vocab: Seq[String],
+                name: String = "bert_base_uncased",
+                unk: String = "[UNK]"): Tokenizer = {
+    val set = vocab.toSet
+    val t = Tokenizer(
+      name,
+      c => udf((s: String) =>
+        if (s == null) Seq.empty[String] else wordpieceScala(set, s, unk))
+        .apply(c),
+      s => if (s == null) Seq.empty[String] else wordpieceScala(set, s, unk))
+    register(t)
+    t
+  }
+
+  /** [[wordpiece]] from a vocab FILE (one piece per line — a BERT
+    * `vocab.txt`); any Hadoop-visible path (local, hdfs://, s3a://). */
+  def wordpieceFromFile(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        name: String = "bert_base_uncased",
+                        unk: String = "[UNK]"): Tokenizer = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val vocab =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toVector
+      finally in.close()
+    wordpiece(vocab, name, unk)
+  }
 }

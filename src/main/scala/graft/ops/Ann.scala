@@ -886,10 +886,27 @@ object Ann {
       df => df.join(ids, df(idCol) === ids(key), "left_anti"))
   }
 
+  /** Refuse cell-rewrite maintenance on a STREAMING-grown layout: a
+    * file-sink directory is governed by its `_spark_metadata` commit
+    * log, and a batch rewrite that replaces/deletes files underneath it
+    * desyncs the log (subsequent reads list the replaced files).
+    * Compact first ([[graft.streaming.Stream.compactStored]]). */
+  private[graft] def requireBatchLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) throw new IllegalStateException(
+      s"$path is a streaming file-sink layout (_spark_metadata commit " +
+        "log present); a batch cell rewrite would desync the log. " +
+        "Compact it into a batch layout first " +
+        "(graft.streaming.Stream.compactStored).")
+  }
+
   private def deleteStoredImpl(spark: org.apache.spark.sql.SparkSession,
                                path: String, cellCol: String,
                                doomed: DataFrame => DataFrame,
                                survivors: DataFrame => DataFrame): Long = {
+    requireBatchLayout(spark, path)
     val df = spark.read.parquet(path)
     // one aggregation gives BOTH the affected-cell set and the removed
     // count (vs a distinct + two counts: three scans of the doomed set)
@@ -899,19 +916,36 @@ object Ann {
     val removed = perCell.map(_.getLong(1)).sum
     if (hit.isEmpty) return 0L
     val affected = df.filter(col(cellCol).isin(hit: _*))
-    // materialize BEFORE the overwrite: the plan reads the very files
-    // the commit below replaces
-    val keep = survivors(affected).localCheckpoint(true)
-    val keepCells = keep.select(col(cellCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    keep.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(cellCol).parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    hit.filterNot(keepCells).foreach { cell =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$cellCol=$cell"), true)
+    // STAGE-AND-SWAP: write survivors of the affected cells to a
+    // staging subdir (leading `_` — invisible to Spark's file listing,
+    // so concurrent readers of the layout never see it), then swap each
+    // staged cell directory into place with an atomic per-cell rename.
+    // Same I/O volume as a rewrite must pay (affected-cell bytes read +
+    // written once), but the survivors stream straight from the old
+    // files to the staging files — no block-manager double-buffering of
+    // the whole affected set (a worst-case every-cell delete used to
+    // round-trip the entire index through localCheckpoint).
+    val stage = new org.apache.hadoop.fs.Path(path, "_graft_stage")
+    fs.delete(stage, true) // leftover from a crashed prior delete
+    survivors(affected).write.mode("overwrite")
+      .partitionBy(cellCol).parquet(stage.toString)
+    val staged = fs.listStatus(stage).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
+    staged.foreach { s =>
+      val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
+      fs.delete(dest, true)
+      fs.rename(s.getPath, dest)
     }
+    // cells whose rows were ALL doomed produce no staged dir: remove
+    // them (the per-cell delete-then-rename above, like the dynamic
+    // overwrite it replaces, is atomic per cell, not across cells)
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    hit.map(c => s"$cellCol=$c").filterNot(stagedNames).foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, name), true)
+    }
+    fs.delete(stage, true)
     removed
   }
 }

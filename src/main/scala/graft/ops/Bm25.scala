@@ -29,6 +29,11 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Below this optimizer-estimated input size the build skips its
+    * parallelism barrier (see [[build]]): ~32 MiB of text tokenizes in
+    * well under a second on one core, less than a full shuffle costs. */
+  val BuildBarrierMinBytes: BigInt = BigInt(32L << 20)
+
   /** Deterministic tokenizer: lowercase, non-alphanumeric runs split. */
   def tokenize(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
@@ -48,18 +53,26 @@ object Bm25 {
             tok: graft.functions.Tokenizers.Tokenizer =
               graft.functions.Tokenizers.Simple): Bm25Index = {
     val spark = docs.sparkSession
-    // Tokenize AFTER an explicit repartition: text tables are tiny on
-    // disk (1-2 parquet splits) but tokenization is compute-heavy, and a
-    // plain column projection would be pushed below the repartition into
-    // the single-task scan. The UDF is marked nondeterministic purely as
-    // an optimizer barrier (it is pure; tok.scala == tok.column, tested
-    // in ComponentsSpec) so the heavy map runs at full parallelism.
-    val tokensUdf = udf((s: String) =>
+    // Tokenization is compute-heavy while text tables often arrive as
+    // 1-2 parquet splits, so at scale the heavy map must run AFTER an
+    // explicit repartition to defaultParallelism (the UDF is marked
+    // nondeterministic purely as an optimizer barrier — it is pure;
+    // tok.scala == tok.column, tested in ComponentsSpec — so the
+    // projection is not pushed below the repartition into the
+    // single-task scan). SIZE-GATED: when the scan is already at least
+    // cluster-wide, or the input is small enough that one task
+    // tokenizes it faster than a 32-way shuffle round-trips it, the
+    // barrier costs more than it saves (round-7 same-host A/B: +0.4 s
+    // at sf0.1), so skip it and let the plan stay a plain map.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val par = spark.sparkContext.defaultParallelism
+    val spread = base.rdd.getNumPartitions < par &&
+      base.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BuildBarrierMinBytes
+    val plainUdf = udf((s: String) =>
       if (s == null) Seq.empty[String] else tok.scala(s))
-      .asNondeterministic()
-    val toks = docs
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tokensUdf = if (spread) plainUdf.asNondeterministic() else plainUdf
+    val toks = (if (spread) base.repartition(par) else base)
       .select(col("id"), tokensUdf(col("__text")).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("term"))
     // ONE tokenize+shuffle pass: postings (id, term, tf, dl) is the only
@@ -255,6 +268,28 @@ object Bm25 {
     try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Record the modulus for an APPEND-grown layout, refusing to change
+    * it once declared: rows bucketed `pmod(hash, b')` appended into a
+    * directory whose marker (and existing partitions) say `b` would mix
+    * two moduli while queries prune with only one — the silent-term-loss
+    * failure the self-describing marker exists to prevent. Restarting
+    * ingest with the recorded modulus is a no-op; any other value
+    * throws. ([[writePostings]] is exempt: its static overwrite replaces
+    * the entire layout, marker included, so a new modulus is fresh.) */
+  def ensureBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, buckets: Int): Unit =
+    readBucketsMarker(spark, dir) match {
+      case Some(existing) if existing != buckets =>
+        throw new IllegalStateException(
+          s"$dir is a postings layout bucketed mod $existing; " +
+            s"appending with buckets=$buckets would mix moduli and " +
+            "silently drop terms from pruned queries. Pass " +
+            s"buckets=$existing, or rewrite the layout (writePostings) " +
+            "to change the modulus.")
+      case Some(_) => () // already recorded — reuse
+      case None => writeBucketsMarker(spark, dir, buckets)
+    }
+
   def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
@@ -379,14 +414,24 @@ object Bm25 {
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
     val tokensUdf = udf((s: String) =>
       if (s == null) Seq.empty[String] else tok.scala(s).distinct)
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qTerms = queries.select(col(qIdCol).cast("long").as("qid"),
       explode(tokensUdf(col(qTextCol))).as("term"))
+    // The distinct batch terms are collected once — query logs are
+    // driver-bounded (they are broadcast below regardless), the same
+    // budget as the single-query path — so that on a stored layout
+    // BOTH the stats aggregation and the scoring join carry literal
+    // bucket partition filters and scan only the query terms' own
+    // bucket directories (previously only the single-query path
+    // pruned; the batch path scanned every bucket).
+    val termList = qTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
     // df per DISTINCT query term, from the pruned postings (a term
     // shared by many queries is counted once)
-    val tStats = termDf(prunedPostings(index,
-      qTerms.select("term").distinct()))
-    val perTerm = index.postings
-      .join(broadcast(qTerms), "term")
+    val tStats = termDf(prunedPostings(index, termList.toDF("term"),
+      termList))
+    val perTerm = prunedPostings(index, qTerms, termList)
       .join(broadcast(tStats), "term")
       .withColumn("w",
         idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /

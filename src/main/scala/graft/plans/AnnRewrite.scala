@@ -63,6 +63,58 @@ object AnnIndex {
   private[plans] def lookup(vecCol: String): Option[Entry] =
     entries.get(vecCol)
 
+  /** EXECUTOR-SIDE probe selection — the fallback past [[register]]'s
+    * driver-side centroid budget (~10⁵ cells): instead of collecting
+    * centroids and injecting an `IN (cells...)` literal filter, the
+    * rule injects a LEFT SEMI join against a subplan that computes the
+    * `probes` nearest cells FROM THE CENTROIDS TABLE ITSELF
+    * (`orderBy(dist(centroid, q)).limit(probes)`) — centroids never
+    * leave the cluster, the candidate side is `probes` rows (statistics
+    * make it a broadcast join), and on a `partitionBy(cellCol)` layout
+    * dynamic partition pruning prunes the cell directories at runtime.
+    * Resolver-backed like the quantized entries: the centroid table is
+    * re-resolved per rewrite. */
+  final case class DistEntry(vecCol: String, cellCol: String,
+                             resolveCentroids: () => org.apache.spark.sql
+                               .DataFrame,
+                             centIdCol: String, centVecCol: String,
+                             metric: Ann.Metric, probes: Int) {
+    def probeCellsDf(q: Array[Double],
+                     cellType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      resolveCentroids()
+        .withColumn("__d", metric.dist(
+          col(centVecCol).cast("array<double>"), typedlit(q.toSeq)))
+        .orderBy(col("__d").asc, col(centIdCol).asc)
+        .limit(probes)
+        // cast to the scanned cell column's type (partition columns
+        // read back as int) and alias for a fresh exprId — see SqQuant
+        .select(col(centIdCol).cast(cellType).as(s"__cell_$centIdCol"))
+    }
+  }
+
+  private val distEntries = TrieMap.empty[String, DistEntry]
+
+  def registerDistributed(vecCol: String, model: Ann.IvfModel,
+                          metric: Ann.Metric, probes: Int): Unit =
+    registerDistributed(vecCol, () => model.centroids, model.idCol,
+      model.vecCol, metric, probes)
+
+  /** Resolver form of [[registerDistributed]]. */
+  def registerDistributed(vecCol: String,
+                          resolveCentroids: () => org.apache.spark.sql
+                            .DataFrame,
+                          centIdCol: String, centVecCol: String,
+                          metric: Ann.Metric, probes: Int): Unit =
+    distEntries(vecCol) = DistEntry(vecCol, centIdCol, resolveCentroids,
+      centIdCol, centVecCol, metric, probes)
+
+  def unregisterDistributed(vecCol: String): Unit =
+    distEntries.remove(vecCol)
+  private[plans] def lookupDist(vecCol: String): Option[DistEntry] =
+    distEntries.get(vecCol)
+
   /** Quantized registrations: a declarative `orderBy(dist).limit(k)`
     * over a registered column is rewritten into the TWO-PHASE quantized
     * path — a semi-join against the top-(k·refine) candidate ids from
@@ -206,11 +258,21 @@ object AnnIndex {
     * Resolver-backed like the quantized entries. */
   final case class Bm25Entry(textCol: String, idCol: String,
                              resolve: () => graft.ops.Bm25.Bm25Index,
-                             refine: Int) {
-    def candidateIds(terms: Seq[String], n: Int) =
-      graft.ops.Bm25.searchTerms(resolve(), terms, n)
+                             refine: Int, owner: String = "") {
+    def candidateIds(terms: Seq[String], n: Int) = {
+      val ix = resolve()
+      // loud failure instead of a silent mis-join: every build path
+      // normalizes the postings id column to "id" (Bm25.build,
+      // loadStoredPostings), and searchTerms groups by it — a future
+      // non-normalized index would otherwise join candidates on the
+      // wrong column
+      require(ix.postings.columns.contains("id"),
+        s"BM25 index for column '$textCol' must expose postings id " +
+          s"column 'id' (got: ${ix.postings.columns.mkString(", ")})")
+      graft.ops.Bm25.searchTerms(ix, terms, n)
         .select(org.apache.spark.sql.functions.col("id")
           .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+    }
   }
 
   /** Keyword columns are commonly all named "text", so unlike the
@@ -218,17 +280,33 @@ object AnnIndex {
     * logical index) BM25 keeps a LIST per column name and the rule
     * disambiguates by which entry's id column the plan's leaf exposes
     * — two tables with keyword column "text" but different primary
-    * keys coexist. Same (textCol, idCol) pair re-registers in place;
-    * identical pairs across tables: latest registration wins. */
+    * keys coexist. Same (textCol, idCol) pair from the SAME owner
+    * re-registers in place; the same pair from a DIFFERENT owner
+    * throws — with the common (id, text) naming, "latest wins" would
+    * silently semi-join one table's query against the other table's
+    * postings index. */
   private val bm25Entries = TrieMap.empty[String, List[Bm25Entry]]
 
+  /** `owner` identifies the logical table behind the registration
+    * (Engine passes the table name); registrations with the same
+    * column names but different owners are a hard error, not a silent
+    * replacement. The default "" keeps ad-hoc single-table use terse. */
   def registerBm25(textCol: String, idCol: String,
                    resolve: () => graft.ops.Bm25.Bm25Index,
-                   refine: Int = 4): Unit = {
-    val e = Bm25Entry(textCol, idCol, resolve, refine)
-    bm25Entries(textCol) =
-      e :: bm25Entries.getOrElse(textCol, Nil).filterNot(_.idCol == idCol)
-  }
+                   refine: Int = 4, owner: String = ""): Unit =
+    bm25Entries.synchronized {
+      val existing = bm25Entries.getOrElse(textCol, Nil)
+      existing.find(p => p.idCol == idCol && p.owner != owner).foreach {
+        p => throw new IllegalStateException(
+          s"BM25 registration collision on ($textCol, $idCol): held by " +
+            s"'${p.owner}', requested by '$owner'. The rewrite rule " +
+            "disambiguates by column NAMES, so two tables sharing them " +
+            "cannot both register — unregisterBm25 the other table " +
+            "first, or rename one table's columns.")
+      }
+      val e = Bm25Entry(textCol, idCol, resolve, refine, owner)
+      bm25Entries(textCol) = e :: existing.filterNot(_.idCol == idCol)
+    }
   /** Remove ALL registrations for the column (test teardown). */
   def unregisterBm25(textCol: String): Unit = bm25Entries.remove(textCol)
   /** Remove one table's registration (its id column) only. */
@@ -514,7 +592,42 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         }
         if (injected) s.copy(child = proj.copy(child = newChild)) else s
       }
-      rewritten.getOrElse(s)
+      // fallback: DISTRIBUTED probe selection (registerDistributed) —
+      // same recognition, but probe cells come from a semi-joined
+      // subplan over the centroids table instead of driver literals
+      lazy val distRewritten = for {
+        key <- order.head match {
+          case SortOrder(k: Attribute, Ascending, _, _) => Some(k)
+          case _ => None
+        }
+        alias <- fields.collectFirst {
+          case a: Alias if a.exprId == key.exprId => a }
+        (vecAttr, q, metric) <- extractDist(alias.child)
+        entry <- AnnIndex.lookupDist(vecAttr.name)
+        if entry.metric == metric
+        leaf <- child.collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
+              l.output.exists(_.name == entry.cellCol) => l
+        }
+        cellAttr = leaf.output.find(_.name == entry.cellCol).get
+        if !hasCandidateSemiJoin(child, cellAttr)
+      } yield {
+        val candPlan = entry.probeCellsDf(q, cellAttr.dataType)
+          .queryExecution.optimizedPlan // pre-optimized — see inject()
+        val candId = candPlan.output.head
+        var injected = false
+        val newChild = child.transformUp {
+          case l: LeafNode if !injected && (l fastEquals leaf) =>
+            injected = true
+            val j = Join(l, candPlan, LeftSemi,
+              Some(EqualTo(cellAttr, candId)),
+              org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+            j.setTagValue(AnnTopKRule.InjectedQuant, ())
+            j
+        }
+        if (injected) s.copy(child = proj.copy(child = newChild)) else s
+      }
+      rewritten.orElse(distRewritten).getOrElse(s)
   }
 }
 

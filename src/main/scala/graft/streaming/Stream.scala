@@ -131,8 +131,10 @@ object Stream {
                  buckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the layout is self-describing: record the bucket modulus up
-    // front so loads never prune with a guessed (wrong) one
-    graft.ops.Bm25.writeBucketsMarker(docs.sparkSession, dir, buckets)
+    // front so loads never prune with a guessed (wrong) one — and
+    // REFUSE to restart ingest with a different modulus over an
+    // existing layout (mixed moduli would silently drop terms)
+    graft.ops.Bm25.ensureBucketsMarker(docs.sparkSession, dir, buckets)
     graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
       .writeStream
       .partitionBy("bucket")
