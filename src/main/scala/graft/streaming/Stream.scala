@@ -144,6 +144,77 @@ object Stream {
       .start(dir)
   }
 
+  /** Compact a cell/bucket-partitioned at-rest layout whose continuous
+    * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
+    * accumulated many small files — rewrite over-threshold cell
+    * directories to one file per cell with the stage-and-swap pattern
+    * of the stored delete (write survivors to a `_`-prefixed staging
+    * subdir invisible to readers, atomic per-cell rename into place).
+    *
+    * On a STREAMING-grown dir (`_spark_metadata` commit log present)
+    * this is the GRADUATION to a batch layout: stop the ingest query
+    * first; every cell is rewritten from the commit log's authoritative
+    * file view (uncommitted stragglers are dropped), and the log is
+    * removed — after which the layout takes batch appends, stored
+    * deletes ([[graft.ops.Ann.deleteStored]]), and
+    * `attachStoredIndex`. Restarting a file-sink stream INTO a
+    * compacted dir is not supported (its fresh commit log would hide
+    * the compacted files): continue growth with batch appends or a new
+    * layout dir. On a batch dir only cells above `maxFilesPerCell` are
+    * touched, so periodic compaction costs only the hot cells' bytes.
+    *
+    * Returns the number of rewritten cell directories. */
+  def compactStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    cellCol: String, maxFilesPerCell: Int = 4): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    val streaming = fs.exists(metaPath)
+    // spark.read.parquet reads THROUGH the commit log when present, so
+    // the staged data is exactly the committed rows
+    val df = spark.read.parquet(dir)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    val cellDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
+    // a streaming dir compacts FULLY: once the log is gone the listing
+    // becomes the filesystem, so every file must be a rewritten one
+    // (partial compaction would resurrect uncommitted stragglers)
+    val target =
+      if (streaming) cellDirs
+      else cellDirs.filter(d => dataFiles(d.getPath) > maxFilesPerCell)
+    if (target.isEmpty && !streaming) return 0L
+    val targetNames = target.map(_.getPath.getName).toSet
+    val keep =
+      if (streaming) df
+      else df.filter(col(cellCol).isin(target.map(d =>
+        d.getPath.getName.stripPrefix(s"$cellCol=")): _*))
+    val stage = new org.apache.hadoop.fs.Path(root, "_graft_stage")
+    fs.delete(stage, true)
+    // repartition BY the cell column: each cell's rows land in one
+    // task, so each cell directory compacts to exactly one file
+    keep.repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(stage.toString)
+    val staged = fs.listStatus(stage).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
+    staged.foreach { s =>
+      val dest = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+      fs.delete(dest, true)
+      fs.rename(s.getPath, dest)
+    }
+    // targeted cells with no staged output (possible only in the full
+    // streaming compact: a cell dir holding ONLY uncommitted files)
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    targetNames.diff(stagedNames).foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+    }
+    fs.delete(stage, true)
+    if (streaming) fs.delete(metaPath, true)
+    staged.length.toLong
+  }
+
   /** Per-user running session via explicit keyed state: counts events and
     * sums value per user, emitting an updated row per batch. With
     * `timeoutMs > 0` state times out after that much processing-time

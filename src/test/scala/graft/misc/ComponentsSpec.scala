@@ -38,6 +38,69 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("wordpiece: greedy longest-match with ## continuations, UNK, " +
+      "and BERT basic tokenization") {
+    val vocab = Seq("un", "##aff", "##able", "aff", "hello", "world",
+      ",", "!", "run", "##ning")
+    // no register side-effect here: exercise the pure functions
+    val set = vocab.toSet
+    assert(Tokenizers.wordpiecePieces(set, "unaffable") ===
+      Seq("un", "##aff", "##able"))
+    // greedy = LONGEST prefix first: "aff" (a whole-word piece) wins
+    // over "un"+nothing for a word starting "aff"
+    assert(Tokenizers.wordpiecePieces(set, "affable").head === "aff")
+    // a position with no matching piece sinks the whole word
+    assert(Tokenizers.wordpiecePieces(set, "xyz") === Seq("[UNK]"))
+    // basic tokenization: lowercase, accents stripped, punctuation
+    // split into its own tokens
+    assert(Tokenizers.basicTokens("Héllo, Wörld!") ===
+      Seq("hello", ",", "world", "!"))
+    assert(Tokenizers.wordpieceScala(set, "Hello, running!") ===
+      Seq("hello", ",", "run", "##ning", "!"))
+  }
+
+  test("wordpiece vocab tokenizer: column==scala parity and byName " +
+      "resolution replaces the seat") {
+    val sp = spark
+    import sp.implicits._
+    val seat = Tokenizers.Wordpiece
+    try {
+      val tok = Tokenizers.wordpiece(
+        Seq("spark", "shuf", "##fle", "join", "##s", ",", "fast"),
+        name = "bert_base_uncased")
+      // registration replaced the seat under the model name
+      assert(Tokenizers.byName("bert_base_uncased") eq tok)
+      val texts = Seq("Spark shuffle joins, fast", "unknownword spark")
+      val colRes = texts.toDF("t")
+        .select(tok.column(col("t")).as("toks"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      val scalaRes = texts.map(tok.scala)
+      assert(colRes.toSeq === scalaRes)
+      assert(scalaRes.head ===
+        Seq("spark", "shuf", "##fle", "join", "##s", ",", "fast"))
+      assert(scalaRes(1) === Seq("[UNK]", "spark"))
+      // and a BM25 build+search runs end-to-end on the vocab tokenizer
+      val docs = Seq((1L, "spark shuffle"), (2L, "fast joins"),
+        (3L, "spark joins joins")).toDF("id", "text")
+      val idx = graft.ops.Bm25.build(docs, "id", "text", tok)
+      val top = graft.ops.Bm25.search(idx, "joins", k = 1).collect()
+      assert(top.head.getLong(0) === 3L) // doc with tf=2 for join+##s
+      idx.postings.unpersist(false)
+    } finally Tokenizers.register(seat) // restore the vocab-less seat
+  }
+
+  test("wordpiece vocab loads from a file") {
+    val dir = Files.createTempDirectory("graft-vocab")
+    val f = dir.resolve("vocab.txt")
+    Files.write(f, "hello\nworld\n##s\n".getBytes("UTF-8"))
+    val seat = Tokenizers.Wordpiece
+    try {
+      val tok = Tokenizers.wordpieceFromFile(spark, f.toString,
+        name = "bert_base_uncased")
+      assert(tok.scala("Hello worlds") === Seq("hello", "world", "##s"))
+    } finally Tokenizers.register(seat)
+  }
+
   test("reranker permutes a ranked list deterministically") {
     val sp = spark
     import sp.implicits._

@@ -285,6 +285,65 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     // stats re-derived: N shrank with the delete
     assert(after.n === 2L)
   }
+
+  test("attachStoredIndex is idempotent per (table, dir); " +
+      "detachStoredIndex stops the maintenance; a hook failure is " +
+      "reported without masking the committed delete") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    import graft.ops.Bm25
+    val td = Spec.TableDef[KwRow]("kwrow2", primaryKey = Some("kid"),
+      indexes = Seq(KeywordIndex("body", model = "simple")))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-detach-reg").toString).register(td)
+    reg.insert(td, Seq(
+      KwRow(1L, "spark shuffle join"),
+      KwRow(2L, "sort merge shuffle"),
+      KwRow(3L, "hash aggregate plan")))
+    val eng = new Engine(reg)
+    val dir = Files.createTempDirectory("graft-detach-dir").toString
+    Bm25.writePostings(reg.table(td), "kid", "body", dir, buckets = 8)
+    eng.attachStoredIndex(td, dir)
+    eng.attachStoredIndex(td, dir) // re-attach must NOT stack a 2nd hook
+    // ONE detach removes the (single) registration entirely
+    eng.detachStoredIndex(td, dir)
+    reg.removeBy(td, Map("kid" -> 2L))
+    // table delete committed, layout intentionally untouched
+    assert(reg.table(td).filter(col("kid") === 2L).count() === 0)
+    assert(Bm25.loadStoredPostings(spark, dir).n === 3L)
+    // re-attach, then poison the layout so the hook throws: the commit
+    // must survive and the failure land in lastHookFailures
+    eng.attachStoredIndex(td, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true) // layout gone → the delete hook's read throws
+    reg.removeBy(td, Map("kid" -> 3L))
+    assert(reg.table(td).filter(col("kid") === 3L).count() === 0,
+      "hook failure must not roll back or mask the committed delete")
+    assert(reg.lastHookFailures.nonEmpty)
+  }
+
+  test("attachStoredIndex refuses a streaming-grown layout") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[KwRow]("kwrow3", primaryKey = Some("kid"),
+      indexes = Seq(KeywordIndex("body", model = "simple")))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-smeta-reg").toString).register(td)
+    val eng = new Engine(reg)
+    val dir = Files.createTempDirectory("graft-smeta-dir")
+    // minimal parquet layout + a file-sink commit log marker
+    graft.ops.Bm25.writePostings(
+      Seq((1L, "spark shuffle")).toDF("kid", "body"), "kid", "body",
+      dir.toString, buckets = 4)
+    assert(new java.io.File(dir.toFile, "_spark_metadata").mkdir())
+    val ex = intercept[IllegalStateException] {
+      eng.attachStoredIndex(td, dir.toString)
+    }
+    assert(ex.getMessage.contains("compact"))
+  }
 }
 
 /** Minimal keyword-table row for the attach test. */

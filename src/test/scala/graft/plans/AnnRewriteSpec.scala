@@ -49,6 +49,47 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregister("embedding")
   }
 
+  test("registerDistributed: probe cells from a semi-joined centroid " +
+      "subplan — no driver-collected centroid literals in the plan") {
+    val (_, model, dir) = setup()
+    AnnIndex.registerDistributed("embedding", model, Ann.L2, probes = 3)
+    try {
+      val stored = spark.read.parquet(dir)
+      val df = stored
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.toString.contains("LeftSemi"),
+        s"expected injected probe semi-join:\n$opt")
+      // the fallback's whole point: NO literal probe-cell filter (the
+      // driver never collected the centroids)
+      val hasLiteralProbe = opt.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.In => true
+            case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(!hasLiteralProbe,
+        s"expected no literal cell filter:\n$opt")
+      // result equals the driver-side probe path
+      val viaOp = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(q64), Ann.L2, probes = 3, k = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+      // fixpoint: the injected semi-join is not re-injected
+      val once = AnnTopKRule()(df.queryExecution.analyzed)
+      val twice = AnnTopKRule()(once)
+      assert(once.fastEquals(twice))
+    } finally AnnIndex.unregisterDistributed("embedding")
+  }
+
   test("rule is a fixpoint: re-applying to a rewritten plan is a no-op") {
     val (_, model, dir) = setup()
     AnnIndex.register("embedding", model, Ann.L2, probes = 3)

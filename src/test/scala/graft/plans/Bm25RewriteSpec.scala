@@ -109,6 +109,48 @@ class Bm25RewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("identical (textCol, idCol) from a different owner collides " +
+      "loudly; same owner re-registers in place") {
+    val docs = corpus
+    val idx = Bm25.build(docs, "doc_id", "text")
+    AnnIndex.registerBm25("text", "doc_id", () => idx, refine = 2,
+      owner = "tableA")
+    try {
+      // same owner: replace in place, no error
+      AnnIndex.registerBm25("text", "doc_id", () => idx, refine = 3,
+        owner = "tableA")
+      // different owner, same column names: silent "latest wins" would
+      // serve tableA's queries from tableB's postings — throw instead
+      val ex = intercept[IllegalStateException] {
+        AnnIndex.registerBm25("text", "doc_id", () => idx, refine = 2,
+          owner = "tableB")
+      }
+      assert(ex.getMessage.contains("tableA") &&
+        ex.getMessage.contains("tableB"))
+    } finally {
+      AnnIndex.unregisterBm25("text")
+      idx.postings.unpersist(false)
+    }
+  }
+
+  test("candidate resolution fails loudly when the postings id column " +
+      "is not 'id'") {
+    val docs = corpus
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val broken = idx.copy(postings =
+      idx.postings.withColumnRenamed("id", "doc"))
+    AnnIndex.registerBm25("text", "doc_id", () => broken, refine = 2)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        AnnIndex.lookupBm25("text").head.candidateIds(Seq("shuffle"), 5)
+      }
+      assert(ex.getMessage.contains("'id'"))
+    } finally {
+      AnnIndex.unregisterBm25("text")
+      idx.postings.unpersist(false)
+    }
+  }
+
   test("deleteStoredPostings: a stored delete equals a rebuild without " +
       "the removed docs (stats re-derived at load)") {
     val sp = spark

@@ -182,6 +182,95 @@ class StreamSpec extends SparkSpecBase {
     batch.postings.unpersist(false)
   }
 
+  test("compactStored graduates a streamed BM25 layout: files bounded, " +
+      "scores identical, stored delete then allowed") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-bm25").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-compact-ckpt").toString
+    val corpus = Seq(
+      (1L, "spark shuffle join filter"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by"),
+      (4L, "merge sort spill disk sort"),
+      (5L, "filter group shuffle sort"),
+      (6L, "join join aggregate disk"))
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, buckets = 4)
+    try {
+      corpus.grouped(2).foreach { batch => // 3 micro-batches of appends
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def hits() = Bm25.search(Bm25.loadStoredPostings(spark, dir),
+        "shuffle sort", k = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = hits()
+    // a streaming-grown dir REFUSES batch cell rewrites until compacted
+    intercept[IllegalStateException] {
+      Bm25.deleteStoredPostings(spark, dir, Seq(1L).toDF("id"))
+    }
+    val rewritten = Stream.compactStored(spark, dir, "bucket",
+      maxFilesPerCell = 1)
+    assert(rewritten > 0)
+    // commit log gone, every bucket dir compacted to ONE data file
+    assert(!new java.io.File(dir, "_spark_metadata").exists())
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val n = d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(n === 1, s"${d.getName} has $n data files")
+    }
+    // marker survives compaction; search results are unchanged
+    assert(Bm25.readBucketsMarker(spark, dir) === Some(4))
+    assert(hits() === before)
+    // and the graduated BATCH layout now takes a stored delete
+    val removed = Bm25.deleteStoredPostings(spark, dir,
+      Seq(1L).toDF("id"))
+    assert(removed > 0)
+    assert(!hits().exists(_._1 == 1L))
+  }
+
+  test("ingestBm25 refuses restarting with a different bucket modulus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-modulus").toString
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft-modulus-c1").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt1, buckets = 8)
+    try {
+      input.addData((1L, "spark shuffle"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // same modulus restarts fine (marker reused)...
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-modulus-c2").toString
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Stream.ingestBm25(input2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt2, buckets = 8)
+    q2.stop()
+    // ...a DIFFERENT one is rejected before any row is written
+    val input3 = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalStateException] {
+      Stream.ingestBm25(input3.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, java.nio.file.Files
+          .createTempDirectory("graft-modulus-c3").toString, buckets = 16)
+    }
+    assert(ex.getMessage.contains("mod 8"))
+  }
+
   test("stream-stream interval join pairs in-window rows, bounded state") {
     val sp = spark
     import sp.implicits._
