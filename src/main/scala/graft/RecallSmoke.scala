@@ -29,7 +29,7 @@ object RecallSmoke {
     val lists = sys.env.getOrElse("SPARK_GRAFT_LISTS", "32").toInt
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "20").toInt
     val k = 10
-    val refine = 5
+    val refine = sys.env.getOrElse("SPARK_GRAFT_REFINE", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -167,6 +167,109 @@ class TransportSpec extends SparkSpecBase {
     } finally stub.stop()
   }
 
+  /** Capture stub: records the raw request body per path and replies
+    * with a canned JSON — the wire adapters' request SHAPES are then
+    * byte-for-byte assertable. */
+  private final class CaptureStub(cans: Map[String, String]) {
+    val bodies = mutable.Map[String, mutable.ArrayBuffer[String]]()
+    val server: HttpServer =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    cans.foreach { case (path, canned) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        this.synchronized {
+          bodies.getOrElseUpdate(path, mutable.ArrayBuffer()) += body
+        }
+        val b = canned.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    }
+    server.start()
+    def url(path: String): String =
+      s"http://127.0.0.1:${server.getAddress.getPort}$path"
+    def last(path: String): String = this.synchronized { bodies(path).last }
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("provider wire adapters: exact request JSON per provider, " +
+      "index-ordered response parsing") {
+    val dataEnvelope = // indices deliberately OUT of order
+      """{"data":[{"index":1,"embedding":[5.0,6.0,7.0,8.0]},""" +
+        """{"index":0,"embedding":[1.0,2.0,3.0,4.0]}]}"""
+    val stub = new CaptureStub(Map(
+      "/gemini" -> """{"embedding":{"values":[1.0,2.0,3.0,4.0]}}""",
+      "/jina" -> dataEnvelope,
+      "/voyage" -> dataEnvelope,
+      "/openai" -> """{"data":[{"index":0,"embedding":[1.0,2.0,3.0,4.0]}]}""",
+      "/splade" -> ("""[{"dim":8,"indices":[1,5],"values":[0.5,1.5]},""" +
+        """{"dim":8,"indices":[2],"values":[2.0]}]"""),
+      "/jrr" -> ("""{"results":[{"index":2,"relevance_score":0.9},""" +
+        """{"index":0,"relevance_score":0.5},""" +
+        """{"index":1,"relevance_score":0.1}]}"""),
+      "/crr" -> ("""{"results":[{"index":1,"relevance_score":0.8},""" +
+        """{"index":0,"relevance_score":0.2}]}""")))
+    def http(path: String) =
+      HttpJson(stub.url(path), rps = 1000.0, burst = 8)
+    try {
+      // Gemini: one text per call, task type switches doc/query
+      val g = GeminiEmbedder("gemini-embedding-exp-03-07", 4,
+        http("/gemini"))
+      assert(g.embedChunk("hello").toSeq === Seq(1f, 2f, 3f, 4f))
+      assert(stub.last("/gemini") === """{"taskType":"RETRIEVAL_DOCUMENT",""" +
+        """"content":{"parts":[{"text":"hello"}]}}""")
+      g.embedQuery("hi")
+      assert(stub.last("/gemini") === """{"taskType":"RETRIEVAL_QUERY",""" +
+        """"content":{"parts":[{"text":"hi"}]}}""")
+      // Jina: batched {"text": …} inputs; out-of-order data re-sorted
+      val j = JinaEmbedder("jina-embeddings-v4", 4, http("/jina"))
+      val jv = j.embedBatch(Seq("a", "b"), "retrieval.passage")
+      assert(jv.map(_.head.toInt) === Seq(1, 5)) // index order, not wire
+      assert(stub.last("/jina") === """{"model":"jina-embeddings-v4",""" +
+        """"dimensions":4,"truncate":true,"task":"retrieval.passage",""" +
+        """"embedding_type":"float","input":[{"text":"a"},{"text":"b"}]}""")
+      j.embedBatch(Seq("q", "r"), "retrieval.query")
+      assert(stub.last("/jina").contains(""""task":"retrieval.query""""))
+      // Voyage: bare-string inputs + output_dimension/dtype
+      val v = VoyageEmbedder("voyage-3-large", 4, http("/voyage"))
+      v.embedBatch(Seq("a", "b"), "document")
+      assert(stub.last("/voyage") === """{"model":"voyage-3-large",""" +
+        """"input":["a","b"],"input_type":"document","truncation":true,""" +
+        """"output_dimension":4,"output_dtype":"float"}""")
+      v.embedBatch(Seq("q", "r"), "query")
+      assert(stub.last("/voyage").contains(""""input_type":"query""""))
+      // OpenAI: model/input/dimensions triplet
+      val o = OpenAiEmbedder("text-embedding-3-large", 4, http("/openai"))
+      assert(o.embedChunk("x").toSeq === Seq(1f, 2f, 3f, 4f))
+      assert(stub.last("/openai") ===
+        """{"model":"text-embedding-3-large","input":["x"],"dimensions":4}""")
+      // SPLADE: BARE array body, sparse (indices, values) parsing
+      val s = SpladeEmbedder(8, http("/splade"))
+      val sv = s.embedBatch(Seq("a", "b"))
+      assert(stub.last("/splade") === """["a","b"]""")
+      assert(sv.head.indices === Seq(1, 5) &&
+        sv.head.values === Seq(0.5f, 1.5f))
+      assert(sv(1).indices === Seq(2))
+      // Jina rerank: v2 takes plain strings, m0 takes {"text": …}
+      val r2 = JinaWireReranker("jina-reranker-v2-base-multilingual",
+        http("/jrr"))
+      assert(r2.rerank("q", Seq("a", "b", "c")) === Seq(2, 0, 1))
+      assert(stub.last("/jrr") ===
+        """{"model":"jina-reranker-v2-base-multilingual","query":"q",""" +
+          """"top_n":3,"documents":["a","b","c"],"return_documents":false}""")
+      val rm0 = JinaWireReranker("jina-reranker-m0", http("/jrr"))
+      rm0.rerank("q", Seq("a", "b", "c"))
+      assert(stub.last("/jrr").contains(
+        """"documents":[{"text":"a"},{"text":"b"},{"text":"c"}]"""))
+      // Cohere rerank: minimal model/query/documents
+      val cr = CohereReranker("rerank-v3.5", http("/crr"))
+      assert(cr.rerank("q", Seq("a", "b")) === Seq(1, 0))
+      assert(stub.last("/crr") ===
+        """{"model":"rerank-v3.5","query":"q","documents":["a","b"]}""")
+    } finally stub.stop()
+  }
+
   test("embedder validates vector count and dimension from the provider") {
     val stub = new Stub
     try {
