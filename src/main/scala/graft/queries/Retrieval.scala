@@ -164,6 +164,37 @@ object Retrieval {
       "qid", "qtext", k = 5)
   }
 
+  /** BM25 top-k under a REAL trained-vocab WordPiece tokenizer
+    * ([[graft.functions.Tokenizers.wordpiece]] — greedy longest-match,
+    * `##` continuations, the reference's `bert_base_uncased` PG
+    * tokenizer registered per-column, client.py:130-144, spec.py:265).
+    *
+    * The vocab here is DERIVED from the corpus so the oracle can replay
+    * it: every ≤4-char word as a whole piece, longer words as a 4-char
+    * stem + their full `##`-continuation. Standalone pieces are thus
+    * ≤4 chars and every word's own continuation is in the vocab, so
+    * greedy longest-match provably tokenizes each word to
+    * `[take(4), ##drop(4)]` (or itself) — exactly the CASE expression
+    * in the DuckDB twin. The vocab is DATA, not a scan: bounded by the
+    * corpus vocabulary (a production deployment loads a fixed 30k-piece
+    * `vocab.txt` via [[graft.functions.Tokenizers.wordpieceFromFile]]
+    * instead; the driver-side distinct-collect here is the gate's
+    * determinism device, same contract as the POS lexicon). */
+  def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val words = docs.select(explode(
+        graft.functions.Tokenizers.Simple.column(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = words.flatMap(w =>
+      if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
+      .distinct
+    val tok = graft.functions.Tokenizers.wordpiece(vocab,
+      name = "bert_corpus4")
+    val idx = Bm25.buildCached(docs, "doc_id", "text",
+      s"$d|wp4|${Bm25.dirVersion(s, s"$d/documents.parquet")}", tok)
+    Bm25.search(idx, Bm25Query, 10)
+  }
+
   /** Multi-vector maxsim: docs = per-label vector bags, query = 2 tokens
     * (vec_id 0,1); score = Σ_q max_d dot — reference `@#`
     * (client.py:323-354). */
@@ -447,7 +478,8 @@ object Retrieval {
     "r20_ann_topk_ip" -> annTopkIp,
     "r21_maxsim_rewrite" -> maxsimRewrite,
     "r22_bm25_rewrite" -> bm25Rewrite,
-    "r23_bm25_stored" -> bm25Stored)
+    "r23_bm25_stored" -> bm25Stored,
+    "r24_bm25_wordpiece" -> bm25WordpieceTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
@@ -829,6 +861,41 @@ object Retrieval {
       s"""WITH ${bm25Cte(Seq("window", "partition", "order"))}
           SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
           ORDER BY score DESC, id ASC LIMIT 10""",
+    // r24: WordPiece replay. The derived vocab (≤4-char words whole,
+    // else 4-char stem + full ##-continuation) makes greedy
+    // longest-match equal the CASE split below — see bm25WordpieceTopk.
+    // Query "spark filter join" → pieces spar/##k/filt/##er/join.
+    "r24_bm25_wordpiece" ->
+      """WITH wpw AS (
+           SELECT doc_id AS id,
+                  unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '')) AS w
+           FROM documents),
+         toks AS (
+           SELECT id, unnest(CASE WHEN length(w) > 4
+                             THEN [substr(w, 1, 4), '##' || substr(w, 5)]
+                             ELSE [w] END) AS term
+           FROM wpw),
+         tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         qterms AS (SELECT unnest(['spar', '##k', 'filt', '##er', 'join'])
+                      AS term),
+         scored AS (
+           SELECT tf.id,
+                  ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl)) AS w
+           FROM tf
+           JOIN qterms USING (term)
+           JOIN stats s USING (term)
+           JOIN dl USING (id)
+           CROSS JOIN g)
+         SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+         ORDER BY score DESC, id ASC LIMIT 10""",
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr
