@@ -29,7 +29,10 @@ object RecallSmoke {
     val lists = sys.env.getOrElse("SPARK_GRAFT_LISTS", "32").toInt
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "20").toInt
     val k = 10
-    val refine = sys.env.getOrElse("SPARK_GRAFT_REFINE", "5").toInt
+    // SPARK_GRAFT_REFINE overrides BOTH index types (ladder runs);
+    // unset = each type's own default (SQ 5, 1-bit per-metric auto —
+    // Ann.defaultBitqRefine, sized from this smoke's measured ladder)
+    val refineEnv = sys.env.get("SPARK_GRAFT_REFINE").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,8 +78,10 @@ object RecallSmoke {
         per.sum / per.size
       }
 
+      val sqRefine = refineEnv.getOrElse(5)
+      val bitqRefine = refineEnv.getOrElse(Ann.defaultBitqRefine(metric))
       val rows =
-        scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+        scala.collection.mutable.ArrayBuffer[(String, Int, Double, Int)]()
       for (probes <- Seq(2, 8, lists)) {
         // plain IVF: the batch join covers all queries in one job
         val ivfGot = Ann.knnJoinIvf(queries, "q_id", "qv",
@@ -86,24 +91,24 @@ object RecallSmoke {
           .select("q_id", "d_id").collect()
           .groupBy(_.getLong(0))
           .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-        rows += (("ivf", probes, recallOf(ivfGot)))
+        rows += (("ivf", probes, recallOf(ivfGot), 1))
         // quantized types: per-query two-phase searches
         def perQuery(search: Seq[Double] => Array[Long]):
             Map[Long, Set[Long]] =
           qVecs.map { case (q, v) => q -> search(v).toSet }.toMap
         rows += (("ivf_sq", probes, recallOf(perQuery(v =>
           Ann.searchIvfSq(sq, "vec_id", "embedding", typedlit(v), metric,
-              probes, k, refine)
-            .select("vec_id").collect().map(_.getLong(0))))))
+              probes, k, sqRefine)
+            .select("vec_id").collect().map(_.getLong(0)))), sqRefine))
         rows += (("ivf_bitq", probes, recallOf(perQuery(v =>
           Ann.searchIvfBitq(bitq, "vec_id", "embedding", typedlit(v),
-              metric, probes, k, refine)
-            .select("vec_id").collect().map(_.getLong(0))))))
+              metric, probes, k, bitqRefine)
+            .select("vec_id").collect().map(_.getLong(0)))), bitqRefine))
       }
-      rows.foreach { case (ix, p, r) =>
+      rows.foreach { case (ix, p, r, rf) =>
         println(s"""{"smoke":"recall","metric":"$label","index":"$ix",""" +
           s""""probes":$p,"recall_at_10":${fmt(r)},"lists":$lists,""" +
-          s""""n":$n,"queries":${qVecs.length},"refine":$refine}""")
+          s""""n":$n,"queries":${qVecs.length},"refine":$rf}""")
       }
       // all-probe sanity: plain IVF must be exact
       val allProbe = rows.find(r => r._1 == "ivf" && r._2 == lists).get._3

@@ -389,6 +389,51 @@ object ScaleSmoke {
       } finally q.stop()
     }
 
+    // Streamed-layout compaction lifecycle at scale: continuous
+    // micro-batch appends accumulate small files per bucket; compaction
+    // graduates the dir to a batch layout (one file per bucket, commit
+    // log gone) with search results preserved. Times ingest→compact→
+    // pruned search over the full inflated corpus.
+    time("stream_compact") {
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_compact").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_smoke_compact_ckpt").toString
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.Stream.ingestBm25(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        dir, ckpt, buckets = 16)
+      try {
+        val batches = 8
+        (0 until batches).foreach { b =>
+          input.addData(rows.slice(b * rows.length / batches,
+            (b + 1) * rows.length / batches).toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val rewritten = graft.streaming.Stream.compactStored(
+        spark, dir, "bucket", maxFilesPerCell = 4)
+      require(rewritten > 0, "compaction rewrote no bucket dirs")
+      // post-compaction invariant: bounded files per bucket dir
+      val buckets = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      buckets.foreach { d =>
+        val n = d.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        require(n == 1, s"${d.getName}: $n data files after compact")
+      }
+      val hits = graft.ops.Bm25.search(
+        graft.ops.Bm25.loadStoredPostings(spark, dir),
+        "spark filter join", k = 10).count()
+      require(hits > 0, "no hits after compaction")
+      rewritten
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")

@@ -22,9 +22,12 @@ final class Engine(reg: Registry) {
     * else ceil(lists/16)); otherwise exact brute-force top-k. A
     * `quantized` index additionally scans 8-bit codes within the probed
     * cells and exact-re-ranks the top-(topk·refine) survivors — the
-    * vchordrq in-index quantization (spec.py:437-444) at engine level. */
+    * vchordrq in-index quantization (spec.py:437-444) at engine level.
+    * `refine <= 0` = auto: 8 (the engine default), raised to
+    * [[Ann.defaultBitqRefine]] for spherical 1-bit indexes (the
+    * measured recall floor — see that scaladoc). */
   def searchByVector(td: TableDef[_], queryVec: Seq[Double], topk: Int = 10,
-                     probes: Int = 0, refine: Int = 8,
+                     probes: Int = 0, refine: Int = -1,
                      returnFields: Seq[String] = Nil): DataFrame = {
     val ix = td.vectorIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no vector index"))
@@ -36,13 +39,16 @@ final class Engine(reg: Registry) {
         case Some(model) if ix.lists > 0 && ix.oneBit =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
+          val rf = if (refine > 0) refine
+            else Ann.defaultBitqRefine(ix.distance).max(8)
           Ann.searchIvfBitq(ivfBitqCached(td, ix, base, model), td.pk,
-            ix.column, q, ix.distance, p, topk, refine)
+            ix.column, q, ix.distance, p, topk, rf)
         case Some(model) if ix.lists > 0 && ix.quantized =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
           Ann.searchIvfSq(ivfSqCached(td, ix, base, model), td.pk,
-            ix.column, q, ix.distance, p, topk, refine)
+            ix.column, q, ix.distance, p, topk,
+            if (refine > 0) refine else 8)
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
@@ -175,7 +181,7 @@ final class Engine(reg: Registry) {
     * re-install needed (round-6 advisor: the previous frozen snapshot
     * silently excluded post-install rows). */
   def installDeclarative(td: TableDef[_], probes: Int = 0,
-                         refine: Int = 5,
+                         refine: Int = -1,
                          maxsimRefine: Int = 1000): Unit = {
     graft.plans.AnnIndex.install(reg.spark)
     // lists == 0 means exact brute-force — nothing to register for the
@@ -189,11 +195,11 @@ final class Engine(reg: Registry) {
       if (ix.oneBit)
         graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
           () => ivfBitqCached(td, ix, reg.table(td), model),
-          ix.distance, p, refine)
+          ix.distance, p, refine) // <= 0 = per-metric auto
       else if (ix.quantized)
         graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
           () => ivfSqCached(td, ix, reg.table(td), model),
-          ix.distance, p, refine)
+          ix.distance, p, if (refine > 0) refine else 5)
       else
         graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
     }

@@ -706,17 +706,34 @@ object Ann {
       IvfBitIndex(quantized, model)
     }
 
+  /** Default exact-re-rank budget for 1-bit (sign-code) searches, per
+    * metric — MEASURED, not asserted (graft.RecallSmoke, sf0.1: n=2000,
+    * dim=64, lists=32, k=10, all cells probed): recall@10 for L2 is
+    * 0.820 at refine=5 → 1.000 at 40; for cosine (spherical build)
+    * 0.635 at 5 → 0.885 at 20 → 0.955 at 40. Unit-sphere residuals
+    * starve the sign codes of norm variance, so the spherical
+    * estimator ranks candidates more coarsely and needs the larger
+    * budget. The RaBitQ-style norm-correction term was measured WORSE
+    * (0.560 at refine=5): these codes are candidate-quality-bound,
+    * not bias-bound — the remedy is re-rank budget, not a better
+    * estimator intercept. Cost stays query-bounded either way:
+    * k·refine candidate rows per query. */
+  def defaultBitqRefine(metric: Metric): Int =
+    if (metric == Cosine) 40 else 5
+
   /** Asymmetric 1-bit L2 estimator, all codegen'd column math (no UDF):
     * with qr = query − centroid and r̂ = rnorm·sign(bits)/√D,
     * est‖q − v‖² = ‖qr‖² + rnorm² − 2·(rnorm/√D)·Σ signᵢ·qrᵢ.
     * An ESTIMATOR, not a bound — so the contract is top-(k·refine) by
     * estimate, exact re-rank of the survivors (same two-phase shape as
     * [[searchIvfSq]]); the probed centroids ship as a query-derived
-    * broadcast (≤ probes rows), never the full centroid table. */
+    * broadcast (≤ probes rows), never the full centroid table.
+    * `refine <= 0` = auto ([[defaultBitqRefine]]). */
   def searchIvfBitq(index: IvfBitIndex, idCol: String, vecCol: String,
                     queryVec: Column, metric: Metric, probes: Int, k: Int,
-                    refine: Int = 5, roundTo: Int = 6): DataFrame =
-    bitqCandidates(index, idCol, queryVec, metric, probes, k * refine,
+                    refine: Int = -1, roundTo: Int = 6): DataFrame =
+    bitqCandidates(index, idCol, queryVec, metric, probes,
+        k * (if (refine > 0) refine else defaultBitqRefine(metric)),
         roundTo)
       .withColumn("dist", round(metric.dist(
         col(vecCol).cast("array<double>"), queryVec), roundTo))
@@ -781,7 +798,7 @@ object Ann {
   def searchIvfBitqStored(spark: org.apache.spark.sql.SparkSession,
                           dir: String, idCol: String, vecCol: String,
                           queryVec: Column, metric: Metric, probes: Int,
-                          k: Int, refine: Int = 5,
+                          k: Int, refine: Int = -1,
                           roundTo: Int = 6): DataFrame = {
     val index = loadIvfBitq(spark, dir)
     val cells = probeCells(index.model, queryVec, metric, probes)

@@ -194,10 +194,12 @@ object AnnIndex {
   }
 
   /** Register an IVF+1-bit (RaBitQ-style) index ([[Ann.buildIvfBitq]])
-    * for declarative rewrite — `VectorIndex.oneBit`'s Engine shape. */
+    * for declarative rewrite — `VectorIndex.oneBit`'s Engine shape.
+    * `refine <= 0` = auto ([[Ann.defaultBitqRefine]]: the spherical
+    * estimator needs a larger exact-re-rank budget than L2). */
   def registerOneBit(vecCol: String, idCol: String,
                      index: Ann.IvfBitIndex, metric: Ann.Metric,
-                     probes: Int, refine: Int = 5): Unit =
+                     probes: Int, refine: Int = -1): Unit =
     registerOneBit(vecCol, idCol, () => index, metric, probes, refine)
 
   /** Resolver form of [[registerOneBit]] (see [[registerQuantized]]). */
@@ -205,7 +207,8 @@ object AnnIndex {
                      resolve: () => Ann.IvfBitIndex, metric: Ann.Metric,
                      probes: Int, refine: Int): Unit = {
     requireQuantMetric(metric)
-    quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes, refine)
+    quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes,
+      if (refine > 0) refine else Ann.defaultBitqRefine(metric))
   }
 
   def unregisterQuantized(vecCol: String): Unit =

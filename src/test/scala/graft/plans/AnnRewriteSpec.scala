@@ -259,6 +259,26 @@ class AnnRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("1-bit refine auto-resolves per metric at registration " +
+      "(spherical codes need the larger measured budget)") {
+    assert(Ann.defaultBitqRefine(Ann.L2) === 5)
+    assert(Ann.defaultBitqRefine(Ann.Cosine) === 40)
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfBitq(e, "embedding", model, Ann.Cosine)
+    val index = Ann.IvfBitIndex(built.quantized.persist(), model)
+    try {
+      AnnIndex.registerOneBit("embedding", "vec_id", index, Ann.Cosine,
+        probes = 3) // refine unset = auto
+      assert(AnnIndex.lookupQuant("embedding").map(_.refine) === Some(40))
+      AnnIndex.registerOneBit("embedding", "vec_id", index, Ann.Cosine,
+        probes = 3, refine = 7) // explicit wins
+      assert(AnnIndex.lookupQuant("embedding").map(_.refine) === Some(7))
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+    }
+  }
+
   test("quantized rewrite is a fixpoint on its own output") {
     val (e, model, _) = setup()
     val built = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
