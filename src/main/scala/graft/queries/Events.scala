@@ -110,13 +110,55 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Streamed-ingest → compaction → search lifecycle under the oracle:
+    * the documents table arrives as 3 MemoryStream micro-batches into a
+    * term-bucketed postings layout ([[graft.streaming.Stream.ingestBm25]]
+    * — continuous appends, commit-log-governed), is GRADUATED to a
+    * batch layout by [[graft.streaming.Stream.compactStored]] (one file
+    * per bucket, log removed — asserted in-query), and the stored
+    * search over the compacted layout must score identically to a
+    * batch build from the same text (oracle = the r05 BM25 replay with
+    * this query's terms). Content is layout-invariant, so streamed
+    * arrival order cannot perturb the hash gate. */
+  def streamCompactTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s07_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s07_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Stream.ingestBm25(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dir, ckpt, buckets = 16)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s, dir, "bucket",
+      maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no bucket dirs")
+    require(!new java.io.File(dir, "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    graft.ops.Bm25.search(graft.ops.Bm25.loadStoredPostings(s, dir),
+      "scan stream vector", 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
     "s03_props_json" -> propsJson,
     "s04_asof_purchase" -> asofPurchase,
     "s05_range_clicks" -> rangeClicks,
-    "s06_stream_interval_twin" -> streamIntervalTwin)
+    "s06_stream_interval_twin" -> streamIntervalTwin,
+    "s07_stream_compact_twin" -> streamCompactTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -184,5 +226,12 @@ object Events {
            count(*) AS n_pairs,
            round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
              AS click_total
-         FROM j GROUP BY 1 ORDER BY 1""")
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // s07: the streamed-then-compacted layout is lossless, so the
+    // replay is the r05 BM25 shape with this query's terms — scores
+    // must be indistinguishable from a batch build over the same text.
+    "s07_stream_compact_twin" ->
+      s"""WITH ${Retrieval.bm25Cte(Seq("scan", "stream", "vector"))}
+          SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+          ORDER BY score DESC, id ASC LIMIT 10""")
 }

@@ -248,6 +248,44 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregister("embedding")
   }
 
+  /** Declarative DISTRIBUTED-probe rewrite gate: r09's semantics with
+    * the probe cells computed by a semi-joined subplan over the
+    * centroids table ([[graft.plans.AnnIndex.registerDistributed]])
+    * instead of driver-side literals — the registration form that keeps
+    * the rewrite available past the driver's centroid budget
+    * (AnnRewrite.scala's documented ~10⁵-cell collect ceiling; at 10⁶
+    * cells the probe selection must stay a distributed subplan).
+    * LeftSemi asserted in-query AND the plan must carry NO
+    * centroid-literal IN filter, so a silent fall-through to the
+    * driver-literal path (or no rewrite at all) cannot fake green. */
+  def annRewriteDist(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dist").toString
+    Ann.writePartitioned(assigned, path)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerDistributed("embedding", model, Ann.L2,
+      probes = 3)
+    try {
+      val df = s.read.parquet(path)
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), qvec(s, d, 9)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"distributed probe rewrite did not engage:\n$plan")
+      require(!plan.contains(" IN ("),
+        s"expected subplan probe selection, found centroid literals:\n$plan")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterDistributed("embedding")
+  }
+
   /** Declarative QUANTIZED rewrite gate: a plain orderBy(dist).limit(k)
     * DataFrame over a registered IVF+SQ index, with r12's exact
     * parameters — the optimizer must inject the two-phase code-scan
@@ -479,11 +517,14 @@ object Retrieval {
     "r21_maxsim_rewrite" -> maxsimRewrite,
     "r22_bm25_rewrite" -> bm25Rewrite,
     "r23_bm25_stored" -> bm25Stored,
-    "r24_bm25_wordpiece" -> bm25WordpieceTopk)
+    "r24_bm25_wordpiece" -> bm25WordpieceTopk,
+    "r25_ann_rewrite_dist" -> annRewriteDist)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
-    * b=0.75, Okapi idf with +1; same double formula as Bm25.search). */
-  private def bm25Cte(terms: Seq[String]): String = {
+    * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
+    * `private[queries]`: Events' s07 streamed-compaction twin replays
+    * the same scoring over its own query terms. */
+  private[queries] def bm25Cte(terms: Seq[String]): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""toks AS (
         SELECT doc_id AS id,
@@ -896,6 +937,36 @@ object Retrieval {
            CROSS JOIN g)
          SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
          ORDER BY score DESC, id ASC LIMIT 10""",
+    // r25: identical IVF semantics to r09 (label-mean centroids, probe
+    // the 3 nearest cells, exact top-10 within) — the distributed-probe
+    // registration must not change RESULTS, only the plan shape (which
+    // the query asserts itself: LeftSemi, no centroid literals).
+    "r25_ann_rewrite_dist" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY list_distance(centroid, $qv9) ASC, centroid_id ASC
+            LIMIT 3)
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r14: IVF + 1-bit codes from first principles — label-mean
     // centroids, sign-bit residual codes + rounded residual norm, the
     // asymmetric estimator est = ‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr
