@@ -54,6 +54,25 @@ object Dynamic {
     }
   }
 
+  /** Rate-limited transport for a named wire provider: `endpoint` is
+    * required (the tests point it at an in-process stub; production
+    * points it at the provider's real URL), `key` optional → the
+    * provider's auth header, `rps`/`burst` size the per-executor token
+    * bucket. */
+  private def wireHttp(s: ResourceRequest,
+                       gemini: Boolean): graft.providers.HttpJson = {
+    val endpoint = s.args.getOrElse("endpoint",
+      throw RequestError(s"${s.provider} ${s.kind} requires an endpoint arg"))
+    val auth = s.args.get("key").map { k =>
+      if (gemini) "x-goog-api-key" -> k
+      else "Authorization" -> s"Bearer $k"
+    }.toMap
+    graft.providers.HttpJson(endpoint,
+      rps = s.args.getOrElse("rps", "8").toDouble,
+      burst = s.args.getOrElse("burst", "1").toInt,
+      headers = auth)
+  }
+
   /** Provider map twin (pipeline.py:112-134). */
   def fromSteps(steps: Seq[ResourceRequest]): Config = {
     var c = Config()
@@ -79,6 +98,43 @@ object Dynamic {
             graft.providers.HttpJson(endpoint,
               rps = s.args.getOrElse("rps", "8").toDouble,
               burst = s.args.getOrElse("burst", "1").toInt))))
+        // NAMED wire providers (providers/Providers.scala) — the
+        // reference's PROVIDER_MAP entries (pipeline.py:117-129:
+        // text-emb gemini/jina/openai/voyage, rerank cohere/jina) with
+        // each provider's real request/response schema. Endpoint and
+        // key arrive as ARGS (provider.py reads ambient env on the
+        // client; here config is explicit — no env reads in operator
+        // code) and auth rides the transport headers the same way
+        // provider.py attaches it: x-goog-api-key for Gemini, Bearer
+        // for the rest. Defaults mirror the reference's class defaults.
+        case ("text-emb", p @ ("gemini" | "jina" | "voyage" | "openai")) =>
+          val (defModel, defDim) = p match {
+            case "gemini" => ("gemini-embedding-exp-03-07", 3072)
+            case "jina"   => ("jina-embeddings-v4", 2048)
+            case "voyage" => ("voyage-3.5", 1024)
+            case _        => ("text-embedding-3-large", 3072)
+          }
+          val model = s.args.getOrElse("model", defModel)
+          val dim = s.args.getOrElse("dim", defDim.toString).toInt
+          val http = wireHttp(s, gemini = p == "gemini")
+          val emb: graft.text.Embedder = p match {
+            case "gemini" => graft.providers.GeminiEmbedder(model, dim, http)
+            case "jina"   => graft.providers.JinaEmbedder(model, dim, http)
+            case "voyage" => graft.providers.VoyageEmbedder(model, dim, http)
+            case _        => graft.providers.OpenAiEmbedder(model, dim, http)
+          }
+          c = c.copy(textEmb = Some(emb))
+        case ("rerank", p @ ("cohere" | "jina")) =>
+          val rr: graft.rank.Reranker =
+            if (p == "cohere")
+              graft.providers.CohereReranker(
+                s.args.getOrElse("model", "rerank-v3.5"),
+                wireHttp(s, gemini = false))
+            else
+              graft.providers.JinaWireReranker(
+                s.args.getOrElse("model", "jina-reranker-m0"),
+                wireHttp(s, gemini = false))
+          c = c.copy(rerank = Some(rr))
         case ("rerank", "overlap") => c = c.copy(rerank = Some(OverlapReranker()))
         case ("graph", "simple") => c = c.copy(graph = Some(SimpleRecognizer()))
         case ("index", "graft") =>
@@ -125,12 +181,14 @@ object Dynamic {
         }
       }
       .toDF("uid", "doc_id", "seq", "text")
-    // remote providers ingest BATCHED (one rate-limited request per
-    // batchSize chunks); local embedders stay the per-row map stage
+    // remote batch-capable providers ingest BATCHED (one rate-limited
+    // request per batchSize chunks — the generic HttpEmbedder and the
+    // Jina/Voyage/OpenAI wire adapters); per-text providers (Gemini's
+    // embedContent API, local embedders) stay the per-row map stage
     val embedded = (emb match {
-      case h: graft.providers.HttpEmbedder =>
+      case b: graft.providers.BatchEmbedder =>
         graft.providers.RemoteEmbed.withEmbeddingBatched(
-          chunked, "text", "vec", h)
+          chunked, "text", "vec", b)
       case _ => Embed.withEmbedding(chunked, "text", "vec", emb)
     }).select(chunks.columns.map(col): _*)
     reg.runTxn { txn =>

@@ -101,16 +101,16 @@ final case class GeminiEmbedder(model: String, dim: Int, http: HttpJson)
   * this adapter requests the schema's plain-float variant — same
   * endpoint, same fields, JSON-native payload. */
 final case class JinaEmbedder(model: String, dim: Int, http: HttpJson)
-  extends Embedder {
+  extends BatchEmbedder {
   def name: String = s"jina_emb_${model}_$dim"
 
-  private[providers] def embedBatch(texts: Seq[String],
-                                    task: String): Seq[Array[Float]] = {
+  private[providers] def embedTask(texts: Seq[String],
+                                   jinaTask: String): Seq[Array[Float]] = {
     val body = Wire.compact(JObject(
       "model" -> JString(model),
       "dimensions" -> JInt(dim),
       "truncate" -> JBool(true),
-      "task" -> JString(task),
+      "task" -> JString(jinaTask),
       "embedding_type" -> JString("float"),
       "input" -> JArray(texts.map(t =>
         JObject("text" -> JString(t)): JValue).toList)))
@@ -118,10 +118,14 @@ final case class JinaEmbedder(model: String, dim: Int, http: HttpJson)
       texts.length, dim)
   }
 
+  def embedBatch(texts: Seq[String], task: String): Seq[Array[Float]] =
+    embedTask(texts,
+      if (task == "query") "retrieval.query" else "retrieval.passage")
+
   def embedChunk(text: String): Array[Float] =
-    embedBatch(Seq(text), "retrieval.passage").head
+    embedBatch(Seq(text), "chunk").head
   override def embedQuery(text: String): Array[Float] =
-    embedBatch(Seq(text), "retrieval.query").head
+    embedBatch(Seq(text), "query").head
 }
 
 /** Voyage dense embedding (embedding.py:267-369): batch-capable —
@@ -131,11 +135,11 @@ final case class JinaEmbedder(model: String, dim: Int, http: HttpJson)
   * [{"embedding", "index"}]}`. (The reference adds `encoding_format:
   * base64`; omitted here = the API's plain-float JSON.) */
 final case class VoyageEmbedder(model: String, dim: Int, http: HttpJson)
-  extends Embedder {
+  extends BatchEmbedder {
   def name: String = s"voyage_emb_${model}_$dim"
 
-  private[providers] def embedBatch(texts: Seq[String],
-                                    inputType: String): Seq[Array[Float]] = {
+  private[providers] def embedInputType(texts: Seq[String],
+                                        inputType: String): Seq[Array[Float]] = {
     val body = Wire.compact(JObject(
       "model" -> JString(model),
       "input" -> JArray(texts.map(JString(_): JValue).toList),
@@ -147,8 +151,11 @@ final case class VoyageEmbedder(model: String, dim: Int, http: HttpJson)
       texts.length, dim)
   }
 
+  def embedBatch(texts: Seq[String], task: String): Seq[Array[Float]] =
+    embedInputType(texts, if (task == "query") "query" else "document")
+
   def embedChunk(text: String): Array[Float] =
-    embedBatch(Seq(text), "document").head
+    embedBatch(Seq(text), "chunk").head
   override def embedQuery(text: String): Array[Float] =
     embedBatch(Seq(text), "query").head
 }
@@ -158,10 +165,11 @@ final case class VoyageEmbedder(model: String, dim: Int, http: HttpJson)
   * "input": [texts], "dimensions"}` → `{"data": [{"index",
   * "embedding"}]}`; `Authorization: Bearer KEY`. */
 final case class OpenAiEmbedder(model: String, dim: Int, http: HttpJson)
-  extends Embedder {
+  extends BatchEmbedder {
   def name: String = s"openai_emb_${model}_$dim"
 
-  private[providers] def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+  /** OpenAI's API has no document/query distinction — `task` ignored. */
+  def embedBatch(texts: Seq[String], task: String): Seq[Array[Float]] = {
     val body = Wire.compact(JObject(
       "model" -> JString(model),
       "input" -> JArray(texts.map(JString(_): JValue).toList),
@@ -170,7 +178,8 @@ final case class OpenAiEmbedder(model: String, dim: Int, http: HttpJson)
       texts.length, dim)
   }
 
-  def embedChunk(text: String): Array[Float] = embedBatch(Seq(text)).head
+  def embedChunk(text: String): Array[Float] =
+    embedBatch(Seq(text), "chunk").head
 }
 
 /** SPLADE++ sparse embedding (embedding.py:413-441): the body is a BARE

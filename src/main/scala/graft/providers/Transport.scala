@@ -134,11 +134,21 @@ private object Js {
   * through [[embedChunk]]/[[embedQuery]]; bulk ingest should use
   * [[RemoteEmbed.withEmbeddingBatched]] (one request per `batchSize`
   * rows instead of per row). */
-final case class HttpEmbedder(name: String, dim: Int, http: HttpJson)
-  extends Embedder {
+/** Batch-capable remote embedder: one request per ingest batch instead
+  * of one per row ([[RemoteEmbed.withEmbeddingBatched]]). `task` is the
+  * engine's generic intent — `"chunk"` (document side) or `"query"` —
+  * which each adapter maps to its provider's own vocabulary (Jina
+  * `retrieval.passage`/`retrieval.query`, Voyage `document`/`query`,
+  * OpenAI ignores it). */
+trait BatchEmbedder extends Embedder {
+  def embedBatch(texts: Seq[String], task: String): Seq[Array[Float]]
+}
 
-  private[providers] def embedBatch(texts: Seq[String],
-                                    task: String): Seq[Array[Float]] = {
+final case class HttpEmbedder(name: String, dim: Int, http: HttpJson)
+  extends BatchEmbedder {
+
+  def embedBatch(texts: Seq[String],
+                 task: String): Seq[Array[Float]] = {
     val body = JsonMethods.compact(JsonMethods.render(JObject(
       "model" -> JString(name), "task" -> JString(task),
       "input" -> JArray(texts.map(JString(_)).toList))))
@@ -203,7 +213,7 @@ object RemoteEmbed {
     * shape the reference's per-row async client amortizes with its
     * connection pool; batch-first Spark amortizes it with batching. */
   def withEmbeddingBatched(df: DataFrame, textCol: String, outCol: String,
-                           embedder: HttpEmbedder, batchSize: Int = 32,
+                           embedder: BatchEmbedder, batchSize: Int = 32,
                            task: String = "chunk"): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
     val schema = df.schema.add(outCol,

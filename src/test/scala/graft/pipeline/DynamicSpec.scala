@@ -144,4 +144,116 @@ class DynamicSpec extends SparkSpecBase {
       }.getMessage.contains("endpoint"))
     } finally server.stop(0)
   }
+
+  test("named wire providers: jina index+search e2e through the real " +
+      "schema (batched, auth header), cohere rerank, endpoint required") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val lastAuth = new java.util.concurrent.atomic.AtomicReference("")
+    val lastTask = new java.util.concurrent.atomic.AtomicReference("")
+    val nReqs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rerankBody = new java.util.concurrent.atomic.AtomicReference("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // Jina /v1/embeddings shape: {"text":…} inputs, {"data":[{index,
+    // embedding}]} out (INDEX-keyed; vec = [len, #tokens, 1, 1])
+    server.createContext("/v1/embeddings",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        nReqs.incrementAndGet()
+        lastAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+        val req = JsonMethods.parse(
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        req \ "task" match { case JString(t) => lastTask.set(t); case _ => () }
+        val texts = req \ "input" match {
+          case JArray(xs) => xs.map(x => x \ "text" match {
+            case JString(s) => s; case _ => "" })
+          case _ => Nil
+        }
+        val data = JArray(texts.zipWithIndex.map { case (t, i) =>
+          JObject("index" -> JInt(i), "embedding" -> JArray(List(
+            JDouble(t.length), JDouble(t.split("\\s+").length),
+            JDouble(1), JDouble(1)))): JValue })
+        val out = JsonMethods.compact(JsonMethods.render(
+          JObject("data" -> data))).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    // Cohere /v2/rerank shape: results in REVERSED candidate order so
+    // the rerank visibly reorders
+    server.createContext("/v2/rerank",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        rerankBody.set(
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        val n = JsonMethods.parse(rerankBody.get()) \ "documents" match {
+          case JArray(xs) => xs.length
+          case _ => 0
+        }
+        val results = JArray((0 until n).reverse.zipWithIndex.map {
+          case (idx, rank) => JObject("index" -> JInt(idx),
+            "relevance_score" -> JDouble(1.0 - rank * 0.1)): JValue
+        }.toList)
+        val out = JsonMethods.compact(JsonMethods.render(
+          JObject("results" -> results))).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sp = spark
+      import sp.implicits._
+      val reg = new Registry(spark,
+        Files.createTempDirectory("graft-dyn-wire").toString)
+      val chunks = chunkDef("dynchunk_wire")
+      reg.register(chunks)
+      def jinaStep = ResourceRequest("text-emb", "jina", Map(
+        "endpoint" -> s"$base/v1/embeddings", "model" -> "jina-embeddings-v4",
+        "dim" -> "4", "rps" -> "1000", "burst" -> "64", "key" -> "sekrit"))
+      val cfg = fromSteps(Seq(
+        ResourceRequest("chunk", "regex",
+          Map("size" -> "60", "overlap" -> "10")),
+        jinaStep,
+        ResourceRequest("index", "graft")))
+      assert(cfg.textEmb.get.name.startsWith("jina_emb_"))
+      val docs = Seq(
+        (1L, "Spark runs distributed SQL. Spark joins are shuffle heavy."),
+        (2L, "Postgres stores rows. Postgres uses indexes for lookups."))
+        .toDF("doc_id", "text")
+      runIndex(reg, cfg, docs, chunks)
+      val stored = reg.table(chunks).collect()
+      assert(stored.length >= 2)
+      stored.foreach { r =>
+        assert(r.getAs[Seq[Float]]("vec").head ===
+          r.getAs[String]("text").length.toFloat)
+      }
+      // the wire adapter ingests through the BATCHED path
+      assert(nReqs.get() <= stored.length)
+      // auth header and document-side task vocabulary on the wire
+      assert(lastAuth.get() === "Bearer sekrit")
+      assert(lastTask.get() === "retrieval.passage")
+      // search with cohere rerank: reversed stub order must surface
+      val searchCfg = fromSteps(Seq(
+        jinaStep,
+        ResourceRequest("rerank", "cohere", Map(
+          "endpoint" -> s"$base/v2/rerank", "key" -> "sekrit",
+          "rps" -> "1000", "burst" -> "8")),
+        ResourceRequest("search", "graft", Map("topk" -> "3"))))
+      val hits = runSearch(reg, searchCfg, "Spark joins", chunks).collect()
+      assert(hits.nonEmpty)
+      assert(lastTask.get() === "retrieval.query") // query-side vocab
+      assert(rerankBody.get().contains(""""model":"rerank-v3.5""""))
+      // endpoint is mandatory for named wire providers too
+      assert(intercept[RequestError] {
+        fromSteps(Seq(ResourceRequest("text-emb", "voyage")))
+      }.getMessage.contains("endpoint"))
+      assert(intercept[RequestError] {
+        fromSteps(Seq(
+          ResourceRequest("text-emb", "hash"),
+          ResourceRequest("rerank", "jina"),
+          ResourceRequest("search", "graft")))
+      }.getMessage.contains("endpoint"))
+    } finally server.stop(0)
+  }
 }

@@ -224,16 +224,16 @@ class TransportSpec extends SparkSpecBase {
         """"content":{"parts":[{"text":"hi"}]}}""")
       // Jina: batched {"text": …} inputs; out-of-order data re-sorted
       val j = JinaEmbedder("jina-embeddings-v4", 4, http("/jina"))
-      val jv = j.embedBatch(Seq("a", "b"), "retrieval.passage")
+      val jv = j.embedBatch(Seq("a", "b"), "chunk") // -> retrieval.passage
       assert(jv.map(_.head.toInt) === Seq(1, 5)) // index order, not wire
       assert(stub.last("/jina") === """{"model":"jina-embeddings-v4",""" +
         """"dimensions":4,"truncate":true,"task":"retrieval.passage",""" +
         """"embedding_type":"float","input":[{"text":"a"},{"text":"b"}]}""")
-      j.embedBatch(Seq("q", "r"), "retrieval.query")
+      j.embedBatch(Seq("q", "r"), "query") // -> retrieval.query
       assert(stub.last("/jina").contains(""""task":"retrieval.query""""))
       // Voyage: bare-string inputs + output_dimension/dtype
       val v = VoyageEmbedder("voyage-3-large", 4, http("/voyage"))
-      v.embedBatch(Seq("a", "b"), "document")
+      v.embedBatch(Seq("a", "b"), "chunk") // -> input_type document
       assert(stub.last("/voyage") === """{"model":"voyage-3-large",""" +
         """"input":["a","b"],"input_type":"document","truncation":true,""" +
         """"output_dimension":4,"output_dtype":"float"}""")
