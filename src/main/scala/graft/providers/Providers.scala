@@ -182,6 +182,148 @@ final case class OpenAiEmbedder(model: String, dim: Int, http: HttpJson)
     embedBatch(Seq(text), "chunk").head
 }
 
+/** Jina MULTIMODAL embedding (embedding.py:208-264, model/jina.py:
+  * 19-67): same `/v1/embeddings` endpoint as the text adapter; each
+  * provided part — text, image bytes (bare base64), image URL — is its
+  * OWN input item in reference order (text, image, image_url;
+  * jina.py:61-66), and like the reference's `get_emb` the FIRST
+  * returned embedding is the result (jina.py:79-86 takes `data[0]`
+  * even when several inputs were sent). */
+final case class JinaMultimodalEmbedder(
+    model: String = "jina-embeddings-v4",
+    dim: Int, http: HttpJson) extends Serializable {
+  val supportsMultiModal = true
+  def name: String = s"jina_mm_emb_${model}_$dim"
+
+  def embed(text: Option[String] = None,
+            image: Option[Array[Byte]] = None,
+            imageUrl: Option[String] = None,
+            task: String = "retrieval.passage"): Array[Float] = {
+    require(text.nonEmpty || image.nonEmpty || imageUrl.nonEmpty,
+      "at least one of text, image must be provided")
+    val inputs: List[JValue] =
+      text.map(t => JObject("text" -> JString(t)): JValue).toList ++
+        image.map(b => JObject("image" -> JString(java.util.Base64
+          .getEncoder.encodeToString(b))): JValue).toList ++
+        imageUrl.map(u => JObject("image" -> JString(u)): JValue).toList
+    val body = Wire.compact(JObject(
+      "model" -> JString(model),
+      "dimensions" -> JInt(dim),
+      "truncate" -> JBool(true),
+      "task" -> JString(task),
+      "embedding_type" -> JString("float"),
+      "input" -> JArray(inputs)))
+    val first = JsonMethods.parse(http.post(body)) \ "data" match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.minBy(it => Wire.num(it \ "index").toInt)
+      case other => throw new IllegalStateException(s"bad response: $other")
+    }
+    val vec = Js.floats(first \ "embedding")
+    require(vec.length == dim,
+      s"jina returned dim ${vec.length}, expected $dim")
+    vec
+  }
+
+  def embedQuery(text: Option[String] = None,
+                 image: Option[Array[Byte]] = None,
+                 imageUrl: Option[String] = None): Array[Float] =
+    embed(text, image, imageUrl, task = "retrieval.query")
+}
+
+/** Voyage MULTIMODAL embedding (embedding.py:311-369, model/voyage.py:
+  * 60-111): `POST {base}/v1/multimodalembeddings` with ONE input whose
+  * `content` list carries the typed parts in reference order — text,
+  * image_url, then image bytes as a `data:image/jpeg;base64,…` URI
+  * (voyage.py:96-106) — plus `input_type`/`truncation`; first returned
+  * embedding is the result. (The reference adds `encoding_format:
+  * base64`; omitted here = the API's plain-float JSON, same as the
+  * dense adapter.) */
+final case class VoyageMultimodalEmbedder(
+    model: String = "voyage-multimodal-3",
+    dim: Int, http: HttpJson) extends Serializable {
+  val supportsMultiModal = true
+  def name: String = s"voyage_multimodal_emb_${model}_$dim"
+
+  def embed(text: Option[String] = None,
+            image: Option[Array[Byte]] = None,
+            imageUrl: Option[String] = None,
+            inputType: String = "document"): Array[Float] = {
+    require(text.nonEmpty || image.nonEmpty || imageUrl.nonEmpty,
+      "at least one of text, image_url, or image must be provided")
+    val content: List[JValue] =
+      text.map(t => JObject("type" -> JString("text"),
+        "text" -> JString(t)): JValue).toList ++
+        imageUrl.map(u => JObject("type" -> JString("image_url"),
+          "image_url" -> JString(u)): JValue).toList ++
+        image.map(b => JObject("type" -> JString("image_base64"),
+          "image_base64" -> JString("data:image/jpeg;base64," +
+            java.util.Base64.getEncoder.encodeToString(b))): JValue).toList
+    val body = Wire.compact(JObject(
+      "model" -> JString(model),
+      "inputs" -> JArray(List(JObject("content" -> JArray(content)))),
+      "input_type" -> JString(inputType),
+      "truncation" -> JBool(true)))
+    val first = JsonMethods.parse(http.post(body)) \ "data" match {
+      case JArray(xs) if xs.nonEmpty =>
+        xs.minBy(it => Wire.num(it \ "index").toInt)
+      case other => throw new IllegalStateException(s"bad response: $other")
+    }
+    val vec = Js.floats(first \ "embedding")
+    require(vec.length == dim,
+      s"voyage returned dim ${vec.length}, expected $dim")
+    vec
+  }
+
+  def embedQuery(text: Option[String] = None,
+                 image: Option[Array[Byte]] = None,
+                 imageUrl: Option[String] = None): Array[Float] =
+    embed(text, image, imageUrl, inputType = "query")
+}
+
+/** Gemini generateContent completer (provider.py:54-82, model/gemini.py:
+  * 30-98): `{"contents": {"parts": [{"text": prompt}[, {"inline_data":
+  * {"mime_type", "data": base64}}]]}[, "generationConfig":
+  * {"response_mime_type": "application/json", "response_json_schema":
+  * …}]}` → first candidate's first part text (gemini.py:101-108). This
+  * is the provider behind the reference's gemini OCR extractor, entity
+  * recognizer and UMBRELA evaluator seats; `http.endpoint` must point
+  * at the model's `:generateContent` URL, header `x-goog-api-key`. */
+final case class GeminiCompleter(model: String = "gemini-2.5-flash",
+                                 http: HttpJson) extends Serializable {
+  def name: String = s"gemini_gen_$model"
+
+  def complete(prompt: String,
+               inlineData: Option[(String, Array[Byte])] = None,
+               responseJsonSchema: Option[String] = None): String = {
+    val parts: List[JValue] =
+      (JObject("text" -> JString(prompt)): JValue) ::
+        inlineData.map { case (mime, bytes) =>
+          JObject("inline_data" -> JObject(
+            "mime_type" -> JString(mime),
+            "data" -> JString(java.util.Base64.getEncoder
+              .encodeToString(bytes)))): JValue
+        }.toList
+    val fields =
+      List("contents" -> (JObject("parts" -> JArray(parts)): JValue)) ++
+        responseJsonSchema.map(s => "generationConfig" -> (JObject(
+          "response_mime_type" -> JString("application/json"),
+          "response_json_schema" -> JsonMethods.parse(s)): JValue))
+    val resp = JsonMethods.parse(http.post(Wire.compact(JObject(
+      fields: _*))))
+    resp \ "candidates" match {
+      case JArray(c :: _) => c \ "content" \ "parts" match {
+        case JArray(p :: _) => p \ "text" match {
+          case JString(s) => s
+          case _ => "" // gemini.py:106-108: missing text -> empty
+        }
+        case other =>
+          throw new IllegalStateException(s"bad response: $other")
+      }
+      case other => throw new IllegalStateException(s"bad response: $other")
+    }
+  }
+}
+
 /** SPLADE++ sparse embedding (embedding.py:413-441): the body is a BARE
   * JSON array of texts to `{base}/inference`, the response a list of
   * `{"dim", "indices", "values"}` objects (model/internal.py:43-46) in

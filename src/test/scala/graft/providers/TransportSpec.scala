@@ -270,6 +270,63 @@ class TransportSpec extends SparkSpecBase {
     } finally stub.stop()
   }
 
+  test("multimodal wire adapters and the gemini completer: exact " +
+      "request JSON, first-embedding semantics, inline data + schema") {
+    val outOfOrder = // first-by-INDEX is [1,2,3,4], not wire order
+      """{"data":[{"index":1,"embedding":[9.0,9.0,9.0,9.0]},""" +
+        """{"index":0,"embedding":[1.0,2.0,3.0,4.0]}]}"""
+    val stub = new CaptureStub(Map(
+      "/jmm" -> outOfOrder,
+      "/vmm" -> outOfOrder,
+      "/gen" -> ("""{"candidates":[{"content":{"parts":""" +
+        """[{"text":"the answer"}]}}]}""")))
+    def http(path: String) =
+      HttpJson(stub.url(path), rps = 1000.0, burst = 8)
+    val png = Array[Byte](1, 2, 3) // content is opaque to the adapter
+    val b64 = java.util.Base64.getEncoder.encodeToString(png)
+    try {
+      // Jina multimodal: each part its OWN input item (text, image,
+      // image_url order), bare-base64 image, FIRST embedding returned
+      val jm = JinaMultimodalEmbedder("jina-embeddings-v4", 4,
+        http("/jmm"))
+      val jv = jm.embed(text = Some("hello"), image = Some(png))
+      assert(jv.toSeq === Seq(1f, 2f, 3f, 4f)) // index 0, not wire head
+      assert(stub.last("/jmm") === """{"model":"jina-embeddings-v4",""" +
+        """"dimensions":4,"truncate":true,"task":"retrieval.passage",""" +
+        s""""embedding_type":"float","input":[{"text":"hello"},""" +
+        s"""{"image":"$b64"}]}""")
+      jm.embedQuery(imageUrl = Some("http://x/y.png"))
+      assert(stub.last("/jmm").contains(""""task":"retrieval.query""""))
+      assert(stub.last("/jmm").contains(
+        """"input":[{"image":"http://x/y.png"}]"""))
+      intercept[IllegalArgumentException](jm.embed())
+      // Voyage multimodal: ONE input, typed content parts, data: URI
+      val vm = VoyageMultimodalEmbedder("voyage-multimodal-3", 4,
+        http("/vmm"))
+      val vv = vm.embed(text = Some("hello"), image = Some(png))
+      assert(vv.toSeq === Seq(1f, 2f, 3f, 4f))
+      assert(stub.last("/vmm") === """{"model":"voyage-multimodal-3",""" +
+        """"inputs":[{"content":[{"type":"text","text":"hello"},""" +
+        s"""{"type":"image_base64","image_base64":""" +
+        s""""data:image/jpeg;base64,$b64"}]}],""" +
+        """"input_type":"document","truncation":true}""")
+      vm.embedQuery(text = Some("q"))
+      assert(stub.last("/vmm").contains(""""input_type":"query""""))
+      // Gemini completer: prompt-only, then inline data + json schema
+      val g = GeminiCompleter("gemini-2.5-flash", http("/gen"))
+      assert(g.complete("why?") === "the answer")
+      assert(stub.last("/gen") ===
+        """{"contents":{"parts":[{"text":"why?"}]}}""")
+      g.complete("read this", inlineData = Some(("application/pdf", png)),
+        responseJsonSchema = Some("""{"type":"object"}"""))
+      assert(stub.last("/gen") === """{"contents":{"parts":""" +
+        s"""[{"text":"read this"},{"inline_data":""" +
+        s"""{"mime_type":"application/pdf","data":"$b64"}}]},""" +
+        """"generationConfig":{"response_mime_type":"application/json",""" +
+        """"response_json_schema":{"type":"object"}}}""")
+    } finally stub.stop()
+  }
+
   test("embedder validates vector count and dimension from the provider") {
     val stub = new Stub
     try {
