@@ -622,7 +622,25 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         val newChild = child.transformUp {
           case l: LeafNode if !injected && (l fastEquals leaf) =>
             injected = true
-            val j = Join(l, candPlan, LeftSemi,
+            // The semi-join alone bounds COMPUTE but not IO: on a
+            // partitionBy(cellCol) layout the scan would still read
+            // every cell directory, because Spark's own PartitionPruning
+            // rule only fires when the build side carries a selective
+            // Filter (a Sort+Limit probe subplan has none — and a no-op
+            // tautology predicate gets constant-folded away before the
+            // heuristic sees it). So inject the DynamicPruningSubquery
+            // ourselves — exactly the expression PartitionPruning would
+            // have placed, build side = the same probe subplan, with
+            // onlyInBroadcast=false so it executes as a plain
+            // in-subquery even if the join side is not broadcast
+            // (duplicated probe work = one scan of the tiny centroids
+            // table). CleanupDynamicPruningFilters drops the filter
+            // harmlessly when the leaf is not a pruning-capable scan
+            // (in-memory tables, non-partitioned layouts).
+            val pruned = Filter(
+              DynamicPruningSubquery(cellAttr, candPlan, Seq(candId),
+                Seq(0), onlyInBroadcast = false), l)
+            val j = Join(pruned, candPlan, LeftSemi,
               Some(EqualTo(cellAttr, candId)),
               org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
             j.setTagValue(AnnTopKRule.InjectedQuant, ())

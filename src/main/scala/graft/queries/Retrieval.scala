@@ -281,6 +281,12 @@ object Retrieval {
         s"distributed probe rewrite did not engage:\n$plan")
       require(!plan.contains(" IN ("),
         s"expected subplan probe selection, found centroid literals:\n$plan")
+      // IO contract: the rule's DynamicPruningSubquery must become
+      // runtime partition pruning on the stored layout (the semi-join
+      // alone bounds compute, not the scan)
+      require(df.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "expected runtime partition pruning on the stored scan")
       // materialize while the registration is live (see annRewriteStored)
       df.localCheckpoint(true)
     } finally graft.plans.AnnIndex.unregisterDistributed("embedding")

@@ -78,6 +78,14 @@ class AnnRewriteSpec extends SparkSpecBase {
       }
       assert(!hasLiteralProbe,
         s"expected no literal cell filter:\n$opt")
+      // IO contract: the injected DynamicPruningSubquery must surface
+      // as runtime partition pruning on the stored layout — without it
+      // the semi-join reads every cell directory (Spark's own
+      // PartitionPruning heuristic never fires for a Sort+Limit build
+      // side, so the rule plants the subquery itself)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.toLowerCase.contains("dynamicpruning"),
+        s"expected runtime partition pruning on the stored scan:\n$phys")
       // result equals the driver-side probe path
       val viaOp = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
         model, typedlit(q64), Ann.L2, probes = 3, k = 5)
