@@ -33,6 +33,67 @@ final case class OverlapJudge() extends RelevanceJudge {
   }
 }
 
+/** UMBRELA judge over the Gemini generateContent completer — the wire
+  * form of the seat (evaluate.py:159-208 `GeminiUMBRELAEvaluator`):
+  * the reference's 0–3 Bing RELevance Assessor prompt
+  * (evaluate.py:122-151, arXiv:2406.06519) plus its Query/Passage
+  * field block, a structured `{"score": int}` response requested via
+  * `response_json_schema` (evaluate.py:186-189
+  * `from_prompt_structure_response`), empty passage short-circuits to
+  * 0 (evaluate.py:184-185) and an unparseable response fails loudly
+  * (evaluate.py:203-208) rather than silently scoring 0. */
+final case class UmbrelaJudge(completer: graft.providers.GeminiCompleter,
+                              override val threshold: Int = 2)
+  extends RelevanceJudge {
+
+  def estimate(query: String, passage: String): Int = {
+    if (passage == null || passage.isEmpty) return 0
+    val resp = completer.complete(
+      UmbrelaJudge.Prompt + s"\nQuery: $query\nPassage: $passage\n",
+      responseJsonSchema = Some(UmbrelaJudge.ScoreSchema))
+    org.json4s.jackson.JsonMethods.parse(resp) \ "score" match {
+      case org.json4s.JInt(i) => i.toInt
+      case other => throw new IllegalStateException(
+        s"failed to decode UMBRELA score from response: $resp ($other)")
+    }
+  }
+}
+
+object UmbrelaJudge {
+  /** The reference's UMBRELA prompt, verbatim (evaluate.py:122-147 —
+    * itself from the UMBRELA paper's appendix, arXiv:2406.06519). */
+  val Prompt: String = """Given a query and a passage, you must provide a score on an
+integer scale of 0 to 3 with the following meanings:
+0 = represent that the passage has nothing to do with the query,
+1 = represents that the passage seems related to the query but
+does not answer it,
+2 = represents that the passage has some answer for the query,
+but the answer may be a bit unclear, or hidden amongst extraneous
+information and
+3 = represents that the passage is dedicated to the query and
+contains the exact answer.
+Important Instruction: Assign category 1 if the passage is
+somewhat related to the topic but not completely, category 2 if
+passage presents something very important related to the entire
+topic but also has some extra information and category 3 if the
+passage only and entirely refers to the topic. If none of the
+above satisfies give it category 0.
+Split this problem into steps:
+Consider the underlying intent of the search.
+Measure how well the content matches a likely intent of the query (M).
+Measure how trustworthy the passage is (T).
+Consider the aspects above and the relative importance of each,
+and decide on a final score (O). Final score must be an integer.
+Do not provide any code in result. Provide each score in the
+format of: a single integer without any reasoning.
+"""
+
+  /** msgspec.json.schema(UMBRELAScore) twin: one required int field. */
+  val ScoreSchema: String =
+    """{"type":"object","properties":{"score":{"type":"integer"}},""" +
+      """"required":["score"]}"""
+}
+
 /** Judged-relevance metrics without stored truth — the UMBRELA
   * `evaluate_with_estimation` port (evaluate.py:210-231): judge each
   * passage, then Precision@K / AP@K (k ∈ kValues) and MRR over the

@@ -73,20 +73,16 @@ final case class HttpJson(endpoint: String, rps: Double = 8.0,
     .connectTimeout(java.time.Duration.ofMillis(deadlineMs))
     .build()
 
-  def post(body: String): String = {
+  /** Shared rate-limited retry ladder: `mk` builds the request from the
+    * remaining per-call deadline. 200 returns the body; 429/5xx/IO
+    * retry with exponential backoff; other statuses fail fast. */
+  private def retryLoop(mk: Long => java.net.http.HttpRequest): String = {
     val deadline = System.nanoTime() + deadlineMs * 1000000L
     var attempt = 0
     var backoff = backoffMs
     while (true) {
       RateLimiters.get(endpoint, rps, burst).acquire()
-      val b = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(endpoint))
-        .timeout(java.time.Duration.ofMillis(math.max(1L,
-          (deadline - System.nanoTime()) / 1000000L)))
-        .header("Content-Type", "application/json")
-      headers.foreach { case (k, v) => b.header(k, v) }
-      val req = b.POST(java.net.http.HttpRequest.BodyPublishers
-        .ofString(body, StandardCharsets.UTF_8)).build()
+      val req = mk(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
       val status =
         try {
           val resp = client.send(req,
@@ -106,6 +102,53 @@ final case class HttpJson(endpoint: String, rps: Double = 8.0,
       backoff *= 2
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  private def builder(url: String,
+                      timeoutMs: Long): java.net.http.HttpRequest.Builder = {
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b
+  }
+
+  def post(body: String): String =
+    retryLoop(t => builder(endpoint, t)
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers
+        .ofString(body, StandardCharsets.UTF_8)).build())
+
+  /** `multipart/form-data` POST of one file part (the LlamaParse upload
+    * shape, provider.py:227-231), same bucket + retry ladder as
+    * [[post]]; `url` defaults to the configured endpoint so one
+    * HttpJson (= one rate bucket) can serve a provider's whole API. */
+  def postMultipart(url: String, field: String, filename: String,
+                    mime: String, content: Array[Byte]): String = {
+    val boundary = "----graft" + java.util.UUID.randomUUID().toString
+    val head = (s"--$boundary\r\n" +
+      s"""Content-Disposition: form-data; name="$field"; """ +
+      s"""filename="$filename"\r\n""" +
+      s"Content-Type: $mime\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val tail = s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8)
+    val body = head ++ content ++ tail
+    retryLoop(t => builder(url, t)
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+      .build())
+  }
+
+  /** ONE rate-limited GET attempt, no retry ladder — poll loops (the
+    * LlamaParse job-result wait, provider.py:240-254) own their
+    * repetition and deadline; returns (status, body), -1 on IO error. */
+  def getOnce(url: String): (Int, String) = {
+    RateLimiters.get(endpoint, rps, burst).acquire()
+    val req = builder(url, deadlineMs).GET().build()
+    try {
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch { case _: java.io.IOException => (-1, "") }
   }
 }
 

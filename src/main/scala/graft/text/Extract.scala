@@ -645,6 +645,92 @@ trait ExtractorProvider extends Serializable {
   def extractImage(data: Array[Byte]): String
 }
 
+/** Gemini OCR extractor — the WIRE form of the seat
+  * (extract.py:103-134 `GeminiExtractor`): each document ships as
+  * `inline_data` (PDF as `application/pdf`, image as `image/jpeg`)
+  * beside the reference's own extraction prompt (the caller's prompt
+  * overrides, extract.py:121-122), through the rate-limited
+  * generateContent completer; the first candidate's text, trimmed.
+  * Zero-egress tests drive it against an in-process stub — a real key
+  * + `:generateContent` endpoint on the completer's HttpJson is a
+  * config swap. */
+final case class GeminiOcrExtractor(
+    completer: graft.providers.GeminiCompleter,
+    prompt: String = "") extends ExtractorProvider {
+  def name: String = s"gemini_extractor_${completer.model}"
+
+  private def run(userPrompt: String, default: String, mime: String,
+                  data: Array[Byte]): String =
+    completer.complete(
+      if (userPrompt.nonEmpty) userPrompt else default,
+      inlineData = Some((mime, data))).strip()
+
+  def extractPdf(data: Array[Byte]): String =
+    run(prompt, GeminiOcrExtractor.PdfPrompt, "application/pdf", data)
+  def extractImage(data: Array[Byte]): String =
+    run(prompt, GeminiOcrExtractor.ImagePrompt, "image/jpeg", data)
+}
+
+object GeminiOcrExtractor {
+  /** extract.py:91-96, verbatim. */
+  val PdfPrompt: String = """
+Extract the main content from the PDF document. Ensure to exclude any
+metadata, headers, footers, or any other non-essential information.
+Return the extracted content as it appears in the document, without
+any additional modification, summarization or interpretation.
+"""
+  /** extract.py:97-100, verbatim. */
+  val ImagePrompt: String = """
+Extract the visible text from the image, generate a concise caption
+describing the image's content or scene, return the text with caption.
+"""
+}
+
+/** LlamaParse extractor — the wire form of the parse seat
+  * (provider.py:205-254 `LlamaCloudProvider`, extract.py:137-169):
+  * multipart-upload the document to `{base}/api/parsing/upload` →
+  * `{"id": job}`, then poll `GET {base}/api/parsing/job/{id}/result/
+  * text` until success → `{"text": …}`. The [[Poller]]'s defaults are
+  * the reference's own 30-minute deadline / 5-second interval
+  * (EXTRACT_MAX_POLLING_TIME / EXTRACT_CHECK_INTERVAL); `http
+  * .endpoint` is the API base (`https://api.cloud.llamaindex.ai` in
+  * production) with Bearer auth in the transport headers, and the
+  * whole flow — upload and every poll — shares that endpoint's one
+  * rate bucket. */
+final case class LlamaParseExtractor(http: graft.providers.HttpJson,
+                                     poller: Poller = new Poller())
+  extends ExtractorProvider {
+  def name: String = "llamaparse_extractor"
+
+  private def parse(filename: String, mime: String,
+                    data: Array[Byte]): String = {
+    import org.json4s._
+    val up = jackson.JsonMethods.parse(http.postMultipart(
+      s"${http.endpoint}/api/parsing/upload", "file", filename, mime,
+      data))
+    val job = up \ "id" match {
+      case JString(s) => s
+      case other =>
+        throw new IllegalStateException(s"bad upload response: $other")
+    }
+    poller.await { () =>
+      val (status, body) =
+        http.getOnce(s"${http.endpoint}/api/parsing/job/$job/result/text")
+      if (status != 200) None
+      else jackson.JsonMethods.parse(body) \ "text" match {
+        case JString(t) => Some(t)
+        case other =>
+          throw new IllegalStateException(s"bad result response: $other")
+      }
+    }
+  }
+
+  def extractPdf(data: Array[Byte]): String =
+    parse("document.pdf", "application/pdf", data)
+  def extractImage(data: Array[Byte]): String =
+    parse("image.jpg", "image/jpeg", data)
+}
+
 /** Deterministic OCR stand-in: derives stable text from the payload
   * digest so pipelines built on the seat are testable end-to-end. */
 final case class StubOcrExtractor() extends ExtractorProvider {

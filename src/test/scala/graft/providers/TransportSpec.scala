@@ -327,6 +327,117 @@ class TransportSpec extends SparkSpecBase {
     } finally stub.stop()
   }
 
+  test("UmbrelaJudge: reference prompt + score schema on the wire, " +
+      "structured score parsed, empty passage short-circuits") {
+    val stub = new CaptureStub(Map(
+      "/gen" -> ("""{"candidates":[{"content":{"parts":""" +
+        """[{"text":"{\"score\":3}"}]}}]}"""),
+      "/bad" -> ("""{"candidates":[{"content":{"parts":""" +
+        """[{"text":"not json"}]}}]}""")))
+    try {
+      val judge = graft.eval.UmbrelaJudge(GeminiCompleter(
+        "gemini-2.5-flash", HttpJson(stub.url("/gen"), rps = 1000.0)))
+      assert(judge.estimate("why is the sky blue", "rayleigh scattering")
+        === 3)
+      val sent = stub.last("/gen")
+      assert(sent.contains("integer scale of 0 to 3")) // the prompt
+      assert(sent.contains("Query: why is the sky blue"))
+      assert(sent.contains("Passage: rayleigh scattering"))
+      assert(sent.contains(""""response_json_schema":{"type":"object",""" +
+        """"properties":{"score":{"type":"integer"}},"required":["score"]}"""))
+      assert(judge.threshold === 2) // evaluate.py:169-173 default
+      // empty passage: 0 WITHOUT a provider call (evaluate.py:184-185)
+      val before = this.synchronized(stub.bodies("/gen").length)
+      assert(judge.estimate("q", "") === 0)
+      assert(this.synchronized(stub.bodies("/gen").length) === before)
+      // unparseable structured output fails loudly (evaluate.py:203-208)
+      val bad = graft.eval.UmbrelaJudge(GeminiCompleter(
+        "gemini-2.5-flash", HttpJson(stub.url("/bad"), rps = 1000.0)))
+      intercept[Exception](bad.estimate("q", "p"))
+    } finally stub.stop()
+  }
+
+  test("GeminiOcrExtractor: per-kind mime + reference prompt beside " +
+      "inline data, caller prompt overrides, trimmed candidate text") {
+    val stub = new CaptureStub(Map(
+      "/gen" -> ("""{"candidates":[{"content":{"parts":""" +
+        """[{"text":"  the extracted text\n"}]}}]}""")))
+    try {
+      val ocr = graft.text.GeminiOcrExtractor(GeminiCompleter(
+        "gemini-2.5-flash", HttpJson(stub.url("/gen"), rps = 1000.0)))
+      assert(ocr.name === "gemini_extractor_gemini-2.5-flash")
+      val pdf = Array[Byte](0x25, 0x50, 0x44, 0x46)
+      val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+      assert(ocr.extractPdf(pdf) === "the extracted text")
+      val sentPdf = stub.last("/gen")
+      assert(sentPdf.contains("Extract the main content from the PDF"))
+      assert(sentPdf.contains(
+        s""""inline_data":{"mime_type":"application/pdf","data":"$b64""""))
+      ocr.extractImage(pdf)
+      val sentImg = stub.last("/gen")
+      assert(sentImg.contains("Extract the visible text from the image"))
+      assert(sentImg.contains(""""mime_type":"image/jpeg""""))
+      // caller-supplied prompt wins (extract.py:121-122)
+      graft.text.GeminiOcrExtractor(GeminiCompleter("gemini-2.5-flash",
+        HttpJson(stub.url("/gen"), rps = 1000.0)), prompt = "just ocr")
+        .extractPdf(pdf)
+      assert(stub.last("/gen").contains(""""text":"just ocr""""))
+    } finally stub.stop()
+  }
+
+  test("LlamaParseExtractor: multipart upload, 404-then-success poll, " +
+      "text result; poll deadline surfaces as timeout") {
+    val uploadBody =
+      new java.util.concurrent.atomic.AtomicReference[Array[Byte]]()
+    val uploadCt = new java.util.concurrent.atomic.AtomicReference("")
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/parsing/upload", (ex: HttpExchange) => {
+      uploadBody.set(ex.getRequestBody.readAllBytes())
+      uploadCt.set(ex.getRequestHeaders.getFirst("Content-Type"))
+      val out = """{"id":"job-42"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.createContext("/api/parsing/job/job-42/result/text",
+      (ex: HttpExchange) => {
+        val n = polls.incrementAndGet()
+        val (code, out) =
+          if (n < 3) (404, """{"detail":"pending"}""".getBytes("UTF-8"))
+          else (200, """{"text":"parsed markdown"}""".getBytes("UTF-8"))
+        ex.sendResponseHeaders(code, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val http = HttpJson(base, rps = 1000.0, burst = 8,
+        headers = Map("Authorization" -> "Bearer sekrit"))
+      val fast = new graft.text.Poller(deadlineMs = 10000, intervalMs = 1)
+      val ex = graft.text.LlamaParseExtractor(http, fast)
+      assert(ex.extractPdf("%PDF".getBytes("UTF-8")) === "parsed markdown")
+      assert(polls.get() === 3) // 2 pending rounds + the success
+      // multipart shape: boundary header, file part with mime, payload
+      assert(uploadCt.get().startsWith("multipart/form-data; boundary="))
+      val sent = new String(uploadBody.get(), "UTF-8")
+      assert(sent.contains(
+        """Content-Disposition: form-data; name="file"; """ +
+          """filename="document.pdf""""))
+      assert(sent.contains("Content-Type: application/pdf"))
+      assert(sent.contains("%PDF"))
+      // a job that never completes times out at the poller deadline
+      val never = new graft.text.Poller(deadlineMs = 5, intervalMs = 1)
+      polls.set(-1000000)
+      intercept[java.util.concurrent.TimeoutException] {
+        graft.text.LlamaParseExtractor(http, never)
+          .extractImage(Array[Byte](1))
+      }
+    } finally server.stop(0)
+  }
+
   test("embedder validates vector count and dimension from the provider") {
     val stub = new Stub
     try {
