@@ -98,6 +98,36 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregisterDistributed("embedding")
   }
 
+  test("registerDistributed over an IN-MEMORY leaf: the planted " +
+      "DynamicPruningSubquery cleans up gracefully, results exact") {
+    val (e, model, _) = setup()
+    // persisted: the InMemoryRelation LEAF exposes centroid_id (the
+    // rewrite's leaf contract); an unpersisted assign is a Project over
+    // the raw parquet relation and is correctly left untouched
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2).persist()
+    assigned.count()
+    AnnIndex.registerDistributed("embedding", model, Ann.L2, probes = 3)
+    try {
+      val df = assigned
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // no partitioned file scan to prune — CleanupDynamicPruningFilters
+      // must drop the planted subquery instead of failing the plan
+      val viaOp = Ann.searchIvf(assigned, "vec_id", "embedding", model,
+        typedlit(q64), Ann.L2, probes = 3, k = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally {
+      AnnIndex.unregisterDistributed("embedding")
+      assigned.unpersist(false)
+    }
+  }
+
   test("rule is a fixpoint: re-applying to a rewritten plan is a no-op") {
     val (_, model, dir) = setup()
     AnnIndex.register("embedding", model, Ann.L2, probes = 3)
