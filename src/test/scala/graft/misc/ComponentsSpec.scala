@@ -59,6 +59,29 @@ class ComponentsSpec extends SparkSpecBase {
       Seq("hello", ",", "run", "##ning", "!"))
   }
 
+  test("wordpiece: the r24 derived-vocab invariant — greedy " +
+      "longest-match provably splits every word to [take(4), ##drop(4)]") {
+    // The r24 gate's oracle replays tokenization as a CASE split; its
+    // soundness rests on this property of the derived vocab (standalone
+    // pieces <= 4 chars, every word's own full continuation present),
+    // including adversarial prefix/continuation overlaps across words.
+    val rnd = new scala.util.Random(42)
+    val words = (Seq("a", "ab", "abc", "abcd", "abcde", "abcdef",
+      "abcdefg", "abcx", "abcxyz", "spark", "sparkling", "fil",
+      "filter", "filters", "filtering", "join", "joining") ++
+      Seq.fill(200)((1 to (1 + rnd.nextInt(9)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)).distinct
+    val vocab = words.flatMap(w =>
+      if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
+      .distinct.toSet
+    words.foreach { w =>
+      val expected =
+        if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w)
+      assert(Tokenizers.wordpiecePieces(vocab, w) === expected,
+        s"word '$w' violated the derived-vocab split")
+    }
+  }
+
   test("wordpiece vocab tokenizer: column==scala parity and byName " +
       "resolution replaces the seat") {
     val sp = spark
