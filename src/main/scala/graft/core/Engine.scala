@@ -68,8 +68,10 @@ final class Engine(reg: Registry) {
     * batch twin of `vchordrq.maxsim_refine` full-precision rescoring. */
   def searchByMultivec(td: TableDef[_], queryVecs: Seq[Seq[Double]],
                        topk: Int = 10, refine: Int = 1000,
+                       probes: Int = 0,
                        returnFields: Seq[String] = Nil): DataFrame = {
-    val mvCol = td.indexes.collectFirst { case MultiVectorIndex(c, _) => c }
+    val mvIx = td.indexes.collectFirst { case ix: MultiVectorIndex => ix }
+    val mvCol = mvIx.map(_.column)
       .orElse(td.multiVectorColumns.headOption)
       .getOrElse(throw new IllegalStateException(
         s"${td.name} has no multivector column"))
@@ -79,7 +81,22 @@ final class Engine(reg: Registry) {
     val dim = queryVecs.head.length
     val centroid: Seq[Double] = (0 until dim).map(i =>
       queryVecs.map(_(i)).sum / queryVecs.length)
-    val candidates =
+    // with a LISTS-built multivec IVF (buildIndex), phase-1 scans only
+    // the `probes` cells nearest the query-token centroid — and only
+    // the persisted mean column — instead of every doc's token matrix
+    val ivfPhase1 = for {
+      ix <- mvIx if ix.lists > 0 && refine > 0
+      model <- mvIndexModel(td)
+    } yield {
+      val p = if (probes > 0) probes
+        else math.ceil(ix.lists / 16.0).toInt.max(1)
+      val ids = Ann.maxsimCandidatesIvf(mvAssignedCached(td, ix, model),
+          td.pk, MvMeanCol, model, queryVecs, refine, p)
+        .withColumnRenamed(td.pk, "__cand_id")
+      base.join(broadcast(ids), col(td.pk) === col("__cand_id"),
+        "left_semi")
+    }
+    val candidates = ivfPhase1.getOrElse {
       if (refine > 0) {
         base.withColumn("__approx",
             Vec.dot(flattenMean(col(mvCol), dim), typedlit(centroid)))
@@ -87,6 +104,7 @@ final class Engine(reg: Registry) {
           .limit(refine)
           .drop("__approx")
       } else base
+    }
     candidates
       .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
         .maxSimDot(q, col(mvCol)), 6))
@@ -153,7 +171,7 @@ final class Engine(reg: Registry) {
     * cosine-distance assignment is the spherical-centroids analog,
     * spec.py:458-464). Stored as a `<table>__ivf` side table in the
     * same catalog. */
-  def buildIndex(td: TableDef[_]): Unit =
+  def buildIndex(td: TableDef[_]): Unit = {
     td.vectorIndex.filter(_.lists > 0).foreach { ix =>
       val base = reg.table(td)
       val model = Ann.buildIvfKMeans(base, ix.column, ix.lists, ix.distance)
@@ -163,6 +181,31 @@ final class Engine(reg: Registry) {
       reg.catalog.commit(reg.catalog.current +
         (s"${reg.namespace}_$t" -> Vector(seg)))
     }
+    // multivec IVF (the reference's vector_maxsim_ops index with
+    // `lists`, spec.py:447-464): KMeans over the per-doc token means —
+    // maxsim phase-1 then scans probed cells only (Ann.buildMaxsimIvf)
+    td.indexes.collectFirst {
+      case ix @ Spec.MultiVectorIndex(_, lists) if lists > 0 => ix
+    }.foreach { ix =>
+      val dim = mvDim(td, ix.column)
+      val means = reg.table(td).withColumn("__mean",
+        Ann.tokenMeanCol(col(ix.column), dim))
+      val model = Ann.buildIvfKMeans(means, "__mean", ix.lists, Ann.L2)
+      val t = s"${td.name}__mvivf"
+      val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
+        model.centroids)
+      reg.catalog.commit(reg.catalog.current +
+        (s"${reg.namespace}_$t" -> Vector(seg)))
+    }
+  }
+
+  /** The pinned token dimension of a multivector column — the maxsim
+    * index build needs it to materialize the token-mean; failing loud
+    * here beats a scan-time arity error on an executor. */
+  private def mvDim(td: TableDef[_], mvCol: String): Int =
+    td.vectorDims.getOrElse(mvCol, throw new IllegalStateException(
+      s"${td.name}.$mvCol needs its token dimension pinned in " +
+        "TableDef.vectorDims to build a multivec IVF"))
 
   /** Register the table's vector index for DECLARATIVE queries: after
     * this, a plain `orderBy(dist(vecCol, q)).limit(k)` DataFrame plan
@@ -206,11 +249,26 @@ final class Engine(reg: Registry) {
     // multivector column: plain orderBy(maxsim_dot(q, mv).desc).limit(k)
     // plans rewrite into the two-phase refine (the declarative
     // `maxsim_refine`, registry.py:233) — resolver-backed like the
-    // dense registrations, so post-install writes stay visible
-    td.indexes.collectFirst { case Spec.MultiVectorIndex(c, _) => c }
-      .foreach { mvCol =>
-        graft.plans.AnnIndex.registerMaxsim(mvCol, td.pk,
-          () => reg.table(td), maxsimRefine)
+    // dense registrations, so post-install writes stay visible. A
+    // LISTS-built multivec IVF additionally routes phase-1 through the
+    // probe + dynamic-pruning machinery (MaxsimIvf) so candidates come
+    // from probed cells, not a full token-matrix scan.
+    td.indexes.collectFirst { case ix: Spec.MultiVectorIndex => ix }
+      .foreach { ix =>
+        val ivf = if (ix.lists > 0) {
+          mvIndexModel(td).getOrElse(throw new IllegalStateException(
+            s"${td.name} has no built multivec IVF model — run " +
+              "buildIndex first")) // fail install-time, not query-time
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          def model = mvIndexModel(td).get
+          Some(graft.plans.AnnIndex.MaxsimIvf(
+            () => mvAssignedCached(td, ix, model),
+            "centroid_id", MvMeanCol,
+            () => model.centroids, "centroid_id", "centroid", p))
+        } else None
+        graft.plans.AnnIndex.registerMaxsim(ix.column, td.pk,
+          () => reg.table(td), maxsimRefine, ivf)
       }
     // keyword column: plain orderBy(bm25_score.desc).limit(k) plans
     // ([[keywordScoreColumn]] builds the score) rewrite into the

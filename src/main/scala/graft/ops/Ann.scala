@@ -864,6 +864,62 @@ object Ann {
       .select(col(idCol))
   }
 
+  /** Query-token centroid — maxsim phase-1's single probe vector (the
+    * driver-side mean of the |q| query tokens; |q| is a handful, never
+    * data-sized). */
+  def queryCentroid(queryVecs: Seq[Seq[Double]]): Seq[Double] = {
+    val dim = queryVecs.head.length
+    (0 until dim).map(i => queryVecs.map(_(i)).sum / queryVecs.length)
+  }
+
+  /** Each doc's token-mean as a PERSISTABLE column (rounded so the
+    * stored value is engine-portable) — the multivec index's phase-1
+    * summary materialized at BUILD time instead of recomputed from the
+    * full token matrix on every query. */
+  def tokenMeanCol(mv: Column, dim: Int, roundTo: Int = 6): Column =
+    transform(flattenMean(mv, dim), x => round(x, roundTo))
+
+  /** Multivec IVF build — the reference's `vector_maxsim_ops` index
+    * with `lists` cells (/root/reference/vechord/spec.py:447-464, built
+    * client.py:146-174): materialize each doc's token-mean as a column,
+    * KMeans-cluster the means into `lists` cells, assign every doc.
+    * Returns (docs + meanCol + centroid_id, model). Phase-1 of a maxsim
+    * search then scans ONLY probed cells and ONLY the mean column —
+    * write the assigned frame with [[writePartitioned]] and the probe
+    * filter becomes disk partition pruning, with the token matrix
+    * column never read in phase-1 at all (parquet column pruning). */
+  def buildMaxsimIvf(docs: DataFrame, mvCol: String, dim: Int, lists: Int,
+                     meanCol: String = "mv_mean", iters: Int = 5,
+                     roundTo: Int = 6): (DataFrame, IvfModel) = {
+    val withMean =
+      docs.withColumn(meanCol, tokenMeanCol(col(mvCol), dim, roundTo))
+    val model = buildIvfKMeans(withMean, meanCol, lists, L2, iters)
+    (assign(withMean, meanCol, model, L2), model)
+  }
+
+  /** Index-pruned maxsim phase-1: [[maxsimCandidates]] over a
+    * [[buildMaxsimIvf]]-assigned table — probe the `probes` cells
+    * nearest the query-token centroid, rank only those cells' docs by
+    * the PERSISTED token-mean dot. The cell filter is driver-literal
+    * (bounded by `lists`); the declarative rewrite's registration form
+    * uses a semi-joined probe subplan instead
+    * ([[graft.plans.AnnIndex.registerMaxsim]] with an IVF). */
+  def maxsimCandidatesIvf(assigned: DataFrame, idCol: String,
+                          meanCol: String, model: IvfModel,
+                          queryVecs: Seq[Seq[Double]], n: Int, probes: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val centroid = queryCentroid(queryVecs)
+    val cells = probeCells(model, typedlit(centroid), L2, probes)
+      .collect().map(_.getLong(0))
+    assigned.filter(col(model.idCol).isin(cells: _*))
+      .withColumn("__approx", round(org.apache.spark.sql.graft.VecExprs
+        .dot(col(meanCol).cast("array<double>"), typedlit(centroid)),
+        roundTo))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol))
+  }
+
   /** DELETE from a stored cell-partitioned index layout
     * ([[writePartitioned]] dir, or the `quantized` subdir of
     * [[writeIvfSq]] / [[writeIvfBitq]]): rewrite ONLY the cell

@@ -225,15 +225,88 @@ object AnnIndex {
     * [[Ann.maxsimCandidates]]); the plan's own Sort+Limit is the exact
     * maxsim re-rank, so the O(|q|·|d|·dim) interaction runs only on
     * the candidates. Resolver-backed like the quantized entries. */
+  /** The IVF behind an index-pruned maxsim registration
+    * ([[graft.ops.Ann.buildMaxsimIvf]]): `resolveAssigned` is the
+    * doc table WITH its persisted token-mean (`meanCol`) and cell
+    * (`cellCol`) columns — ideally a `partitionBy(cellCol)` stored
+    * layout so probe pruning is disk pruning; `resolveCentroids` is
+    * the centroid side table. Resolver-backed like every other
+    * registration so post-install writes stay visible. */
+  final case class MaxsimIvf(resolveAssigned: () => org.apache.spark.sql
+                               .DataFrame,
+                             cellCol: String, meanCol: String,
+                             resolveCentroids: () => org.apache.spark.sql
+                               .DataFrame,
+                             centIdCol: String, centVecCol: String,
+                             probes: Int)
+
   final case class MaxsimEntry(mvCol: String, idCol: String,
                                resolve: () => org.apache.spark.sql
                                  .DataFrame,
-                               refine: Int) {
-    def candidateIds(q: Array[Array[Double]], n: Int) =
-      Ann.maxsimCandidates(resolve(), idCol, mvCol,
-          q.map(_.toSeq).toSeq, n)
-        .select(org.apache.spark.sql.functions.col(idCol)
-          .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+                               refine: Int,
+                               ivf: Option[MaxsimIvf] = None) {
+    /** Phase-1 candidate plan, pre-optimized (see inject()). Without an
+      * IVF: the full token-mean scan. With one: probe cells come from a
+      * semi-joined Sort+Limit subplan over the centroids table (nearest
+      * cells to the QUERY-TOKEN CENTROID — maxsim's single probe
+      * vector), phase-1 reads ONLY probed cells and ONLY the persisted
+      * mean column, and the rule's own DynamicPruningSubquery trick
+      * (see the distRewritten scaladoc) turns the probe semi-join into
+      * runtime partition pruning on a `partitionBy(cellCol)` layout. */
+    def candidatePlan(q: Array[Array[Double]], n: Int): LogicalPlan =
+      ivf match {
+        case None =>
+          Ann.maxsimCandidates(resolve(), idCol, mvCol,
+              q.map(_.toSeq).toSeq, n)
+            .select(org.apache.spark.sql.functions.col(idCol)
+              .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+            .queryExecution.optimizedPlan
+        case Some(ix) =>
+          import org.apache.spark.sql.functions._
+          val centroid = Ann.queryCentroid(q.map(_.toSeq).toSeq)
+          val assigned = ix.resolveAssigned()
+          val cellType = assigned.schema(ix.cellCol).dataType
+          val probeAlias = s"__cell_${ix.centIdCol}"
+          val probesDf = ix.resolveCentroids()
+            .withColumn("__d", org.apache.spark.sql.graft.VecExprs.l2Dist(
+              col(ix.centVecCol).cast("array<double>"), typedlit(centroid)))
+            .orderBy(col("__d").asc, col(ix.centIdCol).asc)
+            .limit(ix.probes)
+            // cast to the scanned cell column's type (partition columns
+            // read back as int) and alias for a fresh exprId — SqQuant
+            .select(col(ix.centIdCol).cast(cellType).as(probeAlias))
+          val cands = assigned
+            // phase-1 reads id + cell + mean ONLY: the full token
+            // matrix column is column-pruned out of the parquet scan
+            .select(col(idCol), col(ix.cellCol), col(ix.meanCol))
+            .join(probesDf, col(ix.cellCol) === col(probeAlias),
+              "left_semi")
+            .withColumn("__approx", round(org.apache.spark.sql.graft
+              .VecExprs.dot(col(ix.meanCol).cast("array<double>"),
+                typedlit(centroid)), 6))
+            .orderBy(col("__approx").desc, col(idCol).asc)
+            .limit(n)
+            .select(col(idCol).as(s"__cand_$idCol"))
+          // plant the DynamicPruningSubquery under the probe semi-join
+          // POST-optimization (the same trick, and the same rationale,
+          // as distRewritten: Spark's own PartitionPruning never fires
+          // for a Sort+Limit build side; CleanupDynamicPruningFilters
+          // has already run on this sub-plan, and physical planning
+          // executes the subquery as a plain in-filter on leaves that
+          // cannot prune)
+          cands.queryExecution.optimizedPlan.transformUp {
+            case j @ Join(l, r, LeftSemi, Some(EqualTo(
+                a: AttributeReference, b: AttributeReference)), _)
+                if r.outputSet.contains(b) && l.outputSet.contains(a) =>
+              j.copy(left = Filter(DynamicPruningSubquery(
+                a, r, Seq(b), Seq(0), onlyInBroadcast = false), l))
+            case j @ Join(l, r, LeftSemi, Some(EqualTo(
+                b: AttributeReference, a: AttributeReference)), _)
+                if r.outputSet.contains(b) && l.outputSet.contains(a) =>
+              j.copy(left = Filter(DynamicPruningSubquery(
+                a, r, Seq(b), Seq(0), onlyInBroadcast = false), l))
+          }
+      }
   }
 
   private val maxsimEntries = TrieMap.empty[String, MaxsimEntry]
@@ -241,7 +314,12 @@ object AnnIndex {
   def registerMaxsim(mvCol: String, idCol: String,
                      resolve: () => org.apache.spark.sql.DataFrame,
                      refine: Int = 1000): Unit =
-    maxsimEntries(mvCol) = MaxsimEntry(mvCol, idCol, resolve, refine)
+    registerMaxsim(mvCol, idCol, resolve, refine, None)
+  /** Index-pruned form: phase-1 rides the IVF (see [[MaxsimIvf]]). */
+  def registerMaxsim(mvCol: String, idCol: String,
+                     resolve: () => org.apache.spark.sql.DataFrame,
+                     refine: Int, ivf: Option[MaxsimIvf]): Unit =
+    maxsimEntries(mvCol) = MaxsimEntry(mvCol, idCol, resolve, refine, ivf)
   def unregisterMaxsim(mvCol: String): Unit = maxsimEntries.remove(mvCol)
   private[plans] def lookupMaxsim(mvCol: String): Option[MaxsimEntry] =
     maxsimEntries.get(mvCol)
@@ -457,11 +535,11 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       // shared injection: semi-join the candidate plan above the leaf,
       // keep the plan's own Sort+Limit as the exact re-rank
       def inject(leaf: LeafNode, idAttr: Attribute,
-                 candidates: org.apache.spark.sql.DataFrame): LogicalPlan = {
-        // pre-optimized: this rule can run as the LAST optimizer batch
-        // (experimental.extraOptimizations), where an un-optimized
-        // injected subtree would never get pruning/pushdown of its own
-        val candPlan = candidates.queryExecution.optimizedPlan
+                 candPlan: LogicalPlan): LogicalPlan = {
+        // candPlan arrives pre-optimized: this rule can run as the LAST
+        // optimizer batch (experimental.extraOptimizations), where an
+        // un-optimized injected subtree would never get its own
+        // pruning/pushdown
         val candId = candPlan.output.head
         var injected = false
         val newChild = child.transformUp {
@@ -505,7 +583,8 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         // the semantic backstop)
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,
-        entry.candidateIds(q, math.max(k * entry.refine, k)))
+        entry.candidateIds(q, math.max(k * entry.refine, k))
+          .queryExecution.optimizedPlan)
       // maxsim path: DESCENDING by a maxsim_dot score
       val maxsim = for {
         alias <- sortKey(Descending)
@@ -515,7 +594,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         idAttr = leaf.output.find(_.name == entry.idCol).get
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,
-        entry.candidateIds(qs, math.max(entry.refine, k)))
+        entry.candidatePlan(qs, math.max(entry.refine, k)))
       // keyword path: DESCENDING by a bm25_score; among same-named
       // registrations, the entry whose id column this plan's leaf
       // exposes wins (see the bm25Entries scope note)
@@ -528,7 +607,8 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         idAttr = leaf.output.find(_.name == entry.idCol).get
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,
-        entry.candidateIds(terms, math.max(k * entry.refine, k)))
+        entry.candidateIds(terms, math.max(k * entry.refine, k))
+          .queryExecution.optimizedPlan)
       quant.orElse(maxsim).orElse(bm25).getOrElse(gl)
 
     case s @ Sort(order, true, proj @ Project(fields, child), _)
