@@ -182,6 +182,76 @@ object ScaleSmoke {
         probes = 8, k = 10, refine = 10).count()
     }
 
+    // Multivec IVF at index scale (the reference's vector_maxsim_ops
+    // with `lists`, spec.py:447-464): build the token-mean IVF
+    // (spherical KMeans), persist the assigned frame
+    // partitionBy(centroid_id), and run the declarative IVF-pruned
+    // maxsim twice. Phase-1 must be runtime-partition-pruned (DPP
+    // asserted in-plan) and its FILES-READ metric must scale with the
+    // PROBED CELLS, not the corpus: probes=2 reads strictly fewer
+    // phase-1 files than probes=16 over the same 16x corpus.
+    time("maxsim_ivf") {
+      val mv = vecs.select(col("vec_id"),
+        array(col("embedding").cast("array<double>"),
+          reverse(col("embedding")).cast("array<double>")).as("mv"))
+      val (assigned, model) = ops.Ann.buildMaxsimIvf(mv, "mv", dim = 64,
+        lists = 32, iters = 1)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_mvivf").toString
+      ops.Ann.writePartitioned(assigned, dir)
+      val stored = spark.read.parquet(dir)
+      val qts: Seq[Seq[Double]] = Seq(
+        (0 until 64).map(i => 0.01 * i),
+        (0 until 64).map(i => 0.01 * (63 - i)))
+      plans.AnnIndex.install(spark)
+      // AQE wraps finished stages in QueryStageExec LEAVES, which hides
+      // the scans from plan introspection — run this measured query on
+      // a static plan so the phase-1 scan (and its post-DPP numFiles
+      // metric) is directly reachable
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // returns (top-k rows, phase-1 files actually read post-DPP)
+      def run(probes: Int): (Long, Long) = {
+        plans.AnnIndex.registerMaxsim("mv", "vec_id", () => stored,
+          refine = 100, Some(plans.AnnIndex.MaxsimIvf(
+            () => stored, "centroid_id", "mv_mean",
+            () => model.centroids, "centroid_id", "centroid", probes)))
+        try {
+          val df = stored.withColumn("score",
+              round(org.apache.spark.sql.graft.VecExprs
+                .maxSimDot(typedlit(qts), col("mv")), 6))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(10).select("vec_id", "score")
+          val phys = df.queryExecution.executedPlan.toString
+          require(phys.toLowerCase.contains("dynamicpruning"),
+            "expected runtime partition pruning in the maxsim phase-1")
+          val n = df.collect().length.toLong // execute THIS plan
+          val root = df.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          // the phase-1 scan is the one reading the persisted mean but
+          // NOT the token matrix; numFiles reflects post-DPP selection
+          val files = root.collectWithSubqueries {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.requiredSchema.fieldNames.contains("mv_mean") &&
+                  !f.requiredSchema.fieldNames.contains("mv") =>
+              f.metrics("numFiles").value
+          }.sum
+          (n, files)
+        } finally plans.AnnIndex.unregisterMaxsim("mv")
+      }
+      try {
+        val (n2, files2) = run(2)
+        val (_, files16) = run(16)
+        require(files2 > 0 && files2 < files16,
+          s"phase-1 files must scale with probes, not corpus: probes=2 " +
+            s"read $files2 files, probes=16 read $files16")
+        n2
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+
     // Index maintenance at scale: write the at-rest IVF+SQ layout for
     // the inflated vector table, then DELETE one copy-stripe of ids
     // (1/xf of all rows, touching EVERY cell — the worst case for the

@@ -182,15 +182,18 @@ final class Engine(reg: Registry) {
         (s"${reg.namespace}_$t" -> Vector(seg)))
     }
     // multivec IVF (the reference's vector_maxsim_ops index with
-    // `lists`, spec.py:447-464): KMeans over the per-doc token means —
-    // maxsim phase-1 then scans probed cells only (Ann.buildMaxsimIvf)
+    // `lists`, spec.py:447-464): KMeans over the per-doc token means,
+    // spherical (cosine) like the reference's pinned
+    // spherical_centroids — maxsim phase-1 then scans probed cells
+    // only. Ann.buildMaxsimIvf is the ONE place that names the mean
+    // column and the metric; the query side reuses both via MvMeanCol
+    // and the Cosine defaults.
     td.indexes.collectFirst {
       case ix @ Spec.MultiVectorIndex(_, lists) if lists > 0 => ix
     }.foreach { ix =>
       val dim = mvDim(td, ix.column)
-      val means = reg.table(td).withColumn("__mean",
-        Ann.tokenMeanCol(col(ix.column), dim))
-      val model = Ann.buildIvfKMeans(means, "__mean", ix.lists, Ann.L2)
+      val (_, model) = Ann.buildMaxsimIvf(reg.table(td), ix.column, dim,
+        ix.lists, MvMeanCol)
       val t = s"${td.name}__mvivf"
       val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
         model.centroids)
@@ -198,6 +201,10 @@ final class Engine(reg: Registry) {
         (s"${reg.namespace}_$t" -> Vector(seg)))
     }
   }
+
+  /** The persisted phase-1 mean column — [[Ann.buildMaxsimIvf]]'s
+    * `meanCol` default; build and read paths share this one name. */
+  private val MvMeanCol = "mv_mean"
 
   /** The pinned token dimension of a multivector column — the maxsim
     * index build needs it to materialize the token-mean; failing loud
@@ -261,7 +268,10 @@ final class Engine(reg: Registry) {
               "buildIndex first")) // fail install-time, not query-time
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          def model = mvIndexModel(td).get
+          def model = mvIndexModel(td).getOrElse(
+            throw new IllegalStateException(
+              s"${td.name}'s multivec IVF model (__mvivf) vanished " +
+                "after install — rebuild with buildIndex"))
           Some(graft.plans.AnnIndex.MaxsimIvf(
             () => mvAssignedCached(td, ix, model),
             "centroid_id", MvMeanCol,
@@ -428,8 +438,18 @@ final class Engine(reg: Registry) {
     }
   }
 
-  private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] = {
-    val t = s"${reg.namespace}_${td.name}__ivf"
+  private def indexModel(td: TableDef[_]): Option[Ann.IvfModel] =
+    sideModel(td, "__ivf")
+
+  /** The multivec IVF built by [[buildIndex]] (the `__mvivf` centroid
+    * side table) — the read half of the reference's `vector_maxsim_ops`
+    * index (spec.py:447-464). */
+  private def mvIndexModel(td: TableDef[_]): Option[Ann.IvfModel] =
+    sideModel(td, "__mvivf")
+
+  private def sideModel(td: TableDef[_],
+                        suffix: String): Option[Ann.IvfModel] = {
+    val t = s"${reg.namespace}_${td.name}$suffix"
     if (reg.catalog.current.get(t).exists(_.nonEmpty)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("centroid_id",
@@ -440,5 +460,37 @@ final class Engine(reg: Registry) {
       Some(Ann.IvfModel(reg.catalog.read(t, schema, reg.catalog.current),
         "centroid_id", "centroid"))
     } else None
+  }
+
+  /** Multivec assignment (table + persisted [[MvMeanCol]] +
+    * `centroid_id`) memoized per table VERSION — the maxsim twin of
+    * [[assignedCached]]: assigning every doc's token-mean to its cell
+    * is the index at rest (at real scale it is written
+    * `partitionBy(centroid_id)`, [[Ann.writePartitioned]]; here the
+    * persisted frame plays that role). Cosine assignment — the build's
+    * spherical-centroids metric ([[Ann.buildMaxsimIvf]]). */
+  private val mvAssignCache =
+    scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
+  private def mvAssignedCached(td: TableDef[_], ix: MultiVectorIndex,
+                               model: Ann.IvfModel): DataFrame = {
+    val version = reg.catalog.current
+      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val key = s"mv|${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    mvAssignCache.synchronized {
+      mvAssignCache.get(key) match {
+        case Some((v, df)) if v == version => df
+        case stale =>
+          // a rewritten table must not pin its old assignment in
+          // executor storage — evict before caching the new version
+          stale.foreach(_._2.unpersist(false))
+          val dim = mvDim(td, ix.column)
+          val withMean = reg.table(td).withColumn(MvMeanCol,
+            Ann.tokenMeanCol(col(ix.column), dim))
+          val df = Ann.assign(withMean, MvMeanCol, model, Ann.Cosine)
+            .persist()
+          mvAssignCache(key) = (version, df)
+          df
+      }
+    }
   }
 }

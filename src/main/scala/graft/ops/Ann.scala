@@ -883,18 +883,23 @@ object Ann {
     * with `lists` cells (/root/reference/vechord/spec.py:447-464, built
     * client.py:146-174): materialize each doc's token-mean as a column,
     * KMeans-cluster the means into `lists` cells, assign every doc.
-    * Returns (docs + meanCol + centroid_id, model). Phase-1 of a maxsim
-    * search then scans ONLY probed cells and ONLY the mean column —
-    * write the assigned frame with [[writePartitioned]] and the probe
-    * filter becomes disk partition pruning, with the token matrix
-    * column never read in phase-1 at all (parquet column pruning). */
+    * Returns (docs + meanCol + centroid_id, model). The reference pins
+    * `spherical_centroids = true` for `vector_maxsim_ops`
+    * (spec.py:459-464), so build/assign default to [[Cosine]] — probe
+    * with the same metric ([[maxsimCandidatesIvf]]'s default).
+    * Phase-1 of a maxsim search then scans ONLY probed cells and ONLY
+    * the mean column — write the assigned frame with
+    * [[writePartitioned]] and the probe filter becomes disk partition
+    * pruning, with the token matrix column never read in phase-1 at
+    * all (parquet column pruning). */
   def buildMaxsimIvf(docs: DataFrame, mvCol: String, dim: Int, lists: Int,
                      meanCol: String = "mv_mean", iters: Int = 5,
-                     roundTo: Int = 6): (DataFrame, IvfModel) = {
+                     roundTo: Int = 6,
+                     metric: Metric = Cosine): (DataFrame, IvfModel) = {
     val withMean =
       docs.withColumn(meanCol, tokenMeanCol(col(mvCol), dim, roundTo))
-    val model = buildIvfKMeans(withMean, meanCol, lists, L2, iters)
-    (assign(withMean, meanCol, model, L2), model)
+    val model = buildIvfKMeans(withMean, meanCol, lists, metric, iters)
+    (assign(withMean, meanCol, model, metric), model)
   }
 
   /** Index-pruned maxsim phase-1: [[maxsimCandidates]] over a
@@ -907,9 +912,10 @@ object Ann {
   def maxsimCandidatesIvf(assigned: DataFrame, idCol: String,
                           meanCol: String, model: IvfModel,
                           queryVecs: Seq[Seq[Double]], n: Int, probes: Int,
-                          roundTo: Int = 6): DataFrame = {
+                          roundTo: Int = 6,
+                          metric: Metric = Cosine): DataFrame = {
     val centroid = queryCentroid(queryVecs)
-    val cells = probeCells(model, typedlit(centroid), L2, probes)
+    val cells = probeCells(model, typedlit(centroid), metric, probes)
       .collect().map(_.getLong(0))
     assigned.filter(col(model.idCol).isin(cells: _*))
       .withColumn("__approx", round(org.apache.spark.sql.graft.VecExprs
@@ -975,6 +981,33 @@ object Ann {
         "(graft.streaming.Stream.compactStored).")
   }
 
+  /** Swap a staged cell directory into place WITHOUT a destructive
+    * window: move the live dir aside (dot-prefixed — invisible to
+    * Spark's listing), move the staged dir in, drop the old one. Every
+    * `fs.rename` result is CHECKED — HDFS and object-store adapters
+    * report failure by returning false, not throwing, and an unchecked
+    * false after a `delete(dest)` would destroy the only copy of the
+    * cell. On a refused swap the old dir is restored and the staging
+    * dir left intact, so the layout still reads complete and the
+    * operation is re-runnable. */
+  private[graft] def swapCellDir(fs: org.apache.hadoop.fs.FileSystem,
+                                 stagedSrc: org.apache.hadoop.fs.Path,
+                                 dest: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}__old")
+    fs.delete(old, true) // leftover from a crashed prior swap
+    val hadOld = fs.exists(dest)
+    if (hadOld && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"rename failed moving live cell aside: $dest -> $old")
+    if (!fs.rename(stagedSrc, dest)) {
+      if (hadOld) fs.rename(old, dest) // restore the live cell
+      throw new java.io.IOException(
+        s"rename failed staging cell into place: $stagedSrc -> $dest")
+    }
+    fs.delete(old, true)
+  }
+
   private def deleteStoredImpl(spark: org.apache.spark.sql.SparkSession,
                                path: String, cellCol: String,
                                doomed: DataFrame => DataFrame,
@@ -1006,18 +1039,19 @@ object Ann {
       .partitionBy(cellCol).parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
-    staged.foreach { s =>
-      val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
-      fs.delete(dest, true)
-      fs.rename(s.getPath, dest)
-    }
+    staged.foreach(s => swapCellDir(fs,
+      s.getPath, new org.apache.hadoop.fs.Path(path, s.getPath.getName)))
     // cells whose rows were ALL doomed produce no staged dir: remove
     // them (the per-cell delete-then-rename above, like the dynamic
-    // overwrite it replaces, is atomic per cell, not across cells)
+    // overwrite it replaces, is atomic per cell, not across cells).
+    // Dir names carry Spark's partition-path escaping, so escape the
+    // raw cell values the same way before comparing (string cells).
     val stagedNames = staged.map(_.getPath.getName).toSet
-    hit.map(c => s"$cellCol=$c").filterNot(stagedNames).foreach { name =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, name), true)
-    }
+    hit.map(c => s"$cellCol=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(c)))
+      .filterNot(stagedNames).foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, name), true)
+      }
     fs.delete(stage, true)
     removed
   }

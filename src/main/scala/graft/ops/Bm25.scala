@@ -394,7 +394,7 @@ object Bm25 {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     org.apache.spark.sql.graft.VecExprs.bm25Score(text, terms,
       terms.map(dfMap.getOrElse(_, 0L)), index.n, index.avgdl,
-      index.tokenizer, roundTo)
+      tok, roundTo)
   }
 
   /** Batch keyword search: top-k docs for EVERY query row in one job —

@@ -238,7 +238,11 @@ object AnnIndex {
                              resolveCentroids: () => org.apache.spark.sql
                                .DataFrame,
                              centIdCol: String, centVecCol: String,
-                             probes: Int)
+                             probes: Int,
+                             // the reference pins spherical_centroids
+                             // for vector_maxsim_ops (spec.py:459-464):
+                             // probe under the BUILD's metric
+                             metric: Ann.Metric = Ann.Cosine)
 
   final case class MaxsimEntry(mvCol: String, idCol: String,
                                resolve: () => org.apache.spark.sql
@@ -268,7 +272,7 @@ object AnnIndex {
           val cellType = assigned.schema(ix.cellCol).dataType
           val probeAlias = s"__cell_${ix.centIdCol}"
           val probesDf = ix.resolveCentroids()
-            .withColumn("__d", org.apache.spark.sql.graft.VecExprs.l2Dist(
+            .withColumn("__d", ix.metric.dist(
               col(ix.centVecCol).cast("array<double>"), typedlit(centroid)))
             .orderBy(col("__d").asc, col(ix.centIdCol).asc)
             .limit(ix.probes)

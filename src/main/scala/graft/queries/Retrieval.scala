@@ -421,6 +421,74 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")
   }
 
+  /** Declarative INDEX-PRUNED maxsim — the multivec index's read path
+    * (the reference's `vector_maxsim_ops` index with `lists`,
+    * spec.py:447-464, built by create_index_if_not_exists,
+    * client.py:146-174, probed per query, client.py:323-354) behind a
+    * plain `orderBy(maxsim_dot.desc).limit(k)` DataFrame. Docs are one
+    * per vec_id with a 2-token matrix [emb, reverse(emb)]; the IVF is
+    * the deterministic label-mean model over the PERSISTED token-means
+    * ([[Ann.tokenMeanCol]]), assigned and probed under cosine (the
+    * reference pins `spherical_centroids` for `vector_maxsim_ops`),
+    * stored `partitionBy(centroid_id)`. The rewrite must produce:
+    * phase-1 over ONLY the 3 probed cells — with the self-planted
+    * DynamicPruningSubquery making that runtime PARTITION pruning on
+    * the stored layout — reading ONLY the persisted mean (the token
+    * matrix column-pruned out of the phase-1 scan), a LeftSemi
+    * candidate join, and the plan's own Sort+Limit as the exact maxsim
+    * re-rank over refine=20 candidates. All three asserted in-query;
+    * the oracle replays assignment, probe selection, and both phases
+    * from first principles, so a silent fall-through to the unpruned
+    * phase-1 (whose top-20 differs whenever an unprobed cell holds a
+    * high-mean-dot doc) cannot fake green. */
+  def maxsimIvfRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.select(col("vec_id"), col("label"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"))
+    val withMean = docs.withColumn("mv_mean",
+      Ann.tokenMeanCol(col("vecs"), dim))
+    val model = Ann.buildIvf(withMean, "label", "mv_mean")
+    val assigned = Ann.assign(withMean, "mv_mean", model, Ann.Cosine)
+      .drop("label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_ivf").toString
+    Ann.writePartitioned(assigned, dir)
+    val stored = s.read.parquet(dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerMaxsim("vecs", "vec_id", () => stored,
+      refine = 20, Some(graft.plans.AnnIndex.MaxsimIvf(
+        () => stored, "centroid_id", "mv_mean",
+        () => model.centroids, "centroid_id", "centroid", probes = 3)))
+    try {
+      val df = stored
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(qts), col("vecs")), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "score")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"maxsim IVF rewrite did not engage:\n$plan")
+      val phys = df.queryExecution.executedPlan.toString
+      require(phys.toLowerCase.contains("dynamicpruning"),
+        "expected runtime partition pruning on the phase-1 scan")
+      // phase-1 reads the persisted mean, NEVER the token matrix: a
+      // scan must carry mv_mean without vecs in its ReadSchema
+      val scanLines =
+        phys.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      require(scanLines.exists(l =>
+          l.contains("mv_mean") && !l.contains("vecs")),
+        s"phase-1 scan read the token matrix:\n${scanLines.mkString("\n")}")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")
+  }
+
   /** Declarative BM25 rewrite — keyword search joins the declarative
     * layer (the FOURTH query shape, completing the reference's search
     * triad: vector, multivec, keyword): a plain
@@ -524,7 +592,8 @@ object Retrieval {
     "r22_bm25_rewrite" -> bm25Rewrite,
     "r23_bm25_stored" -> bm25Stored,
     "r24_bm25_wordpiece" -> bm25WordpieceTopk,
-    "r25_ann_rewrite_dist" -> annRewriteDist)
+    "r25_ann_rewrite_dist" -> annRewriteDist,
+    "r26_maxsim_ivf" -> maxsimIvfRewrite)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -895,6 +964,53 @@ object Retrieval {
                  GROUP BY 1, 2)
         SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
         ORDER BY score DESC, label ASC LIMIT 3""",
+    // r26: the full index-pruned maxsim replayed from first principles —
+    // persisted token-means (rounded 6), label-mean centroids (rounded
+    // 5), cosine assignment with ties by centroid_id asc (the argmin
+    // fold), cosine probe selection (top-3 cells nearest the
+    // query-token centroid), phase-1 = top-20 by mean·query-centroid
+    // WITHIN probed cells only, phase-2 = exact maxsim over those 20.
+    "r26_maxsim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (SELECT vec_id, label,
+                     [emb, list_reverse(emb)] AS vecs,
+                     list_transform(range(len(emb)), i ->
+                       round((emb[i+1] + emb[len(emb)-i]) / 2, 6)) AS fm
+              FROM e),
+        cd AS (SELECT label, pos, round(avg(x), 5) AS c
+               FROM (SELECT label, unnest(fm) AS x,
+                            unnest(range(len(fm))) AS pos FROM d)
+               GROUP BY 1, 2),
+        cents AS (SELECT label AS centroid_id,
+                         list(c ORDER BY pos) AS centroid
+                  FROM cd GROUP BY 1),
+        assigned AS (SELECT vec_id, vecs, fm, centroid_id FROM (
+            SELECT d.vec_id, d.vecs, d.fm, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY ${cosDistSql("d.fm", "c.centroid")} ASC,
+                              c.centroid_id ASC) AS rn
+            FROM d CROSS JOIN cents c) WHERE rn = 1),
+        q AS (SELECT vec_id, emb AS qv FROM e WHERE vec_id IN (0, 1)),
+        qc AS (SELECT list_transform(range(len(a.qv)), i ->
+                 (a.qv[i+1] + b.qv[i+1]) / 2) AS qc
+               FROM (SELECT qv FROM q WHERE vec_id = 0) a,
+                    (SELECT qv FROM q WHERE vec_id = 1) b),
+        probes AS (SELECT centroid_id FROM cents CROSS JOIN qc
+                   ORDER BY ${cosDistSql("centroid", "qc.qc")} ASC,
+                            centroid_id ASC LIMIT 3),
+        cand AS (SELECT a.vec_id, a.vecs
+                 FROM assigned a JOIN probes USING (centroid_id)
+                 CROSS JOIN qc
+                 ORDER BY round(list_inner_product(a.fm, qc.qc), 6) DESC,
+                          a.vec_id ASC
+                 LIMIT 20),
+        ctok AS (SELECT vec_id, unnest(vecs) AS dv FROM cand),
+        best AS (SELECT ctok.vec_id, q.vec_id AS qid,
+                        max(list_inner_product(q.qv, ctok.dv)) AS m
+                 FROM ctok CROSS JOIN q GROUP BY 1, 2)
+        SELECT vec_id, round(sum(m), 6) AS score FROM best
+        GROUP BY vec_id ORDER BY score DESC, vec_id ASC LIMIT 10""",
     // r22: both phases of the rewrite share one total order, so the
     // result is the global BM25 top-5 over term-matching docs — the
     // r05 replay with this query's terms and k.

@@ -23,9 +23,16 @@ object Tables {
     * nanos→µs truncation, so oracle comparisons line up). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = t(s, d, "events")
+    // the generated table has shipped ts as BOTH parquet nanos (read as
+    // long under the legacy flag) and a plain timestamp — normalize
+    // either to timestamp_ntz so the event-time queries see one type
+    val converted = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", converted)
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -103,7 +103,8 @@ object Stream {
                 model: graft.ops.Ann.IvfModel,
                 metric: graft.ops.Ann.Metric, dir: String,
                 checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireStreamableLayout(vectors.sparkSession, dir, model.idCol)
     graft.ops.Ann.assign(vectors, vecCol, model, metric)
       .writeStream
       .partitionBy(model.idCol)
@@ -111,6 +112,31 @@ object Stream {
       .outputMode("append")
       .format("parquet")
       .start(dir)
+  }
+
+  /** Refuse to START a file-sink stream into a BATCH (e.g. compacted)
+    * layout: the sink's fresh `_spark_metadata` commit log becomes the
+    * authoritative listing and silently hides every pre-existing file —
+    * all compacted rows would vanish from reads. The loud mirror of
+    * [[graft.ops.Ann.requireBatchLayout]] (which guards the opposite
+    * direction). A legit RESUME is fine: the prior run's commit log is
+    * present, so the restarted sink extends it. */
+  private[graft] def requireStreamableLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cellCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")) &&
+        fs.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith(s"$cellCol=")))
+      throw new IllegalStateException(
+        s"$dir is a batch (e.g. compacted) layout: it has $cellCol= " +
+          "partition directories but no _spark_metadata commit log. " +
+          "Starting a file-sink stream here would write a fresh commit " +
+          "log that hides every existing file from reads. Continue " +
+          "growth with batch appends, or stream into a new directory.")
+  }
 
   /** Continuous keyword-index ingest — the BM25 twin of [[ingestIvf]]:
     * per-doc postings (id, term, tf, dl) are a MAP-ONLY function of
@@ -134,6 +160,7 @@ object Stream {
     // front so loads never prune with a guessed (wrong) one — and
     // REFUSE to restart ingest with a different modulus over an
     // existing layout (mixed moduli would silently drop terms)
+    requireStreamableLayout(docs.sparkSession, dir, "bucket")
     graft.ops.Bm25.ensureBucketsMarker(docs.sparkSession, dir, buckets)
     graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
       .writeStream
@@ -187,10 +214,15 @@ object Stream {
       else cellDirs.filter(d => dataFiles(d.getPath) > maxFilesPerCell)
     if (target.isEmpty && !streaming) return 0L
     val targetNames = target.map(_.getPath.getName).toSet
+    // dir names carry Spark's partition-path escaping: unescape before
+    // comparing with the DATA's cell values (string cells with spaces /
+    // URI-special chars would otherwise silently miss their own dirs)
     val keep =
       if (streaming) df
       else df.filter(col(cellCol).isin(target.map(d =>
-        d.getPath.getName.stripPrefix(s"$cellCol=")): _*))
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(
+            d.getPath.getName.stripPrefix(s"$cellCol="))): _*))
     val stage = new org.apache.hadoop.fs.Path(root, "_graft_stage")
     fs.delete(stage, true)
     // repartition BY the cell column: each cell's rows land in one
@@ -199,11 +231,10 @@ object Stream {
       .write.mode("overwrite").partitionBy(cellCol).parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
-    staged.foreach { s =>
-      val dest = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
-      fs.delete(dest, true)
-      fs.rename(s.getPath, dest)
-    }
+    // non-destructive per-cell swap with every rename checked
+    // (see Ann.swapCellDir: a refused rename restores the live cell)
+    staged.foreach(s => graft.ops.Ann.swapCellDir(fs,
+      s.getPath, new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
     // targeted cells with no staged output (possible only in the full
     // streaming compact: a cell dir holding ONLY uncommitted files)
     val stagedNames = staged.map(_.getPath.getName).toSet

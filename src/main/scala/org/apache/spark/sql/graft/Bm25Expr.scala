@@ -32,15 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Bm25Score(child: Expression, terms: Seq[String],
                      dfs: Seq[Long], n: Long, avgdl: Double,
-                     tokenizer: String, roundTo: Int)
+                     tok: graft.functions.Tokenizers.Tokenizer,
+                     roundTo: Int)
   extends UnaryExpression with ImplicitCastInputTypes with Serializable {
 
   override def prettyName: String = "bm25_score"
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
 
-  @transient private lazy val tok =
-    graft.functions.Tokenizers.byName(tokenizer)
+  // The TOKENIZER IS CAPTURED AT BIND TIME and serializes with the
+  // expression (the vocab rides in the task binary): an executor
+  // evaluating the brute-force path never resolves by name, so
+  // runtime-registered vocabs (Tokenizers.wordpiece) work off-driver
+  // where each executor JVM's registry is empty.
   @transient private lazy val idf: Array[Double] = {
     val a = new Array[Double](terms.length)
     var i = 0

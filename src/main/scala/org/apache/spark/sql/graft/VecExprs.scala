@@ -356,10 +356,11 @@ object VecExprs {
     c(ScaledL2(ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(scales)))
   def bm25Score(text: Column, terms: Seq[String], dfs: Seq[Long],
-                n: Long, avgdl: Double, tokenizer: String,
+                n: Long, avgdl: Double,
+                tok: graft.functions.Tokenizers.Tokenizer,
                 roundTo: Int): Column =
     c(Bm25Score(ExpressionUtils.expression(text), terms, dfs, n, avgdl,
-      tokenizer, roundTo))
+      tok, roundTo))
 
   /** Register the SQL function forms (`l2_dist`, `cos_dist`,
     * `dot_product`, `maxsim_dot`) on a session — the

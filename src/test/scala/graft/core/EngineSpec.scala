@@ -331,6 +331,96 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("searchByMultivec with a LISTS-built multivec IVF: recall-" +
+      "complete settings equal brute-force maxsim; tight probes prune " +
+      "to the query's cell") {
+    val sp = spark
+    import sp.implicits._
+    val td = TableDef[EChunk]("echunkmvi", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 0),
+        MultiVectorIndex("mv", lists = 2),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2, "mv" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-mvi").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base, base),
+        Seq(Seq(base + i * 0.01f, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td) // KMeans over token means, spherical (cosine)
+    val q = Seq(Seq(10.0, 10.0))
+    // probes = all cells + refine spanning the table: phase 1 is
+    // recall-complete, so the IVF path equals brute-force maxsim
+    val ivf = eng.searchByMultivec(td, q, topk = 5, refine = 40,
+        probes = 2).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("score"))).toSeq
+    val tdPlain = TableDef[EChunk]("echunkmvi", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 0),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    reg.register(tdPlain)
+    val brute = new Engine(reg).searchByMultivec(tdPlain, q, topk = 5,
+        refine = 40).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("score"))).toSeq
+    assert(ivf === brute)
+    // a single probe near the far blob returns only its cell's docs
+    val one = eng.searchByMultivec(td, q, topk = 3, refine = 40,
+      probes = 1).collect().map(_.getAs[Long]("cid"))
+    assert(one.length === 3)
+    assert(one.forall(_ % 2 === 1))
+  }
+
+  test("installDeclarative with a LISTS-built multivec IVF: the plain " +
+      "orderBy(maxsim desc).limit(k) plan takes the IVF-pruned phase-1 " +
+      "and matches searchByMultivec") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkmvd", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 0),
+        MultiVectorIndex("mv", lists = 2),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2, "mv" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-mvd").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base, base),
+        Seq(Seq(base + i * 0.01f, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    eng.installDeclarative(td, probes = 1, maxsimRefine = 10)
+    try {
+      val q = Seq(Seq(10.0, 10.0))
+      val df = reg.table(td)
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(q), col("mv")), 6))
+        .orderBy(col("score").desc, col("cid").asc)
+        .limit(5)
+        .select("cid", "score")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"),
+        s"expected the IVF-pruned maxsim semi-join:\n$optimized")
+      val declarative = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaEngine = eng.searchByMultivec(td, q, topk = 5, refine = 10,
+          probes = 1).collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("score"))).toSeq
+      assert(declarative === viaEngine)
+      // one probed cell near the far blob: only odd ids can surface
+      assert(declarative.forall(_._1 % 2 === 1))
+    } finally eng.uninstallDeclarative(td)
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)

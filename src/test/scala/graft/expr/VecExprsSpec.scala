@@ -71,6 +71,39 @@ class VecExprsSpec extends SparkSpecBase {
       .getDouble(0) === 25.0)
   }
 
+  test("Bm25Score captures its tokenizer AT BIND TIME: a serialized " +
+      "round-trip scores with the bound vocab even after the registry " +
+      "entry is replaced (executor-side contract)") {
+    import graft.functions.Tokenizers
+    import org.apache.spark.unsafe.types.UTF8String
+    // runtime-registered vocab, like a trained BERT vocab.txt load
+    val bound = Tokenizers.wordpiece(Seq("spar", "##k", "join"),
+      name = "exec_vocab_test")
+    // "spark join" -> spar ##k join (greedy longest-match)
+    val expr = org.apache.spark.sql.graft.Bm25Score(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      terms = Seq("spar", "join"), dfs = Seq(2L, 1L), n = 10L,
+      avgdl = 4.0, tok = bound, roundTo = 6)
+    val direct = expr.score(UTF8String.fromString("spark join"))
+    assert(direct > 0.0)
+    // the serialized-task path: Java round-trip (what Spark does to
+    // ship the expression tree to executors)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(expr)
+    // hostile registry state: the name now resolves to a DIFFERENT
+    // tokenizer (an executor JVM would have NO entry at all)
+    Tokenizers.register(Tokenizers.Tokenizer("exec_vocab_test",
+      Tokenizers.Simple.column, _ => Seq("bogus")))
+    val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[org.apache.spark.sql.graft.Bm25Score]
+    // identical score: the vocab rode along; no name lookup happened
+    assert(back.score(UTF8String.fromString("spark join")) === direct)
+    // sanity: a name lookup NOW would tokenize to "bogus" => score 0
+    assert(Tokenizers.byName("exec_vocab_test").scala("spark join")
+      === Seq("bogus"))
+  }
+
   test("vecMean UDAF equals the naive per-dimension mean") {
     val sp = spark
     import sp.implicits._

@@ -271,6 +271,49 @@ class StreamSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("mod 8"))
   }
 
+  test("ingestBm25 refuses to START into a compacted (batch) layout; " +
+      "a legit resume over the live commit log still works") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-restart").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-restart-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, buckets = 4)
+    try {
+      input.addData((1L, "spark shuffle join"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // legit RESUME: the prior run's commit log is present, so a
+    // restarted sink (same source + checkpoint, the real restart shape)
+    // extends it — no refusal, and the resumed rows land next to the
+    // old ones
+    input.addData((2L, "sort merge shuffle"))
+    val q2 = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, buckets = 4)
+    try q2.processAllAvailable() finally q2.stop()
+    def ids() = Bm25.loadStoredPostings(spark, dir).postings
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(1L, 2L))
+    // graduate to a batch layout: the commit log is removed
+    Stream.compactStored(spark, dir, "bucket", maxFilesPerCell = 1)
+    // a fresh stream into the compacted dir would write a NEW commit
+    // log that hides every compacted file — refuse before any write
+    val input3 = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalStateException] {
+      Stream.ingestBm25(input3.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, java.nio.file.Files
+          .createTempDirectory("graft-restart-c3").toString, buckets = 4)
+    }
+    assert(ex.getMessage.contains("batch"))
+    // nothing was lost by the refusal
+    assert(ids() === Set(1L, 2L))
+  }
+
   test("stream-stream interval join pairs in-window rows, bounded state") {
     val sp = spark
     import sp.implicits._
