@@ -76,8 +76,11 @@ final case class FakeCodec() extends MediaCodec {
   *  - `resize` → deterministic nearest-neighbor (src = floor(dst ·
   *    src/dst) per axis): reproducible in plain integer arithmetic by
   *    any engine, unlike platform-variant interpolation.
-  *  - `frames` → delegates to [[FakeCodec]]: video decode has no JDK
-  *    codec and stays the documented stub seat.
+  *  - `frames` → REAL for MJPEG-in-AVI payloads (RIFF walked by
+  *    [[MjpegAvi]], sampled frames are standalone JPEGs for this same
+  *    reader); other containers delegate to [[FakeCodec]] — the
+  *    remaining stub surface, since inter-frame codecs (H.264 etc.)
+  *    have no JDK decoder.
   */
 final case class ImageIoCodec() extends MediaCodec {
   private val fake = FakeCodec()
@@ -139,9 +142,104 @@ final case class ImageIoCodec() extends MediaCodec {
     out
   }
 
+  /** REAL video frame extraction for MJPEG-in-AVI — the one video
+    * format decodable with zero external dependencies: the RIFF
+    * container is walked here ([[MjpegAvi]]) and every sampled frame
+    * is a standalone JPEG payload that the SAME `javax.imageio` reader
+    * as [[decode]] consumes downstream. Sampling keeps one frame per
+    * `everyMs` of stream time from the container's own frame rate
+    * (`avih.dwMicroSecPerFrame`) — the video twin of [[WavCodec]]'s
+    * rate-based clip slicing. Non-AVI payloads keep the [[FakeCodec]]
+    * stub behavior (the remaining stub surface: inter-frame codecs
+    * need a real decoder). */
   def frames(data: Array[Byte], meta: MediaMeta,
              everyMs: Long): Seq[Array[Byte]] =
-    fake.frames(data, meta, everyMs) // video decode: documented stub seat
+    if (MjpegAvi.isAvi(data)) MjpegAvi.sampleFrames(data, everyMs)
+    else fake.frames(data, meta, everyMs)
+}
+
+/** Minimal RIFF/AVI walker for motion-JPEG streams: finds
+  * `avih.dwMicroSecPerFrame` in the `hdrl` list and collects every
+  * `..dc` (compressed video) chunk under `movi` (including `rec `
+  * groups) in stream order. Little-endian sizes, even-byte chunk
+  * padding, malformed sizes bail out with whatever parsed cleanly. */
+object MjpegAvi {
+  def isAvi(data: Array[Byte]): Boolean =
+    data.length >= 12 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' &&
+      data(3) == 'F' &&
+      data(8) == 'A' && data(9) == 'V' && data(10) == 'I' &&
+      data(11) == ' '
+
+  private def u32(d: Array[Byte], o: Int): Long =
+    (d(o) & 0xFFL) | ((d(o + 1) & 0xFFL) << 8) |
+      ((d(o + 2) & 0xFFL) << 16) | ((d(o + 3) & 0xFFL) << 24)
+
+  private def fourcc(d: Array[Byte], o: Int): String =
+    new String(d, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (microseconds per frame, frames in stream order). */
+  def parse(data: Array[Byte]): (Long, Vector[Array[Byte]]) = {
+    var usPerFrame = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val id = fourcc(data, o)
+        val sz = u32(data, o + 4)
+        val body = o + 8
+        if (sz < 0 || sz > Int.MaxValue - body) ok = false
+        else {
+          val bodyEnd = math.min(end.toLong, body + sz).toInt
+          if (id == "LIST" && sz >= 4) walk(body + 4, bodyEnd)
+          else if (id == "avih" && sz >= 4) usPerFrame = u32(data, body)
+          else if (id.endsWith("dc") && sz > 0)
+            frames += java.util.Arrays.copyOfRange(data, body, bodyEnd)
+          o = bodyEnd + ((sz & 1L).toInt) // chunks pad to even sizes
+        }
+      }
+    }
+    walk(12, data.length)
+    (if (usPerFrame > 0) usPerFrame else 33333L, frames.result())
+  }
+
+  /** One frame kept per `everyMs` of stream time (index stride from
+    * the container's frame rate, always including frame 0). */
+  def sampleFrames(data: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
+    val (usPerFrame, all) = parse(data)
+    val per = math.max(1L, math.round(everyMs * 1000.0 / usPerFrame)).toInt
+    all.zipWithIndex.collect { case (f, i) if i % per == 0 => f }
+  }
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** Assemble an MJPEG AVI from JPEG frame payloads — the fixture /
+    * ingest builder twin of [[parse]] (same role as
+    * [[ImageIoCodec.grayPng]] and [[WavCodec.pcmWav]]): RIFF(`AVI `)
+    * containing `LIST hdrl [avih]` and `LIST movi [00dc…]`, with only
+    * the fields the reader contract defines populated. */
+  def mjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Long): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length +
+          (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes(Ascii)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", typ.getBytes(Ascii) ++ bodies.flatten)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(usPerFrame.toInt) // dwMicroSecPerFrame
+    val hdrl = list("hdrl", Seq(chunk("avih", avih.array())))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)))
+    val payload = "AVI ".getBytes(Ascii) ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(Ascii)).putInt(payload.length).put(payload)
+    bb.array()
+  }
 }
 
 /** Real audio decode on the JDK's bundled `javax.sound.sampled` WAV /

@@ -264,6 +264,54 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("ImageIoCodec video: MJPEG-AVI frames sample at the container " +
+      "frame rate and decode as real JPEGs; non-AVI keeps the stub") {
+    val codec = ImageIoCodec()
+    def grayJpeg(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        img.getRaster.setSample(x, y, 0, v)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val levels = Seq(10, 50, 90, 130, 170, 210)
+    // 25 fps (40 ms/frame), 6 frames
+    val avi = MjpegAvi.mjpegAvi(levels.map(grayJpeg), usPerFrame = 40000)
+    assert(MjpegAvi.isAvi(avi))
+    val meta = MediaMeta("avi", 8, 8, 1, 240)
+    // everyMs=80 at 40 ms/frame: every 2nd frame -> levels 10, 90, 170
+    val frames = codec.frames(avi, meta, everyMs = 80)
+    assert(frames.length === 3)
+    val means = frames.map { f =>
+      val px = codec.decode(f, MediaMeta("jpg", 8, 8, 1, 0))
+      assert(px.length === 64) // each frame is a real decodable JPEG
+      px.map(_ & 0xFF).sum / px.length
+    }
+    // flat gray JPEG is DC-only: decoded mean within quantization slack
+    means.zip(Seq(10, 90, 170)).foreach { case (m, want) =>
+      assert(math.abs(m - want) <= 3, s"frame mean $m, wanted ~$want")
+    }
+    // sampling finer than the frame period keeps every frame
+    assert(codec.frames(avi, meta, everyMs = 10).length === 6)
+    // pipeline integration: one video row fans out to image rows in
+    // the id·1000 space, each payload decodable downstream
+    val sp = spark
+    import sp.implicits._
+    val ds = Seq(MediaRow(7L, "video", avi, meta)).toDS()
+    val out = Multimodal.sampleFrames(ds, codec, everyMs = 80).collect()
+      .sortBy(_.id)
+    assert(out.map(_.id).toSeq === Seq(7000L, 7001L, 7002L))
+    assert(out.forall(_.kind == "image"))
+    out.foreach(r => assert(codec.decode(r.data,
+      MediaMeta("jpg", 8, 8, 1, 0)).length === 64))
+    // non-AVI video payloads keep the deterministic FakeCodec slicing
+    val stub = codec.frames(Array.tabulate(100)(_.toByte),
+      MediaMeta("bin", 0, 0, 1, 300), everyMs = 100)
+    assert(stub.length === 3)
+  }
+
   test("bm25 with alternate tokenizer model ranks differently") {
     val sp = spark
     import sp.implicits._
