@@ -120,6 +120,56 @@ object RecallSmoke {
 
     runMetric(Ann.L2, "l2")
     runMetric(Ann.Cosine, "cos")
+
+    // Multivec maxsim phase-1 recall: docs are per-vec_id 2-token
+    // matrices [emb, reverse(emb)], the IVF is the spherical token-mean
+    // build (Ann.buildMaxsimIvf). `got` runs the engine's two-phase
+    // path (probed-cell candidates by persisted-mean dot, exact maxsim
+    // re-rank); truth is exact maxsim over every doc. The sanity cell
+    // probes ALL cells with refine=n, where the two-phase path must be
+    // exact by construction.
+    {
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val docs = e.select(col("vec_id"),
+        array(col("embedding").cast("array<double>"),
+          reverse(col("embedding")).cast("array<double>")).as("mv"))
+      val (assigned0, model) = Ann.buildMaxsimIvf(docs, "mv", dim, lists)
+      val assigned = assigned0.persist()
+      assigned.count()
+      val refine = refineEnv.getOrElse(100)
+      def exactTop(q: Seq[Seq[Double]], base: DataFrame): Set[Long] =
+        base.withColumn("s", org.apache.spark.sql.graft.VecExprs
+            .maxSimDot(typedlit(q), col("mv")))
+          .orderBy(col("s").desc, col("vec_id").asc).limit(k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      val qsets: Seq[(Long, Seq[Seq[Double]])] =
+        qVecs.map { case (id, v) => id -> Seq(v, v.reverse) }
+      val truth = qsets.map { case (id, q) => id -> exactTop(q, docs) }
+        .toMap
+      def cell(probes: Int, rf: Int): Double = {
+        val per = qsets.map { case (id, q) =>
+          val cands = Ann.maxsimCandidatesIvf(assigned, "vec_id",
+              "mv_mean", model, q, rf, probes)
+            .withColumnRenamed("vec_id", "__cid")
+          val pruned = assigned.join(broadcast(cands),
+            col("vec_id") === col("__cid"), "left_semi")
+          truth(id).count(exactTop(q, pruned)) / k.toDouble
+        }
+        per.sum / per.size
+      }
+      for (probes <- Seq(2, 8, lists)) {
+        val r = cell(probes, refine)
+        println(s"""{"smoke":"recall","metric":"maxsim","index":""" +
+          s""""maxsim_ivf","probes":$probes,"recall_at_10":${fmt(r)},""" +
+          s""""lists":$lists,"n":$n,"queries":${qVecs.length},""" +
+          s""""refine":$refine}""")
+      }
+      val sanity = cell(lists, n.toInt)
+      require(sanity == 1.0,
+        s"maxsim IVF with probes=lists and refine=n must be exact, " +
+          s"got $sanity")
+      assigned.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -101,13 +101,29 @@ object AnnIndex {
     registerDistributed(vecCol, () => model.centroids, model.idCol,
       model.vecCol, metric, probes)
 
-  /** Resolver form of [[registerDistributed]]. */
+  /** Resolver form of [[registerDistributed]]. The scanned layout's
+    * cell column is assumed to carry the centroid table's id column
+    * NAME — use the explicit-`cellCol` overload when the layout names
+    * it differently (a mismatch is a silent brute-force fallback: the
+    * rule only engages on leaves exposing the registered cell column).
+    */
   def registerDistributed(vecCol: String,
                           resolveCentroids: () => org.apache.spark.sql
                             .DataFrame,
                           centIdCol: String, centVecCol: String,
                           metric: Ann.Metric, probes: Int): Unit =
-    distEntries(vecCol) = DistEntry(vecCol, centIdCol, resolveCentroids,
+    registerDistributed(vecCol, resolveCentroids, centIdCol, centVecCol,
+      metric, probes, cellCol = centIdCol)
+
+  /** [[registerDistributed]] with the LAYOUT's cell column named
+    * explicitly (decoupled from the centroid table's id column). */
+  def registerDistributed(vecCol: String,
+                          resolveCentroids: () => org.apache.spark.sql
+                            .DataFrame,
+                          centIdCol: String, centVecCol: String,
+                          metric: Ann.Metric, probes: Int,
+                          cellCol: String): Unit =
+    distEntries(vecCol) = DistEntry(vecCol, cellCol, resolveCentroids,
       centIdCol, centVecCol, metric, probes)
 
   def unregisterDistributed(vecCol: String): Unit =

@@ -98,6 +98,46 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregisterDistributed("embedding")
   }
 
+  test("registerDistributed decouples the layout's cell column name: " +
+      "a renamed column engages via the explicit-cellCol overload; " +
+      "the name-mismatched default stays (exact) brute force") {
+    val (e, model, dir) = setup()
+    // same assignment, but the layout names its cell column "cell"
+    val dir2 = Files.createTempDirectory("graft-rewrite-cell").toString
+    Ann.assign(e, "embedding", model, Ann.L2)
+      .withColumnRenamed("centroid_id", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir2)
+    val stored = spark.read.parquet(dir2)
+    def query() = stored
+      .withColumn("dist", round(
+        org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+          typedlit(q64)), 6))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(5)
+      .select("vec_id", "dist")
+    // default registration assumes cellCol == centroid id col: the
+    // mismatch means NO rewrite (the documented silent fallback —
+    // semantics stay exact brute force, just unpruned)
+    AnnIndex.registerDistributed("embedding", model, Ann.L2, probes = 3)
+    try assert(!query().queryExecution.optimizedPlan.toString
+        .contains("LeftSemi"))
+    finally AnnIndex.unregisterDistributed("embedding")
+    // the explicit-cellCol overload closes the gap: pruned plan
+    // engages and equals the driver-side probe path over the same data
+    AnnIndex.registerDistributed("embedding", () => model.centroids,
+      model.idCol, model.vecCol, Ann.L2, probes = 3, cellCol = "cell")
+    try {
+      val df = query()
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "explicit cellCol registration did not engage")
+      val got = df.localCheckpoint(true).collect().map(_.toSeq).toSeq
+      val viaOp = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(q64), Ann.L2, probes = 3, k = 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(got === viaOp)
+    } finally AnnIndex.unregisterDistributed("embedding")
+  }
+
   test("registerDistributed over an IN-MEMORY leaf: the planted " +
       "DynamicPruningSubquery cleans up gracefully, results exact") {
     val (e, model, _) = setup()
