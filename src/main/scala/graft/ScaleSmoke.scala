@@ -232,22 +232,25 @@ object ScaleSmoke {
             case p => p
           }
           // the phase-1 scan is the one reading the persisted mean but
-          // NOT the token matrix; numFiles reflects post-DPP selection
-          val files = root.collectWithSubqueries {
+          // NOT the token matrix; numPartitions reflects the post-DPP
+          // CELL-DIRECTORY selection (numFiles would conflate it with
+          // the per-cell file count, which varies with write tasking)
+          val cells = root.collectWithSubqueries {
             case f: org.apache.spark.sql.execution.FileSourceScanExec
                 if f.requiredSchema.fieldNames.contains("mv_mean") &&
                   !f.requiredSchema.fieldNames.contains("mv") =>
-              f.metrics("numFiles").value
+              f.metrics.get("numPartitions").orElse(
+                f.metrics.get("numFiles")).map(_.value).getOrElse(0L)
           }.sum
-          (n, files)
+          (n, cells)
         } finally plans.AnnIndex.unregisterMaxsim("mv")
       }
       try {
-        val (n2, files2) = run(2)
-        val (_, files16) = run(16)
-        require(files2 > 0 && files2 < files16,
-          s"phase-1 files must scale with probes, not corpus: probes=2 " +
-            s"read $files2 files, probes=16 read $files16")
+        val (n2, cells2) = run(2)
+        val (_, cells16) = run(16)
+        require(cells2 > 0 && cells2 < cells16,
+          s"phase-1 cells read must scale with probes, not corpus: " +
+            s"probes=2 read $cells2, probes=16 read $cells16")
         n2
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }

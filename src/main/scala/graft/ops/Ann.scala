@@ -263,23 +263,42 @@ object Ann {
   /** Lloyd's-iteration KMeans IVF build (the reference's index-build job
     * uses IVF clustering inside vchordrq — spec.py:437-444; SURVEY §2.1
     * S2 maps it to a KMeans batch job). Deterministic: initial centroids
-    * are the k docs with the smallest xxhash64(vec) (a seedless
-    * pseudo-random draw that is stable across runs/engines), then `iters`
-    * rounds of broadcast-argmin assignment + per-cell mean. For cosine /
-    * inner-product, normalize vectors first (spherical KMeans,
-    * spec.py:458-464). Empty cells drop out naturally. */
+    * are the k DISTINCT vectors with the smallest xxhash64(vec) (a
+    * seedless pseudo-random draw that is stable across runs/engines),
+    * then `iters` rounds of broadcast-argmin assignment + per-cell
+    * mean. For cosine / inner-product, normalize vectors first
+    * (spherical KMeans, spec.py:458-464). Empty cells drop out
+    * naturally.
+    *
+    * Distinctness matters on DUP-HEAVY corpora (the training-data
+    * case): exact-duplicate vectors share one hash, so a plain
+    * k-smallest draw seeds the same point k/dupFactor times and the
+    * index COLLAPSES to a handful of cells (measured: 2 effective
+    * cells of 32 requested on a 16×-duplicated smoke corpus — every
+    * probe then scans half the table). The common path stays
+    * shuffle-free: TakeOrdered of 8k rows, dedupe within them; only
+    * when duplication runs deeper than 8× does the build pay one
+    * hash-dedup draw — which map-side combine makes cheap in exactly
+    * that regime (high duplication = small distinct set). */
   def buildIvfKMeans(docs: DataFrame, vecCol: String, k: Int,
                      metric: Metric = L2, iters: Int = 5,
                      roundTo: Int = 5): IvfModel = {
+    val hashed = docs.select(col(vecCol))
+      .withColumn("__h", xxhash64(col(vecCol)))
+    val overSampled = hashed
+      .orderBy(col("__h")).limit(k * 8)
+      .dropDuplicates("__h") // ≤ 8k rows by construction
+      .orderBy(col("__h")).limit(k)
+    val seeds =
+      if (overSampled.count() >= k || k <= 1) overSampled
+      else hashed.dropDuplicates("__h").orderBy(col("__h")).limit(k)
     // seed ranking without a global window: the k seed rows are already
     // a TakeOrderedAndProject result; pin them to one partition, sort
     // within it, and number by in-partition row order (ids 0..k-1) —
     // no WindowExec-moves-everything-to-one-partition stage, and the
     // "single partition" is k rows by construction, not the table.
     var model = IvfModel(
-      docs.select(col(vecCol))
-        .withColumn("__h", xxhash64(col(vecCol)))
-        .orderBy(col("__h")).limit(k)
+      seeds
         .coalesce(1).sortWithinPartitions("__h")
         .withColumn("centroid_id", monotonically_increasing_id())
         .select(col("centroid_id"),

@@ -258,7 +258,23 @@ object AnnIndex {
                              // the reference pins spherical_centroids
                              // for vector_maxsim_ops (spec.py:459-464):
                              // probe under the BUILD's metric
-                             metric: Ann.Metric = Ann.Cosine)
+                             metric: Ann.Metric = Ann.Cosine) {
+    /** The `probes`-nearest-cells subplan for a query-token centroid —
+      * shared by phase-1's semi-join/DPP and the phase-2 re-rank DPP.
+      * Cast to the scanned cell column's type (partition columns read
+      * back as int) and aliased for a fresh exprId — see SqQuant. */
+    private[plans] def probesDf(centroid: Seq[Double],
+        cellType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      resolveCentroids()
+        .withColumn("__d", metric.dist(
+          col(centVecCol).cast("array<double>"), typedlit(centroid)))
+        .orderBy(col("__d").asc, col(centIdCol).asc)
+        .limit(probes)
+        .select(col(centIdCol).cast(cellType).as(s"__cell_$centIdCol"))
+    }
+  }
 
   final case class MaxsimEntry(mvCol: String, idCol: String,
                                resolve: () => org.apache.spark.sql
@@ -287,14 +303,7 @@ object AnnIndex {
           val assigned = ix.resolveAssigned()
           val cellType = assigned.schema(ix.cellCol).dataType
           val probeAlias = s"__cell_${ix.centIdCol}"
-          val probesDf = ix.resolveCentroids()
-            .withColumn("__d", ix.metric.dist(
-              col(ix.centVecCol).cast("array<double>"), typedlit(centroid)))
-            .orderBy(col("__d").asc, col(ix.centIdCol).asc)
-            .limit(ix.probes)
-            // cast to the scanned cell column's type (partition columns
-            // read back as int) and alias for a fresh exprId — SqQuant
-            .select(col(ix.centIdCol).cast(cellType).as(probeAlias))
+          val probesDf = ix.probesDf(centroid, cellType)
           val cands = assigned
             // phase-1 reads id + cell + mean ONLY: the full token
             // matrix column is column-pruned out of the parquet scan
@@ -553,9 +562,16 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
           s @ Sort(order, true, proj @ Project(fields, child), _)))
         if order.nonEmpty && k > 0 =>
       // shared injection: semi-join the candidate plan above the leaf,
-      // keep the plan's own Sort+Limit as the exact re-rank
+      // keep the plan's own Sort+Limit as the exact re-rank.
+      // `dpp` (maxsim-IVF): ALSO wrap the re-rank leaf in a
+      // DynamicPruningSubquery on its cell column — candidates only
+      // come from probed cells, so the phase-2 scan may skip unprobed
+      // cell directories too (without it the token-matrix read is
+      // corpus-sized even though phase-1 is pruned).
       def inject(leaf: LeafNode, idAttr: Attribute,
-                 candPlan: LogicalPlan): LogicalPlan = {
+                 candPlan: LogicalPlan,
+                 dpp: Option[(Attribute, LogicalPlan)] = None)
+          : LogicalPlan = {
         // candPlan arrives pre-optimized: this rule can run as the LAST
         // optimizer batch (experimental.extraOptimizations), where an
         // un-optimized injected subtree would never get its own
@@ -565,7 +581,29 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         val newChild = child.transformUp {
           case l: LeafNode if !injected && (l fastEquals leaf) =>
             injected = true
-            val j = Join(l, candPlan, LeftSemi,
+            val base: LogicalPlan = dpp match {
+              case Some((cellAttr, probePlan)) =>
+                Filter(DynamicPruningSubquery(cellAttr, probePlan,
+                  Seq(probePlan.output.head), Seq(0),
+                  onlyInBroadcast = false), l)
+              case None => l
+            }
+            // prune the leaf to what the plan above consumes (+ join
+            // key + DPP cell column): the injected Join sits directly
+            // over the scan, breaking the PhysicalOperation pattern
+            // FileSourceStrategy prunes columns through — without this
+            // Project the re-rank scan reads EVERY column of the table
+            val consumed = AttributeSet(
+              fields.flatMap(_.references) ++
+                order.flatMap(_.references) ++
+                child.collect { case n if !(n fastEquals leaf) => n }
+                  .flatMap(_.references)) ++
+              AttributeSet(dpp.map(_._1).toSeq) + idAttr
+            val keep = l.output.filter(consumed.contains)
+            val pruned: LogicalPlan =
+              if (keep.length == l.output.length) base
+              else Project(keep, base)
+            val j = Join(pruned, candPlan, LeftSemi,
               Some(EqualTo(idAttr, candId)),
               org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
             j.setTagValue(AnnTopKRule.InjectedQuant, ())
@@ -605,7 +643,8 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       } yield inject(leaf, idAttr,
         entry.candidateIds(q, math.max(k * entry.refine, k))
           .queryExecution.optimizedPlan)
-      // maxsim path: DESCENDING by a maxsim_dot score
+      // maxsim path: DESCENDING by a maxsim_dot score. With an IVF the
+      // re-rank leaf ALSO gets the probe DPP (phase-2 cell pruning).
       val maxsim = for {
         alias <- sortKey(Descending)
         (mvAttr, qs) <- extractMaxsim(alias.child)
@@ -613,8 +652,20 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         leaf <- leafFor(mvAttr, entry.idCol)
         idAttr = leaf.output.find(_.name == entry.idCol).get
         if !hasCandidateSemiJoin(child, idAttr)
-      } yield inject(leaf, idAttr,
-        entry.candidatePlan(qs, math.max(entry.refine, k)))
+      } yield {
+        val dpp = for {
+          ix <- entry.ivf
+          cellAttr <- leaf.output.collectFirst {
+            case a: AttributeReference if a.name == ix.cellCol => a }
+        } yield {
+          val centroid = Ann.queryCentroid(qs.map(_.toSeq).toSeq)
+          (cellAttr: Attribute,
+            ix.probesDf(centroid, cellAttr.dataType)
+              .queryExecution.optimizedPlan)
+        }
+        inject(leaf, idAttr,
+          entry.candidatePlan(qs, math.max(entry.refine, k)), dpp)
+      }
       // keyword path: DESCENDING by a bm25_score; among same-named
       // registrations, the entry whose id column this plan's leaf
       // exposes wins (see the bm25Entries scope note)

@@ -484,6 +484,14 @@ object Retrieval {
       require(scanLines.exists(l =>
           l.contains("mv_mean") && !l.contains("vecs")),
         s"phase-1 scan read the token matrix:\n${scanLines.mkString("\n")}")
+      // phase-2 (the exact re-rank over the token matrix) must ALSO be
+      // cell-pruned — candidates only come from probed cells, so the
+      // rule plants the probe DPP on the re-rank leaf too; without it
+      // the token-matrix read is corpus-sized
+      require(scanLines.exists(l => l.contains("vecs") &&
+          l.toLowerCase.contains("dynamicpruning")),
+        s"phase-2 re-rank scan is not cell-pruned:\n" +
+          scanLines.mkString("\n"))
       // materialize while the registration is live (see annRewriteStored)
       df.localCheckpoint(true)
     } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")

@@ -312,6 +312,54 @@ class ComponentsSpec extends SparkSpecBase {
     assert(stub.length === 3)
   }
 
+  test("MjpegAvi.parse is adversarially robust: odd-size padding, " +
+      "rec-group nesting, missing avih, truncation, hostile sizes") {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length +
+          (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ bodies.flatten)
+    def riff(bodies: Array[Byte]*): Array[Byte] = {
+      val payload = "AVI ".getBytes("US-ASCII") ++ bodies.flatten
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      bb.array()
+    }
+    // ODD-size frames force the even-byte padding path; frames nested
+    // in a `rec ` group must still be collected in stream order
+    val f1 = Array[Byte](1, 2, 3) // odd
+    val f2 = Array[Byte](4, 5, 6, 7)
+    val f3 = Array[Byte](8) // odd
+    val avi = riff(
+      list("movi", chunk("00dc", f1),
+        list("rec ", chunk("00dc", f2), chunk("01dc", f3))))
+    val (us, frames) = MjpegAvi.parse(avi)
+    assert(us === 33333L) // no avih -> the documented default rate
+    assert(frames.map(_.toSeq) === Vector(f1.toSeq, f2.toSeq, f3.toSeq))
+    // non-video chunks (audio 01wb, index idx1, junk) are skipped
+    val mixed = riff(list("movi", chunk("01wb", Array[Byte](9, 9)),
+      chunk("00dc", f2)), chunk("idx1", Array[Byte](0, 0, 0, 0)))
+    assert(MjpegAvi.parse(mixed)._2.map(_.toSeq) === Vector(f2.toSeq))
+    // truncated mid-chunk: whatever parsed cleanly survives, no throw
+    val cut = avi.take(avi.length - 3)
+    assert(MjpegAvi.parse(cut)._2.nonEmpty)
+    // hostile size field (0xFFFFFFFF): parser bails without allocating
+    val hostile = riff(chunk("00dc", f2))
+    val szOff = hostile.length - (8 + f2.length) + 4
+    java.nio.ByteBuffer.wrap(hostile, szOff, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0xFFFFFFFF)
+    assert(MjpegAvi.parse(hostile)._2.isEmpty) // clamped, not crashed
+    // not-an-AVI guards
+    assert(!MjpegAvi.isAvi(Array[Byte](1, 2, 3)))
+    assert(!MjpegAvi.isAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
+  }
+
   test("bm25 with alternate tokenizer model ranks differently") {
     val sp = spark
     import sp.implicits._
