@@ -359,18 +359,26 @@ final class Engine(reg: Registry) {
       graft.plans.AnnIndex.unregisterBm25(kw.column, td.pk))
   }
 
-  /** IVF assignment memoized per table VERSION: assigning is a map-only
-    * stage but still O(N·cells) compute — the index at rest is the
-    * assignment, recomputed only when the table is rewritten (at real
-    * scale it is written `partitionBy(centroid_id)`, Ann.writePartitioned;
-    * here the persisted frame plays that role). */
+  /** Version key for the memoized index artifacts: the TABLE's segment
+    * manifest AND the index side table's — a rebuilt model (buildIndex
+    * after a lists change) must invalidate cached assignments/codes
+    * even when the base table is untouched, or stale cell ids get
+    * probed against the new model's id space. */
+  private def segVersion(names: String*): Int =
+    names.map(n => reg.catalog.current
+      .getOrElse(s"${reg.namespace}_$n", Vector.empty).hashCode).hashCode
+
+  /** IVF assignment memoized per table+model VERSION: assigning is a
+    * map-only stage but still O(N·cells) compute — the index at rest is
+    * the assignment, recomputed only when the table or model is
+    * rewritten (at real scale it is written `partitionBy(centroid_id)`,
+    * Ann.writePartitioned; here the persisted frame plays that role). */
   private val assignCache =
     scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
   private def assignedCached(td: TableDef[_], ix: VectorIndex,
                              base: DataFrame,
                              model: Ann.IvfModel): DataFrame = {
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     assignCache.synchronized {
       assignCache.get(key) match {
@@ -394,8 +402,7 @@ final class Engine(reg: Registry) {
   private def ivfSqCached(td: TableDef[_], ix: VectorIndex,
                           base: DataFrame,
                           model: Ann.IvfModel): Ann.IvfSqIndex = {
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     ivfSqCacheMap.synchronized {
       ivfSqCacheMap.get(key) match {
@@ -422,8 +429,7 @@ final class Engine(reg: Registry) {
   private def ivfBitqCached(td: TableDef[_], ix: VectorIndex,
                             base: DataFrame,
                             model: Ann.IvfModel): Ann.IvfBitIndex = {
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     ivfBitqCacheMap.synchronized {
       ivfBitqCacheMap.get(key) match {
@@ -473,8 +479,7 @@ final class Engine(reg: Registry) {
     scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
   private def mvAssignedCached(td: TableDef[_], ix: MultiVectorIndex,
                                model: Ann.IvfModel): DataFrame = {
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
+    val version = segVersion(td.name, s"${td.name}__mvivf")
     val key = s"mv|${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     mvAssignCache.synchronized {
       mvAssignCache.get(key) match {

@@ -182,7 +182,11 @@ object MjpegAvi {
   def parse(data: Array[Byte]): (Long, Vector[Array[Byte]]) = {
     var usPerFrame = 0L
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    // depth-bounded: real AVIs nest 2-3 LIST levels (hdrl/strl,
+    // movi/rec ); a hostile payload of thousands of nested LIST
+    // headers must bail out, not overflow the JVM stack
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -192,7 +196,7 @@ object MjpegAvi {
         if (sz < 0 || sz > Int.MaxValue - body) ok = false
         else {
           val bodyEnd = math.min(end.toLong, body + sz).toInt
-          if (id == "LIST" && sz >= 4) walk(body + 4, bodyEnd)
+          if (id == "LIST" && sz >= 4) walk(body + 4, bodyEnd, depth + 1)
           else if (id == "avih" && sz >= 4) usPerFrame = u32(data, body)
           else if (id.endsWith("dc") && sz > 0)
             frames += java.util.Arrays.copyOfRange(data, body, bodyEnd)
@@ -200,7 +204,7 @@ object MjpegAvi {
         }
       }
     }
-    walk(12, data.length)
+    walk(12, data.length, 0)
     (if (usPerFrame > 0) usPerFrame else 33333L, frames.result())
   }
 

@@ -285,10 +285,14 @@ object Ann {
                      roundTo: Int = 5): IvfModel = {
     val hashed = docs.select(col(vecCol))
       .withColumn("__h", xxhash64(col(vecCol)))
+    // materialized once (≤ k tiny rows): the count() guard below and
+    // the seed consumption reuse the same result instead of running
+    // the TakeOrdered pipeline twice
     val overSampled = hashed
       .orderBy(col("__h")).limit(k * 8)
       .dropDuplicates("__h") // ≤ 8k rows by construction
       .orderBy(col("__h")).limit(k)
+      .localCheckpoint(true)
     val seeds =
       if (overSampled.count() >= k || k <= 1) overSampled
       else hashed.dropDuplicates("__h").orderBy(col("__h")).limit(k)
@@ -1008,30 +1012,62 @@ object Ann {
     * false after a `delete(dest)` would destroy the only copy of the
     * cell. On a refused swap the old dir is restored and the staging
     * dir left intact, so the layout still reads complete and the
-    * operation is re-runnable. */
+    * operation is re-runnable. A crash BETWEEN the two renames leaves
+    * the cell recoverable in its `__old` dir — every swap-running
+    * operation calls [[recoverCrashedSwaps]] before reading the
+    * layout. */
   private[graft] def swapCellDir(fs: org.apache.hadoop.fs.FileSystem,
                                  stagedSrc: org.apache.hadoop.fs.Path,
                                  dest: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(dest.getParent,
       s".${dest.getName}__old")
-    fs.delete(old, true) // leftover from a crashed prior swap
+    fs.delete(old, true) // completed-swap debris (recovery ran earlier)
     val hadOld = fs.exists(dest)
     if (hadOld && !fs.rename(dest, old))
       throw new java.io.IOException(
         s"rename failed moving live cell aside: $dest -> $old")
     if (!fs.rename(stagedSrc, dest)) {
-      if (hadOld) fs.rename(old, dest) // restore the live cell
+      val restored = !hadOld || fs.rename(old, dest) // restore live cell
       throw new java.io.IOException(
-        s"rename failed staging cell into place: $stagedSrc -> $dest")
+        s"rename failed staging cell into place: $stagedSrc -> $dest" +
+          (if (restored) " (live cell restored)"
+           else s"; RESTORE ALSO FAILED — live cell stranded at $old"))
     }
     fs.delete(old, true)
   }
+
+  /** Restore cells stranded by a swap that crashed between its two
+    * renames: a dot-prefixed `.<cell>__old` dir whose live twin is
+    * MISSING holds the only copy — rename it back; one whose live twin
+    * exists is completed-swap debris — drop it. Runs at the START of
+    * every swap-running operation (stored delete, compaction), before
+    * the layout is read, so staging never captures a
+    * missing-cell view. */
+  private[graft] def recoverCrashedSwaps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".") && n.endsWith("__old")) {
+        val live = new org.apache.hadoop.fs.Path(root,
+          n.stripPrefix(".").stripSuffix("__old"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"crash recovery rename failed: ${st.getPath} -> $live")
+        } else fs.delete(st.getPath, true)
+      }
+    }
 
   private def deleteStoredImpl(spark: org.apache.spark.sql.SparkSession,
                                path: String, cellCol: String,
                                doomed: DataFrame => DataFrame,
                                survivors: DataFrame => DataFrame): Long = {
     requireBatchLayout(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a prior delete may have crashed between its two swap renames,
+    // leaving a cell only in its `__old` dir — restore BEFORE reading
+    recoverCrashedSwaps(fs, new org.apache.hadoop.fs.Path(path))
     val df = spark.read.parquet(path)
     // one aggregation gives BOTH the affected-cell set and the removed
     // count (vs a distinct + two counts: three scans of the doomed set)
@@ -1040,9 +1076,11 @@ object Ann {
     val hit = perCell.map(_.get(0))
     val removed = perCell.map(_.getLong(1)).sum
     if (hit.isEmpty) return 0L
-    val affected = df.filter(col(cellCol).isin(hit: _*))
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    // NULL cells (the Hive default partition) can't match an isin()
+    val hitVals = hit.filter(_ != null)
+    val pred0 = col(cellCol).isin(hitVals: _*)
+    val affected = df.filter(
+      if (hit.contains(null)) pred0 || col(cellCol).isNull else pred0)
     // STAGE-AND-SWAP: write survivors of the affected cells to a
     // staging subdir (leading `_` — invisible to Spark's file listing,
     // so concurrent readers of the layout never see it), then swap each
@@ -1066,8 +1104,9 @@ object Ann {
     // Dir names carry Spark's partition-path escaping, so escape the
     // raw cell values the same way before comparing (string cells).
     val stagedNames = staged.map(_.getPath.getName).toSet
-    hit.map(c => s"$cellCol=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(String.valueOf(c)))
+    hit.map(c => s"$cellCol=" + (if (c == null) "__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(String.valueOf(c))))
       .filterNot(stagedNames).foreach { name =>
         fs.delete(new org.apache.hadoop.fs.Path(path, name), true)
       }

@@ -657,6 +657,13 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
           ix <- entry.ivf
           cellAttr <- leaf.output.collectFirst {
             case a: AttributeReference if a.name == ix.cellCol => a }
+          // the cell column must belong to the ASSIGNED layout itself:
+          // a user table can carry an unrelated column with the same
+          // name, and filtering IT against probe ids would silently
+          // drop re-rank rows — plant the phase-2 DPP only when the
+          // re-rank leaf IS the assigned relation
+          if ix.resolveAssigned().queryExecution.analyzed.collectLeaves()
+            .exists(_ fastEquals leaf)
         } yield {
           val centroid = Ann.queryCentroid(qs.map(_.toSeq).toSeq)
           (cellAttr: Attribute,

@@ -23,6 +23,10 @@ object Tables {
     * nanos→µs truncation, so oracle comparisons line up). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the ltz->ntz cast below is session-timezone dependent: pin UTC so
+    // every entry point (Bench/ScaleSmoke included, which set no TZ)
+    // reads the same event times the DuckDB oracle sees
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(s, d, "events")
     // the generated table has shipped ts as BOTH parquet nanos (read as
     // long under the legacy flag) and a plain timestamp — normalize

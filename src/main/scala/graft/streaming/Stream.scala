@@ -104,7 +104,7 @@ object Stream {
                 metric: graft.ops.Ann.Metric, dir: String,
                 checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    requireStreamableLayout(vectors.sparkSession, dir, model.idCol)
+    requireStreamableLayout(vectors.sparkSession, dir)
     graft.ops.Ann.assign(vectors, vecCol, model, metric)
       .writeStream
       .partitionBy(model.idCol)
@@ -114,28 +114,32 @@ object Stream {
       .start(dir)
   }
 
-  /** Refuse to START a file-sink stream into a BATCH (e.g. compacted)
-    * layout: the sink's fresh `_spark_metadata` commit log becomes the
-    * authoritative listing and silently hides every pre-existing file —
-    * all compacted rows would vanish from reads. The loud mirror of
+  /** Refuse to START a file-sink stream into a directory that already
+    * holds BATCH data (a compacted layout, plain parquet files, or a
+    * layout partitioned by ANY column): the sink's fresh
+    * `_spark_metadata` commit log becomes the authoritative listing and
+    * silently hides every pre-existing file — all prior rows would
+    * vanish from reads. The loud mirror of
     * [[graft.ops.Ann.requireBatchLayout]] (which guards the opposite
     * direction). A legit RESUME is fine: the prior run's commit log is
-    * present, so the restarted sink extends it. */
+    * present, so the restarted sink extends it; metadata-only dirs
+    * (`_graft_buckets` marker, `_SUCCESS`) are fine too. */
   private[graft] def requireStreamableLayout(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      cellCol: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root) &&
         !fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")) &&
-        fs.listStatus(root).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith(s"$cellCol=")))
+        fs.listStatus(root).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
       throw new IllegalStateException(
-        s"$dir is a batch (e.g. compacted) layout: it has $cellCol= " +
-          "partition directories but no _spark_metadata commit log. " +
-          "Starting a file-sink stream here would write a fresh commit " +
-          "log that hides every existing file from reads. Continue " +
-          "growth with batch appends, or stream into a new directory.")
+        s"$dir holds batch data (visible files/partition dirs, no " +
+          "_spark_metadata commit log). Starting a file-sink stream " +
+          "here would write a fresh commit log that hides every " +
+          "existing file from reads. Continue growth with batch " +
+          "appends, or stream into a new directory.")
   }
 
   /** Continuous keyword-index ingest — the BM25 twin of [[ingestIvf]]:
@@ -160,7 +164,7 @@ object Stream {
     // front so loads never prune with a guessed (wrong) one — and
     // REFUSE to restart ingest with a different modulus over an
     // existing layout (mixed moduli would silently drop terms)
-    requireStreamableLayout(docs.sparkSession, dir, "bucket")
+    requireStreamableLayout(docs.sparkSession, dir)
     graft.ops.Bm25.ensureBucketsMarker(docs.sparkSession, dir, buckets)
     graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
       .writeStream
@@ -197,6 +201,10 @@ object Stream {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
     val streaming = fs.exists(metaPath)
+    // a prior compaction may have crashed between its two swap renames,
+    // leaving a cell only in its dot-prefixed `__old` dir — restore
+    // BEFORE reading, or the rewrite stages a layout missing that cell
+    graft.ops.Ann.recoverCrashedSwaps(fs, root)
     // spark.read.parquet reads THROUGH the commit log when present, so
     // the staged data is exactly the committed rows
     val df = spark.read.parquet(dir)
@@ -216,13 +224,21 @@ object Stream {
     val targetNames = target.map(_.getPath.getName).toSet
     // dir names carry Spark's partition-path escaping: unescape before
     // comparing with the DATA's cell values (string cells with spaces /
-    // URI-special chars would otherwise silently miss their own dirs)
+    // URI-special chars would otherwise silently miss their own dirs).
+    // A NULL cell's dir is the Hive default-partition name, which no
+    // isin() can match — it needs an explicit isNull disjunct or its
+    // rows stage nothing and the targeted-dir cleanup deletes them.
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
     val keep =
       if (streaming) df
-      else df.filter(col(cellCol).isin(target.map(d =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(
-            d.getPath.getName.stripPrefix(s"$cellCol="))): _*))
+      else {
+        val names = target.map(_.getPath.getName.stripPrefix(s"$cellCol="))
+        val pred0 = col(cellCol).isin(names.filterNot(_ == hiveNull)
+          .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName): _*)
+        df.filter(if (names.contains(hiveNull))
+          pred0 || col(cellCol).isNull else pred0)
+      }
     val stage = new org.apache.hadoop.fs.Path(root, "_graft_stage")
     fs.delete(stage, true)
     // repartition BY the cell column: each cell's rows land in one

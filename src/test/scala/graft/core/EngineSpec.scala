@@ -421,6 +421,43 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("buildIndex REBUILD invalidates the cached assignment: a new " +
+      "model with different lists is not probed against stale cell ids") {
+    val sp = spark
+    import sp.implicits._
+    val mk = (lists: Int) => TableDef[EChunk]("echunkrb",
+      primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = lists),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val td2 = mk(2)
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-rb").toString).register(td2)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base)))
+    }
+    reg.insert(td2, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td2)
+    // populate the assignment cache under the 2-cell model
+    assert(eng.searchByVector(td2, Seq(10.0, 10.0), topk = 3, probes = 1)
+      .collect().forall(_.getAs[Long]("cid") % 2 === 1))
+    // REBUILD with lists=4: the table segments are unchanged, but the
+    // model's id space is new — a stale cached assignment would be
+    // filtered against new-model probe cells (wrong or empty results)
+    val td4 = mk(4)
+    reg.register(td4)
+    eng.buildIndex(td4)
+    val hits = eng.searchByVector(td4, Seq(10.0, 10.0), topk = 3,
+      probes = 1).collect()
+    assert(hits.length === 3)
+    assert(hits.forall(_.getAs[Long]("cid") % 2 === 1))
+  }
+
   test("searchByVector with an IVF index prunes and still finds the blob") {
     val (_, td, eng) = fresh(lists = 2)
     eng.buildIndex(td)

@@ -358,6 +358,20 @@ class ComponentsSpec extends SparkSpecBase {
     // not-an-AVI guards
     assert(!MjpegAvi.isAvi(Array[Byte](1, 2, 3)))
     assert(!MjpegAvi.isAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
+    // hostile nesting: thousands of nested LIST headers must bail via
+    // the depth bound, not overflow the JVM stack
+    val deep = new Array[Byte](12 + 5000 * 12)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, deep, 0, 4)
+    System.arraycopy("AVI ".getBytes("US-ASCII"), 0, deep, 8, 4)
+    (0 until 5000).foreach { i =>
+      val o = 12 + i * 12
+      System.arraycopy("LIST".getBytes("US-ASCII"), 0, deep, o, 4)
+      val rest = deep.length - o - 8
+      java.nio.ByteBuffer.wrap(deep, o + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(rest)
+      System.arraycopy("mov ".getBytes("US-ASCII"), 0, deep, o + 8, 4)
+    }
+    assert(MjpegAvi.parse(deep)._2.isEmpty) // bounded, no crash
   }
 
   test("bm25 with alternate tokenizer model ranks differently") {

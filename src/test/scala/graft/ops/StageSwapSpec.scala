@@ -81,6 +81,53 @@ class StageSwapSpec extends SparkSpecBase {
     }
   }
 
+  test("compactStored preserves NULL-cell rows (the Hive default " +
+      "partition dir), which no isin() can match") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nullcell").toString
+    val rows = (0 until 12).map(i =>
+      (i.toLong, if (i % 2 == 0) null else "plain"))
+    (0 until 3).foreach { _ =>
+      rows.toDF("id", "cell").write.mode("append")
+        .partitionBy("cell").parquet(dir)
+    }
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .contains("cell=__HIVE_DEFAULT_PARTITION__"))
+    val rewritten = graft.streaming.Stream.compactStored(spark, dir,
+      "cell", maxFilesPerCell = 1)
+    assert(rewritten === 2L)
+    val back = spark.read.parquet(dir)
+    // the null-cell rows survived compaction (pre-fix: the targeted
+    // dir staged nothing and the cleanup deleted the only copy)
+    assert(back.count() === 36L)
+    assert(back.filter(col("cell").isNull).count() === 18L)
+  }
+
+  test("a swap that crashed between its two renames is recovered " +
+      "before the next stored delete reads the layout") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-crashrec").toString
+    Ann.writePartitioned(assignedDf, local)
+    val fs = new org.apache.hadoop.fs.Path(local).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: cell 1 was moved aside but the staged
+    // dir never made it in — the live dir is gone, `__old` holds the
+    // only copy (invisible to Spark reads)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(local, "centroid_id=1"),
+      new org.apache.hadoop.fs.Path(local, ".centroid_id=1__old")))
+    assert(spark.read.parquet(local).count() === 10L) // half missing
+    // the next delete recovers the stranded cell BEFORE staging, so
+    // its surviving rows are not lost
+    val removed = Ann.deleteStored(spark, local, col("vec_id") === 4L)
+    assert(removed === 1L)
+    val back = spark.read.parquet(local)
+    assert(back.count() === 19L)
+    assert(back.filter(col("centroid_id") === 1L).count() === 10L)
+  }
+
   test("compactStored targets STRING cells through Spark's partition-" +
       "path escaping (a `cell=a%3Ab` dir compacts, no rows lost)") {
     val sp = spark

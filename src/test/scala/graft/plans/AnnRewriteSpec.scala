@@ -138,6 +138,49 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregisterDistributed("embedding")
   }
 
+  test("maxsim-IVF phase-2 DPP only engages when the re-rank leaf IS " +
+      "the assigned layout: a user column merely NAMED centroid_id is " +
+      "never filtered against probe ids") {
+    val sp = spark
+    import sp.implicits._
+    // user table with an UNRELATED centroid_id column (all 999): docs
+    // keyed by id with 2-token matrices
+    val docs = (0 until 20).map { i =>
+      (i.toLong, Seq(Seq(i * 1.0, 1.0), Seq(1.0, i * 1.0)), 999L)
+    }.toDF("id", "vecs", "centroid_id")
+    // a SEPARATE assigned layout + centroids for the IVF registration
+    val assigned = (0 until 20).map { i =>
+      (i.toLong, Seq(i * 1.0, i * 1.0), (i % 2).toLong)
+    }.toDF("id", "mv_mean", "centroid_id")
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("centroid_id", "centroid")
+    AnnIndex.install(spark)
+    val qts = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def query() = docs
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(5)
+      .select("id", "score")
+    // probes = all cells: the IVF candidate set equals the plain
+    // refine top-20 — so the IVF registration must return exactly what
+    // the no-IVF registration returns. Pre-guard, the rule planted the
+    // probe DPP on the USER's centroid_id (all 999, never a probe id)
+    // and the re-rank silently returned zero rows.
+    AnnIndex.registerMaxsim("vecs", "id", () => docs, refine = 20,
+      Some(AnnIndex.MaxsimIvf(() => assigned, "centroid_id", "mv_mean",
+        () => cents, "centroid_id", "centroid", probes = 2)))
+    val withIvf =
+      try query().localCheckpoint(true).collect().map(_.toSeq).toSeq
+      finally AnnIndex.unregisterMaxsim("vecs")
+    AnnIndex.registerMaxsim("vecs", "id", () => docs, refine = 20, None)
+    val without =
+      try query().localCheckpoint(true).collect().map(_.toSeq).toSeq
+      finally AnnIndex.unregisterMaxsim("vecs")
+    assert(withIvf.nonEmpty)
+    assert(withIvf === without)
+  }
+
   test("registerDistributed over an IN-MEMORY leaf: the planted " +
       "DynamicPruningSubquery cleans up gracefully, results exact") {
     val (e, model, _) = setup()

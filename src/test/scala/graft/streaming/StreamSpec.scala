@@ -312,6 +312,18 @@ class StreamSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("batch"))
     // nothing was lost by the refusal
     assert(ids() === Set(1L, 2L))
+    // the guard is layout-agnostic: plain (unpartitioned) parquet data
+    // would be hidden just the same — refuse that too
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-restart-plain").toString
+    Seq((1L, "x")).toDF("doc_id", "text").write
+      .mode("overwrite").parquet(plainDir)
+    val input4 = MemoryStream[(Long, String)]
+    intercept[IllegalStateException] {
+      Stream.ingestBm25(input4.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", plainDir, java.nio.file.Files
+          .createTempDirectory("graft-restart-c4").toString, buckets = 4)
+    }
   }
 
   test("stream-stream interval join pairs in-window rows, bounded state") {
