@@ -936,4 +936,67 @@ object Dedup {
       .orderBy(col("dist").asc, col("a").asc, col("b").asc)
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then prune
+    * near-duplicates GREEDILY within each cluster — never across the
+    * whole corpus — keeping, per near-dup group, the item FARTHEST from
+    * its centroid (the paper's diversity-preserving keeper choice).
+    *
+    * Semantics (deterministic, engine-replayable):
+    *  1. each row is assigned to its nearest centroid under cosine
+    *     distance ([[Ann.assign]]: argmin, ties to the lower cell id);
+    *  2. within a cell, rows are ranked by (round(cosine-sim-to-own-
+    *     centroid, roundTo) ASC, id ASC) — keeper priority = farthest
+    *     from centroid first;
+    *  3. row x is DROPPED iff some row y in the same cell with a
+    *     smaller rank has round(cosineSim(x, y), roundTo) >= tau.
+    * Rule 3 is greedy selection-by-rank (dominance by ANY earlier row,
+    * kept or not), not connected components — for the transitive-
+    * closure alternative compose [[minHashDedupPairs]]/[[cosinePairsLsh]]
+    * with [[components]]+[[dedupByPairs]] instead.
+    *
+    * Returns the KEPT rows as (idCol, cellCol, cent_cos), one per
+    * surviving doc.
+    *
+    * Scale shape (the reason SemDeDup works at 100 TB where all-pairs
+    * cosine cannot): assignment is a map-only broadcast argmin; the
+    * rank window and the dominance self-join both shuffle ON THE CELL
+    * KEY ONCE (the exchange is reused across the window and both join
+    * sides — one shuffle, co-partitioned join), and the quadratic pair
+    * work is confined within cells, i.e. O(Σ m_c²) with m_c ≈ N/k —
+    * at corpus scale you size `k` (the centroid count) so cells stay
+    * ~10⁴ rows, exactly the paper's regime. Nothing corpus-sized is
+    * collected or broadcast (centroids only). */
+  def semDedup(docs: DataFrame, idCol: String, vecCol: String,
+               model: Ann.IvfModel, tau: Double,
+               roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.VecExprs
+    val cellCol = model.idCol
+    def cosSim(a: Column, b: Column): Column =
+      VecExprs.dot(a, b) /
+        (sqrt(VecExprs.dot(a, a)) * sqrt(VecExprs.dot(b, b)))
+    val assigned = Ann.assign(docs, vecCol, model, Ann.Cosine)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol), col(cellCol))
+    val withSim = assigned
+      .join(broadcast(
+        model.centroids.select(col(cellCol), col(model.vecCol))), cellCol)
+      .withColumn("cent_cos",
+        round(cosSim(col(vecCol), col(model.vecCol)), roundTo))
+      .drop(model.vecCol)
+    val ranked = withSim.withColumn("__rk", row_number().over(
+      Window.partitionBy(cellCol)
+        .orderBy(col("cent_cos").asc, col(idCol).asc)))
+    val x = ranked.select(col(cellCol), col(idCol).as("__xid"),
+      col(vecCol).as("__xv"), col("__rk").as("__xrk"))
+    val y = ranked.select(col(cellCol), col(idCol).as("__yid"),
+      col(vecCol).as("__yv"), col("__rk").as("__yrk"))
+    val dominated = x.join(y, Seq(cellCol))
+      .where(col("__yrk") < col("__xrk") &&
+        round(cosSim(col("__xv"), col("__yv")), roundTo) >= lit(tau))
+      .select(col("__xid").as(idCol)).distinct()
+    ranked.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col(cellCol), col("cent_cos"))
+  }
 }

@@ -52,6 +52,29 @@ object DataOps {
     * signatures, so LSH recall is deterministic here — and the corpus
     * itself contains no pair above the threshold (max cos ≈ 0.51), so
     * the oracle is the exact all-pairs scan. */
+  /** SemDeDup semantic dedup over the embeddings corpus with a planted
+    * exact duplicate of every row (vec_id + 100000, the p09 pattern):
+    * 8 deterministic seed centroids (the embeddings of vec_id 0..7, so
+    * the DuckDB oracle can replay the whole chain — cosine argmin
+    * assignment, farthest-from-centroid keeper ranking, greedy
+    * within-cell dominance at tau=0.95 — from first principles), then
+    * [[Dedup.semDedup]]. Every planted twin must be pruned by its
+    * original, and the survivors' (cell, cent_cos) hash-pin the
+    * assignment + ranking math. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    val model = Ann.IvfModel(
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid")),
+      "centroid_id", "centroid")
+    Dedup.semDedup(e.unionByName(planted), "vec_id", "embedding",
+        model, tau = 0.95)
+      .orderBy("vec_id")
+  }
+
   def cosineLshDedup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val planted = e.select((col("vec_id") + 100000).as("vec_id"),
@@ -290,6 +313,7 @@ object DataOps {
     "p04_simhash_pairs" -> simhashPairs,
     "p05_closest_pairs_cos" -> closestPairsCos,
     "p09_cosine_lsh_dedup" -> cosineLshDedup,
+    "p20_semdedup" -> semDedup,
     "p06_token_stats" -> tokenStats,
     "p07_quality_topk" -> qualityTopk,
     "p08_langid_counts" -> langidCounts)
@@ -645,6 +669,40 @@ object DataOps {
            FROM c x JOIN c y ON x.vec_id < y.vec_id)
          SELECT a, b, round(cos, 6) AS cos FROM p
          WHERE cos >= 0.95 ORDER BY a, b""",
+    "p20_semdedup" ->
+      """WITH c AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+         cent AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+                    embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 8),
+         ad AS (SELECT c.vec_id, c.v, cent.cid, cent.cv,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY (1 - list_inner_product(c.v, cent.cv) /
+                      (sqrt(list_inner_product(c.v, c.v)) *
+                       sqrt(list_inner_product(cent.cv, cent.cv)))) ASC,
+                      cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent),
+         a AS (SELECT vec_id, v, cid AS cell,
+                 round(list_inner_product(v, cv) /
+                   (sqrt(list_inner_product(v, v)) *
+                    sqrt(list_inner_product(cv, cv))), 6) AS cent_cos
+               FROM ad WHERE rn = 1),
+         r AS (SELECT vec_id, v, cell, cent_cos,
+                 row_number() OVER (PARTITION BY cell
+                   ORDER BY cent_cos ASC, vec_id ASC) AS rk
+               FROM a),
+         dom AS (SELECT DISTINCT x.vec_id
+                 FROM r x JOIN r y ON x.cell = y.cell AND y.rk < x.rk
+                   AND round(list_inner_product(x.v, y.v) /
+                     (sqrt(list_inner_product(x.v, x.v)) *
+                      sqrt(list_inner_product(y.v, y.v))), 6) >= 0.95)
+         SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+                r.cell AS centroid_id, r.cent_cos
+         FROM r LEFT JOIN dom ON r.vec_id = dom.vec_id
+         WHERE dom.vec_id IS NULL
+         ORDER BY vec_id""",
     "p06_token_stats" ->
       s"""WITH t AS (SELECT lang, text,
             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))

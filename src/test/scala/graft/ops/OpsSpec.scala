@@ -339,6 +339,41 @@ class OpsSpec extends SparkSpecBase {
     assert(cosvals.forall(_ >= 0.95))
   }
 
+  test("semDedup: greedy within-cell pruning keeps the farthest-from-" +
+      "centroid representative; exact ties break by id") {
+    val sp = spark
+    import sp.implicits._
+    def at(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    // centroids at 0° and 90°; cluster-0 chain a(0°)~b(15°)~c(30°) with
+    // cos(a,c)=0.866 < tau — greedy rank (farthest first: c, b, a) drops
+    // b (dominated by c) AND a (dominated by the already-dropped b):
+    // dominance is by ANY earlier-ranked row, not by survivors only.
+    // cluster-1: f(85°) ~ g(95°) ~ f2(85°, exact twin, id 8) all tie on
+    // rounded cent_cos → id order f, g, f2 keeps f only; h(60°) lands in
+    // cluster 1 (cos 0.866 vs 0.5) and is nobody's near-dup.
+    val docs = Seq(
+      (1L, at(0)), (2L, at(15)), (3L, at(30)),
+      (4L, at(85)), (5L, at(95)), (8L, at(85)), (6L, at(60)))
+      .toDF("id", "vec")
+    val model = graft.ops.Ann.IvfModel(
+      Seq((0L, at(0)), (1L, at(90))).toDF("centroid_id", "centroid"),
+      "centroid_id", "centroid")
+    val kept = Dedup.semDedup(docs, "id", "vec", model, tau = 0.95)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("centroid_id"),
+        r.getAs[Double]("cent_cos")))
+      .sortBy(_._1)
+    assert(kept.map(k => (k._1, k._2)).toSeq ===
+      Seq((3L, 0L), (4L, 1L), (6L, 1L)))
+    val byId = kept.map(k => k._1 -> k._3).toMap
+    assert(math.abs(byId(3L) - math.cos(math.toRadians(30))) < 1e-4)
+    assert(math.abs(byId(4L) - math.cos(math.toRadians(5))) < 1e-4)
+    assert(math.abs(byId(6L) - math.cos(math.toRadians(30))) < 1e-4)
+  }
+
   test("scalar quantization: codes bounded, dequantized distance close, " +
       "search recovers exact neighbors after refine") {
     val sp = spark
