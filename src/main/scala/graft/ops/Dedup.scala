@@ -960,43 +960,73 @@ object Dedup {
     * surviving doc.
     *
     * Scale shape (the reason SemDeDup works at 100 TB where all-pairs
-    * cosine cannot): assignment is a map-only broadcast argmin; the
-    * rank window and the dominance self-join both shuffle ON THE CELL
-    * KEY ONCE (the exchange is reused across the window and both join
-    * sides — one shuffle, co-partitioned join), and the quadratic pair
-    * work is confined within cells, i.e. O(Σ m_c²) with m_c ≈ N/k —
-    * at corpus scale you size `k` (the centroid count) so cells stay
-    * ~10⁴ rows, exactly the paper's regime. Nothing corpus-sized is
-    * collected or broadcast (centroids only). */
+    * cosine cannot): assignment and the centroid-sim projection are
+    * map-only (broadcast argmin + broadcast join — no corpus shuffle),
+    * then EXACTLY ONE shuffle keys the corpus by cell and the greedy
+    * dominance scan runs per cell inside `flatMapGroups` — the
+    * quadratic pair work is confined within cells, O(Σ m_c²) with
+    * m_c ≈ N/k, and at corpus scale you size `k` (the centroid count)
+    * so cells stay ~10⁴ rows (≈5 MB at dim 64 — one task's working
+    * set), exactly the paper's regime. A declarative window+self-join
+    * form was measured to plan THREE full recomputations of the
+    * assigned subtree plus an id-keyed anti-join shuffle; the typed
+    * per-group form is the honest physical shape for an algorithm
+    * that is row-quadratic within a bounded group. Hot-cell skew is
+    * the documented failure mode — the fix is more centroids, as in
+    * the paper. Nothing corpus-sized is collected or broadcast
+    * (centroids only). */
   def semDedup(docs: DataFrame, idCol: String, vecCol: String,
                model: Ann.IvfModel, tau: Double,
                roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.graft.VecExprs
+    val spark = docs.sparkSession
+    import spark.implicits._
     val cellCol = model.idCol
     def cosSim(a: Column, b: Column): Column =
       VecExprs.dot(a, b) /
         (sqrt(VecExprs.dot(a, a)) * sqrt(VecExprs.dot(b, b)))
     val assigned = Ann.assign(docs, vecCol, model, Ann.Cosine)
-      .select(col(idCol).cast("long").as(idCol),
-        col(vecCol).cast("array<double>").as(vecCol), col(cellCol))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"), col(cellCol).as("cell"))
     val withSim = assigned
-      .join(broadcast(
-        model.centroids.select(col(cellCol), col(model.vecCol))), cellCol)
-      .withColumn("cent_cos",
-        round(cosSim(col(vecCol), col(model.vecCol)), roundTo))
-      .drop(model.vecCol)
-    val ranked = withSim.withColumn("__rk", row_number().over(
-      Window.partitionBy(cellCol)
-        .orderBy(col("cent_cos").asc, col(idCol).asc)))
-    val x = ranked.select(col(cellCol), col(idCol).as("__xid"),
-      col(vecCol).as("__xv"), col("__rk").as("__xrk"))
-    val y = ranked.select(col(cellCol), col(idCol).as("__yid"),
-      col(vecCol).as("__yv"), col("__rk").as("__yrk"))
-    val dominated = x.join(y, Seq(cellCol))
-      .where(col("__yrk") < col("__xrk") &&
-        round(cosSim(col("__xv"), col("__yv")), roundTo) >= lit(tau))
-      .select(col("__xid").as(idCol)).distinct()
-    ranked.join(dominated, Seq(idCol), "left_anti")
-      .select(col(idCol), col(cellCol), col("cent_cos"))
+      .join(broadcast(model.centroids.select(col(cellCol).as("cell"),
+        col(model.vecCol).as("cv"))), "cell")
+      .withColumn("cent_cos", round(cosSim(col("v"), col("cv")), roundTo))
+      .select(col("cell"), col("id"), col("v"), col("cent_cos"))
+    val pow = math.pow(10.0, roundTo)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val kept = withSim.as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double], Double)]) =>
+        // keeper priority: farthest from centroid first, id tiebreak —
+        // the same (rounded cent_cos ASC, id ASC) total order the
+        // column form uses, so any engine replays it.
+        val rows = it.toArray.sortBy(r => (r._4, r._2))
+        val norms = rows.map(r => math.sqrt(dotSeq(r._3, r._3)))
+        val out = Array.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < rows.length) {
+          var dominated = false
+          var j = 0
+          while (j < i && !dominated) {
+            // same fold + divide shape as the cosSim column above —
+            // bit-identical, so tau compares identically everywhere
+            val c = Ann.roundFast(
+              dotSeq(rows(i)._3, rows(j)._3) / (norms(i) * norms(j)),
+              roundTo, pow)
+            if (c >= tau) dominated = true
+            j += 1
+          }
+          if (!dominated) out += ((rows(i)._2, cell, rows(i)._4))
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF(idCol, cellCol, "cent_cos")
+    kept
   }
 }
