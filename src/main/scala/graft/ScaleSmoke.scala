@@ -84,6 +84,21 @@ object ScaleSmoke {
       ops.Dedup.cosinePairsLsh(vecs, "vec_id", "embedding",
         threshold = 0.95).count()
     }
+    // SemDeDup at dup-heavy scale: every embedding repeats xf× exactly,
+    // so every cell holds copy-groups of size xf. Cost must stay
+    // cell-confined (one shuffle, Σ m_c² pair work with m_c ≈ N/k) and
+    // the greedy prune must collapse every copy-group to ONE keeper —
+    // survivors == base corpus size, a full exactness assert at 16×.
+    time("semdedup") {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        metric = ops.Ann.Cosine, iters = 2)
+      val kept = ops.Dedup.semDedup(vecs, "vec_id", "embedding", model,
+        tau = 0.95).count()
+      require(kept == nVecs,
+        s"semdedup kept $kept of ${nVecs * xf}, want exactly $nVecs " +
+          "(one keeper per exact copy-group)")
+      kept
+    }
     time("knn_join_ivf") {
       val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
         iters = 2)

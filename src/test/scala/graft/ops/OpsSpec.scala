@@ -374,6 +374,31 @@ class OpsSpec extends SparkSpecBase {
     assert(math.abs(byId(6L) - math.cos(math.toRadians(30))) < 1e-4)
   }
 
+  test("semDedup over a KMeans-built model: every planted twin is " +
+      "pruned by its original, strangers all survive") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    def unit(dim: Int): Seq[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val bases = (0 until 60).map(i => (i.toLong, unit(16)))
+    val twins = bases.map { case (i, v) => (1000L + i, v) }
+    val docs = (bases ++ twins).toDF("id", "vec")
+    val model = graft.ops.Ann.buildIvfKMeans(
+      docs, "vec", k = 4, metric = graft.ops.Ann.Cosine)
+    val kept = Dedup.semDedup(docs, "id", "vec", model, tau = 0.95)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // a twin and its original always share a cell (identical vector →
+    // identical argmin) and have pair cos exactly 1 ≥ tau; they tie on
+    // cent_cos so the id tiebreak ranks the original first and the twin
+    // is dominated. Random unit vectors in 16-dim keep stranger pairs
+    // far below 0.95, so the survivors are exactly the originals.
+    assert(kept === (0 until 60).map(_.toLong).toSet)
+  }
+
   test("scalar quantization: codes bounded, dequantized distance close, " +
       "search recovers exact neighbors after refine") {
     val sp = spark

@@ -275,6 +275,19 @@ class PlanSpec extends SparkSpecBase {
     assert(hits.count() === 5)
   }
 
+  test("semDedup plans ONE cell-keyed shuffle: map-only assignment, " +
+      "MapGroups prune, no self-join machinery") {
+    val p = plan(DataOps.semDedup(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"want exactly the one cell shuffle, got $hashExchanges:\n$p")
+    assert(p.contains("MapGroups"), s"per-cell greedy prune missing:\n$p")
+    // the declarative window+self-join+anti-join form this replaced
+    // planned 3 subtree recomputes — make sure none of it returns
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"self-join/window machinery crept back in:\n$p")
+  }
+
   test("q12 pushes the base-column date predicate into the scan") {
     val p = plan(Relational.q12DateScalar(spark, sf))
     assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
