@@ -308,6 +308,56 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("semDedup equals an independent in-memory replay and is " +
+      "input-order invariant") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 4
+    // small discrete component set → frequent exact/near duplicates
+    val vecGen = Gen.listOfN(dim, Gen.oneOf(-1.0, -0.5, 0.2, 0.5, 1.0))
+    val rowsGen = Gen.choose(6, 24).flatMap(n => Gen.listOfN(n, vecGen))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        acc += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      acc / (math.sqrt(na) * math.sqrt(nb))
+    }
+    samples(rowsGen, 4, 21L).foreach { vs =>
+      val docs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val cents = Seq((0L, docs.head._2), (1L, docs.last._2))
+      val tau = 0.9
+      // independent replay of the documented semantics: argmin
+      // assignment (ties to lower cell id), rank by (rounded cent-cos,
+      // id), greedy dominance by any earlier-ranked same-cell row
+      val expected = docs
+        .map { case (id, v) =>
+          val cell = cents.minBy(c =>
+            (Ann.Cosine.distScala(v.toArray, c._2.toArray), c._1))._1
+          val cc = BigDecimal(cos(v, cents.find(_._1 == cell).get._2))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, cell, cc, v)
+        }
+        .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+          val ordered = rows.sortBy(r => (r._3, r._1))
+          ordered.zipWithIndex.collect { case ((id, cell, cc, v), i)
+              if !ordered.take(i).exists { case (_, _, _, w) =>
+                BigDecimal(cos(v, w)).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble >= tau } =>
+            (id, cell, cc)
+          }
+        }.toSet
+      val model = Ann.IvfModel(cents.toDF("centroid_id", "centroid"),
+        "centroid_id", "centroid")
+      def run(input: Seq[(Long, Seq[Double])]): Set[(Long, Long, Double)] =
+        Dedup.semDedup(input.toDF("id", "vec"), "id", "vec", model,
+            tau = tau).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(run(docs) === expected)
+      assert(run(new scala.util.Random(5).shuffle(docs)) === expected)
+    }
+  }
+
   test("packBits/unpackBits roundtrip on random widths and patterns") {
     val sp = spark
     import sp.implicits._
