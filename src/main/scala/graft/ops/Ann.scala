@@ -322,7 +322,7 @@ object Ann {
     * 768 dims, hundreds of MB) a `typedlit` plan literal is a driver and
     * task-serialization bomb; a broadcast variable is exactly the
     * [[knnJoin]] query-set pattern. */
-  private def collectCentroids(model: IvfModel): Array[(Long, Array[Double])] =
+  private[ops] def collectCentroids(model: IvfModel): Array[(Long, Array[Double])] =
     model.centroids
       .select(col(model.idCol).cast("long"), col(model.vecCol))
       .collect()

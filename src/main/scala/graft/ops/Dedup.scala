@@ -957,13 +957,17 @@ object Dedup {
     * with [[components]]+[[dedupByPairs]] instead.
     *
     * Returns the KEPT rows as (idCol, cellCol, cent_cos), one per
-    * surviving doc.
+    * surviving doc. Rows whose vector has a zero or non-finite norm
+    * (failed embedding backfills etc.) have no cosine to anything, so
+    * they are all kept verbatim with cell = -1 and cent_cos = NaN —
+    * a dedup pass must never silently delete.
     *
     * Scale shape (the reason SemDeDup works at 100 TB where all-pairs
-    * cosine cannot): assignment and the centroid-sim projection are
-    * map-only (broadcast argmin + broadcast join — no corpus shuffle),
-    * then EXACTLY ONE shuffle keys the corpus by cell and the greedy
-    * dominance scan runs per cell inside `flatMapGroups` — the
+    * cosine cannot): assignment is map-only — ONE broadcast of the
+    * centroids feeds a single projection that emits both the argmin
+    * cell and the winner's cent-cos (no join, no second centroid
+    * copy), then EXACTLY ONE shuffle keys the corpus by cell and the
+    * greedy dominance scan runs per cell inside `flatMapGroups` — the
     * quadratic pair work is confined within cells, O(Σ m_c²) with
     * m_c ≈ N/k, and at corpus scale you size `k` (the centroid count)
     * so cells stay ~10⁴ rows (≈5 MB at dim 64 — one task's working
@@ -975,6 +979,12 @@ object Dedup {
     * the documented failure mode — the fix is more centroids, as in
     * the paper. Nothing corpus-sized is collected or broadcast
     * (centroids only). */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   def semDedup(docs: DataFrame, idCol: String, vecCol: String,
                model: Ann.IvfModel, tau: Double,
                roundTo: Int = 6): DataFrame = {
@@ -982,23 +992,50 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val cellCol = model.idCol
-    def cosSim(a: Column, b: Column): Column =
-      VecExprs.dot(a, b) /
-        (sqrt(VecExprs.dot(a, a)) * sqrt(VecExprs.dot(b, b)))
-    val assigned = Ann.assign(docs, vecCol, model, Ann.Cosine)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"), col(cellCol).as("cell"))
-    val withSim = assigned
-      .join(broadcast(model.centroids.select(col(cellCol).as("cell"),
-        col(model.vecCol).as("cv"))), "cell")
-      .withColumn("cent_cos", round(cosSim(col("v"), col("cv")), roundTo))
-      .select(col("cell"), col("id"), col("v"), col("cent_cos"))
     val pow = math.pow(10.0, roundTo)
-    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__n2", VecExprs.dot(col("v"), col("v")))
+    // Rows whose vector has a zero or non-finite norm have NO cosine to
+    // anything — they can neither duplicate nor be duplicated, and the
+    // argmin below would leave them centroid-less (every distance NaN).
+    // A dedup pass must never silently delete, so they are KEPT
+    // verbatim, flagged cell = -1 / cent_cos = NaN. (NaN compares
+    // LARGER than any double in Spark SQL, hence the explicit isnan.)
+    val degeneratePred = isnan(col("__n2")) || col("__n2") <= lit(0.0) ||
+      col("__n2") === lit(Double.PositiveInfinity)
+    val degenerate = base.filter(degeneratePred)
+      .select(col("id"), lit(-1L).as("cell"),
+        lit(Double.NaN).as("cent_cos"))
+    // ONE broadcast of the id-sorted centroids serves both the argmin
+    // assignment and the winner's cent-cos (same strict-< / lower-id
+    // tie rule as Ann.assign; the winner's cosine is recomputed with
+    // the same three sequential folds + divide as the VecExprs column
+    // form and HALF_UP-rounded, so any engine replays it bit-for-bit).
+    val bc = spark.sparkContext.broadcast(Ann.collectCentroids(model))
+    val assignWithCos = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      val cs = bc.value
+      var bestD = Double.PositiveInfinity
+      var bestId = Long.MaxValue
+      var best: Array[Double] = null
+      var i = 0
+      while (i < cs.length) {
+        val d = Ann.Cosine.distScala(varr, cs(i)._2)
+        if (d < bestD) { bestD = d; bestId = cs(i)._1; best = cs(i)._2 }
+        i += 1
+      }
+      if (best == null) (Long.MaxValue, Double.NaN)
+      else {
+        val cos = dotSeq(varr, best) /
+          (math.sqrt(dotSeq(varr, varr)) * math.sqrt(dotSeq(best, best)))
+        (bestId, Ann.roundFast(cos, roundTo, pow))
+      }
     }
+    val withSim = base.filter(!degeneratePred)
+      .withColumn("__ac", assignWithCos(col("v")))
+      .select(col("__ac._1").as("cell"), col("id"), col("v"),
+        col("__ac._2").as("cent_cos"))
     val kept = withSim.as[(Long, Long, Array[Double], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double], Double)]) =>
@@ -1013,7 +1050,7 @@ object Dedup {
           var dominated = false
           var j = 0
           while (j < i && !dominated) {
-            // same fold + divide shape as the cosSim column above —
+            // same fold + divide shape as the cent-cos math above —
             // bit-identical, so tau compares identically everywhere
             val c = Ann.roundFast(
               dotSeq(rows(i)._3, rows(j)._3) / (norms(i) * norms(j)),
@@ -1026,7 +1063,7 @@ object Dedup {
         }
         out.result().iterator
       }
-      .toDF(idCol, cellCol, "cent_cos")
-    kept
+      .toDF("id", "cell", "cent_cos")
+    kept.unionByName(degenerate).toDF(idCol, cellCol, "cent_cos")
   }
 }

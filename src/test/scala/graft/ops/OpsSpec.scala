@@ -374,6 +374,31 @@ class OpsSpec extends SparkSpecBase {
     assert(math.abs(byId(6L) - math.cos(math.toRadians(30))) < 1e-4)
   }
 
+  test("semDedup keeps zero-norm and NaN vectors verbatim at cell -1 " +
+      "instead of silently dropping them") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),      // near-dup pair
+      (3L, Seq(0.0, 0.0)),                             // zero norm
+      (4L, Seq(Double.NaN, 1.0)),                      // NaN component
+      (5L, Seq(Double.PositiveInfinity, 0.0)))         // infinite norm
+      .toDF("id", "vec")
+    val model = graft.ops.Ann.IvfModel(
+      Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid"),
+      "centroid_id", "centroid")
+    val kept = Dedup.semDedup(docs, "id", "vec", model, tau = 0.95)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("centroid_id"), r.getAs[Double]("cent_cos")))
+    val byId = kept.map(k => k._1 -> k).toMap
+    // the near-dup pair still dedups to one keeper...
+    assert(Seq(1L, 2L).count(byId.contains) === 1)
+    // ...and every degenerate row survives, flagged, never deleted
+    assert(Seq(3L, 4L, 5L).forall(byId.contains))
+    assert(Seq(3L, 4L, 5L).forall(i =>
+      byId(i)._2 === -1L && byId(i)._3.isNaN))
+  }
+
   test("semDedup over a KMeans-built model: every planted twin is " +
       "pruned by its original, strangers all survive") {
     val sp = spark
