@@ -230,7 +230,7 @@ object ScaleSmoke {
         plans.AnnIndex.registerMaxsim("mv", "vec_id", () => stored,
           refine = 100, Some(plans.AnnIndex.MaxsimIvf(
             () => stored, "centroid_id", "mv_mean",
-            () => model.centroids, "centroid_id", "centroid", probes)))
+            () => model.centroids, "centroid_id", "centroid", probes)), owner = "")
         try {
           val df = stored.withColumn("score",
               round(org.apache.spark.sql.graft.VecExprs

@@ -39,27 +39,41 @@ final class Engine(reg: Registry) {
         case Some(model) if ix.lists > 0 && ix.oneBit =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          val rf = if (refine > 0) refine
-            else Ann.defaultBitqRefine(ix.distance).max(8)
-          Ann.searchIvfBitq(ivfBitqCached(td, ix, base, model), td.pk,
-            ix.column, q, ix.distance, p, topk, rf)
+          Ann.searchIvfBitq(ivfBitqCached(td, ix, model), td.pk,
+            ix.column, q, ix.distance, p, topk, autoBitqRefine(ix, refine))
         case Some(model) if ix.lists > 0 && ix.quantized =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          Ann.searchIvfSq(ivfSqCached(td, ix, base, model), td.pk,
-            ix.column, q, ix.distance, p, topk,
-            if (refine > 0) refine else 8)
+          Ann.searchIvfSq(ivfSqCached(td, ix, model), td.pk,
+            ix.column, q, ix.distance, p, topk, autoSqRefine(refine))
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          val assigned = assignedCached(td, ix, base, model)
+          val assigned = assignedCached(td, ix, model)
           Ann.searchIvf(assigned, td.pk, ix.column, model, q, ix.distance,
             p, topk)
         case _ =>
           Ann.topK(base, td.pk, ix.column, q, ix.distance, topk)
       }
-    ranked.select((fields :+ "dist").map(col): _*)
+    // the quantized searchers return (pk, dist) only — join the top-k
+    // back to the base table when the caller wants more columns (k
+    // rows, broadcast; re-sorted to keep the ranked order)
+    val need = fields :+ "dist"
+    val out =
+      if (need.forall(ranked.columns.contains)) ranked
+      else base
+        .join(broadcast(ranked.select(col(td.pk), col("dist"))), td.pk)
+        .orderBy(col("dist").asc, col(td.pk).asc)
+    out.select(need.map(col): _*)
   }
+
+  /** The engine-default exact-re-rank budgets, shared by
+    * [[searchByVector]] and [[installDeclarative]] so the declarative
+    * and imperative paths return identical results at defaults. */
+  private def autoSqRefine(refine: Int): Int =
+    if (refine > 0) refine else 8
+  private def autoBitqRefine(ix: VectorIndex, refine: Int): Int =
+    if (refine > 0) refine else Ann.defaultBitqRefine(ix.distance).max(8)
 
   /** Multi-vector maxsim top-k (registry.py:227-267) with the two-phase
     * `refine` knob: when 0 < refine < table size, a cheap first phase
@@ -76,32 +90,40 @@ final class Engine(reg: Registry) {
       .getOrElse(throw new IllegalStateException(
         s"${td.name} has no multivector column"))
     val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
+    if (queryVecs.isEmpty) throw new IllegalArgumentException(
+      s"searchByMultivec on ${td.name}: empty query (no token vectors)")
+    if (queryVecs.exists(_.length != queryVecs.head.length))
+      throw new IllegalArgumentException(
+        s"searchByMultivec on ${td.name}: ragged query token vectors " +
+          s"(widths ${queryVecs.map(_.length).distinct.mkString(",")})")
     val base = reg.table(td)
     val q = typedlit(queryVecs)
     val dim = queryVecs.head.length
-    val centroid: Seq[Double] = (0 until dim).map(i =>
-      queryVecs.map(_(i)).sum / queryVecs.length)
+    val centroid = Ann.queryCentroid(queryVecs)
+    // phase-1 must hand the re-rank at least topk candidates — the
+    // declarative twin's math.max(entry.refine, k) guard
+    val rf = if (refine > 0) math.max(refine, topk) else refine
     // with a LISTS-built multivec IVF (buildIndex), phase-1 scans only
     // the `probes` cells nearest the query-token centroid — and only
     // the persisted mean column — instead of every doc's token matrix
     val ivfPhase1 = for {
-      ix <- mvIx if ix.lists > 0 && refine > 0
+      ix <- mvIx if ix.lists > 0 && rf > 0
       model <- mvIndexModel(td)
     } yield {
       val p = if (probes > 0) probes
         else math.ceil(ix.lists / 16.0).toInt.max(1)
       val ids = Ann.maxsimCandidatesIvf(mvAssignedCached(td, ix, model),
-          td.pk, MvMeanCol, model, queryVecs, refine, p)
+          td.pk, MvMeanCol, model, queryVecs, rf, p)
         .withColumnRenamed(td.pk, "__cand_id")
       base.join(broadcast(ids), col(td.pk) === col("__cand_id"),
         "left_semi")
     }
     val candidates = ivfPhase1.getOrElse {
-      if (refine > 0) {
+      if (rf > 0) {
         base.withColumn("__approx",
-            Vec.dot(flattenMean(col(mvCol), dim), typedlit(centroid)))
+            Vec.dot(Ann.flattenMean(col(mvCol), dim), typedlit(centroid)))
           .orderBy(col("__approx").desc, col(td.pk).asc)
-          .limit(refine)
+          .limit(rf)
           .drop("__approx")
       } else base
     }
@@ -112,13 +134,6 @@ final class Engine(reg: Registry) {
       .limit(topk)
       .select((fields :+ "score").map(col): _*)
   }
-
-  /** Mean of a doc's token vectors (the quantized stand-in for phase-1
-    * scoring). */
-  private def flattenMean(mv: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(mv, lit(0.0), (acc, v) =>
-        acc + element_at(v, i + 1).cast("double")) / size(mv))
 
   /** BM25 keyword top-k (registry.py:269-302): builds/reuses the side
     * tables for the column's declared tokenizer model. The index is
@@ -244,14 +259,19 @@ final class Engine(reg: Registry) {
         else math.ceil(ix.lists / 16.0).toInt.max(1)
       if (ix.oneBit)
         graft.plans.AnnIndex.registerOneBit(ix.column, td.pk,
-          () => ivfBitqCached(td, ix, reg.table(td), model),
-          ix.distance, p, refine) // <= 0 = per-metric auto
+          () => ivfBitqCached(td, ix, model),
+          ix.distance, p, autoBitqRefine(ix, refine), owner = owner(td))
       else if (ix.quantized)
         graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
-          () => ivfSqCached(td, ix, reg.table(td), model),
-          ix.distance, p, if (refine > 0) refine else 5)
+          () => ivfSqCached(td, ix, model),
+          ix.distance, p, autoSqRefine(refine), owner = owner(td))
       else
-        graft.plans.AnnIndex.register(ix.column, model, ix.distance, p)
+        // resolver-backed like every other registration: a buildIndex
+        // re-run (new KMeans model) must reach declarative probe
+        // selection without a re-install; the centroid collect is
+        // memoized per __ivf side-table version
+        graft.plans.AnnIndex.register(ix.column, () => centsCached(td),
+          "centroid_id", ix.distance, p, owner = owner(td))
     }
     // multivector column: plain orderBy(maxsim_dot(q, mv).desc).limit(k)
     // plans rewrite into the two-phase refine (the declarative
@@ -278,7 +298,7 @@ final class Engine(reg: Registry) {
             () => model.centroids, "centroid_id", "centroid", p))
         } else None
         graft.plans.AnnIndex.registerMaxsim(ix.column, td.pk,
-          () => reg.table(td), maxsimRefine, ivf)
+          () => reg.table(td), maxsimRefine, ivf, owner = owner(td))
       }
     // keyword column: plain orderBy(bm25_score.desc).limit(k) plans
     // ([[keywordScoreColumn]] builds the score) rewrite into the
@@ -286,8 +306,7 @@ final class Engine(reg: Registry) {
     // 356-380); resolver-backed via the version-keyed keywordIndex
     td.keywordIndex.foreach { kw =>
       graft.plans.AnnIndex.registerBm25(kw.column, td.pk,
-        () => keywordIndex(td),
-        owner = s"${reg.namespace}.${td.name}")
+        () => keywordIndex(td), owner = owner(td))
     }
     if (td.vectorIndex.isEmpty && td.keywordIndex.isEmpty &&
         !td.indexes.exists(_.isInstanceOf[Spec.MultiVectorIndex]))
@@ -368,6 +387,38 @@ final class Engine(reg: Registry) {
     names.map(n => reg.catalog.current
       .getOrElse(s"${reg.namespace}_$n", Vector.empty).hashCode).hashCode
 
+  /** The registration owner tag: collisions between two TABLES sharing
+    * column names fail loudly at install instead of silently serving
+    * one table's candidates to the other's queries. */
+  private def owner(td: TableDef[_]): String =
+    s"${reg.namespace}.${td.name}"
+
+  /** Driver-side centroid collect for the PLAIN declarative IVF
+    * registration, memoized per `__ivf` side-table version: probe cells
+    * are chosen at plan time (AnnIndex.Entry), so the centroids must be
+    * driver-resident — but a buildIndex re-run must refresh them, and
+    * re-collecting per query would be a per-plan job. */
+  private val centsCache =
+    scala.collection.mutable.HashMap[String, (Int, Seq[(Long, Array[Double])])]()
+  private def centsCached(td: TableDef[_]): Seq[(Long, Array[Double])] = {
+    val version = segVersion(s"${td.name}__ivf")
+    val key = s"${System.identityHashCode(reg)}|${td.name}"
+    centsCache.synchronized {
+      centsCache.get(key) match {
+        case Some((v, cs)) if v == version => cs
+        case _ =>
+          val model = indexModel(td).getOrElse(
+            throw new IllegalStateException(
+              s"${td.name}'s IVF model (__ivf) vanished after install — " +
+                "rebuild with buildIndex"))
+          val cs = model.centroids.collect().map(r =>
+            (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+          centsCache(key) = (version, cs)
+          cs
+      }
+    }
+  }
+
   /** IVF assignment memoized per table+model VERSION: assigning is a
     * map-only stage but still O(N·cells) compute — the index at rest is
     * the assignment, recomputed only when the table or model is
@@ -376,8 +427,10 @@ final class Engine(reg: Registry) {
   private val assignCache =
     scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
   private def assignedCached(td: TableDef[_], ix: VectorIndex,
-                             base: DataFrame,
                              model: Ann.IvfModel): DataFrame = {
+    // version BEFORE the table resolve: the other order can cache
+    // pre-commit data under the post-commit version key, pinning the
+    // stale frame until the next write (mvAssignedCached's pattern)
     val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     assignCache.synchronized {
@@ -387,7 +440,8 @@ final class Engine(reg: Registry) {
           // a rewritten table must not pin its old assignment in
           // executor storage — evict before caching the new version
           stale.foreach(_._2.unpersist(false))
-          val df = Ann.assign(base, ix.column, model, ix.distance).persist()
+          val df = Ann.assign(reg.table(td), ix.column, model, ix.distance)
+            .persist()
           assignCache(key) = (version, df)
           df
       }
@@ -400,8 +454,8 @@ final class Engine(reg: Registry) {
   private val ivfSqCacheMap =
     scala.collection.mutable.HashMap[String, (Int, Ann.IvfSqIndex)]()
   private def ivfSqCached(td: TableDef[_], ix: VectorIndex,
-                          base: DataFrame,
                           model: Ann.IvfModel): Ann.IvfSqIndex = {
+    // version before table resolve — see assignedCached
     val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     ivfSqCacheMap.synchronized {
@@ -412,7 +466,8 @@ final class Engine(reg: Registry) {
             old.quantized.unpersist(false)
             old.bounds.unpersist(false)
           }
-          val built = Ann.buildIvfSq(base, ix.column, model, ix.distance)
+          val built = Ann.buildIvfSq(reg.table(td), ix.column, model,
+            ix.distance)
           val idx = Ann.IvfSqIndex(built.quantized.persist(),
             built.bounds.persist(), built.model)
           ivfSqCacheMap(key) = (version, idx)
@@ -427,8 +482,8 @@ final class Engine(reg: Registry) {
   private val ivfBitqCacheMap =
     scala.collection.mutable.HashMap[String, (Int, Ann.IvfBitIndex)]()
   private def ivfBitqCached(td: TableDef[_], ix: VectorIndex,
-                            base: DataFrame,
                             model: Ann.IvfModel): Ann.IvfBitIndex = {
+    // version before table resolve — see assignedCached
     val version = segVersion(td.name, s"${td.name}__ivf")
     val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
     ivfBitqCacheMap.synchronized {
@@ -436,7 +491,8 @@ final class Engine(reg: Registry) {
         case Some((v, idx)) if v == version => idx
         case stale =>
           stale.foreach(_._2.quantized.unpersist(false))
-          val built = Ann.buildIvfBitq(base, ix.column, model, ix.distance)
+          val built = Ann.buildIvfBitq(reg.table(td), ix.column, model,
+            ix.distance)
           val idx = Ann.IvfBitIndex(built.quantized.persist(), built.model)
           ivfBitqCacheMap(key) = (version, idx)
           idx

@@ -32,17 +32,38 @@ import graft.ops.Ann
 object AnnIndex {
 
   final case class Entry(vecCol: String, cellCol: String,
-                         cents: Seq[(Long, Array[Double])],
-                         metric: Ann.Metric, probes: Int) {
+                         cents: () => Seq[(Long, Array[Double])],
+                         metric: Ann.Metric, probes: Int,
+                         owner: String = "") {
     def probeCells(q: Array[Double]): Seq[Long] =
-      cents.map { case (id, c) => (metric.distScala(c, q), id) }
+      cents().map { case (id, c) => (metric.distScala(c, q), id) }
         .sorted.take(probes).map(_._2)
   }
 
   private val entries = TrieMap.empty[String, Entry]
 
+  /** Registration collision guard, shared by every registry here: the
+    * rewrite rule disambiguates by column NAMES, so a second TABLE
+    * registering the same column must fail loudly — a silent
+    * latest-wins would semi-join the first table's queries against the
+    * second table's candidate ids (the BM25 registry's round-8
+    * hardening, generalized). Same owner = legitimate re-install. */
+  private def requireFreeOrSameOwner(kind: String, colKey: String,
+                                     held: Option[String],
+                                     owner: String): Unit =
+    held.filter(_ != owner).foreach { h =>
+      throw new IllegalStateException(
+        s"$kind registration collision on '$colKey': held by '$h', " +
+          s"requested by '$owner'. The rewrite rule disambiguates by " +
+          "column NAMES, so two tables sharing them cannot both " +
+          "register — unregister the other table first, or rename " +
+          "one table's columns.")
+    }
+
   /** Register an IVF index for `vecCol`; `model` as built by
-    * [[Ann.buildIvf]] / [[Ann.buildIvfKMeans]].
+    * [[Ann.buildIvf]] / [[Ann.buildIvfKMeans]]. Collects the centroids
+    * ONCE at register time — a frozen snapshot; prefer the resolver
+    * form when the index can be rebuilt after install.
     *
     * Centroids live driver-side BY DESIGN: probe cells are chosen at
     * PLAN time (the rule injects the cell filter before execution), so
@@ -56,8 +77,23 @@ object AnnIndex {
                probes: Int): Unit = {
     val cents = model.centroids.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
-    entries(vecCol) = Entry(vecCol, model.idCol, cents, metric, probes)
+    register(vecCol, () => cents, model.idCol, metric, probes, owner = "")
   }
+
+  /** Resolver form of [[register]]: `resolveCents` runs at every
+    * rewrite — back it with a version-keyed cache (Engine does), so a
+    * rebuilt index reaches declarative probe selection without a
+    * re-install. */
+  def register(vecCol: String,
+               resolveCents: () => Seq[(Long, Array[Double])],
+               cellCol: String, metric: Ann.Metric, probes: Int,
+               owner: String): Unit =
+    entries.synchronized {
+      requireFreeOrSameOwner("IVF", vecCol,
+        entries.get(vecCol).map(_.owner), owner)
+      entries(vecCol) = Entry(vecCol, cellCol, resolveCents, metric,
+        probes, owner)
+    }
 
   def unregister(vecCol: String): Unit = entries.remove(vecCol)
   private[plans] def lookup(vecCol: String): Option[Entry] =
@@ -78,7 +114,8 @@ object AnnIndex {
                              resolveCentroids: () => org.apache.spark.sql
                                .DataFrame,
                              centIdCol: String, centVecCol: String,
-                             metric: Ann.Metric, probes: Int) {
+                             metric: Ann.Metric, probes: Int,
+                             owner: String = "") {
     def probeCellsDf(q: Array[Double],
                      cellType: org.apache.spark.sql.types.DataType)
         : org.apache.spark.sql.DataFrame = {
@@ -122,9 +159,13 @@ object AnnIndex {
                             .DataFrame,
                           centIdCol: String, centVecCol: String,
                           metric: Ann.Metric, probes: Int,
-                          cellCol: String): Unit =
-    distEntries(vecCol) = DistEntry(vecCol, cellCol, resolveCentroids,
-      centIdCol, centVecCol, metric, probes)
+                          cellCol: String, owner: String = ""): Unit =
+    distEntries.synchronized {
+      requireFreeOrSameOwner("distributed IVF", vecCol,
+        distEntries.get(vecCol).map(_.owner), owner)
+      distEntries(vecCol) = DistEntry(vecCol, cellCol, resolveCentroids,
+        centIdCol, centVecCol, metric, probes, owner)
+    }
 
   def unregisterDistributed(vecCol: String): Unit =
     distEntries.remove(vecCol)
@@ -153,6 +194,7 @@ object AnnIndex {
     def metric: Ann.Metric
     def probes: Int
     def refine: Int
+    def owner: String
     def candidateIds(q: Array[Double],
                      n: Int): org.apache.spark.sql.DataFrame
   }
@@ -160,7 +202,8 @@ object AnnIndex {
   private final case class SqQuant(resolve: () => Ann.IvfSqIndex,
                                    idCol: String,
                                    metric: Ann.Metric, probes: Int,
-                                   refine: Int) extends QuantEntry {
+                                   refine: Int, owner: String = "")
+      extends QuantEntry {
     def candidateIds(q: Array[Double], n: Int) =
       Ann.sqCandidates(resolve(), idCol,
           org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
@@ -176,7 +219,8 @@ object AnnIndex {
   private final case class BitQuant(resolve: () => Ann.IvfBitIndex,
                                     idCol: String,
                                     metric: Ann.Metric, probes: Int,
-                                    refine: Int) extends QuantEntry {
+                                    refine: Int, owner: String = "")
+      extends QuantEntry {
     def candidateIds(q: Array[Double], n: Int) =
       Ann.bitqCandidates(resolve(), idCol,
           org.apache.spark.sql.functions.typedlit(q.toSeq), metric,
@@ -198,15 +242,22 @@ object AnnIndex {
   def registerQuantized(vecCol: String, idCol: String,
                         index: Ann.IvfSqIndex, metric: Ann.Metric,
                         probes: Int, refine: Int = 5): Unit =
-    registerQuantized(vecCol, idCol, () => index, metric, probes, refine)
+    registerQuantized(vecCol, idCol, () => index, metric, probes, refine,
+      owner = "")
 
   /** Resolver form of [[registerQuantized]]: `resolve` runs at every
     * rewrite (back it with a version-keyed cache — Engine does). */
   def registerQuantized(vecCol: String, idCol: String,
                         resolve: () => Ann.IvfSqIndex, metric: Ann.Metric,
-                        probes: Int, refine: Int): Unit = {
+                        probes: Int, refine: Int,
+                        owner: String): Unit = {
     requireQuantMetric(metric)
-    quantEntries(vecCol) = SqQuant(resolve, idCol, metric, probes, refine)
+    quantEntries.synchronized {
+      requireFreeOrSameOwner("quantized", vecCol,
+        quantEntries.get(vecCol).map(_.owner), owner)
+      quantEntries(vecCol) =
+        SqQuant(resolve, idCol, metric, probes, refine, owner)
+    }
   }
 
   /** Register an IVF+1-bit (RaBitQ-style) index ([[Ann.buildIvfBitq]])
@@ -216,15 +267,21 @@ object AnnIndex {
   def registerOneBit(vecCol: String, idCol: String,
                      index: Ann.IvfBitIndex, metric: Ann.Metric,
                      probes: Int, refine: Int = -1): Unit =
-    registerOneBit(vecCol, idCol, () => index, metric, probes, refine)
+    registerOneBit(vecCol, idCol, () => index, metric, probes, refine,
+      owner = "")
 
   /** Resolver form of [[registerOneBit]] (see [[registerQuantized]]). */
   def registerOneBit(vecCol: String, idCol: String,
                      resolve: () => Ann.IvfBitIndex, metric: Ann.Metric,
-                     probes: Int, refine: Int): Unit = {
+                     probes: Int, refine: Int,
+                     owner: String): Unit = {
     requireQuantMetric(metric)
-    quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes,
-      if (refine > 0) refine else Ann.defaultBitqRefine(metric))
+    quantEntries.synchronized {
+      requireFreeOrSameOwner("one-bit", vecCol,
+        quantEntries.get(vecCol).map(_.owner), owner)
+      quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes,
+        if (refine > 0) refine else Ann.defaultBitqRefine(metric), owner)
+    }
   }
 
   def unregisterQuantized(vecCol: String): Unit =
@@ -280,7 +337,8 @@ object AnnIndex {
                                resolve: () => org.apache.spark.sql
                                  .DataFrame,
                                refine: Int,
-                               ivf: Option[MaxsimIvf] = None) {
+                               ivf: Option[MaxsimIvf] = None,
+                               owner: String = "") {
     /** Phase-1 candidate plan, pre-optimized (see inject()). Without an
       * IVF: the full token-mean scan. With one: probe cells come from a
       * semi-joined Sort+Limit subplan over the centroids table (nearest
@@ -343,12 +401,18 @@ object AnnIndex {
   def registerMaxsim(mvCol: String, idCol: String,
                      resolve: () => org.apache.spark.sql.DataFrame,
                      refine: Int = 1000): Unit =
-    registerMaxsim(mvCol, idCol, resolve, refine, None)
+    registerMaxsim(mvCol, idCol, resolve, refine, None, owner = "")
   /** Index-pruned form: phase-1 rides the IVF (see [[MaxsimIvf]]). */
   def registerMaxsim(mvCol: String, idCol: String,
                      resolve: () => org.apache.spark.sql.DataFrame,
-                     refine: Int, ivf: Option[MaxsimIvf]): Unit =
-    maxsimEntries(mvCol) = MaxsimEntry(mvCol, idCol, resolve, refine, ivf)
+                     refine: Int, ivf: Option[MaxsimIvf],
+                     owner: String): Unit =
+    maxsimEntries.synchronized {
+      requireFreeOrSameOwner("maxsim", mvCol,
+        maxsimEntries.get(mvCol).map(_.owner), owner)
+      maxsimEntries(mvCol) =
+        MaxsimEntry(mvCol, idCol, resolve, refine, ivf, owner)
+    }
   def unregisterMaxsim(mvCol: String): Unit = maxsimEntries.remove(mvCol)
   private[plans] def lookupMaxsim(mvCol: String): Option[MaxsimEntry] =
     maxsimEntries.get(mvCol)
@@ -419,10 +483,15 @@ object AnnIndex {
     }
   /** Remove ALL registrations for the column (test teardown). */
   def unregisterBm25(textCol: String): Unit = bm25Entries.remove(textCol)
-  /** Remove one table's registration (its id column) only. */
+  /** Remove one table's registration (its id column) only. Holds the
+    * same monitor as [[registerBm25]] — an unsynchronized updateWith
+    * could interleave with a concurrent register's read-modify-write
+    * and resurrect the removed entry. */
   def unregisterBm25(textCol: String, idCol: String): Unit =
-    bm25Entries.updateWith(textCol)(
-      _.map(_.filterNot(_.idCol == idCol)).filter(_.nonEmpty))
+    bm25Entries.synchronized {
+      bm25Entries.updateWith(textCol)(
+        _.map(_.filterNot(_.idCol == idCol)).filter(_.nonEmpty))
+    }
   private[plans] def lookupBm25(textCol: String): List[Bm25Entry] =
     bm25Entries.getOrElse(textCol, Nil)
 
@@ -628,9 +697,22 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
           case l: LeafNode if l.output.exists(_.exprId == attr.exprId) &&
               l.output.exists(_.name == idCol) => l
         }
+      // The k-limited injections are UNSOUND under a Filter between the
+      // Sort and the leaf: candidate budgets (k·refine) are computed
+      // over the UNFILTERED corpus, so a selective predicate would
+      // starve the result set (top-50 global candidates, then a 1%
+      // filter → ~0 of the k rows the exact plan returns). Bail out and
+      // leave the exact plan — filtered queries are outside the
+      // reference's query_vec surface (registry.py:190-225) and outside
+      // the approximation contract. (The plain probe-filter rewrite
+      // below composes fine with user filters: it prunes cells, never
+      // truncates to a candidate count.)
+      lazy val hasUserFilter =
+        child.collectFirst { case _: Filter => () }.isDefined
       // quantized dense path: ASCENDING by a recognized distance
       val quant = for {
         alias <- sortKey(Ascending)
+        if !hasUserFilter
         (vecAttr, q, metric) <- extractDist(alias.child)
         entry <- AnnIndex.lookupQuant(vecAttr.name)
         if entry.metric == metric
@@ -647,6 +729,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       // re-rank leaf ALSO gets the probe DPP (phase-2 cell pruning).
       val maxsim = for {
         alias <- sortKey(Descending)
+        if !hasUserFilter
         (mvAttr, qs) <- extractMaxsim(alias.child)
         entry <- AnnIndex.lookupMaxsim(mvAttr.name)
         leaf <- leafFor(mvAttr, entry.idCol)
@@ -678,6 +761,7 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       // exposes wins (see the bm25Entries scope note)
       val bm25 = for {
         alias <- sortKey(Descending)
+        if !hasUserFilter
         (textAttr, terms) <- extractBm25(alias.child)
         (entry, leaf) <- AnnIndex.lookupBm25(textAttr.name)
           .flatMap(e => leafFor(textAttr, e.idCol).map((e, _)))

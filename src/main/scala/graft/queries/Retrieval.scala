@@ -463,7 +463,7 @@ object Retrieval {
     graft.plans.AnnIndex.registerMaxsim("vecs", "vec_id", () => stored,
       refine = 20, Some(graft.plans.AnnIndex.MaxsimIvf(
         () => stored, "centroid_id", "mv_mean",
-        () => model.centroids, "centroid_id", "centroid", probes = 3)))
+        () => model.centroids, "centroid_id", "centroid", probes = 3)), owner = "")
     try {
       val df = stored
         .withColumn("score", round(org.apache.spark.sql.graft.VecExprs

@@ -531,4 +531,94 @@ class EngineSpec extends SparkSpecBase {
     assert(q.nonEmpty && q.split(" ").length <= 5)
     assert(a.summarizeDoc(doc) === "Spark is a compute engine")
   }
+
+  test("searchByVector on quantized and oneBit indexes returns non-pk " +
+      "payload columns in ranked order (join-back past the (pk, dist) " +
+      "searcher output)") {
+    val sp = spark
+    import sp.implicits._
+    Seq(false, true).foreach { useBit =>
+      val name = if (useBit) "pchunkbit" else "pchunksq"
+      val td = TableDef[PChunk](name, primaryKey = Some("pid"),
+        indexes = Seq(VectorIndex("vec", Ann.L2, lists = 2,
+          quantized = !useBit, oneBit = useBit)),
+        vectorDims = Map("vec" -> 2))
+      val reg = new Registry(spark,
+        Files.createTempDirectory("graft-engine-pay").toString)
+        .register(td)
+      val rows = (0 until 20).map { i =>
+        val base = if (i % 2 == 0) 0f else 10f
+        PChunk(i.toLong, s"title-$i", Seq(base + i * 0.01f, base))
+      }
+      reg.insert(td, rows)
+      val eng = new Engine(reg)
+      eng.buildIndex(td)
+      val hits = eng.searchByVector(td, Seq(0.0, 0.0), topk = 3,
+        probes = 2, refine = 20).collect()
+      assert(hits.head.schema.fieldNames.toSeq ===
+        Seq("pid", "title", "dist"))
+      assert(hits.forall(r =>
+        r.getAs[String]("title") === s"title-${r.getAs[Long]("pid")}"))
+      val dists = hits.map(_.getAs[Double]("dist")).toSeq
+      assert(dists === dists.sorted, "join-back must preserve rank order")
+    }
+  }
+
+  test("searchByMultivec: refine below topk still yields topk rows; " +
+      "empty and ragged queries fail with descriptive errors") {
+    val (_, td, eng) = fresh(lists = 0)
+    assert(eng.searchByMultivec(td, Seq(Seq(0.0, 0.0)), topk = 10,
+      refine = 3).count() === 10)
+    val e1 = intercept[IllegalArgumentException](
+      eng.searchByMultivec(td, Seq.empty))
+    assert(e1.getMessage.contains("empty query"))
+    val e2 = intercept[IllegalArgumentException](
+      eng.searchByMultivec(td, Seq(Seq(1.0, 2.0), Seq(3.0))))
+    assert(e2.getMessage.contains("ragged"))
+  }
+
+  test("plain declarative registration follows a buildIndex re-run: " +
+      "probe selection uses the REBUILT centroids without re-install") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[PChunk]("pchunkreb", primaryKey = Some("pid"),
+      indexes = Seq(VectorIndex("vec", Ann.L2, lists = 2)),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-reb").toString)
+      .register(td)
+    reg.insert(td, (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      PChunk(i.toLong, s"t$i", Seq(base, base + i * 0.01f))
+    })
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    eng.installDeclarative(td, probes = 1)
+    try {
+      def declarativeTop(k: Int) = {
+        val df = reg.table(td)
+          .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("vec"), typedlit(Seq(100.0, 100.0))), 6))
+          .orderBy(col("dist").asc, col("pid").asc)
+          .limit(k).select("pid", "dist")
+        df.collect().map(_.getLong(0)).toSeq
+      }
+      // dominate the corpus with a far blob and REBUILD: the new
+      // KMeans centroids move; frozen install-time centroids would
+      // keep probing the stale cell and miss the new blob entirely
+      reg.insert(td, (100 until 160).map(i =>
+        PChunk(i.toLong, s"t$i", Seq(100f + (i - 100) * 0.01f, 100f))))
+      eng.buildIndex(td)
+      val imperative = eng.searchByVector(td, Seq(100.0, 100.0),
+        topk = 5, probes = 1).collect().map(_.getAs[Long]("pid")).toSeq
+      assert(declarativeTop(5) === imperative,
+        "declarative probe selection must track the rebuilt model")
+      assert(declarativeTop(5).forall(_ >= 100L))
+    } finally eng.uninstallDeclarative(td)
+  }
 }
+
+/** Payload-bearing fixture: a non-pk, non-vector column the projection
+  * must carry through every index family. */
+case class PChunk(pid: Long, title: String, vec: Seq[Float])

@@ -136,7 +136,7 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     var current = Ann.buildIvfSq(before, "embedding", model, Ann.L2)
     AnnIndex.install(spark)
     AnnIndex.registerQuantized("embedding", "vec_id", () => current,
-      Ann.L2, probes = 2, refine = 21)
+      Ann.L2, probes = 2, refine = 21, owner = "")
     try {
       def topIds = after
         .withColumn("dist", round(

@@ -169,11 +169,12 @@ class AnnRewriteSpec extends SparkSpecBase {
     // and the re-rank silently returned zero rows.
     AnnIndex.registerMaxsim("vecs", "id", () => docs, refine = 20,
       Some(AnnIndex.MaxsimIvf(() => assigned, "centroid_id", "mv_mean",
-        () => cents, "centroid_id", "centroid", probes = 2)))
+        () => cents, "centroid_id", "centroid", probes = 2)), owner = "")
     val withIvf =
       try query().localCheckpoint(true).collect().map(_.toSeq).toSeq
       finally AnnIndex.unregisterMaxsim("vecs")
-    AnnIndex.registerMaxsim("vecs", "id", () => docs, refine = 20, None)
+    AnnIndex.registerMaxsim("vecs", "id", () => docs, refine = 20, None,
+      owner = "")
     val without =
       try query().localCheckpoint(true).collect().map(_.toSeq).toSeq
       finally AnnIndex.unregisterMaxsim("vecs")
@@ -311,6 +312,100 @@ class AnnRewriteSpec extends SparkSpecBase {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)
     }
+  }
+
+  test("a Filter between sort and leaf DISABLES the k-limited rewrite " +
+      "(corpus-wide candidate budgets would starve filtered results)") {
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val index = Ann.IvfSqIndex(built.quantized.persist(),
+      built.bounds.persist(), model)
+    // tight refine: were the rewrite to engage, the global top-10
+    // candidates would shrink to ~1-2 rows under the 1-in-7 filter
+    AnnIndex.registerQuantized("embedding", "vec_id", index, Ann.L2,
+      probes = 3, refine = 2)
+    try {
+      val df = e.filter(col("vec_id") % 7 === 0)
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("LeftSemi"),
+        s"k-limited rewrite must bail under a user Filter:\n$optimized")
+      assert(df.count() === 5,
+        "the exact (unrewritten) plan returns the full k")
+      // the UNfiltered twin still rewrites — the guard is filter-scoped
+      val bare = e
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5).select("vec_id", "dist")
+      assert(bare.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    } finally {
+      AnnIndex.unregisterQuantized("embedding")
+      index.quantized.unpersist(false)
+      index.bounds.unpersist(false)
+    }
+  }
+
+  test("resolver-backed plain registration re-resolves centroids per " +
+      "plan; registration collisions across owners fail loudly") {
+    var cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(100.0, 100.0)))
+    AnnIndex.register("embedding", () => cents, "centroid_id", Ann.L2,
+      probes = 1, owner = "tableA")
+    try {
+      // swapping the resolved centroids swaps the probed cell — no
+      // re-register (the round-10 frozen-snapshot fix for plain IVF);
+      // exercised through the public Entry the rule consumes at plan
+      // time
+      def probe(): Seq[Long] =
+        AnnIndex.Entry("embedding", "centroid_id", () => cents, Ann.L2,
+          1).probeCells(Array(90.0, 90.0))
+      assert(probe() === Seq(1L))
+      cents = Seq((0L, Array(90.0, 90.0)), (1L, Array(0.0, 0.0)))
+      assert(probe() === Seq(0L))
+      // a SECOND table claiming the same column name must not silently
+      // steal the registration (its candidates would hijack tableA's
+      // declarative queries)
+      val ex = intercept[IllegalStateException] {
+        AnnIndex.register("embedding", () => cents, "centroid_id",
+          Ann.L2, probes = 1, owner = "tableB")
+      }
+      assert(ex.getMessage.contains("collision") &&
+        ex.getMessage.contains("tableA"))
+      // same owner = legitimate re-install, no error
+      AnnIndex.register("embedding", () => cents, "centroid_id",
+        Ann.L2, probes = 2, owner = "tableA")
+    } finally AnnIndex.unregister("embedding")
+  }
+
+  test("quantized and maxsim registries collide loudly across owners") {
+    val (e, model, _) = setup()
+    val built = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val index = Ann.IvfSqIndex(built.quantized, built.bounds, model)
+    AnnIndex.registerQuantized("embedding", "vec_id", () => index,
+      Ann.L2, probes = 3, refine = 5, owner = "tabA")
+    try {
+      val ex = intercept[IllegalStateException] {
+        AnnIndex.registerOneBit("embedding", "vec_id",
+          () => Ann.buildIvfBitq(e, "embedding", model, Ann.L2),
+          Ann.L2, probes = 3, refine = 5, owner = "tabB")
+      }
+      assert(ex.getMessage.contains("collision"))
+    } finally AnnIndex.unregisterQuantized("embedding")
+    AnnIndex.registerMaxsim("vecs", "id", () => e, refine = 10, None,
+      owner = "tabA")
+    try {
+      val ex = intercept[IllegalStateException] {
+        AnnIndex.registerMaxsim("vecs", "id", () => e, refine = 10,
+          None, owner = "tabB")
+      }
+      assert(ex.getMessage.contains("collision"))
+    } finally AnnIndex.unregisterMaxsim("vecs")
   }
 
   test("quantized (SQ) index: sort+limit becomes the two-phase " +
