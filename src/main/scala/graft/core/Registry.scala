@@ -26,6 +26,10 @@ final class Registry(val spark: SparkSession, root: String,
 
   private def full(name: String): String = s"${namespace}_$name"
 
+  /** Per-table AutoIncrement sequences (see assignIds). */
+  private val idCounters =
+    mutable.Map[String, java.util.concurrent.atomic.AtomicLong]()
+
   private def state(txn: Txn): Map[String, Vector[String]] =
     if (txn == null) catalog.current else txn.staged
 
@@ -49,9 +53,14 @@ final class Registry(val spark: SparkSession, root: String,
 
   /** Read ONLY the rows inserted by this transaction — the
     * `WHERE xmin = pg_current_xact_id()` twin (client.py:222). */
-  def tableBuffer(td: TableDef[_], txn: Txn): DataFrame =
+  def tableBuffer(td: TableDef[_], txn: Txn): DataFrame = {
+    require(txn != null,
+      s"tableBuffer(${td.name}) needs a transaction — the insert buffer " +
+        "only exists inside runTxn (from_buffer reads outside a txn " +
+        "have no buffer to read)")
     catalog.read(full(td.name), td.schema,
       Map(full(td.name) -> txn.buffer.getOrElse(full(td.name), Vector.empty)))
+  }
 
   private def mutate(txn: Txn)(
       f: Map[String, Vector[String]] => Map[String, Vector[String]]): Unit =
@@ -83,8 +92,19 @@ final class Registry(val spark: SparkSession, root: String,
     case IdGen.AutoIncrement =>
       val pk = td.pk
       val pkIdx = td.schema.fieldIndex(pk)
-      val maxRow = table(td, txn).agg(max(col(pk))).head()
-      val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      // ids come from a registry-level sequence (seeded from max(pk) on
+      // first use, monotonic afterwards) — two concurrent inserts must
+      // not both read the same max(pk) snapshot and assign duplicate
+      // keys. Like a PG sequence: rolled-back blocks burn their ids.
+      val n = df.count()
+      val ctr = idCounters.synchronized {
+        idCounters.getOrElseUpdate(full(td.name), {
+          val maxRow = table(td, txn).agg(max(col(pk))).head()
+          new java.util.concurrent.atomic.AtomicLong(
+            if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0))
+        })
+      }
+      val base = ctr.getAndAdd(n)
       val schema = td.schema
       val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq.updated(pkIdx, base + i + 1))
@@ -190,6 +210,13 @@ final class Registry(val spark: SparkSession, root: String,
     val cur = table(td, txn)
     val survivors = cur.filter(!coalesce(pred, lit(false)))
     val deleted = cur.filter(coalesce(pred, lit(false)))
+    // a delete that matches nothing must not rewrite the table (a no-op
+    // removeBy on a large corpus would otherwise cost a full segment
+    // rewrite of the parent AND every registered descendant); the same
+    // emptiness gate terminates cascade recursion over cyclic or
+    // self-referencing FKs (the recursion converges when a level
+    // deletes nothing new)
+    if (deleted.isEmpty) return
     val t = full(td.name)
     val seg = catalog.writeSegment(t, survivors)
     mutate(txn)(s => s + (t -> Vector(seg)))
@@ -207,11 +234,16 @@ final class Registry(val spark: SparkSession, root: String,
           val cur = table(child, txn)
           val (childDeleted, childSurvivors) =
             Registry.cascadeSplit(cur, keys, fk.column)
-          val t = full(child.name)
-          val seg = catalog.writeSegment(t, childSurvivors)
-          mutate(txn)(s => s + (t -> Vector(seg)))
-          fireOnCommit(txn, child.name, childDeleted)
-          cascadeChildren(child, childDeleted, txn)
+          // emptiness gate: skip the rewrite when the cascade touches
+          // nothing, and stop recursing — this is also the termination
+          // proof for FK cycles (see removeWhere)
+          if (!childDeleted.isEmpty) {
+            val t = full(child.name)
+            val seg = catalog.writeSegment(t, childSurvivors)
+            mutate(txn)(s => s + (t -> Vector(seg)))
+            fireOnCommit(txn, child.name, childDeleted)
+            cascadeChildren(child, childDeleted, txn)
+          }
         }
       }
 
@@ -226,16 +258,30 @@ final class Registry(val spark: SparkSession, root: String,
           .foreach(c => if (!toDrop.contains(c.name)) walk(c))
     }
     walk(td)
-    catalog.commit(catalog.current -- toDrop.map(full))
+    // commitMerge, not commit(current -- ...): the read of `current`
+    // happens outside the manifest lock, and replaying a stale snapshot
+    // would silently revert any commit that landed in between
+    val dropped = toDrop.map(full).toSet
+    catalog.commitMerge(cur => cur -- dropped)
     toDrop.foreach(defs.remove)
+    idCounters.synchronized { dropped.foreach(idCounters.remove) }
   }
 
-  /** `clear_storage` (registry.py:444-454): truncate every registered
-    * table in one commit. */
-  def clear(): Unit =
-    catalog.commit(catalog.current.map {
-      case (t, _) => t -> Vector.empty[String]
+  /** `clear_storage` (registry.py:444-454): truncate every table of
+    * THIS registry's namespace (registered tables + their side tables)
+    * in one commit. Other namespaces sharing the catalog root are
+    * untouched. */
+  def clear(): Unit = {
+    val prefix = full("")
+    catalog.commitMerge(cur => cur.map {
+      case (t, _) if t.startsWith(prefix) => t -> Vector.empty[String]
+      case other => other
     })
+    idCounters.synchronized {
+      idCounters.keys.filter(_.startsWith(prefix)).toSeq
+        .foreach(idCounters.remove)
+    }
+  }
 
   /** Unique-index validation job (spec.py:482-491): returns (column,
     * value, n) rows for every violated unique constraint. */

@@ -364,6 +364,59 @@ object Ann {
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(path)
 
+  /** Deterministic digest of a model's centroid set (id-sorted, exact
+    * double rendering) — the identity a GROWING layout must pin: rows
+    * assigned under two different models mixed in one cell-partitioned
+    * dir are silently unsearchable (each query prunes with ONE model's
+    * cell geometry). */
+  def modelFingerprint(model: IvfModel): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    collectCentroids(model).foreach { case (id, v) =>
+      md.update(s"$id:${v.mkString(",")}\n".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val IvfModelMarker = "_graft_ivf_model"
+
+  /** Record the assignment model for an append-grown IVF layout,
+    * refusing to change it once declared — the centroid-space twin of
+    * [[Bm25.ensureBucketsMarker]]'s modulus rule. */
+  def ensureIvfModelMarker(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, model: IvfModel): Unit = {
+    val fp = modelFingerprint(model)
+    readIvfModelMarker(spark, dir) match {
+      case Some(existing) if existing != fp =>
+        throw new IllegalStateException(
+          s"$dir was grown under a different IVF model (fingerprint " +
+            s"$existing, offered $fp). Appending rows assigned under a " +
+            "new model would mix two cell geometries in one layout and " +
+            "silently exclude rows from probed searches. Rebuild the " +
+            "layout (writePartitioned) to change models.")
+      case Some(_) => ()
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, IvfModelMarker)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  def readIvfModelMarker(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IvfModelMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](128)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
   /** IVF search over a [[writePartitioned]] table: the `isin(probes)`
     * filter prunes whole partition directories (verify via
     * `PartitionFilters` in the scan plan). */

@@ -254,18 +254,23 @@ object Bm25 {
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
   }
 
-  /** The layout's bucket count, recorded next to the data: pruning
-    * with a DIFFERENT modulus than the writer's would silently drop
-    * terms, so the layout is self-describing and the load side never
-    * guesses. */
+  /** The layout's bucket count AND tokenizer, recorded next to the
+    * data: pruning with a DIFFERENT modulus than the writer's would
+    * silently drop terms, and tokenizing queries with a DIFFERENT
+    * tokenizer than the one that wrote the postings silently mismatches
+    * every term — so the layout is self-describing and the load side
+    * never guesses either. Format: line 1 = modulus, line 2 = tokenizer
+    * model name (older layouts carry line 1 only). */
   private val BucketsMarker = "_graft_buckets"
 
   def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, buckets: Int): Unit = {
+                         dir: String, buckets: Int,
+                         tokenizer: String = "simple"): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$buckets\n$tokenizer".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Record the modulus for an APPEND-grown layout, refusing to change
@@ -277,21 +282,38 @@ object Bm25 {
     * throws. ([[writePostings]] is exempt: its static overwrite replaces
     * the entire layout, marker included, so a new modulus is fresh.) */
   def ensureBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, buckets: Int): Unit =
-    readBucketsMarker(spark, dir) match {
-      case Some(existing) if existing != buckets =>
+                          dir: String, buckets: Int,
+                          tokenizer: String = "simple"): Unit =
+    readLayoutMeta(spark, dir) match {
+      case Some((existing, _)) if existing != buckets =>
         throw new IllegalStateException(
           s"$dir is a postings layout bucketed mod $existing; " +
             s"appending with buckets=$buckets would mix moduli and " +
             "silently drop terms from pruned queries. Pass " +
             s"buckets=$existing, or rewrite the layout (writePostings) " +
             "to change the modulus.")
-      case Some(_) => () // already recorded — reuse
-      case None => writeBucketsMarker(spark, dir, buckets)
+      case Some((_, Some(tok))) if tok != tokenizer =>
+        throw new IllegalStateException(
+          s"$dir was tokenized with '$tok'; appending rows tokenized " +
+            s"with '$tokenizer' would mix term spaces and silently " +
+            "mismatch queries. Pass the recorded tokenizer, or rewrite " +
+            "the layout (writePostings) to change it.")
+      case Some((_, Some(_))) => () // both recorded and matching
+      case Some((_, None)) =>
+        // pre-tokenizer-marker layout: upgrade it with the declared
+        // tokenizer so future restarts are checked
+        writeBucketsMarker(spark, dir, buckets, tokenizer)
+      case None => writeBucketsMarker(spark, dir, buckets, tokenizer)
     }
 
   def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Option[Int] = {
+                        dir: String): Option[Int] =
+    readLayoutMeta(spark, dir).map(_._1)
+
+  /** (modulus, recorded tokenizer) from the layout marker; tokenizer is
+    * None for layouts written before it was recorded. */
+  def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[(Int, Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -302,7 +324,10 @@ object Bm25 {
         val tmp = new Array[Byte](64)
         var n = in.read(tmp)
         while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+        val lines = new String(buf.toByteArray, "UTF-8").trim
+          .split("\n").map(_.trim).filter(_.nonEmpty)
+        Some((lines(0).toInt,
+          if (lines.length > 1) Some(lines(1)) else None))
       } finally in.close()
     }
   }
@@ -317,7 +342,7 @@ object Bm25 {
                     buckets: Int = 64): Unit = {
     postingsOf(docs, idCol, textCol, tok, buckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    writeBucketsMarker(docs.sparkSession, dir, buckets)
+    writeBucketsMarker(docs.sparkSession, dir, buckets, tok.name)
   }
 
   /** Load a stored postings layout into a queryable [[Bm25Index]]:
@@ -327,13 +352,30 @@ object Bm25 {
     * grown index. Call again after appends for fresh stats. */
   def loadStoredPostings(spark: org.apache.spark.sql.SparkSession,
                          dir: String,
-                         tokenizer: String = "simple"): Bm25Index = {
-    // bucket count comes from the layout's own marker — pruning with
-    // a guessed modulus would silently drop terms
-    val buckets = readBucketsMarker(spark, dir).getOrElse(
+                         tokenizer: String = ""): Bm25Index = {
+    // bucket count AND tokenizer come from the layout's own marker —
+    // pruning with a guessed modulus would silently drop terms, and
+    // tokenizing queries differently from the writer would silently
+    // mismatch every term. `tokenizer` = "" (the default) defers to the
+    // recorded one; an explicit value must MATCH the recorded one.
+    val (buckets, recordedTok) = readLayoutMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir has no $BucketsMarker marker — not a graft postings " +
           "layout (writePostings / Stream.ingestBm25 record it)"))
+    val tok =
+      if (tokenizer.isEmpty) recordedTok.getOrElse("simple")
+      else {
+        recordedTok.filter(_ != tokenizer).foreach { rec =>
+          throw new IllegalStateException(
+            s"$dir was tokenized with '$rec' but load requested " +
+              s"'$tokenizer' — queries would silently mismatch the " +
+              "stored term space")
+        }
+        tokenizer
+      }
+    // fail at load (not first query) when the tokenizer is unknown —
+    // e.g. a runtime-registered vocab not re-registered this session
+    graft.functions.Tokenizers.byName(tok)
     // keep the bucket partition column: query paths prune by it
     val postings = spark.read.parquet(dir)
       .select("id", "term", "tf", "dl", "bucket")
@@ -342,7 +384,7 @@ object Bm25 {
     val nDocs = r.getLong(0)
     val avgdl = if (nDocs == 0 || r.isNullAt(1)) 0.0
       else r.getLong(1).toDouble / nDocs
-    Bm25Index(postings, termDf(postings), nDocs, avgdl, tokenizer,
+    Bm25Index(postings, termDf(postings), nDocs, avgdl, tok,
       buckets)
   }
 
@@ -416,7 +458,10 @@ object Bm25 {
       if (s == null) Seq.empty[String] else tok.scala(s).distinct)
     val spark = queries.sparkSession
     import spark.implicits._
-    val qTerms = queries.select(col(qIdCol).cast("long").as("qid"),
+    // qid keeps the caller's type: postingsOf supports opaque string
+    // doc ids and the query side must too — a cast("long") turned
+    // string qids into NULL, merging every query into one group
+    val qTerms = queries.select(col(qIdCol).as("qid"),
       explode(tokensUdf(col(qTextCol))).as("term"))
     // The distinct batch terms are collected once — query logs are
     // driver-bounded (they are broadcast below regardless), the same

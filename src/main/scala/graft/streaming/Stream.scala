@@ -105,6 +105,10 @@ object Stream {
                 checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     requireStreamableLayout(vectors.sparkSession, dir)
+    // pin the assignment model: a restart with a retrained model would
+    // silently mix two cell geometries in one layout (the IVF twin of
+    // the BM25 bucket-modulus marker)
+    graft.ops.Ann.ensureIvfModelMarker(vectors.sparkSession, dir, model)
     graft.ops.Ann.assign(vectors, vecCol, model, metric)
       .writeStream
       .partitionBy(model.idCol)
@@ -160,12 +164,14 @@ object Stream {
                    graft.functions.Tokenizers.Simple,
                  buckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the layout is self-describing: record the bucket modulus up
-    // front so loads never prune with a guessed (wrong) one — and
-    // REFUSE to restart ingest with a different modulus over an
-    // existing layout (mixed moduli would silently drop terms)
+    // the layout is self-describing: record the bucket modulus AND
+    // tokenizer up front so loads never guess either — and REFUSE to
+    // restart ingest with a different modulus or tokenizer over an
+    // existing layout (mixed moduli silently drop terms; mixed
+    // tokenizers silently mismatch queries)
     requireStreamableLayout(docs.sparkSession, dir)
-    graft.ops.Bm25.ensureBucketsMarker(docs.sparkSession, dir, buckets)
+    graft.ops.Bm25.ensureBucketsMarker(docs.sparkSession, dir, buckets,
+      tok.name)
     graft.ops.Bm25.postingsOf(docs, idCol, textCol, tok, buckets)
       .writeStream
       .partitionBy("bucket")
@@ -208,6 +214,13 @@ object Stream {
     // spark.read.parquet reads THROUGH the commit log when present, so
     // the staged data is exactly the committed rows
     val df = spark.read.parquet(dir)
+    // the files the commit log names (scheme-normalized): the
+    // graduation below deletes everything else BEFORE dropping the log,
+    // so the directory is a consistent layout at every crash point
+    val committedFiles: Set[String] =
+      if (streaming) df.inputFiles.map(u =>
+        new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+      else Set.empty
     def dataFiles(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_") &&
@@ -247,18 +260,40 @@ object Stream {
       .write.mode("overwrite").partitionBy(cellCol).parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$cellCol="))
+    // GRADUATION ORDER (streaming): the old sequence swapped cells
+    // FIRST and deleted the log LAST — a crash in between left a
+    // commit log naming deleted files, and every subsequent read
+    // (including a compact re-run) died on FileNotFound with data
+    // recoverable only by hand-deleting _spark_metadata. Instead:
+    // (1) delete uncommitted orphan files (visible files the log does
+    //     not name — the only reason reads must go through the log),
+    // (2) delete the log — the directory is now a CONSISTENT batch
+    //     layout of exactly the committed pre-compaction files,
+    // (3) then swap. A crash after (1) re-runs cleanly through the
+    //     log; after (2) the dir is a valid (uncompacted) batch
+    //     layout; mid-(3) is recoverCrashedSwaps' existing job.
+    if (streaming) {
+      cellDirs.foreach { d =>
+        fs.listStatus(d.getPath).filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .filterNot(f => committedFiles.contains(f.getPath.toUri.getPath))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+      fs.delete(metaPath, true)
+    }
     // non-destructive per-cell swap with every rename checked
     // (see Ann.swapCellDir: a refused rename restores the live cell)
     staged.foreach(s => graft.ops.Ann.swapCellDir(fs,
       s.getPath, new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
     // targeted cells with no staged output (possible only in the full
-    // streaming compact: a cell dir holding ONLY uncommitted files)
+    // streaming compact: a cell dir holding ONLY uncommitted files —
+    // all deleted by the orphan sweep above, leaving an empty dir)
     val stagedNames = staged.map(_.getPath.getName).toSet
     targetNames.diff(stagedNames).foreach { name =>
       fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
     }
     fs.delete(stage, true)
-    if (streaming) fs.delete(metaPath, true)
     staged.length.toLong
   }
 

@@ -245,4 +245,69 @@ class RegistrySpec extends SparkSpecBase {
       assert(survivors.count() === 50000L)
     } finally spark.conf.set(key, old)
   }
+
+  test("self-referencing FK cascade terminates; a delete matching " +
+      "nothing rewrites nothing and fires no hooks") {
+    val sp = spark
+    import sp.implicits._
+    val nodes = TableDef[TNode]("node", primaryKey = Some("nid"),
+      foreignKeys = Seq(ForeignKey("parent", "node", "nid")))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-reg-cyc").toString).register(nodes)
+    reg.insert(nodes, Seq(TNode(1L, 0L, "root"), TNode(2L, 1L, "a"),
+      TNode(3L, 2L, "b"), TNode(10L, 0L, "other")))
+    var hookRows = -1L
+    reg.onDelete("node")(df => hookRows = df.count())
+    // a no-match delete must not rewrite the table or fire the hook
+    reg.removeBy(nodes, Map("nid" -> 999L))
+    assert(hookRows === -1L, "no-op delete fired the delete hook")
+    assert(reg.table(nodes).count() === 4L)
+    // deleting the root cascades down the self-FK chain and STOPS
+    // (pre-fix this recursed forever writing empty segments)
+    reg.removeBy(nodes, Map("nid" -> 1L))
+    assert(reg.table(nodes).collect().map(_.getLong(0)).sorted
+      === Array(10L))
+  }
+
+  test("clear truncates only this registry's namespace") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft-reg-ns").toString
+    val tdA = TableDef[TNode]("shared", primaryKey = Some("nid"))
+    val tdB = TableDef[TNode]("shared", primaryKey = Some("nid"))
+    val regA = new Registry(spark, root, "nsa").register(tdA)
+    val regB = new Registry(spark, root, "nsb").register(tdB)
+    regA.insert(tdA, Seq(TNode(1L, 0L, "a")))
+    regB.insert(tdB, Seq(TNode(2L, 0L, "b")))
+    regA.clear()
+    assert(regA.table(tdA).count() === 0L)
+    assert(regB.table(tdB).count() === 1L,
+      "clear() on namespace nsa truncated nsb's table")
+  }
+
+  test("concurrent auto-increment inserts never assign duplicate ids") {
+    val sp = spark
+    import sp.implicits._
+    val users = TableDef[TUser]("cuser", primaryKey = Some("uid"),
+      idGen = IdGen.AutoIncrement)
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-reg-ctr").toString).register(users)
+    reg.insert(users, Seq(TUser(0L, "seed", None)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map { t =>
+      Future(reg.insert(users,
+        (0 until 10).map(i => TUser(0L, s"u$t-$i", None))))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val ids = reg.table(users).collect().map(_.getLong(0))
+    assert(ids.length === 41)
+    assert(ids.distinct.length === 41,
+      s"duplicate auto-increment ids: ${ids.groupBy(identity)
+        .filter(_._2.length > 1).keys.mkString(",")}")
+  }
 }
+
+/** Self-referencing fixture for the cyclic-cascade test. */
+case class TNode(nid: Long, parent: Long, tag: String)

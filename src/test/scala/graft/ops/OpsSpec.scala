@@ -192,6 +192,26 @@ class OpsSpec extends SparkSpecBase {
     assert(batch((10L, 1)) === batch((30L, 1)))
   }
 
+  test("bm25 searchBatch keeps opaque STRING query ids distinct " +
+      "(no cast-to-long collapse into one merged group)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "red fish blue fish"), (2L, "red car fast"),
+      (3L, "blue sky red sunset")).toDF("id", "t")
+    val idx = Bm25.build(docs, "id", "t")
+    val queries = Seq(("q-red", "red"), ("q-blue", "blue"))
+      .toDF("qid", "qtext")
+    val batch = Bm25.searchBatch(idx, queries, "qid", "qtext", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // both queries keep their own id and their own per-query ranking
+    val byQ = batch.groupBy(_._1)
+    assert(byQ.keySet === Set("q-red", "q-blue"))
+    val singleRed = Bm25.search(idx, "red", 3).collect().map(_.getLong(0))
+    assert(byQ("q-red").sortBy(_._3).map(_._2).toSeq ===
+      singleRed.toSeq)
+  }
+
   test("rrf is invariant to list order and matches 1/(k+rank) sums") {
     val sp = spark
     import sp.implicits._

@@ -386,4 +386,113 @@ class StreamSpec extends SparkSpecBase {
       assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") === 29)
     }
   }
+
+  test("the postings layout records its tokenizer: loads follow it, " +
+      "a mismatched load or ingest restart is refused") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Bm25
+    import graft.functions.Tokenizers
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokmark").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tokmark-c").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, tok = Tokenizers.Wiki, buckets = 4)
+    try {
+      input.addData((1L, "Spark Shuffle-Joins"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the default load resolves the RECORDED tokenizer, not 'simple'
+    assert(Bm25.loadStoredPostings(spark, dir).tokenizer === "wiki_tocken")
+    // an explicit mismatched load is refused (silently mis-tokenized
+    // queries would return wrong/empty results)
+    val exLoad = intercept[IllegalStateException] {
+      Bm25.loadStoredPostings(spark, dir, tokenizer = "simple")
+    }
+    assert(exLoad.getMessage.contains("wiki_tocken"))
+    // restarting ingest with a different tokenizer is refused up front
+    val input2 = MemoryStream[(Long, String)]
+    val exIngest = intercept[IllegalStateException] {
+      Stream.ingestBm25(input2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, java.nio.file.Files
+          .createTempDirectory("graft-tokmark-c2").toString,
+        tok = Tokenizers.Simple, buckets = 4)
+    }
+    assert(exIngest.getMessage.contains("wiki_tocken"))
+  }
+
+  test("ingestIvf pins the assignment model: a restart with a " +
+      "retrained model is refused (mixed cell geometries)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val m1 = Ann.IvfModel(Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("centroid_id", "centroid"), "centroid_id", "centroid")
+    val m2 = Ann.IvfModel(Seq((0L, Seq(5.0, 5.0)), (1L, Seq(20.0, 20.0)))
+      .toDF("centroid_id", "centroid"), "centroid_id", "centroid")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfmark").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvf(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", m1, Ann.L2, dir, java.nio.file.Files
+        .createTempDirectory("graft-ivfmark-c").toString)
+    try {
+      input.addData((1L, Seq(0.1, 0.1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // same model restarts fine
+    val input2 = MemoryStream[(Long, Seq[Double])]
+    Stream.ingestIvf(input2.toDF().toDF("vec_id", "embedding"),
+      "embedding", m1, Ann.L2, dir, java.nio.file.Files
+        .createTempDirectory("graft-ivfmark-c2").toString).stop()
+    // a retrained model is refused before any row lands
+    val input3 = MemoryStream[(Long, Seq[Double])]
+    val ex = intercept[IllegalStateException] {
+      Stream.ingestIvf(input3.toDF().toDF("vec_id", "embedding"),
+        "embedding", m2, Ann.L2, dir, java.nio.file.Files
+          .createTempDirectory("graft-ivfmark-c3").toString)
+    }
+    assert(ex.getMessage.contains("different IVF model"))
+  }
+
+  test("graduation deletes uncommitted orphan files BEFORE the commit " +
+      "log, so no crash point resurrects them or strands the layout") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Bm25
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orphan").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-orphan-c").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.ingestBm25(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, ckpt, buckets = 2)
+    try {
+      input.addData((1L, "spark shuffle join"), (2L, "cats and dogs"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = Bm25.loadStoredPostings(spark, dir)
+    val n = before.n
+    // plant an ORPHAN: a visible parquet file the commit log does not
+    // name (what a crashed micro-batch leaves behind) — duplicate
+    // postings for doc 1 that must NOT survive graduation
+    val bucketDir = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val committedFile = bucketDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(committedFile.toPath,
+      bucketDir.toPath.resolve("part-99999-orphan.parquet"))
+    Stream.compactStored(spark, dir, "bucket")
+    // the commit log is gone (graduated) and the orphan's rows did not
+    // resurrect: the doc count equals the committed view's
+    assert(!new java.io.File(dir, "_spark_metadata").exists())
+    val after = Bm25.loadStoredPostings(spark, dir)
+    assert(after.n === n,
+      "orphan file rows resurrected through graduation")
+  }
 }
