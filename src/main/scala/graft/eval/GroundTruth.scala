@@ -23,10 +23,10 @@ trait RelevanceJudge extends Serializable {
   * else scaled by the matched fraction. */
 final case class OverlapJudge() extends RelevanceJudge {
   def estimate(query: String, passage: String): Int = {
-    val q = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    val q = query.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSet
     if (q.isEmpty) 0
     else {
-      val p = passage.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      val p = passage.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSet
       val frac = q.count(p).toDouble / q.size
       math.round(frac * 3).toInt
     }

@@ -25,7 +25,7 @@ final case class HashSparseEmbedder(dim: Int = 1 << 16, seed: Int = 7)
   def name: String = s"hash_sparse_${dim}_$seed"
   def embed(text: String): SparseVec = {
     val counts = scala.collection.mutable.TreeMap[Int, Float]()
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
       val b = math.floorMod(MurmurHash3.stringHash(t, seed), dim)
       counts(b) = counts.getOrElse(b, 0f) + 1f
     }

@@ -29,7 +29,9 @@ object Tokenizers {
   val Simple: Tokenizer = Tokenizer(
     "simple",
     c => filter(split(lower(c), "[^a-z0-9]+"), t => t =!= ""),
-    s => s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    s => if (s == null) Seq.empty
+      else s.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
 
   /** WordPiece SEAT: alnum runs cut into <= 4-char pieces, digits
     * standalone — the deterministic no-vocab fallback for
@@ -38,7 +40,9 @@ object Tokenizers {
   val Wordpiece: Tokenizer = Tokenizer(
     "bert_base_uncased",
     c => regexp_extract_all(lower(c), lit("[a-z]{1,4}|[0-9]"), lit(0)),
-    s => "[a-z]{1,4}|[0-9]".r.findAllIn(s.toLowerCase).toSeq)
+    s => if (s == null) Seq.empty
+      else "[a-z]{1,4}|[0-9]".r
+        .findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toSeq)
 
   /** Whitespace words with punctuation trimmed, case kept (the
     * `wiki_tocken` seat). */

@@ -141,7 +141,7 @@ final case class PatternRecognizer(vocab: Seq[String] = Nil)
     java.util.regex.Pattern.compile("'s\\b|[A-Za-z0-9]+|[,;:()\"“”—-]")
 
   private def classify(t: String): String = {
-    val lower = t.toLowerCase
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
     if (t == "'s") "POSS"
     else if (!t.exists(_.isLetterOrDigit)) "PUNCT"
     else if (t.head.isDigit || NumWords(lower)) "NUM"
@@ -188,7 +188,7 @@ final case class PatternRecognizer(vocab: Seq[String] = Nil)
         matchAt(toks, i + 1, rest) else -1
       if (viaOne >= 0) viaOne else matchAt(toks, i, rest)
     case OptLit(w) :: rest =>
-      val viaOne = if (i < toks.length && toks(i)._1.toLowerCase == w)
+      val viaOne = if (i < toks.length && toks(i)._1.toLowerCase(java.util.Locale.ROOT) == w)
         matchAt(toks, i + 1, rest) else -1
       if (viaOne >= 0) viaOne else matchAt(toks, i, rest)
   }

@@ -116,7 +116,11 @@ object Dedup {
   /** Driver/executor-side twin of [[shingles]] — identical output
     * (lowercase alnum tokens, n-gram windows, first-occurrence distinct). */
   def shinglesScala(text: String, n: Int): Seq[String] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (text == null) return Seq.empty // null text = no shingles, as SQL
+    // Locale.ROOT: bit-parity with SQL lower() on every JVM locale (a
+    // Turkish-locale JVM would dot-swap I/i and break the oracle twin)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
     else Seq.empty
   }
@@ -156,8 +160,9 @@ object Dedup {
   }
 
   /** Drop and unpersist every memoized frame (shingle tables, gate
-    * rows) — the explicit invalidation point for long-lived sessions
-    * whose inputs mutate outside what [[inputVersion]] can observe. */
+    * rows, pair tables) — the explicit invalidation point for
+    * long-lived sessions whose inputs mutate outside what
+    * [[inputVersion]] can observe. */
   def clearCaches(): Unit = {
     setsCache.synchronized {
       setsCache.values.foreach(_.unpersist(false))
@@ -166,6 +171,10 @@ object Dedup {
     gateCache.synchronized {
       gateCache.values.foreach(_._1.unpersist(false))
       gateCache.clear()
+    }
+    pairsCache.synchronized {
+      pairsCache.values.foreach(_.unpersist(false))
+      pairsCache.clear()
     }
   }
 
@@ -309,7 +318,9 @@ object Dedup {
     pairsCache.getOrElseUpdate(
       (System.identityHashCode(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(),
-        s"$idCol|$textCol|$n|$threshold|$roundTo"), {
+        // inputVersion, like setsCache/gateCache: an in-place rewrite
+        // of the backing files keeps the semantic hash but must MISS
+        s"$idCol|$textCol|$n|$threshold|$roundTo|${inputVersion(docs)}"), {
         while (pairsCache.size >= MaxCachedSets) {
           pairsCache.head._2.unpersist(false)
           pairsCache.remove(pairsCache.head._1)
@@ -522,6 +533,15 @@ object Dedup {
     * chaining ([[bucketedCandidates]] recall contract). */
   def lshCandidates(sig: DataFrame, bands: Int, hotCap: Int = 4096,
                     hotWindow: Int = 16): DataFrame = {
+    // integer division below would silently truncate a non-dividing
+    // band count (trailing signature positions never banded → recall
+    // loss nothing reports)
+    sig.schema.find(_.name == "sig").foreach { _ =>
+      val n = sig.select(max(size(col("sig")))).head()
+      if (!n.isNullAt(0))
+        require(n.getInt(0) % bands == 0,
+          s"bands=$bands must divide the signature length ${n.getInt(0)}")
+    }
     val rows = sig.select(col("id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("r", size(col("sig")) / bands)
@@ -676,11 +696,20 @@ object Dedup {
     require(planes >= 1 && planes <= 64, "1..64 planes fit one long")
     val spark = docs.sparkSession
     import spark.implicits._
-    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    // max(size) rather than head(): tolerant of an all-null prefix, and
+    // a descriptive failure on an empty / all-null input instead of a
+    // bare NoSuchElementException
+    val dimRow = docs.select(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0),
+      s"cosineSignatures: no non-null $vecCol rows to derive dim from")
+    val dim = dimRow.getInt(0)
     val rng = new scala.util.Random(seed)
     val ps = Array.fill(planes, dim)(rng.nextGaussian())
     val bc = spark.sparkContext.broadcast(ps)
     docs.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      // a null vector has no signature and can near-dup nothing — drop
+      // it here rather than NPE in the typed map
+      .where(col(vecCol).isNotNull)
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -740,10 +769,17 @@ object Dedup {
         col(vecCol).cast("array<double>").as("__vb"))
       .withColumn("__nb", sqrt(VecExprs.dot(col("__vb"), col("__vb"))))
     cand.join(va, "a").join(vb, "b")
+      // zero-norm vectors (failed embeddings) have no cosine: guard the
+      // divisor — under ANSI mode a 0-divisor ABORTS the whole job, and
+      // without ANSI the 0/0 NaN compares LARGER than any double, so a
+      // bare >= threshold would emit spurious "duplicate" pairs and
+      // dedupByPairs would delete real documents. The when() yields
+      // null for such pairs and null fails the threshold filter.
       .withColumn("cos",
-        VecExprs.dot(col("__va"), col("__vb")) /
-          (col("__na") * col("__nb")))
-      .filter(col("cos") >= threshold)
+        when(col("__na") > 0 && col("__nb") > 0,
+          VecExprs.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb"))))
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .select(col("a"), col("b"), round(col("cos"), roundTo).as("cos"))
   }
 
@@ -996,13 +1032,17 @@ object Dedup {
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("__n2", VecExprs.dot(col("v"), col("v")))
-    // Rows whose vector has a zero or non-finite norm have NO cosine to
-    // anything — they can neither duplicate nor be duplicated, and the
-    // argmin below would leave them centroid-less (every distance NaN).
-    // A dedup pass must never silently delete, so they are KEPT
-    // verbatim, flagged cell = -1 / cent_cos = NaN. (NaN compares
-    // LARGER than any double in Spark SQL, hence the explicit isnan.)
-    val degeneratePred = isnan(col("__n2")) || col("__n2") <= lit(0.0) ||
+    // Rows whose vector is null / has null elements / has a zero or
+    // non-finite norm have NO cosine to anything — they can neither
+    // duplicate nor be duplicated, and the argmin below would leave
+    // them centroid-less (every distance NaN). A dedup pass must never
+    // silently delete, so they are KEPT verbatim, flagged cell = -1 /
+    // cent_cos = NaN. (NaN compares LARGER than any double in Spark
+    // SQL, hence the explicit isnan; the leading isNull disjuncts make
+    // the predicate NEVER null — a three-valued-null predicate would
+    // drop the row from BOTH filter branches.)
+    val degeneratePred = col("v").isNull || col("__n2").isNull ||
+      isnan(col("__n2")) || col("__n2") <= lit(0.0) ||
       col("__n2") === lit(Double.PositiveInfinity)
     val degenerate = base.filter(degeneratePred)
       .select(col("id"), lit(-1L).as("cell"),

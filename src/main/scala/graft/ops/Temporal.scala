@@ -69,6 +69,9 @@ object Temporal {
     require(left.columns.intersect(generated).isEmpty,
       s"left columns ${left.columns.intersect(generated).mkString(",")} " +
         "collide with generated asof_* output columns — alias them first")
+    require(!rightVals.contains("__asof_ts"),
+      "right value column __asof_ts collides with the carry struct's " +
+        "timestamp field — alias it first")
     val lTagged = left
       .select((keys.map(col) :+ col(tsCol) :+ lit(1).as("__tag")) ++
         leftOnly.map(col) ++
@@ -80,23 +83,33 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.map(v =>
-      last(when(col("__tag") === 0, col(v)), ignoreNulls = true).over(w)
-        .as(s"asof_$v"))
-    val carriedTs =
-      last(when(col("__tag") === 0, col(tsCol)), ignoreNulls = true).over(w)
-        .as("asof_ts")
-    val carriedAll = lTagged.unionByName(rTagged)
-      .select(col("*") +: carriedTs +: carried: _*)
-      .where(col("__tag") === 1)
-      .drop("__tag" +: rightVals: _*)
+    // carry the latest right ROW as one struct, not per-column
+    // ignoreNulls carries: a right row whose value column is null must
+    // still win (pandas merge_asof / DuckDB ASOF semantics) — per-column
+    // last(ignoreNulls) would pair an older value with a newer asof_ts
+    val rowStruct = when(col("__tag") === 0,
+      struct(col(tsCol).as("__asof_ts") +: rightVals.map(col): _*))
+    val carriedAll = rightVals.zipWithIndex
+      .foldLeft(
+        lTagged.unionByName(rTagged)
+          .select(col("*"),
+            last(rowStruct, ignoreNulls = true).over(w).as("__asof"))
+          .where(col("__tag") === 1)
+          .withColumn("asof_ts", col("__asof").getField("__asof_ts"))) {
+        case (df, (v, _)) =>
+          df.withColumn(s"asof_$v", col("__asof").getField(v))
+      }
+      .drop("__tag" +: "__asof" +: rightVals: _*)
     tolerance match {
       case None => carriedAll
       case Some(tol) =>
         val inTol = col("asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
         carriedAll.select(
           carriedAll.columns.map {
-            case c if c.startsWith("asof_") =>
+            // null exactly the GENERATED columns — a pre-existing left
+            // column that happens to start with asof_ (e.g. from an
+            // earlier asofJoin) must survive untouched
+            case c if generated.contains(c) =>
               when(inTol, col(c)).otherwise(lit(null)).as(c)
             case c => col(c)
           }: _*)

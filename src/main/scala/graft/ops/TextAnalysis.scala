@@ -28,11 +28,14 @@ object TextAnalysis {
     * than a DIVIDE_BY_ZERO job failure — any real corpus slice contains
     * empty documents. */
   def stats(docs: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // null text behaves as empty (0 counts / 0.0 ratios) — without the
+    // coalesce, size(null-array) = -1 leaks negative token counts into
+    // quality terms and length filters
+    val t = coalesce(col(textCol), lit(""))
     val nChars = length(t)
     val alnum = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
     val digits = length(regexp_replace(t, "[^0-9]", ""))
-    val spaces = length(regexp_replace(t, "[^ \\t\\n]", ""))
+    val spaces = length(regexp_replace(t, "[^ \\t\\n\\r]", ""))
     def ratio(num: Column): Column =
       when(nChars > 0, num.cast("double") / nChars).otherwise(0.0)
     docs
@@ -91,8 +94,9 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non",
       "sono", "con", "del", "si", "ma", "come"))
 
-  /** Language-ID: argmax over per-language stopword hit fractions
-    * (ties and no-hits → "und" for undetermined). */
+  /** Language-ID: argmax over per-language stopword hit counts
+    * (no hits → "und"; equal nonzero scores tie-break alphabetically by
+    * language code — deterministic, and what the p08 oracle replays). */
   def langId(text: Column): Column = {
     val toks = Bm25.tokenize(text)
     val scored = LangProfiles.map { case (lang, words) =>

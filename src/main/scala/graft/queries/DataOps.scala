@@ -46,12 +46,6 @@ object DataOps {
     Dedup.closestPairs(embeddings(s, d), "vec_id", "embedding",
       Ann.Cosine, 10)
 
-  /** Cosine-LSH near-dup scan over a corpus with PLANTED duplicates
-    * (the table unioned with an id-shifted copy of itself): every
-    * duplicate pair must be found — identical vectors get identical
-    * signatures, so LSH recall is deterministic here — and the corpus
-    * itself contains no pair above the threshold (max cos ≈ 0.51), so
-    * the oracle is the exact all-pairs scan. */
   /** SemDeDup semantic dedup over the embeddings corpus with a planted
     * exact duplicate of every row (vec_id + 100000, the p09 pattern):
     * 8 deterministic seed centroids (the embeddings of vec_id 0..7, so
@@ -75,6 +69,12 @@ object DataOps {
       .orderBy("vec_id")
   }
 
+  /** Cosine-LSH near-dup scan over a corpus with PLANTED duplicates
+    * (the table unioned with an id-shifted copy of itself): every
+    * duplicate pair must be found — identical vectors get identical
+    * signatures, so LSH recall is deterministic here — and the corpus
+    * itself contains no pair above the threshold (max cos ≈ 0.51), so
+    * the oracle is the exact all-pairs scan. */
   def cosineLshDedup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val planted = e.select((col("vec_id") + 100000).as("vec_id"),
@@ -393,7 +393,7 @@ object DataOps {
             length(text) AS nc,
             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
               AS alnum,
-            length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS spaces,
+            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
             len(list_filter(regexp_split_to_array(text, '\\s+'),
               x -> x != '')) AS nws,
             $toksSql AS toks
@@ -719,7 +719,7 @@ object DataOps {
       s"""WITH st AS (SELECT doc_id,
             length(text) AS nc,
             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
-            length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS spaces,
+            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
               AS nws,
             $toksSql AS toks

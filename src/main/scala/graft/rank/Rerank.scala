@@ -34,10 +34,10 @@ trait MultimodalReranker extends Reranker {
 final case class OverlapReranker() extends MultimodalReranker {
   def name: String = "overlap_rerank"
   def rerank(query: String, docs: Seq[String]): Seq[Int] = {
-    val q = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    val q = query.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSet
     docs.zipWithIndex
       .map { case (d, i) =>
-        val toks = d.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+        val toks = d.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSet
         (-toks.count(q), i)
       }
       .sorted.map(_._2)

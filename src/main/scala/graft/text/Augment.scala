@@ -41,7 +41,7 @@ final case class LocalAugmenter(maxLen: Int = 160) extends Augmenter {
   }
 
   def augmentQuery(chunk: String): String =
-    chunk.toLowerCase.split("[^a-z0-9]+").filter(_.length > 3)
+    chunk.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.length > 3)
       .distinct.sortBy(t => (-t.length, t)).take(5).mkString(" ")
 
   def summarizeDoc(doc: String): String = lead(doc).take(maxLen)

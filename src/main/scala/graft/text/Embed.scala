@@ -36,7 +36,7 @@ final case class HashEmbedder(dim: Int = 64, seed: Int = 42)
   def name: String = s"hash_emb_${dim}_$seed"
 
   private def tokens(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   def embedChunk(text: String): Array[Float] = {
     val v = new Array[Double](dim)
@@ -83,7 +83,7 @@ final case class Md5Embedder(dim: Int = 64) extends Embedder {
     }
 
   private def tokens(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   def embedChunk(text: String): Array[Float] = {
     val v = new Array[Int](dim)

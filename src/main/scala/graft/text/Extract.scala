@@ -624,7 +624,7 @@ object Extract {
   /** Extension dispatch + NFKC (extract.py:52-62); unknown extensions
     * yield "" (reference logs a warning and does the same). */
   def extract(ext: String, data: Array[Byte]): String = {
-    val text = ext.toLowerCase match {
+    val text = ext.toLowerCase(java.util.Locale.ROOT) match {
       case ".txt" | "txt" => new String(data, StandardCharsets.UTF_8)
       case ".pdf" | "pdf" => pdf(data)
       case ".html" | "html" =>

@@ -212,6 +212,36 @@ class OpsSpec extends SparkSpecBase {
       singleRed.toSeq)
   }
 
+  test("jaccardPairs memo keys on the input-file version: an in-place " +
+      "rewrite misses the cache instead of serving stale pairs") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pairs-ver").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    assert(Dedup.jaccardPairs(sp.read.parquet(dir), "doc_id", "text",
+      n = 3, threshold = 0.5).count() === 1)
+    // rewrite IN PLACE: the duplicate pair is gone; the memo must miss
+    Seq((1L, "alpha beta gamma delta"), (2L, "completely different now"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    assert(Dedup.jaccardPairs(sp.read.parquet(dir), "doc_id", "text",
+      n = 3, threshold = 0.5).count() === 0,
+      "stale cached pair frame served after an in-place rewrite")
+  }
+
+  test("text stats treat null text as empty (no -1 token counts)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = graft.ops.TextAnalysis.stats(docs, "text")
+      .filter(col("doc_id") === 2).collect()(0)
+    assert(st.getAs[Long]("n_tokens_ws") === 0L)
+    assert(st.getAs[Long]("n_chars") === 0L)
+    assert(st.getAs[Double]("alnum_ratio") === 0.0)
+  }
+
   test("rrf is invariant to list order and matches 1/(k+rank) sums") {
     val sp = spark
     import sp.implicits._
@@ -402,7 +432,8 @@ class OpsSpec extends SparkSpecBase {
       (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),      // near-dup pair
       (3L, Seq(0.0, 0.0)),                             // zero norm
       (4L, Seq(Double.NaN, 1.0)),                      // NaN component
-      (5L, Seq(Double.PositiveInfinity, 0.0)))         // infinite norm
+      (5L, Seq(Double.PositiveInfinity, 0.0)),         // infinite norm
+      (6L, null.asInstanceOf[Seq[Double]]))            // null vector
       .toDF("id", "vec")
     val model = graft.ops.Ann.IvfModel(
       Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid"),
@@ -413,10 +444,28 @@ class OpsSpec extends SparkSpecBase {
     val byId = kept.map(k => k._1 -> k).toMap
     // the near-dup pair still dedups to one keeper...
     assert(Seq(1L, 2L).count(byId.contains) === 1)
-    // ...and every degenerate row survives, flagged, never deleted
-    assert(Seq(3L, 4L, 5L).forall(byId.contains))
-    assert(Seq(3L, 4L, 5L).forall(i =>
+    // ...and every degenerate row survives, flagged, never deleted —
+    // including the NULL vector (a three-valued-null predicate would
+    // silently drop it from both filter branches)
+    assert(Seq(3L, 4L, 5L, 6L).forall(byId.contains))
+    assert(Seq(3L, 4L, 5L, 6L).forall(i =>
       byId(i)._2 === -1L && byId(i)._3.isNaN))
+  }
+
+  test("cosinePairsLsh: zero-norm vector pairs (NaN cosine) are never " +
+      "reported as duplicates") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(8)(0.0)), (2L, Seq.fill(8)(0.0)),  // two failed embeds
+      (3L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (4L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val pairs = Dedup.cosinePairsLsh(docs, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the identical real vectors pair; the zero vectors (cos = 0/0 =
+    // NaN, which Spark compares GREATER than any double) must not
+    assert(pairs === Set((3L, 4L)))
   }
 
   test("semDedup over a KMeans-built model: every planted twin is " +

@@ -61,6 +61,39 @@ class TemporalSpec extends SparkSpecBase {
     assert(out(2L) === None)
   }
 
+  test("asofJoin: a newer right row with a NULL value WINS (row carry, " +
+      "not per-column ignoreNulls)") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .collect()(0)
+    // the 11:00 row is the as-of match: its null value must be carried
+    // WITH its timestamp — not the 10:00 value under the 11:00 ts
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      "stale older value carried past a newer null-valued right row")
+    assert(out.getTimestamp(out.fieldIndex("asof_ts"))
+      === ts("2024-01-01 11:00:00"))
+  }
+
+  test("asofJoin tolerance nulls only ITS OWN generated columns: a " +
+      "chained asof_ column from an earlier join survives") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "ts", "tag")
+    val r1 = Seq((1L, ts("2024-01-01 11:55:00"), 7.0)).toDF("k", "ts", "price")
+    val r2 = Seq((1L, ts("2024-01-01 06:00:00"), 3.0)).toDF("k", "ts", "qty")
+    val once = Temporal.asofJoin(left, r1, Seq("k"), "ts", Seq("price"))
+      .withColumnRenamed("asof_ts", "price_ts") // chained-call rename
+    // second join with a tolerance the 06:00 row fails: its OWN asof_qty
+    // columns null out, the first join's asof_price must survive
+    val twice = Temporal.asofJoin(once, r2, Seq("k"), "ts", Seq("qty"),
+      tolerance = Some("1 HOUR")).collect()(0)
+    assert(twice.isNullAt(twice.fieldIndex("asof_qty")))
+    assert(twice.getDouble(twice.fieldIndex("asof_price")) === 7.0,
+      "tolerance nulling destroyed an earlier join's asof_ column")
+  }
+
   test("asofJoin rejects left columns that collide with generated " +
       "asof_* outputs (e.g. chained calls)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "tag")
