@@ -356,7 +356,12 @@ object Graph {
     val grouped = incoming
       .groupBy("text")
       .agg(
-        first(col("label")).as("label"),
+        // EARLIEST occurrence's label (ord-min, like the relation
+        // merge's orientation pick) — first() is partition-order-
+        // dependent, breaking the byte-identical-graph contract when
+        // a recognizer emits differing labels for one text
+        min(struct(col("ord"), col("label"))).getField("label")
+          .as("label"),
         array_join(transform(array_sort(collect_list(
           struct(col("ord"), col("description")))),
           s => s.getField("description")), "\n").as("description"),
@@ -366,7 +371,8 @@ object Graph {
     val existing = reg.table(entDef, txn)
       .select(col("text").as("e_text"), col("label").as("e_label"),
         col("description").as("e_description"),
-        col("chunk_uuids").as("e_chunk_uuids"))
+        col("chunk_uuids").as("e_chunk_uuids"),
+        col("vec").as("e_vec"))
     val merged = grouped.join(existing,
         col("text") === col("e_text"), "full_outer")
       .select(
@@ -379,12 +385,20 @@ object Graph {
         when(col("text").isNull, col("e_chunk_uuids"))
           .when(col("e_text").isNull, col("chunk_uuids"))
           .otherwise(concat(col("chunk_uuids"), col("e_chunk_uuids")))
-          .as("chunk_uuids"))
+          .as("chunk_uuids"),
+        col("text").isNotNull.as("__changed"), col("e_vec"))
       .withColumn("uid", entityUid(col("text")))
-    val embedded = Embed.withEmbedding(
-      merged.withColumn("__embtext",
-        concat_ws("\n", col("text"), col("description"))),
-      "__embtext", "vec", emb).drop("__embtext")
+    // embed ONLY changed entities (incoming side present — new text or
+    // merged description); untouched rows keep their stored vector, so
+    // a merge batch costs O(batch) embedder calls, not O(table) — the
+    // reference likewise re-vectorizes only the entities it touched
+    // (pipeline.py:345-372). CaseWhen evaluates the UDF lazily per row.
+    val embUdf = udf((s: String) =>
+      if (s == null) null else emb.embedChunk(s))
+    val embedded = merged
+      .withColumn("vec", when(col("__changed"),
+          embUdf(concat_ws("\n", col("text"), col("description"))))
+        .otherwise(col("e_vec")))
     reg.overwrite(entDef, embedded.select(entDef.columns.map(col): _*), txn)
   }
 
@@ -416,7 +430,9 @@ object Graph {
         least(col("source"), col("target")),
         greatest(col("source"), col("target"))))
       .select(col("__k").as("e_k"), col("source").as("e_source"),
-        col("target").as("e_target"), col("description").as("e_description"))
+        col("target").as("e_target"),
+        col("description").as("e_description"),
+        col("vec").as("e_vec"))
     val merged = grouped.join(existing, col("__k") === col("e_k"),
         "full_outer")
       .select(
@@ -425,11 +441,17 @@ object Graph {
         when(col("__k").isNull, col("e_description"))
           .when(col("e_k").isNull, col("description"))
           .otherwise(concat_ws("\n", col("description"),
-            col("e_description"))).as("description"))
+            col("e_description"))).as("description"),
+        col("__k").isNotNull.as("__changed"), col("e_vec"))
       .withColumn("uid", sha2(concat_ws("|",
         least(col("source"), col("target")),
         greatest(col("source"), col("target"))), 256))
-    val embedded = Embed.withEmbedding(merged, "description", "vec", emb)
+    // only changed relations re-embed (see mergeInsertEntities)
+    val embUdf = udf((s: String) =>
+      if (s == null) null else emb.embedChunk(s))
+    val embedded = merged.withColumn("vec",
+      when(col("__changed"), embUdf(col("description")))
+        .otherwise(col("e_vec")))
     reg.overwrite(relDef, embedded.select(relDef.columns.map(col): _*), txn)
   }
 

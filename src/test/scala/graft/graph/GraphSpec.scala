@@ -8,6 +8,21 @@ import graft.SparkSpecBase
 import graft.core.Registry
 import graft.text.HashEmbedder
 
+/** HashEmbedder twin that records every text it embeds (local-mode
+  * tests share one JVM, so the static set sees executor-side calls). */
+final case class RecordingEmbedder(dim: Int)
+    extends graft.text.Embedder {
+  def name: String = s"recording_$dim"
+  private val inner = HashEmbedder(dim)
+  def embedChunk(text: String): Array[Float] = {
+    RecordingEmbedder.seen.add(text)
+    inner.embedChunk(text)
+  }
+}
+object RecordingEmbedder {
+  val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 /** Graph merge-upsert + 2-hop search semantics
   * (pipeline.py:345-392, 444-487). */
 class GraphSpec extends SparkSpecBase {
@@ -50,6 +65,51 @@ class GraphSpec extends SparkSpecBase {
     // uid stable across merges
     assert(afterOne("Spark").getAs[String]("uid") ===
       spark2.getAs[String]("uid"))
+  }
+
+  test("merge re-embeds only the changed rows; labels pick the ord-min") {
+    val (reg, ents, rels, _) = fresh()
+    val emb = RecordingEmbedder(dim = 32)
+    val sp = spark
+    import sp.implicits._
+    val batch1 = Seq(
+      ("Spark", "B_LATER", "a compute engine", Seq("c1"), 1L),
+      ("Spark", "A_FIRST", "runs on clusters", Seq("c2"), 0L),
+      ("Flink", "ENT", "a stream engine", Seq("c3"), 2L))
+      .toDF("text", "label", "description", "chunk_uuids", "ord")
+    Graph.mergeInsertEntities(reg, ents, batch1, emb)
+    // ord-min label, not a partition-order-dependent first()
+    val sparkRow = reg.table(ents).filter(col("text") === "Spark")
+      .collect()(0)
+    assert(sparkRow.getAs[String]("label") === "A_FIRST")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Float] =
+      r.getSeq[Float](r.fieldIndex("vec")).toSeq
+    val flinkVec = vecOf(reg.table(ents).filter(col("text") === "Flink")
+      .collect()(0))
+    // second batch touches ONLY Spark: Flink must not re-embed (at
+    // scale the embedder is a paid network call — a merge batch costs
+    // O(batch), not O(table)) and must keep its stored vector
+    RecordingEmbedder.seen.clear()
+    val batch2 = Seq(("Spark", "ENT", "v3", Seq("c9"), 0L))
+      .toDF("text", "label", "description", "chunk_uuids", "ord")
+    Graph.mergeInsertEntities(reg, ents, batch2, emb)
+    import scala.jdk.CollectionConverters._
+    assert(!RecordingEmbedder.seen.asScala.exists(_.startsWith("Flink")))
+    assert(RecordingEmbedder.seen.asScala.exists(_.startsWith("Spark")))
+    val flinkAfter = vecOf(reg.table(ents)
+      .filter(col("text") === "Flink").collect()(0))
+    assert(flinkAfter === flinkVec)
+    // relations: same contract
+    val rb1 = Seq(("u1", "u2", "A links B", 0L), ("u3", "u4", "C D", 1L))
+      .toDF("source", "target", "description", "ord")
+    Graph.mergeInsertRelations(reg, rels, rb1, emb)
+    RecordingEmbedder.seen.clear()
+    val rb2 = Seq(("u2", "u1", "B back-links A", 0L))
+      .toDF("source", "target", "description", "ord")
+    Graph.mergeInsertRelations(reg, rels, rb2, emb)
+    assert(!RecordingEmbedder.seen.asScala.exists(_.contains("C D")))
+    assert(RecordingEmbedder.seen.asScala
+      .exists(_.contains("B back-links A")))
   }
 
   test("relation merge keys on the sorted endpoint pair") {
