@@ -33,6 +33,42 @@ final case class HashSparseEmbedder(dim: Int = 1 << 16, seed: Int = 7)
   }
 }
 
+/** Engine-portable sparse embedder — the md5 twin of
+  * [[HashSparseEmbedder]] (the same trick as [[graft.text.Md5Embedder]]):
+  * token → bucket = (h / 2) mod dim where h is the first 8 hex chars of
+  * md5(token) as a 32-bit value — `(('0x' || substring(md5(t), 1, 8))
+  * ::BIGINT // 2) % dim` in DuckDB — and value = the bucket's term
+  * frequency (a small integer, exact in float/double). Indices are
+  * ascending, so an external SQL engine reproduces the whole sparse
+  * vector AND any dot product bit-for-bit; its purpose is letting an
+  * oracle gate the sparse search surface end to end. */
+final case class Md5SparseEmbedder(dim: Int = 4096) extends SparseEmbedder {
+  def name: String = s"md5_sparse_$dim"
+
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def embed(text: String): SparseVec = {
+    val counts = scala.collection.mutable.TreeMap[Int, Float]()
+    val d = md.get()
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
+      .filter(_.nonEmpty).foreach { t =>
+        d.reset()
+        val b = d.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 4) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+        val bucket = ((h >>> 1) % dim).toInt
+        counts(bucket) = counts.getOrElse(bucket, 0f) + 1f
+      }
+    SparseVec(counts.keys.toSeq, counts.values.toSeq)
+  }
+}
+
 object Sparse {
 
   /** Dot product of two sparse (indices, values) column pairs: for each

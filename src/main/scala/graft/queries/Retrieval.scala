@@ -575,6 +575,33 @@ object Retrieval {
   def hybridDedup(s: SparkSession, d: String): DataFrame =
     Fusion.dedupUnion(hybridLists(s, d), topK = 10)
 
+  /** Sparse (SPLADE-seat) dot-product top-k — the sparse embedding
+    * surface (reference embedding.py:413-441 SpladePP client,
+    * model/internal.py:43-46 SparseEmbedding) under the DuckDB oracle:
+    * every document and the query embed through the engine-portable
+    * md5-bucketed sparse embedder ([[graft.functions.Md5SparseEmbedder]]
+    * — bucket = md5-derived, value = term frequency), score =
+    * [[graft.functions.Sparse.sparseDot]] between the doc's
+    * (indices, values) columns and the query literal. The oracle
+    * replays tokenization, bucketing, tf and the dot from first
+    * principles. */
+  def sparseTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val q = emb.embed(SparseQueryText)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    documents(s, d)
+      .withColumn("__sv", sv(col("text")))
+      .withColumn("score", round(graft.functions.Sparse.sparseDot(
+        col("__sv.indices"), col("__sv.values"),
+        typedlit(q.indices), typedlit(q.values)), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select("doc_id", "score")
+  }
+
+  private val SparseQueryText = "spark merge hash window"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
@@ -601,7 +628,8 @@ object Retrieval {
     "r23_bm25_stored" -> bm25Stored,
     "r24_bm25_wordpiece" -> bm25WordpieceTopk,
     "r25_ann_rewrite_dist" -> annRewriteDist,
-    "r26_maxsim_ivf" -> maxsimIvfRewrite)
+    "r26_maxsim_ivf" -> maxsimIvfRewrite,
+    "r27_sparse_topk" -> sparseTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1320,5 +1348,36 @@ object Retrieval {
                     AS occ FROM u)
           SELECT id, CAST(rank AS INTEGER) AS rank, src FROM f
           WHERE occ = 1
-          ORDER BY src ASC, rank ASC LIMIT 10""")
+          ORDER BY src ASC, rank ASC LIMIT 10""",
+    "r27_sparse_topk" ->
+      // the Md5SparseEmbedder recipe from first principles: tokens are
+      // lowercase alnum runs, bucket = (first-8-md5-hex as 32-bit) / 2
+      // mod 4096, value = the bucket's term frequency; the dot product
+      // is the sum of doc_tf * query_tf over shared buckets (tf are
+      // small integers — exact in double, so sum order is irrelevant)
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS tok
+            FROM documents),
+          dv AS (
+            SELECT doc_id,
+                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM toks GROUP BY 1, 2),
+          qtok AS (
+            SELECT unnest(['spark', 'merge', 'hash', 'window']) AS tok),
+          qv AS (
+            SELECT (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM qtok GROUP BY 1),
+          scored AS (
+            SELECT dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
+            FROM dv JOIN qv USING (b) GROUP BY 1)
+          SELECT doc_id, score FROM scored
+          WHERE score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT 10""")
 }

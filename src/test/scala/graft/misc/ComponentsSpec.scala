@@ -161,6 +161,30 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got === 2.0)
   }
 
+  test("md5 sparse embedder follows the documented portable recipe") {
+    val e = graft.functions.Md5SparseEmbedder(dim = 4096)
+    val v = e.embed("Spark, spark merge!")
+    // independent replay: bucket = (first-8-md5-hex as 32-bit) / 2
+    // mod dim — the exact SQL recipe the r27 oracle runs in DuckDB
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) >>> 1) % 4096).toInt
+    }
+    val expect = Seq("spark", "spark", "merge").groupBy(bucket)
+      .map { case (b, ts) => b -> ts.length.toFloat }.toSeq.sortBy(_._1)
+    assert(v.indices === expect.map(_._1))
+    assert(v.values === expect.map(_._2))
+    assert(v.indices === v.indices.sorted)
+    // dot against itself = sum tf^2 (2^2 + 1 = 5 sans collision)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((v.indices, v.values)).toDF("i", "v")
+    val got = df.select(Sparse.sparseDot(col("i"), col("v"), col("i"),
+      col("v")).as("dot")).head().getDouble(0)
+    assert(got === v.values.map(x => x * x.toDouble).sum)
+  }
+
   test("multimodal stages preserve schema and batch shape") {
     val sp = spark
     import sp.implicits._
