@@ -121,10 +121,36 @@ object Eval {
       .toDF("ndcg", "map", s"recall_$K")
   }
 
+  /** Query synthesis under the oracle (E4: the evaluator's query
+    * producer seat, evaluate.py:93-119, via its deterministic stand-in
+    * [[graft.eval.Harness.syntheticQuery]]): per document, its 5 rarest
+    * DISTINCT tokens by corpus document frequency (ties by token asc),
+    * space-joined. The corpus df map is collected once (bounded
+    * vocabulary — the harness contract) and the REAL scalar function
+    * runs per document; DuckDB replays tokenization, document
+    * frequency and the (df, token) ranking from first principles.
+    * Token-free documents synthesize nothing and are dropped on both
+    * sides. */
+  def querySynthesis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val dfMap: Map[String, Long] = docs
+      .select(explode(array_distinct(
+        graft.ops.Bm25.tokenize(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val b = s.sparkContext.broadcast(dfMap)
+    val synth = udf((t: String) =>
+      graft.eval.Harness.syntheticQuery(if (t == null) "" else t, b.value))
+    docs.select(col("doc_id"), synth(col("text")).as("query"))
+      .filter(length(col("query")) > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e02_metrics_knn" -> metricsKnn,
     "e03_metrics_macro" -> metricsMacro,
-    "e04_groundtruth_loop" -> groundtruthLoop)
+    "e04_groundtruth_loop" -> groundtruthLoop,
+    "e05_query_synthesis" -> querySynthesis)
 
   /** Shared oracle CTE chain: ranked top-10 per query with binary
     * relevance, cumulative precision, per-query measures. */
@@ -244,5 +270,23 @@ object Eval {
                round(avg(recall_$K), 6) AS recall_$K,
                round(avg(precision_$K), 6) AS precision_$K,
                round(avg(mrr), 6) AS mrr
-        FROM raw""")
+        FROM raw""",
+    "e05_query_synthesis" ->
+      // Harness.syntheticQuery from first principles: distinct tokens
+      // per doc, corpus document frequency, 5 rarest by (df, token),
+      // space-joined in rank order; token-free docs yield no row
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != ''))) AS term
+            FROM documents),
+          dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+          ranked AS (
+            SELECT t.doc_id, t.term,
+                   row_number() OVER (PARTITION BY t.doc_id
+                     ORDER BY f.df ASC, t.term ASC) AS rk
+            FROM toks t JOIN dfreq f USING (term))
+          SELECT doc_id, string_agg(term, ' ' ORDER BY rk) AS query
+          FROM ranked WHERE rk <= 5 GROUP BY doc_id""")
 }

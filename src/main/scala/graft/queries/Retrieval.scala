@@ -602,6 +602,25 @@ object Retrieval {
 
   private val SparseQueryText = "spark merge hash window"
 
+  /** Reranker application under the oracle (R2/R5: the cross-encoder
+    * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
+    * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
+    * deterministic [[graft.rank.OverlapReranker]] — re-rank by
+    * |query ∩ doc| DISTINCT tokens descending, ties by the incoming
+    * (BM25) rank. DuckDB replays the BM25 phase, the overlap count
+    * over distinct doc tokens, and the stable re-sort. */
+  def overlapRerank(s: SparkSession, d: String): DataFrame = {
+    val idx = Bm25.buildCached(documents(s, d), "doc_id", "text",
+      s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
+    val hits = Bm25.search(idx, Bm25Query, 10)
+    val ranked = Fusion.ranked(hits, "id", "score", asc = false)
+      .join(documents(s, d).select(col("doc_id").as("id"), col("text")),
+        "id")
+    graft.rank.Rerank.apply(ranked, "id", "text", Bm25Query,
+        graft.rank.OverlapReranker())
+      .select(col("id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
@@ -629,7 +648,8 @@ object Retrieval {
     "r24_bm25_wordpiece" -> bm25WordpieceTopk,
     "r25_ann_rewrite_dist" -> annRewriteDist,
     "r26_maxsim_ivf" -> maxsimIvfRewrite,
-    "r27_sparse_topk" -> sparseTopk)
+    "r27_sparse_topk" -> sparseTopk,
+    "r28_overlap_rerank" -> overlapRerank)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1379,5 +1399,28 @@ object Retrieval {
             FROM dv JOIN qv USING (b) GROUP BY 1)
           SELECT doc_id, score FROM scored
           WHERE score > 0
-          ORDER BY score DESC, doc_id ASC LIMIT 10""")
+          ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    "r28_overlap_rerank" ->
+      // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
+      // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,
+      // ties by the incoming BM25 position
+      s"""WITH ${bm25Cte(Seq("spark", "filter", "join"))},
+          bml AS (SELECT id, round(sum(w), 6) AS score FROM scored
+                  GROUP BY id ORDER BY score DESC, id ASC LIMIT 10),
+          pos AS (SELECT id, row_number()
+                    OVER (ORDER BY score DESC, id ASC) AS p FROM bml),
+          dtoks AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != ''))) AS tok
+            FROM documents),
+          ov AS (
+            SELECT pos.id, pos.p,
+                   count(CASE WHEN dtoks.tok IN ('spark', 'filter', 'join')
+                         THEN 1 END) AS o
+            FROM pos LEFT JOIN dtoks USING (id) GROUP BY 1, 2)
+          SELECT id, CAST(row_number() OVER (ORDER BY o DESC, p ASC)
+                   AS INTEGER) AS rank
+          FROM ov""")
 }

@@ -148,7 +148,12 @@ object Rerank {
             query: String, reranker: Reranker): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
-    val rows = ranked.select(col(idCol).cast("string"), col(textCol))
+    // re-assert the incoming rank before collecting: rerankers break
+    // ties by INPUT position, and a caller's join upstream (e.g. the
+    // dynamic search flow's text join) does not preserve row order —
+    // without this sort the tie order is partition-layout-dependent
+    val rows = ranked.orderBy(col("rank").asc)
+      .select(col(idCol).cast("string"), col(textCol))
       .collect().map(r => (r.getString(0), r.getString(1)))
     val perm = reranker.rerank(query, rows.map(_._2).toSeq)
     val order = perm.zipWithIndex.map { case (pos, newRank) =>
