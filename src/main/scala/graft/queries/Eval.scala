@@ -146,11 +146,27 @@ object Eval {
       .filter(length(col("query")) > 0)
   }
 
+  /** The augmenter seat under the oracle (T12–T13: the reference's
+    * contextual-retrieval stages, augment.py:68-93, via the
+    * deterministic [[graft.text.LocalAugmenter]]): per document,
+    * `augmentQuery` (the 5 longest distinct >3-char tokens, ties by
+    * token asc, space-joined) and `summarizeDoc` (the lead sentence
+    * truncated to 160 chars). Both replay as pure column math in
+    * DuckDB — the length-sort rides a lpad(1000−len) sort key. */
+  def augment(s: SparkSession, d: String): DataFrame = {
+    val aug = graft.text.LocalAugmenter()
+    val q = udf((t: String) => aug.augmentQuery(if (t == null) "" else t))
+    val sm = udf((t: String) => aug.summarizeDoc(if (t == null) "" else t))
+    documents(s, d).select(col("doc_id"), q(col("text")).as("query"),
+      sm(col("text")).as("summary"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e02_metrics_knn" -> metricsKnn,
     "e03_metrics_macro" -> metricsMacro,
     "e04_groundtruth_loop" -> groundtruthLoop,
-    "e05_query_synthesis" -> querySynthesis)
+    "e05_query_synthesis" -> querySynthesis,
+    "e06_augment" -> augment)
 
   /** Shared oracle CTE chain: ranked top-10 per query with binary
     * relevance, cumulative precision, per-query measures. */
@@ -288,5 +304,25 @@ object Eval {
                      ORDER BY f.df ASC, t.term ASC) AS rk
             FROM toks t JOIN dfreq f USING (term))
           SELECT doc_id, string_agg(term, ' ' ORDER BY rk) AS query
-          FROM ranked WHERE rk <= 5 GROUP BY doc_id""")
+          FROM ranked WHERE rk <= 5 GROUP BY doc_id""",
+    "e06_augment" ->
+      // LocalAugmenter from first principles, as pure column math:
+      // query = 5 longest distinct >3-char tokens by (-len, token) —
+      // the sort rides a lpad(1000-len)||token key so a plain
+      // list_sort produces the order; summary = the first non-empty
+      // trimmed sentence piece, truncated to 160 chars
+      """SELECT doc_id,
+           array_to_string(list_transform(
+             list_slice(list_sort(list_transform(
+               list_distinct(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 3)),
+               x -> lpad(CAST(1000 - length(x) AS VARCHAR), 4, '0') || x)),
+               1, 5),
+             k -> substring(k, 5)), ' ') AS query,
+           substring(coalesce(
+             list_filter(list_transform(
+               regexp_split_to_array(text, '[.!?\n]+'), y -> trim(y)),
+               y -> y != '')[1], ''), 1, 160) AS summary
+         FROM documents""")
 }
