@@ -47,8 +47,33 @@ object E2e {
       .select("chunk_id", "doc_id", "dist")
   }
 
+  /** HTML strip + dispatch under the oracle (T5–T6, extract.py:18-36,
+    * 52-62): each document's text is wrapped into an HTML page — a
+    * script subtree, a style subtree, an entity-bearing `<h1>`, the
+    * text in a `<p>`, and a comment — and extracted through the REAL
+    * dispatch path (`Extract.extract("html", bytes)`: script/style
+    * subtrees and comments dropped, tags stripped, entities decoded,
+    * non-empty nodes joined with newline, NFKC). The oracle rebuilds
+    * the expected output directly: `lang & co\n<text>` (the testdata
+    * text is tag-free; `[<>&]` are scrubbed on both sides so the
+    * construction is parity-exact). */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    val ex = udf((lang: String, text: String) =>
+      graft.text.Extract.extract("html",
+        ("<html><head><script>var x = 1 < 2;</script>" +
+          "<style>.a{color:red}</style></head><body>" +
+          s"<h1>$lang &amp; co</h1><p>$text</p>" +
+          "<!-- dropped --></body></html>").getBytes("UTF-8")))
+    documents(s, d)
+      .withColumn("__clean",
+        regexp_replace(col("text"), "[<>&]", ""))
+      .select(col("doc_id"),
+        ex(col("lang"), col("__clean")).as("extracted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_ingest_search" -> ingestSearch)
+    "e01_ingest_search" -> ingestSearch,
+    "e07_html_extract" -> htmlExtract)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
     * CTE stepping the same per-piece state machine as
@@ -164,6 +189,17 @@ object E2e {
               (cn.nc * (SELECT nq FROM qn)), 6) AS dist
           FROM cn LEFT JOIN dots d USING (chunk_id))
         SELECT chunk_id, doc_id, dist FROM scored
-        ORDER BY dist ASC, chunk_id ASC LIMIT 10""")
+        ORDER BY dist ASC, chunk_id ASC LIMIT 10""") +
+    ("e07_html_extract" ->
+      // rebuild the expected extraction directly: the h1 node decodes
+      // its entity to 'lang & co'; the p node is the scrubbed text,
+      // trimmed; empty text leaves only the h1 line (no join partner)
+      """SELECT doc_id,
+           CASE WHEN trim(regexp_replace(text, '[<>&]', '', 'g')) = ''
+                THEN lang || ' & co'
+                ELSE lang || ' & co' || chr(10) ||
+                     trim(regexp_replace(text, '[<>&]', '', 'g'))
+           END AS extracted
+         FROM documents""")
   }
 }
