@@ -79,11 +79,21 @@ object Dynamic {
     steps.foreach { s =>
       (s.kind, s.provider) match {
         case ("chunk", "regex") =>
-          c = c.copy(chunk = Some(RegexChunker(
+          val base = RegexChunker(
             size = s.args.getOrElse("size", "1536").toInt,
-            overlap = s.args.getOrElse("overlap", "200").toInt)))
+            overlap = s.args.getOrElse("overlap", "200").toInt)
+          c = c.copy(chunk = Some(base.copy(
+            separator = s.args.getOrElse("separator", base.separator),
+            concat = s.args.getOrElse("concat", base.concat))))
         case ("text-emb", "hash") =>
           c = c.copy(textEmb = Some(HashEmbedder(
+            dim = s.args.getOrElse("dim", "64").toInt)))
+        // the second deterministic local provider: md5 feature hashing
+        // (graft.text.Md5Embedder) — integer-exact math any SQL engine
+        // replays, which is what puts the WHOLE dynamic pipeline under
+        // the external oracle (gate d01)
+        case ("text-emb", "md5") =>
+          c = c.copy(textEmb = Some(graft.text.Md5Embedder(
             dim = s.args.getOrElse("dim", "64").toInt)))
         // a REAL provider endpoint through the rate-limited transport
         // (providers/Transport.scala) — the drop-in the reference's

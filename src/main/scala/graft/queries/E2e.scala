@@ -71,9 +71,39 @@ object E2e {
         ex(col("lang"), col("__clean")).as("extracted"))
   }
 
+  /** The config-driven dynamic pipeline end to end under the oracle
+    * (D3–D5, pipeline.py:112-218 factory + :249-343 index flow +
+    * :394-442 search flow): `Dynamic.fromSteps` resolves a regex
+    * chunker, the md5 local embedding provider, and the index+search
+    * options; `runIndex` chunks and embeds every document into a fresh
+    * Registry; `runSearch` answers the gate query with the vector +
+    * keyword fan-out fused by the ordered dedup-union. The DuckDB twin
+    * replays the chunker (shared recursive CTE), the md5 embedding and
+    * cosine ranking, the chunk-level BM25, and the dedup-union fusion
+    * from first principles. */
+  def dynamicPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Dynamic
+    val reg = new graft.core.Registry(s,
+      java.nio.file.Files.createTempDirectory("graft_d01").toString)
+    val chunks = Dynamic.chunkDef("d01chunk")
+    reg.register(chunks)
+    val cfg = Dynamic.fromSteps(Seq(
+      Dynamic.ResourceRequest("chunk", "regex", Map(
+        "size" -> ChunkSize.toString, "overlap" -> ChunkOverlap.toString,
+        "separator" -> "\\s+", "concat" -> " ")),
+      Dynamic.ResourceRequest("text-emb", "md5",
+        Map("dim" -> Dim.toString)),
+      Dynamic.ResourceRequest("index", "graft"),
+      Dynamic.ResourceRequest("search", "graft", Map("topk" -> "10"))))
+    Dynamic.runIndex(reg, cfg, documents(s, d).select("doc_id", "text"),
+      chunks)
+    Dynamic.runSearch(reg, cfg, Query, chunks)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch,
-    "e07_html_extract" -> htmlExtract)
+    "e07_html_extract" -> htmlExtract,
+    "d01_dynamic_pipeline" -> dynamicPipeline)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
     * CTE stepping the same per-piece state machine as
@@ -86,19 +116,23 @@ object E2e {
     * the whole corpus, not just the top-k gate. Embedding/cosine are
     * bit-exact: [[graft.text.Md5Embedder]] vectors are small integers,
     * so dot/norm are exact in double and `round(..., 6)` agrees. */
-  val oracles: Map[String, String] = {
-    def sumlen(l: String): String =
-      s"coalesce(list_sum(list_transform($l, x -> length(x))), 0)"
-    def ko(l: String): String =
-      s"($l)[coalesce(list_min(list_filter(range(1, len($l) + 2), " +
-        s"s -> ${sumlen(s"($l)[s:]")} < $ChunkOverlap)), 1):]"
-    def feats(toks: String): String =
-      s"$toks || list_transform(range(len($toks) - 1), " +
-        s"j -> ($toks)[j + 1] || ' ' || ($toks)[j + 2])"
-    val h = "('0x' || substring(md5(f), 1, 8))::BIGINT"
-    Map("e01_ingest_search" ->
-      s"""WITH RECURSIVE
-        p0 AS (
+  // ---- shared oracle fragments (e01 + d01) ------------------------------
+  private def sumlen(l: String): String =
+    s"coalesce(list_sum(list_transform($l, x -> length(x))), 0)"
+  private def ko(l: String, overlap: Int): String =
+    s"($l)[coalesce(list_min(list_filter(range(1, len($l) + 2), " +
+      s"s -> ${sumlen(s"($l)[s:]")} < $overlap)), 1):]"
+  private def feats(toks: String): String =
+    s"$toks || list_transform(range(len($toks) - 1), " +
+      s"j -> ($toks)[j + 1] || ' ' || ($toks)[j + 2])"
+  private val h = "('0x' || substring(md5(f), 1, 8))::BIGINT"
+
+  /** The greedy-chunker recursive CTE chain (p0 → rec → fin): per doc,
+    * `fin(doc_id, chunks VARCHAR[])` — the same per-piece state machine
+    * as [[graft.text.RegexChunker.segment]] at (size, overlap), with a
+    * `\s+` separator and space concat. Shared by e01 and d01. */
+  private def chunkerCte(size: Int, overlap: Int): String =
+    s"""p0 AS (
           SELECT doc_id,
             list_filter(list_transform(
               regexp_split_to_array(text, '[\\s]+'),
@@ -116,9 +150,9 @@ object E2e {
                  t4.prevD, t4.curD, t4.totalD, t4.chunksD
           FROM rec r,
           LATERAL (SELECT r.pieces[r.i + 1] AS p,
-            (r.total + length(r.pieces[r.i + 1]) > $ChunkSize
+            (r.total + length(r.pieces[r.i + 1]) > $size
               AND len(r.cur) > 0) AS emit1,
-            ${ko("r.cur")} AS koCur) t0,
+            ${ko("r.cur", overlap)} AS koCur) t0,
           LATERAL (SELECT
             CASE WHEN t0.emit1
               THEN r.chunks || [array_to_string(r.prev || r.cur, ' ')]
@@ -129,12 +163,12 @@ object E2e {
             CASE WHEN t0.emit1 THEN []::VARCHAR[] ELSE r.cur END AS curA) t1,
           LATERAL (SELECT list_append(t1.curA, t0.p) AS curB,
             t1.totalA + length(t0.p) AS totalB) t2,
-          LATERAL (SELECT (t2.totalB > $ChunkSize) AS over,
+          LATERAL (SELECT (t2.totalB > $size) AS over,
             (t1.prevA)[coalesce(list_min(list_filter(
               range(1, len(t1.prevA) + 1),
-              j -> t2.totalB - ${sumlen("(t1.prevA)[1:j]")} <= $ChunkSize)),
+              j -> t2.totalB - ${sumlen("(t1.prevA)[1:j]")} <= $size)),
               len(t1.prevA)) + 1:] AS prevC,
-            ${ko("t2.curB")} AS koCurB) t3,
+            ${ko("t2.curB", overlap)} AS koCurB) t3,
           LATERAL (SELECT
             CASE WHEN t3.over
               THEN t1.chunksA ||
@@ -150,7 +184,12 @@ object E2e {
             CASE WHEN array_to_string(prev || cur, ' ') != ''
               THEN chunks || [array_to_string(prev || cur, ' ')]
               ELSE chunks END AS chunks
-          FROM rec WHERE i = len(pieces)),
+          FROM rec WHERE i = len(pieces))"""
+
+  val oracles: Map[String, String] = {
+    Map("e01_ingest_search" ->
+      s"""WITH RECURSIVE
+        ${chunkerCte(ChunkSize, ChunkOverlap)},
         ch AS (
           SELECT doc_id * 1000 + i AS chunk_id, doc_id,
                  chunks[i + 1] AS body
@@ -200,6 +239,85 @@ object E2e {
                 ELSE lang || ' & co' || chr(10) ||
                      trim(regexp_replace(text, '[<>&]', '', 'g'))
            END AS extracted
-         FROM documents""")
+         FROM documents""") +
+    ("d01_dynamic_pipeline" ->
+      // the dynamic pipeline replayed end to end: shared chunker CTE →
+      // string uids (doc-i, the index flow's scheme) → md5 embedding +
+      // cosine top-10 (rank 0) → chunk-level BM25 top-10 (rank 1) →
+      // ordered first-occurrence dedup-union, text joined back
+      s"""WITH RECURSIVE
+        ${chunkerCte(ChunkSize, ChunkOverlap)},
+        ch AS (
+          SELECT doc_id || '-' || i AS id, doc_id, chunks[i + 1] AS body
+          FROM (SELECT doc_id, chunks, unnest(range(len(chunks))) AS i
+                FROM fin)),
+        tok AS (
+          SELECT id, doc_id,
+            list_filter(regexp_split_to_array(lower(body), '[^a-z0-9]+'),
+              x -> x != '') AS toks
+          FROM ch),
+        feat AS (SELECT id, unnest(${feats("toks")}) AS f FROM tok),
+        hw AS (
+          SELECT id, ($h // 2) % $Dim AS bucket,
+            CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM feat),
+        emb AS (SELECT id, bucket, sum(s) AS w FROM hw GROUP BY 1, 2),
+        qfeat AS (
+          SELECT unnest(${feats("toks")}) AS f
+          FROM (SELECT list_filter(regexp_split_to_array(lower('$Query'),
+              '[^a-z0-9]+'), x -> x != '') AS toks)),
+        qv AS (
+          SELECT ($h // 2) % $Dim AS bucket,
+            sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END) AS qw
+          FROM qfeat GROUP BY 1),
+        qn AS (SELECT sqrt(sum(qw * qw)) AS nq FROM qv),
+        cn AS (SELECT id, sqrt(sum(w * w)) AS nc FROM emb GROUP BY 1),
+        dots AS (SELECT e.id, sum(e.w * q.qw) AS dot
+                 FROM emb e JOIN qv q USING (bucket) GROUP BY 1),
+        vscored AS (
+          SELECT cn.id,
+            round(1 - coalesce(d.dot, 0) /
+              (cn.nc * (SELECT nq FROM qn)), 6) AS dist
+          FROM cn LEFT JOIN dots d USING (id)),
+        vecl AS (SELECT id, dist FROM vscored
+                 ORDER BY dist ASC, id ASC LIMIT 10),
+        vecr AS (SELECT id, row_number()
+                   OVER (ORDER BY dist ASC, id ASC) AS rank, 0 AS src
+                 FROM vecl),
+        ctoks AS (SELECT id, unnest(toks) AS term FROM tok),
+        ctf AS (SELECT id, term, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        cdl AS (SELECT id, count(*) AS dl FROM ctoks GROUP BY 1),
+        cstats AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+        cg AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+               FROM cdl),
+        cq AS (SELECT unnest(['spark', 'filter', 'join']) AS term),
+        cscored AS (
+          SELECT ctf.id,
+            ln((cg.n - st.df + 0.5) / (st.df + 0.5) + 1.0) *
+              (ctf.tf * (1.2 + 1)) /
+              (ctf.tf + 1.2 * ((1 - 0.75) + 0.75 * cdl.dl / cg.avgdl)) AS w
+          FROM ctf
+          JOIN cq USING (term)
+          JOIN cstats st USING (term)
+          JOIN cdl USING (id)
+          CROSS JOIN cg),
+        bml AS (SELECT id, round(sum(w), 6) AS score FROM cscored
+                GROUP BY id ORDER BY score DESC, id ASC LIMIT 10),
+        bmr AS (SELECT id, row_number()
+                  OVER (ORDER BY score DESC, id ASC) AS rank, 1 AS src
+                FROM bml),
+        u AS (SELECT id, rank, src FROM vecr
+              UNION ALL SELECT id, rank, src FROM bmr),
+        fo AS (SELECT id, rank, src,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY src ASC, rank ASC) AS occ
+               FROM u),
+        fused AS (SELECT id, rank, src FROM fo WHERE occ = 1
+                  ORDER BY src ASC, rank ASC LIMIT 10)
+        SELECT fu.id, c.doc_id, c.body AS text,
+               CAST(fu.rank AS INTEGER) AS rank,
+               CAST(fu.src AS INTEGER) AS src
+        FROM fused fu JOIN ch c ON c.id = fu.id""")
   }
 }
