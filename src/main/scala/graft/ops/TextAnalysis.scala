@@ -165,6 +165,35 @@ object TextAnalysis {
       .na.fill(0.0, Seq("top_bigram_frac"))
   }
 
+  /** Per-stratum length quantiles + outlier strip — the curation step
+    * that drops pathological-length documents per stratum (language,
+    * source): fixed global bounds (C4/Gopher style) misfit strata whose
+    * length distributions differ, quantile bounds adapt. Returns one
+    * row per stratum: the interpolated p50/p90/p99 of `lenCol`
+    * (`quantile_cont` semantics — any engine replays them exactly on
+    * integer lengths), the stratum's row count, and `n_kept` = rows at
+    * or under the p99 bound.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus +
+    * one broadcast join of the (tiny, one-row-per-stratum) bounds frame
+    * back for the kept-count — no corpus-sized shuffle. EXACT
+    * percentiles here (sort-based within the agg) keep the external
+    * oracle byte-exact; at 100 TB swap `percentile` for
+    * `percentile_approx` — same plan shape, documented trade. */
+  def lengthQuantiles(docs: DataFrame, strataCol: String, lenCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val qs = docs.groupBy(strataCol).agg(
+      round(expr(s"percentile($lenCol, 0.5)"), roundTo).as("p50"),
+      round(expr(s"percentile($lenCol, 0.9)"), roundTo).as("p90"),
+      round(expr(s"percentile($lenCol, 0.99)"), roundTo).as("p99"),
+      count(lit(1)).as("n_total"))
+    val kept = docs
+      .join(broadcast(qs.select(col(strataCol), col("p99"))), strataCol)
+      .filter(col(lenCol) <= col("p99"))
+      .groupBy(strataCol).agg(count(lit(1)).as("n_kept"))
+    qs.join(kept, strataCol)
+  }
+
   /** PII patterns shared by [[scrubPii]] and its oracle: RE2-safe (no
     * lookarounds), identical semantics under Java regex and DuckDB so
     * the scrub is engine-portable. */

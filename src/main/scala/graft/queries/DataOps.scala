@@ -297,6 +297,8 @@ object DataOps {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_length_outliers" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(documents(s, d), "lang", "n_chars")),
     "p19_repetition" -> repetition,
     "p18_curation_e2e" -> curationE2e,
     "p17_pii_scrub" -> piiScrub,
@@ -356,6 +358,22 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "p21_length_outliers" ->
+      // quantile_cont == Spark's exact interpolated percentile; kept =
+      // rows at or under the rounded p99 bound, per stratum
+      """WITH q AS (
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                   count(*) AS n_total
+            FROM documents GROUP BY 1),
+          k AS (
+            SELECT d.lang, count(*) AS n_kept
+            FROM documents d JOIN q USING (lang)
+            WHERE d.n_chars <= q.p99 GROUP BY 1)
+          SELECT q.lang, p50, p90, p99, n_total, n_kept
+          FROM q JOIN k USING (lang)""",
     "p19_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           tg AS (SELECT doc_id,

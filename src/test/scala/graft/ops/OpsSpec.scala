@@ -913,6 +913,25 @@ class OpsSpec extends SparkSpecBase {
     assert(out(3L) === ((2L, 0L, "a b")))
   }
 
+  test("lengthQuantiles: interpolated per-stratum bounds, outliers cut") {
+    val sp = spark
+    import sp.implicits._
+    // en: lengths 1..100 -> p50 = 50.5, p99 = 99.01 (interpolated),
+    // one row (100) above the bound; de: a single row keeps itself
+    val docs = ((1 to 100).map(i => ("en", i.toLong)) :+ ("de", 7L))
+      .toDF("lang", "n_chars")
+    val out = TextAnalysis.lengthQuantiles(docs, "lang", "n_chars")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Double]("p50") === 50.5)
+    assert(en.getAs[Double]("p99") === 99.01)
+    assert(en.getAs[Long]("n_total") === 100L)
+    assert(en.getAs[Long]("n_kept") === 99L) // only 100 exceeds p99
+    val de = out("de")
+    assert(de.getAs[Double]("p50") === 7.0)
+    assert(de.getAs[Long]("n_kept") === 1L)
+  }
+
   test("scrubPii redacts emails/ips/phones, counts before replacing") {
     val sp = spark
     import sp.implicits._
