@@ -29,6 +29,13 @@ class PlanSpec extends SparkSpecBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("sparse top-k (r27) is a map-only scan into TakeOrderedAndProject") {
+    val p = plan(Retrieval.sparseTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sparse scoring must not shuffle the corpus:\n$p")
+  }
+
   test("q06 pushes its filters into the parquet scan") {
     val p = plan(Relational.q06FilterSum(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
