@@ -187,11 +187,18 @@ object TextAnalysis {
       round(expr(s"percentile($lenCol, 0.9)"), roundTo).as("p90"),
       round(expr(s"percentile($lenCol, 0.99)"), roundTo).as("p99"),
       count(lit(1)).as("n_total"))
+    // null-SAFE joins: groupBy emits a NULL-stratum row (uncategorized
+    // docs are a real stratum in raw corpora), which a plain equi-join
+    // key would silently drop from the report
+    val bounds = qs.select(col(strataCol).as("__s"), col("p99").as("__p99"))
     val kept = docs
-      .join(broadcast(qs.select(col(strataCol), col("p99"))), strataCol)
-      .filter(col(lenCol) <= col("p99"))
+      .join(broadcast(bounds), docs(strataCol) <=> col("__s"))
+      .filter(col(lenCol) <= col("__p99"))
       .groupBy(strataCol).agg(count(lit(1)).as("n_kept"))
-    qs.join(kept, strataCol)
+      .select(col(strataCol).as("__k"), col("n_kept"))
+    qs.join(kept, qs(strataCol) <=> col("__k"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .drop("__k")
   }
 
   /** PII patterns shared by [[scrubPii]] and its oracle: RE2-safe (no

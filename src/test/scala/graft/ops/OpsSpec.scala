@@ -930,6 +930,17 @@ class OpsSpec extends SparkSpecBase {
     val de = out("de")
     assert(de.getAs[Double]("p50") === 7.0)
     assert(de.getAs[Long]("n_kept") === 1L)
+    // a NULL stratum (uncategorized docs) must appear in the report —
+    // a plain equi-join key would silently drop it
+    val withNull = docs.union(
+      Seq((null.asInstanceOf[String], 3L), (null.asInstanceOf[String], 9L))
+        .toDF("lang", "n_chars"))
+    val nr = TextAnalysis.lengthQuantiles(withNull, "lang", "n_chars")
+      .filter(col("lang").isNull).collect()
+    assert(nr.length === 1)
+    assert(nr(0).getAs[Long]("n_total") === 2L)
+    // p99 of {3, 9} interpolates to 8.94 — the 9 is the cut outlier
+    assert(nr(0).getAs[Long]("n_kept") === 1L)
   }
 
   test("scrubPii redacts emails/ips/phones, counts before replacing") {
