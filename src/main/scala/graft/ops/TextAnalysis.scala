@@ -98,7 +98,10 @@ object TextAnalysis {
     * (no hits → "und"; equal nonzero scores tie-break alphabetically by
     * language code — deterministic, and what the p08 oracle replays). */
   def langId(text: Column): Column = {
-    val toks = Bm25.tokenize(text)
+    // null text = empty text = "und": size(null toks) is -1, which
+    // dodges the === 0 empty guard and falls through to an arbitrary
+    // alphabetically-first language
+    val toks = Bm25.tokenize(coalesce(text, lit("")))
     val scored = LangProfiles.map { case (lang, words) =>
       struct(
         (-size(filter(toks, t => t.isin(words: _*)))).cast("long").as("neg"),

@@ -801,7 +801,10 @@ class OpsSpec extends SparkSpecBase {
       ("de", "der hund ist nicht mit der katze und das ist auch gut"),
       ("es", "el perro es grande y la casa es blanca por la noche"),
       ("fr", "le chien est dans la maison et il est pour le chat"),
-      ("und", "zzz qqq xxx www")).toDF("expected", "text")
+      ("und", "zzz qqq xxx www"),
+      // null text = "und", not the alphabetically-first profile (a
+      // size(null)=-1 artifact dodged the empty guard)
+      ("und", null)).toDF("expected", "text")
     val got = df.withColumn("pred", TextAnalysis.langId(col("text")))
       .collect().map(r => r.getString(0) -> r.getString(2))
     got.foreach { case (exp, pred) => assert(exp === pred) }
