@@ -43,6 +43,60 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("sparse dot equals the dense dot of the reconstructed vectors") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(dim = 512)
+    val texts = samples(sentenceText, 20, 31L)
+    def dense(v: graft.functions.SparseVec): Array[Double] = {
+      val out = new Array[Double](512)
+      v.indices.zip(v.values).foreach { case (i, x) => out(i) = x }
+      out
+    }
+    texts.sliding(2).foreach {
+      case Seq(ta, tb) =>
+        val (a, b) = (emb.embed(ta), emb.embed(tb))
+        val expect = dense(a).zip(dense(b)).map { case (x, y) => x * y }.sum
+        val got = Seq((a.indices, a.values, b.indices, b.values))
+          .toDF("ai", "av", "bi", "bv")
+          .select(graft.functions.Sparse.sparseDot(col("ai"), col("av"),
+            col("bi"), col("bv"))).head().getDouble(0)
+        assert(got === expect)
+      case _ =>
+    }
+    // empty text: empty sparse vector, dot 0 against anything
+    val e = emb.embed("")
+    assert(e.indices.isEmpty && e.values.isEmpty)
+    val z = Seq((e.indices, e.values, emb.embed("alpha beta").indices,
+        emb.embed("alpha beta").values))
+      .toDF("ai", "av", "bi", "bv")
+      .select(graft.functions.Sparse.sparseDot(col("ai"), col("av"),
+        col("bi"), col("bv"))).head().getDouble(0)
+    assert(z === 0.0)
+  }
+
+  test("lengthQuantiles equals an independent quantile_cont replay") {
+    val sp = spark
+    import sp.implicits._
+    val lens = samples(Gen.choose(1L, 500L), 40, 77L)
+    val docs = lens.map(("en", _)).toDF("lang", "n_chars")
+    def qc(sorted: Seq[Long], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val srt = lens.sorted
+    val row = graft.ops.TextAnalysis
+      .lengthQuantiles(docs, "lang", "n_chars").collect()(0)
+    def r6(v: Double) = graft.ops.Ann.roundScala(v, 6)
+    assert(row.getAs[Double]("p50") === r6(qc(srt, 0.5)))
+    assert(row.getAs[Double]("p90") === r6(qc(srt, 0.9)))
+    assert(row.getAs[Double]("p99") === r6(qc(srt, 0.99)))
+    assert(row.getAs[Long]("n_kept") ===
+      lens.count(_ <= r6(qc(srt, 0.99))).toLong)
+  }
+
   test("metric identities on random truth/ranking pairs") {
     val ids = Gen.choose(0, 30).map(_.toString)
     val cases = for {
