@@ -71,6 +71,47 @@ final case class Md5SparseEmbedder(dim: Int = 4096) extends SparseEmbedder {
 
 object Sparse {
 
+  /** Sparse corpus → inverted postings (id, bucket, v): one row per
+    * non-zero — the INDEX form of a sparse-vector store, and the scale
+    * path for sparse retrieval: a query touches only the postings of
+    * ITS buckets (an equi-join prunes everything else), instead of
+    * scanning every document row the way the [[sparseDot]]-over-rows
+    * form must. At rest this is exactly the BM25 postings layout —
+    * write it `partitionBy(bucket % B)` ([[graft.ops.Bm25
+    * .writePostings]]'s pattern) and query-bucket pruning becomes disk
+    * pruning. */
+  def invertedPostings(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       idxCol: String, valCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(arrays_zip(col(idxCol).as("bucket"),
+          col(valCol).as("v"))).as("p"))
+      .select(col("id"), col("p.bucket"), col("p.v"))
+
+  /** Sparse dot-product top-k over [[invertedPostings]]: join the
+    * (tiny, broadcast) query buckets, sum per doc, top-k. One
+    * map-side-combinable aggregation keyed by doc id; shuffle volume is
+    * bounded by the MATCHING postings (docs sharing no bucket with the
+    * query never enter the plan) — at 100 TB this is the difference
+    * between touching the query's posting lists and scanning the
+    * corpus. Scores are identical to the row-scan form: products of
+    * small-integer tfs are exact in double, so partial-aggregation
+    * order cannot change the sum. */
+  def invertedTopK(postings: org.apache.spark.sql.DataFrame,
+                   query: SparseVec, k: Int, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val q = query.indices.zip(query.values.map(_.toDouble))
+      .toDF("bucket", "__w")
+    postings.join(broadcast(q), "bucket")
+      .groupBy("id")
+      .agg(round(sum(col("v").cast("double") * col("__w")), roundTo)
+        .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Dot product of two sparse (indices, values) column pairs: for each
     * position of `ai`, look up its index in `bi` (arrays are small —
     * tens of non-zeros — so the per-row scan beats building maps).

@@ -602,6 +602,27 @@ object Retrieval {
 
   private val SparseQueryText = "spark merge hash window"
 
+  /** The SCALE path of r27 under the SAME oracle: the sparse corpus
+    * inverted into postings (one row per non-zero,
+    * [[graft.functions.Sparse.invertedPostings]]) and searched by
+    * joining the broadcast query buckets + one map-side-combinable
+    * per-doc sum ([[graft.functions.Sparse.invertedTopK]]) — a query
+    * touches only its buckets' posting lists, never the corpus rows.
+    * Score-identical to the row-scan form (small-integer tf products
+    * are exact in double), so the r27 oracle gates both shapes. */
+  def sparseInvertedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val postings = graft.functions.Sparse.invertedPostings(
+      documents(s, d).withColumn("__sv", sv(col("text")))
+        .select(col("doc_id"), col("__sv.indices").as("__i"),
+          col("__sv.values").as("__v")),
+      "doc_id", "__i", "__v")
+    graft.functions.Sparse.invertedTopK(postings,
+        emb.embed(SparseQueryText), 10)
+      .select(col("id").as("doc_id"), col("score"))
+  }
+
   /** Reranker application under the oracle (R2/R5: the cross-encoder
     * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
     * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
@@ -649,7 +670,8 @@ object Retrieval {
     "r25_ann_rewrite_dist" -> annRewriteDist,
     "r26_maxsim_ivf" -> maxsimIvfRewrite,
     "r27_sparse_topk" -> sparseTopk,
-    "r28_overlap_rerank" -> overlapRerank)
+    "r28_overlap_rerank" -> overlapRerank,
+    "r29_sparse_inverted" -> sparseInvertedTopk)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -855,6 +877,40 @@ object Retrieval {
             AS dist
         FROM cand CROSS JOIN q
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** r27's DuckDB replay — the Md5SparseEmbedder recipe from first
+    * principles: tokens are lowercase alnum runs, bucket =
+    * (first-8-md5-hex as 32-bit) / 2 mod 4096, value = the bucket's
+    * term frequency; the dot is the sum of doc_tf * query_tf over
+    * shared buckets (small integers — exact in double, sum order
+    * irrelevant). Shared verbatim with r29: the inverted-postings form
+    * must produce byte-identical scores. */
+  private val SparseOracleSql =
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS tok
+            FROM documents),
+          dv AS (
+            SELECT doc_id,
+                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM toks GROUP BY 1, 2),
+          qtok AS (
+            SELECT unnest(['spark', 'merge', 'hash', 'window']) AS tok),
+          qv AS (
+            SELECT (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM qtok GROUP BY 1),
+          scored AS (
+            SELECT dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
+            FROM dv JOIN qv USING (b) GROUP BY 1)
+          SELECT doc_id, score FROM scored
+          WHERE score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
     "r15_mmr_rerank" ->
@@ -1369,37 +1425,8 @@ object Retrieval {
           SELECT id, CAST(rank AS INTEGER) AS rank, src FROM f
           WHERE occ = 1
           ORDER BY src ASC, rank ASC LIMIT 10""",
-    "r27_sparse_topk" ->
-      // the Md5SparseEmbedder recipe from first principles: tokens are
-      // lowercase alnum runs, bucket = (first-8-md5-hex as 32-bit) / 2
-      // mod 4096, value = the bucket's term frequency; the dot product
-      // is the sum of doc_tf * query_tf over shared buckets (tf are
-      // small integers — exact in double, so sum order is irrelevant)
-      """WITH toks AS (
-            SELECT doc_id,
-                   unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x != '')) AS tok
-            FROM documents),
-          dv AS (
-            SELECT doc_id,
-                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
-                     % 4096 AS b,
-                   CAST(count(*) AS DOUBLE) AS v
-            FROM toks GROUP BY 1, 2),
-          qtok AS (
-            SELECT unnest(['spark', 'merge', 'hash', 'window']) AS tok),
-          qv AS (
-            SELECT (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
-                     % 4096 AS b,
-                   CAST(count(*) AS DOUBLE) AS w
-            FROM qtok GROUP BY 1),
-          scored AS (
-            SELECT dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
-            FROM dv JOIN qv USING (b) GROUP BY 1)
-          SELECT doc_id, score FROM scored
-          WHERE score > 0
-          ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    "r27_sparse_topk" -> SparseOracleSql,
+    "r29_sparse_inverted" -> SparseOracleSql,
     "r28_overlap_rerank" ->
       // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
       // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,

@@ -185,6 +185,37 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got === v.values.map(x => x * x.toDouble).sum)
   }
 
+  test("inverted sparse top-k equals the row-scan sparseDot ranking") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(dim = 512)
+    val texts = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark spark spark joins tables"),
+      (3L, "ducks swim on ponds"),
+      (4L, ""), // empty doc: no postings, no score
+      (5L, "tables join spark frames"))
+    val q = emb.embed("spark joins tables")
+    // row-scan form
+    val docs = texts.toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+    val rowScan = docs
+      .withColumn("score", round(Sparse.sparseDot(
+        col("sv.indices"), col("sv.values"),
+        typedlit(q.indices), typedlit(q.values)), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    // inverted-postings form
+    val postings = Sparse.invertedPostings(
+      docs.select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v")), "id", "i", "v")
+    val inverted = Sparse.invertedTopK(postings, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(inverted.toSeq === rowScan.toSeq)
+    assert(!inverted.exists(_._1 == 4L)) // empty doc absent from both
+  }
+
   test("multimodal stages preserve schema and batch shape") {
     val sp = spark
     import sp.implicits._

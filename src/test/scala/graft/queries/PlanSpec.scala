@@ -36,6 +36,19 @@ class PlanSpec extends SparkSpecBase {
       s"sparse scoring must not shuffle the corpus:\n$p")
   }
 
+  test("inverted sparse top-k (r29) broadcasts the query buckets and " +
+      "aggregates map-side") {
+    val p = plan(Retrieval.sparseInvertedTopk(spark, sf))
+    // query buckets are the broadcast side; postings never broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    // per-doc sum is a partial-then-final hash aggregate (map-side
+    // combine), topped by the bounded-heap top-k
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"query-bucket join must stay broadcast:\n$p")
+  }
+
   test("q06 pushes its filters into the parquet scan") {
     val p = plan(Relational.q06FilterSum(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
