@@ -295,6 +295,27 @@ object ScaleSmoke {
     // Declarative BM25 at scale: index build is the corpus-linear part
     // (one tokenize+shuffle over 16x docs); the registered rewrite's
     // QUERY cost is bounded by the query's terms (pruned postings +
+    // Inverted sparse retrieval at 16×: the corpus inverts into
+    // postings once; the QUERY's work is bounded by its buckets'
+    // posting lists (a broadcast bucket join + one combinable per-doc
+    // sum), so the query row must stay sub-second while the corpus
+    // grows — the sparse twin of the BM25 build-vs-query split below.
+    val sparseEmb = functions.Md5SparseEmbedder(4096)
+    val sparsePostings = {
+      val sv = udf((t: String) =>
+        sparseEmb.embed(if (t == null) "" else t))
+      functions.Sparse.invertedPostings(
+        docs.withColumn("__sv", sv(col("text")))
+          .select(col("doc_id"), col("__sv.indices").as("i"),
+            col("__sv.values").as("v")),
+        "doc_id", "i", "v").persist()
+    }
+    time("sparse_invert_build") { sparsePostings.count() }
+    time("sparse_inverted_query") {
+      functions.Sparse.invertedTopK(sparsePostings,
+        sparseEmb.embed("spark merge hash window"), 10).count()
+    }
+
     // top-(k·refine) semi-join + re-rank over candidates), so the
     // query row should sit far below the build row and barely move
     // with corpus size.
