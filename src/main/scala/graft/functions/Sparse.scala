@@ -112,6 +112,52 @@ object Sparse {
       .limit(k)
   }
 
+  private val BucketsMarker = "_graft_sparse_buckets"
+
+  /** Persist [[invertedPostings]] at rest, partitioned by
+    * `bucket mod buckets` — the BM25 term-bucket layout
+    * ([[graft.ops.Bm25.writePostings]]'s pattern) for sparse vectors:
+    * a stored query reads ONLY the directories its buckets hash into
+    * (real partition pruning), so query IO scales with the query's
+    * posting lists, not the corpus. The modulus is recorded in a
+    * marker so loads never guess it. */
+  def writePostings(postings: org.apache.spark.sql.DataFrame,
+                    dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    postings
+      .withColumn("__b", pmod(col("bucket"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(
+      postings.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[invertedTopK]] over a [[writePostings]] layout: the query's
+    * buckets map to their partition dirs via the recorded modulus and
+    * the `isin` filter prunes every other directory at the scan
+    * (`PartitionFilters`) — unmatched posting lists are never read. */
+  def searchStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   query: SparseVec, k: Int,
+                   roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$dir has no $BucketsMarker marker — not a " +
+      "writePostings layout")
+    val in = fs.open(p)
+    val buckets =
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+      } finally in.close()
+    val qb = query.indices.map(i => math.floorMod(i, buckets)).distinct
+    val pruned = spark.read.parquet(dir)
+      .filter(col("__b").isin(qb: _*))
+    invertedTopK(pruned, query, k, roundTo)
+  }
+
   /** Dot product of two sparse (indices, values) column pairs: for each
     * position of `ai`, look up its index in `bi` (arrays are small —
     * tens of non-zeros — so the per-row scan beats building maps).

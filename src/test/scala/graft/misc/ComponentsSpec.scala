@@ -216,6 +216,42 @@ class ComponentsSpec extends SparkSpecBase {
     assert(!inverted.exists(_._1 == 4L)) // empty doc absent from both
   }
 
+  test("stored sparse postings: bucket dirs prune, scores unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(dim = 512)
+    val docs = Seq(
+      (1L, "spark shuffles data"), (2L, "spark joins tables"),
+      (3L, "ducks swim on ponds"), (4L, "tables join spark frames"))
+      .toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+    val postings = Sparse.invertedPostings(
+      docs.select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v")), "id", "i", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sparse-store").toString
+    Sparse.writePostings(postings, dir, buckets = 8)
+    val q = emb.embed("spark joins")
+    val stored = Sparse.searchStored(spark, dir, q, 10)
+    val inMem = Sparse.invertedTopK(postings, q, 10)
+    assert(stored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq === inMem.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq)
+    // disk pruning is REAL: the scan plans with a PartitionFilters
+    // entry on __b restricted to the QUERY buckets (the repo's
+    // standard pruning assertion — AQE query stages hide the executed
+    // scan node from plan collection)
+    val qb = q.indices.map(i => math.floorMod(i, 8)).distinct.sorted
+    assert(qb.size < 8, "fixture must leave unprobed buckets")
+    val phys = stored.queryExecution.executedPlan.toString
+    val pf = phys.linesIterator
+      .find(_.contains("PartitionFilters: ["))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$phys"))
+    assert(pf.contains("__b"), s"partition filter not on __b: $pf")
+    qb.foreach(b => assert(pf.contains(b.toString),
+      s"bucket $b missing from partition filter: $pf"))
+  }
+
   test("multimodal stages preserve schema and batch shape") {
     val sp = spark
     import sp.implicits._
