@@ -623,6 +623,34 @@ object Retrieval {
       .select(col("id").as("doc_id"), col("score"))
   }
 
+  /** r27's oracle over the AT-REST layout
+    * ([[graft.functions.Sparse.writePostings]]): the inverted postings
+    * persisted into bucket-mod partition dirs and searched by
+    * [[graft.functions.Sparse.searchStored]], whose `isin` over the
+    * recorded modulus prunes every unprobed directory at the scan
+    * (`PartitionFilters`, asserted in-query) — a stored query's IO
+    * scales with its posting lists, not the corpus. Score-identical to
+    * the r27 row scan and the r29 in-memory inverted form, so the ONE
+    * oracle gates all three plan shapes. */
+  def sparseStored(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val postings = graft.functions.Sparse.invertedPostings(
+      documents(s, d).withColumn("__sv", sv(col("text")))
+        .select(col("doc_id"), col("__sv.indices").as("__i"),
+          col("__sv.values").as("__v")),
+      "doc_id", "__i", "__v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_store").toString
+    graft.functions.Sparse.writePostings(postings, dir, buckets = 16)
+    val df = graft.functions.Sparse.searchStored(s, dir,
+      emb.embed(SparseQueryText), 10)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") && phys.contains("__b"),
+      "stored sparse search did not prune bucket partitions")
+    df.select(col("id").as("doc_id"), col("score"))
+  }
+
   /** Reranker application under the oracle (R2/R5: the cross-encoder
     * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
     * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
@@ -671,7 +699,8 @@ object Retrieval {
     "r26_maxsim_ivf" -> maxsimIvfRewrite,
     "r27_sparse_topk" -> sparseTopk,
     "r28_overlap_rerank" -> overlapRerank,
-    "r29_sparse_inverted" -> sparseInvertedTopk)
+    "r29_sparse_inverted" -> sparseInvertedTopk,
+    "r30_sparse_stored" -> sparseStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1427,6 +1456,7 @@ object Retrieval {
           ORDER BY src ASC, rank ASC LIMIT 10""",
     "r27_sparse_topk" -> SparseOracleSql,
     "r29_sparse_inverted" -> SparseOracleSql,
+    "r30_sparse_stored" -> SparseOracleSql,
     "r28_overlap_rerank" ->
       // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
       // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,
