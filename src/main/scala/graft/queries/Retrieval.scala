@@ -182,6 +182,17 @@ object Retrieval {
     * determinism device, same contract as the POS lexicon). */
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // The oracle replays WordPiece as simple-tokens + 4-char split,
+    // which equals REAL WordPiece (BERT basic tokenization + greedy
+    // match) only on a punctuation-free lowercase corpus — on
+    // punctuated text, basic tokenization emits punct chars as their
+    // own (vocab-less → [UNK]) tokens, shifting dl and df. Fail LOUDLY
+    // if the fixture ever grows punctuation instead of hash-mismatching
+    // mysteriously. (Punctuated behavior itself is covered against
+    // reference fixtures in ComponentsSpec.)
+    require(docs.filter(col("text").rlike("[^a-z0-9 ]")).isEmpty,
+      "r24's oracle models punctuation-free corpora; documents.parquet " +
+        "now contains punctuation/uppercase — widen the oracle")
     val words = docs.select(explode(
         graft.functions.Tokenizers.Simple.column(col("text"))).as("w"))
       .distinct().collect().map(_.getString(0)).toSeq
