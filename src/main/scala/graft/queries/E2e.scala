@@ -100,9 +100,37 @@ object E2e {
     Dynamic.runSearch(reg, cfg, Query, chunks)
   }
 
+  /** e09: the sentence chunker (T2, chunk.py's sentence segmentation
+    * seat) under the oracle. The fixture corpus carries no sentence
+    * punctuation, so the gate PLANTS deterministic boundaries: each
+    * document's tokens are grouped 5 per sentence, every sentence led
+    * by the uppercase marker word `Sent` and closed with `.` — a shape
+    * the JDK `BreakIterator` sentence rules split unambiguously
+    * (period + space + uppercase; lowercase continuations like `e.g.
+    * the` would NOT break, which is why the marker word exists). The
+    * REAL [[graft.text.SentenceChunker.segment]] then runs per
+    * document and must recover exactly the planted sentences, which
+    * the oracle rebuilds as pure column math (locale edge behavior
+    * stays ChunkSpec's job). */
+  def sentenceChunk(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.text.SentenceChunker()
+    val f = udf { (t: String) =>
+      val toks = if (t == null) Seq.empty[String]
+        else t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val text = toks.grouped(5)
+        .map(g => "Sent " + g.mkString(" ") + ".").mkString(" ")
+      ch.segment(text)
+    }
+    documents(s, d)
+      .select(col("doc_id"), posexplode(f(col("text"))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch,
     "e07_html_extract" -> htmlExtract,
+    "e09_sentence_chunk" -> sentenceChunk,
     "d01_dynamic_pipeline" -> dynamicPipeline)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
@@ -187,7 +215,21 @@ object E2e {
           FROM rec WHERE i = len(pieces))"""
 
   val oracles: Map[String, String] = {
-    Map("e01_ingest_search" ->
+    Map("e09_sentence_chunk" ->
+      // rebuild the planted sentences: token i (0-based) belongs to
+      // sentence i // 5; chunk = 'Sent ' + its 5 tokens + '.'
+      """WITH rt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x != '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i // 5 AS INT) AS idx, tok, i
+               FROM (SELECT doc_id, unnest(toks) AS tok,
+                            unnest(range(len(toks))) AS i
+                     FROM rt))
+         SELECT doc_id, idx,
+                'Sent ' || string_agg(tok, ' ' ORDER BY i) || '.' AS chunk
+         FROM g GROUP BY doc_id, idx""",
+      "e01_ingest_search" ->
       s"""WITH RECURSIVE
         ${chunkerCte(ChunkSize, ChunkOverlap)},
         ch AS (

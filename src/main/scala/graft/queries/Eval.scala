@@ -146,6 +146,54 @@ object Eval {
       .filter(length(col("query")) > 0)
   }
 
+  /** e08: judged-relevance metrics WITHOUT stored truth (E6: the
+    * UMBRELA `evaluate_with_estimation` port, evaluate.py:210-231)
+    * under the oracle. Per query (first 8 tokens of docs 0..7, e04's
+    * retrieval shape), the overlap-ranked top-10 passages are judged
+    * by the deterministic [[OverlapJudge]] (rel ⟺ 2·|q∩p| ≥ |q|, the
+    * exact integer form of round(3·frac) ≥ 2) and the REAL scalar
+    * [[graft.eval.Judged.evaluateWithEstimation]] computes
+    * Precision@k / AP@k (k ∈ 3,5,10) + MRR — run DISTRIBUTED inside a
+    * typed mapGroups (one bounded group per query, never a driver
+    * loop); DuckDB replays ranking, judgment and every measure from
+    * first principles. */
+  def judgedMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = documents(s, d)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .withColumn("rt",
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")))
+    val docs = raw.select(col("id"), col("text"),
+      array_distinct(col("rt")).as("dt"))
+    val qs = raw.filter(col("id") < NGtQ)
+      .select(col("id").as("qid"),
+        concat_ws(" ", slice(col("rt"), 1, 8)).as("qtext"),
+        array_distinct(slice(col("rt"), 1, 8)).as("qt"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("ov").desc, col("id").asc)
+    val ranked = docs.crossJoin(broadcast(qs))
+      .withColumn("ov", size(array_intersect(col("dt"), col("qt"))))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("text"), col("qtext"))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ranked.as[(Long, Int, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (qid, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val m = graft.eval.Judged.evaluateWithEstimation(
+          rows.head._4, rows.map(_._3), OverlapJudge())
+        (qid, r6(m("precision@3")), r6(m("AP@3")),
+          r6(m("precision@5")), r6(m("AP@5")),
+          r6(m("precision@10")), r6(m("AP@10")), r6(m("MRR")))
+      }
+      .toDF("qid", "precision_3", "ap_3", "precision_5", "ap_5",
+        "precision_10", "ap_10", "mrr")
+      .orderBy("qid")
+  }
+
   /** The augmenter seat under the oracle (T12–T13: the reference's
     * contextual-retrieval stages, augment.py:68-93, via the
     * deterministic [[graft.text.LocalAugmenter]]): per document,
@@ -166,7 +214,8 @@ object Eval {
     "e03_metrics_macro" -> metricsMacro,
     "e04_groundtruth_loop" -> groundtruthLoop,
     "e05_query_synthesis" -> querySynthesis,
-    "e06_augment" -> augment)
+    "e06_augment" -> augment,
+    "e08_judged_metrics" -> judgedMetrics)
 
   /** Shared oracle CTE chain: ranked top-10 per query with binary
     * relevance, cumulative precision, per-query measures. */
@@ -324,5 +373,58 @@ object Eval {
              list_filter(list_transform(
                regexp_split_to_array(text, '[.!?\n]+'), y -> trim(y)),
                y -> y != '')[1], ''), 1, 160) AS summary
-         FROM documents""")
+         FROM documents""",
+    // e08: the judged-metric replay — e04's ranking + judgment CTEs at
+    // depth 10, then Precision@k = rel-in-top-k / k, AP@k = mean of
+    // cum_rel/rank AT the relevant positions within top k (0 if none),
+    // MRR = 1/first-relevant-rank (0 if none)
+    "e08_judged_metrics" ->
+      s"""WITH rt AS (SELECT doc_id AS id,
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x != '') AS toks
+            FROM documents),
+        d AS (SELECT id, list_distinct(toks) AS dt FROM rt),
+        q AS (SELECT id AS qid, list_distinct(toks[1:8]) AS qt
+              FROM rt WHERE id < $NGtQ),
+        ranked AS (SELECT qid, id, rel, rank FROM (
+            SELECT q.qid, d.id,
+                   CAST(2 * len(list_intersect(d.dt, q.qt)) >= len(q.qt)
+                     AS INT) AS rel,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY len(list_intersect(d.dt, q.qt)) DESC,
+                              d.id ASC) AS rank
+            FROM q CROSS JOIN d) WHERE rank <= $K),
+        cum AS (SELECT qid, rel, rank,
+                       sum(rel) OVER (PARTITION BY qid ORDER BY rank)
+                         AS cum_rel
+                FROM ranked),
+        meas AS (SELECT qid,
+            CAST(sum(CASE WHEN rank <= 3 THEN rel END) AS DOUBLE) / 3
+              AS precision_3,
+            coalesce(sum(CASE WHEN rel = 1 AND rank <= 3
+                          THEN CAST(cum_rel AS DOUBLE) / rank END)
+              / nullif(sum(CASE WHEN rank <= 3 THEN rel END), 0), 0)
+              AS ap_3,
+            CAST(sum(CASE WHEN rank <= 5 THEN rel END) AS DOUBLE) / 5
+              AS precision_5,
+            coalesce(sum(CASE WHEN rel = 1 AND rank <= 5
+                          THEN CAST(cum_rel AS DOUBLE) / rank END)
+              / nullif(sum(CASE WHEN rank <= 5 THEN rel END), 0), 0)
+              AS ap_5,
+            CAST(sum(CASE WHEN rank <= $K THEN rel END) AS DOUBLE) / $K
+              AS precision_10,
+            coalesce(sum(CASE WHEN rel = 1 AND rank <= $K
+                          THEN CAST(cum_rel AS DOUBLE) / rank END)
+              / nullif(sum(CASE WHEN rank <= $K THEN rel END), 0), 0)
+              AS ap_10,
+            coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0) AS mrr
+          FROM cum GROUP BY 1)
+        SELECT qid, round(precision_3, 6) AS precision_3,
+               round(ap_3, 6) AS ap_3,
+               round(precision_5, 6) AS precision_5,
+               round(ap_5, 6) AS ap_5,
+               round(precision_10, 6) AS precision_10,
+               round(ap_10, 6) AS ap_10,
+               round(mrr, 6) AS mrr
+        FROM meas ORDER BY qid""")
 }
