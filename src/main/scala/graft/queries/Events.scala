@@ -151,6 +151,56 @@ object Events {
       "scan stream vector", 10)
   }
 
+  /** s08: the DENSE-index streaming lifecycle under the oracle — the
+    * IVF twin of s07's BM25 gate. Embeddings stream through
+    * [[graft.streaming.Stream.ingestIvf]] (argmin-assigned against a
+    * label-mean IVF model, appended exactly-once into a
+    * `partitionBy(centroid_id)` at-rest layout with the model
+    * fingerprint pinned by marker), the grown layout GRADUATES to
+    * batch via [[graft.streaming.Stream.compactStored]] (commit log
+    * removed, one file per cell), and
+    * [[graft.ops.Ann.searchIvfStored]] answers a probes=3 L2 top-10
+    * over the compacted dirs — results indistinguishable from a batch
+    * `writePartitioned` build, which is exactly what the DuckDB replay
+    * (centroids → assignment → probe selection → exact in-cell top-k,
+    * the r25 shape) asserts. */
+  def streamIvfTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s08_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s08_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestIvf(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", model,
+      graft.ops.Ann.L2, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s, dir,
+      "centroid_id", maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no cell dirs")
+    require(!new java.io.File(dir, "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    val qv = rows.find(_._1 == 9L)
+      .getOrElse(throw new IllegalStateException("no vec_id 9"))._2
+    graft.ops.Ann.searchIvfStored(s, dir, "vec_id", "embedding", model,
+        typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10)
+      .select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -158,7 +208,8 @@ object Events {
     "s04_asof_purchase" -> asofPurchase,
     "s05_range_clicks" -> rangeClicks,
     "s06_stream_interval_twin" -> streamIntervalTwin,
-    "s07_stream_compact_twin" -> streamCompactTwin)
+    "s07_stream_compact_twin" -> streamCompactTwin,
+    "s08_stream_ivf_twin" -> streamIvfTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -233,5 +284,40 @@ object Events {
     "s07_stream_compact_twin" ->
       s"""WITH ${Retrieval.bm25Cte(Seq("scan", "stream", "vector"))}
           SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
-          ORDER BY score DESC, id ASC LIMIT 10""")
+          ORDER BY score DESC, id ASC LIMIT 10""",
+    // s08: the streamed-then-compacted IVF layout is lossless, so the
+    // replay is the r25/r09 IVF shape — label-mean centroids (round 5),
+    // L2 argmin assignment (ties centroid_id asc), 3 probed cells by
+    // distance to the query, exact top-10 within.
+    "s08_stream_ivf_twin" ->
+      """WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id = 9),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY list_distance(centroid, (SELECT v FROM qv)) ASC,
+                     centroid_id ASC
+            LIMIT 3)
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[],
+                                     (SELECT v FROM qv)), 6) AS dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""")
 }
