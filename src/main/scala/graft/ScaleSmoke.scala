@@ -316,6 +316,41 @@ object ScaleSmoke {
         sparseEmb.embed("spark merge hash window"), 10).count()
     }
 
+    // The AT-REST form: postings persisted into bucket-mod partition
+    // dirs once (build, corpus-linear), then a stored query must read
+    // ONLY the directories its buckets hash into — measured via the
+    // scan's post-pruning numPartitions, not assumed.
+    val sparseStoreDir = java.nio.file.Files
+      .createTempDirectory("graft_smoke_sparse").toString
+    time("sparse_store_build") {
+      functions.Sparse.writePostings(sparsePostings, sparseStoreDir,
+        buckets = 64)
+      64L
+    }
+    time("sparse_stored_query") {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = sparseEmb.embed("spark merge hash window")
+        val df = functions.Sparse.searchStored(spark, sparseStoreDir, q, 10)
+        val n = df.collect().length.toLong
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val dirsRead = root.collectWithSubqueries {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("numPartitions").map(_.value).getOrElse(0L)
+        }.sum
+        val qb = q.indices.map(i => math.floorMod(i, 64)).distinct.size
+        require(dirsRead > 0 && dirsRead <= qb && dirsRead < 64,
+          s"stored sparse query must read only its $qb query-bucket " +
+            s"dirs of 64, read $dirsRead")
+        n
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+
     // top-(k·refine) semi-join + re-rank over candidates), so the
     // query row should sit far below the build row and barely move
     // with corpus size.
