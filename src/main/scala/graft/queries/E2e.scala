@@ -127,10 +127,58 @@ object E2e {
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
   }
 
+  /** Minimal one-page PDF wrapping `text` as a FlateDecode content
+    * stream (`BT (…) Tj ET`, parenthesis/backslash-escaped) — the
+    * deterministic document-wrapper e10 uses, exercising the real
+    * xref-less object walk, stream inflate and literal-string decode
+    * of [[graft.text.Extract.pdf]] (extract.py:? — the reference
+    * delegates PDFs to pypdf; the pure-JVM extractor is ours). */
+  private def pdfBytes(text: String): Array[Byte] = {
+    val esc = text.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")
+    val stream = s"BT ($esc) Tj ET"
+    val dfl = new java.util.zip.Deflater()
+    dfl.setInput(stream.getBytes("ISO-8859-1")); dfl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!dfl.finished()) bos.write(buf, 0, dfl.deflate(buf))
+    dfl.end()
+    val body = bos.toByteArray
+    // concatenate as BYTES: the deflated body is binary and must not
+    // pass through string templating (a chance `\n|` inside it would
+    // be eaten by stripMargin, truncating the stream)
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${body.length} /Filter /FlateDecode >>\n" +
+      "stream\n").getBytes("ISO-8859-1")
+    val tail = ("\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head); out.write(body); out.write(tail)
+    out.toByteArray
+  }
+
+  /** e10: the REAL PDF extraction dispatch (T4) under the oracle —
+    * e07's wrapper pattern for the binary format: every document's
+    * text wraps into a deterministic Flate-compressed PDF and
+    * `Extract.extract(".pdf", bytes)` (inflate → content-stream
+    * tokenization → literal-string unescape → NFKC) must recover the
+    * text verbatim; the oracle is the document text itself. Crypto /
+    * CID / ObjStm edge behavior stays ExtractEmbedSpec's job. */
+  def pdfExtract(s: SparkSession, d: String): DataFrame = {
+    val f = udf { (t: String) =>
+      graft.text.Extract.extract(".pdf", pdfBytes(if (t == null) "" else t))
+    }
+    documents(s, d).select(col("doc_id"), f(col("text")).as("text_out"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch,
     "e07_html_extract" -> htmlExtract,
     "e09_sentence_chunk" -> sentenceChunk,
+    "e10_pdf_extract" -> pdfExtract,
     "d01_dynamic_pipeline" -> dynamicPipeline)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
@@ -215,7 +263,10 @@ object E2e {
           FROM rec WHERE i = len(pieces))"""
 
   val oracles: Map[String, String] = {
-    Map("e09_sentence_chunk" ->
+    Map("e10_pdf_extract" ->
+      // extraction must be lossless on the wrapped text
+      "SELECT doc_id, coalesce(text, '') AS text_out FROM documents",
+      "e09_sentence_chunk" ->
       // rebuild the planted sentences: token i (0-based) belongs to
       // sentence i // 5; chunk = 'Sent ' + its 5 tokens + '.'
       """WITH rt AS (SELECT doc_id,
