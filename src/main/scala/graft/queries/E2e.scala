@@ -174,11 +174,36 @@ object E2e {
     documents(s, d).select(col("doc_id"), f(col("text")).as("text_out"))
   }
 
+  /** e11: the LocalLoader (S8, loader.py's directory loader) under the
+    * oracle. Every document's text is materialized as a real `.txt`
+    * file and [[graft.io.Load.localDir]] — the DISTRIBUTED
+    * `binaryFile` scan with extension extraction + sha-256 digest —
+    * must read every file back; the oracle recomputes the digest from
+    * the source text (DuckDB `sha256` over the same UTF-8 bytes), so
+    * the gate pins the whole loader contract: recursive discovery,
+    * glob filter, ext parse, byte-exact content, digest. */
+  def localLoader(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_e11")
+    rows.foreach { case (id, tx) =>
+      java.nio.file.Files.write(dir.resolve(s"$id.txt"),
+        (if (tx == null) "" else tx).getBytes("UTF-8"))
+    }
+    graft.io.Load.localDir(s, dir.toString, glob = "*.txt")
+      .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("ext"), col("digest"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch,
     "e07_html_extract" -> htmlExtract,
     "e09_sentence_chunk" -> sentenceChunk,
     "e10_pdf_extract" -> pdfExtract,
+    "e11_local_loader" -> localLoader,
     "d01_dynamic_pipeline" -> dynamicPipeline)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
@@ -266,6 +291,10 @@ object E2e {
     Map("e10_pdf_extract" ->
       // extraction must be lossless on the wrapped text
       "SELECT doc_id, coalesce(text, '') AS text_out FROM documents",
+      "e11_local_loader" ->
+        """SELECT doc_id, '.txt' AS ext,
+             sha256(coalesce(text, '')) AS digest
+           FROM documents ORDER BY doc_id""",
       "e09_sentence_chunk" ->
       // rebuild the planted sentences: token i (0-based) belongs to
       // sentence i // 5; chunk = 'Sent ' + its 5 tokens + '.'

@@ -201,6 +201,49 @@ object Events {
       .select("vec_id", "dist")
   }
 
+  /** s09: watermark-bounded streaming dedup
+    * ([[graft.streaming.Stream.dedupByDigest]] — `dropDuplicates
+    * WithinWatermark` over a sha-256 content digest) under the oracle.
+    * Batch 1 streams every document with row-unique content
+    * (`text#id`); batch 2 streams a second copy of the corpus under
+    * shifted ids where EVEN source ids repeat batch 1's exact content
+    * (planted cross-batch duplicates → dropped by state) and odd ids
+    * carry fresh content (→ kept). Duplicates arrive strictly AFTER
+    * their originals and content is otherwise row-unique, so the
+    * kept-set is deterministic at any parallelism; event times all sit
+    * within one watermark window so nothing is late-dropped (the
+    * watermark-expiry geometry stays StreamSpec's job). The oracle is
+    * pure arithmetic over `documents`. */
+  def streamDedupTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(i: Long) = new java.sql.Timestamp(base.getTime + (i % 60) * 1000)
+    val rows = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val b1 = rows.map { case (id, tx) =>
+      (id, t(id), s"${if (tx == null) "" else tx}#$id") }
+    val b2 = rows.map { case (id, tx) =>
+      val txt = if (tx == null) "" else tx
+      if (id % 2 == 0) (id + 10000000L, t(id + 1), s"$txt#$id")
+      else (id + 10000000L, t(id + 1), s"$txt#dup#$id")
+    }
+    val sink = "graft_s09_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.Stream.dedupByDigest(
+        input.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).select("doc_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -209,7 +252,8 @@ object Events {
     "s05_range_clicks" -> rangeClicks,
     "s06_stream_interval_twin" -> streamIntervalTwin,
     "s07_stream_compact_twin" -> streamCompactTwin,
-    "s08_stream_ivf_twin" -> streamIvfTwin)
+    "s08_stream_ivf_twin" -> streamIvfTwin,
+    "s09_stream_dedup_twin" -> streamDedupTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -319,5 +363,14 @@ object Events {
                  round(list_distance(a.embedding::DOUBLE[],
                                      (SELECT v FROM qv)), 6) AS dist
           FROM assigned a JOIN probes USING (centroid_id)
-          ORDER BY dist ASC, vec_id ASC LIMIT 10""")
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // s09: kept = every batch-1 row (all content row-unique) + the
+    // odd-source-id batch-2 rows (fresh content); even-source-id
+    // batch-2 rows repeat batch-1 content exactly and are dropped.
+    "s09_stream_dedup_twin" ->
+      """SELECT doc_id FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000 AS doc_id FROM documents
+         WHERE doc_id % 2 = 1
+         ORDER BY doc_id""")
 }
