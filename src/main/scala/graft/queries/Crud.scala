@@ -128,11 +128,42 @@ object Crud {
       .searchByMultivec(td, qts, topk = 5, refine = 0)
   }
 
+  final case class Doc(doc_id: Long, text: String)
+  private implicit val docEnc: org.apache.spark.sql.Encoder[Doc] =
+    org.apache.spark.sql.Encoders.product[Doc]
+
+  /** c05: the PER-COLUMN tokenizer model choice (T16 —
+    * `KeywordIndex.model`, spec.py:468-479's tokenizer-per-index
+    * contract) under the oracle. The table declares its text column
+    * indexed with `wiki_tocken` (whitespace words, edge punctuation
+    * trimmed, CASE KEPT — Tokenizers.Wiki) and every document gets a
+    * planted mixed-case punctuated suffix ` Wiki-Mix: end.` whose
+    * tokens only exist in the wiki term space (`Wiki-Mix`, `end`; the
+    * simple tokenizer would shatter them into lowercase alnum runs).
+    * `Engine.searchByKeyword` must resolve the model FROM the table
+    * spec and score the query's case-sensitive terms; DuckDB replays
+    * wiki tokenization (split on whitespace, strip edge punct, keep
+    * case) and the BM25 sum from first principles. */
+  def engineWikiKeyword(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val dd = TableDef[Doc]("docs", primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.KeywordIndex("text",
+        model = "wiki_tocken")))
+    reg.register(dd)
+    reg.copyBulk(dd, documents(s, d).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(" Wiki-Mix: end."))
+        .as("text")))
+    new graft.core.Engine(reg)
+      .searchByKeyword(dd, "spark Wiki-Mix end", topk = 10,
+        returnFields = Seq("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_crud_cascade" -> crudCascade,
     "c02_select_anyof" -> selectAnyOf,
     "c03_insert_autoinc" -> insertAutoInc,
-    "c04_engine_multivec" -> engineMultivec)
+    "c04_engine_multivec" -> engineMultivec,
+    "c05_engine_wiki_keyword" -> engineWikiKeyword)
 
   val oracles: Map[String, String] = Map(
     "c01_crud_cascade" ->
@@ -160,5 +191,37 @@ object Crud {
                           max(list_inner_product(q.qv, dt.dv)) AS m
                    FROM dt CROSS JOIN q GROUP BY 1, 2)
           SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
-          ORDER BY score DESC, label ASC LIMIT 5""")
+          ORDER BY score DESC, label ASC LIMIT 5""",
+    // c05: BM25 over the WIKI term space — whitespace words, edge
+    // punctuation stripped, case kept (so 'Wiki-Mix' survives as one
+    // case-sensitive term) — same k1/b/idf as the r05 replay.
+    "c05_engine_wiki_keyword" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+                  unnest(list_filter(list_transform(
+                    regexp_split_to_array(
+                      coalesce(text, '') || ' Wiki-Mix: end.', '\s+'),
+                    y -> regexp_replace(y,
+                           '^[[:punct:]]+|[[:punct:]]+$', '', 'g')),
+                    x -> x != '')) AS term
+           FROM documents),
+         tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         qterms AS (SELECT unnest(['spark', 'Wiki-Mix', 'end']) AS term),
+         scored AS (
+           SELECT tf.id,
+                  ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                    (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
+                    AS w
+           FROM tf
+           JOIN qterms USING (term)
+           JOIN stats s USING (term)
+           JOIN dl USING (id)
+           CROSS JOIN g)
+         SELECT id AS doc_id, round(sum(w), 6) AS score FROM scored
+         GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 10""")
 }
