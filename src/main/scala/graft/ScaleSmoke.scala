@@ -316,6 +316,32 @@ object ScaleSmoke {
         sparseEmb.embed("spark merge hash window"), 10).count()
     }
 
+    // Hot-key skew: 40% of the inflated fact side shares ONE join key
+    // (the shape AQE's partition splitting alone cannot spread — every
+    // row of a key still hashes to one reducer). The salted join must
+    // be result-identical to the plain join (row-count asserted here,
+    // full equality in SkewSpec/q17) while the hot key fans out over
+    // 16 salts.
+    locally {
+      val fact = docs.select(
+        when(col("doc_id") % 5 < 2, lit(7L))
+          .otherwise(pmod(col("doc_id"), lit(1000L))).as("k"),
+        col("n_chars"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        pmod(col("id"), lit(7L)).as("grp"))
+      var plainN = 0L
+      time("plain_join_hotkey") {
+        plainN = fact.join(dim, Seq("k")).count(); plainN
+      }
+      time("salted_join_hotkey") {
+        val n = ops.Skew.saltedJoin(fact, dim, Seq("k"), salts = 16)
+          .count()
+        require(n == plainN,
+          s"salted join changed the result: $n rows vs plain $plainN")
+        n
+      }
+    }
+
     // The AT-REST form: postings persisted into bucket-mod partition
     // dirs once (build, corpus-linear), then a stored query must read
     // ONLY the directories its buckets hash into — measured via the

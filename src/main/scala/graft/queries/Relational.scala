@@ -218,7 +218,28 @@ object Relational {
       .orderBy("o_orderpriority", "month")
   }
 
+  /** q17: the hot-key skew defense ([[graft.ops.Skew.saltedJoin]])
+    * under the oracle — the salted fact⋈dim join must be
+    * RESULT-IDENTICAL to the plain join it replaces (the oracle IS the
+    * plain join); per-brand revenue over lineitem⋈part with the fact
+    * side spread over 8 deterministic row-hash salts and the dim side
+    * replicated 8×. SkewSpec covers the semantics the oracle can't see
+    * (left-join unmatched rows, broadcast disabled, salt determinism). */
+  def q17SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"))
+    graft.ops.Skew.saltedJoin(l, p, Seq("p_partkey"), salts = 8)
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_salted_join" -> q17SaltedJoin,
     "q15_correlated_sub" -> q15CorrelatedSub,
     "q16_running_sum" -> q16RunningSum,
     "q11_cube" -> q11Cube,
@@ -307,6 +328,15 @@ object Relational {
          WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
                             WHERE c2.c_nationkey = c.c_nationkey)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q17_salted_join" ->
+      // the oracle IS the plain (unsalted) join — salting must be
+      // invisible in the result
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
     "q16_running_sum" ->
       """WITH m AS (
            SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
