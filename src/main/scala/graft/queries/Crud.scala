@@ -158,12 +158,48 @@ object Crud {
         returnFields = Seq("doc_id"))
   }
 
+  /** c06: the table LIFECYCLE under the oracle — drop with cascade
+    * (S7, client.py:285-296's drop + FK walk), clear_storage (D8,
+    * client.py:298-303) and DDL-at-register manifest recovery (D9):
+    * copy both tables, drop the parent cascading away its child,
+    * re-register + reload the parent, then a SECOND Registry over the
+    * SAME root must recover exactly that state from the on-disk
+    * manifest (full parent, empty child), and `clear()` must empty
+    * what recovery found. The oracle derives the one non-constant
+    * (the recovered parent count) from the source parquet; the zeros
+    * are produced by real drop/clear machinery — a cascade or clear
+    * that leaks rows fails the hash. */
+  def lifecycleDrop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_c06").toString
+    val reg = new Registry(s, root)
+    val (cd, od) = (custDef, ordDef)
+    reg.register(cd, od)
+    reg.copyBulk(cd,
+      customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"))
+    reg.copyBulk(od,
+      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
+    reg.drop(cd, cascade = true)
+    reg.register(cd)
+    reg.copyBulk(cd,
+      customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"))
+    val reg2 = new Registry(s, root)
+    reg2.register(custDef, ordDef)
+    val nCust = reg2.table(custDef).count()
+    val nOrd = reg2.table(ordDef).count()
+    reg2.clear()
+    val nClear = reg2.table(custDef).count()
+    Seq((nCust, nOrd, nClear))
+      .toDF("n_cust_recovered", "n_orders_after_drop", "n_after_clear")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_crud_cascade" -> crudCascade,
     "c02_select_anyof" -> selectAnyOf,
     "c03_insert_autoinc" -> insertAutoInc,
     "c04_engine_multivec" -> engineMultivec,
-    "c05_engine_wiki_keyword" -> engineWikiKeyword)
+    "c05_engine_wiki_keyword" -> engineWikiKeyword,
+    "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
     "c01_crud_cascade" ->
@@ -223,5 +259,12 @@ object Crud {
            JOIN dl USING (id)
            CROSS JOIN g)
          SELECT id AS doc_id, round(sum(w), 6) AS score FROM scored
-         GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 10""")
+         GROUP BY id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // c06: the recovered parent must hold the FULL corpus; the
+    // cascade-dropped child and the cleared registry must hold nothing
+    "c06_lifecycle_drop" ->
+      """SELECT count(*) AS n_cust_recovered,
+           CAST(0 AS BIGINT) AS n_orders_after_drop,
+           CAST(0 AS BIGINT) AS n_after_clear
+         FROM customer""")
 }
