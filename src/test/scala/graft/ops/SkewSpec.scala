@@ -24,8 +24,8 @@ class SkewSpec extends SparkSpecBase {
 
   private def sortedRows(df: org.apache.spark.sql.DataFrame) =
     df.select("k", "payload", "name").collect()
-      .map(r => (r.getLong(0), r.getString(1),
-        Option(r.get(2)).map(_.toString).orNull))
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getString(1), Option(r.get(2)).map(_.toString).orNull))
       .sortBy(t => (t._1, t._2, String.valueOf(t._3)))
 
   test("salted inner join equals the plain join with broadcast off") {
@@ -60,6 +60,46 @@ class SkewSpec extends SparkSpecBase {
     assert(once === again)
     assert(sortedRows(Skew.saltedJoin(fact, dim, Seq("k"), salts = 1)) ===
       sortedRows(fact.join(dim, Seq("k"))))
+  }
+
+  test("null join keys behave exactly like the plain join") {
+    val sp = spark
+    import sp.implicits._
+    val fact = Seq((Some(1L), "a"), (None, "n1"), (None, "n2"),
+      (Some(2L), "b")).toDF("k", "payload")
+    val dim = Seq((Some(1L), "one"), (None, "nulldim"))
+      .toDF("k", "name")
+    // SQL equi-join semantics: null keys never match — salted or not
+    val salted = sortedRows(Skew.saltedJoin(fact, dim, Seq("k")))
+    assert(salted === sortedRows(fact.join(dim, Seq("k"))))
+    val left = Skew.saltedJoin(fact, dim, Seq("k"), joinType = "left")
+    assert(sortedRows(left) === sortedRows(fact.join(dim, Seq("k"), "left")))
+    assert(left.filter(col("k").isNull).count() === 2L)
+  }
+
+  test("property: salted equals plain on randomized skewed data") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { round =>
+      // 60% of fact rows pile on one hot key; dim covers half the space
+      val hot = rnd.nextInt(10).toLong
+      val fact = (0 until 300).map { i =>
+        val k = if (rnd.nextDouble() < 0.6) hot else rnd.nextInt(20).toLong
+        (k, rnd.nextInt(1000))
+      }.toDF("k", "v")
+      val dim = (0 until 10).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val salts = 1 + rnd.nextInt(8)
+      val s1 = Skew.saltedJoin(fact, dim, Seq("k"), salts = salts)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val s2 = fact.join(dim, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(s1 === s2, s"round $round salts=$salts")
+    }
   }
 
   test("unsupported join types and bad salts are refused loudly") {
