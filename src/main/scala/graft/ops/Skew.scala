@@ -45,11 +45,20 @@ object Skew {
     * shuffle — use the smallest `salts` that caps the hot key's
     * per-reducer share, and only when the small side is over the
     * broadcast threshold (a broadcast join needs no salting at all).
-    */
+    *
+    * Caveats: the salt hashes the big side's FULL row (hashing only
+    * the key would put every hot-key row back on one salt), so rows
+    * that are exact duplicates share a salt — content-duplicated hot
+    * rows spread no further than their distinct payloads; and columns
+    * xxhash64 cannot hash (e.g. maps) fail loudly at planning — project
+    * them away before salting. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int = 16,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains(SaltCol) &&
+        !small.columns.contains(SaltCol),
+      s"input already carries the reserved column $SaltCol")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left joins, got $joinType " +
         "(replication would duplicate unmatched right-side rows)")
