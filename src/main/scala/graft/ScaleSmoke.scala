@@ -292,9 +292,6 @@ object ScaleSmoke {
       removed
     }
 
-    // Declarative BM25 at scale: index build is the corpus-linear part
-    // (one tokenize+shuffle over 16x docs); the registered rewrite's
-    // QUERY cost is bounded by the query's terms (pruned postings +
     // Inverted sparse retrieval at 16×: the corpus inverts into
     // postings once; the QUERY's work is bounded by its buckets'
     // posting lists (a broadcast bucket join + one combinable per-doc
@@ -377,6 +374,9 @@ object ScaleSmoke {
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
 
+    // Declarative BM25 at scale: index build is the corpus-linear part
+    // (one tokenize+shuffle over 16x docs); the registered rewrite's
+    // QUERY cost is bounded by the query's terms (pruned postings +
     // top-(k·refine) semi-join + re-rank over candidates), so the
     // query row should sit far below the build row and barely move
     // with corpus size.

@@ -124,6 +124,8 @@ object Sparse {
   def writePostings(postings: org.apache.spark.sql.DataFrame,
                     dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
+    require(!postings.columns.contains("__b"),
+      "postings already carry the reserved partition column __b")
     postings
       .withColumn("__b", pmod(col("bucket"), lit(buckets)))
       .write.mode("overwrite").partitionBy("__b").parquet(dir)
@@ -146,11 +148,16 @@ object Sparse {
     require(fs.exists(p), s"$dir has no $BucketsMarker marker — not a " +
       "writePostings layout")
     val in = fs.open(p)
+    // read to EOF, not one read() call: a stream may legally return a
+    // short first read (object-store adapters), and a truncated
+    // modulus would silently prune the WRONG directories
     val buckets =
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8").trim.toInt
       } finally in.close()
     val qb = query.indices.map(i => math.floorMod(i, buckets)).distinct
     val pruned = spark.read.parquet(dir)

@@ -134,6 +134,13 @@ object E2e {
     * of [[graft.text.Extract.pdf]] (extract.py:? — the reference
     * delegates PDFs to pypdf; the pure-JVM extractor is ours). */
   private def pdfBytes(text: String): Array[Byte] = {
+    // the wrapper emits Latin-1 literal strings; fail LOUDLY if the
+    // fixture ever grows a char the encoding would silently turn into
+    // '?' (the oracle keeps the original → opaque hash mismatch)
+    require(text.forall(_ <= 0xFF.toChar),
+      "e10's PDF wrapper encodes Latin-1 literals; documents.parquet " +
+        "now carries chars beyond U+00FF — widen the wrapper (UTF-16 " +
+        "strings) first")
     val esc = text.replace("\\", "\\\\")
       .replace("(", "\\(").replace(")", "\\)")
     val stream = s"BT ($esc) Tj ET"

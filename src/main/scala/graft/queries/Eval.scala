@@ -184,7 +184,8 @@ object Eval {
       .mapGroups { (qid, it) =>
         val rows = it.toSeq.sortBy(_._2)
         val m = graft.eval.Judged.evaluateWithEstimation(
-          rows.head._4, rows.map(_._3), OverlapJudge())
+          rows.head._4,
+          rows.map(t => Option(t._3).getOrElse("")), OverlapJudge())
         (qid, r6(m("precision@3")), r6(m("AP@3")),
           r6(m("precision@5")), r6(m("AP@5")),
           r6(m("precision@10")), r6(m("AP@10")), r6(m("MRR")))
