@@ -409,10 +409,14 @@ object Ann {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
+      // read to EOF, not one read() call — a short first read would
+      // truncate the fingerprint and refuse every legitimate append
       try {
+        val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](128)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, "UTF-8").trim)
       } finally in.close()
     }
   }
