@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpecBase {
       s"query-bucket join must stay broadcast:\n$p")
   }
 
+  test("salted join (q17) plans no cartesian and keeps the partial agg") {
+    val p = plan(Relational.q17SaltedJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"salting must stay an equi-join on (key, salt):\n$p")
+    // revenue aggregation keeps map-side combine
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("stored sparse search (r30) prunes bucket partition dirs") {
+    val p = plan(Retrieval.sparseStored(spark, sf))
+    assert(p.contains("PartitionFilters") && p.contains("__b"),
+      s"stored sparse scan must carry a __b partition filter:\n$p")
+  }
+
   test("q06 pushes its filters into the parquet scan") {
     val p = plan(Relational.q06FilterSum(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
