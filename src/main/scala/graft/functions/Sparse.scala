@@ -99,11 +99,20 @@ object Sparse {
     * order cannot change the sum. */
   def invertedTopK(postings: org.apache.spark.sql.DataFrame,
                    query: SparseVec, k: Int, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame =
+    invertedTopKW(postings, query.indices,
+      query.values.map(_.toDouble), k, roundTo)
+
+  /** [[invertedTopK]] with explicit double weights (no float
+    * round-trip) — the entry the declarative rewrite uses, whose
+    * query literals are already doubles. */
+  def invertedTopKW(postings: org.apache.spark.sql.DataFrame,
+                    qIdx: Seq[Int], qVal: Seq[Double], k: Int,
+                    roundTo: Int = 6)
       : org.apache.spark.sql.DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = query.indices.zip(query.values.map(_.toDouble))
-      .toDF("bucket", "__w")
+    val q = qIdx.zip(qVal).toDF("bucket", "__w")
     postings.join(broadcast(q), "bucket")
       .groupBy("id")
       .agg(round(sum(col("v").cast("double") * col("__w")), roundTo)
@@ -164,6 +173,19 @@ object Sparse {
       .filter(col("__b").isin(qb: _*))
     invertedTopK(pruned, query, k, roundTo)
   }
+
+  /** Scalar sparse score of a document's (indices, values) columns
+    * against a FIXED query — the DECLARATIVE form: built on the
+    * codegen'd [[org.apache.spark.sql.graft.SparseDotQ]] expression,
+    * which [[graft.plans.AnnTopKRule]] recognizes in
+    * `orderBy(score.desc).limit(k)` plans and (when the indices column
+    * is registered via `AnnIndex.registerSparse`) rewrites into an
+    * inverted-postings candidate semi-join + this exact re-rank.
+    * Score-identical to [[sparseDot]] with the same query. */
+  def scoreColumn(indices: Column, values: Column,
+                  query: SparseVec): Column =
+    org.apache.spark.sql.graft.VecExprs.sparseDotQ(indices, values,
+      query.indices, query.values.map(_.toDouble))
 
   /** Dot product of two sparse (indices, values) column pairs: for each
     * position of `ai`, look up its index in `bi` (arrays are small —

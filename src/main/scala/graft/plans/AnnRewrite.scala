@@ -449,6 +449,50 @@ object AnnIndex {
     }
   }
 
+  /** Sparse-vector registration: `idxCol` is the document table's
+    * sparse-indices column, `resolve` yields the inverted postings
+    * (id, bucket, v — [[graft.functions.Sparse.invertedPostings]]).
+    * Candidates come from the postings top-n
+    * ([[graft.functions.Sparse.invertedTopKW]] — the query touches
+    * only its buckets' posting lists), and since the inverted score
+    * EQUALS the row-scan score exactly (small-int products), the
+    * surviving Sort+Limit re-rank returns the same top-k as the full
+    * scan whenever n ≥ k. */
+  final case class SparseEntry(idxCol: String, idCol: String,
+                               resolve: () => org.apache.spark.sql.DataFrame,
+                               refine: Int, owner: String = "") {
+    def candidateIds(qIdx: Seq[Int], qVal: Seq[Double], n: Int) = {
+      val postings = resolve()
+      require(Seq("id", "bucket", "v")
+          .forall(postings.columns.contains),
+        s"sparse postings for column '$idxCol' must expose " +
+          s"(id, bucket, v) (got: ${postings.columns.mkString(", ")})")
+      graft.functions.Sparse.invertedTopKW(postings, qIdx, qVal, n)
+        .select(org.apache.spark.sql.functions.col("id")
+          .as(s"__cand_$idCol"))
+    }
+  }
+
+  private val sparseEntries = TrieMap.empty[String, SparseEntry]
+
+  /** Same owner-collision contract as [[registerBm25]]. */
+  def registerSparse(idxCol: String, idCol: String,
+                     resolve: () => org.apache.spark.sql.DataFrame,
+                     refine: Int = 4, owner: String = ""): Unit =
+    sparseEntries.synchronized {
+      sparseEntries.get(idxCol).filter(_.owner != owner).foreach { p =>
+        throw new IllegalStateException(
+          s"sparse registration collision on '$idxCol': held by " +
+            s"'${p.owner}', requested by '$owner' — unregisterSparse " +
+            "the other table first, or rename one table's column.")
+      }
+      sparseEntries(idxCol) =
+        SparseEntry(idxCol, idCol, resolve, refine, owner)
+    }
+  def unregisterSparse(idxCol: String): Unit = sparseEntries.remove(idxCol)
+  private[plans] def lookupSparse(idxCol: String): Option[SparseEntry] =
+    sparseEntries.get(idxCol)
+
   /** Keyword columns are commonly all named "text", so unlike the
     * vector registries (scope contract: distinct column names per
     * logical index) BM25 keeps a LIST per column name and the rule
@@ -597,6 +641,22 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       case b: org.apache.spark.sql.graft.Bm25Score =>
         unwrap(b.child) match {
           case at: AttributeReference => Some((at, b.terms))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** (indices attribute, query indices, query weights) from a sparse
+    * score expression — [[org.apache.spark.sql.graft.SparseDotQ]],
+    * optionally rounded; the query lives in the node's own literal
+    * fields, like [[extractBm25]]. */
+  private def extractSparse(e: Expression):
+      Option[(AttributeReference, Seq[Int], Seq[Double])] = {
+    stripRound(e) match {
+      case s: org.apache.spark.sql.graft.SparseDotQ =>
+        unwrap(s.left) match {
+          case at: AttributeReference => Some((at, s.qIdx, s.qVal))
           case _ => None
         }
       case _ => None
@@ -771,7 +831,20 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       } yield inject(leaf, idAttr,
         entry.candidateIds(terms, math.max(k * entry.refine, k))
           .queryExecution.optimizedPlan)
-      quant.orElse(maxsim).orElse(bm25).getOrElse(gl)
+      // sparse path: DESCENDING by a sparse_dot_q score — candidates
+      // from the inverted postings, same-score exact re-rank
+      val sparse = for {
+        alias <- sortKey(Descending)
+        if !hasUserFilter
+        (idxAttr, qIdx, qVal) <- extractSparse(alias.child)
+        entry <- AnnIndex.lookupSparse(idxAttr.name)
+        leaf <- leafFor(idxAttr, entry.idCol)
+        idAttr = leaf.output.find(_.name == entry.idCol).get
+        if !hasCandidateSemiJoin(child, idAttr)
+      } yield inject(leaf, idAttr,
+        entry.candidateIds(qIdx, qVal, math.max(k * entry.refine, k))
+          .queryExecution.optimizedPlan)
+      quant.orElse(maxsim).orElse(bm25).orElse(sparse).getOrElse(gl)
 
     case s @ Sort(order, true, proj @ Project(fields, child), _)
         if order.nonEmpty =>

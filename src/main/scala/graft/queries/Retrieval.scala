@@ -662,6 +662,44 @@ object Retrieval {
     df.select(col("id").as("doc_id"), col("score"))
   }
 
+  /** r31: the DECLARATIVE sparse search — the fourth and last search
+    * modality's rewrite (dense r16/r18, maxsim r21/r26, BM25 r22 are
+    * the other three): the sparse vectors live in a STORED table, the
+    * query is a plain `orderBy(score.desc).limit(k)` over the
+    * codegen'd [[org.apache.spark.sql.graft.SparseDotQ]] scalar, and
+    * the registered rewrite must inject the inverted-postings
+    * candidate semi-join (LeftSemi asserted in-query) with the scalar
+    * surviving as the exact re-rank — scores identical to r27/r29/r30,
+    * so the ONE oracle now gates four plan shapes. */
+  def sparseRewrite(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_tbl").toString
+    documents(s, d).withColumn("__sv", sv(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("si"),
+        col("__sv.values").as("sv"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = s.read.parquet(dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerSparse("si", "doc_id",
+      () => graft.functions.Sparse.invertedPostings(
+        stored, "doc_id", "si", "sv"),
+      refine = 2)
+    try {
+      val q = emb.embed(SparseQueryText)
+      val df = stored.withColumn("score",
+          round(graft.functions.Sparse.scoreColumn(
+            col("si"), col("sv"), q), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "sparse rewrite did not engage")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterSparse("si")
+  }
+
   /** Reranker application under the oracle (R2/R5: the cross-encoder
     * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
     * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
@@ -711,7 +749,8 @@ object Retrieval {
     "r27_sparse_topk" -> sparseTopk,
     "r28_overlap_rerank" -> overlapRerank,
     "r29_sparse_inverted" -> sparseInvertedTopk,
-    "r30_sparse_stored" -> sparseStored)
+    "r30_sparse_stored" -> sparseStored,
+    "r31_sparse_rewrite" -> sparseRewrite)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1468,6 +1507,7 @@ object Retrieval {
     "r27_sparse_topk" -> SparseOracleSql,
     "r29_sparse_inverted" -> SparseOracleSql,
     "r30_sparse_stored" -> SparseOracleSql,
+    "r31_sparse_rewrite" -> SparseOracleSql,
     "r28_overlap_rerank" ->
       // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
       // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,

@@ -332,6 +332,72 @@ case class ScaledL2(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Sparse dot of a document's (indices, values) column pair against a
+  * FIXED query embedded as literals — the recognizable scalar form
+  * behind the declarative sparse rewrite (the sparse twin of
+  * [[Bm25Score]]). Self-contained and evaluable anywhere, which is
+  * what lets [[graft.plans.AnnTopKRule]] treat a plain
+  * `orderBy(score.desc).limit(k)` plan as a declarative sparse search
+  * and inject an inverted-postings candidate semi-join while this
+  * expression survives as the exact re-rank.
+  *
+  * Bit-compatibility contract: accumulates `v · w` left-to-right over
+  * the DOCUMENT's positions in index order, exactly like
+  * [[graft.functions.Sparse.sparseDot]]'s `aggregate` fold — and with
+  * small-integer tf weights the products are exact in double, so it
+  * also equals [[graft.functions.Sparse.invertedTopK]]'s per-doc sum
+  * regardless of order. Codegen calls back into [[score]] via a
+  * reference object (never breaks a WholeStageCodegen span). */
+case class SparseDotQ(left: Expression, right: Expression,
+                      qIdx: Seq[Int], qVal: Seq[Double])
+  extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def prettyName: String = "sparse_dot_q"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  require(qIdx.length == qVal.length,
+    s"query indices/values length mismatch: ${qIdx.length} vs " +
+      s"${qVal.length}")
+
+  @transient private lazy val qMap: java.util.HashMap[Integer, java.lang.Double] = {
+    val m = new java.util.HashMap[Integer, java.lang.Double](
+      qIdx.length * 2)
+    var i = 0
+    while (i < qIdx.length) { m.put(qIdx(i), qVal(i)); i += 1 }
+    m
+  }
+
+  /** Public for generated code. */
+  def score(ix: ArrayData, vs: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = ix.numElements()
+    while (i < n) {
+      val w = qMap.get(Integer.valueOf(ix.getInt(i)))
+      if (w != null) acc += vs.getDouble(i) * w.doubleValue()
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sparseDotQ", this,
+      classOf[SparseDotQ].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ref.score($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDotQ =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
 
@@ -355,6 +421,10 @@ object VecExprs {
   def scaledL2(a: Column, b: Column, scales: Column): Column =
     c(ScaledL2(ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(scales)))
+  def sparseDotQ(indices: Column, values: Column,
+                 qIdx: Seq[Int], qVal: Seq[Double]): Column =
+    c(SparseDotQ(ExpressionUtils.expression(indices),
+      ExpressionUtils.expression(values), qIdx, qVal))
   def bm25Score(text: Column, terms: Seq[String], dfs: Seq[Long],
                 n: Long, avgdl: Double,
                 tok: graft.functions.Tokenizers.Tokenizer,

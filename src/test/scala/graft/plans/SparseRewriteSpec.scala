@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.functions.{Md5SparseEmbedder, Sparse}
+import org.apache.spark.sql.functions._
+
+/** The declarative sparse rewrite — sparse top-k as a plain
+  * `orderBy(sparse_dot_q.desc).limit(k)` plan ([[Sparse.scoreColumn]]
+  * + [[AnnIndex.registerSparse]]), completing the declarative layer's
+  * fourth search modality. */
+class SparseRewriteSpec extends SparkSpecBase {
+
+  private val emb = Md5SparseEmbedder(dim = 512)
+
+  private def storedCorpus() = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_rw").toString
+    Seq(
+      (1L, "spark shuffle join filter scan"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by plan"),
+      (4L, "merge sort spill to disk sort"),
+      (5L, "broadcast join small table"),
+      (6L, "window partition order frame"),
+      (7L, "shuffle sort merge join exchange"),
+      (8L, "catalyst optimizer rule batch"))
+      .toDF("doc_id", "text")
+      .withColumn("__sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("si"),
+        col("__sv.values").as("sv"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def topk(df: org.apache.spark.sql.DataFrame,
+                   q: graft.functions.SparseVec, k: Int) =
+    df.withColumn("score",
+        round(Sparse.scoreColumn(col("si"), col("sv"), q), 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+
+  test("SparseDotQ equals the builtin sparseDot column exactly") {
+    val stored = storedCorpus()
+    val q = emb.embed("shuffle join window")
+    val both = stored.withColumn("a",
+        Sparse.scoreColumn(col("si"), col("sv"), q))
+      .withColumn("b", Sparse.sparseDot(col("si"), col("sv"),
+        typedlit(q.indices), typedlit(q.values)))
+      .select("doc_id", "a", "b")
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) === r.getDouble(2),
+      s"expression/builtin divergence on doc ${r.getLong(0)}"))
+  }
+
+  test("rewrite result equals the exact full-scan result") {
+    val stored = storedCorpus()
+    val q = emb.embed("shuffle join window")
+    val exact = topk(stored, q, 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    AnnIndex.install(spark)
+    AnnIndex.registerSparse("si", "doc_id",
+      () => Sparse.invertedPostings(stored, "doc_id", "si", "sv"),
+      refine = 2)
+    try {
+      val df = topk(stored, q, 4)
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "rewrite did not engage")
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq === exact.toSeq)
+    } finally AnnIndex.unregisterSparse("si")
+  }
+
+  test("a user filter between sort and leaf bails to the exact plan") {
+    val stored = storedCorpus()
+    val q = emb.embed("shuffle join window")
+    AnnIndex.install(spark)
+    AnnIndex.registerSparse("si", "doc_id",
+      () => Sparse.invertedPostings(stored, "doc_id", "si", "sv"),
+      refine = 2)
+    try {
+      val df = stored.filter(col("doc_id") > 4L)
+        .withColumn("score",
+          round(Sparse.scoreColumn(col("si"), col("sv"), q), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(3)
+        .select("doc_id", "score")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "k-limited candidate budgets are unsound under a user filter")
+      assert(df.collect().forall(_.getLong(0) > 4L))
+    } finally AnnIndex.unregisterSparse("si")
+  }
+
+  test("registration collisions across owners are refused") {
+    AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+      owner = "tableA")
+    try {
+      intercept[IllegalStateException] {
+        AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+          owner = "tableB")
+      }
+      // same owner re-registers in place
+      AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+        owner = "tableA")
+    } finally AnnIndex.unregisterSparse("si_x")
+  }
+}
