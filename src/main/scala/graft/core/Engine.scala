@@ -180,6 +180,53 @@ final class Engine(reg: Registry) {
     Bm25.scoreColumn(keywordIndex(td), query,
       col(td.keywordIndex.get.column), roundTo)
 
+  private def sparseIx(td: TableDef[_]): Spec.SparseIndex =
+    td.indexes.collectFirst { case s: Spec.SparseIndex => s }
+      .getOrElse(throw new IllegalStateException(
+        s"${td.name} has no sparse index"))
+
+  /** Inverted sparse postings for the table's [[Spec.SparseIndex]] —
+    * one row per non-zero, the index FORM of the sparse column and the
+    * resolver behind the declarative registration (a lazy plan over
+    * the CURRENT table version, so post-install writes stay
+    * visible). */
+  def sparsePostings(td: TableDef[_]): DataFrame = {
+    val ix = sparseIx(td)
+    graft.functions.Sparse.invertedPostings(reg.table(td), td.pk,
+      ix.column, ix.valuesColumn)
+  }
+
+  /** Scalar sparse score column for a declarative query over the
+    * table's sparse index — the [[keywordScoreColumn]] sibling: a
+    * plain `orderBy(col.desc).limit(k)` over this column rewrites
+    * (after [[installDeclarative]]) into the inverted-postings
+    * candidate semi-join. */
+  def sparseScoreColumn(td: TableDef[_],
+                        query: graft.functions.SparseVec,
+                        roundTo: Int = 6): org.apache.spark.sql.Column = {
+    val ix = sparseIx(td)
+    round(graft.functions.Sparse.scoreColumn(col(ix.column),
+      col(ix.valuesColumn), query), roundTo)
+  }
+
+  /** Sparse top-k through the inverted postings (the imperative
+    * sibling of [[searchByVector]]/[[searchByKeyword]] for the sparse
+    * column): query-bucket join + per-doc sum, top-k joined back for
+    * the payload fields. */
+  def searchBySparse(td: TableDef[_], query: graft.functions.SparseVec,
+                     topk: Int = 10,
+                     returnFields: Seq[String] = Nil): DataFrame = {
+    val fields = if (returnFields.nonEmpty) returnFields
+      else td.nonVecColumns
+    val hits = graft.functions.Sparse
+      .invertedTopK(sparsePostings(td), query, topk)
+      .withColumnRenamed("id", "__hit_id")
+    reg.table(td)
+      .join(broadcast(hits), col(td.pk) === col("__hit_id"))
+      .orderBy(col("score").desc, col(td.pk).asc)
+      .select((fields :+ "score").map(col): _*)
+  }
+
   /** IVF index build job (`create_index_if_not_exists` twin for vector
     * indexes, client.py:146-174): KMeans over the vector column with
     * `lists` cells, assigning under the index's declared distance (the
@@ -308,10 +355,21 @@ final class Engine(reg: Registry) {
       graft.plans.AnnIndex.registerBm25(kw.column, td.pk,
         () => keywordIndex(td), owner = owner(td))
     }
+    // sparse column: plain orderBy(sparse_dot_q.desc).limit(k) plans
+    // ([[sparseScoreColumn]] builds the score) rewrite into the
+    // inverted-postings candidate semi-join; resolver-backed via
+    // [[sparsePostings]]'s lazy current-version plan
+    td.indexes.collectFirst { case ix: Spec.SparseIndex => ix }
+      .foreach { ix =>
+        graft.plans.AnnIndex.registerSparse(ix.column, td.pk,
+          () => sparsePostings(td), owner = owner(td))
+      }
     if (td.vectorIndex.isEmpty && td.keywordIndex.isEmpty &&
-        !td.indexes.exists(_.isInstanceOf[Spec.MultiVectorIndex]))
+        !td.indexes.exists(ix => ix.isInstanceOf[Spec.MultiVectorIndex] ||
+          ix.isInstanceOf[Spec.SparseIndex]))
       throw new IllegalStateException(
-        s"${td.name} has no vector, multivector, or keyword index")
+        s"${td.name} has no vector, multivector, keyword, or sparse " +
+          "index")
   }
 
   /** Attach an AT-REST index layout to a table's delete lifecycle:

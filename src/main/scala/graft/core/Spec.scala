@@ -51,6 +51,17 @@ object Spec {
   /** BM25 keyword index with a tokenizer model (spec.py:468-479). */
   final case class KeywordIndex(column: String,
                                 model: String = "simple") extends IndexDef
+  /** Sparse-vector index over an (indices, values) column pair — the
+    * engine surface for the reference's SPLADE sparse embeddings
+    * (embedding.py:413-441, model struct `SparseEmbedding`; the
+    * reference stores them and delegates scoring to SQL — here the
+    * index FORM is the inverted-postings relation,
+    * [[graft.functions.Sparse.invertedPostings]]). `column` holds the
+    * sorted bucket indices (array&lt;int&gt;), `valuesColumn` the
+    * aligned weights. */
+  final case class SparseIndex(column: String, valuesColumn: String)
+    extends IndexDef
+
   /** Unique constraint (spec.py:482-491) — validated, not enforced, in a
     * batch engine; see Registry.validateUnique. */
   final case class UniqueIndex(column: String,
@@ -76,6 +87,9 @@ object Spec {
       s"foreign key column not in schema for table $name")
     require(indexes.forall(ix => columns.contains(ix.column)),
       s"index column not in schema for table $name")
+    require(indexes.collect { case s: SparseIndex => s.valuesColumn }
+        .forall(columns.contains),
+      s"sparse values column not in schema for table $name")
 
     def pk: String = primaryKey.getOrElse(
       throw new IllegalStateException(s"table $name has no primary key"))
@@ -100,10 +114,14 @@ object Spec {
       indexes.collect { case KeywordIndex(c, _) => c }
 
     /** Default search projection: everything except vector / multivec /
-      * keyword payloads (spec.py:585-596's `non_vec_columns`). */
+      * keyword / sparse payloads (spec.py:585-596's
+      * `non_vec_columns`). The sparse VALUES column is a float array
+      * (already excluded); the indices column is excluded by its index
+      * declaration. */
     def nonVecColumns: Seq[String] = {
       val excluded = (vectorColumns ++ multiVectorColumns ++
-        keywordColumns).toSet
+        keywordColumns ++
+        indexes.collect { case s: SparseIndex => s.column }).toSet
       columns.filterNot(excluded)
     }
 

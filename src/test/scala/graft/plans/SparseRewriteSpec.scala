@@ -4,6 +4,9 @@ import graft.SparkSpecBase
 import graft.functions.{Md5SparseEmbedder, Sparse}
 import org.apache.spark.sql.functions._
 
+case class SparseDoc(doc_id: Long, si: Seq[Int], sv: Seq[Float],
+                     tag: String)
+
 /** The declarative sparse rewrite — sparse top-k as a plain
   * `orderBy(sparse_dot_q.desc).limit(k)` plan ([[Sparse.scoreColumn]]
   * + [[AnnIndex.registerSparse]]), completing the declarative layer's
@@ -90,6 +93,49 @@ class SparseRewriteSpec extends SparkSpecBase {
       assert(!df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
         "k-limited candidate budgets are unsound under a user filter")
       assert(df.collect().forall(_.getLong(0) > 4L))
+    } finally AnnIndex.unregisterSparse("si")
+  }
+
+  test("Engine: a SparseIndex table searches imperatively AND " +
+      "declaratively with identical results") {
+    val sp = spark
+    import sp.implicits._
+    val reg = new graft.core.Registry(spark, java.nio.file.Files
+      .createTempDirectory("graft_sparse_eng").toString)
+    implicit val enc: org.apache.spark.sql.Encoder[SparseDoc] =
+      org.apache.spark.sql.Encoders.product[SparseDoc]
+    val td = graft.core.Spec.TableDef[SparseDoc]("sdocs",
+      primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.SparseIndex("si", "sv")))
+    reg.register(td)
+    val texts = Seq(
+      (1L, "spark shuffle join filter scan"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by plan"),
+      (4L, "window partition order frame"),
+      (5L, "shuffle sort merge join exchange"))
+    reg.copyBulk(td, texts.map { case (id, t) =>
+      val v = emb.embed(t)
+      SparseDoc(id, v.indices, v.values, s"t$id")
+    }.toDF())
+    val eng = new graft.core.Engine(reg)
+    val q = emb.embed("shuffle join window")
+    val imp = eng.searchBySparse(td, q, topk = 3)
+    // default projection excludes both sparse payload columns
+    assert(imp.columns.toSeq === Seq("doc_id", "tag", "score"))
+    val impPairs = imp.select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    eng.installDeclarative(td)
+    try {
+      val df = reg.table(td)
+        .withColumn("score", eng.sparseScoreColumn(td, q))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(3)
+        .select("doc_id", "score")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "Engine-registered sparse rewrite did not engage")
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq === impPairs)
     } finally AnnIndex.unregisterSparse("si")
   }
 
