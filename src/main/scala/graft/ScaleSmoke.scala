@@ -374,6 +374,37 @@ object ScaleSmoke {
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
 
+    // Declarative sparse at 16×: the registered rewrite's QUERY cost is
+    // bounded by the query's posting lists (inverted candidate
+    // semi-join + exact re-rank over candidates), the sparse twin of
+    // the BM25 declarative row below.
+    time("sparse_declarative_query") {
+      plans.AnnIndex.install(spark)
+      val sparseDocs = docs.withColumn("__sv",
+          udf((t: String) => sparseEmb.embed(if (t == null) "" else t))
+            .apply(col("text")))
+        .select(col("doc_id"), col("__sv.indices").as("si"),
+          col("__sv.values").as("sv"))
+        .persist()
+      sparseDocs.count()
+      plans.AnnIndex.registerSparse("si", "doc_id",
+        () => functions.Sparse.invertedPostings(
+          sparseDocs, "doc_id", "si", "sv"),
+        refine = 2)
+      try {
+        val q = sparseEmb.embed("spark merge hash window")
+        val df = sparseDocs.withColumn("score",
+            round(functions.Sparse.scoreColumn(
+              col("si"), col("sv"), q), 6))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10).select("doc_id", "score")
+        require(df.queryExecution.optimizedPlan.toString
+            .contains("LeftSemi"),
+          "declarative sparse rewrite did not engage at scale")
+        df.count()
+      } finally plans.AnnIndex.unregisterSparse("si")
+    }
+
     // Declarative BM25 at scale: index build is the corpus-linear part
     // (one tokenize+shuffle over 16x docs); the registered rewrite's
     // QUERY cost is bounded by the query's terms (pruned postings +
