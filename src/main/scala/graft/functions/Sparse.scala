@@ -174,6 +174,17 @@ object Sparse {
     invertedTopK(pruned, query, k, roundTo)
   }
 
+  /** Delete documents from a [[writePostings]] layout — the sparse
+    * sibling of [[graft.ops.Bm25.deleteStoredPostings]]: only the
+    * bucket directories holding the victims' postings are rewritten
+    * ([[graft.ops.Ann.deleteStoredIds]]'s stage-and-swap), and since
+    * stored-query scoring re-derives nothing corpus-global, a delete
+    * here equals a rebuild without the docs. `ids`: a one-column
+    * DataFrame of victim doc ids. */
+  def deleteStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   ids: org.apache.spark.sql.DataFrame): Long =
+    graft.ops.Ann.deleteStoredIds(spark, dir, "id", ids, cellCol = "__b")
+
   /** Scalar sparse score of a document's (indices, values) columns
     * against a FIXED query — the DECLARATIVE form: built on the
     * codegen'd [[org.apache.spark.sql.graft.SparseDotQ]] expression,

@@ -252,6 +252,33 @@ class ComponentsSpec extends SparkSpecBase {
       s"bucket $b missing from partition filter: $pf"))
   }
 
+  test("stored sparse delete: victims vanish, survivors score unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(dim = 512)
+    val docs = Seq(
+      (1L, "spark shuffles data"), (2L, "spark joins tables"),
+      (3L, "ducks swim on ponds"), (4L, "tables join spark frames"))
+      .toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+    val postings = Sparse.invertedPostings(
+      docs.select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v")), "id", "i", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sparse-del").toString
+    Sparse.writePostings(postings, dir, buckets = 8)
+    val q = emb.embed("spark joins")
+    val before = Sparse.searchStored(spark, dir, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before.exists(_._1 == 2L))
+    val rewritten = Sparse.deleteStored(spark, dir, Seq(2L).toDF("id"))
+    assert(rewritten > 0)
+    val after = Sparse.searchStored(spark, dir, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!after.exists(_._1 == 2L))
+    assert(after === before.filterNot(_._1 == 2L))
+  }
+
   test("multimodal stages preserve schema and batch shape") {
     val sp = spark
     import sp.implicits._
