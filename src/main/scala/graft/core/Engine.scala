@@ -389,8 +389,10 @@ final class Engine(reg: Registry) {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
     val q = new org.apache.hadoop.fs.Path(root, "quantized")
-    // keyword postings layouts are self-describing (_graft_buckets)
+    // keyword / sparse postings layouts are self-describing (their
+    // bucket-modulus markers)
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
+    val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
     val path = if (fs.exists(q)) q.toString else dir
     // fail at ATTACH, not first delete: a streaming-grown dir
     // (_spark_metadata commit log) cannot take batch cell rewrites —
@@ -404,6 +406,9 @@ final class Engine(reg: Registry) {
           deleted =>
             if (keyword)
               Bm25.deleteStoredPostings(reg.spark, path,
+                deleted.select(td.pk))
+            else if (sparse)
+              graft.functions.Sparse.deleteStored(reg.spark, path,
                 deleted.select(td.pk))
             else
               Ann.deleteStoredIds(reg.spark, path, td.pk,
@@ -434,6 +439,8 @@ final class Engine(reg: Registry) {
       .foreach(graft.plans.AnnIndex.unregisterMaxsim)
     td.keywordIndex.foreach(kw =>
       graft.plans.AnnIndex.unregisterBm25(kw.column, td.pk))
+    td.indexes.collectFirst { case s: Spec.SparseIndex => s.column }
+      .foreach(graft.plans.AnnIndex.unregisterSparse)
   }
 
   /** Version key for the memoized index artifacts: the TABLE's segment

@@ -174,6 +174,15 @@ object Sparse {
     invertedTopK(pruned, query, k, roundTo)
   }
 
+  /** True when `dir` is a [[writePostings]] layout (its modulus marker
+    * is present) — the layout self-description
+    * [[graft.core.Engine.attachStoredIndex]] dispatches on. */
+  def isStoredLayout(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Delete documents from a [[writePostings]] layout — the sparse
     * sibling of [[graft.ops.Bm25.deleteStoredPostings]]: only the
     * bucket directories holding the victims' postings are rewritten

@@ -139,6 +139,39 @@ class SparseRewriteSpec extends SparkSpecBase {
     } finally AnnIndex.unregisterSparse("si")
   }
 
+  test("attachStoredIndex wires registry deletes to a sparse layout") {
+    val sp = spark
+    import sp.implicits._
+    val reg = new graft.core.Registry(spark, java.nio.file.Files
+      .createTempDirectory("graft_sparse_att").toString)
+    implicit val enc: org.apache.spark.sql.Encoder[SparseDoc] =
+      org.apache.spark.sql.Encoders.product[SparseDoc]
+    val td = graft.core.Spec.TableDef[SparseDoc]("sdocs",
+      primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.SparseIndex("si", "sv")))
+    reg.register(td)
+    reg.copyBulk(td, Seq(
+      (1L, "spark shuffle join"), (2L, "shuffle join window"),
+      (3L, "hash aggregate plan")).map { case (id, t) =>
+      val v = emb.embed(t)
+      SparseDoc(id, v.indices, v.values, s"t$id")
+    }.toDF())
+    val eng = new graft.core.Engine(reg)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_att_ix").toString
+    Sparse.writePostings(eng.sparsePostings(td), dir, buckets = 8)
+    eng.attachStoredIndex(td, dir)
+    try {
+      val q = emb.embed("shuffle join")
+      assert(Sparse.searchStored(spark, dir, q, 10).collect()
+        .map(_.getLong(0)).contains(2L))
+      reg.removeBy(td, Map("doc_id" -> 2L))
+      val after = Sparse.searchStored(spark, dir, q, 10).collect()
+        .map(_.getLong(0))
+      assert(!after.contains(2L) && after.contains(1L))
+    } finally eng.detachStoredIndex(td, dir)
+  }
+
   test("registration collisions across owners are refused") {
     AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
       owner = "tableA")
