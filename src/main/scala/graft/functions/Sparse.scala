@@ -123,6 +123,50 @@ object Sparse {
 
   private val BucketsMarker = "_graft_sparse_buckets"
 
+  /** The recorded bucket modulus of a [[writePostings]] /
+    * [[graft.streaming.Stream.ingestSparse]] layout, if present. */
+  def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Record the bucket modulus for an append-GROWN layout, refusing to
+    * change it once declared — rows partitioned under two moduli in
+    * one dir would make [[searchStored]] prune the wrong directories
+    * (the sparse twin of [[graft.ops.Bm25.ensureBucketsMarker]]'s
+    * rule). */
+  def ensureBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, buckets: Int): Unit =
+    readBucketsMarker(spark, dir) match {
+      case Some(b) if b != buckets =>
+        throw new IllegalStateException(
+          s"$dir was written with bucket modulus $b, offered $buckets " +
+            "— mixed moduli in one layout silently prune the wrong " +
+            "directories. Rebuild the layout to change the modulus.")
+      case Some(_) => ()
+      case None => writeBucketsMarker(spark, dir, buckets)
+    }
+
+  private def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Persist [[invertedPostings]] at rest, partitioned by
     * `bucket mod buckets` — the BM25 term-bucket layout
     * ([[graft.ops.Bm25.writePostings]]'s pattern) for sparse vectors:
@@ -138,11 +182,7 @@ object Sparse {
     postings
       .withColumn("__b", pmod(col("bucket"), lit(buckets)))
       .write.mode("overwrite").partitionBy("__b").parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(
-      postings.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    writeBucketsMarker(postings.sparkSession, dir, buckets)
   }
 
   /** [[invertedTopK]] over a [[writePostings]] layout: the query's
@@ -152,22 +192,10 @@ object Sparse {
   def searchStored(spark: org.apache.spark.sql.SparkSession, dir: String,
                    query: SparseVec, k: Int,
                    roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"$dir has no $BucketsMarker marker — not a " +
-      "writePostings layout")
-    val in = fs.open(p)
-    // read to EOF, not one read() call: a stream may legally return a
-    // short first read (object-store adapters), and a truncated
-    // modulus would silently prune the WRONG directories
-    val buckets =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, "UTF-8").trim.toInt
-      } finally in.close()
+    val buckets = readBucketsMarker(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no $BucketsMarker marker — not a writePostings " +
+          "layout"))
     val qb = query.indices.map(i => math.floorMod(i, buckets)).distinct
     val pruned = spark.read.parquet(dir)
       .filter(col("__b").isin(qb: _*))

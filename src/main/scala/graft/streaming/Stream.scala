@@ -181,6 +181,36 @@ object Stream {
       .start(dir)
   }
 
+  /** Continuous sparse-index ingest — the third of the at-rest ingest
+    * trio ([[ingestIvf]] dense cells, [[ingestBm25]] keyword buckets):
+    * a document stream's sparse vectors invert into postings (one row
+    * per non-zero — a MAP-ONLY function of each document, no cross-doc
+    * aggregation) and append exactly-once via the file-sink commit log
+    * into the bucket-mod layout of
+    * [[graft.functions.Sparse.writePostings]].
+    * [[graft.functions.Sparse.searchStored]] prunes the grown layout's
+    * unprobed bucket dirs with no rebuild, and
+    * [[compactStored]]`(dir, "__b")` graduates it to batch. */
+  def ingestSparse(docs: DataFrame, idCol: String, idxCol: String,
+                   valCol: String, dir: String, checkpoint: String,
+                   buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireStreamableLayout(docs.sparkSession, dir)
+    // pin the modulus: a restart with a different one would mix two
+    // partition geometries in one layout (the sparse twin of the BM25
+    // modulus rule)
+    graft.functions.Sparse.ensureBucketsMarker(docs.sparkSession, dir,
+      buckets)
+    graft.functions.Sparse.invertedPostings(docs, idCol, idxCol, valCol)
+      .withColumn("__b", pmod(col("bucket"), lit(buckets)))
+      .writeStream
+      .partitionBy("__b")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(dir)
+  }
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell

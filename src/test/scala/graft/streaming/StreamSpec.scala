@@ -239,6 +239,78 @@ class StreamSpec extends SparkSpecBase {
     assert(!hits().exists(_._1 == 1L))
   }
 
+  test("ingestSparse: streamed postings search EXACTLY like a batch " +
+      "writePostings layout, and compaction graduates it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.functions.{Md5SparseEmbedder, Sparse}
+    val emb = Md5SparseEmbedder(dim = 512)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-sparse").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-sparse-ckpt").toString
+    val corpus = Seq(
+      (1L, "spark shuffle join filter"),
+      (2L, "sort merge join shuffle shuffle"),
+      (3L, "hash aggregate group by"),
+      (4L, "merge sort spill disk sort"))
+    def sparseRows(rows: Seq[(Long, String)]) = rows.map { case (id, t) =>
+      val v = emb.embed(t); (id, v.indices, v.values)
+    }
+    val input = MemoryStream[(Long, Seq[Int], Seq[Float])]
+    val q = Stream.ingestSparse(
+      input.toDF().toDF("doc_id", "si", "sv"),
+      "doc_id", "si", "sv", dir, ckpt, buckets = 8)
+    try {
+      input.addData(sparseRows(corpus.take(2)): _*)
+      q.processAllAvailable()
+      input.addData(sparseRows(corpus.drop(2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val query = emb.embed("shuffle sort")
+    // grown layout == batch layout, score for score
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-sparse-batch").toString
+    Sparse.writePostings(
+      Sparse.invertedPostings(sparseRows(corpus)
+          .toDF("doc_id", "si", "sv"), "doc_id", "si", "sv"),
+      batchDir, buckets = 8)
+    def hits(d: String) = Sparse.searchStored(spark, d, query, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val grownHits = hits(dir)
+    assert(grownHits.nonEmpty && grownHits === hits(batchDir))
+    // graduation: compact, commit log gone, scores unchanged
+    assert(Stream.compactStored(spark, dir, "__b") > 0)
+    assert(!new java.io.File(dir, "_spark_metadata").exists())
+    assert(hits(dir) === grownHits)
+  }
+
+  test("ingestSparse refuses restarting with a different modulus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.functions.Md5SparseEmbedder
+    val emb = Md5SparseEmbedder(dim = 512)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-sparse-mod").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-sparse-mod-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Int], Seq[Float])]
+    val v = emb.embed("spark shuffle")
+    val q = Stream.ingestSparse(input.toDF().toDF("doc_id", "si", "sv"),
+      "doc_id", "si", "sv", dir, ckpt, buckets = 8)
+    try {
+      input.addData((1L, v.indices, v.values))
+      q.processAllAvailable()
+    } finally q.stop()
+    val input2 = MemoryStream[(Long, Seq[Int], Seq[Float])]
+    intercept[IllegalStateException] {
+      Stream.ingestSparse(input2.toDF().toDF("doc_id", "si", "sv"),
+        "doc_id", "si", "sv", dir, ckpt, buckets = 16)
+    }
+  }
+
   test("ingestBm25 refuses restarting with a different bucket modulus") {
     val sp = spark
     import sp.implicits._
