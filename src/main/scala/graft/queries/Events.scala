@@ -244,6 +244,52 @@ object Events {
     s.table(sink).select("doc_id").orderBy("doc_id")
   }
 
+  /** s10: the SPARSE streaming lifecycle under the oracle — the third
+    * streamed-twin gate (s07 BM25, s08 IVF): documents' sparse vectors
+    * stream through [[graft.streaming.Stream.ingestSparse]] (map-only
+    * postings inversion appended exactly-once into the bucket-mod
+    * layout, modulus pinned by marker), the grown layout GRADUATES via
+    * [[graft.streaming.Stream.compactStored]], and
+    * [[graft.functions.Sparse.searchStored]] answers over the
+    * compacted bucket dirs — score-identical to r27/r29/r30/r31, so
+    * the ONE sparse oracle now also gates the streamed path. */
+  def streamSparseTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val rows = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        val v = emb.embed(if (t == null) "" else t)
+        (id, v.indices, v.values)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s10_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s10_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Int], Seq[Float])]
+    val q = graft.streaming.Stream.ingestSparse(
+      input.toDF().toDF("doc_id", "si", "sv"),
+      "doc_id", "si", "sv", dir, ckpt, buckets = 16)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s, dir, "__b",
+      maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no bucket dirs")
+    require(!new java.io.File(dir, "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    graft.functions.Sparse.searchStored(s, dir,
+        emb.embed("spark merge hash window"), 10)
+      .select(col("id").as("doc_id"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -253,7 +299,8 @@ object Events {
     "s06_stream_interval_twin" -> streamIntervalTwin,
     "s07_stream_compact_twin" -> streamCompactTwin,
     "s08_stream_ivf_twin" -> streamIvfTwin,
-    "s09_stream_dedup_twin" -> streamDedupTwin)
+    "s09_stream_dedup_twin" -> streamDedupTwin,
+    "s10_stream_sparse_twin" -> streamSparseTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -372,5 +419,9 @@ object Events {
          UNION ALL
          SELECT doc_id + 10000000 AS doc_id FROM documents
          WHERE doc_id % 2 = 1
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // s10: the streamed-then-compacted sparse layout is lossless —
+    // the replay is the shared sparse oracle (same recipe as
+    // r27/r29/r30/r31 in Retrieval)
+    "s10_stream_sparse_twin" -> Retrieval.sparseOracle)
 }

@@ -964,6 +964,10 @@ object Retrieval {
     * shared buckets (small integers — exact in double, sum order
     * irrelevant). Shared verbatim with r29: the inverted-postings form
     * must produce byte-identical scores. */
+  /** `private[queries]`: Events' s10 streamed-sparse twin replays the
+    * same scoring over the same query. */
+  private[queries] def sparseOracle: String = SparseOracleSql
+
   private val SparseOracleSql =
       """WITH toks AS (
             SELECT doc_id,
