@@ -148,6 +148,18 @@ final class Engine(reg: Registry) {
     val idx = keywordIndex(td)
     val hits = Bm25.search(idx, query, topk)
       .withColumnRenamed("id", "__hit_id")
+    joinHitsBack(td, hits, fields)
+  }
+
+  /** Shared hits→payload join for the keyword/sparse searches. The
+    * result carries the reserved `score` column, so a table declaring
+    * its own `score` (or `__hit_id`) would make the projection
+    * ambiguous — refuse loudly instead of an AnalysisException. */
+  private def joinHitsBack(td: TableDef[_], hits: DataFrame,
+                           fields: Seq[String]): DataFrame = {
+    Seq("score", "__hit_id").foreach(c => require(!td.columns.contains(c),
+      s"${td.name} declares reserved column '$c' — rename it or " +
+        "project it away before searching"))
     reg.table(td)
       .join(broadcast(hits), col(td.pk) === col("__hit_id"))
       .orderBy(col("score").desc, col(td.pk).asc)
@@ -221,10 +233,7 @@ final class Engine(reg: Registry) {
     val hits = graft.functions.Sparse
       .invertedTopK(sparsePostings(td), query, topk)
       .withColumnRenamed("id", "__hit_id")
-    reg.table(td)
-      .join(broadcast(hits), col(td.pk) === col("__hit_id"))
-      .orderBy(col("score").desc, col(td.pk).asc)
-      .select((fields :+ "score").map(col): _*)
+    joinHitsBack(td, hits, fields)
   }
 
   /** IVF index build job (`create_index_if_not_exists` twin for vector
@@ -361,7 +370,8 @@ final class Engine(reg: Registry) {
     // [[sparsePostings]]'s lazy current-version plan
     td.indexes.collectFirst { case ix: Spec.SparseIndex => ix }
       .foreach { ix =>
-        graft.plans.AnnIndex.registerSparse(ix.column, td.pk,
+        graft.plans.AnnIndex.registerSparse(ix.column,
+          ix.valuesColumn, td.pk,
           () => sparsePostings(td), owner = owner(td))
       }
     if (td.vectorIndex.isEmpty && td.keywordIndex.isEmpty &&

@@ -126,21 +126,8 @@ object Sparse {
   /** The recorded bucket modulus of a [[writePostings]] /
     * [[graft.streaming.Stream.ingestSparse]] layout, if present. */
   def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, "UTF-8").trim.toInt)
-      } finally in.close()
-    }
-  }
+                        dir: String): Option[Int] =
+    graft.io.Markers.read(spark, dir, BucketsMarker).map(_.toInt)
 
   /** Record the bucket modulus for an append-GROWN layout, refusing to
     * change it once declared — rows partitioned under two moduli in
@@ -160,12 +147,8 @@ object Sparse {
     }
 
   private def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, buckets: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
-  }
+                                 dir: String, buckets: Int): Unit =
+    graft.io.Markers.write(spark, dir, BucketsMarker, buckets.toString)
 
   /** Persist [[invertedPostings]] at rest, partitioned by
     * `bucket mod buckets` — the BM25 term-bucket layout
@@ -206,10 +189,8 @@ object Sparse {
     * is present) — the layout self-description
     * [[graft.core.Engine.attachStoredIndex]] dispatches on. */
   def isStoredLayout(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                     dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, BucketsMarker)
 
   /** Delete documents from a [[writePostings]] layout — the sparse
     * sibling of [[graft.ops.Bm25.deleteStoredPostings]]: only the

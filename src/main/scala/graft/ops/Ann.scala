@@ -395,31 +395,13 @@ object Ann {
             "layout (writePartitioned) to change models.")
       case Some(_) => ()
       case None =>
-        val p = new org.apache.hadoop.fs.Path(dir, IvfModelMarker)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        graft.io.Markers.write(spark, dir, IvfModelMarker, fp)
     }
   }
 
   def readIvfModelMarker(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir, IvfModelMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      // read to EOF, not one read() call — a short first read would
-      // truncate the fingerprint and refuse every legitimate append
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](128)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, "UTF-8").trim)
-      } finally in.close()
-    }
-  }
+                         dir: String): Option[String] =
+    graft.io.Markers.read(spark, dir, IvfModelMarker)
 
   /** IVF search over a [[writePartitioned]] table: the `isin(probes)`
     * filter prunes whole partition directories (verify via

@@ -265,13 +265,9 @@ object Bm25 {
 
   def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
                          dir: String, buckets: Int,
-                         tokenizer: String = "simple"): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$buckets\n$tokenizer".getBytes("UTF-8"))
-    finally out.close()
-  }
+                         tokenizer: String = "simple"): Unit =
+    graft.io.Markers.write(spark, dir, BucketsMarker,
+      s"$buckets\n$tokenizer")
 
   /** Record the modulus for an APPEND-grown layout, refusing to change
     * it once declared: rows bucketed `pmod(hash, b')` appended into a
@@ -313,24 +309,11 @@ object Bm25 {
   /** (modulus, recorded tokenizer) from the layout marker; tokenizer is
     * None for layouts written before it was recorded. */
   def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): Option[(Int, Option[String])] = {
-    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](64)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        val lines = new String(buf.toByteArray, "UTF-8").trim
-          .split("\n").map(_.trim).filter(_.nonEmpty)
-        Some((lines(0).toInt,
-          if (lines.length > 1) Some(lines(1)) else None))
-      } finally in.close()
+                     dir: String): Option[(Int, Option[String])] =
+    graft.io.Markers.read(spark, dir, BucketsMarker).map { content =>
+      val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
+      (lines(0).toInt, if (lines.length > 1) Some(lines(1)) else None)
     }
-  }
 
   /** Write a batch corpus as the term-bucketed at-rest postings layout
     * (the bootstrap for [[graft.streaming.Stream.ingestBm25]]'s

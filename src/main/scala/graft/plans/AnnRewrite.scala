@@ -449,16 +449,24 @@ object AnnIndex {
     }
   }
 
-  /** Sparse-vector registration: `idxCol` is the document table's
-    * sparse-indices column, `resolve` yields the inverted postings
+  /** Sparse-vector registration: `idxCol`/`valCol` are the document
+    * table's sparse (indices, values) column pair — BOTH are validated
+    * by the rule (a score over the registered indices but a DIFFERENT
+    * values column must NOT rewrite: its candidates would come from
+    * the wrong postings) — and `resolve` yields the inverted postings
     * (id, bucket, v — [[graft.functions.Sparse.invertedPostings]]).
     * Candidates come from the postings top-n
     * ([[graft.functions.Sparse.invertedTopKW]] — the query touches
     * only its buckets' posting lists), and since the inverted score
     * EQUALS the row-scan score exactly (small-int products), the
-    * surviving Sort+Limit re-rank returns the same top-k as the full
-    * scan whenever n ≥ k. */
-  final case class SparseEntry(idxCol: String, idCol: String,
+    * re-rank returns the same top-k as the full scan among
+    * POSITIVE-scoring docs whenever n ≥ k. Like the BM25 rewrite,
+    * docs sharing no bucket with the query are not candidates — when
+    * fewer than k docs match, the rewritten result is SHORTER than
+    * the brute plan's (which would pad with zero-score rows); that is
+    * the documented keyword/sparse rewrite contract, not a bug. */
+  final case class SparseEntry(idxCol: String, valCol: String,
+                               idCol: String,
                                resolve: () => org.apache.spark.sql.DataFrame,
                                refine: Int, owner: String = "") {
     def candidateIds(qIdx: Seq[Int], qVal: Seq[Double], n: Int) = {
@@ -475,8 +483,12 @@ object AnnIndex {
 
   private val sparseEntries = TrieMap.empty[String, SparseEntry]
 
-  /** Same owner-collision contract as [[registerBm25]]. */
-  def registerSparse(idxCol: String, idCol: String,
+  /** Scope contract: like the VECTOR registries (and stricter than
+    * BM25's per-(column, id) list), sparse registrations are keyed by
+    * the indices column name alone — two tables sharing an indices
+    * column name cannot both register (the second owner throws);
+    * rename one table's column or unregister the other first. */
+  def registerSparse(idxCol: String, valCol: String, idCol: String,
                      resolve: () => org.apache.spark.sql.DataFrame,
                      refine: Int = 4, owner: String = ""): Unit =
     sparseEntries.synchronized {
@@ -487,7 +499,7 @@ object AnnIndex {
             "the other table first, or rename one table's column.")
       }
       sparseEntries(idxCol) =
-        SparseEntry(idxCol, idCol, resolve, refine, owner)
+        SparseEntry(idxCol, valCol, idCol, resolve, refine, owner)
     }
   def unregisterSparse(idxCol: String): Unit = sparseEntries.remove(idxCol)
   private[plans] def lookupSparse(idxCol: String): Option[SparseEntry] =
@@ -652,11 +664,13 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
     * optionally rounded; the query lives in the node's own literal
     * fields, like [[extractBm25]]. */
   private def extractSparse(e: Expression):
-      Option[(AttributeReference, Seq[Int], Seq[Double])] = {
+      Option[(AttributeReference, AttributeReference,
+              Seq[Int], Seq[Double])] = {
     stripRound(e) match {
       case s: org.apache.spark.sql.graft.SparseDotQ =>
-        unwrap(s.left) match {
-          case at: AttributeReference => Some((at, s.qIdx, s.qVal))
+        (unwrap(s.left), unwrap(s.right)) match {
+          case (ai: AttributeReference, av: AttributeReference) =>
+            Some((ai, av, s.qIdx, s.qVal))
           case _ => None
         }
       case _ => None
@@ -836,9 +850,14 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       val sparse = for {
         alias <- sortKey(Descending)
         if !hasUserFilter
-        (idxAttr, qIdx, qVal) <- extractSparse(alias.child)
+        (idxAttr, valAttr, qIdx, qVal) <- extractSparse(alias.child)
         entry <- AnnIndex.lookupSparse(idxAttr.name)
+        // the VALUES side must be the registered pair's values column
+        // and come from the same relation — a score over different
+        // weights must not be answered from these postings
+        if valAttr.name == entry.valCol
         leaf <- leafFor(idxAttr, entry.idCol)
+        if leaf.output.exists(_.exprId == valAttr.exprId)
         idAttr = leaf.output.find(_.name == entry.idCol).get
         if !hasCandidateSemiJoin(child, idAttr)
       } yield inject(leaf, idAttr,

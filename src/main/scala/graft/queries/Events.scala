@@ -286,7 +286,7 @@ object Events {
     require(!new java.io.File(dir, "_spark_metadata").exists(),
       "commit log must be gone after graduation")
     graft.functions.Sparse.searchStored(s, dir,
-        emb.embed("spark merge hash window"), 10)
+        emb.embed(Retrieval.SparseQueryText), 10)
       .select(col("id").as("doc_id"), col("score"))
   }
 

@@ -611,7 +611,9 @@ object Retrieval {
       .select("doc_id", "score")
   }
 
-  private val SparseQueryText = "spark merge hash window"
+  /** `private[queries]`: Events' s10 streamed-sparse twin queries the
+    * same text its shared oracle replays. */
+  private[queries] val SparseQueryText = "spark merge hash window"
 
   /** The SCALE path of r27 under the SAME oracle: the sparse corpus
     * inverted into postings (one row per non-zero,
@@ -682,7 +684,7 @@ object Retrieval {
       .write.mode("overwrite").parquet(dir)
     val stored = s.read.parquet(dir)
     graft.plans.AnnIndex.install(s)
-    graft.plans.AnnIndex.registerSparse("si", "doc_id",
+    graft.plans.AnnIndex.registerSparse("si", "sv", "doc_id",
       () => graft.functions.Sparse.invertedPostings(
         stored, "doc_id", "si", "sv"),
       refine = 2)

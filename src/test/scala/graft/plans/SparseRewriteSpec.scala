@@ -64,7 +64,7 @@ class SparseRewriteSpec extends SparkSpecBase {
     val exact = topk(stored, q, 4).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     AnnIndex.install(spark)
-    AnnIndex.registerSparse("si", "doc_id",
+    AnnIndex.registerSparse("si", "sv", "doc_id",
       () => Sparse.invertedPostings(stored, "doc_id", "si", "sv"),
       refine = 2)
     try {
@@ -80,7 +80,7 @@ class SparseRewriteSpec extends SparkSpecBase {
     val stored = storedCorpus()
     val q = emb.embed("shuffle join window")
     AnnIndex.install(spark)
-    AnnIndex.registerSparse("si", "doc_id",
+    AnnIndex.registerSparse("si", "sv", "doc_id",
       () => Sparse.invertedPostings(stored, "doc_id", "si", "sv"),
       refine = 2)
     try {
@@ -93,6 +93,44 @@ class SparseRewriteSpec extends SparkSpecBase {
       assert(!df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
         "k-limited candidate budgets are unsound under a user filter")
       assert(df.collect().forall(_.getLong(0) > 4L))
+    } finally AnnIndex.unregisterSparse("si")
+  }
+
+  test("a score over a DIFFERENT values column does not rewrite") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_valmix").toString
+    Seq((1L, "spark shuffle join"), (2L, "shuffle join window"),
+        (3L, "hash aggregate plan"))
+      .toDF("doc_id", "text")
+      .withColumn("__sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("si"),
+        col("__sv.values").as("sv"),
+        // a second, DOUBLED weights column sharing the indices
+        transform(col("__sv.values"), v => v * 2f).as("sv2"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = emb.embed("shuffle join")
+    AnnIndex.install(spark)
+    AnnIndex.registerSparse("si", "sv", "doc_id",
+      () => Sparse.invertedPostings(stored, "doc_id", "si", "sv"),
+      refine = 2)
+    try {
+      val df = stored.withColumn("score",
+          round(Sparse.scoreColumn(col("si"), col("sv2"), q), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(2).select("doc_id", "score")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "a score over unregistered weights must stay the exact plan")
+      // and the exact plan's scores really use sv2 (doubled)
+      val viaSv = stored.withColumn("score",
+          round(Sparse.scoreColumn(col("si"), col("sv"), q), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(2).select("doc_id", "score")
+        .collect().map(_.getDouble(1))
+      val viaSv2 = df.collect().map(_.getDouble(1))
+      assert(viaSv2.toSeq === viaSv.map(_ * 2).toSeq)
     } finally AnnIndex.unregisterSparse("si")
   }
 
@@ -173,15 +211,15 @@ class SparseRewriteSpec extends SparkSpecBase {
   }
 
   test("registration collisions across owners are refused") {
-    AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+    AnnIndex.registerSparse("si_x", "sv_x", "doc_id", () => storedCorpus(),
       owner = "tableA")
     try {
       intercept[IllegalStateException] {
-        AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+        AnnIndex.registerSparse("si_x", "sv_x", "doc_id", () => storedCorpus(),
           owner = "tableB")
       }
       // same owner re-registers in place
-      AnnIndex.registerSparse("si_x", "doc_id", () => storedCorpus(),
+      AnnIndex.registerSparse("si_x", "sv_x", "doc_id", () => storedCorpus(),
         owner = "tableA")
     } finally AnnIndex.unregisterSparse("si_x")
   }
