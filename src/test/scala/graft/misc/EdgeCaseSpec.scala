@@ -16,6 +16,37 @@ class EdgeCaseSpec extends SparkSpecBase {
     Seq.empty[(Long, String)].toDF("id", "text")
   }
 
+  test("stored sparse layout edges: no-overlap and empty queries are " +
+      "empty, a no-victim delete rewrites nothing") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.{Md5SparseEmbedder, Sparse, SparseVec}
+    val emb = Md5SparseEmbedder(dim = 256)
+    val docs = Seq((1L, "spark shuffle"), (2L, "hash join"))
+      .toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sparse-edge").toString
+    Sparse.writePostings(Sparse.invertedPostings(
+      docs.select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v")), "id", "i", "v"), dir, buckets = 4)
+    // empty query → empty result, no error
+    assert(Sparse.searchStored(spark, dir,
+      SparseVec(Nil, Nil), 5).collect().isEmpty)
+    // a query hitting no stored bucket contents → empty
+    val miss = emb.embed("zzzz qqqq")
+    val hitIds = Sparse.searchStored(spark, dir, miss, 5)
+      .collect().map(_.getLong(0))
+    assert(!hitIds.contains(99L))
+    // deleting absent ids rewrites nothing and preserves scores
+    val q = emb.embed("spark")
+    val before = Sparse.searchStored(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(Sparse.deleteStored(spark, dir, Seq(99L).toDF("id")) === 0L)
+    assert(Sparse.searchStored(spark, dir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === before)
+  }
+
   test("bm25 on an empty corpus: empty search results, no NaN stats") {
     val idx = Bm25.build(emptyDocs, "id", "text")
     assert(idx.n === 0)
