@@ -185,6 +185,42 @@ object Sparse {
     invertedTopK(pruned, query, k, roundTo)
   }
 
+  /** Batch sparse top-k: the top-k docs for EVERY query row in ONE job
+    * — the sparse twin of [[graft.ops.Bm25.searchBatch]] /
+    * [[graft.ops.Ann.knnJoin]], what an evaluation loop or a query-log
+    * replay runs instead of one driver round-trip per query.
+    * `queries`: (qIdCol, idxCol, valCol) — a sparse vector per row.
+    * Returns (qid, id, score, rank), rank 1-based per query, ties
+    * (score desc, id asc).
+    *
+    * Scale shape: the exploded (qid, bucket, w) query relation is a
+    * QUERY-bounded broadcast (Q·nnz rows); candidate scoring is one
+    * map-side postings join + a combinable groupBy(qid, id); the
+    * per-query top-k is a rank window partitioned by qid — never a
+    * corpus-wide sort, and docs sharing no bucket with a query never
+    * enter the plan. */
+  def invertedTopKBatch(postings: org.apache.spark.sql.DataFrame,
+                        queries: org.apache.spark.sql.DataFrame,
+                        qIdCol: String, idxCol: String, valCol: String,
+                        k: Int, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val q = queries.select(col(qIdCol).as("__qid"),
+        explode(arrays_zip(col(idxCol).as("bucket"),
+          col(valCol).as("w"))).as("p"))
+      .select(col("__qid"), col("p.bucket").as("bucket"),
+        col("p.w").cast("double").as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("score").desc, col("id").asc)
+    postings.join(broadcast(q), "bucket")
+      .groupBy(col("__qid"), col("id"))
+      .agg(round(sum(col("v").cast("double") * col("__w")), roundTo)
+        .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("id"), col("score"),
+        col("rank"))
+  }
+
   /** True when `dir` is a [[writePostings]] layout (its modulus marker
     * is present) — the layout self-description
     * [[graft.core.Engine.attachStoredIndex]] dispatches on. */

@@ -702,6 +702,30 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterSparse("si")
   }
 
+  /** r32: BATCH sparse search under the oracle — the query-log-replay
+    * form ([[graft.functions.Sparse.invertedTopKBatch]], the sparse
+    * twin of r13's BM25 batch and r04/r10's kNN joins): the first 4
+    * documents' own sparse vectors are the query set, every query's
+    * top-5 comes out of ONE job (broadcast exploded queries, one
+    * combinable (qid, id) aggregation, per-qid rank window), and
+    * DuckDB replays embedding, bucket join, per-query scoring and
+    * ranking from first principles. */
+  def sparseBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val docs = documents(s, d).withColumn("__sv", sv(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("__i"),
+        col("__sv.values").as("__v"))
+    val postings = graft.functions.Sparse.invertedPostings(
+      docs, "doc_id", "__i", "__v")
+    val queries = docs.filter(col("doc_id") < 4)
+    graft.functions.Sparse.invertedTopKBatch(postings, queries,
+        "doc_id", "__i", "__v", k = 5)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Reranker application under the oracle (R2/R5: the cross-encoder
     * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
     * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
@@ -752,7 +776,8 @@ object Retrieval {
     "r28_overlap_rerank" -> overlapRerank,
     "r29_sparse_inverted" -> sparseInvertedTopk,
     "r30_sparse_stored" -> sparseStored,
-    "r31_sparse_rewrite" -> sparseRewrite)
+    "r31_sparse_rewrite" -> sparseRewrite,
+    "r32_sparse_batch" -> sparseBatch)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1514,6 +1539,33 @@ object Retrieval {
     "r29_sparse_inverted" -> SparseOracleSql,
     "r30_sparse_stored" -> SparseOracleSql,
     "r31_sparse_rewrite" -> SparseOracleSql,
+    // r32: the batch form — per-query replay of the shared sparse
+    // recipe, queries = docs 0..3's own vectors, rank per qid
+    "r32_sparse_batch" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS tok
+            FROM documents),
+          dv AS (
+            SELECT doc_id,
+                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM toks GROUP BY 1, 2),
+          qv AS (SELECT doc_id AS qid, b, v AS w FROM dv
+                 WHERE doc_id < 4),
+          scored AS (
+            SELECT qv.qid, dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
+            FROM dv JOIN qv USING (b) GROUP BY 1, 2),
+          ranked AS (
+            SELECT qid, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+            FROM scored)
+          SELECT qid, doc_id, score, rank FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank""",
     "r28_overlap_rerank" ->
       // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
       // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,

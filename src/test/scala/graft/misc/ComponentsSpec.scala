@@ -252,6 +252,32 @@ class ComponentsSpec extends SparkSpecBase {
       s"bucket $b missing from partition filter: $pf"))
   }
 
+  test("batch sparse top-k equals the per-query inverted search") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(dim = 512)
+    val docs = Seq(
+      (1L, "spark shuffles data"), (2L, "spark joins tables"),
+      (3L, "ducks swim on ponds"), (4L, "tables join spark frames"))
+      .toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+      .select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v"))
+    val postings = Sparse.invertedPostings(docs, "id", "i", "v")
+    val batch = Sparse.invertedTopKBatch(postings,
+        docs.filter(col("id") <= 2), "id", "i", "v", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val loop = Seq(1L, 2L).flatMap { qid =>
+      val q = emb.embed(
+        Seq("spark shuffles data", "spark joins tables")(qid.toInt - 1))
+      Sparse.invertedTopK(postings, q, 3).collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(1), i + 1) }
+    }
+    assert(batch.toSeq === loop)
+  }
+
   test("stored sparse delete: victims vanish, survivors score unchanged") {
     val sp = spark
     import sp.implicits._
