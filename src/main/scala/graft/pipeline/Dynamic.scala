@@ -31,19 +31,44 @@ object Dynamic {
 
   final case class RequestError(msg: String) extends Exception(msg)
 
+  /** Multimodal embedding seat resolved by the `multimodal-emb` kind
+    * (pipeline.py:124-127): image bytes AND text through one provider
+    * — the local codec-histogram embedder or the Jina/Voyage wire
+    * adapters behind the same two methods. */
+  trait MmEmbedder extends Serializable {
+    def dim: Int
+    def embedText(s: String): Array[Float]
+    def embedImage(b: Array[Byte]): Array[Float]
+  }
+
+  /** An [[MmEmbedder]]'s text side as a plain [[Embedder]] — the
+    * reference's `self.text_emb or self.multimodal_emb` fallback
+    * (pipeline.py:355,411) for chunk/query embedding. */
+  private final case class MmTextEmbedder(mm: MmEmbedder)
+    extends Embedder {
+    def name: String = "mm_text"
+    def dim: Int = mm.dim
+    def embedChunk(text: String): Array[Float] = mm.embedText(text)
+  }
+
   /** Resolved pipeline config. */
   final case class Config(
       chunk: Option[Chunker] = None,
       textEmb: Option[Embedder] = None,
+      multimodalEmb: Option[MmEmbedder] = None,
+      ocr: Option[graft.text.ExtractorProvider] = None,
+      evaluate: Option[graft.eval.RelevanceJudge] = None,
       rerank: Option[Reranker] = None,
       graph: Option[EntityRecognizer] = None,
       index: Boolean = false,
       indexGraph: Boolean = false,
       search: Boolean = false,
       topk: Int = 10) {
-    /** pipeline.py:174-184 validation, ported rule for rule. */
+    /** pipeline.py:174-184 validation, ported rule for rule (an
+      * embedding provider is satisfied by EITHER the text or the
+      * multimodal seat, like `text_emb or multimodal_emb`). */
     def validate(): Config = {
-      if (textEmb.isEmpty)
+      if (textEmb.isEmpty && multimodalEmb.isEmpty)
         throw RequestError("No embedding provider specified in the request")
       if (!index && !search)
         throw RequestError(
@@ -52,6 +77,9 @@ object Dynamic {
         throw RequestError("Graph index requires a graph provider")
       this
     }
+    /** The chunk/query-side embedder (`text_emb or multimodal_emb`). */
+    private[pipeline] def anyEmb: Embedder =
+      textEmb.getOrElse(MmTextEmbedder(multimodalEmb.get))
   }
 
   /** Rate-limited transport for a named wire provider: `endpoint` is
@@ -146,6 +174,66 @@ object Dynamic {
                 wireHttp(s, gemini = false))
           c = c.copy(rerank = Some(rr))
         case ("rerank", "overlap") => c = c.copy(rerank = Some(OverlapReranker()))
+        // multimodal-emb (pipeline.py:124-127): local codec-histogram
+        // twin + the Jina/Voyage wire adapters
+        case ("multimodal-emb", "local") =>
+          val dim = s.args.getOrElse("dim", "64").toInt
+          val inner = graft.multimodal.MultimodalEmbedder(
+            graft.text.Md5Embedder(dim), graft.multimodal.ImageIoCodec())
+          c = c.copy(multimodalEmb = Some(new MmEmbedder {
+            def dim: Int = inner.dim
+            def embedText(t: String): Array[Float] = inner.embedText(t)
+            def embedImage(b: Array[Byte]): Array[Float] =
+              inner.embedImage(b)
+          }))
+        case ("multimodal-emb", p @ ("jina" | "voyage")) =>
+          val http = wireHttp(s, gemini = false)
+          val dim = s.args.getOrElse("dim",
+            if (p == "jina") "2048" else "1024").toInt
+          c = c.copy(multimodalEmb = Some(p match {
+            case "jina" =>
+              val e = graft.providers.JinaMultimodalEmbedder(
+                dim = dim, http = http)
+              new MmEmbedder {
+                def dim: Int = e.dim
+                def embedText(t: String): Array[Float] =
+                  e.embed(text = Some(t))
+                def embedImage(b: Array[Byte]): Array[Float] =
+                  e.embed(image = Some(b))
+              }
+            case _ =>
+              val e = graft.providers.VoyageMultimodalEmbedder(
+                dim = dim, http = http)
+              new MmEmbedder {
+                def dim: Int = e.dim
+                def embedText(t: String): Array[Float] =
+                  e.embed(text = Some(t))
+                def embedImage(b: Array[Byte]): Array[Float] =
+                  e.embed(image = Some(b))
+              }
+          }))
+        // ocr (pipeline.py:128): wire extractors + the deterministic
+        // stub seat for local pipelines
+        case ("ocr", "gemini") =>
+          c = c.copy(ocr = Some(graft.text.GeminiOcrExtractor(
+            graft.providers.GeminiCompleter(
+              s.args.getOrElse("model", "gemini-2.5-flash"),
+              wireHttp(s, gemini = true)))))
+        case ("ocr", "llamaparse") =>
+          c = c.copy(ocr = Some(graft.text.LlamaParseExtractor(
+            wireHttp(s, gemini = false))))
+        case ("ocr", "stub") =>
+          c = c.copy(ocr = Some(graft.text.StubOcrExtractor()))
+        // evaluate (pipeline.py:133 + 437-440): judged metrics over the
+        // search results — the UMBRELA wire judge or the local overlap
+        // twin
+        case ("evaluate", "gemini") =>
+          c = c.copy(evaluate = Some(graft.eval.UmbrelaJudge(
+            graft.providers.GeminiCompleter(
+              s.args.getOrElse("model", "gemini-2.5-flash"),
+              wireHttp(s, gemini = true)))))
+        case ("evaluate", "overlap") =>
+          c = c.copy(evaluate = Some(graft.eval.OverlapJudge()))
         case ("graph", "simple") => c = c.copy(graph = Some(SimpleRecognizer()))
         case ("index", "graft") =>
           c = c.copy(index = true,
@@ -163,7 +251,8 @@ object Dynamic {
   }
 
   private val Kinds =
-    Set("chunk", "text-emb", "rerank", "graph", "index", "search")
+    Set("chunk", "text-emb", "multimodal-emb", "ocr", "evaluate",
+      "rerank", "graph", "index", "search")
 
   /** Chunk rows persisted by the index flow. */
   final case class DynChunk(uid: String, doc_id: Long, seq: Int,
@@ -182,7 +271,7 @@ object Dynamic {
     val spark = reg.spark
     import spark.implicits._
     val chunker = c.chunk.getOrElse(RegexChunker())
-    val emb = c.textEmb.get
+    val emb = c.anyEmb
     val chunked = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -212,13 +301,80 @@ object Dynamic {
     }
   }
 
+  /** INDEX flow for BINARY inputs — the reference's non-TEXT request
+    * branch (pipeline.py:280-330): per document (doc_id, ext, data),
+    * a configured `multimodal-emb` embeds the RAW bytes as one extra
+    * chunk (uid `<id>-mm`, text = base64(data), the reference's "fake
+    * chunk" pipeline.py:286-292), the TEXT side comes from the bytes
+    * directly for `txt` or through the `ocr` seat for pdf/image
+    * (pipeline.py:295-299; no ocr → no text, the multimodal chunk
+    * alone carries the doc), and the surviving text chunks go through
+    * the normal chunk→embed path. All distributed (the wire seats'
+    * transports are executor-safe) and one transaction like
+    * [[runIndex]]. */
+  def runIndexBinary(reg: Registry, c: Config, docs: DataFrame,
+                     chunks: TableDef[DynChunk]): Unit = {
+    require(c.index, "config is not an index pipeline")
+    val spark = reg.spark
+    import spark.implicits._
+    val chunker = c.chunk.getOrElse(RegexChunker())
+    val emb = c.anyEmb
+    val mm = c.multimodalEmb
+    val ocr = c.ocr
+    val rows = docs
+      .select(col("doc_id").cast("long"), col("ext"), col("data"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, ext0, data) =>
+        val ext = Option(ext0).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT).stripPrefix(".")
+        val mmChunk = mm match {
+          case Some(m) if ext != "txt" =>
+            Seq((s"$id-mm", id, -1,
+              java.util.Base64.getEncoder.encodeToString(data),
+              m.embedImage(data).toSeq))
+          case _ => Nil
+        }
+        val text =
+          if (ext == "txt") new String(data, "UTF-8")
+          else ocr match {
+            case Some(o) if ext == "pdf" => o.extractPdf(data)
+            case Some(o) => o.extractImage(data)
+            case None => ""
+          }
+        val textChunks = (if (text.nonEmpty) chunker.segment(text)
+          else Seq.empty)
+          .zipWithIndex.map { case (body, i) =>
+            (s"$id-$i", id, i, body, emb.embedChunk(body).toSeq)
+          }
+        mmChunk ++ textChunks
+      }
+      .toDF("uid", "doc_id", "seq", "text", "vec")
+      .select(chunks.columns.map(col): _*)
+    reg.runTxn { txn => reg.copyBulk(chunks, rows, txn) }
+  }
+
+  /** Judged metrics over a [[runSearch]] result — the reference's
+    * `evaluate` seat applied after dedup/rerank (pipeline.py:437-440:
+    * `evaluate_with_estimation(query, chunk texts)`); requires the
+    * config to carry an `evaluate` provider. The result rows must be
+    * in final rank order (they are — runSearch orders before
+    * returning). */
+  def searchMetrics(c: Config, query: String,
+                    results: DataFrame): Map[String, Double] = {
+    val judge = c.evaluate.getOrElse(
+      throw RequestError("No evaluate provider specified in the request"))
+    val texts = results.select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    graft.eval.Judged.evaluateWithEstimation(query, texts, judge)
+  }
+
   /** SEARCH flow (pipeline.py:394-442): vector + keyword [+ graph]
     * fan-out → ordered first-occurrence dedup → optional rerank →
     * top-k (uid, doc_id, text, rank). */
   def runSearch(reg: Registry, c: Config, query: String,
                 chunks: TableDef[DynChunk]): DataFrame = {
     require(c.search, "config is not a search pipeline")
-    val emb = c.textEmb.get
+    val emb = c.anyEmb
     val table = reg.table(chunks)
     val vecList = Ann.topK(table, "uid", "vec",
         Embed.queryVec(emb, query), Ann.Cosine, c.topk)

@@ -42,6 +42,76 @@ class DynamicSpec extends SparkSpecBase {
     }.getMessage.contains("Unsupported provider: quantum"))
   }
 
+  test("validation: a multimodal embedder alone satisfies the " +
+      "embedding rule") {
+    val c = fromSteps(Seq(
+      ResourceRequest("multimodal-emb", "local", Map("dim" -> "32")),
+      ResourceRequest("index", "graft")))
+    assert(c.multimodalEmb.isDefined && c.textEmb.isEmpty)
+    assert(intercept[RequestError] {
+      fromSteps(Seq(ResourceRequest("ocr", "tesseract")))
+    }.getMessage.contains("Unsupported provider: tesseract"))
+    assert(intercept[RequestError] {
+      fromSteps(Seq(ResourceRequest("evaluate", "llm")))
+    }.getMessage.contains("Unsupported provider: llm"))
+  }
+
+  test("binary index flow: ocr stub + local multimodal emb, then " +
+      "search with judged metrics") {
+    val sp = spark
+    import sp.implicits._
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-dyn-bin").toString)
+    val chunks = chunkDef("binchunk")
+    reg.register(chunks)
+    val cfg = fromSteps(Seq(
+      ResourceRequest("chunk", "regex",
+        Map("size" -> "60", "overlap" -> "0", "separator" -> "\\s+",
+          "concat" -> " ")),
+      ResourceRequest("text-emb", "hash", Map("dim" -> "32")),
+      ResourceRequest("multimodal-emb", "local", Map("dim" -> "32")),
+      ResourceRequest("ocr", "stub"),
+      ResourceRequest("evaluate", "overlap"),
+      ResourceRequest("index", "graft"),
+      ResourceRequest("search", "graft", Map("topk" -> "4"))))
+    // one txt doc, one "image" (a real 1x1 PNG so the local codec
+    // decodes it), one pdf-tagged doc (the stub extractor tags bytes)
+    val img = {
+      val b = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val docs = Seq(
+      (1L, "txt", "spark joins shuffle data across executors"
+        .getBytes("UTF-8")),
+      (2L, "png", img),
+      // the reference's multimodal seat embeds EVERY non-text input
+      // (pipeline.py:286), so the local codec must be able to decode
+      // this "pdf" payload too — real providers accept document bytes
+      (3L, "pdf", img))
+      .toDF("doc_id", "ext", "data")
+    runIndexBinary(reg, cfg, docs, chunks)
+    val stored = reg.table(chunks).collect()
+    // txt doc: text chunks, no mm chunk for txt
+    assert(stored.exists(r => r.getAs[String]("uid") == "1-0"))
+    assert(!stored.exists(r => r.getAs[String]("uid") == "1-mm"))
+    // image doc: ONE multimodal fake chunk (base64 text, seq -1) plus
+    // the stub-ocr text chunk
+    assert(stored.exists(r => r.getAs[String]("uid") == "2-mm" &&
+      r.getAs[Int]("seq") == -1))
+    assert(stored.exists(r => r.getAs[String]("uid") == "2-0" &&
+      r.getAs[String]("text").startsWith("image ")))
+    // pdf doc: stub extractor's pdf tag became the text chunk
+    assert(stored.exists(r => r.getAs[String]("uid") == "3-0" &&
+      r.getAs[String]("text").startsWith("pdf ")))
+    val res = runSearch(reg, cfg, "spark joins shuffle", chunks)
+    val m = searchMetrics(cfg, "spark joins shuffle", res)
+    assert(m.contains("MRR") && m("MRR") > 0.0)
+    assert(m.keys.exists(_.startsWith("precision@")))
+  }
+
   test("index flow then search flow, with graph and rerank") {
     val sp = spark
     import sp.implicits._
