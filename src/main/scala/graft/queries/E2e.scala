@@ -205,13 +205,48 @@ object E2e {
       .orderBy("doc_id")
   }
 
+  /** d02: the BINARY dynamic-index branch under the oracle
+    * ([[graft.pipeline.Dynamic.runIndexBinary]] — the reference's
+    * non-TEXT request path, pipeline.py:280-330): even documents
+    * arrive as `txt` bytes (decoded verbatim), odd ones as `pdf`
+    * payloads routed through the configured `ocr` seat (the
+    * deterministic stub, whose tag `pdf <sha-8> <len> bytes` DuckDB
+    * replays with its own sha256), everything chunks (size 10⁴ — one
+    * chunk per doc at fixture lengths), embeds (md5) and lands in a
+    * fresh registry in one transaction; the gate returns the stored
+    * chunk table (minus the vector) and the oracle rebuilds it from
+    * first principles. d01 gates the search flow; this gates the
+    * binary ingest flow. */
+  def dynamicBinary(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Dynamic
+    val reg = new graft.core.Registry(s,
+      java.nio.file.Files.createTempDirectory("graft_d02").toString)
+    val chunks = Dynamic.chunkDef("d02chunk")
+    reg.register(chunks)
+    val cfg = Dynamic.fromSteps(Seq(
+      Dynamic.ResourceRequest("chunk", "regex", Map(
+        "size" -> "10000", "overlap" -> "0",
+        "separator" -> "\\s+", "concat" -> " ")),
+      Dynamic.ResourceRequest("text-emb", "md5", Map("dim" -> "64")),
+      Dynamic.ResourceRequest("ocr", "stub"),
+      Dynamic.ResourceRequest("index", "graft")))
+    val bin = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("txt")).otherwise(lit("pdf"))
+        .as("ext"),
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("data"))
+    Dynamic.runIndexBinary(reg, cfg, bin, chunks)
+    reg.table(chunks).select("uid", "doc_id", "seq", "text")
+      .orderBy("doc_id", "seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_ingest_search" -> ingestSearch,
     "e07_html_extract" -> htmlExtract,
     "e09_sentence_chunk" -> sentenceChunk,
     "e10_pdf_extract" -> pdfExtract,
     "e11_local_loader" -> localLoader,
-    "d01_dynamic_pipeline" -> dynamicPipeline)
+    "d01_dynamic_pipeline" -> dynamicPipeline,
+    "d02_dynamic_binary" -> dynamicBinary)
 
   /** DuckDB twin of the FULL loop. The greedy chunker is a recursive
     * CTE stepping the same per-piece state machine as
@@ -302,6 +337,24 @@ object E2e {
         """SELECT doc_id, '.txt' AS ext,
              sha256(coalesce(text, '')) AS digest
            FROM documents ORDER BY doc_id""",
+      "d02_dynamic_binary" ->
+        // one chunk per doc: txt docs keep their (whitespace-normalized)
+        // text, pdf docs carry the stub extractor's content tag — its
+        // sha-256 prefix recomputed by DuckDB over the same UTF-8 bytes;
+        // token-free txt docs chunk to nothing and are absent
+        """SELECT CAST(doc_id AS VARCHAR) || '-0' AS uid, doc_id,
+             0 AS seq,
+             CASE WHEN doc_id % 2 = 0
+               THEN array_to_string(list_filter(
+                 regexp_split_to_array(coalesce(text, ''), '\s+'),
+                 x -> x != ''), ' ')
+               ELSE 'pdf ' || substring(sha256(coalesce(text, '')), 1, 8)
+                 || ' ' || CAST(strlen(coalesce(text, ''))
+                     AS VARCHAR) || ' bytes' END AS text
+           FROM documents
+           WHERE NOT (doc_id % 2 = 0 AND
+             length(trim(coalesce(text, ''))) = 0)
+           ORDER BY doc_id, seq""",
       "e09_sentence_chunk" ->
       // rebuild the planted sentences: token i (0-based) belongs to
       // sentence i // 5; chunk = 'Sent ' + its 5 tokens + '.'
