@@ -202,9 +202,14 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
     val json = JsonMethods.parse(body(ex))
     val name = str(json \ "name").getOrElse(
       throw Dynamic.RequestError("missing field: name"))
-    val data = str(json \ "data").map(d =>
-      new String(java.util.Base64.getDecoder.decode(d),
-        StandardCharsets.UTF_8)).getOrElse("")
+    val rawData: Array[Byte] = str(json \ "data")
+      .map(java.util.Base64.getDecoder.decode)
+      .getOrElse(Array.emptyByteArray)
+    val data = new String(rawData, StandardCharsets.UTF_8)
+    // RunRequest.input_type (model/web.py:23-37): "text" (default),
+    // "pdf", or an image mime — non-text ingests route through the
+    // BINARY index branch (multimodal fake chunk + ocr extraction)
+    val inputType = str(json \ "input_type").getOrElse("text")
     val steps = (json \ "steps") match {
       case JArray(arr) => arr.map { s =>
         Dynamic.ResourceRequest(
@@ -232,8 +237,15 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
         java.util.UUID.nameUUIDFromBytes(
           name.getBytes(StandardCharsets.UTF_8))
           .getMostSignificantBits)
-      val docs = Seq((docId, data)).toDF("doc_id", "text")
-      Dynamic.runIndex(reg, cfg, docs, chunks)
+      if (inputType == "text")
+        Dynamic.runIndex(reg, cfg,
+          Seq((docId, data)).toDF("doc_id", "text"), chunks)
+      else {
+        val ext = if (inputType == "pdf") "pdf" else "img"
+        Dynamic.runIndexBinary(reg, cfg,
+          Seq((docId, ext, rawData)).toDF("doc_id", "ext", "data"),
+          chunks)
+      }
       val ack = JObject("name" -> JString(name),
         "msg" -> JString("ingested"),
         "uid" -> JString(java.util.UUID.randomUUID().toString))
@@ -241,12 +253,23 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
     } else {
       val hits = Dynamic.runSearch(reg, cfg, data, chunks)
         .select("id", "doc_id", "text").collect()
+      // resp.metrics (pipeline.py:437-440): judged metrics over the
+      // result texts when an `evaluate` provider is configured
+      val metrics: List[(String, JValue)] = cfg.evaluate match {
+        case Some(judge) if hits.nonEmpty =>
+          graft.eval.Judged.evaluateWithEstimation(data,
+              hits.toSeq.map(r => Option(r.getString(2)).getOrElse("")),
+              judge)
+            .toList.sortBy(_._1)
+            .map { case (k, v) => k -> (JDouble(v): JValue) }
+        case _ => Nil
+      }
       val out = JObject(
         "chunks" -> JArray(hits.toList.map(r => JObject(
           "uid" -> JString(r.getString(0)),
           "doc_id" -> JString(r.getLong(1).toString),
           "text" -> JString(r.getString(2))))),
-        "metrics" -> JObject())
+        "metrics" -> JObject(metrics: _*))
       (200, "application/json", JsonMethods.compact(JsonMethods.render(out)))
     }
   }

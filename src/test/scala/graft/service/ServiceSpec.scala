@@ -147,6 +147,33 @@ class ServiceSpec extends SparkSpecBase {
     assert(res.body().contains("spark"))
   }
 
+  test("POST /api/run: pdf input_type routes through the binary " +
+      "branch, and an evaluate provider fills metrics") {
+    val steps =
+      """[{"kind":"chunk","provider":"regex","args":{"size":"64","overlap":"0"}},
+         {"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+         {"kind":"ocr","provider":"stub"},
+         {"kind":"index","provider":"graft"}]"""
+    val ing = post("/api/run",
+      s"""{"name":"bin-1","data":"${b64("raw pdf payload bytes")}",
+          "input_type":"pdf","steps":$steps}""")
+    assert(ing.statusCode() === 200)
+    assert(ing.body().contains("\"msg\":\"ingested\""))
+    val searchSteps =
+      """[{"kind":"text-emb","provider":"hash","args":{"dim":"32"}},
+         {"kind":"evaluate","provider":"overlap"},
+         {"kind":"search","provider":"graft","args":{"topk":"3"}}]"""
+    // the stub extractor's tag starts with "pdf " — query for it
+    val res = post("/api/run",
+      s"""{"name":"q","data":"${b64("pdf bytes")}",
+          "steps":$searchSteps}""")
+    assert(res.statusCode() === 200)
+    assert(res.body().contains("\"chunks\":["))
+    // one result chunk → only MRR survives the k ≤ n filter of
+    // evaluate_with_estimation; it must be 1.0 (the stub tag matches)
+    assert(res.body().contains("\"MRR\":1.0"))
+  }
+
   test("POST /api/run: the reference's validation errors map to 400") {
     // no embedding provider → pipeline.py:174-184 RequestError
     val r = post("/api/run",
