@@ -27,11 +27,12 @@ object Markers {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
+      // Hadoop's own copy loop handles every stream contract corner
+      // (short reads, zero-length reads) — hand-rolled while(read)
+      // loops got this wrong twice already
       try {
         val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](128)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
         Some(new String(bos.toByteArray, "UTF-8").trim)
       } finally in.close()
     }

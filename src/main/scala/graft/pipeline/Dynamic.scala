@@ -183,8 +183,20 @@ object Dynamic {
           c = c.copy(multimodalEmb = Some(new MmEmbedder {
             def dim: Int = inner.dim
             def embedText(t: String): Array[Float] = inner.embedText(t)
+            // the wire providers accept ANY document bytes (pdf, image
+            // …); the local stand-in must be total too, or one real
+            // PDF payload aborts the whole ingest transaction — bytes
+            // the codec cannot decode embed deterministically through
+            // the text side over their digest
             def embedImage(b: Array[Byte]): Array[Float] =
-              inner.embedImage(b)
+              try inner.embedImage(b)
+              catch {
+                case _: IllegalArgumentException =>
+                  val md = java.security.MessageDigest
+                    .getInstance("SHA-256")
+                  inner.embedText("bytes " +
+                    md.digest(b).take(8).map("%02x".format(_)).mkString)
+              }
           }))
         case ("multimodal-emb", p @ ("jina" | "voyage")) =>
           val http = wireHttp(s, gemini = false)
@@ -360,12 +372,22 @@ object Dynamic {
     * in final rank order (they are — runSearch orders before
     * returning). */
   def searchMetrics(c: Config, query: String,
-                    results: DataFrame): Map[String, Double] = {
+                    results: DataFrame): Map[String, Double] =
+    searchMetricsTexts(c, query, results.select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse("")).toSeq)
+
+  /** [[searchMetrics]] over already-collected result texts (the
+    * service path, which has the rows in hand). Empty queries or
+    * all-blank/empty result sets yield EMPTY metrics rather than
+    * tripping the evaluator's non-empty requirement — there is
+    * nothing to judge, not an error. */
+  def searchMetricsTexts(c: Config, query: String,
+                         texts: Seq[String]): Map[String, Double] = {
     val judge = c.evaluate.getOrElse(
       throw RequestError("No evaluate provider specified in the request"))
-    val texts = results.select("text").collect()
-      .map(r => Option(r.getString(0)).getOrElse("")).toSeq
-    graft.eval.Judged.evaluateWithEstimation(query, texts, judge)
+    if (query.isEmpty || !texts.exists(t => t != null && t.strip.nonEmpty))
+      Map.empty
+    else graft.eval.Judged.evaluateWithEstimation(query, texts, judge)
   }
 
   /** SEARCH flow (pipeline.py:394-442): vector + keyword [+ graph]

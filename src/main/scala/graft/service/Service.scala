@@ -206,10 +206,14 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
       .map(java.util.Base64.getDecoder.decode)
       .getOrElse(Array.emptyByteArray)
     val data = new String(rawData, StandardCharsets.UTF_8)
-    // RunRequest.input_type (model/web.py:23-37): "text" (default),
-    // "pdf", or an image mime — non-text ingests route through the
-    // BINARY index branch (multimodal fake chunk + ocr extraction)
+    // RunRequest.input_type (model/web.py:23-37): exactly "text"
+    // (default), "pdf", or "image/jpeg" — anything else is a 400 like
+    // the reference's msgspec enum validation, never a silent
+    // image-branch fallback
     val inputType = str(json \ "input_type").getOrElse("text")
+    if (!Set("text", "pdf", "image/jpeg").contains(inputType))
+      throw Dynamic.RequestError(s"invalid input_type: $inputType " +
+        "(expected text, pdf, or image/jpeg)")
     val steps = (json \ "steps") match {
       case JArray(arr) => arr.map { s =>
         Dynamic.ResourceRequest(
@@ -254,16 +258,15 @@ final class GraftService(reg: Registry, tables: Seq[TableDef[_]],
       val hits = Dynamic.runSearch(reg, cfg, data, chunks)
         .select("id", "doc_id", "text").collect()
       // resp.metrics (pipeline.py:437-440): judged metrics over the
-      // result texts when an `evaluate` provider is configured
-      val metrics: List[(String, JValue)] = cfg.evaluate match {
-        case Some(judge) if hits.nonEmpty =>
-          graft.eval.Judged.evaluateWithEstimation(data,
-              hits.toSeq.map(r => Option(r.getString(2)).getOrElse("")),
-              judge)
-            .toList.sortBy(_._1)
-            .map { case (k, v) => k -> (JDouble(v): JValue) }
-        case _ => Nil
-      }
+      // result texts when an `evaluate` provider is configured — the
+      // ONE implementation in Dynamic.searchMetricsTexts (empty when
+      // there is nothing to judge)
+      val metrics: List[(String, JValue)] =
+        if (cfg.evaluate.isEmpty) Nil
+        else Dynamic.searchMetricsTexts(cfg, data,
+            hits.toSeq.map(r => Option(r.getString(2)).getOrElse("")))
+          .toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JDouble(v): JValue) }
       val out = JObject(
         "chunks" -> JArray(hits.toList.map(r => JObject(
           "uid" -> JString(r.getString(0)),

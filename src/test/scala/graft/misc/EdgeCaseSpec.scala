@@ -27,17 +27,21 @@ class EdgeCaseSpec extends SparkSpecBase {
       .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
     val dir = java.nio.file.Files
       .createTempDirectory("graft-sparse-edge").toString
-    Sparse.writePostings(Sparse.invertedPostings(
+    val postings = Sparse.invertedPostings(
       docs.select(col("id"), col("sv.indices").as("i"),
-        col("sv.values").as("v")), "id", "i", "v"), dir, buckets = 4)
+        col("sv.values").as("v")), "id", "i", "v")
+    Sparse.writePostings(postings, dir, buckets = 4)
     // empty query → empty result, no error
     assert(Sparse.searchStored(spark, dir,
       SparseVec(Nil, Nil), 5).collect().isEmpty)
-    // a query hitting no stored bucket contents → empty
+    // an unrelated query (its tokens may still collide in md5 bucket
+    // space): the stored result must equal the in-memory inverted
+    // result EXACTLY — pruning may never change what a query matches
     val miss = emb.embed("zzzz qqqq")
-    val hitIds = Sparse.searchStored(spark, dir, miss, 5)
-      .collect().map(_.getLong(0))
-    assert(!hitIds.contains(99L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pairs(Sparse.searchStored(spark, dir, miss, 5)) ===
+      pairs(Sparse.invertedTopK(postings, miss, 5)))
     // deleting absent ids rewrites nothing and preserves scores
     val q = emb.embed("spark")
     val before = Sparse.searchStored(spark, dir, q, 5).collect()

@@ -88,9 +88,9 @@ class DynamicSpec extends SparkSpecBase {
         .getBytes("UTF-8")),
       (2L, "png", img),
       // the reference's multimodal seat embeds EVERY non-text input
-      // (pipeline.py:286), so the local codec must be able to decode
-      // this "pdf" payload too — real providers accept document bytes
-      (3L, "pdf", img))
+      // (pipeline.py:286); the local stand-in embeds undecodable
+      // payloads through its digest fallback instead of aborting
+      (3L, "pdf", Array[Byte](1, 2, 3)))
       .toDF("doc_id", "ext", "data")
     runIndexBinary(reg, cfg, docs, chunks)
     val stored = reg.table(chunks).collect()
