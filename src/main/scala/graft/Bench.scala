@@ -64,20 +64,33 @@ object Bench {
     // the headline line past it (BENCH_r05.json came back unparseable).
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def toJson(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
     // Per-query detail lines come FIRST; the final stdout line is a
     // compact totals-only JSON. The driver keeps only a bounded stdout
     // tail, and at 80 queries a final line carrying the full per-query
-    // map outgrew it (BENCH_r07.json parsed=null, tail began mid-map).
-    // Totals always fit; per-query data is recoverable from the
-    // earlier lines when the tail is long enough.
+    // map outgrew it (BENCH_r07.json parsed=null, tail began mid-map);
+    // at 107 even its OWN line lost 38 warm entries and the whole cold
+    // map (round-10 record). So each map is CHUNKED ~20 queries per
+    // line, every line independently-parseable JSON with part/of
+    // markers: a byte-bounded tail now cuts at a line boundary and
+    // every surviving chunk still parses. Cold chunks print before
+    // warm so a short tail keeps the (headline) warm map.
+    def printChunked(metric: String, field: String,
+        entries: Seq[(String, Double)]): Unit = {
+      val groups = entries.grouped(20).toSeq
+      groups.zipWithIndex.foreach { case (g, i) =>
+        val body = g.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"$metric","part":${i + 1},"of":${groups.size},"$field":$body}""")
+      }
+    }
+    val orderedNames = byQ.map(_._1)
+    printChunked("queries_cold", "queries_cold",
+      orderedNames.map(n => n -> cold(n)))
+    printChunked("queries_warm", "queries",
+      orderedNames.map(n => n -> results(n)))
     println(s"""{"metric":"pass_totals","value":[${passTotals.map(fmt).mkString(",")}],"unit":"sec"}""")
-    println(s"""{"metric":"queries_cold","unit":"sec","queries_cold":${toJson(cold)}}""")
-    println(s"""{"metric":"queries_warm","unit":"sec","queries":${toJson(results)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_cold":${fmt(totalCold)},"n":${results.size},"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }

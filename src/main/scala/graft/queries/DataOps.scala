@@ -14,6 +14,20 @@ import Tables._
   */
 object DataOps {
 
+  /** Run a BOUNDED (limit/groupBy-summarized) result on the cluster and
+    * hand back a lineage-free copy. Gate queries return lazy frames, so
+    * a persist scoped inside the query body must either leak past the
+    * return (storage-memory churn for every query that follows the
+    * bench suite — the round-10 p07-p09 phantom-regression mechanism)
+    * or be released before the caller's action, which forfeits the
+    * shared-prefix reuse the persist exists for. Materializing the
+    * final few rows here pays for the work exactly once while the
+    * cache is live, then the `finally` at the call site releases it. */
+  private def materializedCopy(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toIndexedSeq // bounded by the query's limit/groupBy
+    s.createDataFrame(s.sparkContext.parallelize(rows, numSlices = 1), df.schema)
+  }
+
   def dedupExactStats(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedupStats(documents(s, d), "doc_id", "text")
 
@@ -140,18 +154,21 @@ object DataOps {
         explode(TextAnalysis.fingerprintMd5(col("text"), n = 4, k = 16))
           .as("h"))
       .persist()
-    // stop-hash cap (standard sketch-join skew defense): a hash shared
-    // by very many docs carries no near-dup signal but quadratically
-    // dominates the self-join at corpus scale
-    val hot = fpAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("h")
-    val fp = fpAll.join(broadcast(hot), Seq("h"), "left_anti")
-    fp.as("x").join(fp.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
-      .limit(10)
+    try {
+      // stop-hash cap (standard sketch-join skew defense): a hash shared
+      // by very many docs carries no near-dup signal but quadratically
+      // dominates the self-join at corpus scale
+      val hot = fpAll.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64).select("h")
+      val fp = fpAll.join(broadcast(hot), Seq("h"), "left_anti")
+      materializedCopy(s,
+        fp.as("x").join(fp.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
+          .limit(10))
+    } finally fpAll.unpersist(false)
   }
 
   /** Duplicate clusters: connected components over the exact-Jaccard
@@ -275,17 +292,20 @@ object DataOps {
     val bySplit = Sampling.withSplit(mixed, "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
       .persist()
-    val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
-    val packed = Seq("train", "val", "test").map { sp =>
-      Sampling.packSequences(bySplit.filter(col("split") === sp),
-        "doc_id", nTok, budget = 512, shards = 4)
-    }.reduce(_ unionByName _)
-    packed.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        countDistinct(concat_ws("-", col("shard"), col("pack_id")))
-          .as("n_packs"))
-      .orderBy("split")
+    try {
+      val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
+      val packed = Seq("train", "val", "test").map { sp =>
+        Sampling.packSequences(bySplit.filter(col("split") === sp),
+          "doc_id", nTok, budget = 512, shards = 4)
+      }.reduce(_ unionByName _)
+      materializedCopy(s,
+        packed.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(concat_ws("-", col("shard"), col("pack_id")))
+              .as("n_packs"))
+          .orderBy("split"))
+    } finally bySplit.unpersist(false)
   }
 
   /** Gopher-style repetition signals per doc ([[TextAnalysis
