@@ -174,9 +174,8 @@ final class Engine(reg: Registry) {
       throw new IllegalStateException(s"${td.name} has no keyword index"))
     val tok = graft.functions.Tokenizers.all.getOrElse(kw.model,
       graft.functions.Tokenizers.Simple)
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${td.name}", Vector.empty).hashCode
-    val key = s"kw|${System.identityHashCode(reg)}|${td.name}|" +
+    val version = reg.segDigest(td.name)
+    val key = s"kw|${reg.instanceId}|${td.name}|" +
       s"${kw.column}|$version"
     Bm25.buildCached(reg.table(td), td.pk, kw.column, key, tok)
   }
@@ -458,9 +457,8 @@ final class Engine(reg: Registry) {
     * after a lists change) must invalidate cached assignments/codes
     * even when the base table is untouched, or stale cell ids get
     * probed against the new model's id space. */
-  private def segVersion(names: String*): Int =
-    names.map(n => reg.catalog.current
-      .getOrElse(s"${reg.namespace}_$n", Vector.empty).hashCode).hashCode
+  private def segVersion(names: String*): String =
+    reg.segDigest(names: _*)
 
   /** The registration owner tag: collisions between two TABLES sharing
     * column names fail loudly at install instead of silently serving
@@ -474,10 +472,10 @@ final class Engine(reg: Registry) {
     * driver-resident — but a buildIndex re-run must refresh them, and
     * re-collecting per query would be a per-plan job. */
   private val centsCache =
-    scala.collection.mutable.HashMap[String, (Int, Seq[(Long, Array[Double])])]()
+    scala.collection.mutable.HashMap[String, (String, Seq[(Long, Array[Double])])]()
   private def centsCached(td: TableDef[_]): Seq[(Long, Array[Double])] = {
     val version = segVersion(s"${td.name}__ivf")
-    val key = s"${System.identityHashCode(reg)}|${td.name}"
+    val key = s"${reg.instanceId}|${td.name}"
     centsCache.synchronized {
       centsCache.get(key) match {
         case Some((v, cs)) if v == version => cs
@@ -500,14 +498,14 @@ final class Engine(reg: Registry) {
     * rewritten (at real scale it is written `partitionBy(centroid_id)`,
     * Ann.writePartitioned; here the persisted frame plays that role). */
   private val assignCache =
-    scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
+    scala.collection.mutable.HashMap[String, (String, DataFrame)]()
   private def assignedCached(td: TableDef[_], ix: VectorIndex,
                              model: Ann.IvfModel): DataFrame = {
     // version BEFORE the table resolve: the other order can cache
     // pre-commit data under the post-commit version key, pinning the
     // stale frame until the next write (mvAssignedCached's pattern)
     val version = segVersion(td.name, s"${td.name}__ivf")
-    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    val key = s"${reg.instanceId}|${td.name}|${ix.column}"
     assignCache.synchronized {
       assignCache.get(key) match {
         case Some((v, df)) if v == version => df
@@ -527,12 +525,12 @@ final class Engine(reg: Registry) {
     * [[assignedCached]]): per-cell bounds + quantized codes persist
     * until the table is rewritten. */
   private val ivfSqCacheMap =
-    scala.collection.mutable.HashMap[String, (Int, Ann.IvfSqIndex)]()
+    scala.collection.mutable.HashMap[String, (String, Ann.IvfSqIndex)]()
   private def ivfSqCached(td: TableDef[_], ix: VectorIndex,
                           model: Ann.IvfModel): Ann.IvfSqIndex = {
     // version before table resolve — see assignedCached
     val version = segVersion(td.name, s"${td.name}__ivf")
-    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    val key = s"${reg.instanceId}|${td.name}|${ix.column}"
     ivfSqCacheMap.synchronized {
       ivfSqCacheMap.get(key) match {
         case Some((v, idx)) if v == version => idx
@@ -555,12 +553,12 @@ final class Engine(reg: Registry) {
     * [[ivfSqCached]]): residual-sign codes + norms persist until the
     * table is rewritten. */
   private val ivfBitqCacheMap =
-    scala.collection.mutable.HashMap[String, (Int, Ann.IvfBitIndex)]()
+    scala.collection.mutable.HashMap[String, (String, Ann.IvfBitIndex)]()
   private def ivfBitqCached(td: TableDef[_], ix: VectorIndex,
                             model: Ann.IvfModel): Ann.IvfBitIndex = {
     // version before table resolve — see assignedCached
     val version = segVersion(td.name, s"${td.name}__ivf")
-    val key = s"${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    val key = s"${reg.instanceId}|${td.name}|${ix.column}"
     ivfBitqCacheMap.synchronized {
       ivfBitqCacheMap.get(key) match {
         case Some((v, idx)) if v == version => idx
@@ -607,11 +605,11 @@ final class Engine(reg: Registry) {
     * persisted frame plays that role). Cosine assignment — the build's
     * spherical-centroids metric ([[Ann.buildMaxsimIvf]]). */
   private val mvAssignCache =
-    scala.collection.mutable.HashMap[String, (Int, DataFrame)]()
+    scala.collection.mutable.HashMap[String, (String, DataFrame)]()
   private def mvAssignedCached(td: TableDef[_], ix: MultiVectorIndex,
                                model: Ann.IvfModel): DataFrame = {
     val version = segVersion(td.name, s"${td.name}__mvivf")
-    val key = s"mv|${System.identityHashCode(reg)}|${td.name}|${ix.column}"
+    val key = s"mv|${reg.instanceId}|${td.name}|${ix.column}"
     mvAssignCache.synchronized {
       mvAssignCache.get(key) match {
         case Some((v, df)) if v == version => df

@@ -24,7 +24,30 @@ final class Registry(val spark: SparkSession, root: String,
   val catalog = new Catalog(spark, root)
   private val defs = mutable.LinkedHashMap[String, TableDef[_]]()
 
+  /** Per-instance identity for memo-cache keys ([[graft.core.Engine]],
+    * [[graft.pipeline.Dynamic]]): `System.identityHashCode` can be
+    * REUSED after a dead Registry is GC'd, silently serving a foreign
+    * registry's cached index to this one's queries — a UUID cannot
+    * collide across instances. */
+  val instanceId: String = java.util.UUID.randomUUID().toString
+
   private def full(name: String): String = s"${namespace}_$name"
+
+  /** Collision-proof version tag over the named tables' CURRENT
+    * segment lists (short names; namespace applied): memo caches that
+    * keyed on `Vector.hashCode` could pin a stale artifact when two
+    * manifests collide in 32 bits — a SHA-256 over the segment paths
+    * (with table and path separators so list boundaries can't alias)
+    * cannot. */
+  def segDigest(names: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    names.foreach { n =>
+      md.update((n + "\u0001").getBytes("UTF-8"))
+      catalog.current.getOrElse(full(n), Vector.empty)
+        .foreach(s => md.update((s + "\u0000").getBytes("UTF-8")))
+    }
+    md.digest().take(12).map(b => f"$b%02x").mkString
+  }
 
   /** Per-table AutoIncrement sequences (see assignIds). */
   private val idCounters =

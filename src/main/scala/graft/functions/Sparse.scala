@@ -112,6 +112,16 @@ object Sparse {
       : org.apache.spark.sql.DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
+    // a malformed query with repeated indices would SUM its duplicate
+    // weights here (each duplicate bucket row joins the postings
+    // separately) while the row-scan scorer ([[sparseDot]] /
+    // SparseDotQ) collapses duplicates — the declarative rewrite would
+    // then pick candidates by one score and re-rank by another. Refuse
+    // loudly instead of diverging silently.
+    require(qIdx.distinct.length == qIdx.length,
+      s"sparse query has duplicate indices (${qIdx.length} entries, " +
+        s"${qIdx.distinct.length} distinct) — inverted scoring and the " +
+        "row-scan scorer would disagree; dedupe the query vector first")
     val q = qIdx.zip(qVal).toDF("bucket", "__w")
     postings.join(broadcast(q), "bucket")
       .groupBy("id")
@@ -204,9 +214,22 @@ object Sparse {
                         qIdCol: String, idxCol: String, valCol: String,
                         k: Int, roundTo: Int = 6)
       : org.apache.spark.sql.DataFrame = {
+    // same duplicate-index refusal as [[invertedTopKW]], enforced
+    // row-by-row inside the plan (queries is a frame, so a driver-side
+    // require can't see the rows): assert_true raises on the first
+    // malformed query instead of silently double-counting its weights.
+    // Evaluated on the query side only — Q rows, not the postings.
     val q = queries.select(col(qIdCol).as("__qid"),
-        explode(arrays_zip(col(idxCol).as("bucket"),
-          col(valCol).as("w"))).as("p"))
+        col(idxCol).as("__qi"), col(valCol).as("__qv"))
+      .filter(coalesce(
+        assert_true(size(array_distinct(col("__qi"))) === size(col("__qi")),
+          concat(lit("sparse batch query "), col("__qid").cast("string"),
+            lit(" has duplicate indices — inverted scoring and the " +
+              "row-scan scorer would disagree"))),
+        lit(true)))
+      .select(col("__qid"),
+        explode(arrays_zip(col("__qi").as("bucket"),
+          col("__qv").as("w"))).as("p"))
       .select(col("__qid"), col("p.bucket").as("bucket"),
         col("p.w").cast("double").as("__w"))
     val w = org.apache.spark.sql.expressions.Window

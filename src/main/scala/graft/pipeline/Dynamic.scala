@@ -405,10 +405,9 @@ object Dynamic {
     // flow runs per query, and rebuilding the postings/corpus-stats
     // side tables per call is an O(corpus) scan the reference's
     // persistent PG bm25 index never pays (client.py:146-174)
-    val version = reg.catalog.current
-      .getOrElse(s"${reg.namespace}_${chunks.name}", Vector.empty).hashCode
+    val version = reg.segDigest(chunks.name)
     val idx = Bm25.buildCached(table, "uid", "text",
-      s"dyn|${System.identityHashCode(reg)}|${chunks.name}|$version")
+      s"dyn|${reg.instanceId}|${chunks.name}|$version")
     val kwList = Bm25.search(idx, query, c.topk)
     var lists = Seq(
       Fusion.ranked(vecList, "uid", "dist", asc = true),

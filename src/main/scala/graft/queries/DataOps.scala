@@ -380,7 +380,9 @@ object DataOps {
   val oracles: Map[String, String] = Map(
     "p21_length_outliers" ->
       // quantile_cont == Spark's exact interpolated percentile; kept =
-      // rows at or under the rounded p99 bound, per stratum
+      // rows at or under the rounded p99 bound, per stratum. Joins are
+      // null-safe (IS NOT DISTINCT FROM) to mirror lengthQuantiles'
+      // <=> joins — a null-lang stratum is a real group, not a drop
       """WITH q AS (
             SELECT lang,
                    round(quantile_cont(n_chars, 0.5), 6) AS p50,
@@ -389,11 +391,12 @@ object DataOps {
                    count(*) AS n_total
             FROM documents GROUP BY 1),
           k AS (
-            SELECT d.lang, count(*) AS n_kept
-            FROM documents d JOIN q USING (lang)
+            SELECT q.lang AS lang, count(*) AS n_kept
+            FROM documents d
+            JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
             WHERE d.n_chars <= q.p99 GROUP BY 1)
           SELECT q.lang, p50, p90, p99, n_total, n_kept
-          FROM q JOIN k USING (lang)""",
+          FROM q JOIN k ON q.lang IS NOT DISTINCT FROM k.lang""",
     "p19_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           tg AS (SELECT doc_id,

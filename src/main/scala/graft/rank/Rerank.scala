@@ -148,11 +148,21 @@ object Rerank {
             query: String, reranker: Reranker): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
-    // re-assert the incoming rank before collecting: rerankers break
+    // re-assert the incoming order before collecting: rerankers break
     // ties by INPUT position, and a caller's join upstream (e.g. the
-    // dynamic search flow's text join) does not preserve row order —
-    // without this sort the tie order is partition-layout-dependent
-    val rows = ranked.orderBy(col("rank").asc)
+    // dynamic search flow's text join) does not preserve row order.
+    // `rank` alone is NOT a total key after a fused union — dedupUnion
+    // output carries per-source ranks (vec src=0 and bm25 src=1 both
+    // hold ranks 1..k), so equal-rank rows across src would still land
+    // in partition-dependent relative order. Sort by the caller's full
+    // canonical key: (src, rank) when a src column is present — the
+    // same order dedupUnion itself emits — else rank with an id-asc
+    // tiebreak for callers whose rank is already unique.
+    val orderKey =
+      if (ranked.columns.contains("src"))
+        Seq(col("src").asc, col("rank").asc)
+      else Seq(col("rank").asc, col(idCol).cast("string").asc)
+    val rows = ranked.orderBy(orderKey: _*)
       .select(col(idCol).cast("string"), col(textCol))
       .collect().map(r => (r.getString(0), r.getString(1)))
     val perm = reranker.rerank(query, rows.map(_._2).toSeq)

@@ -307,6 +307,22 @@ class RegistrySpec extends SparkSpecBase {
       s"duplicate auto-increment ids: ${ids.groupBy(identity)
         .filter(_._2.length > 1).keys.mkString(",")}")
   }
+
+  test("memo-key identity: instanceId differs per registry, segDigest " +
+      "tracks the manifest and can't alias across tables") {
+    val (regA, usersA, _, _) = freshRegistry()
+    val (regB, _, _, _) = freshRegistry()
+    // identityHashCode could be reused after GC; UUIDs cannot collide
+    assert(regA.instanceId !== regB.instanceId)
+    val v0 = regA.segDigest("user")
+    assert(v0 === regA.segDigest("user"), "digest must be stable")
+    regA.insert(usersA, Seq(TUser(0L, "dana", None)))
+    assert(regA.segDigest("user") !== v0,
+      "a manifest change must change the digest")
+    // multi-table digests separate per-table segment lists: the pair
+    // (user, doc) must not alias (doc, user)
+    assert(regA.segDigest("user", "doc") !== regA.segDigest("doc", "user"))
+  }
 }
 
 /** Self-referencing fixture for the cyclic-cascade test. */

@@ -136,6 +136,28 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("reranker input order over a fused union is (src, rank), not " +
+      "partition layout") {
+    val sp = spark
+    import sp.implicits._
+    // dedupUnion-shaped input: per-source ranks (both srcs carry rank
+    // 1..2), every text tying on reranker overlap so the OUTPUT order
+    // is exactly the INPUT order — the nondeterminism the (src, rank)
+    // sort must close (ADVICE r10). Scrambled partitioning must not
+    // change the result.
+    val fused = Seq(
+      (10L, "alpha beta", 1, 0), (11L, "alpha beta", 2, 0),
+      (20L, "alpha beta", 1, 1), (21L, "alpha beta", 2, 1))
+      .toDF("id", "text", "rank", "src")
+    val expected = Seq(10L, 11L, 20L, 21L)
+    (1 to 4).foreach { n =>
+      val out = Rerank.apply(fused.repartition(n, col("id")), "id",
+        "text", "no overlap at all", OverlapReranker()).collect()
+      assert(out.map(_.getAs[Long]("id")).toSeq === expected,
+        s"order must be (src, rank) under $n partitions")
+    }
+  }
+
   test("multimodal rerank ranks byte payloads by histogram similarity") {
     val r = OverlapReranker()
     val query = "aaaa bbbb aaaa"

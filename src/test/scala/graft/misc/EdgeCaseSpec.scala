@@ -16,6 +16,35 @@ class EdgeCaseSpec extends SparkSpecBase {
     Seq.empty[(Long, String)].toDF("id", "text")
   }
 
+  test("sparse queries with duplicate indices are refused, not " +
+      "silently double-counted") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.Sparse
+    val postings = Seq((1L, 3, 2.0f), (2L, 7, 1.0f))
+      .toDF("id", "bucket", "v")
+    // driver-side form: loud require
+    val ex = intercept[IllegalArgumentException] {
+      Sparse.invertedTopKW(postings, Seq(3, 3), Seq(1.0, 2.0), k = 5)
+    }
+    assert(ex.getMessage.contains("duplicate indices"))
+    // batch form: the in-plan assert_true fires on action
+    val badQ = Seq((1L, Seq(3, 3), Seq(1.0, 2.0)))
+      .toDF("qid", "qi", "qv")
+    val err = intercept[Exception] {
+      Sparse.invertedTopKBatch(postings, badQ, "qid", "qi", "qv", k = 5)
+        .collect()
+    }
+    assert(err.getMessage.contains("duplicate indices"),
+      s"unexpected: ${err.getMessage}")
+    // and a clean query still scores
+    val ok = Seq((1L, Seq(3), Seq(2.0)))
+      .toDF("qid", "qi", "qv")
+    assert(Sparse.invertedTopKBatch(postings, ok, "qid", "qi", "qv", 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 4.0)))
+  }
+
   test("stored sparse layout edges: no-overlap and empty queries are " +
       "empty, a no-victim delete rewrites nothing") {
     val sp = spark
