@@ -290,6 +290,73 @@ object Events {
       .select(col("id").as("doc_id"), col("score"))
   }
 
+  /** s11: the MULTIVEC streaming lifecycle under the oracle — the
+    * fourth streamed-twin gate (s07 BM25, s08 dense IVF, s10 sparse),
+    * closing the last search modality without a streamed ingest story.
+    * Docs are r26's exact shape (vecs = [emb, reverse(emb)] per vec_id,
+    * label-mean centroids over the persisted token-means, cosine
+    * assignment); they stream through
+    * [[graft.streaming.Stream.ingestMaxsim]] (token-mean summarized +
+    * cosine-assigned per row, appended exactly-once into the
+    * `partitionBy(centroid_id)` layout, model fingerprint pinned by
+    * marker), the grown layout GRADUATES via
+    * [[graft.streaming.Stream.compactStored]], and the two-phase maxsim
+    * read path answers over the compacted cells — phase-1 top-20 by
+    * persisted-mean dot within probes=3 cells
+    * ([[graft.ops.Ann.maxsimCandidatesIvf]]), phase-2 exact maxsim over
+    * those candidates — score-identical to r26, so the one
+    * first-principles maxsim-IVF oracle now also gates the streamed
+    * path. */
+  def streamMaxsimTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.select(col("vec_id"), col("label"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"))
+    // r26's deterministic label-mean model over the persisted means —
+    // built BATCH-side (an ingest model always predates the stream)
+    val withMean = docs.withColumn("mv_mean",
+      graft.ops.Ann.tokenMeanCol(col("vecs"), dim))
+    val model = graft.ops.Ann.buildIvf(withMean, "label", "mv_mean")
+    val rows = docs.select(col("vec_id"), col("vecs"))
+      .as[(Long, Seq[Seq[Double]])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s11_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s11_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Seq[Double]])]
+    val q = graft.streaming.Stream.ingestMaxsim(
+      input.toDF().toDF("vec_id", "vecs"), "vecs", dim, model, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s, dir,
+      "centroid_id", maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no cell dirs")
+    require(!new java.io.File(dir, "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    val stored = s.read.parquet(dir)
+    val cand = graft.ops.Ann.maxsimCandidatesIvf(stored, "vec_id",
+      "mv_mean", model, qts, n = 20, probes = 3)
+    stored.join(cand, Seq("vec_id"), "left_semi")
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -300,7 +367,8 @@ object Events {
     "s07_stream_compact_twin" -> streamCompactTwin,
     "s08_stream_ivf_twin" -> streamIvfTwin,
     "s09_stream_dedup_twin" -> streamDedupTwin,
-    "s10_stream_sparse_twin" -> streamSparseTwin)
+    "s10_stream_sparse_twin" -> streamSparseTwin,
+    "s11_stream_maxsim_twin" -> streamMaxsimTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -423,5 +491,10 @@ object Events {
     // s10: the streamed-then-compacted sparse layout is lossless —
     // the replay is the shared sparse oracle (same recipe as
     // r27/r29/r30/r31 in Retrieval)
-    "s10_stream_sparse_twin" -> Retrieval.sparseOracle)
+    "s10_stream_sparse_twin" -> Retrieval.sparseOracle,
+    // s11: the streamed-then-compacted multivec layout is lossless —
+    // the replay is r26's first-principles maxsim-IVF oracle verbatim
+    // (persisted means, label-mean centroids, cosine assignment +
+    // probes, phase-1 within probed cells, exact maxsim re-rank)
+    "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"))
 }

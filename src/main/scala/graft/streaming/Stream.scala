@@ -211,6 +211,32 @@ object Stream {
       .start(dir)
   }
 
+  /** Continuous MULTIVEC-index ingest — the fourth of the at-rest
+    * ingest family ([[ingestIvf]] dense cells, [[ingestBm25]] keyword
+    * buckets, [[ingestSparse]] sparse buckets): each arriving doc's
+    * token matrix is summarized to its persisted token-mean
+    * ([[graft.ops.Ann.tokenMeanCol]] — a pure column expression, so
+    * streaming-safe with zero state) and cosine-assigned to its cell
+    * (the reference pins `spherical_centroids` for `vector_maxsim_ops`,
+    * /root/reference/vechord/spec.py:459-464 — so the metric is PINNED
+    * here, not a parameter), then appended exactly-once into the
+    * `partitionBy(centroid_id)` layout of
+    * [[graft.ops.Ann.writePartitioned]] that the maxsim read path
+    * ([[graft.ops.Ann.maxsimCandidatesIvf]] phase-1 over the persisted
+    * means, exact maxsim re-rank over probed cells only) prunes by
+    * directory. Same refusal guards as the trio: no streaming into a
+    * batch layout ([[requireStreamableLayout]]), the assignment model
+    * fingerprint pinned by marker (a restart with a retrained model
+    * would silently mix two cell geometries). */
+  def ingestMaxsim(docs: DataFrame, mvCol: String, dim: Int,
+                   model: graft.ops.Ann.IvfModel, dir: String,
+                   checkpoint: String, meanCol: String = "mv_mean")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestIvf(
+      docs.withColumn(meanCol,
+        graft.ops.Ann.tokenMeanCol(col(mvCol), dim)),
+      meanCol, model, graft.ops.Ann.Cosine, dir, checkpoint)
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell

@@ -136,6 +136,72 @@ class StreamSpec extends SparkSpecBase {
     assert(got === Array(10L, 12L))
   }
 
+  test("ingestMaxsim: streamed token matrices land cosine-assigned in " +
+      "cell dirs with their persisted means, and the guards refuse a " +
+      "batch dir and a retrained model") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    // 2-cell model over token-means: DIRECTIONALLY distinct blobs
+    // (assignment is cosine — the spherical contract — so cells must
+    // differ in direction, not magnitude)
+    val seed = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "mean")
+    val model = Ann.buildIvfKMeans(seed, "mean", k = 2, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-mv").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-mv-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Seq[Double]])]
+    val q = Stream.ingestMaxsim(input.toDF().toDF("vec_id", "vecs"),
+      "vecs", dim = 2, model, dir, ckpt)
+    try {
+      input.addData(
+        (10L, Seq(Seq(0.3, 0.1), Seq(0.1, 0.1))),
+        (11L, Seq(Seq(0.1, 9.9), Seq(-0.1, 10.1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(dir)
+    // layout carries the token matrix AND the persisted mean, cell-split
+    assert(stored.columns.toSet ===
+      Set("vec_id", "vecs", "mv_mean", "centroid_id"))
+    // partition-dir column type is inferred (int here) — cast to read
+    val byId = stored
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(10L) !== byId(11L),
+      "opposite blobs must cosine-assign to different cells")
+    // persisted mean is the rounded token-mean
+    val m10 = stored.filter(col("vec_id") === 10L)
+      .select("mv_mean").head.getSeq[Double](0)
+    assert(m10 === Seq(0.2, 0.1))
+    // a retrained model over the same dir is refused (marker pin)
+    val input2 = MemoryStream[(Long, Seq[Seq[Double]])]
+    val retrained = Ann.buildIvfKMeans(
+      Seq((0L, Seq(-5.0, 0.0)), (1L, Seq(5.0, 0.0))).toDF("vec_id", "mean"),
+      "mean", k = 2, iters = 2)
+    val exPin = intercept[IllegalStateException] {
+      Stream.ingestMaxsim(input2.toDF().toDF("vec_id", "vecs"),
+        "vecs", 2, retrained, dir,
+        java.nio.file.Files.createTempDirectory("graft-mv-ck2").toString)
+    }
+    assert(exPin.getMessage.toLowerCase.contains("model"))
+    // a BATCH maxsim layout (no commit log) refuses a stream start
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft-mv-batch").toString
+    Ann.writePartitioned(
+      Ann.assign(Seq((1L, Seq(Seq(0.1, 0.1)), Seq(0.1, 0.1)))
+        .toDF("vec_id", "vecs", "mv_mean"), "mv_mean", model, Ann.Cosine),
+      batchDir)
+    val exBatch = intercept[IllegalStateException] {
+      Stream.ingestMaxsim(input2.toDF().toDF("vec_id", "vecs"),
+        "vecs", 2, model, batchDir,
+        java.nio.file.Files.createTempDirectory("graft-mv-ck3").toString)
+    }
+    assert(exBatch.getMessage.contains("batch data"))
+  }
+
   test("ingestBm25: streamed docs land in term buckets and the loaded " +
       "index scores EXACTLY like a batch build over the same corpus") {
     val sp = spark
