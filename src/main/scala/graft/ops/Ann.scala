@@ -570,6 +570,73 @@ object Ann {
       .select(col(qId), col(dId), col("dist"), col("rank"))
   }
 
+  /** Batch maxsim: the top-k docs for EVERY query bag in ONE job — the
+    * multivec twin of [[knnJoinIvf]] (dense), `Bm25.searchBatch`
+    * (keyword), and `Sparse.invertedTopKBatch` (sparse), completing the
+    * query-log-replay family across all four search modalities.
+    * `queries`: one row per query, `qVecsCol` = the token bag
+    * (`array<array<double>>`). `assigned`: a
+    * [[buildMaxsimIvf]]/`Stream.ingestMaxsim` layout carrying the doc
+    * token matrix `mvCol`, the PERSISTED token-mean `meanCol`, and
+    * `model.idCol`.
+    *
+    * Phase-1 (shared across queries): each query's token centroid
+    * probes its `probes` nearest cells under COSINE (the reference pins
+    * `spherical_centroids` for `vector_maxsim_ops`, spec.py:459-464) —
+    * a broadcast-exploded (qid, cell) relation joined to the assigned
+    * table, candidates ranked per query by the persisted mean dot
+    * (ties id asc) with a rank window, top `refine` surviving. Phase-2:
+    * exact maxsim over ONLY the surviving candidates (the token matrix
+    * reached through a broadcast join of the Q·refine candidate pairs),
+    * ranked per query. Returns (qid, id, score, rank).
+    *
+    * Scale shape: both phases are SHARED scans — phase-1 touches the
+    * probed cells' persisted means (|Q|·probes·cell rows, never
+    * |Q|·N token matrices; on a `writePartitioned` layout the cell join
+    * prunes directories and parquet never reads `mvCol`), phase-2 only
+    * the candidates' matrices; per-query ranking is a rank window,
+    * never a driver loop — one job replays the whole query log. */
+  def maxsimBatch(queries: DataFrame, qId: String, qVecsCol: String,
+                  assigned: DataFrame, dId: String, mvCol: String,
+                  meanCol: String, model: IvfModel, dim: Int,
+                  probes: Int, refine: Int, k: Int,
+                  roundTo: Int = 6): DataFrame = {
+    val bc = queries.sparkSession.sparkContext
+      .broadcast(collectCentroids(model))
+    val nProbes = probes
+    // nearest cells per query-token centroid: broadcast-centroid scores
+    // in a map-only UDF, (dist, id)-sorted — knnJoinIvf's probe shape
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      bc.value.map { case (id, c) => (Cosine.distScala(varr, c), id) }
+        .sorted.take(nProbes).map(_._2).toSeq
+    }
+    val q = queries
+      .select(col(qId).as("__qid"), col(qVecsCol).as("__qv"))
+      .withColumn("__qc", flattenMean(col("__qv"), dim))
+      .withColumn(model.idCol, explode(probeUdf(col("__qc"))))
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("__approx").desc, col(dId).asc)
+    val keep = assigned
+      .select(col(dId), col(meanCol), col(model.idCol))
+      .join(broadcast(q), Seq(model.idCol))
+      .withColumn("__approx", round(org.apache.spark.sql.graft.VecExprs
+        .dot(col(meanCol).cast("array<double>"), col("__qc")), roundTo))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= refine)
+      .select(col("__qid"), col("__qv"), col(dId))
+    val w2 = Window.partitionBy("__qid")
+      .orderBy(col("score").desc, col(dId).asc)
+    assigned.select(col(dId), col(mvCol))
+      .join(broadcast(keep), Seq(dId))
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(col("__qv"), col(mvCol).cast("array<array<double>>")),
+        roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col(dId), col("score"), col("rank"))
+  }
+
   /** IVF-pruned ANN top-k: scan only the probed cells, then exact top-k
     * within them. `assigned` must carry a `centroid_id` column (from
     * [[assign]]); when the underlying table is disk-partitioned by it,

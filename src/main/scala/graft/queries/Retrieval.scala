@@ -508,6 +508,55 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterMaxsim("vecs")
   }
 
+  /** r33: batch maxsim query-log replay ([[Ann.maxsimBatch]]) — the
+    * multivec modality's batch form, closing the family (dense r04/r10,
+    * BM25 r13, sparse r32). Docs, model, and stored layout are r26's
+    * exact shape (vecs = [emb, reverse(emb)], label-mean centroids over
+    * persisted token-means, cosine assignment, partitionBy(centroid_id));
+    * queries are FOUR token bags (vec_ids 0..3, each [emb,
+    * reverse(emb)]) replayed in ONE job: per-query cosine probe
+    * selection (3 cells), phase-1 top-20 by persisted-mean dot within
+    * probed cells, phase-2 exact maxsim — both phases shared scans with
+    * rank windows, never a per-query loop. In-query pins: the phase-1
+    * scan reads the persisted mean and NEVER the token matrix, the
+    * query relation joins broadcast, and no cartesian product appears.
+    * The oracle replays assignment, per-query probes, and both phases
+    * from first principles. */
+  def maxsimBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val docs = e.select(col("vec_id"), col("label"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"))
+    val withMean = docs.withColumn("mv_mean",
+      Ann.tokenMeanCol(col("vecs"), dim))
+    val model = Ann.buildIvf(withMean, "label", "mv_mean")
+    val assigned = Ann.assign(withMean, "mv_mean", model, Ann.Cosine)
+      .drop("label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_batch").toString
+    Ann.writePartitioned(assigned, dir)
+    val stored = s.read.parquet(dir)
+    val queries = e.filter(col("vec_id").isin(0, 1, 2, 3))
+      .select(col("vec_id").as("qid"),
+        array(col("embedding").cast("array<double>"),
+          reverse(col("embedding")).cast("array<double>")).as("qvecs"))
+    val df = Ann.maxsimBatch(queries, "qid", "qvecs", stored, "vec_id",
+        "vecs", "mv_mean", model, dim, probes = 3, refine = 20, k = 10)
+      .orderBy("qid", "rank")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("BroadcastHashJoin"),
+      s"query relation must join broadcast:\n$phys")
+    require(!phys.contains("CartesianProduct"),
+      "batch maxsim must never cross-join the corpus")
+    val scanLines =
+      phys.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    require(scanLines.exists(l =>
+        l.contains("mv_mean") && !l.contains("vecs")),
+      s"phase-1 scan read the token matrix:\n${scanLines.mkString("\n")}")
+    df
+  }
+
   /** Declarative BM25 rewrite — keyword search joins the declarative
     * layer (the FOURTH query shape, completing the reference's search
     * triad: vector, multivec, keyword): a plain
@@ -772,6 +821,7 @@ object Retrieval {
     "r24_bm25_wordpiece" -> bm25WordpieceTopk,
     "r25_ann_rewrite_dist" -> annRewriteDist,
     "r26_maxsim_ivf" -> maxsimIvfRewrite,
+    "r33_maxsim_batch" -> maxsimBatch,
     "r27_sparse_topk" -> sparseTopk,
     "r28_overlap_rerank" -> overlapRerank,
     "r29_sparse_inverted" -> sparseInvertedTopk,
@@ -1233,6 +1283,68 @@ object Retrieval {
                  FROM ctok CROSS JOIN q GROUP BY 1, 2)
         SELECT vec_id, round(sum(m), 6) AS score FROM best
         GROUP BY vec_id ORDER BY score DESC, vec_id ASC LIMIT 10""",
+    // r33: the batch replay is the r26 recipe per query — shared
+    // centroid/assignment CTEs, then per-qid probe selection (rank
+    // window over cosine distance, ties centroid_id asc), per-qid
+    // phase-1 top-20 by persisted-mean·query-centroid within probed
+    // cells, per-qid exact maxsim over the candidates. Query bags are
+    // [emb, reverse(emb)] of vec_ids 0..3; the lockstep unnest keeps
+    // each query token's identity so duplicate tokens (a palindromic
+    // embedding) could never merge in the maxsim sum.
+    "r33_maxsim_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (SELECT vec_id, label,
+                     [emb, list_reverse(emb)] AS vecs,
+                     list_transform(range(len(emb)), i ->
+                       round((emb[i+1] + emb[len(emb)-i]) / 2, 6)) AS fm
+              FROM e),
+        cd AS (SELECT label, pos, round(avg(x), 5) AS c
+               FROM (SELECT label, unnest(fm) AS x,
+                            unnest(range(len(fm))) AS pos FROM d)
+               GROUP BY 1, 2),
+        cents AS (SELECT label AS centroid_id,
+                         list(c ORDER BY pos) AS centroid
+                  FROM cd GROUP BY 1),
+        assigned AS (SELECT vec_id, vecs, fm, centroid_id FROM (
+            SELECT d.vec_id, d.vecs, d.fm, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY ${cosDistSql("d.fm", "c.centroid")} ASC,
+                              c.centroid_id ASC) AS rn
+            FROM d CROSS JOIN cents c) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, [emb, list_reverse(emb)] AS qv,
+                     list_transform(range(len(emb)), i ->
+                       (emb[i+1] + emb[len(emb)-i]) / 2) AS qc
+              FROM e WHERE vec_id IN (0, 1, 2, 3)),
+        probes AS (SELECT qid, centroid_id FROM (
+            SELECT q.qid, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosDistSql("c.centroid", "q.qc")} ASC,
+                              c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        cand AS (SELECT qid, vec_id, vecs, qv FROM (
+            SELECT p.qid, a.vec_id, a.vecs, q.qv,
+                   row_number() OVER (PARTITION BY p.qid
+                     ORDER BY round(list_inner_product(a.fm, q.qc), 6)
+                       DESC, a.vec_id ASC) AS rn
+            FROM assigned a
+            JOIN probes p USING (centroid_id)
+            JOIN q ON q.qid = p.qid) WHERE rn <= 20),
+        qt AS (SELECT qid, vec_id, unnest(qv) AS qtok,
+                      unnest(range(len(qv))) AS qi FROM cand),
+        dt AS (SELECT qid, vec_id, unnest(vecs) AS dtok FROM cand),
+        best AS (SELECT qt.qid, qt.vec_id, qt.qi,
+                        max(list_inner_product(qt.qtok, dt.dtok)) AS m
+                 FROM qt JOIN dt USING (qid, vec_id)
+                 GROUP BY 1, 2, 3),
+        sc AS (SELECT qid, vec_id, round(sum(m), 6) AS score
+               FROM best GROUP BY 1, 2)
+        SELECT qid, vec_id, score, rank FROM (
+          SELECT qid, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM sc) WHERE rank <= 10
+        ORDER BY qid, rank""",
     // r22: both phases of the rewrite share one total order, so the
     // result is the global BM25 top-5 over term-matching docs — the
     // r05 replay with this query's terms and k.

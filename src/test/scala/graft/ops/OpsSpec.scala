@@ -978,6 +978,43 @@ class OpsSpec extends SparkSpecBase {
     assert(out(2L) === ((0, 0, 0, "")))
   }
 
+  test("maxsimBatch equals the per-query two-phase search") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Ann
+    // 12 docs in two directional blobs (cosine cells), 2 tokens each
+    val docs = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.1 * i, 0.0)
+                 else Seq(0.0, 0.1 * i, 1.0)
+      (i.toLong, Seq(base, base.map(_ * 0.5)))
+    }.toDF("id", "mv")
+    val withMean = docs.withColumn("mv_mean", Ann.tokenMeanCol(col("mv"), 3))
+    val model = Ann.buildIvfKMeans(withMean, "mv_mean", k = 2, iters = 3)
+    val assigned = Ann.assign(withMean, "mv_mean", model, Ann.Cosine)
+    val queries = Seq(
+      (100L, Seq(Seq(1.0, 0.0, 0.0), Seq(0.9, 0.1, 0.0))),
+      (101L, Seq(Seq(0.0, 0.0, 1.0), Seq(0.1, 0.0, 0.9))),
+      (102L, Seq(Seq(0.5, 0.5, 0.5), Seq(0.0, 1.0, 0.0))))
+      .toDF("qid", "qv")
+    val got = Ann.maxsimBatch(queries, "qid", "qv", assigned, "id",
+        "mv", "mv_mean", model, dim = 3, probes = 1, refine = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+    // reference: loop each query through the single-query path
+    val qRows = queries.as[(Long, Seq[Seq[Double]])].collect()
+    val want = qRows.flatMap { case (qid, qv) =>
+      val cand = Ann.maxsimCandidatesIvf(assigned, "id", "mv_mean",
+        model, qv.map(_.toSeq), n = 4, probes = 1)
+      assigned.join(cand, Seq("id"), "left_semi")
+        .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+          .maxSimDot(typedlit(qv), col("mv")), 6))
+        .orderBy(col("score").desc, col("id").asc).limit(3)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getAs[Long]("id"), r.getAs[Double]("score"), i + 1) }
+    }.toSeq.sortBy(t => (t._1, t._4))
+    assert(got === want)
+  }
+
   test("fingerprint: shared shingles give overlapping min-k sketches") {
     val sp = spark
     import sp.implicits._
