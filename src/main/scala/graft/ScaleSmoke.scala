@@ -157,6 +157,36 @@ object ScaleSmoke {
         .agg(sum(col("n_removed") + length(col("clean_text"))))
         .head().getLong(0)
     }
+    // p21 at 16×: the approx flag must change ONLY the percentile
+    // sketch, never the plan geometry — same shuffle count (one
+    // combinable agg + broadcast bounds join) in both forms, and the
+    // approx p99 within 2% of exact per stratum. Plan/value asserts
+    // run OUTSIDE the timers.
+    locally {
+      val exact = ops.TextAnalysis.lengthQuantiles(docs, "lang", "n_chars")
+      val approx = ops.TextAnalysis.lengthQuantiles(docs, "lang",
+        "n_chars", approx = true)
+      def exchanges(df: DataFrame): Int =
+        "Exchange".r.findAllMatchIn(
+          df.queryExecution.executedPlan.toString).size
+      require(exchanges(approx) == exchanges(exact),
+        s"approx percentile changed the shuffle geometry: " +
+          s"${exchanges(approx)} vs ${exchanges(exact)} exchanges")
+      val exP99 = exact.select(col("lang"), col("p99"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      approx.select(col("lang"), col("p99")).collect().foreach { r =>
+        val (l, ap) = (r.getString(0), r.getDouble(1))
+        require(math.abs(ap - exP99(l)) <= 0.02 * exP99(l),
+          s"approx p99 for $l drifted: $ap vs exact ${exP99(l)}")
+      }
+    }
+    time("length_outliers_exact") {
+      ops.TextAnalysis.lengthQuantiles(docs, "lang", "n_chars").count()
+    }
+    time("length_outliers_approx") {
+      ops.TextAnalysis.lengthQuantiles(docs, "lang", "n_chars",
+        approx = true).count()
+    }
     // Temporal joins at event scale: inflate events xf× across distinct
     // users (key-partitioned window / bucketed equi-join must scale in
     // events, with no per-key quadratic pairing)

@@ -110,6 +110,41 @@ object Harness {
     }
   }
 
+  /** The ORACLE-facing slice of the strategy matrix (E9,
+    * anthropic.py:205-225): Pass@K over the deterministic keyword
+    * retriever as ONE batch job. The synthetic rarest-term query of
+    * each of the first `nQueries` docs replays through
+    * [[Bm25.searchBatch]] (one job, per-qid rank window — never a
+    * per-query loop), and each query's golden doc is its own source
+    * (Pass@K with a single truth id, the anthropic.py:210-219 count).
+    * Returns one row per query: (qid, hit5, hit10), every term of it
+    * pure column math a SQL engine can replay — QPS stays [[main]]'s
+    * printed measurement (wall time is not oracle-able). */
+  def passAtKeywordBatch(spark: SparkSession, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val dfMap: Map[String, Long] = base
+      .select(explode(array_distinct(Bm25.tokenize(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val queries = base.orderBy("id").limit(nQueries).as[(Long, String)]
+      .collect().map { case (id, t) => (id, syntheticQuery(t, dfMap)) }
+      .toSeq.toDF("qid", "qtext")
+    val idx = Bm25.build(base, "id", "text")
+    Bm25.searchBatch(idx, queries, "qid", "qtext", k = 10)
+      .groupBy("qid")
+      .agg(
+        max(when(col("id") === col("qid") && col("rank") <= 5, 1)
+          .otherwise(0)).as("hit5"),
+        max(when(col("id") === col("qid") && col("rank") <= 10, 1)
+          .otherwise(0)).as("hit10"))
+      .orderBy("qid")
+  }
+
   /** Standalone main: SPARK_GRAFT_SF_DIR corpus, prints one line per
     * strategy (the anthropic.py:223-225 printout shape). */
   def main(args: Array[String]): Unit = {

@@ -180,15 +180,26 @@ object TextAnalysis {
     * Scale shape: one map-side-combinable aggregation over the corpus +
     * one broadcast join of the (tiny, one-row-per-stratum) bounds frame
     * back for the kept-count — no corpus-sized shuffle. EXACT
-    * percentiles here (sort-based within the agg) keep the external
-    * oracle byte-exact; at 100 TB swap `percentile` for
-    * `percentile_approx` — same plan shape, documented trade. */
+    * percentiles by default (sort-based within the agg) keep the
+    * external oracle byte-exact; `approx = true` is the 100 TB path —
+    * `percentile_approx` (Greenwald-Khanna, `accuracy` inverse-epsilon)
+    * holds BOUNDED per-group state where the exact form buffers every
+    * value of a stratum in one aggregation buffer. Same plan shape
+    * either way (asserted at 16x by ScaleSmoke), so the flag trades
+    * only precision, never the shuffle geometry. */
   def lengthQuantiles(docs: DataFrame, strataCol: String, lenCol: String,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, approx: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
+    // percentile_approx returns the INPUT type (it picks a real value,
+    // never interpolates) while percentile returns double — cast so the
+    // flag never changes the output schema
+    def pct(q: Double): Column = round(
+      (if (approx) expr(s"percentile_approx($lenCol, $q, $accuracy)")
+       else expr(s"percentile($lenCol, $q)")).cast("double"), roundTo)
     val qs = docs.groupBy(strataCol).agg(
-      round(expr(s"percentile($lenCol, 0.5)"), roundTo).as("p50"),
-      round(expr(s"percentile($lenCol, 0.9)"), roundTo).as("p90"),
-      round(expr(s"percentile($lenCol, 0.99)"), roundTo).as("p99"),
+      pct(0.5).as("p50"),
+      pct(0.9).as("p90"),
+      pct(0.99).as("p99"),
       count(lit(1)).as("n_total"))
     // null-SAFE joins: groupBy emits a NULL-stratum row (uncategorized
     // docs are a real stratum in raw corpora), which a plain equi-join

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Registry
-import graft.core.Spec.{AnyOf, ForeignKey, IdGen, TableDef}
+import graft.core.Spec.{AnyOf, ForeignKey, IdGen, TableDef, UniqueIndex}
 import Tables._
 
 /** Oracle-gated CRUD scenarios over the registry's versioned-segment
@@ -193,7 +193,41 @@ object Crud {
       .toDF("n_cust_recovered", "n_orders_after_drop", "n_after_clear")
   }
 
+  final case class UDoc(id: Long, k: String, lang: String)
+  private implicit val udocEnc: org.apache.spark.sql.Encoder[UDoc] =
+    org.apache.spark.sql.Encoders.product[UDoc]
+
+  /** c07: the UNIQUE-constraint validation job under the oracle — the
+    * reference declares unique + FK-to-unique in DDL
+    * (/root/reference/vechord/spec.py:482-491; violation behavior
+    * exercised in tests/test_table.py:142-151, where PostgreSQL rejects
+    * the duplicate insert). A batch engine VALIDATES instead of
+    * enforcing ([[Registry.validateUnique]]): this gate plants
+    * deterministic duplicates from `documents` — `k` = doc_id mod 50
+    * (nulled every 7th row: plain unique SKIPS nulls, SQL's NULLS
+    * DISTINCT default) and `lang` kept raw (nulled every 11th row
+    * under nullNotDistinct = true: the nulls DO form one violating
+    * group) — and hash-compares the full (column, value, n) violation
+    * report against DuckDB's GROUP BY/HAVING replay. */
+  def uniqueViolations(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val ud = TableDef[UDoc]("udoc", primaryKey = Some("id"),
+      indexes = Seq(UniqueIndex("k"),
+        UniqueIndex("lang", nullNotDistinct = true)))
+    reg.register(ud)
+    reg.copyBulk(ud, documents(s, d).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 7 === 0, lit(null))
+        .otherwise((col("doc_id") % 50).cast("string")).as("k"),
+      when(col("doc_id") % 11 === 0, lit(null))
+        .otherwise(col("lang")).as("lang")))
+    reg.validateUnique(ud)
+      .withColumn("value", coalesce(col("value"), lit("<null>")))
+      .orderBy("column", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c07_unique_violations" -> uniqueViolations,
     "c01_crud_cascade" -> crudCascade,
     "c02_select_anyof" -> selectAnyOf,
     "c03_insert_autoinc" -> insertAutoInc,
@@ -266,5 +300,22 @@ object Crud {
       """SELECT count(*) AS n_cust_recovered,
            CAST(0 AS BIGINT) AS n_orders_after_drop,
            CAST(0 AS BIGINT) AS n_after_clear
-         FROM customer""")
+         FROM customer""",
+    // c07: plain unique skips nulls (NULLS DISTINCT); nullNotDistinct
+    // groups them — the nulled lang rows form one '<null>' violation
+    "c07_unique_violations" ->
+      """WITH d AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN NULL
+                   ELSE CAST(doc_id % 50 AS VARCHAR) END AS k,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lg
+            FROM documents)
+         SELECT * FROM (
+           SELECT 'k' AS "column", COALESCE(k, '<null>') AS value,
+                  count(*) AS n
+           FROM d WHERE k IS NOT NULL GROUP BY k HAVING count(*) > 1
+           UNION ALL
+           SELECT 'lang' AS "column", COALESCE(lg, '<null>') AS value,
+                  count(*) AS n
+           FROM d GROUP BY lg HAVING count(*) > 1)
+         ORDER BY "column", value""")
 }

@@ -210,7 +210,20 @@ object Eval {
       sm(col("text")).as("summary"))
   }
 
+  /** e12: the Pass@K harness (E9, anthropic.py:205-225) under the
+    * oracle — [[graft.eval.Harness.passAtKeywordBatch]]: synthetic
+    * rarest-term queries (e05's synthesis) for the first 50 docs replay
+    * through the batch BM25 retriever in one job, each query's golden
+    * doc being its own source; the gate hash-compares every per-query
+    * (hit5, hit10) indicator, from which Pass@5/Pass@10 are the means.
+    * QPS stays Harness.main's printed measurement — wall time is not
+    * oracle-able. */
+  def passkKeyword(s: SparkSession, d: String): DataFrame =
+    graft.eval.Harness.passAtKeywordBatch(s, documents(s, d),
+      "doc_id", "text", nQueries = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_passk_keyword" -> passkKeyword,
     "e02_metrics_knn" -> metricsKnn,
     "e03_metrics_macro" -> metricsMacro,
     "e04_groundtruth_loop" -> groundtruthLoop,
@@ -269,6 +282,55 @@ object Eval {
         FROM perq p JOIN tsz t USING (qid) JOIN idcg i USING (qid))"""
 
   val oracles: Map[String, String] = Map(
+    // e12: e05's query synthesis composed with r13's batch BM25 replay
+    // — rarest-5 distinct tokens per source doc (ties token asc) as the
+    // query, Okapi BM25 (k1=1.2, b=0.75, +1 idf) per (query, doc),
+    // rank window per query, hit indicators at 5 and 10 against the
+    // golden source doc. A token-free doc synthesizes no query and
+    // yields no row (both engines).
+    "e12_passk_keyword" ->
+      """WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS term
+            FROM documents),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          qsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+          qt AS (SELECT qid, term FROM (
+              SELECT t.id AS qid, t.term,
+                     row_number() OVER (PARTITION BY t.id
+                       ORDER BY s.df ASC, t.term ASC) AS rk
+              FROM tf t
+              JOIN stats s USING (term)
+              WHERE t.id IN (SELECT doc_id FROM qsrc)) WHERE rk <= 5),
+          scored AS (
+            SELECT qt.qid, tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
+                     AS w
+            FROM tf
+            JOIN qt USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g),
+          agg AS (SELECT qid, id, round(sum(w), 6) AS score
+                  FROM scored GROUP BY 1, 2),
+          r AS (SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM agg)
+          SELECT qid,
+                 max(CASE WHEN id = qid AND rank <= 5 THEN 1 ELSE 0 END)
+                   AS hit5,
+                 max(CASE WHEN id = qid AND rank <= 10 THEN 1 ELSE 0 END)
+                   AS hit10
+          FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
     "e02_metrics_knn" ->
       s"$perQuerySql SELECT * FROM meas ORDER BY qid",
     // e04: recompute the whole loop from first principles — tokenize,

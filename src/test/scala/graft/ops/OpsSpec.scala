@@ -978,6 +978,34 @@ class OpsSpec extends SparkSpecBase {
     assert(out(2L) === ((0, 0, 0, "")))
   }
 
+  test("lengthQuantiles approx flag keeps schema and shuffle geometry, " +
+      "and is exact on small strata") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.TextAnalysis
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else null, i.toLong * 10))
+      .toDF("doc_id", "lang", "n_chars")
+    val exact = TextAnalysis.lengthQuantiles(docs, "lang", "n_chars")
+    val approx = TextAnalysis.lengthQuantiles(docs, "lang", "n_chars",
+      approx = true)
+    assert(approx.schema === exact.schema)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString).size
+    assert(exchanges(approx) === exchanges(exact),
+      "the approx sketch must not change the plan geometry")
+    // n_total / n_kept are count-exact under both forms; the null
+    // stratum survives both (null-safe joins)
+    val ex = exact.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(4), r.getLong(5)))).toMap
+    val ap = approx.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(4), r.getLong(5)))).toMap
+    assert(ap.keySet === ex.keySet)
+    assert(ap(None)._1 === ex(None)._1)
+    assert(ap(Some("en"))._1 === ex(Some("en"))._1)
+  }
+
   test("maxsimBatch equals the per-query two-phase search") {
     val sp = spark
     import sp.implicits._
