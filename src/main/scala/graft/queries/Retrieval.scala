@@ -551,9 +551,15 @@ object Retrieval {
       "batch maxsim must never cross-join the corpus")
     val scanLines =
       phys.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // phase-1 reads only the persisted mean AND is partition-pruned at
+    // RUNTIME: Spark plants a DynamicPruningExpression on the stored
+    // scan from the broadcast probe join on centroid_id, so each query
+    // batch reads only the union of its queries' probed cell dirs
     require(scanLines.exists(l =>
-        l.contains("mv_mean") && !l.contains("vecs")),
-      s"phase-1 scan read the token matrix:\n${scanLines.mkString("\n")}")
+        l.contains("mv_mean") && !l.contains("vecs") &&
+          l.toLowerCase.contains("dynamicpruning")),
+      s"phase-1 scan must be mean-only AND runtime-pruned:\n" +
+        scanLines.mkString("\n"))
     df
   }
 

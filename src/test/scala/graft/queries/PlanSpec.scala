@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpecBase {
       s"query-bucket join must stay broadcast:\n$p")
   }
 
+  test("batch maxsim (r33) phase-1 scan is partition-pruned at runtime " +
+      "by the broadcast probe join") {
+    val p = plan(Retrieval.maxsimBatch(spark, sf))
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("mv_mean") && !l.contains("vecs")
+        && l.toLowerCase.contains("dynamicpruning")),
+      s"phase-1 stored scan should carry runtime partition pruning on " +
+        s"centroid_id:\n${scans.mkString("\n")}")
+  }
+
   test("salted join (q17) plans no cartesian and keeps the partial agg") {
     val p = plan(Relational.q17SaltedJoin(spark, sf))
     assert(!p.contains("CartesianProduct"),
