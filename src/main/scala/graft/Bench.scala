@@ -78,7 +78,11 @@ object Bench {
     // warm so a short tail keeps the (headline) warm map.
     def printChunked(metric: String, field: String,
         entries: Seq[(String, Double)]): Unit = {
-      val groups = entries.grouped(20).toSeq
+      // an empty selection still emits one empty-map line: record
+      // parsers key on the metric's presence, not just its contents
+      val groups =
+        if (entries.isEmpty) Seq(Seq.empty[(String, Double)])
+        else entries.grouped(20).toSeq
       groups.zipWithIndex.foreach { case (g, i) =>
         val body = g.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")

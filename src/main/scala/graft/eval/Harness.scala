@@ -33,6 +33,26 @@ object Harness {
     graft.functions.Tokenizers.Simple.scala(text)
       .distinct.sortBy(t => (df.getOrElse(t, 0L), t)).take(5).mkString(" ")
 
+  /** Synthetic query per source doc — the SHARED synthesis both the
+    * strategy matrix ([[run]]) and the oracle gate
+    * ([[passAtKeywordBatch]]) use, so the printed and the gated paths
+    * can never silently diverge: corpus document frequency (collected
+    * once; query corpora are sampled subsets — at raw-corpus scale this
+    * would stay distributed), then the first `nQueries` ids with their
+    * rarest-term queries, golden chunk = source id. */
+  private def syntheticQueries(spark: SparkSession, base: DataFrame,
+                               nQueries: Int): Seq[(Long, String)] = {
+    import spark.implicits._
+    val dfMap: Map[String, Long] = base
+      .select(explode(array_distinct(Bm25.tokenize(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    base.orderBy("id").limit(nQueries).as[(Long, String)]
+      .collect().map { case (id, t) => (id, syntheticQuery(t, dfMap)) }
+      .toSeq
+  }
+
   /** Run the matrix over `docs` (idCol, textCol), sampling `nQueries`
     * docs as query sources. Returns one row per strategy. */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
@@ -51,18 +71,8 @@ object Harness {
       .toDF("id", "text")
       .persist()
 
-    // corpus df for query synthesis (collected once; query corpora are
-    // sampled subsets — at raw-corpus scale this would stay distributed)
-    val dfMap: Map[String, Long] = base
-      .select(explode(array_distinct(Bm25.tokenize(col("text"))))
-        .as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
-
     // query set: the first nQueries ids, with golden chunk = source id
-    val qRows: Seq[(Long, String)] = base
-      .orderBy("id").limit(nQueries).as[(Long, String)]
-      .collect().map { case (id, t) => (id, syntheticQuery(t, dfMap)) }.toSeq
+    val qRows: Seq[(Long, String)] = syntheticQueries(spark, base, nQueries)
 
     def embedded(corpus: DataFrame): DataFrame =
       graft.text.Embed.withEmbedding(corpus, "text", "vec", emb).persist()
@@ -122,20 +132,24 @@ object Harness {
     * printed measurement (wall time is not oracle-able). */
   def passAtKeywordBatch(spark: SparkSession, docs: DataFrame,
                          idCol: String, textCol: String,
-                         nQueries: Int = 50): DataFrame = {
+                         nQueries: Int = 50,
+                         cacheKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
-    val dfMap: Map[String, Long] = base
-      .select(explode(array_distinct(Bm25.tokenize(col("text"))))
-        .as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
-    val queries = base.orderBy("id").limit(nQueries).as[(Long, String)]
-      .collect().map { case (id, t) => (id, syntheticQuery(t, dfMap)) }
-      .toSeq.toDF("qid", "qtext")
-    val idx = Bm25.build(base, "id", "text")
-    Bm25.searchBatch(idx, queries, "qid", "qtext", k = 10)
+    val queries = syntheticQueries(spark, base, nQueries)
+      .toDF("qid", "qtext")
+    // a content-versioned cacheKey shares the memoized index (the gate
+    // path — repeated bench passes must not rebuild OR leak); without
+    // one the index is private, so the bounded result is materialized
+    // while its postings are live and the persist released before
+    // return (the DataOps.materializedCopy discipline — an anonymous
+    // persisted frame must never outlive its query)
+    val idx = cacheKey match {
+      case Some(k) => Bm25.buildCached(base, "id", "text", k)
+      case None => Bm25.build(base, "id", "text")
+    }
+    val out = Bm25.searchBatch(idx, queries, "qid", "qtext", k = 10)
       .groupBy("qid")
       .agg(
         max(when(col("id") === col("qid") && col("rank") <= 5, 1)
@@ -143,6 +157,15 @@ object Harness {
         max(when(col("id") === col("qid") && col("rank") <= 10, 1)
           .otherwise(0)).as("hit10"))
       .orderBy("qid")
+    cacheKey match {
+      case Some(_) => out
+      case None =>
+        try {
+          val rows = out.collect().toIndexedSeq // bounded by nQueries
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices = 1), out.schema)
+        } finally idx.postings.unpersist(false)
+    }
   }
 
   /** Standalone main: SPARK_GRAFT_SF_DIR corpus, prints one line per

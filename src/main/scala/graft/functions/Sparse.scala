@@ -221,8 +221,13 @@ object Sparse {
     // Evaluated on the query side only — Q rows, not the postings.
     val q = queries.select(col(qIdCol).as("__qid"),
         col(idxCol).as("__qi"), col(valCol).as("__qv"))
+      // a NULL index array is not a duplicate — it explodes to no rows
+      // below (the query is simply absent from the output), so the
+      // assert must let it through rather than raise on a null
+      // condition with a wrong diagnosis
       .filter(coalesce(
-        assert_true(size(array_distinct(col("__qi"))) === size(col("__qi")),
+        assert_true(col("__qi").isNull ||
+            size(array_distinct(col("__qi"))) === size(col("__qi")),
           concat(lit("sparse batch query "), col("__qid").cast("string"),
             lit(" has duplicate indices — inverted scoring and the " +
               "row-scan scorer would disagree"))),

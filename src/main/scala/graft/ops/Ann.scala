@@ -624,11 +624,15 @@ object Ann {
         .dot(col(meanCol).cast("array<double>"), col("__qc")), roundTo))
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= refine)
-      .select(col("__qid"), col("__qv"), col(dId))
+      // carry the cell id through: the phase-2 join below must include
+      // the partition column or the token-matrix scan gets no dynamic
+      // pruning and reads every cell directory (the corpus-sized
+      // phase-2 read r26's contract forbids)
+      .select(col("__qid"), col("__qv"), col(dId), col(model.idCol))
     val w2 = Window.partitionBy("__qid")
       .orderBy(col("score").desc, col(dId).asc)
-    assigned.select(col(dId), col(mvCol))
-      .join(broadcast(keep), Seq(dId))
+    assigned.select(col(dId), col(mvCol), col(model.idCol))
+      .join(broadcast(keep), Seq(model.idCol, dId))
       .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
         .maxSimDot(col("__qv"), col(mvCol).cast("array<array<double>>")),
         roundTo))

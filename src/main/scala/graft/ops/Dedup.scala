@@ -186,12 +186,12 @@ object Dedup {
     * actually on disk. */
   private val MaxCachedSets = 8
   private val setsCache = scala.collection.mutable
-    .LinkedHashMap[(Int, Int, Long, String, Int), DataFrame]()
+    .LinkedHashMap[(String, Int, Long, String, Int), DataFrame]()
   private def shingleSetsCached(docs: DataFrame, idCol: String,
                                 textCol: String, n: Int): DataFrame =
     setsCache.synchronized {
       setsCache.getOrElseUpdate(
-        (System.identityHashCode(docs.sparkSession),
+        (graft.core.SessionId.of(docs.sparkSession),
           docs.queryExecution.analyzed.semanticHash(),
           inputVersion(docs),
           s"$idCol|$textCol", n), {
@@ -310,13 +310,13 @@ object Dedup {
     * canonical filtering) — same bounded LinkedHashMap +
     * unpersist-on-evict discipline as [[setsCache]]. */
   private val pairsCache = scala.collection.mutable
-    .LinkedHashMap[(Int, Int, String), DataFrame]()
+    .LinkedHashMap[(String, Int, String), DataFrame]()
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    roundTo: Int = 6): DataFrame = pairsCache.synchronized {
     pairsCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession),
+      (graft.core.SessionId.of(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(),
         // inputVersion, like setsCache/gateCache: an in-place rewrite
         // of the backing files keeps the semantic hash but must MISS
@@ -425,11 +425,11 @@ object Dedup {
     * materialized rows and the gate scalar. */
   private val MaxCachedGates = 16
   private val gateCache = scala.collection.mutable
-    .LinkedHashMap[(Int, Int, Long), (DataFrame, Long)]()
+    .LinkedHashMap[(String, Int, Long), (DataFrame, Long)]()
   private def gateCached(rows0: DataFrame): (DataFrame, Long) =
     gateCache.synchronized {
       gateCache.getOrElseUpdate(
-        (System.identityHashCode(rows0.sparkSession),
+        (graft.core.SessionId.of(rows0.sparkSession),
           rows0.queryExecution.analyzed.semanticHash(),
           inputVersion(rows0)), {
           while (gateCache.size >= MaxCachedGates) {

@@ -219,8 +219,14 @@ object Eval {
     * QPS stays Harness.main's printed measurement — wall time is not
     * oracle-able. */
   def passkKeyword(s: SparkSession, d: String): DataFrame =
+    // content-versioned memo key (the e12 tag scopes it apart from the
+    // doc_id-keyed r22 index over the same corpus): repeated bench
+    // passes reuse one persisted postings table instead of leaking one
+    // per run
     graft.eval.Harness.passAtKeywordBatch(s, documents(s, d),
-      "doc_id", "text", nQueries = 50)
+      "doc_id", "text", nQueries = 50,
+      cacheKey = Some(
+        s"e12|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_passk_keyword" -> passkKeyword,

@@ -41,7 +41,7 @@ object GraphQ {
     * sessions (advisor + verdict r6). */
   private val MaxCachedGraphs = 4
   private val built = scala.collection.mutable
-    .LinkedHashMap[(Int, String), (Registry, DataFrame)]()
+    .LinkedHashMap[(String, String), (Registry, DataFrame)]()
 
   private def evictOldest(): Unit = {
     val (k, (reg, _)) = built.head
@@ -58,7 +58,7 @@ object GraphQ {
 
   private def buildGraph(s: SparkSession, d: String):
       (Registry, DataFrame) = built.synchronized {
-    built.getOrElseUpdate((System.identityHashCode(s), d), {
+    built.getOrElseUpdate((graft.core.SessionId.of(s), d), {
       while (built.size >= MaxCachedGraphs) evictOldest()
       buildGraphUncached(s, d)
     })
@@ -107,11 +107,11 @@ object GraphQ {
     * phase) is the shared sub-computation of g02 and g03, exactly the
     * [[graft.ops.Dedup]] shared-shingle-table discipline. */
   private val ranked = scala.collection.mutable
-    .LinkedHashMap[(Int, String), DataFrame]()
+    .LinkedHashMap[(String, String), DataFrame]()
   private def rankedEntities(s: SparkSession, d: String): DataFrame = {
     val reg = buildGraph(s, d)._1 // outside the ranked lock (lock order)
     ranked.synchronized {
-      ranked.getOrElseUpdate((System.identityHashCode(s), d), {
+      ranked.getOrElseUpdate((graft.core.SessionId.of(s), d), {
         val r = Graph.graphSearchEntities(reg, "spark filter join",
           Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
           recognizer, similarK = 10).persist()

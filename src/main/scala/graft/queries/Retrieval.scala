@@ -560,6 +560,14 @@ object Retrieval {
           l.toLowerCase.contains("dynamicpruning")),
       s"phase-1 scan must be mean-only AND runtime-pruned:\n" +
         scanLines.mkString("\n"))
+    // phase-2 (the token-matrix re-rank read) must be cell-pruned too:
+    // the candidate join carries centroid_id, so the vecs scan gets its
+    // own DynamicPruningExpression — without it the matrix read is
+    // corpus-sized (r26's contract)
+    require(scanLines.exists(l => l.contains("vecs") &&
+        l.toLowerCase.contains("dynamicpruning")),
+      s"phase-2 re-rank scan is not cell-pruned:\n" +
+        scanLines.mkString("\n"))
     df
   }
 

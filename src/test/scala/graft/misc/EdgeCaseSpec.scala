@@ -43,6 +43,13 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Sparse.invertedTopKBatch(postings, ok, "qid", "qi", "qv", 5)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
       Seq((1L, 4.0)))
+    // a NULL index array is absent from the output, never a false
+    // duplicate-indices crash
+    val withNull = Seq((1L, Seq(3), Seq(2.0)), (2L, null, null))
+      .toDF("qid", "qi", "qv")
+    assert(Sparse.invertedTopKBatch(postings, withNull, "qid", "qi",
+        "qv", 5)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
   test("stored sparse layout edges: no-overlap and empty queries are " +
