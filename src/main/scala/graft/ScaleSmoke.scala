@@ -328,15 +328,15 @@ object ScaleSmoke {
     // sum), so the query row must stay sub-second while the corpus
     // grows — the sparse twin of the BM25 build-vs-query split below.
     val sparseEmb = functions.Md5SparseEmbedder(4096)
-    val sparsePostings = {
+    val sparseDocs = {
       val sv = udf((t: String) =>
         sparseEmb.embed(if (t == null) "" else t))
-      functions.Sparse.invertedPostings(
-        docs.withColumn("__sv", sv(col("text")))
-          .select(col("doc_id"), col("__sv.indices").as("i"),
-            col("__sv.values").as("v")),
-        "doc_id", "i", "v").persist()
+      docs.withColumn("__sv", sv(col("text")))
+        .select(col("doc_id"), col("__sv.indices").as("i"),
+          col("__sv.values").as("v"))
     }
+    val sparsePostings = functions.Sparse.invertedPostings(
+      sparseDocs, "doc_id", "i", "v").persist()
     time("sparse_invert_build") { sparsePostings.count() }
     time("sparse_inverted_query") {
       functions.Sparse.invertedTopK(sparsePostings,
@@ -399,6 +399,36 @@ object ScaleSmoke {
         val qb = q.indices.map(i => math.floorMod(i, 64)).distinct.size
         require(dirsRead > 0 && dirsRead <= qb && dirsRead < 64,
           s"stored sparse query must read only its $qb query-bucket " +
+            s"dirs of 64, read $dirsRead")
+        n
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+
+    // Batch query-log replay against the SAME at-rest layout: the
+    // batch's distinct buckets prune as literal partition filters, so
+    // IO is bounded by the union of the batch's buckets, not the
+    // layout — dirs-read asserted exactly like the single-query row.
+    time("sparse_stored_batch_query") {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val queries = sparseDocs.filter(col("doc_id") < 8)
+        val df = functions.Sparse.searchStoredBatch(spark,
+          sparseStoreDir, queries, "doc_id", "i", "v", k = 10)
+        val n = df.collect().length.toLong
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val dirsRead = root.collectWithSubqueries {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("numPartitions").map(_.value).getOrElse(0L)
+        }.sum
+        val qb = queries.select(explode(col("i"))).distinct()
+          .collect().map(r => math.floorMod(r.getInt(0), 64)).distinct.length
+        require(dirsRead > 0 && dirsRead <= qb,
+          s"stored batch replay must read only the batch's $qb bucket " +
             s"dirs of 64, read $dirsRead")
         n
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)

@@ -249,6 +249,38 @@ object Sparse {
         col("rank"))
   }
 
+  /** [[invertedTopKBatch]] over a [[writePostings]] layout — the batch
+    * query-log replay against the AT-REST index: the batch's distinct
+    * buckets (driver-bounded — the query log is broadcast below
+    * regardless, the same budget as `Bm25.searchBatch`'s term list)
+    * become a LITERAL `isin` on the partition column, so the scan
+    * prunes every bucket directory no query in the batch touches.
+    * Without this the broadcast bucket JOIN alone cannot prune disk
+    * partitions (runtime pruning does not derive through the modulus),
+    * and a batch replay would read the whole layout. Scores are
+    * identical to [[invertedTopKBatch]] over unpruned postings —
+    * pruning may never change what a query matches, only what the
+    * scan reads. */
+  def searchStoredBatch(spark: org.apache.spark.sql.SparkSession,
+                        dir: String,
+                        queries: org.apache.spark.sql.DataFrame,
+                        qIdCol: String, idxCol: String, valCol: String,
+                        k: Int, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val buckets = readBucketsMarker(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no $BucketsMarker marker — not a writePostings " +
+          "layout"))
+    val qb = queries
+      .select(explode(col(idxCol)).as("__qi"))
+      .select(pmod(col("__qi"), lit(buckets)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(dir)
+      .filter(col("__b").isin(qb: _*))
+    invertedTopKBatch(pruned, queries, qIdCol, idxCol, valCol, k,
+      roundTo)
+  }
+
   /** True when `dir` is a [[writePostings]] layout (its modulus marker
     * is present) — the layout self-description
     * [[graft.core.Engine.attachStoredIndex]] dispatches on. */

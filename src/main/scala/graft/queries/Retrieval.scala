@@ -789,6 +789,37 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** r34: the BATCH replay against the AT-REST sparse layout
+    * ([[graft.functions.Sparse.searchStoredBatch]]) — r32's query set
+    * over a [[graft.functions.Sparse.writePostings]] dir. The batch's
+    * distinct buckets become a literal isin on the partition column,
+    * so the scan prunes every bucket directory no query touches (the
+    * broadcast bucket join alone cannot prune disk partitions — the
+    * modulus does not derive through runtime pruning); scores are
+    * byte-identical to r32 (shared oracle), and the in-query pin
+    * proves the pruning engaged. */
+  def sparseStoredBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val docs = documents(s, d).withColumn("__sv", sv(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("__i"),
+        col("__sv.values").as("__v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_store_b").toString
+    graft.functions.Sparse.writePostings(
+      graft.functions.Sparse.invertedPostings(docs, "doc_id", "__i",
+        "__v"), dir, buckets = 16)
+    val queries = docs.filter(col("doc_id") < 4)
+    val df = graft.functions.Sparse.searchStoredBatch(s, dir, queries,
+      "doc_id", "__i", "__v", k = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") && phys.contains("__b"),
+      "stored batch sparse search did not prune bucket partitions")
+    df.select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Reranker application under the oracle (R2/R5: the cross-encoder
     * seat rerank.py:28-63 + the `reorder` application web.py:95-96):
     * the BM25 top-10 feeds [[graft.rank.Rerank.apply]] with the
@@ -841,7 +872,8 @@ object Retrieval {
     "r29_sparse_inverted" -> sparseInvertedTopk,
     "r30_sparse_stored" -> sparseStored,
     "r31_sparse_rewrite" -> sparseRewrite,
-    "r32_sparse_batch" -> sparseBatch)
+    "r32_sparse_batch" -> sparseBatch,
+    "r34_sparse_stored_batch" -> sparseStoredBatch)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1058,6 +1090,37 @@ object Retrieval {
   /** `private[queries]`: Events' s10 streamed-sparse twin replays the
     * same scoring over the same query. */
   private[queries] def sparseOracle: String = SparseOracleSql
+
+  /** r32's DuckDB replay, shared verbatim by r34 — the batch sparse
+    * replay per query: embedding, bucket join, per-query scoring and
+    * ranking from first principles. The stored form must produce
+    * byte-identical scores (pruning changes what the scan READS, never
+    * what a query matches). */
+  private val SparseBatchOracleSql =
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS tok
+            FROM documents),
+          dv AS (
+            SELECT doc_id,
+                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM toks GROUP BY 1, 2),
+          qv AS (SELECT doc_id AS qid, b, v AS w FROM dv
+                 WHERE doc_id < 4),
+          scored AS (
+            SELECT qv.qid, dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
+            FROM dv JOIN qv USING (b) GROUP BY 1, 2),
+          ranked AS (
+            SELECT qid, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+            FROM scored)
+          SELECT qid, doc_id, score, rank FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank"""
 
   private val SparseOracleSql =
       """WITH toks AS (
@@ -1667,31 +1730,10 @@ object Retrieval {
     "r31_sparse_rewrite" -> SparseOracleSql,
     // r32: the batch form — per-query replay of the shared sparse
     // recipe, queries = docs 0..3's own vectors, rank per qid
-    "r32_sparse_batch" ->
-      """WITH toks AS (
-            SELECT doc_id,
-                   unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x != '')) AS tok
-            FROM documents),
-          dv AS (
-            SELECT doc_id,
-                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
-                     % 4096 AS b,
-                   CAST(count(*) AS DOUBLE) AS v
-            FROM toks GROUP BY 1, 2),
-          qv AS (SELECT doc_id AS qid, b, v AS w FROM dv
-                 WHERE doc_id < 4),
-          scored AS (
-            SELECT qv.qid, dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
-            FROM dv JOIN qv USING (b) GROUP BY 1, 2),
-          ranked AS (
-            SELECT qid, doc_id, score,
-                   CAST(row_number() OVER (PARTITION BY qid
-                     ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-            FROM scored)
-          SELECT qid, doc_id, score, rank FROM ranked
-          WHERE rank <= 5 ORDER BY qid, rank""",
+    "r32_sparse_batch" -> SparseBatchOracleSql,
+    // r34: pruning may never change what a query matches — the stored
+    // batch replay shares r32's oracle verbatim
+    "r34_sparse_stored_batch" -> SparseBatchOracleSql,
     "r28_overlap_rerank" ->
       // BM25 top-10 (the r05 phase verbatim), then the OverlapReranker
       // re-sort: overlap = |query ∩ doc| DISTINCT tokens, descending,

@@ -52,6 +52,38 @@ class EdgeCaseSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("searchStoredBatch equals the unpruned batch replay and skips " +
+      "unprobed buckets") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.{Md5SparseEmbedder, Sparse}
+    val emb = Md5SparseEmbedder(dim = 256)
+    val docs = Seq((1L, "spark shuffle"), (2L, "hash join"),
+      (3L, "window sort"), (4L, "spark hash"))
+      .toDF("id", "text")
+      .withColumn("sv", udf((t: String) => emb.embed(t)).apply(col("text")))
+      .select(col("id"), col("sv.indices").as("i"),
+        col("sv.values").as("v"))
+    val postings = Sparse.invertedPostings(docs, "id", "i", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sparse-batch-store").toString
+    Sparse.writePostings(postings, dir, buckets = 8)
+    val queries = docs.filter(col("id") <= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+    assert(rows(Sparse.searchStoredBatch(spark, dir, queries,
+        "id", "i", "v", 5)) ===
+      rows(Sparse.invertedTopKBatch(postings, queries, "id", "i", "v", 5)))
+    // a non-layout dir is refused loudly
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft-not-a-layout").toString
+    val ex = intercept[IllegalArgumentException] {
+      Sparse.searchStoredBatch(spark, bad, queries, "id", "i", "v", 5)
+    }
+    assert(ex.getMessage.contains("marker"))
+  }
+
   test("stored sparse layout edges: no-overlap and empty queries are " +
       "empty, a no-victim delete rewrites nothing") {
     val sp = spark
