@@ -83,6 +83,33 @@ object Retrieval {
       "d_id", "dv", model, Ann.L2, probes = 2, k = 3)
   }
 
+  /** r36: [[knnJoinIvfL2]] with the assigned table AT REST — the batch
+    * kNN join replayed against a [[Ann.writePartitioned]] layout. The
+    * per-query probe relation (Q·probes rows) joins the stored scan on
+    * the partition column, so Spark plants a DynamicPruningExpression
+    * on the cell-partitioned read: each BATCH reads only the union of
+    * its queries' probed cell dirs (pinned in-query), and results are
+    * byte-identical to r10's in-memory form — the oracle is shared. */
+  def knnJoinStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_store").toString
+    Ann.writePartitioned(assigned, dir)
+    val stored = s.read.parquet(dir)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvf(queries, "q_id", "qv", stored,
+      "d_id", "dv", model, Ann.L2, probes = 2, k = 3)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.toLowerCase.contains("dynamicpruning"),
+      s"stored batch kNN join must runtime-prune cell dirs:\n$phys")
+    df
+  }
+
   /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
     * → exact re-rank top-10 ([[Ann.searchSq]] — the quantized-index
     * two-phase the reference's vchordrq uses internally). */
@@ -162,6 +189,27 @@ object Retrieval {
       s"$d|${Bm25.dirVersion(s, s"$d/documents.parquet")}")
     Bm25.searchBatch(idx, BatchQueries.toDF("qid", "qtext"),
       "qid", "qtext", k = 5)
+  }
+
+  /** r35: [[bm25Batch]] with the postings AT REST — the batch keyword
+    * replay over a [[Bm25.writePostings]] layout. The batch's distinct
+    * terms become literal bucket partition filters on BOTH the stats
+    * aggregation and the scoring join (the [[Bm25.searchBatch]]
+    * stored-pruning path, pinned in-query), and scores equal the
+    * in-memory r13 form exactly — the oracle is shared. */
+  def bm25StoredBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_store_b").toString
+    Bm25.writePostings(documents(s, d), "doc_id", "text", dir,
+      buckets = 16)
+    val idx = Bm25.loadStoredPostings(s, dir)
+    val df = Bm25.searchBatch(idx, BatchQueries.toDF("qid", "qtext"),
+      "qid", "qtext", k = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") && phys.contains("bucket#"),
+      "stored batch bm25 search did not prune bucket partitions")
+    df
   }
 
   /** BM25 top-k under a REAL trained-vocab WordPiece tokenizer
@@ -873,7 +921,9 @@ object Retrieval {
     "r30_sparse_stored" -> sparseStored,
     "r31_sparse_rewrite" -> sparseRewrite,
     "r32_sparse_batch" -> sparseBatch,
-    "r34_sparse_stored_batch" -> sparseStoredBatch)
+    "r34_sparse_stored_batch" -> sparseStoredBatch,
+    "r35_bm25_stored_batch" -> bm25StoredBatch,
+    "r36_knn_join_stored" -> knnJoinStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1090,6 +1140,82 @@ object Retrieval {
   /** `private[queries]`: Events' s10 streamed-sparse twin replays the
     * same scoring over the same query. */
   private[queries] def sparseOracle: String = SparseOracleSql
+
+  private val KnnJoinIvfOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          cand AS (
+            SELECT p.q_id, a.vec_id AS d_id,
+                   round(list_distance(a.embedding::DOUBLE[], p.qv), 6)
+                     AS dist
+            FROM qprobes p JOIN assigned a USING (centroid_id)),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM cand)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3"""
+
+  private val Bm25BatchOracleSql: String = {
+      val qtValues = BatchQueries.flatMap { case (qid, text) =>
+        graft.functions.Tokenizers.Simple.scala(text).distinct
+          .map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x != '')) AS term
+            FROM documents),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          qt AS (SELECT * FROM (VALUES $qtValues) AS t(qid, term)),
+          scored AS (
+            SELECT qt.qid, tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl)) AS w
+            FROM tf
+            JOIN qt USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g),
+          agg AS (SELECT qid, id, round(sum(w), 6) AS score
+                  FROM scored GROUP BY 1, 2),
+          r AS (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM agg)
+          SELECT CAST(qid AS BIGINT) AS qid, id, score,
+                 CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 5"""
+  }
 
   /** r32's DuckDB replay, shared verbatim by r34 — the batch sparse
     * replay per query: embedding, bucket join, per-query scoring and
@@ -1561,44 +1687,10 @@ object Retrieval {
     // r10: the IVF batch ANN join recomputed from first principles —
     // label-mean centroids, min-dist assignment, per-query 2-probe cell
     // set, candidates from the cell join, per-query top-3.
-    "r10_knn_join_ivf" ->
-      s"""WITH dims AS (
-            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT label, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5),
-          qprobes AS (
-            SELECT q_id, qv, centroid_id FROM (
-              SELECT q.q_id, q.qv, c.centroid_id,
-                     row_number() OVER (PARTITION BY q.q_id
-                       ORDER BY list_distance(c.centroid, q.qv) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM q CROSS JOIN cents c) WHERE rn <= 2),
-          cand AS (
-            SELECT p.q_id, a.vec_id AS d_id,
-                   round(list_distance(a.embedding::DOUBLE[], p.qv), 6)
-                     AS dist
-            FROM qprobes p JOIN assigned a USING (centroid_id)),
-          r AS (SELECT q_id, d_id, dist,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY dist ASC, d_id ASC) AS rank
-                FROM cand)
-          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
-          FROM r WHERE rank <= 3""",
+    "r10_knn_join_ivf" -> KnnJoinIvfOracleSql,
+    // r36: same cells, same probes, same candidates — the stored-layout
+    // batch join shares r10's oracle (pruning changes IO, never results)
+    "r36_knn_join_stored" -> KnnJoinIvfOracleSql,
     "r09_ann_rewrite_stored" ->
       s"""WITH dims AS (
             SELECT CAST(label AS BIGINT) AS centroid_id, pos,
@@ -1627,42 +1719,10 @@ object Retrieval {
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r13: batch BM25 — same tf/df/dl/avgdl CTEs, qid-carrying query
     // terms, per-(qid, id) scoring, rank window per qid.
-    "r13_bm25_batch" -> {
-      val qtValues = BatchQueries.flatMap { case (qid, text) =>
-        graft.functions.Tokenizers.Simple.scala(text).distinct
-          .map(t => s"($qid, '$t')")
-      }.mkString(", ")
-      s"""WITH toks AS (
-            SELECT doc_id AS id,
-                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                      x -> x != '')) AS term
-            FROM documents),
-          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          g AS (SELECT count(*) AS n,
-                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          qt AS (SELECT * FROM (VALUES $qtValues) AS t(qid, term)),
-          scored AS (
-            SELECT qt.qid, tf.id,
-                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
-                     (tf.tf * (1.2 + 1)) /
-                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl)) AS w
-            FROM tf
-            JOIN qt USING (term)
-            JOIN stats s USING (term)
-            JOIN dl USING (id)
-            CROSS JOIN g),
-          agg AS (SELECT qid, id, round(sum(w), 6) AS score
-                  FROM scored GROUP BY 1, 2),
-          r AS (SELECT qid, id, score,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY score DESC, id ASC) AS rank
-                FROM agg)
-          SELECT CAST(qid AS BIGINT) AS qid, id, score,
-                 CAST(rank AS INTEGER) AS rank
-          FROM r WHERE rank <= 5"""
-    },
+    "r13_bm25_batch" -> Bm25BatchOracleSql,
+    // r35: the stored postings layout is lossless and pruning may not
+    // change scores — the stored batch replay shares r13's oracle
+    "r35_bm25_stored_batch" -> Bm25BatchOracleSql,
     "r04_knn_join_l2" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
