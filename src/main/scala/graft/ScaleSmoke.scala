@@ -110,6 +110,41 @@ object ScaleSmoke {
           col("embedding").as("dv"), col("centroid_id")),
         "d_id", "dv", model, ops.Ann.L2, probes = 4, k = 10).count()
     }
+    // PQ at 16×: training (per-subspace KMeans) + encode + at-rest
+    // write is the corpus-linear part; the ADC QUERY then scans m
+    // ints/row — the stored layout's codes-only column pruning pinned
+    // below — through a codegen'd LUT fold into a bounded TakeOrdered
+    // heap, with only the k·refine survivors fetching vectors. The
+    // query row should sit far below the build row and barely move
+    // with corpus size.
+    var pqModel: ops.Ann.PqModel = null
+    var pqDir: String = null
+    time("pq_train_encode_store") {
+      val model = ops.Ann.buildPqKMeans(vecs, "embedding", m = 8,
+        k = 32, iters = 2)
+      pqModel = model
+      pqDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_pq").toString
+      ops.Ann.encodePq(vecs, "embedding", model)
+        .select(col("vec_id"), col("embedding"), col("pq_codes"))
+        .write.mode("overwrite").parquet(pqDir)
+      spark.read.parquet(pqDir).count()
+    }
+    time("pq_adc_query") {
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val df = ops.Ann.searchPq(spark.read.parquet(pqDir), "vec_id",
+        "embedding", "pq_codes", pqModel, q, ops.Ann.L2,
+        k = 10, refine = 5)
+      val phys = df.queryExecution.executedPlan.toString
+      val schemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(phys).map(_.group(1)).toSeq
+      require(schemas.exists(sc =>
+          sc.contains("pq_codes") && !sc.contains("embedding")),
+        "ADC phase read the full-precision column at scale")
+      df.count()
+    }
     time("closest_pairs_exact") {
       ops.Dedup.closestPairs(vecs, "vec_id", "embedding",
         ops.Ann.Cosine, k = 10).count()

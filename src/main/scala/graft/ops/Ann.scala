@@ -531,6 +531,176 @@ object Ann {
       .select(col(idCol), col("dist"))
   }
 
+  /** Product-quantization model: the vector space split into `m`
+    * contiguous subspaces of `subDim` dims, each with its own id-sorted
+    * codebook. A vector stores one POSITIONAL code (0-based slot in the
+    * id-sorted book) per subspace — m small ints where SQ stores dim
+    * bytes and full precision stores 4·dim bytes (64 dims / 8 subspaces
+    * → 8 codes, 32× vs fp32; 768 dims / 96 subspaces → 96 codes). The
+    * reference quantizes inside vchordrq (RaBitQ — spec.py:437-444
+    * index options); PQ is the classical multi-codebook member of the
+    * same family, and the one that matters at 100 TB: codes for 10¹¹
+    * vectors fit a cluster's executor memory when full vectors cannot,
+    * and the scan phase does table lookups instead of vector math. */
+  final case class PqModel(m: Int, subDim: Int,
+                           codebooks: Array[Array[(Long, Array[Double])]]) {
+    require(codebooks.length == m,
+      s"expected $m codebooks, got ${codebooks.length}")
+  }
+
+  /** Deterministic PQ build — the [[buildIvf]] trick per subspace: the
+    * codebook entry for (`cellCol` value c, subspace s) is the mean of
+    * the s-th subvector over rows with cell c, rounded to `roundTo`, so
+    * any engine reproduces codes and ADC distances exactly. ONE
+    * map-side-combinable shuffle (the vector-mean UDAF over full
+    * vectors, sliced driver-side); the collected means are
+    * cells × dim doubles — bounded by construction, codebooks being
+    * small is the point of PQ. Production swaps the cell seed for
+    * per-subspace KMeans ([[buildPqKMeans]]); encode/search are
+    * identical. */
+  def buildPq(docs: DataFrame, cellCol: String, vecCol: String, m: Int,
+              roundTo: Int = 5): PqModel = {
+    val means = docs
+      .select(col(cellCol).cast("long").as("__code"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .groupBy("__code")
+      .agg(transform(graft.functions.VecAgg.vecMean(col("__v")),
+        x => round(x, roundTo)).as("__c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(means.nonEmpty, "buildPq over an empty corpus")
+    sliceBooks(means, m)
+  }
+
+  /** Per-subspace KMeans PQ build — the production trainer:
+    * [[buildIvfKMeans]]'s deterministic seeding + Lloyd's iterations
+    * run over each subvector slice. The subspace loop is driver-side
+    * but m is small (8–96); each iteration inside is the usual
+    * one-shuffle assignment+mean job. */
+  def buildPqKMeans(docs: DataFrame, vecCol: String, m: Int, k: Int,
+                    iters: Int = 5, roundTo: Int = 5): PqModel = {
+    val v = docs.select(col(vecCol).cast("array<double>").as("__v"))
+    val dim = v.select(size(col("__v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { s =>
+      val sub = v.select(slice(col("__v"), s * subDim + 1, subDim)
+        .as("__sv"))
+      collectCentroids(buildIvfKMeans(sub, "__sv", k, L2, iters, roundTo))
+    }
+    PqModel(m, subDim, books)
+  }
+
+  private def sliceBooks(means: Array[(Long, Array[Double])],
+                         m: Int): PqModel = {
+    val dim = means.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { s =>
+      means.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      }
+    }
+    PqModel(m, subDim, books)
+  }
+
+  /** One positional code per subspace: argmin squared-L2 over the
+    * subspace codebook, strict `<` over the id-sorted entries — ties to
+    * the smaller slot, the [[assign]] fold every replay reproduces with
+    * `row_number() OVER (ORDER BY dist ASC, id ASC)`. Map-only: the
+    * codebooks travel as ONE broadcast inside the encoder's closure
+    * (never in the plan), and at scale this stage feeds the at-rest
+    * code column directly. */
+  def encodePq(docs: DataFrame, vecCol: String, model: PqModel,
+               outCol: String = "pq_codes"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model.codebooks)
+    val subDim = model.subDim
+    val enc = udf { (vec: Seq[Double]) =>
+      val varr = vec.toArray
+      val books = bc.value
+      books.indices.map { s =>
+        val off = s * subDim
+        val cb = books(s)
+        var bestD = Double.PositiveInfinity
+        var best = -1
+        var i = 0
+        while (i < cb.length) {
+          val c = cb(i)._2
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            val t = varr(off + j) - c(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      }
+    }
+    docs.withColumn(outCol, enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** Asymmetric PQ distance, codegen'd: the query is pre-folded
+    * driver-side into an m × |codes| lookup table of partial SQUARED
+    * L2 distances (m·codes·subDim flops ONCE per query — the classical
+    * ADC trade), shipped as a plan literal, and the scan then costs m
+    * array lookups + a sequential fold per row — builtins only, the
+    * whole distance stays inside WholeStageCodegen, no vector
+    * arithmetic and no UDF in the hot path. The literal is m·codes
+    * doubles (96×256 ≈ 200 KB worst case); a query BATCH at that size
+    * should carry LUTs through a broadcast join instead — the
+    * [[knnJoinIvf]] probe pattern. */
+  def pqAdcDist(query: Seq[Double], codesCol: Column,
+                model: PqModel): Column = {
+    val q = query.toArray
+    require(q.length == model.m * model.subDim,
+      s"query dim ${q.length} != model dim ${model.m * model.subDim}")
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
+      val off = s * model.subDim
+      model.codebooks(s).toSeq.map { case (_, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          val t = q(off + j) - c(j); d += t * t; j += 1
+        }
+        d
+      }
+    }
+    val lutCol = typedlit(lut)
+    sqrt(aggregate(
+      transform(codesCol, (c, i) =>
+        element_at(element_at(lutCol, i + 1), c + 1)),
+      lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** PQ search — [[searchSq]]'s two-phase shape with a far cheaper
+    * phase 1: ADC top-(k·refine) over a scan of (id, codes) ONLY —
+    * when the encoded table is at rest, column pruning means phase 1
+    * never reads a single full-precision byte, which is the entire
+    * point of PQ at 100 TB (m ints/row through a codegen'd LUT fold
+    * into a bounded TakeOrdered heap). The k·refine survivors then
+    * fetch their vectors by id (broadcast semi-join back on the
+    * store — the standard ANN fetch-by-id) for the exact re-rank. */
+  def searchPq(encoded: DataFrame, idCol: String, vecCol: String,
+               codesCol: String, model: PqModel, query: Seq[Double],
+               metric: Metric, k: Int, refine: Int = 5,
+               roundTo: Int = 6): DataFrame = {
+    val cand = encoded.select(col(idCol), col(codesCol))
+      .withColumn("qdist",
+        round(pqAdcDist(query, col(codesCol), model), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+      .select(col(idCol))
+    encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), typedlit(query)), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
+  }
+
   /** IVF-accelerated batch kNN join — the corpus-scale ANN join shape:
     * each query row replicates to its `probes` nearest cells (a map-only
     * explode against the broadcast-variable centroid table), candidates
@@ -790,6 +960,72 @@ object Ann {
       .filter(col(index.model.idCol).isin(cells: _*)))
     searchIvfSq(pruned, idCol, vecCol, queryVec, metric, probes, k,
       refine, roundTo)
+  }
+
+  /** IVF + product quantization composed — the third quantization
+    * family inside IVF cells (SQ [[buildIvfSq]], 1-bit
+    * [[buildIvfBitq]]): positional PQ codes whose codebooks are the
+    * per-(cell, subspace) mean slices — [[buildPq]]'s determinism with
+    * the IVF cells themselves as the seed, so the coarse and fine
+    * quantizers share structure and any engine replays
+    * codebooks/codes/ADC exactly. At rest: m small ints per row where
+    * SQ stores dim bytes (768 dims / 96 subspaces = 8× denser than
+    * SQ8), and the probed scan does LUT lookups only — no per-row
+    * vector math at all.
+    *
+    * Cosine builds SPHERICAL like [[buildIvfSq]]: assignment,
+    * codebooks, codes and the ADC scan run as L2 on the unit sphere
+    * over normalized vectors; the stored vecCol stays RAW so the exact
+    * re-rank is true cosine distance. */
+  final case class IvfPqIndex(encoded: DataFrame, pq: PqModel,
+                              model: IvfModel, spherical: Boolean)
+
+  def buildIvfPq(docs: DataFrame, vecCol: String, model: IvfModel,
+                 m: Int, metric: Metric, roundTo: Int = 5): IvfPqIndex =
+    if (metric == Cosine) {
+      val modelN = normalizeModel(model)
+      val assigned = assign(withNormalized(docs, vecCol, "__nvec"),
+        "__nvec", modelN, L2)
+      val pq = buildPq(assigned, modelN.idCol, "__nvec", m, roundTo)
+      IvfPqIndex(encodePq(assigned, "__nvec", pq).drop("__nvec"),
+        pq, modelN, spherical = true)
+    } else {
+      val assigned = assign(docs, vecCol, model, metric)
+      val pq = buildPq(assigned, model.idCol, vecCol, m, roundTo)
+      IvfPqIndex(encodePq(assigned, vecCol, pq), pq, model,
+        spherical = false)
+    }
+
+  /** Search: probe `probes` cells, ADC scan WITHIN the probed cells
+    * over (id, codes, cell) ONLY — [[searchPq]]'s codes-only phase 1
+    * composed with the probe semi-join (disk-partitioned layouts prune
+    * whole cell dirs), then the k·refine survivors fetch their raw
+    * vectors by id for the exact re-rank. */
+  def searchIvfPq(index: IvfPqIndex, idCol: String, vecCol: String,
+                  query: Seq[Double], metric: Metric, probes: Int,
+                  k: Int, refine: Int = 5, roundTo: Int = 6): DataFrame = {
+    val (qs, m) =
+      if (index.spherical) {
+        val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+        (query.map(_ / n), L2: Metric)
+      } else (query, metric)
+    val cellCol = index.model.idCol
+    val cells = probeCells(index.model, typedlit(qs), m, probes)
+    val cand = index.encoded
+      .select(col(idCol), col("pq_codes"), col(cellCol))
+      .join(broadcast(cells), Seq(cellCol))
+      .withColumn("qdist",
+        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+      .select(col(idCol))
+    index.encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), typedlit(query)), roundTo))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dist"))
   }
 
   /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each

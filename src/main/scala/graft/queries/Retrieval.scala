@@ -24,12 +24,13 @@ object Retrieval {
 
   /** Collect one embedding as a double-array literal (a query parameter —
     * driver-side by design, like the reference's client-supplied vector). */
-  private def qvec(s: SparkSession, d: String, id: Long): Column = {
-    val v = embeddings(s, d).filter(col("vec_id") === id)
+  private def qvecSeq(s: SparkSession, d: String, id: Long): Seq[Double] =
+    embeddings(s, d).filter(col("vec_id") === id)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toSeq
-    typedlit(v)
-  }
+
+  private def qvec(s: SparkSession, d: String, id: Long): Column =
+    typedlit(qvecSeq(s, d, id))
 
   /** Dense exact top-k, L2 — reference `<->` (client.py:294-321). */
   def annTopkL2(s: SparkSession, d: String): DataFrame =
@@ -108,6 +109,47 @@ object Retrieval {
     require(phys.toLowerCase.contains("dynamicpruning"),
       s"stored batch kNN join must runtime-prune cell dirs:\n$phys")
     df
+  }
+
+  /** r37: product-quantized search ([[Ann.searchPq]]) — the third
+    * member of the quantization family (SQ r11, 1-bit r14): 8
+    * subspaces × label-seeded codebooks, positional codes, ADC
+    * phase-1 over a query LUT (codegen'd, no per-row vector math),
+    * exact re-rank top-10. The plan pin asserts phase-1 never reads
+    * the full-precision vector column. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildPq(e, "label", "embedding", m = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_store").toString
+    Ann.encodePq(e, "embedding", model)
+      .select(col("vec_id"), col("embedding"), col("pq_codes"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = s.read.parquet(dir)
+    val df = Ann.searchPq(stored, "vec_id", "embedding", "pq_codes",
+      model, qvecSeq(s, d, 9), Ann.L2, k = 10, refine = 5)
+    // the ADC phase must scan codes WITHOUT the fp vector column —
+    // one parquet scan reads (vec_id, pq_codes) only, the other
+    // fetches (vec_id, embedding) for the k·refine survivors
+    val phys = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(phys).map(_.group(1)).toSeq
+    require(schemas.exists(sc =>
+        sc.contains("pq_codes") && !sc.contains("embedding")),
+      s"ADC phase read the full-precision column:\n$phys")
+    df
+  }
+
+  /** r38: IVF + PQ composed ([[Ann.buildIvfPq]]/[[Ann.searchIvfPq]]) —
+    * probe 3 cells, ADC over (id, codes, cell) within them only, exact
+    * re-rank of the top-50 survivors fetched by id. The quantization
+    * family's third member at the index level (SQ r12, 1-bit r14). */
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    Ann.searchIvfPq(idx, "vec_id", "embedding", qvecSeq(s, d, 5),
+      Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
   /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
@@ -923,7 +965,9 @@ object Retrieval {
     "r32_sparse_batch" -> sparseBatch,
     "r34_sparse_stored_batch" -> sparseStoredBatch,
     "r35_bm25_stored_batch" -> bm25StoredBatch,
-    "r36_knn_join_stored" -> knnJoinStored)
+    "r36_knn_join_stored" -> knnJoinStored,
+    "r37_pq_adc" -> pqAdc,
+    "r38_ivf_pq" -> ivfPq)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1390,6 +1434,143 @@ object Retrieval {
           SELECT cand.vec_id,
             round(list_distance(cand.embedding::DOUBLE[], q.qv), 6) AS dist
           FROM cand CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r37: product quantization from first principles — per-(label,
+    // subspace) mean codebooks rounded to 5, positional codes via the
+    // argmin window, query LUT = per-subspace squared L2 vs each
+    // codebook entry, ADC = sqrt of the per-subspace sum, exact
+    // re-rank of the top-50.
+    "r37_pq_adc" ->
+      s"""WITH sub AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, label,
+                         unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)),
+          cbdim AS (
+            SELECT label AS cid, s, pos, round(avg(x), 5) AS c
+            FROM sub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM sub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT $qv9 AS qv),
+          qsub AS (
+            SELECT s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1),
+          adc AS (
+            SELECT c.vec_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s
+            GROUP BY c.vec_id),
+          cand AS (SELECT vec_id FROM adc
+                   ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT e.vec_id,
+                 round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                   AS dist
+          FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r38: IVF+PQ from first principles — r10's label-mean centroid /
+    // assignment CTEs, per-(cell, subspace) mean codebooks rounded to
+    // 5, positional codes via the global argmin window, 3 probed
+    // cells, ADC over the probed cells only, exact re-rank of the
+    // top-50.
+    "r38_ivf_pq" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT $qv5 AS qv),
+          probes AS (
+            SELECT centroid_id FROM (
+              SELECT c.centroid_id,
+                     row_number() OVER (
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM cents c CROSS JOIN q) WHERE rn <= 3),
+          qsub AS (
+            SELECT s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1),
+          adc AS (
+            SELECT c.vec_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.centroid_id = a.centroid_id
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s
+            GROUP BY c.vec_id),
+          cand AS (SELECT vec_id FROM adc
+                   ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT e.vec_id,
+                 round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                   AS dist
+          FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r12: IVF + per-cell SQ from first principles — label-mean
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
