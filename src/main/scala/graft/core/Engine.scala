@@ -46,6 +46,12 @@ final class Engine(reg: Registry) {
             else math.ceil(ix.lists / 16.0).toInt.max(1)
           Ann.searchIvfSq(ivfSqCached(td, ix, model), td.pk,
             ix.column, q, ix.distance, p, topk, autoSqRefine(refine))
+        case Some(model) if ix.lists > 0 && ix.pq > 0 =>
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          Ann.searchIvfPq(ivfPqCached(td, ix, model), td.pk,
+            ix.column, queryVec, ix.distance, p, topk,
+            autoSqRefine(refine))
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
@@ -320,6 +326,10 @@ final class Engine(reg: Registry) {
         graft.plans.AnnIndex.registerQuantized(ix.column, td.pk,
           () => ivfSqCached(td, ix, model),
           ix.distance, p, autoSqRefine(refine), owner = owner(td))
+      else if (ix.pq > 0)
+        graft.plans.AnnIndex.registerPq(ix.column, td.pk,
+          () => ivfPqCached(td, ix, model),
+          ix.distance, p, autoSqRefine(refine), owner = owner(td))
       else
         // resolver-backed like every other registration: a buildIndex
         // re-run (new KMeans model) must reach declarative probe
@@ -568,6 +578,30 @@ final class Engine(reg: Registry) {
             ix.distance)
           val idx = Ann.IvfBitIndex(built.quantized.persist(), built.model)
           ivfBitqCacheMap(key) = (version, idx)
+          idx
+      }
+    }
+  }
+
+  /** IVF+PQ index memoized per table VERSION (same lifecycle as
+    * [[ivfSqCached]]): codebooks + positional codes persist until the
+    * table is rewritten. */
+  private val ivfPqCacheMap =
+    scala.collection.mutable.HashMap[String, (String, Ann.IvfPqIndex)]()
+  private def ivfPqCached(td: TableDef[_], ix: VectorIndex,
+                          model: Ann.IvfModel): Ann.IvfPqIndex = {
+    // version before table resolve — see assignedCached
+    val version = segVersion(td.name, s"${td.name}__ivf")
+    val key = s"${reg.instanceId}|${td.name}|${ix.column}"
+    ivfPqCacheMap.synchronized {
+      ivfPqCacheMap.get(key) match {
+        case Some((v, idx)) if v == version => idx
+        case stale =>
+          stale.foreach(_._2.encoded.unpersist(false))
+          val built = Ann.buildIvfPq(reg.table(td), ix.column, model,
+            ix.pq, ix.distance)
+          val idx = built.copy(encoded = built.encoded.persist())
+          ivfPqCacheMap(key) = (version, idx)
           idx
       }
     }

@@ -40,11 +40,20 @@ object Spec {
   /** vchordrq twin: IVF with `lists` cells under `distance`
     * (spec.py:437-444). `quantized` scans 8-bit SQ codes within probed
     * cells; `oneBit` scans 1-bit RaBitQ-style residual-sign codes (the
-    * vchordrq default quantization) — both exact-re-rank survivors. */
+    * vchordrq default quantization); `pq` > 0 scans positional
+    * product-quantization codes over that many subspaces — all three
+    * exact-re-rank survivors, and at most ONE may be chosen (two
+    * quantizations of one column is a contradiction, refused here
+    * rather than silently resolved by branch order). */
   final case class VectorIndex(column: String, distance: Ann.Metric = Ann.L2,
                                lists: Int = 0,
                                quantized: Boolean = false,
-                               oneBit: Boolean = false) extends IndexDef
+                               oneBit: Boolean = false,
+                               pq: Int = 0) extends IndexDef {
+    require(Seq(quantized, oneBit, pq > 0).count(identity) <= 1,
+      s"vector index on '$column' declares more than one quantization " +
+        s"(quantized=$quantized, oneBit=$oneBit, pq=$pq)")
+  }
   /** Multi-vector maxsim index (spec.py:447-464). */
   final case class MultiVectorIndex(column: String, lists: Int = 0)
     extends IndexDef

@@ -1004,20 +1004,8 @@ object Ann {
   def searchIvfPq(index: IvfPqIndex, idCol: String, vecCol: String,
                   query: Seq[Double], metric: Metric, probes: Int,
                   k: Int, refine: Int = 5, roundTo: Int = 6): DataFrame = {
-    val (qs, m) =
-      if (index.spherical) {
-        val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
-        (query.map(_ / n), L2: Metric)
-      } else (query, metric)
-    val cellCol = index.model.idCol
-    val cells = probeCells(index.model, typedlit(qs), m, probes)
-    val cand = index.encoded
-      .select(col(idCol), col("pq_codes"), col(cellCol))
-      .join(broadcast(cells), Seq(cellCol))
-      .withColumn("qdist",
-        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
-      .orderBy(col("qdist").asc, col(idCol).asc)
-      .limit(k * refine)
+    val cand = pqCandidates(index, idCol, query, metric, probes,
+        k * refine, roundTo)
       .select(col(idCol))
     index.encoded.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
@@ -1026,6 +1014,109 @@ object Ann {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("dist"))
+  }
+
+  /** Phase-1 of [[searchIvfPq]] alone: the probed codes-only ADC scan,
+    * top-`n` by (qdist, id) — the candidate generator the declarative
+    * [[graft.plans.AnnTopKRule]] rewrite injects as a semi-join (its
+    * exact re-rank is the plan's own Sort+Limit), the PQ twin of
+    * [[sqCandidates]]. */
+  def pqCandidates(index: IvfPqIndex, idCol: String, query: Seq[Double],
+                   metric: Metric, probes: Int, n: Int,
+                   roundTo: Int = 6): DataFrame = {
+    val (qs, m) =
+      if (index.spherical) {
+        val norm = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+        (query.map(_ / norm), L2: Metric)
+      } else (query, metric)
+    val cellCol = index.model.idCol
+    val cells = probeCells(index.model, typedlit(qs), m, probes)
+    index.encoded
+      .select(col(idCol), col("pq_codes"), col(cellCol))
+      .join(broadcast(cells), Seq(cellCol))
+      .withColumn("qdist",
+        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(n)
+  }
+
+  private val PqMetaMarker = "_graft_pq_meta"
+
+  /** Persist an [[IvfPqIndex]] at rest — the PQ twin of [[writeIvfSq]]:
+    * `dir/encoded` is the doc table disk-partitioned by centroid_id
+    * (probed searches prune whole cell directories; the m-slot code
+    * column dictionary-encodes to ~1 byte/slot in parquet),
+    * `dir/codebooks` / `dir/centroids` the side tables, and the
+    * (m, subDim, spherical) geometry pinned in a marker so a reader
+    * cannot mis-assemble the LUT. */
+  def writeIvfPq(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.encoded.sparkSession
+    index.encoded.write.mode("overwrite")
+      .partitionBy(index.model.idCol).parquet(s"$dir/encoded")
+    val rows = for {
+      s <- index.pq.codebooks.indices
+      (code, (cid, cent)) <- index.pq.codebooks(s).zipWithIndex
+        .map { case (e, i) => (i, e) }
+    } yield (s, code, cid, cent.toSeq)
+    import spark.implicits._
+    rows.toDF("s", "code", "cid", "cent")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.model.centroids.write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    graft.io.Markers.write(spark, dir, PqMetaMarker,
+      s"${index.pq.m},${index.pq.subDim},${index.spherical}")
+  }
+
+  /** Load a [[writeIvfPq]] layout (geometry from the marker; codebooks
+    * collected driver-side in (s, code) order — m·codes·subDim doubles,
+    * bounded by construction). */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfPqIndex = {
+    val meta = graft.io.Markers.read(spark, dir, PqMetaMarker)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir has no PQ geometry marker — not a writeIvfPq layout"))
+    val Array(m, subDim, spherical) = meta.split(",")
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s").cast("int"), col("code").cast("int"),
+        col("cid").cast("long"), col("cent"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        (r.getLong(2), r.getSeq[Double](3).toArray)))
+    val books = Array.tabulate(m.toInt) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    require(books.forall(_.length == books.head.length) &&
+        books.head.forall(_._2.length == subDim.toInt),
+      s"$dir codebooks disagree with the marker geometry $meta")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    IvfPqIndex(spark.read.parquet(s"$dir/encoded"),
+      PqModel(m.toInt, subDim.toInt, books),
+      IvfModel(cents, "centroid_id", "centroid"),
+      spherical = spherical.toBoolean)
+  }
+
+  /** [[searchIvfPq]] over a stored layout: probe cells become a
+    * LITERAL isin on the partition column (PartitionFilters in the
+    * scan — whole unprobed cell directories are never read, for BOTH
+    * the ADC phase and the survivor vector fetch), then the usual
+    * codes-only ADC scan + exact re-rank. */
+  def searchIvfPqStored(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, idCol: String, vecCol: String,
+                        query: Seq[Double], metric: Metric, probes: Int,
+                        k: Int, refine: Int = 5,
+                        roundTo: Int = 6): DataFrame = {
+    val index = loadIvfPq(spark, dir)
+    val (qs, m) =
+      if (index.spherical) {
+        val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+        (query.map(_ / n), L2: Metric)
+      } else (query, metric)
+    val cells = probeCells(index.model, typedlit(qs), m, probes)
+      .collect().map(_.getLong(0))
+    val pruned = index.copy(encoded = index.encoded
+      .filter(col(index.model.idCol).isin(cells: _*)))
+    searchIvfPq(pruned, idCol, vecCol, query, metric, probes, k,
+      refine, roundTo)
   }
 
   /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each

@@ -229,6 +229,17 @@ object AnnIndex {
           .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
   }
 
+  private final case class PqQuant(resolve: () => Ann.IvfPqIndex,
+                                   idCol: String,
+                                   metric: Ann.Metric, probes: Int,
+                                   refine: Int, owner: String = "")
+      extends QuantEntry {
+    def candidateIds(q: Array[Double], n: Int) =
+      Ann.pqCandidates(resolve(), idCol, q.toSeq, metric, probes, n)
+        .select(org.apache.spark.sql.functions.col(idCol)
+          .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+  }
+
   private val quantEntries = TrieMap.empty[String, QuantEntry]
 
   private def requireQuantMetric(metric: Ann.Metric): Unit =
@@ -281,6 +292,30 @@ object AnnIndex {
         quantEntries.get(vecCol).map(_.owner), owner)
       quantEntries(vecCol) = BitQuant(resolve, idCol, metric, probes,
         if (refine > 0) refine else Ann.defaultBitqRefine(metric), owner)
+    }
+  }
+
+  /** Register an IVF+PQ index ([[Ann.buildIvfPq]]) for declarative
+    * rewrite — `VectorIndex.pq`'s Engine shape: phase-1 is the probed
+    * codes-only ADC scan ([[Ann.pqCandidates]]), the plan's own
+    * Sort+Limit re-ranks the survivors exactly. */
+  def registerPq(vecCol: String, idCol: String,
+                 index: Ann.IvfPqIndex, metric: Ann.Metric,
+                 probes: Int, refine: Int = 5): Unit =
+    registerPq(vecCol, idCol, () => index, metric, probes, refine,
+      owner = "")
+
+  /** Resolver form of [[registerPq]] (see [[registerQuantized]]). */
+  def registerPq(vecCol: String, idCol: String,
+                 resolve: () => Ann.IvfPqIndex, metric: Ann.Metric,
+                 probes: Int, refine: Int,
+                 owner: String): Unit = {
+    requireQuantMetric(metric)
+    quantEntries.synchronized {
+      requireFreeOrSameOwner("pq", vecCol,
+        quantEntries.get(vecCol).map(_.owner), owner)
+      quantEntries(vecCol) =
+        PqQuant(resolve, idCol, metric, probes, refine, owner)
     }
   }
 

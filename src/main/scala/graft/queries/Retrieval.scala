@@ -152,6 +152,55 @@ object Retrieval {
       Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** r40: r38 with the index AT REST ([[Ann.writeIvfPq]] →
+    * [[Ann.searchIvfPqStored]]) — probe cells become literal partition
+    * filters on the cell-partitioned layout, so BOTH the codes-only
+    * ADC scan and the survivor vector fetch read only probed cell
+    * directories (pinned in-query); geometry pinned by marker; results
+    * byte-identical to r38 (shared oracle). */
+  def ivfPqStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_store").toString
+    Ann.writeIvfPq(idx, dir)
+    val df = Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
+      qvecSeq(s, d, 5), Ann.L2, probes = 3, k = 10, refine = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") &&
+        phys.contains("centroid_id"),
+      "stored ivf-pq search did not prune cell partitions")
+    df
+  }
+
+  /** r39: the DECLARATIVE plan over a registered PQ index — a plain
+    * `orderBy(l2Dist).limit(10)` rewritten into the codes-only ADC
+    * candidate semi-join with the plan's own Sort+Limit as the exact
+    * re-rank. Runs r38's exact parameters, so the optimizer rewrite
+    * must reproduce the explicit operator bit-for-bit (shared oracle —
+    * the r12/r16 pattern for the PQ family). */
+  def pqRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerPq("embedding", "vec_id", index,
+      Ann.L2, probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), qvec(s, d, 5)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "pq rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
   /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
     * → exact re-rank top-10 ([[Ann.searchSq]] — the quantized-index
     * two-phase the reference's vchordrq uses internally). */
@@ -967,7 +1016,9 @@ object Retrieval {
     "r35_bm25_stored_batch" -> bm25StoredBatch,
     "r36_knn_join_stored" -> knnJoinStored,
     "r37_pq_adc" -> pqAdc,
-    "r38_ivf_pq" -> ivfPq)
+    "r38_ivf_pq" -> ivfPq,
+    "r39_pq_rewrite" -> pqRewrite,
+    "r40_ivf_pq_stored" -> ivfPqStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1184,6 +1235,87 @@ object Retrieval {
   /** `private[queries]`: Events' s10 streamed-sparse twin replays the
     * same scoring over the same query. */
   private[queries] def sparseOracle: String = SparseOracleSql
+
+  /** r38's DuckDB replay, shared verbatim by r39 (explicit operator vs
+    * declarative rewrite): IVF assignment, per-(cell, subspace) mean
+    * codebooks, positional codes, probed ADC, exact re-rank. */
+  private val IvfPqOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT $qv5 AS qv),
+          probes AS (
+            SELECT centroid_id FROM (
+              SELECT c.centroid_id,
+                     row_number() OVER (
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM cents c CROSS JOIN q) WHERE rn <= 3),
+          qsub AS (
+            SELECT s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1),
+          adc AS (
+            SELECT c.vec_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.centroid_id = a.centroid_id
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s
+            GROUP BY c.vec_id),
+          cand AS (SELECT vec_id FROM adc
+                   ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT e.vec_id,
+                 round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                   AS dist
+          FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   private val KnnJoinIvfOracleSql: String =
     s"""WITH dims AS (
@@ -1495,83 +1627,13 @@ object Retrieval {
     // 5, positional codes via the global argmin window, 3 probed
     // cells, ADC over the probed cells only, exact re-rank of the
     // top-50.
-    "r38_ivf_pq" ->
-      s"""WITH dims AS (
-            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT label, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[],
-                                              c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          asub AS (
-            SELECT vec_id, centroid_id,
-                   CAST(pos AS INTEGER) // 8 AS s, pos, x
-            FROM (SELECT vec_id, centroid_id,
-                         unnest(embedding::DOUBLE[]) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM assigned)),
-          cbdim AS (
-            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
-            FROM asub GROUP BY 1, 2, 3),
-          cb AS (
-            SELECT s, cid, list(c ORDER BY pos) AS cent,
-                   CAST(row_number() OVER (PARTITION BY s
-                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
-            FROM cbdim GROUP BY s, cid),
-          docsub AS (
-            SELECT vec_id, s, list(x ORDER BY pos) AS sv
-            FROM asub GROUP BY 1, 2),
-          codes AS (
-            SELECT vec_id, s, code FROM (
-              SELECT d.vec_id, d.s, cb.code,
-                     row_number() OVER (PARTITION BY d.vec_id, d.s
-                       ORDER BY list_distance(d.sv, cb.cent) ASC,
-                                cb.cid ASC) AS rn
-              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
-          q AS (SELECT $qv5 AS qv),
-          probes AS (
-            SELECT centroid_id FROM (
-              SELECT c.centroid_id,
-                     row_number() OVER (
-                       ORDER BY list_distance(c.centroid, q.qv) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM cents c CROSS JOIN q) WHERE rn <= 3),
-          qsub AS (
-            SELECT s, list(x ORDER BY pos) AS qsv
-            FROM (SELECT CAST(pos AS INTEGER) // 8 AS s, pos, x
-                  FROM (SELECT unnest(qv) AS x,
-                               unnest(range(len(qv))) AS pos FROM q))
-            GROUP BY 1),
-          adc AS (
-            SELECT c.vec_id,
-                   round(sqrt(sum(list_sum(list_transform(
-                     range(len(qs.qsv)), i ->
-                       (qs.qsv[i+1] - cb.cent[i+1]) *
-                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
-            FROM codes c
-            JOIN assigned a ON a.vec_id = c.vec_id
-            JOIN probes p ON p.centroid_id = a.centroid_id
-            JOIN cb ON cb.s = c.s AND cb.code = c.code
-            JOIN qsub qs ON qs.s = c.s
-            GROUP BY c.vec_id),
-          cand AS (SELECT vec_id FROM adc
-                   ORDER BY qdist ASC, vec_id ASC LIMIT 50)
-          SELECT e.vec_id,
-                 round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
-                   AS dist
-          FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
-          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r38_ivf_pq" -> IvfPqOracleSql,
+    // r39 runs the DECLARATIVE plan over the registered PQ index with
+    // r38's exact parameters — shared oracle (the r12/r16 pattern).
+    "r39_pq_rewrite" -> IvfPqOracleSql,
+    // r40: the stored layout is lossless and pruning cannot change
+    // scores — the at-rest replay shares r38's oracle too.
+    "r40_ivf_pq_stored" -> IvfPqOracleSql,
     // r12: IVF + per-cell SQ from first principles — label-mean
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
     // codes, probe 3 cells, asymmetric scan top-50 within them, exact

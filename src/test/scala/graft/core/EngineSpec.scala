@@ -617,6 +617,72 @@ class EngineSpec extends SparkSpecBase {
       assert(declarativeTop(5).forall(_ >= 100L))
     } finally eng.uninstallDeclarative(td)
   }
+
+  test("searchByVector with a PQ IVF index matches the plain IVF " +
+      "ranking after re-rank; declarative twin engages the semi-join") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkpq", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2, pq = 2),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-pq").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i",
+        Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    // generous refine => the ADC candidate phase is recall-complete
+    // within the probed cells, so the exact re-rank equals plain IVF
+    val q = eng.searchByVector(td, Seq(0.0, 0.0), topk = 5, probes = 2,
+        refine = 40).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    val tdPlain = TableDef[EChunk]("echunkpq", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    reg.register(tdPlain)
+    val plain = new Engine(reg).searchByVector(tdPlain, Seq(0.0, 0.0),
+        topk = 5, probes = 2).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist"))).toSeq
+    assert(q === plain)
+    // declarative: a plain orderBy(dist).limit(k) plan over the
+    // pq-indexed table rewrites into the candidate semi-join and
+    // matches the imperative path
+    eng.installDeclarative(td, probes = 2, refine = 40)
+    try {
+      val df = reg.table(td)
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("vec"), typedlit(Seq(0.0, 0.0))), 6))
+        .orderBy(col("dist").asc, col("cid").asc)
+        .limit(5).select("cid", "dist")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "declarative pq rewrite did not engage")
+      val decl = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(decl === q)
+    } finally eng.uninstallDeclarative(td)
+  }
+
+  test("a vector index refuses two quantizations") {
+    intercept[IllegalArgumentException] {
+      VectorIndex("vec", Ann.L2, lists = 2, quantized = true, pq = 2)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex("vec", Ann.L2, lists = 2, oneBit = true,
+        quantized = true)
+    }
+  }
 }
 
 /** Payload-bearing fixture: a non-pk, non-vector column the projection

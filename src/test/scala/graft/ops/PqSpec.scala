@@ -141,6 +141,36 @@ class PqSpec extends SparkSpecBase {
       .sameElements(exact))
   }
 
+  test("writeIvfPq/loadIvfPq round-trips geometry, codebooks and codes") {
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfPq(df, "embedding", model, m, Ann.Cosine)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_rt").toString
+    Ann.writeIvfPq(idx, dir)
+    val loaded = Ann.loadIvfPq(spark, dir)
+    assert(loaded.pq.m == idx.pq.m &&
+      loaded.pq.subDim == idx.pq.subDim &&
+      loaded.spherical == idx.spherical)
+    for (s <- 0 until m)
+      assert(loaded.pq.codebooks(s).map { case (id, v) => (id, v.toSeq) }
+        .sameElements(idx.pq.codebooks(s)
+          .map { case (id, v) => (id, v.toSeq) }))
+    // stored search == in-memory search, and a layout without the
+    // geometry marker is refused
+    val q = corpus(9)._2
+    val mem = Ann.searchIvfPq(idx, "vec_id", "embedding", q, Ann.Cosine,
+      probes = 2, k = 5, refine = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val stored = Ann.searchIvfPqStored(spark, dir, "vec_id", "embedding",
+      q, Ann.Cosine, probes = 2, k = 5, refine = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stored.sameElements(mem))
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_pq_bare").toString
+    val e = intercept[IllegalStateException](Ann.loadIvfPq(spark, bare))
+    assert(e.getMessage.contains("marker"))
+  }
+
   test("buildPqKMeans is deterministic and recall-dominates on clusters") {
     val model1 = Ann.buildPqKMeans(df, "embedding", m, k = 3, iters = 3)
     val model2 = Ann.buildPqKMeans(df, "embedding", m, k = 3, iters = 3)
