@@ -740,6 +740,91 @@ object Ann {
       .select(col(qId), col(dId), col("dist"), col("rank"))
   }
 
+  /** Batch IVF+PQ kNN join: [[knnJoinIvf]]'s query-log shape with the
+    * candidate phase on PQ codes — the ADC batch form. Per-query
+    * lookup tables are built DRIVER-side from the collected query set
+    * (the [[knnJoin]] broadcast-queries contract: queries are the
+    * small side; Q·m·codes·subDim flops once) and shipped as ONE
+    * broadcast map, so the phase-1 scan does m map-lookups per
+    * (query, row) pair over the codes column only — never touching
+    * full-precision vectors. Phase-1 keeps top-(k·refine) per query by
+    * (ADC, id) with a rank window; phase-2 fetches ONLY the surviving
+    * (qid, id) pairs' vectors through a broadcast join for the exact
+    * re-rank. Returns (qId, dId, dist, rank). L2 only (the spherical
+    * variant normalizes both sides first — [[buildIvfPq]] cosine). */
+  def knnJoinIvfPq(queries: DataFrame, qId: String, qVec: String,
+                   index: IvfPqIndex, dId: String, vecCol: String,
+                   probes: Int, k: Int, refine: Int = 5,
+                   roundTo: Int = 6): DataFrame = {
+    require(!index.spherical,
+      "knnJoinIvfPq runs L2; build the index non-spherical (cosine " +
+        "batch joins normalize inputs and use an L2 index)")
+    val spark = queries.sparkSession
+    val model = index.model
+    val pq = index.pq
+    // driver-side query set: (qid, vec) — bounded by the batch contract
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "knnJoinIvfPq over an empty query set")
+    val cents = collectCentroids(model)
+    // probe relation: (qid, cell) for each query's `probes` nearest
+    val probeRows = qRows.flatMap { case (id, v) =>
+      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
+        .sorted.take(probes).map { case (_, cid) => (id, cid) }
+    }.toSeq
+    // per-query ADC LUTs: m × codes partial squared distances
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (id, v) =>
+      id -> Array.tabulate(pq.m) { s =>
+        val off = s * pq.subDim
+        pq.codebooks(s).map { case (_, c) =>
+          var d = 0.0
+          var j = 0
+          while (j < pq.subDim) {
+            val t = v(off + j) - c(j); d += t * t; j += 1
+          }
+          d
+        }
+      }
+    }.toMap
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcQ = spark.sparkContext.broadcast(qRows.toMap)
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val lut = bcLuts.value(qid)
+      var d = 0.0
+      var s = 0
+      while (s < codes.length) { d += lut(s)(codes(s)); s += 1 }
+      math.sqrt(d)
+    }
+    val exact = udf { (qid: Long, v: Seq[Double]) =>
+      val q = bcQ.value(qid)
+      val arr = v.toArray
+      L2.distScala(arr, q)
+    }
+    import spark.implicits._
+    val probeDf = probeRows.toDF("__qid", model.idCol)
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("__qdist").asc, col(dId).asc)
+    val cand = index.encoded
+      .select(col(dId), col("pq_codes"), col(model.idCol))
+      .join(broadcast(probeDf), Seq(model.idCol))
+      .withColumn("__qdist",
+        round(adc(col("__qid"), col("pq_codes")), roundTo))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k * refine)
+      .select(col("__qid"), col(dId))
+    val w2 = Window.partitionBy("__qid")
+      .orderBy(col("dist").asc, col(dId).asc)
+    index.encoded.select(col(dId), col(vecCol))
+      .join(broadcast(cand), Seq(dId))
+      .withColumn("dist", round(
+        exact(col("__qid"), col(vecCol).cast("array<double>")), roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qId), col(dId), col("dist"), col("rank"))
+  }
+
   /** Batch maxsim: the top-k docs for EVERY query bag in ONE job — the
     * multivec twin of [[knnJoinIvf]] (dense), `Bm25.searchBatch`
     * (keyword), and `Sparse.invertedTopKBatch` (sparse), completing the
