@@ -145,6 +145,79 @@ object ScaleSmoke {
         "ADC phase read the full-precision column at scale")
       df.count()
     }
+    // PQ recall ladder: SQ and 1-bit publish measured refine ladders;
+    // this is PQ's — recall@10 of the ADC+re-rank pipeline vs the
+    // exact top-10 at refine ∈ {2, 5, 10}, 8 queries, `rows` = matched
+    // of 80. The copy-inflated corpus is recall-degenerate (identical
+    // embeddings tie everywhere and hide ranking errors), so each copy
+    // is shifted by a small deterministic per-copy offset: all 16×N
+    // vectors are DISTINCT and the ladder measures real ADC ranking.
+    locally {
+      val pvecs = (0 until xf).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(i * 0.003)).as("embedding"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      pvecs.count()
+      val pModel = ops.Ann.buildPqKMeans(pvecs, "embedding", m = 8,
+        k = 32, iters = 2)
+      val penc = ops.Ann.encodePq(pvecs, "embedding", pModel)
+        .select(col("vec_id"), col("embedding"), col("pq_codes"))
+        .persist()
+      penc.count()
+      val qset = emb0.limit(8)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).map(_ + 0.0015).toSeq)
+      val exact = qset.map { q =>
+        ops.Ann.topK(pvecs, "vec_id", "embedding", typedlit(q),
+          ops.Ann.L2, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+      }
+      Seq(2, 5, 10).foreach { rf =>
+        time(s"pq_recall_refine$rf") {
+          qset.zip(exact).map { case (q, ex) =>
+            val got = ops.Ann.searchPq(penc, "vec_id", "embedding",
+              "pq_codes", pModel, q, ops.Ann.L2, k = 10, refine = rf)
+              .collect().map(_.getLong(0)).toSet
+            (got & ex).size.toLong
+          }.sum
+        }
+      }
+      pvecs.unpersist(); penc.unpersist()
+    }
+    // r41's shape at 16×: the batch IVF+PQ kNN join over an at-rest
+    // cell-partitioned layout — 1000 queries replayed in ONE job whose
+    // phase-1 reads (vec_id, pq_codes) from probed cell dirs only
+    // (codes-only ReadSchema AND PartitionFilters pinned at scale).
+    // Build/encode/store hoisted out of the timer.
+    locally {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        iters = 2)
+      val idx = ops.Ann.buildIvfPq(vecs, "embedding", model, m = 8,
+        ops.Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_knnpq").toString
+      ops.Ann.writeIvfPq(idx, dir)
+      val stored = ops.Ann.loadIvfPq(spark, dir)
+      val queries = vecs.limit(1000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      time("pq_knn_join_batch") {
+        val df = ops.Ann.knnJoinIvfPq(queries, "q_id", "qv", stored,
+          "vec_id", "embedding", probes = 4, k = 10)
+        val phys = df.queryExecution.executedPlan.toString
+        val schemas = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(phys).map(_.group(1)).toSeq
+        require(schemas.exists(sc =>
+            sc.contains("pq_codes") && !sc.contains("embedding")),
+          "batch ADC phase read the full-precision column at scale")
+        require(phys.contains("PartitionFilters") &&
+            phys.contains("centroid_id"),
+          "batch ADC scan did not prune cell partitions at scale")
+        df.count()
+      }
+    }
     time("closest_pairs_exact") {
       ops.Dedup.closestPairs(vecs, "vec_id", "embedding",
         ops.Ann.Cosine, k = 10).count()

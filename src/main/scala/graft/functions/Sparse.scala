@@ -273,7 +273,9 @@ object Sparse {
           "layout"))
     val qb = queries
       .select(explode(col(idxCol)).as("__qi"))
-      .select(pmod(col("__qi"), lit(buckets)).as("__b"))
+      // pmod preserves the input type — cast so array<long> index
+      // columns read back as Int instead of throwing in the collect
+      .select(pmod(col("__qi"), lit(buckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val pruned = spark.read.parquet(dir)
       .filter(col("__b").isin(qb: _*))

@@ -668,9 +668,15 @@ object Ann {
       }
     }
     val lutCol = typedlit(lut)
+    // try_element_at yields NULL for an out-of-range code (a layout
+    // whose codebooks were truncated past the geometry marker — ANSI
+    // element_at would fail the whole scan); NULL sorts FIRST under
+    // asc, so coalesce to +Inf — malformed rows can never outrank real
+    // candidates
     sqrt(aggregate(
       transform(codesCol, (c, i) =>
-        element_at(element_at(lutCol, i + 1), c + 1)),
+        coalesce(try_element_at(try_element_at(lutCol, i + 1), c + 1),
+          lit(Double.PositiveInfinity))),
       lit(0.0), (acc, v) => acc + v))
   }
 
@@ -804,10 +810,16 @@ object Ann {
     }
     import spark.implicits._
     val probeDf = probeRows.toDF("__qid", model.idCol)
+    // the batch's probed-cell union is already on the driver — plant it
+    // as a LITERAL isin so an at-rest cell-partitioned layout prunes
+    // unprobed dirs with PartitionFilters (a local probe relation does
+    // not earn dynamic pruning; the literal filter is stronger anyway)
+    val probedCells = probeRows.map(_._2).distinct
     val w1 = Window.partitionBy("__qid")
       .orderBy(col("__qdist").asc, col(dId).asc)
     val cand = index.encoded
       .select(col(dId), col("pq_codes"), col(model.idCol))
+      .filter(col(model.idCol).isin(probedCells: _*))
       .join(broadcast(probeDf), Seq(model.idCol))
       .withColumn("__qdist",
         round(adc(col("__qid"), col("pq_codes")), roundTo))
@@ -893,7 +905,7 @@ object Ann {
         roundTo))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
-      .select(col("__qid").as("qid"), col(dId), col("score"), col("rank"))
+      .select(col("__qid").as(qId), col(dId), col("score"), col("rank"))
   }
 
   /** IVF-pruned ANN top-k: scan only the probed cells, then exact top-k
@@ -1092,14 +1104,23 @@ object Ann {
     val cand = pqCandidates(index, idCol, query, metric, probes,
         k * refine, roundTo)
       .select(col(idCol))
-    index.encoded.select(col(idCol), col(vecCol))
+    pqRerank(index.encoded, cand, idCol, vecCol, query, metric, k,
+      roundTo)
+  }
+
+  /** Shared PQ phase-2: the k·refine survivors fetch their raw vectors
+    * by id (broadcast semi-join) for the exact re-rank under the
+    * ORIGINAL metric over the ORIGINAL query. */
+  private def pqRerank(encoded: DataFrame, cand: DataFrame,
+                       idCol: String, vecCol: String, query: Seq[Double],
+                       metric: Metric, k: Int, roundTo: Int): DataFrame =
+    encoded.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
       .withColumn("dist", round(metric.dist(
         col(vecCol).cast("array<double>"), typedlit(query)), roundTo))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("dist"))
-  }
 
   /** Phase-1 of [[searchIvfPq]] alone: the probed codes-only ADC scan,
     * top-`n` by (qdist, id) — the candidate generator the declarative
@@ -1198,10 +1219,19 @@ object Ann {
       } else (query, metric)
     val cells = probeCells(index.model, typedlit(qs), m, probes)
       .collect().map(_.getLong(0))
-    val pruned = index.copy(encoded = index.encoded
-      .filter(col(index.model.idCol).isin(cells: _*)))
-    searchIvfPq(pruned, idCol, vecCol, query, metric, probes, k,
-      refine, roundTo)
+    // the isin IS the probe — the literal partition filter already
+    // restricts both phases to probed cell dirs, so run the two-phase
+    // directly instead of re-probing inside searchIvfPq (one centroid
+    // scan per query, not two)
+    val restricted = index.encoded
+      .filter(col(index.model.idCol).isin(cells: _*))
+    val cand = restricted.select(col(idCol), col("pq_codes"))
+      .withColumn("qdist",
+        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+      .select(col(idCol))
+    pqRerank(restricted, cand, idCol, vecCol, query, metric, k, roundTo)
   }
 
   /** 1-bit (RaBitQ-style) IVF index: per vector, the SIGN of each

@@ -201,6 +201,44 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
   }
 
+  /** r41: batch IVF+PQ kNN join ([[Ann.knnJoinIvfPq]]) — the PQ member
+    * of the batch query-log-replay family (dense r10/r36, BM25 r13/r35,
+    * sparse r32/r34, maxsim r33): five queries replayed in ONE job over
+    * a [[Ann.writeIvfPq]] layout. Per-query ADC lookup tables travel as
+    * ONE broadcast beside the (qid, cell) probe relation, so phase-1 is
+    * a single codes-only scan of the probed cell dirs (ReadSchema must
+    * exclude the fp vector column AND the batch's probed-cell union —
+    * known on the driver — plants literal PartitionFilters on the
+    * cell-partitioned layout; both pinned), and
+    * phase-2 re-ranks only the k·refine survivors per query. The L2
+    * `require` is the index's contract: cosine batch joins normalize
+    * inputs and run an L2 index ([[Ann.buildIvfPq]] spherical). The
+    * oracle replays r38's codebook construction in r10's batch shape. */
+  def knnJoinPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knnpq_store").toString
+    Ann.writeIvfPq(idx, dir)
+    val stored = Ann.loadIvfPq(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvfPq(queries, "q_id", "qv", stored, "vec_id",
+        "embedding", probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    val phys = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(phys).map(_.group(1)).toSeq
+    require(schemas.exists(sc =>
+        sc.contains("pq_codes") && !sc.contains("embedding")),
+      s"batch ADC phase read the full-precision column:\n$phys")
+    require(phys.contains("PartitionFilters") &&
+        phys.contains("centroid_id"),
+      s"batch ADC scan must prune cell partitions:\n$phys")
+    df
+  }
+
   /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
     * → exact re-rank top-10 ([[Ann.searchSq]] — the quantized-index
     * two-phase the reference's vchordrq uses internally). */
@@ -1018,7 +1056,8 @@ object Retrieval {
     "r37_pq_adc" -> pqAdc,
     "r38_ivf_pq" -> ivfPq,
     "r39_pq_rewrite" -> pqRewrite,
-    "r40_ivf_pq_stored" -> ivfPqStored)
+    "r40_ivf_pq_stored" -> ivfPqStored,
+    "r41_knn_join_pq" -> knnJoinPq)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1316,6 +1355,101 @@ object Retrieval {
                    AS dist
           FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
           ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** r41's DuckDB replay: r38's codebook construction (IVF assignment,
+    * per-(cell, subspace) mean codebooks, positional codes) replayed in
+    * r10's batch shape — per-query probes, per-query ADC keep-15, exact
+    * per-query re-rank top-3. */
+  private val KnnJoinPqOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, centroid_id FROM (
+              SELECT q.q_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          qsub AS (
+            SELECT q_id, s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT q_id, CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT q_id, unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1, 2),
+          adc AS (
+            SELECT p.q_id, c.vec_id AS d_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN qprobes p ON p.centroid_id = a.centroid_id
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s AND qs.q_id = p.q_id
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT q_id, d_id FROM (
+              SELECT q_id, d_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY qdist ASC, d_id ASC) AS rn
+              FROM adc) WHERE rn <= 15),
+          rr AS (
+            SELECT c.q_id, c.d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                     AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.d_id
+            JOIN q ON q.q_id = c.q_id),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM rr)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3"""
 
   private val KnnJoinIvfOracleSql: String =
     s"""WITH dims AS (
@@ -1634,6 +1768,9 @@ object Retrieval {
     // r40: the stored layout is lossless and pruning cannot change
     // scores — the at-rest replay shares r38's oracle too.
     "r40_ivf_pq_stored" -> IvfPqOracleSql,
+    // r41: the batch query-log form of r38 — same codebooks, per-query
+    // probes/ADC/re-rank replayed from first principles.
+    "r41_knn_join_pq" -> KnnJoinPqOracleSql,
     // r12: IVF + per-cell SQ from first principles — label-mean
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
     // codes, probe 3 cells, asymmetric scan top-50 within them, exact

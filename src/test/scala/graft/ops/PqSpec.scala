@@ -171,6 +171,63 @@ class PqSpec extends SparkSpecBase {
     assert(e.getMessage.contains("marker"))
   }
 
+  test("knnJoinIvfPq replays per-query searchIvfPq in one job") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfPq(df, "embedding", model, m, Ann.L2)
+    val qids = Seq(3L, 17L, 31L, 45L)
+    val queries = df.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val got = Ann.knnJoinIvfPq(queries, "q_id", "qv", idx, "vec_id",
+      "embedding", probes = 2, k = 3, refine = 6)
+    // the caller's qId/dId names survive into the output schema
+    assert(got.columns.toSeq == Seq("q_id", "vec_id", "dist", "rank"))
+    val byQ = got.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2)).toMap
+    qids.foreach { qid =>
+      val q = corpus(qid.toInt)._2
+      val single = Ann.searchIvfPq(idx, "vec_id", "embedding", q,
+        Ann.L2, probes = 2, k = 3, refine = 6).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(byQ(qid).sameElements(single),
+        s"query $qid: batch ${byQ(qid).toSeq} vs single ${single.toSeq}")
+    }
+  }
+
+  test("knnJoinIvfPq refuses a spherical index") {
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfPq(df, "embedding", model, m, Ann.Cosine)
+    val sp = spark
+    import sp.implicits._
+    val queries = df.limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnJoinIvfPq(queries, "q_id", "qv", idx, "vec_id",
+        "embedding", probes = 2, k = 3)
+    }
+    assert(e.getMessage.contains("L2"))
+  }
+
+  test("out-of-range codes yield +Inf ADC distance, never rank first") {
+    val model = Ann.buildPq(df, "label", "embedding", m)
+    val sp = spark
+    import sp.implicits._
+    // one row whose codes point past the 3-entry codebooks — a
+    // truncated-codebooks layout must sink, not float, such rows
+    val rows = Seq((0L, Seq.fill(m)(0)), (1L, Seq.fill(m)(99)))
+      .toDF("vec_id", "pq_codes")
+    val q = corpus(0)._2
+    val got = rows
+      .select(col("vec_id"),
+        Ann.pqAdcDist(q, col("pq_codes"), model).as("adc"))
+      .orderBy(col("adc").asc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 == 0L && !got.head._2.isInfinite)
+    assert(got.last._1 == 1L && got.last._2.isPosInfinity)
+  }
+
   test("buildPqKMeans is deterministic and recall-dominates on clusters") {
     val model1 = Ann.buildPqKMeans(df, "embedding", m, k = 3, iters = 3)
     val model2 = Ann.buildPqKMeans(df, "embedding", m, k = 3, iters = 3)
