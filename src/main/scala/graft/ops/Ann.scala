@@ -263,8 +263,10 @@ object Ann {
   /** Lloyd's-iteration KMeans IVF build (the reference's index-build job
     * uses IVF clustering inside vchordrq — spec.py:437-444; SURVEY §2.1
     * S2 maps it to a KMeans batch job). Deterministic: initial centroids
-    * are the k DISTINCT vectors with the smallest xxhash64(vec) (a
-    * seedless pseudo-random draw that is stable across runs/engines),
+    * are the k DISTINCT vectors with the smallest [[portableVecHash]] (a
+    * seedless pseudo-random draw that is stable across runs AND engines
+    * — any SQL engine with md5 replays the draw, which is what lets the
+    * trainer itself face the DuckDB oracle in r42),
     * then `iters` rounds of broadcast-argmin assignment + per-cell
     * mean. For cosine / inner-product, normalize vectors first
     * (spherical KMeans, spec.py:458-464). Empty cells drop out
@@ -280,11 +282,28 @@ object Ann {
     * when duplication runs deeper than 8× does the build pay one
     * hash-dedup draw — which map-side combine makes cheap in exactly
     * that regime (high duplication = small distinct set). */
+  /** Engine-portable deterministic vector hash — the KMeans seed key.
+    * Canonical form first (each element ×10⁶, HALF_UP to a BIGINT —
+    * float-origin doubles can't straddle engines there: both sides do
+    * the identical IEEE multiply and both round halves away from
+    * zero), then md5 of the comma-joined decimal string, first 15 hex
+    * chars as a BIGINT. Any engine replays it —
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT` in DuckDB — so the
+    * TRAINER itself can face the oracle (r42), which Spark's own
+    * `xxhash64(array)` (internal UnsafeArrayData bytes) never could.
+    * Distribution properties match the old xxhash64 seed draw: md5 is
+    * uniform and exact-duplicate vectors still share one hash. */
+  private[ops] def portableVecHash(vec: Column): Column =
+    conv(substring(md5(concat_ws(",",
+      transform(vec.cast("array<double>"),
+        x => round(x * 1e6).cast("long").cast("string")))), 1, 15),
+      16, 10).cast("long")
+
   def buildIvfKMeans(docs: DataFrame, vecCol: String, k: Int,
                      metric: Metric = L2, iters: Int = 5,
                      roundTo: Int = 5): IvfModel = {
     val hashed = docs.select(col(vecCol))
-      .withColumn("__h", xxhash64(col(vecCol)))
+      .withColumn("__h", portableVecHash(col(vecCol)))
     // materialized once (≤ k tiny rows): the count() guard below and
     // the seed consumption reuse the same result instead of running
     // the TakeOrdered pipeline twice

@@ -125,6 +125,16 @@ object Bm25 {
       })
     }
 
+  /** Drop and unpersist every cached index — the lifecycle sweep for
+    * long-lived sessions (the README single-JVM-seams inventory made
+    * executable: RegistryEvictionSpec pins that a swept driver holds
+    * no index state). */
+  def clearCache(): Unit = cache.synchronized {
+    cache.values.foreach(_.postings.unpersist(false))
+    cache.clear()
+  }
+  private[graft] def cachedCount: Int = cache.synchronized(cache.size)
+
   /** Content version of a file-backed corpus path: order-independent
     * hash of the (file path, length, mtime) manifest. Cheap (one
     * driver-side listing) and changes whenever any data file under the

@@ -177,6 +177,10 @@ object Dedup {
       pairsCache.clear()
     }
   }
+  private[graft] def cachedCount: Int =
+    setsCache.synchronized(setsCache.size) +
+      gateCache.synchronized(gateCache.size) +
+      pairsCache.synchronized(pairsCache.size)
 
   /** Memoized [[shingleSets]]: the Jaccard and MinHash operators over
     * the same corpus share one persisted shingle table (the shingling

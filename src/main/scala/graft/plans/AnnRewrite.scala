@@ -586,6 +586,18 @@ object AnnIndex {
   private[plans] def lookupBm25(textCol: String): List[Bm25Entry] =
     bm25Entries.getOrElse(textCol, Nil)
 
+  /** True when ANY index family holds a registration — the rule's
+    * fast-path guard. Once installed the rule outlives every
+    * register/unregister pair in the session (extraOptimizations has
+    * no uninstall), so a long-lived session — notebook, service, the
+    * 119-gate bench — pays the Sort/Limit pattern-match on every
+    * optimization pass of every query even with nothing registered.
+    * Empty registries ⇒ no rewrite can fire ⇒ skip the traversal. */
+  private[plans] def hasAny: Boolean =
+    entries.nonEmpty || distEntries.nonEmpty || quantEntries.nonEmpty ||
+      maxsimEntries.nonEmpty || bm25Entries.nonEmpty ||
+      sparseEntries.nonEmpty
+
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
     * config-driven install use `spark.sql.extensions` with
@@ -728,7 +740,8 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!AnnIndex.hasAny) plan else plan.transform {
     // QUANTIZED rewrite: needs k (phase-1 scans top-k·refine codes), so
     // it matches the Limit over the Sort. The candidate sub-plan is
     // built from the registered index's DataFrames and injected as a

@@ -64,6 +64,14 @@ object GraphQ {
     })
   }
 
+  /** Sweep every memoized graph (evict + unpersist each) — the
+    * lifecycle clear for long-lived sessions, same contract as
+    * [[graft.ops.Dedup.clearCaches]]/[[graft.ops.Bm25.clearCache]]. */
+  def clearCache(): Unit = built.synchronized {
+    while (built.nonEmpty) evictOldest()
+  }
+  private[graft] def cachedCount: Int = built.synchronized(built.size)
+
   private def buildGraphUncached(s: SparkSession, d: String):
       (Registry, DataFrame) = {
     val reg = new Registry(s,

@@ -239,6 +239,33 @@ object Retrieval {
     df
   }
 
+  /** r42: the KMeans PQ TRAINER faces the oracle ([[Ann.buildPqKMeans]]
+    * — per-subspace [[Ann.buildIvfKMeans]]: portable-md5 seed draw +
+    * Lloyd's iterations). r37-r40 exercised the label-mean `buildPq`
+    * seed while the production trainer was only spec-tested for
+    * determinism — and the round-10 lesson (the KMeans seed collapse
+    * surfaced only when a gate faced the oracle) says trainers need
+    * oracles too. The seeding is [[Ann.portableVecHash]] — canonical
+    * scaled-BIGINT string, md5, first 15 hex chars — which DuckDB
+    * replays verbatim, then 2 unrolled Lloyd iterations per subspace
+    * (cosine-free L2 path: argmin assignment with (dist, cid) ties,
+    * per-(cell, pos) mean rounded to 5). Output: the full codebook
+    * geometry (s, code, pos, c) hash-compared entry by entry. */
+  def pqKmeansOracle(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildPqKMeans(e, "embedding", m = 8, k = 4,
+      iters = 2)
+    val rows = for {
+      sub <- model.codebooks.indices
+      (code, cent) <- model.codebooks(sub).toSeq.zipWithIndex
+        .map { case ((_, cent), i) => (i, cent) }
+      (c, pos) <- cent.toSeq.zipWithIndex
+    } yield (sub, code, pos, c)
+    val sp = s
+    import sp.implicits._
+    rows.toDF("s", "code", "pos", "c")
+  }
+
   /** Scalar-quantized search: 8-bit codes → asymmetric-distance top-50
     * → exact re-rank top-10 ([[Ann.searchSq]] — the quantized-index
     * two-phase the reference's vchordrq uses internally). */
@@ -357,29 +384,44 @@ object Retrieval {
     * `vocab.txt` via [[graft.functions.Tokenizers.wordpieceFromFile]]
     * instead; the driver-side distinct-collect here is the gate's
     * determinism device, same contract as the POS lexicon). */
+  /** r24's corpus-derived WordPiece vocab (and the punctuation-free
+    * precondition scan), memoized per (session, corpus version): the
+    * postings were already [[Bm25.buildCached]], but every call still
+    * paid a full tokenize+distinct+collect to re-derive the SAME vocab
+    * — the last uncached per-call build in the retrieval family (the
+    * round-11 warm-drift audit). Same key discipline as the postings
+    * cache: content version, so a rewritten corpus re-derives. */
+  private val wpVocabMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // The oracle replays WordPiece as simple-tokens + 4-char split,
-    // which equals REAL WordPiece (BERT basic tokenization + greedy
-    // match) only on a punctuation-free lowercase corpus — on
-    // punctuated text, basic tokenization emits punct chars as their
-    // own (vocab-less → [UNK]) tokens, shifting dl and df. Fail LOUDLY
-    // if the fixture ever grows punctuation instead of hash-mismatching
-    // mysteriously. (Punctuated behavior itself is covered against
-    // reference fixtures in ComponentsSpec.)
-    require(docs.filter(col("text").rlike("[^a-z0-9 ]")).isEmpty,
-      "r24's oracle models punctuation-free corpora; documents.parquet " +
-        "now contains punctuation/uppercase — widen the oracle")
-    val words = docs.select(explode(
-        graft.functions.Tokenizers.Simple.column(col("text"))).as("w"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val vocab = words.flatMap(w =>
-      if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
-      .distinct
+    val ver = Bm25.dirVersion(s, s"$d/documents.parquet")
+    val vocab = wpVocabMemo.getOrElseUpdate(
+      s"${graft.core.SessionId.of(s)}|$d|$ver", {
+        // The oracle replays WordPiece as simple-tokens + 4-char split,
+        // which equals REAL WordPiece (BERT basic tokenization + greedy
+        // match) only on a punctuation-free lowercase corpus — on
+        // punctuated text, basic tokenization emits punct chars as
+        // their own (vocab-less → [UNK]) tokens, shifting dl and df.
+        // Fail LOUDLY if the fixture ever grows punctuation instead of
+        // hash-mismatching mysteriously. (Punctuated behavior itself is
+        // covered against reference fixtures in ComponentsSpec.)
+        require(docs.filter(col("text").rlike("[^a-z0-9 ]")).isEmpty,
+          "r24's oracle models punctuation-free corpora; " +
+            "documents.parquet now contains punctuation/uppercase — " +
+            "widen the oracle")
+        docs.select(explode(
+            graft.functions.Tokenizers.Simple.column(col("text"))).as("w"))
+          .distinct().collect().map(_.getString(0)).toSeq
+          .flatMap(w =>
+            if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
+          .distinct
+      })
     val tok = graft.functions.Tokenizers.wordpiece(vocab,
       name = "bert_corpus4")
     val idx = Bm25.buildCached(docs, "doc_id", "text",
-      s"$d|wp4|${Bm25.dirVersion(s, s"$d/documents.parquet")}", tok)
+      s"$d|wp4|$ver", tok)
     Bm25.search(idx, Bm25Query, 10)
   }
 
@@ -1057,7 +1099,8 @@ object Retrieval {
     "r38_ivf_pq" -> ivfPq,
     "r39_pq_rewrite" -> pqRewrite,
     "r40_ivf_pq_stored" -> ivfPqStored,
-    "r41_knn_join_pq" -> knnJoinPq)
+    "r41_knn_join_pq" -> knnJoinPq,
+    "r42_pq_kmeans" -> pqKmeansOracle)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1771,6 +1814,71 @@ object Retrieval {
     // r41: the batch query-log form of r38 — same codebooks, per-query
     // probes/ADC/re-rank replayed from first principles.
     "r41_knn_join_pq" -> KnnJoinPqOracleSql,
+    // r42: the KMeans PQ trainer from first principles — portable-md5
+    // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
+    // in hash order), two unrolled Lloyd iterations (L2 argmin with
+    // (dist, cid) ties, per-(cell, pos) mean rounded to 5), codebook
+    // codes positional in surviving-cid order.
+    "r42_pq_kmeans" ->
+      s"""WITH esub AS (
+            SELECT vec_id, CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)),
+          sv AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM esub GROUP BY 1, 2),
+          hashed AS (
+            SELECT DISTINCT s, sv,
+                   ('0x' || substring(md5(array_to_string(
+                      list_transform(sv,
+                        x -> CAST(round(x * 1000000) AS BIGINT)),
+                      ',')), 1, 15))::BIGINT AS h
+            FROM sv),
+          cent0 AS (
+            SELECT s, cid, list_transform(sv, x -> round(x, 5)) AS cent
+            FROM (SELECT s, sv,
+                         row_number() OVER (PARTITION BY s
+                           ORDER BY h ASC) - 1 AS cid
+                  FROM hashed) WHERE cid < 4),
+          asg1 AS (
+            SELECT vec_id, s, cid FROM (
+              SELECT v.vec_id, v.s, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id, v.s
+                       ORDER BY list_distance(v.sv, c.cent) ASC,
+                                c.cid ASC) AS rn
+              FROM sv v JOIN cent0 c USING (s)) WHERE rn = 1),
+          cent1 AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent FROM (
+              SELECT e.s, a.cid, e.pos, round(avg(e.x), 5) AS c
+              FROM esub e
+              JOIN asg1 a ON a.vec_id = e.vec_id AND a.s = e.s
+              GROUP BY 1, 2, 3)
+            GROUP BY 1, 2),
+          asg2 AS (
+            SELECT vec_id, s, cid FROM (
+              SELECT v.vec_id, v.s, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id, v.s
+                       ORDER BY list_distance(v.sv, c.cent) ASC,
+                                c.cid ASC) AS rn
+              FROM sv v JOIN cent1 c USING (s)) WHERE rn = 1),
+          cent2 AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent FROM (
+              SELECT e.s, a.cid, e.pos, round(avg(e.x), 5) AS c
+              FROM esub e
+              JOIN asg2 a ON a.vec_id = e.vec_id AND a.s = e.s
+              GROUP BY 1, 2, 3)
+            GROUP BY 1, 2),
+          codes AS (
+            SELECT s, cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cent2)
+          SELECT CAST(s AS INTEGER) AS s, code,
+                 CAST(pos AS INTEGER) AS pos, c
+          FROM (SELECT s, code, unnest(cent) AS c,
+                       unnest(range(len(cent))) AS pos
+                FROM codes)""",
     // r12: IVF + per-cell SQ from first principles — label-mean
     // centroids, min-dist assignment, per-CELL min/max bounds, 8-bit
     // codes, probe 3 cells, asymmetric scan top-50 within them, exact
