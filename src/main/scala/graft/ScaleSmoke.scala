@@ -175,7 +175,7 @@ object ScaleSmoke {
           ops.Ann.L2, 10).select("vec_id")
           .collect().map(_.getLong(0)).toSet
       }
-      Seq(2, 5, 10).foreach { rf =>
+      Seq(1, 2, 5, 10).foreach { rf =>
         time(s"pq_recall_refine$rf") {
           qset.zip(exact).map { case (q, ex) =>
             val got = ops.Ann.searchPq(penc, "vec_id", "embedding",

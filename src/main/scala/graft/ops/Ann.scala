@@ -775,15 +775,42 @@ object Ann {
     * full-precision vectors. Phase-1 keeps top-(k·refine) per query by
     * (ADC, id) with a rank window; phase-2 fetches ONLY the surviving
     * (qid, id) pairs' vectors through a broadcast join for the exact
-    * re-rank. Returns (qId, dId, dist, rank). L2 only (the spherical
-    * variant normalizes both sides first — [[buildIvfPq]] cosine). */
+    * re-rank. Returns (qId, dId, dist, rank). L2 form; the spherical
+    * (cosine) twin is [[knnJoinIvfPqCos]]. */
   def knnJoinIvfPq(queries: DataFrame, qId: String, qVec: String,
                    index: IvfPqIndex, dId: String, vecCol: String,
                    probes: Int, k: Int, refine: Int = 5,
                    roundTo: Int = 6): DataFrame = {
     require(!index.spherical,
-      "knnJoinIvfPq runs L2; build the index non-spherical (cosine " +
-        "batch joins normalize inputs and use an L2 index)")
+      "knnJoinIvfPq runs L2; a spherical (cosine) index replays " +
+        "through knnJoinIvfPqCos")
+    knnJoinIvfPqImpl(queries, qId, qVec, index, dId, vecCol, probes,
+      k, refine, roundTo, L2)
+  }
+
+  /** Cosine batch IVF+PQ kNN join — the SPHERICAL twin of
+    * [[knnJoinIvfPq]] (reference: `spherical_centroids` for cos
+    * vchordrq indexes, spec.py:458-464): queries L2-normalize
+    * driver-side, probes and per-query ADC LUTs run as L2 on the unit
+    * sphere against the spherical index's codes (built over normalized
+    * docs — [[buildIvfPq]] cosine), and the exact per-query re-rank is
+    * TRUE cosine distance on the raw vectors. */
+  def knnJoinIvfPqCos(queries: DataFrame, qId: String, qVec: String,
+                      index: IvfPqIndex, dId: String, vecCol: String,
+                      probes: Int, k: Int, refine: Int = 5,
+                      roundTo: Int = 6): DataFrame = {
+    require(index.spherical,
+      "knnJoinIvfPqCos needs a spherical index — buildIvfPq with " +
+        "metric = Cosine")
+    knnJoinIvfPqImpl(queries, qId, qVec, index, dId, vecCol, probes,
+      k, refine, roundTo, Cosine)
+  }
+
+  private def knnJoinIvfPqImpl(queries: DataFrame, qId: String,
+                               qVec: String, index: IvfPqIndex,
+                               dId: String, vecCol: String, probes: Int,
+                               k: Int, refine: Int, roundTo: Int,
+                               exactMetric: Metric): DataFrame = {
     val spark = queries.sparkSession
     val model = index.model
     val pq = index.pq
@@ -793,26 +820,35 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qRows.nonEmpty, "knnJoinIvfPq over an empty query set")
+    // spherical: probes + LUTs see the normalized query (the index's
+    // cells and codes live on the unit sphere); the exact re-rank
+    // below always sees the ORIGINAL query under `exactMetric`
+    val qPhase1: Array[(Long, Array[Double])] =
+      if (index.spherical) qRows.map { case (id, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        (id, v.map(_ / n))
+      } else qRows
     val cents = collectCentroids(model)
     // probe relation: (qid, cell) for each query's `probes` nearest
-    val probeRows = qRows.flatMap { case (id, v) =>
+    val probeRows = qPhase1.flatMap { case (id, v) =>
       cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
         .sorted.take(probes).map { case (_, cid) => (id, cid) }
     }.toSeq
     // per-query ADC LUTs: m × codes partial squared distances
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (id, v) =>
-      id -> Array.tabulate(pq.m) { s =>
-        val off = s * pq.subDim
-        pq.codebooks(s).map { case (_, c) =>
-          var d = 0.0
-          var j = 0
-          while (j < pq.subDim) {
-            val t = v(off + j) - c(j); d += t * t; j += 1
+    val luts: Map[Long, Array[Array[Double]]] =
+      qPhase1.map { case (id, v) =>
+        id -> Array.tabulate(pq.m) { s =>
+          val off = s * pq.subDim
+          pq.codebooks(s).map { case (_, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < pq.subDim) {
+              val t = v(off + j) - c(j); d += t * t; j += 1
+            }
+            d
           }
-          d
         }
-      }
-    }.toMap
+      }.toMap
     val bcLuts = spark.sparkContext.broadcast(luts)
     val bcQ = spark.sparkContext.broadcast(qRows.toMap)
     val adc = udf { (qid: Long, codes: Seq[Int]) =>
@@ -825,7 +861,7 @@ object Ann {
     val exact = udf { (qid: Long, v: Seq[Double]) =>
       val q = bcQ.value(qid)
       val arr = v.toArray
-      L2.distScala(arr, q)
+      exactMetric.distScala(arr, q)
     }
     import spark.implicits._
     val probeDf = probeRows.toDF("__qid", model.idCol)

@@ -239,6 +239,55 @@ object Retrieval {
     df
   }
 
+  /** r43: SPHERICAL IVF+PQ ([[Ann.buildIvfPq]] cosine — the reference
+    * pins `spherical_centroids` for cos/dot vchordrq indexes,
+    * spec.py:458-464): assignment, codebooks, codes and the codes-only
+    * ADC scan all run as L2 on the unit sphere over normalized vectors,
+    * and the exact re-rank is TRUE cosine distance on the raw vectors
+    * (the stored vecCol stays un-normalized — [[Ann.IvfPqIndex]]'s
+    * spherical contract). Completes the PQ family's metric coverage:
+    * r38/r40/r41 gate the L2 members; the spherical path was only
+    * PqSpec-tested until now. */
+  def ivfPqCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.Cosine)
+    Ann.searchIvfPq(idx, "vec_id", "embedding", qvecSeq(s, d, 17),
+      Ann.Cosine, probes = 3, k = 10, refine = 5)
+  }
+
+  /** r44: the COSINE batch IVF+PQ kNN join ([[Ann.knnJoinIvfPqCos]])
+    * over an at-rest spherical layout — r41's batch replay with r43's
+    * spherical semantics: probes and per-query ADC LUTs on the unit
+    * sphere, TRUE-cosine exact re-rank on raw vectors, one job for the
+    * whole query log. Same plan pins as r41 (codes-only phase-1
+    * ReadSchema + literal PartitionFilters from the probed-cell
+    * union). */
+  def knnJoinPqCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.Cosine)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knnpqc_store").toString
+    Ann.writeIvfPq(idx, dir)
+    val stored = Ann.loadIvfPq(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvfPqCos(queries, "q_id", "qv", stored,
+        "vec_id", "embedding", probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    val phys = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(phys).map(_.group(1)).toSeq
+    require(schemas.exists(sc =>
+        sc.contains("pq_codes") && !sc.contains("embedding")),
+      s"batch ADC phase read the full-precision column:\n$phys")
+    require(phys.contains("PartitionFilters") &&
+        phys.contains("centroid_id"),
+      s"batch ADC scan must prune cell partitions:\n$phys")
+    df
+  }
+
   /** r42: the KMeans PQ TRAINER faces the oracle ([[Ann.buildPqKMeans]]
     * — per-subspace [[Ann.buildIvfKMeans]]: portable-md5 seed draw +
     * Lloyd's iterations). r37-r40 exercised the label-mean `buildPq`
@@ -1100,7 +1149,9 @@ object Retrieval {
     "r39_pq_rewrite" -> pqRewrite,
     "r40_ivf_pq_stored" -> ivfPqStored,
     "r41_knn_join_pq" -> knnJoinPq,
-    "r42_pq_kmeans" -> pqKmeansOracle)
+    "r42_pq_kmeans" -> pqKmeansOracle,
+    "r43_ivf_pq_cos" -> ivfPqCos,
+    "r44_knn_join_pq_cos" -> knnJoinPqCos)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1303,7 +1354,7 @@ object Retrieval {
           ORDER BY qdist ASC, vec_id ASC LIMIT 50)
         SELECT cand.vec_id,
           round(${cosDistSql("cand.embedding::DOUBLE[]", "q.qraw")}, 6)
-            AS dist
+            + 0 AS dist
         FROM cand CROSS JOIN q
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
@@ -1398,6 +1449,218 @@ object Retrieval {
                    AS dist
           FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
           ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** r43's DuckDB replay — the normalize-then-L2 twin of
+    * [[IvfPqOracleSql]] (the [[ivfSqCosOracle]] pattern): label-mean
+    * centroids rounded to 5 then unit-normalized, docs and query
+    * normalized the same way, assignment / probes / per-(cell,
+    * subspace) codebooks / codes / ADC all as L2 on the unit sphere,
+    * exact re-rank as TRUE cosine distance on the raw vectors. */
+  private val IvfPqCosOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents0 AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          cents AS (
+            SELECT centroid_id,
+                   list_transform(centroid, x ->
+                     x / sqrt(list_inner_product(centroid, centroid)))
+                     AS centroid
+            FROM cents0),
+          nv AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding::DOUBLE[], x ->
+                     x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])))
+                     AS nvec
+            FROM embeddings),
+          assigned AS (
+            SELECT vec_id, nvec, centroid_id FROM (
+              SELECT n.vec_id, n.nvec, c.centroid_id,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_distance(n.nvec, c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(nvec) AS x,
+                         unnest(range(len(nvec))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT embedding::DOUBLE[] AS qraw,
+                       list_transform(embedding::DOUBLE[], x ->
+                         x / sqrt(list_inner_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[])))
+                         AS qv
+                FROM embeddings WHERE vec_id = 17),
+          probes AS (
+            SELECT centroid_id FROM cents CROSS JOIN q
+            ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
+            LIMIT 3),
+          qsub AS (
+            SELECT s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1),
+          adc AS (
+            SELECT c.vec_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.centroid_id = a.centroid_id
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s
+            GROUP BY c.vec_id),
+          cand AS (SELECT vec_id FROM adc
+                   ORDER BY qdist ASC, vec_id ASC LIMIT 50)
+          SELECT e.vec_id,
+                 round(${cosDistSql("e.embedding::DOUBLE[]", "q.qraw")},
+                   6) + 0 AS dist
+          FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+          ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** r44's DuckDB replay — [[IvfPqCosOracleSql]]'s spherical codebook
+    * chain in [[KnnJoinPqOracleSql]]'s batch shape: per-query probes
+    * and ADC on the unit sphere, per-query TRUE-cosine re-rank on raw
+    * vectors. */
+  private val KnnJoinPqCosOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents0 AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          cents AS (
+            SELECT centroid_id,
+                   list_transform(centroid, x ->
+                     x / sqrt(list_inner_product(centroid, centroid)))
+                     AS centroid
+            FROM cents0),
+          nv AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x ->
+                     x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])))
+                     AS nvec
+            FROM embeddings),
+          assigned AS (
+            SELECT vec_id, nvec, centroid_id FROM (
+              SELECT n.vec_id, n.nvec, c.centroid_id,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_distance(n.nvec, c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(nvec) AS x,
+                         unnest(range(len(nvec))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qraw,
+                       list_transform(embedding::DOUBLE[], x ->
+                         x / sqrt(list_inner_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[])))
+                         AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, centroid_id FROM (
+              SELECT q.q_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          qsub AS (
+            SELECT q_id, s, list(x ORDER BY pos) AS qsv
+            FROM (SELECT q_id, CAST(pos AS INTEGER) // 8 AS s, pos, x
+                  FROM (SELECT q_id, unnest(qv) AS x,
+                               unnest(range(len(qv))) AS pos FROM q))
+            GROUP BY 1, 2),
+          adc AS (
+            SELECT p.q_id, c.vec_id AS d_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(qs.qsv)), i ->
+                       (qs.qsv[i+1] - cb.cent[i+1]) *
+                       (qs.qsv[i+1] - cb.cent[i+1]))))), 6) AS qdist
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            JOIN qprobes p ON p.centroid_id = a.centroid_id
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN qsub qs ON qs.s = c.s AND qs.q_id = p.q_id
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT q_id, d_id FROM (
+              SELECT q_id, d_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY qdist ASC, d_id ASC) AS rn
+              FROM adc) WHERE rn <= 15),
+          rr AS (
+            -- + 0 normalizes -0.0 → 0.0: a self-pair's cosine residual
+            -- can round to DuckDB's -0.0, but Spark's round runs
+            -- through BigDecimal, which has no signed zero
+            SELECT c.q_id, c.d_id,
+                   round(${cosDistSql("e.embedding::DOUBLE[]", "q.qraw")},
+                     6) + 0 AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.d_id
+            JOIN q ON q.q_id = c.q_id),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM rr)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3"""
 
   /** r41's DuckDB replay: r38's codebook construction (IVF assignment,
     * per-(cell, subspace) mean codebooks, positional codes) replayed in
@@ -1673,9 +1936,13 @@ object Retrieval {
       s"""SELECT vec_id,
           round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
           FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // + 0 here and in the other output-facing cosine oracles
+    // normalizes -0.0 → 0.0: Spark's round runs through BigDecimal
+    // (no signed zero), DuckDB's keeps IEEE -0.0 when a self-pair's
+    // residual rounds negative (bit r44 first hit).
     "r02_ann_topk_cos" ->
       s"""SELECT vec_id,
-          round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+          round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) + 0 AS dist
           FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     "r20_ann_topk_ip" ->
       """SELECT vec_id,
@@ -1814,6 +2081,11 @@ object Retrieval {
     // r41: the batch query-log form of r38 — same codebooks, per-query
     // probes/ADC/re-rank replayed from first principles.
     "r41_knn_join_pq" -> KnnJoinPqOracleSql,
+    // r43: the spherical PQ member — normalize-then-L2 through every
+    // index stage, true-cosine exact re-rank on raw vectors.
+    "r43_ivf_pq_cos" -> IvfPqCosOracleSql,
+    // r44: r43's spherical chain in r41's batch shape.
+    "r44_knn_join_pq_cos" -> KnnJoinPqCosOracleSql,
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with

@@ -196,6 +196,35 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("knnJoinIvfPqCos replays per-query spherical searchIvfPq") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfPq(df, "embedding", model, m, Ann.Cosine)
+    val qids = Seq(5L, 23L, 41L)
+    val queries = df.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val got = Ann.knnJoinIvfPqCos(queries, "q_id", "qv", idx, "vec_id",
+        "embedding", probes = 3, k = 3, refine = 6)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2)).toMap
+    qids.foreach { qid =>
+      val q = corpus(qid.toInt)._2
+      val single = Ann.searchIvfPq(idx, "vec_id", "embedding", q,
+        Ann.Cosine, probes = 3, k = 3, refine = 6).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got(qid).sameElements(single),
+        s"query $qid: batch ${got(qid).toSeq} vs single ${single.toSeq}")
+    }
+    // and the L2 form refuses the spherical index
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnJoinIvfPq(queries, "q_id", "qv", idx, "vec_id",
+        "embedding", probes = 2, k = 3)
+    }
+    assert(e.getMessage.contains("knnJoinIvfPqCos"))
+  }
+
   test("knnJoinIvfPq refuses a spherical index") {
     val model = Ann.buildIvf(df, "label", "embedding")
     val idx = Ann.buildIvfPq(df, "embedding", model, m, Ann.Cosine)
