@@ -256,6 +256,55 @@ object Retrieval {
       Ann.Cosine, probes = 3, k = 10, refine = 5)
   }
 
+  /** r46: r43 with the spherical index AT REST ([[Ann.writeIvfPq]] →
+    * [[Ann.searchIvfPqStored]] — r40's cosine twin): geometry
+    * including the spherical flag pinned by marker, probe cells as
+    * literal partition filters on BOTH phases, results byte-identical
+    * to r43 (shared oracle). */
+  def ivfPqCosStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.Cosine)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqc_store").toString
+    Ann.writeIvfPq(idx, dir)
+    val df = Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
+      qvecSeq(s, d, 17), Ann.Cosine, probes = 3, k = 10, refine = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("PartitionFilters") &&
+        phys.contains("centroid_id"),
+      "stored spherical ivf-pq search did not prune cell partitions")
+    df
+  }
+
+  /** r45: the DECLARATIVE plan over a registered SPHERICAL PQ index —
+    * r39's rewrite gate in r43's metric: a plain
+    * `orderBy(cosDist).limit(10)` rewritten into the normalized
+    * codes-only ADC candidate semi-join, the plan's own Sort+Limit
+    * re-ranking in true cosine. Runs r43's exact parameters, so the
+    * optimizer rewrite must reproduce the explicit operator
+    * bit-for-bit (shared oracle — the r17/r18 pattern, now for PQ). */
+  def pqRewriteCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.Cosine)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerPq("embedding", "vec_id", index,
+      Ann.Cosine, probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .cosDist(col("embedding"), qvec(s, d, 17)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "spherical pq rewrite did not engage")
+      // materialize while the registration is live (see annRewriteStored)
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
   /** r44: the COSINE batch IVF+PQ kNN join ([[Ann.knnJoinIvfPqCos]])
     * over an at-rest spherical layout — r41's batch replay with r43's
     * spherical semantics: probes and per-query ADC LUTs on the unit
@@ -1151,7 +1200,9 @@ object Retrieval {
     "r41_knn_join_pq" -> knnJoinPq,
     "r42_pq_kmeans" -> pqKmeansOracle,
     "r43_ivf_pq_cos" -> ivfPqCos,
-    "r44_knn_join_pq_cos" -> knnJoinPqCos)
+    "r44_knn_join_pq_cos" -> knnJoinPqCos,
+    "r45_pq_rewrite_cos" -> pqRewriteCos,
+    "r46_ivf_pq_cos_stored" -> ivfPqCosStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -2086,6 +2137,12 @@ object Retrieval {
     "r43_ivf_pq_cos" -> IvfPqCosOracleSql,
     // r44: r43's spherical chain in r41's batch shape.
     "r44_knn_join_pq_cos" -> KnnJoinPqCosOracleSql,
+    // r45: the declarative rewrite runs r43's exact parameters —
+    // shared oracle (the r17/r18 pattern, for the PQ family).
+    "r45_pq_rewrite_cos" -> IvfPqCosOracleSql,
+    // r46: the stored spherical layout is lossless and pruning cannot
+    // change scores — shared oracle with r43 (the r38/r40 pattern).
+    "r46_ivf_pq_cos_stored" -> IvfPqCosOracleSql,
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with
