@@ -400,19 +400,27 @@ final class Engine(reg: Registry) {
     * maintenance PostgreSQL's DELETE performs implicitly on the
     * reference's indexes (client.py:268-283). `dir` is a
     * [[Ann.writeIvfSq]] / [[Ann.writeIvfBitq]] root (the `quantized`
-    * subdir is detected), a [[Ann.writePartitioned]] path, or a
-    * [[Bm25.writePostings]] keyword layout (detected by its
-    * `_graft_buckets` marker — deletes rewrite the affected term
-    * buckets). */
+    * subdir is detected), a [[Ann.writeIvfPq]] root (geometry marker —
+    * deletes rewrite `encoded/` cells, codebooks stay trained), a
+    * [[Ann.writePartitioned]] path, or a [[Bm25.writePostings]]
+    * keyword layout (detected by its `_graft_buckets` marker — deletes
+    * rewrite the affected term buckets). */
   def attachStoredIndex(td: TableDef[_], dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
     val q = new org.apache.hadoop.fs.Path(root, "quantized")
-    // keyword / sparse postings layouts are self-describing (their
-    // bucket-modulus markers)
+    // keyword / sparse / PQ layouts are self-describing (their
+    // bucket-modulus / geometry markers)
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
-    val path = if (fs.exists(q)) q.toString else dir
+    val path =
+      if (Ann.isPqStoredLayout(reg.spark, dir))
+        // PQ roots keep cell-partitioned data under encoded/ (beside
+        // the trained codebooks/centroids, which deletes never touch —
+        // the same codes-outlive-rows contract as SQ bounds)
+        new org.apache.hadoop.fs.Path(root, "encoded").toString
+      else if (fs.exists(q)) q.toString
+      else dir
     // fail at ATTACH, not first delete: a streaming-grown dir
     // (_spark_metadata commit log) cannot take batch cell rewrites —
     // compact it first (Stream.compactStored)

@@ -1203,6 +1203,16 @@ object Ann {
 
   private val PqMetaMarker = "_graft_pq_meta"
 
+  /** True when `dir` is a [[writeIvfPq]] root (its geometry marker is
+    * present) — the layout self-description
+    * [[graft.core.Engine.attachStoredIndex]] dispatches on: PQ roots
+    * keep their cell-partitioned data under `encoded/` (beside
+    * `codebooks/` and `centroids/`), so delete maintenance must target
+    * that subdir, not the root. */
+  def isPqStoredLayout(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, PqMetaMarker)
+
   /** Persist an [[IvfPqIndex]] at rest — the PQ twin of [[writeIvfSq]]:
     * `dir/encoded` is the doc table disk-partitioned by centroid_id
     * (probed searches prune whole cell directories; the m-slot code

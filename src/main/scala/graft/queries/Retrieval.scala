@@ -256,6 +256,27 @@ object Retrieval {
       Ann.Cosine, probes = 3, k = 10, refine = 5)
   }
 
+  /** r47: stored delete on a PQ layout — r19's S6 maintenance contract
+    * for the PQ family: [[Ann.deleteStored]] stage-and-swaps the
+    * affected `encoded/` cell dirs (every vec_id % 7 == 0 removed),
+    * codebooks and centroids stay TRAINED on the full corpus (the
+    * codes-outlive-rows contract r19 pinned for SQ bounds), and the
+    * stored search never surfaces a removed row. The oracle is r38's
+    * replay with deleted ids excluded from the CANDIDATE scan only. */
+  def pqStoredDelete(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val idx = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_del").toString
+    Ann.writeIvfPq(idx, dir)
+    val removed = Ann.deleteStored(s, s"$dir/encoded",
+      col("vec_id") % 7 === 0)
+    require(removed > 0, "stored delete removed nothing — gate is vacuous")
+    Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
+      qvecSeq(s, d, 5), Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   /** r46: r43 with the spherical index AT REST ([[Ann.writeIvfPq]] →
     * [[Ann.searchIvfPqStored]] — r40's cosine twin): geometry
     * including the spherical flag pinned by marker, probe cells as
@@ -1202,7 +1223,8 @@ object Retrieval {
     "r43_ivf_pq_cos" -> ivfPqCos,
     "r44_knn_join_pq_cos" -> knnJoinPqCos,
     "r45_pq_rewrite_cos" -> pqRewriteCos,
-    "r46_ivf_pq_cos_stored" -> ivfPqCosStored)
+    "r46_ivf_pq_cos_stored" -> ivfPqCosStored,
+    "r47_pq_stored_delete" -> pqStoredDelete)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1422,8 +1444,12 @@ object Retrieval {
 
   /** r38's DuckDB replay, shared verbatim by r39 (explicit operator vs
     * declarative rewrite): IVF assignment, per-(cell, subspace) mean
-    * codebooks, positional codes, probed ADC, exact re-rank. */
-  private val IvfPqOracleSql: String =
+    * codebooks, positional codes, probed ADC, exact re-rank.
+    * `candCond` filters the CANDIDATE rows only (r47's stored delete:
+    * removed rows vanish from the scan, codebooks stay trained on the
+    * full corpus — the codes-outlive-rows contract r19 pinned for
+    * SQ). */
+  private def ivfPqOracle(candCond: String): String =
     s"""WITH dims AS (
             SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                    round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -1492,6 +1518,7 @@ object Retrieval {
             JOIN probes p ON p.centroid_id = a.centroid_id
             JOIN cb ON cb.s = c.s AND cb.code = c.code
             JOIN qsub qs ON qs.s = c.s
+            WHERE $candCond
             GROUP BY c.vec_id),
           cand AS (SELECT vec_id FROM adc
                    ORDER BY qdist ASC, vec_id ASC LIMIT 50)
@@ -1500,6 +1527,8 @@ object Retrieval {
                    AS dist
           FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
           ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  private val IvfPqOracleSql: String = ivfPqOracle("1=1")
 
   /** r43's DuckDB replay — the normalize-then-L2 twin of
     * [[IvfPqOracleSql]] (the [[ivfSqCosOracle]] pattern): label-mean
@@ -2143,6 +2172,9 @@ object Retrieval {
     // r46: the stored spherical layout is lossless and pruning cannot
     // change scores — shared oracle with r43 (the r38/r40 pattern).
     "r46_ivf_pq_cos_stored" -> IvfPqCosOracleSql,
+    // r47: deleted rows vanish from the candidate scan; codebooks stay
+    // trained on the full corpus (the r19 pattern for PQ).
+    "r47_pq_stored_delete" -> ivfPqOracle("c.vec_id % 7 <> 0"),
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with

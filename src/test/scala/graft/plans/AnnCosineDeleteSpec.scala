@@ -259,6 +259,38 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(reg.table(td).filter(col("rid") === 5L).count() === 0)
   }
 
+  test("attachStoredIndex PQ layout: removeBy rewrites encoded/ cells " +
+      "(geometry marker auto-detected); codebooks stay trained") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("pqrow", primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 2)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-pqdel-reg").toString).register(td)
+    val rows = (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 3).toFloat * 10f, (i % 3).toFloat * 10f)))
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 2)
+    val idx = Ann.buildIvfPq(reg.table(td), "v", model, m = 2, Ann.L2)
+    val dir = Files.createTempDirectory("graft-pqdel-attach").toString
+    Ann.writeIvfPq(idx, dir)
+    eng.attachStoredIndex(td, dir) // PQ root via its geometry marker
+    val booksBefore = spark.read.parquet(s"$dir/codebooks").count()
+    reg.removeBy(td, Map("rid" -> 5L))
+    assert(spark.read.parquet(s"$dir/encoded")
+      .filter(col("rid") === 5L).count() === 0)
+    // trained artifacts untouched by the delete
+    assert(spark.read.parquet(s"$dir/codebooks").count() === booksBefore)
+    // stored search over the maintained layout never surfaces rid 5
+    val got = Ann.searchIvfPqStored(spark, dir, "rid", "v",
+      Seq(0.0, 0.0), Ann.L2, probes = 2, k = 30, refine = 5)
+      .collect().map(_.getLong(0))
+    assert(!got.contains(5L) && got.nonEmpty)
+  }
+
   test("attachStoredIndex keyword layout: removeBy rewrites the " +
       "postings buckets post-commit (marker auto-detected)") {
     val sp = spark
