@@ -1221,22 +1221,89 @@ object Ann {
     * (m, subDim, spherical) geometry pinned in a marker so a reader
     * cannot mis-assemble the LUT. */
   def writeIvfPq(index: IvfPqIndex, dir: String): Unit = {
-    val spark = index.encoded.sparkSession
     index.encoded.write.mode("overwrite")
       .partitionBy(index.model.idCol).parquet(s"$dir/encoded")
+    writePqSideTables(index.encoded.sparkSession, dir, index.pq,
+      index.model, index.spherical)
+  }
+
+  /** The trained artifacts beside `encoded/`: codebooks, centroids,
+    * the (m, subDim, spherical) geometry marker, and a sha-256 digest
+    * of the codebook values (the restart pin [[ensureIvfPqRoot]]
+    * verifies — geometry alone cannot tell two trainings apart). */
+  private def writePqSideTables(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, pq: PqModel,
+                                model: IvfModel,
+                                spherical: Boolean): Unit = {
     val rows = for {
-      s <- index.pq.codebooks.indices
-      (code, (cid, cent)) <- index.pq.codebooks(s).zipWithIndex
+      s <- pq.codebooks.indices
+      (code, (cid, cent)) <- pq.codebooks(s).zipWithIndex
         .map { case (e, i) => (i, e) }
     } yield (s, code, cid, cent.toSeq)
     import spark.implicits._
     rows.toDF("s", "code", "cid", "cent")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.model.centroids.write.mode("overwrite")
+    model.centroids.write.mode("overwrite")
       .parquet(s"$dir/centroids")
     graft.io.Markers.write(spark, dir, PqMetaMarker,
-      s"${index.pq.m},${index.pq.subDim},${index.spherical}")
+      s"${pq.m},${pq.subDim},$spherical")
+    graft.io.Markers.write(spark, dir, PqBooksDigestMarker, pqDigest(pq))
   }
+
+  private val PqBooksDigestMarker = "_graft_pq_books_digest"
+
+  private def pqDigest(pq: PqModel): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sb = new StringBuilder
+    pq.codebooks.foreach(_.foreach { case (cid, cent) =>
+      sb.append(cid).append(':').append(cent.mkString(",")).append(';')
+    })
+    md.digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Idempotently establish a [[writeIvfPq]] ROOT for streaming ingest
+    * ([[graft.streaming.Stream.ingestIvfPq]]): first call writes the
+    * trained artifacts; a restart verifies BOTH the geometry marker
+    * and the codebook digest, so a retrained quantizer (same shape,
+    * different centroids) can never silently mix two code spaces in
+    * one layout — the PQ twin of [[ensureIvfModelMarker]]. */
+  def ensureIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, pq: PqModel, model: IvfModel,
+                      spherical: Boolean): Unit =
+    graft.io.Markers.read(spark, dir, PqMetaMarker) match {
+      case Some(meta) =>
+        val want = s"${pq.m},${pq.subDim},$spherical"
+        require(meta == want,
+          s"$dir pins PQ geometry $meta; this ingest carries $want — " +
+            "streaming into it would mix two code spaces")
+        val digest = graft.io.Markers.read(spark, dir,
+          PqBooksDigestMarker)
+        require(digest.contains(pqDigest(pq)),
+          s"$dir was built with different codebooks (digest mismatch) " +
+            "— a retrained quantizer cannot extend this layout")
+      case None =>
+        // spherical roots store NORMALIZED centroids — what loadIvfPq
+        // probes against, exactly as writeIvfPq persists index.model
+        writePqSideTables(spark, dir, pq,
+          if (spherical) normalizeModel(model) else model, spherical)
+    }
+
+  /** Assign + PQ-encode in one MAP-ONLY projection (broadcast
+    * centroids, broadcast codebooks — nothing in the plan, no shuffle):
+    * the transform [[graft.streaming.Stream.ingestIvfPq]] runs per
+    * micro-batch, and exactly what [[buildIvfPq]] does at build time,
+    * so streamed codes are bit-identical to a batch encode under the
+    * same artifacts. Spherical assigns and encodes on normalized
+    * vectors while the stored vecCol stays RAW. */
+  def assignEncodePq(docs: DataFrame, vecCol: String, pq: PqModel,
+                     model: IvfModel, spherical: Boolean): DataFrame =
+    if (spherical) {
+      val modelN = normalizeModel(model)
+      encodePq(assign(withNormalized(docs, vecCol, "__nvec"), "__nvec",
+        modelN, L2), "__nvec", pq).drop("__nvec")
+    } else
+      encodePq(assign(docs, vecCol, model, L2), vecCol, pq)
 
   /** Load a [[writeIvfPq]] layout (geometry from the marker; codebooks
     * collected driver-side in (s, code) order — m·codes·subDim doubles,

@@ -357,6 +357,59 @@ object Events {
       .select("vec_id", "score")
   }
 
+  /** s12: the QUANTIZED streaming lifecycle under the oracle — the
+    * fifth streamed-twin gate (s07 BM25, s08 dense IVF, s10 sparse,
+    * s11 maxsim): codes at rest from a stream, the 100 TB ingest shape
+    * where full-precision vectors never need to land in the index
+    * layout. r38's deterministic artifacts (label-mean IVF model,
+    * cell-mean codebooks) are trained BATCH-side — an ingest quantizer
+    * always predates the stream — then embeddings stream through
+    * [[graft.streaming.Stream.ingestIvfPq]] (map-only assign+encode
+    * per micro-batch, bit-identical to the batch encode, appended
+    * exactly-once into `encoded/`'s cell dirs; geometry AND codebook
+    * digest pinned by markers so a retrained quantizer is refused),
+    * the grown layout GRADUATES via compactStored, and
+    * [[graft.ops.Ann.searchIvfPqStored]] answers r38's exact query
+    * over the root — shared oracle, so the streamed path must be
+    * byte-identical to the batch index. */
+  def streamPqTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val idx = graft.ops.Ann.buildIvfPq(e, "embedding", model, m = 8,
+      graft.ops.Ann.L2)
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s12_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s12_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestIvfPq(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", idx.pq,
+      model, spherical = false, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s,
+      s"$dir/encoded", "centroid_id", maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no cell dirs")
+    require(!new java.io.File(s"$dir/encoded", "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    val qv = rows.find(_._1 == 5L)
+      .getOrElse(throw new IllegalStateException("no vec_id 5"))._2
+    graft.ops.Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
+      qv, graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -368,7 +421,8 @@ object Events {
     "s08_stream_ivf_twin" -> streamIvfTwin,
     "s09_stream_dedup_twin" -> streamDedupTwin,
     "s10_stream_sparse_twin" -> streamSparseTwin,
-    "s11_stream_maxsim_twin" -> streamMaxsimTwin)
+    "s11_stream_maxsim_twin" -> streamMaxsimTwin,
+    "s12_stream_pq_twin" -> streamPqTwin)
 
   val oracles: Map[String, String] = Map(
     "s01_event_window_agg" ->
@@ -496,5 +550,8 @@ object Events {
     // the replay is r26's first-principles maxsim-IVF oracle verbatim
     // (persisted means, label-mean centroids, cosine assignment +
     // probes, phase-1 within probed cells, exact maxsim re-rank)
-    "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"))
+    "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"),
+    // s12: the streamed-then-compacted PQ layout must be byte-identical
+    // to the batch index — r38's first-principles replay verbatim.
+    "s12_stream_pq_twin" -> Retrieval.oracles("r38_ivf_pq"))
 }

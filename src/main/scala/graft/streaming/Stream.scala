@@ -237,6 +237,43 @@ object Stream {
         graft.ops.Ann.tokenMeanCol(col(mvCol), dim)),
       meanCol, model, graft.ops.Ann.Cosine, dir, checkpoint)
 
+  /** Continuous PQ-encoded ingest — the QUANTIZED member of the
+    * at-rest ingest family (dense cells / BM25 buckets / sparse
+    * buckets / maxsim cells were the other four): each vector assigns
+    * to its cell and encodes to positional codes in one map-only
+    * projection (broadcast centroids + broadcast codebooks —
+    * [[graft.ops.Ann.assignEncodePq]], bit-identical to a batch encode
+    * under the same artifacts), then appends exactly-once into
+    * `dir/encoded`'s cell-partitioned layout via the file-sink commit
+    * log. The TRAINED artifacts (codebooks, centroids, geometry
+    * marker, codebook digest) are established at the root before the
+    * stream starts ([[graft.ops.Ann.ensureIvfPqRoot]]); a restart
+    * with different geometry OR retrained codebooks is refused — two
+    * code spaces can never mix in one layout. After
+    * [[compactStored]](`dir/encoded`, "centroid_id") graduation the
+    * root IS a [[graft.ops.Ann.writeIvfPq]] layout:
+    * `loadIvfPq`/`searchIvfPqStored`/`attachStoredIndex` work
+    * unchanged. `model` is the RAW (un-normalized) IVF model even for
+    * spherical — normalization happens inside the transform, exactly
+    * as [[graft.ops.Ann.buildIvfPq]] does at build time. */
+  def ingestIvfPq(vectors: DataFrame, vecCol: String,
+                  pq: graft.ops.Ann.PqModel,
+                  model: graft.ops.Ann.IvfModel, spherical: Boolean,
+                  dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.ensureIvfPqRoot(spark, dir, pq, model, spherical)
+    val encDir = s"$dir/encoded"
+    requireStreamableLayout(spark, encDir)
+    graft.ops.Ann.assignEncodePq(vectors, vecCol, pq, model, spherical)
+      .writeStream
+      .partitionBy(model.idCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(encDir)
+  }
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell

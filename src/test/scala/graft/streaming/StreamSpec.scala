@@ -101,6 +101,58 @@ class StreamSpec extends SparkSpecBase {
       Array("other content", "same content"))
   }
 
+  test("ingestIvfPq: streamed codes land under encoded/; a restart " +
+      "with retrained codebooks or different geometry is refused") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val seed = Seq(
+      (0L, Seq(0.0, 0.0), 0), (1L, Seq(10.0, 10.0), 1),
+      (2L, Seq(0.2, 0.1), 0), (3L, Seq(9.9, 10.2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val model = Ann.buildIvf(seed, "label", "embedding")
+    val idx = Ann.buildIvfPq(seed, "embedding", model, m = 2, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-pq").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-pq-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvfPq(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", idx.pq, model, spherical = false, dir, ckpt)
+    try {
+      input.addData((10L, Seq(0.1, 0.2)), (11L, Seq(9.8, 10.1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val enc = spark.read.parquet(s"$dir/encoded")
+    assert(enc.count() === 2 &&
+      enc.columns.contains("pq_codes") &&
+      enc.columns.contains("centroid_id"))
+    // streamed codes == batch codes under the same artifacts
+    val batchCodes = Ann.encodePq(
+      Seq((10L, Seq(0.1, 0.2))).toDF("vec_id", "embedding"),
+      "embedding", idx.pq)
+      .select("pq_codes").head.getSeq[Int](0)
+    assert(enc.filter(col("vec_id") === 10L)
+      .select("pq_codes").head.getSeq[Int](0) === batchCodes)
+    // same artifacts: restart allowed (idempotent root)
+    Ann.ensureIvfPqRoot(spark, dir, idx.pq, model, spherical = false)
+    // retrained codebooks (same geometry): refused by digest
+    val retrained = Ann.PqModel(idx.pq.m, idx.pq.subDim,
+      idx.pq.codebooks.map(_.map { case (id, c) =>
+        (id, c.map(_ + 1.0)) }))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.ensureIvfPqRoot(spark, dir, retrained, model,
+        spherical = false)
+    }
+    assert(e1.getMessage.contains("digest"))
+    // different geometry: refused by the marker
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ensureIvfPqRoot(spark, dir, idx.pq, model, spherical = true)
+    }
+    assert(e2.getMessage.contains("geometry"))
+  }
+
   test("ingestIvf: streamed vectors land in cell directories and the " +
       "stored search finds them with directory pruning") {
     val sp = spark
