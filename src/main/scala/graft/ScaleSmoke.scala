@@ -212,8 +212,10 @@ object ScaleSmoke {
         require(schemas.exists(sc =>
             sc.contains("pq_codes") && !sc.contains("embedding")),
           "batch ADC phase read the full-precision column at scale")
-        require(phys.contains("PartitionFilters") &&
-            phys.contains("centroid_id"),
+        // the filter LIST itself must reference the cell column — the
+        // two-substring check passed even on an unpruned scan
+        require("""PartitionFilters: \[[^\]]*centroid_id""".r
+            .findFirstIn(phys).isDefined,
           "batch ADC scan did not prune cell partitions at scale")
         df.count()
       }

@@ -307,14 +307,23 @@ object Ann {
     // materialized once (≤ k tiny rows): the count() guard below and
     // the seed consumption reuse the same result instead of running
     // the TakeOrdered pipeline twice
-    val overSampled = hashed
-      .orderBy(col("__h")).limit(k * 8)
-      .dropDuplicates("__h") // ≤ 8k rows by construction
+    // one row per hash, with a DETERMINISTIC representative: the
+    // canonical hash merges vectors identical at 1e-6 precision (exact
+    // duplicates, plus near-duplicates that straddle nothing), and
+    // min-by-array picks the same survivor on every run and in every
+    // engine's replay (`min(sv) GROUP BY h` in DuckDB) — where
+    // dropDuplicates kept a partition-order-dependent row, which made
+    // the trained model nondeterministic exactly when two near-dup
+    // vectors collided
+    def onePerHash(df: DataFrame): DataFrame =
+      df.groupBy("__h").agg(min(col(vecCol)).as(vecCol))
+    val overSampled = onePerHash(
+        hashed.orderBy(col("__h")).limit(k * 8)) // ≤ 8k rows
       .orderBy(col("__h")).limit(k)
       .localCheckpoint(true)
     val seeds =
       if (overSampled.count() >= k || k <= 1) overSampled
-      else hashed.dropDuplicates("__h").orderBy(col("__h")).limit(k)
+      else onePerHash(hashed).orderBy(col("__h")).limit(k)
     // seed ranking without a global window: the k seed rows are already
     // a TakeOrderedAndProject result; pin them to one partition, sort
     // within it, and number by in-partition row order (ids 0..k-1) —
@@ -687,14 +696,20 @@ object Ann {
       }
     }
     val lutCol = typedlit(lut)
-    // try_element_at yields NULL for an out-of-range code (a layout
-    // whose codebooks were truncated past the geometry marker — ANSI
-    // element_at would fail the whole scan); NULL sorts FIRST under
-    // asc, so coalesce to +Inf — malformed rows can never outrank real
-    // candidates
+    // Malformed codes (a layout whose codebooks were truncated past
+    // the geometry marker, or corrupted negative slots) must sink, not
+    // crash or float: the c >= 0 guard keeps element_at away from
+    // index 0 (always an error, even in try_ form) and from negative
+    // from-the-end indexing (which would yield a FINITE, plausible
+    // distance); try_element_at yields NULL past the codebook end
+    // (ANSI element_at would fail the whole scan); NULL sorts FIRST
+    // under asc, so coalesce to +Inf — malformed rows can never
+    // outrank real candidates
     sqrt(aggregate(
       transform(codesCol, (c, i) =>
-        coalesce(try_element_at(try_element_at(lutCol, i + 1), c + 1),
+        coalesce(
+          when(c >= 0,
+            try_element_at(try_element_at(lutCol, i + 1), c + 1)),
           lit(Double.PositiveInfinity))),
       lit(0.0), (acc, v) => acc + v))
   }
@@ -851,12 +866,20 @@ object Ann {
       }.toMap
     val bcLuts = spark.sparkContext.broadcast(luts)
     val bcQ = spark.sparkContext.broadcast(qRows.toMap)
+    // same malformed-code contract as [[pqAdcDist]]: out-of-range or
+    // negative codes (truncated/corrupt layout) sink to +Inf instead
+    // of crashing the whole replay job or reading a plausible value
     val adc = udf { (qid: Long, codes: Seq[Int]) =>
       val lut = bcLuts.value(qid)
       var d = 0.0
       var s = 0
-      while (s < codes.length) { d += lut(s)(codes(s)); s += 1 }
-      math.sqrt(d)
+      var bad = codes.length != lut.length
+      while (!bad && s < codes.length) {
+        val c = codes(s)
+        if (c < 0 || c >= lut(s).length) bad = true
+        else { d += lut(s)(c); s += 1 }
+      }
+      if (bad) Double.PositiveInfinity else math.sqrt(d)
     }
     val exact = udf { (qid: Long, v: Seq[Double]) =>
       val q = bcQ.value(qid)
@@ -1264,13 +1287,21 @@ object Ann {
 
   /** Idempotently establish a [[writeIvfPq]] ROOT for streaming ingest
     * ([[graft.streaming.Stream.ingestIvfPq]]): first call writes the
-    * trained artifacts; a restart verifies BOTH the geometry marker
-    * and the codebook digest, so a retrained quantizer (same shape,
-    * different centroids) can never silently mix two code spaces in
-    * one layout — the PQ twin of [[ensureIvfModelMarker]]. */
+    * trained artifacts; a restart verifies the geometry marker, the
+    * codebook digest AND the coarse-quantizer fingerprint
+    * ([[ensureIvfModelMarker]] — the PQ codebooks can be trained
+    * independently of the IVF model, so geometry+digest alone would
+    * accept a retrained coarse quantizer and assign new rows under
+    * centroids the stored `centroids/` table does not hold). No pin
+    * passes ⇒ two code spaces / cell geometries can never silently mix
+    * in one layout. */
   def ensureIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
                       dir: String, pq: PqModel, model: IvfModel,
-                      spherical: Boolean): Unit =
+                      spherical: Boolean): Unit = {
+    // spherical roots operate on NORMALIZED centroids throughout —
+    // what loadIvfPq probes against, what writeIvfPq persists, and
+    // what the assignment fingerprint must pin
+    val stored = if (spherical) normalizeModel(model) else model
     graft.io.Markers.read(spark, dir, PqMetaMarker) match {
       case Some(meta) =>
         val want = s"${pq.m},${pq.subDim},$spherical"
@@ -1283,27 +1314,28 @@ object Ann {
           s"$dir was built with different codebooks (digest mismatch) " +
             "— a retrained quantizer cannot extend this layout")
       case None =>
-        // spherical roots store NORMALIZED centroids — what loadIvfPq
-        // probes against, exactly as writeIvfPq persists index.model
-        writePqSideTables(spark, dir, pq,
-          if (spherical) normalizeModel(model) else model, spherical)
+        writePqSideTables(spark, dir, pq, stored, spherical)
     }
+    ensureIvfModelMarker(spark, dir, stored)
+  }
 
   /** Assign + PQ-encode in one MAP-ONLY projection (broadcast
     * centroids, broadcast codebooks — nothing in the plan, no shuffle):
     * the transform [[graft.streaming.Stream.ingestIvfPq]] runs per
-    * micro-batch, and exactly what [[buildIvfPq]] does at build time,
-    * so streamed codes are bit-identical to a batch encode under the
-    * same artifacts. Spherical assigns and encodes on normalized
-    * vectors while the stored vecCol stays RAW. */
+    * micro-batch, and exactly what [[buildIvfPq]] does at build time
+    * UNDER THE SAME METRIC — cosine assigns and encodes on normalized
+    * vectors while the stored vecCol stays RAW; any other metric
+    * assigns with itself, exactly as `buildIvfPq(…, metric)` would
+    * (a hardcoded L2 here silently landed streamed rows in different
+    * cells than the batch index for non-L2 metrics). */
   def assignEncodePq(docs: DataFrame, vecCol: String, pq: PqModel,
-                     model: IvfModel, spherical: Boolean): DataFrame =
-    if (spherical) {
+                     model: IvfModel, metric: Metric): DataFrame =
+    if (metric == Cosine) {
       val modelN = normalizeModel(model)
       encodePq(assign(withNormalized(docs, vecCol, "__nvec"), "__nvec",
         modelN, L2), "__nvec", pq).drop("__nvec")
     } else
-      encodePq(assign(docs, vecCol, model, L2), vecCol, pq)
+      encodePq(assign(docs, vecCol, model, metric), vecCol, pq)
 
   /** Load a [[writeIvfPq]] layout (geometry from the marker; codebooks
     * collected driver-side in (s, code) order — m·codes·subDim doubles,

@@ -390,7 +390,7 @@ object Events {
     val input = MemoryStream[(Long, Seq[Double])]
     val q = graft.streaming.Stream.ingestIvfPq(
       input.toDF().toDF("vec_id", "embedding"), "embedding", idx.pq,
-      model, spherical = false, dir, ckpt)
+      model, graft.ops.Ann.L2, dir, ckpt)
     try {
       val batches = 3
       (0 until batches).foreach { b =>

@@ -168,9 +168,8 @@ object Retrieval {
     val df = Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
       qvecSeq(s, d, 5), Ann.L2, probes = 3, k = 10, refine = 5)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") &&
-        phys.contains("centroid_id"),
-      "stored ivf-pq search did not prune cell partitions")
+    assertPartitionPruned(phys, "centroid_id",
+      "stored ivf-pq search")
     df
   }
 
@@ -233,9 +232,7 @@ object Retrieval {
     require(schemas.exists(sc =>
         sc.contains("pq_codes") && !sc.contains("embedding")),
       s"batch ADC phase read the full-precision column:\n$phys")
-    require(phys.contains("PartitionFilters") &&
-        phys.contains("centroid_id"),
-      s"batch ADC scan must prune cell partitions:\n$phys")
+    assertPartitionPruned(phys, "centroid_id", "batch ADC scan")
     df
   }
 
@@ -292,9 +289,8 @@ object Retrieval {
     val df = Ann.searchIvfPqStored(s, dir, "vec_id", "embedding",
       qvecSeq(s, d, 17), Ann.Cosine, probes = 3, k = 10, refine = 5)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") &&
-        phys.contains("centroid_id"),
-      "stored spherical ivf-pq search did not prune cell partitions")
+    assertPartitionPruned(phys, "centroid_id",
+      "stored spherical ivf-pq search")
     df
   }
 
@@ -352,9 +348,7 @@ object Retrieval {
     require(schemas.exists(sc =>
         sc.contains("pq_codes") && !sc.contains("embedding")),
       s"batch ADC phase read the full-precision column:\n$phys")
-    require(phys.contains("PartitionFilters") &&
-        phys.contains("centroid_id"),
-      s"batch ADC scan must prune cell partitions:\n$phys")
+    assertPartitionPruned(phys, "centroid_id", "batch ADC scan")
     df
   }
 
@@ -482,8 +476,7 @@ object Retrieval {
     val df = Bm25.searchBatch(idx, BatchQueries.toDF("qid", "qtext"),
       "qid", "qtext", k = 5)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") && phys.contains("bucket#"),
-      "stored batch bm25 search did not prune bucket partitions")
+    assertPartitionPruned(phys, "bucket", "stored batch bm25 search")
     df
   }
 
@@ -510,14 +503,20 @@ object Retrieval {
     * — the last uncached per-call build in the retrieval family (the
     * round-11 warm-drift audit). Same key discipline as the postings
     * cache: content version, so a rewritten corpus re-derives. */
+  private val MaxCachedVocabs = 4
   private val wpVocabMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
 
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val ver = Bm25.dirVersion(s, s"$d/documents.parquet")
-    val vocab = wpVocabMemo.getOrElseUpdate(
-      s"${graft.core.SessionId.of(s)}|$d|$ver", {
+    val vocab = wpVocabMemo.synchronized { wpVocabMemo.get(
+      s"${graft.core.SessionId.of(s)}|$d|$ver") }.getOrElse {
+      // bounded, oldest-evicted (the Bm25 cache discipline — an
+      // unbounded driver memo is the exact long-lived-session leak
+      // RegistryEvictionSpec exists to pin); plain Seqs, nothing to
+      // unpersist
+      val v = {
         // The oracle replays WordPiece as simple-tokens + 4-char split,
         // which equals REAL WordPiece (BERT basic tokenization + greedy
         // match) only on a punctuation-free lowercase corpus — on
@@ -536,7 +535,14 @@ object Retrieval {
           .flatMap(w =>
             if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
           .distinct
-      })
+      }
+      wpVocabMemo.synchronized {
+        while (wpVocabMemo.size >= MaxCachedVocabs)
+          wpVocabMemo.remove(wpVocabMemo.head._1)
+        wpVocabMemo(s"${graft.core.SessionId.of(s)}|$d|$ver") = v
+      }
+      v
+    }
     val tok = graft.functions.Tokenizers.wordpiece(vocab,
       name = "bert_corpus4")
     val idx = Bm25.buildCached(docs, "doc_id", "text",
@@ -959,8 +965,7 @@ object Retrieval {
     val idx = Bm25.loadStoredPostings(s, dir)
     val df = Bm25.search(idx, "window partition order", 10)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") && phys.contains("bucket#"),
-      "stored bm25 search did not prune bucket partitions")
+    assertPartitionPruned(phys, "bucket", "stored bm25 search")
     df
   }
 
@@ -1060,8 +1065,7 @@ object Retrieval {
     val df = graft.functions.Sparse.searchStored(s, dir,
       emb.embed(SparseQueryText), 10)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") && phys.contains("__b"),
-      "stored sparse search did not prune bucket partitions")
+    assertPartitionPruned(phys, "__b", "stored sparse search")
     df.select(col("id").as("doc_id"), col("score"))
   }
 
@@ -1151,8 +1155,7 @@ object Retrieval {
     val df = graft.functions.Sparse.searchStoredBatch(s, dir, queries,
       "doc_id", "__i", "__v", k = 5)
     val phys = df.queryExecution.executedPlan.toString
-    require(phys.contains("PartitionFilters") && phys.contains("__b"),
-      "stored batch sparse search did not prune bucket partitions")
+    assertPartitionPruned(phys, "__b", "stored batch sparse search")
     df.select(col("qid"), col("id").as("doc_id"), col("score"),
         col("rank"))
       .orderBy("qid", "rank")
@@ -1272,6 +1275,19 @@ object Retrieval {
   /** Cosine distance written as the exact double formula Vec.cosDist uses
     * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
     * by sqrt(n2a*n2b), which differs in the last ulp. */
+  /** Non-vacuous partition-pruning pin: FileSourceScanExec prints
+    * `PartitionFilters: [...]` (possibly `[]`) for EVERY partitioned
+    * scan and the cell column's name appears all over a probe plan, so
+    * two independent substring checks prove nothing — the filter list
+    * ITSELF must reference the partition column. */
+  private[queries] def assertPartitionPruned(phys: String,
+                                             cellCol: String,
+                                             what: String): Unit =
+    require(("""PartitionFilters: \[[^\]]*""" +
+        java.util.regex.Pattern.quote(cellCol)).r
+        .findFirstIn(phys).isDefined,
+      s"$what did not prune $cellCol partitions:\n$phys")
+
   private def cosDistSql(a: String, b: String): String =
     s"""(1 - list_inner_product($a, $b) /
         (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"""
@@ -2190,12 +2206,17 @@ object Retrieval {
             SELECT vec_id, s, list(x ORDER BY pos) AS sv
             FROM esub GROUP BY 1, 2),
           hashed AS (
-            SELECT DISTINCT s, sv,
-                   ('0x' || substring(md5(array_to_string(
-                      list_transform(sv,
-                        x -> CAST(round(x * 1000000) AS BIGINT)),
-                      ',')), 1, 15))::BIGINT AS h
-            FROM sv),
+            -- one row per hash with the deterministic min-by-list
+            -- representative (vectors identical at 1e-6 canonical
+            -- precision merge; the trainer keeps min(vec) per hash)
+            SELECT s, h, min(sv) AS sv FROM (
+              SELECT s, sv,
+                     ('0x' || substring(md5(array_to_string(
+                        list_transform(sv,
+                          x -> CAST(round(x * 1000000) AS BIGINT)),
+                        ',')), 1, 15))::BIGINT AS h
+              FROM sv)
+            GROUP BY 1, 2),
           cent0 AS (
             SELECT s, cid, list_transform(sv, x -> round(x, 5)) AS cent
             FROM (SELECT s, sv,

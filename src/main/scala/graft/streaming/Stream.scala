@@ -253,19 +253,22 @@ object Stream {
     * [[compactStored]](`dir/encoded`, "centroid_id") graduation the
     * root IS a [[graft.ops.Ann.writeIvfPq]] layout:
     * `loadIvfPq`/`searchIvfPqStored`/`attachStoredIndex` work
-    * unchanged. `model` is the RAW (un-normalized) IVF model even for
-    * spherical — normalization happens inside the transform, exactly
-    * as [[graft.ops.Ann.buildIvfPq]] does at build time. */
+    * unchanged. `metric` is [[graft.ops.Ann.buildIvfPq]]'s metric
+    * argument verbatim (cosine ⇒ spherical: normalization happens
+    * inside the transform over the RAW un-normalized `model`, exactly
+    * as the batch build does). */
   def ingestIvfPq(vectors: DataFrame, vecCol: String,
                   pq: graft.ops.Ann.PqModel,
-                  model: graft.ops.Ann.IvfModel, spherical: Boolean,
+                  model: graft.ops.Ann.IvfModel,
+                  metric: graft.ops.Ann.Metric,
                   dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    graft.ops.Ann.ensureIvfPqRoot(spark, dir, pq, model, spherical)
+    graft.ops.Ann.ensureIvfPqRoot(spark, dir, pq, model,
+      spherical = metric == graft.ops.Ann.Cosine)
     val encDir = s"$dir/encoded"
     requireStreamableLayout(spark, encDir)
-    graft.ops.Ann.assignEncodePq(vectors, vecCol, pq, model, spherical)
+    graft.ops.Ann.assignEncodePq(vectors, vecCol, pq, model, metric)
       .writeStream
       .partitionBy(model.idCol)
       .option("checkpointLocation", checkpoint)

@@ -119,7 +119,7 @@ class StreamSpec extends SparkSpecBase {
       .createTempDirectory("graft-stream-pq-ckpt").toString
     val input = MemoryStream[(Long, Seq[Double])]
     val q = Stream.ingestIvfPq(input.toDF().toDF("vec_id", "embedding"),
-      "embedding", idx.pq, model, spherical = false, dir, ckpt)
+      "embedding", idx.pq, model, Ann.L2, dir, ckpt)
     try {
       input.addData((10L, Seq(0.1, 0.2)), (11L, Seq(9.8, 10.1)))
       q.processAllAvailable()
