@@ -915,6 +915,74 @@ object Ann {
       .select(col("__qid").as(qId), col(dId), col("dist"), col("rank"))
   }
 
+  /** Batch IVF+SQ kNN join — the batch query-log replay over the
+    * reference's DEFAULT quantization family (residual 8-bit codes
+    * inside vchordrq cells, spec.py:437-444), [[knnJoinIvfPq]]'s shape
+    * with a FULLY DECLARATIVE phase-1: the broadcast probe relation
+    * carries each query's vector beside its probed cell, so the
+    * asymmetric distance is [[sqDistCols]] over (row codes, per-cell
+    * bounds, per-query vector) — builtin columns only, no UDF, the
+    * whole scan stays in WholeStageCodegen. Phase-1 keeps
+    * top-(k·refine) per query by (qdist, id) with a rank window over
+    * the probed cells' codes; phase-2 joins the survivors' raw vectors
+    * against the broadcast (qid, query) relation for the exact
+    * per-query re-rank — also pure builtins ([[Metric.dist]] on two
+    * columns). Cosine runs spherical (normalized phase-1 over the
+    * spherical index, TRUE-cosine re-rank on raw vectors), exactly
+    * [[buildIvfSq]]'s contract. Returns (qId, dId, dist, rank). */
+  def knnJoinIvfSq(queries: DataFrame, qId: String, qVec: String,
+                   index: IvfSqIndex, dId: String, vecCol: String,
+                   metric: Metric, probes: Int, k: Int, refine: Int = 5,
+                   roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "knnJoinIvfSq over an empty query set")
+    val spherical = metric == Cosine
+    val qPhase1: Array[(Long, Array[Double])] =
+      if (spherical) qRows.map { case (id, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        (id, v.map(_ / n))
+      } else qRows
+    val cents = collectCentroids(index.model)
+    val probeRows = qPhase1.flatMap { case (id, v) =>
+      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
+        .sorted.take(probes)
+        .map { case (_, cid) => (id, cid, v.toSeq) }
+    }.toSeq
+    import spark.implicits._
+    val cellCol = index.model.idCol
+    val probeDf = probeRows.toDF("__qid", cellCol, "__qv")
+    val probedCells = probeRows.map(_._2).distinct
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("__qdist").asc, col(dId).asc)
+    val cand = index.quantized
+      .select(col(dId), col("codes"), col(cellCol))
+      .filter(col(cellCol).isin(probedCells: _*))
+      .join(broadcast(probeDf), Seq(cellCol))
+      .join(broadcast(index.bounds), Seq(cellCol))
+      .withColumn("__qdist", round(
+        sqDistCols(col("__qv"), col("codes"),
+          col("__mins"), col("__maxs")), roundTo))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k * refine)
+      .select(col("__qid"), col(dId))
+    val qRawDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("__qid", "__qraw")
+    val w2 = Window.partitionBy("__qid")
+      .orderBy(col("dist").asc, col(dId).asc)
+    index.quantized.select(col(dId), col(vecCol))
+      .join(broadcast(cand), Seq(dId))
+      .join(broadcast(qRawDf), Seq("__qid"))
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), col("__qraw")), roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qId), col(dId), col("dist"), col("rank"))
+  }
+
   /** Batch maxsim: the top-k docs for EVERY query bag in ONE job — the
     * multivec twin of [[knnJoinIvf]] (dense), `Bm25.searchBatch`
     * (keyword), and `Sparse.invertedTopKBatch` (sparse), completing the

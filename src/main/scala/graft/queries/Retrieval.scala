@@ -253,6 +253,33 @@ object Retrieval {
       Ann.Cosine, probes = 3, k = 10, refine = 5)
   }
 
+  /** r48: batch IVF+SQ kNN join ([[Ann.knnJoinIvfSq]]) — the batch
+    * query-log replay over the reference's DEFAULT quantization
+    * (residual 8-bit codes, spec.py:437-444), with a FULLY DECLARATIVE
+    * phase-1: the broadcast probe relation carries each query's vector,
+    * so the asymmetric distance is pure builtin columns over (codes,
+    * per-cell bounds, per-query vector) — zero UDFs in the whole job
+    * (pinned: no ScalaUDF in the plan, query relations join broadcast,
+    * no cartesian product). Five queries, probes=2, per-query exact
+    * re-rank top-3. */
+  def knnJoinSq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvfSq(queries, "q_id", "qv", index, "vec_id",
+        "embedding", Ann.L2, probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(!phys.contains("ScalaUDF"),
+      s"batch SQ join must stay in codegen (no UDFs):\n$phys")
+    require(phys.contains("BroadcastHashJoin") &&
+        !phys.contains("CartesianProduct"),
+      s"query relations must join broadcast:\n$phys")
+    df
+  }
+
   /** r47: stored delete on a PQ layout — r19's S6 maintenance contract
     * for the PQ family: [[Ann.deleteStored]] stage-and-swaps the
     * affected `encoded/` cell dirs (every vec_id % 7 == 0 removed),
@@ -1227,7 +1254,8 @@ object Retrieval {
     "r44_knn_join_pq_cos" -> knnJoinPqCos,
     "r45_pq_rewrite_cos" -> pqRewriteCos,
     "r46_ivf_pq_cos_stored" -> ivfPqCosStored,
-    "r47_pq_stored_delete" -> pqStoredDelete)
+    "r47_pq_stored_delete" -> pqStoredDelete,
+    "r48_knn_join_sq" -> knnJoinSq)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -2191,6 +2219,82 @@ object Retrieval {
     // r47: deleted rows vanish from the candidate scan; codebooks stay
     // trained on the full corpus (the r19 pattern for PQ).
     "r47_pq_stored_delete" -> ivfPqOracle("c.vec_id % 7 <> 0"),
+    // r48: ivfSqOracle's chain in the r10 batch shape — per-query
+    // probes, per-query asymmetric keep-15, per-query exact re-rank.
+    "r48_knn_join_sq" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          mm AS (
+            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)
+            GROUP BY 1, 2),
+          bounds AS (
+            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                   list(mx ORDER BY pos) AS maxs
+            FROM mm GROUP BY 1),
+          codes AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
+                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM assigned a JOIN bounds b USING (centroid_id)),
+          cand AS (
+            SELECT q_id, vec_id AS d_id FROM (
+              SELECT p.q_id, c.vec_id,
+                row_number() OVER (PARTITION BY p.q_id ORDER BY
+                  round(sqrt(list_sum(list_transform(range(len(c.codes)),
+                    i -> (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                            (b.maxs[i+1] - b.mins[i+1]))) *
+                         (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                            (b.maxs[i+1] - b.mins[i+1])))))), 6) ASC,
+                  c.vec_id ASC) AS rn
+              FROM codes c
+              JOIN bounds b USING (centroid_id)
+              JOIN qprobes p USING (centroid_id)) WHERE rn <= 15),
+          rr AS (
+            SELECT c.q_id, c.d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                     AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.d_id
+            JOIN q ON q.q_id = c.q_id),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM rr)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with
