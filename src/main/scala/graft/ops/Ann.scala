@@ -983,6 +983,76 @@ object Ann {
       .select(col("__qid").as(qId), col(dId), col("dist"), col("rank"))
   }
 
+  /** Batch IVF+1-bit kNN join — completes the quantized batch trio
+    * (PQ [[knnJoinIvfPq]], SQ [[knnJoinIvfSq]], 1-bit here): the
+    * RaBitQ-style sign-bit estimator
+    * `‖qr‖² + rnorm² − 2·rnorm/√D·Σ sign·qr` runs as pure builtin
+    * columns over (bits, rnorm, cell centroid, per-query vector from
+    * the broadcast probe relation) — zero UDFs, the scan stays in
+    * WholeStageCodegen; per-query rank windows keep k·refine, phase-2
+    * re-ranks exactly. `refine <= 0` = auto ([[defaultBitqRefine]]).
+    * Cosine runs spherical per [[buildIvfBitq]]'s contract. */
+  def knnJoinIvfBitq(queries: DataFrame, qId: String, qVec: String,
+                     index: IvfBitIndex, dId: String, vecCol: String,
+                     metric: Metric, probes: Int, k: Int,
+                     refine: Int = -1, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val rf = if (refine > 0) refine else defaultBitqRefine(metric)
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "knnJoinIvfBitq over an empty query set")
+    val spherical = metric == Cosine
+    val qPhase1: Array[(Long, Array[Double])] =
+      if (spherical) qRows.map { case (id, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        (id, v.map(_ / n))
+      } else qRows
+    val cents = collectCentroids(index.model)
+    val probeRows = qPhase1.flatMap { case (id, v) =>
+      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
+        .sorted.take(probes)
+        .map { case (_, cid) => (id, cid, v.toSeq) }
+    }.toSeq
+    import spark.implicits._
+    val cellCol = index.model.idCol
+    val probeDf = probeRows.toDF("__qid", cellCol, "__qv")
+    val probedCells = probeRows.map(_._2).distinct
+    val qv = col("__qv")
+    val centCol = col(index.model.vecCol)
+    val qr = zip_with(qv, centCol, (a, b) => a - b)
+    val qr2 = aggregate(transform(qr, x => x * x), lit(0.0), (a, x) => a + x)
+    val dot = aggregate(
+      zip_with(col("bits"), qr, (b, x) => (b * 2 - 1).cast("double") * x),
+      lit(0.0), (a, x) => a + x)
+    val est = qr2 + col("rnorm") * col("rnorm") -
+      lit(2.0) * col("rnorm") / sqrt(size(col("bits")).cast("double")) * dot
+    val w1 = Window.partitionBy("__qid")
+      .orderBy(col("__qdist").asc, col(dId).asc)
+    val cand = index.quantized
+      .select(col(dId), col("bits"), col("rnorm"), col(cellCol))
+      .filter(col(cellCol).isin(probedCells: _*))
+      .join(broadcast(probeDf), Seq(cellCol))
+      .join(broadcast(index.model.centroids), Seq(cellCol))
+      .withColumn("__qdist", round(est, roundTo))
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k * rf)
+      .select(col("__qid"), col(dId))
+    val qRawDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("__qid", "__qraw")
+    val w2 = Window.partitionBy("__qid")
+      .orderBy(col("dist").asc, col(dId).asc)
+    index.quantized.select(col(dId), col(vecCol))
+      .join(broadcast(cand), Seq(dId))
+      .join(broadcast(qRawDf), Seq("__qid"))
+      .withColumn("dist", round(metric.dist(
+        col(vecCol).cast("array<double>"), col("__qraw")), roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qId), col(dId), col("dist"), col("rank"))
+  }
+
   /** Batch maxsim: the top-k docs for EVERY query bag in ONE job — the
     * multivec twin of [[knnJoinIvf]] (dense), `Bm25.searchBatch`
     * (keyword), and `Sparse.invertedTopKBatch` (sparse), completing the

@@ -280,6 +280,29 @@ object Retrieval {
     df
   }
 
+  /** r49: batch IVF+1-bit kNN join ([[Ann.knnJoinIvfBitq]]) —
+    * completes the QUANTIZED batch trio (PQ r41/r44, SQ r48): the
+    * sign-bit residual estimator over (bits, rnorm, cell centroid,
+    * per-query vector) as pure builtin columns — zero UDFs (pinned),
+    * per-query keep-15, exact re-rank top-3. */
+  def knnJoinBitq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvfBitq(queries, "q_id", "qv", index, "vec_id",
+        "embedding", Ann.L2, probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(!phys.contains("ScalaUDF"),
+      s"batch 1-bit join must stay in codegen (no UDFs):\n$phys")
+    require(phys.contains("BroadcastHashJoin") &&
+        !phys.contains("CartesianProduct"),
+      s"query relations must join broadcast:\n$phys")
+    df
+  }
+
   /** r47: stored delete on a PQ layout — r19's S6 maintenance contract
     * for the PQ family: [[Ann.deleteStored]] stage-and-swaps the
     * affected `encoded/` cell dirs (every vec_id % 7 == 0 removed),
@@ -1255,7 +1278,8 @@ object Retrieval {
     "r45_pq_rewrite_cos" -> pqRewriteCos,
     "r46_ivf_pq_cos_stored" -> ivfPqCosStored,
     "r47_pq_stored_delete" -> pqStoredDelete,
-    "r48_knn_join_sq" -> knnJoinSq)
+    "r48_knn_join_sq" -> knnJoinSq,
+    "r49_knn_join_bitq" -> knnJoinBitq)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -2219,6 +2243,76 @@ object Retrieval {
     // r47: deleted rows vanish from the candidate scan; codebooks stay
     // trained on the full corpus (the r19 pattern for PQ).
     "r47_pq_stored_delete" -> ivfPqOracle("c.vec_id % 7 <> 0"),
+    // r49: r14's sign-bit estimator chain in the r10 batch shape —
+    // per-query probes, per-query estimator keep-15, exact re-rank.
+    "r49_knn_join_bitq" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          bitq AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN a.embedding[i+1]::DOUBLE - c.centroid[i+1] > 0
+                  THEN 1 ELSE 0 END) AS bits,
+              round(sqrt(list_sum(list_transform(range(len(a.embedding)),
+                i -> (a.embedding[i+1]::DOUBLE - c.centroid[i+1]) *
+                     (a.embedding[i+1]::DOUBLE - c.centroid[i+1])))), 6)
+                AS rnorm
+            FROM assigned a JOIN cents c USING (centroid_id)),
+          cand AS (
+            SELECT q_id, vec_id AS d_id FROM (
+              SELECT p.q_id, b.vec_id,
+                row_number() OVER (PARTITION BY p.q_id ORDER BY
+                  round(
+                    list_sum(list_transform(range(len(b.bits)), i ->
+                      (p.qv[i+1] - c.centroid[i+1]) *
+                      (p.qv[i+1] - c.centroid[i+1])))
+                    + b.rnorm * b.rnorm
+                    - 2.0 * b.rnorm / sqrt(len(b.bits)) *
+                      list_sum(list_transform(range(len(b.bits)), i ->
+                        (b.bits[i+1] * 2 - 1) *
+                        (p.qv[i+1] - c.centroid[i+1]))),
+                    6) ASC, b.vec_id ASC) AS rn
+              FROM bitq b
+              JOIN cents c USING (centroid_id)
+              JOIN qprobes p USING (centroid_id)) WHERE rn <= 15),
+          rr AS (
+            SELECT c.q_id, c.d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                     AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.d_id
+            JOIN q ON q.q_id = c.q_id),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM rr)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
     // r48: ivfSqOracle's chain in the r10 batch shape — per-query
     // probes, per-query asymmetric keep-15, per-query exact re-rank.
     "r48_knn_join_sq" ->

@@ -553,6 +553,35 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("knnJoinIvfBitq replays per-query searchIvfBitq in one job, " +
+      "both metrics") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val qids = Seq(3L, 17L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qvecs = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .toMap
+    Seq(Ann.L2: Ann.Metric, Ann.Cosine).foreach { metric =>
+      val index = Ann.buildIvfBitq(e, "embedding", model, metric)
+      val got = Ann.knnJoinIvfBitq(queries, "q_id", "qv", index,
+          "vec_id", "embedding", metric, probes = 2, k = 3, refine = 8)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2)).toMap
+      qids.foreach { qid =>
+        val single = Ann.searchIvfBitq(index, "vec_id", "embedding",
+            typedlit(qvecs(qid)), metric, probes = 2, k = 3, refine = 8)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got(qid).sameElements(single),
+          s"$metric query $qid: batch ${got(qid).toSeq} vs " +
+            s"single ${single.toSeq}")
+      }
+    }
+  }
+
   test("ivf+sq: all-probe search with generous refine equals exact topK; " +
       "per-cell bounds nest inside global bounds") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
