@@ -280,6 +280,37 @@ object Retrieval {
     df
   }
 
+  /** r50: r48 with the SQ index AT REST ([[Ann.writeIvfSq]] →
+    * [[Ann.loadIvfSq]] → [[Ann.knnJoinIvfSq]]) — the at-rest batch
+    * story for the quantized family: the batch's probed-cell union
+    * plants literal PartitionFilters on the cell-partitioned layout
+    * AND phase-1 reads (id, packed codes) ONLY — the full-precision
+    * vector column never loads during the asymmetric scan (both
+    * pinned). Results byte-identical to r48 (packCodes/unpackCodes is
+    * lossless; pruning changes IO, never results — shared oracle). */
+  def knnJoinSqStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knnsq_store").toString
+    Ann.writeIvfSq(index, dir)
+    val stored = Ann.loadIvfSq(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvfSq(queries, "q_id", "qv", stored, "vec_id",
+        "embedding", Ann.L2, probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    val phys = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(phys).map(_.group(1)).toSeq
+    require(schemas.exists(sc =>
+        sc.contains("codes") && !sc.contains("embedding")),
+      s"batch asymmetric phase read the full-precision column:\n$phys")
+    assertPartitionPruned(phys, "centroid_id", "stored batch SQ join")
+    df
+  }
+
   /** r49: batch IVF+1-bit kNN join ([[Ann.knnJoinIvfBitq]]) —
     * completes the QUANTIZED batch trio (PQ r41/r44, SQ r48): the
     * sign-bit residual estimator over (bits, rnorm, cell centroid,
@@ -1279,7 +1310,8 @@ object Retrieval {
     "r46_ivf_pq_cos_stored" -> ivfPqCosStored,
     "r47_pq_stored_delete" -> pqStoredDelete,
     "r48_knn_join_sq" -> knnJoinSq,
-    "r49_knn_join_bitq" -> knnJoinBitq)
+    "r49_knn_join_bitq" -> knnJoinBitq,
+    "r50_knn_join_sq_stored" -> knnJoinSqStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1905,6 +1937,81 @@ object Retrieval {
           SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 3"""
 
+  private val KnnJoinSqOracleSql: String =
+    s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          mm AS (
+            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)
+            GROUP BY 1, 2),
+          bounds AS (
+            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                   list(mx ORDER BY pos) AS maxs
+            FROM mm GROUP BY 1),
+          codes AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
+                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM assigned a JOIN bounds b USING (centroid_id)),
+          cand AS (
+            SELECT q_id, vec_id AS d_id FROM (
+              SELECT p.q_id, c.vec_id,
+                row_number() OVER (PARTITION BY p.q_id ORDER BY
+                  round(sqrt(list_sum(list_transform(range(len(c.codes)),
+                    i -> (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                            (b.maxs[i+1] - b.mins[i+1]))) *
+                         (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                            (b.maxs[i+1] - b.mins[i+1])))))), 6) ASC,
+                  c.vec_id ASC) AS rn
+              FROM codes c
+              JOIN bounds b USING (centroid_id)
+              JOIN qprobes p USING (centroid_id)) WHERE rn <= 15),
+          rr AS (
+            SELECT c.q_id, c.d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                     AS dist
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.d_id
+            JOIN q ON q.q_id = c.q_id),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM rr)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3"""
+
   private val KnnJoinIvfOracleSql: String =
     s"""WITH dims AS (
             SELECT CAST(label AS BIGINT) AS centroid_id, pos,
@@ -2315,80 +2422,10 @@ object Retrieval {
           FROM r WHERE rank <= 3""",
     // r48: ivfSqOracle's chain in the r10 batch shape — per-query
     // probes, per-query asymmetric keep-15, per-query exact re-rank.
-    "r48_knn_join_sq" ->
-      s"""WITH dims AS (
-            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT label, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[],
-                                              c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5),
-          qprobes AS (
-            SELECT q_id, qv, centroid_id FROM (
-              SELECT q.q_id, q.qv, c.centroid_id,
-                     row_number() OVER (PARTITION BY q.q_id
-                       ORDER BY list_distance(c.centroid, q.qv) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM q CROSS JOIN cents c) WHERE rn <= 2),
-          mm AS (
-            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
-            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM assigned)
-            GROUP BY 1, 2),
-          bounds AS (
-            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
-                   list(mx ORDER BY pos) AS maxs
-            FROM mm GROUP BY 1),
-          codes AS (
-            SELECT a.vec_id, a.centroid_id,
-              list_transform(range(len(a.embedding)), i ->
-                CASE WHEN b.maxs[i+1] > b.mins[i+1]
-                  THEN CAST(least(greatest(round(
-                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
-                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
-                    AS INTEGER)
-                  ELSE 0 END) AS codes
-            FROM assigned a JOIN bounds b USING (centroid_id)),
-          cand AS (
-            SELECT q_id, vec_id AS d_id FROM (
-              SELECT p.q_id, c.vec_id,
-                row_number() OVER (PARTITION BY p.q_id ORDER BY
-                  round(sqrt(list_sum(list_transform(range(len(c.codes)),
-                    i -> (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
-                            (b.maxs[i+1] - b.mins[i+1]))) *
-                         (p.qv[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
-                            (b.maxs[i+1] - b.mins[i+1])))))), 6) ASC,
-                  c.vec_id ASC) AS rn
-              FROM codes c
-              JOIN bounds b USING (centroid_id)
-              JOIN qprobes p USING (centroid_id)) WHERE rn <= 15),
-          rr AS (
-            SELECT c.q_id, c.d_id,
-                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
-                     AS dist
-            FROM cand c
-            JOIN embeddings e ON e.vec_id = c.d_id
-            JOIN q ON q.q_id = c.q_id),
-          r AS (SELECT q_id, d_id, dist,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY dist ASC, d_id ASC) AS rank
-                FROM rr)
-          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
-          FROM r WHERE rank <= 3""",
+    "r48_knn_join_sq" -> KnnJoinSqOracleSql,
+    // r50: the stored layout is lossless (packCodes/unpackCodes) and
+    // pruning cannot change scores - shared oracle with r48.
+    "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with
