@@ -433,15 +433,28 @@ object Ann {
 
   /** IVF search over a [[writePartitioned]] table: the `isin(probes)`
     * filter prunes whole partition directories (verify via
-    * `PartitionFilters` in the scan plan). */
+    * `PartitionFilters` in the scan plan).
+    *
+    * `pred` is an optional metadata predicate (filtered vector search —
+    * the WHERE clause the reference's `query_vec` lacks but any corpus-
+    * curation query needs, e.g. `lang = 'en' AND source = 'web'`). It is
+    * applied to the SAME pruned scan, so a plain column comparison
+    * reaches parquet as a `PushedFilters` entry: at 100 TB the scan
+    * reads only probed cell DIRECTORIES (partition pruning) and within
+    * them skips row groups whose min/max exclude the predicate — the
+    * two prunings compose multiplicatively. Selective predicates thin
+    * each probed cell, not the cell count; callers compensate with a
+    * higher `probes`, exactly like the reference's `probe` knob. */
   def searchIvfStored(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String, vecCol: String,
                       model: IvfModel, queryVec: Column, metric: Metric,
-                      probes: Int, k: Int, roundTo: Int = 6): DataFrame = {
+                      probes: Int, k: Int, roundTo: Int = 6,
+                      pred: Column = lit(true)): DataFrame = {
     val cells = probeCells(model, queryVec, metric, probes)
       .collect().map(_.getLong(0))
     val pruned = spark.read.parquet(path)
       .filter(col(model.idCol).isin(cells: _*))
+      .filter(pred)
     topK(pruned, idCol, vecCol, queryVec, metric, k, roundTo)
   }
 

@@ -1261,6 +1261,59 @@ object Retrieval {
       .select(col("id"), col("rank"))
   }
 
+  /** r51: FILTERED exact vector search — top-k under a metadata
+    * predicate, the WHERE clause the reference's `query_vec`
+    * (client.py:294-321) does not take but every corpus-curation query
+    * needs ("nearest English web documents", not "nearest rows"). The
+    * Spark form is the declarative composition `filter(pred)` →
+    * [[Ann.topK]]; the 100 TB property is that the predicate reaches
+    * the parquet scan as a `PushedFilters` entry (row-group min/max
+    * skipping BEFORE any vector is materialized), pinned in-query —
+    * the filter runs in the scan, not after it. */
+  def annFilteredTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val df = Ann.topK(e.filter(col("label").isin(1, 3, 5)),
+        "vec_id", "embedding", qvec(s, d, 0), Ann.L2, 10)
+      .select("vec_id", "dist")
+    val phys = df.queryExecution.executedPlan.toString
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"filtered top-k did not push the label predicate to parquet:\n$phys")
+    df
+  }
+
+  /** r52: filtered IVF search AT REST — [[Ann.searchIvfStored]] with
+    * `pred`: the index is built over the WHOLE corpus (cells =
+    * vec_id % 8, deliberately independent of the filter column so the
+    * predicate cannot degenerate into partition pruning), the layout is
+    * cell-partitioned on disk, and the query composes BOTH prunings on
+    * ONE scan: probed cells prune whole directories
+    * (`PartitionFilters` on centroid_id) while the label predicate
+    * prunes row groups inside them (`PushedFilters`) — pinned
+    * together in-query. Filtering thins probed cells rather than
+    * re-scanning the corpus; a selective predicate is compensated by
+    * `probes`, the same knob the reference exposes per query
+    * (client.py:285-292). */
+  def annIvfFilteredStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cells = e.withColumn("__cell", pmod(col("vec_id"), lit(8)))
+    val model = Ann.buildIvf(cells, "__cell", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fann_store").toString
+    Ann.writePartitioned(assigned, dir)
+    val df = Ann.searchIvfStored(s, dir, "vec_id", "embedding", model,
+        qvec(s, d, 11), Ann.L2, probes = 3, k = 10,
+        pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "filtered stored IVF")
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"filtered stored IVF did not push the label predicate:\n$phys")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
@@ -1311,7 +1364,9 @@ object Retrieval {
     "r47_pq_stored_delete" -> pqStoredDelete,
     "r48_knn_join_sq" -> knnJoinSq,
     "r49_knn_join_bitq" -> knnJoinBitq,
-    "r50_knn_join_sq_stored" -> knnJoinSqStored)
+    "r50_knn_join_sq_stored" -> knnJoinSqStored,
+    "r51_ann_filtered" -> annFilteredTopk,
+    "r52_ann_ivf_filtered_stored" -> annIvfFilteredStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -2426,6 +2481,47 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r51: filtered exact top-k — the predicate composes with the
+    // ordering; pushdown (the thing the gate pins) is plan-shape, not
+    // semantics, so the oracle is the plain filtered scan.
+    "r51_ann_filtered" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r52: filtered stored IVF from first principles — cells are
+    // vec_id % 8 means (round 5), assignment argmin with (dist, cid)
+    // ties, 3 probed cells, and the label predicate applied WITHIN the
+    // probed cells (index built over the whole corpus; the filter
+    // thins candidates, never re-ranks them).
+    "r52_ann_ivf_filtered_stored" ->
+      s"""WITH dims AS (
+            SELECT CAST(vec_id % 8 AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, label, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY list_distance(centroid, $qv11) ASC, centroid_id ASC
+            LIMIT 3)
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv11), 6) AS dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          WHERE a.label IN (1, 3, 5)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with

@@ -1114,4 +1114,44 @@ class OpsSpec extends SparkSpecBase {
     assert(fp(1L).intersect(fp(2L)).size >= 3)
     assert(fp(1L).intersect(fp(3L)).isEmpty)
   }
+
+  test("filtered stored IVF: pred composes with probe pruning; equals " +
+      "filter-then-exact within probed cells; all-probe equals filtered topK") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(31)
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rng.nextDouble() - 0.5), if (i % 3 == 0) "en" else "de")
+    }.toDF("id", "vec", "lang")
+    val cells = docs.withColumn("__cell", pmod(col("id"), lit(4)))
+    val model = Ann.buildIvf(cells, "__cell", "vec")
+    val assigned = Ann.assign(docs, "vec", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fivf_test").toString
+    Ann.writePartitioned(assigned, dir)
+    val q = typedlit(Seq.fill(8)(0.1))
+    val got = Ann.searchIvfStored(sp, dir, "id", "vec", model, q,
+        Ann.L2, probes = 2, k = 5, pred = col("lang") === "en")
+      .select("id", "dist").as[(Long, Double)].collect().toSeq
+    // reference: probe the same 2 cells on the in-memory assigned table,
+    // filter, exact top-k
+    val probed = Ann.probeCells(model, q, Ann.L2, 2)
+      .collect().map(_.getLong(0)).toSet
+    val want = Ann.topK(
+        assigned.filter(col("centroid_id").isin(probed.toSeq: _*))
+          .filter(col("lang") === "en"),
+        "id", "vec", q, Ann.L2, 5)
+      .select("id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.forall { case (id, _) => id % 3 == 0 })
+    // probing every cell makes the stored path exactly the filtered
+    // brute-force top-k (pruning can only drop, never re-rank)
+    val gotAll = Ann.searchIvfStored(sp, dir, "id", "vec", model, q,
+        Ann.L2, probes = 4, k = 5, pred = col("lang") === "en")
+      .select("id", "dist").as[(Long, Double)].collect().toSeq
+    val wantAll = Ann.topK(docs.filter(col("lang") === "en"),
+        "id", "vec", q, Ann.L2, 5)
+      .select("id", "dist").as[(Long, Double)].collect().toSeq
+    assert(gotAll === wantAll)
+  }
 }
