@@ -316,7 +316,23 @@ object DataOps {
     TextAnalysis.repetitionStats(docsPar(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** p22: embedding-space domain discovery ([[graft.ops.Domains
+    * .domainMixTable]]) — documents clustered into 4 domains by the
+    * PRODUCTION KMeans trainer (portable-md5 seed draw + 2 Lloyd
+    * iterations, the r42-oracled machinery on FULL vectors), then
+    * tabulated against the declared `lang` stratum with doc counts
+    * and mean length: the mixing table a DoReMi-style sampler feeds
+    * on. The oracle replays the whole trainer first-principles in
+    * SQL — seeds, both iterations, final assignment — then the join
+    * and aggregation. */
+  def domainClusters(s: SparkSession, d: String): DataFrame =
+    graft.ops.Domains.domainMixTable(
+      documents(s, d), "doc_id",
+      embeddings(s, d), "vec_id", "embedding",
+      "lang", col("n_chars"), k = 4, iters = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_domain_clusters" -> domainClusters,
     "p21_length_outliers" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(documents(s, d), "lang", "n_chars")),
     "p19_repetition" -> repetition,
@@ -378,6 +394,71 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // p22: the full KMeans trainer replayed first-principles (the r42
+    // recipe on FULL vectors): portable-md5 hash per canonical vector
+    // (×1e6, HALF_UP BIGINT, comma-joined, first 15 hex chars), one
+    // deterministic min-by-list representative per hash, seeds = the 4
+    // smallest hashes in rank order (cid 0..3), two Lloyd iterations
+    // (argmin with (dist, cid) ties; per-pos mean rounded to 5), final
+    // assignment under the trained centroids, then the mixing table:
+    // doc counts + round(avg(n_chars), 4) per (domain, lang).
+    "p22_domain_clusters" ->
+      """WITH ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          epos AS (
+            SELECT vec_id, unnest(v) AS x,
+                   unnest(range(len(v))) AS pos
+            FROM ev),
+          hashed AS (
+            SELECT h, min(v) AS v FROM (
+              SELECT v,
+                     ('0x' || substring(md5(array_to_string(
+                        list_transform(v,
+                          x -> CAST(round(x * 1000000) AS BIGINT)),
+                        ',')), 1, 15))::BIGINT AS h
+              FROM ev)
+            GROUP BY 1),
+          cent0 AS (
+            SELECT cid, list_transform(v, x -> round(x, 5)) AS cent
+            FROM (SELECT v, row_number() OVER (ORDER BY h ASC) - 1 AS cid
+                  FROM hashed) WHERE cid < 4),
+          asg1 AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cent) ASC,
+                                c.cid ASC) AS rn
+              FROM ev e CROSS JOIN cent0 c) WHERE rn = 1),
+          cent1 AS (
+            SELECT cid, list(c ORDER BY pos) AS cent FROM (
+              SELECT a.cid, e.pos, round(avg(e.x), 5) AS c
+              FROM epos e JOIN asg1 a USING (vec_id)
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          asg2 AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cent) ASC,
+                                c.cid ASC) AS rn
+              FROM ev e CROSS JOIN cent1 c) WHERE rn = 1),
+          cent2 AS (
+            SELECT cid, list(c ORDER BY pos) AS cent FROM (
+              SELECT a.cid, e.pos, round(avg(e.x), 5) AS c
+              FROM epos e JOIN asg2 a USING (vec_id)
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          asg3 AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cent) ASC,
+                                c.cid ASC) AS rn
+              FROM ev e CROSS JOIN cent2 c) WHERE rn = 1)
+          SELECT a.cid AS domain, d.lang, count(*) AS n,
+                 round(avg(d.n_chars), 4) AS avg_weight
+          FROM asg3 a JOIN documents d ON d.doc_id = a.vec_id
+          GROUP BY 1, 2""",
     "p21_length_outliers" ->
       // quantile_cont == Spark's exact interpolated percentile; kept =
       // rows at or under the rounded p99 bound, per stratum. Joins are

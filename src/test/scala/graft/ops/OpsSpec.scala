@@ -1115,6 +1115,30 @@ class OpsSpec extends SparkSpecBase {
     assert(fp(1L).intersect(fp(3L)).isEmpty)
   }
 
+  test("domainMixTable: partitions the corpus (counts sum to N), " +
+      "domains in [0,k), and reruns are identical") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    // two well-separated blobs so the 2 Lloyd iterations converge
+    val embs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 5.0
+      (i, Seq.fill(4)(base + rng.nextDouble() * 0.1))
+    }.toDF("id", "vec")
+    val docs = (0L until 40L)
+      .map(i => (i, if (i < 20) "en" else "de", 100L + i))
+      .toDF("id", "lang", "n_chars")
+    def run() = Domains.domainMixTable(docs, "id", embs, "id", "vec",
+        "lang", col("n_chars"), k = 2, iters = 2)
+      .as[(Long, String, Long, Double)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    val a = run()
+    assert(a.map(_._3).sum === 40L)
+    assert(a.forall(t => t._1 >= 0 && t._1 < 2))
+    assert(a.map(_._1).distinct.size === 2) // both blobs found
+    assert(a === run())
+  }
+
   test("filtered stored IVF: pred composes with probe pruning; equals " +
       "filter-then-exact within probed cells; all-probe equals filtered topK") {
     val sp = spark
