@@ -168,6 +168,44 @@ object TextAnalysis {
       .na.fill(0.0, Seq("top_bigram_frac"))
   }
 
+  /** CCNet-style language-model quality score: per-document mean
+    * negative log-likelihood under a bigram MLE model TRAINED ON THE
+    * CORPUS ITSELF — loss(doc) = mean over its bigrams (w1,w2) of
+    * −ln( c(w1,w2) / c(w1·) ), counts over all corpus bigram
+    * positions. High loss = text whose word transitions the corpus
+    * finds surprising (boilerplate, garbled extraction, wrong-language
+    * fragments) — the ranking CCNet's KenLM perplexity head/middle/
+    * tail split is built on, with the model portable enough that any
+    * engine replays scores bit-for-bit (no smoothing needed: every
+    * doc bigram occurs in its own training counts, so c2 ≥ 1).
+    * Documents with < 2 tokens have no bigrams and are excluded.
+    *
+    * Scale shape: the bigram relation is ~token-count rows, map-only
+    * from the scan; both count tables are map-side-combinable
+    * groupBys; the score joins are keyed by term — Zipf-hot w1 keys
+    * ("the") fan out but arrive pre-combined (one row per distinct
+    * bigram), so the join input is vocabulary-sized, not corpus-
+    * sized. One final per-doc mean. Returns (doc_id, lm_loss). */
+  def lmLogLoss(docs: DataFrame, idCol: String, textCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Bm25.tokenize(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val pairs = toks
+      .withColumn("__w1s", slice(col("__t"), lit(1), size(col("__t")) - 1))
+      .withColumn("__w2s", expr("slice(__t, 2, size(__t) - 1)"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("__w1s"), col("__w2s"))).as("bg"))
+      .select(col("doc_id"), col("bg.__w1s").as("w1"),
+        col("bg.__w2s").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("c1")) - log(col("c2"))), roundTo)
+        .as("lm_loss"))
+  }
+
   /** Per-stratum length quantiles + outlier strip — the curation step
     * that drops pathological-length documents per stratum (language,
     * source): fixed global bounds (C4/Gopher style) misfit strata whose

@@ -331,7 +331,18 @@ object DataOps {
       embeddings(s, d), "vec_id", "embedding",
       "lang", col("n_chars"), k = 4, iters = 2)
 
+  /** p23: LM-perplexity quality filter ([[TextAnalysis.lmLogLoss]]) —
+    * the 20 documents whose word transitions the corpus-trained bigram
+    * model finds most surprising (the tail a CCNet-style split drops),
+    * ties by doc_id. Full model faces the oracle: corpus bigram
+    * counts, conditional MLE, per-doc mean NLL. */
+  def lmQualityTail(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmLogLoss(documents(s, d), "doc_id", "text")
+      .orderBy(col("lm_loss").desc, col("doc_id").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_lm_quality" -> lmQualityTail,
     "p22_domain_clusters" -> domainClusters,
     "p21_length_outliers" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(documents(s, d), "lang", "n_chars")),
@@ -394,6 +405,27 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // p23: the bigram LM from first principles — corpus bigram counts
+    // (1-based list indexing over 0-based range), conditional MLE
+    // -ln(c2/c1) per doc bigram, per-doc mean rounded to 6, worst 20.
+    "p23_lm_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks,
+                         unnest(range(len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+          ds AS (
+            SELECT b.doc_id,
+                   round(avg(ln(c1.c1) - ln(c2.c2)), 6) AS lm_loss
+            FROM bg b
+            JOIN c2 USING (w1, w2)
+            JOIN c1 USING (w1)
+            GROUP BY 1)
+          SELECT doc_id, lm_loss FROM ds
+          ORDER BY lm_loss DESC, doc_id ASC LIMIT 20""",
     // p22: the full KMeans trainer replayed first-principles (the r42
     // recipe on FULL vectors): portable-md5 hash per canonical vector
     // (×1e6, HALF_UP BIGINT, comma-joined, first 15 hex chars), one

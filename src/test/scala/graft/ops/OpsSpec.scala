@@ -1115,6 +1115,22 @@ class OpsSpec extends SparkSpecBase {
     assert(fp(1L).intersect(fp(3L)).isEmpty)
   }
 
+  test("lmLogLoss matches hand-computed bigram MLE; short docs excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "solo"),
+        (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmLogLoss(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // c2: (a,b)=2 (b,c)=1 (a,c)=1 ; c1: a=3 b=1
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(got === Map(
+      1L -> r6((math.log(3.0 / 2) + 0.0) / 2),
+      2L -> r6(math.log(3.0 / 2)),
+      3L -> r6(math.log(3.0))))
+  }
+
   test("domainMixTable: partitions the corpus (counts sum to N), " +
       "domains in [0,k), and reruns are identical") {
     val sp = spark
