@@ -1314,6 +1314,48 @@ object Retrieval {
     df
   }
 
+  /** r53: the DECLARATIVE form of r52 — a plain
+    * `filter(pred).orderBy(l2Dist).limit(10)` over the stored layout,
+    * with the probe pruning injected by [[graft.plans.AnnTopKRule]].
+    * The k-limited (quantized/maxsim/bm25/sparse) rewrites bail out
+    * under a user Filter by design (candidate budgets are computed
+    * over the unfiltered corpus — a selective predicate would starve
+    * them); the probe-filter rewrite COMPOSES instead: it prunes
+    * cells, never truncates to a candidate count, so the user's
+    * predicate and the injected probe filter land on ONE scan as
+    * PushedFilters and PartitionFilters respectively — both pinned
+    * in-query. Same model geometry, query and predicate as r52:
+    * shared oracle, so the rewrite must reproduce the explicit
+    * operator bit-for-bit. */
+  def annRewriteFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cells = e.withColumn("__cell", pmod(col("vec_id"), lit(8)))
+    val model = Ann.buildIvf(cells, "__cell", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fann_rw").toString
+    Ann.writePartitioned(assigned, path)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      val df = s.read.parquet(path)
+        .filter(col("label").isin(1, 3, 5))
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), qvec(s, d, 11)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      val phys = df.queryExecution.executedPlan.toString
+      assertPartitionPruned(phys, "centroid_id",
+        "declarative filtered IVF")
+      require("""PushedFilters: \[[^\]]*In\(label""".r
+          .findFirstIn(phys).isDefined,
+        s"declarative filtered IVF did not push the label predicate:\n$phys")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregister("embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
@@ -1366,7 +1408,8 @@ object Retrieval {
     "r49_knn_join_bitq" -> knnJoinBitq,
     "r50_knn_join_sq_stored" -> knnJoinSqStored,
     "r51_ann_filtered" -> annFilteredTopk,
-    "r52_ann_ivf_filtered_stored" -> annIvfFilteredStored)
+    "r52_ann_ivf_filtered_stored" -> annIvfFilteredStored,
+    "r53_ann_rewrite_filtered" -> annRewriteFiltered)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -1410,6 +1453,40 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11)"
   private val qv13 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 13)"
+
+  /** Filtered stored IVF from first principles — cells are vec_id % 8
+    * means (round 5), assignment argmin with (dist, cid) ties, 3 probed
+    * cells, the label predicate applied WITHIN the probed cells (index
+    * built over the whole corpus; the filter thins candidates, never
+    * re-ranks them). Shared by r52 (explicit operator) and r53 (the
+    * declarative plan the optimizer rewrite produces). */
+  private val FilteredIvfOracleSql =
+    s"""WITH dims AS (
+          SELECT CAST(vec_id % 8 AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        assigned AS (
+          SELECT vec_id, embedding, label, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        probes AS (
+          SELECT centroid_id FROM cents
+          ORDER BY list_distance(centroid, $qv11) ASC, centroid_id ASC
+          LIMIT 3)
+        SELECT a.vec_id,
+               round(list_distance(a.embedding::DOUBLE[], $qv11), 6) AS dist
+        FROM assigned a JOIN probes USING (centroid_id)
+        WHERE a.label IN (1, 3, 5)
+        ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   /** Cosine distance written as the exact double formula Vec.cosDist uses
     * (1 - dot/(sqrt(n2a)*sqrt(n2b))) — list_cosine_similarity may divide
@@ -2495,33 +2572,13 @@ object Retrieval {
     // ties, 3 probed cells, and the label predicate applied WITHIN the
     // probed cells (index built over the whole corpus; the filter
     // thins candidates, never re-ranks them).
-    "r52_ann_ivf_filtered_stored" ->
-      s"""WITH dims AS (
-            SELECT CAST(vec_id % 8 AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT vec_id, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, label, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          probes AS (
-            SELECT centroid_id FROM cents
-            ORDER BY list_distance(centroid, $qv11) ASC, centroid_id ASC
-            LIMIT 3)
-          SELECT a.vec_id,
-                 round(list_distance(a.embedding::DOUBLE[], $qv11), 6) AS dist
-          FROM assigned a JOIN probes USING (centroid_id)
-          WHERE a.label IN (1, 3, 5)
-          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r52_ann_ivf_filtered_stored" -> FilteredIvfOracleSql,
+    // r53 runs the DECLARATIVE plan over the registered index with
+    // r52's exact parameters — probe pruning is injected by the
+    // optimizer and composes with the user predicate, so the rewrite
+    // must reproduce the explicit operator bit-for-bit (shared
+    // oracle, the r12/r16 pattern).
+    "r53_ann_rewrite_filtered" -> FilteredIvfOracleSql,
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with

@@ -556,4 +556,56 @@ class AnnRewriteSpec extends SparkSpecBase {
       assert(!physical.contains("PartitionFilters: [centroid_id"))
     } finally AnnIndex.unregister("embedding")
   }
+
+  test("probe rewrite composes with a user filter (both prunings on one " +
+      "scan); k-limited quantized rewrite bails out under a filter") {
+    val (e, model, dir) = setup()
+    // plain IVF registration: filter + orderBy + limit → probe filter
+    // injected ON TOP of the user predicate, result equals the explicit
+    // filtered stored search
+    AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      val df = spark.read.parquet(dir)
+        .filter(col("vec_id") >= 100)
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters: [centroid_id"),
+        s"probe pruning missing under user filter:\n$phys")
+      assert("""PushedFilters: \[[^\]]*GreaterThanOrEqual\(vec_id"""
+          .r.findFirstIn(phys).isDefined,
+        s"user predicate not pushed:\n$phys")
+      val viaOp = Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(q64), Ann.L2, probes = 3, k = 5,
+        pred = col("vec_id") >= 100)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === viaOp)
+    } finally AnnIndex.unregister("embedding")
+    // quantized (k-limited) registration: a user filter must DISABLE
+    // the candidate injection (budgets are unfiltered-corpus-sized) and
+    // the untouched exact plan must return the true filtered top-k
+    val idx = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    AnnIndex.registerQuantized("embedding", "vec_id", idx, Ann.L2,
+      probes = 3, refine = 5)
+    try {
+      val df = e.filter(col("vec_id") >= 100)
+        .withColumn("dist", round(
+          org.apache.spark.sql.graft.VecExprs.l2Dist(col("embedding"),
+            typedlit(q64)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(5)
+        .select("vec_id", "dist")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("LeftSemi"),
+        s"quantized rewrite must bail out under a user filter:\n$optimized")
+      val exact = Ann.topK(e.filter(col("vec_id") >= 100), "vec_id",
+          "embedding", typedlit(q64), Ann.L2, 5)
+        .select("vec_id", "dist").collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === exact)
+    } finally AnnIndex.unregisterQuantized("embedding")
+  }
 }
