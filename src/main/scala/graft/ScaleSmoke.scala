@@ -811,6 +811,57 @@ object ScaleSmoke {
       rewritten
     }
 
+    // Filtered vector search at 16×: the layout is cell-partitioned by
+    // a KMeans model (built OUTSIDE the timer — build-vs-query split),
+    // the query composes probed-cell PartitionFilters with a pushed
+    // metadata predicate on ONE scan. The row measures the filtered
+    // QUERY cost, which is bounded by the probed cells' row count —
+    // not the corpus — with the predicate thinning row groups inside
+    // them.
+    val fivfDir = {
+      val model = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        iters = 2)
+      val assigned = ops.Ann.assign(vecs, "embedding", model, ops.Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_fivf").toString
+      ops.Ann.writePartitioned(assigned, dir)
+      (dir, model)
+    }
+    time("filtered_ivf_stored_query") {
+      val (dir, model) = fivfDir
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val df = ops.Ann.searchIvfStored(spark, dir, "vec_id", "embedding",
+        model, typedlit(q), ops.Ann.L2, probes = 4, k = 10,
+        pred = col("label").isin(1, 3, 5))
+      val n = df.collect().length.toLong
+      val phys = df.queryExecution.executedPlan.toString
+      require(("""PartitionFilters: \[[^\]]*centroid_id""".r
+          .findFirstIn(phys).isDefined),
+        s"filtered stored IVF lost partition pruning at scale:\n$phys")
+      require("""PushedFilters: \[[^\]]*In\(label""".r
+          .findFirstIn(phys).isDefined,
+        s"filtered stored IVF lost predicate pushdown at scale:\n$phys")
+      n
+    }
+
+    // Domain discovery at 16×: iters× (map-only broadcast-argmin assign
+    // + one k-cell combinable mean shuffle), a primary-key join, and a
+    // k×strata aggregate — every stage corpus-linear with map-side
+    // combine, nothing driver-side but k centroids.
+    time("domain_mix_table") {
+      ops.Domains.domainMixTable(docs, "doc_id", vecs, "vec_id",
+        "embedding", "lang", col("n_chars"), k = 8, iters = 2).count()
+    }
+
+    // LM quality at 16×: bigram relation is token-count rows map-only
+    // from the scan; both count tables combinable; the score join is
+    // vocabulary-sized per key. Corpus-linear end to end.
+    time("lm_quality_score") {
+      ops.TextAnalysis.lmLogLoss(docs, "doc_id", "text").count()
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")

@@ -1356,6 +1356,39 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregister("embedding")
   }
 
+  /** r54: FILTERED batch kNN join over the at-rest layout — the batch
+    * query-log replay (r36) under a metadata predicate: five queries
+    * in ONE job against the cell-partitioned store, where the probe
+    * relation's join plants DynamicPruningExpression (batch reads only
+    * its queries' probed cell dirs) AND the label predicate reaches
+    * the same scan as PushedFilters — the full filtered-search
+    * composition (r51-r53) in the both-sides-large shape. Cells are
+    * vec_id % 8 (independent of the filter column, as in r52). */
+  def knnJoinFilteredStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cells = e.withColumn("__cell", pmod(col("vec_id"), lit(8)))
+    val model = Ann.buildIvf(cells, "__cell", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fknn_store").toString
+    Ann.writePartitioned(assigned, dir)
+    val stored = s.read.parquet(dir)
+      .filter(col("label").isin(1, 3, 5))
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinIvf(queries, "q_id", "qv", stored,
+      "d_id", "dv", model, Ann.L2, probes = 2, k = 3)
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.toLowerCase.contains("dynamicpruning"),
+      s"filtered stored batch join must runtime-prune cell dirs:\n$phys")
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"filtered stored batch join did not push the predicate:\n$phys")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
@@ -1409,7 +1442,8 @@ object Retrieval {
     "r50_knn_join_sq_stored" -> knnJoinSqStored,
     "r51_ann_filtered" -> annFilteredTopk,
     "r52_ann_ivf_filtered_stored" -> annIvfFilteredStored,
-    "r53_ann_rewrite_filtered" -> annRewriteFiltered)
+    "r53_ann_rewrite_filtered" -> annRewriteFiltered,
+    "r54_knn_join_filtered" -> knnJoinFilteredStored)
 
   /** Shared oracle fragment: BM25 scoring CTEs over documents (k1=1.2,
     * b=0.75, Okapi idf with +1; same double formula as Bm25.search).
@@ -2579,6 +2613,49 @@ object Retrieval {
     // must reproduce the explicit operator bit-for-bit (shared
     // oracle, the r12/r16 pattern).
     "r53_ann_rewrite_filtered" -> FilteredIvfOracleSql,
+    // r54: the batch shape of the filtered family — r10's batch oracle
+    // over the vec_id % 8 cell geometry with the predicate applied to
+    // the candidate side (the index is whole-corpus; the filter thins
+    // probed candidates, never re-ranks).
+    "r54_knn_join_filtered" ->
+      s"""WITH dims AS (
+            SELECT CAST(vec_id % 8 AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, label, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+          qprobes AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.q_id, q.qv, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(c.centroid, q.qv) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM q CROSS JOIN cents c) WHERE rn <= 2),
+          cand AS (
+            SELECT p.q_id, a.vec_id AS d_id,
+                   round(list_distance(a.embedding::DOUBLE[], p.qv), 6)
+                     AS dist
+            FROM qprobes p JOIN assigned a USING (centroid_id)
+            WHERE a.label IN (1, 3, 5)),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM cand)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
     // r42: the KMeans PQ trainer from first principles — portable-md5
     // seed draw (k=4 smallest distinct hashes per subspace, cid = rank
     // in hash order), two unrolled Lloyd iterations (L2 argmin with
