@@ -1288,6 +1288,85 @@ object Ann {
       refine, roundTo)
   }
 
+  private val SqMetaMarker = "_graft_sq_meta"
+  private val SqBoundsDigestMarker = "_graft_sq_bounds_digest"
+
+  /** Deterministic digest of an SQ index's per-cell bounds (cell-sorted,
+    * exact double rendering) — the identity a GROWING quantized layout
+    * must pin: codes quantized under two different bounds mixed in one
+    * layout dequantize to silently wrong values. Bounded collect: k
+    * cells × 2·dim doubles. */
+  private def sqBoundsDigest(bounds: DataFrame, cellCol: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    bounds.select(col(cellCol).cast("long"), col("__mins"), col("__maxs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+      .foreach { case (cid, mins, maxs) =>
+        md.update(s"$cid:${mins.mkString(",")}|${maxs.mkString(",")}\n"
+          .getBytes("UTF-8"))
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Idempotently establish a [[writeIvfSq]]-shaped ROOT for streaming
+    * ingest ([[graft.streaming.Stream.ingestIvfSq]]): first call writes
+    * the trained side tables (bounds, centroids) plus markers pinning
+    * the spherical flag, the bounds digest and the coarse-quantizer
+    * fingerprint; a restart verifies all three — neither retrained
+    * bounds nor a retrained IVF model can mix quantization spaces in
+    * one layout. The streamed `quantized/` dir is the only growing
+    * part. */
+  def ensureIvfSqRoot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, index: IvfSqIndex,
+                      spherical: Boolean): Unit = {
+    val digest = sqBoundsDigest(index.bounds, index.model.idCol)
+    graft.io.Markers.read(spark, dir, SqMetaMarker) match {
+      case Some(meta) =>
+        require(meta == spherical.toString,
+          s"$dir pins spherical=$meta; this ingest carries $spherical — " +
+            "streaming into it would mix two metric spaces")
+        val have = graft.io.Markers.read(spark, dir, SqBoundsDigestMarker)
+        require(have.contains(digest),
+          s"$dir was built with different SQ bounds (digest mismatch) " +
+            "— retrained bounds cannot extend this layout")
+      case None =>
+        index.bounds.write.mode("overwrite").parquet(s"$dir/bounds")
+        index.model.centroids.write.mode("overwrite")
+          .parquet(s"$dir/centroids")
+        graft.io.Markers.write(spark, dir, SqMetaMarker,
+          spherical.toString)
+        graft.io.Markers.write(spark, dir, SqBoundsDigestMarker, digest)
+    }
+    ensureIvfModelMarker(spark, dir, index.model)
+  }
+
+  /** Assign + SQ-quantize + pack in one micro-batch transform — what
+    * [[buildIvfSq]] does at build time under the same metric, shaped
+    * for streaming: broadcast-argmin assignment (map-only) plus a
+    * broadcast stream-static join against the ≤k-row bounds table, so
+    * codes are BIT-IDENTICAL to the batch build's and
+    * [[graft.streaming.Stream.ingestIvfSq]] appends are
+    * indistinguishable at rest from [[writeIvfSq]] output. Cosine
+    * assigns and quantizes on normalized vectors (the spherical
+    * contract) while the stored vecCol stays RAW for the exact
+    * re-rank. */
+  def assignQuantizeSq(docs: DataFrame, vecCol: String,
+                       index: IvfSqIndex, metric: Metric): DataFrame = {
+    val (assigned, qvec) =
+      if (metric == Cosine)
+        (assign(withNormalized(docs, vecCol, "__nvec"), "__nvec",
+          index.model, L2), col("__nvec"))
+      else
+        (assign(docs, vecCol, index.model, metric),
+          col(vecCol).cast("array<double>"))
+    assigned
+      .join(broadcast(index.bounds), index.model.idCol)
+      .withColumn("codes",
+        packCodes(quantizeSqCols(qvec, col("__mins"), col("__maxs"))))
+      .drop("__mins", "__maxs", "__nvec")
+  }
+
   /** IVF + product quantization composed — the third quantization
     * family inside IVF cells (SQ [[buildIvfSq]], 1-bit
     * [[buildIvfBitq]]): positional PQ codes whose codebooks are the
@@ -1981,3 +2060,4 @@ object Ann {
     removed
   }
 }
+

@@ -410,7 +410,57 @@ object Events {
       qv, graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** s13: the SQ streaming lifecycle under the oracle — the 8-bit twin
+    * of s12 (the reference's DEFAULT index quantization is residual
+    * 8-bit, spec.py:437-444): bounds/centroids trained batch-side,
+    * codes streamed in three micro-batches through
+    * [[graft.streaming.Stream.ingestIvfSq]] (map-only assign +
+    * quantize + pack, bit-identical to [[graft.ops.Ann.buildIvfSq]]),
+    * compactStored graduation, then [[graft.ops.Ann
+    * .searchIvfSqStored]] with r12's exact parameters — so the
+    * streamed-then-compacted layout must reproduce the batch index
+    * bit-for-bit (shared oracle). */
+  def streamSqTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val idx = graft.ops.Ann.buildIvfSq(e, "embedding", model,
+      graft.ops.Ann.L2)
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s13_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s13_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestIvfSq(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", idx,
+      graft.ops.Ann.L2, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s,
+      s"$dir/quantized", "centroid_id", maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no cell dirs")
+    require(!new java.io.File(s"$dir/quantized", "_spark_metadata")
+        .exists(),
+      "commit log must be gone after graduation")
+    val qv = rows.find(_._1 == 11L)
+      .getOrElse(throw new IllegalStateException("no vec_id 11"))._2
+    graft.ops.Ann.searchIvfSqStored(s, dir, "vec_id", "embedding",
+      typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_stream_sq_twin" -> streamSqTwin,
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
     "s03_props_json" -> propsJson,
@@ -551,6 +601,9 @@ object Events {
     // (persisted means, label-mean centroids, cosine assignment +
     // probes, phase-1 within probed cells, exact maxsim re-rank)
     "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"),
+    // s13: the streamed-then-compacted SQ layout must be byte-identical
+    // to the batch index, so r12's first-principles oracle is shared.
+    "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),
     // s12: the streamed-then-compacted PQ layout must be byte-identical
     // to the batch index — r38's first-principles replay verbatim.
     "s12_stream_pq_twin" -> Retrieval.oracles("r38_ivf_pq"))

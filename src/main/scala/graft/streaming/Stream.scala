@@ -277,6 +277,41 @@ object Stream {
       .start(encDir)
   }
 
+  /** Continuous SQ-quantized ingest — the 8-bit member of the quantized
+    * at-rest ingest family ([[ingestIvfPq]] is the PQ member; the
+    * reference's DEFAULT index quantization is residual 8-bit,
+    * spec.py:437-444): each vector assigns to its cell, quantizes
+    * against the cell's trained bounds and packs to 1 byte/dim
+    * ([[graft.ops.Ann.assignQuantizeSq]] — a map-only projection plus
+    * one broadcast stream-static join against the ≤k-row bounds
+    * table, bit-identical to the batch build), then appends
+    * exactly-once into `dir/quantized`'s cell-partitioned layout. The
+    * trained artifacts (bounds, centroids, spherical flag, bounds
+    * digest, model fingerprint) are established at the root before
+    * the stream starts ([[graft.ops.Ann.ensureIvfSqRoot]]); a restart
+    * with retrained bounds or a different model is refused. After
+    * [[compactStored]](`dir/quantized`, "centroid_id") graduation the
+    * root IS a [[graft.ops.Ann.writeIvfSq]] layout:
+    * `loadIvfSq`/`searchIvfSqStored` work unchanged. */
+  def ingestIvfSq(vectors: DataFrame, vecCol: String,
+                  index: graft.ops.Ann.IvfSqIndex,
+                  metric: graft.ops.Ann.Metric,
+                  dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.ensureIvfSqRoot(spark, dir, index,
+      spherical = metric == graft.ops.Ann.Cosine)
+    val qDir = s"$dir/quantized"
+    requireStreamableLayout(spark, qDir)
+    graft.ops.Ann.assignQuantizeSq(vectors, vecCol, index, metric)
+      .writeStream
+      .partitionBy(index.model.idCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(qDir)
+  }
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell
@@ -425,3 +460,4 @@ object Stream {
         })
   }
 }
+

@@ -649,6 +649,69 @@ class StreamSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("different IVF model"))
   }
 
+  test("ingestIvfSq: streamed codes match the batch build bit-for-bit; " +
+      "a restart with retrained bounds is refused") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val rng = new scala.util.Random(13)
+    val docs = (0L until 40L)
+      .map(i => (i, Seq.fill(4)(rng.nextDouble() * (1 + i % 3))))
+      .toDF("vec_id", "embedding")
+    val model = Ann.buildIvf(
+      docs.withColumn("__cell", pmod(col("vec_id"), lit(4))),
+      "__cell", "embedding")
+    val idx = Ann.buildIvfSq(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqstream").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvfSq(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", idx, Ann.L2, dir, java.nio.file.Files
+        .createTempDirectory("graft-sqstream-c").toString)
+    try {
+      val rows = docs.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      input.addData(rows.take(20).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Stream.compactStored(sp, s"$dir/quantized", "centroid_id",
+      maxFilesPerCell = 1)
+    // the graduated layout loads as a writeIvfSq layout and its codes
+    // equal the batch index's (packed) codes row for row
+    val loaded = Ann.loadIvfSq(sp, dir)
+    val got = loaded.quantized.select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = idx.quantized.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got === want)
+    // a search over the streamed layout equals the in-memory index path
+    val qv = typedlit(Seq.fill(4)(0.5))
+    val a = Ann.searchIvfSqStored(sp, dir, "vec_id", "embedding", qv,
+      Ann.L2, probes = 2, k = 5).collect().map(_.toSeq).toSeq
+    val b = {
+      val cells = Ann.probeCells(model, qv, Ann.L2, 2)
+        .collect().map(_.getLong(0))
+      Ann.searchIvfSq(idx.copy(quantized = idx.quantized
+          .filter(col("centroid_id").isin(cells: _*))),
+        "vec_id", "embedding", qv, Ann.L2, probes = 2, k = 5)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(a === b)
+    // retrained bounds → digest mismatch → refused before any row lands
+    val docs2 = docs.withColumn("embedding",
+      transform(col("embedding"), x => x * 2))
+    val idx2 = Ann.buildIvfSq(docs2, "embedding", model, Ann.L2)
+    val input3 = MemoryStream[(Long, Seq[Double])]
+    val ex = intercept[IllegalArgumentException] {
+      Stream.ingestIvfSq(input3.toDF().toDF("vec_id", "embedding"),
+        "embedding", idx2, Ann.L2, dir, java.nio.file.Files
+          .createTempDirectory("graft-sqstream-c3").toString)
+    }
+    assert(ex.getMessage.contains("digest mismatch"))
+  }
+
   test("graduation deletes uncommitted orphan files BEFORE the commit " +
       "log, so no crash point resurrects them or strands the layout") {
     val sp = spark
