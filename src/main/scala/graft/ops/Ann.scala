@@ -1739,6 +1739,65 @@ object Ann {
       .limit(n)
   }
 
+  private val BitqMetaMarker = "_graft_bitq_meta"
+
+  /** Idempotently establish a [[writeIvfBitq]]-shaped ROOT for
+    * streaming ingest ([[graft.streaming.Stream.ingestIvfBitq]]):
+    * first call writes the centroid side table and pins the spherical
+    * flag + model fingerprint; a restart with a different metric class
+    * or a retrained model is refused — sign codes are residuals
+    * AGAINST the centroids, so a new quantizer cannot extend the
+    * layout. (No bounds digest here: the centroids ARE the 1-bit
+    * quantizer, and [[ensureIvfModelMarker]] already pins them.) */
+  def ensureIvfBitqRoot(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, model: IvfModel,
+                        spherical: Boolean): Unit = {
+    val stored = if (spherical) normalizeModel(model) else model
+    graft.io.Markers.read(spark, dir, BitqMetaMarker) match {
+      case Some(meta) =>
+        require(meta == spherical.toString,
+          s"$dir pins spherical=$meta; this ingest carries $spherical — " +
+            "streaming into it would mix two residual spaces")
+      case None =>
+        stored.centroids.write.mode("overwrite")
+          .parquet(s"$dir/centroids")
+        graft.io.Markers.write(spark, dir, BitqMetaMarker,
+          spherical.toString)
+    }
+    ensureIvfModelMarker(spark, dir, stored)
+  }
+
+  /** Assign + 1-bit-encode + pack in one micro-batch transform — what
+    * [[buildIvfBitq]] does at build time under the same metric, shaped
+    * for streaming: map-only broadcast-argmin assignment plus one
+    * broadcast stream-static join against the k-row centroid table for
+    * the residual, sign bits packed 1 bit/dim. Codes and rnorm are
+    * bit-identical to the batch build's, so
+    * [[graft.streaming.Stream.ingestIvfBitq]] appends are
+    * indistinguishable at rest from [[writeIvfBitq]] output. */
+  def assignQuantizeBitq(docs: DataFrame, vecCol: String,
+                         model: IvfModel, metric: Metric,
+                         roundTo: Int = 6): DataFrame = {
+    val (joined, vcol) =
+      if (metric == Cosine) {
+        val modelN = normalizeModel(model)
+        (assign(withNormalized(docs, vecCol, "__nvec"), "__nvec",
+          modelN, L2).join(broadcast(modelN.centroids), modelN.idCol),
+          col("__nvec"))
+      } else
+        (assign(docs, vecCol, model, metric)
+          .join(broadcast(model.centroids), model.idCol),
+          col(vecCol).cast("array<double>"))
+    val r = zip_with(vcol, col(model.vecCol), (a, b) => a - b)
+    joined
+      .withColumn("bits",
+        packBits(transform(r, x => when(x > 0, 1).otherwise(0))))
+      .withColumn("rnorm", round(
+        sqrt(aggregate(transform(r, x => x * x), lit(0.0),
+          (a, x) => a + x)), roundTo))
+      .drop(model.vecCol, "__nvec")
+  }
+
   /** Persist an [[IvfBitIndex]] at rest: cell-partitioned parquet with
     * bits PACKED 1 bit/dim ([[packBits]]) — 32× vs float32 for the code
     * column — plus the centroid side table. */

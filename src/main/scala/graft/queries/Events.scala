@@ -459,7 +459,53 @@ object Events {
       typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** s14: the 1-BIT streaming lifecycle under the oracle — the last
+    * quantized member (s12 PQ, s13 SQ): the IVF model trained
+    * batch-side and pinned at the root, sign-bit residual codes + rnorm
+    * streamed in three micro-batches through
+    * [[graft.streaming.Stream.ingestIvfBitq]], compactStored
+    * graduation, then [[graft.ops.Ann.searchIvfBitqStored]] with r14's
+    * exact parameters (shared oracle — the streamed layout must
+    * reproduce the batch index bit-for-bit). */
+  def streamBitqTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s14_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s14_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestIvfBitq(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", model,
+      graft.ops.Ann.L2, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.compactStored(s,
+      s"$dir/quantized", "centroid_id", maxFilesPerCell = 1)
+    require(rewritten > 0, "compaction rewrote no cell dirs")
+    require(!new java.io.File(s"$dir/quantized", "_spark_metadata")
+        .exists(),
+      "commit log must be gone after graduation")
+    val qv = rows.find(_._1 == 13L)
+      .getOrElse(throw new IllegalStateException("no vec_id 13"))._2
+    graft.ops.Ann.searchIvfBitqStored(s, dir, "vec_id", "embedding",
+      typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_bitq_twin" -> streamBitqTwin,
     "s13_stream_sq_twin" -> streamSqTwin,
     "s01_event_window_agg" -> windowAgg,
     "s02_user_sessions" -> userSessions,
@@ -601,6 +647,9 @@ object Events {
     // (persisted means, label-mean centroids, cosine assignment +
     // probes, phase-1 within probed cells, exact maxsim re-rank)
     "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"),
+    // s14: the streamed-then-compacted 1-bit layout must be
+    // byte-identical to the batch index; r14's oracle is shared.
+    "s14_stream_bitq_twin" -> Retrieval.oracles("r14_ivf_bitq_topk"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

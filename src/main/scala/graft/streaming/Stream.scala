@@ -312,6 +312,39 @@ object Stream {
       .start(qDir)
   }
 
+  /** Continuous 1-bit ingest — the third and last quantized member of
+    * the at-rest ingest family ([[ingestIvfPq]] PQ, [[ingestIvfSq]]
+    * SQ; the reference's vchordrq couples RaBitQ-style 1-bit residual
+    * codes to its IVF cells, spec.py:437-444): each vector assigns to
+    * its cell, takes the residual against the cell centroid via one
+    * broadcast stream-static join, and lands sign bits packed
+    * 1 bit/dim plus the rounded residual norm
+    * ([[graft.ops.Ann.assignQuantizeBitq]] — bit-identical to the
+    * batch build), appended exactly-once into `dir/quantized`. The
+    * root pins the spherical flag and the model fingerprint
+    * ([[graft.ops.Ann.ensureIvfBitqRoot]]); a retrained model is
+    * refused. After [[compactStored]](`dir/quantized`, "centroid_id")
+    * graduation the root IS a [[graft.ops.Ann.writeIvfBitq]] layout:
+    * `loadIvfBitq`/`searchIvfBitqStored` work unchanged. */
+  def ingestIvfBitq(vectors: DataFrame, vecCol: String,
+                    model: graft.ops.Ann.IvfModel,
+                    metric: graft.ops.Ann.Metric,
+                    dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.ensureIvfBitqRoot(spark, dir, model,
+      spherical = metric == graft.ops.Ann.Cosine)
+    val qDir = s"$dir/quantized"
+    requireStreamableLayout(spark, qDir)
+    graft.ops.Ann.assignQuantizeBitq(vectors, vecCol, model, metric)
+      .writeStream
+      .partitionBy(model.idCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(qDir)
+  }
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell

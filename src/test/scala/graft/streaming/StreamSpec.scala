@@ -712,6 +712,80 @@ class StreamSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("digest mismatch"))
   }
 
+  test("ingestIvfBitq: streamed sign codes match the batch build's " +
+      "packed bytes bit-for-bit; a metric-class restart is refused") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val rng = new scala.util.Random(29)
+    val docs = (0L until 40L)
+      .map(i => (i, Seq.fill(4)(rng.nextDouble() * (1 + i % 3))))
+      .toDF("vec_id", "embedding")
+    val model = Ann.buildIvf(
+      docs.withColumn("__cell", pmod(col("vec_id"), lit(4))),
+      "__cell", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitqstream").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvfBitq(
+      input.toDF().toDF("vec_id", "embedding"),
+      "embedding", model, Ann.L2, dir, java.nio.file.Files
+        .createTempDirectory("graft-bitqstream-c").toString)
+    try {
+      val rows = docs.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      input.addData(rows.take(20).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Stream.compactStored(sp, s"$dir/quantized", "centroid_id",
+      maxFilesPerCell = 1)
+    // the graduated layout IS a writeIvfBitq layout: its packed bytes
+    // equal the batch build's, row for row
+    val batch = Ann.buildIvfBitq(docs, "embedding", model, Ann.L2)
+    val want = batch.quantized
+      .withColumn("bits", Ann.packBits(col("bits")))
+      .select("vec_id", "bits", "rnorm")
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))).toMap
+    val got = sp.read.parquet(s"$dir/quantized")
+      .select("vec_id", "bits", "rnorm")
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))).toMap
+    assert(got === want)
+    // stored search over the streamed layout == in-memory index path
+    val qv = typedlit(Seq.fill(4)(0.5))
+    val a = Ann.searchIvfBitqStored(sp, dir, "vec_id", "embedding", qv,
+      Ann.L2, probes = 2, k = 5).collect().map(_.toSeq).toSeq
+    val b = {
+      val cells = Ann.probeCells(model, qv, Ann.L2, 2)
+        .collect().map(_.getLong(0))
+      Ann.searchIvfBitq(batch.copy(quantized = batch.quantized
+          .filter(col("centroid_id").isin(cells: _*))),
+        "vec_id", "embedding", qv, Ann.L2, probes = 2, k = 5)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(a === b)
+    // same artifacts: restart allowed (idempotent root)
+    Ann.ensureIvfBitqRoot(sp, dir, model, spherical = false)
+    // a cosine restart would mix two residual spaces: refused
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.ensureIvfBitqRoot(sp, dir, model, spherical = true)
+    }
+    assert(e1.getMessage.contains("spherical"))
+    // a retrained model: refused by the fingerprint marker
+    val model2 = Ann.buildIvf(
+      docs.withColumn("embedding",
+          transform(col("embedding"), x => x * 2))
+        .withColumn("__cell", pmod(col("vec_id"), lit(4))),
+      "__cell", "embedding")
+    val e2 = intercept[IllegalStateException] {
+      Ann.ensureIvfBitqRoot(sp, dir, model2, spherical = false)
+    }
+    assert(e2.getMessage.contains("different IVF model"))
+  }
+
   test("graduation deletes uncommitted orphan files BEFORE the commit " +
       "log, so no crash point resurrects them or strands the layout") {
     val sp = spark
