@@ -793,6 +793,131 @@ object Ann {
       .select(col(qId), col(dId), col("dist"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // Range (distance-threshold) search — the `dist <= eps` twin of top-k
+  // (pgvector's `WHERE embedding <-> q < eps` shape, which the
+  // reference's fixed-topk `query_vec` client.py:294-321 cannot
+  // express). Unlike the probes contract, IVF acceleration here is
+  // EXACT: with a per-cell covering radius, the triangle inequality
+  // proves a cell with dist(q, centroid) > radius + eps holds no match,
+  // so pruning never drops a result.
+  // ---------------------------------------------------------------------
+
+  /** Exact range search: every doc within `eps` of the query (rounded
+    * distance, so the cut is engine-portable), (dist, id)-ordered.
+    * Map-only scan + a sort of ONLY the matched set — at 100 TB the
+    * predicate work distributes with the scan and the sort sees eps-few
+    * rows. Unbounded by construction: callers wanting a cap compose
+    * `.limit(n)` (the sort already orders for it). */
+  def rangeSearch(docs: DataFrame, idCol: String, vecCol: String,
+                  queryVec: Column, metric: Metric, eps: Double,
+                  roundTo: Int = 6): DataFrame =
+    docs
+      .withColumn("dist", round(metric.dist(col(vecCol), queryVec), roundTo))
+      .filter(col("dist") <= eps)
+      .orderBy(col("dist").asc, col(idCol).asc)
+
+  /** Per-cell covering radius over an [[assign]]ed table: max distance
+    * from any member to its centroid — ONE combinable max-aggregation
+    * (k output rows), built once next to the layout and reused by every
+    * range query. The broadcast is the k-row centroid table. */
+  def cellRadii(assigned: DataFrame, vecCol: String, model: IvfModel,
+                metric: Metric): DataFrame =
+    assigned.join(broadcast(model.centroids), model.idCol)
+      .groupBy(col(model.idCol))
+      .agg(max(metric.dist(col(vecCol).cast("array<double>"),
+        col(model.vecCol))).as("radius"))
+
+  /** Cells a radius-`eps` ball around the query can intersect:
+    * dist(q, centroid) ≤ radius + eps (+ one output-rounding step of
+    * slack, since the result filter compares the ROUNDED distance).
+    * Driver-side over k (centroid, radius) rows — the same bounded
+    * collect as [[probeCells]]. Exactness: doc d in cell c with
+    * round-dist(q,d) ≤ eps ⇒ dist(q,d) ≤ eps + ulp-slack ⇒
+    * dist(q, centroid_c) ≤ dist(q,d) + radius_c — c is kept. */
+  def rangeCells(model: IvfModel, radii: DataFrame, queryVec: Column,
+                 metric: Metric, eps: Double,
+                 roundTo: Int = 6): Array[Long] = {
+    val spark = model.centroids.sparkSession
+    import spark.implicits._
+    val q = model.centroids.sparkSession.range(1)
+      .select(queryVec.cast("array<double>").as("q"))
+      .as[Seq[Double]].head().toArray
+    val rad = radii
+      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val slack = math.pow(10.0, -roundTo)
+    collectCentroids(model)
+      .filter { case (id, c) =>
+        metric.distScala(q, c) <= rad.getOrElse(id, 0.0) + eps + slack }
+      .map(_._1)
+  }
+
+  /** Range search over a [[writePartitioned]] layout — EXACT, unlike
+    * the probes family: [[rangeCells]]' triangle-inequality cut plants
+    * a literal `isin` that prunes whole cell DIRECTORIES
+    * (`PartitionFilters`), `pred` pushes into the surviving row groups
+    * (`PushedFilters`), and no true match can live in a pruned cell.
+    * Tight clusters + small eps ⇒ most of the corpus is never read;
+    * the worst case (eps spanning every cell) degrades to the exact
+    * scan [[rangeSearch]] already is. */
+  def rangeSearchIvfStored(spark: org.apache.spark.sql.SparkSession,
+                           path: String, idCol: String, vecCol: String,
+                           model: IvfModel, radii: DataFrame,
+                           queryVec: Column, metric: Metric, eps: Double,
+                           roundTo: Int = 6,
+                           pred: Column = lit(true)): DataFrame = {
+    val cells = rangeCells(model, radii, queryVec, metric, eps, roundTo)
+    val pruned = spark.read.parquet(path)
+      .filter(col(model.idCol).isin(cells: _*))
+      .filter(pred)
+    rangeSearch(pruned, idCol, vecCol, queryVec, metric, eps, roundTo)
+  }
+
+  /** Batch ε-similarity join — every (query, doc) pair within `eps`,
+    * the all-pairs-under-threshold shape behind embedding near-dup at
+    * corpus scale (its self-join form). EXACT under the same triangle-
+    * inequality contract as [[rangeSearchIvfStored]]: each query row
+    * replicates to every cell its eps-ball can intersect (a map-only
+    * explode over the broadcast (centroid, radius) table — ≤ k cells,
+    * typically far fewer), candidates come from ONE equi-join on
+    * `centroid_id` co-partitioned with the doc table's cells, and the
+    * rounded-distance cut keeps true pairs only. Shuffle volume is
+    * Σ_q |cells intersecting q's ball| · (cell size) — never |Q|·|N|;
+    * a huge eps degrades toward the cross join the SEMANTICS demand
+    * (every pair matches), not a planning accident. Returns
+    * (qId, dId, dist), (qId, dist, dId)-ordered. */
+  def rangeJoinIvf(queries: DataFrame, qId: String, qVec: String,
+                   assigned: DataFrame, dId: String, dVec: String,
+                   model: IvfModel, radii: DataFrame, metric: Metric,
+                   eps: Double, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val rad = radii
+      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bc = spark.sparkContext.broadcast(
+      collectCentroids(model).map { case (id, c) =>
+        (id, c, rad.getOrElse(id, 0.0)) })
+    val slack = math.pow(10.0, -roundTo)
+    val cellsUdf = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      bc.value.iterator
+        .filter { case (_, c, r) =>
+          metric.distScala(varr, c) <= r + eps + slack }
+        .map(_._1).toSeq
+    }
+    val probed = queries
+      .withColumn(model.idCol,
+        explode(cellsUdf(col(qVec).cast("array<double>"))))
+    probed.join(assigned
+        .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
+      .withColumn("dist", round(metric.dist(col(qVec).cast("array<double>"),
+        col(dVec).cast("array<double>")), roundTo))
+      .filter(col("dist") <= eps)
+      .select(col(qId), col(dId), col("dist"))
+      .orderBy(col(qId).asc, col("dist").asc, col(dId).asc)
+  }
+
   /** Batch IVF+PQ kNN join: [[knnJoinIvf]]'s query-log shape with the
     * candidate phase on PQ codes — the ADC batch form. Per-query
     * lookup tables are built DRIVER-side from the collected query set

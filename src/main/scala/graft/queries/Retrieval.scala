@@ -1389,7 +1389,78 @@ object Retrieval {
     df
   }
 
+  /** r55: EXACT range search — every row within eps of the query
+    * (pgvector's `embedding <-> q < eps` WHERE shape; the reference's
+    * fixed-top-k `query_vec` client.py:294-321 cannot ask it), rounded
+    * distance so the cut is engine-portable, (dist, id)-ordered. The
+    * map-only scan distributes with the corpus; the sort sees only the
+    * eps-few matches. */
+  def rangeSearchExact(s: SparkSession, d: String): DataFrame =
+    Ann.rangeSearch(embeddings(s, d), "vec_id", "embedding",
+        qvec(s, d, 0), Ann.L2, eps = 1.26)
+      .select("vec_id", "dist")
+
+  /** r56: range search over the at-rest IVF layout — EXACT, not
+    * probes-approximate: per-cell covering radii
+    * ([[Ann.cellRadii]], one combinable max-agg built beside the
+    * layout) let the triangle inequality prove which cell DIRECTORIES
+    * a radius-eps ball can intersect; the literal isin prunes them
+    * (`PartitionFilters` pinned) and the label predicate pushes into
+    * the survivors (`PushedFilters` pinned). Because no true match can
+    * live in a pruned cell, the ORACLE IS THE PLAIN EXACT SQL — no
+    * IVF replay, which is the whole point of the radii contract. On
+    * this corpus (random unit-scale Gaussians) every cell's radius ≈
+    * the query's cell distance so nothing prunes at sf0.01 — the
+    * clustered-data pruning behavior is pinned in AnnRangeSpec. */
+  def rangeIvfStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_store").toString
+    Ann.writePartitioned(assigned, dir)
+    val radii = Ann.cellRadii(assigned, "embedding", model, Ann.L2)
+    val df = Ann.rangeSearchIvfStored(s, dir, "vec_id", "embedding",
+        model, radii, qvec(s, d, 9), Ann.L2, eps = 1.3,
+        pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "stored range search")
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"stored range search did not push the label predicate:\n$phys")
+    df
+  }
+
+  /** r57: ε-similarity join — ALL pairs within eps, the corpus-scale
+    * embedding near-dup shape (self-join form: a < b). EXACT under the
+    * r56 radii contract: each left row replicates only to cells its
+    * eps-ball can intersect (map-only explode over the broadcast
+    * (centroid, radius) table), candidates from ONE equi-join on
+    * centroid_id, rounded-distance cut. Shuffle is Σ_q |intersecting
+    * cells|·(cell size), never |Q|·|N| — and the oracle is the plain
+    * quadratic SQL because exactness is part of the contract. */
+  def rangeJoinSelf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = e.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"))
+    Ann.rangeJoinIvf(queries, "q_id", "qv", assigned, "d_id", "dv",
+        model, radii, Ann.L2, eps = 1.2)
+      .filter(col("q_id") < col("d_id"))
+      .select(col("q_id").as("qid"), col("d_id").as("did"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r55_range_search" -> rangeSearchExact,
+    "r56_range_ivf_stored" -> rangeIvfStored,
+    "r57_range_join" -> rangeJoinSelf,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -2592,6 +2663,38 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r55: exact range search — the plain threshold scan; the rounded
+    // distance is both the output and the cut, so the oracle filters
+    // on the SAME rounded value.
+    "r55_range_search" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
+          FROM embeddings
+          WHERE round(list_distance(embedding::DOUBLE[], $qv0), 6) <= 1.26
+          ORDER BY dist ASC, vec_id ASC""",
+    // r56: the at-rest radii-pruned form is EXACT (triangle-inequality
+    // cut — no probes contract), so its oracle is the SAME plain
+    // threshold scan with the predicate; no IVF replay needed. That
+    // the oracle needs no index machinery IS the exactness evidence.
+    "r56_range_ivf_stored" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
+          ORDER BY dist ASC, vec_id ASC""",
+    // r57: the eps-join is exact under the radii contract, so the
+    // oracle is the plain quadratic join — the thing the operator's
+    // cell blocking avoids computing but must exactly reproduce.
+    "r57_range_join" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS did,
+                round(list_distance(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS dist
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_distance(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) <= 1.2
+         ORDER BY qid ASC, dist ASC, did ASC""",
     // r51: filtered exact top-k — the predicate composes with the
     // ordering; pushdown (the thing the gate pins) is plan-shape, not
     // semantics, so the oracle is the plain filtered scan.

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Range (distance-threshold) search family: the triangle-inequality
+  * radii contract makes the IVF forms EXACT — these tests pin both
+  * halves of that claim: (a) results equal the brute-force scan on any
+  * data, (b) on clustered data the cut genuinely DROPS provably-empty
+  * cells (the gate corpus is radius-degenerate random Gaussians, so
+  * real pruning is pinned here, not there). */
+class AnnRangeSpec extends SparkSpecBase {
+
+  // three tight clusters far apart: radius ~0.1, separation ~10
+  private def clustered(sp: org.apache.spark.sql.SparkSession) = {
+    import sp.implicits._
+    val rng = new scala.util.Random(41)
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
+    (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(_ + (rng.nextDouble() - 0.5) * 0.2), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("rangeSearch returns exactly the rows whose rounded distance " +
+      "is within eps, (dist, id)-ordered") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val q = typedlit(Seq(0.0, 0.0))
+    val got = Ann.rangeSearch(docs, "vec_id", "embedding", q, Ann.L2,
+        eps = 0.5)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    // brute force over the collected table
+    val want = docs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        (id, BigDecimal(math.sqrt(v.map(x => x * x).sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .filter(_._2 <= 0.5).sortBy { case (id, d) => (d, id) }
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty && got.length < 60)
+  }
+
+  test("radii-pruned stored range search is exact AND actually prunes " +
+      "cell directories on clustered data") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-spec").toString
+    Ann.writePartitioned(assigned, dir)
+    val radii = Ann.cellRadii(assigned, "embedding", model, Ann.L2)
+    val q = typedlit(Seq(0.1, 0.1))
+    // the eps=1 ball around (0.1,0.1) intersects ONLY cluster 0
+    val cells = Ann.rangeCells(model, radii, q, Ann.L2, eps = 1.0)
+    assert(cells.length === 1,
+      s"expected 1 intersecting cell, got ${cells.toSeq}")
+    val got = Ann.rangeSearchIvfStored(sp, dir, "vec_id", "embedding",
+        model, radii, q, Ann.L2, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    val want = Ann.rangeSearch(docs, "vec_id", "embedding", q, Ann.L2,
+        eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 20)
+    // pruning must survive a predicate and stay exact
+    val gotPred = Ann.rangeSearchIvfStored(sp, dir, "vec_id",
+        "embedding", model, radii, q, Ann.L2, eps = 1.0,
+        pred = col("vec_id") % 2 === 0)
+      .select("vec_id").as[Long].collect()
+    assert(gotPred.toSeq === want.map(_._1).filter(_ % 2 == 0).toSeq)
+  }
+
+  test("rangeCells never drops a cell that holds a true match " +
+      "(boundary eps, rounding slack)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val radii = Ann.cellRadii(assigned, "embedding", model, Ann.L2)
+    // eps exactly at a member's rounded distance: that member's cell
+    // must still be selected
+    val q = typedlit(Seq(5.0, 0.0)) // between clusters 0 and 1
+    val exact = Ann.rangeSearch(docs, "vec_id", "embedding", q, Ann.L2,
+      eps = 5.2).select("vec_id", "dist").as[(Long, Double)].collect()
+    val cells = Ann.rangeCells(model, radii, q, Ann.L2, eps = 5.2)
+    val cellOf = assigned.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, _) =>
+      assert(cells.contains(cellOf(id)),
+        s"cell of matching row $id was pruned") }
+    assert(cells.length === 2, s"ball spans clusters 0+1 only: ${cells.toSeq}")
+  }
+
+  test("rangeJoinIvf equals the brute-force eps-join and blocks by " +
+      "cluster (self near-dup shape)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = docs.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"))
+    val got = Ann.rangeJoinIvf(queries, "q_id", "qv", assigned, "d_id",
+        "dv", model, radii, Ann.L2, eps = 0.5)
+      .filter(col("q_id") < col("d_id"))
+      .select("q_id", "d_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val rows = docs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val want = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      d = BigDecimal(math.sqrt(va.zip(vb)
+        .map { case (x, y) => (x - y) * (x - y) }.sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if d <= 0.5
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    // every within-eps pair is intra-cluster here, so the join must
+    // only produce intra-cluster pairs (the blocking did its job)
+    assert(want.forall { case (a, b, _) => a % 3 == b % 3 })
+    assert(want.nonEmpty)
+  }
+
+  test("eps below the nearest neighbor yields empty results, not an " +
+      "error; a cell with no members is harmless in the radii map") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val radii = Ann.cellRadii(
+      assigned.filter(col("centroid_id") =!= 2L), "embedding", model,
+      Ann.L2) // cell 2 missing from radii: treated as radius 0
+    val q = typedlit(Seq(100.0, 100.0))
+    assert(Ann.rangeSearch(docs, "vec_id", "embedding", q, Ann.L2,
+      eps = 1.0).count() === 0L)
+    assert(Ann.rangeCells(model, radii, q, Ann.L2, eps = 1.0).isEmpty)
+  }
+}
