@@ -131,6 +131,54 @@ object Sparse {
       .limit(k)
   }
 
+  /** [[invertedTopKW]] under a metadata predicate — the sparse member
+    * of the filtered-search family: `allowed` is the id set the
+    * predicate admits. Unlike BM25 there are no corpus statistics to
+    * protect (the score is a pure dot), so the semi-join thins the
+    * postings BEFORE scoring — cheapest placement — and cannot change
+    * any surviving score. */
+  def invertedTopKWFiltered(postings: org.apache.spark.sql.DataFrame,
+                            qIdx: Seq[Int], qVal: Seq[Double], k: Int,
+                            allowed: org.apache.spark.sql.DataFrame,
+                            allowedIdCol: String, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    require(qIdx.distinct.length == qIdx.length,
+      s"sparse query has duplicate indices (${qIdx.length} entries, " +
+        s"${qIdx.distinct.length} distinct) — dedupe the query first")
+    val q = qIdx.zip(qVal).toDF("bucket", "__w")
+    postings
+      .join(allowed.select(col(allowedIdCol).as("id")), Seq("id"),
+        "left_semi")
+      .join(broadcast(q), "bucket")
+      .groupBy("id")
+      .agg(round(sum(col("v").cast("double") * col("__w")), roundTo)
+        .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** [[searchStored]] under a metadata predicate: bucket-partition
+    * pruning (the query's own buckets) composes with the allowed-id
+    * semi-join on ONE pruned scan. */
+  def searchStoredFiltered(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, query: SparseVec, k: Int,
+                           allowed: org.apache.spark.sql.DataFrame,
+                           allowedIdCol: String,
+                           roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val buckets = readBucketsMarker(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no $BucketsMarker marker — not a writePostings " +
+          "layout"))
+    val qb = query.indices.map(i => math.floorMod(i, buckets)).distinct
+    val pruned = spark.read.parquet(dir)
+      .filter(col("__b").isin(qb: _*))
+    invertedTopKWFiltered(pruned, query.indices,
+      query.values.map(_.toDouble), k, allowed, allowedIdCol, roundTo)
+  }
+
   private val BucketsMarker = "_graft_sparse_buckets"
 
   /** The recorded bucket modulus of a [[writePostings]] /

@@ -238,6 +238,48 @@ object Bm25 {
       .limit(k)
   }
 
+  /** [[search]] under a metadata predicate — the WHERE clause of a
+    * full-text query (filtered keyword search, the keyword twin of the
+    * filtered-vector family): `allowed` is the id set the predicate
+    * admits (typically `docs.filter(pred).select(id)` — the predicate
+    * pushes into THAT scan as PushedFilters). Corpus statistics (df,
+    * N, avgdl) stay WHOLE-corpus — the filter thins which docs can be
+    * returned, never how terms are weighted (the r52 contract: a
+    * database WHERE over a full-text index does not retrain the
+    * index). The semi-join runs AFTER bucket pruning and term pruning
+    * but BEFORE scoring/top-k, so at 100 TB the scored frame is
+    * (query-term postings ∩ allowed) and AQE broadcasts the small
+    * side. */
+  def searchFiltered(index: Bm25Index, query: String, k: Int,
+                     allowed: DataFrame, allowedIdCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val tok = graft.functions.Tokenizers.byName(index.tokenizer)
+    searchTermsFiltered(index, tok.scala(query).distinct, k, allowed,
+      allowedIdCol, roundTo)
+  }
+
+  /** [[searchFiltered]] over pre-tokenized distinct terms. */
+  def searchTermsFiltered(index: Bm25Index, terms: Seq[String], k: Int,
+                          allowed: DataFrame, allowedIdCol: String,
+                          roundTo: Int = 6): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val qPost = prunedPostings(index, terms.toDF("term"), terms)
+    // df BEFORE the predicate: whole-corpus weights by contract
+    val qStats = termDf(qPost)
+    val perTerm = qPost
+      .join(allowed.select(col(allowedIdCol).as("id")), Seq("id"),
+        "left_semi")
+      .join(broadcast(qStats), "term")
+      .withColumn("w",
+        idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / index.avgdl)))
+    perTerm.groupBy("id")
+      .agg(round(sum(col("w")), roundTo).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Per-doc postings rows (id, term, tf, dl, bucket) as a MAP-ONLY
     * transform — tf and dl are functions of one document alone, so no
     * groupBy is needed and the same expression runs in batch AND

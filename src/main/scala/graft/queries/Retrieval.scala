@@ -1457,7 +1457,92 @@ object Retrieval {
       .select(col("q_id").as("qid"), col("d_id").as("did"), col("dist"))
   }
 
+  /** r58: FILTERED keyword search — BM25 top-k under a metadata
+    * predicate (`lang = 'en'`), the keyword member of the filtered
+    * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
+    * WHERE over a full-text index thins results, never retrains
+    * weights — [[graft.ops.Bm25.searchFiltered]]), the allowed-id set
+    * comes from a documents scan whose predicate reaches parquet
+    * (`PushedFilters` pinned), and the at-rest postings still prune to
+    * the query terms' bucket partitions (`PartitionFilters` pinned) —
+    * the two prunings compose across the semi-join. */
+  def bm25Filtered(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_filt").toString
+    Bm25.writePostings(documents(s, d), "doc_id", "text", dir,
+      buckets = 16)
+    val idx = Bm25.loadStoredPostings(s, dir)
+    val allowed = documents(s, d).filter(col("lang") === "en")
+    val df = Bm25.searchFiltered(idx, "window partition order", 10,
+      allowed, "doc_id")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "bucket", "filtered bm25 search")
+    require("""PushedFilters: \[[^\]]*EqualTo\(lang,en\)""".r
+        .findFirstIn(phys).isDefined,
+      s"filtered bm25 did not push the lang predicate:\n$phys")
+    df
+  }
+
+  /** r59: FILTERED sparse search — the sparse member of the filtered
+    * family: at-rest postings prune to the query's own bucket
+    * partitions (`PartitionFilters`) while the allowed-id set comes
+    * from a documents scan whose `lang = 'en'` predicate reaches
+    * parquet (`PushedFilters`); the semi-join thins postings BEFORE
+    * scoring — a pure dot has no corpus statistics to protect, so
+    * placement is free and surviving scores are byte-identical to the
+    * unfiltered r30's. */
+  def sparseFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val postings = graft.functions.Sparse.invertedPostings(
+      documents(s, d).withColumn("__sv", sv(col("text")))
+        .select(col("doc_id"), col("__sv.indices").as("__i"),
+          col("__sv.values").as("__v")),
+      "doc_id", "__i", "__v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_filt").toString
+    graft.functions.Sparse.writePostings(postings, dir, buckets = 16)
+    val allowed = documents(s, d).filter(col("lang") === "en")
+    val df = graft.functions.Sparse.searchStoredFiltered(s, dir,
+      emb.embed(SparseQueryText), 10, allowed, "doc_id")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "__b", "filtered sparse search")
+    require("""PushedFilters: \[[^\]]*EqualTo\(lang,en\)""".r
+        .findFirstIn(phys).isDefined,
+      s"filtered sparse did not push the lang predicate:\n$phys")
+    df.select(col("id").as("doc_id"), col("score"))
+  }
+
+  /** r60: FILTERED maxsim — the multivec member of the filtered
+    * family: a BAG-level predicate (each bag is the retrievable doc)
+    * thins phase-1, so a disallowed doc can neither consume a
+    * candidate slot nor appear in the exact re-rank — the same
+    * filter-then-search semantics as r51-r54, in the two-phase maxsim
+    * shape (phase-1 token-mean dot over allowed bags, phase-2 exact
+    * maxsim over the survivors). */
+  def maxsimFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.groupBy(col("label").cast("long").as("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        x => x.getField("embedding")).as("vecs"))
+    val allowed = docs.filter(col("label") % 3 =!= 0)
+    val cand = Ann.maxsimCandidates(allowed, "label", "vecs", qts, n = 4)
+    allowed.join(cand, Seq("label"), "left_semi")
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(3)
+      .select("label", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r59_sparse_filtered" -> sparseFiltered,
+    "r60_maxsim_filtered" -> maxsimFiltered,
+    "r58_bm25_filtered" -> bm25Filtered,
     "r55_range_search" -> rangeSearchExact,
     "r56_range_ivf_stored" -> rangeIvfStored,
     "r57_range_join" -> rangeJoinSelf,
@@ -2663,6 +2748,76 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r59: filtered sparse — the same md5-bucket recipe as r27-r30
+    // with the predicate thinning the final candidate set (a pure dot
+    // has no stats to protect, so scores match the unfiltered run).
+    "r59_sparse_filtered" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS tok
+            FROM documents),
+          dv AS (
+            SELECT doc_id,
+                   (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM toks GROUP BY 1, 2),
+          qtok AS (
+            SELECT unnest(['spark', 'merge', 'hash', 'window']) AS tok),
+          qv AS (
+            SELECT (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) // 2)
+                     % 4096 AS b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM qtok GROUP BY 1),
+          scored AS (
+            SELECT dv.doc_id, round(sum(dv.v * qv.w), 6) AS score
+            FROM dv JOIN qv USING (b) GROUP BY 1)
+          SELECT scored.doc_id, score FROM scored
+          JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en' AND score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // r60: filtered maxsim — r21's two-phase replay with the bag-level
+    // predicate applied BEFORE phase-1 (a disallowed bag can't consume
+    // a candidate slot), phase-1 keep-4, exact re-rank top-3.
+    "r60_maxsim_filtered" ->
+      """WITH dt AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                            embedding::DOUBLE[] AS dv FROM embeddings),
+        q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id IN (0, 1)),
+        qc AS (SELECT list_transform(range(len(a.qv)), i ->
+                 (a.qv[i+1] + b.qv[i+1]) / 2) AS qc
+               FROM (SELECT qv FROM q WHERE vec_id = 0) a,
+                    (SELECT qv FROM q WHERE vec_id = 1) b),
+        fmd AS (SELECT label, pos, sum(x) / count(*) AS fmv
+                FROM (SELECT label, unnest(dv) AS x,
+                             unnest(range(len(dv))) AS pos FROM dt)
+                GROUP BY 1, 2),
+        fml AS (SELECT label, list(fmv ORDER BY pos) AS fm
+                FROM fmd GROUP BY 1),
+        approx AS (SELECT label,
+                     round(list_inner_product(fm, (SELECT qc FROM qc)), 6)
+                       AS ap
+                   FROM fml WHERE label % 3 != 0),
+        cand AS (SELECT label FROM approx
+                 ORDER BY ap DESC, label ASC LIMIT 4),
+        best AS (SELECT dt.label, q.vec_id,
+                        max(list_inner_product(q.qv, dt.dv)) AS m
+                 FROM dt JOIN cand USING (label) CROSS JOIN q
+                 GROUP BY 1, 2)
+        SELECT label, round(sum(m), 6) AS score FROM best GROUP BY label
+        ORDER BY score DESC, label ASC LIMIT 3""",
+    // r58: filtered BM25 — stats CTEs run over the WHOLE corpus (the
+    // no-retrain contract); only the final candidate set is thinned by
+    // the predicate, exactly where the operator's semi-join sits.
+    "r58_bm25_filtered" ->
+      s"""WITH ${bm25Cte(Seq("window", "partition", "order"))}
+          SELECT id, round(sum(w), 6) AS score FROM scored
+          JOIN documents d ON d.doc_id = scored.id
+          WHERE d.lang = 'en'
+          GROUP BY id
+          ORDER BY score DESC, id ASC LIMIT 10""",
     // r55: exact range search — the plain threshold scan; the rounded
     // distance is both the output and the cut, so the oracle filters
     // on the SAME rounded value.
