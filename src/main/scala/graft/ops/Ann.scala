@@ -817,6 +817,27 @@ object Ann {
       .filter(col("dist") <= eps)
       .orderBy(col("dist").asc, col(idCol).asc)
 
+  /** Grouped top-k: the k nearest docs PER GROUP (label, language,
+    * source domain…) for one query — the retrieval shape behind
+    * per-stratum quotas ("3 nearest per domain", the curation twin of
+    * stratified sampling) and category-faceted search. One window over
+    * the group key — the shuffle is the groupBy-shaped exchange the
+    * quota semantics inherently need; within a partition the rank is
+    * streaming. Returns (group, id, dist, rank), rank 1-based per
+    * group, ties (dist, id). */
+  def groupedTopK(docs: DataFrame, idCol: String, vecCol: String,
+                  groupCol: String, queryVec: Column, metric: Metric,
+                  kPerGroup: Int, roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    docs
+      .withColumn("dist", round(metric.dist(col(vecCol), queryVec), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerGroup)
+      .select(col(groupCol), col(idCol), col("dist"), col("rank"))
+      .orderBy(col(groupCol).asc, col("rank").asc)
+  }
+
   /** Per-cell covering radius over an [[assign]]ed table: max distance
     * from any member to its centroid — ONE combinable max-aggregation
     * (k output rows), built once next to the layout and reused by every

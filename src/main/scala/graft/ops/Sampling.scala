@@ -76,6 +76,48 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic epoch shuffle — the pretraining "shuffle the corpus
+    * each epoch" pass, reproducible and engine-portable: every doc
+    * gets a 60-bit order key md5(seed:id) (a new seed is a new
+    * permutation; the same seed replays bit-for-bit on any engine) and
+    * a GLOBAL position under (key, id) order, assigned distributed:
+    * range-sharded by the key's high bits, ranked within each shard by
+    * a streaming window, shard offsets added from one `shards`-row
+    * driver collect — never a single-partition global window. Adds
+    * `okey` and `pos` (0-based, a permutation of 0..n-1).
+    *
+    * At 100 TB: one shuffle (the range exchange the total order
+    * inherently needs); md5 sharding makes ranges near-uniform, so no
+    * shard skew defense is needed. Writers consume it as
+    * `repartitionByRange/sortWithin(pos)` → epoch-ordered output
+    * files. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   shards: Int = 64): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val okey = conv(substring(md5(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val width = (1L << 60) / shards + 1 // ceil: shard < shards always
+    val withKey = df.withColumn("okey", okey)
+      .withColumn("__shard", expr(s"okey div ${width}L").cast("int"))
+    // shard sizes: bounded driver collect (`shards` rows) → offsets
+    val counts = withKey.groupBy("__shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (s, c)) => (s, acc + c) }
+      .sliding(2).collect { case Array((_, off), (s, _)) => (s, off) }
+      .toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__shard", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("okey").asc, col(idCol).asc)
+    withKey.join(broadcast(offDf), "__shard")
+      .withColumn("pos", col("__off") + row_number().over(w) - 1)
+      .drop("__shard", "__off")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its
     * [[hashBucket]] falls below its stratum's fraction of `buckets`.
     * The classic use is rebalancing a corpus by downsampling dominant

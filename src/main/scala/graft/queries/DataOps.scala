@@ -341,7 +341,24 @@ object DataOps {
       .orderBy(col("lm_loss").desc, col("doc_id").asc)
       .limit(20)
 
+  /** p24: deterministic epoch shuffle ([[graft.ops.Sampling
+    * .epochShuffle]]) — the reproducible "shuffle the corpus each
+    * epoch" pass: md5(seed:id) order keys, global 0-based positions
+    * assigned via range shards + shard-offset windows (never a
+    * single-partition sort). The oracle replays the portable hash and
+    * a global row_number — if the distributed shard/offset plumbing
+    * mis-stitched anywhere, positions diverge. Output ordered by pos;
+    * the first 40 rows keep the gate row-bounded while still crossing
+    * many shard boundaries. */
+  def epochShuffleHead(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.epochShuffle(documents(s, d), "doc_id",
+        seed = "epoch7", shards = 16)
+      .select(col("doc_id"), col("okey"), col("pos"))
+      .orderBy(col("pos").asc)
+      .limit(40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_epoch_shuffle" -> epochShuffleHead,
     "p23_lm_quality" -> lmQualityTail,
     "p22_domain_clusters" -> domainClusters,
     "p21_length_outliers" -> ((s, d) =>
@@ -405,6 +422,21 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // p24: the epoch permutation from first principles — the portable
+    // 60-bit md5 order key and ONE global row_number; the operator's
+    // distributed shard/offset assembly must reproduce it exactly.
+    "p24_epoch_shuffle" ->
+      """WITH k AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(
+                     md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS okey
+            FROM documents)
+          SELECT doc_id, okey,
+                 CAST(row_number() OVER (ORDER BY okey ASC, doc_id ASC)
+                   - 1 AS BIGINT) AS pos
+          FROM k
+          ORDER BY pos ASC LIMIT 40""",
     // p23: the bigram LM from first principles — corpus bigram counts
     // (1-based list indexing over 0-based range), conditional MLE
     // -ln(c2/c1) per doc bigram, per-doc mean rounded to 6, worst 20.

@@ -1539,7 +1539,16 @@ object Retrieval {
       .select("label", "score")
   }
 
+  /** r61: grouped top-k — the k nearest PER label for one query
+    * ([[Ann.groupedTopK]]): per-stratum retrieval quotas ("2 nearest
+    * per domain"), the faceted twin of stratified sampling. One group-
+    * partitioned rank window; no global sort. */
+  def groupedTopk(s: SparkSession, d: String): DataFrame =
+    Ann.groupedTopK(embeddings(s, d), "vec_id", "embedding", "label",
+      qvec(s, d, 13), Ann.L2, kPerGroup = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r61_grouped_topk" -> groupedTopk,
     "r59_sparse_filtered" -> sparseFiltered,
     "r60_maxsim_filtered" -> maxsimFiltered,
     "r58_bm25_filtered" -> bm25Filtered,
@@ -2748,6 +2757,21 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r61: grouped top-k — a per-label rank window over the rounded
+    // distance, ties by id; the quota semantics in one window.
+    "r61_grouped_topk" ->
+      s"""SELECT label, vec_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT label, vec_id,
+                   round(list_distance(embedding::DOUBLE[], $qv13), 6)
+                     AS dist,
+                   row_number() OVER (PARTITION BY label
+                     ORDER BY round(list_distance(
+                       embedding::DOUBLE[], $qv13), 6) ASC,
+                       vec_id ASC) AS rank
+            FROM embeddings)
+          WHERE rank <= 2
+          ORDER BY label ASC, rank ASC""",
     // r59: filtered sparse — the same md5-bucket recipe as r27-r30
     // with the predicate thinning the final candidate set (a pure dot
     // has no stats to protect, so scores match the unfiltered run).

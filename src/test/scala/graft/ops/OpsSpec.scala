@@ -836,6 +836,63 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("epochShuffle: pos is a permutation of 0..n-1 equal to the " +
+      "single-sort reference; seeds permute; growth is not append") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Sampling
+    val ids = (0L until 300L).toDF("id")
+    val a = Sampling.epochShuffle(ids, "id", "s1", shards = 7)
+      .select("id", "okey", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation property
+    assert(a.map(_._3).sorted.toSeq === (0L until 300L).toSeq)
+    // the distributed shard/offset stitching equals one global sort
+    val want = a.sortBy { case (id, k, _) => (k, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => (id, i.toLong) }.toMap
+    a.foreach { case (id, _, pos) => assert(pos === want(id)) }
+    // same seed replays; a different seed is a different permutation
+    val a2 = Sampling.epochShuffle(ids, "id", "s1", shards = 3)
+      .select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    a.foreach { case (id, _, pos) => assert(a2(id) === pos,
+      "shard count must not change the permutation") }
+    val b = Sampling.epochShuffle(ids, "id", "s2", shards = 7)
+      .select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.exists { case (id, _, pos) => b(id) != pos })
+    assert(b.values.toSeq.sorted === (0L until 300L).toSeq)
+  }
+
+  test("groupedTopK: per-group quota equals the naive per-group sort") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Ann
+    val rng = new scala.util.Random(17)
+    val docs = (0L until 50L)
+      .map(i => (i, Seq.fill(4)(rng.nextDouble()), (i % 3).toInt))
+      .toDF("id", "vec", "grp")
+    val q = Seq.fill(4)(0.5)
+    val got = Ann.groupedTopK(docs, "id", "vec", "grp", typedlit(q),
+        Ann.L2, kPerGroup = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    val naive = docs.select(col("id"),
+        col("vec").cast("array<double>"), col("grp"))
+      .as[(Long, Seq[Double], Int)].collect()
+      .map { case (id, v, g) =>
+        (g, id, BigDecimal(math.sqrt(v.zip(q)
+          .map { case (x, y) => (x - y) * (x - y) }.sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy { case (_, id, d) => (d, id) }.take(2).zipWithIndex
+          .map { case ((_, id, d), i) => (g, id, d, i + 1) } }
+      .sortBy { case (g, _, _, r) => (g, r) }
+    assert(got.toSeq === naive)
+    // every group got exactly its quota
+    assert(got.groupBy(_._1).values.forall(_.length == 2))
+  }
+
   test("exact dedup keeps lowest id per text") {
     val sp = spark
     import sp.implicits._
