@@ -99,6 +99,51 @@ object AnnIndex {
   private[plans] def lookup(vecCol: String): Option[Entry] =
     entries.get(vecCol)
 
+  /** Range-search registry — the declarative form of
+    * [[Ann.rangeSearchIvfStored]]: a plain
+    * `filter(round(dist(vec, q), s) <= eps)` plan gets an EXACT cell
+    * filter injected from the per-cell covering radii
+    * ([[Ann.cellRadii]]): the triangle inequality proves pruned cells
+    * hold no match, so unlike the probes rewrites this one never
+    * changes results — it only removes provably-empty cell
+    * directories from the scan. Radii and centroids are collected at
+    * register time (k rows each, the [[register]] driver-side
+    * budget). */
+  final case class RangeEntry(vecCol: String, cellCol: String,
+                              metric: Ann.Metric,
+                              cents: () => Seq[(Long, Array[Double], Double)],
+                              owner: String = "") {
+    def cellsFor(q: Array[Double], eps: Double, slack: Double): Seq[Long] =
+      cents().filter { case (_, c, r) =>
+        metric.distScala(c, q) <= r + eps + slack }.map(_._1)
+  }
+
+  private val rangeEntries = TrieMap.empty[String, RangeEntry]
+
+  def registerRange(vecCol: String, model: Ann.IvfModel,
+                    radii: org.apache.spark.sql.DataFrame,
+                    metric: Ann.Metric, owner: String = ""): Unit = {
+    val rad = radii
+      .select(org.apache.spark.sql.functions.col(model.idCol)
+        .cast("long"),
+        org.apache.spark.sql.functions.col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val cents = model.centroids.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { case (id, c) => (id, c, rad.getOrElse(id, 0.0)) }
+      .toSeq.sortBy(_._1)
+    rangeEntries.synchronized {
+      requireFreeOrSameOwner("Range", vecCol,
+        rangeEntries.get(vecCol).map(_.owner), owner)
+      rangeEntries(vecCol) =
+        RangeEntry(vecCol, model.idCol, metric, () => cents, owner)
+    }
+  }
+
+  def unregisterRange(vecCol: String): Unit = rangeEntries.remove(vecCol)
+  private[plans] def lookupRange(vecCol: String): Option[RangeEntry] =
+    rangeEntries.get(vecCol)
+
   /** EXECUTOR-SIDE probe selection — the fallback past [[register]]'s
     * driver-side centroid budget (~10⁵ cells): instead of collecting
     * centroids and injecting an `IN (cells...)` literal filter, the
@@ -596,7 +641,7 @@ object AnnIndex {
   private[plans] def hasAny: Boolean =
     entries.nonEmpty || distEntries.nonEmpty || quantEntries.nonEmpty ||
       maxsimEntries.nonEmpty || bm25Entries.nonEmpty ||
-      sparseEntries.nonEmpty
+      sparseEntries.nonEmpty || rangeEntries.nonEmpty
 
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
@@ -1031,6 +1076,87 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         if (injected) s.copy(child = proj.copy(child = newChild)) else s
       }
       rewritten.orElse(distRewritten).getOrElse(s)
+
+    // RANGE rewrite: a plain `filter(round(dist(vec, qLit), s) <= eps)`
+    // over a table with a registered range index gets the EXACT
+    // radii-based cell filter injected above its leaf — provably-empty
+    // cell directories leave the scan, results never change (the one
+    // rewrite here with no approximation contract at all). The eps
+    // conjunct may sit anywhere in a conjunction; other conjuncts
+    // (user predicates) are untouched and compose as PushedFilters.
+    case f @ Filter(cond, child) =>
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def litDouble(e: Expression): Option[Double] = e match {
+        case Literal(v: Double, _) => Some(v)
+        case Literal(v: Float, _) => Some(v.toDouble)
+        case Literal(v: Int, _) => Some(v.toDouble)
+        case Literal(v: Long, _) => Some(v.toDouble)
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+          Some(d.toDouble)
+        case _ => None
+      }
+      def roundSlack(e: Expression): Double = e match {
+        case r: Round => r.scale match {
+          case Literal(s: Int, _) => math.pow(10.0, -s)
+          case _ => 1.0e-6
+        }
+        case _ => 1.0e-9 // unrounded distance: fp-noise headroom only
+      }
+      val rewritten = for {
+        (distE, eps) <- conjuncts(cond).collectFirst(Function.unlift {
+          case LessThanOrEqual(d, l) if extractDist(d).isDefined =>
+            litDouble(l).map((d, _))
+          case LessThan(d, l) if extractDist(d).isDefined =>
+            litDouble(l).map((d, _))
+          case _ => None
+        })
+        (vecAttr, q, metric) <- extractDist(distE)
+        entry <- AnnIndex.lookupRange(vecAttr.name)
+        if entry.metric == metric
+        leaf <- (child +: child.collect { case n => n }).collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
+              l.output.exists(_.name == entry.cellCol) => l
+        }
+        cellAttr = leaf.output.find(_.name == entry.cellCol).get
+        // idempotence: an injected (or user-planted) In/InSet on this
+        // cell attribute anywhere below means pruning already happened
+        if !f.exists {
+          case pf: Filter =>
+            pf.getTagValue(AnnTopKRule.Injected).isDefined ||
+              (!(pf fastEquals f) && pf.condition.exists {
+                case In(c: AttributeReference, _) =>
+                  c.exprId == cellAttr.exprId
+                case InSet(c: AttributeReference, _) =>
+                  c.exprId == cellAttr.exprId
+                case _ => false
+              })
+          case _ => false
+        }
+      } yield {
+        val cells = entry.cellsFor(q, eps, roundSlack(distE))
+        val lits = cells.map { p =>
+          cellAttr.dataType match {
+            case org.apache.spark.sql.types.IntegerType => Literal(p.toInt)
+            case org.apache.spark.sql.types.ShortType => Literal(p.toShort)
+            case org.apache.spark.sql.types.StringType =>
+              Literal(p.toString)
+            case _ => Literal(p)
+          }
+        }
+        var injected = false
+        val newChild = child.transformUp {
+          case l: LeafNode if !injected && (l fastEquals leaf) =>
+            injected = true
+            val probeFilter = Filter(In(cellAttr, lits.toSeq), l)
+            probeFilter.setTagValue(AnnTopKRule.Injected, ())
+            probeFilter
+        }
+        if (injected) f.copy(child = newChild) else f
+      }
+      rewritten.getOrElse(f)
   }
 }
 

@@ -1547,7 +1547,46 @@ object Retrieval {
     Ann.groupedTopK(embeddings(s, d), "vec_id", "embedding", "label",
       qvec(s, d, 13), Ann.L2, kPerGroup = 2)
 
+  /** r62: the DECLARATIVE range search — a plain
+    * `filter(round(l2Dist(embedding, q), 6) <= eps AND label IN …)`
+    * over the stored layout with a registered RANGE index
+    * ([[graft.plans.AnnIndex.registerRange]]): the optimizer injects
+    * the radii-based cell filter (EXACT — the one rewrite with no
+    * approximation contract), which becomes `PartitionFilters` on the
+    * cell directories, while the user predicate pushes into the same
+    * scan — r56's semantics reached from a declarative plan, so r56's
+    * plain-SQL oracle is shared verbatim. */
+  def annRewriteRange(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_range_rw").toString
+    Ann.writePartitioned(assigned, path)
+    val radii = Ann.cellRadii(assigned, "embedding", model, Ann.L2)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerRange("embedding", model, radii, Ann.L2)
+    try {
+      val df = s.read.parquet(path)
+        .filter(col("label").isin(1, 3, 5) &&
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), qvec(s, d, 9)), 6) <= 1.3)
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), qvec(s, d, 9)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .select("vec_id", "dist")
+      val phys = df.queryExecution.executedPlan.toString
+      assertPartitionPruned(phys, "centroid_id", "declarative range")
+      require("""PushedFilters: \[[^\]]*In\(label""".r
+          .findFirstIn(phys).isDefined,
+        s"declarative range did not push the label predicate:\n$phys")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterRange("embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
     "r59_sparse_filtered" -> sparseFiltered,
     "r60_maxsim_filtered" -> maxsimFiltered,
@@ -2757,6 +2796,16 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r62: the declarative range plan must reproduce the explicit r56
+    // operator exactly (the rewrite is EXACT by contract) — shared
+    // plain-SQL oracle.
+    "r62_range_rewrite" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
+          ORDER BY dist ASC, vec_id ASC""",
     // r61: grouped top-k — a per-label rank window over the rounded
     // distance, ties by id; the quota semantics in one window.
     "r61_grouped_topk" ->

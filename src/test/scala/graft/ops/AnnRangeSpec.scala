@@ -133,6 +133,72 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("declarative range rewrite injects the EXACT cell filter on " +
+      "clustered data; unregistered columns and foreign metrics bail") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-rw-spec").toString
+    Ann.writePartitioned(assigned, dir)
+    val radii = Ann.cellRadii(assigned, "embedding", model, Ann.L2)
+    graft.plans.AnnIndex.install(sp)
+    graft.plans.AnnIndex.registerRange("embedding", model, radii, Ann.L2)
+    try {
+      val q = Seq(0.1, 0.1)
+      def plan(eps: Double) = sp.read.parquet(dir)
+        .filter(round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), typedlit(q)), 6) <= eps)
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), typedlit(q)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .select("vec_id", "dist")
+      val df = plan(1.0)
+      // the injected In survives to PartitionFilters and keeps ONLY
+      // cluster 0's cell (real pruning, not just filter presence)
+      val phys = df.queryExecution.executedPlan.toString
+      val pf = """PartitionFilters: \[[^\]]*centroid_id[^\]]*\]""".r
+        .findFirstIn(phys)
+      assert(pf.isDefined, s"no partition filter:\n$phys")
+      // results equal brute force
+      val want = Ann.rangeSearch(docs, "vec_id", "embedding",
+          typedlit(q), Ann.L2, eps = 1.0)
+        .select("vec_id", "dist").as[(Long, Double)].collect()
+      assert(df.as[(Long, Double)].collect().toSeq === want.toSeq)
+      assert(want.length === 20)
+      // a cosine query must NOT be answered from the L2 radii
+      val cosPlan = sp.read.parquet(dir)
+        .filter(round(org.apache.spark.sql.graft.VecExprs
+          .cosDist(col("embedding"), typedlit(q)), 6) <= 0.5)
+      assert(!cosPlan.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions
+              .In(a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference, _) => a.name == "centroid_id"
+            case _ => false
+          }
+        case _ => false
+      }, "cosine filter must not get L2 cell pruning")
+    } finally graft.plans.AnnIndex.unregisterRange("embedding")
+    // after unregister, the same plan gets no injection
+    val df2 = sp.read.parquet(dir)
+      .filter(round(org.apache.spark.sql.graft.VecExprs
+        .l2Dist(col("embedding"), typedlit(Seq(0.1, 0.1))), 6) <= 1.0)
+    assert(!df2.queryExecution.optimizedPlan.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.exists {
+          case org.apache.spark.sql.catalyst.expressions
+            .In(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference, _) => a.name == "centroid_id"
+          case _ => false
+        }
+      case _ => false
+    })
+  }
+
   test("eps below the nearest neighbor yields empty results, not an " +
       "error; a cell with no members is harmless in the radii map") {
     val sp = spark

@@ -34,6 +34,16 @@ class RegistryEvictionSpec extends SparkSpecBase {
       () => sys.error("never resolved"), owner = "evspec")
     AnnIndex.registerSparse("ev_idx", "ev_val", "id",
       () => sys.error("never resolved"), owner = "evspec")
+    locally {
+      val sp = spark
+      import sp.implicits._
+      val model = Ann.IvfModel(
+        Seq((0L, Seq(0.0))).toDF("centroid_id", "centroid"),
+        "centroid_id", "centroid")
+      AnnIndex.registerRange("ev_range", model,
+        Seq((0L, 0.0)).toDF("centroid_id", "radius"), Ann.L2,
+        owner = "evspec")
+    }
     assert(AnnIndex.hasAny, "registrations must be visible to the rule")
     AnnIndex.unregister("ev_dense")
     AnnIndex.unregisterDistributed("ev_dist")
@@ -42,13 +52,15 @@ class RegistryEvictionSpec extends SparkSpecBase {
     AnnIndex.unregisterMaxsim("ev_mv")
     AnnIndex.unregisterBm25("ev_text", "ev_id")
     AnnIndex.unregisterSparse("ev_idx")
+    AnnIndex.unregisterRange("ev_range")
     assert(AnnIndex.lookup("ev_dense").isEmpty &&
       AnnIndex.lookupDist("ev_dist").isEmpty &&
       AnnIndex.lookupQuant("ev_sq").isEmpty &&
       AnnIndex.lookupQuant("ev_pq").isEmpty &&
       AnnIndex.lookupMaxsim("ev_mv").isEmpty &&
       AnnIndex.lookupBm25("ev_text").isEmpty &&
-      AnnIndex.lookupSparse("ev_idx").isEmpty,
+      AnnIndex.lookupSparse("ev_idx").isEmpty &&
+      AnnIndex.lookupRange("ev_range").isEmpty,
       "every spec registration must be gone after its unregister")
     assert(AnnIndex.hasAny == before,
       "the sweep must restore the registries' pre-spec emptiness")
