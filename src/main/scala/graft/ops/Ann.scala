@@ -843,11 +843,26 @@ object Ann {
     * (k output rows), built once next to the layout and reused by every
     * range query. The broadcast is the k-row centroid table. */
   def cellRadii(assigned: DataFrame, vecCol: String, model: IvfModel,
-                metric: Metric): DataFrame =
+                metric: Metric): DataFrame = {
+    requireTriangleMetric(metric, "cellRadii")
     assigned.join(broadcast(model.centroids), model.idCol)
       .groupBy(col(model.idCol))
       .agg(max(metric.dist(col(vecCol).cast("array<double>"),
         col(model.vecCol))).as("radius"))
+  }
+
+  /** The radii contract is a triangle-inequality argument, and cosine
+    * distance (1 − cos) is NOT a metric — d(a,c) ≤ d(a,b) + d(b,c)
+    * fails on real triples, so radii pruning could drop TRUE matches.
+    * Refuse loudly. Cosine range queries have an exact reduction
+    * instead: on L2-normalized vectors ‖a−b‖² = 2·cosDist(a,b), so
+    * range-search the normalized column under L2 with
+    * eps_l2 = sqrt(2·eps_cos) and the result set is identical. */
+  private def requireTriangleMetric(metric: Metric, what: String): Unit =
+    require(metric == L2,
+      s"$what needs a true metric (triangle inequality); cosine/IP " +
+        "range queries must go through the normalized-L2 reduction: " +
+        "l2Normalize the vectors and use eps_l2 = sqrt(2*eps_cos)")
 
   /** Cells a radius-`eps` ball around the query can intersect:
     * dist(q, centroid) ≤ radius + eps (+ one output-rounding step of
@@ -859,6 +874,7 @@ object Ann {
   def rangeCells(model: IvfModel, radii: DataFrame, queryVec: Column,
                  metric: Metric, eps: Double,
                  roundTo: Int = 6): Array[Long] = {
+    requireTriangleMetric(metric, "rangeCells")
     val spark = model.centroids.sparkSession
     import spark.implicits._
     val q = model.centroids.sparkSession.range(1)
@@ -895,6 +911,32 @@ object Ann {
     rangeSearch(pruned, idCol, vecCol, queryVec, metric, eps, roundTo)
   }
 
+  /** COSINE range search over a stored spherical layout — the exact
+    * normalized-L2 reduction [[requireTriangleMetric]] names, made
+    * real: on unit vectors ‖a−b‖² = 2·cosDist(a,b), so the radii cut
+    * runs as L2 on the normalized column (a true metric — the
+    * triangle argument holds) with eps_l2 = sqrt(2·eps + slack),
+    * while the OUTPUT filter is true cosine on the raw vectors. The
+    * layout must be assigned under the spherical model (normalized
+    * vectors, L2 argmin) with `radii` = [[cellRadii]] over the
+    * normalized column; exactness carries through the reduction:
+    * round-cosDist(q,v) ≤ eps ⇒ l2(q̂,v̂) ≤ sqrt(2·eps + 10^-roundTo)
+    * ⇒ v's cell survives the cut. */
+  def rangeSearchCosStored(spark: org.apache.spark.sql.SparkSession,
+                           path: String, idCol: String, vecCol: String,
+                           model: IvfModel, radii: DataFrame,
+                           queryVec: Column, eps: Double,
+                           roundTo: Int = 6,
+                           pred: Column = lit(true)): DataFrame = {
+    val epsL2 = math.sqrt(2.0 * eps + math.pow(10.0, -roundTo))
+    val cells = rangeCells(model, radii, l2Normalize(queryVec), L2,
+      epsL2, roundTo)
+    val pruned = spark.read.parquet(path)
+      .filter(col(model.idCol).isin(cells: _*))
+      .filter(pred)
+    rangeSearch(pruned, idCol, vecCol, queryVec, Cosine, eps, roundTo)
+  }
+
   /** Batch ε-similarity join — every (query, doc) pair within `eps`,
     * the all-pairs-under-threshold shape behind embedding near-dup at
     * corpus scale (its self-join form). EXACT under the same triangle-
@@ -912,6 +954,7 @@ object Ann {
                    assigned: DataFrame, dId: String, dVec: String,
                    model: IvfModel, radii: DataFrame, metric: Metric,
                    eps: Double, roundTo: Int = 6): DataFrame = {
+    requireTriangleMetric(metric, "rangeJoinIvf")
     val spark = queries.sparkSession
     val rad = radii
       .select(col(model.idCol).cast("long"), col("radius").cast("double"))

@@ -123,6 +123,10 @@ object AnnIndex {
   def registerRange(vecCol: String, model: Ann.IvfModel,
                     radii: org.apache.spark.sql.DataFrame,
                     metric: Ann.Metric, owner: String = ""): Unit = {
+    require(metric == Ann.L2,
+      "range registration needs a true metric (triangle inequality); " +
+        "cosine range queries go through the normalized-L2 reduction " +
+        "(l2Normalize + eps_l2 = sqrt(2*eps_cos)) — see Ann.cellRadii")
     val rad = radii
       .select(org.apache.spark.sql.functions.col(model.idCol)
         .cast("long"),

@@ -1585,7 +1585,32 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterRange("embedding")
   }
 
+  /** r63: COSINE range search at rest — the normalized-L2 reduction
+    * ([[Ann.rangeSearchCosStored]]): cosine distance is not a metric
+    * (no triangle inequality), so the radii cut runs as L2 on the
+    * unit sphere (‖â−b̂‖² = 2·cosDist) with eps_l2 = sqrt(2·eps +
+    * slack), while the output filter is TRUE cosine on the raw
+    * vectors. Exact like r56, so the oracle is the plain cosine
+    * threshold scan; `PartitionFilters` pinned. */
+  def rangeCosStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val withN = e.withColumn("__nvec", Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "label", "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_cos").toString
+    Ann.writePartitioned(assigned.drop("__nvec"), dir)
+    val radii = Ann.cellRadii(assigned, "__nvec", model, Ann.L2)
+    val df = Ann.rangeSearchCosStored(s, dir, "vec_id", "embedding",
+        model, radii, qvec(s, d, 7), eps = 0.78)
+      .select(col("vec_id"), (col("dist") + lit(0.0)).as("dist"))
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "stored cosine range")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
     "r59_sparse_filtered" -> sparseFiltered,
@@ -2796,6 +2821,17 @@ object Retrieval {
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
+    // r63: cosine range — exact through the spherical reduction, so
+    // the oracle is the plain cosine threshold scan (+ 0 normalizes
+    // DuckDB's IEEE −0.0 away, the r44 lesson).
+    "r63_range_cos_stored" ->
+      s"""SELECT vec_id,
+                 round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) + 0
+                   AS dist
+          FROM embeddings
+          WHERE round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6)
+                  <= 0.78
+          ORDER BY dist ASC, vec_id ASC""",
     // r62: the declarative range plan must reproduce the explicit r56
     // operator exactly (the rewrite is EXACT by contract) — shared
     // plain-SQL oracle.

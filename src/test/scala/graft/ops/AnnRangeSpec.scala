@@ -199,6 +199,49 @@ class AnnRangeSpec extends SparkSpecBase {
     })
   }
 
+  test("cosine radii are refused (not a metric); the spherical " +
+      "reduction is exact and prunes on angularly-clustered data") {
+    val sp = spark
+    import sp.implicits._
+    // angular clusters: directions ~0° and ~90°, mixed magnitudes —
+    // cosine-close, L2-far apart within a cluster
+    val rng = new scala.util.Random(53)
+    val docs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.01) else Seq(0.01, 1.0)
+      val mag = 0.5 + rng.nextDouble() * 9.5
+      (i, base.map(x => x * mag + (rng.nextDouble() - 0.5) * 0.01),
+        (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "cluster")
+    val withN = docs.withColumn("__nvec",
+      Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "cluster", "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    // guard: cosine radii must throw before producing unsound pruning
+    val ex = intercept[IllegalArgumentException] {
+      Ann.cellRadii(assigned, "__nvec", model, Ann.Cosine)
+    }
+    assert(ex.getMessage.contains("triangle"))
+    val radii = Ann.cellRadii(assigned, "__nvec", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-cos-spec").toString
+    Ann.writePartitioned(assigned.drop("__nvec"), dir)
+    val q = typedlit(Seq(5.0, 0.05)) // direction ~cluster 0, big norm
+    val got = Ann.rangeSearchCosStored(sp, dir, "vec_id", "embedding",
+        model, radii, q, eps = 0.1)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    val want = Ann.rangeSearch(docs, "vec_id", "embedding", q,
+        Ann.Cosine, eps = 0.1)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 20, "all of cluster 0 is cosine-close " +
+      "regardless of magnitude")
+    // and the reduction genuinely pruned: only cluster 0's cell scans
+    val epsL2 = math.sqrt(2.0 * 0.1 + 1e-6)
+    val cells = Ann.rangeCells(model, radii, Ann.l2Normalize(q), Ann.L2,
+      epsL2)
+    assert(cells.length === 1, s"expected 1 cell, got ${cells.toSeq}")
+  }
+
   test("eps below the nearest neighbor yields empty results, not an " +
       "error; a cell with no members is harmless in the radii map") {
     val sp = spark
