@@ -846,6 +846,102 @@ object ScaleSmoke {
       n
     }
 
+    // Range search at 16×: radii pruning is a triangle-inequality cut,
+    // so it engages exactly when cells are tighter than the query ball
+    // — uniform Gaussians (the base corpus) have covering radii ≈ the
+    // whole space and degrade to the exact scan BY SEMANTICS. The
+    // honest scale row therefore uses a CLUSTERED 16× corpus: copy i
+    // shifts dim 0 by i·10, giving 16 well-separated slabs the KMeans
+    // cells recover; eps=1.26 balls then intersect only their own
+    // slab's cells. Exactness is asserted structurally: every pair the
+    // eps-join emits must be intra-slab (offset ids prove it), and the
+    // stored query's scan must show the literal cell cut in
+    // PartitionFilters with FEWER than all cells surviving.
+    var rangeDir: String = null
+    var rangeModel: ops.Ann.IvfModel = null
+    var rangeRadii: DataFrame = null
+    time("range_build_radii") {
+      val clustered = (0 until xf).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, j) => when(j === 0, x + lit(i * 10.0)).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      clustered.count()
+      val model = ops.Ann.buildIvfKMeans(clustered, "embedding", k = 64,
+        iters = 2)
+      val assigned = ops.Ann.assign(clustered, "embedding", model,
+        ops.Ann.L2)
+      rangeDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_range").toString
+      ops.Ann.writePartitioned(assigned, rangeDir)
+      rangeModel = model
+      rangeRadii = ops.Ann.cellRadii(assigned, "embedding", model,
+        ops.Ann.L2).persist()
+      clustered.unpersist(false)
+      rangeRadii.count()
+    }
+    time("range_stored_query") {
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq // slab 0's neighborhood
+      val cells = ops.Ann.rangeCells(rangeModel, rangeRadii,
+        typedlit(q), ops.Ann.L2, eps = 1.26)
+      require(cells.length < 64 && cells.nonEmpty,
+        s"radii cut kept ${cells.length}/64 cells — no pruning on the " +
+          "clustered corpus means the covering radii degenerated")
+      val df = ops.Ann.rangeSearchIvfStored(spark, rangeDir, "vec_id",
+        "embedding", rangeModel, rangeRadii, typedlit(q), ops.Ann.L2,
+        eps = 1.26)
+      val n = df.count()
+      val phys = df.queryExecution.executedPlan.toString
+      require("""PartitionFilters: \[[^\]]*centroid_id""".r
+          .findFirstIn(phys).isDefined,
+        s"stored range query lost partition pruning at scale:\n$phys")
+      n
+    }
+    time("range_join_eps") {
+      val stored = spark.read.parquet(rangeDir)
+      val queries = stored.filter(col("vec_id") % 97 === 0).limit(1000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .persist()
+      queries.count()
+      val pairs = ops.Ann.rangeJoinIvf(queries, "q_id", "qv",
+        stored.select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+          col("centroid_id")),
+        "d_id", "dv", rangeModel, rangeRadii, ops.Ann.L2, eps = 1.26)
+      // slabs are 10 apart with in-slab distances ≤ ~2.2: every emitted
+      // pair must be intra-slab — the blocking may not leak across
+      val cross = pairs
+        .filter(floor(col("q_id") / 10000000L) =!=
+          floor(col("d_id") / 10000000L)).count()
+      require(cross == 0L, s"$cross cross-slab pairs under eps=1.26")
+      val n = pairs.count()
+      queries.unpersist(false)
+      rangeRadii.unpersist(false)
+      n
+    }
+
+    // Epoch shuffle at 16×: one md5 order-key scan, a `shards`-row
+    // driver collect, one range-shaped window per shard — corpus-linear
+    // with no global sort. The permutation property is asserted in
+    // aggregate (n distinct positions spanning exactly [0, n-1]).
+    time("epoch_shuffle") {
+      val shuffled = ops.Sampling.epochShuffle(docs, "doc_id", "e1",
+        shards = 64)
+      val agg = shuffled.agg(
+        countDistinct(col("pos")).as("d"),
+        min(col("pos")).as("mn"), max(col("pos")).as("mx")).head()
+      val n = nDocs * xf
+      require(agg.getLong(0) == n && agg.getLong(1) == 0L &&
+          agg.getLong(2) == n - 1,
+        s"epoch shuffle is not a permutation at 16×: $agg vs n=$n")
+      n
+    }
+
     // Domain discovery at 16×: iters× (map-only broadcast-argmin assign
     // + one k-cell combinable mean shuffle), a primary-key join, and a
     // k×strata aggregate — every stage corpus-linear with map-side
