@@ -28,38 +28,60 @@ final class Engine(reg: Registry) {
     * measured recall floor — see that scaladoc). */
   def searchByVector(td: TableDef[_], queryVec: Seq[Double], topk: Int = 10,
                      probes: Int = 0, refine: Int = -1,
-                     returnFields: Seq[String] = Nil): DataFrame = {
+                     returnFields: Seq[String] = Nil,
+                     filter: Option[Column] = None): DataFrame = {
     val ix = td.vectorIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no vector index"))
     val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
     val q = typedlit(queryVec)
     val base = reg.table(td)
+    // `filter`: the metadata WHERE the reference's query_vec lacks
+    // (registry.py:190-225 takes no predicate) but corpus curation
+    // needs — the r52 contract: the predicate thins which docs can be
+    // RETURNED (applied before every top-k/phase-1 cut, so disallowed
+    // docs never consume candidate slots), never how anything is
+    // scored; selective predicates are compensated with `probes` /
+    // `refine`, the reference's own knobs. Quantized layouts carry
+    // only (pk, codes, cell), so the predicate evaluates on the base
+    // table and reaches them as a pk semi-join.
+    def allowed(df: DataFrame): DataFrame = filter match {
+      case None => df
+      case Some(pred) =>
+        df.join(base.filter(pred).select(col(td.pk)), Seq(td.pk),
+          "left_semi")
+    }
     val ranked =
       indexModel(td) match {
         case Some(model) if ix.lists > 0 && ix.oneBit =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          Ann.searchIvfBitq(ivfBitqCached(td, ix, model), td.pk,
-            ix.column, q, ix.distance, p, topk, autoBitqRefine(ix, refine))
+          val idx = ivfBitqCached(td, ix, model)
+          Ann.searchIvfBitq(idx.copy(quantized = allowed(idx.quantized)),
+            td.pk, ix.column, q, ix.distance, p, topk,
+            autoBitqRefine(ix, refine))
         case Some(model) if ix.lists > 0 && ix.quantized =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          Ann.searchIvfSq(ivfSqCached(td, ix, model), td.pk,
-            ix.column, q, ix.distance, p, topk, autoSqRefine(refine))
+          val idx = ivfSqCached(td, ix, model)
+          Ann.searchIvfSq(idx.copy(quantized = allowed(idx.quantized)),
+            td.pk, ix.column, q, ix.distance, p, topk,
+            autoSqRefine(refine))
         case Some(model) if ix.lists > 0 && ix.pq > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
-          Ann.searchIvfPq(ivfPqCached(td, ix, model), td.pk,
-            ix.column, queryVec, ix.distance, p, topk,
+          val idx = ivfPqCached(td, ix, model)
+          Ann.searchIvfPq(idx.copy(encoded = allowed(idx.encoded)),
+            td.pk, ix.column, queryVec, ix.distance, p, topk,
             autoSqRefine(refine))
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
           val assigned = assignedCached(td, ix, model)
-          Ann.searchIvf(assigned, td.pk, ix.column, model, q, ix.distance,
-            p, topk)
+          Ann.searchIvf(allowed(assigned), td.pk, ix.column, model, q,
+            ix.distance, p, topk)
         case _ =>
-          Ann.topK(base, td.pk, ix.column, q, ix.distance, topk)
+          Ann.topK(filter.fold(base)(base.filter), td.pk, ix.column,
+            q, ix.distance, topk)
       }
     // the quantized searchers return (pk, dist) only — join the top-k
     // back to the base table when the caller wants more columns (k

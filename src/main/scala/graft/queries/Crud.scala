@@ -226,7 +226,35 @@ object Crud {
       .orderBy("column", "value")
   }
 
+  final case class Emb(vec_id: Long, embedding: Seq[Double], label: Int)
+  private implicit val embEnc: org.apache.spark.sql.Encoder[Emb] =
+    org.apache.spark.sql.Encoders.product[Emb]
+
+  /** c08: FILTERED vector search on the ENGINE surface — the `filter`
+    * parameter the reference's `query_vec` lacks (registry.py:190-225
+    * takes no predicate), exposed where a reference user would look
+    * for it: exact index (lists = 0), `label IN (1,3,5)` thins the
+    * base table before the top-k (the r51-r54 contract at engine
+    * level; the IVF/quantized compositions are pinned in
+    * EngineSpec). */
+  def engineFilteredVec(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val q = embeddings(s, d).filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    new graft.core.Engine(reg)
+      .searchByVector(td, q, topk = 10,
+        returnFields = Seq("vec_id"),
+        filter = Some(col("label").isin(1, 3, 5)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_engine_filtered_vec" -> engineFilteredVec,
     "c07_unique_violations" -> uniqueViolations,
     "c01_crud_cascade" -> crudCascade,
     "c02_select_anyof" -> selectAnyOf,
@@ -236,6 +264,16 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c08: the engine's filtered exact search — plain filtered scan,
+    // the r51 shape through the registry's storage layer.
+    "c08_engine_filtered_vec" ->
+      """SELECT vec_id,
+                round(list_distance(embedding::DOUBLE[],
+                  (SELECT embedding::DOUBLE[] FROM embeddings
+                   WHERE vec_id = 3)), 6) AS dist
+         FROM embeddings
+         WHERE label IN (1, 3, 5)
+         ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     "c01_crud_cascade" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)

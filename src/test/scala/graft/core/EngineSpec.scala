@@ -91,6 +91,64 @@ class EngineSpec extends SparkSpecBase {
     assert(one.forall(_ % 2 === 1))
   }
 
+  test("searchByVector filter: every index path (exact, IVF, " +
+      "quantized) returns only allowed rows, slots go to allowed ones") {
+    // exact: filter thins the base before top-k — odd cids only, even
+    // though the query sits in the even blob
+    val (_, td, eng) = fresh(lists = 0)
+    val odd = eng.searchByVector(td, Seq(0.0, 0.0), topk = 5,
+        filter = Some(org.apache.spark.sql.functions.col("cid") % 2 === 1))
+      .collect().map(_.getAs[Long]("cid"))
+    assert(odd.length === 5 && odd.forall(_ % 2 === 1))
+    // IVF: same contract within probed cells
+    val (_, td2, eng2) = fresh(lists = 2)
+    eng2.buildIndex(td2)
+    val ivfOdd = eng2.searchByVector(td2, Seq(0.0, 0.0), topk = 3,
+        probes = 2,
+        filter = Some(org.apache.spark.sql.functions.col("cid") % 2 === 1))
+      .collect().map(_.getAs[Long]("cid"))
+    assert(ivfOdd.length === 3 && ivfOdd.forall(_ % 2 === 1))
+    // unfiltered returns evens here — the filter changed the result
+    val ivfAll = eng2.searchByVector(td2, Seq(0.0, 0.0), topk = 3,
+      probes = 2).collect().map(_.getAs[Long]("cid"))
+    assert(ivfAll.forall(_ % 2 === 0))
+    // quantized: the pk semi-join reaches the codes frame; generous
+    // refine keeps the re-rank recall-complete within allowed rows
+    val sp = spark
+    import sp.implicits._
+    val tdq = TableDef[EChunk]("echunkfq", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 2, quantized = true),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-fq").toString).register(tdq)
+    reg.insert(tdq, (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i", Seq(base + i * 0.01f, base),
+        Seq(Seq(base, base), Seq(base + 1, base)))
+    })
+    val engq = new Engine(reg)
+    engq.buildIndex(tdq)
+    val got = engq.searchByVector(tdq, Seq(0.0, 0.0), topk = 4,
+        probes = 2, refine = 40,
+        filter = Some(org.apache.spark.sql.functions.col("cid") >= 10))
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist")))
+    assert(got.length === 4 && got.forall(_._1 >= 10))
+    // equals the exact filtered ranking (all cells probed, big refine)
+    val tdExact = TableDef[EChunk]("echunkfq", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2), MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val exact = engq.searchByVector(tdExact,
+      Seq(0.0, 0.0), topk = 4,
+      filter = Some(org.apache.spark.sql.functions.col("cid") >= 10))
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Double]("dist")))
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("searchByVector with a oneBit IVF index matches the plain IVF " +
       "ranking after re-rank") {
     val sp = spark
