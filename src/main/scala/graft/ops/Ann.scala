@@ -911,6 +911,45 @@ object Ann {
     rangeSearch(pruned, idCol, vecCol, queryVec, metric, eps, roundTo)
   }
 
+  /** Self-contained at-rest range index: the cell-partitioned rows
+    * ([[writePartitioned]] layout under `rows/`), the centroid side
+    * table, and the covering radii — everything a reader needs, plus
+    * the model-fingerprint marker so rows from a different cell
+    * geometry cannot be mixed in. DELETE-SAFETY: removing rows can
+    * only SHRINK a cell's true radius, so radii staleness after a
+    * [[deleteStored]]-style rewrite is CONSERVATIVE — stale radii keep
+    * more cells than needed, never fewer; correctness survives without
+    * a radii rebuild (rebuild to restore pruning power, not
+    * soundness). */
+  def writeRangeIndex(assigned: DataFrame, vecCol: String,
+                      model: IvfModel, dir: String): Unit = {
+    writePartitioned(assigned, s"$dir/rows")
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    cellRadii(assigned, vecCol, model, L2).write.mode("overwrite")
+      .parquet(s"$dir/radii")
+    ensureIvfModelMarker(assigned.sparkSession, dir, model)
+  }
+
+  /** Load a [[writeRangeIndex]] layout: (model, radii). */
+  def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (IvfModel, DataFrame) =
+    (IvfModel(spark.read.parquet(s"$dir/centroids"), "centroid_id",
+      "centroid"),
+      spark.read.parquet(s"$dir/radii"))
+
+  /** [[rangeSearchIvfStored]] over a self-contained
+    * [[writeRangeIndex]] root — model and radii come from the layout
+    * itself. */
+  def rangeSearchStoredSelf(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, idCol: String, vecCol: String,
+                            queryVec: Column, eps: Double,
+                            roundTo: Int = 6,
+                            pred: Column = lit(true)): DataFrame = {
+    val (model, radii) = loadRangeIndex(spark, dir)
+    rangeSearchIvfStored(spark, s"$dir/rows", idCol, vecCol, model,
+      radii, queryVec, L2, eps, roundTo, pred)
+  }
+
   /** COSINE range search over a stored spherical layout — the exact
     * normalized-L2 reduction [[requireTriangleMetric]] names, made
     * real: on unit vectors ‖a−b‖² = 2·cosDist(a,b), so the radii cut

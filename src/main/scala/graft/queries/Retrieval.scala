@@ -1609,7 +1609,32 @@ object Retrieval {
     df
   }
 
+  /** r64: the SELF-CONTAINED at-rest range index
+    * ([[Ann.writeRangeIndex]]): rows, centroids, radii, and the model
+    * fingerprint in one root — a reader needs nothing driver-resident
+    * ([[Ann.rangeSearchStoredSelf]]). Same parameters as r56, so the
+    * plain-SQL oracle is shared; the delete-conservativeness of stale
+    * radii is pinned in AnnRangeSpec. */
+  def rangeStoredSelf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_self").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val df = Ann.rangeSearchStoredSelf(s, dir, "vec_id", "embedding",
+        qvec(s, d, 9), eps = 1.3, pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "self-contained range")
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"self-contained range did not push the label predicate:\n$phys")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r64_range_stored_self" -> rangeStoredSelf,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2935,6 +2960,15 @@ object Retrieval {
                  round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
           FROM embeddings
           WHERE round(list_distance(embedding::DOUBLE[], $qv0), 6) <= 1.26
+          ORDER BY dist ASC, vec_id ASC""",
+    // r64: the self-contained root is the SAME exact semantics as r56
+    // (radii pruning cannot change results) — shared plain-SQL oracle.
+    "r64_range_stored_self" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
           ORDER BY dist ASC, vec_id ASC""",
     // r56: the at-rest radii-pruned form is EXACT (triangle-inequality
     // cut — no probes contract), so its oracle is the SAME plain

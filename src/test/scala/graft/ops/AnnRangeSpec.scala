@@ -199,6 +199,58 @@ class AnnRangeSpec extends SparkSpecBase {
     })
   }
 
+  test("self-contained range root: load-and-search equals the " +
+      "explicit path; stale radii after a delete stay conservative") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-self-spec").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val q = typedlit(Seq(0.1, 0.1))
+    val got = Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+        q, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    val want = Ann.rangeSearch(docs, "vec_id", "embedding", q, Ann.L2,
+        eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    assert(got.toSeq === want.toSeq)
+    // a mixed-geometry append is refused by the fingerprint marker
+    val other = Ann.buildIvf(docs.withColumn("embedding",
+      transform(col("embedding"), x => x * 2)), "cluster", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Ann.ensureIvfModelMarker(sp, dir, other)
+    }
+    assert(ex.getMessage.contains("different IVF model"))
+    // delete the cell's FARTHEST members by rewriting rows/ (the
+    // deleteStored shape), keep the ORIGINAL radii: the stale (larger)
+    // radius keeps the cell selected — conservative, never unsound —
+    // and results still equal brute force over the surviving rows
+    val survivors = sp.read.parquet(s"$dir/rows")
+      .filter(col("vec_id") % 5 =!= 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-range-self-del").toString
+    survivors.write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(s"$tmp/rows")
+    // splice surviving rows under the ORIGINAL root's radii/centroids
+    val fs = new java.io.File(s"$dir/rows")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(fs)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$tmp/rows"),
+      java.nio.file.Paths.get(s"$dir/rows"))
+    val afterDel = Ann.rangeSearchStoredSelf(sp, dir, "vec_id",
+        "embedding", q, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    val wantDel = Ann.rangeSearch(docs.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", q, Ann.L2, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect()
+    assert(afterDel.toSeq === wantDel.toSeq)
+  }
+
   test("cosine radii are refused (not a metric); the spherical " +
       "reduction is exact and prunes on angularly-clustered data") {
     val sp = spark
