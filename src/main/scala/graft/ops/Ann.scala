@@ -920,7 +920,12 @@ object Ann {
     * [[deleteStored]]-style rewrite is CONSERVATIVE — stale radii keep
     * more cells than needed, never fewer; correctness survives without
     * a radii rebuild (rebuild to restore pruning power, not
-    * soundness). */
+    * soundness). The asymmetry matters: APPENDS are NOT covered — a
+    * new row farther from its centroid than the stored radius would
+    * be invisible to range queries whose ball misses the stale
+    * radius. Appending rows requires re-running [[cellRadii]] over
+    * the union (or maintaining the running per-cell max in the same
+    * job) BEFORE the new rows become visible. */
   def writeRangeIndex(assigned: DataFrame, vecCol: String,
                       model: IvfModel, dir: String): Unit = {
     writePartitioned(assigned, s"$dir/rows")

@@ -76,6 +76,30 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Uniform [0, 1) from the row id: the first 32 bits of
+    * md5(id-as-string) over 2³². The division is by a power of two, so
+    * the double is EXACT and any engine computing the same 32-bit
+    * integer gets the bit-identical unit value — the boundary of a
+    * probability comparison can never disagree across engines.
+    * ([[hashBucket]]'s 16-bit source is enough for split/stratum
+    * fractions; probability sampling needs the finer grid.) */
+  def hashUnit(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0)
+
+  /** Deterministic score-proportional sampling — the quality-weighted
+    * downsampling pass (CCNet-style: keep high-quality docs with
+    * higher probability) with NO RNG: a row survives iff
+    * [[hashUnit]](id) < `probCol`, where `probCol` is any per-row
+    * probability in [0, 1] (a quality score, a per-stratum rate, a
+    * length damper). Per-row reproducible and engine-portable like
+    * every sampler here: re-running keeps exactly the same rows;
+    * growing the corpus never flips a previous decision; p = 1 keeps
+    * everything, p = 0 nothing. Map-only — fuses into the scan. */
+  def sampleByProb(df: DataFrame, idCol: String,
+                   probCol: Column): DataFrame =
+    df.filter(hashUnit(col(idCol)) < probCol.cast("double"))
+
   /** Deterministic epoch shuffle — the pretraining "shuffle the corpus
     * each epoch" pass, reproducible and engine-portable: every doc
     * gets a 60-bit order key md5(seed:id) (a new seed is a new

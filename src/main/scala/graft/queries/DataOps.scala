@@ -357,7 +357,22 @@ object DataOps {
       .orderBy(col("pos").asc)
       .limit(40)
 
+  /** p25: score-proportional deterministic sampling
+    * ([[graft.ops.Sampling.sampleByProb]]) — quality-weighted
+    * downsampling with no RNG: keep iff the 32-bit md5 unit value
+    * falls under a per-row probability (here a length-derived quality
+    * proxy, n_chars/2000 clamped to 1). Full kept-set gate: the oracle
+    * replays the exact unit hash (power-of-two division — the double
+    * is exact, the boundary can't disagree) and the same probability
+    * column. */
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.sampleByProb(documents(s, d), "doc_id",
+        least(lit(1.0), col("n_chars").cast("double") / 2000.0))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_quality_sample" -> qualitySample,
     "p24_epoch_shuffle" -> epochShuffleHead,
     "p23_lm_quality" -> lmQualityTail,
     "p22_domain_clusters" -> domainClusters,
@@ -422,6 +437,14 @@ object DataOps {
     }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // p25: the kept set from first principles — 32-bit md5 unit value
+    // vs the length-derived probability, both exact doubles.
+    "p25_quality_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT)::DOUBLE / 4294967296.0)
+               < least(1.0, n_chars / 2000.0)
+         ORDER BY doc_id ASC""",
     // p24: the epoch permutation from first principles — the portable
     // 60-bit md5 order key and ONE global row_number; the operator's
     // distributed shard/offset assembly must reproduce it exactly.

@@ -864,6 +864,28 @@ class OpsSpec extends SparkSpecBase {
     assert(b.values.toSeq.sorted === (0L until 300L).toSeq)
   }
 
+  test("sampleByProb: p=0 keeps none, p=1 keeps all, monotone in p, " +
+      "decisions stable under corpus growth") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Sampling
+    val ids = (0L until 1000L).toDF("id")
+    assert(Sampling.sampleByProb(ids, "id", lit(0.0)).count() === 0L)
+    assert(Sampling.sampleByProb(ids, "id", lit(1.0)).count() === 1000L)
+    val at3 = Sampling.sampleByProb(ids, "id", lit(0.3))
+      .as[Long].collect().toSet
+    val at6 = Sampling.sampleByProb(ids, "id", lit(0.6))
+      .as[Long].collect().toSet
+    // monotone: raising p only ADDS rows
+    assert(at3.subsetOf(at6))
+    // roughly proportional (16-bit-free 32-bit grid: tight at n=1000)
+    assert(math.abs(at3.size - 300) < 60 && math.abs(at6.size - 600) < 60)
+    // growth stability: the same ids survive in a larger corpus
+    val grown = Sampling.sampleByProb((0L until 2000L).toDF("id"), "id",
+      lit(0.3)).as[Long].collect().toSet
+    assert(grown.filter(_ < 1000L) === at3)
+  }
+
   test("groupedTopK: per-group quota equals the naive per-group sort") {
     val sp = spark
     import sp.implicits._
