@@ -504,7 +504,52 @@ object Events {
       typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** s15: the RANGE-INDEX streaming lifecycle — rows streamed through
+    * [[graft.streaming.Stream.ingestIvf]] into `root/rows` in three
+    * micro-batches, then [[graft.streaming.Stream.graduateRangeIndex]]
+    * (compaction + centroids + covering radii computed AFTER the last
+    * append — the sound order for the radii append-asymmetry), then
+    * [[graft.ops.Ann.rangeSearchStoredSelf]] with r56's exact
+    * parameters. The oracle is r56's plain threshold SQL: the streamed
+    * root must be semantically indistinguishable from the batch-built
+    * one, and radii pruning must stay invisible to results. */
+  def streamRangeTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"), col("label"))
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s15_root").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s15_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestIvf(
+      input.toDF().toDF("vec_id", "embedding", "label"), "embedding",
+      model, graft.ops.Ann.L2, s"$root/rows", ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rewritten = graft.streaming.Stream.graduateRangeIndex(s, root,
+      model, "embedding", maxFilesPerCell = 1)
+    require(rewritten > 0, "graduation rewrote no cell dirs")
+    val qv = rows.find(_._1 == 9L)
+      .getOrElse(throw new IllegalStateException("no vec_id 9"))._2
+    graft.ops.Ann.rangeSearchStoredSelf(s, root, "vec_id", "embedding",
+        typedlit(qv), eps = 1.3, pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_range_twin" -> streamRangeTwin,
     "s14_stream_bitq_twin" -> streamBitqTwin,
     "s13_stream_sq_twin" -> streamSqTwin,
     "s01_event_window_agg" -> windowAgg,
@@ -650,6 +695,10 @@ object Events {
     // s14: the streamed-then-compacted 1-bit layout must be
     // byte-identical to the batch index; r14's oracle is shared.
     "s14_stream_bitq_twin" -> Retrieval.oracles("r14_ivf_bitq_topk"),
+    // s15: the streamed range root must reproduce the batch-built
+    // r56 exactly — radii pruning is invisible to results by
+    // contract, so the shared oracle is the plain threshold scan.
+    "s15_stream_range_twin" -> Retrieval.oracles("r56_range_ivf_stored"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

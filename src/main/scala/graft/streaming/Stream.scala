@@ -345,6 +345,33 @@ object Stream {
       .start(qDir)
   }
 
+  /** Graduate a streamed-ingest range root: `root/rows` was grown by
+    * [[ingestIvf]] (cell-partitioned appends, model fingerprint
+    * pinned); this compacts it, then computes centroids + covering
+    * radii OVER THE FULL SURVIVING ROW SET and writes them beside it —
+    * after which the root IS a [[graft.ops.Ann.writeRangeIndex]]
+    * layout ([[graft.ops.Ann.rangeSearchStoredSelf]] works unchanged).
+    * Radii at graduation time is the SOUND order for appends: a
+    * streamed row farther from its centroid than any earlier radius is
+    * covered because the max runs after the last append
+    * ([[graft.ops.Ann.writeRangeIndex]]'s append asymmetry — deletes
+    * are conservative, appends are not). Returns the compaction's
+    * rewritten-cell count. */
+  def graduateRangeIndex(spark: org.apache.spark.sql.SparkSession,
+                         root: String, model: graft.ops.Ann.IvfModel,
+                         vecCol: String,
+                         maxFilesPerCell: Int = 4): Long = {
+    val n = compactStored(spark, s"$root/rows", model.idCol,
+      maxFilesPerCell)
+    val assigned = spark.read.parquet(s"$root/rows")
+    model.centroids.write.mode("overwrite")
+      .parquet(s"$root/centroids")
+    graft.ops.Ann.cellRadii(assigned, vecCol, model, graft.ops.Ann.L2)
+      .write.mode("overwrite").parquet(s"$root/radii")
+    graft.ops.Ann.ensureIvfModelMarker(spark, root, model)
+    n
+  }
+
   /** Compact a cell/bucket-partitioned at-rest layout whose continuous
     * micro-batch appends ([[ingestIvf]] / [[ingestBm25]]) have
     * accumulated many small files — rewrite over-threshold cell

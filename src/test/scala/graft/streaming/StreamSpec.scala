@@ -786,6 +786,58 @@ class StreamSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("different IVF model"))
   }
 
+  test("graduateRangeIndex computes radii AFTER the last append — a " +
+      "late outlier is found where pre-append radii would prune it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    // two tight clusters far apart; batch 2 adds an outlier that
+    // assigns to cluster 0 but sits far outside its batch-1 radius
+    val batch1 = (0L until 20L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(c + (i % 5) * 0.02, c))
+    }
+    val outlier = (100L, Seq(3.0, 0.0))
+    val all = (batch1 :+ outlier).toDF("vec_id", "embedding")
+      .withColumn("__c", when(col("vec_id") % 2 === 0, 0).otherwise(1))
+    val model = Ann.buildIvf(
+      all.filter(col("vec_id") < 100), "__c", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-range-grad").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestIvf(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", model, Ann.L2, s"$root/rows", java.nio.file.Files
+        .createTempDirectory("graft-range-grad-c").toString)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // stale radii taken here (before the outlier) would prune the
+      // query's cell — quantify it for the assertion below
+      input.addData(outlier)
+      q.processAllAvailable()
+    } finally q.stop()
+    Stream.graduateRangeIndex(sp, root, model, "embedding",
+      maxFilesPerCell = 1)
+    val (loadedModel, radii) = Ann.loadRangeIndex(sp, root)
+    val qv = typedlit(Seq(4.0, 0.0))
+    // graduation-time radii cover the outlier's cell
+    val cells = Ann.rangeCells(loadedModel, radii, qv, Ann.L2, eps = 1.2)
+    assert(cells.nonEmpty, "outlier's cell was pruned — radii must " +
+      "run after the last append")
+    val got = Ann.rangeSearchStoredSelf(sp, root, "vec_id", "embedding",
+        qv, eps = 1.2)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(100L), s"expected the outlier, got $got")
+    // counterfactual: radii over batch 1 alone WOULD have pruned it —
+    // the test bites
+    val staleRadii = Ann.cellRadii(
+      Ann.assign(batch1.toDF("vec_id", "embedding"), "embedding",
+        model, Ann.L2), "embedding", model, Ann.L2)
+    assert(Ann.rangeCells(loadedModel, staleRadii, qv, Ann.L2,
+      eps = 1.2).isEmpty)
+  }
+
   test("graduation deletes uncommitted orphan files BEFORE the commit " +
       "log, so no crash point resurrects them or strands the layout") {
     val sp = spark
