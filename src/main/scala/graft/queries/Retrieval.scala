@@ -1633,7 +1633,40 @@ object Retrieval {
     df
   }
 
+  /** r65: the eps-join AT REST — r57's batch shape over a
+    * self-contained [[Ann.writeRangeIndex]] root: each query explodes
+    * to its ball-intersecting cells (broadcast (centroid, radius)
+    * table), and the equi-join against the cell-partitioned `rows/`
+    * scan plants DynamicPruningExpression — the batch reads only the
+    * union of its queries' intersecting cell DIRECTORIES (pinned —
+    * meaningful because the query side is the r36-style selective
+    * query log; the whole-corpus self-join r57 probes every cell by
+    * construction). Exact like r57: plain quadratic oracle over the
+    * same query subset, self-pairs included (dist 0). */
+  def rangeJoinStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_range_join_store").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, root)
+    val (loadedModel, radii) = Ann.loadRangeIndex(s, root)
+    val stored = s.read.parquet(s"$root/rows")
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.rangeJoinIvf(queries, "q_id", "qv", stored, "d_id",
+        "dv", loadedModel, radii, Ann.L2, eps = 1.2)
+      .select(col("q_id").as("qid"), col("d_id").as("did"), col("dist"))
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.toLowerCase.contains("dynamicpruning"),
+      s"stored eps-join must runtime-prune cell dirs:\n$phys")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
@@ -2961,6 +2994,18 @@ object Retrieval {
           FROM embeddings
           WHERE round(list_distance(embedding::DOUBLE[], $qv0), 6) <= 1.26
           ORDER BY dist ASC, vec_id ASC""",
+    // r65: the stored eps-join is exact (radii blocking cannot drop a
+    // true pair) — plain quadratic oracle over the 5-query log,
+    // self-pairs (dist 0) included.
+    "r65_range_join_stored" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS did,
+                round(list_distance(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS dist
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 5
+           AND round(list_distance(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) <= 1.2
+         ORDER BY qid ASC, dist ASC, did ASC""",
     // r64: the self-contained root is the SAME exact semantics as r56
     // (radii pruning cannot change results) — shared plain-SQL oracle.
     "r64_range_stored_self" ->
