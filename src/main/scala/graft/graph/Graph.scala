@@ -472,6 +472,47 @@ object Graph {
         similarK),
       chunks, uidCol, topk)
 
+  /** PageRank over the merged entity graph — the global-importance
+    * ranking a GraphRAG-style retriever mixes with similarity (which
+    * entities anchor the corpus, independent of any query). Nodes are
+    * entity texts (unique post-merge), edges the merged relations in
+    * their stored first-occurrence orientation. Fixed `iters` of
+    * pr ← (1−d)/N + d·Σ_in pr/outdeg; the simple leaky variant (no
+    * dangling-mass redistribution) so any engine replays it as plain
+    * joins; intermediate values round to 9 decimals each iteration so
+    * cross-engine float drift re-synchronizes instead of compounding,
+    * output rounds to `roundTo`.
+    *
+    * Scale shape: each iteration is ONE equi-join shuffle plus a
+    * combinable sum — corpus-linear per iteration, plan-linear in
+    * `iters` (checkpoint every ~10 iterations on a long chain to cut
+    * lineage; 3 is the retrieval-mixing default here). The outdeg
+    * table is edge-keyed and reused across iterations. */
+  def pageRank(entities: DataFrame, relations: DataFrame,
+               iters: Int = 3, damping: Double = 0.85,
+               roundTo: Int = 6): DataFrame = {
+    val nodes = entities.select(col("text"))
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty entity table")
+    val edges = relations.select(col("source"), col("target"))
+    val out = edges.groupBy("source").agg(count(lit(1)).as("__od"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(out, "source")
+        .join(pr.withColumnRenamed("text", "source"), "source")
+        .groupBy("target")
+        .agg(sum(col("pr") / col("__od")).as("__in"))
+        .withColumnRenamed("target", "text")
+      pr = nodes.join(contrib, Seq("text"), "left")
+        .withColumn("pr", round(
+          lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 9))
+        .select("text", "pr")
+    }
+    pr.withColumn("pr", round(col("pr"), roundTo))
+  }
+
   /** Hop 2 of [[graphSearch]] given an already-ranked entity frame
     * (from [[graphSearchEntities]], possibly cached by the caller —
     * the entity ranking is the expensive phase and a fixed query's

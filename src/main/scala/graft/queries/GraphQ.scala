@@ -146,10 +146,24 @@ object GraphQ {
   def graphEntities(s: SparkSession, d: String): DataFrame =
     rankedEntities(s, d).select("text", "dist")
 
+  /** g04: PageRank over the merged entity graph ([[Graph.pageRank]],
+    * 3 iterations, d = 0.85, leaky-dangling variant) — the global
+    * importance ranking a GraphRAG retriever mixes with similarity.
+    * Top-20 by (pr desc, text asc); the oracle unrolls all three
+    * iterations over the same entity/relation merge CTEs. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val (reg, _) = buildGraph(s, d)
+    Graph.pageRank(reg.table(Graph.entityDef()),
+        reg.table(Graph.relationDef()))
+      .orderBy(col("pr").desc, col("text").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_entity_merge" -> entityMerge,
     "g02_graph_search" -> graphSearch,
-    "g03_graph_entities" -> graphEntities)
+    "g03_graph_entities" -> graphEntities,
+    "g04_pagerank" -> graphPagerank)
 
   /** Shared oracle prefix: the FULL graph build + 2-hop search replayed
     * relationally — recognizer (sentence split → vocab hits → first-
@@ -348,6 +362,40 @@ object GraphQ {
     "g03_graph_entities" ->
       s"""$g2Ctes
         SELECT text, dist FROM siment_ranked ORDER BY erank""",
+    // g04: the three PageRank iterations unrolled over the same merged
+    // entity/relation CTEs — leaky-dangling variant, per-iteration
+    // round(9) re-synchronizing float drift, final round(6).
+    "g04_pagerank" ->
+      s"""$g2Ctes,
+        nn AS (SELECT count(*) AS n FROM entity),
+        outd AS (SELECT source, count(*) AS od FROM relation GROUP BY 1),
+        pr0 AS (SELECT text, 1.0 / (SELECT n FROM nn) AS pr FROM entity),
+        pr1 AS (
+          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+            0.85 * coalesce(c.s, 0), 9) AS pr
+          FROM entity e LEFT JOIN (
+            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            FROM relation r JOIN outd o ON o.source = r.source
+            JOIN pr0 p ON p.text = r.source GROUP BY 1) c
+            ON c.text = e.text),
+        pr2 AS (
+          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+            0.85 * coalesce(c.s, 0), 9) AS pr
+          FROM entity e LEFT JOIN (
+            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            FROM relation r JOIN outd o ON o.source = r.source
+            JOIN pr1 p ON p.text = r.source GROUP BY 1) c
+            ON c.text = e.text),
+        pr3 AS (
+          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+            0.85 * coalesce(c.s, 0), 9) AS pr
+          FROM entity e LEFT JOIN (
+            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            FROM relation r JOIN outd o ON o.source = r.source
+            JOIN pr2 p ON p.text = r.source GROUP BY 1) c
+            ON c.text = e.text)
+        SELECT text, round(pr, 6) AS pr FROM pr3
+        ORDER BY pr DESC, text ASC LIMIT 20""",
     "g01_entity_merge" ->
       s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks
          FROM (

@@ -258,4 +258,31 @@ class GraphSpec extends SparkSpecBase {
       chunks, "uid", ents, rels, emb, SimpleRecognizer())
     assert(hits.count() === 0)
   }
+
+  test("pageRank: hand-computed chain values, sinks keep base mass, " +
+      "leaky total, determinism across runs") {
+    val sp = spark
+    import sp.implicits._
+    // a -> b -> c, plus isolated d: N=4, d=0.85, 1 iteration:
+    //   pr(a) = pr(d) = 0.15/4 = 0.0375 (no in-edges)
+    //   pr(b) = 0.0375 + 0.85 * 0.25 = 0.25
+    //   pr(c) = 0.0375 + 0.85 * 0.25 = 0.25
+    val ents = Seq("a", "b", "c", "d").toDF("text")
+    val rels = Seq(("a", "b"), ("b", "c")).toDF("source", "target")
+    val one = Graph.pageRank(ents, rels, iters = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(one("a") === 0.0375 && one("d") === 0.0375)
+    assert(one("b") === 0.25 && one("c") === 0.25)
+    // iteration 2: pr(b) = 0.0375 + .85*0.0375 = 0.069375;
+    //              pr(c) = 0.0375 + .85*0.25 = 0.25
+    val two = Graph.pageRank(ents, rels, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(two("b") === 0.069375 && two("c") === 0.25)
+    // leaky variant: total mass <= 1 (c is a sink, its mass drains)
+    assert(two.values.sum <= 1.0 + 1e-9)
+    // deterministic across runs
+    val again = Graph.pageRank(ents, rels, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(again === two)
+  }
 }
