@@ -127,4 +127,47 @@ object Metrics {
   }
 
   private def log2(c: Column): Column = log(c) / math.log(2.0)
+
+  /** Deterministic bootstrap confidence interval for a per-query
+    * metric — the error bar an eval report should carry, with NO RNG:
+    * resample `b` replicates of the `n` queries with replacement,
+    * draw j of replicate r picking the query ranked
+    * md5(r:j)₃₂ mod n (the engine-portable 32-bit grid
+    * [[graft.ops.Sampling.hashUnit]] uses), mean each replicate, and
+    * take the empirical percentile CI by EXPLICIT rank selection
+    * (rank floor(α/2·b)+1 and b−floor(α/2·b) of the (mean, replicate)
+    * ordering) — no interpolating-percentile ambiguity across
+    * engines. `perQuery`'s ids must be the dense ranks 0..n−1 (the
+    * evaluate() qid shape). Replicate means round to 9 so engine
+    * float drift re-synchronizes before the rank selection.
+    *
+    * Scale shape: draws are b·n generated rows joined once against
+    * the per-query frame; the only window runs over the b replicate
+    * means — bounded by `b`, never by data. */
+  def bootstrapCi(perQuery: DataFrame, idCol: String, metricCol: String,
+                  n: Int, b: Int = 200, alpha: Double = 0.05,
+                  roundTo: Int = 6): DataFrame = {
+    require(n > 0 && b > 1 && alpha > 0 && alpha < 1,
+      s"bootstrapCi needs n>0, b>1, 0<alpha<1 (got n=$n b=$b a=$alpha)")
+    val spark = perQuery.sparkSession
+    val draws = spark.range(b.toLong * n)
+      .withColumn("rs", expr(s"id div $n"))
+      .withColumn("j", expr(s"id % $n"))
+      .withColumn(idCol,
+        conv(substring(md5(concat_ws(":", col("rs"), col("j"))), 1, 8),
+          16, 10).cast("long") % n)
+    val means = draws
+      .join(perQuery.select(col(idCol).cast("long").as(idCol),
+        col(metricCol)), idCol)
+      .groupBy("rs").agg(round(avg(col(metricCol)), 9).as("m"))
+    val w = Window.orderBy(col("m").asc, col("rs").asc)
+    val rk = means.withColumn("rk", row_number().over(w))
+    val loRk = math.floor(alpha / 2 * b).toInt + 1
+    val hiRk = b - math.floor(alpha / 2 * b).toInt
+    perQuery.agg(round(avg(col(metricCol)), roundTo).as("mean"))
+      .crossJoin(rk.filter(col("rk") === loRk)
+        .select(round(col("m"), roundTo).as("ci_lo")))
+      .crossJoin(rk.filter(col("rk") === hiRk)
+        .select(round(col("m"), roundTo).as("ci_hi")))
+  }
 }

@@ -53,6 +53,17 @@ object Eval {
         round(col("mrr"), 6).as("mrr"))
       .orderBy("qid")
 
+  /** e13: deterministic bootstrap CI over the e02 per-query NDCG
+    * ([[Metrics.bootstrapCi]]) — 200 md5-seeded resamples of the 10
+    * queries, replicate means, explicit rank-6/rank-195 percentile
+    * selection: the error bar e03's macro average should carry, RNG-
+    * free so DuckDB replays every draw. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame =
+    Metrics.bootstrapCi(
+      Metrics.evaluate(ranked(s, d), truth(s, d), K)
+        .select(col("qid"), round(col("ndcg"), 6).as("ndcg")),
+      "qid", "ndcg", n = NQ, b = 200)
+
   /** Macro-average over the query set (evaluate.py:44-48). */
   def metricsMacro(s: SparkSession, d: String): DataFrame =
     Metrics.macroAvg(Metrics.evaluate(ranked(s, d), truth(s, d), K))
@@ -229,6 +240,7 @@ object Eval {
         s"e12|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_bootstrap_ci" -> bootstrapCi,
     "e12_passk_keyword" -> passkKeyword,
     "e02_metrics_knn" -> metricsKnn,
     "e03_metrics_macro" -> metricsMacro,
@@ -339,6 +351,25 @@ object Eval {
           FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
     "e02_metrics_knn" ->
       s"$perQuerySql SELECT * FROM meas ORDER BY qid",
+    // e13: every resample draw replayed (md5 32-bit grid mod NQ),
+    // replicate means rounded 9, explicit rank selection 6 / 195.
+    "e13_bootstrap_ci" ->
+      s"""$perQuerySql,
+        draws AS (
+          SELECT i // $NQ AS rs,
+            (CAST('0x' || substring(md5(
+               CAST(i // $NQ AS VARCHAR) || ':' ||
+               CAST(i % $NQ AS VARCHAR)), 1, 8) AS BIGINT)) % $NQ AS qid
+          FROM (SELECT unnest(range(${200 * NQ})) AS i)),
+        means AS (
+          SELECT rs, round(avg(m.ndcg), 9) AS m
+          FROM draws JOIN meas m USING (qid) GROUP BY rs),
+        rk AS (SELECT m, row_number() OVER (ORDER BY m ASC, rs ASC)
+                 AS rk
+               FROM means)
+        SELECT (SELECT round(avg(ndcg), 6) FROM meas) AS mean,
+               (SELECT round(m, 6) FROM rk WHERE rk = 6) AS ci_lo,
+               (SELECT round(m, 6) FROM rk WHERE rk = 195) AS ci_hi""",
     // e04: recompute the whole loop from first principles — tokenize,
     // rank by distinct-token overlap, judge top-KGen (relevance ⟺
     // 2·|q∩p| ≥ |q|, the integer form of OverlapJudge's round(frac·3) ≥ 2

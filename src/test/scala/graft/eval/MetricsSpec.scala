@@ -66,6 +66,32 @@ class MetricsSpec extends SparkSpecBase {
     assert(math.abs(avg.getAs[Double]("mrr") - 0.75) < 1e-12)
   }
 
+  test("bootstrapCi: brackets the mean, deterministic, degenerate-exact") {
+    val sp = spark
+    import sp.implicits._
+    // 10 queries with spread-out metric values: CI must bracket the mean
+    val per = (0 until 10).map(i => (i.toLong, i / 10.0)).toDF("qid", "m")
+    val ci = Metrics.bootstrapCi(per, "qid", "m", n = 10, b = 200).collect()(0)
+    val (mean, lo, hi) =
+      (ci.getAs[Double]("mean"), ci.getAs[Double]("ci_lo"),
+        ci.getAs[Double]("ci_hi"))
+    assert(mean === 0.45)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(hi - lo > 0, "spread data must give a non-degenerate interval")
+    // the md5 grid is RNG-free: a second run is bit-identical
+    val again = Metrics.bootstrapCi(per, "qid", "m", 10, 200).collect()(0)
+    assert(again.getAs[Double]("ci_lo") === lo)
+    assert(again.getAs[Double]("ci_hi") === hi)
+    // constant metric: every replicate mean equals it -> zero-width CI
+    val const = (0 until 10).map(i => (i.toLong, 0.7)).toDF("qid", "m")
+    val c = Metrics.bootstrapCi(const, "qid", "m", 10, 200).collect()(0)
+    assert(c.getAs[Double]("ci_lo") === 0.7)
+    assert(c.getAs[Double]("ci_hi") === 0.7)
+    intercept[IllegalArgumentException] {
+      Metrics.bootstrapCi(per, "qid", "m", n = 0)
+    }
+  }
+
   test("ground-truth generate + evaluate round trip (mocked retriever)") {
     val reg = new Registry(spark,
       Files.createTempDirectory("graft-gt").toString)
