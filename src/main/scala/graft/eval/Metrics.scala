@@ -144,6 +144,52 @@ object Metrics {
     * Scale shape: draws are b·n generated rows joined once against
     * the per-query frame; the only window runs over the b replicate
     * means — bounded by `b`, never by data. */
+  /** Deterministic paired permutation (sign-flip) test: is system A's
+    * per-query metric different from system B's beyond chance? The
+    * statistic is the mean per-query difference d̄; each of the `b`
+    * replicates flips every query's diff sign by the md5 parity bit
+    * md5(r:qid)₃₂ mod 2 (RNG-free, engine-replayable), and the
+    * two-sided add-one p-value is (1 + #{r : |mean_r| ≥ |d̄|})/(b+1).
+    * Replicate means and d̄ round to 9 before the comparison so engine
+    * float drift re-synchronizes. Both inputs must carry the dense
+    * qid grid 0..n−1 (the evaluate() shape).
+    *
+    * Scale shape: the flip grid is b·n generated rows joined once
+    * against the n-row diff frame; everything downstream is bounded
+    * by `b`, never by data. */
+  def pairedPermutation(perA: DataFrame, perB: DataFrame, idCol: String,
+                        metricCol: String, n: Int, b: Int = 200,
+                        roundTo: Int = 6): DataFrame = {
+    require(n > 0 && b > 1,
+      s"pairedPermutation needs n>0, b>1 (got n=$n b=$b)")
+    val spark = perA.sparkSession
+    val diffs = perA.select(col(idCol).cast("long").as(idCol),
+        col(metricCol).as("__a"))
+      .join(perB.select(col(idCol).cast("long").as(idCol),
+        col(metricCol).as("__b")), idCol)
+      .select(col(idCol), col("__a"), col("__b"),
+        (col("__a") - col("__b")).as("diff"))
+    val obs = diffs.agg(
+      round(avg(col("__a")), roundTo).as("mean_a"),
+      round(avg(col("__b")), roundTo).as("mean_b"),
+      round(avg(col("diff")), 9).as("dbar"))
+    val flips = spark.range(b.toLong * n)
+      .withColumn("rs", expr(s"id div $n"))
+      .withColumn(idCol, expr(s"id % $n"))
+      .withColumn("sgn", lit(1) - lit(2) *
+        (conv(substring(md5(concat_ws(":", col("rs"), col(idCol))), 1, 8),
+          16, 10).cast("long") % 2))
+    val means = flips.join(diffs.select(col(idCol), col("diff")), idCol)
+      .groupBy("rs").agg(round(avg(col("sgn") * col("diff")), 9).as("m"))
+    val cnt = means.crossJoin(obs.select(col("dbar").as("__d")))
+      .filter(abs(col("m")) >= abs(col("__d")))
+      .agg(count(lit(1)).as("ge"))
+    obs.crossJoin(cnt).select(col("mean_a"), col("mean_b"),
+      round(col("dbar"), roundTo).as("diff"),
+      round((col("ge") + 1).cast("double") / (b + 1), roundTo)
+        .as("p_value"))
+  }
+
   def bootstrapCi(perQuery: DataFrame, idCol: String, metricCol: String,
                   n: Int, b: Int = 200, alpha: Double = 0.05,
                   roundTo: Int = 6): DataFrame = {

@@ -23,15 +23,19 @@ object Eval {
   val K = 10
   val NQ = 10
 
-  private def ranked(s: SparkSession, d: String): DataFrame = {
+  private def rankedBy(s: SparkSession, d: String,
+                       metric: Ann.Metric): DataFrame = {
     val e = embeddings(s, d)
     val qs = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val docs = e.select(col("vec_id").as("d_id"), col("embedding").as("dv"))
-    Ann.knnJoin(qs, "q_id", "qv", docs, "d_id", "dv", Ann.L2, K)
+    Ann.knnJoin(qs, "q_id", "qv", docs, "d_id", "dv", metric, K)
       .select(col("q_id").as("qid"), col("d_id").cast("string").as("id"),
         col("rank"))
   }
+
+  private def ranked(s: SparkSession, d: String): DataFrame =
+    rankedBy(s, d, Ann.L2)
 
   private def truth(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -63,6 +67,36 @@ object Eval {
       Metrics.evaluate(ranked(s, d), truth(s, d), K)
         .select(col("qid"), round(col("ndcg"), 6).as("ndcg")),
       "qid", "ndcg", n = NQ, b = 200)
+
+  /** e14: deterministic paired permutation test
+    * ([[Metrics.pairedPermutation]]) — the dimensionality ablation:
+    * does full-width L2 retrieval beat L2 over the first
+    * [[HalfDim]] dimensions beyond chance on these 10 queries? 200
+    * md5-parity sign-flip replicates of the per-query NDCG diffs,
+    * two-sided add-one p-value; the significance call an eval report
+    * needs next to e13's error bar. RNG-free, so DuckDB replays
+    * every flip. (L2-vs-cosine was the natural pairing but ranks
+    * identically on this corpus — a vacuous diff grid; truncation
+    * guarantees a live one.) */
+  val HalfDim = 32
+
+  def permutationTest(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    def perq(ranked: DataFrame) =
+      Metrics.evaluate(ranked, truth(s, d), K)
+        .select(col("qid"), round(col("ndcg"), 6).as("ndcg"))
+    val qsHalf = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"),
+        slice(col("embedding"), 1, HalfDim).as("qv"))
+    val docsHalf = e.select(col("vec_id").as("d_id"),
+      slice(col("embedding"), 1, HalfDim).as("dv"))
+    val rankedHalf = Ann.knnJoin(qsHalf, "q_id", "qv",
+        docsHalf, "d_id", "dv", Ann.L2, K)
+      .select(col("q_id").as("qid"), col("d_id").cast("string").as("id"),
+        col("rank"))
+    Metrics.pairedPermutation(perq(ranked(s, d)), perq(rankedHalf),
+      "qid", "ndcg", n = NQ, b = 200)
+  }
 
   /** Macro-average over the query set (evaluate.py:44-48). */
   def metricsMacro(s: SparkSession, d: String): DataFrame =
@@ -240,6 +274,7 @@ object Eval {
         s"e12|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_perm_test" -> permutationTest,
     "e13_bootstrap_ci" -> bootstrapCi,
     "e12_passk_keyword" -> passkKeyword,
     "e02_metrics_knn" -> metricsKnn,
@@ -299,7 +334,67 @@ object Eval {
           round(p.mrr, 6) AS mrr
         FROM perq p JOIN tsz t USING (qid) JOIN idcg i USING (qid))"""
 
+  /** Per-retriever NDCG chain (CTE fragment): ranked top-K by
+    * `distExpr`, DCG, 6-rounded NDCG against the shared tsz/idcg. */
+  private def ndcgChainSql(tag: String, distExpr: String): String =
+    s"""ranked$tag AS (
+          SELECT qid, id, rel, rank FROM (
+            SELECT q.qid, d.id,
+                   CAST(d.dlab = q.qlab AND d.id <> q.qid AS INT) AS rel,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY round($distExpr, 6) ASC, d.id ASC) AS rank
+            FROM q CROSS JOIN d) WHERE rank <= $K),
+        perq$tag AS (
+          SELECT qid,
+            sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0 END)
+              AS dcg
+          FROM ranked$tag GROUP BY 1),
+        meas$tag AS (
+          SELECT p.qid,
+            round(CASE WHEN t.n_truth > 0 THEN p.dcg / i.idcg ELSE 0 END, 6)
+              AS ndcg
+          FROM perq$tag p JOIN tsz t USING (qid) JOIN idcg i USING (qid))"""
+
   val oracles: Map[String, String] = Map(
+    // e14: both retriever chains share truth (tsz/idcg); system B is
+    // L2 over the 32-dim prefix (list slicing); every sign flip
+    // replayed on the md5 parity grid; `+ 0` normalizes a possible
+    // -0.0 diff (DuckDB round emits it, Spark's BigDecimal round
+    // never does).
+    "e14_perm_test" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                            label AS qlab
+                     FROM embeddings WHERE vec_id < $NQ),
+        d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv, label AS dlab
+              FROM embeddings),
+        tsz AS (SELECT q.qid, count(*) AS n_truth
+                FROM q JOIN d ON d.dlab = q.qlab AND d.id <> q.qid
+                GROUP BY 1),
+        idcg AS (SELECT qid, sum(1.0 / log2(i + 1.0)) AS idcg
+                 FROM (SELECT qid, unnest(generate_series(1, n_truth)) AS i
+                       FROM tsz)
+                 GROUP BY 1),
+        ${ndcgChainSql("A", "list_distance(d.dv, q.qv)")},
+        ${ndcgChainSql("B", s"list_distance(d.dv[1:$HalfDim], q.qv[1:$HalfDim])")},
+        diffs AS (SELECT qid, a.ndcg AS av, b.ndcg AS bv,
+                         a.ndcg - b.ndcg AS diff
+                  FROM measA a JOIN measB b USING (qid)),
+        obs AS (SELECT round(avg(av), 6) AS mean_a,
+                       round(avg(bv), 6) AS mean_b,
+                       round(avg(diff), 9) AS dbar FROM diffs),
+        flips AS (SELECT i // $NQ AS rs, i % $NQ AS qid,
+                    1 - 2 * ((CAST('0x' || substring(md5(
+                      CAST(i // $NQ AS VARCHAR) || ':' ||
+                      CAST(i % $NQ AS VARCHAR)), 1, 8) AS BIGINT)) % 2)
+                      AS sgn
+                  FROM (SELECT unnest(range(${200 * NQ})) AS i)),
+        means AS (SELECT rs, round(avg(sgn * diff), 9) AS m
+                  FROM flips JOIN diffs USING (qid) GROUP BY rs),
+        cnt AS (SELECT count(*) AS ge FROM means, obs
+                WHERE abs(m) >= abs(dbar))
+        SELECT mean_a, mean_b, round(dbar, 6) + 0 AS diff,
+               round(CAST(ge + 1 AS DOUBLE) / 201, 6) AS p_value
+        FROM obs, cnt""",
     // e12: e05's query synthesis composed with r13's batch BM25 replay
     // — rarest-5 distinct tokens per source doc (ties token asc) as the
     // query, Okapi BM25 (k1=1.2, b=0.75, +1 idf) per (query, doc),

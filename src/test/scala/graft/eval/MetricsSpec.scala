@@ -2,6 +2,8 @@ package graft.eval
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpecBase
 import graft.core.Registry
 
@@ -89,6 +91,31 @@ class MetricsSpec extends SparkSpecBase {
     assert(c.getAs[Double]("ci_hi") === 0.7)
     intercept[IllegalArgumentException] {
       Metrics.bootstrapCi(per, "qid", "m", n = 0)
+    }
+  }
+
+  test("pairedPermutation: identical systems p=1, one-sided shift small p") {
+    val sp = spark
+    import sp.implicits._
+    val a = (0 until 10).map(i => (i.toLong, 0.3 + i / 20.0)).toDF("qid", "m")
+    // A == B: every diff 0, every flip mean 0 >= 0 -> p = (1+200)/201 = 1
+    val same = Metrics.pairedPermutation(a, a, "qid", "m", n = 10).collect()(0)
+    assert(same.getAs[Double]("diff") === 0.0)
+    assert(same.getAs[Double]("p_value") === 1.0)
+    // B = A - 0.1 on every query: |mean_r| = 0.1 only when all ten md5
+    // parity bits agree (~2 in 1024 replicates) -> p far below 0.1
+    val b = a.select(col("qid"), (col("m") - 0.1).as("m"))
+    val shift = Metrics.pairedPermutation(a, b, "qid", "m", 10).collect()(0)
+    assert(shift.getAs[Double]("diff") === 0.1)
+    assert(math.abs(shift.getAs[Double]("mean_a") -
+      shift.getAs[Double]("mean_b") - 0.1) < 1e-12)
+    val p = shift.getAs[Double]("p_value")
+    assert(p > 0 && p < 0.1, s"uniform shift must be significant, got $p")
+    // RNG-free: bit-identical on a second run
+    val again = Metrics.pairedPermutation(a, b, "qid", "m", 10).collect()(0)
+    assert(again.getAs[Double]("p_value") === p)
+    intercept[IllegalArgumentException] {
+      Metrics.pairedPermutation(a, b, "qid", "m", n = 10, b = 1)
     }
   }
 
