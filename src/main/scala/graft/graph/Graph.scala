@@ -475,7 +475,8 @@ object Graph {
   /** PageRank over the merged entity graph — the global-importance
     * ranking a GraphRAG-style retriever mixes with similarity (which
     * entities anchor the corpus, independent of any query). Nodes are
-    * entity texts (unique post-merge), edges the merged relations in
+    * keyed by `idCol` (default the entity UID — the key space the
+    * stored relation endpoints use), edges the merged relations in
     * their stored first-occurrence orientation. Fixed `iters` of
     * pr ← (1−d)/N + d·Σ_in pr/outdeg; the simple leaky variant (no
     * dangling-mass redistribution) so any engine replays it as plain
@@ -490,27 +491,38 @@ object Graph {
     * table is edge-keyed and reused across iterations. */
   def pageRank(entities: DataFrame, relations: DataFrame,
                iters: Int = 3, damping: Double = 0.85,
-               roundTo: Int = 6): DataFrame = {
-    val nodes = entities.select(col("text"))
+               roundTo: Int = 6, idCol: String = "uid"): DataFrame = {
+    val nodes = entities.select(col(idCol).as("__id"), col("text"))
     val n = nodes.count()
     require(n > 0, "pageRank over an empty entity table")
-    val edges = relations.select(col("source"), col("target"))
-    val out = edges.groupBy("source").agg(count(lit(1)).as("__od"))
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    val edges = relations.select(col("source").as("__s"),
+      col("target").as("__t"))
+    // A key-space mismatch between edge endpoints and node ids silently
+    // degenerates every node to the teleport constant (the stored
+    // GraphRelation contract keys source/target by entity UID,
+    // extractFromChunks sha2Hex — NOT by text); refuse loudly instead.
+    if (!relations.isEmpty) {
+      require(!edges.join(nodes, col("__s") === col("__id")).isEmpty,
+        s"pageRank: no edge source matches any entity '$idCol' — edge " +
+          "endpoints must live in the node id key space")
+    }
+    val out = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
+    var pr = nodes.select(col("__id")).withColumn("pr", lit(1.0 / n))
     (1 to iters).foreach { _ =>
       val contrib = edges
-        .join(out, "source")
-        .join(pr.withColumnRenamed("text", "source"), "source")
-        .groupBy("target")
+        .join(out, "__s")
+        .join(pr.withColumnRenamed("__id", "__s"), "__s")
+        .groupBy("__t")
         .agg(sum(col("pr") / col("__od")).as("__in"))
-        .withColumnRenamed("target", "text")
-      pr = nodes.join(contrib, Seq("text"), "left")
+        .withColumnRenamed("__t", "__id")
+      pr = nodes.select("__id").join(contrib, Seq("__id"), "left")
         .withColumn("pr", round(
           lit((1 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0)), 9))
-        .select("text", "pr")
+        .select("__id", "pr")
     }
-    pr.withColumn("pr", round(col("pr"), roundTo))
+    nodes.join(pr, "__id")
+      .select(col("text"), round(col("pr"), roundTo).as("pr"))
   }
 
   /** Hop 2 of [[graphSearch]] given an already-ranked entity frame

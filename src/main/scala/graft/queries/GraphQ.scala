@@ -153,10 +153,18 @@ object GraphQ {
     * iterations over the same entity/relation merge CTEs. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val (reg, _) = buildGraph(s, d)
-    Graph.pageRank(reg.table(Graph.entityDef()),
+    val pr = Graph.pageRank(reg.table(Graph.entityDef()),
         reg.table(Graph.relationDef()))
       .orderBy(col("pr").desc, col("text").asc)
       .limit(20)
+    // non-degeneracy pin: a key-space mismatch between relation
+    // endpoints and node ids collapses every node to the teleport
+    // constant 0.15/N — and the oracle, replaying the same joins,
+    // would agree (exactly the round-12 g04 bug). A live graph must
+    // spread.
+    require(pr.select(col("pr")).distinct().count() > 1,
+      "g04: PageRank degenerated to a constant — edge/node key mismatch?")
+    pr
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,37 +372,42 @@ object GraphQ {
         SELECT text, dist FROM siment_ranked ORDER BY erank""",
     // g04: the three PageRank iterations unrolled over the same merged
     // entity/relation CTEs — leaky-dangling variant, per-iteration
-    // round(9) re-synchronizing float drift, final round(6).
+    // round(9) re-synchronizing float drift, final round(6). Keyed by
+    // entity UID throughout: relation endpoints live in the sha256-uid
+    // space (relk CTE), NOT the text space — the text-keyed form of
+    // this oracle silently agreed with a text-keyed Spark join on an
+    // all-teleport constant (the round-12 g04 vacuity bug).
     "g04_pagerank" ->
       s"""$g2Ctes,
         nn AS (SELECT count(*) AS n FROM entity),
         outd AS (SELECT source, count(*) AS od FROM relation GROUP BY 1),
-        pr0 AS (SELECT text, 1.0 / (SELECT n FROM nn) AS pr FROM entity),
+        pr0 AS (SELECT uid, 1.0 / (SELECT n FROM nn) AS pr FROM entity),
         pr1 AS (
-          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+          SELECT e.uid, round(0.15 / (SELECT n FROM nn) +
             0.85 * coalesce(c.s, 0), 9) AS pr
           FROM entity e LEFT JOIN (
-            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            SELECT r.target AS uid, sum(p.pr / o.od) AS s
             FROM relation r JOIN outd o ON o.source = r.source
-            JOIN pr0 p ON p.text = r.source GROUP BY 1) c
-            ON c.text = e.text),
+            JOIN pr0 p ON p.uid = r.source GROUP BY 1) c
+            ON c.uid = e.uid),
         pr2 AS (
-          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+          SELECT e.uid, round(0.15 / (SELECT n FROM nn) +
             0.85 * coalesce(c.s, 0), 9) AS pr
           FROM entity e LEFT JOIN (
-            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            SELECT r.target AS uid, sum(p.pr / o.od) AS s
             FROM relation r JOIN outd o ON o.source = r.source
-            JOIN pr1 p ON p.text = r.source GROUP BY 1) c
-            ON c.text = e.text),
+            JOIN pr1 p ON p.uid = r.source GROUP BY 1) c
+            ON c.uid = e.uid),
         pr3 AS (
-          SELECT e.text, round(0.15 / (SELECT n FROM nn) +
+          SELECT e.uid, round(0.15 / (SELECT n FROM nn) +
             0.85 * coalesce(c.s, 0), 9) AS pr
           FROM entity e LEFT JOIN (
-            SELECT r.target AS text, sum(p.pr / o.od) AS s
+            SELECT r.target AS uid, sum(p.pr / o.od) AS s
             FROM relation r JOIN outd o ON o.source = r.source
-            JOIN pr2 p ON p.text = r.source GROUP BY 1) c
-            ON c.text = e.text)
-        SELECT text, round(pr, 6) AS pr FROM pr3
+            JOIN pr2 p ON p.uid = r.source GROUP BY 1) c
+            ON c.uid = e.uid)
+        SELECT e.text, round(p.pr, 6) AS pr
+        FROM pr3 p JOIN entity e USING (uid)
         ORDER BY pr DESC, text ASC LIMIT 20""",
     "g01_entity_merge" ->
       s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks

@@ -267,8 +267,11 @@ class GraphSpec extends SparkSpecBase {
     //   pr(a) = pr(d) = 0.15/4 = 0.0375 (no in-edges)
     //   pr(b) = 0.0375 + 0.85 * 0.25 = 0.25
     //   pr(c) = 0.0375 + 0.85 * 0.25 = 0.25
-    val ents = Seq("a", "b", "c", "d").toDF("text")
-    val rels = Seq(("a", "b"), ("b", "c")).toDF("source", "target")
+    // node ids live in an uppercase "uid" space distinct from text so
+    // the test proves edges join the ID column, not the text column
+    val ents = Seq(("A", "a"), ("B", "b"), ("C", "c"), ("D", "d"))
+      .toDF("uid", "text")
+    val rels = Seq(("A", "B"), ("B", "C")).toDF("source", "target")
     val one = Graph.pageRank(ents, rels, iters = 1)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(one("a") === 0.0375 && one("d") === 0.0375)
@@ -284,5 +287,12 @@ class GraphSpec extends SparkSpecBase {
     val again = Graph.pageRank(ents, rels, iters = 2)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(again === two)
+    // edges keyed off the node id space must refuse loudly, never
+    // degenerate to the all-teleport constant (the round-12 g04 bug:
+    // text-keyed join against uid-keyed stored relation endpoints)
+    val mismatched = Seq(("a", "b"), ("b", "c")).toDF("source", "target")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(ents, mismatched, iters = 1)
+    }
   }
 }
