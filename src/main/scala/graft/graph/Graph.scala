@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Registry, Txn}
@@ -523,6 +524,57 @@ object Graph {
     }
     nodes.join(pr, "__id")
       .select(col("text"), round(col("pr"), roundTo).as("pr"))
+  }
+
+  /** Synchronous weighted label propagation over the merged entity
+    * graph — community structure for GraphRAG corpus mixing (which
+    * entity clusters dominate a corpus, and where a retrieval budget
+    * should spread). Nodes keyed by `idCol` (default the entity UID —
+    * the stored relation endpoint key space, like [[pageRank]]);
+    * edges undirected, weighted by merged co-occurrence count (the
+    * number of "\n"-joined description lines [[mergeInsertRelations]]
+    * accumulated for the pair). label₀ = entity text; each of `iters`
+    * synchronous rounds every node adopts its weight-heaviest
+    * neighbor label (ties by label asc); isolated nodes keep theirs.
+    * Integer-exact — no float drift to re-synchronize across engines.
+    *
+    * Scale shape: per iteration ONE equi-join of the edge table
+    * against the label frame plus a combinable weighted count; the
+    * argmax is a per-node window over its distinct neighbor labels
+    * (bounded by degree). Synchronous updates can oscillate on
+    * bipartite structure — fixed `iters` (not convergence detection)
+    * keeps the plan static and the replay exact. */
+  def labelPropagation(entities: DataFrame, relations: DataFrame,
+                       iters: Int = 3, idCol: String = "uid"): DataFrame = {
+    val nodes = entities.select(col(idCol).as("__id"), col("text"))
+    val dir = relations.select(col("source").as("__s"),
+      col("target").as("__t"),
+      size(split(col("description"), "\n")).cast("long").as("__w"))
+    // same loud guard as pageRank: endpoint/node key-space mismatch
+    // must never silently freeze every node at its own label
+    if (!relations.isEmpty) {
+      require(!dir.join(nodes, col("__s") === col("__id")).isEmpty,
+        s"labelPropagation: no edge source matches any entity '$idCol'" +
+          " — edge endpoints must live in the node id key space")
+    }
+    val edges = dir.unionByName(dir.select(col("__t").as("__s"),
+      col("__s").as("__t"), col("__w")))
+    val w = Window.partitionBy("__t")
+      .orderBy(col("__wsum").desc, col("label").asc)
+    var lab = nodes.select(col("__id"), col("text").as("label"))
+    (1 to iters).foreach { _ =>
+      val pick = edges
+        .join(lab.withColumnRenamed("__id", "__s"), "__s")
+        .groupBy("__t", "label").agg(sum(col("__w")).as("__wsum"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("__t").as("__id"), col("label").as("__new"))
+      lab = lab.join(pick, Seq("__id"), "left")
+        .select(col("__id"),
+          coalesce(col("__new"), col("label")).as("label"))
+    }
+    nodes.join(lab, "__id")
+      .select(col("text"), col("label").as("community"))
   }
 
   /** Hop 2 of [[graphSearch]] given an already-ranked entity frame

@@ -167,11 +167,33 @@ object GraphQ {
     pr
   }
 
+  /** g05: weighted label-propagation communities over the merged
+    * entity graph ([[Graph.labelPropagation]], 3 synchronous rounds,
+    * co-occurrence-count edge weights, ties by label asc) — the
+    * cluster structure a GraphRAG mixer budgets across, next to g04's
+    * global importance. Integer-exact, so the oracle unrolls the same
+    * three rounds with no float re-synchronization at all. */
+  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val (reg, _) = buildGraph(s, d)
+    val (ents, rels) =
+      (reg.table(Graph.entityDef()), reg.table(Graph.relationDef()))
+    // gate the whole trajectory, not just the fixed point: this dense
+    // co-occurrence graph converges to ONE community by round 3 (the
+    // correct LPA answer — every text would hash-match any other
+    // single-community outcome except through the data-derived winning
+    // label), while rounds 1-2 carry per-node, weight-dependent labels
+    // that pin every argmax the algorithm took
+    def at(i: Int) = Graph.labelPropagation(ents, rels, iters = i)
+      .withColumnRenamed("community", s"c$i")
+    at(1).join(at(2), "text").join(at(3), "text").orderBy(col("text").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_entity_merge" -> entityMerge,
     "g02_graph_search" -> graphSearch,
     "g03_graph_entities" -> graphEntities,
-    "g04_pagerank" -> graphPagerank)
+    "g04_pagerank" -> graphPagerank,
+    "g05_communities" -> graphCommunities)
 
   /** Shared oracle prefix: the FULL graph build + 2-hop search replayed
     * relationally — recognizer (sentence split → vocab hits → first-
@@ -409,6 +431,38 @@ object GraphQ {
         SELECT e.text, round(p.pr, 6) AS pr
         FROM pr3 p JOIN entity e USING (uid)
         ORDER BY pr DESC, text ASC LIMIT 20""",
+    // g05: the three synchronous weighted-LPA rounds unrolled, uid-
+    // keyed like g04 — edge weight = merged description line count,
+    // argmax by (weighted sum desc, label asc), isolated nodes keep
+    // their label. All-integer weights: nothing to round anywhere.
+    "g05_communities" -> {
+      def round(i: Int) =
+        s"""pick$i AS (SELECT t AS uid, label FROM (
+              SELECT e.t, l.label,
+                row_number() OVER (PARTITION BY e.t
+                  ORDER BY sum(e.w) DESC, l.label ASC) AS rk
+              FROM und e JOIN lab${i - 1} l ON l.uid = e.s
+              GROUP BY e.t, l.label) WHERE rk = 1),
+            lab$i AS (SELECT n.uid, coalesce(p.label, n.label) AS label
+                      FROM lab${i - 1} n LEFT JOIN pick$i p USING (uid))"""
+      s"""$g2Ctes,
+        und AS (
+          SELECT source AS s, target AS t,
+                 len(string_split(description, chr(10))) AS w
+          FROM relation
+          UNION ALL
+          SELECT target, source,
+                 len(string_split(description, chr(10)))
+          FROM relation),
+        lab0 AS (SELECT uid, text AS label FROM entity),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT e.text, l1.label AS c1, l2.label AS c2, l3.label AS c3
+        FROM entity e JOIN lab1 l1 USING (uid)
+        JOIN lab2 l2 USING (uid) JOIN lab3 l3 USING (uid)
+        ORDER BY e.text ASC"""
+    },
     "g01_entity_merge" ->
       s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks
          FROM (

@@ -295,4 +295,36 @@ class GraphSpec extends SparkSpecBase {
       Graph.pageRank(ents, mismatched, iters = 1)
     }
   }
+
+  test("labelPropagation: two weighted triangles split into their own " +
+      "communities across a weak bridge; isolated node keeps its label") {
+    val sp = spark
+    import sp.implicits._
+    // triangles {a,b,c} and {d,e,f} with weight-2 internal edges
+    // (description = 2 "\n"-joined lines) and a weight-1 c—d bridge;
+    // g is isolated. Hand-rolled synchronous rounds converge to
+    // communities 'a' and 'd' by round 3.
+    val ents = Seq("A" -> "a", "B" -> "b", "C" -> "c", "D" -> "d",
+      "E" -> "e", "F" -> "f", "G" -> "g").toDF("uid", "text")
+    val two = "x\ny"
+    val rels = Seq(
+      ("A", "B", two), ("A", "C", two), ("B", "C", two),
+      ("D", "E", two), ("D", "F", two), ("E", "F", two),
+      ("C", "D", "x")).toDF("source", "target", "description")
+    val got = Graph.labelPropagation(ents, rels, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("a") === "a" && got("b") === "a" && got("c") === "a")
+    assert(got("d") === "d" && got("e") === "d" && got("f") === "d")
+    assert(got("g") === "g") // isolated: keeps its own label
+    // deterministic across runs
+    val again = Graph.labelPropagation(ents, rels, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(again === got)
+    // key-space mismatch refuses loudly (same contract as pageRank)
+    val mismatched2 = Seq(("a", "b", two)).toDF("source", "target",
+      "description")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(ents, mismatched2, iters = 1)
+    }
+  }
 }
