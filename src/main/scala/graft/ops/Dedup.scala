@@ -820,7 +820,8 @@ object Dedup {
     * distributed path). Both paths produce identical min-id labels.
     *
     * Only ids appearing in `pairs` are returned; callers union
-    * untouched ids as their own component (see [[dedupByPairs]]). */
+    * untouched ids as their own component (see [[dedupByPairs]]);
+    * [[canonicalPerCluster]] composes that with a score argmax. */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                  maxRounds: Int = 25,
                  smallGraphEdges: Long = 1000000L): DataFrame = {
@@ -914,6 +915,34 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id"))
         .as("component"))
+  }
+
+  /** Canonical-representative selection: given per-id scores and a
+    * near-dup [[components]] labeling, keep the HIGHEST-scoring member
+    * of each cluster (ties by id asc) — the dedup that keeps the best
+    * copy, not the first-seen one ([[dedupByPairs]] keeps the minimum
+    * id; a quality-aware curation pipeline wants the best-quality
+    * duplicate instead). Ids absent from `clusters` (docs with no
+    * near-dup pair) become their own singleton component and are kept.
+    * Returns `scored` plus (component, keep∈{0,1}).
+    *
+    * Scale shape: one broadcast-or-shuffle left join against the
+    * (small) cluster labeling, then one window whose partitions are
+    * cluster-sized — never corpus-sized. */
+  def canonicalPerCluster(scored: DataFrame, idCol: String,
+                          scoreCol: String, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = clusters.select(col("id").cast("long").as("__cid"),
+      col("component").cast("long").as("__comp"))
+    val joined = scored
+      .join(comp, scored(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("component",
+        coalesce(col("__comp"), col(idCol).cast("long")))
+      .drop("__cid", "__comp")
+    val w = Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined.withColumn("keep",
+      (row_number().over(w) === 1).cast("int"))
   }
 
   /** Near-dup removal by pair clustering: keep one CANONICAL row per

@@ -182,6 +182,23 @@ object DataOps {
           n = 3, threshold = 0.5))
       .orderBy("id")
 
+  /** p26: quality-aware canonical dedup ([[Dedup.canonicalPerCluster]])
+    * — p11's near-dup clusters crossed with p07's Gopher-style quality
+    * score: per cluster keep the HIGHEST-quality member (ties doc_id
+    * asc), singletons keep themselves. The curation-pipeline form of
+    * dedup: the kept set preserves corpus coverage while upgrading
+    * which copy survives. */
+  def canonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = TextAnalysis.qualityScore(docsPar(s, d), "text")
+      .select(col("doc_id"), col("quality"))
+    Dedup.canonicalPerCluster(scored, "doc_id", "quality",
+        Dedup.components(Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)))
+      .select(col("doc_id"), col("component"), col("quality"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: every 10th document plays the held-out
     * benchmark set, the rest the training corpus; report training docs
     * containing >= 30% of a benchmark doc's distinct 3-gram shingles
@@ -388,6 +405,7 @@ object DataOps {
     "p13_hash_splits" -> hashSplits,
     "p10_fingerprint_overlap" -> fingerprintOverlap,
     "p11_dup_clusters" -> dupClusters,
+    "p26_canonical_dedup" -> canonicalDedup,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -855,6 +873,53 @@ object DataOps {
                     UNION
                     SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x)
           SELECT id, min(x) AS component FROM reach GROUP BY 1 ORDER BY 1""",
+    // p26: p11's recursive components + p07's quality formula, then
+    // the per-cluster argmax (quality desc, doc_id asc); singletons
+    // are their own component and kept.
+    "p26_canonical_dedup" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+          edges AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+                    FROM jp
+                    UNION
+                    SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM jp),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (SELECT id, id AS x FROM nodes
+                    UNION
+                    SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
+          comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1),
+          st AS (SELECT doc_id,
+            length(text) AS nc,
+            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+              AS alnum,
+            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
+            len(list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> x != '')) AS nws,
+            $toksSql AS toks
+          FROM documents),
+          qr AS (SELECT doc_id,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
+                x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr,
+            CAST(alnum AS DOUBLE) / nc AS ar,
+            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
+            nws
+          FROM st),
+          q AS (SELECT doc_id,
+            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
+                   least(sr * 5.0, 1.0) + ar +
+                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
+          FROM qr),
+          dc AS (SELECT q.doc_id,
+                   coalesce(c.component, q.doc_id) AS component, q.quality
+                 FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+          k AS (SELECT doc_id, component, quality,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY quality DESC, doc_id ASC) AS rk
+                FROM dc)
+          SELECT doc_id, component, quality, CAST(rk = 1 AS INT) AS keep
+          FROM k ORDER BY doc_id""",
     "p05_closest_pairs_cos" ->
       """WITH p AS (
            SELECT x.vec_id AS a, y.vec_id AS b,

@@ -337,6 +337,27 @@ class OpsSpec extends SparkSpecBase {
     assert(kept === Set(1L, 10L, 20L, 30L))
   }
 
+  test("canonicalPerCluster: best-quality member survives, ties by id, " +
+      "singletons kept") {
+    val sp = spark
+    import sp.implicits._
+    // cluster {1,2,3}: 2 has top score; cluster {10,11}: tie -> 10;
+    // 30 untouched -> own singleton, kept
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7),
+      (10L, 0.4), (11L, 0.4), (30L, 0.1)).toDF("doc_id", "score")
+    val got = Dedup.canonicalPerCluster(scored, "doc_id", "score",
+        Dedup.components(pairs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Int]("keep")))).toMap
+    assert(got(1L) === ((1L, 0)) && got(2L) === ((1L, 1)) &&
+      got(3L) === ((1L, 0)))
+    assert(got(10L) === ((10L, 1)) && got(11L) === ((10L, 0)))
+    assert(got(30L) === ((30L, 1)))
+    // exactly one keeper per component
+    assert(got.values.groupBy(_._1).forall(_._2.count(_._2 == 1) == 1))
+  }
+
   test("components: long path converges within log rounds; empty pairs ok") {
     val sp = spark
     import sp.implicits._
