@@ -188,7 +188,61 @@ object GraphQ {
     at(1).join(at(2), "text").join(at(3), "text").orderBy(col("text").asc)
   }
 
+  /** s16: the GRAPH streaming lifecycle — documents arrive in three
+    * micro-batches and each batch merge-upserts into the stored
+    * entity/relation tables through the SAME [[Graph
+    * .mergeInsertEntities]]/[[Graph.mergeInsertRelations]] transaction
+    * the batch path uses (`foreachBatch`, the incremental-KG ingest
+    * shape: the graph is alive while the corpus streams in). Gated on
+    * the merge outputs that are INVARIANT to arrival order — per
+    * entity, chunk coverage (each doc contributes its uuid exactly
+    * once across all batches) and total description mass
+    * (`length(description)`: the same "\n"-joined line set regardless
+    * of which batch carried each line) — so the oracle is the batch
+    * build's entity CTE itself. Vectors re-embed per merge and track
+    * batch-order-dependent line order; they are exercised, not gated. */
+  def streamGraphTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reg = new Registry(s,
+      Files.createTempDirectory("graft_s16").toString)
+    val (entDef, relDef) = (Graph.entityDef(), Graph.relationDef())
+    reg.register(entDef, relDef)
+    val emb = Md5Embedder(dim = 32)
+    val rows = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val ckpt = Files.createTempDirectory("graft_s16_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ents, rels) = Graph.extractFromChunks(s, batch,
+          "doc_id", "text", recognizer)
+        reg.runTxn { txn =>
+          Graph.mergeInsertEntities(reg, entDef, ents, emb, txn)
+          Graph.mergeInsertRelations(reg, relDef, rels, emb, txn)
+        }
+        ()
+      }
+      .start()
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    reg.table(entDef)
+      .select(col("text"), size(col("chunk_uuids")).as("n_chunks"),
+        length(col("description")).as("n_desc_chars"))
+      .orderBy(col("n_chunks").desc, col("text").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_graph_twin" -> streamGraphTwin,
     "g01_entity_merge" -> entityMerge,
     "g02_graph_search" -> graphSearch,
     "g03_graph_entities" -> graphEntities,
@@ -463,6 +517,15 @@ object GraphQ {
         JOIN lab2 l2 USING (uid) JOIN lab3 l3 USING (uid)
         ORDER BY e.text ASC"""
     },
+    // s16: the BATCH entity CTE is the oracle for the streamed build —
+    // chunk coverage and description mass are arrival-order-invariant,
+    // so three merge-upserting micro-batches must land exactly here.
+    "s16_stream_graph_twin" ->
+      s"""$g2Ctes
+        SELECT text, CAST(len(chunk_uuids) AS INT) AS n_chunks,
+               CAST(length(description) AS INT) AS n_desc_chars
+        FROM entity
+        ORDER BY n_chunks DESC, text ASC LIMIT 20""",
     "g01_entity_merge" ->
       s"""SELECT token AS text, CAST(COUNT(DISTINCT doc_id) AS INTEGER) AS n_chunks
          FROM (
