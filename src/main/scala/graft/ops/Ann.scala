@@ -935,6 +935,36 @@ object Ann {
     ensureIvfModelMarker(assigned.sparkSession, dir, model)
   }
 
+  /** Index-health audit of a [[writeRangeIndex]] root: per cell, the
+    * row count, stored pruning radius, and mean distance to the
+    * centroid — the rebalance signal an operator watches at 100 TB
+    * (a cell whose count or radius dwarfs the others means stale
+    * centroids: probes over-read and radii over-admit; time to
+    * retrain). Distances round per-row to `roundTo` (monotone, so
+    * max-of-rounded = rounded-stored-radius) and the mean re-rounds.
+    *
+    * Scale shape: ONE pass over the rows scan — broadcast centroid
+    * join, combinable count/max/avg — and the scan reads ONLY the
+    * vector + partition columns (payload pruned; asserted by the r66
+    * gate). The radii table is read, not recomputed, so the audit
+    * also certifies what the stored radii actually admit. */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  vecCol: String, roundTo: Int = 6): DataFrame = {
+    val (model, radii) = loadRangeIndex(spark, dir)
+    val rows = spark.read.parquet(s"$dir/rows")
+    rows.select(col(model.idCol), col(vecCol))
+      .join(broadcast(model.centroids), model.idCol)
+      .withColumn("__d", round(L2.dist(col(vecCol).cast("array<double>"),
+        col(model.vecCol)), roundTo))
+      .groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("__d")), roundTo).as("mean_dist"))
+      .join(radii.select(col(model.idCol),
+        round(col("radius"), roundTo).as("radius")), model.idCol)
+      .select(col(model.idCol), col("n_rows"), col("radius"),
+        col("mean_dist"))
+  }
+
   /** Load a [[writeRangeIndex]] layout: (model, radii). */
   def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): (IvfModel, DataFrame) =

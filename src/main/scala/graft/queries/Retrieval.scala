@@ -1665,7 +1665,32 @@ object Retrieval {
     df
   }
 
+  /** r66: index-health audit ([[Ann.indexHealth]]) over a
+    * self-contained range root — per cell, row count, stored pruning
+    * radius, mean centroid distance: the retrain/rebalance signal an
+    * index operator reads instead of probing blind. The gate pins that
+    * the audit's rows scan reads ONLY the vector + partition columns
+    * (payload columns pruned — at 100 TB the audit must not read the
+    * corpus). Oracle: full first-principles replay (label-mean
+    * centroids, argmin assignment, per-cell count/max/mean). */
+  def indexHealthStats(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_health").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val df = Ann.indexHealth(s, dir, "embedding")
+      .orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("label"),
+      s"index-health audit must not read payload columns:\n$phys")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r66_index_health" -> indexHealthStats,
     "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
     "r63_range_cos_stored" -> rangeCosStored,
@@ -3006,6 +3031,38 @@ object Retrieval {
            AND round(list_distance(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) <= 1.2
          ORDER BY qid ASC, dist ASC, did ASC""",
+    // r66: label-mean centroids (round 5), argmin assignment with
+    // (dist, cid) ties, then per-cell count / max (== the stored
+    // radius: round is monotone, so max-of-rounded = rounded-max) /
+    // 6-rounded mean of 6-rounded distances.
+    "r66_index_health" ->
+      """WITH dims AS (
+          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding::DOUBLE[],
+                                            c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        ad AS (
+          SELECT a.centroid_id,
+                 round(list_distance(a.embedding::DOUBLE[], c.centroid), 6)
+                   AS d
+          FROM assigned a JOIN cents c USING (centroid_id))
+        SELECT centroid_id, count(*) AS n_rows,
+               round(max(d), 6) AS radius,
+               round(avg(d), 6) AS mean_dist
+        FROM ad GROUP BY 1 ORDER BY 1""",
     // r64: the self-contained root is the SAME exact semantics as r56
     // (radii pruning cannot change results) — shared plain-SQL oracle.
     "r64_range_stored_self" ->

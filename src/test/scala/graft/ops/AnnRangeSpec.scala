@@ -309,4 +309,39 @@ class AnnRangeSpec extends SparkSpecBase {
       eps = 1.0).count() === 0L)
     assert(Ann.rangeCells(model, radii, q, Ann.L2, eps = 1.0).isEmpty)
   }
+
+  test("indexHealth: per-cell counts, stored radii, bounded means; " +
+      "payload columns pruned from the rows scan") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-health-spec").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val health = Ann.indexHealth(sp, dir, "embedding")
+    val rows = health.collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("radius"),
+          r.getAs[Double]("mean_dist")))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    assert(rows.values.map(_._1).sum === 60L)
+    // tight clusters (+-0.1 jitter): every stat small and mean <= radius
+    rows.values.foreach { case (n, rad, mean) =>
+      assert(n === 20L)
+      assert(rad > 0 && rad < 0.5, s"radius $rad")
+      assert(mean > 0 && mean <= rad, s"mean $mean vs radius $rad")
+    }
+    // the stored radius IS what the audit reports (round is monotone)
+    val stored = sp.read.parquet(s"$dir/radii").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        BigDecimal(r.getAs[Double]("radius"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(rows.view.mapValues(_._2).toMap === stored)
+    // payload pruning: the rows scan must not read vec_id/cluster
+    val phys = health.queryExecution.executedPlan.toString
+    assert(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+      !phys.contains("cluster"))
+  }
 }
