@@ -925,7 +925,8 @@ object Ann {
     * be invisible to range queries whose ball misses the stale
     * radius. Appending rows requires re-running [[cellRadii]] over
     * the union (or maintaining the running per-cell max in the same
-    * job) BEFORE the new rows become visible. */
+    * job) BEFORE the new rows become visible —
+    * [[appendRangeIndex]] is exactly that operation. */
   def writeRangeIndex(assigned: DataFrame, vecCol: String,
                       model: IvfModel, dir: String): Unit = {
     writePartitioned(assigned, s"$dir/rows")
@@ -933,6 +934,38 @@ object Ann {
     cellRadii(assigned, vecCol, model, L2).write.mode("overwrite")
       .parquet(s"$dir/radii")
     ensureIvfModelMarker(assigned.sparkSession, dir, model)
+  }
+
+  /** Sound APPEND into a [[writeRangeIndex]] root — the closing of the
+    * append asymmetry that layout documents: a row landing outside its
+    * cell's stored radius is silently invisible to range queries whose
+    * ball misses the stale radius. New rows are assigned under the
+    * ROOT's own model (loaded, so a geometry mismatch is impossible by
+    * construction), and the radii grow BEFORE the rows become visible:
+    * radii/ is overwritten with max(stored, batch) per cell first, the
+    * row append lands second. A crash between the two leaves radii
+    * that only OVER-admit cells (conservative, never unsound — the
+    * same stale-radii argument the delete path proves). The merged
+    * radii frame is checkpointed before the overwrite because it reads
+    * the very files it replaces.
+    *
+    * Scale shape: one assignment pass over the batch (broadcast
+    * centroids), one combinable per-cell max unioned against the tiny
+    * radii table, one partitioned append — batch-linear, never
+    * corpus-linear. */
+  def appendRangeIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, newRows: DataFrame,
+                       vecCol: String): Unit = {
+    val (model, oldRadii) = loadRangeIndex(spark, dir)
+    ensureIvfModelMarker(spark, dir, model)
+    val assigned = assign(newRows, vecCol, model, L2)
+    val merged = oldRadii.select(col(model.idCol), col("radius"))
+      .unionByName(cellRadii(assigned, vecCol, model, L2))
+      .groupBy(col(model.idCol)).agg(max(col("radius")).as("radius"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$dir/radii")
+    assigned.write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/rows")
   }
 
   /** Index-health audit of a [[writeRangeIndex]] root: per cell, the

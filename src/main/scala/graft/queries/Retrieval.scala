@@ -1689,7 +1689,30 @@ object Retrieval {
     df
   }
 
+  /** r67: sound range-root APPEND ([[Ann.appendRangeIndex]]) — the
+    * root is built from the vec_id<400 prefix only, the tail appends
+    * through the radii-first grow path, and the stored search must
+    * equal the plain FULL-corpus range scan: exactly the rows a
+    * stale-radii append would hide (the s15 late-outlier
+    * counterfactual, now closed by an operator instead of a caller
+    * recipe). Exact semantics — the oracle needs no index machinery. */
+  def rangeAppendGrow(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val head = e.filter(col("vec_id") < 400)
+    val model = Ann.buildIvf(head, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_append").toString
+    Ann.writeRangeIndex(Ann.assign(head, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    Ann.appendRangeIndex(s, dir, e.filter(col("vec_id") >= 400),
+      "embedding")
+    Ann.rangeSearchStoredSelf(s, dir, "vec_id", "embedding",
+        qvec(s, d, 7), eps = 1.25)
+      .select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r67_range_append" -> rangeAppendGrow,
     "r66_index_health" -> indexHealthStats,
     "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
@@ -3031,6 +3054,16 @@ object Retrieval {
            AND round(list_distance(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) <= 1.2
          ORDER BY qid ASC, dist ASC, did ASC""",
+    // r67: append soundness is an EXACTNESS claim — the grown root
+    // answers like the plain scan over head ∪ tail (no probes, no
+    // index replay needed in the oracle; that it needs none IS the
+    // claim, the r56/r64 pattern).
+    "r67_range_append" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv7), 6) AS dist
+          FROM embeddings
+          WHERE round(list_distance(embedding::DOUBLE[], $qv7), 6) <= 1.25
+          ORDER BY dist ASC, vec_id ASC""",
     // r66: label-mean centroids (round 5), argmin assignment with
     // (dist, cid) ties, then per-cell count / max (== the stored
     // radius: round is monotone, so max-of-rounded = rounded-max) /

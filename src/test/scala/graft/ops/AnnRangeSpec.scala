@@ -310,6 +310,50 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(Ann.rangeCells(model, radii, q, Ann.L2, eps = 1.0).isEmpty)
   }
 
+  test("appendRangeIndex: radii grow before rows land — a late outlier " +
+      "is visible; a raw rows-only append would hide it") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-append-spec").toString
+    Ann.writeRangeIndex(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    // outlier near cluster 0's centroid but OUTSIDE its ~0.14 radius
+    val late = Seq((100L, Seq(0.9, 0.9), 0)).toDF(
+      "vec_id", "embedding", "cluster")
+    // counterfactual FIRST: raw rows-only append hides the outlier
+    // from a ball that contains it (stale radius misses the query ball)
+    Ann.assign(late, "embedding", model, Ann.L2)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/rows")
+    val q = typedlit(Seq(1.0, 1.0))
+    val blind = Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+      q, eps = 0.2).select("vec_id").as[Long].collect()
+    assert(!blind.contains(100L),
+      "stale radii should hide the raw-appended outlier (else the " +
+        "counterfactual is vacuous)")
+    // now the SOUND append of a second outlier at the same spot
+    val late2 = Seq((101L, Seq(0.9, 0.92), 0)).toDF(
+      "vec_id", "embedding", "cluster")
+    Ann.appendRangeIndex(sp, dir, late2, "embedding")
+    val seen = Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+      q, eps = 0.2).select("vec_id").as[Long].collect().toSet
+    // the grown radius admits the cell: BOTH outliers are now visible
+    assert(seen.contains(101L) && seen.contains(100L))
+    // stored radii actually grew and still cover every row
+    val (m2, radii2) = Ann.loadRangeIndex(sp, dir)
+    val rows2 = sp.read.parquet(s"$dir/rows")
+    val recomputed = Ann.cellRadii(rows2, "embedding", m2, Ann.L2)
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[Double]("radius")).toMap
+    radii2.collect().foreach { r =>
+      assert(r.getAs[Double]("radius") >=
+        recomputed(r.getAs[Long]("centroid_id")) - 1e-12)
+    }
+  }
+
   test("indexHealth: per-cell counts, stored radii, bounded means; " +
       "payload columns pruned from the rows scan") {
     val sp = spark
