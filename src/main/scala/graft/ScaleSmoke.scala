@@ -71,6 +71,20 @@ object ScaleSmoke {
       ops.Dedup.components(ops.Dedup.jaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5)).count()
     }
+    // Canonical dedup at 16×: the cluster labeling (memoized pair
+    // table) joined once against the quality frame, one cluster-sized
+    // window. Structural assert: exactly one keeper per component.
+    time("canonical_dedup") {
+      val scored = ops.TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      val dec = ops.Dedup.canonicalPerCluster(scored, "doc_id",
+        "quality", ops.Dedup.components(ops.Dedup.jaccardPairs(docs,
+          "doc_id", "text", n = 3, threshold = 0.5)))
+      val bad = dec.groupBy("component")
+        .agg(sum(col("keep")).as("k")).filter(col("k") =!= 1).count()
+      require(bad == 0L, s"$bad components without exactly one keeper")
+      dec.filter(col("keep") === 1).count()
+    }
     time("minhash_pairs") {
       ops.Dedup.minHashDedupPairs(docs, "doc_id", "text",
         n = 3, numHashes = 32, bands = 16, threshold = 0.5).count()
@@ -902,6 +916,24 @@ object ScaleSmoke {
           .findFirstIn(phys).isDefined,
         s"stored range query lost partition pruning at scale:\n$phys")
       n
+    }
+    // Index-health audit at 16×: one pass over the cell-partitioned
+    // scan (vector column only — payload pruning asserted), broadcast
+    // centroids, combinable aggs, tiny radii join. The audit of a
+    // 100 TB layout costs one column scan.
+    time("index_health") {
+      val health = ops.Ann.indexHealth(spark.read.parquet(rangeDir),
+        "embedding", rangeModel, rangeRadii, roundTo = 6)
+      val phys = health.queryExecution.executedPlan.toString
+      require(phys.contains("ReadSchema") && !phys.contains("vec_id"),
+        s"health audit read payload columns at 16x:\n$phys")
+      val agg = health.agg(sum(col("n_rows")).as("n"),
+        count(lit(1)).as("cells"),
+        max(col("radius")).as("rmax")).head()
+      require(agg.getLong(0) == nVecs * xf,
+        s"audit lost rows: ${agg.getLong(0)} vs ${nVecs * xf}")
+      require(agg.getLong(1) > 1, "audit must see >1 cell")
+      agg.getLong(1)
     }
     time("range_join_eps") {
       val stored = spark.read.parquet(rangeDir)

@@ -392,6 +392,43 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) signatures over image payloads:
+    * decode, nearest-neighbor resize to `w`×`h` (≤ 64 pixels), then
+    * bit i = 1 iff pixel_i is strictly above the tile mean — packed
+    * little-endian into one long, in the (id, simhash) shape
+    * [[graft.ops.Dedup.simHashPairs]] consumes, so near-duplicate
+    * IMAGE detection rides the exact banded-Hamming join the text
+    * side already has. The mean test is exact integer math
+    * (n·pixel > Σ pixels — no float mean), so any engine replays
+    * the bits from the pixel values alone.
+    *
+    * Scale shape: map-only per-partition codec batches (one decode +
+    * resize per row), then whatever the banded join costs —
+    * signatures are 8 bytes/image at rest. */
+  def perceptualHash(media: Dataset[MediaRow], codec: MediaCodec,
+                     w: Int = 8, h: Int = 8): DataFrame = {
+    require(w > 0 && h > 0 && w * h <= 64,
+      s"aHash packs w*h pixels into one long (got ${w}x$h)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val px = codec.resize(codec.decode(m.data, m.meta), m.meta, w, h)
+        val n = px.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (px(i) & 0xFF); i += 1 }
+        var sig = 0L
+        i = 0
+        while (i < n) {
+          if ((px(i) & 0xFF).toLong * n > sum) sig |= (1L << i)
+          i += 1
+        }
+        (m.id, sig)
+      }
+    }.toDF("id", "simhash")
+  }
+
   /** Resize stage: image rows get `w`×`h` payloads, meta updated. */
   def resizeImages(media: Dataset[MediaRow], codec: MediaCodec,
                    w: Int, h: Int): Dataset[MediaRow] = {

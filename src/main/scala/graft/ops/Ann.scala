@@ -984,7 +984,15 @@ object Ann {
   def indexHealth(spark: org.apache.spark.sql.SparkSession, dir: String,
                   vecCol: String, roundTo: Int = 6): DataFrame = {
     val (model, radii) = loadRangeIndex(spark, dir)
-    val rows = spark.read.parquet(s"$dir/rows")
+    indexHealth(spark.read.parquet(s"$dir/rows"), vecCol, model, radii,
+      roundTo)
+  }
+
+  /** [[indexHealth]] over an already-loaded cell-partitioned rows scan
+    * + model + radii (the ScaleSmoke shape: audit a layout some other
+    * stage already has open, without re-reading markers). */
+  def indexHealth(rows: DataFrame, vecCol: String, model: IvfModel,
+                  radii: DataFrame, roundTo: Int): DataFrame =
     rows.select(col(model.idCol), col(vecCol))
       .join(broadcast(model.centroids), model.idCol)
       .withColumn("__d", round(L2.dist(col(vecCol).cast("array<double>"),
@@ -996,7 +1004,6 @@ object Ann {
         round(col("radius"), roundTo).as("radius")), model.idCol)
       .select(col(model.idCol), col("n_rows"), col("radius"),
         col("mean_dist"))
-  }
 
   /** Load a [[writeRangeIndex]] layout: (model, radii). */
   def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,

@@ -166,14 +166,81 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** m06: perceptual-hash IMAGE near-dup under a full-value oracle —
+    * the image-side twin of the text corpus's SimHash dedup. Each
+    * doc's text renders losslessly into a 16×8 grayscale PNG (m04's
+    * shape), plus planted duplicates: an exact copy (+100000) and a
+    * first-char-perturbed copy (+200000). REAL `javax.imageio` decode
+    * → NN-resize to 8×8 → integer-exact aHash
+    * ([[Multimodal.perceptualHash]]) → the banded-Hamming pair join
+    * ([[graft.ops.Dedup.simHashPairs]], maxDist 3). Exact copies must
+    * surface at hamming 0; the oracle replays pixels (byte s%len at
+    * resize source 16·(i div 8) + 2·(i mod 8)), bits (64·p > Σp), and
+    * pairwise bit differences — never packing an engine-specific
+    * integer. */
+  def mediaPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+        col("text")))
+      .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("z"), expr("substring(text, 2)")).as("text")))
+    val pngs: Dataset[MediaRow] = corpus
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val px = Array.tabulate(128)(i => bytes(i % bytes.length))
+        MediaRow(id, "image", ImageIoCodec.grayPng(px, 16, 8),
+          MediaMeta("png", 16, 8, 1, 0L))
+      }
+    val sigs = Multimodal.perceptualHash(pngs, ImageIoCodec())
+    graft.ops.Dedup.simHashPairs(sigs, maxDist = 3, bands = 4)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_frames" -> mediaFrames,
     "m03_media_resize" -> mediaResize,
     "m04_media_decode" -> mediaDecode,
-    "m05_audio_decode" -> mediaAudio)
+    "m05_audio_decode" -> mediaAudio,
+    "m06_phash_dedup" -> mediaPhashDedup)
 
   val oracles: Map[String, String] = Map(
+    // m06: pixels, mean bits and Hamming distances all replayed as
+    // pure integer math from the text (ASCII ⇒ ord == byte); the
+    // signature stays a 64-element 0/1 list — no cross-engine integer
+    // packing to get wrong. Quadratic in the oracle; banded in Spark.
+    "m06_phash_dedup" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, 'z' || substring(text, 2)
+           FROM documents),
+         px AS (
+           SELECT doc_id,
+             list_transform(range(64), i ->
+               ord(substring(text,
+                 ((16 * (i // 8) + 2 * (i % 8)) % length(text)) + 1, 1)))
+               AS p
+           FROM c),
+         sig AS (
+           SELECT doc_id,
+             list_transform(p, v -> CASE WHEN 64 * v > t
+               THEN 1 ELSE 0 END) AS b
+           FROM (SELECT doc_id, p, list_sum(p) AS t FROM px)),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(len(list_filter(range(64),
+               i -> x.b[i + 1] != y.b[i + 1])) AS INT) AS hamming
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+         SELECT a, b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY a, b""",
     "m01_media_features" ->
       """SELECT doc_id,
            length(regexp_replace(text, '[^defg]', '', 'g')) AS n_defg

@@ -430,6 +430,41 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("perceptualHash: hand-computed bits, copies collide at hamming 0, " +
+      "brightness-inverted image flips every informative bit") {
+    val sp = spark
+    import sp.implicits._
+    val codec = ImageIoCodec()
+    // 8x8 already (resize is identity): left half dark 10, right half
+    // bright 200 -> mean 105 -> bits = 1 exactly on the bright half
+    val bright = Array.tabulate(64)(i =>
+      (if (i % 8 < 4) 10 else 200).toByte)
+    val dark = bright.map(b => (210 - (b & 0xFF)).toByte) // swap halves
+    def row(id: Long, px: Array[Byte]) =
+      MediaRow(id, "image", ImageIoCodec.grayPng(px, 8, 8),
+        MediaMeta("png", 8, 8, 1, 0))
+    val media = Seq(row(1, bright), row(2, bright), row(3, dark))
+      .toDS()
+    val sigs = Multimodal.perceptualHash(media, codec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact expected signature: bit i set iff column i%8 >= 4
+    val want = (0 until 64).filter(i => i % 8 >= 4)
+      .map(i => 1L << i).reduce(_ | _)
+    assert(sigs(1L) === want)
+    assert(sigs(2L) === sigs(1L)) // identical image, identical hash
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) === 64,
+      "inverting bright/dark halves must flip every bit")
+    // signatures ride the banded hamming join: the copy pair surfaces
+    val pairs = graft.ops.Dedup.simHashPairs(
+        Multimodal.perceptualHash(media, codec), maxDist = 3, bands = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHash(media, codec, w = 16, h = 8) // >64 px
+    }
+  }
+
   test("ImageIoCodec video: MJPEG-AVI frames sample at the container " +
       "frame rate and decode as real JPEGs; non-AVI keeps the stub") {
     val codec = ImageIoCodec()
