@@ -273,7 +273,24 @@ object Eval {
       cacheKey = Some(
         s"e12|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}"))
 
+  /** e15: the error bar on Pass@10 — [[Metrics.bootstrapCi]] over
+    * e12's per-query hit indicators (binary metric: replicate means
+    * are resampled pass rates). Queries re-rank onto the dense 0..n−1
+    * grid the resampler draws from (a token-free doc synthesizes no
+    * query, so qids may have holes); both engines re-rank the same
+    * way, so every draw lands on the same query. */
+  def passkCi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = passkKeyword(s, d)
+      .withColumn("rid",
+        row_number().over(Window.orderBy(col("qid").asc)) - 1)
+      .select(col("rid"), col("hit10").cast("double").as("hit10"))
+    val n = per.count().toInt
+    Metrics.bootstrapCi(per, "rid", "hit10", n = n, b = 200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_passk_ci" -> passkCi,
     "e14_perm_test" -> permutationTest,
     "e13_bootstrap_ci" -> bootstrapCi,
     "e12_passk_keyword" -> passkKeyword,
@@ -446,6 +463,70 @@ object Eval {
           FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
     "e02_metrics_knn" ->
       s"$perQuerySql SELECT * FROM meas ORDER BY qid",
+    // e15: e12's whole hit chain as the base, re-ranked dense, then
+    // the e13 resample grid with n a scalar subquery (the query count
+    // is data-dependent: token-free docs synthesize nothing).
+    "e15_passk_ci" ->
+      s"""WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS term
+            FROM documents),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          qsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+          qt AS (SELECT qid, term FROM (
+              SELECT t.id AS qid, t.term,
+                     row_number() OVER (PARTITION BY t.id
+                       ORDER BY s.df ASC, t.term ASC) AS rk
+              FROM tf t
+              JOIN stats s USING (term)
+              WHERE t.id IN (SELECT doc_id FROM qsrc)) WHERE rk <= 5),
+          scored AS (
+            SELECT qt.qid, tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
+                     AS w
+            FROM tf
+            JOIN qt USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g),
+          agg AS (SELECT qid, id, round(sum(w), 6) AS score
+                  FROM scored GROUP BY 1, 2),
+          r AS (SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM agg),
+          hits AS (SELECT qid,
+                 CAST(max(CASE WHEN id = qid AND rank <= 10
+                   THEN 1 ELSE 0 END) AS DOUBLE) AS h
+               FROM r WHERE rank <= 10 GROUP BY qid),
+          dense AS (SELECT row_number() OVER (ORDER BY qid ASC) - 1
+                      AS rid, h
+                    FROM hits),
+          nn AS (SELECT count(*) AS n FROM dense),
+          draws AS (
+            SELECT i // (SELECT n FROM nn) AS rs,
+              (CAST('0x' || substring(md5(
+                 CAST(i // (SELECT n FROM nn) AS VARCHAR) || ':' ||
+                 CAST(i % (SELECT n FROM nn) AS VARCHAR)), 1, 8)
+                 AS BIGINT)) % (SELECT n FROM nn) AS rid
+            FROM (SELECT unnest(range(200 * (SELECT n FROM nn))) AS i)),
+          means AS (
+            SELECT rs, round(avg(d.h), 9) AS m
+            FROM draws JOIN dense d USING (rid) GROUP BY rs),
+          rk AS (SELECT m, row_number() OVER (ORDER BY m ASC, rs ASC)
+                   AS rk
+                 FROM means)
+          SELECT (SELECT round(avg(h), 6) FROM dense) AS mean,
+                 (SELECT round(m, 6) FROM rk WHERE rk = 6) AS ci_lo,
+                 (SELECT round(m, 6) FROM rk WHERE rk = 195) AS ci_hi""",
     // e13: every resample draw replayed (md5 32-bit grid mod NQ),
     // replicate means rounded 9, explicit rank selection 6 / 195.
     "e13_bootstrap_ci" ->
