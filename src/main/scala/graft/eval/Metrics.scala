@@ -128,22 +128,6 @@ object Metrics {
 
   private def log2(c: Column): Column = log(c) / math.log(2.0)
 
-  /** Deterministic bootstrap confidence interval for a per-query
-    * metric — the error bar an eval report should carry, with NO RNG:
-    * resample `b` replicates of the `n` queries with replacement,
-    * draw j of replicate r picking the query ranked
-    * md5(r:j)₃₂ mod n (the engine-portable 32-bit grid
-    * [[graft.ops.Sampling.hashUnit]] uses), mean each replicate, and
-    * take the empirical percentile CI by EXPLICIT rank selection
-    * (rank floor(α/2·b)+1 and b−floor(α/2·b) of the (mean, replicate)
-    * ordering) — no interpolating-percentile ambiguity across
-    * engines. `perQuery`'s ids must be the dense ranks 0..n−1 (the
-    * evaluate() qid shape). Replicate means round to 9 so engine
-    * float drift re-synchronizes before the rank selection.
-    *
-    * Scale shape: draws are b·n generated rows joined once against
-    * the per-query frame; the only window runs over the b replicate
-    * means — bounded by `b`, never by data. */
   /** Deterministic paired permutation (sign-flip) test: is system A's
     * per-query metric different from system B's beyond chance? The
     * statistic is the mean per-query difference d̄; each of the `b`
@@ -190,6 +174,22 @@ object Metrics {
         .as("p_value"))
   }
 
+  /** Deterministic bootstrap confidence interval for a per-query
+    * metric — the error bar an eval report should carry, with NO RNG:
+    * resample `b` replicates of the `n` queries with replacement,
+    * draw j of replicate r picking the query ranked
+    * md5(r:j)₃₂ mod n (the engine-portable 32-bit grid
+    * [[graft.ops.Sampling.hashUnit]] uses), mean each replicate, and
+    * take the empirical percentile CI by EXPLICIT rank selection
+    * (rank floor(α/2·b)+1 and b−floor(α/2·b) of the (mean, replicate)
+    * ordering) — no interpolating-percentile ambiguity across
+    * engines. `perQuery`'s ids must be the dense ranks 0..n−1 (the
+    * evaluate() qid shape). Replicate means round to 9 so engine
+    * float drift re-synchronizes before the rank selection.
+    *
+    * Scale shape: draws are b·n generated rows joined once against
+    * the per-query frame; the only window runs over the b replicate
+    * means — bounded by `b`, never by data. */
   def bootstrapCi(perQuery: DataFrame, idCol: String, metricCol: String,
                   n: Int, b: Int = 200, alpha: Double = 0.05,
                   roundTo: Int = 6): DataFrame = {

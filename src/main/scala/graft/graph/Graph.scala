@@ -502,10 +502,13 @@ object Graph {
     // degenerates every node to the teleport constant (the stored
     // GraphRelation contract keys source/target by entity UID,
     // extractFromChunks sha2Hex — NOT by text); refuse loudly instead.
+    // BOTH endpoint columns are checked: a target-side-only mismatch
+    // yields contribs that group by unjoinable keys — same degeneracy.
     if (!relations.isEmpty) {
-      require(!edges.join(nodes, col("__s") === col("__id")).isEmpty,
-        s"pageRank: no edge source matches any entity '$idCol' — edge " +
-          "endpoints must live in the node id key space")
+      require(!edges.join(nodes, col("__s") === col("__id")).isEmpty &&
+          !edges.join(nodes, col("__t") === col("__id")).isEmpty,
+        s"pageRank: no edge endpoint matches any entity '$idCol' — " +
+          "edge endpoints must live in the node id key space")
     }
     val out = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
     var pr = nodes.select(col("__id")).withColumn("pr", lit(1.0 / n))
@@ -550,12 +553,13 @@ object Graph {
     val dir = relations.select(col("source").as("__s"),
       col("target").as("__t"),
       size(split(col("description"), "\n")).cast("long").as("__w"))
-    // same loud guard as pageRank: endpoint/node key-space mismatch
-    // must never silently freeze every node at its own label
+    // same loud guard as pageRank (both endpoint sides): a key-space
+    // mismatch must never silently freeze every node at its own label
     if (!relations.isEmpty) {
-      require(!dir.join(nodes, col("__s") === col("__id")).isEmpty,
-        s"labelPropagation: no edge source matches any entity '$idCol'" +
-          " — edge endpoints must live in the node id key space")
+      require(!dir.join(nodes, col("__s") === col("__id")).isEmpty &&
+          !dir.join(nodes, col("__t") === col("__id")).isEmpty,
+        s"labelPropagation: no edge endpoint matches any entity " +
+          s"'$idCol' — edge endpoints must live in the node id key space")
     }
     val edges = dir.unionByName(dir.select(col("__t").as("__s"),
       col("__s").as("__t"), col("__w")))

@@ -945,9 +945,13 @@ object Ann {
     * radii/ is overwritten with max(stored, batch) per cell first, the
     * row append lands second. A crash between the two leaves radii
     * that only OVER-admit cells (conservative, never unsound — the
-    * same stale-radii argument the delete path proves). The merged
-    * radii frame is checkpointed before the overwrite because it reads
-    * the very files it replaces.
+    * same stale-radii argument the delete path proves). The radii swap
+    * goes through a sibling directory + rename, never an in-place
+    * overwrite: a crash inside the new-radii write leaves the old
+    * radii intact, a crash between delete and rename leaves a MISSING
+    * radii path that [[loadRangeIndex]] fails on LOUDLY — a partial
+    * radii table (some cells silently unprobeable) can never be read
+    * back.
     *
     * Scale shape: one assignment pass over the batch (broadcast
     * centroids), one combinable per-cell max unioned against the tiny
@@ -959,11 +963,26 @@ object Ann {
     val (model, oldRadii) = loadRangeIndex(spark, dir)
     ensureIvfModelMarker(spark, dir, model)
     val assigned = assign(newRows, vecCol, model, L2)
+    // batch schema must match the stored rows: mode("append") happily
+    // writes mixed-schema files whose later reads resolve from an
+    // arbitrary footer
+    val storedCols = spark.read.parquet(s"$dir/rows").columns.toSet
+    val newCols = assigned.columns.toSet
+    require(newCols == storedCols,
+      s"appendRangeIndex: batch columns $newCols != stored " +
+        s"$storedCols — a mixed-schema rows/ dir reads back " +
+        "nondeterministically")
     val merged = oldRadii.select(col(model.idCol), col("radius"))
       .unionByName(cellRadii(assigned, vecCol, model, L2))
       .groupBy(col(model.idCol)).agg(max(col("radius")).as("radius"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$dir/radii")
+    merged.write.mode("overwrite").parquet(s"$dir/radii_next")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/radii")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/radii_next")
+    fs.delete(cur, true)
+    require(fs.rename(next, cur),
+      s"appendRangeIndex: rename $next -> $cur failed")
     assigned.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/rows")
   }

@@ -454,6 +454,36 @@ object DataOps {
           FROM t"""
     }.mkString(" UNION ALL ")
 
+  /** p07/p26 shared oracle fragment: the Gopher-style quality score
+    * (stats + stopword ratio + 4-term mix, round 6) ending in
+    * q(doc_id, quality) — single point of truth for every gate that
+    * scores documents. */
+  private def qualityCtes: String =
+    s"""qst AS (SELECT doc_id,
+            length(text) AS nc,
+            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+              AS alnum,
+            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
+            len(list_filter(regexp_split_to_array(text, '\\s+'),
+              x -> x != '')) AS nws,
+            $toksSql AS toks
+          FROM documents),
+          qr AS (SELECT doc_id,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
+                x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr,
+            CAST(alnum AS DOUBLE) / nc AS ar,
+            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
+            nws
+          FROM qst),
+          q AS (SELECT doc_id,
+            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
+                   least(sr * 5.0, 1.0) + ar +
+                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
+          FROM qr)"""
+
   val oracles: Map[String, String] = Map(
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.
@@ -887,30 +917,7 @@ object DataOps {
                     UNION
                     SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
           comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1),
-          st AS (SELECT doc_id,
-            length(text) AS nc,
-            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-              AS alnum,
-            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
-            len(list_filter(regexp_split_to_array(text, '\\s+'),
-              x -> x != '')) AS nws,
-            $toksSql AS toks
-          FROM documents),
-          qr AS (SELECT doc_id,
-            CASE WHEN len(toks) > 0
-              THEN CAST(len(list_filter(toks, x -> list_contains(
-                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
-                x))) AS DOUBLE) / len(toks)
-              ELSE 0.0 END AS sr,
-            CAST(alnum AS DOUBLE) / nc AS ar,
-            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
-            nws
-          FROM st),
-          q AS (SELECT doc_id,
-            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
-                   least(sr * 5.0, 1.0) + ar +
-                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
-          FROM qr),
+          ${qualityCtes},
           dc AS (SELECT q.doc_id,
                    coalesce(c.component, q.doc_id) AS component, q.quality
                  FROM q LEFT JOIN comp c ON c.id = q.doc_id),
@@ -990,29 +997,9 @@ object DataOps {
             round(CAST(sum(nbpe) AS DOUBLE) / count(*), 6) AS avg_bpe_tokens
           FROM t GROUP BY 1 ORDER BY 1""",
     "p07_quality_topk" ->
-      s"""WITH st AS (SELECT doc_id,
-            length(text) AS nc,
-            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
-            length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS spaces,
-            len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
-              AS nws,
-            $toksSql AS toks
-          FROM documents),
-          r AS (SELECT doc_id,
-            CASE WHEN len(toks) > 0
-              THEN CAST(len(list_filter(toks, x -> list_contains(
-                [${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")}],
-                x))) AS DOUBLE) / len(toks)
-              ELSE 0.0 END AS sr,
-            CAST(alnum AS DOUBLE) / nc AS ar,
-            CAST(nc - alnum - spaces AS DOUBLE) / nc AS pr,
-            nws
-          FROM st)
-          SELECT doc_id,
-            round((least(CAST(nws AS DOUBLE) / 50.0, 1.0) +
-                   least(sr * 5.0, 1.0) + ar +
-                   (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
-          FROM r ORDER BY quality DESC, doc_id ASC LIMIT 10""",
+      s"""WITH $qualityCtes
+          SELECT doc_id, quality FROM q
+          ORDER BY quality DESC, doc_id ASC LIMIT 10""",
     "p08_langid_counts" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           scores AS ($langScoresSql),

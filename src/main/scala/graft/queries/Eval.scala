@@ -68,6 +68,8 @@ object Eval {
         .select(col("qid"), round(col("ndcg"), 6).as("ndcg")),
       "qid", "ndcg", n = NQ, b = 200)
 
+  val HalfDim = 32
+
   /** e14: deterministic paired permutation test
     * ([[Metrics.pairedPermutation]]) — the dimensionality ablation:
     * does full-width L2 retrieval beat L2 over the first
@@ -78,8 +80,6 @@ object Eval {
     * every flip. (L2-vs-cosine was the natural pairing but ranks
     * identically on this corpus — a vacuous diff grid; truncation
     * guarantees a live one.) */
-  val HalfDim = 32
-
   def permutationTest(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     def perq(ranked: DataFrame) =
@@ -281,10 +281,14 @@ object Eval {
     * way, so every draw lands on the same query. */
   def passkCi(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the retrieval chain is consumed three times (count + the two
+    // bootstrap branches) — pin the 50-row frame once instead of
+    // re-running the batch BM25 search per consumer
     val per = passkKeyword(s, d)
       .withColumn("rid",
         row_number().over(Window.orderBy(col("qid").asc)) - 1)
       .select(col("rid"), col("hit10").cast("double").as("hit10"))
+      .localCheckpoint(true)
     val n = per.count().toInt
     Metrics.bootstrapCi(per, "rid", "hit10", n = n, b = 200)
   }
@@ -372,6 +376,48 @@ object Eval {
               AS ndcg
           FROM perq$tag p JOIN tsz t USING (qid) JOIN idcg i USING (qid))"""
 
+  /** e12/e15 shared oracle chain: synthesis (rarest-5 distinct
+    * tokens), Okapi BM25 (k1=1.2, b=0.75, +1 idf), per-query rank
+    * window — the single point of truth BOTH hit-based gates rank
+    * against. */
+  private val bm25HitChainSql =
+    """toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '')) AS term
+            FROM documents),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          qsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+          qt AS (SELECT qid, term FROM (
+              SELECT t.id AS qid, t.term,
+                     row_number() OVER (PARTITION BY t.id
+                       ORDER BY s.df ASC, t.term ASC) AS rk
+              FROM tf t
+              JOIN stats s USING (term)
+              WHERE t.id IN (SELECT doc_id FROM qsrc)) WHERE rk <= 5),
+          scored AS (
+            SELECT qt.qid, tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
+                     AS w
+            FROM tf
+            JOIN qt USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g),
+          agg AS (SELECT qid, id, round(sum(w), 6) AS score
+                  FROM scored GROUP BY 1, 2),
+          r AS (SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM agg)"""
+
   val oracles: Map[String, String] = Map(
     // e14: both retriever chains share truth (tsz/idcg); system B is
     // L2 over the 32-dim prefix (list slicing); every sign flip
@@ -419,42 +465,7 @@ object Eval {
     // golden source doc. A token-free doc synthesizes no query and
     // yields no row (both engines).
     "e12_passk_keyword" ->
-      """WITH toks AS (
-            SELECT doc_id AS id,
-                   unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x != '')) AS term
-            FROM documents),
-          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          g AS (SELECT count(*) AS n,
-                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          qsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
-          qt AS (SELECT qid, term FROM (
-              SELECT t.id AS qid, t.term,
-                     row_number() OVER (PARTITION BY t.id
-                       ORDER BY s.df ASC, t.term ASC) AS rk
-              FROM tf t
-              JOIN stats s USING (term)
-              WHERE t.id IN (SELECT doc_id FROM qsrc)) WHERE rk <= 5),
-          scored AS (
-            SELECT qt.qid, tf.id,
-                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
-                     (tf.tf * (1.2 + 1)) /
-                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
-                     AS w
-            FROM tf
-            JOIN qt USING (term)
-            JOIN stats s USING (term)
-            JOIN dl USING (id)
-            CROSS JOIN g),
-          agg AS (SELECT qid, id, round(sum(w), 6) AS score
-                  FROM scored GROUP BY 1, 2),
-          r AS (SELECT qid, id,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY score DESC, id ASC) AS rank
-                FROM agg)
+      s"""WITH $bm25HitChainSql
           SELECT qid,
                  max(CASE WHEN id = qid AND rank <= 5 THEN 1 ELSE 0 END)
                    AS hit5,
@@ -467,42 +478,7 @@ object Eval {
     // the e13 resample grid with n a scalar subquery (the query count
     // is data-dependent: token-free docs synthesize nothing).
     "e15_passk_ci" ->
-      s"""WITH toks AS (
-            SELECT doc_id AS id,
-                   unnest(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x != '')) AS term
-            FROM documents),
-          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          g AS (SELECT count(*) AS n,
-                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          qsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
-          qt AS (SELECT qid, term FROM (
-              SELECT t.id AS qid, t.term,
-                     row_number() OVER (PARTITION BY t.id
-                       ORDER BY s.df ASC, t.term ASC) AS rk
-              FROM tf t
-              JOIN stats s USING (term)
-              WHERE t.id IN (SELECT doc_id FROM qsrc)) WHERE rk <= 5),
-          scored AS (
-            SELECT qt.qid, tf.id,
-                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
-                     (tf.tf * (1.2 + 1)) /
-                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
-                     AS w
-            FROM tf
-            JOIN qt USING (term)
-            JOIN stats s USING (term)
-            JOIN dl USING (id)
-            CROSS JOIN g),
-          agg AS (SELECT qid, id, round(sum(w), 6) AS score
-                  FROM scored GROUP BY 1, 2),
-          r AS (SELECT qid, id,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY score DESC, id ASC) AS rank
-                FROM agg),
+      s"""WITH $bm25HitChainSql,
           hits AS (SELECT qid,
                  CAST(max(CASE WHEN id = qid AND rank <= 10
                    THEN 1 ELSE 0 END) AS DOUBLE) AS h

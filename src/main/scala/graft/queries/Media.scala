@@ -93,6 +93,21 @@ object Media {
     * The oracle recomputes both from the text with integer arithmetic —
     * real codec work, engine-portable values (closes the round-6
     * verdict's FakeCodec item; audio/video stay documented stubs). */
+  /** The shared text→16×8-gray-PNG render BOTH m04 and m06 oracle
+    * against (pixel i = byte i%len — the recipe the DuckDB replays
+    * hard-code): one definition so the two gates cannot diverge.
+    * Null/empty text renders an all-zero tile (m06 filters those out
+    * upstream; m04's corpus has none). */
+  private def textPng(id: Long, text: String): MediaRow = {
+    val bytes =
+      if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    val px =
+      if (bytes.isEmpty) new Array[Byte](128)
+      else Array.tabulate(128)(i => bytes(i % bytes.length))
+    MediaRow(id, "image", ImageIoCodec.grayPng(px, 16, 8),
+      MediaMeta("png", 16, 8, 1, 0L))
+  }
+
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val codec = ImageIoCodec()
@@ -100,12 +115,7 @@ object Media {
       .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val px = Array.tabulate(128)(i => bytes(i % bytes.length))
-        MediaRow(id, "image", ImageIoCodec.grayPng(px, 16, 8),
-          MediaMeta("png", 16, 8, 1, 0L))
-      }
+      .map { case (id, text) => textPng(id, text) }
     val feats = Multimodal.extractFeatures(pngs, codec).toDF()
       .select(col("id").as("doc_id"),
         round(element_at(col("features"), 26).cast("double") * 128)
@@ -186,15 +196,14 @@ object Media {
         col("text")))
       .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
         concat(lit("z"), expr("substring(text, 2)")).as("text")))
+      // null/empty text renders no pixels to hash — drop it on BOTH
+      // sides (the oracle's % length(text) NULL-propagates differently
+      // than a crash; the filter keeps the engines agreed)
+      .filter(length(col("text")) > 0)
     val pngs: Dataset[MediaRow] = corpus
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val px = Array.tabulate(128)(i => bytes(i % bytes.length))
-        MediaRow(id, "image", ImageIoCodec.grayPng(px, 16, 8),
-          MediaMeta("png", 16, 8, 1, 0L))
-      }
+      .map { case (id, text) => textPng(id, text) }
     val sigs = Multimodal.perceptualHash(pngs, ImageIoCodec())
     graft.ops.Dedup.simHashPairs(sigs, maxDist = 3, bands = 4)
       .select(col("a"), col("b"), col("hamming"))
@@ -215,13 +224,14 @@ object Media {
     // signature stays a 64-element 0/1 list — no cross-engine integer
     // packing to get wrong. Quadratic in the oracle; banded in Spark.
     "m06_phash_dedup" ->
-      """WITH c AS (
+      """WITH c0 AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000, text FROM documents
            UNION ALL
            SELECT doc_id + 200000, 'z' || substring(text, 2)
            FROM documents),
+         c AS (SELECT doc_id, text FROM c0 WHERE length(text) > 0),
          px AS (
            SELECT doc_id,
              list_transform(range(64), i ->
