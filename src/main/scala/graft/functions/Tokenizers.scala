@@ -172,6 +172,73 @@ object Tokenizers {
     t
   }
 
+  /** Distributed BPE TRAINER (Sennrich-style): learn `merges` merge
+    * rules from a corpus. The corpus collapses ONCE to a word-frequency
+    * table (the classic trainer trick — every later round is
+    * vocabulary-linear, never corpus-linear: the 100 TB cost is one
+    * tokenizing scan, then `merges` small jobs over distinct words);
+    * each round counts adjacent symbol pairs weighted by word
+    * frequency, picks the argmax with the DETERMINISTIC tie-break
+    * (count desc, lhs asc, rhs asc — the reference implementation uses
+    * dict insertion order, which no engine can replay), and fuses the
+    * winning pair in every word via sentinel-space string replace
+    * (`' x y '` → `' xy '` on space-joined symbols). Deviations
+    * (documented): no end-of-word marker, and merge application is ONE
+    * non-overlapping leftmost `replace` pass — on chained self-merges
+    * (`aaaa` under (a,a)) the shared boundary space makes it merge
+    * fewer occurrences than canonical BPE. Both Spark and SQL
+    * `replace` share those exact semantics, which is what makes every
+    * round oracle-replayable; pair COUNTING stays positional
+    * (overlapping), like the canonical counter.
+    *
+    * Returns the learned table (rank, lhs, rhs, cnt), rank 1-based in
+    * merge order. Rounds stop early if no pair remains. */
+  def trainBpe(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(merges >= 1, "trainBpe needs merges >= 1")
+    var words = docs
+      .select(explode(graft.ops.Bm25.tokenize(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        concat_ws(" ", filter(split(col("w"), ""), c => c =!= lit(""))),
+        lit(" ")).as("s"), col("f"))
+      .persist()
+    words.count()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val best = words
+        .select(col("f"), split(trim(col("s")), " ").as("sym"))
+        .select(col("f"), explode(expr(
+          "transform(slice(sym, 1, size(sym) - 1), " +
+            "(x, i) -> struct(x AS a, element_at(sym, i + 2) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((rank, l, r, c))
+        val next = words
+          .withColumn("s", expr(s"replace(s, ' $l $r ', ' $l$r ')"))
+          .persist()
+        next.count()
+        words.unpersist(false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(false)
+    learned.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
   /** [[wordpiece]] from a vocab FILE (one piece per line — a BERT
     * `vocab.txt`); any Hadoop-visible path (local, hdfs://, s3a://). */
   def wordpieceFromFile(spark: org.apache.spark.sql.SparkSession,

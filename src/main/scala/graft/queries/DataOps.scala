@@ -129,6 +129,19 @@ object DataOps {
           .as("avg_bpe_tokens"))
       .orderBy("lang")
 
+  /** p27: the distributed BPE trainer
+    * ([[graft.functions.Tokenizers.trainBpe]]) — [[BpeMerges]] learned
+    * merge rules over the corpus, every round's pair count, argmax and
+    * string-replace fusion replayed by the unrolled oracle. The
+    * trainer-faces-the-oracle rule (round-10's KMeans seed collapse,
+    * round-12's r42): tokenizer training is a training-data pipeline op
+    * and its output is a deterministic TABLE, so it gates like one. */
+  val BpeMerges = 8
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.functions.Tokenizers.trainBpe(documents(s, d), "text",
+      merges = BpeMerges)
+
   def qualityTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docsPar(s, d), "text")
       .select(col("doc_id"), col("quality"))
@@ -406,6 +419,7 @@ object DataOps {
     "p10_fingerprint_overlap" -> fingerprintOverlap,
     "p11_dup_clusters" -> dupClusters,
     "p26_canonical_dedup" -> canonicalDedup,
+    "p27_bpe_train" -> bpeTrain,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -484,7 +498,45 @@ object DataOps {
                    (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
           FROM qr)"""
 
+  /** One unrolled BPE round for the p27 oracle: pair counts over the
+    * previous word table, deterministic argmax, sentinel-space fusion
+    * — the same single-pass `replace` semantics the trainer uses. */
+  private def bpeRoundSql(i: Int): String =
+    // MATERIALIZED is load-bearing: w$i/b$i are each referenced
+    // several times by round i+1, so inlined CTEs would expand the
+    // 8-round chain exponentially (≈4^8 scans of the base table)
+    s"""p$i AS MATERIALIZED (
+          SELECT sym[j + 1] AS lhs, sym[j + 2] AS rhs,
+                 CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, sym, unnest(range(len(sym) - 1)) AS j
+                FROM (SELECT f, string_split(trim(s), ' ') AS sym
+                      FROM w${i - 1}))
+          GROUP BY 1, 2),
+        b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+                ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+        m$i AS (SELECT $i AS rank, lhs, rhs, cnt FROM b$i),
+        w$i AS MATERIALIZED (SELECT replace(s,
+                  ' ' || (SELECT lhs FROM b$i) || ' ' ||
+                    (SELECT rhs FROM b$i) || ' ',
+                  ' ' || (SELECT lhs FROM b$i) ||
+                    (SELECT rhs FROM b$i) || ' ') AS s, f
+                FROM w${i - 1})"""
+
   val oracles: Map[String, String] = Map(
+    // p27: base word-frequency table, then BpeMerges unrolled rounds;
+    // the merge list is the whole training trajectory.
+    "p27_bpe_train" -> {
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+                     || ' ' AS s, f
+            FROM (SELECT w, count(*) AS f
+                  FROM (SELECT unnest($toksSql) AS w FROM documents)
+                  GROUP BY 1)),
+          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")}
+          ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i")
+            .mkString("\n          UNION ALL\n          ")}
+          ORDER BY rank"""
+    },
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.
     "p25_quality_sample" ->

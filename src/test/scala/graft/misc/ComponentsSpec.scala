@@ -59,6 +59,32 @@ class ComponentsSpec extends SparkSpecBase {
       Seq("hello", ",", "run", "##ning", "!"))
   }
 
+  test("trainBpe: hand-computed merge trajectory, lexicographic " +
+      "tie-breaks, early stop, single-pass self-merge semantics") {
+    val sp = spark
+    import sp.implicits._
+    // corpus "low low lower": pairs (l,o)=3 (o,w)=3 (w,e)=1 (e,r)=1.
+    // R1: tie at 3 -> lex (l,o). R2: (lo,w)=3. R3: tie at 1 ->
+    // (e,r) < (low,e). R4: (low,er). R5: no pairs -> early stop.
+    val got = Tokenizers.trainBpe(
+        Seq("low low lower").toDF("text"), "text", merges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L), (4, "low", "er", 1L)))
+    // chained self-merge: 'aaaa' counts (a,a)=3 positionally but the
+    // single replace pass fuses only the leftmost non-overlapping
+    // occurrence -> [aa, a, a]; round 2 re-ties (a,a)=1 < (aa,a)=1 lex
+    val aa = Tokenizers.trainBpe(Seq("aaaa").toDF("text"), "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(aa === Seq((1, "a", "a", 3L), (2, "a", "a", 1L),
+      (3, "aa", "aa", 1L)))
+    intercept[IllegalArgumentException] {
+      Tokenizers.trainBpe(Seq("x").toDF("text"), "text", 0)
+    }
+  }
+
   test("wordpiece: the r24 derived-vocab invariant — greedy " +
       "longest-match provably splits every word to [take(4), ##drop(4)]") {
     // The r24 gate's oracle replays tokenization as a CASE split; its
