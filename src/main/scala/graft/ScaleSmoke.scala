@@ -957,6 +957,21 @@ object ScaleSmoke {
       n
     }
 
+    // BPE training at 16×: ONE corpus-linear tokenizing scan collapses
+    // to the word-frequency table, then every merge round is
+    // vocabulary-linear (the 16× corpus has the same vocabulary as 1×
+    // modulo the copy-tails, so rounds cost the same at any corpus
+    // scale — the structural assert pins that the vocab stayed small).
+    time("bpe_train") {
+      val vocabSize = docs
+        .select(explode(ops.Bm25.tokenize(col("text"))).as("w"))
+        .distinct().count()
+      require(vocabSize < nDocs * xf / 4,
+        s"vocab $vocabSize not << corpus — rounds would be corpus-sized")
+      graft.functions.Tokenizers.trainBpe(docs, "text", merges = 8)
+        .count()
+    }
+
     // Epoch shuffle at 16×: one md5 order-key scan, a `shards`-row
     // driver collect, one range-shaped window per shard — corpus-linear
     // with no global sort. The permutation property is asserted in

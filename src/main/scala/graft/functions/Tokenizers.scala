@@ -198,12 +198,11 @@ object Tokenizers {
     val spark = docs.sparkSession
     import spark.implicits._
     require(merges >= 1, "trainBpe needs merges >= 1")
-    var words = docs
-      .select(explode(graft.ops.Bm25.tokenize(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(concat(lit(" "),
-        concat_ws(" ", filter(split(col("w"), ""), c => c =!= lit(""))),
-        lit(" ")).as("s"), col("f"))
+    var words = applyBpe(docs
+        .select(explode(graft.ops.Bm25.tokenize(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")),
+        "w", Nil)
+      .select(col("s"), col("f"))
       .persist()
     words.count()
     val learned = scala.collection.mutable.ArrayBuffer
@@ -237,6 +236,23 @@ object Tokenizers {
     }
     words.unpersist(false)
     learned.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Apply learned [[trainBpe]] merges to a word column: adds `s`, the
+    * sentinel-space symbol string after every merge is fused in rank
+    * order (the same single-pass `replace` semantics the trainer used
+    * — train and apply MUST share them or encodings drift from the
+    * learned statistics). Callers explode `split(trim(s), ' ')` for
+    * the subword tokens. Pure column math: `merges` sequential
+    * replaces inside one projection, no UDF. */
+  def applyBpe(words: org.apache.spark.sql.DataFrame, wordCol: String,
+               merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val base = words.withColumn("s", concat(lit(" "),
+      concat_ws(" ", filter(split(col(wordCol), ""), c => c =!= lit(""))),
+      lit(" ")))
+    merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("s", expr(s"replace(s, ' $l $r ', ' $l$r ')"))
+    }
   }
 
   /** [[wordpiece]] from a vocab FILE (one piece per line — a BERT

