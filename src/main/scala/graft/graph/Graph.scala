@@ -529,6 +529,59 @@ object Graph {
       .select(col("text"), round(col("pr"), roundTo).as("pr"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on `seeds` (uniformly) instead of spread over all
+    * nodes — importance RELATIVE to a query's recognized entities,
+    * the ranking a GraphRAG retriever actually mixes (g04's global
+    * variant answers "what anchors the corpus"; this answers "what
+    * anchors THIS question"). pr₀ = teleport; each of `iters` rounds
+    * pr ← (1−d)·t + d·Σ_in pr/outdeg, per-iteration round(9), same
+    * leaky-dangling semantics and the same key-space guards. Non-seed
+    * components drain to 0 — by design, they are unreachable from the
+    * question. */
+  def personalizedPageRank(entities: DataFrame, relations: DataFrame,
+                           seeds: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85, roundTo: Int = 6,
+                           idCol: String = "uid"): DataFrame = {
+    val nodes = entities.select(col(idCol).as("__id"), col("text"))
+    val nSeeds = seeds.select(col(idCol).as("__sid")).distinct()
+      .join(nodes, col("__sid") === col("__id"), "left_semi")
+    val k = nSeeds.count()
+    require(k > 0, "personalizedPageRank: no seed matches any entity")
+    val tele = nodes.select(col("__id"))
+      .join(nSeeds.withColumnRenamed("__sid", "__id"), Seq("__id"),
+        "left_semi")
+      .withColumn("__t", lit(1.0 / k))
+    val edges = relations.select(col("source").as("__s"),
+      col("target").as("__t2"))
+    if (!relations.isEmpty) {
+      require(!edges.join(nodes, col("__s") === col("__id")).isEmpty &&
+          !edges.join(nodes, col("__t2") === col("__id")).isEmpty,
+        s"personalizedPageRank: no edge endpoint matches any entity " +
+          s"'$idCol'")
+    }
+    val teleAll = nodes.select(col("__id"))
+      .join(tele, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__t"), lit(0.0)).as("__t"))
+    val out = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
+    var pr = teleAll.withColumn("pr", col("__t")).select("__id", "pr")
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(out, "__s")
+        .join(pr.withColumnRenamed("__id", "__s"), "__s")
+        .groupBy("__t2")
+        .agg(sum(col("pr") / col("__od")).as("__in"))
+        .withColumnRenamed("__t2", "__id")
+      pr = teleAll.join(contrib, Seq("__id"), "left")
+        .withColumn("pr", round(
+          lit(1 - damping) * col("__t") +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 9))
+        .select("__id", "pr")
+    }
+    nodes.join(pr, "__id")
+      .select(col("text"), round(col("pr"), roundTo).as("pr"))
+  }
+
   /** Synchronous weighted label propagation over the merged entity
     * graph — community structure for GraphRAG corpus mixing (which
     * entity clusters dominate a corpus, and where a retrieval budget
@@ -708,4 +761,8 @@ object Graph {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  /** Driver-side [[entityUid]] twin (same lowercase-hex SHA-256) — for
+    * building seed uid lists from known entity texts. */
+  def entityUidScala(text: String): String = sha2Hex(text)
 }

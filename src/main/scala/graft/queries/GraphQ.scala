@@ -241,7 +241,24 @@ object GraphQ {
       .limit(20)
   }
 
+  /** g06: personalized PageRank seeded by the fixed bench query's
+    * recognized entities ({spark, filter, join} — the g02 query) —
+    * importance relative to the question, the mixable signal next to
+    * g04's global one. 3 rounds unrolled in the oracle with teleport
+    * 1/3 on the three seed uids. */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val (reg, _) = buildGraph(s, d)
+    import s.implicits._
+    val seeds = Seq("spark", "filter", "join")
+      .map(t => graft.graph.Graph.entityUidScala(t)).toDF("uid")
+    Graph.personalizedPageRank(reg.table(Graph.entityDef()),
+        reg.table(Graph.relationDef()), seeds)
+      .orderBy(col("pr").desc, col("text").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_personalized_pr" -> graphPpr,
     "s16_stream_graph_twin" -> streamGraphTwin,
     "g01_entity_merge" -> entityMerge,
     "g02_graph_search" -> graphSearch,
@@ -485,6 +502,33 @@ object GraphQ {
         SELECT e.text, round(p.pr, 6) AS pr
         FROM pr3 p JOIN entity e USING (uid)
         ORDER BY pr DESC, text ASC LIMIT 20""",
+    // g06: personalized teleport 1/3 on the three seed TEXTS (uid =
+    // sha256(text), consistent inside the oracle), pr0 = teleport,
+    // rounds keyed by uid like g04.
+    "g06_personalized_pr" -> {
+      def pprRound(i: Int) =
+        s"""ppr$i AS (
+            SELECT e.uid, round(0.15 * t.t +
+              0.85 * coalesce(c.s, 0), 9) AS pr
+            FROM entity e JOIN tele t USING (uid) LEFT JOIN (
+              SELECT r.target AS uid, sum(p.pr / o.od) AS s
+              FROM relation r JOIN outd o ON o.source = r.source
+              JOIN ppr${i - 1} p ON p.uid = r.source GROUP BY 1) c
+              ON c.uid = e.uid)"""
+      s"""$g2Ctes,
+        outd AS (SELECT source, count(*) AS od FROM relation GROUP BY 1),
+        tele AS (SELECT uid,
+                   CASE WHEN text IN ('spark', 'filter', 'join')
+                     THEN 1.0 / 3 ELSE 0.0 END AS t
+                 FROM entity),
+        ppr0 AS (SELECT uid, t AS pr FROM tele),
+        ${pprRound(1)},
+        ${pprRound(2)},
+        ${pprRound(3)}
+        SELECT e.text, round(p.pr, 6) AS pr
+        FROM ppr3 p JOIN entity e USING (uid)
+        ORDER BY pr DESC, text ASC LIMIT 20"""
+    },
     // g05: the three synchronous weighted-LPA rounds unrolled, uid-
     // keyed like g04 — edge weight = merged description line count,
     // argmax by (weighted sum desc, label asc), isolated nodes keep

@@ -296,6 +296,29 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("personalizedPageRank: mass flows from the seed, non-reachable " +
+      "nodes drain to 0, unknown seeds refuse") {
+    val sp = spark
+    import sp.implicits._
+    val ents = Seq(("A", "a"), ("B", "b"), ("C", "c"), ("D", "d"))
+      .toDF("uid", "text")
+    val rels = Seq(("A", "B"), ("B", "C")).toDF("source", "target")
+    val seeds = Seq("A").toDF("uid")
+    // iter 1: pr(a)=0.15*1=0.15; pr(b)=0.85*pr0(a)=0.85; c,d = 0
+    val one = Graph.personalizedPageRank(ents, rels, seeds, iters = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(one("a") === 0.15 && one("b") === 0.85)
+    assert(one("c") === 0.0 && one("d") === 0.0)
+    // iter 2: pr(b)=0.85*0.15=0.1275; pr(c)=0.85*0.85=0.7225
+    val two = Graph.personalizedPageRank(ents, rels, seeds, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(two("b") === 0.1275 && two("c") === 0.7225)
+    assert(two("d") === 0.0) // unreachable from the question
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(ents, rels, Seq("Z").toDF("uid"))
+    }
+  }
+
   test("labelPropagation: two weighted triangles split into their own " +
       "communities across a weak bridge; isolated node keeps its label") {
     val sp = spark
