@@ -255,6 +255,31 @@ object Tokenizers {
     }
   }
 
+  /** A REGISTERED tokenizer from learned [[trainBpe]] merges: basic
+    * lowercase-alnum words, each segmented by the merge rules in rank
+    * order (driver/executor `String.replace` — the same non-overlapping
+    * leftmost semantics as the column/SQL form, so all three agree).
+    * Registering makes it a per-column `create_tokenizer` model like
+    * wordpiece (spec.py:276-278): a KeywordIndex can name it and the
+    * whole BM25 chain runs over trained subwords. */
+  def bpeTokenizer(merges: Seq[(String, String)],
+                   name: String = "bpe_trained"): Tokenizer = {
+    def segment(word: String): Seq[String] = {
+      var s = " " + word.toCharArray.mkString(" ") + " "
+      merges.foreach { case (l, r) =>
+        s = s.replace(s" $l $r ", s" $l$r ")
+      }
+      s.trim.split(" ").toSeq
+    }
+    val scalaForm: String => Seq[String] = text =>
+      Simple.scala(text).flatMap(segment)
+    val t = Tokenizer(name,
+      c => udf(scalaForm).apply(c),
+      scalaForm)
+    register(t)
+    t
+  }
+
   /** [[wordpiece]] from a vocab FILE (one piece per line — a BERT
     * `vocab.txt`); any Hadoop-visible path (local, hdfs://, s3a://). */
   def wordpieceFromFile(spark: org.apache.spark.sql.SparkSession,

@@ -178,6 +178,25 @@ object DataOps {
       .limit(20)
   }
 
+  /** p29: BM25 keyword search OVER THE TRAINED TOKENIZER — the learned
+    * merges register as a per-column tokenizer model
+    * ([[graft.functions.Tokenizers.bpeTokenizer]], the
+    * `create_tokenizer` surface) and the whole index+search chain runs
+    * on trained subwords, query segmentation included. The oracle
+    * replays tokenization as a word→subword JOIN against its own final
+    * merge-round table — the r24 WordPiece pattern with a LEARNED
+    * segmentation instead of a derived one. */
+  def bm25BpeTopk(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedMerges(s, d).map(m => (m._2, m._3))
+    val tok = graft.functions.Tokenizers.bpeTokenizer(merges,
+      name = s"bpe|$d")
+    val idx = graft.ops.Bm25.buildCached(documents(s, d), "doc_id",
+      "text",
+      s"p29|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}",
+      tok)
+    graft.ops.Bm25.search(idx, "spark filter join", 10)
+  }
+
   def qualityTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docsPar(s, d), "text")
       .select(col("doc_id"), col("quality"))
@@ -457,6 +476,7 @@ object DataOps {
     "p26_canonical_dedup" -> canonicalDedup,
     "p27_bpe_train" -> bpeTrain,
     "p28_bpe_encode" -> bpeEncode,
+    "p29_bm25_bpe" -> bm25BpeTopk,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -538,6 +558,17 @@ object DataOps {
   /** One unrolled BPE round for the p27 oracle: pair counts over the
     * previous word table, deterministic argmax, sentinel-space fusion
     * — the same single-pass `replace` semantics the trainer uses. */
+  /** The shared BPE base: word-frequency table with the sentinel-space
+    * symbol string, CARRYING the raw word so downstream consumers
+    * (p29's word→subword map) can join back. */
+  private def bpeW0Sql: String =
+    s"""w0 AS MATERIALIZED (
+          SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')
+                   || ' ' AS s, f
+          FROM (SELECT w, count(*) AS f
+                FROM (SELECT unnest($toksSql) AS w FROM documents)
+                GROUP BY 1))"""
+
   private def bpeRoundSql(i: Int): String =
     // MATERIALIZED is load-bearing: w$i/b$i are each referenced
     // several times by round i+1, so inlined CTEs would expand the
@@ -552,7 +583,7 @@ object DataOps {
         b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
                 ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
         m$i AS (SELECT $i AS rank, lhs, rhs, cnt FROM b$i),
-        w$i AS MATERIALIZED (SELECT replace(s,
+        w$i AS MATERIALIZED (SELECT w, replace(s,
                   ' ' || (SELECT lhs FROM b$i) || ' ' ||
                     (SELECT rhs FROM b$i) || ' ',
                   ' ' || (SELECT lhs FROM b$i) ||
@@ -563,12 +594,7 @@ object DataOps {
     // p27: base word-frequency table, then BpeMerges unrolled rounds;
     // the merge list is the whole training trajectory.
     "p27_bpe_train" -> {
-      s"""WITH w0 AS MATERIALIZED (
-            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-                     || ' ' AS s, f
-            FROM (SELECT w, count(*) AS f
-                  FROM (SELECT unnest($toksSql) AS w FROM documents)
-                  GROUP BY 1)),
+      s"""WITH $bpeW0Sql,
           ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")}
           ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i")
             .mkString("\n          UNION ALL\n          ")}
@@ -578,18 +604,49 @@ object DataOps {
     // subword tokens, frequency-weighted — train and apply share one
     // replay.
     "p28_bpe_encode" -> {
-      s"""WITH w0 AS MATERIALIZED (
-            SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-                     || ' ' AS s, f
-            FROM (SELECT w, count(*) AS f
-                  FROM (SELECT unnest($toksSql) AS w FROM documents)
-                  GROUP BY 1)),
+      s"""WITH $bpeW0Sql,
           ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
           tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, f
                   FROM w$BpeMerges)
           SELECT token, CAST(sum(f) AS BIGINT) AS cnt
           FROM tok GROUP BY 1
           ORDER BY cnt DESC, token ASC LIMIT 20"""
+    },
+    // p29: the r24 WordPiece-BM25 pattern with the LEARNED
+    // segmentation — tokenization replays as a word→subword join
+    // against the final merge-round table; same Okapi constants as
+    // every BM25 oracle; query pieces deduped like Bm25.search.
+    "p29_bm25_bpe" -> {
+      s"""WITH $bpeW0Sql,
+          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
+          map AS (SELECT w, string_split(trim(s), ' ') AS pieces
+                  FROM w$BpeMerges),
+          toks AS (SELECT dw.id, unnest(map.pieces) AS term
+                   FROM (SELECT doc_id AS id, unnest($toksSql) AS w
+                         FROM documents) dw
+                   JOIN map USING (w)),
+          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          g AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+          qterms AS (SELECT DISTINCT term FROM
+                       (SELECT unnest(pieces) AS term FROM map
+                        WHERE w IN ('spark', 'filter', 'join'))),
+          scored AS (
+            SELECT tf.id,
+                   ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / g.avgdl))
+                     AS wt
+            FROM tf
+            JOIN qterms USING (term)
+            JOIN stats s USING (term)
+            JOIN dl USING (id)
+            CROSS JOIN g)
+          SELECT id, round(sum(wt), 6) AS score FROM scored GROUP BY id
+          ORDER BY score DESC, id ASC LIMIT 10"""
     },
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.

@@ -92,6 +92,13 @@ class ComponentsSpec extends SparkSpecBase {
         r.getAs[String]("s").trim.split(" ").toSeq).toMap
     assert(enc("low") === Seq("low"))
     assert(enc("lower") === Seq("lower")) // merge 4 fuses low+er
+    // the registered tokenizer form: whole-text scala segmentation,
+    // resolvable by name (the create_tokenizer per-column surface)
+    val bpeTok = Tokenizers.bpeTokenizer(got.map(m => (m._2, m._3)),
+      name = "bpe_spec")
+    assert(bpeTok.scala("Lower the lowest!") ===
+      Seq("lower", "t", "h", "e", "low", "e", "s", "t"))
+    assert(Tokenizers.byName("bpe_spec").scala("low") === Seq("low"))
   }
 
   test("wordpiece: the r24 derived-vocab invariant — greedy " +
