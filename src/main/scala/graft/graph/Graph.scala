@@ -437,8 +437,16 @@ object Graph {
     val merged = grouped.join(existing, col("__k") === col("e_k"),
         "full_outer")
       .select(
-        coalesce(col("source"), col("e_source")).as("source"),
-        coalesce(col("target"), col("e_target")).as("target"),
+        // EXISTING orientation survives a re-occurrence: stored rows
+        // are by definition earlier than any incoming batch, so
+        // existing-wins extends the within-call ord-min contract
+        // across calls — an incrementally merged graph's orientation
+        // equals the all-at-once build's, which s17 gates. (The
+        // reference's orientation-sensitive lookup would instead
+        // DUPLICATE a reversed re-occurrence, pipeline.py:382-392 —
+        // the sorted-pair uid here is the documented deviation.)
+        coalesce(col("e_source"), col("source")).as("source"),
+        coalesce(col("e_target"), col("target")).as("target"),
         when(col("__k").isNull, col("e_description"))
           .when(col("e_k").isNull, col("description"))
           .otherwise(concat_ws("\n", col("description"),

@@ -201,7 +201,28 @@ object GraphQ {
     * of which batch carried each line) — so the oracle is the batch
     * build's entity CTE itself. Vectors re-embed per merge and track
     * batch-order-dependent line order; they are exercised, not gated. */
-  def streamGraphTwin(s: SparkSession, d: String): DataFrame = {
+  /** The streamed 3-micro-batch graph build, memoized per (session,
+    * corpus) — s16 gates the entity merge, s17 gates relation
+    * orientation through PageRank; one streamed build serves both. */
+  private val streamedBuilt = scala.collection.mutable
+    .LinkedHashMap[(String, String), Registry]()
+
+  private def buildGraphStreamed(s: SparkSession, d: String): Registry =
+    streamedBuilt.synchronized {
+      streamedBuilt.getOrElseUpdate((graft.core.SessionId.of(s), d), {
+        while (streamedBuilt.size >= MaxCachedGraphs)
+          streamedBuilt.remove(streamedBuilt.head._1)
+        buildGraphStreamedUncached(s, d)
+      })
+    }
+
+  private[graft] def streamedCachedCount: Int =
+    streamedBuilt.synchronized(streamedBuilt.size)
+  private[graft] def clearStreamedCache(): Unit =
+    streamedBuilt.synchronized(streamedBuilt.clear())
+
+  private def buildGraphStreamedUncached(s: SparkSession,
+                                         d: String): Registry = {
     import s.implicits._
     implicit val sc = s.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -234,11 +255,32 @@ object GraphQ {
         q.processAllAvailable()
       }
     } finally q.stop()
-    reg.table(entDef)
+    reg
+  }
+
+  def streamGraphTwin(s: SparkSession, d: String): DataFrame =
+    buildGraphStreamed(s, d).table(Graph.entityDef())
       .select(col("text"), size(col("chunk_uuids")).as("n_chunks"),
         length(col("description")).as("n_desc_chars"))
       .orderBy(col("n_chunks").desc, col("text").asc)
       .limit(20)
+
+  /** s17: PageRank over the STREAMED-built graph under g04's batch
+    * oracle — the cross-call merge contract made executable: edges
+    * (and so the whole rank vector) only match the all-at-once build
+    * if a re-occurring relation pair keeps its EARLIEST orientation
+    * across micro-batches (existing-wins in mergeInsertRelations;
+    * before that fix a later batch silently flipped stored
+    * orientations and this gate would fail). */
+  def streamGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val reg = buildGraphStreamed(s, d)
+    val pr = Graph.pageRank(reg.table(Graph.entityDef()),
+        reg.table(Graph.relationDef()))
+      .orderBy(col("pr").desc, col("text").asc)
+      .limit(20)
+    require(pr.select(col("pr")).distinct().count() > 1,
+      "s17: PageRank degenerated to a constant — key mismatch?")
+    pr
   }
 
   /** g06: personalized PageRank seeded by the fixed bench query's
@@ -260,6 +302,7 @@ object GraphQ {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g06_personalized_pr" -> graphPpr,
     "s16_stream_graph_twin" -> streamGraphTwin,
+    "s17_stream_graph_pagerank" -> streamGraphPagerank,
     "g01_entity_merge" -> entityMerge,
     "g02_graph_search" -> graphSearch,
     "g03_graph_entities" -> graphEntities,
@@ -443,35 +486,9 @@ object GraphQ {
         FROM siment)"""
   }
 
-  val oracles: Map[String, String] = Map(
-    "g02_graph_search" ->
-      s"""$g2Ctes,
-        cu AS (
-          SELECT chunk_uuids[j + 1] AS u, erank, j
-          FROM (SELECT chunk_uuids, erank,
-                  unnest(range(len(chunk_uuids))) AS j
-                FROM siment_ranked)),
-        chunk_ranked AS (
-          SELECT u,
-            row_number() OVER (ORDER BY min(erank * 1000000 + j))
-              AS crank
-          FROM cu GROUP BY u)
-        SELECT d.doc_id, CAST(c.crank AS INT) AS g_rank
-        FROM chunk_ranked c JOIN ch d ON d.uid = c.u
-        WHERE c.crank <= 10
-        ORDER BY g_rank""",
-    "g03_graph_entities" ->
-      s"""$g2Ctes
-        SELECT text, dist FROM siment_ranked ORDER BY erank""",
-    // g04: the three PageRank iterations unrolled over the same merged
-    // entity/relation CTEs — leaky-dangling variant, per-iteration
-    // round(9) re-synchronizing float drift, final round(6). Keyed by
-    // entity UID throughout: relation endpoints live in the sha256-uid
-    // space (relk CTE), NOT the text space — the text-keyed form of
-    // this oracle silently agreed with a text-keyed Spark join on an
-    // all-teleport constant (the round-12 g04 vacuity bug).
-    "g04_pagerank" ->
-      s"""$g2Ctes,
+  /** g04's unrolled PageRank replay — shared verbatim by s17. */
+  private def G04OracleSql: String =
+    s"""$g2Ctes,
         nn AS (SELECT count(*) AS n FROM entity),
         outd AS (SELECT source, count(*) AS od FROM relation GROUP BY 1),
         pr0 AS (SELECT uid, 1.0 / (SELECT n FROM nn) AS pr FROM entity),
@@ -501,7 +518,42 @@ object GraphQ {
             ON c.uid = e.uid)
         SELECT e.text, round(p.pr, 6) AS pr
         FROM pr3 p JOIN entity e USING (uid)
-        ORDER BY pr DESC, text ASC LIMIT 20""",
+        ORDER BY pr DESC, text ASC LIMIT 20"""
+
+  val oracles: Map[String, String] = Map(
+    "g02_graph_search" ->
+      s"""$g2Ctes,
+        cu AS (
+          SELECT chunk_uuids[j + 1] AS u, erank, j
+          FROM (SELECT chunk_uuids, erank,
+                  unnest(range(len(chunk_uuids))) AS j
+                FROM siment_ranked)),
+        chunk_ranked AS (
+          SELECT u,
+            row_number() OVER (ORDER BY min(erank * 1000000 + j))
+              AS crank
+          FROM cu GROUP BY u)
+        SELECT d.doc_id, CAST(c.crank AS INT) AS g_rank
+        FROM chunk_ranked c JOIN ch d ON d.uid = c.u
+        WHERE c.crank <= 10
+        ORDER BY g_rank""",
+    "g03_graph_entities" ->
+      s"""$g2Ctes
+        SELECT text, dist FROM siment_ranked ORDER BY erank""",
+    // g04: the three PageRank iterations unrolled over the same merged
+    // entity/relation CTEs — leaky-dangling variant, per-iteration
+    // round(9) re-synchronizing float drift, final round(6). Keyed by
+    // entity UID throughout: relation endpoints live in the sha256-uid
+    // space (relk CTE), NOT the text space — the text-keyed form of
+    // this oracle silently agreed with a text-keyed Spark join on an
+    // all-teleport constant (the round-12 g04 vacuity bug).
+    "g04_pagerank" -> G04OracleSql,
+    // s17: the STREAMED build must land on the identical rank
+    // vector — the batch oracle verbatim (shared, the s07-s16
+    // lifecycle-twin pattern); sensitive to relation ORIENTATION
+    // through outdeg, which is exactly the cross-call contract
+    // it gates.
+    "s17_stream_graph_pagerank" -> G04OracleSql,
     // g06: personalized teleport 1/3 on the three seed TEXTS (uid =
     // sha256(text), consistent inside the oracle), pr0 = teleport,
     // rounds keyed by uid like g04.

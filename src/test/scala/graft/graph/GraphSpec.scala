@@ -127,6 +127,19 @@ class GraphSpec extends SparkSpecBase {
     val pair = rows.find(_.getAs[String]("description").contains("A links B"))
       .get
     assert(pair.getAs[String]("description") === "A links B\nB links A")
+    // cross-CALL re-occurrence with reversed orientation: the STORED
+    // (earliest) orientation survives — the within-call ord-min
+    // contract extended across merges, which makes an incrementally
+    // built graph orientation-identical to the all-at-once build (s17)
+    val later = Seq(("u2", "u1", "B mentions A", 0L))
+      .toDF("source", "target", "description", "ord")
+    Graph.mergeInsertRelations(reg, rels, later, emb)
+    val again = reg.table(rels).collect()
+      .find(_.getAs[String]("description").contains("A links B")).get
+    assert(again.getAs[String]("source") === "u1" &&
+      again.getAs[String]("target") === "u2")
+    assert(again.getAs[String]("description") ===
+      "B mentions A\nA links B\nB links A")
   }
 
   test("2-hop graph search reaches chunks through relations and entities") {

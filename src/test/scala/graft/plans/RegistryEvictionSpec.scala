@@ -97,5 +97,7 @@ class RegistryEvictionSpec extends SparkSpecBase {
     assert(graft.queries.GraphQ.cachedCount == 0)
     graft.queries.GraphQ.clearCache() // second sweep: no-op, no throw
     assert(graft.queries.GraphQ.cachedCount == 0)
+    graft.queries.GraphQ.clearStreamedCache()
+    assert(graft.queries.GraphQ.streamedCachedCount == 0)
   }
 }
