@@ -280,6 +280,55 @@ object Tokenizers {
     t
   }
 
+  /** Canonical fingerprint of a merge list: sha-256 over the
+    * rank-ordered `lhs\u0000rhs` lines — the identity a persisted
+    * model pins so a reader can never silently segment under different
+    * rules than the index was built with. */
+  def bpeFingerprint(merges: Seq[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(merges.map { case (l, r) => s"$l\u0000$r" }
+        .mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Persist a trained merge table: `merges/` parquet (rank, lhs, rhs,
+    * cnt) + a `_bpe_model` marker carrying the [[bpeFingerprint]] —
+    * the tokenizer ARTIFACT that must ship with any index built under
+    * it (a 100 TB BM25 layout whose reader re-trains or guesses rules
+    * silently degrades retrieval; the fingerprint makes the pairing
+    * checkable). */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    merges: org.apache.spark.sql.DataFrame,
+                    dir: String): Unit = {
+    merges.select(col("rank"), col("lhs"), col("rhs"), col("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    val rules = merges.orderBy("rank")
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.io.Markers.write(spark, dir, "_bpe_model",
+      bpeFingerprint(rules))
+  }
+
+  /** Load a [[writeBpeModel]] root and REGISTER the tokenizer under
+    * `bpe@<fingerprint-prefix>` (stable content-derived name — two
+    * roots with the same rules resolve to the same model). Refuses
+    * loudly if the stored rows don't hash to the marker (a partially
+    * rewritten or hand-edited model must never segment silently). */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Tokenizer = {
+    val rules = spark.read.parquet(s"$dir/merges").orderBy("rank")
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val fp = bpeFingerprint(rules)
+    val stored = graft.io.Markers.read(spark, dir, "_bpe_model")
+    require(stored.contains(fp),
+      s"$dir: stored merges hash to $fp but the marker says " +
+        s"${stored.getOrElse("<missing>")} — refusing a model whose " +
+        "rules and identity disagree")
+    bpeTokenizer(rules, name = s"bpe@${fp.take(12)}")
+  }
+
   /** [[wordpiece]] from a vocab FILE (one piece per line — a BERT
     * `vocab.txt`); any Hadoop-visible path (local, hdfs://, s3a://). */
   def wordpieceFromFile(spark: org.apache.spark.sql.SparkSession,

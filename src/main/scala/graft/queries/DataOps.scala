@@ -197,6 +197,28 @@ object DataOps {
     graft.ops.Bm25.search(idx, "spark filter join", 10)
   }
 
+  /** p30: the tokenizer ARTIFACT lifecycle — train → persist
+    * ([[graft.functions.Tokenizers.writeBpeModel]]: merges parquet +
+    * content-fingerprint marker) → load (fingerprint-verified,
+    * registered under the content-derived name) → rebuild the BM25
+    * index UNDER THE LOADED MODEL → search. Shares p29's oracle: a
+    * persisted-and-reloaded tokenizer must retrieve bit-identically to
+    * the in-memory one, which is exactly the contract that lets a
+    * 100 TB index ship with its tokenizer. */
+  def bpeModelRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString
+    graft.functions.Tokenizers.writeBpeModel(s,
+      trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt"), dir)
+    val tok = graft.functions.Tokenizers.loadBpeModel(s, dir)
+    val idx = graft.ops.Bm25.buildCached(documents(s, d), "doc_id",
+      "text",
+      s"p30|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}",
+      tok)
+    graft.ops.Bm25.search(idx, "spark filter join", 10)
+  }
+
   def qualityTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docsPar(s, d), "text")
       .select(col("doc_id"), col("quality"))
@@ -477,6 +499,7 @@ object DataOps {
     "p27_bpe_train" -> bpeTrain,
     "p28_bpe_encode" -> bpeEncode,
     "p29_bm25_bpe" -> bm25BpeTopk,
+    "p30_bpe_model_roundtrip" -> bpeModelRoundtrip,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -590,33 +613,10 @@ object DataOps {
                     (SELECT rhs FROM b$i) || ' ') AS s, f
                 FROM w${i - 1})"""
 
-  val oracles: Map[String, String] = Map(
-    // p27: base word-frequency table, then BpeMerges unrolled rounds;
-    // the merge list is the whole training trajectory.
-    "p27_bpe_train" -> {
-      s"""WITH $bpeW0Sql,
-          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")}
-          ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i")
-            .mkString("\n          UNION ALL\n          ")}
-          ORDER BY rank"""
-    },
-    // p28: encode = the final merge-round word table exploded back to
-    // subword tokens, frequency-weighted — train and apply share one
-    // replay.
-    "p28_bpe_encode" -> {
-      s"""WITH $bpeW0Sql,
-          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
-          tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, f
-                  FROM w$BpeMerges)
-          SELECT token, CAST(sum(f) AS BIGINT) AS cnt
-          FROM tok GROUP BY 1
-          ORDER BY cnt DESC, token ASC LIMIT 20"""
-    },
-    // p29: the r24 WordPiece-BM25 pattern with the LEARNED
-    // segmentation — tokenization replays as a word→subword join
-    // against the final merge-round table; same Okapi constants as
-    // every BM25 oracle; query pieces deduped like Bm25.search.
-    "p29_bm25_bpe" -> {
+  /** p29's BM25-over-trained-subwords replay — shared verbatim by p30
+    * (the persisted-model roundtrip). */
+  private def P29OracleSql: String =
+    {
       s"""WITH $bpeW0Sql,
           ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
           map AS (SELECT w, string_split(trim(s), ' ') AS pieces
@@ -647,7 +647,39 @@ object DataOps {
             CROSS JOIN g)
           SELECT id, round(sum(wt), 6) AS score FROM scored GROUP BY id
           ORDER BY score DESC, id ASC LIMIT 10"""
+    }
+
+  val oracles: Map[String, String] = Map(
+    // p27: base word-frequency table, then BpeMerges unrolled rounds;
+    // the merge list is the whole training trajectory.
+    "p27_bpe_train" -> {
+      s"""WITH $bpeW0Sql,
+          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")}
+          ${(1 to BpeMerges).map(i => s"SELECT * FROM m$i")
+            .mkString("\n          UNION ALL\n          ")}
+          ORDER BY rank"""
     },
+    // p28: encode = the final merge-round word table exploded back to
+    // subword tokens, frequency-weighted — train and apply share one
+    // replay.
+    "p28_bpe_encode" -> {
+      s"""WITH $bpeW0Sql,
+          ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
+          tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, f
+                  FROM w$BpeMerges)
+          SELECT token, CAST(sum(f) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1
+          ORDER BY cnt DESC, token ASC LIMIT 20"""
+    },
+    // p29: the r24 WordPiece-BM25 pattern with the LEARNED
+    // segmentation — tokenization replays as a word→subword join
+    // against the final merge-round table; same Okapi constants as
+    // every BM25 oracle; query pieces deduped like Bm25.search.
+    "p29_bm25_bpe" -> P29OracleSql,
+    // p30: persisted-and-reloaded model must retrieve identically —
+    // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
+    // stored-layout rule applied to the tokenizer).
+    "p30_bpe_model_roundtrip" -> P29OracleSql,
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.
     "p25_quality_sample" ->

@@ -101,6 +101,33 @@ class ComponentsSpec extends SparkSpecBase {
     assert(Tokenizers.byName("bpe_spec").scala("low") === Seq("low"))
   }
 
+  test("BPE model persistence: write/load roundtrip segments " +
+      "identically under a content-derived name; tampered marker " +
+      "refuses") {
+    val sp = spark
+    import sp.implicits._
+    val merges = Tokenizers.trainBpe(
+      Seq("low low lower").toDF("text"), "text", merges = 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model-spec").toString
+    Tokenizers.writeBpeModel(sp, merges, dir)
+    val loaded = Tokenizers.loadBpeModel(sp, dir)
+    assert(loaded.name.startsWith("bpe@"))
+    assert(loaded.scala("lower lowly") ===
+      Seq("lower", "low", "l", "y"))
+    // same rules from a second root -> SAME registered name (content
+    // identity, not path identity)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model-spec2").toString
+    Tokenizers.writeBpeModel(sp, merges, dir2)
+    assert(Tokenizers.loadBpeModel(sp, dir2).name === loaded.name)
+    // tamper the marker: rules/identity disagreement must refuse
+    graft.io.Markers.write(sp, dir, "_bpe_model", "deadbeef")
+    intercept[IllegalArgumentException] {
+      Tokenizers.loadBpeModel(sp, dir)
+    }
+  }
+
   test("wordpiece: the r24 derived-vocab invariant — greedy " +
       "longest-match provably splits every word to [take(4), ##drop(4)]") {
     // The r24 gate's oracle replays tokenization as a CASE split; its
