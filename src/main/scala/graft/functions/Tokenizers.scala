@@ -264,15 +264,34 @@ object Tokenizers {
     * whole BM25 chain runs over trained subwords. */
   def bpeTokenizer(merges: Seq[(String, String)],
                    name: String = "bpe_trained"): Tokenizer = {
-    def segment(word: String): Seq[String] = {
+    def segmentRaw(word: String): Seq[String] = {
       var s = " " + word.toCharArray.mkString(" ") + " "
       merges.foreach { case (l, r) =>
         s = s.replace(s" $l $r ", s" $l$r ")
       }
       s.trim.split(" ").toSeq
     }
-    val scalaForm: String => Seq[String] = text =>
-      Simple.scala(text).flatMap(segment)
+    val scalaForm: String => Seq[String] = new (String => Seq[String])
+        with Serializable {
+      // per-instance word→pieces memo (one per deserialized closure,
+      // i.e. per executor task set): segmentation cost collapses from
+      // per-OCCURRENCE to per-distinct-word — the trainer's
+      // vocabulary-linear trick, applied to the apply side. Capped so
+      // a pathological vocabulary cannot grow it unboundedly.
+      private val memo = new java.util.concurrent.ConcurrentHashMap[
+        String, Seq[String]]()
+      private val Cap = 200000
+      def apply(text: String): Seq[String] =
+        Simple.scala(text).flatMap { w =>
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            val pieces = segmentRaw(w)
+            if (memo.size < Cap) memo.put(w, pieces)
+            pieces
+          }
+        }
+    }
     val t = Tokenizer(name,
       c => udf(scalaForm).apply(c),
       scalaForm)
@@ -303,7 +322,11 @@ object Tokenizers {
     merges.select(col("rank"), col("lhs"), col("rhs"), col("cnt"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/merges")
-    val rules = merges.orderBy("rank")
+    // fingerprint the rows READ BACK from the write, never a second
+    // evaluation of the input plan: if the two could differ (a
+    // non-re-evaluation-stable merges frame), marker and data would
+    // disagree and the root would be permanently unloadable
+    val rules = spark.read.parquet(s"$dir/merges").orderBy("rank")
       .select(col("lhs"), col("rhs")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     graft.io.Markers.write(spark, dir, "_bpe_model",

