@@ -98,6 +98,37 @@ object Eval {
       "qid", "ndcg", n = NQ, b = 200)
   }
 
+  /** e16: the recall-vs-probes CURVE as oracle-gated data — recall@10
+    * of the IVF batch join against the exact top-10 at probes ∈
+    * {1, 2, 3}, averaged over the 10 bench queries. RecallSmoke
+    * measures this shape informally; here every number faces DuckDB
+    * (assignment, probe ranking, both top-10s, the intersection) — the
+    * quality/latency trade a 100 TB operator actually tunes, as a
+    * hash-checked table instead of prose. Exact by construction at
+    * probes = #cells; monotone non-decreasing in probes (both engines
+    * would catch a violation since each row replays independently). */
+  def recallCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val qs = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = e.select(col("vec_id").as("d_id"), col("embedding").as("dv"))
+    val assigned = Ann.assign(docs, "dv", model, Ann.L2)
+    val exact = Ann.knnJoin(qs, "q_id", "qv", docs, "d_id", "dv",
+        Ann.L2, K)
+      .select(col("q_id"), col("d_id")).localCheckpoint(true)
+    val rows = Seq(1, 2, 3).map { p =>
+      val approx = Ann.knnJoinIvf(qs, "q_id", "qv", assigned,
+        "d_id", "dv", model, Ann.L2, probes = p, k = K)
+      val hits = exact.join(approx.select(col("q_id"), col("d_id")),
+        Seq("q_id", "d_id"), "left_semi").count()
+      (p, BigDecimal(hits.toDouble / (NQ * K))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("probes", "recall")
+  }
+
   /** Macro-average over the query set (evaluate.py:44-48). */
   def metricsMacro(s: SparkSession, d: String): DataFrame =
     Metrics.macroAvg(Metrics.evaluate(ranked(s, d), truth(s, d), K))
@@ -294,6 +325,7 @@ object Eval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_recall_curve" -> recallCurve,
     "e15_passk_ci" -> passkCi,
     "e14_perm_test" -> permutationTest,
     "e13_bootstrap_ci" -> bootstrapCi,
@@ -474,6 +506,60 @@ object Eval {
           FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
     "e02_metrics_knn" ->
       s"$perQuerySql SELECT * FROM meas ORDER BY qid",
+    // e16: full IVF replay (label-mean cells round 5, UNROUNDED probe
+    // ranking with centroid-id ties — knnJoinIvf's probeUdf order —
+    // round-6 candidate ranking with id ties), exact top-10 beside it,
+    // intersection per probe count.
+    "e16_recall_curve" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < $NQ),
+        dims AS (
+          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding::DOUBLE[],
+                                            c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        exact AS (SELECT qid, id FROM (
+            SELECT q.qid, d.vec_id AS id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY round(list_distance(d.embedding::DOUBLE[],
+                                                  q.qv), 6) ASC,
+                              d.vec_id ASC) AS rk
+            FROM q CROSS JOIN embeddings d) WHERE rk <= $K),
+        pb AS (
+          SELECT q.qid, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(c.centroid, q.qv) ASC,
+                            c.centroid_id ASC) AS prk
+          FROM q CROSS JOIN cents c),
+        pr AS (SELECT unnest([1, 2, 3]) AS p),
+        appx AS (SELECT p, qid, id FROM (
+            SELECT t.p, t.qid, t.id,
+                   row_number() OVER (PARTITION BY t.p, t.qid
+                     ORDER BY round(list_distance(t.dv, q2.qv), 6) ASC,
+                              t.id ASC) AS rk
+            FROM (SELECT pr.p, pb.qid, a.vec_id AS id,
+                         a.embedding::DOUBLE[] AS dv
+                  FROM pr JOIN pb ON pb.prk <= pr.p
+                  JOIN assigned a ON a.centroid_id = pb.centroid_id) t
+            JOIN q q2 ON q2.qid = t.qid) WHERE rk <= $K),
+        hits AS (SELECT p, count(*) AS h
+                 FROM appx JOIN exact USING (qid, id) GROUP BY p)
+        SELECT p AS probes,
+               round(CAST(h AS DOUBLE) / ${NQ * K}, 6) AS recall
+        FROM hits ORDER BY probes""",
     // e15: e12's whole hit chain as the base, re-ranked dense, then
     // the e13 resample grid with n a scalar subquery (the query count
     // is data-dependent: token-free docs synthesize nothing).
