@@ -1711,7 +1711,40 @@ object Retrieval {
       .select("vec_id", "dist")
   }
 
+  /** r68: the 1-BIT refine-recall CURVE as oracle-gated data (e16's
+    * pattern for the quantized path) — ALL cells probed, so the
+    * sign-bit estimator error is the ONLY recall knob: recall@10 of
+    * the batch 1-bit join vs the exact top-10 at refine ∈ {1, 2, 5}
+    * (budget = k·refine candidates), averaged over 10 queries. The
+    * ScaleSmoke ladders measure this informally; here every rung
+    * hash-matches a full first-principles replay. (The SQ path was
+    * measured recall-complete at refine 1 on this corpus — a flat
+    * curve pins less; the 32×-lossier sign codes have a real knee.) */
+  def bitqRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = e.select(col("vec_id").as("d_id"), col("embedding").as("dv"))
+    val exact = Ann.knnJoin(qs, "q_id", "qv", docs, "d_id", "dv",
+        Ann.L2, 10)
+      .select(col("q_id"), col("d_id")).localCheckpoint(true)
+    val rows = Seq(1, 2, 5).map { p =>
+      val approx = Ann.knnJoinIvfBitq(qs, "q_id", "qv", index, "vec_id",
+          "embedding", Ann.L2, probes = 10, k = 10, refine = p)
+        .select(col("q_id"), col("vec_id").as("d_id"))
+      val hits = exact.join(approx, Seq("q_id", "d_id"), "left_semi")
+        .count()
+      (p, BigDecimal(hits.toDouble / 100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("refine", "recall")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r68_bitq_recall_curve" -> bitqRecallCurve,
     "r67_range_append" -> rangeAppendGrow,
     "r66_index_health" -> indexHealthStats,
     "r65_range_join_stored" -> rangeJoinStored,
@@ -2924,6 +2957,82 @@ object Retrieval {
     // r48: ivfSqOracle's chain in the r10 batch shape — per-query
     // probes, per-query asymmetric keep-15, per-query exact re-rank.
     "r48_knn_join_sq" -> KnnJoinSqOracleSql,
+    // r68: the r48 replay chain with NO probe cut (all cells) and the
+    // refine grid as a window-rank bound (budget = 10·refine), exact
+    // top-10 beside it, intersection per rung.
+    "r68_bitq_recall_curve" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[],
+                                              c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10),
+          bitq AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN a.embedding[i+1]::DOUBLE - c.centroid[i+1] > 0
+                  THEN 1 ELSE 0 END) AS bits,
+              round(sqrt(list_sum(list_transform(range(len(a.embedding)),
+                i -> (a.embedding[i+1]::DOUBLE - c.centroid[i+1]) *
+                     (a.embedding[i+1]::DOUBLE - c.centroid[i+1])))), 6)
+                AS rnorm
+            FROM assigned a JOIN cents c USING (centroid_id)),
+          qd AS (
+            SELECT q.q_id, b.vec_id,
+              round(
+                list_sum(list_transform(range(len(b.bits)), i ->
+                  (q.qv[i+1] - c.centroid[i+1]) *
+                  (q.qv[i+1] - c.centroid[i+1])))
+                + b.rnorm * b.rnorm
+                - 2.0 * b.rnorm / sqrt(len(b.bits)) *
+                  list_sum(list_transform(range(len(b.bits)), i ->
+                    (b.bits[i+1] * 2 - 1) *
+                    (q.qv[i+1] - c.centroid[i+1]))),
+                6) AS qdist
+            FROM bitq b
+            JOIN cents c USING (centroid_id)
+            CROSS JOIN q),
+          qrk AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY qdist ASC, vec_id ASC) AS rn
+                  FROM qd),
+          pr AS (SELECT unnest([1, 2, 5]) AS p),
+          rr AS (
+            SELECT pr.p, k.q_id, k.vec_id AS d_id,
+                   row_number() OVER (PARTITION BY pr.p, k.q_id
+                     ORDER BY round(list_distance(e.embedding::DOUBLE[],
+                                                  q.qv), 6) ASC,
+                              k.vec_id ASC) AS rk
+            FROM pr
+            JOIN qrk k ON k.rn <= 10 * pr.p
+            JOIN embeddings e ON e.vec_id = k.vec_id
+            JOIN q ON q.q_id = k.q_id),
+          appx AS (SELECT p, q_id, d_id FROM rr WHERE rk <= 10),
+          exact AS (SELECT q_id, d_id FROM (
+              SELECT q.q_id, d.vec_id AS d_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_distance(d.embedding::DOUBLE[],
+                                                    q.qv), 6) ASC,
+                                d.vec_id ASC) AS rk
+              FROM q CROSS JOIN embeddings d) WHERE rk <= 10),
+          hits AS (SELECT p, count(*) AS h
+                   FROM appx JOIN exact USING (q_id, d_id) GROUP BY p)
+          SELECT p AS refine, round(CAST(h AS DOUBLE) / 100, 6) AS recall
+          FROM hits ORDER BY refine""",
     // r50: the stored layout is lossless (packCodes/unpackCodes) and
     // pruning cannot change scores - shared oracle with r48.
     "r50_knn_join_sq_stored" -> KnnJoinSqOracleSql,
