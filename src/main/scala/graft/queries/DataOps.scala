@@ -233,6 +233,34 @@ object DataOps {
     graft.ops.Bm25.search(idx, "spark filter join", 10)
   }
 
+  /** p31: the corpus-health REPORT — the one-row summary a curation
+    * run prints before anyone ships data: corpus size, exact-dup
+    * involvement, mean Gopher quality, language-distribution entropy,
+    * total whitespace tokens. Pure composition of already-gated
+    * fragments (p01 dup groups, p07 quality, p08 langid, p06 token
+    * stats), gated as a UNIT so the composition itself can't drift. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val docs = docsPar(s, d)
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dup = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("dup_docs"))
+    val meanQ = TextAnalysis.qualityScore(docs, "text")
+      .agg(round(avg(col("quality")), 6).as("mean_quality"))
+    val langN = docs
+      .withColumn("l", TextAnalysis.langId(col("text")))
+      .groupBy("l").agg(count(lit(1)).as("n"))
+    val total = documents(s, d).count().toDouble
+    val entropy = langN
+      .withColumn("p", col("n").cast("double") / total)
+      .agg(round(-sum(col("p") * log(2.0, col("p"))), 6)
+        .as("lang_entropy"))
+    val toks = TextAnalysis.stats(docs, "text")
+      .agg(sum(col("n_tokens_ws")).as("total_ws_tokens"))
+    nDocs.crossJoin(dup).crossJoin(meanQ).crossJoin(entropy)
+      .crossJoin(toks)
+  }
+
   def qualityTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docsPar(s, d), "text")
       .select(col("doc_id"), col("quality"))
@@ -514,6 +542,7 @@ object DataOps {
     "p28_bpe_encode" -> bpeEncode,
     "p29_bm25_bpe" -> bm25BpeTopk,
     "p30_bpe_model_roundtrip" -> bpeModelRoundtrip,
+    "p31_corpus_report" -> corpusReport,
     "p01_dedup_exact" -> dedupExactStats,
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
@@ -1238,5 +1267,34 @@ object DataOps {
           pred AS (SELECT doc_id,
                      CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang
                    FROM best WHERE rn = 1)
-          SELECT pred_lang, count(*) AS n FROM pred GROUP BY 1 ORDER BY 1""")
+          SELECT pred_lang, count(*) AS n FROM pred GROUP BY 1 ORDER BY 1""",
+    // p31: the composed report — every term is an already-proven
+    // fragment (dup groups, qualityCtes, the p08 langid chain, the
+    // p06/p07 whitespace token count).
+    "p31_corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          scores AS ($langScoresSql),
+          best AS (SELECT doc_id, lang, hits,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) AS rn
+                   FROM scores),
+          pred AS (SELECT doc_id,
+                     CASE WHEN hits = 0 THEN 'und' ELSE lang END
+                       AS pred_lang
+                   FROM best WHERE rn = 1),
+          $qualityCtes
+          SELECT
+            (SELECT count(*) FROM documents) AS n_docs,
+            (SELECT coalesce(sum(c), 0) FROM (
+               SELECT count(*) AS c FROM documents GROUP BY text
+               HAVING count(*) > 1)) AS dup_docs,
+            (SELECT round(avg(quality), 6) FROM q) AS mean_quality,
+            (SELECT round(-sum(p * log2(p)), 6) FROM (
+               SELECT CAST(count(*) AS DOUBLE) /
+                 (SELECT count(*) FROM documents) AS p
+               FROM pred GROUP BY pred_lang)) AS lang_entropy,
+            (SELECT CAST(sum(len(list_filter(
+               regexp_split_to_array(text, '\\s+'), x -> x != '')))
+               AS BIGINT)
+             FROM documents) AS total_ws_tokens""")
 }
