@@ -30,11 +30,23 @@ object Bench {
     // has external load spikes, and the min is the standard noise
     // filter. A pass that throws reports -1 regardless of other passes.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    def once(fn: (SparkSession, String) => org.apache.spark.sql
+    // A failed pass records -1 AND the first error per query name is
+    // kept for the record: the round-12 interrupted run reported 59
+    // straight -1s (everything after one query in pass 2) with zero
+    // diagnostics — a silently-swallowed Throwable chain is
+    // indistinguishable from a dead SparkContext without this.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql
         .DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case t: Throwable =>
+          if (!errors.contains(name))
+            errors(name) = (t.getClass.getName + ": " +
+              String.valueOf(t.getMessage)).replaceAll("[\"\\n\\r\\\\]", " ")
+              .take(200)
+          false
+        }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // Passes are TIME-SEPARATED: pass 1 runs every query (sorted name
@@ -47,7 +59,7 @@ object Bench {
     // moved with every added query).
     val ordered = selected.toSeq.sortBy(_._1)
     val passTimes: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      ordered.map { case (name, fn) => name -> once(fn) }
+      ordered.map { case (name, fn) => name -> once(name, fn) }
     }
     val byQ: Seq[(String, Seq[Double])] = ordered.map { case (name, _) =>
       name -> passTimes.map(_.find(_._1 == name).get._2)
@@ -94,6 +106,9 @@ object Bench {
       orderedNames.map(n => n -> cold(n)))
     printChunked("queries_warm", "queries",
       orderedNames.map(n => n -> results(n)))
+    errors.foreach { case (n, e) =>
+      println(s"""{"metric":"bench_error","query":"$n","err":"$e"}""")
+    }
     println(s"""{"metric":"pass_totals","value":[${passTotals.map(fmt).mkString(",")}],"unit":"sec"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_cold":${fmt(totalCold)},"n":${results.size},"sf":"$sfDir","passes":$passes}""")
     // The DURABLE per-query record: stdout is tail-bounded on the
@@ -118,7 +133,11 @@ object Bench {
            |  "total_cold": ${fmt(totalCold)},
            |  "pass_totals": [${passTotals.map(fmt).mkString(", ")}],
            |  "queries_warm": ${jmap(orderedNames.map(n => n -> results(n)))},
-           |  "queries_cold": ${jmap(orderedNames.map(n => n -> cold(n)))}
+           |  "queries_cold": ${jmap(orderedNames.map(n => n -> cold(n)))},
+           |  "errors": ${
+             if (errors.isEmpty) "{}"
+             else errors.map { case (k, v) => s"""    "$k": "$v"""" }
+               .mkString("{\n", ",\n", "\n  }")}
            |}
            |""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
