@@ -87,6 +87,34 @@ object Sampling {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0)
 
+  /** Gumbel-top-k resampling — draw `n` rows WITHOUT replacement with
+    * probability ∝ exp(`logwCol`) (softmax over the corpus), no RNG:
+    * the Gumbel-max trick (argmax of logw + Gumbel noise samples the
+    * softmax exactly; top-k extends it to without-replacement) with
+    * the noise derived from the md5 grid — u = (md5₃₂(seed:id) +
+    * 0.5) / 2³² ∈ (0,1) exclusive on an exact power-of-two grid, g =
+    * −ln(−ln u). A new seed is a fresh draw; the same seed replays
+    * bit-for-bit on any engine. The selection key is rounded before
+    * ranking and ties break by id, so the chosen set is exact, not
+    * float-marginal. This is DSIR's "resample" step
+    * ([[graft.ops.TextAnalysis.dsirWeights]] produces the weights),
+    * usable over any per-row log-weight.
+    *
+    * Scale shape: map-only key computation fused into the scan, then
+    * one `TakeOrderedAndProject` top-n — no shuffle beyond the
+    * k-sized final merge. Adds `gkey`. */
+  def gumbelTopK(df: DataFrame, idCol: String, logwCol: String,
+                 n: Int, seed: String, roundTo: Int = 6): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (conv(substring(md5(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    df.withColumn("gkey",
+        round(col(logwCol) - log(-log(u)), roundTo))
+      .orderBy(col("gkey").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Deterministic score-proportional sampling — the quality-weighted
     * downsampling pass (CCNet-style: keep high-quality docs with
     * higher probability) with NO RNG: a row survives iff

@@ -206,6 +206,71 @@ object TextAnalysis {
         .as("lm_loss"))
   }
 
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how
+    * much more likely its hashed-n-gram bag is under the TARGET
+    * corpus' feature distribution than under the raw corpus' own —
+    * logw(doc) = Σ_features n_f(doc)·(ln p_target(b_f) − ln
+    * p_raw(b_f)), features = unigrams + word bigrams hashed into
+    * `buckets` buckets, both distributions add-one smoothed over the
+    * bucket space. The standard recipe for "select pretraining data
+    * that looks like the domain you care about" with nothing learned
+    * but two count vectors. (The reference has no data-selection
+    * surface; north-star extension like [[lmLogLoss]].)
+    *
+    * Engine-portable: the bucket of a feature is the 60-bit md5 prefix
+    * mod `buckets` (same recipe as every portable hash here), and the
+    * per-bucket log-ratio is rounded to 9 before the per-doc sum so
+    * both engines add identical addends. Documents with zero tokens
+    * have no features and drop out (deterministic exclusion).
+    *
+    * Scale shape: feature extraction is map-only from the scan; both
+    * distribution tables collapse to ≤ `buckets` rows via map-side-
+    * combinable counts; totals are one-row aggregates cross-joined
+    * back (broadcast by size); the ratio table joins the per-doc
+    * bucket counts bucket-keyed — the join's build side is
+    * bucket-sized, never corpus-sized. One final per-doc sum. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 256,
+                  roundTo: Int = 6): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // (doc_id, bucket) — one row per feature OCCURRENCE (unigrams +
+    // bigrams), bucket = portable 60-bit md5 prefix mod buckets
+    def featBuckets(df: DataFrame): DataFrame = {
+      val t = df.select(col(idCol).as("doc_id"),
+        Bm25.tokenize(col(textCol)).as("__t"))
+      val uni = t.select(col("doc_id"), explode(col("__t")).as("feat"))
+      val big = t.filter(size(col("__t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("feat"))
+      uni.unionByName(big).select(col("doc_id"),
+        (conv(substring(md5(col("feat")), 1, 15), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    }
+    val rawB = featBuckets(raw)
+    val tgtCnt = featBuckets(target).groupBy("bucket")
+      .agg(count(lit(1)).as("tn"))
+    val rawCnt = rawB.groupBy("bucket").agg(count(lit(1)).as("rn"))
+    val tTot = tgtCnt.agg(sum(col("tn")).as("ttot"))
+    val rTot = rawCnt.agg(sum(col("rn")).as("rtot"))
+    // per-bucket smoothed log-ratio, rounded so the doc sum is a sum
+    // of identical doubles in any engine; buckets the target never
+    // saw keep the add-one floor via the left join's coalesce
+    val ratio = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"), round(
+        (log(coalesce(col("tn"), lit(0L)) + lit(1.0)) -
+          log(col("ttot") + lit(buckets.toDouble))) -
+        (log(col("rn") + lit(1.0)) -
+          log(col("rtot") + lit(buckets.toDouble))), 9).as("lr"))
+    rawB.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .join(ratio, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("n") * col("lr")), roundTo).as("logw"))
+  }
+
   /** Per-stratum length quantiles + outlier strip — the curation step
     * that drops pathological-length documents per stratum (language,
     * source): fixed global bounds (C4/Gopher style) misfit strata whose

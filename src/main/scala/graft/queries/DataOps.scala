@@ -520,7 +520,28 @@ object DataOps {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id").asc)
 
+  /** p32: DSIR importance resampling ([[TextAnalysis.dsirWeights]] +
+    * [[graft.ops.Sampling.gumbelTopK]]) — the published
+    * select-data-like-your-target recipe end-to-end: hashed
+    * unigram+bigram bags (256 md5 buckets), add-one-smoothed target
+    * (lang='en') vs raw (whole corpus) distributions, per-doc
+    * log-likelihood-ratio weights, then a Gumbel-top-30 draw ∝
+    * softmax(logw) on the md5 noise grid. The oracle replays the
+    * whole chain first-principles — features, buckets, both count
+    * vectors, smoothing, the rounded per-bucket ratios, the noise —
+    * so a drift anywhere (tokenizer, hash, smoothing, rounding, the
+    * trick itself) lands on different rows. */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = TextAnalysis.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 256)
+    graft.ops.Sampling.gumbelTopK(w, "doc_id", "logw", 30, "dsir7")
+      .select(col("doc_id"), col("logw"), col("gkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p32_dsir_sample" -> dsirSample,
     "p25_quality_sample" -> qualitySample,
     "p24_epoch_shuffle" -> epochShuffleHead,
     "p23_lm_quality" -> lmQualityTail,
@@ -742,6 +763,49 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // p32: the whole DSIR chain from first principles — unigram+bigram
+    // features, 60-bit-md5 buckets mod 256, add-one-smoothed target/raw
+    // bucket distributions, per-bucket log-ratio rounded to 9 (so both
+    // engines sum identical addends), per-doc weight rounded to 6, and
+    // the Gumbel key on the exact md5 noise grid.
+    "p32_dsir_sample" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          feats AS (
+            SELECT doc_id, unnest(toks) AS feat FROM t
+            UNION ALL
+            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS feat
+            FROM (SELECT doc_id, toks,
+                         unnest(range(len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          fb AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(feat), 1, 15))::BIGINT % 256
+                     AS bucket
+            FROM feats),
+          tgt AS (
+            SELECT bucket, count(*) AS tn
+            FROM fb JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY 1),
+          rawc AS (SELECT bucket, count(*) AS rn FROM fb GROUP BY 1),
+          tt AS (SELECT sum(tn) AS ttot FROM tgt),
+          rt AS (SELECT sum(rn) AS rtot FROM rawc),
+          ratio AS (
+            SELECT bucket,
+                   round((ln(coalesce(tn, 0) + 1.0) - ln(ttot + 256.0))
+                       - (ln(rn + 1.0) - ln(rtot + 256.0)), 9) AS lr
+            FROM rawc LEFT JOIN tgt USING (bucket), tt, rt),
+          dn AS (SELECT doc_id, bucket, count(*) AS n
+                 FROM fb GROUP BY 1, 2),
+          w AS (
+            SELECT doc_id, round(sum(n * lr), 6) AS logw
+            FROM dn JOIN ratio USING (bucket) GROUP BY 1)
+          SELECT doc_id, logw,
+                 round(logw - ln(-ln(
+                   (('0x' || substring(md5('dsir7:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                     / 4294967296.0)), 6) AS gkey
+          FROM w
+          ORDER BY gkey DESC, doc_id ASC LIMIT 30""",
     // p25: the kept set from first principles — 32-bit md5 unit value
     // vs the length-derived probability, both exact doubles.
     "p25_quality_sample" ->

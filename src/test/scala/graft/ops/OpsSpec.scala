@@ -1215,6 +1215,77 @@ class OpsSpec extends SparkSpecBase {
     assert(fp(1L).intersect(fp(3L)).isEmpty)
   }
 
+  test("dsirWeights matches an independent MD5-bucket replay; " +
+      "empty docs drop out") {
+    val sp = spark
+    import sp.implicits._
+    val raw = Seq((1L, "aa aa bb"), (2L, "cc"), (3L, "aa cc bb aa"),
+        (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa"), (11L, "aa bb")).toDF("doc_id", "text")
+    val buckets = 64
+    // independent replay: java MD5, first 15 hex chars as a long, mod
+    def bucket(feat: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(feat.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    def feats(text: String): Seq[String] = {
+      val t = Option(text).getOrElse("").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val rawFeats = Map(1L -> feats("aa aa bb"), 2L -> feats("cc"),
+      3L -> feats("aa cc bb aa"))
+    val tgtCnt = Seq("aa aa", "aa bb").flatMap(feats)
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rawCnt = rawFeats.values.flatten
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (ttot, rtot) = (tgtCnt.values.sum, rawCnt.values.sum)
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lr(b: Long): Double = r(
+      (math.log(tgtCnt.getOrElse(b, 0L) + 1.0) -
+        math.log(ttot + buckets.toDouble)) -
+      (math.log(rawCnt(b) + 1.0) - math.log(rtot + buckets.toDouble)), 9)
+    val want = rawFeats.view.mapValues { fs =>
+      r(fs.groupBy(bucket).map { case (b, occ) => occ.size * lr(b) }.sum, 6)
+    }.toMap
+    val got = TextAnalysis.dsirWeights(raw, target, "doc_id", "text",
+        buckets = buckets)
+      .as[(Long, Double)].collect().toMap
+    assert(got === want) // docs 4 and 5 have no features: absent
+  }
+
+  test("gumbelTopK: deterministic replay of the md5-gumbel ranking, " +
+      "new seed = new draw, n past corpus returns all") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 100L).map(i => (i, (i % 7).toDouble / 10))
+    val df = rows.toDF("id", "logw")
+    def key(seed: String)(id: Long, logw: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      BigDecimal(logw - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def wantTop(seed: String, n: Int): Seq[Long] =
+      rows.map { case (i, w) => (i, key(seed)(i, w)) }
+        .sortBy { case (i, k) => (-k, i) }.take(n).map(_._1)
+    val got = Sampling.gumbelTopK(df, "id", "logw", 10, "s1")
+      .select("id").as[Long].collect().toSeq
+    assert(got === wantTop("s1", 10))
+    val other = Sampling.gumbelTopK(df, "id", "logw", 10, "s2")
+      .select("id").as[Long].collect().toSeq
+    assert(other === wantTop("s2", 10))
+    assert(got !== other) // fresh draw under a fresh seed
+    assert(Sampling.gumbelTopK(df, "id", "logw", 500, "s1").count()
+      === 100L)
+  }
+
   test("lmLogLoss matches hand-computed bigram MLE; short docs excluded") {
     val sp = spark
     import sp.implicits._
