@@ -87,6 +87,32 @@ object Sampling {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0)
 
+  /** Leakage-safe splits — [[withSplit]] with the guarantee that
+    * near-duplicate documents NEVER straddle a split boundary: every
+    * member of a near-dup component (from [[graft.ops.Dedup
+    * .components]]: (id, component) with component = min reachable id)
+    * takes the split of its component representative, so a test set
+    * can't contain a paraphrase of a training document — the
+    * train/test contamination a per-id hash split silently allows.
+    * Docs outside any component split by their own id (identical to
+    * [[withSplit]], so adopting this is a no-op for the unclustered
+    * mass of the corpus). Adds `split_key` (the id actually hashed)
+    * and `split`.
+    *
+    * Scale shape: the components relation is pair-graph-sized (only
+    * docs with at least one near-dup edge appear — ≪ corpus), joined
+    * id-keyed onto the corpus (AQE broadcasts it when small; a plain
+    * shuffle join when not); the split itself stays map-only. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+                       components: DataFrame,
+                       weights: Seq[(String, Double)],
+                       buckets: Int = 100): DataFrame =
+    withSplit(
+      docs.join(components.withColumnRenamed("id", idCol),
+          Seq(idCol), "left")
+        .withColumn("split_key", coalesce(col("component"), col(idCol))),
+      "split_key", weights, buckets)
+
   /** Gumbel-top-k resampling — draw `n` rows WITHOUT replacement with
     * probability ∝ exp(`logwCol`) (softmax over the corpus), no RNG:
     * the Gumbel-max trick (argmax of logw + Gumbel noise samples the

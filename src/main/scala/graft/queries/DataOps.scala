@@ -540,7 +540,37 @@ object DataOps {
       .select(col("doc_id"), col("logw"), col("gkey"))
   }
 
+  /** p33: leakage-safe splits ([[graft.ops.Sampling.leakageSafeSplit]])
+    * — p11's near-dup components drive the split so a test document can
+    * never be a paraphrase of a training document: every non-
+    * representative member (component ≠ own id — the docs whose split
+    * the mechanism may have MOVED) is emitted with its naive per-id
+    * split next to the cluster-aware one. Non-degeneracy pinned
+    * in-query: the gate refuses if no doc was subject to rehoming
+    * (then it would be testing nothing — the g04 lesson). */
+  def leakageSplits(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val comps = Dedup.components(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val safe = graft.ops.Sampling.leakageSafeSplit(docs, "doc_id", comps, w)
+      .select(col("doc_id"), col("component"),
+        col("split").as("split_safe"))
+    val naive = graft.ops.Sampling.withSplit(docs, "doc_id", w)
+      .select(col("doc_id"), col("split").as("split_naive"))
+    val moved = safe.filter(col("component") =!= col("doc_id"))
+      .join(naive, Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        col("split_naive"), col("split_safe"))
+      .orderBy("doc_id")
+    require(moved.limit(1).count() > 0,
+      "leakage-split gate is vacuous: no doc is a non-representative " +
+        "component member, the rehoming path was never exercised")
+    moved
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p33_leakage_splits" -> leakageSplits,
     "p32_dsir_sample" -> dsirSample,
     "p25_quality_sample" -> qualitySample,
     "p24_epoch_shuffle" -> epochShuffleHead,
@@ -763,6 +793,37 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // p33: p11's recursive components, then BOTH splits from first
+    // principles — the naive per-id 16-bit-md5 bucket and the
+    // cluster-aware one hashing the component representative — for
+    // every non-representative member.
+    "p33_leakage_splits" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+          edges AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+                    FROM jp
+                    UNION
+                    SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM jp),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (SELECT id, id AS x FROM nodes
+                    UNION
+                    SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
+          comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1),
+          sp AS (
+            SELECT d.doc_id, c.component,
+                   ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                      1, 4))::INTEGER % 100 AS nb,
+                   ('0x' || substring(md5(CAST(c.component AS VARCHAR)),
+                      1, 4))::INTEGER % 100 AS sb
+            FROM documents d JOIN comp c ON c.id = d.doc_id
+            WHERE c.component != d.doc_id)
+          SELECT doc_id, component,
+                 CASE WHEN nb < 80 THEN 'train'
+                      WHEN nb < 90 THEN 'val' ELSE 'test' END
+                   AS split_naive,
+                 CASE WHEN sb < 80 THEN 'train'
+                      WHEN sb < 90 THEN 'val' ELSE 'test' END
+                   AS split_safe
+          FROM sp ORDER BY doc_id""",
     // p32: the whole DSIR chain from first principles — unigram+bigram
     // features, 60-bit-md5 buckets mod 256, add-one-smoothed target/raw
     // bucket distributions, per-bucket log-ratio rounded to 9 (so both

@@ -1215,6 +1215,30 @@ class OpsSpec extends SparkSpecBase {
     assert(fp(1L).intersect(fp(3L)).isEmpty)
   }
 
+  test("leakageSafeSplit: component members share one split, " +
+      "unclustered docs match withSplit verbatim") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // three components: {1,2,3}->1, {50,90}->50; everything else free
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (50L, 50L), (90L, 50L))
+      .toDF("id", "component")
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val safe = Sampling.leakageSafeSplit(docs, "doc_id", comps, w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // one split per component
+    assert(Set(safe(1L), safe(2L), safe(3L)).size === 1)
+    assert(safe(50L) === safe(90L))
+    // clustered members inherit the REPRESENTATIVE's own-id split
+    val naive = Sampling.withSplit(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(safe(2L) === naive(1L) && safe(90L) === naive(50L))
+    // the unclustered mass is untouched
+    (1L to 200L).filterNot(Set(1L, 2L, 3L, 50L, 90L)).foreach { i =>
+      assert(safe(i) === naive(i), s"doc $i moved without a component")
+    }
+  }
+
   test("dsirWeights matches an independent MD5-bucket replay; " +
       "empty docs drop out") {
     val sp = spark
