@@ -191,6 +191,26 @@ object GraphQ {
     at(1).join(at(2), "text").join(at(3), "text").orderBy(col("text").asc)
   }
 
+  /** g07: triangle count + local clustering coefficient
+    * ([[Graph.clusteringCoefficients]]) — the clique-ness lens next to
+    * g04's importance and g05's membership: which entities sit in
+    * tight co-mention cores vs bridge otherwise-separate clusters.
+    * Degree-ordered wedge enumeration in the engine; the oracle
+    * enumerates the same triangle set id-canonically (orientation-
+    * invariant counts). Non-degeneracy pinned in-query: a graph with
+    * zero triangles would let a broken wedge join pass silently. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val (reg, _) = buildGraph(s, d)
+    val (ents, rels) =
+      (reg.table(Graph.entityDef()), reg.table(Graph.relationDef()))
+    val cc = Graph.clusteringCoefficients(ents, rels)
+    require(cc.filter(col("triangles") > 0).limit(1).count() > 0,
+      "g07 is vacuous: the entity graph has no triangle — the wedge " +
+        "join was never exercised")
+    cc.orderBy(col("cc").desc, col("triangles").desc, col("text").asc)
+      .limit(20)
+  }
+
   /** s16: the GRAPH streaming lifecycle — documents arrive in three
     * micro-batches and each batch merge-upserts into the stored
     * entity/relation tables through the SAME [[Graph
@@ -295,6 +315,7 @@ object GraphQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_triangles" -> graphTriangles,
     "g06_personalized_pr" -> graphPpr,
     "s16_stream_graph_twin" -> streamGraphTwin,
     "s17_stream_graph_pagerank" -> streamGraphPagerank,
@@ -576,6 +597,40 @@ object GraphQ {
         FROM ppr3 p JOIN entity e USING (uid)
         ORDER BY pr DESC, text ASC LIMIT 20"""
     },
+    // g07: the id-canonical triangle enumeration — undirected distinct
+    // pairs a<b, triangles as the a<b<c triple join (the engine's
+    // degree-ordered wedges enumerate the SAME set, counts are
+    // orientation-invariant), per-node counts over the three roles,
+    // cc = 2·tri/(deg·(deg−1)) with deg<2 pinned to 0.
+    "g07_triangles" ->
+      s"""$g2Ctes,
+        und AS (
+          SELECT DISTINCT least(source, target) AS a,
+                 greatest(source, target) AS b
+          FROM relation WHERE source != target),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b FROM und) GROUP BY 1),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        trin AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT e.text, d.degree, coalesce(t.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2 THEN
+                 round(2.0 * coalesce(t.triangles, 0)
+                   / (d.degree * (d.degree - 1)), 6)
+               ELSE 0.0 END AS cc
+        FROM deg d
+        JOIN entity e ON e.uid = d.node
+        LEFT JOIN trin t ON t.node = d.node
+        ORDER BY cc DESC, triangles DESC, text ASC LIMIT 20""",
     // g05: the three synchronous weighted-LPA rounds unrolled, uid-
     // keyed like g04 — edge weight = merged description line count,
     // argmax by (weighted sum desc, label asc), isolated nodes keep

@@ -272,6 +272,41 @@ class GraphSpec extends SparkSpecBase {
     assert(hits.count() === 0)
   }
 
+  test("clusteringCoefficients: hand-computed triangles, shared-edge " +
+      "double count, dedup of orientation/multi-edges, key guard") {
+    val sp = spark
+    import sp.implicits._
+    // two triangles sharing edge B-C: A-B, A-C, B-C, B-D, C-D; E isolated
+    // via a single edge E-A would change A's cc, so keep E edgeless:
+    // it must NOT appear (degree table only sees edged nodes)
+    val ents = Seq(("A", "a"), ("B", "b"), ("C", "c"), ("D", "d"),
+        ("E", "e")).toDF("uid", "text")
+    // duplicate + reversed + self-loop rows must all collapse
+    val rels = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("B", "C"),
+        ("B", "D"), ("C", "D"), ("C", "D"), ("D", "D"))
+      .toDF("source", "target")
+    val got = Graph.clusteringCoefficients(ents, rels)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // deg: a=2 b=3 c=3 d=2 ; tri: abc, bcd
+    assert(got("a") === ((2L, 1L, 1.0)))
+    assert(got("b") === ((3L, 2L, 0.666667)))
+    assert(got("c") === ((3L, 2L, 0.666667)))
+    assert(got("d") === ((2L, 1L, 1.0)))
+    assert(!got.contains("e"))
+    // text-keyed endpoints must refuse (the g04 key-space lesson)
+    val mismatched = Seq(("a", "b")).toDF("source", "target")
+    intercept[IllegalArgumentException] {
+      Graph.clusteringCoefficients(ents, mismatched)
+    }
+    // a hub star with no closing edge: zero triangles, hub cc = 0
+    val star = Seq(("A", "B"), ("A", "C"), ("A", "D"))
+      .toDF("source", "target")
+    val s = Graph.clusteringCoefficients(ents, star)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(s("a") === 0.0 && s("b") === 0.0)
+  }
+
   test("pageRank: hand-computed chain values, sinks keep base mass, " +
       "leaky total, determinism across runs") {
     val sp = spark
