@@ -987,6 +987,132 @@ object Ann {
       .parquet(s"$dir/rows")
   }
 
+  /** Split overfull cells of a [[writeRangeIndex]] root IN PLACE — the
+    * actuator for [[indexHealth]]'s retrain signal: every cell holding
+    * more than `maxRows` rows is locally retrained into two sub-cells
+    * (the r42-oracled deterministic KMeans restricted to that cell's
+    * rows, k=2) and its directory replaced, leaving every other cell's
+    * bytes untouched — the 100 TB answer to "one hot cell ruins probe
+    * selectivity" that never rewrites the corpus. Raw-vector layouts
+    * only by construction: quantized families (SQ/1-bit/PQ) store
+    * residuals AGAINST their centroid, so a cell split there would
+    * orphan every code — those layouts rebuild, this one splits.
+    *
+    * Correctness is an invariance: the row set is merely
+    * re-partitioned, so every range/kNN result over the root is
+    * IDENTICAL before and after (the r69 gate pins this against the
+    * index-free oracle). Cells whose rows are all identical at hash
+    * precision are skipped (splitting cannot separate them).
+    *
+    * Crash ordering (same discipline as [[appendRangeIndex]]): new
+    * sub-cell dirs are staged under `rows_split/` then RENAMED into
+    * `rows/` while still unreferenced (rangeCells probes only cells
+    * the centroid table lists — [[rangeCells]] is centroid-driven, so
+    * an unlisted directory is invisible); radii grow FIRST (old cells
+    * kept, new cells added — a radius row without a centroid is
+    * inert), the centroid swap is the single commit point (sibling
+    * dir + rename), the marker re-pins the NEW fingerprint, and only
+    * then are the dead dirs deleted and orphan radii pruned. A crash
+    * before the commit leaves the old index fully live; a crash
+    * between commit and marker leaves appends refusing LOUDLY on the
+    * fingerprint mismatch (recoverable, never silent).
+    *
+    * Scale shape: the audit is one combinable count; each flagged
+    * cell's retrain reads ONE directory (driver loop over the handful
+    * of flagged cells — each iteration a distributed job over that
+    * cell only); metadata tables stay cell-count-sized. Returns
+    * (oldCell → new cell ids), empty when nothing was overfull. */
+  def splitOverfullCells(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, vecCol: String, maxRows: Long,
+                         iters: Int = 2): Map[Long, Seq[Long]] = {
+    val (model, radii) = loadRangeIndex(spark, dir)
+    ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
+    val rows = spark.read.parquet(s"$dir/rows")
+    // flagged cells: bounded driver collect (the audit's own contract —
+    // at 10⁵ cells this is the health table, not the corpus)
+    val flagged = rows.groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .select(col(model.idCol).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    if (flagged.isEmpty) return Map.empty
+    var nextId = model.centroids
+      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+      fs.delete(cur, true)
+      require(fs.rename(next, cur),
+        s"splitOverfullCells: rename $next -> $cur failed")
+    }
+    val splits = flagged.flatMap { cell =>
+      val cellRows = rows.filter(col(model.idCol) === cell)
+        .drop(model.idCol)
+      if (cellRows.select(portableVecHash(col(vecCol)))
+          .distinct().limit(2).count() < 2) None // unsplittable: skip
+      else {
+        val sub = buildIvfKMeans(cellRows, vecCol, k = 2, L2, iters)
+        val base = nextId
+        val mapped = IvfModel(
+          sub.centroids.select(
+            (col(sub.idCol).cast("long") + base).as(model.idCol),
+            col(sub.vecCol).as(model.vecCol)),
+          model.idCol, model.vecCol)
+        nextId += 2
+        Some((cell, mapped, assign(cellRows, vecCol, mapped, L2)))
+      }
+    }
+    if (splits.isEmpty) return Map.empty
+    val newCents = splits.map(_._2.centroids).reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val newModel = IvfModel(newCents, model.idCol, model.vecCol)
+    val newAssigned = splits.map(_._3).reduce(_ unionByName _)
+    // 1) stage the re-partitioned rows, then move the (unreferenced)
+    //    sub-cell dirs into rows/ — overwrite staging is rerun-safe
+    newAssigned.write.mode("overwrite").partitionBy(model.idCol)
+      .parquet(s"$dir/rows_split")
+    val newIds = splits.flatMap { case (old, m, _) =>
+      m.centroids.select(col(model.idCol).cast("long"))
+        .collect().map(_.getLong(0)).map(old -> _)
+    }
+    newIds.map(_._2).foreach { id =>
+      val src = new org.apache.hadoop.fs.Path(
+        s"$dir/rows_split/${model.idCol}=$id")
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$dir/rows/${model.idCol}=$id")
+      fs.delete(dst, true) // a prior crashed run's unreferenced copy
+      require(fs.rename(src, dst),
+        s"splitOverfullCells: rename $src -> $dst failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rows_split"), true)
+    // 2) radii first (old cells kept; orphan-to-be rows are inert)
+    val splitSet = splits.map(_._1).toSet
+    swap(radii.select(col(model.idCol), col("radius")).unionByName(
+      cellRadii(newAssigned, vecCol, newModel, L2)), "radii")
+    // 3) the commit point: centroids swap old cells for sub-cells
+    val keptCents = model.centroids
+      .filter(!col(model.idCol).cast("long").isin(splitSet.toSeq: _*))
+      .select(col(model.idCol).cast("long").as(model.idCol),
+        col(model.vecCol))
+      .unionByName(newCents).localCheckpoint(true)
+    swap(keptCents, "centroids")
+    // 4) re-pin the marker to the post-split model
+    graft.io.Markers.write(spark, dir, IvfModelMarker,
+      modelFingerprint(IvfModel(keptCents, model.idCol, model.vecCol)))
+    // 5) cleanup: dead dirs + orphan radii
+    splitSet.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/rows/${model.idCol}=$c"), true)
+    }
+    val radiiNow = spark.read.parquet(s"$dir/radii")
+    swap(radiiNow.filter(
+      !col(model.idCol).cast("long").isin(splitSet.toSeq: _*)), "radii")
+    newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+  }
+
   /** Index-health audit of a [[writeRangeIndex]] root: per cell, the
     * row count, stored pruning radius, and mean distance to the
     * centroid — the rebalance signal an operator watches at 100 TB

@@ -1633,6 +1633,47 @@ object Retrieval {
     df
   }
 
+  /** r69: cell split — the ACTUATOR for r66's retrain signal
+    * ([[Ann.splitOverfullCells]]): a deliberately coarse 2-cell model
+    * (label parity) leaves both cells ~10× overfull; the operator
+    * locally retrains each into sub-cells, replacing ONLY their
+    * directories (sibling-staged, radii-before-centroids commit,
+    * marker re-pinned). The gate pins (a) the split actually fired
+    * and occupancy strictly dropped, (b) the post-split search still
+    * partition-prunes and pushes the metadata predicate, and (c) —
+    * the contract — results are IDENTICAL to the index-free scan:
+    * the oracle is r64's, shared verbatim, because a re-partitioning
+    * that changes any result is not a split, it's corruption. */
+  def rangeCellSplit(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val coarse = e.withColumn("__par", pmod(col("label"), lit(2)))
+    val model = Ann.buildIvf(coarse, "__par", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_split").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val beforeMax = Ann.indexHealth(s, dir, "embedding")
+      .agg(max(col("n_rows"))).head().getLong(0)
+    val splits = Ann.splitOverfullCells(s, dir, "embedding",
+      maxRows = 150L)
+    require(splits.nonEmpty,
+      "r69 is vacuous: no cell was overfull — the split never fired")
+    val afterMax = Ann.indexHealth(s, dir, "embedding")
+      .agg(max(col("n_rows"))).head().getLong(0)
+    require(afterMax < beforeMax,
+      s"r69: split did not reduce max occupancy ($beforeMax -> " +
+        s"$afterMax)")
+    val df = Ann.rangeSearchStoredSelf(s, dir, "vec_id", "embedding",
+        qvec(s, d, 9), eps = 1.3, pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "post-split range")
+    require("""PushedFilters: \[[^\]]*In\(label""".r
+        .findFirstIn(phys).isDefined,
+      s"post-split range did not push the label predicate:\n$phys")
+    df
+  }
+
   /** r65: the eps-join AT REST — r57's batch shape over a
     * self-contained [[Ann.writeRangeIndex]] root: each query explodes
     * to its ball-intersecting cells (broadcast (centroid, radius)
@@ -1749,6 +1790,7 @@ object Retrieval {
     "r66_index_health" -> indexHealthStats,
     "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
+    "r69_cell_split" -> rangeCellSplit,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -1855,6 +1897,19 @@ object Retrieval {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11)"
   private val qv13 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 13)"
+
+  /** The exact label-filtered range scan — the SHARED oracle of every
+    * lossless range-layout variant (r56 radii-pruned at-rest, r64
+    * self-contained root, r69 post-cell-split): one plain threshold
+    * scan, no index machinery, because each of those operators claims
+    * "the index changes the plan, never the rows". */
+  private val RangeExactOracleSql: String =
+    s"""SELECT vec_id,
+               round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+        FROM embeddings
+        WHERE label IN (1, 3, 5)
+          AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
+        ORDER BY dist ASC, vec_id ASC"""
 
   /** Filtered stored IVF from first principles — cells are vec_id % 8
     * means (round 5), assignment argmin with (dist, cid) ties, 3 probed
@@ -3207,24 +3262,15 @@ object Retrieval {
         FROM ad GROUP BY 1 ORDER BY 1""",
     // r64: the self-contained root is the SAME exact semantics as r56
     // (radii pruning cannot change results) — shared plain-SQL oracle.
-    "r64_range_stored_self" ->
-      s"""SELECT vec_id,
-                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
-          FROM embeddings
-          WHERE label IN (1, 3, 5)
-            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
-          ORDER BY dist ASC, vec_id ASC""",
+    "r64_range_stored_self" -> RangeExactOracleSql,
     // r56: the at-rest radii-pruned form is EXACT (triangle-inequality
     // cut — no probes contract), so its oracle is the SAME plain
     // threshold scan with the predicate; no IVF replay needed. That
     // the oracle needs no index machinery IS the exactness evidence.
-    "r56_range_ivf_stored" ->
-      s"""SELECT vec_id,
-                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
-          FROM embeddings
-          WHERE label IN (1, 3, 5)
-            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
-          ORDER BY dist ASC, vec_id ASC""",
+    "r56_range_ivf_stored" -> RangeExactOracleSql,
+    // r69: a cell split re-partitions bytes, never rows — the oracle
+    // is r64's verbatim; any divergence after the split IS the bug.
+    "r69_cell_split" -> RangeExactOracleSql,
     // r57: the eps-join is exact under the radii contract, so the
     // oracle is the plain quadratic join — the thing the operator's
     // cell blocking avoids computing but must exactly reproduce.

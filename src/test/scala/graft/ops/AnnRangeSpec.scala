@@ -251,6 +251,70 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(afterDel.toSeq === wantDel.toSeq)
   }
 
+  test("splitOverfullCells: results invariant, occupancy bounded, " +
+      "appends still work under the re-pinned marker, identical-row " +
+      "cells skipped, balanced roots untouched") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(47)
+    // one FAT cluster (80 rows) + two small ones → a 3-cell model has
+    // one overfull cell that local retraining genuinely separates
+    // (the fat cluster is itself two lobes)
+    val docs = ((0L until 40L).map(i =>
+        (i, Seq(0.0 + rng.nextDouble() * 0.2, 0.0), 0)) ++
+      (40L until 80L).map(i =>
+        (i, Seq(2.0 + rng.nextDouble() * 0.2, 0.0), 0)) ++
+      (80L until 90L).map(i =>
+        (i, Seq(10.0 + rng.nextDouble() * 0.2, 10.0), 1)) ++
+      (90L until 100L).map(i =>
+        (i, Seq(-10.0 + rng.nextDouble() * 0.2, 10.0), 2)))
+      .toDF("vec_id", "embedding", "cluster")
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-split-spec").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val q = typedlit(Seq(1.0, 0.0))
+    def search() = Ann.rangeSearchStoredSelf(sp, dir, "vec_id",
+        "embedding", q, eps = 1.2)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val before = search()
+    assert(before.nonEmpty)
+    val splits = Ann.splitOverfullCells(sp, dir, "embedding",
+      maxRows = 50L)
+    // exactly the fat cell split, into two fresh ids past the old max
+    assert(splits.keySet.size === 1)
+    val newIds = splits.values.head
+    assert(newIds.size === 2 && newIds.forall(_ >= 3))
+    // the search contract is INVARIANT under the re-partitioning
+    assert(search() === before)
+    // occupancy bounded now; the audit sees the new geometry
+    val health = Ann.indexHealth(sp, dir, "embedding")
+      .select(col("centroid_id").cast("long"), col("n_rows"))
+      .as[(Long, Long)].collect().toMap
+    assert(health.values.max <= 50L)
+    assert(health.keySet.intersect(newIds.toSet) === newIds.toSet)
+    assert(!health.keySet.contains(splits.keySet.head))
+    // appends still work: the marker was re-pinned to the NEW model
+    Ann.appendRangeIndex(sp, dir,
+      Seq((1000L, Seq(1.0, 0.5), 0)).toDF("vec_id", "embedding",
+        "cluster"), "embedding")
+    val after = search()
+    assert(after.map(_._1).contains(1000L))
+    assert(after.filterNot(_._1 == 1000L) === before)
+    // a balanced root is a no-op; an all-identical overfull cell is
+    // skipped (splitting cannot separate identical vectors)
+    assert(Ann.splitOverfullCells(sp, dir, "embedding", 200L).isEmpty)
+    val same = (0L until 30L).map(i => (i, Seq(5.0, 5.0), 0))
+      .toDF("vec_id", "embedding", "cluster")
+    val m2 = Ann.buildIvf(same, "cluster", "embedding")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-range-split-same").toString
+    Ann.writeRangeIndex(Ann.assign(same, "embedding", m2, Ann.L2),
+      "embedding", m2, dir2)
+    assert(Ann.splitOverfullCells(sp, dir2, "embedding", 10L).isEmpty)
+  }
+
   test("cosine radii are refused (not a metric); the spherical " +
       "reduction is exact and prunes on angularly-clustered data") {
     val sp = spark
