@@ -1005,6 +1005,84 @@ object ScaleSmoke {
       ops.TextAnalysis.lmLogLoss(docs, "doc_id", "text").count()
     }
 
+    // Cell split at 16×: the audit is one combinable count; each
+    // flagged cell retrains from ITS directory only (the split of a
+    // 100 TB root costs the flagged cells, not the corpus). Search
+    // results are invariant (count-asserted here; fully hash-gated by
+    // r69) and the post-split scan keeps partition pruning.
+    time("cell_split") {
+      val coarse = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 4,
+        iters = 2)
+      val assigned = ops.Ann.assign(vecs, "embedding", coarse,
+        ops.Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_split").toString
+      ops.Ann.writeRangeIndex(assigned, "embedding", coarse, dir)
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      def hits() = ops.Ann.rangeSearchStoredSelf(spark, dir, "vec_id",
+        "embedding", typedlit(q), eps = 1.26).count()
+      val before = hits()
+      val maxBefore = ops.Ann.indexHealth(spark, dir, "embedding")
+        .agg(max(col("n_rows"))).head().getLong(0)
+      val splits = ops.Ann.splitOverfullCells(spark, dir, "embedding",
+        maxRows = nVecs * xf / 8)
+      require(splits.nonEmpty, "16x split never fired on a 4-cell root")
+      val health = ops.Ann.indexHealth(spark, dir, "embedding")
+        .agg(max(col("n_rows")).as("mx"), sum(col("n_rows")).as("n"))
+        .head()
+      require(health.getLong(0) < maxBefore,
+        s"split left max occupancy at ${health.getLong(0)}")
+      require(health.getLong(1) == nVecs * xf,
+        s"split lost rows: ${health.getLong(1)} vs ${nVecs * xf}")
+      val df = ops.Ann.rangeSearchStoredSelf(spark, dir, "vec_id",
+        "embedding", typedlit(q), eps = 1.26)
+      require(df.count() == before,
+        "range results changed across the split")
+      val phys = df.queryExecution.executedPlan.toString
+      require("""PartitionFilters: \[[^\]]*centroid_id""".r
+          .findFirstIn(phys).isDefined,
+        s"post-split range query lost partition pruning at 16x:\n$phys")
+      before
+    }
+
+    // DSIR at 16×: feature extraction map-only from the scan; both
+    // distributions collapse to ≤ buckets rows (asserted — the join's
+    // build side is bucket-sized at ANY corpus scale); one per-doc sum
+    // and a TakeOrdered-k draw.
+    time("dsir_select") {
+      val w = ops.TextAnalysis.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 1024)
+      val picked = ops.Sampling.gumbelTopK(w, "doc_id", "logw",
+        n = 1000, seed = "smoke")
+      val n = picked.count()
+      require(n == 1000, s"gumbel draw returned $n of 1000")
+      n
+    }
+
+    // Triangle counting at 16×: the copy-inflated near-dup graph is
+    // adversarially clique-heavy (every original doc becomes a 16-copy
+    // clique → ~16³ wedge pressure per doc); the degree-ordered
+    // orientation keeps the wedge join arboricity-bounded anyway.
+    time("triangle_cc") {
+      val pairs = ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val cc = graft.graph.Graph.clusteringCoefficients(
+        docs.select(col("doc_id").as("uid"), col("text")),
+        pairs.select(col("a").as("source"), col("b").as("target")))
+      val agg = cc.agg(max(col("degree")).as("dmx"),
+        sum(col("triangles")).as("tri"),
+        max(col("cc")).as("ccmx")).head()
+      require(agg.getLong(0) >= 15,
+        s"copy cliques missing: max degree ${agg.getLong(0)} < 15")
+      require(agg.getLong(1) > 0, "no triangles in the copy graph")
+      require(agg.getDouble(2) <= 1.0 + 1e-9,
+        s"cc exceeded 1: ${agg.getDouble(2)}")
+      cc.count()
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")
