@@ -719,6 +719,68 @@ object Graph {
           .otherwise(0.0).as("cc"))
   }
 
+  /** Synchronous k-core peel over an undirected edge list — the
+    * cohesion lens next to [[clusteringCoefficients]]'s clique-ness:
+    * which nodes sit in a subgraph where EVERYONE keeps ≥ k
+    * neighbors after the fringe is stripped away. Round r removes
+    * every node whose degree in the surviving subgraph is < k
+    * (synchronously — all round-r removals see the same round-(r−1)
+    * graph), for a FIXED `iters` rounds (static plan, exact replay —
+    * the g05 rule: no convergence detection). Returns one row per
+    * node that appears in ≥ 1 input edge: (id, peel_round, last_deg)
+    * where peel_round is the round that removed the node (1-based)
+    * or 0 for survivors, and last_deg is the degree the node showed
+    * at the LAST check it participated in (the one that removed it,
+    * or the round-`iters` check for survivors) — so the output pins
+    * the whole peel trajectory, not just the fixed point.
+    *
+    * Edges are taken as given (caller dedups/orients): cols
+    * (`aCol`, `bCol`), self-loops dropped here. Works on ANY graph —
+    * the g08 gate runs it on the near-dup document graph (where
+    * peeling separates tight duplicate cores from stragglers; the
+    * dense entity graph never peels), reference-basis the same
+    * entity-graph family as vechord's graph demo
+    * (/root/reference/examples/graph.py).
+    *
+    * Scale shape: each round is ONE combinable degree count over the
+    * surviving edges plus two semi-joins to strip peeled endpoints —
+    * no all-pairs step anywhere, survivor frames only shrink.
+    * Bounded `iters` keeps the unrolled plan static; at 100 TB each
+    * round is a shuffle on node id, and the semi-joins broadcast
+    * once the peeled set collapses. */
+  def kCorePeel(edges: DataFrame, k: Int, iters: Int = 3,
+                aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
+    require(iters >= 1, s"kCorePeel: iters must be >= 1, got $iters")
+    var cur = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    var live = cur.select(col("__a").as("id"))
+      .unionByName(cur.select(col("__b").as("id"))).distinct()
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var survivors: DataFrame = null
+    (1 to iters).foreach { r =>
+      val deg = cur.select(col("__a").as("id"))
+        .unionByName(cur.select(col("__b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__deg"))
+      // nodes stripped of their last edge in an earlier round still
+      // face the check (degree 0) — the cascade the gate pins
+      val checked = live.join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
+      peeled += checked.filter(col("__deg") < k)
+        .select(col("id"), lit(r).as("peel_round"),
+          col("__deg").as("last_deg"))
+      val surv = checked.filter(col("__deg") >= k)
+      if (r == iters)
+        survivors = surv.select(col("id"), lit(0).as("peel_round"),
+          col("__deg").as("last_deg"))
+      live = surv.select("id")
+      cur = cur
+        .join(live.withColumnRenamed("id", "__a"), Seq("__a"), "left_semi")
+        .join(live.withColumnRenamed("id", "__b"), Seq("__b"), "left_semi")
+    }
+    peeled.foldLeft(survivors)(_ unionByName _)
+  }
+
   /** Hop 2 of [[graphSearch]] given an already-ranked entity frame
     * (from [[graphSearchEntities]], possibly cached by the caller —
     * the entity ranking is the expensive phase and a fixed query's

@@ -569,7 +569,35 @@ object DataOps {
     moved
   }
 
+  /** g08: synchronous k-core peel ([[graft.graph.Graph.kCorePeel]],
+    * k=2, 3 rounds) over the NEAR-DUP document graph (p02's exact-
+    * Jaccard pairs at 0.5) — the cohesion lens of the graph-analytics
+    * family (g04 importance, g05 membership, g07 clique-ness), run
+    * where peeling is non-trivial: the entity co-mention graph is too
+    * dense to peel, while the dup graph separates tight duplicate
+    * cores (every member keeps ≥2 near-dup neighbors) from pair/chain
+    * stragglers. Lives in this file to share the `jaccardCtes` oracle
+    * prefix. Output pins the whole trajectory: (doc_id, peel_round
+    * 1-based or 0 = survivor, last_deg at the node's final check).
+    * Vacuity pinned both ways in-query — some node must peel AND some
+    * node must survive, else the gate tests a constant. */
+  def kcorePeel(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val out = graft.graph.Graph.kCorePeel(pairs, k = 2, iters = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id").asc)
+    require(out.filter(col("peel_round") >= 1).limit(1).count() > 0,
+      "g08 is vacuous: no node peeled — every dup-graph node keeps " +
+        ">=2 neighbors, the peel path was never exercised")
+    require(out.filter(col("peel_round") === 0).limit(1).count() > 0,
+      "g08 is vacuous: every node peeled — no 2-core survived, the " +
+        "survivor path was never exercised")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_kcore" -> kcorePeel,
     "p33_leakage_splits" -> leakageSplits,
     "p32_dsir_sample" -> dsirSample,
     "p25_quality_sample" -> qualitySample,
@@ -793,6 +821,40 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // g08: the 3 synchronous peel rounds unrolled over the same jp
+    // pair set — per round, degree over surviving edges (nodes already
+    // stripped of every edge face the check as degree 0: the cascade),
+    // peel < 2, keep >= 2, edges restricted to survivors; survivors of
+    // round 3 report peel_round 0 with their round-3 degree.
+    "g08_kcore" -> {
+      def peelRound(i: Int) =
+        s"""d$i AS (SELECT n.id,
+                coalesce(dd.c, CAST(0 AS BIGINT)) AS deg
+              FROM n${i - 1} n LEFT JOIN (
+                SELECT id, count(*) AS c FROM (
+                  SELECT a AS id FROM e${i - 1}
+                  UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1) dd
+                USING (id)),
+            p$i AS (SELECT id, $i AS peel_round, deg AS last_deg
+                    FROM d$i WHERE deg < 2),
+            n$i AS (SELECT id FROM d$i WHERE deg >= 2),
+            e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+                    JOIN n$i x ON x.id = e.a
+                    JOIN n$i y ON y.id = e.b)"""
+      s"""WITH $jaccardCtes,
+          e0 AS (SELECT a, b FROM jp),
+          n0 AS (SELECT DISTINCT id FROM (
+            SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)),
+          ${peelRound(1)},
+          ${peelRound(2)},
+          ${peelRound(3)}
+          SELECT id AS doc_id, CAST(peel_round AS INTEGER) AS peel_round,
+                 last_deg
+          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                UNION ALL SELECT * FROM p3
+                UNION ALL SELECT id, 0, deg FROM d3 WHERE deg >= 2)
+          ORDER BY doc_id"""
+    },
     // p33: p11's recursive components, then BOTH splits from first
     // principles — the naive per-id 16-bit-md5 bucket and the
     // cluster-aware one hashing the component representative — for

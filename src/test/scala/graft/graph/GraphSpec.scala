@@ -398,4 +398,34 @@ class GraphSpec extends SparkSpecBase {
       Graph.labelPropagation(ents, mismatched2, iters = 1)
     }
   }
+
+  test("kCorePeel: chain cascade, triangle survives, self-loops and " +
+      "round-0 isolation, last_deg at the removing check") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3 (+ a self-loop to drop) and triangle 4-5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val got = Graph.kCorePeel(edges, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .toMap
+    // round 1: chain ends peel at degree 1; round 2: the stranded
+    // middle faces the check with degree 0 — the synchronous cascade
+    assert(got(1L) === ((1, 1L)))
+    assert(got(3L) === ((1, 1L)))
+    assert(got(2L) === ((2, 0L)))
+    // the triangle is the 2-core: survivors report round-3 degree
+    assert(got(4L) === ((0, 2L)))
+    assert(got(5L) === ((0, 2L)))
+    assert(got(6L) === ((0, 2L)))
+    // a node whose ONLY edge is a self-loop never enters the frame
+    assert(!got.contains(7L))
+    val loop = Seq((7L, 7L)).toDF("a", "b")
+    assert(Graph.kCorePeel(loop, k = 2, iters = 2).count() === 0)
+    // k=1 keeps everything edged; guards refuse nonsense parameters
+    val all = Graph.kCorePeel(edges, k = 1, iters = 2)
+    assert(all.filter(col("peel_round") === 0).count() === 6)
+    intercept[IllegalArgumentException] { Graph.kCorePeel(edges, 0) }
+    intercept[IllegalArgumentException] { Graph.kCorePeel(edges, 2, 0) }
+  }
 }
