@@ -290,6 +290,82 @@ object TextAnalysis {
     * value of a stratum in one aggregation buffer. Same plan shape
     * either way (asserted at 16x by ScaleSmoke), so the flag trades
     * only precision, never the shuffle geometry. */
+  /** PMI bigram collocations over the corpus — the phrase-mining lens
+    * of the text-analysis family: which adjacent word pairs co-occur
+    * far above chance ("machine learning", not "of the"). Tokens are
+    * [[graft.ops.Bm25.tokenize]]'s (lowercased alnum runs — the same
+    * tokenizer every keyword oracle replays); bigrams are ADJACENT
+    * pairs only. PMI is computed over the bigram table's own margins
+    * (first-position / second-position counts), in nats, with the one
+    * float op rounded to `roundTo` BEFORE the top-k ordering so any
+    * engine replays the selection; `minCount` suppresses the
+    * low-count noise PMI is notorious for. Returns the top-`topK`
+    * pairs by (pmi desc, w1 asc, w2 asc): (w1, w2, n_pair, pmi).
+    *
+    * Scale shape: bigram extraction is a map-only column expression
+    * (zip of the token array with its own tail — no self-join); then
+    * three combinable counts; the margins are vocabulary-sized, so
+    * their joins broadcast at any corpus scale; the final top-k is a
+    * TakeOrdered. No UDFs anywhere. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5, topK: Int = 50,
+                      roundTo: Int = 6): DataFrame = {
+    val toks = graft.ops.Bm25.tokenize(col(textCol))
+    val pairs = docs
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val n = pc.agg(sum(col("n_pair")).as("__n"))
+    val lm = pc.groupBy("w1").agg(sum(col("n_pair")).as("__cl"))
+    val rm = pc.groupBy("w2").agg(sum(col("n_pair")).as("__cr"))
+    pc.filter(col("n_pair") >= minCount)
+      .join(broadcast(lm), "w1").join(broadcast(rm), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("__n") /
+          (col("__cl") * col("__cr"))), roundTo).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Per-document TF-IDF keyword extraction — the top-`topK` most
+    * characteristic terms of each document, the classic summarize-
+    * what-this-doc-is-about signal a curation pipeline stores next to
+    * quality and language. Tokens are [[graft.ops.Bm25.tokenize]]'s;
+    * idf = ln((N+1)/(df+1)) (add-one smoothed, rounded to 9 so both
+    * engines multiply identical factors — the dsir rule), score =
+    * tf·idf rounded to `roundTo` BEFORE the per-doc rank so the
+    * selection replays; ties by term asc. Returns
+    * (id, term, tf, score, rk) for rk <= topK.
+    *
+    * Scale shape: one (id, term) count shuffle; df REUSES that
+    * frame's output (one row per (doc, term) — a combinable count by
+    * term); the df join is vocabulary-sized (broadcast); the corpus
+    * size joins as a broadcast one-row frame, never a driver
+    * collect; the per-doc rank is a window bounded by the doc's own
+    * distinct-term count. */
+  def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(graft.ops.Bm25.tokenize(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") * round(log((col("__n") + 1.0) /
+          (col("__df") + 1.0)), 9), roundTo).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
   def lengthQuantiles(docs: DataFrame, strataCol: String, lenCol: String,
                       roundTo: Int = 6, approx: Boolean = false,
                       accuracy: Int = 10000): DataFrame = {

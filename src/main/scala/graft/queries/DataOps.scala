@@ -596,7 +596,27 @@ object DataOps {
     out
   }
 
+  /** p34: PMI bigram collocations ([[TextAnalysis.pmiCollocations]],
+    * minCount 5, top 50) — the phrase-mining signal: adjacent pairs
+    * co-occurring far above chance under the margins of the bigram
+    * table itself. One float op (ln of a count ratio), rounded before
+    * the ordering; ties (w1, w2) asc. */
+  def pmiCollocs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiCollocations(documents(s, d), "text")
+
+  /** p35: per-document TF-IDF keywords ([[TextAnalysis
+    * .tfIdfKeywords]], top 3 per doc) — the what-is-this-doc-about
+    * column a curation pipeline stores next to quality and language.
+    * Smoothed idf rounded to 9 before the multiply (the dsir rule),
+    * score rounded before the per-doc rank, ties term asc. */
+  def tfidfKeywords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdfKeywords(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id").asc, col("rk").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p35_tfidf_keywords" -> tfidfKeywords,
+    "p34_pmi_collocations" -> pmiCollocs,
     "g08_kcore" -> kcorePeel,
     "p33_leakage_splits" -> leakageSplits,
     "p32_dsir_sample" -> dsirSample,
@@ -821,6 +841,46 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // p34: bigrams as the token list zipped with its own tail, PMI
+    // over the bigram table's margins, ln rounded to 6 BEFORE the
+    // top-50 selection, ties (w1, w2) asc.
+    "p34_pmi_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+                 FROM tk),
+          pc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_pair
+                 FROM bg GROUP BY 1, 2),
+          nn AS (SELECT sum(n_pair) AS n FROM pc),
+          lm AS (SELECT w1, sum(n_pair) AS cl FROM pc GROUP BY 1),
+          rm AS (SELECT w2, sum(n_pair) AS cr FROM pc GROUP BY 1)
+          SELECT c.w1, c.w2, c.n_pair,
+                 round(ln(CAST(c.n_pair AS DOUBLE) * nn.n
+                   / (l.cl * r.cr)), 6) AS pmi
+          FROM pc c JOIN lm l USING (w1) JOIN rm r USING (w2)
+          CROSS JOIN nn
+          WHERE c.n_pair >= 5
+          ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""",
+    // p35: tf over exploded tokens, df reusing the (doc, term) frame,
+    // smoothed idf rounded to 9 before the multiply, score rounded to
+    // 6 before the per-doc rank, top 3 per doc with ties term asc.
+    "p35_tfidf_keywords" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM documents),
+          sc AS (SELECT t.doc_id, t.term, t.tf,
+                   round(t.tf * round(ln((nn.n + 1.0) / (d.df + 1.0)),
+                     9), 6) AS score
+                 FROM tf t JOIN df d USING (term) CROSS JOIN nn),
+          rk AS (SELECT doc_id, term, tf, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS rk
+                 FROM sc)
+          SELECT doc_id, term, tf, score, CAST(rk AS INTEGER) AS rk
+          FROM rk WHERE rk <= 3 ORDER BY doc_id ASC, rk ASC""",
     // g08: the 3 synchronous peel rounds unrolled over the same jp
     // pair set — per round, degree over surviving edges (nodes already
     // stripped of every edge face the check as degree 0: the cascade),

@@ -1389,4 +1389,53 @@ class OpsSpec extends SparkSpecBase {
       .select("id", "dist").as[(Long, Double)].collect().toSeq
     assert(gotAll === wantAll)
   }
+
+  test("pmiCollocations: hand-computed PMI over a tiny corpus, " +
+      "minCount threshold, null/empty/one-token docs contribute " +
+      "nothing") {
+    val sp = spark
+    import sp.implicits._
+    // bigrams: "big data" x3, "data lake" x2, "big sky" x1; the
+    // one-token, empty and null docs must not contribute pairs
+    val docs = Seq((1L, "big data lake"), (2L, "big data lake"),
+        (3L, "big data"), (4L, "big sky"), (5L, "solo"), (6L, ""),
+        (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text",
+        minCount = 2, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // margins over the bigram table: N=6; cl(big)=4, cr(data)=3,
+    // cl(data)=2, cr(lake)=2
+    def pmi(c: Long, cl: Long, cr: Long): Double =
+      math.rint(math.log(c.toDouble * 6 / (cl * cr)) * 1e6) / 1e6
+    assert(got(("big", "data")) === ((3L, pmi(3, 4, 3))))
+    assert(got(("data", "lake")) === ((2L, pmi(2, 2, 2))))
+    // "big sky" (count 1) falls under minCount
+    assert(got.size === 2)
+  }
+
+  test("tfIdfKeywords: hand-computed tf-idf, per-doc top-k with term " +
+      "tiebreak, smoothed idf zeroes corpus-universal terms") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "spark spark join the"), (2L, "join the lake"),
+        (3L, "the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfKeywords(docs, "doc_id", "text",
+        topK = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(4)),
+        (r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // N=3; df: spark 1, join 2, the 3, lake 1
+    def idf(df: Long): Double =
+      math.rint(math.log(4.0 / (df + 1.0)) * 1e9) / 1e9
+    def sc(tf: Long, df: Long): Double =
+      math.rint(tf * idf(df) * 1e6) / 1e6
+    assert(got((1L, 1)) === (("spark", 2L, sc(2, 1))))
+    assert(got((1L, 2)) === (("join", 1L, sc(1, 2))))
+    assert(got((2L, 1)) === (("lake", 1L, sc(1, 1))))
+    assert(got((2L, 2)) === (("join", 1L, sc(1, 2))))
+    // doc 3: only "the" — idf ln(4/4)=0, still ranked (rank 1, score 0)
+    assert(got((3L, 1)) === (("the", 3L, 0.0)))
+    assert(got.size === 5)
+  }
 }
