@@ -56,12 +56,18 @@ object ScaleSmoke {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      results(name) = (System.nanoTime() - t0) / 1e9
-      counts(name) = n
-    }
+    // dev filter, the graft.Verify SPARK_GRAFT_ONLY contract: comma-
+    // separated name prefixes select rows; the driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def time(name: String)(body: => Long): Unit =
+      if (only.forall(_.exists(name.startsWith))) {
+        val t0 = System.nanoTime()
+        val n = body
+        results(name) = (System.nanoTime() - t0) / 1e9
+        counts(name) = n
+      }
 
     time("jaccard_pairs") {
       ops.Dedup.jaccardPairs(docs, "doc_id", "text",
@@ -1060,6 +1066,25 @@ object ScaleSmoke {
       val n = picked.count()
       require(n == 1000, s"gumbel draw returned $n of 1000")
       n
+    }
+
+    // k-center at 16×: k−1 selection rounds, each a map-only distance
+    // expression (≤ k literal vectors, no join) into a TakeOrdered-1,
+    // then ONE broadcast assignment pass; driver state is exactly the
+    // k selected vectors regardless of corpus size.
+    time("kcenter_select") {
+      val asg = ops.Sampling.kCenterAssign(vecs, "vec_id", "embedding",
+        k = 8)
+      val agg = asg.agg(
+        countDistinct(col("center_id")).as("k"),
+        count(lit(1)).as("n"),
+        max(col("dist")).as("mx")).head()
+      require(agg.getLong(0) == 8,
+        s"degenerate selection: ${agg.getLong(0)} of 8 centers")
+      require(agg.getLong(1) == nVecs * xf,
+        s"coverage lost rows: ${agg.getLong(1)} vs ${nVecs * xf}")
+      require(agg.getDouble(2) > 0.0, "coverage radius collapsed to 0")
+      agg.getLong(1)
     }
 
     // Triangle counting at 16×: the copy-inflated near-dup graph is

@@ -141,6 +141,60 @@ object Sampling {
       .limit(n)
   }
 
+  /** Greedy k-center (farthest-point / Gonzalez) coreset selection
+    * over an embedding column — the DIVERSITY sampler next to the
+    * quality-weighted ones: pick `k` centers so every point sits
+    * close to one of them, the classic select-a-spread-of-the-
+    * embedding-space pass (SemDeDup picks WITHIN-cluster
+    * representatives; this picks the spread itself). Deterministic
+    * and engine-portable: the seed is the MINIMUM id (no RNG), each
+    * later round takes the point with the largest min-distance to
+    * the selected set (every pairwise L2 rounded to `roundTo` before
+    * any comparison — the recipe that lets an external engine replay
+    * the argmax), ties by id asc. Returns the full coverage map, one
+    * row per input point: (id, center_id, center_round, dist) —
+    * nearest center, ties by earlier selection round — which pins
+    * the whole selection trajectory, not just the final set.
+    *
+    * Scale shape: k−1 selection rounds, each ONE map-only distance
+    * expression over the corpus (distances to ≤ k literal vectors,
+    * no join) feeding a TakeOrdered-1; the final assignment is one
+    * broadcast cross join against the k-row center frame plus a
+    * per-point window bounded by k. Driver state is exactly the k
+    * selected vectors (bounded, documented — the same contract as
+    * the PQ codebook collects). At 100 TB: k linear passes, nothing
+    * quadratic, nothing shuffled but the k-sized final merge. */
+  def kCenterAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"kCenterAssign: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def dTo(cv: Seq[Double]) = round(org.apache.spark.sql.graft.VecExprs
+      .l2Dist(col("v"), typedlit(cv)), roundTo)
+    val seed = base.orderBy(col("id").asc).limit(1).head()
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), seed.getSeq[Double](1).toSeq))
+    (2 to k).foreach { r =>
+      val mind = centers.map(c => dTo(c._3)).reduce(least(_, _))
+      val next = base.select(col("id"), col("v"), mind.as("m"))
+        .orderBy(col("m").desc, col("id").asc).limit(1).head()
+      centers += ((r, next.getLong(0), next.getSeq[Double](1).toSeq))
+    }
+    val centDf = centers.toSeq
+      .toDF("center_round", "center_id", "cv")
+    val w = Window.partitionBy("id")
+      .orderBy(col("dist").asc, col("center_round").asc)
+    base.crossJoin(broadcast(centDf))
+      .select(col("id"), col("center_id"), col("center_round"),
+        round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("v"), col("cv")), roundTo).as("dist"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
   /** Deterministic score-proportional sampling — the quality-weighted
     * downsampling pass (CCNet-style: keep high-quality docs with
     * higher probability) with NO RNG: a row survives iff

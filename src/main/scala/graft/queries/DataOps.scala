@@ -614,7 +614,26 @@ object DataOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id").asc, col("rk").asc)
 
+  /** p36: greedy k-center coreset selection
+    * ([[graft.ops.Sampling.kCenterAssign]], k=5) — the DIVERSITY
+    * sampler: five centers spread across the embedding space (seed =
+    * min id, then four farthest-point rounds, every distance rounded
+    * before every argmax), gated through the full coverage map so the
+    * oracle re-derives the entire selection trajectory: a drift in ANY
+    * round's argmax re-homes some assignment. Non-degeneracy pinned
+    * in-query: k distinct centers must emerge. */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    val out = graft.ops.Sampling.kCenterAssign(
+        embeddings(s, d), "vec_id", "embedding", k = 5)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id").asc)
+    require(out.select(col("center_id")).distinct().count() == 5,
+      "p36 is degenerate: fewer than k distinct centers were selected")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p36_kcenter_coreset" -> kcenterCoreset,
     "p35_tfidf_keywords" -> tfidfKeywords,
     "p34_pmi_collocations" -> pmiCollocs,
     "g08_kcore" -> kcorePeel,
@@ -841,6 +860,52 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // p36: the five selection rounds unrolled — seed = min vec_id,
+    // then four (max of running min-distance, ties id asc) argmaxes,
+    // every pairwise L2 rounded to 6 BEFORE min/argmax; assignment =
+    // per-point nearest of the five (ties by selection round asc).
+    // MATERIALIZED: each d-frame is referenced twice (next c and next
+    // d) — inlined the chain expands 2^k scans (the p27 lesson).
+    "p36_kcenter_coreset" -> {
+      def selRound(i: Int) =
+        s"""c$i AS MATERIALIZED (
+              SELECT vec_id, v FROM d${i - 1}
+              ORDER BY m DESC, vec_id ASC LIMIT 1),
+            d$i AS MATERIALIZED (
+              SELECT d.vec_id, d.v,
+                     least(d.m, round(list_distance(d.v, c.v), 6)) AS m
+              FROM d${i - 1} d CROSS JOIN c$i c)"""
+      s"""WITH c1 AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ORDER BY vec_id ASC LIMIT 1),
+          d1 AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                   round(list_distance(e.embedding::DOUBLE[], c.v), 6)
+                     AS m
+            FROM embeddings e CROSS JOIN c1 c),
+          ${selRound(2)},
+          ${selRound(3)},
+          ${selRound(4)},
+          c5 AS MATERIALIZED (
+            SELECT vec_id, v FROM d4
+            ORDER BY m DESC, vec_id ASC LIMIT 1),
+          cent AS (
+            SELECT 1 AS r, vec_id, v FROM c1
+            UNION ALL SELECT 2, vec_id, v FROM c2
+            UNION ALL SELECT 3, vec_id, v FROM c3
+            UNION ALL SELECT 4, vec_id, v FROM c4
+            UNION ALL SELECT 5, vec_id, v FROM c5),
+          ad AS (
+            SELECT e.vec_id, c.r, c.vec_id AS cid,
+                   round(list_distance(e.embedding::DOUBLE[], c.v), 6)
+                     AS dist
+            FROM embeddings e CROSS JOIN cent c)
+          SELECT vec_id, cid AS center_id,
+                 CAST(r AS INTEGER) AS center_round, dist
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, r ASC) AS rk FROM ad)
+          WHERE rk = 1 ORDER BY vec_id ASC"""
+    },
     // p34: bigrams as the token list zipped with its own tail, PMI
     // over the bigram table's margins, ln rounded to 6 BEFORE the
     // top-50 selection, ties (w1, w2) asc.

@@ -1438,4 +1438,41 @@ class OpsSpec extends SparkSpecBase {
     assert(got((3L, 1)) === (("the", 3L, 0.0)))
     assert(got.size === 5)
   }
+
+  test("kCenterAssign: hand-computed greedy trajectory on a line, " +
+      "min-id seed, farthest-point rounds, assignment ties to the " +
+      "earlier round") {
+    val sp = spark
+    import sp.implicits._
+    // points on a line: greedy from min-id seed 1 at x=0 picks 5
+    // (x=10), then 3 (x=4, min-dist 4 beats 2's 1 and 4's 3)
+    val vecs = Seq((1L, Seq(0.0)), (2L, Seq(1.0)), (3L, Seq(4.0)),
+        (4L, Seq(7.0)), (5L, Seq(10.0))).toDF("vec_id", "embedding")
+    val got = graft.ops.Sampling.kCenterAssign(
+        vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((1L, 1, 0.0)))
+    assert(got(2L) === ((1L, 1, 1.0)))
+    assert(got(3L) === ((3L, 3, 0.0)))
+    assert(got(4L) === ((5L, 2, 3.0)))
+    assert(got(5L) === ((5L, 2, 0.0)))
+    // equidistant point: x=2 sits 2 from both center 1 (round 1) and
+    // center 3 (round 3) -> the EARLIER round wins the tie
+    val vecs2 = vecs.unionByName(Seq((6L, Seq(2.0)))
+      .toDF("vec_id", "embedding"))
+    val got2 = graft.ops.Sampling.kCenterAssign(
+        vecs2, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(got2(6L) === ((1L, 1)))
+    // k=1: everything assigns to the seed
+    val one = graft.ops.Sampling.kCenterAssign(
+        vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one.values.toSet === Set(1L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.kCenterAssign(vecs, "vec_id", "embedding", 0)
+    }
+  }
 }
