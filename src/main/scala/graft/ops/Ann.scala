@@ -176,6 +176,47 @@ object Ann {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
 
+  /** Matryoshka (MRL) adaptive two-phase top-k — the DIMENSION-
+    * truncation compression axis next to the value-quantization
+    * family (SQ / 1-bit / PQ): phase 1 ranks every row by L2 on the
+    * first `dims` coordinates only (matryoshka-trained embeddings
+    * front-load their information, so a short prefix preserves
+    * neighborhood structure), keeps the top `candidates`; phase 2
+    * re-scores exactly those candidates at full precision. Both
+    * phases' scores rounded to `roundTo` before their orderings
+    * (ties id asc) so an external engine replays both cuts. Returns
+    * (id, pre_dist, dist) — the phase-1 score rides along, pinning
+    * the candidate cut, not just the final ranking.
+    *
+    * Scale shape: ONE scan — the prefix distance is a map-only
+    * column expression over a `slice` of the vector (no join, no
+    * index build), phase 1 is a TakeOrdered-`candidates`, phase 2
+    * re-scores `candidates` rows on the driver-bound result frame.
+    * At rest, the natural layout materializes the prefix as its own
+    * column so phase 1 column-prunes the full vector exactly like
+    * the SQ/PQ codes-only scans (r11/r37 pattern); this in-memory
+    * form trades only CPU, not IO. */
+  def matryoshkaTopK(docs: DataFrame, idCol: String, vecCol: String,
+                     q: Seq[Double], dims: Int, candidates: Int,
+                     k: Int, roundTo: Int = 6): DataFrame = {
+    require(dims >= 1 && dims <= q.length,
+      s"matryoshkaTopK: dims must be in [1, ${q.length}], got $dims")
+    require(candidates >= k,
+      s"matryoshkaTopK: candidates ($candidates) must be >= k ($k)")
+    val v = col(vecCol).cast("array<double>")
+    val pre = round(org.apache.spark.sql.graft.VecExprs.l2Dist(
+      slice(v, lit(1), lit(dims)), typedlit(q.take(dims))), roundTo)
+    docs
+      .select(col(idCol), v.as("__v"), pre.as("pre_dist"))
+      .orderBy(col("pre_dist").asc, col(idCol).asc)
+      .limit(candidates)
+      .select(col(idCol), col("pre_dist"),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(
+          col("__v"), typedlit(q)), roundTo).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch kNN join: for every query row, the top-k nearest docs.
     * Returns (qId, dId, dist, rank), rank 1-based per query.
     *

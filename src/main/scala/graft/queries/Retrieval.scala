@@ -1633,6 +1633,27 @@ object Retrieval {
     df
   }
 
+  /** r70: matryoshka (MRL) adaptive two-phase top-k
+    * ([[Ann.matryoshkaTopK]]) — the DIMENSION-truncation compression
+    * axis, completing the picture next to the value-quantization
+    * families (SQ r11, 1-bit r12, PQ r37-r46): phase 1 ranks the
+    * corpus on the first 8 of 32 coordinates (map-only slice, no
+    * index), keeps 50 candidates, phase 2 re-scores them at full
+    * precision. The phase-1 score is IN the output (pre_dist), so
+    * the oracle re-derives the candidate cut, not just the final
+    * ranking. In-query pin: the truncated and full orders must
+    * actually differ on this corpus (refine does real work) — else
+    * the gate degenerates to r01. */
+  def matryoshkaTopk(s: SparkSession, d: String): DataFrame = {
+    val out = Ann.matryoshkaTopK(embeddings(s, d), "vec_id",
+      "embedding", qvecSeq(s, d, 3), dims = 8, candidates = 50, k = 10)
+    require(out.filter(
+        col("pre_dist") =!= col("dist")).limit(1).count() > 0,
+      "r70 is vacuous: truncated and full distances agree everywhere " +
+        "— the refine phase is doing no work on this corpus")
+    out
+  }
+
   /** r69: cell split — the ACTUATOR for r66's retrain signal
     * ([[Ann.splitOverfullCells]]): a deliberately coarse 2-cell model
     * (label parity) leaves both cells ~10× overfull; the operator
@@ -1791,6 +1812,7 @@ object Retrieval {
     "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
     "r69_cell_split" -> rangeCellSplit,
+    "r70_matryoshka_topk" -> matryoshkaTopk,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -3271,6 +3293,19 @@ object Retrieval {
     // r69: a cell split re-partitions bytes, never rows — the oracle
     // is r64's verbatim; any divergence after the split IS the bug.
     "r69_cell_split" -> RangeExactOracleSql,
+    // r70: both matryoshka phases from first principles — the prefix
+    // cut (top-50 by L2 over coordinates 1..8, ties id asc) and the
+    // full-precision re-score, each rounded before its ordering.
+    "r70_matryoshka_topk" ->
+      s"""WITH p1 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   round(list_distance((embedding::DOUBLE[])[1:8],
+                     ($qv3)[1:8]), 6) AS pre_dist
+            FROM embeddings
+            ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+          SELECT vec_id, pre_dist,
+                 round(list_distance(v, $qv3), 6) AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r57: the eps-join is exact under the radii contract, so the
     // oracle is the plain quadratic join — the thing the operator's
     // cell blocking avoids computing but must exactly reproduce.

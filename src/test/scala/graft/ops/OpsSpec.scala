@@ -1475,4 +1475,35 @@ class OpsSpec extends SparkSpecBase {
       graft.ops.Sampling.kCenterAssign(vecs, "vec_id", "embedding", 0)
     }
   }
+
+  test("matryoshkaTopK: refine reorders the prefix ranking, the " +
+      "candidate cut is a real cut, parameter guards") {
+    val sp = spark
+    import sp.implicits._
+    // prefix = first coord; full order (b, c, d, a) disagrees with
+    // prefix order (a, b, c, d)
+    val vecs = Seq(
+      (1L, Seq(0.1, 5.0)),  // a: best prefix, worst full
+      (2L, Seq(0.2, 0.0)),  // b: true nearest
+      (3L, Seq(1.0, 0.1)),  // c
+      (4L, Seq(3.0, 0.0))   // d
+    ).toDF("vec_id", "embedding")
+    val q = Seq(0.0, 0.0)
+    val got = Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        dims = 1, candidates = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, 0.2), (3L, 1.004988)))
+    // with candidates = 2 the cut keeps only {a, b}: c is gone even
+    // though its full distance beats a's — the truncation contract
+    val cut = Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        dims = 1, candidates = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(cut.toSeq === Seq((2L, 0.2), (1L, 5.001)))
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q, 3, 10, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q, 1, 3, 5)
+    }
+  }
 }
