@@ -1087,6 +1087,24 @@ object ScaleSmoke {
       agg.getLong(1)
     }
 
+    // Matryoshka at rest at 16×: the write materializes the 8-dim
+    // prefix as its own column; the phase-1 scan of 512k vectors
+    // reads (vec_id, emb_pre) ONLY — operator-enforced on every
+    // call, so this row re-asserts the column pruning at scale.
+    time("matryoshka_stored_query") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_mrl").toString
+      ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 8, dir)
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val df = ops.Ann.matryoshkaTopKStored(spark, dir, "vec_id", q,
+        candidates = 100, k = 10)
+      val n = df.count()
+      require(n == 10, s"matryoshka stored top-10 returned $n rows")
+      n
+    }
+
     // Triangle counting at 16×: the copy-inflated near-dup graph is
     // adversarially clique-heavy (every original doc becomes a 16-copy
     // clique → ~16³ wedge pressure per doc); the degree-ordered

@@ -217,6 +217,72 @@ object Ann {
       .limit(k)
   }
 
+  /** At-rest matryoshka layout — the storage form that makes
+    * [[matryoshkaTopK]]'s truncation REAL at scale: the prefix is
+    * materialized as its OWN parquet column (`emb_pre`) next to the
+    * full vector (`emb_full`), so the phase-1 scan column-prunes the
+    * full-precision bytes exactly like the SQ/PQ codes-only scans —
+    * at 100 TB phase 1 reads dims/D of the vector bytes. `dims` is
+    * pinned by a marker so a reader can never slice differently than
+    * the writer materialized. */
+  def writeMatryoshka(vecs: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, dir: String): Unit = {
+    require(dims >= 1, s"writeMatryoshka: dims must be >= 1, got $dims")
+    val v = col(vecCol).cast("array<double>")
+    vecs.select(col(idCol), slice(v, lit(1), lit(dims)).as("emb_pre"),
+        v.as("emb_full"))
+      .write.mode("overwrite").parquet(s"$dir/rows")
+    graft.io.Markers.write(vecs.sparkSession, dir,
+      "_graft_matryoshka", s"dims=$dims")
+  }
+
+  /** Two-phase top-k over a [[writeMatryoshka]] root. Phase 1 scans
+    * ONLY (id, emb_pre) — asserted on the phase-1 plan inside the
+    * operator, so a layout or pruning regression fails loudly on
+    * every call, not just in gates — and keeps the top `candidates`
+    * by rounded prefix L2 (ties id asc). The candidate ids (bounded:
+    * `candidates` rows, the r36 probe-cell collect contract) are
+    * planted as an `isin` so the phase-2 fetch pushes an In filter
+    * into the parquet scan and reads exactly those rows at full
+    * precision. Same rounding/tie rules as [[matryoshkaTopK]] — a
+    * lossless storage variant, so the two share one oracle. */
+  def matryoshkaTopKStored(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, idCol: String, q: Seq[Double],
+                           candidates: Int, k: Int,
+                           roundTo: Int = 6): DataFrame = {
+    require(candidates >= k,
+      s"matryoshkaTopKStored: candidates ($candidates) must be >= k ($k)")
+    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
+      .getOrElse(throw new IllegalStateException(
+        s"matryoshkaTopKStored: $dir has no _graft_matryoshka marker — " +
+          "not a matryoshka root (or a truncated write)"))
+    val dims = marker.split("=") match {
+      case Array("dims", d) => d.toInt
+      case _ => throw new IllegalStateException(
+        s"matryoshkaTopKStored: unreadable marker '$marker' in $dir")
+    }
+    require(dims <= q.length,
+      s"matryoshkaTopKStored: stored dims=$dims exceeds query " +
+        s"dimension ${q.length} — wrong embedding space for this root")
+    val rows = spark.read.parquet(s"$dir/rows")
+    val phase1 = rows.select(col(idCol),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
+          typedlit(q.take(dims))), roundTo).as("pre_dist"))
+      .orderBy(col("pre_dist").asc, col(idCol).asc).limit(candidates)
+    val p1Phys = phase1.queryExecution.executedPlan.toString
+    require(p1Phys.contains("emb_pre") && !p1Phys.contains("emb_full"),
+      s"matryoshka phase-1 scan did not prune the full vector:\n$p1Phys")
+    val ids = phase1.select(col(idCol)).collect().map(_.get(0))
+    rows.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
+          typedlit(q.take(dims))), roundTo).as("pre_dist"),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_full"),
+          typedlit(q)), roundTo).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch kNN join: for every query row, the top-k nearest docs.
     * Returns (qId, dId, dist, rank), rank 1-based per query.
     *

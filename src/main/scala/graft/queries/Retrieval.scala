@@ -1654,6 +1654,29 @@ object Retrieval {
     out
   }
 
+  /** r71: matryoshka AT REST ([[Ann.writeMatryoshka]] +
+    * [[Ann.matryoshkaTopKStored]]) — r70's truncation made real at
+    * the storage layer: the prefix is its own parquet column, the
+    * phase-1 scan reads (vec_id, emb_pre) ONLY (asserted inside the
+    * operator on every call), and the phase-2 fetch pushes the
+    * candidate ids as an In filter into the scan. Same parameters as
+    * r70 and a lossless layout, so the gate shares r70's oracle
+    * verbatim. In-query pin: the returned plan must push In(vec_id)
+    * — a fall-through to a full second scan cannot fake green. */
+  def matryoshkaStored(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl").toString
+    Ann.writeMatryoshka(embeddings(s, d), "vec_id", "embedding",
+      dims = 8, dir)
+    val df = Ann.matryoshkaTopKStored(s, dir, "vec_id",
+      qvecSeq(s, d, 3), candidates = 50, k = 10)
+    val phys = df.queryExecution.executedPlan.toString
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r71 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r69: cell split — the ACTUATOR for r66's retrain signal
     * ([[Ann.splitOverfullCells]]): a deliberately coarse 2-cell model
     * (label parity) leaves both cells ~10× overfull; the operator
@@ -1813,6 +1836,7 @@ object Retrieval {
     "r64_range_stored_self" -> rangeStoredSelf,
     "r69_cell_split" -> rangeCellSplit,
     "r70_matryoshka_topk" -> matryoshkaTopk,
+    "r71_matryoshka_stored" -> matryoshkaStored,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -1904,6 +1928,19 @@ object Retrieval {
         JOIN dl USING (id)
         CROSS JOIN g)"""
   }
+
+  /** r70/r71 shared matryoshka oracle (the stored layout is lossless,
+    * so both forms must land on the identical two-phase result). */
+  private lazy val MatryoshkaOracleSql =
+    s"""WITH p1 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 round(list_distance((embedding::DOUBLE[])[1:8],
+                   ($qv3)[1:8]), 6) AS pre_dist
+          FROM embeddings
+          ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+        SELECT vec_id, pre_dist,
+               round(list_distance(v, $qv3), 6) AS dist
+        FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   private val qv0 =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
@@ -3296,16 +3333,11 @@ object Retrieval {
     // r70: both matryoshka phases from first principles — the prefix
     // cut (top-50 by L2 over coordinates 1..8, ties id asc) and the
     // full-precision re-score, each rounded before its ordering.
-    "r70_matryoshka_topk" ->
-      s"""WITH p1 AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   round(list_distance((embedding::DOUBLE[])[1:8],
-                     ($qv3)[1:8]), 6) AS pre_dist
-            FROM embeddings
-            ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
-          SELECT vec_id, pre_dist,
-                 round(list_distance(v, $qv3), 6) AS dist
-          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r70_matryoshka_topk" -> MatryoshkaOracleSql,
+    // r71: the at-rest layout is LOSSLESS (the prefix column is a
+    // byte-identical slice of the stored vector), so the stored form
+    // shares r70's oracle verbatim — any divergence is a layout bug.
+    "r71_matryoshka_stored" -> MatryoshkaOracleSql,
     // r57: the eps-join is exact under the radii contract, so the
     // oracle is the plain quadratic join — the thing the operator's
     // cell blocking avoids computing but must exactly reproduce.

@@ -1506,4 +1506,42 @@ class OpsSpec extends SparkSpecBase {
       Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q, 1, 3, 5)
     }
   }
+
+  test("matryoshkaTopKStored: lands exactly on the in-memory form; " +
+      "missing/tampered marker and wrong-space query refuse; phase-1 " +
+      "full-vector pruning is operator-enforced") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toDouble))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 2.0, 3.0, 4.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_spec").toString
+    graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 2, dir)
+    val stored = graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id",
+        q, candidates = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val mem = graft.ops.Ann.matryoshkaTopK(vecs, "vec_id", "embedding",
+        q, dims = 2, candidates = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(stored.toSeq === mem.toSeq)
+    // wrong-space query: stored dims exceed the query's dimension
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", Seq(1.0),
+        10, 5)
+    }
+    // tampered marker refuses loudly
+    graft.io.Markers.write(sp, dir, "_graft_matryoshka", "dimz~2")
+    intercept[IllegalStateException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", q, 10, 5)
+    }
+    // missing marker (not a matryoshka root) refuses loudly
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_mrl_bare").toString
+    vecs.write.parquet(s"$bare/rows")
+    intercept[IllegalStateException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, bare, "vec_id", q, 10, 5)
+    }
+  }
 }
