@@ -429,6 +429,55 @@ object Multimodal {
     }.toDF("id", "simhash")
   }
 
+  /** Audio energy fingerprints — the AUDIO twin of [[perceptualHash]]
+    * (and the third member of the near-dup family after text SimHash
+    * and image aHash): decode to PCM, split the sample stream into
+    * `windows` contiguous time windows (sample j → window
+    * j·windows / n, integer division — unequal tail windows are fine
+    * because the test is mean-vs-mean), bit i = 1 iff window i's MEAN
+    * energy is strictly above the clip's mean, cross-multiplied to
+    * stay in integers (sum_i · n > total · count_i — no float mean,
+    * so any engine replays the bits from the sample values alone),
+    * packed into one long in the (id, simhash) shape
+    * [[graft.ops.Dedup.simHashPairs]] consumes: near-duplicate AUDIO
+    * detection rides the exact banded-Hamming join everything else
+    * uses. Robust to small local edits (one sample moves one window
+    * mean, not the whole signature) — the property the m07 gate pins
+    * with its perturbed planted copy.
+    *
+    * Scale shape: map-only per-partition decode + one fixed-size
+    * accumulator pass per clip; signatures are 8 bytes/clip at rest;
+    * the join is the banded one, never all-pairs. */
+  def audioFingerprint(media: Dataset[MediaRow], codec: MediaCodec,
+                       windows: Int = 64): DataFrame = {
+    require(windows > 0 && windows <= 64,
+      s"audioFingerprint packs windows bits into one long (got $windows)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val px = codec.decode(m.data, m.meta)
+        val n = px.length
+        val ws = new Array[Long](windows)
+        val cnt = new Array[Long](windows)
+        var tot = 0L
+        var j = 0
+        while (j < n) {
+          val w = ((j.toLong * windows) / n).toInt
+          val v = (px(j) & 0xFF).toLong
+          ws(w) += v; cnt(w) += 1; tot += v; j += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < windows) {
+          if (ws(i) * n > tot * cnt(i)) sig |= (1L << i)
+          i += 1
+        }
+        (m.id, sig)
+      }
+    }.toDF("id", "simhash")
+  }
+
   /** Resize stage: image rows get `w`×`h` payloads, meta updated. */
   def resizeImages(media: Dataset[MediaRow], codec: MediaCodec,
                    w: Int, h: Int): Dataset[MediaRow] = {

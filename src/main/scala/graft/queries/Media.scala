@@ -210,7 +210,43 @@ object Media {
       .orderBy("a", "b")
   }
 
+  /** m07: audio-fingerprint near-dup under a full-value oracle — the
+    * AUDIO member of the near-dup family (text SimHash p04, image
+    * aHash m06): each doc's text bytes become a mono 8-bit WAV clip
+    * (m05's lossless fixture path), plus the same planted duplicates
+    * as m06 (exact copy +100000, first-sample-perturbed +200000). The
+    * clip flows through the REAL `javax.sound.sampled` decode, then
+    * [[Multimodal.audioFingerprint]]'s 64-window integer energy
+    * signature and the banded-Hamming pair join. Exact copies must
+    * surface at hamming 0; the perturbed copy moves at most one
+    * window's mean. The oracle replays samples (ASCII ⇒ ord == byte),
+    * window assignment (j·64 div n), the cross-multiplied mean test
+    * and pairwise bit diffs — pure integer math, no packed longs. */
+  def mediaAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+        col("text")))
+      .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("z"), expr("substring(text, 2)")).as("text")))
+      .filter(length(col("text")) > 0)
+    val wavs: Dataset[MediaRow] = corpus
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaRow(id, "audio", WavCodec.pcmWav(bytes, 1000f),
+          MediaMeta("wav", 0, 0, 1, bytes.length.toLong))
+      }
+    val sigs = Multimodal.audioFingerprint(wavs, WavCodec())
+    graft.ops.Dedup.simHashPairs(sigs, maxDist = 3, bands = 4)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_audio_dedup" -> mediaAudioDedup,
     "m01_media_features" -> mediaFeatures,
     "m02_media_frames" -> mediaFrames,
     "m03_media_resize" -> mediaResize,
@@ -223,6 +259,49 @@ object Media {
     // pure integer math from the text (ASCII ⇒ ord == byte); the
     // signature stays a 64-element 0/1 list — no cross-engine integer
     // packing to get wrong. Quadratic in the oracle; banded in Spark.
+    // m07: samples, window assignment, the cross-multiplied mean test
+    // and Hamming distances all replayed as pure integer math from the
+    // text (ASCII ⇒ ord == byte; empty tail windows get bit 0 from
+    // 0 > 0). Quadratic in the oracle; banded in Spark, like m06.
+    "m07_audio_dedup" ->
+      """WITH c0 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, 'z' || substring(text, 2)
+           FROM documents),
+         c AS (SELECT doc_id, text FROM c0 WHERE length(text) > 0),
+         samp AS (
+           SELECT doc_id, length(text) AS n,
+             unnest(range(length(text))) AS j, text
+           FROM c),
+         sv AS (
+           SELECT doc_id, n, (j * 64) // n AS w,
+             ord(substring(text, j + 1, 1)) AS v
+           FROM samp),
+         ws AS (SELECT doc_id, w, sum(v) AS s, count(*) AS cnt
+                FROM sv GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(v) AS t, max(n) AS n
+                 FROM sv GROUP BY 1),
+         grid AS (SELECT t.doc_id, gi.i, t.t, t.n
+                  FROM tot t CROSS JOIN
+                    (SELECT unnest(range(64)) AS i) gi),
+         bits AS (
+           SELECT g.doc_id, g.i,
+             CASE WHEN coalesce(w.s, 0) * g.n > g.t * coalesce(w.cnt, 0)
+               THEN 1 ELSE 0 END AS b
+           FROM grid g LEFT JOIN ws w
+             ON w.doc_id = g.doc_id AND w.w = g.i),
+         sig AS (SELECT doc_id, list(b ORDER BY i) AS b
+                 FROM bits GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(len(list_filter(range(64),
+               i -> x.b[i + 1] != y.b[i + 1])) AS INT) AS hamming
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+         SELECT a, b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY a, b""",
     "m06_phash_dedup" ->
       """WITH c0 AS (
            SELECT doc_id, text FROM documents

@@ -714,4 +714,46 @@ class ComponentsSpec extends SparkSpecBase {
     assert(byQ(10L) === Seq(11L, 13L)) // diverse doc second, per group
     assert(byQ(20L) === Seq(21L, 23L))
   }
+
+  test("audioFingerprint: hand-computed window bits through the real " +
+      "WAV decode, copies collide at hamming 0, one-sample edit " +
+      "moves at most one window, unequal tail windows") {
+    val sp = spark
+    import sp.implicits._
+    val codec = WavCodec()
+    // 128 samples, 64 windows of exactly 2: first half loud (200),
+    // second half quiet (10) -> bits 1 on windows 0..31
+    val loud = Array.tabulate(128)(i =>
+      (if (i < 64) 200 else 10).toByte)
+    // one-sample edit in the quiet half: window 40 only
+    val edited = loud.clone(); edited(80) = 255.toByte
+    def row(id: Long, s: Array[Byte]) =
+      MediaRow(id, "audio", WavCodec.pcmWav(s, 1000f),
+        MediaMeta("wav", 0, 0, 1, s.length.toLong))
+    val media = Seq(row(1, loud), row(2, loud), row(3, edited)).toDS()
+    val sigs = Multimodal.audioFingerprint(media, codec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0 until 32).map(i => 1L << i).reduce(_ | _)
+    assert(sigs(1L) === want)
+    assert(sigs(2L) === sigs(1L))
+    // sample 80 lives in window 80*64/128 = 40; (255+10)/2 > mean
+    assert(sigs(3L) === (want | (1L << 40)))
+    // the pair join surfaces both the exact copy and the near-dup
+    val pairs = graft.ops.Dedup.simHashPairs(
+        Multimodal.audioFingerprint(media, codec),
+        maxDist = 3, bands = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("hamming"))).sorted
+    assert(pairs.toSeq === Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // 3 samples over 64 windows: unequal assignment (0,21,42), empty
+    // windows stay bit 0, the lone loud sample's window goes high
+    val tiny = Array[Byte](0, 120.toByte, 0)
+    val t = Multimodal.audioFingerprint(
+        Seq(row(9, tiny)).toDS(), codec)
+      .collect().head.getLong(1)
+    assert(t === (1L << 21))
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(media, codec, windows = 65)
+    }
+  }
 }
