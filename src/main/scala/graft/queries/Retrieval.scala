@@ -684,6 +684,42 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregister("embedding")
   }
 
+  /** r72: the PURE-SQL surface — r09's declarative rewrite driven
+    * entirely from `spark.sql`: the vector functions are the
+    * session-registered SQL names ([[org.apache.spark.sql.graft
+    * .VecExprs.register]], the same codegen'd expressions
+    * GraftExtensions injects via config), the data is a temp view
+    * over the cell-partitioned store, and the query text is the
+    * plain `ORDER BY l2_dist(...) LIMIT k` a SQL-only user writes.
+    * The optimizer must treat it exactly like the Column-API plan:
+    * probe-cell partition pruning pinned in-query, and the oracle is
+    * r09's IVF replay — a plan the rewrite missed would return the
+    * exact answer and FAIL the oracle, so green means the rewrite
+    * fired on a SQL-authored plan. */
+  def sqlSurfaceTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sql_surface").toString
+    Ann.writePartitioned(assigned, path)
+    org.apache.spark.sql.graft.VecExprs.register(s)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.register("embedding", model, Ann.L2, probes = 3)
+    try {
+      s.read.parquet(path).createOrReplaceTempView("graft_sql_emb")
+      val qarr = qvecSeq(s, d, 5)
+        .map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      val df = s.sql(
+        s"""SELECT vec_id, round(l2_dist(embedding, $qarr), 6) AS dist
+            FROM graft_sql_emb
+            ORDER BY dist ASC, vec_id ASC LIMIT 10""")
+      assertPartitionPruned(df.queryExecution.executedPlan.toString,
+        "centroid_id", "SQL-authored top-k")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregister("embedding")
+  }
+
   /** Declarative DISTRIBUTED-probe rewrite gate: r09's semantics with
     * the probe cells computed by a semi-joined subplan over the
     * centroids table ([[graft.plans.AnnIndex.registerDistributed]])
@@ -1837,6 +1873,7 @@ object Retrieval {
     "r69_cell_split" -> rangeCellSplit,
     "r70_matryoshka_topk" -> matryoshkaTopk,
     "r71_matryoshka_stored" -> matryoshkaStored,
+    "r72_sql_surface" -> sqlSurfaceTopk,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -1928,6 +1965,37 @@ object Retrieval {
         JOIN dl USING (id)
         CROSS JOIN g)"""
   }
+
+  /** r09/r72 shared IVF-rewrite oracle: the full index replay —
+    * centroids from label means, nearest-centroid assignment, 3
+    * probes for query vec 5, scan confined to probed cells. Shared
+    * because r72 is r09 authored in pure SQL over the same index. */
+  private lazy val IvfRewriteOracleSql =
+    s"""WITH dims AS (
+          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                 round(avg(CAST(x AS DOUBLE)), 5) AS c
+          FROM (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2),
+        cents AS (
+          SELECT centroid_id, list(c ORDER BY pos) AS centroid
+          FROM dims GROUP BY 1),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        probes AS (
+          SELECT centroid_id FROM cents
+          ORDER BY list_distance(centroid, $qv5) ASC, centroid_id ASC
+          LIMIT 3)
+        SELECT a.vec_id,
+               round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
+        FROM assigned a JOIN probes USING (centroid_id)
+        ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   /** r70/r71 shared matryoshka oracle (the stored layout is lossless,
     * so both forms must land on the identical two-phase result). */
@@ -3784,32 +3852,13 @@ object Retrieval {
     // r36: same cells, same probes, same candidates — the stored-layout
     // batch join shares r10's oracle (pruning changes IO, never results)
     "r36_knn_join_stored" -> KnnJoinIvfOracleSql,
-    "r09_ann_rewrite_stored" ->
-      s"""WITH dims AS (
-            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
-                   round(avg(CAST(x AS DOUBLE)), 5) AS c
-            FROM (SELECT label, unnest(embedding) AS x,
-                         unnest(range(len(embedding))) AS pos
-                  FROM embeddings)
-            GROUP BY 1, 2),
-          cents AS (
-            SELECT centroid_id, list(c ORDER BY pos) AS centroid
-            FROM dims GROUP BY 1),
-          assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
-                                c.centroid_id ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-          probes AS (
-            SELECT centroid_id FROM cents
-            ORDER BY list_distance(centroid, $qv5) ASC, centroid_id ASC
-            LIMIT 3)
-          SELECT a.vec_id,
-                 round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
-          FROM assigned a JOIN probes USING (centroid_id)
-          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r09_ann_rewrite_stored" -> IvfRewriteOracleSql,
+    // r72: the SQL-authored form of r09 — same index, probes and
+    // query vector, so the oracle is shared verbatim: the gate proves
+    // the REWRITE fires on a spark.sql plan (the IVF-probed result
+    // differs from the exact scan, so a no-rewrite fall-through
+    // mismatches this oracle).
+    "r72_sql_surface" -> IvfRewriteOracleSql,
     // r13: batch BM25 — same tf/df/dl/avgdl CTEs, qid-carrying query
     // terms, per-(qid, id) scoring, rank window per qid.
     "r13_bm25_batch" -> Bm25BatchOracleSql,
