@@ -236,6 +236,25 @@ object Ann {
       "_graft_matryoshka", s"dims=$dims")
   }
 
+  /** Establish (or re-validate) a matryoshka root for streamed ingest
+    * — the marker lands BEFORE any row so a crash mid-stream leaves a
+    * readable geometry, and a restart with a DIFFERENT `dims` is
+    * refused: two slicing widths in one layout would make `emb_pre`
+    * meaningless (the s12-s15 retrained-artifact contract). */
+  def ensureMatryoshkaRoot(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, dims: Int): Unit = {
+    require(dims >= 1,
+      s"ensureMatryoshkaRoot: dims must be >= 1, got $dims")
+    graft.io.Markers.read(spark, dir, "_graft_matryoshka") match {
+      case None =>
+        graft.io.Markers.write(spark, dir, "_graft_matryoshka",
+          s"dims=$dims")
+      case Some(m) => require(m == s"dims=$dims",
+        s"ensureMatryoshkaRoot: $dir is pinned to '$m' but this " +
+          s"ingest slices dims=$dims — one layout, one prefix width")
+    }
+  }
+
   /** Two-phase top-k over a [[writeMatryoshka]] root. Phase 1 scans
     * ONLY (id, emb_pre) — asserted on the phase-1 plan inside the
     * operator, so a layout or pruning regression fails loudly on

@@ -548,7 +548,52 @@ object Events {
       .select("vec_id", "dist")
   }
 
+  /** s18: the MATRYOSHKA streaming lifecycle under the oracle — the
+    * flat member of the at-rest ingest family (and the cheapest:
+    * pure map, no model): dims pinned at the root before the stream,
+    * (id, emb_pre, emb_full) rows in three micro-batches through
+    * [[graft.streaming.Stream.ingestMatryoshka]], whole-directory
+    * [[graft.streaming.Stream.compactFlat]] graduation (commit log
+    * gone with the old directory), then
+    * [[graft.ops.Ann.matryoshkaTopKStored]] with r70/r71's exact
+    * parameters — the streamed layout is lossless, so the shared
+    * matryoshka oracle must land verbatim. */
+  def streamMatryoshkaTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s18_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s18_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestMatryoshka(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dims = 8, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val nFiles = graft.streaming.Stream.compactFlat(s, s"$dir/rows")
+    require(nFiles == 1, s"graduation left $nFiles files, wanted 1")
+    require(!new java.io.File(s"$dir/rows", "_spark_metadata").exists(),
+      "commit log must be gone after graduation")
+    val qv = rows.find(_._1 == 3L)
+      .getOrElse(throw new IllegalStateException("no vec_id 3"))._2
+    graft.ops.Ann.matryoshkaTopKStored(s, dir, "vec_id", qv,
+      candidates = 50, k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_matryoshka_twin" -> streamMatryoshkaTwin,
     "s15_stream_range_twin" -> streamRangeTwin,
     "s14_stream_bitq_twin" -> streamBitqTwin,
     "s13_stream_sq_twin" -> streamSqTwin,
@@ -695,6 +740,9 @@ object Events {
     // s14: the streamed-then-compacted 1-bit layout must be
     // byte-identical to the batch index; r14's oracle is shared.
     "s14_stream_bitq_twin" -> Retrieval.oracles("r14_ivf_bitq_topk"),
+    // s18: the streamed-then-graduated matryoshka layout is lossless
+    // — r70/r71's shared two-phase oracle lands verbatim.
+    "s18_stream_matryoshka_twin" -> Retrieval.oracles("r70_matryoshka_topk"),
     // s15: the streamed range root must reproduce the batch-built
     // r56 exactly — radii pruning is invisible to results by
     // contract, so the shared oracle is the plain threshold scan.

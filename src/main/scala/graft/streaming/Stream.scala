@@ -392,6 +392,76 @@ object Stream {
     * touched, so periodic compaction costs only the hot cells' bytes.
     *
     * Returns the number of rewritten cell directories. */
+  /** Continuous matryoshka ingest — the FLAT member of the at-rest
+    * ingest family (dense IVF, BM25, sparse, maxsim, PQ, SQ, 1-bit,
+    * range — and now the truncation layout): each row's prefix is
+    * sliced under the ROOT's pinned `dims`
+    * ([[graft.ops.Ann.ensureMatryoshkaRoot]] — established before the
+    * stream starts; a restart with a different width is refused) and
+    * (id, emb_pre, emb_full) appends exactly-once into `dir/rows`.
+    * Pure map — no model, no join: the cheapest ingest of the family.
+    * After [[compactFlat]](`dir/rows`) graduation the root IS a
+    * [[graft.ops.Ann.writeMatryoshka]] layout:
+    * [[graft.ops.Ann.matryoshkaTopKStored]] works unchanged (and its
+    * operator-internal phase-1 column-prune assert holds over the
+    * streamed files too). */
+  def ingestMatryoshka(vectors: DataFrame, idCol: String,
+                       vecCol: String, dims: Int,
+                       dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.ensureMatryoshkaRoot(spark, dir, dims)
+    val rowsDir = s"$dir/rows"
+    requireStreamableLayout(spark, rowsDir)
+    val v = col(vecCol).cast("array<double>")
+    vectors.select(col(idCol),
+        org.apache.spark.sql.functions.slice(v, lit(1), lit(dims))
+          .as("emb_pre"),
+        v.as("emb_full"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(rowsDir)
+  }
+
+  /** Graduate a FLAT (unpartitioned) streamed layout — the
+    * [[compactStored]] twin for roots with no cell column (today:
+    * the matryoshka `rows/`): read THROUGH the commit log (exactly
+    * the committed rows — uncommitted stragglers never survive),
+    * rewrite into a sibling `<dir>__next`, then swap the WHOLE
+    * directory via two renames and drop the old copy. The log
+    * disappears with the old directory, so there is no window where
+    * a log names deleted files (the compactStored graduation-order
+    * lesson); a crash between the two renames leaves the path
+    * MISSING — a loudly-failing read, never a silently-partial
+    * layout (the appendRangeIndex radii-swap discipline). Returns
+    * the number of data files in the graduated directory. */
+  def compactFlat(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  numFiles: Int = 1): Long = {
+    require(numFiles >= 1, s"compactFlat: numFiles >= 1, got $numFiles")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__next")
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__old")
+    require(!fs.exists(old),
+      s"compactFlat: $old exists — a prior swap crashed mid-flight; " +
+        "recover it by hand before compacting again")
+    fs.delete(next, true)
+    spark.read.parquet(dir).repartition(numFiles)
+      .write.mode("overwrite").parquet(next.toString)
+    require(fs.rename(root, old),
+      s"compactFlat: rename $root -> $old failed")
+    require(fs.rename(next, root),
+      s"compactFlat: rename $next -> $root failed (layout is at $old)")
+    fs.delete(old, true)
+    fs.listStatus(root).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith("."))
+  }
+
   def compactStored(spark: org.apache.spark.sql.SparkSession, dir: String,
                     cellCol: String, maxFilesPerCell: Int = 4): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)

@@ -874,4 +874,56 @@ class StreamSpec extends SparkSpecBase {
     assert(after.n === n,
       "orphan file rows resurrected through graduation")
   }
+
+  test("ingestMatryoshka: streamed rows match the batch layout " +
+      "bit-for-bit after compactFlat; a different-dims restart is " +
+      "refused; a crashed swap refuses to compact again") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.tabulate(6)(j => ((i * 5 + j) % 13).toDouble))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mrl_stream_ck").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Stream.ingestMatryoshka(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dims = 2, dir, ckpt)
+    try {
+      input.addData(rows.take(15): _*); q.processAllAvailable()
+      input.addData(rows.drop(15): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(Stream.compactFlat(sp, s"$dir/rows") === 1L)
+    assert(!new java.io.File(s"$dir/rows", "_spark_metadata").exists())
+    // graduated root answers exactly like the batch write
+    val qv = rows(7)._2
+    val stored = graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id",
+        qv, candidates = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_batch").toString
+    graft.ops.Ann.writeMatryoshka(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2, batchDir)
+    val batch = graft.ops.Ann.matryoshkaTopKStored(sp, batchDir,
+        "vec_id", qv, candidates = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(stored.toSeq === batch.toSeq)
+    // restart with a different prefix width must refuse
+    intercept[IllegalArgumentException] {
+      Stream.ingestMatryoshka(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id",
+        "embedding", dims = 3, dir, ckpt)
+    }
+    // a stranded __old dir (crash between the two swap renames, or
+    // mid-delete) must refuse the next compaction loudly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/rows__old"))
+    intercept[IllegalArgumentException] {
+      Stream.compactFlat(sp, s"$dir/rows")
+    }
+  }
 }
