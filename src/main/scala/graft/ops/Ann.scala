@@ -236,6 +236,45 @@ object Ann {
       "_graft_matryoshka", s"dims=$dims")
   }
 
+  /** Batch (query-log) matryoshka replay — [[matryoshkaTopK]]'s
+    * two phases for EVERY query in one job, completing the family's
+    * batch form (the r04/r13/r33/r34 pattern): phase 1 is one
+    * [[knnJoin]] over the `dims`-sliced vectors (broadcast queries,
+    * bounded per-partition heaps — the shuffle is partitions × Q ×
+    * `candidates` rows, corpus-size-independent), phase 2 re-scores
+    * each query's candidates at full precision via one equi-join on
+    * the doc id plus the broadcast query set, rank window per query.
+    * Returns (qId, dId, pre_dist, dist, rank), rank ≤ `k`, both
+    * phases' scores rounded before their orderings (ties id asc). */
+  def matryoshkaBatch(queries: DataFrame, qId: String, qVec: String,
+                      docs: DataFrame, dId: String, dVec: String,
+                      dims: Int, candidates: Int, k: Int,
+                      roundTo: Int = 6): DataFrame = {
+    require(dims >= 1, s"matryoshkaBatch: dims must be >= 1, got $dims")
+    require(candidates >= k,
+      s"matryoshkaBatch: candidates ($candidates) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    def pre(df: DataFrame, id: String, vc: String, out: String) =
+      df.select(col(id), slice(col(vc).cast("array<double>"),
+        lit(1), lit(dims)).as(out))
+    val phase1 = knnJoin(pre(queries, qId, qVec, "__qpre"), qId, "__qpre",
+        pre(docs, dId, dVec, "__dpre"), dId, "__dpre",
+        L2, candidates, roundTo)
+      .select(col(qId), col(dId), col("dist").as("pre_dist"))
+    val qFull = queries.select(col(qId),
+      col(qVec).cast("array<double>").as("__qv"))
+    val dFull = docs.select(col(dId),
+      col(dVec).cast("array<double>").as("__dv"))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("dist").asc, col(dId).asc)
+    phase1.join(broadcast(qFull), qId).join(dFull, dId)
+      .select(col(qId), col(dId), col("pre_dist"),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(
+          col("__dv"), col("__qv")), roundTo).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Establish (or re-validate) a matryoshka root for streamed ingest
     * — the marker lands BEFORE any row so a crash mid-stream leaves a
     * readable geometry, and a restart with a DIFFERENT `dims` is

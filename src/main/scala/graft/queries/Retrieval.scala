@@ -1713,6 +1713,25 @@ object Retrieval {
     df
   }
 
+  /** r73: the matryoshka BATCH query-log replay
+    * ([[Ann.matryoshkaBatch]]) — the family's batch form next to
+    * explicit r70 / at-rest r71 / streamed s18, the r04 pattern:
+    * queries vec_id < 5 each take a 20-candidate prefix cut and a
+    * full-precision top-3, in ONE broadcast-exploded job whose
+    * phase-1 shuffle is partitions × Q × candidates (corpus-size-
+    * independent). Both phases' scores ride in the output; the
+    * oracle unrolls cut and re-score per query. */
+  def matryoshkaBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = e.select(col("vec_id").as("d_id"),
+      col("embedding").as("dv"))
+    Ann.matryoshkaBatch(qs, "q_id", "qv", docs, "d_id", "dv",
+        dims = 8, candidates = 20, k = 3)
+      .orderBy(col("q_id").asc, col("rank").asc)
+  }
+
   /** r69: cell split — the ACTUATOR for r66's retrain signal
     * ([[Ann.splitOverfullCells]]): a deliberately coarse 2-cell model
     * (label parity) leaves both cells ~10× overfull; the operator
@@ -1874,6 +1893,7 @@ object Retrieval {
     "r70_matryoshka_topk" -> matryoshkaTopk,
     "r71_matryoshka_stored" -> matryoshkaStored,
     "r72_sql_surface" -> sqlSurfaceTopk,
+    "r73_matryoshka_batch" -> matryoshkaBatch,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -3859,6 +3879,31 @@ object Retrieval {
     // differs from the exact scan, so a no-rewrite fall-through
     // mismatches this oracle).
     "r72_sql_surface" -> IvfRewriteOracleSql,
+    // r73: per-query prefix cut (top-20 by sliced L2, ties id asc)
+    // then full re-score of exactly those candidates, both rounded
+    // before their rank windows — the r04 batch shape, two-phased.
+    "r73_matryoshka_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          p0 AS (
+            SELECT q.q_id, e.vec_id AS d_id, q.qv,
+                   round(list_distance((e.embedding::DOUBLE[])[1:8],
+                     (q.qv)[1:8]), 6) AS pre_dist
+            FROM embeddings e CROSS JOIN q),
+          p1 AS (SELECT q_id, d_id, qv, pre_dist FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY pre_dist ASC, d_id ASC) AS rk
+                   FROM p0) WHERE rk <= 20),
+          sc AS (
+            SELECT p.q_id, p.d_id, p.pre_dist,
+                   round(list_distance(e.embedding::DOUBLE[], p.qv), 6)
+                     AS dist
+            FROM p1 p JOIN embeddings e ON e.vec_id = p.d_id)
+          SELECT q_id, d_id, pre_dist, dist,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY dist ASC, d_id ASC) AS rank FROM sc)
+          WHERE rank <= 3 ORDER BY q_id ASC, rank ASC""",
     // r13: batch BM25 — same tf/df/dl/avgdl CTEs, qid-carrying query
     // terms, per-(qid, id) scoring, rank window per qid.
     "r13_bm25_batch" -> Bm25BatchOracleSql,

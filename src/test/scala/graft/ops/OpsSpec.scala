@@ -1544,4 +1544,37 @@ class OpsSpec extends SparkSpecBase {
       graft.ops.Ann.matryoshkaTopKStored(sp, bare, "vec_id", q, 10, 5)
     }
   }
+
+  test("matryoshkaBatch agrees with the per-query explicit form on " +
+      "every query; candidate bound respected") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0L until 25L).map { i =>
+      (i, Seq.tabulate(4)(j => ((i * 11 + j * 5) % 17).toDouble))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = vecs.select(col("vec_id").as("d_id"),
+      col("embedding").as("dv"))
+    val batch = Ann.matryoshkaBatch(qs, "q_id", "qv", docs, "d_id",
+        "dv", dims = 2, candidates = 6, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4)).toMap
+    (0L until 3L).foreach { qid =>
+      val q = vecs.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toSeq
+      val solo = Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+          dims = 2, candidates = 6, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2)))
+      assert(batch(qid).map(t => (t._1, t._2, t._3)).toSeq ===
+        solo.toSeq, s"query $qid diverged")
+    }
+    assert(batch.values.forall(_.length == 3))
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaBatch(qs, "q_id", "qv", docs, "d_id", "dv", 2, 2, 5)
+    }
+  }
 }
