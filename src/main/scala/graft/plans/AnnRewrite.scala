@@ -289,6 +289,33 @@ object AnnIndex {
           .as(s"__cand_$idCol")) // fresh exprId — see SqQuant
   }
 
+  /** Matryoshka member of the quantized-rewrite family: candidates
+    * are the top-(k·refine) ids by PREFIX distance from a
+    * [[Ann.writeMatryoshka]] root's `emb_pre` column (column-pruned
+    * phase 1 — the truncation analog of the codes-only scans), and
+    * the plan's own Sort+Limit re-ranks at full precision. L2 only
+    * (the family's metric); `dims` comes from the root's marker at
+    * register time, so a re-sliced root needs a re-register. */
+  private final case class MrlQuant(dir: String, idCol: String,
+                                    dims: Int, refine: Int,
+                                    owner: String = "")
+      extends QuantEntry {
+    def metric: Ann.Metric = Ann.L2
+    def probes: Int = 0 // the prefix scan probes nothing
+    def candidateIds(q: Array[Double], n: Int) = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, round, typedlit}
+      spark.read.parquet(s"$dir/rows")
+        .select(col(idCol),
+          round(org.apache.spark.sql.graft.VecExprs.l2Dist(
+            col("emb_pre"), typedlit(q.take(dims).toSeq)), 6)
+            .as("__pre"))
+        .orderBy(col("__pre").asc, col(idCol).asc)
+        .limit(n)
+        .select(col(idCol).as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+    }
+  }
+
   private val quantEntries = TrieMap.empty[String, QuantEntry]
 
   private def requireQuantMetric(metric: Ann.Metric): Unit =
@@ -365,6 +392,32 @@ object AnnIndex {
         quantEntries.get(vecCol).map(_.owner), owner)
       quantEntries(vecCol) =
         PqQuant(resolve, idCol, metric, probes, refine, owner)
+    }
+  }
+
+  /** Register a [[Ann.writeMatryoshka]] root for declarative rewrite
+    * of `orderBy(l2_dist(vecCol, q)).limit(k)` plans — the truncation
+    * member of the quantized-rewrite family. The root's marker is
+    * read HERE (loudly — a missing or unreadable marker refuses the
+    * registration, not the first query), pinning `dims` for the
+    * entry's lifetime. */
+  def registerMatryoshka(vecCol: String, idCol: String, dir: String,
+                         refine: Int = 5, owner: String = ""): Unit = {
+    require(refine >= 1, s"registerMatryoshka: refine >= 1, got $refine")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
+      .getOrElse(throw new IllegalStateException(
+        s"registerMatryoshka: $dir has no _graft_matryoshka marker — " +
+          "not a matryoshka root"))
+    val dims = marker.split("=") match {
+      case Array("dims", d) => d.toInt
+      case _ => throw new IllegalStateException(
+        s"registerMatryoshka: unreadable marker '$marker' in $dir")
+    }
+    quantEntries.synchronized {
+      requireFreeOrSameOwner("matryoshka", vecCol,
+        quantEntries.get(vecCol).map(_.owner), owner)
+      quantEntries(vecCol) = MrlQuant(dir, idCol, dims, refine, owner)
     }
   }
 

@@ -1713,6 +1713,39 @@ object Retrieval {
     df
   }
 
+  /** r74: the matryoshka DECLARATIVE rewrite — the truncation member
+    * of the quantized-rewrite family (r39 PQ, sq/bitq twins): a plain
+    * `orderBy(l2_dist(embedding, q)).limit(10)` plan over the
+    * registered [[Ann.writeMatryoshka]] root rewrites into a LeftSemi
+    * against the top-(k·refine) PREFIX-distance candidates (read from
+    * the root's column-pruned `emb_pre`), with the plan's own
+    * Sort+Limit as the exact re-rank. refine=5 ⇒ the 50-candidate cut
+    * of r70, so the oracle is the shared cut replay (minus pre_dist,
+    * which the user's plan never computes). LeftSemi pinned in-query:
+    * an un-rewritten plan would return the exact answer and could
+    * still pass this oracle only if the cut lost nothing — the plan
+    * pin closes that hole. */
+  def matryoshkaRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_rw").toString
+    Ann.writeMatryoshka(e, "vec_id", "embedding", dims = 8, dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerMatryoshka("embedding", "vec_id", dir,
+      refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), qvec(s, d, 3)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "matryoshka rewrite did not engage")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
   /** r73: the matryoshka BATCH query-log replay
     * ([[Ann.matryoshkaBatch]]) — the family's batch form next to
     * explicit r70 / at-rest r71 / streamed s18, the r04 pattern:
@@ -1894,6 +1927,7 @@ object Retrieval {
     "r71_matryoshka_stored" -> matryoshkaStored,
     "r72_sql_surface" -> sqlSurfaceTopk,
     "r73_matryoshka_batch" -> matryoshkaBatch,
+    "r74_matryoshka_rewrite" -> matryoshkaRewrite,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2017,17 +2051,31 @@ object Retrieval {
         FROM assigned a JOIN probes USING (centroid_id)
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
-  /** r70/r71 shared matryoshka oracle (the stored layout is lossless,
-    * so both forms must land on the identical two-phase result). */
-  private lazy val MatryoshkaOracleSql =
-    s"""WITH p1 AS (
+  /** The matryoshka phase-1 cut (top-50 by 8-dim-prefix L2, ties id
+    * asc) — shared by every form of the family's oracle. */
+  private lazy val MatryoshkaP1Sql =
+    s"""p1 AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
                  round(list_distance((embedding::DOUBLE[])[1:8],
                    ($qv3)[1:8]), 6) AS pre_dist
           FROM embeddings
-          ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+          ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)"""
+
+  /** r70/r71/s18 shared matryoshka oracle (the stored and streamed
+    * layouts are lossless, so all forms must land on the identical
+    * two-phase result). */
+  private lazy val MatryoshkaOracleSql =
+    s"""WITH $MatryoshkaP1Sql
         SELECT vec_id, pre_dist,
                round(list_distance(v, $qv3), 6) AS dist
+        FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** r74: the rewritten plan computes only the final distance (the
+    * user's plan never sees pre_dist), so the declarative form's
+    * oracle is the same cut without the phase-1 column. */
+  private lazy val MatryoshkaRewriteOracleSql =
+    s"""WITH $MatryoshkaP1Sql
+        SELECT vec_id, round(list_distance(v, $qv3), 6) AS dist
         FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   private val qv0 =
@@ -3879,6 +3927,9 @@ object Retrieval {
     // differs from the exact scan, so a no-rewrite fall-through
     // mismatches this oracle).
     "r72_sql_surface" -> IvfRewriteOracleSql,
+    // r74: the declarative form replays the same 50-candidate cut +
+    // exact re-rank; pre_dist stays internal to the rewrite.
+    "r74_matryoshka_rewrite" -> MatryoshkaRewriteOracleSql,
     // r73: per-query prefix cut (top-20 by sliced L2, ties id asc)
     // then full re-score of exactly those candidates, both rounded
     // before their rank windows — the r04 batch shape, two-phased.

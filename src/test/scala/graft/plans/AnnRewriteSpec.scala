@@ -608,4 +608,47 @@ class AnnRewriteSpec extends SparkSpecBase {
       assert(df.collect().map(_.toSeq).toSeq === exact)
     } finally AnnIndex.unregisterQuantized("embedding")
   }
+
+  test("matryoshka rewrite: LeftSemi against the prefix cut, result " +
+      "equals the explicit two-phase form; bad roots refuse to " +
+      "register; unregistered plans untouched") {
+    val sp = spark
+    import sp.implicits._
+    AnnIndex.install(sp)
+    val e = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-mrl-rw").toString
+    Ann.writeMatryoshka(e, "vec_id", "embedding", dims = 8, dir)
+    val q = e.filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    AnnIndex.registerMatryoshka("embedding", "vec_id", dir, refine = 4)
+    try {
+      val df = e.withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), typedlit(q)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+        .select("vec_id", "dist")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Ann.matryoshkaTopK(e, "vec_id", "embedding", q,
+          dims = 8, candidates = 20, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(got.toSeq === want.toSeq)
+    } finally AnnIndex.unregisterQuantized("embedding")
+    // after unregister the same plan is untouched
+    val plain = e.withColumn("dist",
+        round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), typedlit(q)), 6))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // a dir with no marker refuses at REGISTER time, not first query
+    val bare = Files.createTempDirectory("graft-mrl-bare").toString
+    e.limit(1).write.parquet(s"$bare/rows")
+    intercept[IllegalStateException] {
+      AnnIndex.registerMatryoshka("embedding", "vec_id", bare)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.registerMatryoshka("embedding", "vec_id", dir, refine = 0)
+    }
+  }
 }
