@@ -129,6 +129,41 @@ object Eval {
     rows.toDF("probes", "recall")
   }
 
+  /** e17: is the probes quality gap SIGNIFICANT — the companion call
+    * to e16's curve: per-query recall@10 of the IVF batch join at
+    * probes=3 vs probes=1 (the curve's 0.53-vs-0.27 endpoints at
+    * sf0.01), through [[Metrics.pairedPermutation]]'s md5-parity
+    * sign-flip grid. Queries with zero approximate hits keep their
+    * 0.0 rows (left join from the query set — dropping them would
+    * bias the diff grid toward agreement); recall rounded BEFORE the
+    * diffs like every rank-facing float here. */
+  def probesSignificance(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val qs = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val docs = e.select(col("vec_id").as("d_id"),
+      col("embedding").as("dv"))
+    val assigned = Ann.assign(docs, "dv", model, Ann.L2)
+    val exact = Ann.knnJoin(qs, "q_id", "qv", docs, "d_id", "dv",
+        Ann.L2, K)
+      .select(col("q_id"), col("d_id")).localCheckpoint(true)
+    def perq(p: Int): DataFrame = {
+      val approx = Ann.knnJoinIvf(qs, "q_id", "qv", assigned,
+        "d_id", "dv", model, Ann.L2, probes = p, k = K)
+      val hits = exact.join(approx.select(col("q_id"), col("d_id")),
+          Seq("q_id", "d_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("__h"))
+      qs.select(col("q_id").as("qid"))
+        .join(hits.withColumnRenamed("q_id", "qid"), Seq("qid"), "left")
+        .select(col("qid"),
+          round(coalesce(col("__h"), lit(0L)).cast("double") / K, 6)
+            .as("recall"))
+    }
+    Metrics.pairedPermutation(perq(3), perq(1), "qid", "recall",
+      n = NQ, b = 200)
+  }
+
   /** Macro-average over the query set (evaluate.py:44-48). */
   def metricsMacro(s: SparkSession, d: String): DataFrame =
     Metrics.macroAvg(Metrics.evaluate(ranked(s, d), truth(s, d), K))
@@ -325,6 +360,7 @@ object Eval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_probes_signif" -> probesSignificance,
     "e16_recall_curve" -> recallCurve,
     "e15_passk_ci" -> passkCi,
     "e14_perm_test" -> permutationTest,
@@ -450,69 +486,14 @@ object Eval {
                     ORDER BY score DESC, id ASC) AS rank
                 FROM agg)"""
 
-  val oracles: Map[String, String] = Map(
-    // e14: both retriever chains share truth (tsz/idcg); system B is
-    // L2 over the 32-dim prefix (list slicing); every sign flip
-    // replayed on the md5 parity grid; `+ 0` normalizes a possible
-    // -0.0 diff (DuckDB round emits it, Spark's BigDecimal round
-    // never does).
-    "e14_perm_test" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
-                            label AS qlab
-                     FROM embeddings WHERE vec_id < $NQ),
-        d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv, label AS dlab
-              FROM embeddings),
-        tsz AS (SELECT q.qid, count(*) AS n_truth
-                FROM q JOIN d ON d.dlab = q.qlab AND d.id <> q.qid
-                GROUP BY 1),
-        idcg AS (SELECT qid, sum(1.0 / log2(i + 1.0)) AS idcg
-                 FROM (SELECT qid, unnest(generate_series(1, n_truth)) AS i
-                       FROM tsz)
-                 GROUP BY 1),
-        ${ndcgChainSql("A", "list_distance(d.dv, q.qv)")},
-        ${ndcgChainSql("B", s"list_distance(d.dv[1:$HalfDim], q.qv[1:$HalfDim])")},
-        diffs AS (SELECT qid, a.ndcg AS av, b.ndcg AS bv,
-                         a.ndcg - b.ndcg AS diff
-                  FROM measA a JOIN measB b USING (qid)),
-        obs AS (SELECT round(avg(av), 6) AS mean_a,
-                       round(avg(bv), 6) AS mean_b,
-                       round(avg(diff), 9) AS dbar FROM diffs),
-        flips AS (SELECT i // $NQ AS rs, i % $NQ AS qid,
-                    1 - 2 * ((CAST('0x' || substring(md5(
-                      CAST(i // $NQ AS VARCHAR) || ':' ||
-                      CAST(i % $NQ AS VARCHAR)), 1, 8) AS BIGINT)) % 2)
-                      AS sgn
-                  FROM (SELECT unnest(range(${200 * NQ})) AS i)),
-        means AS (SELECT rs, round(avg(sgn * diff), 9) AS m
-                  FROM flips JOIN diffs USING (qid) GROUP BY rs),
-        cnt AS (SELECT count(*) AS ge FROM means, obs
-                WHERE abs(m) >= abs(dbar))
-        SELECT mean_a, mean_b, round(dbar, 6) + 0 AS diff,
-               round(CAST(ge + 1 AS DOUBLE) / 201, 6) AS p_value
-        FROM obs, cnt""",
-    // e12: e05's query synthesis composed with r13's batch BM25 replay
-    // — rarest-5 distinct tokens per source doc (ties token asc) as the
-    // query, Okapi BM25 (k1=1.2, b=0.75, +1 idf) per (query, doc),
-    // rank window per query, hit indicators at 5 and 10 against the
-    // golden source doc. A token-free doc synthesizes no query and
-    // yields no row (both engines).
-    "e12_passk_keyword" ->
-      s"""WITH $bm25HitChainSql
-          SELECT qid,
-                 max(CASE WHEN id = qid AND rank <= 5 THEN 1 ELSE 0 END)
-                   AS hit5,
-                 max(CASE WHEN id = qid AND rank <= 10 THEN 1 ELSE 0 END)
-                   AS hit10
-          FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
-    "e02_metrics_knn" ->
-      s"$perQuerySql SELECT * FROM meas ORDER BY qid",
-    // e16: full IVF replay (label-mean cells round 5, UNROUNDED probe
-    // ranking with centroid-id ties — knnJoinIvf's probeUdf order —
-    // round-6 candidate ranking with id ties), exact top-10 beside it,
-    // intersection per probe count.
-    "e16_recall_curve" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-                     FROM embeddings WHERE vec_id < $NQ),
+  /** The IVF-recall replay CTE chain shared by e16 and e17: label-mean
+    * cells (round 5), unrounded probe ranking with centroid-id ties,
+    * exact top-K beside the per-probe-count candidates (round-6
+    * ranking, id ties). `probesList` parameterizes the probe counts
+    * (e16 gates the curve at 1,2,3; e17 tests 3-vs-1 significance). */
+  private def ivfRecallCtes(probesList: String): String =
+    s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < $NQ),
         dims AS (
           SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -544,7 +525,7 @@ object Eval {
                    ORDER BY list_distance(c.centroid, q.qv) ASC,
                             c.centroid_id ASC) AS prk
           FROM q CROSS JOIN cents c),
-        pr AS (SELECT unnest([1, 2, 3]) AS p),
+        pr AS (SELECT unnest([$probesList]) AS p),
         appx AS (SELECT p, qid, id FROM (
             SELECT t.p, t.qid, t.id,
                    row_number() OVER (PARTITION BY t.p, t.qid
@@ -554,7 +535,99 @@ object Eval {
                          a.embedding::DOUBLE[] AS dv
                   FROM pr JOIN pb ON pb.prk <= pr.p
                   JOIN assigned a ON a.centroid_id = pb.centroid_id) t
-            JOIN q q2 ON q2.qid = t.qid) WHERE rk <= $K),
+            JOIN q q2 ON q2.qid = t.qid) WHERE rk <= $K)"""
+
+  /** The paired-permutation tail shared by e14 and e17: md5-parity
+    * sign flips over a `diffs(qid, av, bv, diff)` frame, 200
+    * replicates, two-sided add-one p; `+ 0` normalizes a possible
+    * -0.0 diff (DuckDB round emits it, Spark's BigDecimal never). */
+  private val permTailSql: String =
+    s"""obs AS (SELECT round(avg(av), 6) AS mean_a,
+                       round(avg(bv), 6) AS mean_b,
+                       round(avg(diff), 9) AS dbar FROM diffs),
+        flips AS (SELECT i // $NQ AS rs, i % $NQ AS qid,
+                    1 - 2 * ((CAST('0x' || substring(md5(
+                      CAST(i // $NQ AS VARCHAR) || ':' ||
+                      CAST(i % $NQ AS VARCHAR)), 1, 8) AS BIGINT)) % 2)
+                      AS sgn
+                  FROM (SELECT unnest(range(${200 * NQ})) AS i)),
+        means AS (SELECT rs, round(avg(sgn * diff), 9) AS m
+                  FROM flips JOIN diffs USING (qid) GROUP BY rs),
+        cnt AS (SELECT count(*) AS ge FROM means, obs
+                WHERE abs(m) >= abs(dbar))
+        SELECT mean_a, mean_b, round(dbar, 6) + 0 AS diff,
+               round(CAST(ge + 1 AS DOUBLE) / 201, 6) AS p_value
+        FROM obs, cnt"""
+
+  val oracles: Map[String, String] = Map(
+    // e17: the IVF replay at probes {1, 3} to per-query recall@10
+    // (zero-hit queries kept via the query grid), rounded BEFORE the
+    // diffs, then the shared permutation tail — is the probes quality
+    // gap significant, the companion call to e16's curve.
+    "e17_probes_signif" ->
+      s"""WITH ${ivfRecallCtes("1, 3")},
+          hits AS (SELECT a.p, a.qid, count(*) AS h
+                   FROM appx a JOIN exact e USING (qid, id)
+                   GROUP BY 1, 2),
+          perq AS (
+            SELECT pr.p, q.qid,
+                   round(CAST(coalesce(h.h, 0) AS DOUBLE) / $K, 6)
+                     AS recall
+            FROM q CROSS JOIN pr
+            LEFT JOIN hits h ON h.p = pr.p AND h.qid = q.qid),
+          diffs AS (
+            SELECT a.qid, a.recall AS av, b.recall AS bv,
+                   a.recall - b.recall AS diff
+            FROM (SELECT qid, recall FROM perq WHERE p = 3) a
+            JOIN (SELECT qid, recall FROM perq WHERE p = 1) b
+              USING (qid)),
+          $permTailSql""",
+    // e14: both retriever chains share truth (tsz/idcg); system B is
+    // L2 over the 32-dim prefix (list slicing); every sign flip
+    // replayed on the md5 parity grid; `+ 0` normalizes a possible
+    // -0.0 diff (DuckDB round emits it, Spark's BigDecimal round
+    // never does).
+    "e14_perm_test" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                            label AS qlab
+                     FROM embeddings WHERE vec_id < $NQ),
+        d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv, label AS dlab
+              FROM embeddings),
+        tsz AS (SELECT q.qid, count(*) AS n_truth
+                FROM q JOIN d ON d.dlab = q.qlab AND d.id <> q.qid
+                GROUP BY 1),
+        idcg AS (SELECT qid, sum(1.0 / log2(i + 1.0)) AS idcg
+                 FROM (SELECT qid, unnest(generate_series(1, n_truth)) AS i
+                       FROM tsz)
+                 GROUP BY 1),
+        ${ndcgChainSql("A", "list_distance(d.dv, q.qv)")},
+        ${ndcgChainSql("B", s"list_distance(d.dv[1:$HalfDim], q.qv[1:$HalfDim])")},
+        diffs AS (SELECT qid, a.ndcg AS av, b.ndcg AS bv,
+                         a.ndcg - b.ndcg AS diff
+                  FROM measA a JOIN measB b USING (qid)),
+        $permTailSql""",
+    // e12: e05's query synthesis composed with r13's batch BM25 replay
+    // — rarest-5 distinct tokens per source doc (ties token asc) as the
+    // query, Okapi BM25 (k1=1.2, b=0.75, +1 idf) per (query, doc),
+    // rank window per query, hit indicators at 5 and 10 against the
+    // golden source doc. A token-free doc synthesizes no query and
+    // yields no row (both engines).
+    "e12_passk_keyword" ->
+      s"""WITH $bm25HitChainSql
+          SELECT qid,
+                 max(CASE WHEN id = qid AND rank <= 5 THEN 1 ELSE 0 END)
+                   AS hit5,
+                 max(CASE WHEN id = qid AND rank <= 10 THEN 1 ELSE 0 END)
+                   AS hit10
+          FROM r WHERE rank <= 10 GROUP BY qid ORDER BY qid""",
+    "e02_metrics_knn" ->
+      s"$perQuerySql SELECT * FROM meas ORDER BY qid",
+    // e16: full IVF replay (label-mean cells round 5, UNROUNDED probe
+    // ranking with centroid-id ties — knnJoinIvf's probeUdf order —
+    // round-6 candidate ranking with id ties), exact top-10 beside it,
+    // intersection per probe count.
+    "e16_recall_curve" ->
+      s"""WITH ${ivfRecallCtes("1, 2, 3")},
         hits AS (SELECT p, count(*) AS h
                  FROM appx JOIN exact USING (qid, id) GROUP BY p)
         SELECT p AS probes,
