@@ -275,6 +275,58 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Swap a staged FLAT directory into place — the whole-directory
+    * twin of [[swapCellDir]] for unpartitioned layouts (matryoshka
+    * `rows/`): rename live aside, staged in, drop the old copy. A
+    * crash between the two renames leaves the path MISSING — a
+    * loudly-failing read, never a silently-partial layout — and a
+    * stranded `__old` refuses the next swap until recovered. */
+  private[graft] def swapFlatDir(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 next: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__old")
+    if (fs.exists(old)) throw new IllegalArgumentException(
+      s"swapFlatDir: $old exists — a prior swap crashed mid-flight; " +
+        "recover it by hand before swapping again")
+    require(fs.rename(root, old), s"swapFlatDir: $root -> $old failed")
+    require(fs.rename(next, root),
+      s"swapFlatDir: $next -> $root failed (layout is at $old)")
+    fs.delete(old, true)
+  }
+
+  /** Delete rows from a [[writeMatryoshka]] root — the S6 stored-
+    * index maintenance contract for the flat truncation layout:
+    * survivors are staged into a sibling directory and swapped whole
+    * ([[swapFlatDir]] — flat layouts have no cell granularity to
+    * confine the rewrite to, and correspondingly no cell skew to
+    * avoid; the rewrite is one survivors-sized pass). Rows where
+    * `pred` is NULL survive, like [[deleteStored]]. Streaming-grown
+    * layouts must compact first ([[requireBatchLayout]] — a batch
+    * rewrite under a commit log desyncs it). Returns rows removed;
+    * a no-op delete leaves the layout bytes untouched. */
+  def deleteMatryoshka(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, pred: Column): Long = {
+    graft.io.Markers.read(spark, dir, "_graft_matryoshka")
+      .getOrElse(throw new IllegalStateException(
+        s"deleteMatryoshka: $dir has no _graft_matryoshka marker — " +
+          "not a matryoshka root"))
+    val rowsDir = s"$dir/rows"
+    requireBatchLayout(spark, rowsDir)
+    val rows = spark.read.parquet(rowsDir)
+    val doomed = rows.filter(pred).count()
+    if (doomed == 0L) return 0L
+    val root = new org.apache.hadoop.fs.Path(rowsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__next")
+    fs.delete(next, true)
+    rows.filter(!coalesce(pred, lit(false)))
+      .write.mode("overwrite").parquet(next.toString)
+    swapFlatDir(fs, root, next)
+    doomed
+  }
+
   /** Establish (or re-validate) a matryoshka root for streamed ingest
     * — the marker lands BEFORE any row so a crash mid-stream leaves a
     * readable geometry, and a restart with a DIFFERENT `dims` is

@@ -1713,6 +1713,26 @@ object Retrieval {
     df
   }
 
+  /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
+    * the S6 stored-index contract for the flat truncation layout
+    * (r19 dense cells, r47 PQ codes — now the whole-directory swap
+    * form): every seventh row is removed from the root, and the
+    * stored two-phase search must behave as if those rows never
+    * existed — the oracle is the family's cut replay with the doomed
+    * ids excluded from the CORPUS (both the candidate cut and the
+    * re-rank see only survivors). Vacuity pinned: the delete must
+    * remove rows. */
+  def matryoshkaDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_del").toString
+    Ann.writeMatryoshka(embeddings(s, d), "vec_id", "embedding",
+      dims = 8, dir)
+    val removed = Ann.deleteMatryoshka(s, dir, col("vec_id") % 7 === 0)
+    require(removed > 0, "r75 is vacuous: the delete removed nothing")
+    Ann.matryoshkaTopKStored(s, dir, "vec_id", qvecSeq(s, d, 3),
+      candidates = 50, k = 10)
+  }
+
   /** r74: the matryoshka DECLARATIVE rewrite — the truncation member
     * of the quantized-rewrite family (r39 PQ, sq/bitq twins): a plain
     * `orderBy(l2_dist(embedding, q)).limit(10)` plan over the
@@ -1928,6 +1948,7 @@ object Retrieval {
     "r72_sql_surface" -> sqlSurfaceTopk,
     "r73_matryoshka_batch" -> matryoshkaBatch,
     "r74_matryoshka_rewrite" -> matryoshkaRewrite,
+    "r75_matryoshka_delete" -> matryoshkaDelete,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2052,14 +2073,17 @@ object Retrieval {
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   /** The matryoshka phase-1 cut (top-50 by 8-dim-prefix L2, ties id
-    * asc) — shared by every form of the family's oracle. */
-  private lazy val MatryoshkaP1Sql =
+    * asc) — shared by every form of the family's oracle. `where`
+    * restricts the corpus (r75's delete maintenance: the cut runs
+    * over the survivors only). */
+  private def matryoshkaP1Sql(where: String = "TRUE") =
     s"""p1 AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
                  round(list_distance((embedding::DOUBLE[])[1:8],
                    ($qv3)[1:8]), 6) AS pre_dist
-          FROM embeddings
+          FROM embeddings WHERE $where
           ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)"""
+  private lazy val MatryoshkaP1Sql = matryoshkaP1Sql()
 
   /** r70/r71/s18 shared matryoshka oracle (the stored and streamed
     * layouts are lossless, so all forms must land on the identical
@@ -3930,6 +3954,13 @@ object Retrieval {
     // r74: the declarative form replays the same 50-candidate cut +
     // exact re-rank; pre_dist stays internal to the rewrite.
     "r74_matryoshka_rewrite" -> MatryoshkaRewriteOracleSql,
+    // r75: the delete leaves a layout indistinguishable from one the
+    // doomed rows never entered — the cut replay over survivors only.
+    "r75_matryoshka_delete" ->
+      s"""WITH ${matryoshkaP1Sql("vec_id % 7 <> 0")}
+          SELECT vec_id, pre_dist,
+                 round(list_distance(v, $qv3), 6) AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r73: per-query prefix cut (top-20 by sliced L2, ties id asc)
     // then full re-score of exactly those candidates, both rounded
     // before their rank windows — the r04 batch shape, two-phased.

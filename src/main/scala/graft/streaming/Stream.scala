@@ -446,17 +446,15 @@ object Stream {
       root.getParent, root.getName + "__next")
     val old = new org.apache.hadoop.fs.Path(
       root.getParent, root.getName + "__old")
+    // checked here too (before the rewrite cost), and again inside the
+    // shared swap
     require(!fs.exists(old),
       s"compactFlat: $old exists — a prior swap crashed mid-flight; " +
         "recover it by hand before compacting again")
     fs.delete(next, true)
     spark.read.parquet(dir).repartition(numFiles)
       .write.mode("overwrite").parquet(next.toString)
-    require(fs.rename(root, old),
-      s"compactFlat: rename $root -> $old failed")
-    require(fs.rename(next, root),
-      s"compactFlat: rename $next -> $root failed (layout is at $old)")
-    fs.delete(old, true)
+    graft.ops.Ann.swapFlatDir(fs, root, next)
     fs.listStatus(root).count(f => f.isFile &&
       !f.getPath.getName.startsWith("_") &&
       !f.getPath.getName.startsWith("."))

@@ -1577,4 +1577,52 @@ class OpsSpec extends SparkSpecBase {
       Ann.matryoshkaBatch(qs, "q_id", "qv", docs, "d_id", "dv", 2, 2, 5)
     }
   }
+
+  test("deleteMatryoshka: survivors intact and doomed gone through " +
+      "the stored search, null pred keeps rows, no-op delete leaves " +
+      "bytes, streaming and non-root layouts refuse") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.tabulate(4)(j => ((i * 3 + j) % 9).toDouble))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_del_spec").toString
+    graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 2, dir)
+    val q = Seq(0.0, 0.0, 0.0, 0.0)
+    assert(graft.ops.Ann.deleteMatryoshka(sp, dir,
+      col("vec_id") < 10) === 10L)
+    val ids = graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", q,
+        candidates = 30, k = 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === (10L until 30L).toSet)
+    // null pred keeps rows (deleteStored semantics)
+    assert(graft.ops.Ann.deleteMatryoshka(sp, dir,
+      when(col("vec_id") < 0, true)) === 0L)
+    // no-op delete: the directory bytes are untouched
+    val rowsDir = new java.io.File(s"$dir/rows")
+    val before = rowsDir.listFiles().map(_.getName).toSet
+    assert(graft.ops.Ann.deleteMatryoshka(sp, dir,
+      col("vec_id") === -1) === 0L)
+    assert(rowsDir.listFiles().map(_.getName).toSet === before)
+    // not a matryoshka root
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_mrl_del_bare").toString
+    vecs.write.parquet(s"$bare/rows")
+    intercept[IllegalStateException] {
+      graft.ops.Ann.deleteMatryoshka(sp, bare, col("vec_id") < 5)
+    }
+    // streaming-grown layout refuses until compacted
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_del_stream").toString
+    graft.io.Markers.write(sp, sdir, "_graft_matryoshka", "dims=2")
+    new java.io.File(s"$sdir/rows/_spark_metadata").mkdirs()
+    vecs.limit(1)
+      .select(col("vec_id"), col("embedding").as("emb_pre"),
+        col("embedding").as("emb_full"))
+      .write.mode("append").parquet(s"$sdir/rows")
+    intercept[IllegalStateException] {
+      graft.ops.Ann.deleteMatryoshka(sp, sdir, col("vec_id") < 5)
+    }
+  }
 }
