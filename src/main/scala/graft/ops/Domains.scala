@@ -42,4 +42,51 @@ object Domains {
       .agg(count(lit(1)).as("n"),
         round(avg(weightCol), 4).as("avg_weight"))
   }
+
+  /** Temperature-scaled mixing rates — the multilingual/multi-domain
+    * sampling recipe (w_d ∝ n_d^α, α < 1 upweights rare domains, the
+    * classic temperature mixture for pretraining): per domain,
+    * normalized weight and the per-row acceptance rate that realizes
+    * a `budget`-row expected sample (rate = min(1, budget·w/n),
+    * capped — an oversubscribed rare domain contributes all its
+    * rows). Every float lands under the determinism discipline:
+    * n^α rounded to 9 BEFORE the sum, the total and normalized
+    * weights rounded to 9, the rate to `roundTo` — so an external
+    * engine replays the chain addend-for-addend (the dsir rule).
+    * Returns (domain, n, w_norm, rate).
+    *
+    * Scale shape: one combinable count by domain, a domains-sized
+    * (broadcast) frame everywhere after — nothing corpus-sized
+    * leaves the first aggregation. */
+  def temperatureMix(docs: DataFrame, domainCol: String, alpha: Double,
+                     budget: Long, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0, s"temperatureMix: alpha must be > 0, got $alpha")
+    require(budget > 0, s"temperatureMix: budget must be > 0, got $budget")
+    val cnt = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+    val w = cnt.withColumn("__w", round(pow(col("n"), alpha), 9))
+    val tot = w.agg(round(sum(col("__w")), 9).as("__t"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("w_norm", round(col("__w") / col("__t"), 9))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(budget.toDouble) * col("w_norm") / col("n")), roundTo))
+      .select(col("domain"), col("n"), col("w_norm"), col("rate"))
+  }
+
+  /** Apply [[temperatureMix]]'s rates with the deterministic unit
+    * hash ([[Sampling.hashUnit]]): a row survives iff
+    * hash(id) < its domain's rate — reproducible, engine-portable,
+    * and growing the corpus never flips a previous decision within a
+    * domain whose rate is stable. Map-only after the broadcast of
+    * the domains-sized rate table. */
+  def temperatureSample(docs: DataFrame, docId: String,
+                        domainCol: String, alpha: Double,
+                        budget: Long): DataFrame = {
+    val rates = temperatureMix(docs, domainCol, alpha, budget)
+      .select(col("domain"), col("rate"))
+    docs.join(broadcast(rates),
+        docs(domainCol) === rates("domain"))
+      .filter(Sampling.hashUnit(col(docId)) < col("rate"))
+      .drop("domain")
+  }
 }

@@ -632,7 +632,30 @@ object DataOps {
     out
   }
 
+  /** p37: temperature-scaled domain mixing
+    * ([[graft.ops.Domains.temperatureMix]] +
+    * [[graft.ops.Domains.temperatureSample]], α=0.5, budget 200 over
+    * the declared `lang` domains) — the multilingual upsampling
+    * recipe: rare languages keep (nearly) everything, dominant ones
+    * thin toward the α-tempered share, realized by the deterministic
+    * unit hash so the kept set replays anywhere. The gate emits the
+    * kept rows WITH their domain's rate — a drift in counts, the
+    * tempered weights, the normalization, the cap, or the hash all
+    * re-home rows. Vacuity pinned: some domain must actually thin
+    * (rate < 1), else the gate is p-all-pass. */
+  def temperatureSample(s: SparkSession, d: String): DataFrame = {
+    val out = graft.ops.Domains.temperatureSample(
+        documents(s, d), "doc_id", "lang", alpha = 0.5, budget = 200)
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy(col("doc_id").asc)
+    require(out.filter(col("rate") < 1.0).limit(1).count() > 0,
+      "p37 is vacuous: every domain kept everything — the thinning " +
+        "path was never exercised")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p37_temperature_mix" -> temperatureSample,
     "p36_kcenter_coreset" -> kcenterCoreset,
     "p35_tfidf_keywords" -> tfidfKeywords,
     "p34_pmi_collocations" -> pmiCollocs,
@@ -860,6 +883,24 @@ object DataOps {
     // p29's oracle verbatim (lossless-artifact pattern: the r23/r30
     // stored-layout rule applied to the tokenizer).
     "p30_bpe_model_roundtrip" -> P29OracleSql,
+    // p37: counts per lang, sqrt tempered (round 9 before the sum —
+    // the dsir addend rule), normalized round 9, capped rate round 6,
+    // then the exact unit-hash acceptance per row.
+    "p37_temperature_mix" ->
+      """WITH cnt AS (SELECT lang AS domain, count(*) AS n
+                      FROM documents GROUP BY 1),
+          w AS (SELECT domain, n, round(pow(n, 0.5), 9) AS w_raw
+                FROM cnt),
+          t AS (SELECT round(sum(w_raw), 9) AS t FROM w),
+          r AS (SELECT domain, n,
+                  round(least(1.0,
+                    200 * round(w_raw / t.t, 9) / n), 6) AS rate
+                FROM w CROSS JOIN t)
+          SELECT d.doc_id, d.lang, r.rate
+          FROM documents d JOIN r ON r.domain = d.lang
+          WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT)::DOUBLE / 4294967296.0) < r.rate
+          ORDER BY d.doc_id ASC""",
     // p36: the five selection rounds unrolled — seed = min vec_id,
     // then four (max of running min-distance, ties id asc) argmaxes,
     // every pairwise L2 rounded to 6 BEFORE min/argmax; assignment =

@@ -1625,4 +1625,44 @@ class OpsSpec extends SparkSpecBase {
       graft.ops.Ann.deleteMatryoshka(sp, sdir, col("vec_id") < 5)
     }
   }
+
+  test("temperatureMix: hand-computed tempered rates, rare-domain " +
+      "cap at 1, sample respects per-domain rates deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // 90 "en" + 10 "fr" docs: sqrt weights 9.486832981 / 3.162277660
+    val docs = (0L until 100L)
+      .map(i => (i, if (i < 90) "en" else "fr")).toDF("doc_id", "lang")
+    val mix = graft.ops.Domains.temperatureMix(docs, "lang",
+        alpha = 0.5, budget = 50)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val wEn = math.rint(math.sqrt(90.0) * 1e9) / 1e9
+    val wFr = math.rint(math.sqrt(10.0) * 1e9) / 1e9
+    val t = math.rint((wEn + wFr) * 1e9) / 1e9
+    def norm(w: Double) = math.rint(w / t * 1e9) / 1e9
+    def rate(w: Double, n: Long) =
+      math.rint(math.min(1.0, 50 * norm(w) / n) * 1e6) / 1e6
+    assert(mix("en") === ((90L, norm(wEn), rate(wEn, 90))))
+    // fr: 50 * 0.25 / 10 = 1.25 -> capped at 1 (rare domain keeps all)
+    assert(mix("fr") === ((10L, norm(wFr), 1.0)))
+    val kept = graft.ops.Domains.temperatureSample(docs, "doc_id",
+        "lang", alpha = 0.5, budget = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // all 10 fr docs survive the capped rate
+    assert(kept.count(_._2 == "fr") === 10)
+    // en thins: strictly fewer than 90, and re-running is identical
+    val nEn = kept.count(_._2 == "en")
+    assert(nEn > 0 && nEn < 90)
+    val again = graft.ops.Domains.temperatureSample(docs, "doc_id",
+        "lang", alpha = 0.5, budget = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === kept)
+    intercept[IllegalArgumentException] {
+      graft.ops.Domains.temperatureMix(docs, "lang", 0.0, 50)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Domains.temperatureMix(docs, "lang", 0.5, 0)
+    }
+  }
 }
