@@ -203,6 +203,16 @@ object Ann {
       s"matryoshkaTopK: dims must be in [1, ${q.length}], got $dims")
     require(candidates >= k,
       s"matryoshkaTopK: candidates ($candidates) must be >= k ($k)")
+    // same wrong-space refusal as the stored form: a doc vector
+    // longer than the query passes the dims guard, then the phase-2
+    // fold walks the doc's length past the query array
+    docs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("__d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == q.length,
+          s"matryoshkaTopK: vectors have ${r.getInt(0)} dims but the " +
+            s"query has ${q.length} — wrong embedding space")
+      }
     val v = col(vecCol).cast("array<double>")
     val pre = round(org.apache.spark.sql.graft.VecExprs.l2Dist(
       slice(v, lit(1), lit(dims)), typedlit(q.take(dims))), roundTo)
@@ -275,6 +285,27 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Read a matryoshka root's pinned prefix width — the ONE parser of
+    * the `_graft_matryoshka` marker (query path and declarative
+    * registration both call it, so the two cannot drift): a missing
+    * marker or ANY malformed content — including a non-integer dims
+    * from a partial write — lands on the same loud
+    * IllegalStateException, never a leaked NumberFormatException. */
+  private[graft] def readMatryoshkaDims(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      who: String): Int = {
+    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
+      .getOrElse(throw new IllegalStateException(
+        s"$who: $dir has no _graft_matryoshka marker — not a " +
+          "matryoshka root (or a truncated write)"))
+    def bad() = throw new IllegalStateException(
+      s"$who: unreadable marker '$marker' in $dir")
+    marker.split("=") match {
+      case Array("dims", d) => scala.util.Try(d.toInt).getOrElse(bad())
+      case _ => bad()
+    }
+  }
+
   /** Swap a staged FLAT directory into place — the whole-directory
     * twin of [[swapCellDir]] for unpartitioned layouts (matryoshka
     * `rows/`): rename live aside, staged in, drop the old copy. A
@@ -307,17 +338,22 @@ object Ann {
     * a no-op delete leaves the layout bytes untouched. */
   def deleteMatryoshka(spark: org.apache.spark.sql.SparkSession,
                        dir: String, pred: Column): Long = {
-    graft.io.Markers.read(spark, dir, "_graft_matryoshka")
-      .getOrElse(throw new IllegalStateException(
-        s"deleteMatryoshka: $dir has no _graft_matryoshka marker — " +
-          "not a matryoshka root"))
+    readMatryoshkaDims(spark, dir, "deleteMatryoshka")
     val rowsDir = s"$dir/rows"
     requireBatchLayout(spark, rowsDir)
+    val root = new org.apache.hadoop.fs.Path(rowsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stranded-swap refusal BEFORE the survivor rewrite (the
+    // compactFlat ordering): failing only inside swapFlatDir would
+    // burn the whole rewrite and orphan a fresh __next on disk
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__old")
+    if (fs.exists(old)) throw new IllegalArgumentException(
+      s"deleteMatryoshka: $old exists — a prior swap crashed " +
+        "mid-flight; recover it by hand before deleting again")
     val rows = spark.read.parquet(rowsDir)
     val doomed = rows.filter(pred).count()
     if (doomed == 0L) return 0L
-    val root = new org.apache.hadoop.fs.Path(rowsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = new org.apache.hadoop.fs.Path(
       root.getParent, root.getName + "__next")
     fs.delete(next, true)
@@ -362,19 +398,23 @@ object Ann {
                            roundTo: Int = 6): DataFrame = {
     require(candidates >= k,
       s"matryoshkaTopKStored: candidates ($candidates) must be >= k ($k)")
-    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
-      .getOrElse(throw new IllegalStateException(
-        s"matryoshkaTopKStored: $dir has no _graft_matryoshka marker — " +
-          "not a matryoshka root (or a truncated write)"))
-    val dims = marker.split("=") match {
-      case Array("dims", d) => d.toInt
-      case _ => throw new IllegalStateException(
-        s"matryoshkaTopKStored: unreadable marker '$marker' in $dir")
-    }
+    val dims = readMatryoshkaDims(spark, dir, "matryoshkaTopKStored")
     require(dims <= q.length,
       s"matryoshkaTopKStored: stored dims=$dims exceeds query " +
         s"dimension ${q.length} — wrong embedding space for this root")
     val rows = spark.read.parquet(s"$dir/rows")
+    // the stored FULL dimension must match the query too: a shorter
+    // query would pass the dims guard and then phase 2's fold reads
+    // past the query array (garbage distances or an opaque codegen
+    // AIOOBE instead of this refusal)
+    rows.filter(col("emb_full").isNotNull)
+      .select(size(col("emb_full")).as("__d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == q.length,
+          s"matryoshkaTopKStored: stored vectors have ${r.getInt(0)} " +
+            s"dims but the query has ${q.length} — wrong embedding " +
+            "space for this root")
+      }
     val phase1 = rows.select(col(idCol),
         round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
           typedlit(q.take(dims))), roundTo).as("pre_dist"))

@@ -84,9 +84,12 @@ object Domains {
                         budget: Long): DataFrame = {
     val rates = temperatureMix(docs, domainCol, alpha, budget)
       .select(col("domain"), col("rate"))
-    docs.join(broadcast(rates),
+    val joined = docs.join(broadcast(rates),
         docs(domainCol) === rates("domain"))
       .filter(Sampling.hashUnit(col(docId)) < col("rate"))
-      .drop("domain")
+    // drop the RATES side's key by reference — a name-based drop
+    // would also take the caller's own column when domainCol is
+    // literally "domain"
+    joined.drop(rates("domain"))
   }
 }

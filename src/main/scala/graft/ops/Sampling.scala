@@ -181,6 +181,14 @@ object Sampling {
       val mind = centers.map(c => dTo(c._3)).reduce(least(_, _))
       val next = base.select(col("id"), col("v"), mind.as("m"))
         .orderBy(col("m").desc, col("id").asc).limit(1).head()
+      // max min-distance 0 means the selected set already covers
+      // every DISTINCT vector: the argmax would silently re-select a
+      // duplicate of an existing center (ties fall to the global min
+      // id) and the trajectory would degenerate without an error
+      require(next.getDouble(2) > 0.0,
+        s"kCenterAssign: k=$k exceeds the corpus's distinct vectors " +
+          s"(round $r found max min-distance 0) — every remaining " +
+          "point duplicates a selected center")
       centers += ((r, next.getLong(0), next.getSeq[Double](1).toSeq))
     }
     val centDf = centers.toSeq

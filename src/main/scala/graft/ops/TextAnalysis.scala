@@ -325,8 +325,13 @@ object TextAnalysis {
       .join(broadcast(lm), "w1").join(broadcast(rm), "w2")
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("n_pair"),
+        // margins cast to double BEFORE their product: stopword
+        // margins at corpus scale overflow a long*long (silent wrap
+        // with ANSI off → log(negative) → null PMI), double*long
+        // cannot; the oracle casts identically
         round(log(col("n_pair").cast("double") * col("__n") /
-          (col("__cl") * col("__cr"))), roundTo).as("pmi"))
+          (col("__cl").cast("double") * col("__cr"))), roundTo)
+          .as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }

@@ -303,6 +303,11 @@ object AnnIndex {
     def metric: Ann.Metric = Ann.L2
     def probes: Int = 0 // the prefix scan probes nothing
     def candidateIds(q: Array[Double], n: Int) = {
+      // a query SHORTER than the stored prefix would silently
+      // truncate (q.take(dims)) and cut candidates in the wrong space
+      require(q.length >= dims,
+        s"matryoshka rewrite: query has ${q.length} dims but the " +
+          s"root's prefix is $dims — wrong embedding space")
       val spark = org.apache.spark.sql.SparkSession.active
       import org.apache.spark.sql.functions.{col, round, typedlit}
       spark.read.parquet(s"$dir/rows")
@@ -405,15 +410,7 @@ object AnnIndex {
                          refine: Int = 5, owner: String = ""): Unit = {
     require(refine >= 1, s"registerMatryoshka: refine >= 1, got $refine")
     val spark = org.apache.spark.sql.SparkSession.active
-    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
-      .getOrElse(throw new IllegalStateException(
-        s"registerMatryoshka: $dir has no _graft_matryoshka marker — " +
-          "not a matryoshka root"))
-    val dims = marker.split("=") match {
-      case Array("dims", d) => d.toInt
-      case _ => throw new IllegalStateException(
-        s"registerMatryoshka: unreadable marker '$marker' in $dir")
-    }
+    val dims = Ann.readMatryoshkaDims(spark, dir, "registerMatryoshka")
     quantEntries.synchronized {
       requireFreeOrSameOwner("matryoshka", vecCol,
         quantEntries.get(vecCol).map(_.owner), owner)

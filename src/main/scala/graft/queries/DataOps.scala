@@ -962,7 +962,7 @@ object DataOps {
           rm AS (SELECT w2, sum(n_pair) AS cr FROM pc GROUP BY 1)
           SELECT c.w1, c.w2, c.n_pair,
                  round(ln(CAST(c.n_pair AS DOUBLE) * nn.n
-                   / (l.cl * r.cr)), 6) AS pmi
+                   / (CAST(l.cl AS DOUBLE) * r.cr)), 6) AS pmi
           FROM pc c JOIN lm l USING (w1) JOIN rm r USING (w2)
           CROSS JOIN nn
           WHERE c.n_pair >= 5

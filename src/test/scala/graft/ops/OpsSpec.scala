@@ -1474,6 +1474,15 @@ class OpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       graft.ops.Sampling.kCenterAssign(vecs, "vec_id", "embedding", 0)
     }
+    // k beyond the distinct vectors refuses loudly instead of
+    // silently re-selecting the seed as a duplicate center
+    val dups = Seq((1L, Seq(0.0)), (2L, Seq(0.0)), (3L, Seq(5.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.kCenterAssign(dups, "vec_id", "embedding", 3)
+    }
+    assert(graft.ops.Sampling.kCenterAssign(dups, "vec_id",
+      "embedding", 2).count() === 3)
   }
 
   test("matryoshkaTopK: refine reorders the prefix ranking, the " +
@@ -1501,6 +1510,11 @@ class OpsSpec extends SparkSpecBase {
     assert(cut.toSeq === Seq((2L, 0.2), (1L, 5.001)))
     intercept[IllegalArgumentException] {
       Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q, 3, 10, 5)
+    }
+    // doc vectors longer than the query refuse (wrong space), even
+    // when dims fits the query
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(vecs, "vec_id", "embedding", Seq(0.0), 1, 3, 2)
     }
     intercept[IllegalArgumentException] {
       Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q, 1, 3, 5)
@@ -1530,6 +1544,19 @@ class OpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", Seq(1.0),
         10, 5)
+    }
+    // a query SHORTER than the stored full vectors must refuse too
+    // (it passes the dims guard; without the full-dim probe phase 2
+    // would walk past the query array)
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id",
+        Seq(1.0, 2.0), 10, 5)
+    }
+    // non-integer dims (partial marker write) refuses as unreadable,
+    // never a leaked NumberFormatException
+    graft.io.Markers.write(sp, dir, "_graft_matryoshka", "dims=2x")
+    intercept[IllegalStateException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", q, 10, 5)
     }
     // tampered marker refuses loudly
     graft.io.Markers.write(sp, dir, "_graft_matryoshka", "dimz~2")
