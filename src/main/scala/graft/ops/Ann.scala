@@ -236,11 +236,15 @@ object Ann {
     * pinned by a marker so a reader can never slice differently than
     * the writer materialized. */
   def writeMatryoshka(vecs: DataFrame, idCol: String, vecCol: String,
-                      dims: Int, dir: String): Unit = {
+                      dims: Int, dir: String,
+                      keepCols: Seq[String] = Nil): Unit = {
     require(dims >= 1, s"writeMatryoshka: dims must be >= 1, got $dims")
     val v = col(vecCol).cast("array<double>")
-    vecs.select(col(idCol), slice(v, lit(1), lit(dims)).as("emb_pre"),
-        v.as("emb_full"))
+    // keepCols carries filterable metadata into the layout (the
+    // filtered-search family: predicates push into the phase-1 scan
+    // next to emb_pre without ever touching emb_full)
+    vecs.select(col(idCol) +: slice(v, lit(1), lit(dims)).as("emb_pre")
+        +: v.as("emb_full") +: keepCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$dir/rows")
     graft.io.Markers.write(vecs.sparkSession, dir,
       "_graft_matryoshka", s"dims=$dims")
@@ -395,7 +399,8 @@ object Ann {
   def matryoshkaTopKStored(spark: org.apache.spark.sql.SparkSession,
                            dir: String, idCol: String, q: Seq[Double],
                            candidates: Int, k: Int,
-                           roundTo: Int = 6): DataFrame = {
+                           roundTo: Int = 6,
+                           pred: Column = lit(true)): DataFrame = {
     require(candidates >= k,
       s"matryoshkaTopKStored: candidates ($candidates) must be >= k ($k)")
     val dims = readMatryoshkaDims(spark, dir, "matryoshkaTopKStored")
@@ -415,7 +420,11 @@ object Ann {
             s"dims but the query has ${q.length} — wrong embedding " +
             "space for this root")
       }
-    val phase1 = rows.select(col(idCol),
+    // pred BEFORE the cut (the filtered-search family contract: a
+    // post-cut filter would starve the result set under a selective
+    // predicate); phase 2 needs no re-filter — candidates already
+    // survived it
+    val phase1 = rows.filter(pred).select(col(idCol),
         round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
           typedlit(q.take(dims))), roundTo).as("pre_dist"))
       .orderBy(col("pre_dist").asc, col(idCol).asc).limit(candidates)

@@ -1713,6 +1713,30 @@ object Retrieval {
     df
   }
 
+  /** r76: FILTERED matryoshka search — the truncation modality joins
+    * the filtered-search family (c08, r51-r54, r58-r60: metadata
+    * predicates compose with EVERY index form): the layout carries
+    * `label` as a kept column, the predicate applies BEFORE the
+    * prefix cut (the family's no-starvation contract) and pushes
+    * into the phase-1 scan next to emb_pre — the full vector still
+    * never read in phase 1 (operator-enforced), the predicate
+    * PushedFilters pinned here. Oracle: the family cut replay with
+    * the same WHERE. */
+  def matryoshkaFiltered(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_filt").toString
+    Ann.writeMatryoshka(embeddings(s, d), "vec_id", "embedding",
+      dims = 8, dir, keepCols = Seq("label"))
+    val df = Ann.matryoshkaTopKStored(s, dir, "vec_id",
+      qvecSeq(s, d, 3), candidates = 50, k = 10,
+      pred = col("label").isin(1, 3, 5))
+    val phys = df.queryExecution.executedPlan.toString
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r76 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -1949,6 +1973,7 @@ object Retrieval {
     "r73_matryoshka_batch" -> matryoshkaBatch,
     "r74_matryoshka_rewrite" -> matryoshkaRewrite,
     "r75_matryoshka_delete" -> matryoshkaDelete,
+    "r76_matryoshka_filtered" -> matryoshkaFiltered,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -3954,6 +3979,13 @@ object Retrieval {
     // r74: the declarative form replays the same 50-candidate cut +
     // exact re-rank; pre_dist stays internal to the rewrite.
     "r74_matryoshka_rewrite" -> MatryoshkaRewriteOracleSql,
+    // r76: the predicate restricts the corpus BEFORE the cut — the
+    // family replay with the same WHERE on phase 1.
+    "r76_matryoshka_filtered" ->
+      s"""WITH ${matryoshkaP1Sql("label IN (1, 3, 5)")}
+          SELECT vec_id, pre_dist,
+                 round(list_distance(v, $qv3), 6) AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->

@@ -1540,6 +1540,12 @@ class OpsSpec extends SparkSpecBase {
         q, dims = 2, candidates = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(stored.toSeq === mem.toSeq)
+    // filtered form: the predicate applies before the cut, and only
+    // surviving ids can appear
+    val filt = graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id",
+        q, candidates = 10, k = 5, pred = col("vec_id") >= 20)
+      .collect().map(_.getLong(0))
+    assert(filt.nonEmpty && filt.forall(_ >= 20L))
     // wrong-space query: stored dims exceed the query's dimension
     intercept[IllegalArgumentException] {
       graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", Seq(1.0),
