@@ -1126,6 +1126,71 @@ object ScaleSmoke {
       cc.count()
     }
 
+    // k-core peel at 16×: the copy-clique graph is the adversarial
+    // case the degree-ordered triangle row uses — here every 16-copy
+    // clique is a k-core that must survive k=2 peeling intact while
+    // pairs/chains strip; per round ONE combinable degree count +
+    // two survivor semi-joins (the pair table is memoized from the
+    // earlier dedup rows).
+    time("kcore_peel") {
+      val pairs = ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val out = graft.graph.Graph.kCorePeel(pairs, k = 2, iters = 3)
+      val agg = out.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("peel_round") === 0, 1L).otherwise(0L))
+          .as("survivors"),
+        max(col("last_deg")).as("dmx")).head()
+      require(agg.getLong(1) > 0, "no 2-core survived the copy cliques")
+      require(agg.getLong(2) >= 15,
+        s"copy cliques missing from the core: max degree " +
+          s"${agg.getLong(2)} < 15")
+      agg.getLong(0)
+    }
+
+    // Audio fingerprints at 16×: 80k synthesized WAV clips through
+    // the REAL javax.sound decode + the fixed-size window accumulator
+    // (map-only), then the banded-Hamming join — the audio member of
+    // the near-dup family at scale.
+    time("audio_fingerprint") {
+      import spark.implicits._
+      val wavs = docs.select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          graft.multimodal.MediaRow(id, "audio",
+            graft.multimodal.WavCodec.pcmWav(b, 1000f),
+            graft.multimodal.MediaMeta("wav", 0, 0, 1, b.length.toLong))
+        }
+      val sigs = graft.multimodal.Multimodal.audioFingerprint(wavs,
+        graft.multimodal.WavCodec())
+      val pairs = ops.Dedup.simHashPairs(sigs, maxDist = 3, bands = 4)
+      val n = pairs.count()
+      require(n > 0, "copy clips produced no near-dup audio pair")
+      n
+    }
+
+    // PMI + TF-IDF at 16×: both are one (or two) combinable counts
+    // over the exploded token stream; margins and df stay
+    // vocabulary-sized, so their joins broadcast at any corpus scale.
+    time("pmi_collocations") {
+      ops.TextAnalysis.pmiCollocations(docs, "text").count()
+    }
+    time("tfidf_keywords") {
+      ops.TextAnalysis.tfIdfKeywords(docs, "doc_id", "text").count()
+    }
+
+    // Temperature mixing at 16×: one count by lang, then
+    // domains-sized broadcast frames; the kept set is budget-scaled.
+    time("temperature_mix") {
+      val kept = ops.Domains.temperatureSample(docs, "doc_id", "lang",
+        alpha = 0.5, budget = nDocs * xf / 4).count()
+      require(kept > 0, "temperature sample kept nothing")
+      kept
+    }
+
     val total = results.values.sum
     val qs = results.map { case (k, v) =>
       s""""$k":{"sec":$v,"rows":${counts(k)}}""" }.mkString("{", ",", "}")

@@ -763,9 +763,15 @@ object Graph {
         .unionByName(cur.select(col("__b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("__deg"))
       // nodes stripped of their last edge in an earlier round still
-      // face the check (degree 0) — the cascade the gate pins
+      // face the check (degree 0) — the cascade the gate pins.
+      // Materialized eagerly: the returned union references every
+      // round's peeled frame AND the survivors, and without the
+      // lineage break each of those subtrees re-executes the whole
+      // join chain of every earlier round (measured 10× at the 16×
+      // smoke's 665k-edge graph).
       val checked = live.join(deg, Seq("id"), "left")
         .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
+        .localCheckpoint(true)
       peeled += checked.filter(col("__deg") < k)
         .select(col("id"), lit(r).as("peel_round"),
           col("__deg").as("last_deg"))

@@ -30,6 +30,12 @@ class RegistryEvictionSpec extends SparkSpecBase {
       () => sys.error("never resolved"), Ann.L2, 1, 4, owner = "evspec")
     AnnIndex.registerMaxsim("ev_mv", "id",
       () => sys.error("never resolved"), 10, None, owner = "evspec")
+    locally { // matryoshka needs a real marker root (read at register)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ev_mrl").toString
+      graft.io.Markers.write(spark, dir, "_graft_matryoshka", "dims=2")
+      AnnIndex.registerMatryoshka("ev_mrl", "id", dir, owner = "evspec")
+    }
     AnnIndex.registerBm25("ev_text", "ev_id",
       () => sys.error("never resolved"), owner = "evspec")
     AnnIndex.registerSparse("ev_idx", "ev_val", "id",
@@ -49,6 +55,7 @@ class RegistryEvictionSpec extends SparkSpecBase {
     AnnIndex.unregisterDistributed("ev_dist")
     AnnIndex.unregisterQuantized("ev_sq")
     AnnIndex.unregisterQuantized("ev_pq")
+    AnnIndex.unregisterQuantized("ev_mrl")
     AnnIndex.unregisterMaxsim("ev_mv")
     AnnIndex.unregisterBm25("ev_text", "ev_id")
     AnnIndex.unregisterSparse("ev_idx")
@@ -57,6 +64,7 @@ class RegistryEvictionSpec extends SparkSpecBase {
       AnnIndex.lookupDist("ev_dist").isEmpty &&
       AnnIndex.lookupQuant("ev_sq").isEmpty &&
       AnnIndex.lookupQuant("ev_pq").isEmpty &&
+      AnnIndex.lookupQuant("ev_mrl").isEmpty &&
       AnnIndex.lookupMaxsim("ev_mv").isEmpty &&
       AnnIndex.lookupBm25("ev_text").isEmpty &&
       AnnIndex.lookupSparse("ev_idx").isEmpty &&
