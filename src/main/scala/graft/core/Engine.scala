@@ -79,6 +79,15 @@ final class Engine(reg: Registry) {
           val assigned = assignedCached(td, ix, model)
           Ann.searchIvf(allowed(assigned), td.pk, ix.column, model, q,
             ix.distance, p, topk)
+        case _ if ix.mrlDims > 0 =>
+          // matryoshka two-phase: `refine` is the candidate multiplier
+          // (the quantized families' knob — candidates = topk·refine,
+          // default 5 matching AnnIndex.registerMatryoshka); the
+          // predicate thins the corpus BEFORE the prefix cut (the
+          // family's no-starvation contract)
+          val cand = topk * (if (refine > 0) refine else 5)
+          Ann.matryoshkaTopK(filter.fold(base)(base.filter), td.pk,
+            ix.column, queryVec, ix.mrlDims, cand.max(topk), topk)
         case _ =>
           Ann.topK(filter.fold(base)(base.filter), td.pk, ix.column,
             q, ix.distance, topk)
@@ -435,8 +444,13 @@ final class Engine(reg: Registry) {
     // bucket-modulus / geometry markers)
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
+    val mrl = graft.io.Markers
+      .read(reg.spark, dir, "_graft_matryoshka").isDefined
     val path =
-      if (Ann.isPqStoredLayout(reg.spark, dir))
+      if (mrl)
+        // flat truncation root: rows/ swaps whole-directory on delete
+        new org.apache.hadoop.fs.Path(root, "rows").toString
+      else if (Ann.isPqStoredLayout(reg.spark, dir))
         // PQ roots keep cell-partitioned data under encoded/ (beside
         // the trained codebooks/centroids, which deletes never touch —
         // the same codes-outlive-rows contract as SQ bounds)
@@ -458,6 +472,9 @@ final class Engine(reg: Registry) {
                 deleted.select(td.pk))
             else if (sparse)
               graft.functions.Sparse.deleteStored(reg.spark, path,
+                deleted.select(td.pk))
+            else if (mrl)
+              Ann.deleteMatryoshkaIds(reg.spark, dir, td.pk,
                 deleted.select(td.pk))
             else
               Ann.deleteStoredIds(reg.spark, path, td.pk,

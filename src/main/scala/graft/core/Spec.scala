@@ -49,10 +49,22 @@ object Spec {
                                lists: Int = 0,
                                quantized: Boolean = false,
                                oneBit: Boolean = false,
-                               pq: Int = 0) extends IndexDef {
+                               pq: Int = 0,
+                               mrlDims: Int = 0) extends IndexDef {
     require(Seq(quantized, oneBit, pq > 0).count(identity) <= 1,
       s"vector index on '$column' declares more than one quantization " +
         s"(quantized=$quantized, oneBit=$oneBit, pq=$pq)")
+    // matryoshka is the TRUNCATION axis: a flat two-phase index (L2)
+    // whose phase 1 ranks the leading `mrlDims` coordinates. Kept
+    // orthogonal by refusal, not composition: cells or codes under a
+    // truncated phase 1 would need their own recall contract.
+    require(mrlDims == 0 ||
+        (lists == 0 && !quantized && !oneBit && pq == 0),
+      s"vector index on '$column' combines mrlDims=$mrlDims with " +
+        "cells or a quantization — the truncation index is flat")
+    require(mrlDims == 0 || distance == Ann.L2,
+      s"vector index on '$column': matryoshka phase 1 is L2-only " +
+        s"(got $distance)")
   }
   /** Multi-vector maxsim index (spec.py:447-464). */
   final case class MultiVectorIndex(column: String, lists: Int = 0)

@@ -341,7 +341,28 @@ object Ann {
     * rewrite under a commit log desyncs it). Returns rows removed;
     * a no-op delete leaves the layout bytes untouched. */
   def deleteMatryoshka(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, pred: Column): Long = {
+                       dir: String, pred: Column): Long =
+    deleteMatryoshkaImpl(spark, dir,
+      df => df.filter(pred),
+      df => df.filter(!coalesce(pred, lit(false))))
+
+  /** [[deleteMatryoshka]] with the doomed ids as a DataFrame — the
+    * cascade-friendly form ([[deleteStoredIds]]' twin): doomed via
+    * semi-join, survivors via anti-join, the id set never collected
+    * to the driver. */
+  def deleteMatryoshkaIds(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String,
+                          ids: DataFrame): Long = {
+    val key = ids.columns.head
+    deleteMatryoshkaImpl(spark, dir,
+      df => df.join(ids, df(idCol) === ids(key), "left_semi"),
+      df => df.join(ids, df(idCol) === ids(key), "left_anti"))
+  }
+
+  private def deleteMatryoshkaImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      doomFn: DataFrame => DataFrame,
+      keepFn: DataFrame => DataFrame): Long = {
     readMatryoshkaDims(spark, dir, "deleteMatryoshka")
     val rowsDir = s"$dir/rows"
     requireBatchLayout(spark, rowsDir)
@@ -356,13 +377,12 @@ object Ann {
       s"deleteMatryoshka: $old exists — a prior swap crashed " +
         "mid-flight; recover it by hand before deleting again")
     val rows = spark.read.parquet(rowsDir)
-    val doomed = rows.filter(pred).count()
+    val doomed = doomFn(rows).count()
     if (doomed == 0L) return 0L
     val next = new org.apache.hadoop.fs.Path(
       root.getParent, root.getName + "__next")
     fs.delete(next, true)
-    rows.filter(!coalesce(pred, lit(false)))
-      .write.mode("overwrite").parquet(next.toString)
+    keepFn(rows).write.mode("overwrite").parquet(next.toString)
     swapFlatDir(fs, root, next)
     doomed
   }

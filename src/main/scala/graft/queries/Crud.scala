@@ -253,7 +253,32 @@ object Crud {
         filter = Some(col("label").isin(1, 3, 5)))
   }
 
+  /** c09: the MATRYOSHKA index on the ENGINE surface — `create_index`
+    * grows the truncation kind (`VectorIndex(mrlDims = 8)`, refused in
+    * combination with cells or any quantization: the flat two-phase
+    * contract), and `Engine.searchByVector` runs the family's prefix
+    * cut + exact re-rank with `refine` as the candidate multiplier
+    * (topk·refine = 50 = r70's cut, so the gate shares the family
+    * oracle through its declarative form — the engine path computes
+    * only the final distance, like the rewrite). */
+  def engineMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_mrl", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding",
+        mrlDims = 8)))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val q = embeddings(s, d).filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    new graft.core.Engine(reg)
+      .searchByVector(td, q, topk = 10, refine = 5,
+        returnFields = Seq("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_engine_matryoshka" -> engineMatryoshka,
     "c08_engine_filtered_vec" -> engineFilteredVec,
     "c07_unique_violations" -> uniqueViolations,
     "c01_crud_cascade" -> crudCascade,
@@ -264,6 +289,11 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c09: the engine's matryoshka search runs r70's exact cut
+    // parameters and returns the final distance only — the family's
+    // declarative-form oracle is shared verbatim.
+    "c09_engine_matryoshka" ->
+      graft.queries.Retrieval.oracles("r74_matryoshka_rewrite"),
     // c08: the engine's filtered exact search — plain filtered scan,
     // the r51 shape through the registry's storage layer.
     "c08_engine_filtered_vec" ->

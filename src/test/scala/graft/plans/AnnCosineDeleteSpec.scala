@@ -376,6 +376,54 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("compact"))
   }
+
+  test("attachStoredIndex matryoshka root: removeBy swaps rows/ " +
+      "whole-directory (marker auto-detected); engine search and the " +
+      "spec refusals hold") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    // spec-level refusals: truncation is flat and L2-only
+    intercept[IllegalArgumentException] {
+      VectorIndex("v", Ann.L2, lists = 2, mrlDims = 2)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex("v", Ann.L2, quantized = true, mrlDims = 2)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex("v", Ann.Cosine, mrlDims = 2)
+    }
+    val td = Spec.TableDef[VecRow]("mrlrow", primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, mrlDims = 1)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-mrldel-reg").toString)
+      .register(td)
+    val rows = (0 until 30).map(i =>
+      VecRow(i.toLong, Seq(i.toFloat, (30 - i).toFloat)))
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    // engine search equals the explicit two-phase form
+    val q = Seq(0.0, 0.0)
+    val got = eng.searchByVector(td, q, topk = 5, refine = 3,
+        returnFields = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Ann.matryoshkaTopK(reg.table(td), "rid", "v", q,
+        dims = 1, candidates = 15, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // at-rest root + delete cascade through the marker auto-detect
+    val dir = Files.createTempDirectory("graft-mrldel-attach").toString
+    Ann.writeMatryoshka(reg.table(td), "rid", "v", 1, dir)
+    eng.attachStoredIndex(td, dir)
+    reg.removeBy(td, Map("rid" -> 5L))
+    assert(spark.read.parquet(s"$dir/rows")
+      .filter(col("rid") === 5L).count() === 0)
+    val after = Ann.matryoshkaTopKStored(sp, dir, "rid", q,
+        candidates = 30, k = 30)
+      .collect().map(_.getLong(0))
+    assert(!after.contains(5L) && after.length === 29)
+  }
 }
 
 /** Minimal keyword-table row for the attach test. */
