@@ -25,7 +25,11 @@ final class Engine(reg: Registry) {
     * vchordrq in-index quantization (spec.py:437-444) at engine level.
     * `refine <= 0` = auto: 8 (the engine default), raised to
     * [[Ann.defaultBitqRefine]] for spherical 1-bit indexes (the
-    * measured recall floor — see that scaladoc). */
+    * measured recall floor — see that scaladoc). An `mrlDims` > 0
+    * index runs the matryoshka two-phase instead (flat prefix cut +
+    * exact re-rank); there `refine` is the candidate MULTIPLIER with
+    * auto = 5 (matching
+    * [[graft.plans.AnnIndex.registerMatryoshka]]'s default). */
   def searchByVector(td: TableDef[_], queryVec: Seq[Double], topk: Int = 10,
                      probes: Int = 0, refine: Int = -1,
                      returnFields: Seq[String] = Nil,
@@ -340,6 +344,19 @@ final class Engine(reg: Registry) {
   def installDeclarative(td: TableDef[_], probes: Int = 0,
                          refine: Int = -1,
                          maxsimRefine: Int = 1000): Unit = {
+    // matryoshka's declarative form is DIR-backed (the rewrite's
+    // candidate cut reads a writeMatryoshka root's emb_pre column —
+    // AnnIndex.registerMatryoshka); an in-memory registration here
+    // would silently serve EXACT results while searchByVector serves
+    // the cut, breaking the declarative/imperative parity contract.
+    // Refuse loudly instead of registering nothing.
+    td.vectorIndex.filter(_.mrlDims > 0).foreach { ix =>
+      throw new IllegalStateException(
+        s"${td.name}: declarative matryoshka needs an at-rest root — " +
+          s"write one (Ann.writeMatryoshka) and register it via " +
+          s"AnnIndex.registerMatryoshka('${ix.column}', ...); " +
+          "installDeclarative has no in-memory truncation form")
+    }
     graft.plans.AnnIndex.install(reg.spark)
     // lists == 0 means exact brute-force — nothing to register for the
     // dense column (the maxsim registration below still applies)
@@ -433,9 +450,11 @@ final class Engine(reg: Registry) {
     * [[Ann.writeIvfSq]] / [[Ann.writeIvfBitq]] root (the `quantized`
     * subdir is detected), a [[Ann.writeIvfPq]] root (geometry marker —
     * deletes rewrite `encoded/` cells, codebooks stay trained), a
-    * [[Ann.writePartitioned]] path, or a [[Bm25.writePostings]]
+    * [[Ann.writePartitioned]] path, a [[Bm25.writePostings]]
     * keyword layout (detected by its `_graft_buckets` marker — deletes
-    * rewrite the affected term buckets). */
+    * rewrite the affected term buckets), or a [[Ann.writeMatryoshka]]
+    * root (detected via [[Ann.isMatryoshkaRoot]] — deletes swap
+    * `rows/` whole-directory through [[Ann.deleteMatryoshkaIds]]). */
   def attachStoredIndex(td: TableDef[_], dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
@@ -444,8 +463,7 @@ final class Engine(reg: Registry) {
     // bucket-modulus / geometry markers)
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
-    val mrl = graft.io.Markers
-      .read(reg.spark, dir, "_graft_matryoshka").isDefined
+    val mrl = Ann.isMatryoshkaRoot(reg.spark, dir)
     val path =
       if (mrl)
         // flat truncation root: rows/ swaps whole-directory on delete

@@ -58,6 +58,8 @@ object Spec {
     // whose phase 1 ranks the leading `mrlDims` coordinates. Kept
     // orthogonal by refusal, not composition: cells or codes under a
     // truncated phase 1 would need their own recall contract.
+    require(mrlDims >= 0,
+      s"vector index on '$column': mrlDims must be >= 0 (got $mrlDims)")
     require(mrlDims == 0 ||
         (lists == 0 && !quantized && !oneBit && pq == 0),
       s"vector index on '$column' combines mrlDims=$mrlDims with " +

@@ -289,6 +289,13 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Is `dir` a matryoshka root? The detection twin of
+    * [[isPqStoredLayout]] / Sparse.isStoredLayout — callers (layout
+    * auto-detect) go through this, never the marker name. */
+  def isMatryoshkaRoot(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, "_graft_matryoshka")
+
   /** Read a matryoshka root's pinned prefix width — the ONE parser of
     * the `_graft_matryoshka` marker (query path and declarative
     * registration both call it, so the two cannot drift): a missing

@@ -393,6 +393,9 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       VectorIndex("v", Ann.Cosine, mrlDims = 2)
     }
+    intercept[IllegalArgumentException] {
+      VectorIndex("v", Ann.L2, mrlDims = -1)
+    }
     val td = Spec.TableDef[VecRow]("mrlrow", primaryKey = Some("rid"),
       indexes = Seq(VectorIndex("v", Ann.L2, mrlDims = 1)),
       vectorDims = Map("v" -> 2))
@@ -403,6 +406,9 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       VecRow(i.toLong, Seq(i.toFloat, (30 - i).toFloat)))
     reg.insert(td, rows)
     val eng = new Engine(reg)
+    // the declarative path has no in-memory truncation form: parity
+    // would silently break, so the install refuses loudly
+    intercept[IllegalStateException] { eng.installDeclarative(td) }
     // engine search equals the explicit two-phase form
     val q = Seq(0.0, 0.0)
     val got = eng.searchByVector(td, q, topk = 5, refine = 3,
