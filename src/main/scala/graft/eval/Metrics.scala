@@ -141,6 +141,39 @@ object Metrics {
     * Scale shape: the flip grid is b·n generated rows joined once
     * against the n-row diff frame; everything downstream is bounded
     * by `b`, never by data. */
+  /** Cohen's kappa between two binary judgments over the same items —
+    * the inter-judge agreement statistic an eval pipeline reports
+    * before trusting relevance labels: chance-corrected agreement
+    * κ = (p_o − p_e)/(1 − p_e) with p_e the marginal-product chance
+    * rate. Emits the full contingency table next to κ — (n, n11,
+    * n10, n01, n00, kappa) — so the four integer cells pin the whole
+    * computation and the one float is auditable. κ is NULL when
+    * p_e = 1 (a constant judge pair — agreement is undefined, not
+    * 1.0). All-integer until the single final expression; the
+    * marginals divide by n as doubles in a fixed order so any engine
+    * replays the value.
+    *
+    * Scale shape: ONE combinable aggregation over the items frame —
+    * four conditional counts and a count; everything after is one
+    * row. */
+  def cohenKappa(items: DataFrame, aCol: String, bCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    def cell(a: Int, b: Int) =
+      sum(when(col(aCol) === a && col(bCol) === b, 1L).otherwise(0L))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")) / n
+    val pa = (col("n11") + col("n10")) / n
+    val pb = (col("n11") + col("n01")) / n
+    items.agg(count(lit(1)).as("n"), cell(1, 1).as("n11"),
+        cell(1, 0).as("n10"), cell(0, 1).as("n01"), cell(0, 0).as("n00"))
+      .withColumn("__pe",
+        pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(lit(1.0) - col("__pe") =!= 0.0,
+          round((po - col("__pe")) / (lit(1.0) - col("__pe")), roundTo))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
   def pairedPermutation(perA: DataFrame, perB: DataFrame, idCol: String,
                         metricCol: String, n: Int, b: Int = 200,
                         roundTo: Int = 6): DataFrame = {

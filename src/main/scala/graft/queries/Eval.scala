@@ -164,6 +164,48 @@ object Eval {
       n = NQ, b = 200)
   }
 
+  /** e18: inter-judge agreement ([[Metrics.cohenKappa]]) over the
+    * FULL (query × document) judging sweep of the e04 setup — before
+    * an eval pipeline trusts relevance labels it reports how much two
+    * judges AGREE beyond chance: judge A is [[OverlapJudge]]'s
+    * threshold (2·|q∩p| ≥ |q|), judge B the strict three-quarters
+    * form (4·|q∩p| ≥ 3·|q|). The pool is every pair (a ranked prefix
+    * degenerates here: every top doc satisfies BOTH judges — the
+    * first shipped form of this gate proved it with an all-n11
+    * table). B is NESTED in A by construction, so n01 = 0 is a
+    * STRUCTURAL invariant the gate pins exactly (a nonzero n01 means
+    * a judge changed); the other three cells must be live or the κ
+    * arithmetic is untested. At sf0.01: (2573, 1016, 0, 411) of
+    * 4000, κ ≈ 0.34 — moderate agreement, the honest reading of a
+    * lenient-vs-strict pair. */
+  def judgeAgreement(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .withColumn("rt",
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")))
+    val docs = raw.select(col("id"), array_distinct(col("rt")).as("dt"))
+    val qs = raw.filter(col("id") < NGtQ)
+      .select(col("id").as("qid"),
+        array_distinct(slice(col("rt"), 1, 8)).as("qt"))
+    val pool = docs.crossJoin(broadcast(qs))
+      .select(size(array_intersect(col("dt"), col("qt"))).as("ov"),
+        size(col("qt")).as("nq"))
+    val judged = pool
+      .withColumn("rel_a", (col("ov") * 2 >= col("nq")).cast("int"))
+      .withColumn("rel_b", (col("ov") * 4 >= col("nq") * 3).cast("int"))
+    val out = Metrics.cohenKappa(judged, "rel_a", "rel_b")
+    val row = out.head()
+    require(row.getLong(1) > 0 && row.getLong(2) > 0 &&
+        row.getLong(4) > 0,
+      s"e18 is degenerate: an empty live cell " +
+        s"(${row.mkString(",")}) — the kappa arithmetic is untested")
+    require(row.getLong(3) == 0,
+      s"e18: n01 = ${row.getLong(3)} — the strict judge accepted a " +
+        "pair the lenient one rejected; the nested-threshold " +
+        "contract broke")
+    out
+  }
+
   /** Macro-average over the query set (evaluate.py:44-48). */
   def metricsMacro(s: SparkSession, d: String): DataFrame =
     Metrics.macroAvg(Metrics.evaluate(ranked(s, d), truth(s, d), K))
@@ -360,6 +402,7 @@ object Eval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_judge_agreement" -> judgeAgreement,
     "e17_probes_signif" -> probesSignificance,
     "e16_recall_curve" -> recallCurve,
     "e15_passk_ci" -> passkCi,
@@ -375,6 +418,17 @@ object Eval {
 
   /** Shared oracle CTE chain: ranked top-10 per query with binary
     * relevance, cumulative precision, per-query measures. */
+  /** The e04/e08/e18 shared ground-truth prefix: tokenized docs,
+    * distinct-token doc sets, and the first-8-token query set. */
+  private val GtPrefixSql =
+    s"""rt AS (SELECT doc_id AS id,
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x != '') AS toks
+            FROM documents),
+        d AS (SELECT id, list_distinct(toks) AS dt FROM rt),
+        q AS (SELECT id AS qid, list_distinct(toks[1:8]) AS qt
+              FROM rt WHERE id < $NGtQ)"""
+
   private val perQuerySql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
                           label AS qlab
@@ -560,6 +614,39 @@ object Eval {
         FROM obs, cnt"""
 
   val oracles: Map[String, String] = Map(
+    // e18: the FULL query-doc sweep, both judge thresholds as integer
+    // comparisons, the contingency cells as BIGINT counts, and the
+    // kappa arithmetic in the same fixed marginal order as the
+    // engine; a constant judge pair yields NULL, never 1.0.
+    "e18_judge_agreement" ->
+      s"""WITH $GtPrefixSql,
+          pool AS (SELECT len(list_intersect(d.dt, q.qt)) AS ov,
+                          len(q.qt) AS nq
+                   FROM q CROSS JOIN d),
+          j AS (SELECT CAST(2 * ov >= nq AS INT) AS a,
+                       CAST(4 * ov >= 3 * nq AS INT) AS b
+                FROM pool),
+          c AS (SELECT count(*) AS n,
+                  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+                FROM j),
+          k AS (SELECT n, n11, n10, n01, n00,
+                  (n11 + n00) / CAST(n AS DOUBLE) AS po,
+                  (n11 + n10) / CAST(n AS DOUBLE) AS pa,
+                  (n11 + n01) / CAST(n AS DOUBLE) AS pb
+                FROM c)
+          SELECT n, n11, n10, n01, n00,
+            CASE WHEN 1 - (pa * pb + (1 - pa) * (1 - pb)) != 0
+              THEN round((po - (pa * pb + (1 - pa) * (1 - pb)))
+                / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6)
+              ELSE NULL END AS kappa
+          FROM k""",
     // e17: the IVF replay at probes {1, 3} to per-query recall@10
     // (zero-hit queries kept via the query grid), rounded BEFORE the
     // diffs, then the shared permutation tail — is the probes quality
@@ -686,13 +773,7 @@ object Eval {
     // 2·|q∩p| ≥ |q|, the integer form of OverlapJudge's round(frac·3) ≥ 2
     // threshold), then evaluateOne over the top-K prefix.
     "e04_groundtruth_loop" ->
-      s"""WITH rt AS (SELECT doc_id AS id,
-              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                x -> x != '') AS toks
-            FROM documents),
-        d AS (SELECT id, list_distinct(toks) AS dt FROM rt),
-        q AS (SELECT id AS qid, list_distinct(toks[1:8]) AS qt
-              FROM rt WHERE id < $NGtQ),
+      s"""WITH $GtPrefixSql,
         ranked AS (SELECT qid, id, rel, rank FROM (
             SELECT q.qid, d.id,
                    CAST(2 * len(list_intersect(d.dt, q.qt)) >= len(q.qt)
@@ -790,13 +871,7 @@ object Eval {
     // cum_rel/rank AT the relevant positions within top k (0 if none),
     // MRR = 1/first-relevant-rank (0 if none)
     "e08_judged_metrics" ->
-      s"""WITH rt AS (SELECT doc_id AS id,
-              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                x -> x != '') AS toks
-            FROM documents),
-        d AS (SELECT id, list_distinct(toks) AS dt FROM rt),
-        q AS (SELECT id AS qid, list_distinct(toks[1:8]) AS qt
-              FROM rt WHERE id < $NGtQ),
+      s"""WITH $GtPrefixSql,
         ranked AS (SELECT qid, id, rel, rank FROM (
             SELECT q.qid, d.id,
                    CAST(2 * len(list_intersect(d.dt, q.qt)) >= len(q.qt)

@@ -141,4 +141,29 @@ class MetricsSpec extends SparkSpecBase {
     assert(m("map") === 1.0)
     assert(m("recall_10") === 1.0)
   }
+
+  test("cohenKappa: hand-computed table and kappa, constant judges " +
+      "yield NULL, perfect agreement yields 1") {
+    val sp = spark
+    import sp.implicits._
+    // classic worked example: n=100, n11=20, n10=10, n01=5, n00=65
+    val items = (Seq.fill(20)((1, 1)) ++ Seq.fill(10)((1, 0)) ++
+        Seq.fill(5)((0, 1)) ++ Seq.fill(65)((0, 0)))
+      .toDF("a", "b")
+    val r = graft.eval.Metrics.cohenKappa(items, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((100L, 20L, 10L, 5L, 65L)))
+    // po=0.85, pa=0.3, pb=0.25, pe=0.3*0.25+0.7*0.75=0.6,
+    // kappa=(0.85-0.6)/0.4=0.625
+    assert(r.getDouble(5) === 0.625)
+    // both judges constant: pe=1, kappa undefined -> NULL (not 1.0)
+    val const = Seq.fill(10)((1, 1)).toDF("a", "b")
+    assert(graft.eval.Metrics.cohenKappa(const, "a", "b")
+      .head().isNullAt(5))
+    // perfect non-constant agreement: kappa = 1
+    val perfect = (Seq.fill(6)((1, 1)) ++ Seq.fill(4)((0, 0)))
+      .toDF("a", "b")
+    assert(graft.eval.Metrics.cohenKappa(perfect, "a", "b")
+      .head().getDouble(5) === 1.0)
+  }
 }
