@@ -1105,6 +1105,87 @@ object ScaleSmoke {
       n
     }
 
+    // Matryoshka×IVF at 16×: the composed layout (r78) must make
+    // phase 1 probed-cells-bounded — the row count visible under 2
+    // probes is a strict fraction of the corpus (≈2/L for the
+    // label-balanced cells), vs the flat root's always-full-corpus
+    // prefix scan; the operator itself asserts the centroid_id
+    // PartitionFilters + emb_pre-only read on the timed call. Build
+    // hoisted out of the timer.
+    val mrlIvfModel = ops.Ann.buildIvf(vecs, "label", "embedding")
+    val mrlIvfDir = java.nio.file.Files
+      .createTempDirectory("graft_smoke_mrl_ivf").toString
+    ops.Ann.writeMatryoshkaIvf(vecs, "vec_id", "embedding", 8,
+      mrlIvfModel, mrlIvfDir)
+    time("matryoshka_ivf_query") {
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val df = ops.Ann.matryoshkaTopKIvf(spark, mrlIvfDir, "vec_id",
+        q, probes = 2, candidates = 100, k = 10)
+      val n = df.count()
+      require(n == 10, s"matryoshka-IVF top-10 returned $n rows")
+      val cellCount = mrlIvfModel.centroids.count()
+      val probed = ops.Ann.probeCells(mrlIvfModel, typedlit(q),
+        ops.Ann.L2, 2).collect().map(_.getLong(0))
+      val rows = spark.read.parquet(s"$mrlIvfDir/rows")
+      val probedRows = rows
+        .filter(col("centroid_id").isin(probed: _*)).count()
+      val totalRows = rows.count()
+      require(probedRows < totalRows,
+        s"phase 1 saw the whole corpus ($probedRows of $totalRows)")
+      require(probedRows.toDouble / totalRows <= 2.5 / cellCount * 2,
+        s"phase-1 IO not probe-bounded: $probedRows of $totalRows " +
+          s"rows under 2 of $cellCount probes")
+      n
+    }
+
+    // Label propagation at 16×: communities over the copy-clique
+    // near-dup graph — every 16-copy clique must collapse toward one
+    // community (ties by label asc make the collapse deterministic);
+    // per round ONE edge⋈label equi-join + a combinable weighted
+    // count, the argmax a degree-bounded window (the pair table is
+    // memoized from the earlier dedup rows).
+    time("label_propagation") {
+      val pairs = ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val nodes = docs.select(col("doc_id").as("uid"), col("text"))
+      val rels = pairs.select(col("a").as("source"),
+        col("b").as("target"), lit("dup").as("description"))
+      val out = graft.graph.Graph.labelPropagation(nodes, rels,
+        iters = 3)
+      val n = out.count()
+      val comms = out.select("community").distinct().count()
+      require(n == nDocs * xf,
+        s"label propagation lost nodes: $n of ${nDocs * xf}")
+      require(comms < n && comms <= n / 4,
+        s"copy cliques did not collapse: $comms communities for $n " +
+          "nodes")
+      n
+    }
+
+    // Personalized PageRank at 16×: mass must stay NEAR the seeds
+    // (the personalization contract) — on the clique-structured
+    // near-dup graph a 10-seed teleport set lights up only the
+    // seeds' own components, a strict fraction of the corpus; per
+    // round one out-degree join + a combinable contribution sum.
+    time("personalized_pagerank") {
+      val pairs = ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val nodes = docs.select(col("doc_id").as("uid"), col("text"))
+      val rels = pairs.select(col("a").as("source"),
+        col("b").as("target"))
+      val seeds = nodes.orderBy(col("uid").asc).limit(10)
+      val out = graft.graph.Graph.personalizedPageRank(nodes, rels,
+        seeds, iters = 3)
+      val pos = out.filter(col("pr") > 0).count()
+      val total = out.count()
+      require(pos >= 10, s"seed mass vanished: $pos positive-pr nodes")
+      require(pos <= total / 4,
+        s"personalization leaked: $pos of $total nodes hold mass")
+      total
+    }
+
     // Triangle counting at 16×: the copy-inflated near-dup graph is
     // adversarially clique-heavy (every original doc becomes a 16-copy
     // clique → ~16³ wedge pressure per doc); the degree-ordered

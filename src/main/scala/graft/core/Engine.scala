@@ -91,7 +91,8 @@ final class Engine(reg: Registry) {
           // family's no-starvation contract)
           val cand = topk * (if (refine > 0) refine else 5)
           Ann.matryoshkaTopK(filter.fold(base)(base.filter), td.pk,
-            ix.column, queryVec, ix.mrlDims, cand.max(topk), topk)
+            ix.column, queryVec, ix.mrlDims, cand.max(topk), topk,
+            metric = ix.distance)
         case _ =>
           Ann.topK(filter.fold(base)(base.filter), td.pk, ix.column,
             q, ix.distance, topk)

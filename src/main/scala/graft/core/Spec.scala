@@ -64,9 +64,16 @@ object Spec {
         (lists == 0 && !quantized && !oneBit && pq == 0),
       s"vector index on '$column' combines mrlDims=$mrlDims with " +
         "cells or a quantization — the truncation index is flat")
-    require(mrlDims == 0 || distance == Ann.L2,
-      s"vector index on '$column': matryoshka phase 1 is L2-only " +
-        s"(got $distance)")
+    // L2 native; cosine via the normalize-then-L2 reduction (real
+    // truncatable embedding models are cosine-normalized — the
+    // reference's Gemini/OpenAI/Voyage truncatable-dims providers,
+    // embedding.py:114-160,267-308). Inner product refused: unbounded
+    // norms admit no sphere reduction, so a prefix cut has no
+    // neighborhood contract to honor.
+    require(mrlDims == 0 || distance != Ann.InnerProduct,
+      s"vector index on '$column': matryoshka supports L2 and cosine " +
+        "(normalize-then-L2) — inner product has no prefix-cut " +
+        "neighborhood contract")
   }
   /** Multi-vector maxsim index (spec.py:447-464). */
   final case class MultiVectorIndex(column: String, lists: Int = 0)

@@ -198,11 +198,13 @@ object Ann {
     * form trades only CPU, not IO. */
   def matryoshkaTopK(docs: DataFrame, idCol: String, vecCol: String,
                      q: Seq[Double], dims: Int, candidates: Int,
-                     k: Int, roundTo: Int = 6): DataFrame = {
+                     k: Int, roundTo: Int = 6,
+                     metric: Metric = L2): DataFrame = {
     require(dims >= 1 && dims <= q.length,
       s"matryoshkaTopK: dims must be in [1, ${q.length}], got $dims")
     require(candidates >= k,
       s"matryoshkaTopK: candidates ($candidates) must be >= k ($k)")
+    requireMatryoshkaMetric(metric, "matryoshkaTopK")
     // same wrong-space refusal as the stored form: a doc vector
     // longer than the query passes the dims guard, then the phase-2
     // fold walks the doc's length past the query array
@@ -214,17 +216,56 @@ object Ann {
             s"query has ${q.length} — wrong embedding space")
       }
     val v = col(vecCol).cast("array<double>")
+    // cosine rides the r63 normalize-then-L2 reduction: on the unit
+    // sphere ‖â−b̂‖² = 2·cosDist(a,b), so the PREFIX of the normalized
+    // vector preserves the neighborhood structure the cut relies on
+    // (an unnormalized prefix under cosine would rank by a mixture of
+    // direction and the truncated tail's mass — not a valid cut).
+    // Phase 2 is TRUE cosine on the raw vectors, like every other
+    // cosine index's exact re-rank.
+    val (preDoc, preQ) = metric match {
+      case Cosine =>
+        (slice(l2NormalizeUdf(v), lit(1), lit(dims)),
+          typedlit(normalizeSeq(q).take(dims)))
+      case _ =>
+        (slice(v, lit(1), lit(dims)), typedlit(q.take(dims)))
+    }
     val pre = round(org.apache.spark.sql.graft.VecExprs.l2Dist(
-      slice(v, lit(1), lit(dims)), typedlit(q.take(dims))), roundTo)
+      preDoc, preQ), roundTo)
     docs
       .select(col(idCol), v.as("__v"), pre.as("pre_dist"))
       .orderBy(col("pre_dist").asc, col(idCol).asc)
       .limit(candidates)
       .select(col(idCol), col("pre_dist"),
-        round(org.apache.spark.sql.graft.VecExprs.l2Dist(
-          col("__v"), typedlit(q)), roundTo).as("dist"))
+        round(metric.dist(col("__v"), typedlit(q)), roundTo).as("dist"))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The matryoshka metric contract: L2 native, cosine via the
+    * normalize-then-L2 reduction (real truncatable embedding models —
+    * the reference's Gemini/OpenAI/Voyage providers,
+    * /root/reference/vechord/embedding.py:114-160,267-308 — are
+    * cosine-normalized). Inner product is refused: unbounded norms
+    * admit no sphere reduction, so a prefix cut has no neighborhood
+    * contract to honor. */
+  private def requireMatryoshkaMetric(metric: Metric, who: String): Unit =
+    require(metric == L2 || metric == Cosine,
+      s"$who: matryoshka supports L2 (native) and cosine (via the " +
+        s"normalize-then-L2 reduction) — got $metric; inner product " +
+        "has no prefix-cut neighborhood contract (unbounded norms)")
+
+  /** Driver-side twin of [[l2NormalizeUdf]] for query vectors — the
+    * IDENTICAL IEEE ops in the identical order (left-to-right squared-
+    * sum fold, sqrt, divide), so a driver-normalized query is
+    * bit-for-bit what the column form would produce. */
+  private[graft] def normalizeSeq(q: Seq[Double]): Seq[Double] = {
+    val arr = q.toArray
+    var n2 = 0.0
+    var i = 0
+    while (i < arr.length) { n2 += arr(i) * arr(i); i += 1 }
+    val n = math.sqrt(n2)
+    arr.toSeq.map(_ / n)
   }
 
   /** At-rest matryoshka layout — the storage form that makes
@@ -237,18 +278,37 @@ object Ann {
     * the writer materialized. */
   def writeMatryoshka(vecs: DataFrame, idCol: String, vecCol: String,
                       dims: Int, dir: String,
-                      keepCols: Seq[String] = Nil): Unit = {
+                      keepCols: Seq[String] = Nil,
+                      metric: Metric = L2): Unit = {
     require(dims >= 1, s"writeMatryoshka: dims must be >= 1, got $dims")
+    requireMatryoshkaMetric(metric, "writeMatryoshka")
     val v = col(vecCol).cast("array<double>")
+    // cosine: emb_pre is the prefix of the L2-NORMALIZED vector (the
+    // r63 reduction — see matryoshkaTopK); emb_full stays RAW so the
+    // exact re-rank is true cosine, like every other cosine index
+    val pre = metric match {
+      case Cosine => slice(l2NormalizeUdf(v), lit(1), lit(dims))
+      case _ => slice(v, lit(1), lit(dims))
+    }
     // keepCols carries filterable metadata into the layout (the
     // filtered-search family: predicates push into the phase-1 scan
     // next to emb_pre without ever touching emb_full)
-    vecs.select(col(idCol) +: slice(v, lit(1), lit(dims)).as("emb_pre")
+    vecs.select(col(idCol) +: pre.as("emb_pre")
         +: v.as("emb_full") +: keepCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$dir/rows")
     graft.io.Markers.write(vecs.sparkSession, dir,
-      "_graft_matryoshka", s"dims=$dims")
+      "_graft_matryoshka", matryoshkaMarker(dims, metric))
   }
+
+  /** The ONE composer of the `_graft_matryoshka` marker value —
+    * `dims=N` for L2 (the pre-cosine format, so existing roots stay
+    * readable) and `dims=N;metric=cos` for cosine roots. Paired with
+    * [[readMatryoshkaMeta]]; nothing else writes the string. */
+  private def matryoshkaMarker(dims: Int, metric: Metric): String =
+    metric match {
+      case Cosine => s"dims=$dims;metric=cos"
+      case _ => s"dims=$dims"
+    }
 
   /** Batch (query-log) matryoshka replay — [[matryoshkaTopK]]'s
     * two phases for EVERY query in one job, completing the family's
@@ -304,15 +364,35 @@ object Ann {
     * IllegalStateException, never a leaked NumberFormatException. */
   private[graft] def readMatryoshkaDims(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      who: String): Int = {
-    val marker = graft.io.Markers.read(spark, dir, "_graft_matryoshka")
+      who: String): Int = readMatryoshkaMeta(spark, dir, who)._1
+
+  /** [[readMatryoshkaDims]] with the root's pinned METRIC — the ONE
+    * parser of the `_graft_matryoshka` marker (query path, delete
+    * maintenance and declarative registration all call it, so the
+    * three cannot drift): `dims=N` reads as an L2 root (the original
+    * format), `dims=N;metric=cos` as a cosine root whose `emb_pre`
+    * holds normalized prefixes. A missing marker or ANY malformed
+    * content — including a non-integer dims from a partial write —
+    * lands on the same loud IllegalStateException, never a leaked
+    * NumberFormatException. */
+  private[graft] def readMatryoshkaMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      who: String,
+      markerName: String = "_graft_matryoshka"): (Int, Metric) = {
+    val marker = graft.io.Markers.read(spark, dir, markerName)
       .getOrElse(throw new IllegalStateException(
-        s"$who: $dir has no _graft_matryoshka marker — not a " +
+        s"$who: $dir has no $markerName marker — not a " +
           "matryoshka root (or a truncated write)"))
     def bad() = throw new IllegalStateException(
       s"$who: unreadable marker '$marker' in $dir")
-    marker.split("=") match {
+    def dimsOf(part: String): Int = part.split("=") match {
       case Array("dims", d) => scala.util.Try(d.toInt).getOrElse(bad())
+      case _ => bad()
+    }
+    marker.split(";") match {
+      case Array(d) => (dimsOf(d), L2)
+      case Array(d, "metric=cos") => (dimsOf(d), Cosine)
+      case Array(d, "metric=l2") => (dimsOf(d), L2)
       case _ => bad()
     }
   }
@@ -400,16 +480,18 @@ object Ann {
     * refused: two slicing widths in one layout would make `emb_pre`
     * meaningless (the s12-s15 retrained-artifact contract). */
   def ensureMatryoshkaRoot(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, dims: Int): Unit = {
+                           dir: String, dims: Int,
+                           metric: Metric = L2): Unit = {
     require(dims >= 1,
       s"ensureMatryoshkaRoot: dims must be >= 1, got $dims")
+    requireMatryoshkaMetric(metric, "ensureMatryoshkaRoot")
+    val want = matryoshkaMarker(dims, metric)
     graft.io.Markers.read(spark, dir, "_graft_matryoshka") match {
       case None =>
-        graft.io.Markers.write(spark, dir, "_graft_matryoshka",
-          s"dims=$dims")
-      case Some(m) => require(m == s"dims=$dims",
+        graft.io.Markers.write(spark, dir, "_graft_matryoshka", want)
+      case Some(m) => require(m == want,
         s"ensureMatryoshkaRoot: $dir is pinned to '$m' but this " +
-          s"ingest slices dims=$dims — one layout, one prefix width")
+          s"ingest slices '$want' — one layout, one prefix geometry")
     }
   }
 
@@ -427,10 +509,21 @@ object Ann {
                            dir: String, idCol: String, q: Seq[Double],
                            candidates: Int, k: Int,
                            roundTo: Int = 6,
-                           pred: Column = lit(true)): DataFrame = {
+                           pred: Column = lit(true),
+                           metric: Metric = L2): DataFrame = {
     require(candidates >= k,
       s"matryoshkaTopKStored: candidates ($candidates) must be >= k ($k)")
-    val dims = readMatryoshkaDims(spark, dir, "matryoshkaTopKStored")
+    requireMatryoshkaMetric(metric, "matryoshkaTopKStored")
+    val (dims, rootMetric) =
+      readMatryoshkaMeta(spark, dir, "matryoshkaTopKStored")
+    // metric mismatch is a WRONG-SPACE refusal, not a fallback: a
+    // cosine root's emb_pre holds NORMALIZED prefixes (raw under L2),
+    // so reading it under the other metric would silently rank the
+    // phase-1 cut in the wrong space
+    require(metric == rootMetric,
+      s"matryoshkaTopKStored: $dir is pinned to metric=$rootMetric " +
+        s"but the query asks $metric — emb_pre lives in the root's " +
+        "reduction space; re-write the root under the query's metric")
     require(dims <= q.length,
       s"matryoshkaTopKStored: stored dims=$dims exceeds query " +
         s"dimension ${q.length} — wrong embedding space for this root")
@@ -447,24 +540,166 @@ object Ann {
             s"dims but the query has ${q.length} — wrong embedding " +
             "space for this root")
       }
+    // the phase-1 query lives in the root's reduction space: the raw
+    // prefix under L2, the NORMALIZED prefix under cosine (emb_pre was
+    // materialized from normalized vectors — see writeMatryoshka)
+    val qPre = metric match {
+      case Cosine => typedlit(normalizeSeq(q).take(dims))
+      case _ => typedlit(q.take(dims))
+    }
     // pred BEFORE the cut (the filtered-search family contract: a
     // post-cut filter would starve the result set under a selective
     // predicate); phase 2 needs no re-filter — candidates already
     // survived it
     val phase1 = rows.filter(pred).select(col(idCol),
         round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
-          typedlit(q.take(dims))), roundTo).as("pre_dist"))
+          qPre), roundTo).as("pre_dist"))
       .orderBy(col("pre_dist").asc, col(idCol).asc).limit(candidates)
     val p1Phys = phase1.queryExecution.executedPlan.toString
     require(p1Phys.contains("emb_pre") && !p1Phys.contains("emb_full"),
       s"matryoshka phase-1 scan did not prune the full vector:\n$p1Phys")
     val ids = phase1.select(col(idCol)).collect().map(_.get(0))
+    // phase 2: the root's TRUE metric on the raw full vectors (under
+    // cosine that is genuine cosine distance, not sphere L2 — the
+    // user-facing score matches every other cosine searcher)
     rows.filter(col(idCol).isin(ids: _*))
       .select(col(idCol),
         round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
-          typedlit(q.take(dims))), roundTo).as("pre_dist"),
-        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_full"),
-          typedlit(q)), roundTo).as("dist"))
+          qPre), roundTo).as("pre_dist"),
+        round(metric.dist(col("emb_full"), typedlit(q)), roundTo)
+          .as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Matryoshka INSIDE the IVF cell geometry — the composition the
+    * reference's own index runs (vchordrq holds IVF and quantization
+    * together, /root/reference/vechord/spec.py:437-444; truncation is
+    * this engine's fourth compression member next to SQ/1-bit/PQ):
+    * rows cell-partitioned by `centroid_id`, each carrying (id,
+    * emb_pre, emb_full[, keep]); centroids persisted in the root
+    * (self-contained, the [[writeRangeIndex]] pattern) and the model
+    * fingerprint pinned so an append under a different geometry
+    * refuses. At 100 TB phase 1 reads the PROBED CELLS ONLY
+    * (partition pruning: probes/lists of the corpus directories) and
+    * within them only the prefix column (emb_pre pruning: dims/D of
+    * the vector bytes) — the two prunings compose multiplicatively,
+    * vs the flat [[writeMatryoshka]] root whose phase 1 is always a
+    * full-corpus prefix scan.
+    *
+    * Cosine rides the same spherical convention as every other
+    * cosine index: assignment and emb_pre live on the unit sphere
+    * (normalized model + normalized vectors), emb_full stays RAW for
+    * the true-cosine re-rank. */
+  def writeMatryoshkaIvf(vecs: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, model: IvfModel, dir: String,
+                         keepCols: Seq[String] = Nil,
+                         metric: Metric = L2): Unit = {
+    require(dims >= 1, s"writeMatryoshkaIvf: dims must be >= 1, got $dims")
+    requireMatryoshkaMetric(metric, "writeMatryoshkaIvf")
+    val v = col(vecCol).cast("array<double>")
+    val rows = metric match {
+      case Cosine =>
+        val n = withNormalized(vecs, vecCol, "__nv")
+        assign(n, "__nv", normalizeModel(model), L2)
+          .select(col(idCol)
+            +: slice(col("__nv"), lit(1), lit(dims)).as("emb_pre")
+            +: v.as("emb_full") +: col(model.idCol)
+            +: keepCols.map(col): _*)
+      case _ =>
+        assign(vecs, vecCol, model, L2)
+          .select(col(idCol)
+            +: slice(v, lit(1), lit(dims)).as("emb_pre")
+            +: v.as("emb_full") +: col(model.idCol)
+            +: keepCols.map(col): _*)
+    }
+    writePartitioned(rows, s"$dir/rows")
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ensureIvfModelMarker(vecs.sparkSession, dir, model)
+    graft.io.Markers.write(vecs.sparkSession, dir,
+      "_graft_matryoshka_ivf", matryoshkaMarker(dims, metric))
+  }
+
+  /** Is `dir` a [[writeMatryoshkaIvf]] root? */
+  def isMatryoshkaIvfRoot(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, "_graft_matryoshka_ivf")
+
+  /** Two-phase top-k over a [[writeMatryoshkaIvf]] root: probe the
+    * `probes` nearest cells (centroids read from the root — a reader
+    * needs nothing driver-resident), run the prefix cut over probed
+    * cells only, re-score the candidates at full precision. BOTH
+    * scale pins are asserted inside the operator on every call —
+    * phase 1 must show centroid_id PartitionFilters (unprobed cell
+    * directories never read) AND an emb_pre-only read (the full
+    * vector never read in phase 1); the phase-2 fetch keeps the cell
+    * filter too, so both phases' IO is probed-cells-bounded.
+    *
+    * Semantics: exactly [[matryoshkaTopKStored]] restricted to the
+    * probed cells — the candidate cut and re-rank see only rows whose
+    * cell was probed (the IVF recall contract, same as
+    * [[searchIvfStored]]); `pred` thins phase 1 before the cut (the
+    * filtered-search family's no-starvation contract). */
+  def matryoshkaTopKIvf(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, idCol: String, q: Seq[Double],
+                        probes: Int, candidates: Int, k: Int,
+                        roundTo: Int = 6,
+                        pred: Column = lit(true),
+                        metric: Metric = L2): DataFrame = {
+    require(probes >= 1, s"matryoshkaTopKIvf: probes >= 1, got $probes")
+    require(candidates >= k,
+      s"matryoshkaTopKIvf: candidates ($candidates) must be >= k ($k)")
+    requireMatryoshkaMetric(metric, "matryoshkaTopKIvf")
+    val (dims, rootMetric) = readMatryoshkaMeta(spark, dir,
+      "matryoshkaTopKIvf", "_graft_matryoshka_ivf")
+    require(metric == rootMetric,
+      s"matryoshkaTopKIvf: $dir is pinned to metric=$rootMetric but " +
+        s"the query asks $metric — emb_pre and the cell geometry live " +
+        "in the root's reduction space")
+    require(dims <= q.length,
+      s"matryoshkaTopKIvf: stored dims=$dims exceeds query " +
+        s"dimension ${q.length} — wrong embedding space for this root")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    // probes and the phase-1 query live in the root's reduction
+    // space: raw under L2, the unit sphere under cosine
+    val (probeModel, qProbe, qPre) = metric match {
+      case Cosine =>
+        val qn = normalizeSeq(q)
+        (normalizeModel(model), typedlit(qn), typedlit(qn.take(dims)))
+      case _ => (model, typedlit(q), typedlit(q.take(dims)))
+    }
+    val cells = probeCells(probeModel, qProbe, L2, probes)
+      .collect().map(_.getLong(0))
+    val rows = spark.read.parquet(s"$dir/rows")
+    rows.filter(col("emb_full").isNotNull)
+      .select(size(col("emb_full")).as("__d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == q.length,
+          s"matryoshkaTopKIvf: stored vectors have ${r.getInt(0)} " +
+            s"dims but the query has ${q.length} — wrong embedding " +
+            "space for this root")
+      }
+    val pruned = rows.filter(col("centroid_id").isin(cells: _*))
+    val phase1 = pruned.filter(pred).select(col(idCol),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
+          qPre), roundTo).as("pre_dist"))
+      .orderBy(col("pre_dist").asc, col(idCol).asc).limit(candidates)
+    val p1Phys = phase1.queryExecution.executedPlan.toString
+    require(p1Phys.contains("emb_pre") && !p1Phys.contains("emb_full"),
+      s"matryoshkaTopKIvf phase-1 scan did not prune the full " +
+        s"vector:\n$p1Phys")
+    require("""PartitionFilters: \[[^\]]*centroid_id""".r
+        .findFirstIn(p1Phys).isDefined,
+      s"matryoshkaTopKIvf phase 1 did not prune cell partitions:\n" +
+        p1Phys)
+    val ids = phase1.select(col(idCol)).collect().map(_.get(0))
+    pruned.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol),
+        round(org.apache.spark.sql.graft.VecExprs.l2Dist(col("emb_pre"),
+          qPre), roundTo).as("pre_dist"),
+        round(metric.dist(col("emb_full"), typedlit(q)), roundTo)
+          .as("dist"))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
   }

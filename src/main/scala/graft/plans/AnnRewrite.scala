@@ -410,7 +410,17 @@ object AnnIndex {
                          refine: Int = 5, owner: String = ""): Unit = {
     require(refine >= 1, s"registerMatryoshka: refine >= 1, got $refine")
     val spark = org.apache.spark.sql.SparkSession.active
-    val dims = Ann.readMatryoshkaDims(spark, dir, "registerMatryoshka")
+    val (dims, rootMetric) =
+      Ann.readMatryoshkaMeta(spark, dir, "registerMatryoshka")
+    // the rewrite matches l2_dist plans; a cosine root's emb_pre is a
+    // NORMALIZED prefix, so serving an L2 plan from it would rank the
+    // candidate cut in the wrong space — refuse at registration, not
+    // first query (cosine stays on the explicit matryoshkaTopKStored
+    // surface, like the maxsim family before its rewrite landed)
+    require(rootMetric == Ann.L2,
+      s"registerMatryoshka: $dir is a metric=$rootMetric root — the " +
+        "declarative rewrite serves l2_dist plans only; query cosine " +
+        "roots via Ann.matryoshkaTopKStored(metric = Cosine)")
     quantEntries.synchronized {
       requireFreeOrSameOwner("matryoshka", vecCol,
         quantEntries.get(vecCol).map(_.owner), owner)

@@ -1638,7 +1638,7 @@ object DataOps {
           $qualityCtes
           SELECT
             (SELECT count(*) FROM documents) AS n_docs,
-            (SELECT coalesce(sum(c), 0) FROM (
+            (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
                SELECT count(*) AS c FROM documents GROUP BY text
                HAVING count(*) > 1)) AS dup_docs,
             (SELECT round(avg(quality), 6) FROM q) AS mean_quality,

@@ -1737,6 +1737,72 @@ object Retrieval {
     df
   }
 
+  /** r77: COSINE matryoshka — the truncation family under the metric
+    * real truncatable embedding models actually ship (the reference's
+    * Gemini/OpenAI/Voyage truncatable-dims providers are
+    * cosine-normalized, embedding.py:114-160,267-308), via the r63
+    * normalize-then-L2 reduction: the root's `emb_pre` is the prefix
+    * of the L2-NORMALIZED vector (on the unit sphere ‖â−b̂‖² =
+    * 2·cosDist, so the prefix cut keeps its neighborhood contract),
+    * `emb_full` stays raw, and phase 2 is TRUE cosine — the
+    * user-facing score matches every other cosine searcher. Two
+    * refusals pinned in-query: an L2 read of the cosine root (wrong
+    * reduction space) and the phase-2 In(vec_id) pushdown; the
+    * operator's own emb_pre-only phase-1 assert runs on every call.
+    * Oracle: the family cut replay with DuckDB normalizing exactly
+    * like the spherical-IVF oracles (x / sqrt(list_inner_product)),
+    * final dist cosine (+ 0 for DuckDB's IEEE −0.0, the r44/r63
+    * lesson). */
+  def matryoshkaCos(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_cos").toString
+    Ann.writeMatryoshka(embeddings(s, d), "vec_id", "embedding",
+      dims = 8, dir, metric = Ann.Cosine)
+    require(scala.util.Try(Ann.matryoshkaTopKStored(s, dir, "vec_id",
+        qvecSeq(s, d, 5), candidates = 50, k = 10)).isFailure,
+      "r77: querying a cosine root as L2 did not refuse — emb_pre " +
+        "would be read in the wrong reduction space")
+    val df = Ann.matryoshkaTopKStored(s, dir, "vec_id",
+      qvecSeq(s, d, 5), candidates = 50, k = 10, metric = Ann.Cosine)
+    val phys = df.queryExecution.executedPlan.toString
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r77 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df.select(col("vec_id"), col("pre_dist"),
+      (col("dist") + lit(0.0)).as("dist"))
+  }
+
+  /** r78: matryoshka COMPOSED with IVF cell pruning
+    * ([[Ann.writeMatryoshkaIvf]] + [[Ann.matryoshkaTopKIvf]]) — the
+    * 100 TB closure of the truncation family: the flat r71 root's
+    * phase 1 is a full-corpus prefix scan; here the prefix column
+    * lives INSIDE the cell layout, so phase 1 reads probed cell
+    * DIRECTORIES only (partition pruning) and within them emb_pre
+    * only (column pruning) — the reference's own index runs IVF and
+    * quantization together (vchordrq, spec.py:437-444). The
+    * operator asserts BOTH phase-1 pins (centroid_id
+    * PartitionFilters + an emb_pre-only read) on every call; the
+    * gate additionally pins the phase-2 plan: cell partition pruning
+    * AND the candidate In(vec_id) pushdown in ONE plan. Oracle: the
+    * r09 label-IVF probe replay composed with the family's prefix
+    * cut — cut and re-rank confined to probed cells. */
+  def matryoshkaIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    val df = Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 5),
+      probes = 3, candidates = 50, k = 10)
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id", "matryoshka-IVF phase 2")
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r78 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -1974,6 +2040,8 @@ object Retrieval {
     "r74_matryoshka_rewrite" -> matryoshkaRewrite,
     "r75_matryoshka_delete" -> matryoshkaDelete,
     "r76_matryoshka_filtered" -> matryoshkaFiltered,
+    "r77_matryoshka_cos" -> matryoshkaCos,
+    "r78_matryoshka_ivf" -> matryoshkaIvf,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2066,12 +2134,13 @@ object Retrieval {
         CROSS JOIN g)"""
   }
 
-  /** r09/r72 shared IVF-rewrite oracle: the full index replay —
-    * centroids from label means, nearest-centroid assignment, 3
-    * probes for query vec 5, scan confined to probed cells. Shared
-    * because r72 is r09 authored in pure SQL over the same index. */
-  private lazy val IvfRewriteOracleSql =
-    s"""WITH dims AS (
+  /** The label-mean IVF replay (centroids from per-label means
+    * rounded to 5, nearest-centroid assignment with (dist, cid)
+    * ties, 3 probes for query vec 5) — the index fragment shared by
+    * r09/r72 and the r78 matryoshka-IVF composition; factored so a
+    * one-sided edit cannot de-sync the family. */
+  private lazy val LabelIvfProbeCtes =
+    s"""dims AS (
           SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
           FROM (SELECT label, unnest(embedding) AS x,
@@ -2091,7 +2160,13 @@ object Retrieval {
         probes AS (
           SELECT centroid_id FROM cents
           ORDER BY list_distance(centroid, $qv5) ASC, centroid_id ASC
-          LIMIT 3)
+          LIMIT 3)"""
+
+  /** r09/r72 shared IVF-rewrite oracle: the full index replay, scan
+    * confined to probed cells. Shared because r72 is r09 authored in
+    * pure SQL over the same index. */
+  private lazy val IvfRewriteOracleSql =
+    s"""WITH $LabelIvfProbeCtes
         SELECT a.vec_id,
                round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
         FROM assigned a JOIN probes USING (centroid_id)
@@ -3475,10 +3550,13 @@ object Retrieval {
     // r66: label-mean centroids (round 5), argmin assignment with
     // (dist, cid) ties, then per-cell count / max (== the stored
     // radius: round is monotone, so max-of-rounded = rounded-max) /
-    // 6-rounded mean of 6-rounded distances.
+    // 6-rounded mean of 6-rounded distances. centroid_id cast to
+    // INTEGER — the Spark side's cell ids are int32, and the driver
+    // hashes typed values (the r12 p31 lesson: same values, different
+    // physical type, different hash).
     "r66_index_health" ->
       """WITH dims AS (
-          SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+          SELECT CAST(label AS INTEGER) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
           FROM (SELECT label, unnest(embedding) AS x,
                        unnest(range(len(embedding))) AS pos
@@ -3985,6 +4063,43 @@ object Retrieval {
       s"""WITH ${matryoshkaP1Sql("label IN (1, 3, 5)")}
           SELECT vec_id, pre_dist,
                  round(list_distance(v, $qv3), 6) AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r77: the cosine family member — phase 1 is the prefix cut over
+    // NORMALIZED vectors (the normalize-then-L2 reduction; DuckDB
+    // normalizes exactly like the spherical-IVF oracles), phase 2
+    // true cosine on the raw vectors (+ 0 for DuckDB's IEEE −0.0).
+    "r77_matryoshka_cos" ->
+      s"""WITH q AS (SELECT $qv5 AS qv),
+          qn AS (SELECT list_transform(qv, x ->
+                   x / sqrt(list_inner_product(qv, qv))) AS qnv
+                 FROM q),
+          p1 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   round(list_distance(
+                     (list_transform(embedding::DOUBLE[], x ->
+                        x / sqrt(list_inner_product(
+                          embedding::DOUBLE[],
+                          embedding::DOUBLE[]))))[1:8],
+                     ((SELECT qnv FROM qn))[1:8]), 6) AS pre_dist
+            FROM embeddings
+            ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+          SELECT vec_id, pre_dist,
+                 round(${cosDistSql("v", "(SELECT qv FROM q)")}, 6) + 0
+                   AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r78: the r09 label-IVF probe replay composed with the family's
+    // prefix cut — candidate cut and re-rank confined to probed
+    // cells (the IVF recall contract under truncation).
+    "r78_matryoshka_ivf" ->
+      s"""WITH $LabelIvfProbeCtes,
+          p1 AS (
+            SELECT a.vec_id, a.embedding::DOUBLE[] AS v,
+                   round(list_distance((a.embedding::DOUBLE[])[1:8],
+                     ($qv5)[1:8]), 6) AS pre_dist
+            FROM assigned a JOIN probes USING (centroid_id)
+            ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+          SELECT vec_id, pre_dist,
+                 round(list_distance(v, $qv5), 6) AS dist
           FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.

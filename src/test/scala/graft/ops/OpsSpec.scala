@@ -1578,6 +1578,149 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cosine matryoshka (r77): stored lands exactly on the " +
+      "in-memory form; the phase-2 score is true cosine; metric " +
+      "mismatch refuses both ways; inner product refused; streamed " +
+      "root pins the metric; the L2 declarative rewrite refuses " +
+      "cosine roots") {
+    val sp = spark
+    import sp.implicits._
+    // vectors with WILDLY different norms: under cosine the near-
+    // duplicate direction at 100× scale must still rank first (the
+    // L2 cut would put it last) — proves the reduction is real,
+    // not an L2 ranking in disguise
+    val vecs = Seq(
+      (1L, Seq(100.0, 1.0, 0.0, 0.0)), // same direction as q, huge
+      (2L, Seq(0.9, 0.1, 0.1, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal-ish
+      (4L, Seq(-1.0, 0.0, 0.0, 0.0)),  // opposite
+      (5L, Seq(2.0, 0.3, 0.0, 0.1))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.01, 0.0, 0.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_cos_spec").toString
+    graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 2, dir,
+      metric = Ann.Cosine)
+    val stored = graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id",
+        q, candidates = 5, k = 3, metric = Ann.Cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val mem = graft.ops.Ann.matryoshkaTopK(vecs, "vec_id", "embedding",
+        q, dims = 2, candidates = 5, k = 3, metric = Ann.Cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(stored.toSeq === mem.toSeq)
+    // the top hit is the same-direction huge vector, with a genuine
+    // cosine distance (≈0), not an L2 one (which would be ≈99)
+    assert(stored.head._1 === 1L && stored.head._3 < 0.01)
+    // metric mismatch refuses BOTH ways (wrong reduction space)
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dir, "vec_id", q, 5, 3)
+    }
+    val dirL2 = java.nio.file.Files
+      .createTempDirectory("graft_mrl_l2_spec").toString
+    graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 2, dirL2)
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKStored(sp, dirL2, "vec_id", q, 5, 3,
+        metric = Ann.Cosine)
+    }
+    // inner product has no prefix-cut contract — refused everywhere
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 2,
+        java.nio.file.Files.createTempDirectory("graft_mrl_ip").toString,
+        metric = Ann.InnerProduct)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        dims = 2, candidates = 5, k = 3, metric = Ann.InnerProduct)
+    }
+    // streamed root creation pins the metric: a cos re-ensure of an
+    // L2 root (or different dims) refuses; the same geometry is
+    // idempotent
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ens").toString
+    graft.ops.Ann.ensureMatryoshkaRoot(sp, sDir, 2, Ann.Cosine)
+    graft.ops.Ann.ensureMatryoshkaRoot(sp, sDir, 2, Ann.Cosine)
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.ensureMatryoshkaRoot(sp, sDir, 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.ensureMatryoshkaRoot(sp, sDir, 3, Ann.Cosine)
+    }
+    // the declarative rewrite serves l2_dist plans — a cosine root
+    // must refuse at registration, not first query
+    intercept[IllegalArgumentException] {
+      graft.plans.AnnIndex.registerMatryoshka("embedding", "vec_id",
+        dir)
+    }
+  }
+
+  test("matryoshkaTopKIvf (r78): all-cells probing lands exactly on " +
+      "the flat stored form; fewer probes confine the cut to probed " +
+      "cells; cosine spherical form ranks by direction; metric " +
+      "mismatch refuses") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, i % 4, Seq.tabulate(6)(j => ((i * 7 + j * 3) % 11).toDouble))
+    }.toDF("vec_id", "label", "embedding")
+    val q = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val model = graft.ops.Ann.buildIvf(vecs, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_spec").toString
+    graft.ops.Ann.writeMatryoshkaIvf(vecs, "vec_id", "embedding", 3,
+      model, dir)
+    // probing EVERY cell = no pruning = the flat layout's answer
+    val all = graft.ops.Ann.matryoshkaTopKIvf(sp, dir, "vec_id", q,
+        probes = 4, candidates = 12, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_flat_spec").toString
+    graft.ops.Ann.writeMatryoshka(vecs, "vec_id", "embedding", 3,
+      flatDir)
+    val flat = graft.ops.Ann.matryoshkaTopKStored(sp, flatDir,
+        "vec_id", q, candidates = 12, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(all.toSeq === flat.toSeq)
+    // fewer probes: every returned id must live in a probed cell
+    val probed = graft.ops.Ann.probeCells(model,
+        org.apache.spark.sql.functions.typedlit(q), graft.ops.Ann.L2, 2)
+      .collect().map(_.getLong(0)).toSet
+    val cut = graft.ops.Ann.matryoshkaTopKIvf(sp, dir, "vec_id", q,
+        probes = 2, candidates = 12, k = 5)
+      .collect().map(_.getLong(0))
+    val cellOf = graft.ops.Ann.assign(vecs, "embedding", model,
+        graft.ops.Ann.L2)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut.nonEmpty && cut.forall(id => probed.contains(cellOf(id))))
+    // cosine: same-direction vector at huge norm must win
+    val cvecs = Seq(
+      (1L, 0L, Seq(100.0, 1.0, 0.0, 0.0)),
+      (2L, 0L, Seq(0.9, 0.1, 0.1, 0.0)),
+      (3L, 1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, 1L, Seq(-1.0, 0.0, 0.0, 0.0)),
+      (5L, 0L, Seq(2.0, 0.3, 0.0, 0.1))
+    ).toDF("vec_id", "label", "embedding")
+    val cq = Seq(1.0, 0.01, 0.0, 0.0)
+    val cmodel = graft.ops.Ann.buildIvf(cvecs, "label", "embedding")
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_cos_spec").toString
+    graft.ops.Ann.writeMatryoshkaIvf(cvecs, "vec_id", "embedding", 2,
+      cmodel, cdir, metric = Ann.Cosine)
+    val chead = graft.ops.Ann.matryoshkaTopKIvf(sp, cdir, "vec_id",
+        cq, probes = 2, candidates = 5, k = 3, metric = Ann.Cosine)
+      .collect().head
+    assert(chead.getLong(0) === 1L && chead.getDouble(2) < 0.01)
+    // metric mismatch refuses (wrong reduction space)
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKIvf(sp, cdir, "vec_id", cq,
+        probes = 2, candidates = 5, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.matryoshkaTopKIvf(sp, dir, "vec_id", q,
+        probes = 2, candidates = 12, k = 5, metric = Ann.Cosine)
+    }
+  }
+
   test("matryoshkaBatch agrees with the per-query explicit form on " +
       "every query; candidate bound respected") {
     val sp = spark

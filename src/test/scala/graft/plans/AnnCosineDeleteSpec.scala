@@ -383,7 +383,9 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     val sp = spark
     import sp.implicits._
     import Spec._
-    // spec-level refusals: truncation is flat and L2-only
+    // spec-level refusals: truncation is flat; L2 and cosine (the
+    // normalize-then-L2 reduction) are the metric surface, inner
+    // product has no prefix-cut contract
     intercept[IllegalArgumentException] {
       VectorIndex("v", Ann.L2, lists = 2, mrlDims = 2)
     }
@@ -391,8 +393,9 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       VectorIndex("v", Ann.L2, quantized = true, mrlDims = 2)
     }
     intercept[IllegalArgumentException] {
-      VectorIndex("v", Ann.Cosine, mrlDims = 2)
+      VectorIndex("v", Ann.InnerProduct, mrlDims = 2)
     }
+    VectorIndex("v", Ann.Cosine, mrlDims = 2) // allowed since r77
     intercept[IllegalArgumentException] {
       VectorIndex("v", Ann.L2, mrlDims = -1)
     }

@@ -36,6 +36,21 @@ def norm_cell(v):
     return str(v)
 
 
+def canon_type(t):
+    """Collapse width-only arrow encoding variants that hold identical
+    values (string vs large_string, list vs large_list, binary vs
+    large_binary) so only value-representation differences — the kind the
+    driver's typed hash rejects, like decimal128 vs int64 — remain."""
+    import pyarrow as pa
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(canon_type(t.value_type))
+    return t
+
+
 def canon(table):
     cols = sorted(table.column_names)
     rows = []
@@ -80,14 +95,23 @@ def main(sf_dir, out_dir):
         wc, wr = canon(want)
         # The real driver hashes typed values: a DuckDB HUGEINT (int128 /
         # decimal128) next to a Spark BIGINT passes the normalized compare
-        # below but fails the driver. Surface any physical-type divergence.
+        # below but fails the driver (r12's p31). Any physical-type
+        # divergence the driver could hash differently is therefore a FAIL
+        # here, not a warning — builder green must predict driver green.
+        # Width-only arrow encoding variants (large_string vs string, etc.)
+        # carry identical values and are normalized away first.
+        type_bad = []
         gt = {f.name: f.type for f in got.schema}
         wt = {f.name: f.type for f in want.schema}
         for c0 in sorted(set(gt) & set(wt)):
-            if gt[c0] != wt[c0]:
-                print(f"WARN {name}: col '{c0}' type spark={gt[c0]} "
-                      f"oracle={wt[c0]} (driver may hash-mismatch)")
-        if gc != wc:
+            if canon_type(gt[c0]) != canon_type(wt[c0]):
+                type_bad.append(
+                    f"col '{c0}' type spark={gt[c0]} oracle={wt[c0]}")
+        if type_bad:
+            print(f"FAIL {name}: physical type mismatch "
+                  f"(driver hashes typed values): {'; '.join(type_bad)}")
+            n_fail += 1
+        elif gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1
         elif len(gr) != len(wr):
