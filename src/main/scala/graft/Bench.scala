@@ -102,12 +102,33 @@ object Bench {
       }
     }
     val orderedNames = byQ.map(_._1)
+    // The QPS half of E9, made a DIFFABLE record instead of a printed
+    // measurement (the reference's instrument prints queries/sec after
+    // a run — examples/anthropic.py:223-225): warm throughput per query
+    // FAMILY (the gate-name prefix letter: c=engine CRUD, d=dynamic,
+    // e=eval, g=graph, m=multimodal, p=pipeline, q=relational,
+    // r=retrieval, s=streaming), qps = n / Σ warm with failed queries
+    // excluded from both terms. Rides stdout AND BENCH_LOCAL.json so
+    // each round's rates diff cleanly against the last.
+    val qpsByFamily: Seq[(String, (Int, Double, Double))] =
+      orderedNames.groupBy(_.take(1)).toSeq.sortBy(_._1)
+        .map { case (f, names) =>
+          val ok = names.map(results).filter(_ >= 0)
+          val s = ok.sum
+          (f, (ok.size, s, if (s > 0) ok.size / s else 0.0))
+        }
     printChunked("queries_cold", "queries_cold",
       orderedNames.map(n => n -> cold(n)))
     printChunked("queries_warm", "queries",
       orderedNames.map(n => n -> results(n)))
     errors.foreach { case (n, e) =>
       println(s"""{"metric":"bench_error","query":"$n","err":"$e"}""")
+    }
+    locally {
+      val body = qpsByFamily.map { case (f, (n, s, q)) =>
+        s""""$f":{"n":$n,"warm_sec":${fmt(s)},"qps":${fmt(q)}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"qps_by_family","families":$body}""")
     }
     println(s"""{"metric":"pass_totals","value":[${passTotals.map(fmt).mkString(",")}],"unit":"sec"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_cold":${fmt(totalCold)},"n":${results.size},"sf":"$sfDir","passes":$passes}""")
@@ -132,6 +153,10 @@ object Bench {
            |  "total_warm": ${fmt(total)},
            |  "total_cold": ${fmt(totalCold)},
            |  "pass_totals": [${passTotals.map(fmt).mkString(", ")}],
+           |  "qps_by_family": ${
+             qpsByFamily.map { case (f, (n, s, q)) =>
+               s"""    "$f": {"n": $n, "warm_sec": ${fmt(s)}, "qps": ${fmt(q)}}"""
+             }.mkString("{\n", ",\n", "\n  }")},
            |  "queries_warm": ${jmap(orderedNames.map(n => n -> results(n)))},
            |  "queries_cold": ${jmap(orderedNames.map(n => n -> cold(n)))},
            |  "errors": ${

@@ -677,10 +677,17 @@ object Graph {
         s"clusteringCoefficients: no edge endpoint matches any entity " +
           s"'$idCol' — edge endpoints must live in the node id key space")
     }
+    // lineage breaks (the kCorePeel rule applied to a DAG instead of
+    // a loop): `und` feeds deg AND dir, `dir` feeds e1/e2/closing —
+    // without materialization every consuming branch re-executes the
+    // distinct + degree joins (and closing shuffles by a different
+    // key than e1/e2, so exchange reuse cannot save it); measured 2×
+    // on the g07 gate. Both frames are O(m) edge lists.
     val und = edges.filter(col("__s") =!= col("__t"))
       .select(least(col("__s"), col("__t")).as("a"),
         greatest(col("__s"), col("__t")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -697,6 +704,7 @@ object Graph {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
             col("__da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
     val e1 = dir.select(col("u"), col("v"), col("dv"))
     val e2 = dir.select(col("u"), col("v").as("w"), col("dv").as("dw"))
     val wedges = e1.join(e2, Seq("u"))

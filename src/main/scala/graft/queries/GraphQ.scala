@@ -203,7 +203,11 @@ object GraphQ {
     val (reg, _) = buildGraph(s, d)
     val (ents, rels) =
       (reg.table(Graph.entityDef()), reg.table(Graph.relationDef()))
+    // one wedge-join execution serves the vacuity probe AND the
+    // output (the r24-memoization lesson in single-call form: the
+    // require used to re-execute the whole cc plan a second time)
     val cc = Graph.clusteringCoefficients(ents, rels)
+      .localCheckpoint(true)
     require(cc.filter(col("triangles") > 0).limit(1).count() > 0,
       "g07 is vacuous: the entity graph has no triangle — the wedge " +
         "join was never exercised")
