@@ -1515,6 +1515,37 @@ object Ann {
       .parquet(s"$dir/rows")
   }
 
+  /** [[appendRangeIndex]] made REPLAY-SAFE by id — the streaming
+    * maintenance form ([[graft.streaming.Stream.ingestRangeAppend]]
+    * drives one call per micro-batch): a foreachBatch sink can
+    * redeliver a batch after a crash, and a blind re-append would
+    * duplicate every row. Rows whose `idCol` already exists in the
+    * cells this batch touches are dropped before the append, so a
+    * redelivered batch appends NOTHING (idempotent under the
+    * immutable-row contract: one id, one vector — the same contract
+    * the file-sink commit log gives the other ingest twins). The
+    * existence probe reads ONLY the touched cell directories
+    * (partition pruning — batch-cells-bounded, never corpus-bounded).
+    * Returns rows actually appended (0 for a full replay). */
+  def appendRangeIndexIdempotent(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, newRows: DataFrame,
+                                 idCol: String, vecCol: String): Long = {
+    val (model, _) = loadRangeIndex(spark, dir)
+    val touched = assign(newRows, vecCol, model, L2)
+      .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    val existing = spark.read.parquet(s"$dir/rows")
+      .filter(col(model.idCol).isin(touched: _*))
+      .select(col(idCol))
+    // micro-batch-sized; materialized once — appendRangeIndex reads
+    // its input three times (schema probe, radii growth, row append)
+    val fresh = newRows.join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L) appendRangeIndex(spark, dir, fresh, vecCol)
+    n
+  }
+
   /** Split overfull cells of a [[writeRangeIndex]] root IN PLACE — the
     * actuator for [[indexHealth]]'s retrain signal: every cell holding
     * more than `maxRows` rows is locally retrained into two sub-cells

@@ -592,7 +592,84 @@ object Events {
       candidates = 50, k = 10)
   }
 
+  /** s19: streamed MAINTENANCE of a graduated range root
+    * ([[graft.streaming.Stream.ingestRangeAppend]]) — the one index
+    * family whose streaming story previously stopped at graduation:
+    * half the corpus is batch-built into a
+    * [[graft.ops.Ann.writeRangeIndex]] root, the other half arrives
+    * in three micro-batches through foreachBatch over the
+    * replay-safe append (radii grow BEFORE each batch's rows become
+    * visible — the r67 soundness order per batch). Three pins
+    * in-query: a REPLAYED batch appends zero rows (the crash-
+    * redelivery contract), the stored radii cover every row of the
+    * grown root (sound appends), and the final search must land on
+    * r56's plain threshold scan verbatim (the shared oracle — radii
+    * machinery invisible to results by contract). */
+  def streamRangeAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    // one value type across batch base and streamed appends: mixed
+    // float/double parquet files in one rows/ dir would read back
+    // from an arbitrary footer
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s19_root").toString
+    graft.ops.Ann.writeRangeIndex(
+      graft.ops.Ann.assign(base, "embedding", model, graft.ops.Ann.L2),
+      "embedding", model, root)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s19_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestRangeAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", root, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin 1: a crash-redelivered batch appends NOTHING
+    val replay = rows.take(rows.length / 3)
+      .toDF("vec_id", "embedding", "label")
+    val dup = graft.ops.Ann.appendRangeIndexIdempotent(s, root,
+      replay, "vec_id", "embedding")
+    require(dup == 0L,
+      s"s19: replayed batch appended $dup rows — append not replay-safe")
+    // pin 2: radii stayed SOUND through every batch (each grew them
+    // before its rows) — the stored radius covers every stored row
+    val (m2, storedRadii) = graft.ops.Ann.loadRangeIndex(s, root)
+    val uncovered = graft.ops.Ann.cellRadii(
+        s.read.parquet(s"$root/rows"), "embedding", m2,
+        graft.ops.Ann.L2)
+      .withColumnRenamed("radius", "actual")
+      .join(storedRadii.select(col("centroid_id"), col("radius")),
+        "centroid_id")
+      .filter(col("actual") > col("radius") + lit(1e-9)).count()
+    require(uncovered == 0L,
+      s"s19: $uncovered cells hold rows outside their stored radius")
+    val qv = e.filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    graft.ops.Ann.rangeSearchStoredSelf(s, root, "vec_id", "embedding",
+        typedlit(qv), eps = 1.3, pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_range_append" -> streamRangeAppend,
     "s18_stream_matryoshka_twin" -> streamMatryoshkaTwin,
     "s15_stream_range_twin" -> streamRangeTwin,
     "s14_stream_bitq_twin" -> streamBitqTwin,
@@ -747,6 +824,10 @@ object Events {
     // r56 exactly — radii pruning is invisible to results by
     // contract, so the shared oracle is the plain threshold scan.
     "s15_stream_range_twin" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s19: half batch-built + half streamed-appended = the full
+    // corpus, and sound radii make the pruning invisible — the same
+    // r56 threshold scan lands verbatim on the grown root.
+    "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

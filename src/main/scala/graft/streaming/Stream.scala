@@ -392,6 +392,39 @@ object Stream {
     * touched, so periodic compaction costs only the hot cells' bytes.
     *
     * Returns the number of rewritten cell directories. */
+  /** Continuous APPEND into an already-graduated
+    * [[graft.ops.Ann.writeRangeIndex]] root — the MAINTENANCE stream
+    * the range family lacked: the other twins stream into a fresh
+    * commit-log dir and graduate once, but a graduated range root is
+    * a batch layout (a restarted file sink's fresh commit log would
+    * hide it — [[requireStreamableLayout]]'s refusal), so its
+    * continued growth runs as foreachBatch over
+    * [[graft.ops.Ann.appendRangeIndexIdempotent]]: each micro-batch
+    * grows the covering radii BEFORE its rows become visible (the
+    * r67 soundness order, per batch), and a crash-redelivered batch
+    * appends nothing (id-keyed replay safety standing in for the
+    * commit log the batch layout no longer has). Fails at START, not
+    * first batch, when `root` is not a graduated range index. */
+  def ingestRangeAppend(vectors: DataFrame, idCol: String,
+                        vecCol: String, root: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.loadRangeIndex(spark, root)
+    if (graft.ops.Ann.readIvfModelMarker(spark, root).isEmpty)
+      throw new IllegalStateException(
+        s"ingestRangeAppend: $root has no pinned IVF model marker — " +
+          "not a graduated range root")
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Ann.appendRangeIndexIdempotent(spark, root, batch,
+          idCol, vecCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous matryoshka ingest — the FLAT member of the at-rest
     * ingest family (dense IVF, BM25, sparse, maxsim, PQ, SQ, 1-bit,
     * range — and now the truncation layout): each row's prefix is

@@ -838,6 +838,68 @@ class StreamSpec extends SparkSpecBase {
       eps = 1.2).isEmpty)
   }
 
+  test("ingestRangeAppend (s19): streamed batches grow a graduated " +
+      "root with sound radii; a redelivered batch appends nothing; " +
+      "an outlier appended past its cell's old radius is still found; " +
+      "a non-range root refuses at start") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    // batch-built root: two tight clusters
+    val baseRows = (0L until 20L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(c + (i % 5) * 0.02, c), (i % 2).toInt)
+    }
+    val base = baseRows.toDF("vec_id", "embedding", "label")
+    val model = Ann.buildIvf(base, "label", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-range-sapp").toString
+    Ann.writeRangeIndex(Ann.assign(base, "embedding", model, Ann.L2),
+      "embedding", model, root)
+    // streamed appends: a normal row + an OUTLIER far outside cell
+    // 0's batch-time radius — its arrival must grow the radius before
+    // the row is visible, so the later range query still finds it
+    val appended = Seq((100L, Seq(0.5, 0.1), 0),
+      (101L, Seq(3.0, 0.0), 0))
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = Stream.ingestRangeAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", root,
+      java.nio.file.Files.createTempDirectory("graft-sapp-c").toString)
+    try {
+      appended.foreach { r =>
+        input.addData(r)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the outlier is range-findable (radii grew with its batch)
+    val got = Ann.rangeSearchStoredSelf(sp, root, "vec_id",
+        "embedding", typedlit(Seq(3.1, 0.0)), eps = 0.2)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(101L), s"expected the outlier, got $got")
+    // redelivery of an already-applied batch appends NOTHING
+    val dup = Ann.appendRangeIndexIdempotent(sp, root,
+      appended.toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding")
+    assert(dup === 0L)
+    assert(sp.read.parquet(s"$root/rows").count() === 22L)
+    // a genuinely new row still appends through the same path
+    val fresh = Ann.appendRangeIndexIdempotent(sp, root,
+      Seq((102L, Seq(0.4, 0.2), 0)).toDF("vec_id", "embedding",
+        "label"), "vec_id", "embedding")
+    assert(fresh === 1L)
+    // a non-range root refuses at START, not first batch
+    intercept[Exception] {
+      Stream.ingestRangeAppend(
+        input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+        "embedding", java.nio.file.Files
+          .createTempDirectory("graft-sapp-bare").toString,
+        java.nio.file.Files
+          .createTempDirectory("graft-sapp-bare-c").toString)
+    }
+  }
+
   test("graduation deletes uncommitted orphan files BEFORE the commit " +
       "log, so no crash point resurrects them or strands the layout") {
     val sp = spark
