@@ -465,8 +465,14 @@ final class Engine(reg: Registry) {
     val keyword = Bm25.readBucketsMarker(reg.spark, dir).isDefined
     val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
     val mrl = Ann.isMatryoshkaRoot(reg.spark, dir)
+    val mrlIvf = Ann.isMatryoshkaIvfRoot(reg.spark, dir)
     val path =
-      if (mrl)
+      if (mrlIvf)
+        // cell-composed truncation root: rows/ is an ordinary
+        // cell-partitioned layout, so deletes rewrite ONLY the cells
+        // holding doomed rows (deleteStoredIds), never the whole dir
+        new org.apache.hadoop.fs.Path(root, "rows").toString
+      else if (mrl)
         // flat truncation root: rows/ swaps whole-directory on delete
         new org.apache.hadoop.fs.Path(root, "rows").toString
       else if (Ann.isPqStoredLayout(reg.spark, dir))

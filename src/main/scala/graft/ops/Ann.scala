@@ -597,8 +597,25 @@ object Ann {
                          metric: Metric = L2): Unit = {
     require(dims >= 1, s"writeMatryoshkaIvf: dims must be >= 1, got $dims")
     requireMatryoshkaMetric(metric, "writeMatryoshkaIvf")
+    writePartitioned(matryoshkaIvfRows(vecs, idCol, vecCol, dims, model,
+      metric, keepCols), s"$dir/rows")
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ensureIvfModelMarker(vecs.sparkSession, dir, model)
+    graft.io.Markers.write(vecs.sparkSession, dir,
+      "_graft_matryoshka_ivf", matryoshkaMarker(dims, metric))
+  }
+
+  /** The ONE builder of a [[writeMatryoshkaIvf]] row frame — initial
+    * write and [[appendMatryoshkaIvf]] share it, so the two paths
+    * cannot slice or assign differently: cosine assigns and slices on
+    * the unit sphere (normalized model + normalized vectors, emb_full
+    * raw), L2 on the raw vectors. */
+  private def matryoshkaIvfRows(vecs: DataFrame, idCol: String,
+                                vecCol: String, dims: Int,
+                                model: IvfModel, metric: Metric,
+                                keepCols: Seq[String]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val rows = metric match {
+    metric match {
       case Cosine =>
         val n = withNormalized(vecs, vecCol, "__nv")
         assign(n, "__nv", normalizeModel(model), L2)
@@ -613,11 +630,41 @@ object Ann {
             +: v.as("emb_full") +: col(model.idCol)
             +: keepCols.map(col): _*)
     }
-    writePartitioned(rows, s"$dir/rows")
-    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    ensureIvfModelMarker(vecs.sparkSession, dir, model)
-    graft.io.Markers.write(vecs.sparkSession, dir,
-      "_graft_matryoshka_ivf", matryoshkaMarker(dims, metric))
+  }
+
+  /** Batch APPEND into a [[writeMatryoshkaIvf]] root — the growth
+    * path of the composed layout (its delete path is the ordinary
+    * cell rewrite, [[deleteStored]]/[[deleteStoredIds]] over
+    * `dir/rows`): new rows are assigned and prefix-sliced under the
+    * ROOT's own pinned geometry (marker-read dims + metric, loaded
+    * centroids — a mismatch is impossible by construction, the
+    * [[appendRangeIndex]] rule), the batch schema must match the
+    * stored rows (mode("append") happily writes mixed-schema files
+    * whose later reads resolve from an arbitrary footer), and the
+    * append lands cell-partitioned so future searches prune it like
+    * day-one rows. Streaming-grown dirs refuse (compact first). */
+  def appendMatryoshkaIvf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newRows: DataFrame,
+                          idCol: String, vecCol: String): Unit = {
+    val (dims, metric) = readMatryoshkaMeta(spark, dir,
+      "appendMatryoshkaIvf", "_graft_matryoshka_ivf")
+    requireBatchLayout(spark, s"$dir/rows")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    val storedCols = spark.read.parquet(s"$dir/rows").columns.toSet
+    val standard = Set(idCol, "emb_pre", "emb_full", model.idCol)
+    val keep = (storedCols -- standard).toSeq.sorted
+    keep.foreach(c => require(newRows.columns.contains(c),
+      s"appendMatryoshkaIvf: stored layout carries kept column '$c' " +
+        "but the batch lacks it — a mixed-schema rows/ dir reads " +
+        "back nondeterministically"))
+    val rows = matryoshkaIvfRows(newRows, idCol, vecCol, dims, model,
+      metric, keep)
+    require(rows.columns.toSet == storedCols,
+      s"appendMatryoshkaIvf: batch columns ${rows.columns.toSet} != " +
+        s"stored $storedCols")
+    rows.write.mode("append").partitionBy(model.idCol)
+      .parquet(s"$dir/rows")
   }
 
   /** Is `dir` a [[writeMatryoshkaIvf]] root? */

@@ -1803,6 +1803,84 @@ object Retrieval {
     df
   }
 
+  /** r79: the composed matryoshka-IVF layout under COSINE — r77's
+    * reduction and r78's cell pruning together, the full vchordrq
+    * shape for the metric real truncatable embeddings ship:
+    * assignment, probes and the prefix cut all live on the unit
+    * sphere (spherical cells, normalized emb_pre), the re-rank is
+    * true cosine on the raw vectors. Wrong-metric reads refuse
+    * (pinned in-query); phase-1 partition + column pruning asserted
+    * in-operator; phase-2 cell pruning + In pushdown pinned here.
+    * Oracle: the spherical replay (DuckDB normalizes exactly like
+    * the r17/r43 spherical oracles) + prefix cut + cosine re-rank. */
+  def matryoshkaIvfCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_cos").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir, metric = Ann.Cosine)
+    require(scala.util.Try(Ann.matryoshkaTopKIvf(s, dir, "vec_id",
+        qvecSeq(s, d, 7), probes = 3, candidates = 50,
+        k = 10)).isFailure,
+      "r79: querying the cosine composed root as L2 did not refuse")
+    val df = Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 7),
+      probes = 3, candidates = 50, k = 10, metric = Ann.Cosine)
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id",
+      "cosine matryoshka-IVF phase 2")
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r79 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df.select(col("vec_id"), col("pre_dist"),
+      (col("dist") + lit(0.0)).as("dist"))
+  }
+
+  /** r80: DELETE maintenance on the composed root — the cell-rewrite
+    * form ([[Ann.deleteStored]] over `rows/`, r19's machinery): only
+    * cells holding doomed rows are rewritten (never the whole
+    * directory — the flat r75 swap's cell-confined twin), centroids
+    * stay (codes-outlive-rows), and the search behaves as if the
+    * doomed rows never existed. Vacuity pinned. */
+  def matryoshkaIvfDelete(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_del").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    val removed = Ann.deleteStored(s, s"$dir/rows",
+      col("vec_id") % 7 === 0)
+    require(removed > 0, "r80 is vacuous: the delete removed nothing")
+    Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 5),
+      probes = 3, candidates = 50, k = 10)
+  }
+
+  /** r81: batch APPEND into the composed root
+    * ([[Ann.appendMatryoshkaIvf]]): half the corpus is written at
+    * build time, the other half appended under the root's OWN pinned
+    * geometry (marker dims+metric, loaded centroids — the
+    * appendRangeIndex rule) through the same row builder, landing
+    * cell-partitioned so searches prune it like day-one rows. The
+    * model is the full-corpus label-means, so the grown root is
+    * indistinguishable from a one-shot build and r78's replay lands
+    * verbatim. Growth pinned in-query. */
+  def matryoshkaIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_app").toString
+    Ann.writeMatryoshkaIvf(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dims = 8, model, dir)
+    Ann.appendMatryoshkaIvf(s, dir,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val grown = s.read.parquet(s"$dir/rows").count()
+    require(grown == e.count(),
+      s"r81: grown root holds $grown rows, corpus has ${e.count()}")
+    Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 5),
+      probes = 3, candidates = 50, k = 10)
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -2042,6 +2120,9 @@ object Retrieval {
     "r76_matryoshka_filtered" -> matryoshkaFiltered,
     "r77_matryoshka_cos" -> matryoshkaCos,
     "r78_matryoshka_ivf" -> matryoshkaIvf,
+    "r79_matryoshka_ivf_cos" -> matryoshkaIvfCos,
+    "r80_matryoshka_ivf_delete" -> matryoshkaIvfDelete,
+    "r81_matryoshka_ivf_append" -> matryoshkaIvfAppend,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2171,6 +2252,24 @@ object Retrieval {
                round(list_distance(a.embedding::DOUBLE[], $qv5), 6) AS dist
         FROM assigned a JOIN probes USING (centroid_id)
         ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** The composed matryoshka-IVF replay (r78 family): the label-IVF
+    * probe CTEs + the prefix cut confined to probed cells + the
+    * full-precision re-rank. `where` restricts the cut's corpus
+    * (r80's delete maintenance: survivors only — centroids stay, the
+    * codes-outlive-rows contract). */
+  private def matryoshkaIvfOracleSql(where: String = "TRUE") =
+    s"""WITH $LabelIvfProbeCtes,
+        p1 AS (
+          SELECT a.vec_id, a.embedding::DOUBLE[] AS v,
+                 round(list_distance((a.embedding::DOUBLE[])[1:8],
+                   ($qv5)[1:8]), 6) AS pre_dist
+          FROM assigned a JOIN probes USING (centroid_id)
+          WHERE $where
+          ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+        SELECT vec_id, pre_dist,
+               round(list_distance(v, $qv5), 6) AS dist
+        FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   /** The matryoshka phase-1 cut (top-50 by 8-dim-prefix L2, ties id
     * asc) — shared by every form of the family's oracle. `where`
@@ -4090,17 +4189,69 @@ object Retrieval {
     // r78: the r09 label-IVF probe replay composed with the family's
     // prefix cut — candidate cut and re-rank confined to probed
     // cells (the IVF recall contract under truncation).
-    "r78_matryoshka_ivf" ->
-      s"""WITH $LabelIvfProbeCtes,
+    "r78_matryoshka_ivf" -> matryoshkaIvfOracleSql(),
+    // r79: the spherical composed replay — centroids from raw label
+    // means then normalized (like the r17/r43 spherical oracles),
+    // assignment/probes/prefix cut on the unit sphere, re-rank true
+    // cosine on the raw vectors (+ 0 for DuckDB's IEEE −0.0).
+    "r79_matryoshka_ivf_cos" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          ncents AS (
+            SELECT centroid_id,
+                   list_transform(centroid, x ->
+                     x / sqrt(list_inner_product(centroid, centroid)))
+                     AS ncentroid
+            FROM cents),
+          nemb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding::DOUBLE[], x ->
+                     x / sqrt(list_inner_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[]))) AS nv
+            FROM embeddings),
+          assigned AS (
+            SELECT vec_id, v, nv, centroid_id FROM (
+              SELECT e.vec_id, e.v, e.nv, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.nv, c.ncentroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM nemb e CROSS JOIN ncents c) WHERE rn = 1),
+          q AS (SELECT $qv7 AS qv),
+          qn AS (SELECT list_transform(qv, x ->
+                   x / sqrt(list_inner_product(qv, qv))) AS qnv
+                 FROM q),
+          probes AS (
+            SELECT centroid_id FROM ncents
+            ORDER BY list_distance(ncentroid, (SELECT qnv FROM qn)) ASC,
+                     centroid_id ASC
+            LIMIT 3),
           p1 AS (
-            SELECT a.vec_id, a.embedding::DOUBLE[] AS v,
-                   round(list_distance((a.embedding::DOUBLE[])[1:8],
-                     ($qv5)[1:8]), 6) AS pre_dist
+            SELECT a.vec_id, a.v,
+                   round(list_distance((a.nv)[1:8],
+                     ((SELECT qnv FROM qn))[1:8]), 6) AS pre_dist
             FROM assigned a JOIN probes USING (centroid_id)
             ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
           SELECT vec_id, pre_dist,
-                 round(list_distance(v, $qv5), 6) AS dist
+                 round(${cosDistSql("v", "(SELECT qv FROM q)")}, 6) + 0
+                   AS dist
           FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r80: the composed root's delete is the ordinary cell rewrite —
+    // centroids stay (codes-outlive-rows), the cut and re-rank see
+    // survivors only.
+    "r80_matryoshka_ivf_delete" ->
+      matryoshkaIvfOracleSql("a.vec_id % 7 <> 0"),
+    // r81: half batch-written + half appended under the root's own
+    // pinned model = indistinguishable from a day-one build — r78's
+    // replay lands verbatim on the grown root.
+    "r81_matryoshka_ivf_append" -> matryoshkaIvfOracleSql(),
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->

@@ -1721,6 +1721,58 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("appendMatryoshkaIvf: grown root indistinguishable from a " +
+      "one-shot build; kept-column and schema refusals; non-root " +
+      "refuses via the marker") {
+    val sp = spark
+    import sp.implicits._
+    val all = (0L until 40L).map { i =>
+      (i, i % 4, Seq.tabulate(6)(j => ((i * 7 + j * 3) % 11).toDouble))
+    }.toDF("vec_id", "label", "embedding")
+    val model = graft.ops.Ann.buildIvf(all, "label", "embedding")
+    val q = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    // one-shot build vs half-build + append, same full-corpus model
+    val oneDir = java.nio.file.Files
+      .createTempDirectory("graft_mrlivf_one").toString
+    graft.ops.Ann.writeMatryoshkaIvf(all, "vec_id", "embedding", 3,
+      model, oneDir)
+    val twoDir = java.nio.file.Files
+      .createTempDirectory("graft_mrlivf_two").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      all.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 3,
+      model, twoDir)
+    graft.ops.Ann.appendMatryoshkaIvf(sp, twoDir,
+      all.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    def search(dir: String) =
+      graft.ops.Ann.matryoshkaTopKIvf(sp, dir, "vec_id", q,
+          probes = 4, candidates = 12, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2))).toSeq
+    assert(search(twoDir) === search(oneDir))
+    // a stored kept column the batch lacks refuses (mixed schema)
+    val keepDir = java.nio.file.Files
+      .createTempDirectory("graft_mrlivf_keep").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      all.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 3,
+      model, keepDir, keepCols = Seq("label"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Ann.appendMatryoshkaIvf(sp, keepDir,
+        all.filter(col("vec_id") % 2 === 1).drop("label"), "vec_id",
+        "embedding")
+    }
+    // with the kept column present the append lands, label intact
+    graft.ops.Ann.appendMatryoshkaIvf(sp, keepDir,
+      all.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(sp.read.parquet(s"$keepDir/rows")
+      .filter(col("label").isNull).count() === 0L)
+    // a directory without the composed marker refuses loudly
+    intercept[IllegalStateException] {
+      graft.ops.Ann.appendMatryoshkaIvf(sp,
+        java.nio.file.Files.createTempDirectory("graft_mrlivf_bare")
+          .toString, all, "vec_id", "embedding")
+    }
+  }
+
   test("matryoshkaBatch agrees with the per-query explicit form on " +
       "every query; candidate bound respected") {
     val sp = spark

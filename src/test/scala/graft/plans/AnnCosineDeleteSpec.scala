@@ -433,6 +433,60 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(!after.contains(5L) && after.length === 29)
   }
+
+  test("attachStoredIndex matryoshka-IVF root: deletes rewrite ONLY " +
+      "the cells holding doomed rows (cell-confined, never the whole " +
+      "dir); search sees survivors only") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("mrlivfrow", primaryKey = Some("rid"),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-mrlivf-reg").toString)
+      .register(td)
+    // two well-separated cells via the sign of the first coordinate
+    val rows = (0 until 30).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 100.0f
+      VecRow(i.toLong, Seq(c + i * 0.1f, i.toFloat))
+    }
+    reg.insert(td, rows)
+    val base = reg.table(td)
+      .withColumn("__c", (col("rid") % 2).cast("int"))
+    val model = Ann.buildIvf(base, "__c", "v")
+    val dir = Files.createTempDirectory("graft-mrlivf-attach").toString
+    Ann.writeMatryoshkaIvf(reg.table(td), "rid", "v", 1, model, dir)
+    val eng = new Engine(reg)
+    eng.attachStoredIndex(td, dir)
+    // snapshot per-cell file mtimes; delete a row from ONE cell
+    val rowsPath = new java.io.File(s"$dir/rows")
+    def cellFiles(cell: String): Set[String] =
+      Option(new java.io.File(rowsPath, s"centroid_id=$cell").list())
+        .map(_.toSet).getOrElse(Set.empty)
+    val doomed = 4L // even rid -> the cell holding even rows
+    // partition-column read-back is directory-name-inferred (int) —
+    // cast before the typed get
+    val doomedCell = sp.read.parquet(s"$dir/rows")
+      .filter(col("rid") === doomed)
+      .select(col("centroid_id").cast("long")).head().getLong(0)
+    val otherCell = sp.read.parquet(s"$dir/rows")
+      .filter(col("centroid_id") =!= doomedCell)
+      .select(col("centroid_id").cast("long")).head().getLong(0)
+    val beforeOther = cellFiles(otherCell.toString)
+    reg.removeBy(td, Map("rid" -> doomed))
+    // survivor contract
+    assert(sp.read.parquet(s"$dir/rows")
+      .filter(col("rid") === doomed).count() === 0L)
+    assert(sp.read.parquet(s"$dir/rows").count() === 29L)
+    // cell confinement: the untouched cell's files are byte-identical
+    assert(cellFiles(otherCell.toString) === beforeOther,
+      "a delete in one cell rewrote another cell's files")
+    // the composed search behaves as if the row never existed
+    val got = Ann.matryoshkaTopKIvf(sp, dir, "rid",
+        Seq(0.0, 0.0), probes = 2, candidates = 30, k = 30)
+      .collect().map(_.getLong(0))
+    assert(!got.contains(doomed) && got.length === 29)
+  }
 }
 
 /** Minimal keyword-table row for the attach test. */
