@@ -77,6 +77,21 @@ final class Engine(reg: Registry) {
           Ann.searchIvfPq(idx.copy(encoded = allowed(idx.encoded)),
             td.pk, ix.column, queryVec, ix.distance, p, topk,
             autoSqRefine(refine))
+        case Some(model) if ix.lists > 0 && ix.mrlDims > 0 =>
+          // the COMPOSED index on the engine surface (the r78 shape
+          // declaratively: cells prune first, the prefix cut runs
+          // within probed cells, the re-rank at full precision) —
+          // probe like the plain IVF branch, cut like the matryoshka
+          // one; `refine` stays the candidate multiplier
+          val p = if (probes > 0) probes
+            else math.ceil(ix.lists / 16.0).toInt.max(1)
+          val pruned = allowed(assignedCached(td, ix, model))
+            .join(org.apache.spark.sql.functions.broadcast(
+              Ann.probeCells(model, q, ix.distance, p)),
+              Seq(model.idCol))
+          val cand = topk * (if (refine > 0) refine else 5)
+          Ann.matryoshkaTopK(pruned, td.pk, ix.column, queryVec,
+            ix.mrlDims, cand.max(topk), topk, metric = ix.distance)
         case Some(model) if ix.lists > 0 =>
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)

@@ -54,16 +54,18 @@ object Spec {
     require(Seq(quantized, oneBit, pq > 0).count(identity) <= 1,
       s"vector index on '$column' declares more than one quantization " +
         s"(quantized=$quantized, oneBit=$oneBit, pq=$pq)")
-    // matryoshka is the TRUNCATION axis: a flat two-phase index (L2)
-    // whose phase 1 ranks the leading `mrlDims` coordinates. Kept
-    // orthogonal by refusal, not composition: cells or codes under a
-    // truncated phase 1 would need their own recall contract.
+    // matryoshka is the TRUNCATION axis: a two-phase index whose
+    // phase 1 ranks the leading `mrlDims` coordinates — flat when
+    // lists == 0, COMPOSED with IVF cell pruning when lists > 0 (the
+    // r78 shape: cells prune first, the prefix cut runs within probed
+    // cells). A VALUE quantization under a truncated phase 1 stays
+    // refused: two compressions of one scan would stack their recall
+    // losses with no contract for the product.
     require(mrlDims >= 0,
       s"vector index on '$column': mrlDims must be >= 0 (got $mrlDims)")
-    require(mrlDims == 0 ||
-        (lists == 0 && !quantized && !oneBit && pq == 0),
-      s"vector index on '$column' combines mrlDims=$mrlDims with " +
-        "cells or a quantization — the truncation index is flat")
+    require(mrlDims == 0 || (!quantized && !oneBit && pq == 0),
+      s"vector index on '$column' combines mrlDims=$mrlDims with a " +
+        "value quantization — one compression axis per scan")
     // L2 native; cosine via the normalize-then-L2 reduction (real
     // truncatable embedding models are cosine-normalized — the
     // reference's Gemini/OpenAI/Voyage truncatable-dims providers,

@@ -249,7 +249,7 @@ object Ann {
     * cosine-normalized). Inner product is refused: unbounded norms
     * admit no sphere reduction, so a prefix cut has no neighborhood
     * contract to honor. */
-  private def requireMatryoshkaMetric(metric: Metric, who: String): Unit =
+  private[graft] def requireMatryoshkaMetric(metric: Metric, who: String): Unit =
     require(metric == L2 || metric == Cosine,
       s"$who: matryoshka supports L2 (native) and cosine (via the " +
         s"normalize-then-L2 reduction) — got $metric; inner product " +
@@ -304,7 +304,7 @@ object Ann {
     * `dims=N` for L2 (the pre-cosine format, so existing roots stay
     * readable) and `dims=N;metric=cos` for cosine roots. Paired with
     * [[readMatryoshkaMeta]]; nothing else writes the string. */
-  private def matryoshkaMarker(dims: Int, metric: Metric): String =
+  private[graft] def matryoshkaMarker(dims: Int, metric: Metric): String =
     metric match {
       case Cosine => s"dims=$dims;metric=cos"
       case _ => s"dims=$dims"
@@ -610,7 +610,7 @@ object Ann {
     * cannot slice or assign differently: cosine assigns and slices on
     * the unit sphere (normalized model + normalized vectors, emb_full
     * raw), L2 on the raw vectors. */
-  private def matryoshkaIvfRows(vecs: DataFrame, idCol: String,
+  private[graft] def matryoshkaIvfRows(vecs: DataFrame, idCol: String,
                                 vecCol: String, dims: Int,
                                 model: IvfModel, metric: Metric,
                                 keepCols: Seq[String]): DataFrame = {

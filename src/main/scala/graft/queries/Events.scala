@@ -668,7 +668,63 @@ object Events {
       .select("vec_id", "dist")
   }
 
+  /** s20: the COMPOSED matryoshka-IVF streaming lifecycle
+    * ([[graft.streaming.Stream.ingestMatryoshkaIvf]]) — the sixth
+    * lifecycle form of the r78 layout: markers + centroids land
+    * before any row, three micro-batches of assigned prefix-sliced
+    * rows append cell-partitioned exactly-once,
+    * [[graft.streaming.Stream.compactStored]] graduates the cells,
+    * and the graduated root serves [[graft.ops.Ann.matryoshkaTopKIvf]]
+    * with r78's exact parameters — the streamed layout is lossless,
+    * so r78's composed replay must land verbatim (one oracle, two
+    * build paths). A restart with different dims refuses (pinned
+    * in-query). */
+  def streamMatryoshkaIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s20_dir").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s20_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestMatryoshkaIvf(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dims = 8, model, graft.ops.Ann.L2, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // a restart slicing a DIFFERENT prefix width must refuse — the
+    // one-layout-one-geometry contract, pinned on the live root
+    require(scala.util.Try(graft.streaming.Stream.ingestMatryoshkaIvf(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id",
+        "embedding", dims = 4, model, graft.ops.Ann.L2, dir,
+        ckpt)).isFailure,
+      "s20: a restart with different dims did not refuse")
+    graft.streaming.Stream.compactStored(s, s"$dir/rows",
+      "centroid_id", maxFilesPerCell = 1)
+    graft.ops.Ann.matryoshkaTopKIvf(s, dir, "vec_id",
+      qvecSeqOf(s, d, 5), probes = 3, candidates = 50, k = 10)
+  }
+
+  private def qvecSeqOf(s: SparkSession, d: String,
+                        id: Long): Seq[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_matryoshka_ivf" -> streamMatryoshkaIvf,
     "s19_stream_range_append" -> streamRangeAppend,
     "s18_stream_matryoshka_twin" -> streamMatryoshkaTwin,
     "s15_stream_range_twin" -> streamRangeTwin,
@@ -828,6 +884,9 @@ object Events {
     // corpus, and sound radii make the pruning invisible — the same
     // r56 threshold scan lands verbatim on the grown root.
     "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s20: the streamed-then-graduated composed layout is lossless —
+    // r78's composed replay lands verbatim.
+    "s20_stream_matryoshka_ivf" -> Retrieval.oracles("r78_matryoshka_ivf"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

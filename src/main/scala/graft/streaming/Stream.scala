@@ -392,6 +392,52 @@ object Stream {
     * touched, so periodic compaction costs only the hot cells' bytes.
     *
     * Returns the number of rewritten cell directories. */
+  /** Continuous ingest into a COMPOSED matryoshka-IVF root
+    * ([[graft.ops.Ann.writeMatryoshkaIvf]]'s streamed twin — the
+    * sixth lifecycle form of the composed layout, next to the flat
+    * [[ingestMatryoshka]]): each row is assigned and prefix-sliced
+    * under the pinned geometry by the SAME row builder the batch
+    * write uses (one builder, the two paths cannot slice or assign
+    * differently), appending exactly-once cell-partitioned. Both
+    * markers and the centroids land BEFORE any row (a crash
+    * mid-stream leaves a readable self-contained geometry; a restart
+    * with different dims/metric or a retrained model refuses). After
+    * [[compactStored]](`dir/rows`) graduation the root IS a
+    * writeMatryoshkaIvf layout: [[graft.ops.Ann.matryoshkaTopKIvf]],
+    * [[graft.ops.Ann.appendMatryoshkaIvf]] and the cell-confined
+    * delete all work unchanged. */
+  def ingestMatryoshkaIvf(vectors: DataFrame, idCol: String,
+                          vecCol: String, dims: Int,
+                          model: graft.ops.Ann.IvfModel,
+                          metric: graft.ops.Ann.Metric,
+                          dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    require(dims >= 1, s"ingestMatryoshkaIvf: dims >= 1, got $dims")
+    graft.ops.Ann.requireMatryoshkaMetric(metric, "ingestMatryoshkaIvf")
+    // the ONE marker composer (Ann.matryoshkaMarker) — this path and
+    // the batch write cannot drift
+    val want = graft.ops.Ann.matryoshkaMarker(dims, metric)
+    graft.io.Markers.read(spark, dir, "_graft_matryoshka_ivf") match {
+      case None => graft.io.Markers.write(spark, dir,
+        "_graft_matryoshka_ivf", want)
+      case Some(m) => require(m == want,
+        s"ingestMatryoshkaIvf: $dir is pinned to '$m' but this ingest " +
+          s"slices '$want' — one layout, one prefix geometry")
+    }
+    graft.ops.Ann.ensureIvfModelMarker(spark, dir, model)
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    requireStreamableLayout(spark, s"$dir/rows")
+    graft.ops.Ann.matryoshkaIvfRows(vectors, idCol, vecCol, dims,
+        model, metric, Nil)
+      .writeStream
+      .partitionBy(model.idCol)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(s"$dir/rows")
+  }
+
   /** Continuous APPEND into an already-graduated
     * [[graft.ops.Ann.writeRangeIndex]] root — the MAINTENANCE stream
     * the range family lacked: the other twins stream into a fresh

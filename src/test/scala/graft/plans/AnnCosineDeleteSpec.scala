@@ -383,14 +383,16 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     val sp = spark
     import sp.implicits._
     import Spec._
-    // spec-level refusals: truncation is flat; L2 and cosine (the
-    // normalize-then-L2 reduction) are the metric surface, inner
-    // product has no prefix-cut contract
-    intercept[IllegalArgumentException] {
-      VectorIndex("v", Ann.L2, lists = 2, mrlDims = 2)
-    }
+    // spec-level refusals: L2 and cosine (the normalize-then-L2
+    // reduction) are the metric surface, inner product has no
+    // prefix-cut contract; cells COMPOSE with truncation (the r78
+    // shape) but a value quantization under it stays refused
+    VectorIndex("v", Ann.L2, lists = 2, mrlDims = 2) // composed, allowed
     intercept[IllegalArgumentException] {
       VectorIndex("v", Ann.L2, quantized = true, mrlDims = 2)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex("v", Ann.L2, lists = 2, oneBit = true, mrlDims = 2)
     }
     intercept[IllegalArgumentException] {
       VectorIndex("v", Ann.InnerProduct, mrlDims = 2)
@@ -432,6 +434,45 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
         candidates = 30, k = 30)
       .collect().map(_.getLong(0))
     assert(!after.contains(5L) && after.length === 29)
+  }
+
+  test("engine composed index (lists + mrlDims): searchByVector " +
+      "prunes cells before the prefix cut — parity with the explicit " +
+      "composition, and an unprobed far cluster never surfaces") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("mrlivfeng", primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 2, mrlDims = 1)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-mrlivfeng-reg").toString)
+      .register(td)
+    // two well-separated clusters; rid parity picks the cluster
+    val rows = (0 until 30).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 100.0f
+      VecRow(i.toLong, Seq(c + (i % 5) * 0.1f, (i % 7).toFloat))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    val q = Seq(1.0, 1.0)
+    val got = eng.searchByVector(td, q, topk = 5, probes = 1,
+        refine = 3, returnFields = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the deterministic KMeans trainer reproduces the engine's model
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 2, Ann.L2)
+    val pruned = Ann.assign(reg.table(td), "v", model, Ann.L2)
+      .join(org.apache.spark.sql.functions.broadcast(
+        Ann.probeCells(model, org.apache.spark.sql.functions
+          .typedlit(q), Ann.L2, 1)), Seq("centroid_id"))
+    val want = Ann.matryoshkaTopK(pruned, "rid", "v", q, dims = 1,
+        candidates = 15, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // cells really pruned: the far cluster (odd rids) is unprobed
+    assert(got.forall(_._1 % 2 == 0),
+      s"far-cluster rows surfaced through a 1-probe search: $got")
   }
 
   test("attachStoredIndex matryoshka-IVF root: deletes rewrite ONLY " +
