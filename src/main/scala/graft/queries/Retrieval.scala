@@ -1881,6 +1881,36 @@ object Retrieval {
       probes = 3, candidates = 50, k = 10)
   }
 
+  /** r82: FILTERED composed search — the matryoshka-IVF layout joins
+    * the filtered-search family (c08, r51-r54, r58-r60, r76): the
+    * metadata column rides the cell layout as a kept column, the
+    * predicate applies BEFORE the prefix cut (no-starvation) and
+    * reaches the phase-1 scan as a parquet filter NEXT TO the cell
+    * partition pruning — three prunings in one scan (cells ×
+    * row-groups × emb_pre columns). In-query pins follow the r76
+    * precedent: cell pruning + the candidate In pushdown on the
+    * returned plan (the operator asserts phase 1's own pins; a
+    * pred applied after the cut instead of before would hash-fail
+    * the oracle, which restricts the cut). */
+  def matryoshkaIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_filt").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir, keepCols = Seq("label"))
+    val df = Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 5),
+      probes = 3, candidates = 50, k = 10,
+      pred = col("label").isin(1, 3, 5))
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id",
+      "filtered matryoshka-IVF phase 2")
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r82 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -2123,6 +2153,7 @@ object Retrieval {
     "r79_matryoshka_ivf_cos" -> matryoshkaIvfCos,
     "r80_matryoshka_ivf_delete" -> matryoshkaIvfDelete,
     "r81_matryoshka_ivf_append" -> matryoshkaIvfAppend,
+    "r82_matryoshka_ivf_filtered" -> matryoshkaIvfFiltered,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -4252,6 +4283,11 @@ object Retrieval {
     // pinned model = indistinguishable from a day-one build — r78's
     // replay lands verbatim on the grown root.
     "r81_matryoshka_ivf_append" -> matryoshkaIvfOracleSql(),
+    // r82: the predicate restricts the cut (BEFORE the limit), probes
+    // and re-rank unchanged — the composed replay with the WHERE.
+    "r82_matryoshka_ivf_filtered" -> matryoshkaIvfOracleSql(
+      "a.vec_id IN (SELECT vec_id FROM embeddings " +
+        "WHERE label IN (1, 3, 5))"),
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->
