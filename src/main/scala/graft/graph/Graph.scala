@@ -527,11 +527,15 @@ object Graph {
         .groupBy("__t")
         .agg(sum(col("pr") / col("__od")).as("__in"))
         .withColumnRenamed("__t", "__id")
+      // per-round lineage break (the kCorePeel rule): without it the
+      // round-r frame's plan contains every earlier round's join
+      // chain, and each consumer re-executes the whole unrolled stack
       pr = nodes.select("__id").join(contrib, Seq("__id"), "left")
         .withColumn("pr", round(
           lit((1 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0)), 9))
         .select("__id", "pr")
+        .localCheckpoint(true)
     }
     nodes.join(pr, "__id")
       .select(col("text"), round(col("pr"), roundTo).as("pr"))
@@ -580,11 +584,13 @@ object Graph {
         .groupBy("__t2")
         .agg(sum(col("pr") / col("__od")).as("__in"))
         .withColumnRenamed("__t2", "__id")
+      // per-round lineage break, like pageRank
       pr = teleAll.join(contrib, Seq("__id"), "left")
         .withColumn("pr", round(
           lit(1 - damping) * col("__t") +
             lit(damping) * coalesce(col("__in"), lit(0.0)), 9))
         .select("__id", "pr")
+        .localCheckpoint(true)
     }
     nodes.join(pr, "__id")
       .select(col("text"), round(col("pr"), roundTo).as("pr"))
@@ -634,9 +640,11 @@ object Graph {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("__t").as("__id"), col("label").as("__new"))
+      // per-round lineage break, like pageRank
       lab = lab.join(pick, Seq("__id"), "left")
         .select(col("__id"),
           coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
     }
     nodes.join(lab, "__id")
       .select(col("text"), col("label").as("community"))
