@@ -107,9 +107,9 @@ object Ann {
           a: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, _)) =>
-        val arr = a.toDoubleArray()
-        val n = math.sqrt(arr.foldLeft(0.0)((acc, x) => acc + x * x))
-        typedlit(arr.map(_ / n).toSeq)
+        // the ONE driver-side normalizer (normalizeSeq) — two copies
+        // of the bit-for-bit contract would silently de-sync
+        typedlit(normalizeSeq(a.toDoubleArray().toSeq))
       case _ => l2Normalize(queryVec)
     }
 
@@ -660,9 +660,20 @@ object Ann {
         "back nondeterministically"))
     val rows = matryoshkaIvfRows(newRows, idCol, vecCol, dims, model,
       metric, keep)
-    require(rows.columns.toSet == storedCols,
-      s"appendMatryoshkaIvf: batch columns ${rows.columns.toSet} != " +
-        s"stored $storedCols")
+    // compare (name -> type), not names: a type-divergent kept or id
+    // column would pass a name-set check and write exactly the
+    // mixed-schema dir this guard exists to prevent. The partition
+    // column is exempt — directory-name encoding erases its physical
+    // type on read-back.
+    val storedTypes = spark.read.parquet(s"$dir/rows").schema
+      .filterNot(_.name == model.idCol)
+      .map(f => f.name -> f.dataType).toMap
+    val batchTypes = rows.schema.filterNot(_.name == model.idCol)
+      .map(f => f.name -> f.dataType).toMap
+    require(batchTypes == storedTypes,
+      s"appendMatryoshkaIvf: batch schema $batchTypes != stored " +
+        s"$storedTypes — a mixed-schema rows/ dir reads back " +
+        "nondeterministically")
     rows.write.mode("append").partitionBy(model.idCol)
       .parquet(s"$dir/rows")
   }

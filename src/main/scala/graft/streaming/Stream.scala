@@ -415,19 +415,24 @@ object Stream {
     val spark = vectors.sparkSession
     require(dims >= 1, s"ingestMatryoshkaIvf: dims >= 1, got $dims")
     graft.ops.Ann.requireMatryoshkaMetric(metric, "ingestMatryoshkaIvf")
+    // EVERY refusal runs before ANY mutation: a refused start must
+    // leave the directory byte-identical — writing markers or
+    // rewriting centroids/ first would pollute an unrelated batch dir
+    // (isMatryoshkaIvfRoot would then misroute it) or, worse, tear
+    // down a healthy graduated root's centroids before refusing
+    requireStreamableLayout(spark, s"$dir/rows")
     // the ONE marker composer (Ann.matryoshkaMarker) — this path and
     // the batch write cannot drift
     val want = graft.ops.Ann.matryoshkaMarker(dims, metric)
     graft.io.Markers.read(spark, dir, "_graft_matryoshka_ivf") match {
-      case None => graft.io.Markers.write(spark, dir,
-        "_graft_matryoshka_ivf", want)
+      case None => ()
       case Some(m) => require(m == want,
         s"ingestMatryoshkaIvf: $dir is pinned to '$m' but this ingest " +
           s"slices '$want' — one layout, one prefix geometry")
     }
     graft.ops.Ann.ensureIvfModelMarker(spark, dir, model)
+    graft.io.Markers.write(spark, dir, "_graft_matryoshka_ivf", want)
     model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    requireStreamableLayout(spark, s"$dir/rows")
     graft.ops.Ann.matryoshkaIvfRows(vectors, idCol, vecCol, dims,
         model, metric, Nil)
       .writeStream
