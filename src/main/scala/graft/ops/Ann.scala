@@ -665,17 +665,69 @@ object Ann {
     // mixed-schema dir this guard exists to prevent. The partition
     // column is exempt — directory-name encoding erases its physical
     // type on read-back.
+    // nullability-normalized: containsNull is not a physical-schema
+    // hazard for a parquet append (read-back reports true regardless);
+    // only genuine type divergence must refuse
     val storedTypes = spark.read.parquet(s"$dir/rows").schema
       .filterNot(_.name == model.idCol)
-      .map(f => f.name -> f.dataType).toMap
+      .map(f => f.name -> nullableForm(f.dataType)).toMap
     val batchTypes = rows.schema.filterNot(_.name == model.idCol)
-      .map(f => f.name -> f.dataType).toMap
+      .map(f => f.name -> nullableForm(f.dataType)).toMap
     require(batchTypes == storedTypes,
       s"appendMatryoshkaIvf: batch schema $batchTypes != stored " +
         s"$storedTypes — a mixed-schema rows/ dir reads back " +
         "nondeterministically")
     rows.write.mode("append").partitionBy(model.idCol)
       .parquet(s"$dir/rows")
+  }
+
+  /** A type with every nullability flag forced true — the schema-guard
+    * normal form (parquet read-back reports containsNull=true for
+    * arrays regardless of what was written, so flag differences are
+    * noise, never a mixed-schema hazard). */
+  private def nullableForm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(nullableForm(et), true)
+      case MapType(k, v, _) =>
+        MapType(nullableForm(k), nullableForm(v), true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = nullableForm(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
+  /** [[appendMatryoshkaIvf]] made REPLAY-SAFE by id — the composed
+    * root's twin of [[appendRangeIndexIdempotent]], and for the same
+    * reason: a foreachBatch sink can redeliver a batch after a crash,
+    * and a blind re-append would duplicate every row. Rows whose
+    * `idCol` already exists in the cells this batch touches are
+    * dropped first (the existence probe reads ONLY touched cell
+    * directories — batch-cells-bounded, never corpus-bounded), so a
+    * redelivered batch appends NOTHING under the immutable-row
+    * contract. Returns rows actually appended. */
+  def appendMatryoshkaIvfIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newRows: DataFrame, idCol: String, vecCol: String): Long = {
+    val (dims, metric) = readMatryoshkaMeta(spark, dir,
+      "appendMatryoshkaIvfIdempotent", "_graft_matryoshka_ivf")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    val touched = matryoshkaIvfRows(newRows, idCol, vecCol, dims,
+        model, metric, Nil)
+      .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    val existing = spark.read.parquet(s"$dir/rows")
+      .filter(col(model.idCol).isin(touched: _*))
+      .select(col(idCol))
+    // micro-batch-sized; materialized once — the append reads its
+    // input several times (schema probe, row build, write)
+    val fresh = newRows.join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L) appendMatryoshkaIvf(spark, dir, fresh, idCol, vecCol)
+    n
   }
 
   /** Is `dir` a [[writeMatryoshkaIvf]] root? */

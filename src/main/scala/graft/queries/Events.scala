@@ -723,7 +723,54 @@ object Events {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toSeq
 
+  /** s21: streamed MAINTENANCE of a graduated composed matryoshka-IVF
+    * root ([[graft.streaming.Stream.ingestMatryoshkaIvfAppend]]) —
+    * s19's twin for the r78 layout: half the corpus batch-built under
+    * the full-corpus model, the other half in three micro-batches
+    * through foreachBatch over the id-keyed replay-safe append. Pins:
+    * a replayed batch appends zero rows, and the grown root serves
+    * r78's replay verbatim (one oracle, day-one and grown builds
+    * indistinguishable). */
+  def streamMatryoshkaIvfAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s21_root").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dims = 8, model, root)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s21_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestMatryoshkaIvfAppend(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      root, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin: a crash-redelivered batch appends NOTHING
+    val dup = graft.ops.Ann.appendMatryoshkaIvfIdempotent(s, root,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s21: replayed batch appended $dup rows — append not replay-safe")
+    graft.ops.Ann.matryoshkaTopKIvf(s, root, "vec_id",
+      qvecSeqOf(s, d, 5), probes = 3, candidates = 50, k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_mrl_ivf_append" -> streamMatryoshkaIvfAppend,
     "s20_stream_matryoshka_ivf" -> streamMatryoshkaIvf,
     "s19_stream_range_append" -> streamRangeAppend,
     "s18_stream_matryoshka_twin" -> streamMatryoshkaTwin,
@@ -887,6 +934,10 @@ object Events {
     // s20: the streamed-then-graduated composed layout is lossless —
     // r78's composed replay lands verbatim.
     "s20_stream_matryoshka_ivf" -> Retrieval.oracles("r78_matryoshka_ivf"),
+    // s21: half batch-built + half streamed-appended under the
+    // full-corpus model = indistinguishable from a day-one build —
+    // r78's replay verbatim on the grown root.
+    "s21_stream_mrl_ivf_append" -> Retrieval.oracles("r78_matryoshka_ivf"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

@@ -443,6 +443,34 @@ object Stream {
       .start(s"$dir/rows")
   }
 
+  /** Continuous APPEND into an already-graduated COMPOSED
+    * matryoshka-IVF root — [[ingestRangeAppend]]'s twin for the
+    * [[graft.ops.Ann.writeMatryoshkaIvf]] layout, closing the same
+    * gap: [[ingestMatryoshkaIvf]] grows a FRESH commit-log dir, but a
+    * graduated root is a batch layout, so its continued growth runs
+    * as foreachBatch over the id-keyed replay-safe
+    * [[graft.ops.Ann.appendMatryoshkaIvfIdempotent]]. Fails at START,
+    * not first batch, on a non-root. */
+  def ingestMatryoshkaIvfAppend(vectors: DataFrame, idCol: String,
+                                vecCol: String, root: String,
+                                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    if (!graft.ops.Ann.isMatryoshkaIvfRoot(spark, root))
+      throw new IllegalStateException(
+        s"ingestMatryoshkaIvfAppend: $root has no composed matryoshka" +
+          "-IVF marker — not a graduated writeMatryoshkaIvf root")
+    spark.read.parquet(s"$root/centroids") // loud when centroids miss
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Ann.appendMatryoshkaIvfIdempotent(spark, root, batch,
+          idCol, vecCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous APPEND into an already-graduated
     * [[graft.ops.Ann.writeRangeIndex]] root — the MAINTENANCE stream
     * the range family lacked: the other twins stream into a fresh

@@ -1773,6 +1773,49 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("appendMatryoshkaIvfIdempotent: redelivery appends nothing, " +
+      "fresh rows append, cosine roots replay in their own space, " +
+      "non-roots refuse") {
+    val sp = spark
+    import sp.implicits._
+    val all = (0L until 20L).map { i =>
+      (i, i % 2, Seq.tabulate(4)(j => ((i * 5 + j) % 7).toDouble))
+    }.toDF("vec_id", "label", "embedding")
+    val model = graft.ops.Ann.buildIvf(all, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrlivf_idem").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      all.filter(col("vec_id") < 10), "vec_id", "embedding", 2, model,
+      dir)
+    val batch = all.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    assert(graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp, dir, batch,
+      "vec_id", "embedding") === 5L)
+    // redelivery: zero appended, row count unchanged
+    assert(graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp, dir, batch,
+      "vec_id", "embedding") === 0L)
+    assert(sp.read.parquet(s"$dir/rows").count() === 15L)
+    // a PARTIAL redelivery (3 old + 5 new) appends only the new rows
+    assert(graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp, dir,
+      all.filter(col("vec_id") >= 12), "vec_id", "embedding") === 5L)
+    assert(sp.read.parquet(s"$dir/rows").count() === 20L)
+    // cosine root: the idempotent path assigns in the root's space
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_mrlivf_idem_cos").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      all.filter(col("vec_id") < 10), "vec_id", "embedding", 2, model,
+      cdir, metric = Ann.Cosine)
+    assert(graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp, cdir,
+      batch, "vec_id", "embedding") === 5L)
+    assert(graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp, cdir,
+      batch, "vec_id", "embedding") === 0L)
+    // non-root refuses loudly
+    intercept[IllegalStateException] {
+      graft.ops.Ann.appendMatryoshkaIvfIdempotent(sp,
+        java.nio.file.Files.createTempDirectory("graft_idem_bare")
+          .toString, batch, "vec_id", "embedding")
+    }
+  }
+
   test("matryoshkaBatch agrees with the per-query explicit form on " +
       "every query; candidate bound respected") {
     val sp = spark
