@@ -329,6 +329,33 @@ final class Engine(reg: Registry) {
     }
   }
 
+  /** Install EXTERNALLY-trained IVF centroids for `td`'s vector index
+    * — the offline-training escape hatch [[buildIndex]]'s in-engine
+    * KMeans doesn't need but a 100 TB corpus does: centroids are
+    * trained once on a sample (cheap, driver-sized) and installed
+    * here; every search path (plain IVF, quantized, the composed
+    * matryoshka branch) then reads them through the same catalog
+    * table `buildIndex` writes, so the two paths cannot diverge. The
+    * model must carry exactly `lists` cells — a mismatched install
+    * would silently skew the auto-probe arithmetic (probes =
+    * lists/16) and misdescribe the layout. */
+  def installIndexModel(td: TableDef[_], model: Ann.IvfModel): Unit = {
+    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
+      s"${td.name} has no vector index"))
+    require(ix.lists > 0,
+      s"${td.name}: installIndexModel needs lists > 0 (a flat index " +
+        "has no cells to install)")
+    val n = model.centroids.count()
+    require(n == ix.lists,
+      s"${td.name}: model carries $n cells but the index declares " +
+        s"lists=${ix.lists} — the auto-probe arithmetic would skew")
+    val t = s"${td.name}__ivf"
+    val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
+      model.centroids)
+    reg.catalog.commit(reg.catalog.current +
+      (s"${reg.namespace}_$t" -> Vector(seg)))
+  }
+
   /** The persisted phase-1 mean column — [[Ann.buildMaxsimIvf]]'s
     * `meanCol` default; build and read paths share this one name. */
   private val MvMeanCol = "mv_mean"

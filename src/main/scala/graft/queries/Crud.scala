@@ -277,7 +277,45 @@ object Crud {
         returnFields = Seq("vec_id"))
   }
 
+  /** c10: the COMPOSED index on the ENGINE surface — `create_index`
+    * grows `VectorIndex(lists, mrlDims)` (the vchordrq shape
+    * declaratively: cells prune first, the prefix cut runs within
+    * probed cells, the re-rank at full precision), with the
+    * centroids installed through the new offline-training escape
+    * hatch ([[graft.core.Engine.installIndexModel]] — at 100 TB the
+    * model is trained once on a sample and installed, not re-fit
+    * in-engine; the label-mean model makes the whole chain
+    * oracle-replayable, which the in-engine KMeans path is not).
+    * probes=3, refine=5 ⇒ r78's exact cut; the engine returns only
+    * the final distance, so the oracle is the composed replay minus
+    * pre_dist (the c09/r74 declarative-form convention). Wrong-cell-
+    * count installs refuse — pinned in-query. */
+  def engineMatryoshkaIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count().toInt
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_mrlivf", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding",
+        lists = lists, mrlDims = 8)))
+    reg.register(td)
+    reg.copyBulk(td, e.select(col("vec_id"), col("embedding"),
+      col("label")))
+    val eng = new graft.core.Engine(reg)
+    // a mismatched install refuses (the auto-probe arithmetic pin)
+    require(scala.util.Try(eng.installIndexModel(td,
+        model.copy(centroids = model.centroids.limit(lists - 1))))
+      .isFailure, "c10: a wrong-cell-count install did not refuse")
+    eng.installIndexModel(td, model)
+    val q = e.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    eng.searchByVector(td, q, topk = 10, probes = 3, refine = 5,
+      returnFields = Seq("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_engine_matryoshka_ivf" -> engineMatryoshkaIvf,
     "c09_engine_matryoshka" -> engineMatryoshka,
     "c08_engine_filtered_vec" -> engineFilteredVec,
     "c07_unique_violations" -> uniqueViolations,
@@ -289,6 +327,11 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c10: the engine's composed search runs r78's exact parameters
+    // over the installed label-mean model and returns the final
+    // distance only — the composed replay minus pre_dist.
+    "c10_engine_matryoshka_ivf" ->
+      graft.queries.Retrieval.matryoshkaIvfOracleSql(withPre = false),
     // c09: the engine's matryoshka search runs r70's exact cut
     // parameters and returns the final distance only — the family's
     // declarative-form oracle is shared verbatim.

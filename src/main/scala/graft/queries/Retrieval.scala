@@ -2289,7 +2289,8 @@ object Retrieval {
     * full-precision re-rank. `where` restricts the cut's corpus
     * (r80's delete maintenance: survivors only — centroids stay, the
     * codes-outlive-rows contract). */
-  private def matryoshkaIvfOracleSql(where: String = "TRUE") =
+  private[queries] def matryoshkaIvfOracleSql(where: String = "TRUE",
+                                     withPre: Boolean = true) =
     s"""WITH $LabelIvfProbeCtes,
         p1 AS (
           SELECT a.vec_id, a.embedding::DOUBLE[] AS v,
@@ -2298,7 +2299,7 @@ object Retrieval {
           FROM assigned a JOIN probes USING (centroid_id)
           WHERE $where
           ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
-        SELECT vec_id, pre_dist,
+        SELECT vec_id,${if (withPre) " pre_dist," else ""}
                round(list_distance(v, $qv5), 6) AS dist
         FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
