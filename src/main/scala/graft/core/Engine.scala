@@ -397,7 +397,9 @@ final class Engine(reg: Registry) {
       throw new IllegalStateException(
         s"${td.name}: declarative matryoshka needs an at-rest root — " +
           s"write one (Ann.writeMatryoshka) and register it via " +
-          s"AnnIndex.registerMatryoshka('${ix.column}', ...); " +
+          s"AnnIndex.registerMatryoshka('${ix.column}', ...) — or, " +
+          s"for a composed lists+mrlDims table, a writeMatryoshkaIvf " +
+          s"root via AnnIndex.registerMatryoshkaIvf; " +
           "installDeclarative has no in-memory truncation form")
     }
     graft.plans.AnnIndex.install(reg.spark)

@@ -321,6 +321,41 @@ object AnnIndex {
     }
   }
 
+  /** The COMPOSED matryoshka-IVF member ([[Ann.writeMatryoshkaIvf]]
+    * roots): candidates are the top-(k·refine) ids by prefix distance
+    * WITHIN the `probes` nearest cells — phase 1 partition-prunes to
+    * probed cell directories AND column-prunes to `emb_pre`, the two
+    * prunings the composed layout exists for; the plan's own
+    * Sort+Limit re-ranks at full precision. Centroids come from the
+    * root itself (self-contained), dims/metric from its marker at
+    * register time. */
+  private final case class MrlIvfQuant(dir: String, idCol: String,
+                                       dims: Int, probes: Int,
+                                       refine: Int, owner: String = "")
+      extends QuantEntry {
+    def metric: Ann.Metric = Ann.L2
+    def candidateIds(q: Array[Double], n: Int) = {
+      require(q.length >= dims,
+        s"matryoshka-IVF rewrite: query has ${q.length} dims but the " +
+          s"root's prefix is $dims — wrong embedding space")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, round, typedlit}
+      val model = Ann.IvfModel(
+        spark.read.parquet(s"$dir/centroids"), "centroid_id", "centroid")
+      val cells = Ann.probeCells(model, typedlit(q.toSeq), Ann.L2,
+        probes).collect().map(_.getLong(0))
+      spark.read.parquet(s"$dir/rows")
+        .filter(col("centroid_id").isin(cells: _*))
+        .select(col(idCol),
+          round(org.apache.spark.sql.graft.VecExprs.l2Dist(
+            col("emb_pre"), typedlit(q.take(dims).toSeq)), 6)
+            .as("__pre"))
+        .orderBy(col("__pre").asc, col(idCol).asc)
+        .limit(n)
+        .select(col(idCol).as(s"__cand_$idCol")) // fresh exprId — see SqQuant
+    }
+  }
+
   private val quantEntries = TrieMap.empty[String, QuantEntry]
 
   private def requireQuantMetric(metric: Ann.Metric): Unit =
@@ -425,6 +460,32 @@ object AnnIndex {
       requireFreeOrSameOwner("matryoshka", vecCol,
         quantEntries.get(vecCol).map(_.owner), owner)
       quantEntries(vecCol) = MrlQuant(dir, idCol, dims, refine, owner)
+    }
+  }
+
+  /** Register a [[Ann.writeMatryoshkaIvf]] root for declarative
+    * rewrite — [[registerMatryoshka]]'s composed twin: same l2_dist
+    * plan shape, but the candidate cut probes cells first. The
+    * root's marker is read HERE (missing/cosine roots refuse the
+    * registration, not the first query — the rewrite serves l2_dist
+    * plans only). */
+  def registerMatryoshkaIvf(vecCol: String, idCol: String, dir: String,
+                            probes: Int = 3, refine: Int = 5,
+                            owner: String = ""): Unit = {
+    require(refine >= 1, s"registerMatryoshkaIvf: refine >= 1, got $refine")
+    require(probes >= 1, s"registerMatryoshkaIvf: probes >= 1, got $probes")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (dims, rootMetric) = Ann.readMatryoshkaMeta(spark, dir,
+      "registerMatryoshkaIvf", "_graft_matryoshka_ivf")
+    require(rootMetric == Ann.L2,
+      s"registerMatryoshkaIvf: $dir is a metric=$rootMetric root — " +
+        "the declarative rewrite serves l2_dist plans only; query " +
+        "cosine roots via Ann.matryoshkaTopKIvf(metric = Cosine)")
+    quantEntries.synchronized {
+      requireFreeOrSameOwner("matryoshka-ivf", vecCol,
+        quantEntries.get(vecCol).map(_.owner), owner)
+      quantEntries(vecCol) = MrlIvfQuant(dir, idCol, dims, probes,
+        refine, owner)
     }
   }
 

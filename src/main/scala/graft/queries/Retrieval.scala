@@ -1911,6 +1911,38 @@ object Retrieval {
     df
   }
 
+  /** r83: the composed DECLARATIVE rewrite
+    * ([[graft.plans.AnnIndex.registerMatryoshkaIvf]]) — r74's twin
+    * over the r78 layout: a plain `orderBy(l2_dist(embedding, q))
+    * .limit(10)` plan rewrites into a LeftSemi against the
+    * top-(k·refine) prefix-distance candidates read from the probed
+    * cells ONLY (partition + emb_pre pruning both live inside the
+    * candidate scan), the plan's own Sort+Limit as the exact
+    * re-rank. probes=3, refine=5 ⇒ r78's cut, so the oracle is the
+    * composed replay minus pre_dist. LeftSemi pinned in-query. */
+  def matryoshkaIvfRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_rw").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerMatryoshkaIvf("embedding", "vec_id",
+      dir, probes = 3, refine = 5)
+    try {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), qvec(s, d, 5)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "matryoshka-IVF rewrite did not engage")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -2154,6 +2186,7 @@ object Retrieval {
     "r80_matryoshka_ivf_delete" -> matryoshkaIvfDelete,
     "r81_matryoshka_ivf_append" -> matryoshkaIvfAppend,
     "r82_matryoshka_ivf_filtered" -> matryoshkaIvfFiltered,
+    "r83_matryoshka_ivf_rewrite" -> matryoshkaIvfRewrite,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -4289,6 +4322,11 @@ object Retrieval {
     "r82_matryoshka_ivf_filtered" -> matryoshkaIvfOracleSql(
       "a.vec_id IN (SELECT vec_id FROM embeddings " +
         "WHERE label IN (1, 3, 5))"),
+    // r83: the rewritten plan computes only the final distance (the
+    // user's plan never sees pre_dist) — the composed replay in its
+    // declarative form.
+    "r83_matryoshka_ivf_rewrite" -> matryoshkaIvfOracleSql(
+      withPre = false),
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->

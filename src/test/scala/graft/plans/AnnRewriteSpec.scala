@@ -651,4 +651,47 @@ class AnnRewriteSpec extends SparkSpecBase {
       AnnIndex.registerMatryoshka("embedding", "vec_id", dir, refine = 0)
     }
   }
+
+  test("matryoshka-IVF rewrite (r83): LeftSemi against the probed " +
+      "prefix cut, result equals the explicit composed operator; " +
+      "cosine and bare roots refuse to register") {
+    val sp = spark
+    import sp.implicits._
+    AnnIndex.install(sp)
+    val e = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = Files.createTempDirectory("graft-mrlivf-rw").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", 8, model, dir)
+    val q = e.filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    AnnIndex.registerMatryoshkaIvf("embedding", "vec_id", dir,
+      probes = 2, refine = 4)
+    try {
+      val df = e.withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), typedlit(q)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+        .select("vec_id", "dist")
+      assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Ann.matryoshkaTopKIvf(sp, dir, "vec_id", q,
+          probes = 2, candidates = 20, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(got.toSeq === want.toSeq)
+    } finally AnnIndex.unregisterQuantized("embedding")
+    // a cosine root refuses at REGISTER time (wrong reduction space
+    // for an l2_dist plan)
+    val cdir = Files.createTempDirectory("graft-mrlivf-rw-cos").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", 8, model, cdir,
+      metric = Ann.Cosine)
+    intercept[IllegalArgumentException] {
+      AnnIndex.registerMatryoshkaIvf("embedding", "vec_id", cdir)
+    }
+    // a dir with no composed marker refuses at register time too
+    intercept[IllegalStateException] {
+      AnnIndex.registerMatryoshkaIvf("embedding", "vec_id",
+        Files.createTempDirectory("graft-mrlivf-rw-bare").toString)
+    }
+  }
 }
