@@ -238,7 +238,60 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** q18: BUCKETED co-located join — the shuffle-elimination
+    * technique the 100 TB plan leans on for repeated fact⋈fact joins
+    * (pre-partition both sides once at write time, then every join on
+    * the bucket key reads co-located buckets with NO exchange on
+    * either input): orders and lineitem are written `bucketBy(8,
+    * orderkey).sortBy` as external tables (data under /tmp, metadata
+    * in the session catalog), broadcast is disabled for the gate so
+    * the planner cannot cheat, and the physical plan is pinned —
+    * a SortMergeJoin whose ONLY Exchange is the final aggregate's
+    * (an unbucketed plan carries three). Values are the plain
+    * join+aggregate, so the oracle needs no bucket knowledge: the
+    * layout changes the plan, never the answer. */
+  def q18BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q18_bkt").toString
+    orders(s, d).write.mode("overwrite")
+      .option("path", s"$tmp/orders_bkt")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("q18_orders_bkt")
+    lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite")
+      .option("path", s"$tmp/lineitem_bkt")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("q18_lineitem_bkt")
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = s.table("q18_orders_bkt")
+        .join(s.table("q18_lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val phys = df.queryExecution.executedPlan.toString
+      require(phys.contains("SortMergeJoin"),
+        s"q18 did not plan a sort-merge join:\n$phys")
+      require("Bucketed: true".r.findAllIn(phys).size >= 2,
+        s"q18 scans are not bucketed:\n$phys")
+      // the precise pin: NO exchange partitions by a join key — the
+      // aggregate's hashpartitioning(o_orderpriority) and the final
+      // sort's rangepartitioning remain, the join inputs do not
+      // shuffle (an unbucketed plan hashpartitions both keys)
+      require("""Exchange hashpartitioning\((o_orderkey|l_orderkey)""".r
+          .findFirstIn(phys).isEmpty,
+        s"q18 join inputs shuffled — bucketing did not co-locate:\n$phys")
+      df.localCheckpoint(true)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevBroadcast)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_bucketed_join" -> q18BucketedJoin,
     "q17_salted_join" -> q17SaltedJoin,
     "q15_correlated_sub" -> q15CorrelatedSub,
     "q16_running_sum" -> q16RunningSum,
@@ -258,6 +311,15 @@ object Relational {
     "q10_rollup" -> q10Rollup)
 
   val oracles: Map[String, String] = Map(
+    // q18: the bucketed layout changes the PLAN, never the answer —
+    // the oracle is the plain join+aggregate.
+    "q18_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+           AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
