@@ -273,6 +273,30 @@ object DataOps {
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
 
+  /** p38: the langid chain JUDGED against the corpus's own `lang`
+    * labels — the confusion matrix a curation pipeline reads before
+    * trusting a language filter (p08 counts predictions; this says
+    * which true languages they came from): one row per (lang,
+    * pred_lang) with the count and the per-true-language recall
+    * fraction. Map-only prediction + two combinable aggregates — no
+    * shape change at 100 TB. Vacuity pinned: at least one diagonal
+    * cell must exist (a dead predictor would emit only 'und'). */
+  def langidConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = docsPar(s, d)
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+    val conf = pred.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = pred.groupBy("lang").agg(count(lit(1)).as("tt"))
+    val out = conf.join(tot, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("tt"), 6).as("frac"))
+      .orderBy("lang", "pred_lang")
+    require(out.filter(col("lang") === col("pred_lang"))
+        .limit(1).count() > 0,
+      "p38 is vacuous: the predictor agrees with no label at all")
+    out
+  }
+
   /** Document fingerprint overlap: min-k shingle-hash sketches per doc,
     * top-10 doc pairs by sketch intersection (the bottom-k containment
     * estimate). Runs the md5-prefix-60 hash family
@@ -693,7 +717,8 @@ object DataOps {
     "p20_semdedup" -> semDedup,
     "p06_token_stats" -> tokenStats,
     "p07_quality_topk" -> qualityTopk,
-    "p08_langid_counts" -> langidCounts)
+    "p08_langid_counts" -> langidCounts,
+    "p38_langid_confusion" -> langidConfusion)
 
   /** DuckDB tokenizer mirroring Bm25.tokenize. */
   private val toksSql =
@@ -721,6 +746,23 @@ object DataOps {
 
   private val jaccardSql: String =
     s"WITH $jaccardCtes SELECT a, b, jaccard FROM jp"
+
+  /** The full langid prediction chain (tokens → per-language stopword
+    * scores → argmax with ties lang asc → 'und' on zero hits), ending
+    * in pred(doc_id, pred_lang) — ONE fragment for every gate that
+    * needs predictions (p08 counts, p31 entropy, p38 confusion); a
+    * one-sided edit cannot de-sync them. */
+  private lazy val langPredCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        scores AS ($langScoresSql),
+        best AS (SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hits DESC, lang ASC) AS rn
+                 FROM scores),
+        pred AS (SELECT doc_id,
+                   CASE WHEN hits = 0 THEN 'und' ELSE lang END
+                     AS pred_lang
+                 FROM best WHERE rn = 1)"""
 
   /** Per-language stopword-hit scoring branches for the langid oracle. */
   private val langScoresSql: String =
@@ -1611,30 +1653,26 @@ object DataOps {
           SELECT doc_id, quality FROM q
           ORDER BY quality DESC, doc_id ASC LIMIT 10""",
     "p08_langid_counts" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          scores AS ($langScoresSql),
-          best AS (SELECT doc_id, lang, hits,
-                     row_number() OVER (PARTITION BY doc_id
-                       ORDER BY hits DESC, lang ASC) AS rn
-                   FROM scores),
-          pred AS (SELECT doc_id,
-                     CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang
-                   FROM best WHERE rn = 1)
+      s"""WITH $langPredCtes
           SELECT pred_lang, count(*) AS n FROM pred GROUP BY 1 ORDER BY 1""",
+    // p38: the langid chain judged against the corpus's own labels —
+    // the confusion matrix with per-true-language recall fractions.
+    "p38_langid_confusion" ->
+      s"""WITH $langPredCtes,
+          conf AS (SELECT d.lang, p.pred_lang, count(*) AS n
+                   FROM documents d JOIN pred p USING (doc_id)
+                   GROUP BY 1, 2),
+          tot AS (SELECT lang, count(*) AS tt
+                  FROM documents GROUP BY 1)
+          SELECT c.lang, c.pred_lang, c.n,
+                 round(CAST(c.n AS DOUBLE) / t.tt, 6) AS frac
+          FROM conf c JOIN tot t USING (lang)
+          ORDER BY lang, pred_lang""",
     // p31: the composed report — every term is an already-proven
     // fragment (dup groups, qualityCtes, the p08 langid chain, the
     // p06/p07 whitespace token count).
     "p31_corpus_report" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          scores AS ($langScoresSql),
-          best AS (SELECT doc_id, lang, hits,
-                     row_number() OVER (PARTITION BY doc_id
-                       ORDER BY hits DESC, lang ASC) AS rn
-                   FROM scores),
-          pred AS (SELECT doc_id,
-                     CASE WHEN hits = 0 THEN 'und' ELSE lang END
-                       AS pred_lang
-                   FROM best WHERE rn = 1),
+      s"""WITH $langPredCtes,
           $qualityCtes
           SELECT
             (SELECT count(*) FROM documents) AS n_docs,
