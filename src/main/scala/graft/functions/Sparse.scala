@@ -226,6 +226,42 @@ object Sparse {
     writeBucketsMarker(postings.sparkSession, dir, buckets)
   }
 
+  /** Batch APPEND into a [[writePostings]] layout made REPLAY-SAFE by
+    * doc id — the sparse member of the graduated-root maintenance
+    * family ([[graft.ops.Bm25.appendPostingsIdempotent]]'s twin):
+    * docs whose id already carries postings in the partition dirs
+    * this batch touches are dropped first, so a crash-redelivered
+    * foreachBatch batch appends NOTHING; the existence probe reads
+    * only touched `__b` directories. Returns docs appended. */
+  def appendPostingsIdempotent(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               docs: org.apache.spark.sql.DataFrame,
+                               idCol: String, idxCol: String,
+                               valCol: String): Long = {
+    val buckets = readBucketsMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"appendPostingsIdempotent: $dir has no $BucketsMarker marker " +
+          "— not a sparse postings layout"))
+    graft.ops.Ann.requireBatchLayout(spark, dir)
+    val posts = invertedPostings(docs, idCol, idxCol, valCol)
+      .withColumn("__b", pmod(col("bucket"), lit(buckets)))
+    val touched = posts.select(col("__b")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return 0L
+    val existing = spark.read.parquet(dir)
+      .filter(col("__b").isin(touched: _*))
+      .select(col("id")).distinct()
+    val fresh = docs
+      .join(existing, docs(idCol) === existing("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L)
+      invertedPostings(fresh, idCol, idxCol, valCol)
+        .withColumn("__b", pmod(col("bucket"), lit(buckets)))
+        .write.mode("append").partitionBy("__b").parquet(dir)
+    n
+  }
+
   /** [[invertedTopK]] over a [[writePostings]] layout: the query's
     * buckets map to their partition dirs via the recorded modulus and
     * the `isin` filter prunes every other directory at the scan

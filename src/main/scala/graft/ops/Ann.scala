@@ -1030,6 +1030,52 @@ object Ann {
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(path)
 
+  /** Batch APPEND into a [[writePartitioned]] dense-cell layout made
+    * REPLAY-SAFE by id — the plain-IVF member of the graduated-root
+    * maintenance family (range/composed-matryoshka/BM25/sparse have
+    * their twins; the QUANTIZED layouts deliberately do not: SQ/PQ/
+    * 1-bit codes are bound to their training-time bounds/codebooks,
+    * so those layouts rebuild rather than grow — the cell-split
+    * scaladoc's contract). New rows are assigned under the model the
+    * layout's fingerprint pins (a retrained model refuses via
+    * [[ensureIvfModelMarker]]), rows whose id already exists in the
+    * touched cells are dropped (crash-redelivery appends nothing),
+    * and the batch schema must match the stored rows
+    * nullability-normalized. Returns rows appended. */
+  def appendIvfIdempotent(spark: org.apache.spark.sql.SparkSession,
+                          path: String, model: IvfModel,
+                          newRows: DataFrame, idCol: String,
+                          vecCol: String,
+                          metric: Metric = L2): Long = {
+    ensureIvfModelMarker(spark, path, model)
+    requireBatchLayout(spark, path)
+    val assigned = assign(newRows, vecCol, model, metric)
+    val touched = assigned.select(col(model.idCol)).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    val existing = spark.read.parquet(path)
+      .filter(col(model.idCol).isin(touched: _*))
+      .select(col(idCol))
+    val fresh = assigned
+      .join(existing.withColumnRenamed(idCol, "__eid"),
+        assigned(idCol) === col("__eid"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L) {
+      val storedTypes = spark.read.parquet(path).schema
+        .filterNot(_.name == model.idCol)
+        .map(f => f.name -> nullableForm(f.dataType)).toMap
+      val batchTypes = fresh.schema.filterNot(_.name == model.idCol)
+        .map(f => f.name -> nullableForm(f.dataType)).toMap
+      require(batchTypes == storedTypes,
+        s"appendIvfIdempotent: batch schema $batchTypes != stored " +
+          s"$storedTypes — a mixed-schema layout reads back " +
+          "nondeterministically")
+      fresh.write.mode("append").partitionBy(model.idCol).parquet(path)
+    }
+    n
+  }
+
   /** Deterministic digest of a model's centroid set (id-sorted, exact
     * double rendering) — the identity a GROWING layout must pin: rows
     * assigned under two different models mixed in one cell-partitioned

@@ -380,6 +380,50 @@ object Bm25 {
     writeBucketsMarker(docs.sparkSession, dir, buckets, tok.name)
   }
 
+  /** Batch APPEND into a [[writePostings]] layout made REPLAY-SAFE by
+    * doc id — the keyword member of the graduated-root maintenance
+    * family ([[graft.ops.Ann.appendRangeIndexIdempotent]]'s pattern):
+    * docs whose id already carries postings in the buckets this batch
+    * touches are dropped before the append, so a crash-redelivered
+    * foreachBatch batch appends NOTHING (id-keyed replay safety under
+    * the immutable-doc contract). The existence probe reads ONLY
+    * touched bucket directories (batch-term-bounded, never
+    * corpus-bounded); the batch tokenizes under the LAYOUT's recorded
+    * tokenizer or refuses (appended postings under a different one
+    * would silently mismatch every query term). Returns docs actually
+    * appended. Reload stats ([[loadStoredPostings]]) after growth. */
+  def appendPostingsIdempotent(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, docs: DataFrame,
+                               idCol: String, textCol: String,
+                               tok: graft.functions.Tokenizers.Tokenizer =
+                                 graft.functions.Tokenizers.Simple): Long = {
+    val (buckets, recordedTok) = readLayoutMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"appendPostingsIdempotent: $dir has no $BucketsMarker marker " +
+          "— not a graft postings layout"))
+    val want = recordedTok.getOrElse("simple")
+    require(tok.name == want,
+      s"appendPostingsIdempotent: $dir was tokenized by '$want' but " +
+        s"the batch offers '${tok.name}' — appended postings would " +
+        "mismatch every query term")
+    graft.ops.Ann.requireBatchLayout(spark, dir)
+    val touched = postingsOf(docs, idCol, textCol, tok, buckets)
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return 0L
+    val existing = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("id")).distinct()
+    // micro-batch-sized; materialized once — the append re-tokenizes
+    val fresh = docs
+      .join(existing, docs(idCol) === existing("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L)
+      postingsOf(fresh, idCol, textCol, tok, buckets)
+        .write.mode("append").partitionBy("bucket").parquet(dir)
+    n
+  }
+
   /** Load a stored postings layout into a queryable [[Bm25Index]]:
     * re-derives N and avgdl with one aggregate (exact integer sums —
     * order-independent) and declares termStats lazily; [[search]]/

@@ -769,7 +769,168 @@ object Events {
       qvecSeqOf(s, d, 5), probes = 3, candidates = 50, k = 10)
   }
 
+  /** s22: streamed MAINTENANCE of a graduated BM25 postings layout
+    * ([[graft.streaming.Stream.ingestBm25Append]]) — the keyword
+    * member of the graduated-root maintenance family (s19 range, s21
+    * composed matryoshka): half the corpus batch-written, the other
+    * half in three micro-batches through foreachBatch over the
+    * id-keyed replay-safe append. Pins: a replayed batch appends
+    * zero docs; the loaded grown index serves r23's query with its
+    * bucket partition pruning intact — and the oracle is r23's
+    * verbatim (a grown layout is indistinguishable from a one-shot
+    * build, because BM25 stats re-derive from the full posting set
+    * at load). */
+  def streamBm25Append(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s22_dir").toString
+    graft.ops.Bm25.writePostings(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, buckets = 16)
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s22_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Stream.ingestBm25Append(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dup = graft.ops.Bm25.appendPostingsIdempotent(s, dir,
+      rows.take(rows.length / 3).toDF("doc_id", "text"), "doc_id",
+      "text")
+    require(dup == 0L,
+      s"s22: replayed batch appended $dup docs — append not replay-safe")
+    val idx = graft.ops.Bm25.loadStoredPostings(s, dir)
+    val df = graft.ops.Bm25.search(idx, "window partition order", 10)
+    val phys = df.queryExecution.executedPlan.toString
+    Retrieval.assertPartitionPruned(phys, "bucket",
+      "grown stored bm25 search")
+    df
+  }
+
+  /** s23: streamed MAINTENANCE of a graduated SPARSE postings layout
+    * ([[graft.streaming.Stream.ingestSparseAppend]]) — s22's sparse
+    * twin: same half-and-half build, same replay pin, r30's query
+    * and oracle verbatim over the grown layout (a pure dot has no
+    * corpus stats at all, so growth is trivially invisible). */
+  def streamSparseAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val docs = Tables.documents(s, d)
+      .withColumn("__sv", sv(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("__i"),
+        col("__sv.values").as("__v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s23_dir").toString
+    graft.functions.Sparse.writePostings(
+      graft.functions.Sparse.invertedPostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "__i", "__v"),
+      dir, buckets = 16)
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .as[(Long, Seq[Int], Seq[Float])].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s23_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Int], Seq[Float])]
+    val q = graft.streaming.Stream.ingestSparseAppend(
+      input.toDF().toDF("doc_id", "__i", "__v"), "doc_id", "__i",
+      "__v", dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dup = graft.functions.Sparse.appendPostingsIdempotent(s, dir,
+      rows.take(rows.length / 3).toDF("doc_id", "__i", "__v"),
+      "doc_id", "__i", "__v")
+    require(dup == 0L,
+      s"s23: replayed batch appended $dup docs — append not replay-safe")
+    val df = graft.functions.Sparse.searchStored(s, dir,
+      emb.embed(Retrieval.SparseQueryText), 10)
+    val phys = df.queryExecution.executedPlan.toString
+    Retrieval.assertPartitionPruned(phys, "__b",
+      "grown stored sparse search")
+    df.select(col("id").as("doc_id"), col("score"))
+  }
+
+  /** s24: streamed MAINTENANCE of a graduated dense-cell layout
+    * ([[graft.streaming.Stream.ingestIvfAppend]]) — the plain-IVF
+    * member completing the graduated-root maintenance family (s19
+    * range, s21 composed matryoshka, s22 BM25, s23 sparse; the
+    * quantized layouts rebuild by design): half the corpus
+    * batch-written under the full-corpus label model, the other half
+    * in three micro-batches. Pins: a replayed batch appends zero
+    * rows; the probed stored search partition-prunes the grown
+    * layout and lands on r09's probe replay verbatim. */
+  def streamIvfAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_s24_rows").toString + "/rows"
+    graft.ops.Ann.writePartitioned(
+      graft.ops.Ann.assign(base, "embedding", model, graft.ops.Ann.L2),
+      path)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s24_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestIvfAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", model, graft.ops.Ann.L2, path, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dup = graft.ops.Ann.appendIvfIdempotent(s, path, model,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s24: replayed batch appended $dup rows — append not replay-safe")
+    val qv = e.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val df = graft.ops.Ann.searchIvfStored(s, path, "vec_id",
+      "embedding", model, typedlit(qv), graft.ops.Ann.L2, probes = 3,
+      k = 10)
+    val phys = df.queryExecution.executedPlan.toString
+    Retrieval.assertPartitionPruned(phys, "centroid_id",
+      "grown dense-cell search")
+    df.select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_ivf_append" -> streamIvfAppend,
+    "s22_stream_bm25_append" -> streamBm25Append,
+    "s23_stream_sparse_append" -> streamSparseAppend,
     "s21_stream_mrl_ivf_append" -> streamMatryoshkaIvfAppend,
     "s20_stream_matryoshka_ivf" -> streamMatryoshkaIvf,
     "s19_stream_range_append" -> streamRangeAppend,
@@ -938,6 +1099,16 @@ object Events {
     // full-corpus model = indistinguishable from a day-one build —
     // r78's replay verbatim on the grown root.
     "s21_stream_mrl_ivf_append" -> Retrieval.oracles("r78_matryoshka_ivf"),
+    // s22: BM25 stats re-derive from the full posting set at load, so
+    // the grown layout is indistinguishable from a one-shot build —
+    // r23's oracle verbatim.
+    "s22_stream_bm25_append" -> Retrieval.oracles("r23_bm25_stored"),
+    // s23: a pure dot has no corpus stats at all — growth is trivially
+    // invisible; r30's oracle verbatim.
+    "s23_stream_sparse_append" -> Retrieval.oracles("r30_sparse_stored"),
+    // s24: the grown cell layout under the full-corpus model is
+    // indistinguishable from a one-shot build — r09's probe replay.
+    "s24_stream_ivf_append" -> Retrieval.oracles("r09_ann_rewrite_stored"),
     // s13: the streamed-then-compacted SQ layout must be byte-identical
     // to the batch index, so r12's first-principles oracle is shared.
     "s13_stream_sq_twin" -> Retrieval.oracles("r12_ivf_sq_topk"),

@@ -443,6 +443,79 @@ object Stream {
       .start(s"$dir/rows")
   }
 
+  /** Continuous APPEND into a GRADUATED dense-cell layout
+    * ([[graft.ops.Ann.writePartitioned]] / a compacted [[ingestIvf]]
+    * root) — the plain-IVF member of the graduated-root maintenance
+    * family, over [[graft.ops.Ann.appendIvfIdempotent]]: the model is
+    * caller-supplied (a plain cell layout stores only the
+    * fingerprint, not the centroids) and validated against the
+    * layout's pin at START; each micro-batch assigns, drops
+    * already-present ids, and appends cell-partitioned. */
+  def ingestIvfAppend(vectors: DataFrame, idCol: String, vecCol: String,
+                      model: graft.ops.Ann.IvfModel,
+                      metric: graft.ops.Ann.Metric, path: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.ops.Ann.ensureIvfModelMarker(spark, path, model)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Ann.appendIvfIdempotent(spark, path, model, batch,
+          idCol, vecCol, metric)
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous APPEND into a GRADUATED BM25 postings layout — the
+    * keyword member of the graduated-root maintenance family
+    * ([[ingestRangeAppend]]'s pattern): [[ingestBm25]] grows a fresh
+    * commit-log dir, but a compacted layout is batch, so continued
+    * growth runs as foreachBatch over the id-keyed replay-safe
+    * [[graft.ops.Bm25.appendPostingsIdempotent]] (which also pins the
+    * layout's recorded tokenizer). Fails at START on a non-layout. */
+  def ingestBm25Append(docs: DataFrame, idCol: String, textCol: String,
+                       dir: String, checkpoint: String,
+                       tok: graft.functions.Tokenizers.Tokenizer =
+                         graft.functions.Tokenizers.Simple)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    if (graft.ops.Bm25.readBucketsMarker(spark, dir).isEmpty)
+      throw new IllegalStateException(
+        s"ingestBm25Append: $dir has no postings marker — not a " +
+          "graduated writePostings layout")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Bm25.appendPostingsIdempotent(spark, dir, batch,
+          idCol, textCol, tok)
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous APPEND into a GRADUATED sparse postings layout —
+    * [[ingestBm25Append]]'s sparse twin over
+    * [[graft.functions.Sparse.appendPostingsIdempotent]]. */
+  def ingestSparseAppend(docs: DataFrame, idCol: String, idxCol: String,
+                         valCol: String, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    if (graft.functions.Sparse.readBucketsMarker(spark, dir).isEmpty)
+      throw new IllegalStateException(
+        s"ingestSparseAppend: $dir has no postings marker — not a " +
+          "graduated sparse writePostings layout")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.Sparse.appendPostingsIdempotent(spark, dir,
+          batch, idCol, idxCol, valCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous APPEND into an already-graduated COMPOSED
     * matryoshka-IVF root — [[ingestRangeAppend]]'s twin for the
     * [[graft.ops.Ann.writeMatryoshkaIvf]] layout, closing the same

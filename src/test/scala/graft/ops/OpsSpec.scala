@@ -1816,6 +1816,63 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("graduated-root maintenance refusals: BM25 append pins the " +
+      "layout's tokenizer, a retrained model refuses the dense-cell " +
+      "append, partial redelivery appends only the new rows, " +
+      "non-layouts refuse loudly") {
+    val sp = spark
+    import sp.implicits._
+    // BM25: tokenizer identity is part of the layout
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "gamma epsilon zeta")).toDF("doc_id", "text")
+    val bdir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString
+    graft.ops.Bm25.writePostings(docs.filter(col("doc_id") < 3),
+      "doc_id", "text", bdir, buckets = 8)
+    val late = Seq((3L, "gamma epsilon zeta")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.ops.Bm25.appendPostingsIdempotent(sp, bdir, late,
+        "doc_id", "text",
+        graft.functions.Tokenizers.wordpiece(Seq("alpha", "beta")))
+    }
+    assert(graft.ops.Bm25.appendPostingsIdempotent(sp, bdir, late,
+      "doc_id", "text") === 1L)
+    assert(graft.ops.Bm25.appendPostingsIdempotent(sp, bdir, late,
+      "doc_id", "text") === 0L)
+    intercept[IllegalStateException] {
+      graft.ops.Bm25.appendPostingsIdempotent(sp,
+        java.nio.file.Files.createTempDirectory("graft_bm25_bare")
+          .toString, late, "doc_id", "text")
+    }
+    // dense cells: the fingerprint pins the model; partial redelivery
+    val vecs = (0L until 20L).map { i =>
+      (i, i % 2, Seq.tabulate(3)(j => ((i * 3 + j) % 7).toDouble))
+    }.toDF("vec_id", "label", "embedding")
+    val model = graft.ops.Ann.buildIvf(vecs, "label", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString + "/rows"
+    graft.ops.Ann.writePartitioned(graft.ops.Ann.assign(
+      vecs.filter(col("vec_id") < 10), "embedding", model,
+      graft.ops.Ann.L2), path)
+    graft.ops.Ann.ensureIvfModelMarker(sp, path, model)
+    val batch = vecs.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    assert(graft.ops.Ann.appendIvfIdempotent(sp, path, model, batch,
+      "vec_id", "embedding") === 5L)
+    // partial redelivery (3 old + 5 new): only the new rows land
+    assert(graft.ops.Ann.appendIvfIdempotent(sp, path, model,
+      vecs.filter(col("vec_id") >= 12), "vec_id", "embedding") === 5L)
+    assert(sp.read.parquet(path).count() === 20L)
+    // a RETRAINED model refuses (two geometries in one layout)
+    val retrained = model.copy(centroids = model.centroids
+      .withColumn("centroid",
+        org.apache.spark.sql.functions.transform(col("centroid"),
+          x => x + lit(1.0))))
+    intercept[IllegalStateException] {
+      graft.ops.Ann.appendIvfIdempotent(sp, path, retrained, batch,
+        "vec_id", "embedding")
+    }
+  }
+
   test("matryoshkaBatch agrees with the per-query explicit form on " +
       "every query; candidate bound respected") {
     val sp = spark
