@@ -345,10 +345,40 @@ final class Engine(reg: Registry) {
     require(ix.lists > 0,
       s"${td.name}: installIndexModel needs lists > 0 (a flat index " +
         "has no cells to install)")
+    // canonical shape, validated at INSTALL (not first query): the
+    // catalog side table is read back as (centroid_id: long,
+    // centroid: array<double>) — a model with other column names or
+    // types would install fine and NPE in the first search's
+    // centroid collect, far from the mistake
+    require(model.idCol == "centroid_id" && model.vecCol == "centroid",
+      s"${td.name}: installIndexModel needs canonical model columns " +
+        s"(centroid_id, centroid) — got (${model.idCol}, " +
+        s"${model.vecCol}); rename before installing")
+    val sch = model.centroids.schema
+    val okTypes = sch.fields.exists(f => f.name == "centroid_id" &&
+        f.dataType == org.apache.spark.sql.types.LongType) &&
+      sch.fields.exists(f => f.name == "centroid" &&
+        (f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => true
+          case _ => false
+        }))
+    require(okTypes,
+      s"${td.name}: installIndexModel needs centroid_id: bigint and " +
+        s"centroid: array<double> — got ${sch.simpleString}")
     val n = model.centroids.count()
     require(n == ix.lists,
       s"${td.name}: model carries $n cells but the index declares " +
         s"lists=${ix.lists} — the auto-probe arithmetic would skew")
+    // the pinned vector dimension must match the centroids' — a
+    // wrong-space install would rank every assignment in garbage
+    td.vectorDims.get(ix.column).foreach { dim =>
+      val clen = model.centroids
+        .select(size(col("centroid"))).head().getInt(0)
+      require(clen == dim,
+        s"${td.name}: centroids have $clen dims but ${ix.column} " +
+          s"declares vectorDims=$dim — wrong embedding space")
+    }
     val t = s"${td.name}__ivf"
     val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
       model.centroids)

@@ -243,22 +243,27 @@ object Sparse {
         s"appendPostingsIdempotent: $dir has no $BucketsMarker marker " +
           "— not a sparse postings layout"))
     graft.ops.Ann.requireBatchLayout(spark, dir)
+    // ROW-level idempotency on (id, bucket) — one row per nonzero
+    // dimension, and a doc's rows span many partition dirs, so
+    // doc-level presence probing would turn a torn append into
+    // permanent loss of the remaining rows on redelivery (the BM25
+    // twin's reasoning); zero-postings docs never count
     val posts = invertedPostings(docs, idCol, idxCol, valCol)
       .withColumn("__b", pmod(col("bucket"), lit(buckets)))
+      .localCheckpoint(true)
     val touched = posts.select(col("__b")).distinct()
       .collect().map(_.getInt(0))
     if (touched.isEmpty) return 0L
-    val existing = spark.read.parquet(dir)
-      .filter(col("__b").isin(touched: _*))
-      .select(col("id")).distinct()
-    val fresh = docs
-      .join(existing, docs(idCol) === existing("id"), "left_anti")
+    val stored = spark.read.parquet(dir)
+    val existing = stored.filter(col("__b").isin(touched: _*))
+      .select(col("id"), col("bucket"))
+    val fresh = posts.join(existing, Seq("id", "bucket"), "left_anti")
       .localCheckpoint(true)
-    val n = fresh.count()
-    if (n > 0L)
-      invertedPostings(fresh, idCol, idxCol, valCol)
-        .withColumn("__b", pmod(col("bucket"), lit(buckets)))
-        .write.mode("append").partitionBy("__b").parquet(dir)
+    if (fresh.isEmpty) return 0L
+    graft.ops.Ann.requireAppendSchema(stored.schema, fresh.schema,
+      Set("__b"), "appendPostingsIdempotent")
+    val n = fresh.select(col("id")).distinct().count()
+    fresh.write.mode("append").partitionBy("__b").parquet(dir)
     n
   }
 

@@ -665,18 +665,8 @@ object Ann {
     // mixed-schema dir this guard exists to prevent. The partition
     // column is exempt — directory-name encoding erases its physical
     // type on read-back.
-    // nullability-normalized: containsNull is not a physical-schema
-    // hazard for a parquet append (read-back reports true regardless);
-    // only genuine type divergence must refuse
-    val storedTypes = spark.read.parquet(s"$dir/rows").schema
-      .filterNot(_.name == model.idCol)
-      .map(f => f.name -> nullableForm(f.dataType)).toMap
-    val batchTypes = rows.schema.filterNot(_.name == model.idCol)
-      .map(f => f.name -> nullableForm(f.dataType)).toMap
-    require(batchTypes == storedTypes,
-      s"appendMatryoshkaIvf: batch schema $batchTypes != stored " +
-        s"$storedTypes — a mixed-schema rows/ dir reads back " +
-        "nondeterministically")
+    requireAppendSchema(spark.read.parquet(s"$dir/rows").schema,
+      rows.schema, Set(model.idCol), "appendMatryoshkaIvf")
     rows.write.mode("append").partitionBy(model.idCol)
       .parquet(s"$dir/rows")
   }
@@ -698,6 +688,28 @@ object Ann {
     }
   }
 
+  /** The ONE mixed-schema guard for every graduated-root append
+    * (dense cells, composed matryoshka, BM25 and sparse postings):
+    * batch and stored schemas must agree as nullability-normalized
+    * (name → type) maps — mode("append") happily writes files whose
+    * later reads resolve from an arbitrary footer. `exempt` names the
+    * partition column(s): directory-name encoding erases their
+    * physical type on read-back. Factored so a one-sided edit cannot
+    * de-sync the four appenders. */
+  private[graft] def requireAppendSchema(
+      stored: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      exempt: Set[String], who: String): Unit = {
+    def norm(st: org.apache.spark.sql.types.StructType) =
+      st.filterNot(f => exempt.contains(f.name))
+        .map(f => f.name -> nullableForm(f.dataType)).toMap
+    val s0 = norm(stored)
+    val b0 = norm(batch)
+    require(b0 == s0,
+      s"$who: batch schema $b0 != stored $s0 — a mixed-schema layout " +
+        "reads back nondeterministically")
+  }
+
   /** [[appendMatryoshkaIvf]] made REPLAY-SAFE by id — the composed
     * root's twin of [[appendRangeIndexIdempotent]], and for the same
     * reason: a foreachBatch sink can redeliver a batch after a crash,
@@ -712,6 +724,10 @@ object Ann {
       newRows: DataFrame, idCol: String, vecCol: String): Long = {
     val (dims, metric) = readMatryoshkaMeta(spark, dir,
       "appendMatryoshkaIvfIdempotent", "_graft_matryoshka_ivf")
+    // layout refusal BEFORE the probe: a fully-duplicate batch
+    // against a streaming-grown root must refuse loudly, not return
+    // 0 and mask the misuse until fresh rows arrive
+    requireBatchLayout(spark, s"$dir/rows")
     val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
       "centroid_id", "centroid")
     val touched = matryoshkaIvfRows(newRows, idCol, vecCol, dims,
@@ -1047,13 +1063,22 @@ object Ann {
                           newRows: DataFrame, idCol: String,
                           vecCol: String,
                           metric: Metric = L2): Long = {
+    // the marker must EXIST — ensureIvfModelMarker alone would ADOPT
+    // the caller's model on an unmarked layout, silently mixing two
+    // geometries when the caller's model is a retrain (the pin is
+    // declared at build time, validated here)
+    if (readIvfModelMarker(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"appendIvfIdempotent: $path has no IVF model marker — pin " +
+          "the build model first (ensureIvfModelMarker at write time)")
     ensureIvfModelMarker(spark, path, model)
     requireBatchLayout(spark, path)
+    val stored = spark.read.parquet(path)
     val assigned = assign(newRows, vecCol, model, metric)
     val touched = assigned.select(col(model.idCol)).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
-    val existing = spark.read.parquet(path)
+    val existing = stored
       .filter(col(model.idCol).isin(touched: _*))
       .select(col(idCol))
     val fresh = assigned
@@ -1062,15 +1087,8 @@ object Ann {
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0L) {
-      val storedTypes = spark.read.parquet(path).schema
-        .filterNot(_.name == model.idCol)
-        .map(f => f.name -> nullableForm(f.dataType)).toMap
-      val batchTypes = fresh.schema.filterNot(_.name == model.idCol)
-        .map(f => f.name -> nullableForm(f.dataType)).toMap
-      require(batchTypes == storedTypes,
-        s"appendIvfIdempotent: batch schema $batchTypes != stored " +
-          s"$storedTypes — a mixed-schema layout reads back " +
-          "nondeterministically")
+      requireAppendSchema(stored.schema, fresh.schema,
+        Set(model.idCol), "appendIvfIdempotent")
       fresh.write.mode("append").partitionBy(model.idCol).parquet(path)
     }
     n

@@ -397,30 +397,38 @@ object Bm25 {
                                idCol: String, textCol: String,
                                tok: graft.functions.Tokenizers.Tokenizer =
                                  graft.functions.Tokenizers.Simple): Long = {
-    val (buckets, recordedTok) = readLayoutMeta(spark, dir).getOrElse(
+    val (buckets, _) = readLayoutMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"appendPostingsIdempotent: $dir has no $BucketsMarker marker " +
           "— not a graft postings layout"))
-    val want = recordedTok.getOrElse("simple")
-    require(tok.name == want,
-      s"appendPostingsIdempotent: $dir was tokenized by '$want' but " +
-        s"the batch offers '${tok.name}' — appended postings would " +
-        "mismatch every query term")
+    // tokenizer identity via the ONE marker validator (mismatch
+    // refuses; a pre-tokenizer-marker layout is upgraded with the
+    // declared tokenizer, never assumed 'simple')
+    ensureBucketsMarker(spark, dir, buckets, tok.name)
     graft.ops.Ann.requireBatchLayout(spark, dir)
-    val touched = postingsOf(docs, idCol, textCol, tok, buckets)
-      .select(col("bucket")).distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) return 0L
-    val existing = spark.read.parquet(dir)
-      .filter(col("bucket").isin(touched: _*))
-      .select(col("id")).distinct()
-    // micro-batch-sized; materialized once — the append re-tokenizes
-    val fresh = docs
-      .join(existing, docs(idCol) === existing("id"), "left_anti")
+    // ROW-level idempotency on (id, term) — a doc's postings span
+    // MANY bucket directories, so doc-level presence probing would
+    // turn a torn (partially committed) append into permanent loss of
+    // the doc's remaining rows on redelivery; row-level anti-join
+    // heals a torn append (only missing rows land), a full redelivery
+    // appends nothing, and zero-postings docs never count. The
+    // existence probe still reads only touched bucket directories (a
+    // term's bucket is deterministic).
+    val posts = postingsOf(docs, idCol, textCol, tok, buckets)
       .localCheckpoint(true)
-    val n = fresh.count()
-    if (n > 0L)
-      postingsOf(fresh, idCol, textCol, tok, buckets)
-        .write.mode("append").partitionBy("bucket").parquet(dir)
+    val touched = posts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return 0L
+    val stored = spark.read.parquet(dir)
+    val existing = stored.filter(col("bucket").isin(touched: _*))
+      .select(col("id"), col("term"))
+    val fresh = posts.join(existing, Seq("id", "term"), "left_anti")
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return 0L
+    graft.ops.Ann.requireAppendSchema(stored.schema, fresh.schema,
+      Set("bucket"), "appendPostingsIdempotent")
+    val n = fresh.select(col("id")).distinct().count()
+    fresh.write.mode("append").partitionBy("bucket").parquet(dir)
     n
   }
 

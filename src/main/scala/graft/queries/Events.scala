@@ -892,6 +892,10 @@ object Events {
     graft.ops.Ann.writePartitioned(
       graft.ops.Ann.assign(base, "embedding", model, graft.ops.Ann.L2),
       path)
+    // the model pin is DECLARED at build time; the append path only
+    // validates (an unmarked layout refuses — adopt-on-append would
+    // let a retrained model silently mix two geometries)
+    graft.ops.Ann.ensureIvfModelMarker(s, path, model)
     val rows = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("embedding").cast("array<double>"),
         col("label"))

@@ -457,6 +457,15 @@ object Stream {
                       checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    // fail at START, mutate NOTHING: the marker must already exist
+    // (declared at build time) and match — ensureIvfModelMarker alone
+    // would ADOPT the caller's model into an unmarked (or arbitrary)
+    // directory before the first batch ever validates the layout
+    if (graft.ops.Ann.readIvfModelMarker(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"ingestIvfAppend: $path has no IVF model marker — not a " +
+          "pinned dense-cell layout (ensureIvfModelMarker at build " +
+          "time)")
     graft.ops.Ann.ensureIvfModelMarker(spark, path, model)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)

@@ -1830,7 +1830,9 @@ class OpsSpec extends SparkSpecBase {
     graft.ops.Bm25.writePostings(docs.filter(col("doc_id") < 3),
       "doc_id", "text", bdir, buckets = 8)
     val late = Seq((3L, "gamma epsilon zeta")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException] {
+    // mismatch refuses through ensureBucketsMarker (IllegalState —
+    // the one marker validator)
+    intercept[IllegalStateException] {
       graft.ops.Bm25.appendPostingsIdempotent(sp, bdir, late,
         "doc_id", "text",
         graft.functions.Tokenizers.wordpiece(Seq("alpha", "beta")))
@@ -1854,6 +1856,12 @@ class OpsSpec extends SparkSpecBase {
     graft.ops.Ann.writePartitioned(graft.ops.Ann.assign(
       vecs.filter(col("vec_id") < 10), "embedding", model,
       graft.ops.Ann.L2), path)
+    // an UNMARKED layout refuses the append — adopt-on-append would
+    // let a retrained model silently mix two geometries
+    intercept[IllegalStateException] {
+      graft.ops.Ann.appendIvfIdempotent(sp, path, model,
+        vecs.filter(col("vec_id") >= 10), "vec_id", "embedding")
+    }
     graft.ops.Ann.ensureIvfModelMarker(sp, path, model)
     val batch = vecs.filter(col("vec_id") >= 10 && col("vec_id") < 15)
     assert(graft.ops.Ann.appendIvfIdempotent(sp, path, model, batch,
