@@ -314,7 +314,51 @@ object Crud {
       returnFields = Seq("vec_id"))
   }
 
+  final case class HybridRow(vec_id: Long, embedding: Seq[Double],
+                             text: String)
+  private implicit val hybEnc: org.apache.spark.sql.Encoder[HybridRow] =
+    org.apache.spark.sql.Encoders.product[HybridRow]
+
+  /** c11: HYBRID retrieval on the ENGINE surface — the reference's
+    * canonical two-modality pattern (dense `search_by_vector` + BM25
+    * `search_by_keyword` fused by RRF, rerank.py:95-113 k=60) run
+    * end-to-end through ONE registered table carrying both a cosine
+    * vector index and a keyword index: `searchByVector` top-20 and
+    * `searchByKeyword` top-20 feed [[graft.ops.Fusion.rrf]]. The
+    * documents and embeddings tables share one id space (the
+    * testdata contract), so the joined engine corpus is
+    * row-identical to r07's two separate corpora and the engine
+    * chain must land on r07's fused oracle VERBATIM — the engine
+    * surfaces add nothing and lose nothing over the operator
+    * composition. */
+  def engineHybrid(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[HybridRow]("hyb", primaryKey = Some("vec_id"),
+      indexes = Seq(
+        graft.core.Spec.VectorIndex("embedding",
+          distance = graft.ops.Ann.Cosine),
+        graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("text")), "vec_id"))
+    val eng = new graft.core.Engine(reg)
+    val q = embeddings(s, d).filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val dense = eng.searchByVector(td, q, topk = 20,
+      returnFields = Seq("vec_id"))
+    val kw = eng.searchByKeyword(td, "group hash join", topk = 20,
+      returnFields = Seq("vec_id"))
+    graft.ops.Fusion.rrf(Seq(
+      graft.ops.Fusion.ranked(dense, "vec_id", "dist", asc = true),
+      graft.ops.Fusion.ranked(kw, "vec_id", "score", asc = false)),
+      k = graft.ops.Fusion.RrfK, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_engine_hybrid" -> engineHybrid,
     "c10_engine_matryoshka_ivf" -> engineMatryoshkaIvf,
     "c09_engine_matryoshka" -> engineMatryoshka,
     "c08_engine_filtered_vec" -> engineFilteredVec,
@@ -327,6 +371,11 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c11: one engine table, two modalities, RRF — row-identical
+    // corpora to r07's two separate tables, so its fused oracle
+    // lands verbatim.
+    "c11_engine_hybrid" ->
+      graft.queries.Retrieval.oracles("r07_rrf_hybrid"),
     // c10: the engine's composed search runs r78's exact parameters
     // over the installed label-mean model and returns the final
     // distance only — the composed replay minus pre_dist.
