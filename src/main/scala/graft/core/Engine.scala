@@ -140,7 +140,8 @@ final class Engine(reg: Registry) {
   def searchByMultivec(td: TableDef[_], queryVecs: Seq[Seq[Double]],
                        topk: Int = 10, refine: Int = 1000,
                        probes: Int = 0,
-                       returnFields: Seq[String] = Nil): DataFrame = {
+                       returnFields: Seq[String] = Nil,
+                       filter: Option[Column] = None): DataFrame = {
     val mvIx = td.indexes.collectFirst { case ix: MultiVectorIndex => ix }
     val mvCol = mvIx.map(_.column)
       .orElse(td.multiVectorColumns.headOption)
@@ -154,6 +155,15 @@ final class Engine(reg: Registry) {
         s"searchByMultivec on ${td.name}: ragged query token vectors " +
           s"(widths ${queryVecs.map(_.length).distinct.mkString(",")})")
     val base = reg.table(td)
+    // `filter`: the family contract (r60's maxsim member) — the
+    // predicate thins the frames FEEDING phase 1, so disallowed docs
+    // never consume refine/probe candidate slots; scoring unchanged
+    def allowedF(df: DataFrame): DataFrame = filter match {
+      case None => df
+      case Some(pred) =>
+        df.join(base.filter(pred).select(col(td.pk)), Seq(td.pk),
+          "left_semi")
+    }
     val q = typedlit(queryVecs)
     val dim = queryVecs.head.length
     val centroid = Ann.queryCentroid(queryVecs)
@@ -169,7 +179,8 @@ final class Engine(reg: Registry) {
     } yield {
       val p = if (probes > 0) probes
         else math.ceil(ix.lists / 16.0).toInt.max(1)
-      val ids = Ann.maxsimCandidatesIvf(mvAssignedCached(td, ix, model),
+      val ids = Ann.maxsimCandidatesIvf(
+          allowedF(mvAssignedCached(td, ix, model)),
           td.pk, MvMeanCol, model, queryVecs, rf, p)
         .withColumnRenamed(td.pk, "__cand_id")
       base.join(broadcast(ids), col(td.pk) === col("__cand_id"),
@@ -177,12 +188,12 @@ final class Engine(reg: Registry) {
     }
     val candidates = ivfPhase1.getOrElse {
       if (rf > 0) {
-        base.withColumn("__approx",
+        allowedF(base).withColumn("__approx",
             Vec.dot(Ann.flattenMean(col(mvCol), dim), typedlit(centroid)))
           .orderBy(col("__approx").desc, col(td.pk).asc)
           .limit(rf)
           .drop("__approx")
-      } else base
+      } else allowedF(base)
     }
     candidates
       .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
@@ -198,13 +209,22 @@ final class Engine(reg: Registry) {
     * the table is written again, the create_index-once / query-many
     * split of client.py:146-174 vs 356-380. */
   def searchByKeyword(td: TableDef[_], query: String, topk: Int = 10,
-                      returnFields: Seq[String] = Nil): DataFrame = {
+                      returnFields: Seq[String] = Nil,
+                      filter: Option[Column] = None): DataFrame = {
     val fields = if (returnFields.nonEmpty) returnFields else td.nonVecColumns
     val kw = td.keywordIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no keyword index"))
     val idx = keywordIndex(td)
-    val hits = Bm25.search(idx, query, topk)
-      .withColumnRenamed("id", "__hit_id")
+    // `filter`: the searchByVector metadata WHERE, keyword form — the
+    // r58 contract: corpus statistics (df, N, avgdl) stay WHOLE-corpus
+    // (scores of surviving docs identical to the unfiltered search),
+    // the predicate only thins which docs can be returned, applied
+    // BEFORE the top-k cut so disallowed docs never consume slots
+    val hits = (filter match {
+      case None => Bm25.search(idx, query, topk)
+      case Some(pred) => Bm25.searchFiltered(idx, query, topk,
+        reg.table(td).filter(pred), td.pk)
+    }).withColumnRenamed("id", "__hit_id")
     joinHitsBack(td, hits, fields)
   }
 

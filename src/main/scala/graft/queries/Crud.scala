@@ -357,7 +357,34 @@ object Crud {
       k = graft.ops.Fusion.RrfK, topK = 10)
   }
 
+  final case class KwDoc(doc_id: Long, text: String, lang: String)
+  private implicit val kwDocEnc: org.apache.spark.sql.Encoder[KwDoc] =
+    org.apache.spark.sql.Encoders.product[KwDoc]
+
+  /** c12: FILTERED keyword search on the ENGINE surface —
+    * `searchByKeyword` grows the metadata `filter` every other engine
+    * search already carries (the c08/r52/r58 family): corpus
+    * statistics stay WHOLE-corpus (surviving scores identical to the
+    * unfiltered search — the r58 contract), the predicate only thins
+    * which docs can be returned, applied before the top-k cut.
+    * Engine corpus = the documents table verbatim, so r58's oracle
+    * lands as-is (renamed to its id column). */
+  def engineFilteredKeyword(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[KwDoc]("kwdoc", primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang")))
+    new graft.core.Engine(reg)
+      .searchByKeyword(td, "window partition order", topk = 10,
+        returnFields = Seq("doc_id"),
+        filter = Some(col("lang") === "en"))
+      .select(col("doc_id").as("id"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_engine_filtered_keyword" -> engineFilteredKeyword,
     "c11_engine_hybrid" -> engineHybrid,
     "c10_engine_matryoshka_ivf" -> engineMatryoshkaIvf,
     "c09_engine_matryoshka" -> engineMatryoshka,
@@ -371,6 +398,11 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c12: whole-corpus stats + predicate-thinned returns — the
+    // engine corpus is the documents table verbatim, so r58's
+    // filtered oracle lands as-is.
+    "c12_engine_filtered_keyword" ->
+      graft.queries.Retrieval.oracles("r58_bm25_filtered"),
     // c11: one engine table, two modalities, RRF — row-identical
     // corpora to r07's two separate tables, so its fused oracle
     // lands verbatim.

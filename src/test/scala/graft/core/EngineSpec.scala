@@ -389,6 +389,56 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("searchByMultivec and searchByKeyword filters: the predicate " +
+      "thins returns BEFORE the cut (no starvation), scores of " +
+      "survivors identical to the unfiltered search") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val td = TableDef[EChunk]("echunkfilt", primaryKey = Some("cid"),
+      indexes = Seq(
+        VectorIndex("vec", Ann.L2, lists = 0),
+        MultiVectorIndex("mv"),
+        KeywordIndex("text", model = "simple")),
+      vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-engine-filt").toString)
+      .register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row token$i shared", Seq(base, base),
+        Seq(Seq(base + i * 0.01f, base), Seq(base + 1, base)))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    val q = Seq(Seq(10.0, 10.0))
+    // UNFILTERED top-5 is all odd (the far blob); a filter allowing
+    // only EVEN ids must return evens — with a small refine this
+    // proves disallowed docs don't consume the candidate slots
+    // (post-cut filtering would starve to zero)
+    val filt = eng.searchByMultivec(td, q, topk = 5, refine = 8,
+        filter = Some(col("cid") % 2 === 0))
+      .collect().map(r => (r.getAs[Long]("cid"),
+        r.getAs[Double]("score")))
+    assert(filt.length === 5 && filt.forall(_._1 % 2 === 0))
+    // surviving scores identical to the unfiltered scoring of the
+    // same ids (scoring is never filter-dependent)
+    val all = eng.searchByMultivec(td, q, topk = 40, refine = 40)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        r.getAs[Double]("score")).toMap
+    filt.foreach { case (id, sc) => assert(all(id) === sc) }
+    // keyword: whole-corpus stats, thinned returns
+    val kwAll = eng.searchByKeyword(td, "shared", topk = 40)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        r.getAs[Double]("score")).toMap
+    val kwFilt = eng.searchByKeyword(td, "shared", topk = 5,
+        filter = Some(col("cid") < 4))
+      .collect().map(r => (r.getAs[Long]("cid"),
+        r.getAs[Double]("score")))
+    assert(kwFilt.nonEmpty && kwFilt.forall(_._1 < 4))
+    kwFilt.foreach { case (id, sc) => assert(kwAll(id) === sc) }
+  }
+
   test("searchByMultivec with a LISTS-built multivec IVF: recall-" +
       "complete settings equal brute-force maxsim; tight probes prune " +
       "to the query's cell") {
