@@ -303,12 +303,24 @@ final class Engine(reg: Registry) {
     * the payload fields. */
   def searchBySparse(td: TableDef[_], query: graft.functions.SparseVec,
                      topk: Int = 10,
-                     returnFields: Seq[String] = Nil): DataFrame = {
+                     returnFields: Seq[String] = Nil,
+                     filter: Option[Column] = None): DataFrame = {
     val fields = if (returnFields.nonEmpty) returnFields
       else td.nonVecColumns
-    val hits = graft.functions.Sparse
-      .invertedTopK(sparsePostings(td), query, topk)
-      .withColumnRenamed("id", "__hit_id")
+    // `filter`: the family contract (r59's sparse member) — a pure
+    // dot has no corpus statistics to protect, so the predicate
+    // semi-joins the postings before scoring; surviving scores
+    // identical to the unfiltered search
+    val hits = (filter match {
+      case None =>
+        graft.functions.Sparse.invertedTopK(sparsePostings(td), query,
+          topk)
+      case Some(pred) =>
+        graft.functions.Sparse.invertedTopKWFiltered(
+          sparsePostings(td), query.indices,
+          query.values.map(_.toDouble), topk,
+          reg.table(td).filter(pred), td.pk)
+    }).withColumnRenamed("id", "__hit_id")
     joinHitsBack(td, hits, fields)
   }
 

@@ -163,6 +163,18 @@ class SparseRewriteSpec extends SparkSpecBase {
     assert(imp.columns.toSeq === Seq("doc_id", "tag", "score"))
     val impPairs = imp.select("doc_id", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // filtered form: the predicate thins returns before the cut, and
+    // surviving scores are identical to the unfiltered search (a pure
+    // dot has no corpus stats — the r59 contract on the engine)
+    val allScores = eng.searchBySparse(td, q, topk = 5)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val filt = eng.searchBySparse(td, q, topk = 3,
+        filter = Some(col("doc_id") > 2))
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(filt.nonEmpty && filt.forall(_._1 > 2))
+    filt.foreach { case (id, sc) => assert(allScores(id) === sc) }
     eng.installDeclarative(td)
     try {
       val df = reg.table(td)
