@@ -186,14 +186,18 @@ final class Engine(reg: Registry) {
       base.join(broadcast(ids), col(td.pk) === col("__cand_id"),
         "left_semi")
     }
+    // base filters directly (the searchByVector idiom — pred names
+    // base's own columns, so it pushes into the scan); allowedF is
+    // only for the ASSIGNED frame, which lacks the predicate columns
+    val baseAllowed = filter.fold(base)(base.filter)
     val candidates = ivfPhase1.getOrElse {
       if (rf > 0) {
-        allowedF(base).withColumn("__approx",
+        baseAllowed.withColumn("__approx",
             Vec.dot(Ann.flattenMean(col(mvCol), dim), typedlit(centroid)))
           .orderBy(col("__approx").desc, col(td.pk).asc)
           .limit(rf)
           .drop("__approx")
-      } else allowedF(base)
+      } else baseAllowed
     }
     candidates
       .withColumn("score", round(org.apache.spark.sql.graft.VecExprs

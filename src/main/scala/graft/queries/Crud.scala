@@ -227,6 +227,14 @@ object Crud {
   }
 
   final case class Emb(vec_id: Long, embedding: Seq[Double], label: Int)
+
+  /** The ONE query-vector fetch for the engine gates (previously
+    * copy-pasted per gate — a future cast/null-guard change edits one
+    * place). */
+  private def qvecOf(s: SparkSession, d: String, id: Long): Seq[Double] =
+    embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
   private implicit val embEnc: org.apache.spark.sql.Encoder[Emb] =
     org.apache.spark.sql.Encoders.product[Emb]
 
@@ -244,9 +252,7 @@ object Crud {
     reg.register(td)
     reg.copyBulk(td, embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label")))
-    val q = embeddings(s, d).filter(col("vec_id") === 3)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+    val q = qvecOf(s, d, 3)
     new graft.core.Engine(reg)
       .searchByVector(td, q, topk = 10,
         returnFields = Seq("vec_id"),
@@ -269,9 +275,7 @@ object Crud {
     reg.register(td)
     reg.copyBulk(td, embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label")))
-    val q = embeddings(s, d).filter(col("vec_id") === 3)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+    val q = qvecOf(s, d, 3)
     new graft.core.Engine(reg)
       .searchByVector(td, q, topk = 10, refine = 5,
         returnFields = Seq("vec_id"))
@@ -307,9 +311,7 @@ object Crud {
         model.copy(centroids = model.centroids.limit(lists - 1))))
       .isFailure, "c10: a wrong-cell-count install did not refuse")
     eng.installIndexModel(td, model)
-    val q = e.filter(col("vec_id") === 5)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+    val q = qvecOf(s, d, 5)
     eng.searchByVector(td, q, topk = 10, probes = 3, refine = 5,
       returnFields = Seq("vec_id"))
   }
@@ -344,9 +346,7 @@ object Crud {
       .join(documents(s, d)
         .select(col("doc_id").as("vec_id"), col("text")), "vec_id"))
     val eng = new graft.core.Engine(reg)
-    val q = embeddings(s, d).filter(col("vec_id") === 7)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+    val q = qvecOf(s, d, 7)
     val dense = eng.searchByVector(td, q, topk = 20,
       returnFields = Seq("vec_id"))
     val kw = eng.searchByKeyword(td, "group hash join", topk = 20,
