@@ -82,12 +82,23 @@ final class Engine(reg: Registry) {
           // declaratively: cells prune first, the prefix cut runs
           // within probed cells, the re-rank at full precision) —
           // probe like the plain IVF branch, cut like the matryoshka
-          // one; `refine` stays the candidate multiplier
+          // one; `refine` stays the candidate multiplier.
+          // Cosine probes NORMALIZED centroids with L2 — the ONE probe
+          // convention Ann.matryoshkaTopKIvf uses (spherical IVF:
+          // monotone-equivalent to raw-cosine but not bit-identical on
+          // floating-point near-ties; the two paths must pick the SAME
+          // cells)
           val p = if (probes > 0) probes
             else math.ceil(ix.lists / 16.0).toInt.max(1)
+          val (probeModel, qProbe) = ix.distance match {
+            case Ann.Cosine =>
+              (Ann.normalizeModel(model),
+                typedlit(Ann.normalizeSeq(queryVec)))
+            case _ => (model, q)
+          }
           val pruned = allowed(assignedCached(td, ix, model))
             .join(org.apache.spark.sql.functions.broadcast(
-              Ann.probeCells(model, q, ix.distance, p)),
+              Ann.probeCells(probeModel, qProbe, Ann.L2, p)),
               Seq(model.idCol))
           val cand = topk * (if (refine > 0) refine else 5)
           Ann.matryoshkaTopK(pruned, td.pk, ix.column, queryVec,

@@ -1,0 +1,75 @@
+package graft.core
+
+/** Access-ordered bounded driver memo — the ONE cache policy behind
+  * every per-process memo in the repo ([[graft.ops.Bm25.buildCached]],
+  * the Dedup shingle/gate/pair tables, the GraphQ graph builds, the
+  * Retrieval WordPiece vocab, the DataOps BPE artifacts).
+  *
+  * Why access-ordered and not insertion-ordered: the round-13 warm-path
+  * regression. An insertion-order `LinkedHashMap` with head-eviction is
+  * FIFO — `getOrElseUpdate` hits never refresh an entry's position, so
+  * a long-lived driver serving a working set slightly larger than the
+  * cap evicts exactly the entries it is about to reuse, and every
+  * "warm" call pays a full rebuild. A `java.util.LinkedHashMap` with
+  * `accessOrder = true` moves an entry to the tail on every hit, so
+  * eviction takes the LEAST-RECENTLY-USED entry — the working set
+  * stays resident as long as it fits.
+  *
+  * `onEvict` runs for entries displaced over `cap` and on [[clear]] —
+  * the unpersist hook, so evicted index frames don't pin executor
+  * storage. It is invoked while holding this cache's monitor: callers
+  * whose hook takes another lock must keep a global lock ORDER (the
+  * GraphQ built→ranked discipline).
+  *
+  * All operations synchronize on the instance; `mk` in
+  * [[getOrElseUpdate]] runs under the lock (a memoized build must not
+  * run twice for one key — same contract the per-site `synchronized`
+  * blocks had).
+  */
+final class LruCache[K, V](val cap: Int,
+                           onEvict: (K, V) => Unit = (_: K, _: V) => ()) {
+  require(cap > 0, s"LruCache cap must be positive, got $cap")
+
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+
+  private def evictOverCap(): Unit =
+    while (m.size > cap) {
+      val it = m.entrySet().iterator()
+      val e = it.next() // least-recently-used head
+      it.remove()
+      onEvict(e.getKey, e.getValue)
+    }
+
+  def getOrElseUpdate(k: K)(mk: => V): V = synchronized {
+    val hit = m.get(k) // access-ordered: the get itself refreshes
+    if (hit != null) hit
+    else {
+      val v = mk
+      m.put(k, v)
+      evictOverCap()
+      v
+    }
+  }
+
+  /** Lookup without populating; a hit still refreshes recency. */
+  def get(k: K): Option[V] = synchronized(Option(m.get(k)))
+
+  def put(k: K, v: V): Unit = synchronized { m.put(k, v); evictOverCap() }
+
+  /** Remove WITHOUT running `onEvict` — for callers that free the
+    * value themselves (or hand it off). */
+  def remove(k: K): Option[V] = synchronized(Option(m.remove(k)))
+
+  /** Evict everything, running `onEvict` per entry — the lifecycle
+    * sweep for long-lived sessions. */
+  def clear(): Unit = synchronized {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      onEvict(e.getKey, e.getValue)
+    }
+  }
+
+  def size: Int = synchronized(m.size)
+}

@@ -104,36 +104,29 @@ object Bm25 {
     * Callers must put a CONTENT version in the key ([[dirVersion]] for
     * file-backed corpora, the catalog version for Registry tables —
     * core/Engine.scala keyword path): a path-only key goes stale when
-    * files are replaced under the same path. Bounded: on overflow the
-    * oldest entry is dropped and its postings unpersisted, so stale
-    * versions don't pin executor storage. */
-  private val MaxCached = 8
-  private val cache =
-    scala.collection.mutable.LinkedHashMap[String, Bm25Index]()
+    * files are replaced under the same path. Bounded ACCESS-ORDERED
+    * ([[graft.core.LruCache]]): on overflow the least-recently-USED
+    * entry is dropped and its postings unpersisted — a driver serving
+    * a dozen corpora keeps its live working set resident instead of
+    * FIFO-evicting the index it is about to query again (the round-13
+    * warm-path regression). Cap sized above the bench sweep's ~12
+    * distinct indexes. */
+  private val cache = new graft.core.LruCache[String, Bm25Index](16,
+    (_, old) => old.postings.unpersist(false))
   def buildCached(docs: DataFrame, idCol: String, textCol: String,
                   key: String,
                   tok: graft.functions.Tokenizers.Tokenizer =
                     graft.functions.Tokenizers.Simple): Bm25Index =
-    cache.synchronized {
-      cache.getOrElseUpdate(s"$key|${tok.name}", {
-        while (cache.size >= MaxCached) {
-          val (_, old) = cache.head
-          old.postings.unpersist(false)
-          cache.remove(cache.head._1)
-        }
-        build(docs, idCol, textCol, tok)
-      })
+    cache.getOrElseUpdate(s"$key|${tok.name}") {
+      build(docs, idCol, textCol, tok)
     }
 
   /** Drop and unpersist every cached index — the lifecycle sweep for
     * long-lived sessions (the README single-JVM-seams inventory made
     * executable: RegistryEvictionSpec pins that a swept driver holds
     * no index state). */
-  def clearCache(): Unit = cache.synchronized {
-    cache.values.foreach(_.postings.unpersist(false))
-    cache.clear()
-  }
-  private[graft] def cachedCount: Int = cache.synchronized(cache.size)
+  def clearCache(): Unit = cache.clear()
+  private[graft] def cachedCount: Int = cache.size
 
   /** Content version of a file-backed corpus path: order-independent
     * hash of the (file path, length, mtime) manifest. Cheap (one

@@ -164,23 +164,12 @@ object Dedup {
     * long-lived sessions whose inputs mutate outside what
     * [[inputVersion]] can observe. */
   def clearCaches(): Unit = {
-    setsCache.synchronized {
-      setsCache.values.foreach(_.unpersist(false))
-      setsCache.clear()
-    }
-    gateCache.synchronized {
-      gateCache.values.foreach(_._1.unpersist(false))
-      gateCache.clear()
-    }
-    pairsCache.synchronized {
-      pairsCache.values.foreach(_.unpersist(false))
-      pairsCache.clear()
-    }
+    setsCache.clear()
+    gateCache.clear()
+    pairsCache.clear()
   }
   private[graft] def cachedCount: Int =
-    setsCache.synchronized(setsCache.size) +
-      gateCache.synchronized(gateCache.size) +
-      pairsCache.synchronized(pairsCache.size)
+    setsCache.size + gateCache.size + pairsCache.size
 
   /** Memoized [[shingleSets]]: the Jaccard and MinHash operators over
     * the same corpus share one persisted shingle table (the shingling
@@ -189,26 +178,22 @@ object Dedup {
     * version, so "same corpus" is decided by Catalyst AND by what is
     * actually on disk. */
   private val MaxCachedSets = 8
-  private val setsCache = scala.collection.mutable
-    .LinkedHashMap[(String, Int, Long, String, Int), DataFrame]()
+  // bounded access-ordered with unpersist-on-evict
+  // ([[graft.core.LruCache]]) so replaced corpora don't pin executor
+  // storage forever and the live working set stays resident
+  private val setsCache = new graft.core
+    .LruCache[(String, Int, Long, String, Int), DataFrame](MaxCachedSets,
+      (_, f) => f.unpersist(false))
   private def shingleSetsCached(docs: DataFrame, idCol: String,
                                 textCol: String, n: Int): DataFrame =
-    setsCache.synchronized {
-      setsCache.getOrElseUpdate(
-        (graft.core.SessionId.of(docs.sparkSession),
-          docs.queryExecution.analyzed.semanticHash(),
-          inputVersion(docs),
-          s"$idCol|$textCol", n), {
-          // bounded: evict oldest + unpersist so replaced corpora don't
-          // pin executor storage forever
-          while (setsCache.size >= MaxCachedSets) {
-            setsCache.head._2.unpersist(false)
-            setsCache.remove(setsCache.head._1)
-          }
-          val s = shingleSets(docs, idCol, textCol, n).persist()
-          s.count()
-          s
-        })
+    setsCache.getOrElseUpdate(
+      (graft.core.SessionId.of(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(),
+        inputVersion(docs),
+        s"$idCol|$textCol", n)) {
+      val s = shingleSets(docs, idCol, textCol, n).persist()
+      s.count()
+      s
     }
 
   /** Per-doc distinct shingle sets, pre-hashed: (id, sh array<long>, sz).
@@ -311,30 +296,26 @@ object Dedup {
     * Returns (a, b, jaccard) with a < b, rounded to 6 decimals. */
   /** Memoized pair tables ([[jaccardPairs]] results): a dedup pipeline
     * consumes the same pair set repeatedly (pair listing, clustering,
-    * canonical filtering) — same bounded LinkedHashMap +
+    * canonical filtering) — same bounded access-ordered
     * unpersist-on-evict discipline as [[setsCache]]. */
-  private val pairsCache = scala.collection.mutable
-    .LinkedHashMap[(String, Int, String), DataFrame]()
+  private val pairsCache = new graft.core
+    .LruCache[(String, Int, String), DataFrame](MaxCachedSets,
+      (_, f) => f.unpersist(false))
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   roundTo: Int = 6): DataFrame = pairsCache.synchronized {
+                   roundTo: Int = 6): DataFrame =
     pairsCache.getOrElseUpdate(
       (graft.core.SessionId.of(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(),
         // inputVersion, like setsCache/gateCache: an in-place rewrite
         // of the backing files keeps the semantic hash but must MISS
-        s"$idCol|$textCol|$n|$threshold|$roundTo|${inputVersion(docs)}"), {
-        while (pairsCache.size >= MaxCachedSets) {
-          pairsCache.head._2.unpersist(false)
-          pairsCache.remove(pairsCache.head._1)
-        }
-        val p = jaccardPairsUncached(docs, idCol, textCol, n, threshold,
-          roundTo).persist()
-        p.count()
-        p
-      })
-  }
+        s"$idCol|$textCol|$n|$threshold|$roundTo|${inputVersion(docs)}")) {
+      val p = jaccardPairsUncached(docs, idCol, textCol, n, threshold,
+        roundTo).persist()
+      p.count()
+      p
+    }
 
   private def jaccardPairsUncached(docs: DataFrame, idCol: String,
                                    textCol: String, n: Int,
@@ -428,23 +409,18 @@ object Dedup {
     * the semantic plan hash makes repeat executions reuse both the
     * materialized rows and the gate scalar. */
   private val MaxCachedGates = 16
-  private val gateCache = scala.collection.mutable
-    .LinkedHashMap[(String, Int, Long), (DataFrame, Long)]()
+  private val gateCache = new graft.core
+    .LruCache[(String, Int, Long), (DataFrame, Long)](MaxCachedGates,
+      (_, v) => v._1.unpersist(false))
   private def gateCached(rows0: DataFrame): (DataFrame, Long) =
-    gateCache.synchronized {
-      gateCache.getOrElseUpdate(
-        (graft.core.SessionId.of(rows0.sparkSession),
-          rows0.queryExecution.analyzed.semanticHash(),
-          inputVersion(rows0)), {
-          while (gateCache.size >= MaxCachedGates) {
-            gateCache.head._2._1.unpersist(false)
-            gateCache.remove(gateCache.head._1)
-          }
-          val rows = rows0.persist()
-          val maxRow = rows.groupBy("band", "bh")
-            .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
-          (rows, if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0))
-        })
+    gateCache.getOrElseUpdate(
+      (graft.core.SessionId.of(rows0.sparkSession),
+        rows0.queryExecution.analyzed.semanticHash(),
+        inputVersion(rows0))) {
+      val rows = rows0.persist()
+      val maxRow = rows.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+      (rows, if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0))
     }
 
   /** Banded-bucket candidate self-join with a HOT-BUCKET cap — the

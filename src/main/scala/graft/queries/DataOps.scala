@@ -143,9 +143,11 @@ object DataOps {
     * repeated bench passes must not re-train, but an in-place corpus
     * rewrite MUST (the index caches already key on dirVersion; rules
     * trained on a corpus that no longer exists would silently pair
-    * with a fresh index). Collected rows only: nothing to unpersist. */
-  private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), Seq[(Int, String, String, Long)]]
+    * with a fresh index). Collected rows only: nothing to unpersist —
+    * but bounded + access-ordered ([[graft.core.LruCache]]) all the
+    * same: the shared memo discipline. */
+  private val bpeMemo = new graft.core
+    .LruCache[(String, String, String), Seq[(Int, String, String, Long)]](8)
 
   private def bpeVersion(s: SparkSession, d: String): String =
     graft.ops.Bm25.dirVersion(s, s"$d/documents.parquet")
@@ -153,12 +155,13 @@ object DataOps {
   private def trainedMerges(s: SparkSession,
                             d: String): Seq[(Int, String, String, Long)] =
     bpeMemo.getOrElseUpdate(
-      (graft.core.SessionId.of(s), d, bpeVersion(s, d)),
+      (graft.core.SessionId.of(s), d, bpeVersion(s, d))) {
       graft.functions.Tokenizers.trainBpe(documents(s, d), "text",
           merges = BpeMerges)
         .orderBy("rank").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-          r.getLong(3))).toSeq)
+          r.getLong(3))).toSeq
+    }
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -214,19 +217,19 @@ object DataOps {
   /** Model roots memoized like [[bpeMemo]]: repeated bench passes
     * reuse one written artifact instead of littering temp dirs and
     * paying per-call write I/O. */
-  private val bpeModelDirs = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), String]
+  private val bpeModelDirs =
+    new graft.core.LruCache[(String, String, String), String](8)
 
   def bpeModelRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = bpeModelDirs.getOrElseUpdate(
-      (graft.core.SessionId.of(s), d, bpeVersion(s, d)), {
-        val t = java.nio.file.Files
-          .createTempDirectory("graft_bpe_model").toString
-        graft.functions.Tokenizers.writeBpeModel(s,
-          trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt"), t)
-        t
-      })
+      (graft.core.SessionId.of(s), d, bpeVersion(s, d))) {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_bpe_model").toString
+      graft.functions.Tokenizers.writeBpeModel(s,
+        trainedMerges(s, d).toDF("rank", "lhs", "rhs", "cnt"), t)
+      t
+    }
     val tok = graft.functions.Tokenizers.loadBpeModel(s, dir)
     val idx = graft.ops.Bm25.buildCached(documents(s, d), "doc_id",
       "text", s"p30|$d|${bpeVersion(s, d)}", tok)
@@ -287,14 +290,19 @@ object DataOps {
     val conf = pred.groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
     val tot = pred.groupBy("lang").agg(count(lit(1)).as("tt"))
-    val out = conf.join(tot, "lang")
+    // localCheckpoint: the vacuity require below is an extra action —
+    // without the pin it re-executes the full langid UDF chain once
+    // for the probe and again when the gate output materializes (the
+    // g07 lesson in confusion-matrix form). The matrix is ≤|langs|²
+    // rows, so the checkpoint is tiny.
+    val cells = conf.join(tot, "lang")
       .select(col("lang"), col("pred_lang"), col("n"),
         round(col("n").cast("double") / col("tt"), 6).as("frac"))
-      .orderBy("lang", "pred_lang")
-    require(out.filter(col("lang") === col("pred_lang"))
+      .localCheckpoint(true)
+    require(cells.filter(col("lang") === col("pred_lang"))
         .limit(1).count() > 0,
       "p38 is vacuous: the predictor agrees with no label at all")
-    out
+    cells.orderBy("lang", "pred_lang")
   }
 
   /** Document fingerprint overlap: min-k shingle-hash sketches per doc,

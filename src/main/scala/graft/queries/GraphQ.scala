@@ -35,42 +35,37 @@ object GraphQ {
     * builds the graph once at ingest (pipeline.py:332-342) and serves
     * many searches from it — rebuilding per query would misrepresent
     * the read path. Session-keyed (a second session in the same JVM
-    * must not receive frames bound to a stopped one) and CAPPED with
-    * unpersist-on-evict, the [[graft.ops.Dedup]] cache discipline —
+    * must not receive frames bound to a stopped one) and CAPPED
+    * ACCESS-ORDERED with unpersist-on-evict ([[graft.core.LruCache]],
+    * the shared discipline — FIFO memos thrashed in round 13) —
     * un-evicted entries were a slow leak in long-lived multi-corpus
     * sessions (advisor + verdict r6). */
   private val MaxCachedGraphs = 4
-  private val built = scala.collection.mutable
-    .LinkedHashMap[(String, String), (Registry, DataFrame)]()
-
-  private def evictOldest(): Unit = {
-    val (k, (reg, _)) = built.head
-    built.remove(k)
-    // lock order is always built -> ranked (rankedEntities resolves
-    // buildGraph BEFORE taking the ranked lock), so this cannot deadlock
-    ranked.synchronized(ranked.remove(k)).foreach(r =>
-      try r.unpersist(false) catch { case _: Throwable => () })
-    try {
-      reg.table(Graph.entityDef()).unpersist(false)
-      reg.table(Graph.relationDef()).unpersist(false)
-    } catch { case _: Throwable => () } // stopped session: nothing to free
-  }
+  private val built =
+    new graft.core.LruCache[(String, String), (Registry, DataFrame)](
+      MaxCachedGraphs, (k, v) => {
+        val reg = v._1
+        // lock order is always built -> ranked (rankedEntities resolves
+        // buildGraph BEFORE touching ranked), so this cannot deadlock
+        ranked.remove(k).foreach(r =>
+          try r.unpersist(false) catch { case _: Throwable => () })
+        try {
+          reg.table(Graph.entityDef()).unpersist(false)
+          reg.table(Graph.relationDef()).unpersist(false)
+        } catch { case _: Throwable => () } // stopped session: no-op
+      })
 
   private def buildGraph(s: SparkSession, d: String):
-      (Registry, DataFrame) = built.synchronized {
-    built.getOrElseUpdate((graft.core.SessionId.of(s), d), {
-      while (built.size >= MaxCachedGraphs) evictOldest()
+      (Registry, DataFrame) =
+    built.getOrElseUpdate((graft.core.SessionId.of(s), d)) {
       buildGraphUncached(s, d)
-    })
-  }
+    }
 
   /** Sweep every memoized graph (evict + unpersist each) — the
     * lifecycle clear for long-lived sessions, same contract as
     * [[graft.ops.Dedup.clearCaches]]/[[graft.ops.Bm25.clearCache]]. */
-  def clearCache(): Unit = built.synchronized {
-    while (built.nonEmpty) evictOldest()
-  }
-  private[graft] def cachedCount: Int = built.synchronized(built.size)
+  def clearCache(): Unit = built.clear()
+  private[graft] def cachedCount: Int = built.size
 
   private def buildGraphUncached(s: SparkSession, d: String):
       (Registry, DataFrame) = {
@@ -114,18 +109,17 @@ object GraphQ {
     * embeds the concatenated entity descriptions — the expensive
     * phase) is the shared sub-computation of g02 and g03, exactly the
     * [[graft.ops.Dedup]] shared-shingle-table discipline. */
-  private val ranked = scala.collection.mutable
-    .LinkedHashMap[(String, String), DataFrame]()
+  private val ranked =
+    new graft.core.LruCache[(String, String), DataFrame](MaxCachedGraphs,
+      (_, r) => try r.unpersist(false) catch { case _: Throwable => () })
   private def rankedEntities(s: SparkSession, d: String): DataFrame = {
     val reg = buildGraph(s, d)._1 // outside the ranked lock (lock order)
-    ranked.synchronized {
-      ranked.getOrElseUpdate((graft.core.SessionId.of(s), d), {
-        val r = Graph.graphSearchEntities(reg, "spark filter join",
-          Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
-          recognizer, similarK = 10).persist()
-        r.count()
-        r
-      })
+    ranked.getOrElseUpdate((graft.core.SessionId.of(s), d)) {
+      val r = Graph.graphSearchEntities(reg, "spark filter join",
+        Graph.entityDef(), Graph.relationDef(), Md5Embedder(dim = 32),
+        recognizer, similarK = 10).persist()
+      r.count()
+      r
     }
   }
 
@@ -231,22 +225,16 @@ object GraphQ {
   /** The streamed 3-micro-batch graph build, memoized per (session,
     * corpus) — s16 gates the entity merge, s17 gates relation
     * orientation through PageRank; one streamed build serves both. */
-  private val streamedBuilt = scala.collection.mutable
-    .LinkedHashMap[(String, String), Registry]()
+  private val streamedBuilt =
+    new graft.core.LruCache[(String, String), Registry](MaxCachedGraphs)
 
   private def buildGraphStreamed(s: SparkSession, d: String): Registry =
-    streamedBuilt.synchronized {
-      streamedBuilt.getOrElseUpdate((graft.core.SessionId.of(s), d), {
-        while (streamedBuilt.size >= MaxCachedGraphs)
-          streamedBuilt.remove(streamedBuilt.head._1)
-        buildGraphStreamedUncached(s, d)
-      })
+    streamedBuilt.getOrElseUpdate((graft.core.SessionId.of(s), d)) {
+      buildGraphStreamedUncached(s, d)
     }
 
-  private[graft] def streamedCachedCount: Int =
-    streamedBuilt.synchronized(streamedBuilt.size)
-  private[graft] def clearStreamedCache(): Unit =
-    streamedBuilt.synchronized(streamedBuilt.clear())
+  private[graft] def streamedCachedCount: Int = streamedBuilt.size
+  private[graft] def clearStreamedCache(): Unit = streamedBuilt.clear()
 
   private def buildGraphStreamedUncached(s: SparkSession,
                                          d: String): Registry = {

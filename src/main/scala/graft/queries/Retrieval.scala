@@ -583,21 +583,17 @@ object Retrieval {
     * paid a full tokenize+distinct+collect to re-derive the SAME vocab
     * — the last uncached per-call build in the retrieval family (the
     * round-11 warm-drift audit). Same key discipline as the postings
-    * cache: content version, so a rewritten corpus re-derives. */
-  private val MaxCachedVocabs = 4
-  private val wpVocabMemo =
-    scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    * cache: content version, so a rewritten corpus re-derives. Same
+    * EVICTION discipline too ([[graft.core.LruCache]], access-ordered
+    * — the round-13 FIFO memos thrashed under a working set one entry
+    * over their cap); plain Seqs, nothing to unpersist. */
+  private val wpVocabMemo = new graft.core.LruCache[String, Seq[String]](8)
 
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val ver = Bm25.dirVersion(s, s"$d/documents.parquet")
-    val vocab = wpVocabMemo.synchronized { wpVocabMemo.get(
-      s"${graft.core.SessionId.of(s)}|$d|$ver") }.getOrElse {
-      // bounded, oldest-evicted (the Bm25 cache discipline — an
-      // unbounded driver memo is the exact long-lived-session leak
-      // RegistryEvictionSpec exists to pin); plain Seqs, nothing to
-      // unpersist
-      val v = {
+    val vocab = wpVocabMemo.getOrElseUpdate(
+      s"${graft.core.SessionId.of(s)}|$d|$ver") {
         // The oracle replays WordPiece as simple-tokens + 4-char split,
         // which equals REAL WordPiece (BERT basic tokenization + greedy
         // match) only on a punctuation-free lowercase corpus — on
@@ -617,13 +613,6 @@ object Retrieval {
             if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
           .distinct
       }
-      wpVocabMemo.synchronized {
-        while (wpVocabMemo.size >= MaxCachedVocabs)
-          wpVocabMemo.remove(wpVocabMemo.head._1)
-        wpVocabMemo(s"${graft.core.SessionId.of(s)}|$d|$ver") = v
-      }
-      v
-    }
     val tok = graft.functions.Tokenizers.wordpiece(vocab,
       name = "bert_corpus4")
     val idx = Bm25.buildCached(docs, "doc_id", "text",

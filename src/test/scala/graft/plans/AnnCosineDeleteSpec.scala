@@ -475,6 +475,49 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       s"far-cluster rows surfaced through a 1-probe search: $got")
   }
 
+  test("engine composed index under COSINE: the probe runs on " +
+      "normalized centroids with L2 — the matryoshkaTopKIvf spherical " +
+      "convention — so engine and explicit paths pick the same cells") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("mrlivfcos", primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.Cosine, lists = 2, mrlDims = 1)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-mrlivfcos-reg").toString)
+      .register(td)
+    // two DIRECTION clusters (cosine geometry) with wildly varying
+    // magnitudes: raw-centroid probing and normalized probing disagree
+    // exactly when magnitude structure is present
+    val rows = (0 until 30).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      val m = 1.0f + i * 0.3f
+      VecRow(i.toLong, Seq(s * m, (i % 5) * 0.05f * m))
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    eng.buildIndex(td)
+    val q = Seq(1.0, 0.05)
+    val got = eng.searchByVector(td, q, topk = 5, probes = 1,
+        refine = 3, returnFields = Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // explicit composition, spherical probe (the ONE convention)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 2, Ann.Cosine)
+    val pruned = Ann.assign(reg.table(td), "v", model, Ann.Cosine)
+      .join(org.apache.spark.sql.functions.broadcast(
+        Ann.probeCells(Ann.normalizeModel(model),
+          org.apache.spark.sql.functions.typedlit(Ann.normalizeSeq(q)),
+          Ann.L2, 1)), Seq("centroid_id"))
+    val want = Ann.matryoshkaTopK(pruned, "rid", "v", q, dims = 1,
+        candidates = 15, k = 5, metric = Ann.Cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // the far direction cluster (odd rids) is unprobed
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0),
+      s"far-direction rows surfaced through a 1-probe search: $got")
+  }
+
   test("attachStoredIndex matryoshka-IVF root: deletes rewrite ONLY " +
       "the cells holding doomed rows (cell-confined, never the whole " +
       "dir); search sees survivors only") {

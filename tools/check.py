@@ -48,6 +48,16 @@ def canon_type(t):
         return pa.binary()
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         return pa.list_(canon_type(t.value_type))
+    # recurse through nested children too: a large_string buried in a
+    # struct or map field is the same width-only variant and must not
+    # FAIL as a physical type mismatch
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(t.field(i).name,
+                                   canon_type(t.field(i).type),
+                                   nullable=t.field(i).nullable)
+                          for i in range(t.num_fields)])
+    if pa.types.is_map(t):
+        return pa.map_(canon_type(t.key_type), canon_type(t.item_type))
     return t
 
 

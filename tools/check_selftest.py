@@ -70,7 +70,19 @@ def main():
         )})
     assert rc == 1, "value mismatch must FAIL (got pass)"
 
-    print("check_selftest: 4/4 OK")
+    # 5. Width-only variant NESTED in a struct (large_string child).
+    #    canon_type must recurse; a top-level-only canon would FAIL this
+    #    honest match. DuckDB's struct_pack builds the struct twin.
+    rc = run_case({
+        "t5_nested_large_string_ok": (
+            pa.table({"r": pa.array([{"a": "x", "n": 1}], type=pa.struct(
+                [pa.field("a", pa.large_string()),
+                 pa.field("n", pa.int64())]))}),
+            "SELECT struct_pack(a := 'x', n := CAST(1 AS BIGINT)) AS r",
+        )})
+    assert rc == 0, "struct-nested width-only variant must PASS (got fail)"
+
+    print("check_selftest: 5/5 OK")
     return 0
 
 
