@@ -3018,6 +3018,297 @@ object Ann {
       refine, roundTo)
   }
 
+  // --- Quantized-root fresh-rows maintenance --------------------------
+  //
+  // The quantized layouts (SQ [[writeIvfSq]], PQ [[writeIvfPq]], 1-bit
+  // [[writeIvfBitq]]) bind their codes to training-time bounds /
+  // codebooks, so unlike the exact layouts they cannot simply grow —
+  // but at 100 TB a streaming corpus cannot take a full rebuild per
+  // append cycle either. The standard incremental answer (the shape the
+  // reference's underlying index maintains postings with —
+  // /root/reference/vechord/spec.py:437-444, vchordrq inserts being
+  // incremental): an EXACT fresh-rows side table per root
+  // (`dir/fresh`, cell-partitioned raw rows, id-keyed replay-safe
+  // appends), folded into the main layout at the next compaction.
+  // Queries stay EXACTLY rebuild-equivalent: the fresh rows are
+  // encoded ON READ under the root's frozen artifacts via the same
+  // transforms streaming ingest uses ([[assignQuantizeSq]] /
+  // [[assignEncodePq]] / [[assignQuantizeBitq]] — documented
+  // bit-identical to the batch build), so phase-1 candidate ordering
+  // and phase-2 re-ranks are indistinguishable from a layout that had
+  // always contained the rows.
+
+  /** Family + data-subdir + spherical flag of a quantized root, read
+    * from its geometry marker — refuses a dir that is none of the
+    * three (an unmarked dir must never silently become a fresh-rows
+    * root: adopt-on-append would mix geometries). */
+  private def quantizedFamily(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (String, String, Boolean) =
+    graft.io.Markers.read(spark, dir, PqMetaMarker) match {
+      case Some(meta) => ("pq", "encoded", meta.split(",")(2).toBoolean)
+      case None => graft.io.Markers.read(spark, dir, SqMetaMarker) match {
+        case Some(s) => ("sq", "quantized", s.toBoolean)
+        case None =>
+          graft.io.Markers.read(spark, dir, BitqMetaMarker) match {
+            case Some(s) => ("bitq", "quantized", s.toBoolean)
+            case None => throw new IllegalStateException(
+              s"$dir carries no SQ/PQ/1-bit geometry marker — not a " +
+                "quantized root; pin the layout at build time " +
+                "(writeIvfSq/writeIvfPq/writeIvfBitq + ensure*Root)")
+          }
+      }
+    }
+
+  /** True when `dir` carries one of the three quantized geometry
+    * markers — the start-time refusal probe for
+    * [[graft.streaming.Stream.ingestQuantizedFreshAppend]]. */
+  def isQuantizedRoot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Boolean =
+    graft.io.Markers.read(spark, dir, PqMetaMarker).nonEmpty ||
+      graft.io.Markers.read(spark, dir, SqMetaMarker).nonEmpty ||
+      graft.io.Markers.read(spark, dir, BitqMetaMarker).nonEmpty
+
+  private def freshPath(dir: String) = s"$dir/fresh"
+
+  private def freshExists(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(freshPath(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Batch APPEND of raw rows into a quantized root's fresh side
+    * table, REPLAY-SAFE by id — the quantized member of the
+    * graduated-root maintenance family ([[appendIvfIdempotent]]'s
+    * discipline). Rows are assigned to the root's pinned cells (the
+    * marker must EXIST and match `dir/centroids`; spherical roots
+    * assign normalized-query-side, the geometry their stored
+    * centroids live in) and land RAW under `fresh/` partitioned by
+    * centroid_id — no codes are computed at append time: encoding is
+    * deferred to query ([[searchIvfSqStoredFresh]] family) and to
+    * [[compactQuantizedFresh]]. The existence probe reads ONLY the
+    * touched cells' partitions of `fresh/` AND of the main layout (a
+    * batch redelivered AFTER compaction must also append nothing), so
+    * append cost scales with the batch and its touched cells, never
+    * the corpus. Returns rows appended. */
+  def appendQuantizedFreshIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newRows: DataFrame, idCol: String, vecCol: String): Long = {
+    val (_, dataSub, spherical) = quantizedFamily(spark, dir)
+    if (readIvfModelMarker(spark, dir).isEmpty)
+      throw new IllegalStateException(
+        s"appendQuantizedFreshIdempotent: $dir has no IVF model " +
+          "marker — pin the build model first (ensure*Root at write " +
+          "time)")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    // validates the centroids actually on disk against the pinned
+    // fingerprint (a hand-swapped centroids/ dir refuses here)
+    ensureIvfModelMarker(spark, dir, model)
+    val assigned =
+      if (spherical)
+        assign(withNormalized(newRows, vecCol, "__nvec"), "__nvec",
+          model, L2).drop("__nvec")
+      else assign(newRows, vecCol, model, L2)
+    val touched = assigned.select(col(model.idCol)).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    val hasFresh = freshExists(spark, dir)
+    val inMain = spark.read.parquet(s"$dir/$dataSub")
+      .filter(col(model.idCol).isin(touched: _*)).select(col(idCol))
+    val inFresh =
+      if (hasFresh) spark.read.parquet(freshPath(dir))
+        .filter(col(model.idCol).isin(touched: _*)).select(col(idCol))
+      else inMain.limit(0)
+    val fresh = assigned
+      .join(inFresh.unionByName(inMain).withColumnRenamed(idCol, "__eid"),
+        assigned(idCol) === col("__eid"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L) {
+      if (hasFresh)
+        requireAppendSchema(spark.read.parquet(freshPath(dir)).schema,
+          fresh.schema, Set(model.idCol),
+          "appendQuantizedFreshIdempotent")
+      fresh.write.mode("append").partitionBy(model.idCol)
+        .parquet(freshPath(dir))
+    }
+    n
+  }
+
+  /** The probed slice of a root's fresh side table, encoded under the
+    * root's frozen artifacts by `encode` — None when no fresh rows
+    * exist. The read prunes to the probed cells' partition dirs BEFORE
+    * encoding (rows re-assign to the same cells deterministically —
+    * same centroids, same argmin), so query cost over fresh scales
+    * with the probed fraction exactly like the main layout's scan. */
+  private def freshEncodedForQuery(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cells: Array[Long],
+      encode: DataFrame => DataFrame): Option[DataFrame] =
+    if (!freshExists(spark, dir)) None
+    else Some(encode(spark.read.parquet(freshPath(dir))
+      .filter(col("centroid_id").isin(cells: _*))
+      .drop("centroid_id")))
+
+  /** [[searchIvfSqStored]] over a root WITH a fresh side table: the
+    * probed fresh rows are SQ-encoded on read under the stored bounds
+    * ([[assignQuantizeSq]] — bit-identical to the batch build's codes)
+    * and unioned into the asymmetric scan, so the result equals a
+    * one-shot rebuild that had always contained them. */
+  def searchIvfSqStoredFresh(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, idCol: String, vecCol: String,
+                             queryVec: Column, metric: Metric,
+                             probes: Int, k: Int, refine: Int = 5,
+                             roundTo: Int = 6): DataFrame = {
+    val index = loadIvfSq(spark, dir)
+    val spherical = graft.io.Markers.read(spark, dir, SqMetaMarker)
+      .exists(_.toBoolean)
+    require(spherical == (metric == Cosine),
+      s"$dir pins spherical=$spherical but the query metric is $metric")
+    val cells = probeCells(index.model, queryVec, metric, probes)
+      .collect().map(_.getLong(0))
+    val stored = index.quantized
+      .filter(col(index.model.idCol).isin(cells: _*))
+    val all = freshEncodedForQuery(spark, dir, cells, fr =>
+        assignQuantizeSq(fr, vecCol, index, metric)
+          .withColumn("codes", unpackCodes(col("codes"))))
+      .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
+      .getOrElse(stored)
+    searchIvfSq(index.copy(quantized = all), idCol, vecCol, queryVec,
+      metric, probes, k, refine, roundTo)
+  }
+
+  /** [[searchIvfPqStored]] over a root WITH a fresh side table — the
+    * PQ member: probed fresh rows PQ-encode on read under the stored
+    * codebooks ([[assignEncodePq]], bit-identical to the batch
+    * build's codes) and join both the ADC phase and the exact
+    * re-rank. */
+  def searchIvfPqStoredFresh(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, idCol: String, vecCol: String,
+                             query: Seq[Double], metric: Metric,
+                             probes: Int, k: Int, refine: Int = 5,
+                             roundTo: Int = 6): DataFrame = {
+    val index = loadIvfPq(spark, dir)
+    require(index.spherical == (metric == Cosine),
+      s"$dir pins spherical=${index.spherical} but the query metric " +
+        s"is $metric")
+    val (qs, m) =
+      if (index.spherical) {
+        val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
+        (query.map(_ / n), L2: Metric)
+      } else (query, metric)
+    val cells = probeCells(index.model, typedlit(qs), m, probes)
+      .collect().map(_.getLong(0))
+    val stored = index.encoded
+      .filter(col(index.model.idCol).isin(cells: _*))
+    // index.model holds the STORED (spherical ⇒ already-normalized)
+    // centroids; assignEncodePq re-normalizes idempotently
+    val restricted = freshEncodedForQuery(spark, dir, cells, fr =>
+        assignEncodePq(fr, vecCol, index.pq, index.model, metric))
+      .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
+      .getOrElse(stored)
+    val cand = restricted.select(col(idCol), col("pq_codes"))
+      .withColumn("qdist",
+        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
+      .orderBy(col("qdist").asc, col(idCol).asc)
+      .limit(k * refine)
+      .select(col(idCol))
+    pqRerank(restricted, cand, idCol, vecCol, query, metric, k, roundTo)
+  }
+
+  /** [[searchIvfBitqStored]] over a root WITH a fresh side table — the
+    * 1-bit member ([[assignQuantizeBitq]] on read). */
+  def searchIvfBitqStoredFresh(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, idCol: String,
+                               vecCol: String, queryVec: Column,
+                               metric: Metric, probes: Int, k: Int,
+                               refine: Int = -1,
+                               roundTo: Int = 6): DataFrame = {
+    val index = loadIvfBitq(spark, dir)
+    val spherical = graft.io.Markers.read(spark, dir, BitqMetaMarker)
+      .exists(_.toBoolean)
+    require(spherical == (metric == Cosine),
+      s"$dir pins spherical=$spherical but the query metric is $metric")
+    val dims = index.model.centroids
+      .select(size(col(index.model.vecCol))).head().getInt(0)
+    val cells = probeCells(index.model, queryVec, metric, probes)
+      .collect().map(_.getLong(0))
+    val stored = index.quantized
+      .filter(col(index.model.idCol).isin(cells: _*))
+    val all = freshEncodedForQuery(spark, dir, cells, fr =>
+        assignQuantizeBitq(fr, vecCol, index.model, metric)
+          .withColumn("bits", unpackBits(col("bits"), dims)))
+      .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
+      .getOrElse(stored)
+    searchIvfBitq(index.copy(quantized = all), idCol, vecCol, queryVec,
+      metric, probes, k, refine, roundTo)
+  }
+
+  /** Fold a quantized root's fresh side table into its main layout —
+    * the COMPACTION that closes the incremental cycle: every fresh row
+    * encodes under the root's frozen artifacts (the same transforms
+    * the fresh-aware searches apply on read, so results before and
+    * after compaction are identical) and appends cell-partitioned into
+    * the main data dir; `fresh/` is deleted once folded. Replay-safe
+    * like the appends: rows whose id already reached the main layout
+    * (a crash between append and delete) are dropped by the same
+    * touched-cells existence probe, so a re-run folds the remainder
+    * and deletes. Returns rows graduated. */
+  def compactQuantizedFresh(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, idCol: String,
+                            vecCol: String): Long = {
+    val (family, dataSub, spherical) = quantizedFamily(spark, dir)
+    if (!freshExists(spark, dir)) return 0L
+    val metric = if (spherical) Cosine else (L2: Metric)
+    val fresh = spark.read.parquet(freshPath(dir)).drop("centroid_id")
+    val encoded = family match {
+      case "sq" =>
+        assignQuantizeSq(fresh, vecCol, loadIvfSqMeta(spark, dir), metric)
+      case "pq" =>
+        val idx = loadIvfPq(spark, dir)
+        assignEncodePq(fresh, vecCol, idx.pq, idx.model, metric)
+      case _ =>
+        val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+          "centroid_id", "centroid")
+        assignQuantizeBitq(fresh, vecCol, model, metric)
+          .withColumn("bits", packBits(col("bits")))
+    }
+    val mainPath = s"$dir/$dataSub"
+    val stored = spark.read.parquet(mainPath)
+    val touched = encoded.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val existing = stored.filter(col("centroid_id").isin(touched: _*))
+      .select(col(idCol))
+    val toAppend = encoded
+      .join(existing.withColumnRenamed(idCol, "__eid"),
+        encoded(idCol) === col("__eid"), "left_anti")
+      .localCheckpoint(true)
+    val n = toAppend.count()
+    if (n > 0L) {
+      requireAppendSchema(stored.schema, toAppend.schema,
+        Set("centroid_id"), "compactQuantizedFresh")
+      // column ORDER normalized to the stored footer's (mixed orders
+      // across files read fine by name, but keep the layout uniform)
+      toAppend.select(stored.columns.map(col): _*)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(mainPath)
+    }
+    val p = new org.apache.hadoop.fs.Path(freshPath(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    n
+  }
+
+  /** The SQ index SANS data — bounds + centroids only, for transforms
+    * that need the trained artifacts but not the quantized frame
+    * (compaction encodes the fresh rows, not the corpus). */
+  private def loadIvfSqMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): IvfSqIndex =
+    IvfSqIndex(spark.emptyDataFrame,
+      spark.read.parquet(s"$dir/bounds"),
+      IvfModel(spark.read.parquet(s"$dir/centroids"),
+        "centroid_id", "centroid"))
+
   /** Pack 0/1 bit codes into a `binary` column, 8 bits per byte
     * MSB-first (dims pad to a whole byte) — the at-rest form of a
     * [[IvfBitIndex]]: 1 bit/dim in storage, shuffle buffers, and

@@ -931,7 +931,152 @@ object Events {
     df.select("vec_id", "dist")
   }
 
+  /** s25: streamed MAINTENANCE of a graduated QUANTIZED (PQ) root —
+    * closing the family's last documented gap (s19 range, s21 composed
+    * matryoshka, s22 BM25, s23 sparse, s24 dense cells; the quantized
+    * layouts previously "rebuilt by design"). Codes are bound to
+    * training-time codebooks, so the root never re-encodes per batch:
+    * appended rows land RAW in the root's fresh side table
+    * ([[graft.ops.Ann.appendQuantizedFreshIdempotent]] — id-keyed
+    * replay-safe, existence probe pruned to touched cells of fresh
+    * AND main, so a batch redelivered even AFTER compaction appends
+    * nothing), and the fresh-aware search PQ-encodes them ON READ
+    * under the frozen codebooks
+    * ([[graft.ops.Ann.searchIvfPqStoredFresh]]) — bit-identical codes
+    * to the batch build, so the result is EXACTLY a one-shot
+    * full-corpus build's. Codebooks and centroids train on the full
+    * corpus (the label-mean / offline-model seat s19 and c10 use),
+    * which is what makes r38/r40's oracle replay verbatim over the
+    * half-written + half-streamed root. The incremental-insert shape
+    * matches the reference's own index maintenance
+    * (/root/reference/vechord/spec.py:437-444 — vchordrq inserts are
+    * incremental, never rebuilds). */
+  def streamPqAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // ONE value type across the batch-written root and streamed fresh
+    // rows (the s19 rule): everything double
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val full = graft.ops.Ann.buildIvfPq(e, "embedding", model, m = 8,
+      graft.ops.Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s25_root").toString
+    graft.ops.Ann.writeIvfPq(
+      full.copy(encoded = full.encoded.filter(col("vec_id") % 2 === 0)),
+      dir)
+    // pin the coarse model at build time (writeIvfPq pins geometry +
+    // codebook digest; the IVF fingerprint comes from ensureIvfPqRoot)
+    graft.ops.Ann.ensureIvfPqRoot(s, dir, full.pq, model,
+      spherical = false)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s25_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin: a crash-redelivered batch appends NOTHING
+    val dup = graft.ops.Ann.appendQuantizedFreshIdempotent(s, dir,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s25: replayed batch appended $dup rows — append not replay-safe")
+    // r38's exact search over the grown root; cell dirs of BOTH the
+    // encoded layout and the fresh side table partition-prune
+    val qv = e.filter(col("vec_id") === 5)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    val df = graft.ops.Ann.searchIvfPqStoredFresh(s, dir, "vec_id",
+      "embedding", qv, graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
+    Retrieval.assertPartitionPruned(
+      df.queryExecution.executedPlan.toString, "centroid_id",
+      "grown PQ-root search")
+    df
+  }
+
+  /** s26: s25's SQ twin — streamed maintenance of a graduated
+    * [[graft.ops.Ann.writeIvfSq]] root through the same fresh-rows
+    * side table, searched via
+    * [[graft.ops.Ann.searchIvfSqStoredFresh]] (fresh rows SQ-encoded
+    * on read under the stored per-cell bounds — codes bit-identical
+    * to the batch build), then COMPACTED
+    * ([[graft.ops.Ann.compactQuantizedFresh]]) and searched again:
+    * both answers must land on r12's full-corpus two-phase oracle
+    * verbatim, pinning in one gate that encode-on-read and
+    * fold-into-layout are the same index. Bounds/centroids train on
+    * the full corpus (the offline-model seat). */
+  def streamSqAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val full = graft.ops.Ann.buildIvfSq(e, "embedding", model,
+      graft.ops.Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s26_root").toString
+    graft.ops.Ann.writeIvfSq(
+      full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    graft.ops.Ann.ensureIvfSqRoot(s, dir, full, spherical = false)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s26_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qv = e.filter(col("vec_id") === 11)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    def search() = graft.ops.Ann.searchIvfSqStoredFresh(s, dir,
+      "vec_id", "embedding", typedlit(qv), graft.ops.Ann.L2,
+      probes = 3, k = 10, refine = 5)
+    // pin: compaction is OBSERVABLY a no-op — encode-on-read before,
+    // folded codes after, same rows either way
+    val before = search().collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq
+    val folded = graft.ops.Ann.compactQuantizedFresh(s, dir, "vec_id",
+      "embedding")
+    require(folded == rows.length.toLong,
+      s"s26: compaction folded $folded rows, wanted ${rows.length}")
+    require(!new java.io.File(dir, "fresh").exists(),
+      "s26: fresh/ must be gone after compaction")
+    val df = search()
+    val after = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq
+    require(before == after,
+      s"s26: compaction changed the search:\nbefore $before\nafter $after")
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_stream_pq_append" -> streamPqAppend,
+    "s26_stream_sq_append" -> streamSqAppend,
     "s24_stream_ivf_append" -> streamIvfAppend,
     "s22_stream_bm25_append" -> streamBm25Append,
     "s23_stream_sparse_append" -> streamSparseAppend,
@@ -1096,6 +1241,11 @@ object Events {
     // corpus, and sound radii make the pruning invisible — the same
     // r56 threshold scan lands verbatim on the grown root.
     "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // the fresh-rows maintenance gates land on the one-shot
+    // full-corpus builds' oracles verbatim: frozen full-corpus
+    // codebooks/bounds + encode-on-read == the rebuilt layout
+    "s25_stream_pq_append" -> Retrieval.oracles("r38_ivf_pq"),
+    "s26_stream_sq_append" -> Retrieval.oracles("r12_ivf_sq_topk"),
     // s20: the streamed-then-graduated composed layout is lossless —
     // r78's composed replay lands verbatim.
     "s20_stream_matryoshka_ivf" -> Retrieval.oracles("r78_matryoshka_ivf"),

@@ -586,6 +586,44 @@ object Stream {
       .start()
   }
 
+  /** Continuous APPEND into a GRADUATED quantized root (SQ / PQ /
+    * 1-bit) — the quantized member of the graduated-root maintenance
+    * family, closing its last gap: codes are bound to training-time
+    * bounds/codebooks, so instead of re-encoding per batch the rows
+    * land RAW in the root's fresh side table
+    * ([[graft.ops.Ann.appendQuantizedFreshIdempotent]] — id-keyed
+    * replay-safe, existence probe pruned to touched cells of fresh
+    * AND main), are encoded ON READ by the `*StoredFresh` searches,
+    * and fold into the main layout at
+    * [[graft.ops.Ann.compactQuantizedFresh]]. Fails at START, not
+    * first batch, when `root` carries no quantized geometry marker or
+    * no pinned IVF model. */
+  def ingestQuantizedFreshAppend(vectors: DataFrame, idCol: String,
+                                 vecCol: String, root: String,
+                                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    // loud on a non-root BEFORE any mutation: the append itself also
+    // family-detects, but a stream must refuse at start
+    if (!graft.ops.Ann.isQuantizedRoot(spark, root))
+      throw new IllegalStateException(
+        s"ingestQuantizedFreshAppend: $root has no SQ/PQ/1-bit " +
+          "geometry marker — not a quantized root")
+    if (graft.ops.Ann.readIvfModelMarker(spark, root).isEmpty)
+      throw new IllegalStateException(
+        s"ingestQuantizedFreshAppend: $root has no pinned IVF model " +
+          "marker — not a graduated quantized root")
+    spark.read.parquet(s"$root/centroids") // loud when centroids miss
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Ann.appendQuantizedFreshIdempotent(spark, root, batch,
+          idCol, vecCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous matryoshka ingest — the FLAT member of the at-rest
     * ingest family (dense IVF, BM25, sparse, maxsim, PQ, SQ, 1-bit,
     * range — and now the truncation layout): each row's prefix is

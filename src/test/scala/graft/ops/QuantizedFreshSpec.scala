@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The quantized-root fresh-rows maintenance contract
+  * ([[Ann.appendQuantizedFreshIdempotent]] /
+  * [[Ann.searchIvf*StoredFresh]] / [[Ann.compactQuantizedFresh]]):
+  * a root holding half the corpus plus exact fresh appends of the
+  * other half must answer every search EXACTLY like a one-shot build
+  * over the whole corpus — before compaction (fresh encoded on read
+  * under the frozen artifacts) and after (fresh folded into the main
+  * layout, side table gone); redelivered batches append nothing, even
+  * after their rows have graduated into the main layout. */
+class QuantizedFreshSpec extends SparkSpecBase {
+
+  private val rng = new scala.util.Random(23)
+  private val dim = 16
+  private lazy val corpus: Seq[(Long, Seq[Double], Int)] = {
+    val anchors = Array.fill(3)(Array.fill(dim)(rng.nextDouble() * 4))
+    (0 until 60).map { i =>
+      val lab = i % 3
+      val v = anchors(lab).map(_ + (rng.nextDouble() - 0.5) * 0.2).toSeq
+      (i.toLong, v, lab)
+    }
+  }
+
+  private def df = {
+    val sp = spark
+    import sp.implicits._
+    corpus.toDF("vec_id", "embedding", "label")
+  }
+  private def even = df.filter(col("vec_id") % 2 === 0)
+  private def odd = df.filter(col("vec_id") % 2 === 1)
+  private def q: Seq[Double] = corpus(7)._2
+
+  private def ids(r: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    r.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+
+  test("SQ root: fresh appends answer like a one-shot build, " +
+      "redelivery appends zero, compaction folds losslessly") {
+    val sp = spark
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val full = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val want = ids(Ann.searchIvfSq(full, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5))
+    // root holds the even half only; markers pinned at build
+    val idx = full.copy(quantized =
+      full.quantized.filter(col("vec_id") % 2 === 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqfresh").toString
+    Ann.writeIvfSq(idx, dir)
+    Ann.ensureIvfSqRoot(sp, dir, idx, spherical = false)
+    // append the odd half in two batches
+    val n1 = Ann.appendQuantizedFreshIdempotent(sp, dir,
+      odd.filter(col("vec_id") < 30), "vec_id", "embedding")
+    val n2 = Ann.appendQuantizedFreshIdempotent(sp, dir,
+      odd.filter(col("vec_id") >= 30), "vec_id", "embedding")
+    assert(n1 + n2 == 30L, s"appended $n1 + $n2, wanted 30")
+    // crash-redelivery: the same batch appends NOTHING
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      odd.filter(col("vec_id") < 30), "vec_id", "embedding") == 0L)
+    val before = ids(Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5))
+    assert(before == want,
+      s"fresh-aware search diverged from the one-shot build:\n" +
+        s"got  $before\nwant $want")
+    // compaction folds, deletes fresh/, and changes NOTHING observable
+    val folded = Ann.compactQuantizedFresh(sp, dir, "vec_id", "embedding")
+    assert(folded == 30L, s"compaction folded $folded, wanted 30")
+    assert(!new java.io.File(dir, "fresh").exists(),
+      "fresh/ must be gone after compaction")
+    val after = ids(Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5))
+    assert(after == want, "post-compaction search diverged")
+    // the plain stored search agrees too: the folded layout IS a
+    // one-shot writeIvfSq layout
+    val plain = ids(Ann.searchIvfSqStored(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5))
+    assert(plain == want, "folded layout diverged under the plain search")
+    // redelivery AFTER compaction still appends zero (the main-layout
+    // existence probe)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      odd.filter(col("vec_id") < 30), "vec_id", "embedding") == 0L)
+    // idempotent compaction: nothing left to fold
+    assert(Ann.compactQuantizedFresh(sp, dir, "vec_id", "embedding") == 0L)
+  }
+
+  test("PQ root (spherical): fresh appends under the cosine geometry " +
+      "answer like the one-shot build, before and after compaction") {
+    val sp = spark
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val full = Ann.buildIvfPq(df, "embedding", model, m = 4, Ann.Cosine)
+    def search(d: String) = ids(Ann.searchIvfPqStoredFresh(sp, d,
+      "vec_id", "embedding", q, Ann.Cosine, probes = 2, k = 8,
+      refine = 5))
+    val want = ids(Ann.searchIvfPq(full, "vec_id", "embedding", q,
+      Ann.Cosine, probes = 2, k = 8, refine = 5))
+    val idx = full.copy(encoded =
+      full.encoded.filter(col("vec_id") % 2 === 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqfresh").toString
+    Ann.writeIvfPq(idx, dir)
+    // ensure* takes the RAW model (it normalizes internally for
+    // spherical roots — idx.model is already normalized, and unit
+    // vectors re-normalize to different bits)
+    Ann.ensureIvfPqRoot(sp, dir, idx.pq, model, spherical = true)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+      "vec_id", "embedding") == 30L)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+      "vec_id", "embedding") == 0L, "redelivered batch must append zero")
+    assert(search(dir) == want,
+      "spherical fresh-aware PQ search diverged from the one-shot build")
+    assert(Ann.compactQuantizedFresh(sp, dir, "vec_id",
+      "embedding") == 30L)
+    assert(search(dir) == want, "post-compaction PQ search diverged")
+  }
+
+  test("1-bit root: fresh appends answer like the one-shot build") {
+    val sp = spark
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val full = Ann.buildIvfBitq(df, "embedding", model, Ann.L2)
+    val want = ids(Ann.searchIvfBitq(full, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
+    val idx = full.copy(quantized =
+      full.quantized.filter(col("vec_id") % 2 === 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitqfresh").toString
+    Ann.writeIvfBitq(idx, dir)
+    Ann.ensureIvfBitqRoot(sp, dir, idx.model, spherical = false)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+      "vec_id", "embedding") == 30L)
+    val got = ids(Ann.searchIvfBitqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
+    assert(got == want,
+      s"1-bit fresh-aware search diverged:\ngot  $got\nwant $want")
+  }
+
+  test("refusals: unmarked dirs and retrained models cannot grow a " +
+      "fresh side table; mismatched metric refuses at query") {
+    val sp = spark
+    // a bare dir is not a quantized root
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-fresh-bare").toString
+    intercept[IllegalStateException] {
+      Ann.appendQuantizedFreshIdempotent(sp, bare, odd, "vec_id",
+        "embedding")
+    }
+    // a retrained coarse quantizer refuses via the model fingerprint:
+    // swap centroids/ under a pinned root
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-retrain").toString
+    Ann.writeIvfSq(idx, dir)
+    Ann.ensureIvfSqRoot(sp, dir, idx, spherical = false)
+    val retrained = Ann.buildIvf(
+      df.withColumn("label", (col("label") + 1) % 3), "label",
+      "embedding")
+    retrained.centroids.write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    intercept[IllegalStateException] {
+      Ann.appendQuantizedFreshIdempotent(sp, dir, odd, "vec_id",
+        "embedding")
+    }
+    // metric/spherical mismatch refuses at query time
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-fresh-metric").toString
+    Ann.writeIvfSq(idx, dir2)
+    Ann.ensureIvfSqRoot(sp, dir2, idx, spherical = false)
+    intercept[IllegalArgumentException] {
+      Ann.searchIvfSqStoredFresh(sp, dir2, "vec_id", "embedding",
+        typedlit(q), Ann.Cosine, probes = 2, k = 8)
+    }
+  }
+}
