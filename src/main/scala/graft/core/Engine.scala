@@ -143,6 +143,69 @@ final class Engine(reg: Registry) {
   private def autoBitqRefine(ix: VectorIndex, refine: Int): Int =
     if (refine > 0) refine else Ann.defaultBitqRefine(ix.distance).max(8)
 
+  /** BATCH dense top-k — the query-log replay form of
+    * [[searchByVector]]: one distributed job for the whole query frame
+    * instead of per-query driver round-trips (the shape an eval loop
+    * runs at 100 TB — reference analog: the retrieval loops of
+    * examples/anthropic.py:205-225, one `query_vec` per question).
+    * Delegates to the already-oracled batch operators
+    * ([[graft.ops.Ann.knnJoin]] exact, [[graft.ops.Ann.knnJoinIvf]] /
+    * `knnJoinIvfSq` / `knnJoinIvfPq(Cos)` / `knnJoinIvfBitq` under the
+    * table's declared index), so the per-query results are
+    * bit-identical to `searchByVector`'s and the shuffle is
+    * corpus-partitioned, never Q×driver. Returns
+    * (qIdCol, td.pk, dist, rank), rank 1-based per query, ties
+    * (dist, pk asc). Matryoshka tables have no batch form yet — they
+    * refuse loudly (use [[searchByVector]] per query). */
+  def searchByVectorBatch(td: TableDef[_], queries: DataFrame,
+                          qIdCol: String, qVecCol: String,
+                          topk: Int = 10, probes: Int = 0,
+                          refine: Int = -1): DataFrame = {
+    val ix = td.vectorIndex.getOrElse(
+      throw new IllegalStateException(s"${td.name} has no vector index"))
+    Seq(qIdCol, qVecCol).foreach(c =>
+      require(c != td.pk && c != ix.column,
+        s"batch query column '$c' collides with ${td.name}'s " +
+          s"'${td.pk}'/'${ix.column}' — rename the query frame's " +
+          "columns"))
+    val base = reg.table(td)
+    def p = if (probes > 0) probes
+      else math.ceil(ix.lists / 16.0).toInt.max(1)
+    indexModel(td) match {
+      case Some(model) if ix.lists > 0 && ix.oneBit =>
+        Ann.knnJoinIvfBitq(queries, qIdCol, qVecCol,
+          ivfBitqCached(td, ix, model), td.pk, ix.column, ix.distance,
+          p, topk, autoBitqRefine(ix, refine))
+      case Some(model) if ix.lists > 0 && ix.quantized =>
+        Ann.knnJoinIvfSq(queries, qIdCol, qVecCol,
+          ivfSqCached(td, ix, model), td.pk, ix.column, ix.distance,
+          p, topk, autoSqRefine(refine))
+      case Some(model) if ix.lists > 0 && ix.pq > 0 =>
+        val idx = ivfPqCached(td, ix, model)
+        if (ix.distance == Ann.Cosine)
+          Ann.knnJoinIvfPqCos(queries, qIdCol, qVecCol, idx, td.pk,
+            ix.column, p, topk, autoSqRefine(refine))
+        else
+          Ann.knnJoinIvfPq(queries, qIdCol, qVecCol, idx, td.pk,
+            ix.column, p, topk, autoSqRefine(refine))
+      case Some(model) if ix.lists > 0 && ix.mrlDims > 0 =>
+        throw new IllegalStateException(
+          s"${td.name}: the composed matryoshka-IVF index has no " +
+            "batch join form — run searchByVector per query")
+      case Some(model) if ix.lists > 0 =>
+        Ann.knnJoinIvf(queries, qIdCol, qVecCol,
+          assignedCached(td, ix, model), td.pk, ix.column, model,
+          ix.distance, p, topk)
+      case _ if ix.mrlDims > 0 =>
+        throw new IllegalStateException(
+          s"${td.name}: the matryoshka index has no batch join form — " +
+            "run searchByVector per query")
+      case _ =>
+        Ann.knnJoin(queries, qIdCol, qVecCol, base, td.pk, ix.column,
+          ix.distance, topk)
+    }
+  }
+
   /** Multi-vector maxsim top-k (registry.py:227-267) with the two-phase
     * `refine` knob: when 0 < refine < table size, a cheap first phase
     * scores each doc against the query-token centroid (one dot per doc)
@@ -241,6 +304,21 @@ final class Engine(reg: Registry) {
         reg.table(td).filter(pred), td.pk)
     }).withColumnRenamed("id", "__hit_id")
     joinHitsBack(td, hits, fields)
+  }
+
+  /** BATCH keyword top-k — [[searchByVectorBatch]]'s keyword twin and
+    * the engine surface over the already-oracled
+    * [[graft.ops.Bm25.searchBatch]]: every query row scores in ONE
+    * distributed job against the table's memoized index (stats join
+    * broadcast, postings pruned to the batch's distinct terms), the
+    * eval-loop shape at scale. Returns (qid, id, score, rank) —
+    * searchBatch's normalized column contract. */
+  def searchByKeywordBatch(td: TableDef[_], queries: DataFrame,
+                           qIdCol: String, qTextCol: String,
+                           topk: Int = 10): DataFrame = {
+    require(td.keywordIndex.nonEmpty,
+      s"${td.name} has no keyword index")
+    Bm25.searchBatch(keywordIndex(td), queries, qIdCol, qTextCol, topk)
   }
 
   /** Shared hits→payload join for the keyword/sparse searches. The

@@ -383,7 +383,52 @@ object Crud {
       .select(col("doc_id").as("id"), col("score"))
   }
 
+  /** c13: BATCH vector search on the ENGINE surface —
+    * `Engine.searchByVectorBatch` delegating to the already-oracled
+    * [[graft.ops.Ann.knnJoin]] family, so an eval loop gets the ONE
+    * distributed job (corpus-partitioned shuffle) instead of Q driver
+    * round-trips — the reference analog is the per-question retrieval
+    * loop of examples/anthropic.py:205-225, which at 100 TB must be a
+    * join, not a loop. Exact index (lists = 0) over r04's exact
+    * parameters, so the engine chain lands on r04's batch oracle
+    * verbatim (vec_id renamed to the oracle's d_id). */
+  def engineBatchVec(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_batch", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val qs = embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    new graft.core.Engine(reg)
+      .searchByVectorBatch(td, qs, "q_id", "qv", topk = 3)
+      .withColumnRenamed("vec_id", "d_id")
+  }
+
+  /** c14: BATCH keyword search on the ENGINE surface — c13's keyword
+    * twin: `Engine.searchByKeywordBatch` over the table's memoized
+    * index delegates to [[graft.ops.Bm25.searchBatch]] (postings
+    * pruned to the batch's distinct terms, stats broadcast), running
+    * r13's exact query batch so the engine chain lands on its oracle
+    * verbatim. */
+  def engineBatchKeyword(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = fresh(s)
+    val td = TableDef[KwDoc]("kwdoc_batch", primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang")))
+    new graft.core.Engine(reg)
+      .searchByKeywordBatch(td,
+        graft.queries.Retrieval.BatchQueries.toDF("qid", "qtext"),
+        "qid", "qtext", topk = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_engine_batch_keyword" -> engineBatchKeyword,
+    "c13_engine_batch_vec" -> engineBatchVec,
     "c12_engine_filtered_keyword" -> engineFilteredKeyword,
     "c11_engine_hybrid" -> engineHybrid,
     "c10_engine_matryoshka_ivf" -> engineMatryoshkaIvf,
@@ -398,6 +443,13 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c13/c14: the engine batch surfaces delegate to the oracled
+    // batch operators over identical corpora and parameters, so
+    // r04's and r13's batch oracles land verbatim.
+    "c13_engine_batch_vec" ->
+      graft.queries.Retrieval.oracles("r04_knn_join_l2"),
+    "c14_engine_batch_keyword" ->
+      graft.queries.Retrieval.oracles("r13_bm25_batch"),
     // c12: whole-corpus stats + predicate-thinned returns — the
     // engine corpus is the documents table verbatim, so r58's
     // filtered oracle lands as-is.

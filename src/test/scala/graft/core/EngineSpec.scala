@@ -782,6 +782,63 @@ class EngineSpec extends SparkSpecBase {
     } finally eng.uninstallDeclarative(td)
   }
 
+  test("searchByVectorBatch: per-query rows equal searchByVector on " +
+      "exact AND IVF tables; collisions and matryoshka refuse; the " +
+      "keyword twin equals searchByKeyword per query") {
+    val sp = spark
+    import sp.implicits._
+    for (lists <- Seq(0, 2)) {
+      val (_, td, eng) = fresh(lists = lists)
+      if (lists > 0) eng.buildIndex(td)
+      val qs = Seq((100L, Seq(0.0, 0.0)), (101L, Seq(10.0, 10.0)))
+      val got = eng.searchByVectorBatch(td, qs.toDF("q_id", "qv"),
+          "q_id", "qv", topk = 3,
+          probes = if (lists > 0) 2 else 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(x =>
+          (x._2, x._3)).toSeq).toMap
+      qs.foreach { case (qid, qv) =>
+        val want = eng.searchByVector(td, qv, topk = 3,
+            probes = if (lists > 0) 2 else 0)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got(qid) == want,
+          s"lists=$lists qid=$qid: batch ${got(qid)} != per-query $want")
+      }
+      // query columns must not collide with the table's own
+      intercept[IllegalArgumentException] {
+        eng.searchByVectorBatch(td, qs.toDF("cid", "qv"), "cid", "qv")
+      }
+      // keyword twin: per-qid rows equal the single-query search
+      val kq = Seq((1L, "spark joins"), (2L, "cats meow"))
+      val kwGot = eng.searchByKeywordBatch(td, kq.toDF("qid", "qtext"),
+          "qid", "qtext", topk = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(x =>
+          (x._2, x._3)).toSeq).toMap
+      kq.foreach { case (qid, text) =>
+        val want = eng.searchByKeyword(td, text, topk = 3,
+            returnFields = Seq("cid"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(kwGot(qid) == want,
+          s"qid=$qid: keyword batch ${kwGot(qid)} != per-query $want")
+      }
+    }
+    // matryoshka tables have no batch form — refuse loudly
+    val tdM = TableDef[EChunk]("echunk_mrlb", primaryKey = Some("cid"),
+      indexes = Seq(VectorIndex("vec", Ann.L2, mrlDims = 1)),
+      vectorDims = Map("vec" -> 2))
+    val regM = new Registry(spark,
+      Files.createTempDirectory("graft-engine-mb").toString)
+      .register(tdM)
+    regM.insert(tdM, Seq(EChunk(0L, "t", Seq(1f, 2f),
+      Seq(Seq(1f, 2f)))))
+    intercept[IllegalStateException] {
+      new Engine(regM).searchByVectorBatch(tdM,
+        Seq((0L, Seq(0.0, 0.0))).toDF("q_id", "qv"), "q_id", "qv")
+    }
+  }
+
   test("a vector index refuses two quantizations") {
     intercept[IllegalArgumentException] {
       VectorIndex("vec", Ann.L2, lists = 2, quantized = true, pq = 2)
