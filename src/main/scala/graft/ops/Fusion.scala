@@ -47,12 +47,34 @@ object Fusion {
 
   /** RRF: score(id) = Σ_lists 1/(k + rank_list(id)); input frames must
     * have columns (id, rank). Missing ids contribute nothing (same as the
-    * reference: absent from a list = no term). */
+    * reference: absent from a list = no term). The reference hardcodes
+    * k=60 (rerank.py:95-113); `k` is exposed so the hybrid family can
+    * sweep it the way e17 sweeps probes. */
   def rrf(lists: Seq[DataFrame], k: Int = RrfK, topK: Int = 10,
-          roundTo: Int = 6): DataFrame = {
-    val all = lists.reduce(_ unionByName _)
+          roundTo: Int = 6): DataFrame =
+    rrfWeighted(lists, Seq.fill(lists.length)(1.0), k, topK, roundTo)
+
+  /** WEIGHTED RRF: score(id) = Σ_i w_i / (k + rank_i(id)) — the
+    * modality-bias knob the plain form lacks (dense-heavy vs
+    * keyword-heavy hybrids without re-ranking). `weights(i)` scales
+    * `lists(i)`; weight 1.0 on every list is exactly [[rrf]] (the
+    * 1.0·x multiply is an FP no-op, so the two forms share one oracle
+    * at equal weights). Per-id groups hold ≤|lists| terms and FP
+    * addition over ≤2 terms is order-independent, so the score is
+    * deterministic for the canonical two-list hybrid. */
+  def rrfWeighted(lists: Seq[DataFrame], weights: Seq[Double],
+                  k: Int = RrfK, topK: Int = 10,
+                  roundTo: Int = 6): DataFrame = {
+    require(weights.length == lists.length,
+      s"rrfWeighted: ${lists.length} lists but ${weights.length} weights")
+    require(weights.forall(w => w >= 0.0 && !w.isNaN),
+      s"rrfWeighted: weights must be finite and >= 0, got $weights")
+    val tagged = lists.zip(weights).map { case (l, w) =>
+      l.withColumn("__w", lit(w))
+    }
+    val all = tagged.reduce(_ unionByName _)
     all.groupBy("id")
-      .agg(round(sum(lit(1.0) / (lit(k) + col("rank"))), roundTo)
+      .agg(round(sum(col("__w") / (lit(k) + col("rank"))), roundTo)
         .as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("id").asc)
       .limit(topK)

@@ -426,7 +426,40 @@ object Crud {
         "qid", "qtext", topk = 5)
   }
 
+  /** c15: WEIGHTED hybrid on the engine surface — c11 with the two
+    * knobs the reference hardcodes (rerank.py:95-113 pins k=60, equal
+    * modality weight): [[graft.ops.Fusion.rrfWeighted]] at k=20 with a
+    * dense-heavy 0.7/0.3 split, same one-table two-index chain, so the
+    * hybrid family can sweep fusion parameters the way e17 sweeps
+    * probes. Oracled end-to-end via the parameterized r07 replay
+    * ([[graft.queries.Retrieval.rrfHybridOracleSql]] — the factored
+    * fragment, not a re-derived one). */
+  def engineHybridWeighted(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[HybridRow]("hybw", primaryKey = Some("vec_id"),
+      indexes = Seq(
+        graft.core.Spec.VectorIndex("embedding",
+          distance = graft.ops.Ann.Cosine),
+        graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("text")), "vec_id"))
+    val eng = new graft.core.Engine(reg)
+    val q = qvecOf(s, d, 7)
+    val dense = eng.searchByVector(td, q, topk = 20,
+      returnFields = Seq("vec_id"))
+    val kw = eng.searchByKeyword(td, "group hash join", topk = 20,
+      returnFields = Seq("vec_id"))
+    graft.ops.Fusion.rrfWeighted(Seq(
+      graft.ops.Fusion.ranked(dense, "vec_id", "dist", asc = true),
+      graft.ops.Fusion.ranked(kw, "vec_id", "score", asc = false)),
+      weights = Seq(0.7, 0.3), k = 20, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_engine_hybrid_weighted" -> engineHybridWeighted,
     "c14_engine_batch_keyword" -> engineBatchKeyword,
     "c13_engine_batch_vec" -> engineBatchVec,
     "c12_engine_filtered_keyword" -> engineFilteredKeyword,
@@ -443,6 +476,10 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c15: the weighted fusion over r07's corpora/parameters — the
+    // parameterized replay with c15's exact (k, weights)
+    "c15_engine_hybrid_weighted" ->
+      graft.queries.Retrieval.rrfHybridOracleSql(20, "0.7", "0.3"),
     // c13/c14: the engine batch surfaces delegate to the oracled
     // batch operators over identical corpora and parameters, so
     // r04's and r13's batch oracles land verbatim.

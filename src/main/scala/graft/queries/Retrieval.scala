@@ -2433,6 +2433,30 @@ object Retrieval {
         .findFirstIn(phys).isDefined,
       s"$what did not prune $cellCol partitions:\n$phys")
 
+  /** r07's hybrid replay with PARAMETERIZED RRF — the factored
+    * fragment behind the weighted engine hybrid (c15): same dense
+    * top-20 / BM25 top-20 CTEs, score = Σ w_src/(k + rank) with the
+    * per-source weights inlined as SQL literals. r07's own oracle
+    * stays the fixed k=60 unit-weight string (1.0·x is an FP no-op,
+    * so the two agree at unit weights by construction). */
+  private[queries] def rrfHybridOracleSql(k: Int, wVec: String,
+                                          wKw: String): String =
+    s"""WITH vecl AS (
+          SELECT vec_id AS id,
+                 round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) AS dist
+          FROM embeddings ORDER BY dist ASC, id ASC LIMIT 20),
+        vecr AS (SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC)
+                   AS rank FROM vecl),
+        ${bm25Cte(Seq("group", "hash", "join"))},
+        bml AS (SELECT id, round(sum(w), 6) AS score FROM scored GROUP BY id
+                ORDER BY score DESC, id ASC LIMIT 20),
+        bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC)
+                  AS rank FROM bml),
+        u AS (SELECT id, rank, CAST($wVec AS DOUBLE) AS wt FROM vecr
+              UNION ALL SELECT id, rank, CAST($wKw AS DOUBLE) AS wt FROM bmr)
+        SELECT id, round(sum(wt / ($k + rank)), 6) AS rrf_score FROM u
+        GROUP BY id ORDER BY rrf_score DESC, id ASC LIMIT 10"""
+
   private def cosDistSql(a: String, b: String): String =
     s"""(1 - list_inner_product($a, $b) /
         (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"""

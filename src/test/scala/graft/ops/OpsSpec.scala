@@ -259,6 +259,48 @@ class OpsSpec extends SparkSpecBase {
     assert(f1("c") === rr(Seq(3)))
   }
 
+  test("rrfWeighted: per-id score is sum w_i/(k+rank_i); unit weights " +
+      "equal plain rrf bitwise; weight monotonicity holds") {
+    val sp = spark
+    import sp.implicits._
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val l2 = Seq(("b", 1), ("a", 2)).toDF("id", "rank")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // unit weights ≡ plain rrf (1.0·x is an FP no-op)
+    assert(scores(Fusion.rrfWeighted(Seq(l1, l2), Seq(1.0, 1.0),
+        k = 60, topK = 3)) ===
+      scores(Fusion.rrf(Seq(l1, l2), k = 60, topK = 3)))
+    // the exact formula at non-unit weights and non-default k
+    val w = scores(Fusion.rrfWeighted(Seq(l1, l2), Seq(0.7, 0.3),
+      k = 20, topK = 3))
+    def rr(terms: Seq[(Double, Int)]) =
+      BigDecimal(terms.map { case (wt, r) => wt / (20 + r) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w("a") === rr(Seq((0.7, 1), (0.3, 2))))
+    assert(w("b") === rr(Seq((0.7, 2), (0.3, 1))))
+    assert(w("c") === rr(Seq((0.7, 3))))
+    // monotonicity: raising one list's weight never lowers the score
+    // of any id in that list, and a zero weight silences it entirely
+    val lo = scores(Fusion.rrfWeighted(Seq(l1, l2), Seq(0.2, 1.0),
+      k = 20, topK = 3))
+    val hi = scores(Fusion.rrfWeighted(Seq(l1, l2), Seq(0.9, 1.0),
+      k = 20, topK = 3))
+    Seq("a", "b", "c").foreach(id =>
+      assert(hi(id) >= lo(id), s"$id: weight up, score down"))
+    val only2 = scores(Fusion.rrfWeighted(Seq(l1, l2), Seq(0.0, 1.0),
+      k = 20, topK = 3))
+    assert(only2("a") === rr(Seq((1.0, 2))) &&
+      only2("b") === rr(Seq((1.0, 1))) && only2("c") === 0.0)
+    // refusals: arity mismatch, negative weight
+    intercept[IllegalArgumentException] {
+      Fusion.rrfWeighted(Seq(l1, l2), Seq(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Fusion.rrfWeighted(Seq(l1, l2), Seq(1.0, -0.5))
+    }
+  }
+
   test("dedupUnion keeps first occurrence in priority order") {
     val sp = spark
     import sp.implicits._
