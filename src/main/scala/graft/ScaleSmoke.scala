@@ -1148,6 +1148,149 @@ object ScaleSmoke {
     }
     } // filter guard: build + untimed asserts skip with the row
 
+    // ---- Graduated-root maintenance appenders at 16× --------------
+    // The s19/s21-s26 family's scale claim, pinned structurally: an
+    // append's cost scales with the BATCH and its touched cells /
+    // buckets, never the corpus — the timed call is a small batch
+    // against the 16×-grown root, and the untimed assert bounds the
+    // existence probe's visible rows by the touched fraction (the
+    // matryoshka_ivf_query row's discipline). One row per probe
+    // discipline: dense cells (covers range/composed — same
+    // touched-cell probe), BM25 postings (covers sparse — same
+    // row-keyed touched-bucket probe), quantized fresh side table.
+
+    if (only.forall(_.exists("append_ivf_cells".startsWith))) {
+      val apModel = ops.Ann.buildIvf(vecs, "label", "embedding")
+      val apPath = java.nio.file.Files
+        .createTempDirectory("graft_smoke_apivf").toString + "/rows"
+      ops.Ann.writePartitioned(
+        ops.Ann.assign(vecs, "embedding", apModel, ops.Ann.L2), apPath)
+      ops.Ann.ensureIvfModelMarker(spark, apPath, apModel)
+      // a 200-row batch drawn from TWO ASSIGNED cells (labels don't
+      // cluster the synthetic embeddings — cell membership does):
+      // touches exactly 2 of the model's cells; fresh ids beyond
+      // every inflated copy's range
+      val apBatch = ops.Ann.assign(emb0, "embedding", apModel,
+          ops.Ann.L2)
+        .filter(col("centroid_id").isin(0, 1)).limit(200)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint(true)
+      val apBatchN = apBatch.count()
+      time("append_ivf_cells") {
+        val n = ops.Ann.appendIvfIdempotent(spark, apPath, apModel,
+          apBatch, "vec_id", "embedding")
+        require(n == apBatchN, s"appended $n of $apBatchN batch rows")
+        n
+      }
+      locally { // untimed: probe IO is touched-cells-bounded + replay-safe
+        val cellCount = apModel.centroids.count()
+        val touched = ops.Ann.assign(apBatch, "embedding", apModel,
+            ops.Ann.L2).select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0))
+        val stored = spark.read.parquet(apPath)
+        val probedRows = stored
+          .filter(col("centroid_id").isin(touched: _*)).count()
+        val totalRows = stored.count()
+        require(probedRows < totalRows,
+          s"append probe saw the whole corpus ($probedRows of $totalRows)")
+        require(probedRows.toDouble / totalRows <=
+            touched.length.toDouble / cellCount * 2,
+          s"append probe not cell-bounded: $probedRows of $totalRows " +
+            s"rows under ${touched.length} of $cellCount touched cells")
+        require(ops.Ann.appendIvfIdempotent(spark, apPath, apModel,
+            apBatch, "vec_id", "embedding") == 0L,
+          "redelivered batch appended rows at 16x")
+      }
+    }
+
+    if (only.forall(_.exists("append_bm25_postings".startsWith))) {
+      val sp2 = spark
+      import sp2.implicits._
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_apbm").toString + "/postings"
+      ops.Bm25.writePostings(docs, "doc_id", "text", bmDir, buckets = 16)
+      // a constrained-vocab batch: its terms hash into FEW of the 16
+      // bucket dirs, so the touched-bucket probe is visibly partial
+      val bmBatch = (0 until 200).map(i =>
+          (900000000L + i, "alpha beta gamma"))
+        .toDF("doc_id", "text").localCheckpoint(true)
+      time("append_bm25_postings") {
+        val n = ops.Bm25.appendPostingsIdempotent(spark, bmDir, bmBatch,
+          "doc_id", "text")
+        require(n == 200L, s"appended $n of 200 batch docs")
+        n
+      }
+      locally { // untimed: probe IO is touched-buckets-bounded + replay-safe
+        val stored = spark.read.parquet(bmDir)
+        val touched = stored.filter(col("id") >= 900000000L)
+          .select(col("bucket")).distinct().collect().map(_.getInt(0))
+        require(touched.length < 16,
+          s"constrained vocab touched all ${touched.length} buckets")
+        val probedRows = stored
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .count()
+        val totalRows = stored.count()
+        require(probedRows.toDouble / totalRows <=
+            touched.length.toDouble / 16 * 2,
+          s"append probe not bucket-bounded: $probedRows of $totalRows " +
+            s"posting rows under ${touched.length} of 16 touched buckets")
+        require(ops.Bm25.appendPostingsIdempotent(spark, bmDir, bmBatch,
+            "doc_id", "text") == 0L,
+          "redelivered batch appended docs at 16x")
+      }
+    }
+
+    if (only.forall(_.exists("append_quantized_fresh".startsWith))) {
+      val sqModel = ops.Ann.buildIvf(vecs, "label", "embedding")
+      val sqIdx = ops.Ann.buildIvfSq(vecs, "embedding", sqModel,
+        ops.Ann.L2)
+      val sqDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_apsq").toString
+      ops.Ann.writeIvfSq(sqIdx, sqDir)
+      ops.Ann.ensureIvfSqRoot(spark, sqDir, sqIdx, spherical = false)
+      // cell-drawn like the dense row: the claim is about TOUCHED
+      // cells, so the batch must demonstrably touch few
+      val sqBatch = ops.Ann.assign(emb0, "embedding", sqModel,
+          ops.Ann.L2)
+        .filter(col("centroid_id").isin(0, 1)).limit(200)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint(true)
+      val sqBatchN = sqBatch.count()
+      time("append_quantized_fresh") {
+        val n = ops.Ann.appendQuantizedFreshIdempotent(spark, sqDir,
+          sqBatch, "vec_id", "embedding")
+        require(n == sqBatchN, s"appended $n of $sqBatchN batch rows")
+        n
+      }
+      locally { // untimed: fresh probe cell-bounded, replay-safe, queryable
+        val cellCount = sqModel.centroids.count()
+        val touched = ops.Ann.assign(sqBatch, "embedding", sqModel,
+            ops.Ann.L2).select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0))
+        val stored = spark.read.parquet(s"$sqDir/quantized")
+        val probedRows = stored
+          .filter(col("centroid_id").isin(touched: _*)).count()
+        val totalRows = stored.count()
+        require(probedRows.toDouble / totalRows <=
+            touched.length.toDouble / cellCount * 2,
+          s"fresh-append probe not cell-bounded: $probedRows of " +
+            s"$totalRows rows under ${touched.length} of $cellCount " +
+            "touched cells")
+        require(ops.Ann.appendQuantizedFreshIdempotent(spark, sqDir,
+            sqBatch, "vec_id", "embedding") == 0L,
+          "redelivered batch appended rows at 16x")
+        val q = emb0.limit(1)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val hits = ops.Ann.searchIvfSqStoredFresh(spark, sqDir,
+          "vec_id", "embedding", typedlit(q), ops.Ann.L2, probes = 2,
+          k = 10).count()
+        require(hits == 10L, s"fresh-aware 16x search returned $hits")
+      }
+    }
+
     // Label propagation at 16×: communities over the copy-clique
     // near-dup graph — every 16-copy clique must collapse toward one
     // community (ties by label asc make the collapse deterministic);
