@@ -390,6 +390,19 @@ final class Engine(reg: Registry) {
       col(ix.valuesColumn), query), roundTo)
   }
 
+  /** BATCH sparse top-k — [[searchByVectorBatch]]'s sparse member,
+    * the engine surface over the already-oracled
+    * [[graft.functions.Sparse.invertedTopKBatch]]: every query's
+    * buckets join the table's inverted postings in ONE job (a query
+    * touches only its own buckets' posting lists, never the corpus
+    * rows). The query frame carries its own (indices, values) sparse
+    * columns. Returns (qid, id, score, rank). */
+  def searchBySparseBatch(td: TableDef[_], queries: DataFrame,
+                          qIdCol: String, qIdxCol: String,
+                          qValCol: String, topk: Int = 10): DataFrame =
+    graft.functions.Sparse.invertedTopKBatch(sparsePostings(td),
+      queries, qIdCol, qIdxCol, qValCol, topk)
+
   /** Sparse top-k through the inverted postings (the imperative
     * sibling of [[searchByVector]]/[[searchByKeyword]] for the sparse
     * column): query-bucket join + per-doc sum, top-k joined back for

@@ -458,7 +458,39 @@ object Crud {
       weights = Seq(0.7, 0.3), k = 20, topK = 10)
   }
 
+  final case class SpDoc(doc_id: Long, si: Seq[Int], sv: Seq[Float])
+  private implicit val spDocEnc: org.apache.spark.sql.Encoder[SpDoc] =
+    org.apache.spark.sql.Encoders.product[SpDoc]
+
+  /** c16: BATCH sparse search on the ENGINE surface — the third batch
+    * member (c13 dense, c14 keyword): `Engine.searchBySparseBatch`
+    * over the table's inverted postings delegates to
+    * [[graft.functions.Sparse.invertedTopKBatch]] with r32's exact
+    * corpus (the md5-bucketed sparse embedding of every document) and
+    * query set (docs 0-3's own vectors), so the engine chain lands on
+    * r32's batch oracle verbatim. */
+  def engineBatchSparse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.functions.Md5SparseEmbedder(4096)
+    val sv = udf((t: String) => emb.embed(if (t == null) "" else t))
+    val sparseDocs = documents(s, d).withColumn("__sv", sv(col("text")))
+      .select(col("doc_id"), col("__sv.indices").as("si"),
+        col("__sv.values").as("sv"))
+    val reg = fresh(s)
+    val td = TableDef[SpDoc]("spdoc_batch", primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.SparseIndex("si", "sv")))
+    reg.register(td)
+    reg.copyBulk(td, sparseDocs)
+    val queries = sparseDocs.filter(col("doc_id") < 4)
+    new graft.core.Engine(reg)
+      .searchBySparseBatch(td, queries, "doc_id", "si", "sv", topk = 5)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_engine_batch_sparse" -> engineBatchSparse,
     "c15_engine_hybrid_weighted" -> engineHybridWeighted,
     "c14_engine_batch_keyword" -> engineBatchKeyword,
     "c13_engine_batch_vec" -> engineBatchVec,
@@ -480,9 +512,11 @@ object Crud {
     // parameterized replay with c15's exact (k, weights)
     "c15_engine_hybrid_weighted" ->
       graft.queries.Retrieval.rrfHybridOracleSql(20, "0.7", "0.3"),
-    // c13/c14: the engine batch surfaces delegate to the oracled
+    // c13/c14/c16: the engine batch surfaces delegate to the oracled
     // batch operators over identical corpora and parameters, so
-    // r04's and r13's batch oracles land verbatim.
+    // r04's, r13's and r32's batch oracles land verbatim.
+    "c16_engine_batch_sparse" ->
+      graft.queries.Retrieval.oracles("r32_sparse_batch"),
     "c13_engine_batch_vec" ->
       graft.queries.Retrieval.oracles("r04_knn_join_l2"),
     "c14_engine_batch_keyword" ->

@@ -1074,7 +1074,64 @@ object Events {
     df
   }
 
+  /** s27: the 1-bit member completing the quantized fresh-rows trio
+    * (s25 PQ, s26 SQ) — same lifecycle over a
+    * [[graft.ops.Ann.writeIvfBitq]] root: half the corpus at rest
+    * under full-corpus-trained centroids, the other half streamed RAW
+    * into `fresh/`, searched via
+    * [[graft.ops.Ann.searchIvfBitqStoredFresh]] (fresh rows
+    * sign-bit-encoded on read — residuals against the same frozen
+    * centroids, so codes are bit-identical to the batch build's) with
+    * r14's exact parameters, landing on r14's oracle verbatim.
+    * Redelivery pinned like s25. */
+  def streamBitqAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val full = graft.ops.Ann.buildIvfBitq(e, "embedding", model,
+      graft.ops.Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s27_root").toString
+    graft.ops.Ann.writeIvfBitq(
+      full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    graft.ops.Ann.ensureIvfBitqRoot(s, dir, full.model,
+      spherical = false)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s27_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dup = graft.ops.Ann.appendQuantizedFreshIdempotent(s, dir,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s27: replayed batch appended $dup rows — append not replay-safe")
+    val qv = e.filter(col("vec_id") === 13)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    graft.ops.Ann.searchIvfBitqStoredFresh(s, dir, "vec_id",
+      "embedding", typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10,
+      refine = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_stream_bitq_append" -> streamBitqAppend,
     "s25_stream_pq_append" -> streamPqAppend,
     "s26_stream_sq_append" -> streamSqAppend,
     "s24_stream_ivf_append" -> streamIvfAppend,
@@ -1246,6 +1303,7 @@ object Events {
     // codebooks/bounds + encode-on-read == the rebuilt layout
     "s25_stream_pq_append" -> Retrieval.oracles("r38_ivf_pq"),
     "s26_stream_sq_append" -> Retrieval.oracles("r12_ivf_sq_topk"),
+    "s27_stream_bitq_append" -> Retrieval.oracles("r14_ivf_bitq_topk"),
     // s20: the streamed-then-graduated composed layout is lossless —
     // r78's composed replay lands verbatim.
     "s20_stream_matryoshka_ivf" -> Retrieval.oracles("r78_matryoshka_ivf"),
