@@ -524,6 +524,75 @@ final class Engine(reg: Registry) {
       (s"${reg.namespace}_$t" -> Vector(seg)))
   }
 
+  /** [[installIndexModel]]'s MULTIVEC twin: externally-trained
+    * centroids for `td`'s lists-built multivec IVF, written through
+    * the same `__mvivf` catalog table [[buildIndex]] uses so the
+    * search paths cannot diverge. The centroids live in the
+    * TOKEN-MEAN space (phase-1 probes the persisted mean under
+    * cosine), so the dimension check runs against the multivector
+    * column's pinned token dim. */
+  def installMultivecIndexModel(td: TableDef[_],
+                                model: Ann.IvfModel): Unit = {
+    val ix = td.indexes.collectFirst {
+      case m @ Spec.MultiVectorIndex(_, lists) if lists > 0 => m
+    }.getOrElse(throw new IllegalStateException(
+      s"${td.name}: installMultivecIndexModel needs a " +
+        "MultiVectorIndex with lists > 0"))
+    require(model.idCol == "centroid_id" && model.vecCol == "centroid",
+      s"${td.name}: install needs canonical model columns " +
+        s"(centroid_id, centroid) — got (${model.idCol}, " +
+        s"${model.vecCol}); rename before installing")
+    val n = model.centroids.count()
+    require(n == ix.lists,
+      s"${td.name}: model carries $n cells but the multivec index " +
+        s"declares lists=${ix.lists} — the auto-probe arithmetic " +
+        "would skew")
+    td.vectorDims.get(ix.column).foreach { dim =>
+      val clen = model.centroids
+        .select(size(col("centroid"))).head().getInt(0)
+      require(clen == dim,
+        s"${td.name}: centroids have $clen dims but ${ix.column} " +
+          s"declares token dim $dim — wrong embedding space")
+    }
+    val t = s"${td.name}__mvivf"
+    val seg = reg.catalog.writeSegment(s"${reg.namespace}_$t",
+      model.centroids)
+    reg.catalog.commit(reg.catalog.current +
+      (s"${reg.namespace}_$t" -> Vector(seg)))
+  }
+
+  /** BATCH multivec maxsim — the fourth batch member (dense c13,
+    * keyword c14, sparse c16), the engine surface over the
+    * already-oracled [[Ann.maxsimBatch]]: every query bag probes its
+    * cells and both phases run as SHARED scans (phase-1 touches only
+    * probed cells' persisted means, phase-2 only the candidates'
+    * token matrices). Needs a lists-built multivec IVF — the exact
+    * table has no shared phase-1 structure to batch over, so it
+    * refuses (run [[searchByMultivec]] per query). Returns
+    * (qid, td.pk, score, rank). */
+  def searchByMultivecBatch(td: TableDef[_], queries: DataFrame,
+                            qIdCol: String, qVecsCol: String,
+                            topk: Int = 10, refine: Int = 1000,
+                            probes: Int = 0): DataFrame = {
+    val ix = td.indexes.collectFirst {
+      case m @ Spec.MultiVectorIndex(_, lists) if lists > 0 => m
+    }.getOrElse(throw new IllegalStateException(
+      s"${td.name}: batch multivec needs a lists-built multivec IVF " +
+        "(MultiVectorIndex(lists > 0) + buildIndex / " +
+        "installMultivecIndexModel) — run searchByMultivec per query " +
+        "on an exact table"))
+    val model = mvIndexModel(td).getOrElse(
+      throw new IllegalStateException(
+        s"${td.name}: multivec IVF model not built — call buildIndex " +
+          "or installMultivecIndexModel first"))
+    val dim = mvDim(td, ix.column)
+    val p = if (probes > 0) probes
+      else math.ceil(ix.lists / 16.0).toInt.max(1)
+    Ann.maxsimBatch(queries, qIdCol, qVecsCol,
+      mvAssignedCached(td, ix, model), td.pk, ix.column, MvMeanCol,
+      model, dim, p, math.max(refine, topk), topk)
+  }
+
   /** The persisted phase-1 mean column — [[Ann.buildMaxsimIvf]]'s
     * `meanCol` default; build and read paths share this one name. */
   private val MvMeanCol = "mv_mean"

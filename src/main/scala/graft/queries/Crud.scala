@@ -489,7 +489,55 @@ object Crud {
       .orderBy("qid", "rank")
   }
 
+  final case class MvRow(vec_id: Long, vecs: Seq[Seq[Double]],
+                         label: Int)
+  private implicit val mvRowEnc: org.apache.spark.sql.Encoder[MvRow] =
+    org.apache.spark.sql.Encoders.product[MvRow]
+
+  /** c17: BATCH multivec maxsim on the ENGINE surface — completing
+    * the batch family across all four modalities (c13 dense, c14
+    * keyword, c16 sparse): `Engine.searchByMultivecBatch` over a
+    * lists-built multivec IVF delegates to the oracled
+    * [[graft.ops.Ann.maxsimBatch]]. The label-mean model installs
+    * through the new `installMultivecIndexModel` offline seat (the
+    * c10 pattern — in-engine KMeans is not oracle-replayable;
+    * wrong-cell-count installs refuse, pinned in-query), corpus and
+    * parameters are r33's exactly, so its batch oracle lands
+    * verbatim. */
+  def engineBatchMultivec(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val docs = e.select(col("vec_id"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"),
+      col("label"))
+    val withMean = docs.withColumn("mv_mean",
+      graft.ops.Ann.tokenMeanCol(col("vecs"), dim))
+    val model = graft.ops.Ann.buildIvf(withMean, "label", "mv_mean")
+    val lists = model.centroids.count().toInt
+    val reg = fresh(s)
+    val td = TableDef[MvRow]("mv_batch", primaryKey = Some("vec_id"),
+      indexes = Seq(
+        graft.core.Spec.MultiVectorIndex("vecs", lists = lists)),
+      vectorDims = Map("vecs" -> dim))
+    reg.register(td)
+    reg.copyBulk(td, docs)
+    val eng = new graft.core.Engine(reg)
+    require(scala.util.Try(eng.installMultivecIndexModel(td,
+        model.copy(centroids = model.centroids.limit(lists - 1))))
+      .isFailure, "c17: a wrong-cell-count install did not refuse")
+    eng.installMultivecIndexModel(td, model)
+    val queries = e.filter(col("vec_id").isin(0, 1, 2, 3))
+      .select(col("vec_id").as("qid"),
+        array(col("embedding").cast("array<double>"),
+          reverse(col("embedding")).cast("array<double>")).as("qvecs"))
+    eng.searchByMultivecBatch(td, queries, "qid", "qvecs", topk = 10,
+        refine = 20, probes = 3)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_engine_batch_multivec" -> engineBatchMultivec,
     "c16_engine_batch_sparse" -> engineBatchSparse,
     "c15_engine_hybrid_weighted" -> engineHybridWeighted,
     "c14_engine_batch_keyword" -> engineBatchKeyword,
@@ -517,6 +565,8 @@ object Crud {
     // r04's, r13's and r32's batch oracles land verbatim.
     "c16_engine_batch_sparse" ->
       graft.queries.Retrieval.oracles("r32_sparse_batch"),
+    "c17_engine_batch_multivec" ->
+      graft.queries.Retrieval.oracles("r33_maxsim_batch"),
     "c13_engine_batch_vec" ->
       graft.queries.Retrieval.oracles("r04_knn_join_l2"),
     "c14_engine_batch_keyword" ->
