@@ -54,7 +54,16 @@ final class LruCache[K, V](val cap: Int,
   /** Lookup without populating; a hit still refreshes recency. */
   def get(k: K): Option[V] = synchronized(Option(m.get(k)))
 
-  def put(k: K, v: V): Unit = synchronized { m.put(k, v); evictOverCap() }
+  /** Insert/overwrite; a DISPLACED previous value gets `onEvict` (the
+    * class contract: no displaced entry may silently pin executor
+    * storage), unless it is the same instance being re-put. */
+  def put(k: K, v: V): Unit = synchronized {
+    val prev = m.put(k, v)
+    if (prev != null && !(prev.asInstanceOf[AnyRef] eq
+        v.asInstanceOf[AnyRef]))
+      onEvict(k, prev)
+    evictOverCap()
+  }
 
   /** Remove WITHOUT running `onEvict` — for callers that free the
     * value themselves (or hand it off). */

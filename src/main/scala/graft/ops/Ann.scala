@@ -2787,6 +2787,25 @@ object Ann {
                         k: Int, refine: Int = 5,
                         roundTo: Int = 6): DataFrame = {
     val index = loadIvfPq(spark, dir)
+    searchIvfPqRestricted(index, (df, _) => df, idCol, vecCol, query,
+      metric, probes, k, refine, roundTo)
+  }
+
+  /** The ONE stored-PQ two-phase body behind [[searchIvfPqStored]] and
+    * [[searchIvfPqStoredFresh]] (a drift here must hit both): probe
+    * cells become a literal isin (whole unprobed cell dirs never read,
+    * for BOTH the ADC phase and the survivor fetch — the isin IS the
+    * probe, so the two-phase runs directly instead of re-probing
+    * inside searchIvfPq), `augment(restricted, cells)` widens the
+    * restricted frame (the fresh union; pass-through for the plain
+    * stored search). */
+  private def searchIvfPqRestricted(
+      index: IvfPqIndex,
+      augment: (DataFrame, Array[Long]) => DataFrame,
+      idCol: String, vecCol: String,
+      query: Seq[Double], metric: Metric,
+      probes: Int, k: Int, refine: Int,
+      roundTo: Int): DataFrame = {
     val (qs, m) =
       if (index.spherical) {
         val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
@@ -2794,12 +2813,8 @@ object Ann {
       } else (query, metric)
     val cells = probeCells(index.model, typedlit(qs), m, probes)
       .collect().map(_.getLong(0))
-    // the isin IS the probe — the literal partition filter already
-    // restricts both phases to probed cell dirs, so run the two-phase
-    // directly instead of re-probing inside searchIvfPq (one centroid
-    // scan per query, not two)
-    val restricted = index.encoded
-      .filter(col(index.model.idCol).isin(cells: _*))
+    val restricted = augment(index.encoded
+      .filter(col(index.model.idCol).isin(cells: _*)), cells)
     val cand = restricted.select(col(idCol), col("pq_codes"))
       .withColumn("qdist",
         round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
@@ -3093,7 +3108,7 @@ object Ann {
   def appendQuantizedFreshIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newRows: DataFrame, idCol: String, vecCol: String): Long = {
-    val (_, dataSub, spherical) = quantizedFamily(spark, dir)
+    val (family, dataSub, spherical) = quantizedFamily(spark, dir)
     if (readIvfModelMarker(spark, dir).isEmpty)
       throw new IllegalStateException(
         s"appendQuantizedFreshIdempotent: $dir has no IVF model " +
@@ -3104,6 +3119,33 @@ object Ann {
     // validates the centroids actually on disk against the pinned
     // fingerprint (a hand-swapped centroids/ dir refuses here)
     ensureIvfModelMarker(spark, dir, model)
+    val main = spark.read.parquet(s"$dir/$dataSub")
+    // the geometry marker expresses only spherical-vs-not, but the
+    // quantized BUILDS accept any Metric — an e.g. IP-built root would
+    // get fresh rows assigned under L2 into cells its own rows don't
+    // use, and probed searches would silently miss them. Probe: a
+    // small sample of the main layout's rows must RE-ASSIGN to their
+    // stored cells under the inferred geometry (L2 raw, or normalized
+    // L2 for spherical — both deterministic, ties by cell id), else
+    // refuse loudly here instead of losing rows at query time.
+    locally {
+      val sample = main.select(col(idCol), col(vecCol),
+        col(model.idCol).cast("long").as("__stored_cell")).limit(64)
+      val re =
+        if (spherical)
+          assign(withNormalized(sample, vecCol, "__nvec"), "__nvec",
+            model, L2)
+        else assign(sample, vecCol, model, L2)
+      val bad = re.filter(col(model.idCol) =!= col("__stored_cell"))
+        .count()
+      require(bad == 0L,
+        s"appendQuantizedFreshIdempotent: $bad of 64 sampled rows in " +
+          s"$dir/$dataSub do not re-assign to their stored cells " +
+          "under the marker's geometry — the root was built under a " +
+          "different assignment metric; fresh appends would land in " +
+          "the wrong cells. Rebuild the root or use an L2/cosine " +
+          "geometry.")
+    }
     val assigned =
       if (spherical)
         assign(withNormalized(newRows, vecCol, "__nvec"), "__nvec",
@@ -3113,7 +3155,7 @@ object Ann {
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
     val hasFresh = freshExists(spark, dir)
-    val inMain = spark.read.parquet(s"$dir/$dataSub")
+    val inMain = main
       .filter(col(model.idCol).isin(touched: _*)).select(col(idCol))
     val inFresh =
       if (hasFresh) spark.read.parquet(freshPath(dir))
@@ -3125,15 +3167,31 @@ object Ann {
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0L) {
-      if (hasFresh)
-        requireAppendSchema(spark.read.parquet(freshPath(dir)).schema,
-          fresh.schema, Set(model.idCol),
-          "appendQuantizedFreshIdempotent")
+      // EVERY batch (the first included) validates against the main
+      // layout's doc columns — the layout schema minus the family's
+      // code columns is exactly what a raw fresh row must carry; a
+      // first-batch check against nothing would let a narrow batch
+      // poison fresh/ and surface as an unresolved column at query
+      // time, far from the bad write (appendIvfIdempotent's rule)
+      val expected = org.apache.spark.sql.types.StructType(
+        main.schema.filterNot(f => quantizedCodeCols(family)
+          .contains(f.name)))
+      requireAppendSchema(expected, fresh.schema, Set(model.idCol),
+        "appendQuantizedFreshIdempotent")
       fresh.write.mode("append").partitionBy(model.idCol)
         .parquet(freshPath(dir))
     }
     n
   }
+
+  /** The columns a quantized family's main layout carries BEYOND the
+    * raw doc columns — what fresh rows must NOT carry. */
+  private def quantizedCodeCols(family: String): Set[String] =
+    family match {
+      case "pq" => Set("pq_codes")
+      case "sq" => Set("codes")
+      case _ => Set("bits", "rnorm")
+    }
 
   /** The probed slice of a root's fresh side table, encoded under the
     * root's frozen artifacts by `encode` — None when no fresh rows
@@ -3192,28 +3250,15 @@ object Ann {
     require(index.spherical == (metric == Cosine),
       s"$dir pins spherical=${index.spherical} but the query metric " +
         s"is $metric")
-    val (qs, m) =
-      if (index.spherical) {
-        val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
-        (query.map(_ / n), L2: Metric)
-      } else (query, metric)
-    val cells = probeCells(index.model, typedlit(qs), m, probes)
-      .collect().map(_.getLong(0))
-    val stored = index.encoded
-      .filter(col(index.model.idCol).isin(cells: _*))
-    // index.model holds the STORED (spherical ⇒ already-normalized)
-    // centroids; assignEncodePq re-normalizes idempotently
-    val restricted = freshEncodedForQuery(spark, dir, cells, fr =>
-        assignEncodePq(fr, vecCol, index.pq, index.model, metric))
-      .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
-      .getOrElse(stored)
-    val cand = restricted.select(col(idCol), col("pq_codes"))
-      .withColumn("qdist",
-        round(pqAdcDist(qs, col("pq_codes"), index.pq), roundTo))
-      .orderBy(col("qdist").asc, col(idCol).asc)
-      .limit(k * refine)
-      .select(col(idCol))
-    pqRerank(restricted, cand, idCol, vecCol, query, metric, k, roundTo)
+    searchIvfPqRestricted(index, (stored, cells) =>
+      // index.model holds the STORED (spherical ⇒ already-normalized)
+      // centroids; assignEncodePq re-normalizes idempotently
+      freshEncodedForQuery(spark, dir, cells, fr =>
+          assignEncodePq(fr, vecCol, index.pq, index.model, metric))
+        .map(f =>
+          stored.unionByName(f.select(stored.columns.map(col): _*)))
+        .getOrElse(stored),
+      idCol, vecCol, query, metric, probes, k, refine, roundTo)
   }
 
   /** [[searchIvfBitqStored]] over a root WITH a fresh side table — the
@@ -3270,8 +3315,10 @@ object Ann {
       case _ =>
         val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
           "centroid_id", "centroid")
+        // assignQuantizeBitq already packs bits — its output IS the
+        // at-rest form ingestIvfBitq appends verbatim (a second
+        // packBits over the binary column would throw)
         assignQuantizeBitq(fresh, vecCol, model, metric)
-          .withColumn("bits", packBits(col("bits")))
     }
     val mainPath = s"$dir/$dataSub"
     val stored = spark.read.parquet(mainPath)

@@ -592,8 +592,13 @@ object Retrieval {
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val ver = Bm25.dirVersion(s, s"$d/documents.parquet")
-    val vocab = wpVocabMemo.getOrElseUpdate(
-      s"${graft.core.SessionId.of(s)}|$d|$ver") {
+    val vocabKey = s"${graft.core.SessionId.of(s)}|$d|$ver"
+    // compute OUTSIDE the cache monitor: the derivation is a full
+    // Spark job, and getOrElseUpdate would hold the cache-wide lock
+    // for its whole duration, blocking warm lookups for OTHER corpora
+    // (a racing duplicate derivation is the cheaper failure)
+    val vocab = wpVocabMemo.get(vocabKey).getOrElse {
+      val derived = {
         // The oracle replays WordPiece as simple-tokens + 4-char split,
         // which equals REAL WordPiece (BERT basic tokenization + greedy
         // match) only on a punctuation-free lowercase corpus — on
@@ -613,6 +618,9 @@ object Retrieval {
             if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
           .distinct
       }
+      wpVocabMemo.put(vocabKey, derived)
+      derived
+    }
     val tok = graft.functions.Tokenizers.wordpiece(vocab,
       name = "bert_corpus4")
     val idx = Bm25.buildCached(docs, "doc_id", "text",

@@ -796,8 +796,10 @@ class EngineSpec extends SparkSpecBase {
           probes = if (lists > 0) 2 else 0)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(x =>
-          (x._2, x._3)).toSeq).toMap
+        // sort by (dist, id) — the operators' own tie rule; dist alone
+        // would make the comparison collect-order-dependent on ties
+        .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2))
+          .map(x => (x._2, x._3)).toSeq).toMap
       qs.foreach { case (qid, qv) =>
         val want = eng.searchByVector(td, qv, topk = 3,
             probes = if (lists > 0) 2 else 0)
@@ -814,8 +816,8 @@ class EngineSpec extends SparkSpecBase {
       val kwGot = eng.searchByKeywordBatch(td, kq.toDF("qid", "qtext"),
           "qid", "qtext", topk = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(x =>
-          (x._2, x._3)).toSeq).toMap
+        .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2))
+          .map(x => (x._2, x._3)).toSeq).toMap
       kq.foreach { case (qid, text) =>
         val want = eng.searchByKeyword(td, text, topk = 3,
             returnFields = Seq("cid"))

@@ -38,10 +38,16 @@ class LruCacheSpec extends AnyFunSuite {
     val c = new LruCache[String, Int](2, (k, v) => evicted :+= (k, v))
     c.put("a", 1); c.put("b", 2); c.put("c", 3)
     assert(evicted == List(("a", 1)), "over-cap displacement runs the hook")
+    // overwriting a key evicts the DISPLACED value too — a refreshed
+    // persisted frame must not leak its predecessor
+    c.put("c", 30)
+    assert(evicted == List(("a", 1), ("c", 3)),
+      "put-overwrite must run the hook on the displaced value")
+    evicted = List.empty
     assert(c.remove("b").contains(2))
-    assert(evicted == List(("a", 1)), "remove() frees nothing — caller owns")
+    assert(evicted.isEmpty, "remove() frees nothing — caller owns")
     c.clear()
-    assert(evicted == List(("a", 1), ("c", 3)) && c.size == 0)
+    assert(evicted == List(("c", 30)) && c.size == 0)
     c.clear() // second sweep: no-op, no throw
     assert(c.size == 0)
   }

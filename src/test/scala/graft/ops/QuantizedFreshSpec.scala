@@ -134,6 +134,39 @@ class QuantizedFreshSpec extends SparkSpecBase {
       "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
     assert(got == want,
       s"1-bit fresh-aware search diverged:\ngot  $got\nwant $want")
+    // compaction folds the 1-bit family too (assignQuantizeBitq packs
+    // internally — a double-pack here once crashed this path) and the
+    // folded layout answers identically under BOTH searches
+    assert(Ann.compactQuantizedFresh(sp, dir, "vec_id",
+      "embedding") == 30L)
+    assert(!new java.io.File(dir, "fresh").exists())
+    val after = ids(Ann.searchIvfBitqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
+    assert(after == want, "post-compaction 1-bit search diverged")
+    val plain = ids(Ann.searchIvfBitqStored(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
+    assert(plain == want, "folded 1-bit layout diverged (plain search)")
+  }
+
+  test("a narrow first batch cannot poison fresh/: the append " +
+      "validates every batch against the MAIN layout's doc columns") {
+    val sp = spark
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-narrow").toString
+    Ann.writeIvfSq(idx, dir)
+    Ann.ensureIvfSqRoot(sp, dir, idx, spherical = false)
+    // fresh ids (the root holds the full corpus here, so same-id rows
+    // would dedup away before the schema check) and a MISSING doc col
+    val narrow = odd.drop("label")
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    intercept[IllegalArgumentException] {
+      Ann.appendQuantizedFreshIdempotent(sp, dir, narrow, "vec_id",
+        "embedding")
+    }
+    assert(!new java.io.File(dir, "fresh").exists(),
+      "a refused first batch must leave no fresh/ behind")
   }
 
   test("refusals: unmarked dirs and retrained models cannot grow a " +
