@@ -782,9 +782,16 @@ final class Engine(reg: Registry) {
             else if (mrl)
               Ann.deleteMatryoshkaIds(reg.spark, dir, td.pk,
                 deleted.select(td.pk))
-            else
+            else {
               Ann.deleteStoredIds(reg.spark, path, td.pk,
                 deleted.select(td.pk))
+              // a quantized root may hold not-yet-compacted appends in
+              // its fresh side table — purge those too, or the
+              // fresh-aware searches resurrect the deleted rows
+              if (Ann.isQuantizedRoot(reg.spark, dir))
+                Ann.deleteQuantizedFreshIds(reg.spark, dir, td.pk,
+                  deleted.select(td.pk))
+            }
             ()
         }
       }

@@ -3346,6 +3346,18 @@ object Ann {
     n
   }
 
+  /** Delete ids from a quantized root's FRESH side table (no-op when
+    * none exists) — the delete-maintenance twin of the appends: an
+    * attached root must purge BOTH the main layout and `fresh/`, or a
+    * doomed row still awaiting compaction would be resurrected by the
+    * fresh-aware searches. Cell-partitioned like the main layout, so
+    * only the cells holding doomed rows rewrite. */
+  def deleteQuantizedFreshIds(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, idCol: String,
+                              ids: DataFrame): Long =
+    if (!freshExists(spark, dir)) 0L
+    else deleteStoredIds(spark, freshPath(dir), idCol, ids)
+
   /** The SQ index SANS data — bounds + centroids only, for transforms
     * that need the trained artifacts but not the quantized frame
     * (compaction encodes the fresh rows, not the corpus). */

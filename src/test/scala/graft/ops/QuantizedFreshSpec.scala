@@ -169,6 +169,46 @@ class QuantizedFreshSpec extends SparkSpecBase {
       "a refused first batch must leave no fresh/ behind")
   }
 
+  test("attached delete maintenance purges fresh/ too: a doomed row " +
+      "still awaiting compaction never resurrects through the " +
+      "fresh-aware search") {
+    val sp = spark
+    import sp.implicits._
+    import graft.core.Spec
+    implicit val enc: org.apache.spark.sql.Encoder[FreshRow] =
+      org.apache.spark.sql.Encoders.product[FreshRow]
+    val td = Spec.TableDef[FreshRow]("sqfreshdel",
+      primaryKey = Some("vec_id"))
+    val reg = new graft.core.Registry(sp, java.nio.file.Files
+      .createTempDirectory("graft-freshdel-reg").toString)
+      .register(td)
+    reg.insert(td, corpus.map(r => FreshRow(r._1, r._2, r._3)))
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val idx = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-freshdel").toString
+    Ann.writeIvfSq(idx.copy(quantized =
+      idx.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    Ann.ensureIvfSqRoot(sp, dir, idx, spherical = false)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd, "vec_id",
+      "embedding") == 30L)
+    new graft.core.Engine(reg).attachStoredIndex(td, dir)
+    // doom one fresh-resident (odd) and one main-resident (even) row
+    reg.removeBy(td, Map("vec_id" -> 7L))
+    reg.removeBy(td, Map("vec_id" -> 8L))
+    assert(sp.read.parquet(s"$dir/fresh")
+      .filter(col("vec_id") === 7L).count() == 0L,
+      "the fresh side table still holds the deleted row")
+    assert(sp.read.parquet(s"$dir/quantized")
+      .filter(col("vec_id") === 8L).count() == 0L)
+    val got = Ann.searchIvfSqStoredFresh(sp, dir, "vec_id", "embedding",
+        typedlit(corpus(7)._2), Ann.L2, probes = 10, k = 60, refine = 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(7L) && !got.contains(8L),
+      "deleted rows resurfaced through the fresh-aware search")
+    assert(got.size == 58, s"expected 58 survivors, saw ${got.size}")
+  }
+
   test("refusals: unmarked dirs and retrained models cannot grow a " +
       "fresh side table; mismatched metric refuses at query") {
     val sp = spark
@@ -207,3 +247,6 @@ class QuantizedFreshSpec extends SparkSpecBase {
     }
   }
 }
+
+/** Registry row for the attached-delete test. */
+case class FreshRow(vec_id: Long, embedding: Seq[Double], label: Int)
