@@ -849,6 +849,42 @@ object Retrieval {
       Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** r84: r19's delete-maintenance gate over a root WITH a fresh
+    * side table — the full incremental lifecycle under one oracle:
+    * the r12 index trains on the FULL corpus, the root is written
+    * from the even half, the odd half appends RAW into `fresh/`
+    * ([[Ann.appendQuantizedFreshIdempotent]]), then every vec_id
+    * divisible by 7 deletes from BOTH the main layout
+    * ([[Ann.deleteStoredIds]]) and the side table
+    * ([[Ann.deleteQuantizedFreshIds]] — without which a doomed
+    * fresh-resident row would resurrect), and the fresh-aware search
+    * runs r19's exact parameters: grown-then-pruned must equal
+    * built-then-pruned (r19's oracle verbatim). */
+  def sqFreshDelete(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqfresh_del").toString
+    Ann.writeIvfSq(index.copy(quantized =
+      index.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val appended = Ann.appendQuantizedFreshIdempotent(s, dir,
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"), col("label")),
+      "vec_id", "embedding")
+    require(appended > 0, "r84: no fresh rows appended — gate is vacuous")
+    val doomed = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val removedMain = Ann.deleteStoredIds(s, s"$dir/quantized",
+      "vec_id", doomed)
+    val removedFresh = Ann.deleteQuantizedFreshIds(s, dir, "vec_id",
+      doomed)
+    require(removedMain > 0 && removedFresh > 0,
+      s"r84 vacuous: removed $removedMain main / $removedFresh fresh")
+    Ann.searchIvfSqStoredFresh(s, dir, "vec_id", "embedding",
+      qvec(s, d, 11), Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   /** Declarative MAXSIM rewrite — the third query shape joins the
     * declarative layer: a plain `orderBy(maxsim_dot(q, mv).desc)
     * .limit(k)` plan over a registered multivector table rewrites into
@@ -2212,6 +2248,7 @@ object Retrieval {
     "r17_ivf_sq_cos" -> ivfSqCosTopk,
     "r18_ann_rewrite_cos" -> annRewriteCos,
     "r19_stored_delete" -> storedDelete,
+    "r84_sq_fresh_delete" -> sqFreshDelete,
     "r20_ann_topk_ip" -> annTopkIp,
     "r21_maxsim_rewrite" -> maxsimRewrite,
     "r22_bm25_rewrite" -> bm25Rewrite,
@@ -3948,6 +3985,10 @@ object Retrieval {
     // r19: the stored layout after the cell-rewrite delete — candidates
     // exclude the deleted rows, bounds/codes stay pre-delete.
     "r19_stored_delete" -> ivfSqOracle("WHERE c.vec_id % 7 <> 0"),
+    // r84: grown-then-pruned equals built-then-pruned — the fresh
+    // lifecycle is invisible to results by contract, so r19's oracle
+    // lands verbatim
+    "r84_sq_fresh_delete" -> ivfSqOracle("WHERE c.vec_id % 7 <> 0"),
     // r21: BOTH maxsim phases replayed — phase 1 = per-label token-mean
     // dot against the query-token centroid, top-3 labels; phase 2 = the
     // exact maxsim (sum of per-query-token max dots) over those labels
