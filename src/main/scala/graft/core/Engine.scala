@@ -747,6 +747,9 @@ final class Engine(reg: Registry) {
     val sparse = graft.functions.Sparse.isStoredLayout(reg.spark, dir)
     val mrl = Ann.isMatryoshkaRoot(reg.spark, dir)
     val mrlIvf = Ann.isMatryoshkaIvfRoot(reg.spark, dir)
+    // detected ONCE at attach like the flags above — the layout kind
+    // is immutable, and the hook runs per committed delete
+    val quantized = Ann.isQuantizedRoot(reg.spark, dir)
     val path =
       if (mrlIvf)
         // cell-composed truncation root: rows/ is an ordinary
@@ -788,7 +791,7 @@ final class Engine(reg: Registry) {
               // a quantized root may hold not-yet-compacted appends in
               // its fresh side table — purge those too, or the
               // fresh-aware searches resurrect the deleted rows
-              if (Ann.isQuantizedRoot(reg.spark, dir))
+              if (quantized)
                 Ann.deleteQuantizedFreshIds(reg.spark, dir, td.pk,
                   deleted.select(td.pk))
             }

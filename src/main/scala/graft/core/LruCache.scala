@@ -21,16 +21,22 @@ package graft.core
   * whose hook takes another lock must keep a global lock ORDER (the
   * GraphQ built→ranked discipline).
   *
-  * All operations synchronize on the instance; `mk` in
-  * [[getOrElseUpdate]] runs under the lock (a memoized build must not
-  * run twice for one key — same contract the per-site `synchronized`
-  * blocks had).
+  * Map operations synchronize on the instance, but `mk` in
+  * [[getOrElseUpdate]] runs under a PER-KEY latch, NOT the cache-wide
+  * monitor: a memo build is typically a full Spark job, and holding
+  * the map lock for its duration would block warm lookups for every
+  * OTHER key in the JVM (the round-14 wpVocab lock-convoy finding,
+  * fixed at this altitude so every call site gets single-flight).
+  * One key's build still runs at most once while resident — racing
+  * callers of the SAME key wait on its latch and read the result.
   */
 final class LruCache[K, V](val cap: Int,
                            onEvict: (K, V) => Unit = (_: K, _: V) => ()) {
   require(cap > 0, s"LruCache cap must be positive, got $cap")
 
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[K, AnyRef]()
 
   private def evictOverCap(): Unit =
     while (m.size > cap) {
@@ -40,16 +46,20 @@ final class LruCache[K, V](val cap: Int,
       onEvict(e.getKey, e.getValue)
     }
 
-  def getOrElseUpdate(k: K)(mk: => V): V = synchronized {
-    val hit = m.get(k) // access-ordered: the get itself refreshes
-    if (hit != null) hit
-    else {
-      val v = mk
-      m.put(k, v)
-      evictOverCap()
-      v
+  def getOrElseUpdate(k: K)(mk: => V): V =
+    get(k).getOrElse {
+      val lock = locks.computeIfAbsent(k, _ => new Object)
+      try lock.synchronized {
+        // double-check under the key latch: the racing loser reads
+        // the winner's value instead of rebuilding (and never
+        // put-overwrites a frame another caller already holds)
+        get(k).getOrElse {
+          val v = mk
+          put(k, v)
+          v
+        }
+      } finally locks.remove(k, lock)
     }
-  }
 
   /** Lookup without populating; a hit still refreshes recency. */
   def get(k: K): Option[V] = synchronized(Option(m.get(k)))

@@ -3120,32 +3120,8 @@ object Ann {
     // fingerprint (a hand-swapped centroids/ dir refuses here)
     ensureIvfModelMarker(spark, dir, model)
     val main = spark.read.parquet(s"$dir/$dataSub")
-    // the geometry marker expresses only spherical-vs-not, but the
-    // quantized BUILDS accept any Metric — an e.g. IP-built root would
-    // get fresh rows assigned under L2 into cells its own rows don't
-    // use, and probed searches would silently miss them. Probe: a
-    // small sample of the main layout's rows must RE-ASSIGN to their
-    // stored cells under the inferred geometry (L2 raw, or normalized
-    // L2 for spherical — both deterministic, ties by cell id), else
-    // refuse loudly here instead of losing rows at query time.
-    locally {
-      val sample = main.select(col(idCol), col(vecCol),
-        col(model.idCol).cast("long").as("__stored_cell")).limit(64)
-      val re =
-        if (spherical)
-          assign(withNormalized(sample, vecCol, "__nvec"), "__nvec",
-            model, L2)
-        else assign(sample, vecCol, model, L2)
-      val bad = re.filter(col(model.idCol) =!= col("__stored_cell"))
-        .count()
-      require(bad == 0L,
-        s"appendQuantizedFreshIdempotent: $bad of 64 sampled rows in " +
-          s"$dir/$dataSub do not re-assign to their stored cells " +
-          "under the marker's geometry — the root was built under a " +
-          "different assignment metric; fresh appends would land in " +
-          "the wrong cells. Rebuild the root or use an L2/cosine " +
-          "geometry.")
-    }
+    verifyQuantizedGeometry(spark, dir, dataSub, main, model, spherical,
+      idCol, vecCol)
     val assigned =
       if (spherical)
         assign(withNormalized(newRows, vecCol, "__nvec"), "__nvec",
@@ -3192,6 +3168,57 @@ object Ann {
       case "sq" => Set("codes")
       case _ => Set("bits", "rnorm")
     }
+
+  /** The assignment-geometry consistency probe behind
+    * [[appendQuantizedFreshIdempotent]]: the marker expresses only
+    * spherical-vs-not, but the quantized BUILDS accept any Metric —
+    * an e.g. IP-built root would get fresh rows assigned under L2
+    * into cells its own rows don't use, and probed searches would
+    * silently miss them. A CROSS-CELL sample of the main layout's
+    * rows (up to 4 per cell across up to 16 cells — an unordered
+    * limit(64) would read one partition dir and sample exactly the
+    * deep-in-cell rows least likely to expose a mismatch; per-cell
+    * reads are partition-pruned, one row group each) must RE-ASSIGN
+    * to its stored cells under the inferred geometry, else refuse
+    * loudly. MEMOIZED per (dir, model fingerprint): the property is
+    * immutable (the fingerprint pin refuses retrains), so a streaming
+    * ingest pays the probe once, not per micro-batch. */
+  private val geometryProbed =
+    new graft.core.LruCache[String, java.lang.Boolean](64)
+  private def verifyQuantizedGeometry(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      dataSub: String, main: DataFrame, model: IvfModel,
+      spherical: Boolean, idCol: String, vecCol: String): Unit = {
+    val fp = readIvfModelMarker(spark, dir).getOrElse("unmarked")
+    geometryProbed.getOrElseUpdate(s"$dir|$fp|$spherical") {
+      val cellIds = model.centroids
+        .select(col(model.idCol).cast("long"))
+        .orderBy(col(model.idCol)).limit(16)
+        .collect().map(_.getLong(0))
+      val sample = cellIds.map(cid =>
+          main.filter(col(model.idCol) === cid)
+            .select(col(idCol), col(vecCol),
+              col(model.idCol).cast("long").as("__stored_cell"))
+            .limit(4))
+        .reduce(_ unionByName _)
+      val re =
+        if (spherical)
+          assign(withNormalized(sample, vecCol, "__nvec"), "__nvec",
+            model, L2)
+        else assign(sample, vecCol, model, L2)
+      val bad = re.filter(col(model.idCol) =!= col("__stored_cell"))
+        .count()
+      require(bad == 0L,
+        s"appendQuantizedFreshIdempotent: $bad sampled rows in " +
+          s"$dir/$dataSub do not re-assign to their stored cells " +
+          "under the marker's geometry — the root was built under a " +
+          "different assignment metric; fresh appends would land in " +
+          "the wrong cells. Rebuild the root or use an L2/cosine " +
+          "geometry.")
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
 
   /** The probed slice of a root's fresh side table, encoded under the
     * root's frozen artifacts by `encode` — None when no fresh rows
@@ -3356,7 +3383,19 @@ object Ann {
                               dir: String, idCol: String,
                               ids: DataFrame): Long =
     if (!freshExists(spark, dir)) 0L
-    else deleteStoredIds(spark, freshPath(dir), idCol, ids)
+    else {
+      val n = deleteStoredIds(spark, freshPath(dir), idCol, ids)
+      // an EMPTIED side table must disappear like compaction's does:
+      // a fresh/ holding only _SUCCESS keeps freshExists true and
+      // every later fresh-aware read dies on an unreadable parquet
+      // dir — the root would be bricked until hand-cleaned
+      val p = new org.apache.hadoop.fs.Path(freshPath(dir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasCells = fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (!hasCells) fs.delete(p, true)
+      n
+    }
 
   /** The SQ index SANS data — bounds + centroids only, for transforms
     * that need the trained artifacts but not the quantized frame

@@ -592,12 +592,11 @@ object Retrieval {
   def bm25WordpieceTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val ver = Bm25.dirVersion(s, s"$d/documents.parquet")
-    val vocabKey = s"${graft.core.SessionId.of(s)}|$d|$ver"
-    // compute OUTSIDE the cache monitor: the derivation is a full
-    // Spark job, and getOrElseUpdate would hold the cache-wide lock
-    // for its whole duration, blocking warm lookups for OTHER corpora
-    // (a racing duplicate derivation is the cheaper failure)
-    val vocab = wpVocabMemo.get(vocabKey).getOrElse {
+    // getOrElseUpdate computes under a PER-KEY latch (LruCache's
+    // single-flight contract), so this full-Spark-job derivation never
+    // blocks warm lookups for other corpora
+    val vocab = wpVocabMemo.getOrElseUpdate(
+      s"${graft.core.SessionId.of(s)}|$d|$ver") {
       val derived = {
         // The oracle replays WordPiece as simple-tokens + 4-char split,
         // which equals REAL WordPiece (BERT basic tokenization + greedy
@@ -618,7 +617,6 @@ object Retrieval {
             if (w.length > 4) Seq(w.take(4), "##" + w.drop(4)) else Seq(w))
           .distinct
       }
-      wpVocabMemo.put(vocabKey, derived)
       derived
     }
     val tok = graft.functions.Tokenizers.wordpiece(vocab,

@@ -207,6 +207,18 @@ class QuantizedFreshSpec extends SparkSpecBase {
     assert(!got.contains(7L) && !got.contains(8L),
       "deleted rows resurfaced through the fresh-aware search")
     assert(got.size == 58, s"expected 58 survivors, saw ${got.size}")
+    // deleting EVERY remaining fresh row must remove fresh/ itself —
+    // a lingering dir holding only _SUCCESS would brick every later
+    // fresh-aware read with an unreadable-parquet error
+    val restOdd = corpus.filter(r => r._1 % 2 == 1 && r._1 != 7L)
+      .map(_._1).toDF("vec_id")
+    Ann.deleteQuantizedFreshIds(sp, dir, "vec_id", restOdd)
+    assert(!new java.io.File(dir, "fresh").exists(),
+      "an emptied fresh/ must disappear, not linger unreadable")
+    val after = Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+        "embedding", typedlit(corpus(7)._2), Ann.L2, probes = 10,
+        k = 60, refine = 60).count()
+    assert(after == 29L, s"expected 29 even survivors, saw $after")
   }
 
   test("refusals: unmarked dirs and retrained models cannot grow a " +
