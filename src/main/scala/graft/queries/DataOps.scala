@@ -56,6 +56,34 @@ object DataOps {
     Dedup.simHashPairs(sim, maxDist = 3, bands = 4)
   }
 
+  /** p39: CONSENSUS near-dup pairs — the multi-signal precision
+    * pattern a curation pipeline runs before destructive dedup at
+    * corpus scale: a pair survives only when flagged by BOTH lexical
+    * channels — shingle-Jaccard (content overlap >= 0.5, the p02/p03
+    * operator) AND SimHash (token-distribution agreement, hamming
+    * <= 3, the p04 operator) — so single-channel artifacts
+    * (boilerplate-skewed bit agreement; short-text shingle flukes)
+    * drop. Both channels read their MEMOIZED tables (the shared
+    * shingle/pair frames), and the consensus itself is one pair-keyed
+    * join of two already-thinned pair sets — never a third corpus
+    * pass. The oracle composes the two factored CTE recipes
+    * ([[jaccardCtes]] ⋈ [[simhashCtes]]) so neither channel can
+    * de-sync from its own gate. */
+  def consensusPairs(s: SparkSession, d: String): DataFrame = {
+    val jac = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val sim = Dedup.simHashPairs(
+      Dedup.simHash(documents(s, d), "doc_id", "text",
+        Dedup.Md5Prefix60TermHash), maxDist = 3, bands = 4)
+    val out = jac
+      .join(sim.select(col("a"), col("b"), col("hamming")),
+        Seq("a", "b"))
+      .localCheckpoint(true) // the vacuity probe is an extra action
+    require(out.limit(1).count() > 0,
+      "p39 is vacuous: the two channels agree on no pair at all")
+    out.orderBy("a", "b")
+  }
+
   def closestPairsCos(s: SparkSession, d: String): DataFrame =
     Dedup.closestPairs(embeddings(s, d), "vec_id", "embedding",
       Ann.Cosine, 10)
@@ -720,6 +748,7 @@ object DataOps {
     "p02_jaccard_pairs" -> jaccardPairs,
     "p03_minhash_pairs" -> minhashPairs,
     "p04_simhash_pairs" -> simhashPairs,
+    "p39_consensus_pairs" -> consensusPairs,
     "p05_closest_pairs_cos" -> closestPairsCos,
     "p09_cosine_lsh_dedup" -> cosineLshDedup,
     "p20_semdedup" -> semDedup,
@@ -754,6 +783,34 @@ object DataOps {
 
   private val jaccardSql: String =
     s"WITH $jaccardCtes SELECT a, b, jaccard FROM jp"
+
+  /** The SimHash pair recipe as a FACTORED fragment (CTE names
+    * prefixed `s*` so it composes with [[jaccardCtes]] in one WITH —
+    * the langPredCtes rule: p04 and the p39 consensus join must not
+    * be able to de-sync). `sp` = pairs at hamming <= 3. */
+  private val simhashCtes: String =
+    s"""st AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        stf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM st)
+                GROUP BY 1, 2),
+        shh AS (SELECT doc_id, tf,
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                FROM stf),
+        sbits AS (SELECT doc_id, b,
+                    sum(tf * (CASE WHEN (h >> b) & 1 = 1
+                              THEN 1 ELSE -1 END)) AS acc
+                  FROM shh CROSS JOIN (SELECT unnest(range(60)) AS b)
+                  GROUP BY 1, 2),
+        ssig0 AS (SELECT doc_id,
+                    sum(CASE WHEN acc > 0 THEN (1::BIGINT << b)
+                        ELSE 0 END) AS sig
+                  FROM sbits GROUP BY 1),
+        ssig AS (SELECT st.doc_id, coalesce(ssig0.sig, 0) AS sig
+                 FROM st LEFT JOIN ssig0 USING (doc_id)),
+        sp0 AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+                FROM ssig x JOIN ssig y ON x.doc_id < y.doc_id),
+        sp AS (SELECT a, b, hamming FROM sp0 WHERE hamming <= 3)"""
 
   /** The full langid prediction chain (tokens → per-language stopword
     * scores → argmax with ties lang asc → 'und' on zero hits), ending
@@ -1392,28 +1449,14 @@ object DataOps {
               CAST(cum_before // 512 AS BIGINT)) AS BIGINT) AS n_packs
           FROM c GROUP BY 1 ORDER BY 1""",
     "p04_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          tf AS (SELECT doc_id, tok, count(*) AS tf
-                 FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-                 GROUP BY 1, 2),
-          h AS (SELECT doc_id, tf,
-                  ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
-                FROM tf),
-          bits AS (SELECT doc_id, b,
-                     sum(tf * (CASE WHEN (h >> b) & 1 = 1
-                               THEN 1 ELSE -1 END)) AS acc
-                   FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
-                   GROUP BY 1, 2),
-          sig0 AS (SELECT doc_id,
-                     sum(CASE WHEN acc > 0 THEN (1::BIGINT << b)
-                         ELSE 0 END) AS sig
-                   FROM bits GROUP BY 1),
-          sig AS (SELECT t.doc_id, coalesce(sig0.sig, 0) AS sig
-                  FROM t LEFT JOIN sig0 USING (doc_id)),
-          p AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
-                FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
-          SELECT a, b, hamming FROM p WHERE hamming <= 3""",
+      s"WITH $simhashCtes SELECT a, b, hamming FROM sp",
+    // p39: the two channels' factored recipes joined pair-keyed —
+    // consensus = both channels agree
+    "p39_consensus_pairs" ->
+      s"""WITH $jaccardCtes,
+          $simhashCtes
+          SELECT jp.a, jp.b, jp.jaccard, sp.hamming
+          FROM jp JOIN sp ON jp.a = sp.a AND jp.b = sp.b""",
     "p10_fingerprint_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           s AS (SELECT doc_id,
