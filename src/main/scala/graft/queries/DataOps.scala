@@ -50,11 +50,27 @@ object DataOps {
     * pairs) is oracle-gated. Banding is lossless here (bands=4 >
     * maxDist=3, pigeonhole; no over-cap buckets at test scale), so the
     * oracle can compute pairs by exact all-pairs Hamming. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = Dedup.simHash(documents(s, d), "doc_id", "text",
-      Dedup.Md5Prefix60TermHash)
-    Dedup.simHashPairs(sim, maxDist = 3, bands = 4)
-  }
+  /** SimHash PAIRS memoized per (session, corpus version) — the
+    * [[bpeMemo]] discipline with the unpersist hook: [[Dedup.simHash]]
+    * builds a fresh typed-stage plan per call (new closure instance),
+    * so Dedup's own semantic-hash gate cache cannot recognize p04's
+    * and p39's channels as the same computation; this site-level memo
+    * makes the consensus gate a cache HIT on the p04 table instead of
+    * a second corpus pass. */
+  private val simhashPairsMemo = new graft.core
+    .LruCache[(String, String, String), DataFrame](4,
+      (_, f) => try f.unpersist(false) catch { case _: Throwable => () })
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsMemo.getOrElseUpdate(
+      (graft.core.SessionId.of(s), d, bpeVersion(s, d))) {
+      val p = Dedup.simHashPairs(
+        Dedup.simHash(documents(s, d), "doc_id", "text",
+          Dedup.Md5Prefix60TermHash), maxDist = 3, bands = 4)
+        .persist()
+      p.count()
+      p
+    }
 
   /** p39: CONSENSUS near-dup pairs — the multi-signal precision
     * pattern a curation pipeline runs before destructive dedup at
@@ -70,11 +86,12 @@ object DataOps {
     * ([[jaccardCtes]] ⋈ [[simhashCtes]]) so neither channel can
     * de-sync from its own gate. */
   def consensusPairs(s: SparkSession, d: String): DataFrame = {
-    val jac = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.5)
-    val sim = Dedup.simHashPairs(
-      Dedup.simHash(documents(s, d), "doc_id", "text",
-        Dedup.Md5Prefix60TermHash), maxDist = 3, bands = 4)
+    // the CHANNELS themselves, not re-spelled copies of their bodies:
+    // a retuned threshold/band count in p02/p04 flows into the
+    // consensus automatically (the Spark-side twin of the
+    // jaccardCtes/simhashCtes oracle factoring)
+    val jac = jaccardPairs(s, d)
+    val sim = simhashPairs(s, d)
     val out = jac
       .join(sim.select(col("a"), col("b"), col("hamming")),
         Seq("a", "b"))
