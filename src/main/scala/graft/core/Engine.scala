@@ -157,7 +157,7 @@ final class Engine(reg: Registry) {
     * (qIdCol, td.pk, dist, rank), rank 1-based per query, ties
     * (dist, pk asc). Matryoshka tables have no batch form yet — they
     * refuse loudly (use [[searchByVector]] per query). */
-  def searchByVectorBatch(td: TableDef[_], queries: DataFrame,
+  def searchByVectorBatch(td: TableDef[_], rawQueries: DataFrame,
                           qIdCol: String, qVecCol: String,
                           topk: Int = 10, probes: Int = 0,
                           refine: Int = -1): DataFrame = {
@@ -168,6 +168,11 @@ final class Engine(reg: Registry) {
         s"batch query column '$c' collides with ${td.name}'s " +
           s"'${td.pk}'/'${ix.column}' — rename the query frame's " +
           "columns"))
+    // project the frame down to exactly (qIdCol, qVecCol): a stray
+    // extra query column that happens to collide with a corpus column
+    // would otherwise surface as an ambiguous-column analysis error
+    // deep inside the knnJoin operators instead of here
+    val queries = rawQueries.select(col(qIdCol), col(qVecCol))
     val base = reg.table(td)
     def p = if (probes > 0) probes
       else math.ceil(ix.lists / 16.0).toInt.max(1)

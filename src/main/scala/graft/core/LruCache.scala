@@ -19,7 +19,13 @@ package graft.core
   * the unpersist hook, so evicted index frames don't pin executor
   * storage. It is invoked while holding this cache's monitor: callers
   * whose hook takes another lock must keep a global lock ORDER (the
-  * GraphQ built→ranked discipline).
+  * GraphQ built→ranked discipline). Hooks MUST be non-destructive: a
+  * value returned by [[get]]/[[getOrElseUpdate]] may still be in use
+  * by a concurrent reader when its eviction fires, so the hook may
+  * only release RECOVERABLE resources (an `unpersist` leaves the
+  * lazy plan recomputable — exactly why every current hook is one);
+  * a hook that closed, deleted, or freed the value would hand that
+  * reader a corpse.
   *
   * Map operations synchronize on the instance, but `mk` in
   * [[getOrElseUpdate]] runs under a PER-KEY latch, NOT the cache-wide

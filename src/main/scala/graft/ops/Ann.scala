@@ -3104,7 +3104,16 @@ object Ann {
     * touched cells' partitions of `fresh/` AND of the main layout (a
     * batch redelivered AFTER compaction must also append nothing), so
     * append cost scales with the batch and its touched cells, never
-    * the corpus. Returns rows appended. */
+    * the corpus.
+    *
+    * IDS ARE IMMUTABLE — [[appendIvfIdempotent]]'s documented
+    * discipline: the existence probe is pruned to the BATCH's touched
+    * cells, so a row re-ingested under a known id but a CHANGED vector
+    * that assigns to a different cell is not detected, and the id
+    * would end up live in two cells (main + fresh), both visible to
+    * the fresh-aware searches. Updated-vector re-ingest must be
+    * delete-then-append ([[deleteQuantizedFreshIds]] /
+    * [[deleteStoredIds]] first). Returns rows appended. */
   def appendQuantizedFreshIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newRows: DataFrame, idCol: String, vecCol: String): Long = {

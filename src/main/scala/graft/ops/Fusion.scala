@@ -67,7 +67,7 @@ object Fusion {
                   roundTo: Int = 6): DataFrame = {
     require(weights.length == lists.length,
       s"rrfWeighted: ${lists.length} lists but ${weights.length} weights")
-    require(weights.forall(w => w >= 0.0 && !w.isNaN),
+    require(weights.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinity),
       s"rrfWeighted: weights must be finite and >= 0, got $weights")
     val tagged = lists.zip(weights).map { case (l, w) =>
       l.withColumn("__w", lit(w))
