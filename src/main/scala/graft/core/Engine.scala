@@ -153,10 +153,13 @@ final class Engine(reg: Registry) {
     * `knnJoinIvfSq` / `knnJoinIvfPq(Cos)` / `knnJoinIvfBitq` under the
     * table's declared index), so the per-query results are
     * bit-identical to `searchByVector`'s and the shuffle is
-    * corpus-partitioned, never Q×driver. Returns
+    * corpus-partitioned, never Q×driver. Matryoshka and composed
+    * matryoshka-IVF tables ride [[graft.ops.Ann.knnJoinMrl]] /
+    * [[graft.ops.Ann.knnJoinMrlIvf]] (per-query probed cells, a
+    * prefix-only phase 1, exact re-rank per query — `refine` stays
+    * the candidate multiplier there, auto 5). Returns
     * (qIdCol, td.pk, dist, rank), rank 1-based per query, ties
-    * (dist, pk asc). Matryoshka tables have no batch form yet — they
-    * refuse loudly (use [[searchByVector]] per query). */
+    * (dist, pk asc). */
   def searchByVectorBatch(td: TableDef[_], rawQueries: DataFrame,
                           qIdCol: String, qVecCol: String,
                           topk: Int = 10, probes: Int = 0,
@@ -194,17 +197,26 @@ final class Engine(reg: Registry) {
           Ann.knnJoinIvfPq(queries, qIdCol, qVecCol, idx, td.pk,
             ix.column, p, topk, autoSqRefine(refine))
       case Some(model) if ix.lists > 0 && ix.mrlDims > 0 =>
-        throw new IllegalStateException(
-          s"${td.name}: the composed matryoshka-IVF index has no " +
-            "batch join form — run searchByVector per query")
+        // the COMPOSED index's batch form — cells prune per query,
+        // the prefix cut runs within each query's probed cells, the
+        // re-rank at full precision; `refine` stays the candidate
+        // MULTIPLIER (auto 5), exactly the single-query branch
+        val cand = topk * (if (refine > 0) refine else 5)
+        Ann.knnJoinMrlIvf(queries, qIdCol, qVecCol,
+          assignedCached(td, ix, model), td.pk, ix.column, model,
+          ix.mrlDims, ix.distance, p, cand.max(topk), topk)
       case Some(model) if ix.lists > 0 =>
         Ann.knnJoinIvf(queries, qIdCol, qVecCol,
           assignedCached(td, ix, model), td.pk, ix.column, model,
           ix.distance, p, topk)
       case _ if ix.mrlDims > 0 =>
-        throw new IllegalStateException(
-          s"${td.name}: the matryoshka index has no batch join form — " +
-            "run searchByVector per query")
+        // flat matryoshka batch: phase 1 is the exact batch join over
+        // the prefix columns, phase 2 the per-query full-precision
+        // re-rank — `refine` the candidate multiplier (auto 5)
+        val cand = topk * (if (refine > 0) refine else 5)
+        Ann.knnJoinMrl(queries, qIdCol, qVecCol, base, td.pk,
+          ix.column, ix.mrlDims, cand.max(topk), topk,
+          metric = ix.distance)
       case _ =>
         Ann.knnJoin(queries, qIdCol, qVecCol, base, td.pk, ix.column,
           ix.distance, topk)

@@ -319,20 +319,26 @@ object Ann {
     * each query's candidates at full precision via one equi-join on
     * the doc id plus the broadcast query set, rank window per query.
     * Returns (qId, dId, pre_dist, dist, rank), rank ≤ `k`, both
-    * phases' scores rounded before their orderings (ties id asc). */
+    * phases' scores rounded before their orderings (ties id asc).
+    * Cosine rides the r63 normalize-then-L2 reduction in phase 1
+    * (normalized prefixes both sides) and TRUE cosine in phase 2 —
+    * [[matryoshkaTopK]]'s exact convention, batch form. */
   def matryoshkaBatch(queries: DataFrame, qId: String, qVec: String,
                       docs: DataFrame, dId: String, dVec: String,
                       dims: Int, candidates: Int, k: Int,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, metric: Metric = L2): DataFrame = {
     require(dims >= 1, s"matryoshkaBatch: dims must be >= 1, got $dims")
     require(candidates >= k,
       s"matryoshkaBatch: candidates ($candidates) must be >= k ($k)")
+    requireMatryoshkaMetric(metric, "matryoshkaBatch")
+    requireMrlBatchSpace(docs, dVec, queries, qVec, dims,
+      "matryoshkaBatch")
     import org.apache.spark.sql.expressions.Window
-    def pre(df: DataFrame, id: String, vc: String, out: String) =
-      df.select(col(id), slice(col(vc).cast("array<double>"),
-        lit(1), lit(dims)).as(out))
-    val phase1 = knnJoin(pre(queries, qId, qVec, "__qpre"), qId, "__qpre",
-        pre(docs, dId, dVec, "__dpre"), dId, "__dpre",
+    val (dPre, qPre) = mrlPrefixCols(col(dVec).cast("array<double>"),
+      col(qVec).cast("array<double>"), dims, metric)
+    val phase1 = knnJoin(
+        queries.select(col(qId), qPre.as("__qpre")), qId, "__qpre",
+        docs.select(col(dId), dPre.as("__dpre")), dId, "__dpre",
         L2, candidates, roundTo)
       .select(col(qId), col(dId), col("dist").as("pre_dist"))
     val qFull = queries.select(col(qId),
@@ -343,8 +349,7 @@ object Ann {
       .orderBy(col("dist").asc, col(dId).asc)
     phase1.join(broadcast(qFull), qId).join(dFull, dId)
       .select(col(qId), col(dId), col("pre_dist"),
-        round(org.apache.spark.sql.graft.VecExprs.l2Dist(
-          col("__dv"), col("__qv")), roundTo).as("dist"))
+        round(metric.dist(col("__dv"), col("__qv")), roundTo).as("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -1471,17 +1476,8 @@ object Ann {
                  assigned: DataFrame, dId: String, dVec: String,
                  model: IvfModel, metric: Metric, probes: Int, k: Int,
                  roundTo: Int = 6): DataFrame = {
-    val bc = queries.sparkSession.sparkContext
-      .broadcast(collectCentroids(model))
-    val nProbes = probes
-    // nearest `probes` cells per query: broadcast-centroid scores inside
-    // a map-only UDF (one executor-wide centroid copy, nothing in the
-    // plan), (dist, id)-sorted — the probe tie-break
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val varr = v.toArray
-      bc.value.map { case (id, c) => (metric.distScala(varr, c), id) }
-        .sorted.take(nProbes).map(_._2).toSeq
-    }
+    val probeUdf = perQueryProbeUdf(queries.sparkSession, model, metric,
+      probes)
     val probed = queries
       .withColumn(model.idCol,
         explode(probeUdf(col(qVec).cast("array<double>"))))
@@ -1493,6 +1489,254 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(dId), col("dist"), col("rank"))
+  }
+
+  /** Nearest-`probes` cell ids per input vector as a map-only UDF:
+    * broadcast-centroid scores (one executor-wide centroid copy,
+    * nothing in the plan), (dist, id)-sorted — the SAME tie-break as
+    * [[probeCells]], so the batch operators pick exactly the cells
+    * their single-query twins probe. */
+  private def perQueryProbeUdf(spark: org.apache.spark.sql.SparkSession,
+                               model: IvfModel, metric: Metric,
+                               probes: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(collectCentroids(model))
+    val nProbes = probes
+    udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      bc.value.map { case (id, c) => (metric.distScala(varr, c), id) }
+        .sorted.take(nProbes).map(_._2).toSeq
+    }
+  }
+
+  /** The matryoshka batch operators' shared prefix convention: the
+    * phase-1 (doc, query) prefix columns in the family's reduction
+    * space — raw under L2, the L2-NORMALIZED vector under cosine (the
+    * r63 normalize-then-L2 reduction [[matryoshkaTopK]] pins). */
+  private def mrlPrefixCols(dv: Column, qv: Column, dims: Int,
+                            metric: Metric): (Column, Column) =
+    metric match {
+      case Cosine => (slice(l2NormalizeUdf(dv), lit(1), lit(dims)),
+        slice(l2NormalizeUdf(qv), lit(1), lit(dims)))
+      case _ => (slice(dv, lit(1), lit(dims)),
+        slice(qv, lit(1), lit(dims)))
+    }
+
+  /** The matryoshka batch operators' shared wrong-space refusal: doc
+    * and query vectors must live in one embedding space (a doc longer
+    * than the query would walk the phase-2 fold past the query
+    * array — [[matryoshkaTopK]]'s guard, batch form). */
+  private def requireMrlBatchSpace(docs: DataFrame, dVec: String,
+                                   queries: DataFrame, qVec: String,
+                                   dims: Int, who: String): Unit = {
+    val dLen = docs.filter(col(dVec).isNotNull)
+      .select(size(col(dVec)).as("__d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    val qLen = queries.filter(col(qVec).isNotNull)
+      .select(size(col(qVec)).as("__q")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    (dLen, qLen) match {
+      case (Some(dl), Some(ql)) =>
+        require(dl == ql,
+          s"$who: vectors have $dl dims but the queries have $ql — " +
+            "wrong embedding space")
+        require(dims >= 1 && dims <= ql,
+          s"$who: dims must be in [1, $ql], got $dims")
+      case _ => () // an empty side makes the join trivially empty
+    }
+  }
+
+  /** BATCH flat matryoshka under the ENGINE's batch contract — the
+    * (qId, dId, dist, rank) projection of [[matryoshkaBatch]] (ONE
+    * implementation of the two phases; this wrapper only drops the
+    * diagnostic pre_dist the engine surface never returns — the
+    * c09/c10 convention). Per-query results are bit-identical to
+    * [[matryoshkaTopK]] / the engine's single-query flat branch
+    * (specced). */
+  def knnJoinMrl(queries: DataFrame, qId: String, qVec: String,
+                 docs: DataFrame, dId: String, dVec: String,
+                 dims: Int, candidates: Int, k: Int,
+                 roundTo: Int = 6, metric: Metric = L2): DataFrame =
+    matryoshkaBatch(queries, qId, qVec, docs, dId, dVec, dims,
+      candidates, k, roundTo, metric)
+      .select(col(qId), col(dId), col("dist"), col("rank"))
+
+  /** BATCH composed matryoshka-IVF — [[matryoshkaTopKIvf]]'s
+    * query-log replay form over an IN-MEMORY [[assign]]ed frame (the
+    * engine's composed branch, batch twin): each query row explodes to
+    * its `probes` nearest cells ([[perQueryProbeUdf]] — probed in the
+    * root's reduction space: raw centroids under L2, normalized under
+    * cosine, the ONE convention the single-query branch uses), phase 1
+    * joins the probed (query, cell) pairs with the assigned frame on
+    * `centroid_id` carrying ONLY the `dims`-prefix (the shuffle moves
+    * dims/D of the vector bytes — the in-memory twin of the emb_pre-
+    * only scan), cuts per query at `candidates` ((pre_dist, id) ties),
+    * and phase 2 re-scores each query's candidate pairs at full
+    * precision via broadcast joins. Returns (qId, dId, dist, rank),
+    * rank 1-based per query — per-query bit-parity with the engine's
+    * single-query composed branch (specced). */
+  def knnJoinMrlIvf(queries: DataFrame, qId: String, qVec: String,
+                    assigned: DataFrame, dId: String, dVec: String,
+                    model: IvfModel, dims: Int, metric: Metric,
+                    probes: Int, candidates: Int, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    require(probes >= 1, s"knnJoinMrlIvf: probes >= 1, got $probes")
+    require(candidates >= k,
+      s"knnJoinMrlIvf: candidates ($candidates) must be >= k ($k)")
+    requireMatryoshkaMetric(metric, "knnJoinMrlIvf")
+    requireMrlBatchSpace(assigned, dVec, queries, qVec, dims,
+      "knnJoinMrlIvf")
+    val dv = col(dVec).cast("array<double>")
+    val qv = col(qVec).cast("array<double>")
+    val (dPre, qPre) = mrlPrefixCols(dv, qv, dims, metric)
+    // probes live in the root's reduction space (normalized model +
+    // normalized query under cosine, L2 machinery either way) — the
+    // searchByVector composed branch's exact convention
+    val probeModel = metric match {
+      case Cosine => normalizeModel(model)
+      case _ => model
+    }
+    val qProbe = metric match {
+      case Cosine => l2NormalizeUdf(qv)
+      case _ => qv
+    }
+    val probeUdf = perQueryProbeUdf(queries.sparkSession, probeModel,
+      L2, probes)
+    val probed = queries
+      .select(col(qId).cast("long").as(qId), qPre.as("__qpre"),
+        explode(probeUdf(qProbe)).as(model.idCol))
+    val w1 = Window.partitionBy(col(qId))
+      .orderBy(col("pre_dist").asc, col(dId).asc)
+    val cand = assigned
+      .select(col(dId).cast("long").as(dId), col(model.idCol),
+        dPre.as("__dpre"))
+      .join(probed, Seq(model.idCol))
+      .withColumn("pre_dist", round(org.apache.spark.sql.graft.VecExprs
+        .l2Dist(col("__dpre"), col("__qpre")), roundTo))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= candidates)
+      .select(col(qId), col(dId))
+    val qFull = queries
+      .select(col(qId).cast("long").as(qId), qv.as("__qfull"))
+    val w2 = Window.partitionBy(col(qId))
+      .orderBy(col("dist").asc, col(dId).asc)
+    assigned.select(col(dId).cast("long").as(dId), dv.as("__dfull"))
+      .join(broadcast(cand), Seq(dId))
+      .join(broadcast(qFull), Seq(qId))
+      .withColumn("dist",
+        round(metric.dist(col("__dfull"), col("__qfull")), roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(dId), col("dist"), col("rank"))
+  }
+
+  /** BATCH composed matryoshka-IVF over an AT-REST
+    * [[writeMatryoshkaIvf]] root — [[knnJoinMrlIvf]]'s stored twin
+    * with [[matryoshkaTopKIvf]]'s two pruning pins asserted ON EVERY
+    * CALL: phase 1 reads the UNION of the batch's probed cell
+    * DIRECTORIES only (`centroid_id` PartitionFilters) and within
+    * them `emb_pre` only (never `emb_full` — at 100 TB phase 1 reads
+    * dims/D of the probed cells' vector bytes), restricted per query
+    * to ITS probed cells by a broadcast (query, cell) pair join;
+    * phase 2 re-reads only the candidate ids (pushed as an In filter,
+    * still cell-pruned) at full precision and re-ranks per query.
+    * Geometry comes from the root's marker (dims + metric pinned at
+    * write — wrong-metric reads refuse, like the single-query form).
+    * Returns (qId, idCol, pre_dist, dist, rank), rank 1-based per
+    * query; per-query rows identical to [[matryoshkaTopKIvf]]
+    * (specced). */
+  def matryoshkaTopKIvfBatch(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, idCol: String,
+                             queries: DataFrame, qId: String,
+                             qVec: String, probes: Int,
+                             candidates: Int, k: Int,
+                             roundTo: Int = 6,
+                             metric: Metric = L2): DataFrame = {
+    require(probes >= 1, s"matryoshkaTopKIvfBatch: probes >= 1, got $probes")
+    require(candidates >= k,
+      s"matryoshkaTopKIvfBatch: candidates ($candidates) must be >= " +
+        s"k ($k)")
+    requireMatryoshkaMetric(metric, "matryoshkaTopKIvfBatch")
+    val (dims, rootMetric) = readMatryoshkaMeta(spark, dir,
+      "matryoshkaTopKIvfBatch", "_graft_matryoshka_ivf")
+    require(metric == rootMetric,
+      s"matryoshkaTopKIvfBatch: $dir is pinned to metric=$rootMetric " +
+        s"but the query asks $metric — emb_pre and the cell geometry " +
+        "live in the root's reduction space")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    val qv = col(qVec).cast("array<double>")
+    val rows = spark.read.parquet(s"$dir/rows")
+    requireMrlBatchSpace(rows, "emb_full", queries, qVec, dims,
+      "matryoshkaTopKIvfBatch")
+    // probe in the root's reduction space; the query prefix is the
+    // slice of the NORMALIZED query under cosine (emb_pre's space)
+    val probeModel = metric match {
+      case Cosine => normalizeModel(model)
+      case _ => model
+    }
+    val qProbe = metric match {
+      case Cosine => l2NormalizeUdf(qv)
+      case _ => qv
+    }
+    val qPre = slice(qProbe, lit(1), lit(dims))
+    val probeUdf = perQueryProbeUdf(spark, probeModel, L2, probes)
+    // (query, probed-cell) pairs: |Q|·probes rows, broadcast both into
+    // phase 1 (per-query cell restriction) and collected for the
+    // partition-pruning literal (≤ lists distinct cells)
+    val probed = queries
+      .select(col(qId).cast("long").as(qId), qPre.as("__qpre"),
+        explode(probeUdf(qProbe)).as("centroid_id"))
+      .localCheckpoint(true)
+    val cells = probed.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    if (cells.isEmpty)
+      return probed
+        .select(col(qId), lit(0L).as(idCol),
+          lit(0.0).as("pre_dist"), lit(0.0).as("dist"),
+          lit(0).as("rank"))
+        .limit(0)
+    val w1 = Window.partitionBy(col(qId))
+      .orderBy(col("pre_dist").asc, col(idCol).asc)
+    val phase1 = rows
+      .filter(col("centroid_id").isin(cells: _*))
+      .select(col(idCol), col("centroid_id"), col("emb_pre"))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .withColumn("pre_dist", round(org.apache.spark.sql.graft.VecExprs
+        .l2Dist(col("emb_pre"), col("__qpre")), roundTo))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= candidates)
+      .select(col(qId), col(idCol), col("pre_dist"))
+    val p1Phys = phase1.queryExecution.executedPlan.toString
+    require(p1Phys.contains("emb_pre") && !p1Phys.contains("emb_full"),
+      s"matryoshkaTopKIvfBatch phase-1 scan did not prune the full " +
+        s"vector:\n$p1Phys")
+    require("""PartitionFilters: \[[^\]]*centroid_id""".r
+        .findFirstIn(p1Phys).isDefined,
+      s"matryoshkaTopKIvfBatch phase 1 did not prune cell " +
+        s"partitions:\n$p1Phys")
+    // |Q|·candidates pairs, driver-bounded like the single-query
+    // form's candidate collect — the distinct ids push into the
+    // phase-2 scan as an In filter next to the cell pruning
+    val candPairs = phase1.localCheckpoint(true)
+    val ids = candPairs.select(col(idCol)).distinct()
+      .collect().map(_.get(0))
+    val qFull = queries
+      .select(col(qId).cast("long").as(qId), qv.as("__qfull"))
+    val w2 = Window.partitionBy(col(qId))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    rows
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col("emb_full"))
+      .join(broadcast(candPairs), Seq(idCol))
+      .join(broadcast(qFull), Seq(qId))
+      .withColumn("dist",
+        round(metric.dist(col("emb_full"), col("__qfull")), roundTo))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(idCol), col("pre_dist"), col("dist"),
+        col("rank"))
   }
 
   // ---------------------------------------------------------------------

@@ -536,7 +536,61 @@ object Crud {
       .orderBy("qid", "rank")
   }
 
+  /** c18: BATCH search over the COMPOSED matryoshka-IVF index — the
+    * r14 verdict's top gap closed: the north-star layout (c10's
+    * vchordrq shape) was the one index the batch surface refused, so
+    * a query-log replay could not use the best index.
+    * `Engine.searchByVectorBatch` now dispatches composed tables to
+    * [[graft.ops.Ann.knnJoinMrlIvf]]: each query probes its own 3
+    * cells, phase 1 carries only the 8-dim prefix through the cell
+    * join, phase 2 re-ranks each query's 50 candidates at full
+    * precision — c10's exact parameters (probes=3, refine=5) over
+    * the installed label-mean model, three query vectors, so the
+    * oracle is the composed replay PER QUERY ID (the factored batch
+    * fragment, pre_dist dropped — the engine-surface convention). */
+  def engineBatchMatryoshkaIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count().toInt
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_mrlivf_b", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding",
+        lists = lists, mrlDims = 8)))
+    reg.register(td)
+    reg.copyBulk(td, e.select(col("vec_id"), col("embedding"),
+      col("label")))
+    val eng = new graft.core.Engine(reg)
+    eng.installIndexModel(td, model)
+    val qs = e.filter(col("vec_id").isin(0, 1, 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    eng.searchByVectorBatch(td, qs, "q_id", "qv", topk = 10,
+      probes = 3, refine = 5)
+  }
+
+  /** c19: BATCH search over the FLAT matryoshka index — c18's
+    * cell-less sibling (c09's table, three query vectors):
+    * `Engine.searchByVectorBatch` dispatches to
+    * [[graft.ops.Ann.knnJoinMrl]] (phase 1 = the exact batch join
+    * over the prefix columns, phase 2 the per-query full-precision
+    * re-rank), refine=5 ⇒ r70's 50-candidate cut per query, so the
+    * oracle is the family's cut replayed per query id. */
+  def engineBatchMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_mrl_b", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding",
+        mrlDims = 8)))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val qs = embeddings(s, d).filter(col("vec_id").isin(0, 1, 3))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    new graft.core.Engine(reg)
+      .searchByVectorBatch(td, qs, "q_id", "qv", topk = 10, refine = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_engine_batch_matryoshka_ivf" -> engineBatchMatryoshkaIvf,
+    "c19_engine_batch_matryoshka" -> engineBatchMatryoshka,
     "c17_engine_batch_multivec" -> engineBatchMultivec,
     "c16_engine_batch_sparse" -> engineBatchSparse,
     "c15_engine_hybrid_weighted" -> engineHybridWeighted,
@@ -556,6 +610,15 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c18: the composed replay per query id over the installed
+    // label-mean model — the factored batch fragment, pre_dist
+    // dropped (the engine returns only the final distance).
+    "c18_engine_batch_matryoshka_ivf" ->
+      graft.queries.Retrieval.matryoshkaIvfBatchOracleSql(
+        "0, 1, 5", withPre = false),
+    // c19: the flat family cut replayed per query id.
+    "c19_engine_batch_matryoshka" ->
+      graft.queries.Retrieval.matryoshkaBatchOracleSql("0, 1, 3"),
     // c15: the weighted fusion over r07's corpora/parameters — the
     // parameterized replay with c15's exact (k, weights)
     "c15_engine_hybrid_weighted" ->

@@ -1974,6 +1974,39 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
   }
 
+  /** r85: the composed matryoshka-IVF root's BATCH join form
+    * ([[Ann.matryoshkaTopKIvfBatch]]) — the query-log replay shape
+    * over the family's north-star layout (r78's root): three query
+    * vectors probe their own 3 cells each, phase 1 reads the UNION
+    * of probed cell directories and within them emb_pre ONLY (both
+    * pins asserted in-operator on every call), the prefix cut runs
+    * per query id, and phase 2 re-reads only the candidate ids at
+    * full precision — the gate pins the phase-2 plan like r78: cell
+    * partition pruning AND the candidate In(vec_id) pushdown in ONE
+    * plan. pre_dist rides the output, so the oracle re-derives each
+    * query's candidate cut, not just its final ranking. Oracle: the
+    * composed replay per query id (the factored batch fragment —
+    * c18's oracle with the phase-1 column kept). */
+  def matryoshkaIvfBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_batch").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    val qs = e.filter(col("vec_id").isin(0, 1, 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.matryoshkaTopKIvfBatch(s, dir, "vec_id", qs, "q_id",
+      "qv", probes = 3, candidates = 50, k = 10)
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id",
+      "matryoshka-IVF batch phase 2")
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r85 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -2218,6 +2251,7 @@ object Retrieval {
     "r81_matryoshka_ivf_append" -> matryoshkaIvfAppend,
     "r82_matryoshka_ivf_filtered" -> matryoshkaIvfFiltered,
     "r83_matryoshka_ivf_rewrite" -> matryoshkaIvfRewrite,
+    "r85_matryoshka_ivf_batch" -> matryoshkaIvfBatch,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2311,12 +2345,12 @@ object Retrieval {
         CROSS JOIN g)"""
   }
 
-  /** The label-mean IVF replay (centroids from per-label means
-    * rounded to 5, nearest-centroid assignment with (dist, cid)
-    * ties, 3 probes for query vec 5) — the index fragment shared by
-    * r09/r72 and the r78 matryoshka-IVF composition; factored so a
+  /** The label-mean IVF index fragment (centroids from per-label
+    * means rounded to 5, nearest-centroid assignment with (dist, cid)
+    * ties) WITHOUT a probe choice — shared by the single-query probe
+    * fragment below and the per-query BATCH probe fragments, so a
     * one-sided edit cannot de-sync the family. */
-  private lazy val LabelIvfProbeCtes =
+  private lazy val LabelIvfCtes =
     s"""dims AS (
           SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -2333,7 +2367,13 @@ object Retrieval {
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
                               c.centroid_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)"""
+
+  /** The label-mean IVF replay with 3 probes for query vec 5 — the
+    * single-query fragment shared by r09/r72 and the r78
+    * matryoshka-IVF composition. */
+  private lazy val LabelIvfProbeCtes =
+    s"""$LabelIvfCtes,
         probes AS (
           SELECT centroid_id FROM cents
           ORDER BY list_distance(centroid, $qv5) ASC, centroid_id ASC
@@ -2367,6 +2407,78 @@ object Retrieval {
         SELECT vec_id,${if (withPre) " pre_dist," else ""}
                round(list_distance(v, $qv5), 6) AS dist
         FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** The composed matryoshka-IVF replay, BATCH form (the c18/r85
+    * family): the shared label-IVF index CTEs + PER-QUERY 3-probe
+    * choice, the prefix cut confined to each query's probed cells,
+    * the full-precision re-rank per query id. `qidList` inlines the
+    * query vector ids; `withPre` carries the phase-1 score (the
+    * stored operator returns it, the engine surface does not — the
+    * c09/c10 convention). */
+  private[queries] def matryoshkaIvfBatchOracleSql(
+      qidList: String, withPre: Boolean): String = {
+    val pre = if (withPre) " pre_dist," else ""
+    s"""WITH $LabelIvfCtes,
+        q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN ($qidList)),
+        bprobes AS (
+          SELECT q_id, centroid_id FROM (
+            SELECT q.q_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY list_distance(c.centroid, q.qv) ASC,
+                              c.centroid_id ASC) AS rn
+            FROM cents c CROSS JOIN q) WHERE rn <= 3),
+        s1 AS (
+          SELECT p.q_id, a.vec_id, a.embedding::DOUBLE[] AS v, q.qv,
+                 round(list_distance((a.embedding::DOUBLE[])[1:8],
+                   (q.qv)[1:8]), 6) AS pre_dist
+          FROM assigned a JOIN bprobes p USING (centroid_id)
+          JOIN q ON q.q_id = p.q_id),
+        p1 AS (
+          SELECT * FROM (
+            SELECT s1.*, row_number() OVER (PARTITION BY q_id
+              ORDER BY pre_dist ASC, vec_id ASC) AS prn FROM s1)
+          WHERE prn <= 50),
+        rer AS (
+          SELECT q_id, vec_id, pre_dist,
+                 round(list_distance(v, qv), 6) AS dist
+          FROM p1),
+        rnk AS (
+          SELECT q_id, vec_id, pre_dist, dist,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dist ASC, vec_id ASC) AS rank
+          FROM rer)
+        SELECT q_id, vec_id,$pre dist, CAST(rank AS INTEGER) AS rank
+        FROM rnk WHERE rank <= 10 ORDER BY q_id ASC, rank ASC"""
+  }
+
+  /** The FLAT matryoshka replay, BATCH form (c19): the family's
+    * phase-1 prefix cut and full-precision re-rank replayed per
+    * query id over the whole corpus (no cells — r70's parameters). */
+  private[queries] def matryoshkaBatchOracleSql(qidList: String): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN ($qidList)),
+        s1 AS (
+          SELECT q.q_id, e.vec_id, e.embedding::DOUBLE[] AS v, q.qv,
+                 round(list_distance((e.embedding::DOUBLE[])[1:8],
+                   (q.qv)[1:8]), 6) AS pre_dist
+          FROM embeddings e CROSS JOIN q),
+        p1 AS (
+          SELECT * FROM (
+            SELECT s1.*, row_number() OVER (PARTITION BY q_id
+              ORDER BY pre_dist ASC, vec_id ASC) AS prn FROM s1)
+          WHERE prn <= 50),
+        rer AS (
+          SELECT q_id, vec_id,
+                 round(list_distance(v, qv), 6) AS dist
+          FROM p1),
+        rnk AS (
+          SELECT q_id, vec_id, dist,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dist ASC, vec_id ASC) AS rank
+          FROM rer)
+        SELECT q_id, vec_id, dist, CAST(rank AS INTEGER) AS rank
+        FROM rnk WHERE rank <= 10 ORDER BY q_id ASC, rank ASC"""
 
   /** The matryoshka phase-1 cut (top-50 by 8-dim-prefix L2, ties id
     * asc) — shared by every form of the family's oracle. `where`
@@ -4387,6 +4499,11 @@ object Retrieval {
     // declarative form.
     "r83_matryoshka_ivf_rewrite" -> matryoshkaIvfOracleSql(
       withPre = false),
+    // r85: the composed replay PER QUERY ID (per-query probes, the
+    // prefix cut confined to each query's cells, full-precision
+    // re-rank per qid) — pre_dist kept, pinning each query's cut.
+    "r85_matryoshka_ivf_batch" -> matryoshkaIvfBatchOracleSql(
+      "0, 1, 5", withPre = true),
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->

@@ -783,7 +783,7 @@ class EngineSpec extends SparkSpecBase {
   }
 
   test("searchByVectorBatch: per-query rows equal searchByVector on " +
-      "exact AND IVF tables; collisions and matryoshka refuse; the " +
+      "exact AND IVF tables; collisions refuse; the " +
       "keyword twin equals searchByKeyword per query") {
     val sp = spark
     import sp.implicits._
@@ -826,18 +826,48 @@ class EngineSpec extends SparkSpecBase {
           s"qid=$qid: keyword batch ${kwGot(qid)} != per-query $want")
       }
     }
-    // matryoshka tables have no batch form — refuse loudly
-    val tdM = TableDef[EChunk]("echunk_mrlb", primaryKey = Some("cid"),
-      indexes = Seq(VectorIndex("vec", Ann.L2, mrlDims = 1)),
-      vectorDims = Map("vec" -> 2))
-    val regM = new Registry(spark,
-      Files.createTempDirectory("graft-engine-mb").toString)
-      .register(tdM)
-    regM.insert(tdM, Seq(EChunk(0L, "t", Seq(1f, 2f),
-      Seq(Seq(1f, 2f)))))
-    intercept[IllegalStateException] {
-      new Engine(regM).searchByVectorBatch(tdM,
-        Seq((0L, Seq(0.0, 0.0))).toDF("q_id", "qv"), "q_id", "qv")
+  }
+
+  test("searchByVectorBatch matryoshka + composed matryoshka-IVF: " +
+      "per-query rows equal searchByVector under L2 AND cosine") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      EChunk(i.toLong, s"row $i",
+        Seq(base + i * 0.01f, base + (i % 7) * 0.1f + 0.1f),
+        Seq(Seq(base, base)))
+    }
+    for {
+      metric <- Seq(Ann.L2, Ann.Cosine)
+      lists <- Seq(0, 2)
+    } {
+      val name = s"emrlb_${metric.toString.toLowerCase}_$lists"
+      val td = TableDef[EChunk](name, primaryKey = Some("cid"),
+        indexes = Seq(
+          VectorIndex("vec", metric, lists = lists, mrlDims = 1)),
+        vectorDims = Map("vec" -> 2))
+      val reg = new Registry(spark,
+        Files.createTempDirectory("graft-emrlb").toString).register(td)
+      reg.insert(td, rows)
+      val eng = new Engine(reg)
+      if (lists > 0) eng.buildIndex(td)
+      val p = if (lists > 0) 2 else 0
+      val qs = Seq((100L, Seq(0.05, 0.3)), (101L, Seq(10.0, 10.2)))
+      val got = eng.searchByVectorBatch(td, qs.toDF("q_id", "qv"),
+          "q_id", "qv", topk = 5, probes = p, refine = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2))
+          .map(x => (x._2, x._3)).toSeq).toMap
+      qs.foreach { case (qid, qv) =>
+        val want = eng.searchByVector(td, qv, topk = 5, probes = p,
+            refine = 4, returnFields = Seq("cid"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .sortBy(x => (x._2, x._1))
+        assert(got(qid) == want,
+          s"$name qid=$qid: batch ${got(qid)} != per-query $want")
+      }
     }
   }
 

@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The matryoshka BATCH family: the stored composed batch operator
+  * ([[Ann.matryoshkaTopKIvfBatch]]) must return, per query id, exactly
+  * the single-query operator's rows ([[Ann.matryoshkaTopKIvf]]) under
+  * both metrics. */
+class MrlBatchSpec extends SparkSpecBase {
+
+  private def docs: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (0 until 80).map { i =>
+      val base = (i % 4) * 3.0
+      (i.toLong,
+        Seq(base + i * 0.01, base + (i % 5) * 0.2 + 0.1,
+          base * 0.5 + 0.3, (i % 3) * 0.7 + 0.2),
+        i % 4)
+    }.toDF("id", "vec", "label")
+  }
+
+  private def queriesDf = {
+    val sp = spark
+    import sp.implicits._
+    Seq((0L, Seq(0.1, 0.2, 0.4, 0.3)),
+        (1L, Seq(9.1, 9.3, 4.8, 1.5))).toDF("q_id", "qv")
+  }
+  private val qSeqs = Seq(
+    0L -> Seq(0.1, 0.2, 0.4, 0.3),
+    1L -> Seq(9.1, 9.3, 4.8, 1.5))
+
+  private def groupByQ(rows: Array[(Long, Long, Double, Double)]) =
+    rows.groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._4, x._2)).map(x => (x._2, x._3, x._4))
+        .toSeq).toMap
+
+  test("matryoshkaTopKIvfBatch per-query rows equal matryoshkaTopKIvf " +
+      "under L2 and cosine; wrong-metric reads refuse") {
+    val d = docs
+    val model = Ann.buildIvf(d, "label", "vec")
+    for (metric <- Seq(Ann.L2, Ann.Cosine)) {
+      val dir = Files.createTempDirectory("graft-mrlbatch").toString
+      Ann.writeMatryoshkaIvf(d, "id", "vec", dims = 2, model, dir,
+        metric = metric)
+      val got = groupByQ(
+        Ann.matryoshkaTopKIvfBatch(spark, dir, "id", queriesDf,
+            "q_id", "qv", probes = 2, candidates = 12, k = 5,
+            metric = metric)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getDouble(3))))
+      qSeqs.foreach { case (qid, qv) =>
+        val want = Ann.matryoshkaTopKIvf(spark, dir, "id", qv,
+            probes = 2, candidates = 12, k = 5, metric = metric)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(x => (x._3, x._1)).toSeq
+        assert(got(qid) == want,
+          s"$metric qid=$qid: batch ${got(qid)} != per-query $want")
+      }
+      val wrong = if (metric == Ann.L2) Ann.Cosine else Ann.L2
+      intercept[IllegalArgumentException] {
+        Ann.matryoshkaTopKIvfBatch(spark, dir, "id", queriesDf,
+          "q_id", "qv", probes = 2, candidates = 12, k = 5,
+          metric = wrong)
+      }
+    }
+  }
+
+  // The in-memory composed batch (Ann.knnJoinMrlIvf) and the flat
+  // batch (Ann.knnJoinMrl) are parity-covered against the engine's
+  // single-query branches in EngineSpec ("searchByVectorBatch
+  // matryoshka + composed matryoshka-IVF"), under both metrics.
+}
