@@ -48,12 +48,8 @@ final class Engine(reg: Registry) {
     // `refine`, the reference's own knobs. Quantized layouts carry
     // only (pk, codes, cell), so the predicate evaluates on the base
     // table and reaches them as a pk semi-join.
-    def allowed(df: DataFrame): DataFrame = filter match {
-      case None => df
-      case Some(pred) =>
-        df.join(base.filter(pred).select(col(td.pk)), Seq(td.pk),
-          "left_semi")
-    }
+    def allowed(df: DataFrame): DataFrame =
+      allowedBy(td, base, filter)(df)
     val ranked =
       indexModel(td) match {
         case Some(model) if ix.lists > 0 && ix.oneBit =>
@@ -135,6 +131,21 @@ final class Engine(reg: Registry) {
     out.select(need.map(col): _*)
   }
 
+  /** The ONE metadata-filter thinning shared by the single-query and
+    * BATCH search surfaces (the r52/c08 contract): the predicate
+    * evaluates on the BASE table (index frames carry only codes/
+    * assignments) and reaches the index frame as a pk semi-join —
+    * thinning what can be returned BEFORE any cut, never how anything
+    * is scored. */
+  private def allowedBy(td: TableDef[_], base: DataFrame,
+                        filter: Option[Column])
+                       (df: DataFrame): DataFrame = filter match {
+    case None => df
+    case Some(pred) =>
+      df.join(base.filter(pred).select(col(td.pk)), Seq(td.pk),
+        "left_semi")
+  }
+
   /** The engine-default exact-re-rank budgets, shared by
     * [[searchByVector]] and [[installDeclarative]] so the declarative
     * and imperative paths return identical results at defaults. */
@@ -163,7 +174,8 @@ final class Engine(reg: Registry) {
   def searchByVectorBatch(td: TableDef[_], rawQueries: DataFrame,
                           qIdCol: String, qVecCol: String,
                           topk: Int = 10, probes: Int = 0,
-                          refine: Int = -1): DataFrame = {
+                          refine: Int = -1,
+                          filter: Option[Column] = None): DataFrame = {
     val ix = td.vectorIndex.getOrElse(
       throw new IllegalStateException(s"${td.name} has no vector index"))
     Seq(qIdCol, qVecCol).foreach(c =>
@@ -177,24 +189,33 @@ final class Engine(reg: Registry) {
     // deep inside the knnJoin operators instead of here
     val queries = rawQueries.select(col(qIdCol), col(qVecCol))
     val base = reg.table(td)
+    // `filter`: the c08/c12 contract extended to the batch surface —
+    // the predicate thins the frames FEEDING phase 1 (disallowed docs
+    // never consume any query's candidate slots), scoring untouched;
+    // per-family placement identical to searchByVector's
+    def allowed(df: DataFrame): DataFrame =
+      allowedBy(td, base, filter)(df)
     def p = if (probes > 0) probes
       else math.ceil(ix.lists / 16.0).toInt.max(1)
     indexModel(td) match {
       case Some(model) if ix.lists > 0 && ix.oneBit =>
+        val idx = ivfBitqCached(td, ix, model)
         Ann.knnJoinIvfBitq(queries, qIdCol, qVecCol,
-          ivfBitqCached(td, ix, model), td.pk, ix.column, ix.distance,
-          p, topk, autoBitqRefine(ix, refine))
+          idx.copy(quantized = allowed(idx.quantized)), td.pk,
+          ix.column, ix.distance, p, topk, autoBitqRefine(ix, refine))
       case Some(model) if ix.lists > 0 && ix.quantized =>
+        val idx = ivfSqCached(td, ix, model)
         Ann.knnJoinIvfSq(queries, qIdCol, qVecCol,
-          ivfSqCached(td, ix, model), td.pk, ix.column, ix.distance,
-          p, topk, autoSqRefine(refine))
+          idx.copy(quantized = allowed(idx.quantized)), td.pk,
+          ix.column, ix.distance, p, topk, autoSqRefine(refine))
       case Some(model) if ix.lists > 0 && ix.pq > 0 =>
         val idx = ivfPqCached(td, ix, model)
+        val fidx = idx.copy(encoded = allowed(idx.encoded))
         if (ix.distance == Ann.Cosine)
-          Ann.knnJoinIvfPqCos(queries, qIdCol, qVecCol, idx, td.pk,
+          Ann.knnJoinIvfPqCos(queries, qIdCol, qVecCol, fidx, td.pk,
             ix.column, p, topk, autoSqRefine(refine))
         else
-          Ann.knnJoinIvfPq(queries, qIdCol, qVecCol, idx, td.pk,
+          Ann.knnJoinIvfPq(queries, qIdCol, qVecCol, fidx, td.pk,
             ix.column, p, topk, autoSqRefine(refine))
       case Some(model) if ix.lists > 0 && ix.mrlDims > 0 =>
         // the COMPOSED index's batch form — cells prune per query,
@@ -203,22 +224,24 @@ final class Engine(reg: Registry) {
         // MULTIPLIER (auto 5), exactly the single-query branch
         val cand = topk * (if (refine > 0) refine else 5)
         Ann.knnJoinMrlIvf(queries, qIdCol, qVecCol,
-          assignedCached(td, ix, model), td.pk, ix.column, model,
-          ix.mrlDims, ix.distance, p, cand.max(topk), topk)
+          allowed(assignedCached(td, ix, model)), td.pk, ix.column,
+          model, ix.mrlDims, ix.distance, p, cand.max(topk), topk)
       case Some(model) if ix.lists > 0 =>
         Ann.knnJoinIvf(queries, qIdCol, qVecCol,
-          assignedCached(td, ix, model), td.pk, ix.column, model,
-          ix.distance, p, topk)
+          allowed(assignedCached(td, ix, model)), td.pk, ix.column,
+          model, ix.distance, p, topk)
       case _ if ix.mrlDims > 0 =>
         // flat matryoshka batch: phase 1 is the exact batch join over
         // the prefix columns, phase 2 the per-query full-precision
         // re-rank — `refine` the candidate multiplier (auto 5)
         val cand = topk * (if (refine > 0) refine else 5)
-        Ann.knnJoinMrl(queries, qIdCol, qVecCol, base, td.pk,
+        Ann.knnJoinMrl(queries, qIdCol, qVecCol,
+          filter.fold(base)(base.filter), td.pk,
           ix.column, ix.mrlDims, cand.max(topk), topk,
           metric = ix.distance)
       case _ =>
-        Ann.knnJoin(queries, qIdCol, qVecCol, base, td.pk, ix.column,
+        Ann.knnJoin(queries, qIdCol, qVecCol,
+          filter.fold(base)(base.filter), td.pk, ix.column,
           ix.distance, topk)
     }
   }
@@ -332,10 +355,21 @@ final class Engine(reg: Registry) {
     * searchBatch's normalized column contract. */
   def searchByKeywordBatch(td: TableDef[_], queries: DataFrame,
                            qIdCol: String, qTextCol: String,
-                           topk: Int = 10): DataFrame = {
+                           topk: Int = 10,
+                           filter: Option[Column] = None): DataFrame = {
     require(td.keywordIndex.nonEmpty,
       s"${td.name} has no keyword index")
-    Bm25.searchBatch(keywordIndex(td), queries, qIdCol, qTextCol, topk)
+    // `filter`: the r58/c12 contract on the batch surface — corpus
+    // stats stay WHOLE-corpus, the predicate thins returns before
+    // every query's cut (Bm25.searchBatchFiltered)
+    filter match {
+      case None =>
+        Bm25.searchBatch(keywordIndex(td), queries, qIdCol, qTextCol,
+          topk)
+      case Some(pred) =>
+        Bm25.searchBatchFiltered(keywordIndex(td), queries, qIdCol,
+          qTextCol, topk, reg.table(td).filter(pred), td.pk)
+    }
   }
 
   /** Shared hits→payload join for the keyword/sparse searches. The
@@ -416,9 +450,21 @@ final class Engine(reg: Registry) {
     * columns. Returns (qid, id, score, rank). */
   def searchBySparseBatch(td: TableDef[_], queries: DataFrame,
                           qIdCol: String, qIdxCol: String,
-                          qValCol: String, topk: Int = 10): DataFrame =
-    graft.functions.Sparse.invertedTopKBatch(sparsePostings(td),
+                          qValCol: String, topk: Int = 10,
+                          filter: Option[Column] = None): DataFrame = {
+    // `filter`: the r59 contract on the batch surface — a pure dot
+    // has no corpus statistics to protect, so the predicate thins the
+    // POSTINGS feeding the scoring join (surviving scores identical,
+    // no rank slot consumed by a disallowed doc)
+    val posts = filter match {
+      case None => sparsePostings(td)
+      case Some(pred) => sparsePostings(td)
+        .join(reg.table(td).filter(pred)
+          .select(col(td.pk).as("id")), Seq("id"), "left_semi")
+    }
+    graft.functions.Sparse.invertedTopKBatch(posts,
       queries, qIdCol, qIdxCol, qValCol, topk)
+  }
 
   /** Sparse top-k through the inverted postings (the imperative
     * sibling of [[searchByVector]]/[[searchByKeyword]] for the sparse
@@ -590,7 +636,8 @@ final class Engine(reg: Registry) {
   def searchByMultivecBatch(td: TableDef[_], queries: DataFrame,
                             qIdCol: String, qVecsCol: String,
                             topk: Int = 10, refine: Int = 1000,
-                            probes: Int = 0): DataFrame = {
+                            probes: Int = 0,
+                            filter: Option[Column] = None): DataFrame = {
     val ix = td.indexes.collectFirst {
       case m @ Spec.MultiVectorIndex(_, lists) if lists > 0 => m
     }.getOrElse(throw new IllegalStateException(
@@ -605,8 +652,14 @@ final class Engine(reg: Registry) {
     val dim = mvDim(td, ix.column)
     val p = if (probes > 0) probes
       else math.ceil(ix.lists / 16.0).toInt.max(1)
+    // `filter`: the r60 contract on the batch surface — maxsimBatch
+    // reads BOTH phases from the assigned frame (probed means phase 1,
+    // candidate token matrices phase 2), so one pk semi-join thins
+    // everything feeding every cut
     Ann.maxsimBatch(queries, qIdCol, qVecsCol,
-      mvAssignedCached(td, ix, model), td.pk, ix.column, MvMeanCol,
+      allowedBy(td, reg.table(td), filter)(
+        mvAssignedCached(td, ix, model)),
+      td.pk, ix.column, MvMeanCol,
       model, dim, p, math.max(refine, topk), topk)
   }
 

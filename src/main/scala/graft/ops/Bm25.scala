@@ -532,7 +532,28 @@ object Bm25 {
     * scoring is one map-side postings join + a groupBy(qid, id); the
     * per-query top-k is a rank-window over per-query partitions. */
   def searchBatch(index: Bm25Index, queries: DataFrame, qIdCol: String,
-                  qTextCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+                  qTextCol: String, k: Int, roundTo: Int = 6): DataFrame =
+    searchBatchImpl(index, queries, qIdCol, qTextCol, k, roundTo, None)
+
+  /** [[searchBatch]] under a metadata predicate — the batch form of
+    * [[searchFiltered]] with the IDENTICAL contract: corpus statistics
+    * (df, N, avgdl) stay WHOLE-corpus (surviving (qid, id) scores are
+    * bit-identical to the unfiltered batch), the `allowed` id set only
+    * thins which docs can be returned, and the semi-join runs BEFORE
+    * the per-(qid, id) scoring cut so disallowed docs never consume
+    * any query's rank slots (no starvation). */
+  def searchBatchFiltered(index: Bm25Index, queries: DataFrame,
+                          qIdCol: String, qTextCol: String, k: Int,
+                          allowed: DataFrame, allowedIdCol: String,
+                          roundTo: Int = 6): DataFrame =
+    searchBatchImpl(index, queries, qIdCol, qTextCol, k, roundTo,
+      Some((allowed, allowedIdCol)))
+
+  private def searchBatchImpl(index: Bm25Index, queries: DataFrame,
+                              qIdCol: String, qTextCol: String, k: Int,
+                              roundTo: Int,
+                              allowed: Option[(DataFrame, String)])
+      : DataFrame = {
     val tok = graft.functions.Tokenizers.byName(index.tokenizer)
     val tokensUdf = udf((s: String) =>
       if (s == null) Seq.empty[String] else tok.scala(s).distinct)
@@ -556,11 +577,20 @@ object Bm25 {
     // shared by many queries is counted once)
     val tStats = termDf(prunedPostings(index, termList.toDF("term"),
       termList))
-    val perTerm = prunedPostings(index, qTerms, termList)
+    val perTermAll = prunedPostings(index, qTerms, termList)
       .join(broadcast(tStats), "term")
       .withColumn("w",
         idf(col("df"), index.n) * (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / index.avgdl)))
+    // the predicate semi-join runs AFTER the whole-corpus stats join
+    // (weights untouched) and BEFORE scoring/ranking (no doc the
+    // predicate rejects consumes a rank slot) — searchTermsFiltered's
+    // exact placement, batch form
+    val perTerm = allowed match {
+      case None => perTermAll
+      case Some((a, idCol)) => perTermAll
+        .join(a.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    }
     val scored = perTerm.groupBy("qid", "id")
       .agg(round(sum(col("w")), roundTo).as("score"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")

@@ -588,7 +588,55 @@ object Crud {
       .searchByVectorBatch(td, qs, "q_id", "qv", topk = 10, refine = 5)
   }
 
+  /** c20: FILTERED batch keyword search — the c12/r58 contract on the
+    * BATCH surface (the r14 verdict: every single-query engine
+    * modality honors `filter`, no batch surface did — and a curation
+    * loop at scale is always filtered): corpus statistics stay
+    * WHOLE-corpus (surviving (qid, id) scores bit-identical to c14's
+    * unfiltered batch), `lang = 'en'` thins which docs can be
+    * returned, applied BEFORE each query's rank cut so disallowed
+    * docs never consume rank slots. Same corpus and query log as c14,
+    * so the oracle is the r13 batch replay with the predicate thinning
+    * the scored candidates (the parameterized fragment — one recipe,
+    * both gates). */
+  def engineFilteredBatchKeyword(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = fresh(s)
+    val td = TableDef[KwDoc]("kwdoc_fbatch", primaryKey = Some("doc_id"),
+      indexes = Seq(graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang")))
+    new graft.core.Engine(reg)
+      .searchByKeywordBatch(td,
+        graft.queries.Retrieval.BatchQueries.toDF("qid", "qtext"),
+        "qid", "qtext", topk = 5,
+        filter = Some(col("lang") === "en"))
+  }
+
+  /** c21: FILTERED batch vector search — c20's dense twin over c13's
+    * exact corpus and query log: `label IN (1, 3, 5)` thins the
+    * corpus feeding the batch join (no disallowed doc consumes any
+    * query's k slots), scoring untouched — the oracle is r04's batch
+    * replay with the predicate inside the scored set. */
+  def engineFilteredBatchVec(s: SparkSession, d: String): DataFrame = {
+    val reg = fresh(s)
+    val td = TableDef[Emb]("emb_fbatch", primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val qs = embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    new graft.core.Engine(reg)
+      .searchByVectorBatch(td, qs, "q_id", "qv", topk = 3,
+        filter = Some(col("label").isin(1, 3, 5)))
+      .withColumnRenamed("vec_id", "d_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_engine_filtered_batch_keyword" -> engineFilteredBatchKeyword,
+    "c21_engine_filtered_batch_vec" -> engineFilteredBatchVec,
     "c18_engine_batch_matryoshka_ivf" -> engineBatchMatryoshkaIvf,
     "c19_engine_batch_matryoshka" -> engineBatchMatryoshka,
     "c17_engine_batch_multivec" -> engineBatchMultivec,
@@ -610,6 +658,28 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c20: whole-corpus stats, the predicate thins the scored
+    // candidates before each query's rank window — the parameterized
+    // r13 batch fragment.
+    "c20_engine_filtered_batch_keyword" ->
+      graft.queries.Retrieval.bm25BatchOracleSqlW("lang = 'en'"),
+    // c21: r04's batch replay with the predicate inside the scored
+    // set (thins candidates, never re-scores).
+    "c21_engine_filtered_batch_vec" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.q_id, e.vec_id AS d_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
+                     AS dist
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label IN (1, 3, 5)),
+          r AS (SELECT q_id, d_id, dist,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, d_id ASC) AS rank
+                FROM scored)
+          SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
     // c18: the composed replay per query id over the installed
     // label-mean model — the factored batch fragment, pre_dist
     // dropped (the engine returns only the final distance).

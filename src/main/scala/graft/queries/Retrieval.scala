@@ -3291,7 +3291,15 @@ object Retrieval {
           SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 3"""
 
-  private val Bm25BatchOracleSql: String = {
+  private lazy val Bm25BatchOracleSql: String = bm25BatchOracleSqlW()
+
+  /** The batch BM25 replay with an optional metadata predicate — the
+    * r13 fragment parameterized for the filtered batch family (c20):
+    * stats CTEs stay WHOLE-corpus, the predicate thins the scored
+    * candidates BEFORE the per-query rank window (the r58 contract,
+    * batch form). `where = TRUE` is r13/r35/c14's oracle verbatim. */
+  private[queries] def bm25BatchOracleSqlW(
+      where: String = "TRUE"): String = {
       val qtValues = BatchQueries.flatMap { case (qid, text) =>
         graft.functions.Tokenizers.Simple.scala(text).distinct
           .map(t => s"($qid, '$t')")
@@ -3318,7 +3326,10 @@ object Retrieval {
             JOIN dl USING (id)
             CROSS JOIN g),
           agg AS (SELECT qid, id, round(sum(w), 6) AS score
-                  FROM scored GROUP BY 1, 2),
+                  FROM scored
+                  WHERE id IN (SELECT doc_id FROM documents
+                               WHERE $where)
+                  GROUP BY 1, 2),
           r AS (SELECT qid, id, score,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY score DESC, id ASC) AS rank
