@@ -80,41 +80,50 @@ object Harness {
     val variants: Seq[(Boolean, DataFrame)] =
       Seq(false -> base, true -> contextual)
 
+    // the strategy matrix rides the BATCH operators (the r14 verdict:
+    // c13/c14-shaped jobs, never a per-query driver loop — one
+    // distributed job per strategy, per-query ranks from the
+    // operators' own qid windows; ranks are identical to the old
+    // Fusion.ranked single-query path by the shared (dist, id) /
+    // (score desc, id) tie rules)
+    val qsText = qRows.toDF("qid", "qtext")
+    val qsVec = qRows.map { case (id, q) =>
+      (id, emb.embedQuery(q).toSeq.map(_.toDouble)) }.toDF("qid", "qv")
+
     variants.flatMap { case (ctx, corpus) =>
       val vecs = embedded(corpus)
       val bm = Bm25.build(corpus, "id", "text")
 
-      def vecTop(q: String, k: Int): DataFrame =
-        Ann.topK(vecs, "id", "vec",
-          typedlit(emb.embedQuery(q).toSeq.map(_.toDouble)),
-          Ann.Cosine, k).select(col("id"), col("dist"))
-      def kwTop(q: String, k: Int): DataFrame =
-        Bm25.search(bm, q, k)
+      def vecBatch(k: Int): DataFrame =
+        Ann.knnJoin(qsVec, "qid", "qv", vecs, "id", "vec",
+          Ann.Cosine, k).select(col("qid"), col("id"), col("rank"))
+      def kwBatch(k: Int): DataFrame =
+        Bm25.searchBatch(bm, qsText, "qid", "qtext", k)
+          .select(col("qid"), col("id"), col("rank"))
 
-      val strategies: Seq[(String, String => DataFrame)] = Seq(
-        "vector" -> (q => vecTop(q, topk)),
-        "keyword" -> (q => kwTop(q, topk)),
-        "hybrid_rrf" -> (q => Fusion.rrf(Seq(
-          Fusion.ranked(vecTop(q, 20), "id", "dist", asc = true),
-          Fusion.ranked(kwTop(q, 20), "id", "score", asc = false)),
-          topK = topk)),
-        "hybrid_dedup" -> (q => Fusion.dedupUnion(Seq(
-          Fusion.ranked(vecTop(q, 20), "id", "dist", asc = true),
-          Fusion.ranked(kwTop(q, 20), "id", "score", asc = false)),
-          topK = topk)))
+      val strategies: Seq[(String, () => DataFrame)] = Seq(
+        "vector" -> (() => vecBatch(topk)),
+        "keyword" -> (() => kwBatch(topk)),
+        "hybrid_rrf" -> (() => Fusion.rrfWeightedBatch(
+          Seq(vecBatch(20), kwBatch(20)), Seq(1.0, 1.0), topK = topk)),
+        "hybrid_dedup" -> (() => Fusion.dedupUnionBatch(
+          Seq(vecBatch(20), kwBatch(20)), topK = topk)))
 
       strategies.map { case (name, retrieve) =>
         val t0 = System.nanoTime()
-        val hits = qRows.map { case (golden, q) =>
-          val ids = retrieve(q).select("id").collect()
-            .map(_.getLong(0)).toSeq
-          (Metrics.passAt(Set(golden.toString), ids.map(_.toString), 5),
-            Metrics.passAt(Set(golden.toString), ids.map(_.toString), 10))
-        }
+        // Pass@K per query from the one result frame: golden doc =
+        // the query's own source id (anthropic.py:210-219's count)
+        val agg = retrieve().filter(col("id") === col("qid"))
+          .agg(
+            coalesce(sum(when(col("rank") <= 5, 1).otherwise(0)),
+              lit(0)).as("h5"),
+            coalesce(sum(when(col("rank") <= 10, 1).otherwise(0)),
+              lit(0)).as("h10"))
+          .head()
         val secs = (System.nanoTime() - t0) / 1e9
+        val n = qRows.length.toDouble
         StrategyResult(name, ctx,
-          hits.map(_._1).sum / hits.length,
-          hits.map(_._2).sum / hits.length,
+          agg.getLong(0) / n, agg.getLong(1) / n,
           qRows.length / secs)
       }
     }

@@ -80,6 +80,63 @@ object Fusion {
       .limit(topK)
   }
 
+  /** PER-QUERY weighted RRF — [[rrfWeighted]]'s batch form, composing
+    * the batch search surfaces (searchBy*Batch all return
+    * (qid, id, …, rank)): input frames carry (`qidCol`, id, rank),
+    * score(qid, id) = Σ_i w_i / (k + rank_i(qid, id)), ranked per
+    * query by ONE window — the hybrid strategy an eval loop runs per
+    * question (reference analog: the per-question hybrid matrix of
+    * examples/anthropic.py:244-253) as one distributed job, never a
+    * per-query driver loop. Missing (qid, id) pairs contribute
+    * nothing, exactly like the single-query form. Returns
+    * (qidCol, id, rrf_score, rank), rank 1-based per query, ties
+    * (score desc, id asc). */
+  def rrfWeightedBatch(lists: Seq[DataFrame], weights: Seq[Double],
+                       qidCol: String = "qid", k: Int = RrfK,
+                       topK: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(weights.length == lists.length,
+      s"rrfWeightedBatch: ${lists.length} lists but " +
+        s"${weights.length} weights")
+    require(weights.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinity),
+      s"rrfWeightedBatch: weights must be finite and >= 0, got $weights")
+    val tagged = lists.zip(weights).map { case (l, w) =>
+      l.select(col(qidCol), col("id"), col("rank"))
+        .withColumn("__w", lit(w))
+    }
+    val all = tagged.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    all.groupBy(col(qidCol), col("id"))
+      .agg(round(sum(col("__w") / (lit(k) + col("rank"))), roundTo)
+        .as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(qidCol), col("id"), col("rrf_score"), col("rank"))
+  }
+
+  /** PER-QUERY order-preserving union + first-occurrence dedup —
+    * [[dedupUnion]]'s batch form: within each query id, concatenate
+    * the ranked lists in priority order, keep each doc's first
+    * appearance, rank by the concatenated (src, rank) position.
+    * Returns (qidCol, id, rank), rank 1-based per query. */
+  def dedupUnionBatch(lists: Seq[DataFrame], topK: Int,
+                      qidCol: String = "qid"): DataFrame = {
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(qidCol), col("id"), col("rank"))
+        .withColumn("src", lit(i))
+    }
+    val all = tagged.reduce(_ unionByName _)
+    val occ = Window.partitionBy(col(qidCol), col("id"))
+      .orderBy(col("src").asc, col("rank").asc)
+    val pos = Window.partitionBy(col(qidCol))
+      .orderBy(col("src").asc, col("rank").asc)
+    all.withColumn("occ", row_number().over(occ))
+      .filter(col("occ") === 1)
+      .withColumn("__pos", row_number().over(pos))
+      .filter(col("__pos") <= topK)
+      .select(col(qidCol), col("id"), col("__pos").as("rank"))
+  }
+
   /** Order-preserving union + first-occurrence dedup: concatenate ranked
     * lists in priority order and keep each id's first appearance,
     * preserving the concatenated order. DataFrames are unordered, so the

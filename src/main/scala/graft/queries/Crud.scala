@@ -458,6 +458,46 @@ object Crud {
       weights = Seq(0.7, 0.3), k = 20, topK = 10)
   }
 
+  /** c22: PER-QUERY batch hybrid fusion — the r14 verdict's #3 gap:
+    * with the batch surfaces landed (c13/c14), the natural
+    * composition is per-qid RRF over two batch result frames.
+    * [[graft.ops.Fusion.rrfWeightedBatch]] groups by (qid, id) and
+    * ranks per qid in ONE window — the hybrid strategy matrix an eval
+    * loop runs per question (anthropic.py:244-253) as one distributed
+    * job. One engine table carries both modalities (c11's chain);
+    * dense arm = `searchByVectorBatch` top-20 (qid doubles as the
+    * query vector id), keyword arm = `searchByKeywordBatch` top-20,
+    * fused at k=20 with the c15 weights (0.7/0.3) — qid 7 runs
+    * exactly r07's single hybrid, so the oracle is r07's fused replay
+    * per query id at the two weights. */
+  def engineBatchHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = fresh(s)
+    val td = TableDef[HybridRow]("hyb_batch", primaryKey = Some("vec_id"),
+      indexes = Seq(
+        graft.core.Spec.VectorIndex("embedding",
+          distance = graft.ops.Ann.Cosine),
+        graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("text")), "vec_id"))
+    val eng = new graft.core.Engine(reg)
+    val hq = graft.queries.Retrieval.HybridBatchQueries
+    val qvecs = embeddings(s, d)
+      .filter(col("vec_id").isin(hq.map(x => x._1): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val dense = eng.searchByVectorBatch(td, qvecs, "qid", "qv",
+        topk = 20)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val kw = eng.searchByKeywordBatch(td, hq.toDF("qid", "qtext"),
+        "qid", "qtext", topk = 20)
+      .select(col("qid"), col("id"), col("rank"))
+    graft.ops.Fusion.rrfWeightedBatch(Seq(dense, kw), Seq(0.7, 0.3),
+      k = 20, topK = 10)
+  }
+
   final case class SpDoc(doc_id: Long, si: Seq[Int], sv: Seq[Float])
   private implicit val spDocEnc: org.apache.spark.sql.Encoder[SpDoc] =
     org.apache.spark.sql.Encoders.product[SpDoc]
@@ -637,6 +677,7 @@ object Crud {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c20_engine_filtered_batch_keyword" -> engineFilteredBatchKeyword,
     "c21_engine_filtered_batch_vec" -> engineFilteredBatchVec,
+    "c22_engine_batch_hybrid" -> engineBatchHybrid,
     "c18_engine_batch_matryoshka_ivf" -> engineBatchMatryoshkaIvf,
     "c19_engine_batch_matryoshka" -> engineBatchMatryoshka,
     "c17_engine_batch_multivec" -> engineBatchMultivec,
@@ -658,6 +699,11 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c22: r07's fused oracle replayed per query id at two weights —
+    // per-qid dense cosine top-20 + per-qid batch BM25 top-20, score
+    // = Σ w_src/(20 + rank) per (qid, id), ranked per qid.
+    "c22_engine_batch_hybrid" ->
+      graft.queries.Retrieval.rrfHybridBatchOracleSql(20, "0.7", "0.3"),
     // c20: whole-corpus stats, the predicate thins the scored
     // candidates before each query's rank window — the parameterized
     // r13 batch fragment.

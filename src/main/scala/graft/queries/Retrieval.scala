@@ -3293,18 +3293,16 @@ object Retrieval {
 
   private lazy val Bm25BatchOracleSql: String = bm25BatchOracleSqlW()
 
-  /** The batch BM25 replay with an optional metadata predicate — the
-    * r13 fragment parameterized for the filtered batch family (c20):
-    * stats CTEs stay WHOLE-corpus, the predicate thins the scored
-    * candidates BEFORE the per-query rank window (the r58 contract,
-    * batch form). `where = TRUE` is r13/r35/c14's oracle verbatim. */
-  private[queries] def bm25BatchOracleSqlW(
-      where: String = "TRUE"): String = {
-      val qtValues = BatchQueries.flatMap { case (qid, text) =>
+  /** The qid-carrying batch BM25 scoring CTEs (whole-corpus tf/df/dl/
+    * avgdl + per-(qid, id, term) weights in `scored`) — the ONE recipe
+    * behind the r13/r35/c14/c20 batch oracles AND the per-qid hybrid
+    * fusion's keyword arm, so the forms cannot de-sync. */
+  private def bm25BatchScoredCtes(qs: Seq[(Long, String)]): String = {
+      val qtValues = qs.flatMap { case (qid, text) =>
         graft.functions.Tokenizers.Simple.scala(text).distinct
           .map(t => s"($qid, '$t')")
       }.mkString(", ")
-      s"""WITH toks AS (
+      s"""toks AS (
             SELECT doc_id AS id,
                    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                       x -> x != '')) AS term
@@ -3324,7 +3322,17 @@ object Retrieval {
             JOIN qt USING (term)
             JOIN stats s USING (term)
             JOIN dl USING (id)
-            CROSS JOIN g),
+            CROSS JOIN g)"""
+  }
+
+  /** The batch BM25 replay with an optional metadata predicate — the
+    * r13 fragment parameterized for the filtered batch family (c20):
+    * stats CTEs stay WHOLE-corpus, the predicate thins the scored
+    * candidates BEFORE the per-query rank window (the r58 contract,
+    * batch form). `where = TRUE` is r13/r35/c14's oracle verbatim. */
+  private[queries] def bm25BatchOracleSqlW(
+      where: String = "TRUE"): String =
+      s"""WITH ${bm25BatchScoredCtes(BatchQueries)},
           agg AS (SELECT qid, id, round(sum(w), 6) AS score
                   FROM scored
                   WHERE id IN (SELECT doc_id FROM documents
@@ -3337,6 +3345,59 @@ object Retrieval {
           SELECT CAST(qid AS BIGINT) AS qid, id, score,
                  CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 5"""
+
+  /** The per-query-id hybrid queries of the batch fusion gate (c22):
+    * qid doubles as the query VECTOR id (the dense arm) while the
+    * text is the keyword arm — the per-question hybrid shape of the
+    * reference's strategy matrix (examples/anthropic.py:244-253).
+    * qid 7 + 'group hash join' is exactly r07's single hybrid. */
+  val HybridBatchQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark filter join"),
+    (3L, "window partition order"),
+    (7L, "group hash join"))
+
+  /** The per-qid WEIGHTED RRF replay (c22) — r07's fused oracle
+    * replayed per query id: per-qid dense cosine top-20 + per-qid
+    * batch BM25 top-20 (the factored scored CTEs), score =
+    * Σ w_src/(k + rank) per (qid, id), ranked per qid. */
+  private[queries] def rrfHybridBatchOracleSql(k: Int, wVec: String,
+                                               wKw: String): String = {
+    val qids = HybridBatchQueries.map(_._1).mkString(", ")
+    s"""WITH ${bm25BatchScoredCtes(HybridBatchQueries)},
+        bagg AS (SELECT qid, id, round(sum(w), 6) AS score
+                 FROM scored GROUP BY 1, 2),
+        bml AS (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, id ASC) AS rank
+                FROM bagg),
+        bmr AS (SELECT CAST(qid AS BIGINT) AS qid, id, rank
+                FROM bml WHERE rank <= 20),
+        q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN ($qids)),
+        vs AS (SELECT q.qid, e.vec_id AS id,
+                      round(${cosDistSql("e.embedding::DOUBLE[]",
+                        "q.qv")}, 6) AS dist
+               FROM embeddings e CROSS JOIN q),
+        vr AS (SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dist ASC, id ASC) AS rank
+               FROM vs),
+        vecr AS (SELECT qid, id, rank FROM vr WHERE rank <= 20),
+        u AS (SELECT qid, id, rank, CAST($wVec AS DOUBLE) AS wt
+              FROM vecr
+              UNION ALL
+              SELECT qid, id, rank, CAST($wKw AS DOUBLE) AS wt
+              FROM bmr),
+        f AS (SELECT qid, id, round(sum(wt / ($k + rank)), 6)
+                       AS rrf_score
+              FROM u GROUP BY 1, 2),
+        fr AS (SELECT qid, id, rrf_score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_score DESC, id ASC) AS rank
+               FROM f)
+        SELECT CAST(qid AS BIGINT) AS qid, id, rrf_score,
+               CAST(rank AS INTEGER) AS rank
+        FROM fr WHERE rank <= 10 ORDER BY qid ASC, rank ASC"""
   }
 
   /** r32's DuckDB replay, shared verbatim by r34 — the batch sparse

@@ -311,6 +311,47 @@ class OpsSpec extends SparkSpecBase {
     assert(got.toSeq === Seq(("x", 1, 0), ("y", 2, 0), ("z", 2, 1)))
   }
 
+  test("rrfWeightedBatch / dedupUnionBatch: per-qid rows equal the " +
+      "single-query forms run on that qid's slices") {
+    val sp = spark
+    import sp.implicits._
+    // two queries with different overlap shapes
+    val v = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "d", 1), (2L, "a", 2)).toDF("qid", "id", "rank")
+    val kw = Seq((1L, "b", 1), (1L, "a", 2),
+      (2L, "a", 1), (2L, "e", 2)).toDF("qid", "id", "rank")
+    val batch = Fusion.rrfWeightedBatch(Seq(v, kw), Seq(0.7, 0.3),
+        k = 20, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toSeq).toMap
+    Seq(1L, 2L).foreach { qid =>
+      val want = Fusion.rrfWeighted(
+          Seq(v.filter(col("qid") === qid).drop("qid"),
+            kw.filter(col("qid") === qid).drop("qid")),
+          Seq(0.7, 0.3), k = 20, topK = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == want,
+        s"qid=$qid: batch ${batch(qid)} != single $want")
+    }
+    val dBatch = Fusion.dedupUnionBatch(Seq(v, kw), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    Seq(1L, 2L).foreach { qid =>
+      val want = Fusion.dedupUnion(
+          Seq(v.filter(col("qid") === qid).drop("qid"),
+            kw.filter(col("qid") === qid).drop("qid")), topK = 3)
+        .collect().map(_.getString(0)).toSeq
+      assert(dBatch(qid) == want,
+        s"qid=$qid: dedup batch ${dBatch(qid)} != single $want")
+    }
+    intercept[IllegalArgumentException] {
+      Fusion.rrfWeightedBatch(Seq(v, kw), Seq(1.0))
+    }
+  }
+
   test("ivf probes restrict the scanned cells") {
     val sp = spark
     import sp.implicits._
