@@ -1291,6 +1291,80 @@ object ScaleSmoke {
       }
     }
 
+    // Fresh-aware SEARCH at 16× with a NONTRIVIAL fresh fraction (the
+    // r14 verdict: the three append rows pin the appends; the read
+    // path's probed-fraction bound at scale was asserted but never
+    // TIMED). Root = 3/4 of the corpus, fresh/ = the other 1/4 grown
+    // through the append path — the timed call is the fresh-aware
+    // search itself; untimed asserts pin that the encode-on-read
+    // input is the PROBED fraction of fresh/ (never all of it), that
+    // the below-threshold policy leaves fresh/ alone, and that the
+    // above-threshold trigger folds everything with identical results
+    // (the s26 pin at 16×).
+    if (only.forall(_.exists("search_quantized_fresh".startsWith))) {
+      val sfModel = ops.Ann.buildIvf(vecs, "label", "embedding")
+      val mainPart = vecs.filter(col("vec_id") % 4 =!= 0)
+      val freshPart = vecs.filter(col("vec_id") % 4 === 0)
+        .localCheckpoint(true)
+      val sfIdx = ops.Ann.buildIvfSq(mainPart, "embedding", sfModel,
+        ops.Ann.L2)
+      val sfDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sqfresh").toString
+      ops.Ann.writeIvfSq(sfIdx, sfDir)
+      ops.Ann.ensureIvfSqRoot(spark, sfDir, sfIdx, spherical = false)
+      val grown = ops.Ann.appendQuantizedFreshIdempotent(spark, sfDir,
+        freshPart, "vec_id", "embedding")
+      val freshN = freshPart.count()
+      require(grown == freshN, s"grew $grown of $freshN fresh rows")
+      // below threshold (1/4 over 3/4 = 1/3 < 0.5): must NOT trigger
+      require(ops.Ann.compactQuantizedFreshIfNeeded(spark, sfDir,
+          "vec_id", "embedding", 0.5).isEmpty,
+        "policy triggered below its ratio threshold at 16x")
+      val qv = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      time("search_quantized_fresh") {
+        val hits = ops.Ann.searchIvfSqStoredFresh(spark, sfDir,
+          "vec_id", "embedding", typedlit(qv), ops.Ann.L2, probes = 2,
+          k = 10).count()
+        require(hits == 10L,
+          s"fresh-fraction 16x search returned $hits")
+        hits
+      }
+      locally { // untimed: probed-fraction bound + threshold trigger
+        val storedModel = ops.Ann.IvfModel(
+          spark.read.parquet(s"$sfDir/centroids"), "centroid_id",
+          "centroid")
+        val cellCount = storedModel.centroids.count()
+        val cells = ops.Ann.probeCells(storedModel, typedlit(qv),
+          ops.Ann.L2, 2).collect().map(_.getLong(0))
+        val fresh = spark.read.parquet(s"$sfDir/fresh")
+        val probedFresh = fresh
+          .filter(col("centroid_id").isin(cells: _*)).count()
+        require(probedFresh < freshN,
+          s"fresh encode input saw ALL $freshN fresh rows")
+        require(probedFresh.toDouble / freshN <=
+            cells.length.toDouble / cellCount * 2,
+          s"fresh encode input not probed-fraction-bounded: " +
+            s"$probedFresh of $freshN under ${cells.length} of " +
+            s"$cellCount probed cells")
+        val beforeFold = ops.Ann.searchIvfSqStoredFresh(spark, sfDir,
+            "vec_id", "embedding", typedlit(qv), ops.Ann.L2,
+            probes = 2, k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        // above threshold (1/3 > 0.25): the policy folds everything
+        require(ops.Ann.compactQuantizedFreshIfNeeded(spark, sfDir,
+            "vec_id", "embedding", 0.25).contains(freshN),
+          "policy did not fold the whole fresh side at 16x")
+        val afterFold = ops.Ann.searchIvfSqStored(spark, sfDir,
+            "vec_id", "embedding", typedlit(qv), ops.Ann.L2,
+            probes = 2, k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(beforeFold == afterFold,
+          "results changed across the 16x compaction trigger")
+      }
+    }
+
     // Label propagation at 16×: communities over the copy-clique
     // near-dup graph — every 16-copy clique must collapse toward one
     // community (ties by label asc make the collapse deterministic);

@@ -871,6 +871,26 @@ final class Engine(reg: Registry) {
     }
   }
 
+  /** Threshold-triggered fresh-table compaction for a quantized
+    * at-rest root serving `td` — the ENGINE seat of
+    * [[graft.ops.Ann.compactQuantizedFreshIfNeeded]] (r14 verdict #4:
+    * `compactQuantizedFresh` existed but nothing triggered it, so
+    * fresh/ grew until someone remembered). Call at attach or on a
+    * maintenance cadence: compacts exactly when |fresh| >
+    * `maxFreshRatio` · |main|; results identical across the trigger
+    * by the compaction contract. Returns Some(graduated rows) when
+    * triggered, None otherwise. */
+  def compactFreshIfNeeded(td: TableDef[_], dir: String,
+                           maxFreshRatio: Double): Option[Long] = {
+    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
+      s"${td.name} has no vector index"))
+    require(Ann.isQuantizedRoot(reg.spark, dir),
+      s"$dir is not a quantized root — fresh-table compaction only " +
+        "applies to SQ/PQ/1-bit layouts")
+    Ann.compactQuantizedFreshIfNeeded(reg.spark, dir, td.pk, ix.column,
+      maxFreshRatio)
+  }
+
   /** Undo [[attachStoredIndex]]: the layout stops tracking the table's
     * deletes (no-op if never attached). */
   def detachStoredIndex(td: TableDef[_], dir: String): Unit =

@@ -3626,6 +3626,38 @@ object Ann {
     n
   }
 
+  /** Threshold-triggered [[compactQuantizedFresh]] — the POLICY seat
+    * the lifecycle was missing (r14 verdict #4): `compactQuantizedFresh`
+    * is oracle-pinned observably-a-no-op, but nothing TRIGGERED it, so
+    * at 100 TB `fresh/` grows until someone remembers and every search
+    * pays an ever-larger encode-on-read union. Compacts exactly when
+    * |fresh| > `maxFreshRatio` · |main| (strict — a fresh side at the
+    * ratio boundary stays; the spec pins the edge), where both counts
+    * are parquet row counts (metadata-cheap). Returns Some(graduated)
+    * when triggered, None when below threshold or no fresh side
+    * exists — the caller can log the decision. Results are identical
+    * across the trigger by [[compactQuantizedFresh]]'s contract (the
+    * s26 pin); callers wire it post-append
+    * ([[graft.streaming.Stream.ingestQuantizedFreshAppend]]'s
+    * `compactRatio`) or at attach
+    * ([[graft.core.Engine]]`.compactFreshIfNeeded`). */
+  def compactQuantizedFreshIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String,
+      maxFreshRatio: Double): Option[Long] = {
+    require(maxFreshRatio >= 0.0 && !maxFreshRatio.isNaN &&
+        !maxFreshRatio.isInfinity,
+      s"compactQuantizedFreshIfNeeded: maxFreshRatio must be a " +
+        s"finite ratio >= 0, got $maxFreshRatio")
+    val (_, dataSub, _) = quantizedFamily(spark, dir)
+    if (!freshExists(spark, dir)) return None
+    val freshN = spark.read.parquet(freshPath(dir)).count()
+    val mainN = spark.read.parquet(s"$dir/$dataSub").count()
+    if (freshN > maxFreshRatio * mainN)
+      Some(compactQuantizedFresh(spark, dir, idCol, vecCol))
+    else None
+  }
+
   /** Delete ids from a quantized root's FRESH side table (no-op when
     * none exists) — the delete-maintenance twin of the appends: an
     * attached root must purge BOTH the main layout and `fresh/`, or a

@@ -1007,6 +1007,74 @@ object Events {
     df
   }
 
+  /** s28: the fresh-table COMPACTION POLICY in the streaming loop —
+    * the r14 verdict's lifecycle closure (#4: `compactQuantizedFresh`
+    * existed and was oracle-pinned a no-op, but nothing TRIGGERED it;
+    * at 100 TB fresh/ grows until someone remembers). s26's exact
+    * chain with `compactRatio = 0.2` wired into
+    * [[graft.streaming.Stream.ingestQuantizedFreshAppend]]: each
+    * ~1/6-corpus batch pushes |fresh| above 0.2·|main|, so the
+    * post-append seat folds it
+    * ([[graft.ops.Ann.compactQuantizedFreshIfNeeded]]) — by stream
+    * end EVERYTHING has graduated through threshold-triggered
+    * compactions and `fresh/` is GONE (pinned in-query: a policy that
+    * never fired would leave it), yet the search answers r12's
+    * full-corpus oracle verbatim, pinning that the trigger points are
+    * invisible to results (the s26 no-op contract, exercised at every
+    * batch boundary instead of once). */
+  def streamFreshPolicy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val full = graft.ops.Ann.buildIvfSq(e, "embedding", model,
+      graft.ops.Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s28_root").toString
+    graft.ops.Ann.writeIvfSq(
+      full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    graft.ops.Ann.ensureIvfSqRoot(s, dir, full, spherical = false)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s28_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", dir, ckpt, compactRatio = Some(0.2))
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the policy must have folded the LAST batch too: a fresh side
+    // surviving stream end means the threshold seat never fired
+    require(!new java.io.File(dir, "fresh").exists(),
+      "s28: the compaction policy never fired — fresh/ survived " +
+        "the stream")
+    // a redelivered batch still appends nothing POST-graduation (the
+    // probe reads main where the rows now live)
+    val dup = graft.ops.Ann.appendQuantizedFreshIdempotent(s, dir,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s28: replayed batch appended $dup rows after graduation")
+    val qv = e.filter(col("vec_id") === 11)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    // the fresh-AWARE search on a fully-graduated root degenerates to
+    // the stored search — r12's oracle lands verbatim
+    graft.ops.Ann.searchIvfSqStoredFresh(s, dir, "vec_id", "embedding",
+      typedlit(qv), graft.ops.Ann.L2, probes = 3, k = 10, refine = 5)
+  }
+
   /** s26: s25's SQ twin — streamed maintenance of a graduated
     * [[graft.ops.Ann.writeIvfSq]] root through the same fresh-rows
     * side table, searched via
@@ -1134,6 +1202,7 @@ object Events {
     "s27_stream_bitq_append" -> streamBitqAppend,
     "s25_stream_pq_append" -> streamPqAppend,
     "s26_stream_sq_append" -> streamSqAppend,
+    "s28_stream_fresh_policy" -> streamFreshPolicy,
     "s24_stream_ivf_append" -> streamIvfAppend,
     "s22_stream_bm25_append" -> streamBm25Append,
     "s23_stream_sparse_append" -> streamSparseAppend,
@@ -1303,6 +1372,9 @@ object Events {
     // codebooks/bounds + encode-on-read == the rebuilt layout
     "s25_stream_pq_append" -> Retrieval.oracles("r38_ivf_pq"),
     "s26_stream_sq_append" -> Retrieval.oracles("r12_ivf_sq_topk"),
+    // s28: the policy's trigger points are invisible to results — the
+    // fully-graduated root answers the same full-corpus replay.
+    "s28_stream_fresh_policy" -> Retrieval.oracles("r12_ivf_sq_topk"),
     "s27_stream_bitq_append" -> Retrieval.oracles("r14_ivf_bitq_topk"),
     // s20: the streamed-then-graduated composed layout is lossless —
     // r78's composed replay lands verbatim.

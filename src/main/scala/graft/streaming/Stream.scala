@@ -600,8 +600,14 @@ object Stream {
     * no pinned IVF model. */
   def ingestQuantizedFreshAppend(vectors: DataFrame, idCol: String,
                                  vecCol: String, root: String,
-                                 checkpoint: String)
+                                 checkpoint: String,
+                                 compactRatio: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a malformed ratio must refuse at stream START, not first batch
+    compactRatio.foreach(r =>
+      require(r >= 0.0 && !r.isNaN && !r.isInfinity,
+        s"ingestQuantizedFreshAppend: compactRatio must be a finite " +
+          s"ratio >= 0, got $r"))
     val spark = vectors.sparkSession
     // loud on a non-root BEFORE any mutation: the append itself also
     // family-detects, but a stream must refuse at start
@@ -619,6 +625,13 @@ object Stream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Ann.appendQuantizedFreshIdempotent(spark, root, batch,
           idCol, vecCol)
+        // the post-append POLICY seat (r14 verdict #4): with a ratio
+        // wired, fresh/ graduates as soon as it outgrows
+        // ratio·|main| — results identical across the trigger
+        // (compactQuantizedFresh's contract), so a stream can run
+        // forever without fresh/ growing unboundedly
+        compactRatio.foreach(r => graft.ops.Ann
+          .compactQuantizedFreshIfNeeded(spark, root, idCol, vecCol, r))
         ()
       }
       .start()

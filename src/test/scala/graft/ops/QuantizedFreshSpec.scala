@@ -258,6 +258,71 @@ class QuantizedFreshSpec extends SparkSpecBase {
         typedlit(q), Ann.Cosine, probes = 2, k = 8)
     }
   }
+
+  test("compactQuantizedFreshIfNeeded triggers EXACTLY above the " +
+      "ratio threshold, results identical across the trigger, " +
+      "malformed ratios refuse") {
+    val sp = spark
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val full = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    // main holds 40 rows (vec_id < 40); 20 appendable remain
+    val idx = full.copy(quantized =
+      full.quantized.filter(col("vec_id") < 40))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-policy").toString
+    Ann.writeIvfSq(idx, dir)
+    Ann.ensureIvfSqRoot(sp, dir, idx, spherical = false)
+    def search() = ids(Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5))
+    // no fresh side at all → None (nothing to decide)
+    assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
+      "embedding", 0.25).isEmpty)
+    // append 10 fresh rows: |fresh|/|main| = 10/40 = 0.25 — NOT
+    // strictly above a 0.25 ratio, so the policy must NOT trigger
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      df.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding") == 10L)
+    val before = search()
+    assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
+      "embedding", 0.25).isEmpty, "triggered AT the ratio boundary")
+    assert(sp.read.parquet(s"$dir/fresh").count() == 10L,
+      "a below-threshold decision must leave fresh/ untouched")
+    // one more batch: 20/40 = 0.5 > 0.25 — must trigger and fold all
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      df.filter(col("vec_id") >= 50), "vec_id", "embedding") == 10L)
+    val beforeTrigger = search()
+    assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
+      "embedding", 0.25).contains(20L))
+    // fresh/ gone, results identical across the trigger (the s26 pin)
+    assert(!new java.io.File(s"$dir/fresh").exists(),
+      "compaction must delete the folded fresh side")
+    assert(search() == beforeTrigger,
+      "results changed across the compaction trigger")
+    // the below-threshold search was already fresh-complete too
+    assert(before.nonEmpty && beforeTrigger.nonEmpty)
+    // post-compaction: None again (no fresh side)
+    assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
+      "embedding", 0.25).isEmpty)
+    // malformed ratios refuse loudly
+    intercept[IllegalArgumentException] {
+      Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id", "embedding",
+        -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id", "embedding",
+        Double.PositiveInfinity)
+    }
+    // ratio 0 = compact-on-any-fresh: a single re-appended row (via a
+    // delete first — ids are immutable) triggers immediately
+    assert(Ann.deleteQuantizedFreshIds(sp, dir, "vec_id",
+      df.filter(col("vec_id") === 59).select("vec_id")) == 0L)
+    Ann.deleteStoredIds(sp, s"$dir/quantized", "vec_id",
+      df.filter(col("vec_id") === 59).select("vec_id"))
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      df.filter(col("vec_id") === 59), "vec_id", "embedding") == 1L)
+    assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
+      "embedding", 0.0).contains(1L))
+  }
 }
 
 /** Registry row for the attached-delete test. */
