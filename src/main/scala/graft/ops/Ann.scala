@@ -1602,25 +1602,26 @@ object Ann {
     }
     val probeUdf = perQueryProbeUdf(queries.sparkSession, probeModel,
       L2, probes)
+    // ids keep their NATURAL types (string/uuid pks must not null out
+    // under a long cast — Bm25.searchBatch's rule; knnJoinIvf on the
+    // same dispatch surface doesn't cast either)
     val probed = queries
-      .select(col(qId).cast("long").as(qId), qPre.as("__qpre"),
+      .select(col(qId), qPre.as("__qpre"),
         explode(probeUdf(qProbe)).as(model.idCol))
     val w1 = Window.partitionBy(col(qId))
       .orderBy(col("pre_dist").asc, col(dId).asc)
     val cand = assigned
-      .select(col(dId).cast("long").as(dId), col(model.idCol),
-        dPre.as("__dpre"))
+      .select(col(dId), col(model.idCol), dPre.as("__dpre"))
       .join(probed, Seq(model.idCol))
       .withColumn("pre_dist", round(org.apache.spark.sql.graft.VecExprs
         .l2Dist(col("__dpre"), col("__qpre")), roundTo))
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= candidates)
       .select(col(qId), col(dId))
-    val qFull = queries
-      .select(col(qId).cast("long").as(qId), qv.as("__qfull"))
+    val qFull = queries.select(col(qId), qv.as("__qfull"))
     val w2 = Window.partitionBy(col(qId))
       .orderBy(col("dist").asc, col(dId).asc)
-    assigned.select(col(dId).cast("long").as(dId), dv.as("__dfull"))
+    assigned.select(col(dId), dv.as("__dfull"))
       .join(broadcast(cand), Seq(dId))
       .join(broadcast(qFull), Seq(qId))
       .withColumn("dist",
@@ -1683,9 +1684,10 @@ object Ann {
     val probeUdf = perQueryProbeUdf(spark, probeModel, L2, probes)
     // (query, probed-cell) pairs: |Q|·probes rows, broadcast both into
     // phase 1 (per-query cell restriction) and collected for the
-    // partition-pruning literal (≤ lists distinct cells)
+    // partition-pruning literal (≤ lists distinct cells). qId keeps
+    // its natural type (a long cast nulls string qids silently)
     val probed = queries
-      .select(col(qId).cast("long").as(qId), qPre.as("__qpre"),
+      .select(col(qId), qPre.as("__qpre"),
         explode(probeUdf(qProbe)).as("centroid_id"))
       .localCheckpoint(true)
     val cells = probed.select(col("centroid_id")).distinct()
@@ -1721,8 +1723,7 @@ object Ann {
     val candPairs = phase1.localCheckpoint(true)
     val ids = candPairs.select(col(idCol)).distinct()
       .collect().map(_.get(0))
-    val qFull = queries
-      .select(col(qId).cast("long").as(qId), qv.as("__qfull"))
+    val qFull = queries.select(col(qId), qv.as("__qfull"))
     val w2 = Window.partitionBy(col(qId))
       .orderBy(col("dist").asc, col(idCol).asc)
     rows

@@ -1011,9 +1011,14 @@ object Events {
     * the r14 verdict's lifecycle closure (#4: `compactQuantizedFresh`
     * existed and was oracle-pinned a no-op, but nothing TRIGGERED it;
     * at 100 TB fresh/ grows until someone remembers). s26's exact
-    * chain with `compactRatio = 0.2` wired into
-    * [[graft.streaming.Stream.ingestQuantizedFreshAppend]]: each
-    * ~1/6-corpus batch pushes |fresh| above 0.2·|main|, so the
+    * chain with `compactRatio = 0.15` wired into
+    * [[graft.streaming.Stream.ingestQuantizedFreshAppend]] — 0.15,
+    * NOT the asymptotic per-batch ratio (1/6 ÷ 1/2 = 1/3)'s
+    * boundary-adjacent 0.2: the trigger is a STRICT >, and a corpus
+    * whose streamed half divides evenly by 3 would put a batch
+    * exactly ON a boundary ratio, so the threshold needs real margin
+    * below every batch's fresh/main ratio. Each ~1/6-corpus batch
+    * pushes |fresh| above 0.15·|main|, so the
     * post-append seat folds it
     * ([[graft.ops.Ann.compactQuantizedFreshIfNeeded]]) — by stream
     * end EVERYTHING has graduated through threshold-triggered
@@ -1046,7 +1051,7 @@ object Events {
     val input = MemoryStream[(Long, Seq[Double], Int)]
     val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
       input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
-      "embedding", dir, ckpt, compactRatio = Some(0.2))
+      "embedding", dir, ckpt, compactRatio = Some(0.15))
     try {
       val batches = 3
       (0 until batches).foreach { b =>

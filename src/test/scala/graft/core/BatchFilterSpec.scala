@@ -50,15 +50,49 @@ class BatchFilterSpec extends SparkSpecBase {
 
   private val pred = col("tag") === "a"
 
-  test("searchByVectorBatch filter: per-query rows equal the filtered " +
-      "searchByVector on exact AND IVF tables; no disallowed id; " +
-      "allowed docs fill all k slots") {
+  /** A vector-only table of the given index KIND — the filter
+    * plumbing differs per family (codes/encoded/assignment/base), so
+    * the parity test must run every one of them. */
+  private def vecFixture(name: String, ix: VectorIndex) = {
     val sp = spark
     import sp.implicits._
-    for (lists <- Seq(0, 2)) {
-      val (reg, td, eng) = fixture(lists)
+    val td = TableDef[FChunk]("fvec_" + name, primaryKey = Some("cid"),
+      indexes = Seq(ix), vectorDims = Map("vec" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-bvfilter").toString).register(td)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      FChunk(i.toLong, s"row r$i",
+        Seq(base + i * 0.01f, base + 0.2f + (i % 5) * 0.05f),
+        Seq(Seq(base, base)), Seq(i % 5), Seq(1f),
+        if (i % 3 == 0) "a" else "b")
+    }
+    reg.insert(td, rows)
+    val eng = new Engine(reg)
+    if (ix.lists > 0) eng.buildIndex(td)
+    (reg, td, eng)
+  }
+
+  test("searchByVectorBatch filter: per-query rows equal the filtered " +
+      "searchByVector on EVERY index family (exact, IVF, SQ, 1-bit, " +
+      "PQ, matryoshka, composed); no disallowed id; allowed docs " +
+      "fill all k slots") {
+    val sp = spark
+    import sp.implicits._
+    val kinds: Seq[(String, VectorIndex)] = Seq(
+      "exact" -> VectorIndex("vec", Ann.L2),
+      "ivf" -> VectorIndex("vec", Ann.L2, lists = 2),
+      "sq" -> VectorIndex("vec", Ann.L2, lists = 2, quantized = true),
+      "bitq" -> VectorIndex("vec", Ann.L2, lists = 2, oneBit = true),
+      "pq" -> VectorIndex("vec", Ann.L2, lists = 2, pq = 2),
+      "mrl" -> VectorIndex("vec", Ann.L2, mrlDims = 1),
+      "mrlivf" -> VectorIndex("vec", Ann.L2, lists = 2, mrlDims = 1))
+    for ((name, ix) <- kinds) {
+      val (reg, td, eng) = vecFixture(name, ix)
       val qs = Seq((100L, Seq(0.0, 0.0)), (101L, Seq(10.0, 10.0)))
-      val p = if (lists > 0) 2 else 0
+      // both cells probed → the approximate families are
+      // recall-complete over the allowed set, so parity is exact
+      val p = if (ix.lists > 0) 2 else 0
       val got = eng.searchByVectorBatch(td, qs.toDF("q_id", "qv"),
           "q_id", "qv", topk = 5, probes = p, filter = Some(pred))
         .collect()
@@ -73,11 +107,11 @@ class BatchFilterSpec extends SparkSpecBase {
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
           .sortBy(x => (x._2, x._1))
         assert(got(qid) == want,
-          s"lists=$lists qid=$qid: batch ${got(qid)} != single $want")
+          s"$name qid=$qid: batch ${got(qid)} != single $want")
         assert(got(qid).map(_._1).forall(allowedIds),
-          s"lists=$lists qid=$qid leaked a disallowed id: ${got(qid)}")
+          s"$name qid=$qid leaked a disallowed id: ${got(qid)}")
         assert(got(qid).size == 5,
-          s"lists=$lists qid=$qid starved: ${got(qid).size} rows")
+          s"$name qid=$qid starved: ${got(qid).size} rows")
       }
     }
   }
