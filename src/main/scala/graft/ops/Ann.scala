@@ -1643,15 +1643,18 @@ object Ann {
     * still cell-pruned) at full precision and re-ranks per query.
     * Geometry comes from the root's marker (dims + metric pinned at
     * write — wrong-metric reads refuse, like the single-query form).
-    * Returns (qId, idCol, pre_dist, dist, rank), rank 1-based per
-    * query; per-query rows identical to [[matryoshkaTopKIvf]]
-    * (specced). */
+    * `pred` is the family's metadata filter (r82's contract, batch
+    * form): it thins the cell-pruned phase-1 scan BEFORE each query's
+    * cut, pushing into parquet next to emb_pre. Returns
+    * (qId, idCol, pre_dist, dist, rank), rank 1-based per query;
+    * per-query rows identical to [[matryoshkaTopKIvf]] (specced). */
   def matryoshkaTopKIvfBatch(spark: org.apache.spark.sql.SparkSession,
                              dir: String, idCol: String,
                              queries: DataFrame, qId: String,
                              qVec: String, probes: Int,
                              candidates: Int, k: Int,
                              roundTo: Int = 6,
+                             pred: Column = lit(true),
                              metric: Metric = L2): DataFrame = {
     require(probes >= 1, s"matryoshkaTopKIvfBatch: probes >= 1, got $probes")
     require(candidates >= k,
@@ -1700,8 +1703,14 @@ object Ann {
         .limit(0)
     val w1 = Window.partitionBy(col(qId))
       .orderBy(col("pre_dist").asc, col(idCol).asc)
+    // `pred` is the family's metadata filter (r82's placement, batch
+    // form): applied BEFORE each query's prefix cut — on the SAME
+    // cell-pruned scan, so a plain column comparison reaches parquet
+    // as PushedFilters next to emb_pre — and disallowed rows never
+    // consume candidate slots
     val phase1 = rows
       .filter(col("centroid_id").isin(cells: _*))
+      .filter(pred)
       .select(col(idCol), col("centroid_id"), col("emb_pre"))
       .join(broadcast(probed), Seq("centroid_id"))
       .withColumn("pre_dist", round(org.apache.spark.sql.graft.VecExprs

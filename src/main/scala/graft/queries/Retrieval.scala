@@ -2007,6 +2007,35 @@ object Retrieval {
     df
   }
 
+  /** r86: FILTERED composed batch — r85's metadata-filter form,
+    * closing the symmetry with the single-query r82 (every filtered
+    * single form should have its batch twin, the engine batch
+    * surfaces' own argument): the layout keeps `label`, the predicate
+    * applies BEFORE each query's prefix cut on the SAME cell-pruned
+    * emb_pre-only scan (the operator's in-call pins still run), and
+    * the r78/r82 phase-2 pins hold on the returned plan. Oracle: the
+    * per-qid composed replay with the cut's corpus restricted. */
+  def matryoshkaIvfBatchFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_bf").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir, keepCols = Seq("label"))
+    val qs = e.filter(col("vec_id").isin(0, 1, 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.matryoshkaTopKIvfBatch(s, dir, "vec_id", qs, "q_id",
+      "qv", probes = 3, candidates = 50, k = 10,
+      pred = col("label").isin(1, 3, 5))
+    val phys = df.queryExecution.executedPlan.toString
+    assertPartitionPruned(phys, "centroid_id",
+      "filtered matryoshka-IVF batch phase 2")
+    require("""PushedFilters: \[[^\]]*In\(vec_id""".r
+        .findFirstIn(phys).isDefined,
+      s"r86 phase-2 fetch did not push the candidate In filter:\n$phys")
+    df
+  }
+
   /** r75: matryoshka DELETE maintenance ([[Ann.deleteMatryoshka]]) —
     * the S6 stored-index contract for the flat truncation layout
     * (r19 dense cells, r47 PQ codes — now the whole-directory swap
@@ -2252,6 +2281,7 @@ object Retrieval {
     "r82_matryoshka_ivf_filtered" -> matryoshkaIvfFiltered,
     "r83_matryoshka_ivf_rewrite" -> matryoshkaIvfRewrite,
     "r85_matryoshka_ivf_batch" -> matryoshkaIvfBatch,
+    "r86_matryoshka_ivf_batch_filtered" -> matryoshkaIvfBatchFiltered,
     "r63_range_cos_stored" -> rangeCosStored,
     "r62_range_rewrite" -> annRewriteRange,
     "r61_grouped_topk" -> groupedTopk,
@@ -2416,7 +2446,8 @@ object Retrieval {
     * stored operator returns it, the engine surface does not — the
     * c09/c10 convention). */
   private[queries] def matryoshkaIvfBatchOracleSql(
-      qidList: String, withPre: Boolean): String = {
+      qidList: String, withPre: Boolean,
+      where: String = "TRUE"): String = {
     val pre = if (withPre) " pre_dist," else ""
     s"""WITH $LabelIvfCtes,
         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -2433,7 +2464,8 @@ object Retrieval {
                  round(list_distance((a.embedding::DOUBLE[])[1:8],
                    (q.qv)[1:8]), 6) AS pre_dist
           FROM assigned a JOIN bprobes p USING (centroid_id)
-          JOIN q ON q.q_id = p.q_id),
+          JOIN q ON q.q_id = p.q_id
+          WHERE $where),
         p1 AS (
           SELECT * FROM (
             SELECT s1.*, row_number() OVER (PARTITION BY q_id
@@ -4576,6 +4608,13 @@ object Retrieval {
     // re-rank per qid) — pre_dist kept, pinning each query's cut.
     "r85_matryoshka_ivf_batch" -> matryoshkaIvfBatchOracleSql(
       "0, 1, 5", withPre = true),
+    // r86: the predicate restricts each query's cut (BEFORE the
+    // limit) — the per-qid composed replay with the WHERE, r82's
+    // pattern batch-replayed.
+    "r86_matryoshka_ivf_batch_filtered" -> matryoshkaIvfBatchOracleSql(
+      "0, 1, 5", withPre = true,
+      where = "a.vec_id IN (SELECT vec_id FROM embeddings " +
+        "WHERE label IN (1, 3, 5))"),
     // r75: the delete leaves a layout indistinguishable from one the
     // doomed rows never entered — the cut replay over survivors only.
     "r75_matryoshka_delete" ->

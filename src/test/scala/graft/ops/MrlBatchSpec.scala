@@ -72,6 +72,35 @@ class MrlBatchSpec extends SparkSpecBase {
     }
   }
 
+  test("matryoshkaTopKIvfBatch with a metadata predicate: per-query " +
+      "rows equal the filtered matryoshkaTopKIvf; only allowed ids") {
+    val d = docs
+    val model = Ann.buildIvf(d, "label", "vec")
+    val dir = Files.createTempDirectory("graft-mrlbatch-f").toString
+    Ann.writeMatryoshkaIvf(d, "id", "vec", dims = 2, model, dir,
+      keepCols = Seq("label"))
+    val pred = col("label").isin(1, 2)
+    val got = groupByQ(
+      Ann.matryoshkaTopKIvfBatch(spark, dir, "id", queriesDf,
+          "q_id", "qv", probes = 2, candidates = 12, k = 5,
+          pred = pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))))
+    val allowed = d.filter(pred).select("id").collect()
+      .map(_.getLong(0)).toSet
+    qSeqs.foreach { case (qid, qv) =>
+      val want = Ann.matryoshkaTopKIvf(spark, dir, "id", qv,
+          probes = 2, candidates = 12, k = 5, pred = pred)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(x => (x._3, x._1)).toSeq
+      assert(got(qid) == want,
+        s"qid=$qid: filtered batch ${got(qid)} != per-query $want")
+      assert(got(qid).map(_._1).forall(allowed),
+        s"qid=$qid leaked a disallowed id: ${got(qid)}")
+    }
+  }
+
   // The in-memory composed batch (Ann.knnJoinMrlIvf) and the flat
   // batch (Ann.knnJoinMrl) are parity-covered against the engine's
   // single-query branches in EngineSpec ("searchByVectorBatch
