@@ -3579,6 +3579,104 @@ object Ann {
       metric, probes, k, refine, roundTo)
   }
 
+  /** Fresh-aware BATCH kNN join over a quantized root — the query-log
+    * replay twin of the [[searchIvfSqStoredFresh]] family, closing the
+    * intersection of the two maintenance stories: a
+    * streaming-maintained SQ/PQ/1-bit root is exactly the layout an
+    * eval loop replays a query log against, yet the fresh-aware
+    * searches were single-query only, forcing Q per-query driver
+    * round-trips over the live index (the anti-pattern the batch
+    * family exists to kill). Family auto-detected from the geometry
+    * marker ([[quantizedFamily]]); the BATCH's probed-cell UNION —
+    * each query's `probes` nearest stored centroids under the
+    * delegates' own driver-side arithmetic (spherical roots rank
+    * normalized queries against the stored already-normalized
+    * centroids, L2 on the unit sphere) — prunes `fresh/` to the
+    * partitions ANY query in the batch can see BEFORE encode-on-read
+    * ([[freshEncodedForQuery]]'s contract, batch form: fresh IO is
+    * bounded by the union's fraction, never |fresh|), the encoded
+    * slice unions into the main layout's frame, and the whole job
+    * delegates to the oracled [[knnJoinIvfSq]] /
+    * [[knnJoinIvfPq]]/[[knnJoinIvfPqCos]] / [[knnJoinIvfBitq]] — whose
+    * own per-query cell joins restrict each query to ITS probed
+    * cells, so per-query results are identical to the single-query
+    * fresh-aware searches (specced) and to a one-shot rebuild that
+    * had always held the fresh rows (the family's
+    * results-invisibility contract, r87-gated). No fresh side table ⇒
+    * pure delegation over the main layout. `refine <= 0` = auto (5
+    * for SQ/PQ, [[defaultBitqRefine]] for 1-bit). Returns
+    * (qId, dId, dist, rank). */
+  def knnJoinQuantizedFresh(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, queries: DataFrame,
+                            qId: String, qVec: String, dId: String,
+                            vecCol: String, metric: Metric,
+                            probes: Int, k: Int, refine: Int = -1,
+                            roundTo: Int = 6): DataFrame = {
+    val (family, _, spherical) = quantizedFamily(spark, dir)
+    require(spherical == (metric == Cosine),
+      s"$dir pins spherical=$spherical but the query metric is $metric")
+    val qVecs = queries.select(col(qVec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(qVecs.nonEmpty, "knnJoinQuantizedFresh over an empty " +
+      "query set")
+    // the batch's probed-cell union — the same (L2 dist, cell id)
+    // sorted-take the delegate operators run per query, so the fresh
+    // slice covers exactly the cells any query's own probe can reach
+    def unionCells(model: IvfModel): Array[Long] = {
+      val cents = collectCentroids(model)
+      val phase1 =
+        if (spherical) qVecs.map { v =>
+          val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+          v.map(_ / n)
+        } else qVecs
+      phase1.flatMap(v =>
+        cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
+          .sorted.take(probes).map(_._2)).distinct
+    }
+    val rf = if (refine > 0) refine else 5
+    family match {
+      case "sq" =>
+        val index = loadIvfSq(spark, dir)
+        val all = freshEncodedForQuery(spark, dir,
+            unionCells(index.model), fr =>
+              assignQuantizeSq(fr, vecCol, index, metric)
+                .withColumn("codes", unpackCodes(col("codes"))))
+          .map(f => index.quantized.unionByName(
+            f.select(index.quantized.columns.map(col): _*)))
+          .getOrElse(index.quantized)
+        knnJoinIvfSq(queries, qId, qVec, index.copy(quantized = all),
+          dId, vecCol, metric, probes, k, rf, roundTo)
+      case "pq" =>
+        val index = loadIvfPq(spark, dir)
+        val all = freshEncodedForQuery(spark, dir,
+            unionCells(index.model), fr =>
+              assignEncodePq(fr, vecCol, index.pq, index.model, metric))
+          .map(f => index.encoded.unionByName(
+            f.select(index.encoded.columns.map(col): _*)))
+          .getOrElse(index.encoded)
+        val aug = index.copy(encoded = all)
+        if (metric == Cosine)
+          knnJoinIvfPqCos(queries, qId, qVec, aug, dId, vecCol,
+            probes, k, rf, roundTo)
+        else
+          knnJoinIvfPq(queries, qId, qVec, aug, dId, vecCol,
+            probes, k, rf, roundTo)
+      case _ =>
+        val index = loadIvfBitq(spark, dir)
+        val dims = index.model.centroids
+          .select(size(col(index.model.vecCol))).head().getInt(0)
+        val all = freshEncodedForQuery(spark, dir,
+            unionCells(index.model), fr =>
+              assignQuantizeBitq(fr, vecCol, index.model, metric)
+                .withColumn("bits", unpackBits(col("bits"), dims)))
+          .map(f => index.quantized.unionByName(
+            f.select(index.quantized.columns.map(col): _*)))
+          .getOrElse(index.quantized)
+        knnJoinIvfBitq(queries, qId, qVec, index.copy(quantized = all),
+          dId, vecCol, metric, probes, k, refine, roundTo)
+    }
+  }
+
   /** Fold a quantized root's fresh side table into its main layout —
     * the COMPACTION that closes the incremental cycle: every fresh row
     * encodes under the root's frozen artifacts (the same transforms

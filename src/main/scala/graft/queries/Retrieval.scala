@@ -883,6 +883,47 @@ object Retrieval {
       qvec(s, d, 11), Ann.L2, probes = 3, k = 10, refine = 5)
   }
 
+  /** r87: fresh-aware BATCH kNN join over a quantized root
+    * ([[Ann.knnJoinQuantizedFresh]]) — the intersection the family was
+    * missing: a streaming-maintained root (s25-s28's lifecycle) is
+    * exactly what an eval loop replays a query log against, yet the
+    * fresh-aware searches were single-query only. The r12 SQ index
+    * trains on the FULL corpus (the offline-model seat), the root is
+    * written from the even half, the odd half appends RAW into
+    * `fresh/`, and the whole r48 query batch runs as ONE distributed
+    * job over main + encode-on-read fresh — landing on r48's batch
+    * oracle VERBATIM (grown equals built: the full-corpus per-qid SQ
+    * replay cannot tell which rows arrived by stream). In-gate pins:
+    * appended > 0 and ≥1 fresh-resident (odd) doc in the top-k (the
+    * union carried — a silently-dropped fresh slice would still pass
+    * a weaker rows>0 check), and `fresh/` survives the search (the
+    * read path must never compact). */
+  def quantizedFreshBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qfresh_batch").toString
+    Ann.writeIvfSq(index.copy(quantized =
+      index.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val appended = Ann.appendQuantizedFreshIdempotent(s, dir,
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"), col("label")),
+      "vec_id", "embedding")
+    require(appended > 0, "r87: no fresh rows appended — gate is vacuous")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinQuantizedFresh(s, dir, queries, "q_id", "qv",
+        "vec_id", "embedding", Ann.L2, probes = 2, k = 3, refine = 5)
+      .withColumnRenamed("vec_id", "d_id")
+    require(df.filter(col("d_id") % 2 === 1).count() > 0,
+      "r87 vacuous: no fresh-resident doc surfaced in the batch top-k")
+    require(new java.io.File(dir, "fresh").exists(),
+      "r87: fresh/ must still exist — the batch search must not compact")
+    df
+  }
+
   /** Declarative MAXSIM rewrite — the third query shape joins the
     * declarative layer: a plain `orderBy(maxsim_dot(q, mv).desc)
     * .limit(k)` plan over a registered multivector table rewrites into
@@ -2311,6 +2352,7 @@ object Retrieval {
     "r18_ann_rewrite_cos" -> annRewriteCos,
     "r19_stored_delete" -> storedDelete,
     "r84_sq_fresh_delete" -> sqFreshDelete,
+    "r87_quantized_fresh_batch" -> quantizedFreshBatch,
     "r20_ann_topk_ip" -> annTopkIp,
     "r21_maxsim_rewrite" -> maxsimRewrite,
     "r22_bm25_rewrite" -> bm25Rewrite,
@@ -3436,9 +3478,17 @@ object Retrieval {
     * replay per query: embedding, bucket join, per-query scoring and
     * ranking from first principles. The stored form must produce
     * byte-identical scores (pruning changes what the scan READS, never
-    * what a query matches). */
-  private val SparseBatchOracleSql =
-      """WITH toks AS (
+    * what a query matches). `where` ("" = unfiltered) is c23's
+    * metadata predicate over the documents table, thinning the scored
+    * docs BEFORE each query's rank window — the operator's
+    * postings-side semi-join leaves surviving scores untouched (a
+    * pure dot has no corpus statistics), so thinning scored is the
+    * same replay. ONE fragment serves r32/r34/c16/c23. */
+  private[queries] def sparseBatchOracleSqlW(where: String): String = {
+    val thin =
+      if (where.isEmpty) ""
+      else s"JOIN documents dd USING (doc_id) WHERE $where"
+    s"""WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(
                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -3459,9 +3509,75 @@ object Retrieval {
             SELECT qid, doc_id, score,
                    CAST(row_number() OVER (PARTITION BY qid
                      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-            FROM scored)
+            FROM scored $thin)
           SELECT qid, doc_id, score, rank FROM ranked
           WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  private val SparseBatchOracleSql = sparseBatchOracleSqlW("")
+
+  /** r33's DuckDB replay — the batch maxsim two-phase from first
+    * principles (frozen-mean cells, per-query cosine probes, phase-1
+    * keep-20 by the persisted-mean dot, exact maxsim re-rank).
+    * `andPred` ("" = unfiltered) is c24's metadata predicate over the
+    * doc bags, thinning the ASSIGNED set both phases read (the
+    * operator's placement: a disallowed bag never consumes a phase-1
+    * candidate slot), spelled as an extra conjunct on the assignment
+    * cut. ONE fragment serves r33/c17/c24. */
+  private[queries] def maxsimBatchOracleSqlW(andPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (SELECT vec_id, label,
+                     [emb, list_reverse(emb)] AS vecs,
+                     list_transform(range(len(emb)), i ->
+                       round((emb[i+1] + emb[len(emb)-i]) / 2, 6)) AS fm
+              FROM e),
+        cd AS (SELECT label, pos, round(avg(x), 5) AS c
+               FROM (SELECT label, unnest(fm) AS x,
+                            unnest(range(len(fm))) AS pos FROM d)
+               GROUP BY 1, 2),
+        cents AS (SELECT label AS centroid_id,
+                         list(c ORDER BY pos) AS centroid
+                  FROM cd GROUP BY 1),
+        assigned AS (SELECT vec_id, vecs, fm, centroid_id FROM (
+            SELECT d.vec_id, d.label, d.vecs, d.fm, c.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY ${cosDistSql("d.fm", "c.centroid")} ASC,
+                              c.centroid_id ASC) AS rn
+            FROM d CROSS JOIN cents c) WHERE rn = 1$andPred),
+        q AS (SELECT vec_id AS qid, [emb, list_reverse(emb)] AS qv,
+                     list_transform(range(len(emb)), i ->
+                       (emb[i+1] + emb[len(emb)-i]) / 2) AS qc
+              FROM e WHERE vec_id IN (0, 1, 2, 3)),
+        probes AS (SELECT qid, centroid_id FROM (
+            SELECT q.qid, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosDistSql("c.centroid", "q.qc")} ASC,
+                              c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        cand AS (SELECT qid, vec_id, vecs, qv FROM (
+            SELECT p.qid, a.vec_id, a.vecs, q.qv,
+                   row_number() OVER (PARTITION BY p.qid
+                     ORDER BY round(list_inner_product(a.fm, q.qc), 6)
+                       DESC, a.vec_id ASC) AS rn
+            FROM assigned a
+            JOIN probes p USING (centroid_id)
+            JOIN q ON q.qid = p.qid) WHERE rn <= 20),
+        qt AS (SELECT qid, vec_id, unnest(qv) AS qtok,
+                      unnest(range(len(qv))) AS qi FROM cand),
+        dt AS (SELECT qid, vec_id, unnest(vecs) AS dtok FROM cand),
+        best AS (SELECT qt.qid, qt.vec_id, qt.qi,
+                        max(list_inner_product(qt.qtok, dt.dtok)) AS m
+                 FROM qt JOIN dt USING (qid, vec_id)
+                 GROUP BY 1, 2, 3),
+        sc AS (SELECT qid, vec_id, round(sum(m), 6) AS score
+               FROM best GROUP BY 1, 2)
+        SELECT qid, vec_id, score, rank FROM (
+          SELECT qid, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM sc) WHERE rank <= 10
+        ORDER BY qid, rank"""
 
   private val SparseOracleSql =
       """WITH toks AS (
@@ -4203,6 +4319,10 @@ object Retrieval {
     // lifecycle is invisible to results by contract, so r19's oracle
     // lands verbatim
     "r84_sq_fresh_delete" -> ivfSqOracle("WHERE c.vec_id % 7 <> 0"),
+    // r87: grown-then-batch-replayed equals built — the fresh-aware
+    // batch join over an even-half root + odd-half fresh/ lands on
+    // the FULL-corpus per-qid SQ replay (r48's oracle verbatim)
+    "r87_quantized_fresh_batch" -> KnnJoinSqOracleSql,
     // r21: BOTH maxsim phases replayed — phase 1 = per-label token-mean
     // dot against the query-token centroid, top-3 labels; phase 2 = the
     // exact maxsim (sum of per-query-token max dots) over those labels
@@ -4290,60 +4410,7 @@ object Retrieval {
     // [emb, reverse(emb)] of vec_ids 0..3; the lockstep unnest keeps
     // each query token's identity so duplicate tokens (a palindromic
     // embedding) could never merge in the maxsim sum.
-    "r33_maxsim_batch" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                          embedding::DOUBLE[] AS emb FROM embeddings),
-        d AS (SELECT vec_id, label,
-                     [emb, list_reverse(emb)] AS vecs,
-                     list_transform(range(len(emb)), i ->
-                       round((emb[i+1] + emb[len(emb)-i]) / 2, 6)) AS fm
-              FROM e),
-        cd AS (SELECT label, pos, round(avg(x), 5) AS c
-               FROM (SELECT label, unnest(fm) AS x,
-                            unnest(range(len(fm))) AS pos FROM d)
-               GROUP BY 1, 2),
-        cents AS (SELECT label AS centroid_id,
-                         list(c ORDER BY pos) AS centroid
-                  FROM cd GROUP BY 1),
-        assigned AS (SELECT vec_id, vecs, fm, centroid_id FROM (
-            SELECT d.vec_id, d.vecs, d.fm, c.centroid_id,
-                   row_number() OVER (PARTITION BY d.vec_id
-                     ORDER BY ${cosDistSql("d.fm", "c.centroid")} ASC,
-                              c.centroid_id ASC) AS rn
-            FROM d CROSS JOIN cents c) WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, [emb, list_reverse(emb)] AS qv,
-                     list_transform(range(len(emb)), i ->
-                       (emb[i+1] + emb[len(emb)-i]) / 2) AS qc
-              FROM e WHERE vec_id IN (0, 1, 2, 3)),
-        probes AS (SELECT qid, centroid_id FROM (
-            SELECT q.qid, c.centroid_id,
-                   row_number() OVER (PARTITION BY q.qid
-                     ORDER BY ${cosDistSql("c.centroid", "q.qc")} ASC,
-                              c.centroid_id ASC) AS rn
-            FROM q CROSS JOIN cents c) WHERE rn <= 3),
-        cand AS (SELECT qid, vec_id, vecs, qv FROM (
-            SELECT p.qid, a.vec_id, a.vecs, q.qv,
-                   row_number() OVER (PARTITION BY p.qid
-                     ORDER BY round(list_inner_product(a.fm, q.qc), 6)
-                       DESC, a.vec_id ASC) AS rn
-            FROM assigned a
-            JOIN probes p USING (centroid_id)
-            JOIN q ON q.qid = p.qid) WHERE rn <= 20),
-        qt AS (SELECT qid, vec_id, unnest(qv) AS qtok,
-                      unnest(range(len(qv))) AS qi FROM cand),
-        dt AS (SELECT qid, vec_id, unnest(vecs) AS dtok FROM cand),
-        best AS (SELECT qt.qid, qt.vec_id, qt.qi,
-                        max(list_inner_product(qt.qtok, dt.dtok)) AS m
-                 FROM qt JOIN dt USING (qid, vec_id)
-                 GROUP BY 1, 2, 3),
-        sc AS (SELECT qid, vec_id, round(sum(m), 6) AS score
-               FROM best GROUP BY 1, 2)
-        SELECT qid, vec_id, score, rank FROM (
-          SELECT qid, vec_id, score,
-                 CAST(row_number() OVER (PARTITION BY qid
-                   ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
-          FROM sc) WHERE rank <= 10
-        ORDER BY qid, rank""",
+    "r33_maxsim_batch" -> maxsimBatchOracleSqlW(""),
     // r22: both phases of the rewrite share one total order, so the
     // result is the global BM25 top-5 over term-matching docs — the
     // r05 replay with this query's terms and k.

@@ -323,6 +323,106 @@ class QuantizedFreshSpec extends SparkSpecBase {
     assert(Ann.compactQuantizedFreshIfNeeded(sp, dir, "vec_id",
       "embedding", 0.0).contains(1L))
   }
+
+  test("knnJoinQuantizedFresh: the batch join equals the single-query " +
+      "fresh-aware search per qid for all three families, survives " +
+      "compaction unchanged, and refuses a mismatched metric") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val qids = Seq(7L, 22L, 41L)
+    val queries = corpus.filter(c => qids.contains(c._1))
+      .map(c => (c._1, c._2)).toDF("q_id", "qv")
+    def perQid(batch: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      batch.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+          r.getInt(3))))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2._3).map(x => (x._2._1, x._2._2)).toSeq)
+        .toMap
+
+    // SQ root, L2 — plus the compaction-invariance and refusal pins
+    locally {
+      val full = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqfreshb").toString
+      Ann.writeIvfSq(full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+      Ann.ensureIvfSqRoot(sp, dir, full, spherical = false)
+      assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+        "vec_id", "embedding") == 30L)
+      def batch() = perQid(Ann.knnJoinQuantizedFresh(sp, dir, queries,
+        "q_id", "qv", "vec_id", "embedding", Ann.L2, probes = 2,
+        k = 8, refine = 5))
+      val got = batch()
+      qids.foreach { qid =>
+        val single = ids(Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+          "embedding", typedlit(corpus(qid.toInt)._2), Ann.L2,
+          probes = 2, k = 8, refine = 5))
+        assert(got(qid) == single,
+          s"SQ qid=$qid: batch ${got(qid)} != single $single")
+      }
+      // a spherical-metric query against the L2-pinned root refuses
+      // BEFORE any plan is built
+      intercept[IllegalArgumentException] {
+        Ann.knnJoinQuantizedFresh(sp, dir, queries, "q_id", "qv",
+          "vec_id", "embedding", Ann.Cosine, probes = 2, k = 8)
+      }
+      // compaction is observably a no-op on the BATCH surface too
+      // (the s26 pin, batch form) — and the post-compaction call
+      // exercises the fresh-less pure-delegation path
+      assert(Ann.compactQuantizedFresh(sp, dir, "vec_id",
+        "embedding") == 30L)
+      assert(batch() == got,
+        "compaction changed the batch join's results")
+    }
+
+    // PQ root, spherical (cosine)
+    locally {
+      val full = Ann.buildIvfPq(df, "embedding", model, m = 4,
+        Ann.Cosine)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pqfreshb").toString
+      Ann.writeIvfPq(full.copy(encoded =
+        full.encoded.filter(col("vec_id") % 2 === 0)), dir)
+      Ann.ensureIvfPqRoot(sp, dir, full.pq, model, spherical = true)
+      assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+        "vec_id", "embedding") == 30L)
+      val got = perQid(Ann.knnJoinQuantizedFresh(sp, dir, queries,
+        "q_id", "qv", "vec_id", "embedding", Ann.Cosine, probes = 2,
+        k = 8, refine = 5))
+      qids.foreach { qid =>
+        val single = ids(Ann.searchIvfPqStoredFresh(sp, dir, "vec_id",
+          "embedding", corpus(qid.toInt)._2, Ann.Cosine, probes = 2,
+          k = 8, refine = 5))
+        assert(got(qid) == single,
+          s"PQ qid=$qid: batch ${got(qid)} != single $single")
+      }
+    }
+
+    // 1-bit root, L2
+    locally {
+      val full = Ann.buildIvfBitq(df, "embedding", model, Ann.L2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bitqfreshb").toString
+      Ann.writeIvfBitq(full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+      Ann.ensureIvfBitqRoot(sp, dir, full.model, spherical = false)
+      assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+        "vec_id", "embedding") == 30L)
+      val got = perQid(Ann.knnJoinQuantizedFresh(sp, dir, queries,
+        "q_id", "qv", "vec_id", "embedding", Ann.L2, probes = 2,
+        k = 8, refine = 8))
+      qids.foreach { qid =>
+        val single = ids(Ann.searchIvfBitqStoredFresh(sp, dir,
+          "vec_id", "embedding", typedlit(corpus(qid.toInt)._2),
+          Ann.L2, probes = 2, k = 8, refine = 8))
+        assert(got(qid) == single,
+          s"bitq qid=$qid: batch ${got(qid)} != single $single")
+      }
+    }
+  }
 }
 
 /** Registry row for the attached-delete test. */
