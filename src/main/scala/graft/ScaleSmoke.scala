@@ -1112,7 +1112,8 @@ object ScaleSmoke {
     // prefix scan; the operator itself asserts the centroid_id
     // PartitionFilters + emb_pre-only read on the timed call. Build
     // hoisted out of the timer.
-    if (only.forall(_.exists("matryoshka_ivf_query".startsWith))) {
+    if (only.forall(o => o.exists("matryoshka_ivf_query".startsWith) ||
+        o.exists("matryoshka_ivf_batch_query".startsWith))) {
     val mrlIvfModel = ops.Ann.buildIvf(vecs, "label", "embedding")
     val mrlIvfDir = java.nio.file.Files
       .createTempDirectory("graft_smoke_mrl_ivf").toString
@@ -1145,6 +1146,25 @@ object ScaleSmoke {
       require(probedRows.toDouble / totalRows <= 2.5 / cellCount * 2,
         s"phase-1 IO not probe-bounded: $probedRows of $totalRows " +
           s"rows under 2 of $cellCount probes")
+    }
+    // The BATCH form (r85) at 16×: a 64-query log replayed as ONE
+    // distributed job over the same composed root — the eval-loop
+    // shape. The operator asserts its own phase-1 pins on the timed
+    // call (union-of-probed-cells PartitionFilters + an emb_pre-only
+    // read), so the row times exactly the scale claim: cost bounded
+    // by the probed-cell UNION of the whole batch, never 64 separate
+    // full scans and never a driver loop.
+    time("matryoshka_ivf_batch_query") {
+      val qs = emb0.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val df = ops.Ann.matryoshkaTopKIvfBatch(spark, mrlIvfDir,
+        "vec_id", qs, "q_id", "qv", probes = 2, candidates = 100,
+        k = 10)
+      val n = df.count()
+      require(n == 64L * 10,
+        s"matryoshka-IVF batch top-10 x 64 returned $n rows")
+      n
     }
     } // filter guard: build + untimed asserts skip with the row
 

@@ -674,6 +674,53 @@ object Crud {
       .withColumnRenamed("vec_id", "d_id")
   }
 
+  final case class HybridRowL(vec_id: Long, embedding: Seq[Double],
+                              text: String, lang: String)
+  private implicit val hybLEnc: org.apache.spark.sql.Encoder[HybridRowL] =
+    org.apache.spark.sql.Encoders.product[HybridRowL]
+
+  /** c25: FILTERED per-query batch hybrid — the round's two batch
+    * stories composed: c22's per-qid weighted RRF over the batch
+    * arms, each arm carrying c20/c21's metadata filter (`lang =
+    * 'en'` on the one hybrid table). Every curation eval loop at
+    * scale is BOTH filtered and fused — this is that loop as two
+    * batch jobs + one fusion window, zero per-query driver
+    * round-trips. The arms inherit the family contract transitively
+    * (BM25 stats whole-corpus, thin-before-cut on both), so the
+    * oracle is c22's per-qid fused replay with the predicate thinning
+    * both arms before their top-20 cuts — the ONE parameterized
+    * fragment c22 shares at `where = TRUE`. */
+  def engineFilteredBatchHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reg = fresh(s)
+    val td = TableDef[HybridRowL]("hyb_fbatch",
+      primaryKey = Some("vec_id"),
+      indexes = Seq(
+        graft.core.Spec.VectorIndex("embedding",
+          distance = graft.ops.Ann.Cosine),
+        graft.core.Spec.KeywordIndex("text")))
+    reg.register(td)
+    reg.copyBulk(td, embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("text"), col("lang")),
+        "vec_id"))
+    val eng = new graft.core.Engine(reg)
+    val pred = Some(col("lang") === "en")
+    val hq = graft.queries.Retrieval.HybridBatchQueries
+    val qvecs = embeddings(s, d)
+      .filter(col("vec_id").isin(hq.map(x => x._1): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val dense = eng.searchByVectorBatch(td, qvecs, "qid", "qv",
+        topk = 20, filter = pred)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val kw = eng.searchByKeywordBatch(td, hq.toDF("qid", "qtext"),
+        "qid", "qtext", topk = 20, filter = pred)
+      .select(col("qid"), col("id"), col("rank"))
+    graft.ops.Fusion.rrfWeightedBatch(Seq(dense, kw), Seq(0.7, 0.3),
+      k = 20, topK = 10)
+  }
+
   final case class SpDocF(doc_id: Long, si: Seq[Int], sv: Seq[Float],
                           lang: String)
   private implicit val spDocFEnc: org.apache.spark.sql.Encoder[SpDocF] =
@@ -752,6 +799,7 @@ object Crud {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_engine_filtered_batch_hybrid" -> engineFilteredBatchHybrid,
     "c23_engine_filtered_batch_sparse" -> engineFilteredBatchSparse,
     "c24_engine_filtered_batch_multivec" -> engineFilteredBatchMultivec,
     "c20_engine_filtered_batch_keyword" -> engineFilteredBatchKeyword,
@@ -778,6 +826,12 @@ object Crud {
     "c06_lifecycle_drop" -> lifecycleDrop)
 
   val oracles: Map[String, String] = Map(
+    // c25: c22's per-qid fused replay with the predicate thinning
+    // BOTH arms before their top-20 cuts — one parameterized
+    // fragment, c22 shares it at where = TRUE.
+    "c25_engine_filtered_batch_hybrid" ->
+      graft.queries.Retrieval.rrfHybridBatchOracleSql(20, "0.7", "0.3",
+        where = "lang = 'en'"),
     // c23: surviving scores identical to c16's batch (a pure dot has
     // no corpus statistics), the predicate thins the scored docs
     // before each query's rank window — the parameterized r32 batch

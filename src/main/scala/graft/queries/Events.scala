@@ -1203,7 +1203,94 @@ object Events {
       refine = 5)
   }
 
+  /** s29: threshold-triggered OVERFULL-CELL SPLIT on the streamed
+    * range-root maintenance path — the s28 lifecycle closure for the
+    * cell-growth families: [[graft.ops.Ann.splitOverfullCells]] (r69)
+    * was the actuator for the r66 health signal, but nothing
+    * triggered it, so a streamed root's hot cells grew until probes
+    * over-read. s19's chain runs with
+    * [[graft.streaming.Stream.ingestRangeAppend]]'s new
+    * `splitMaxRows` wired to 0.9× the full-corpus average occupancy,
+    * so the policy MUST fire by stream end (pigeonhole: if no cell
+    * ever split, the max cell holds ≥ avg > 0.9·avg) — pinned via
+    * centroid count strictly above the trained `lists`. Split cells
+    * re-pin the marker, so redelivery still appends ZERO against the
+    * re-partitioned layout (the replayed rows re-assign into the
+    * sub-cells where their copies now live), the grown radii stay
+    * sound (every stored row within its cell's stored radius), and
+    * the final range search answers r56's index-free oracle VERBATIM
+    * — split boundaries are invisible to results, now proven at
+    * every batch boundary of a live stream. */
+  def streamRangeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count()
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s29_root").toString
+    graft.ops.Ann.writeRangeIndex(
+      graft.ops.Ann.assign(base, "embedding", model, graft.ops.Ann.L2),
+      "embedding", model, root)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    // SF-relative threshold: 0.9× the full-corpus average occupancy
+    // (an absolute count would mis-fire across sf0.001/0.01/0.1)
+    val maxRows = math.max(1L, (0.9 * e.count() / lists).toLong)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s29_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestRangeAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", root, ckpt, splitMaxRows = Some(maxRows))
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (m2, storedRadii) = graft.ops.Ann.loadRangeIndex(s, root)
+    // pin 1: the policy FIRED — the root holds more cells than the
+    // trained model (a never-firing policy leaves exactly `lists`)
+    val cellsNow = m2.centroids.count()
+    require(cellsNow > lists,
+      s"s29: split policy never fired — $cellsNow cells, trained $lists")
+    // pin 2: redelivery appends ZERO against the re-partitioned
+    // layout (the id probe finds the copies inside the sub-cells)
+    val dup = graft.ops.Ann.appendRangeIndexIdempotent(s, root,
+      rows.take(rows.length / 3).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s29: replayed batch appended $dup rows post-split")
+    // pin 3: radii stayed sound through appends AND splits
+    val uncovered = graft.ops.Ann.cellRadii(
+        s.read.parquet(s"$root/rows"), "embedding", m2,
+        graft.ops.Ann.L2)
+      .withColumnRenamed("radius", "actual")
+      .join(storedRadii.select(col("centroid_id"), col("radius")),
+        "centroid_id")
+      .filter(col("actual") > col("radius") + lit(1e-9)).count()
+    require(uncovered == 0L,
+      s"s29: $uncovered cells hold rows outside their stored radius")
+    val qv = e.filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    graft.ops.Ann.rangeSearchStoredSelf(s, root, "vec_id", "embedding",
+        typedlit(qv), eps = 1.3, pred = col("label").isin(1, 3, 5))
+      .select("vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_stream_range_split" -> streamRangeSplit,
     "s27_stream_bitq_append" -> streamBitqAppend,
     "s25_stream_pq_append" -> streamPqAppend,
     "s26_stream_sq_append" -> streamSqAppend,
@@ -1372,6 +1459,9 @@ object Events {
     // corpus, and sound radii make the pruning invisible — the same
     // r56 threshold scan lands verbatim on the grown root.
     "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s29: split boundaries are invisible to results — the grown,
+    // policy-split root answers the same index-free range oracle.
+    "s29_stream_range_split" -> Retrieval.oracles("r56_range_ivf_stored"),
     // the fresh-rows maintenance gates land on the one-shot
     // full-corpus builds' oracles verbatim: frozen full-corpus
     // codebooks/bounds + encode-on-read == the rebuilt layout

@@ -3433,13 +3433,23 @@ object Retrieval {
   /** The per-qid WEIGHTED RRF replay (c22) — r07's fused oracle
     * replayed per query id: per-qid dense cosine top-20 + per-qid
     * batch BM25 top-20 (the factored scored CTEs), score =
-    * Σ w_src/(k + rank) per (qid, id), ranked per qid. */
+    * Σ w_src/(k + rank) per (qid, id), ranked per qid. `where`
+    * ("TRUE" = unfiltered, c22 verbatim) is c25's metadata predicate
+    * over the documents table, thinning BOTH arms before their
+    * per-qid top-20 cuts — the c20/c21 placements composed: BM25
+    * stats stay whole-corpus, the dense scored set is thinned, so no
+    * disallowed doc consumes either arm's rank slots. */
   private[queries] def rrfHybridBatchOracleSql(k: Int, wVec: String,
-                                               wKw: String): String = {
+                                               wKw: String,
+                                               where: String = "TRUE")
+      : String = {
     val qids = HybridBatchQueries.map(_._1).mkString(", ")
     s"""WITH ${bm25BatchScoredCtes(HybridBatchQueries)},
         bagg AS (SELECT qid, id, round(sum(w), 6) AS score
-                 FROM scored GROUP BY 1, 2),
+                 FROM scored
+                 WHERE id IN (SELECT doc_id FROM documents
+                              WHERE $where)
+                 GROUP BY 1, 2),
         bml AS (SELECT qid, id, score,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY score DESC, id ASC) AS rank
@@ -3451,7 +3461,9 @@ object Retrieval {
         vs AS (SELECT q.qid, e.vec_id AS id,
                       round(${cosDistSql("e.embedding::DOUBLE[]",
                         "q.qv")}, 6) AS dist
-               FROM embeddings e CROSS JOIN q),
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id IN (SELECT doc_id FROM documents
+                                  WHERE $where)),
         vr AS (SELECT qid, id,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY dist ASC, id ASC) AS rank

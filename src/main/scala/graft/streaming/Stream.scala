@@ -565,12 +565,28 @@ object Stream {
     * r67 soundness order, per batch), and a crash-redelivered batch
     * appends nothing (id-keyed replay safety standing in for the
     * commit log the batch layout no longer has). Fails at START, not
-    * first batch, when `root` is not a graduated range index. */
+    * first batch, when `root` is not a graduated range index.
+    *
+    * `splitMaxRows` wires the OVERFULL-CELL SPLIT POLICY into the
+    * maintenance cadence (the s28 lesson for the cell-growth
+    * families: [[graft.ops.Ann.splitOverfullCells]] existed as the
+    * actuator for the r66 health signal, but nothing TRIGGERED it —
+    * at 100 TB a streamed root's hot cells grow until probes
+    * over-read and radii over-admit). After each batch's append, any
+    * cell that crossed the threshold locally retrains into sub-cells
+    * (only its directories rewritten, marker re-pinned — results
+    * invariant, the r69 contract); a sub-cell still overfull after
+    * one k=2 split catches the next batch's pass. Malformed
+    * thresholds refuse at stream START, before any mutation. */
   def ingestRangeAppend(vectors: DataFrame, idCol: String,
                         vecCol: String, root: String,
-                        checkpoint: String)
+                        checkpoint: String,
+                        splitMaxRows: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    splitMaxRows.foreach(m => require(m > 0,
+      s"ingestRangeAppend: splitMaxRows must be positive, got $m — " +
+        "a non-positive threshold would flag every cell every batch"))
     graft.ops.Ann.loadRangeIndex(spark, root)
     if (graft.ops.Ann.readIvfModelMarker(spark, root).isEmpty)
       throw new IllegalStateException(
@@ -581,6 +597,8 @@ object Stream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Ann.appendRangeIndexIdempotent(spark, root, batch,
           idCol, vecCol)
+        splitMaxRows.foreach(m =>
+          graft.ops.Ann.splitOverfullCells(spark, root, vecCol, m))
         ()
       }
       .start()

@@ -900,6 +900,65 @@ class StreamSpec extends SparkSpecBase {
     }
   }
 
+  test("ingestRangeAppend splitMaxRows (s29): a batch that pushes a " +
+      "cell past the threshold triggers the overfull split in-stream " +
+      "(results invariant); a non-positive threshold refuses at START") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val baseRows = (0L until 20L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(c + (i % 5) * 0.02 + (i / 10) * 0.001, c), (i % 2).toInt)
+    }
+    val base = baseRows.toDF("vec_id", "embedding", "label")
+    val model = Ann.buildIvf(base, "label", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-range-split").toString
+    Ann.writeRangeIndex(Ann.assign(base, "embedding", model, Ann.L2),
+      "embedding", model, root)
+    // non-positive threshold refuses at START, before any mutation
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    intercept[IllegalArgumentException] {
+      Stream.ingestRangeAppend(
+        input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+        "embedding", root, java.nio.file.Files
+          .createTempDirectory("graft-split-c0").toString,
+        splitMaxRows = Some(0L))
+    }
+    // cell 0 holds 10 rows; a 6-row batch pushes it past 12 → the
+    // post-append pass must split it while cell 1 (10 rows) stays
+    val appended = (200L until 206L).map(i =>
+      (i, Seq((i - 200L) * 0.015, 0.0), 0))
+    val q = Stream.ingestRangeAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", root, java.nio.file.Files
+        .createTempDirectory("graft-split-c").toString,
+      splitMaxRows = Some(12L))
+    try {
+      input.addData(appended: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (m2, _) = Ann.loadRangeIndex(sp, root)
+    assert(m2.centroids.count() === 3L,
+      "exactly the overfull cell must split (2 cells -> 3)")
+    // results invariant: the eps-ball around cluster 0's origin still
+    // holds exactly the brute-force set over rows on disk
+    val all = sp.read.parquet(s"$root/rows")
+    val want = Ann.rangeSearch(all, "vec_id", "embedding",
+        typedlit(Seq(0.0, 0.0)), Ann.L2, eps = 0.05)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val got = Ann.rangeSearchStoredSelf(sp, root, "vec_id",
+        "embedding", typedlit(Seq(0.0, 0.0)), eps = 0.05)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty && got === want,
+      s"split changed range results: got $got, want $want")
+    // redelivery still appends nothing against the re-partitioned cells
+    assert(Ann.appendRangeIndexIdempotent(sp, root,
+      appended.toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding") === 0L)
+  }
+
   test("graduation deletes uncommitted orphan files BEFORE the commit " +
       "log, so no crash point resurrects them or strands the layout") {
     val sp = spark
