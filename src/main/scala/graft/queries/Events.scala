@@ -1210,10 +1210,14 @@ object Events {
     * triggered it, so a streamed root's hot cells grew until probes
     * over-read. s19's chain runs with
     * [[graft.streaming.Stream.ingestRangeAppend]]'s new
-    * `splitMaxRows` wired to 0.9× the full-corpus average occupancy,
-    * so the policy MUST fire by stream end (pigeonhole: if no cell
-    * ever split, the max cell holds ≥ avg > 0.9·avg) — pinned via
-    * centroid count strictly above the trained `lists`. Split cells
+    * `splitMaxRows` wired the way an operator would wire it — from
+    * the OBSERVED occupancy (the r66 health signal): one below the
+    * full-corpus maximum cell, so the policy MUST fire by stream end
+    * (the max cell crosses by definition) while the near-balanced
+    * sibling cells stay put (a 0.9×-average threshold fired on all
+    * ten label cells and more than doubled the gate's cost for no
+    * extra evidence) — pinned via centroid count strictly above the
+    * trained `lists`. Split cells
     * re-pin the marker, so redelivery still appends ZERO against the
     * re-partitioned layout (the replayed rows re-assign into the
     * sub-cells where their copies now live), the grown radii stay
@@ -1241,9 +1245,14 @@ object Events {
       .select(col("vec_id"), col("embedding").cast("array<double>"),
         col("label"))
       .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
-    // SF-relative threshold: 0.9× the full-corpus average occupancy
-    // (an absolute count would mis-fire across sf0.001/0.01/0.1)
-    val maxRows = math.max(1L, (0.9 * e.count() / lists).toLong)
+    // SF-relative threshold from the observed occupancy (an absolute
+    // count would mis-fire across sf0.001/0.01/0.1): one below the
+    // full-corpus max cell, so exactly the hottest cell(s) trip it
+    val maxOcc = graft.ops.Ann
+      .assign(e, "embedding", model, graft.ops.Ann.L2)
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val maxRows = math.max(1L, maxOcc - 1)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_s29_ckpt").toString
     val input = MemoryStream[(Long, Seq[Double], Int)]
@@ -1251,7 +1260,7 @@ object Events {
       input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
       "embedding", root, ckpt, splitMaxRows = Some(maxRows))
     try {
-      val batches = 3
+      val batches = 2 // no-fire batch, then the firing one
       (0 until batches).foreach { b =>
         input.addData(rows.slice(b * rows.length / batches,
           (b + 1) * rows.length / batches): _*)
