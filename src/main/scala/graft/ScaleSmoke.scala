@@ -1321,7 +1321,9 @@ object ScaleSmoke {
     // the below-threshold policy leaves fresh/ alone, and that the
     // above-threshold trigger folds everything with identical results
     // (the s26 pin at 16×).
-    if (only.forall(_.exists("search_quantized_fresh".startsWith))) {
+    if (only.forall(o =>
+        o.exists("search_quantized_fresh".startsWith) ||
+        o.exists("search_quantized_fresh_batch".startsWith))) {
       val sfModel = ops.Ann.buildIvf(vecs, "label", "embedding")
       val mainPart = vecs.filter(col("vec_id") % 4 =!= 0)
       val freshPart = vecs.filter(col("vec_id") % 4 === 0)
@@ -1350,6 +1352,51 @@ object ScaleSmoke {
         require(hits == 10L,
           s"fresh-fraction 16x search returned $hits")
         hits
+      }
+      // The BATCH form (r87) at 16×, BEFORE the compaction fold: a
+      // query log over the live (fresh-carrying) root as ONE job.
+      // Queries drawn from two ASSIGNED cells (labels don't cluster
+      // the synthetic embeddings — cell membership does) at probes=1,
+      // so the batch's probed-cell UNION is exactly those two cells —
+      // the fresh encode-on-read input must be bounded by that union
+      // (asserted untimed below), never |fresh|.
+      val sfBatchQs = ops.Ann.assign(emb0, "embedding", sfModel,
+          ops.Ann.L2)
+        .filter(col("centroid_id").isin(0, 1)).limit(8)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .localCheckpoint(true)
+      val sfBatchN = sfBatchQs.count()
+      time("search_quantized_fresh_batch") {
+        val hits = ops.Ann.knnJoinQuantizedFresh(spark, sfDir,
+          sfBatchQs, "q_id", "qv", "vec_id", "embedding", ops.Ann.L2,
+          probes = 1, k = 10, refine = 5).count()
+        require(hits == sfBatchN * 10,
+          s"fresh batch search returned $hits of ${sfBatchN * 10}")
+        hits
+      }
+      locally { // untimed: the batch union's fresh bound
+        val storedModel = ops.Ann.IvfModel(
+          spark.read.parquet(s"$sfDir/centroids"), "centroid_id",
+          "centroid")
+        val cellCount = storedModel.centroids.count()
+        val union = sfBatchQs.collect().flatMap { r =>
+          ops.Ann.probeCells(storedModel,
+              typedlit(r.getSeq[Double](1).toSeq), ops.Ann.L2, 1)
+            .collect().map(_.getLong(0))
+        }.distinct
+        require(union.length < cellCount,
+          s"batch probe union covers every cell — pin is vacuous")
+        val fresh = spark.read.parquet(s"$sfDir/fresh")
+        val unionFresh = fresh
+          .filter(col("centroid_id").isin(union.toSeq: _*)).count()
+        val freshTotal = fresh.count()
+        require(unionFresh < freshTotal,
+          s"batch fresh encode input saw ALL $freshTotal fresh rows")
+        require(unionFresh.toDouble / freshTotal <=
+            union.length.toDouble / cellCount * 2,
+          s"batch fresh input not union-bounded: $unionFresh of " +
+            s"$freshTotal under ${union.length} of $cellCount cells")
       }
       locally { // untimed: probed-fraction bound + threshold trigger
         val storedModel = ops.Ann.IvfModel(
