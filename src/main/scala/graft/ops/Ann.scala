@@ -2200,8 +2200,53 @@ object Ann {
                    assigned: DataFrame, dId: String, dVec: String,
                    model: IvfModel, radii: DataFrame, metric: Metric,
                    eps: Double, roundTo: Int = 6): DataFrame = {
-    requireTriangleMetric(metric, "rangeJoinIvf")
+    require(eps >= 0 && !eps.isInfinite && !eps.isNaN,
+      s"rangeJoinIvf: eps must be finite and non-negative, got $eps")
+    // scalar already validated — skip the per-row probe job
+    rangeJoinIvfPerEpsImpl(
+      queries.withColumn("__eps", lit(eps)), qId, qVec, "__eps",
+      assigned, dId, dVec, model, radii, metric, roundTo,
+      validateEps = false)
+  }
+
+  /** [[rangeJoinIvf]] with a PER-QUERY radius — the calibrated form a
+    * threshold-per-item workload needs (per-document duplicate radii,
+    * per-entity match tolerances): `epsCol` carries each query row's
+    * own eps, the triangle-inequality cell cut runs against that
+    * query's radius (`dist(q, centroid) <= cell_radius + eps_q` —
+    * exact per query, the r55 soundness argument applied row-wise),
+    * and the final cut compares each pair's distance to ITS query's
+    * eps. The fixed-eps form delegates here with a literal column, so
+    * there is ONE implementation and the r57/s19 oracles pin both.
+    * Null/negative/NaN/infinite radii refuse loudly before any join
+    * (a NaN would silently drop its query; an infinity would scan
+    * every cell). Returns (qId, dId, dist) ordered per query. */
+  def rangeJoinIvfPerEps(queries: DataFrame, qId: String, qVec: String,
+                         epsCol: String, assigned: DataFrame,
+                         dId: String, dVec: String, model: IvfModel,
+                         radii: DataFrame, metric: Metric,
+                         roundTo: Int = 6): DataFrame =
+    rangeJoinIvfPerEpsImpl(queries, qId, qVec, epsCol, assigned, dId,
+      dVec, model, radii, metric, roundTo, validateEps = true)
+
+  private def rangeJoinIvfPerEpsImpl(
+      queries: DataFrame, qId: String, qVec: String, epsCol: String,
+      assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
+      radii: DataFrame, metric: Metric, roundTo: Int,
+      validateEps: Boolean): DataFrame = {
+    requireTriangleMetric(metric, "rangeJoinIvfPerEps")
     val spark = queries.sparkSession
+    val eCol = col(epsCol).cast("double")
+    if (validateEps) {
+      val badEps = queries
+        .filter(eCol.isNull || isnan(eCol) || eCol < 0 ||
+          eCol === Double.PositiveInfinity)
+        .limit(1).count()
+      require(badEps == 0L,
+        s"rangeJoinIvfPerEps: $epsCol carries a null/negative/NaN/" +
+          "infinite radius — a NaN silently drops its query, an " +
+          "infinity scans every cell")
+    }
     val rad = radii
       .select(col(model.idCol).cast("long"), col("radius").cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -2209,7 +2254,7 @@ object Ann {
       collectCentroids(model).map { case (id, c) =>
         (id, c, rad.getOrElse(id, 0.0)) })
     val slack = math.pow(10.0, -roundTo)
-    val cellsUdf = udf { (v: Seq[Double]) =>
+    val cellsUdf = udf { (v: Seq[Double], eps: Double) =>
       val varr = v.toArray
       bc.value.iterator
         .filter { case (_, c, r) =>
@@ -2218,12 +2263,12 @@ object Ann {
     }
     val probed = queries
       .withColumn(model.idCol,
-        explode(cellsUdf(col(qVec).cast("array<double>"))))
+        explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
     probed.join(assigned
         .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
       .withColumn("dist", round(metric.dist(col(qVec).cast("array<double>"),
         col(dVec).cast("array<double>")), roundTo))
-      .filter(col("dist") <= eps)
+      .filter(col("dist") <= eCol)
       .select(col(qId), col(dId), col("dist"))
       .orderBy(col(qId).asc, col("dist").asc, col(dId).asc)
   }

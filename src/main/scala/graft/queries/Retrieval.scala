@@ -1565,6 +1565,37 @@ object Retrieval {
       .select(col("q_id").as("qid"), col("d_id").as("did"), col("dist"))
   }
 
+  /** r88: PER-QUERY-radius range join ([[Ann.rangeJoinIvfPerEps]]) —
+    * the calibrated form of r57: each query row carries its OWN eps
+    * (0.8 / 1.1 / 1.4 by vec_id mod 3 — the per-item threshold a
+    * calibrated dedup or entity-match workload assigns), the
+    * triangle-inequality cell cut runs against that radius row-wise,
+    * and the final cut compares each pair's distance to its query's
+    * eps. EXACT per query (the r55 soundness argument applied
+    * row-wise), so the oracle is the index-free scan with the same
+    * per-query radius arithmetic. 40 query rows against the full
+    * corpus; q_id < d_id dedups mirror pairs under the QUERY's
+    * radius, r57's convention. */
+  def rangeJoinPerEps(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.8) + (col("vec_id") % 3).cast("double") * lit(0.3))
+          .as("eps"))
+    Ann.rangeJoinIvfPerEps(queries, "q_id", "qv", "eps", assigned,
+        "d_id", "dv", model, radii, Ann.L2)
+      .filter(col("q_id") < col("d_id"))
+      .select(col("q_id").as("qid"), col("d_id").as("did"),
+        col("dist"))
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2332,6 +2363,7 @@ object Retrieval {
     "r55_range_search" -> rangeSearchExact,
     "r56_range_ivf_stored" -> rangeIvfStored,
     "r57_range_join" -> rangeJoinSelf,
+    "r88_range_join_per_eps" -> rangeJoinPerEps,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4176,6 +4208,19 @@ object Retrieval {
          WHERE a.vec_id < b.vec_id
            AND round(list_distance(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) <= 1.2
+         ORDER BY qid ASC, dist ASC, did ASC""",
+    // r88: index-free per-query-radius replay — each query's own eps
+    // (the same IEEE 0.8 + (id % 3) * 0.3 arithmetic) decides its
+    // pairs; the IVF cut is exact per query, so the scan is the truth.
+    "r88_range_join_per_eps" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS did,
+                round(list_distance(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS dist
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+           AND round(list_distance(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6)
+               <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
          ORDER BY qid ASC, dist ASC, did ASC""",
     // r51: filtered exact top-k — the predicate composes with the
     // ordering; pushdown (the thing the gate pins) is plan-shape, not

@@ -133,6 +133,53 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("rangeJoinIvfPerEps: each query's OWN radius decides its " +
+      "pairs — per-eps slices equal the fixed-eps join, and bad " +
+      "radii refuse loudly") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    // half the queries get a tight radius, half a loose one — the
+    // loose half must see strictly more pairs than it would tightly
+    val queries = docs.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      when(col("vec_id") % 2 === 0, 0.1).otherwise(0.5).as("eps"))
+    val got = Ann.rangeJoinIvfPerEps(queries, "q_id", "qv", "eps",
+        assigned, "d_id", "dv", model, radii, Ann.L2)
+      .select("q_id", "d_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    def fixed(eps: Double, parity: Int) =
+      Ann.rangeJoinIvf(
+        queries.filter(col("q_id") % 2 === parity)
+          .select(col("q_id"), col("qv")),
+        "q_id", "qv", assigned, "d_id", "dv", model, radii, Ann.L2,
+        eps)
+      .select("q_id", "d_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = fixed(0.1, 0) ++ fixed(0.5, 1)
+    assert(got === want,
+      s"per-eps join diverged from its fixed-eps slices")
+    // the loose radius genuinely admits more (non-vacuous fixture)
+    assert(fixed(0.5, 1).size > fixed(0.1, 1).size)
+    // null / NaN / negative / infinite radii refuse before any join
+    for (bad <- Seq(lit(Double.NaN), lit(-0.1),
+        lit(Double.PositiveInfinity),
+        lit(null).cast("double"))) {
+      intercept[IllegalArgumentException] {
+        Ann.rangeJoinIvfPerEps(
+          queries.withColumn("eps", bad), "q_id", "qv", "eps",
+          assigned, "d_id", "dv", model, radii, Ann.L2).collect()
+      }
+    }
+  }
+
   test("declarative range rewrite injects the EXACT cell filter on " +
       "clustered data; unregistered columns and foreign metrics bail") {
     val sp = spark
