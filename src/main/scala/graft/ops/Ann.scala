@@ -2157,6 +2157,62 @@ object Ann {
       radii, queryVec, L2, eps, roundTo, pred)
   }
 
+  /** [[rangeJoinIvfPerEps]] over a STORED range root
+    * ([[writeRangeIndex]]) — the query-log-replay form with the
+    * at-rest pruning the in-memory join cannot have: queries collect
+    * driver-side (the knnJoin* batch contract — queries are the
+    * small side), each query's ADMITTED cells come from the stored
+    * radii under its own eps (`dist(q, centroid) <= radius + eps_q +
+    * slack` — the same cut the distributed UDF applies, so the
+    * literal union is exactly what the join can touch), and the
+    * union lands as a literal isin on the cell-partitioned `rows/`
+    * scan — whole unadmitted cell DIRECTORIES are never read
+    * (PartitionFilters, r89-pinned), then the per-eps join runs over
+    * the pruned frame unchanged. EXACT per query like the in-memory
+    * form (same radii argument); refusals inherited (bad radii
+    * refuse on the collected values, before any IO). Returns
+    * (qId, dId, dist) ordered per query. */
+  def rangeJoinIvfStored(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: DataFrame, qId: String,
+                         qVec: String, epsCol: String, dId: String,
+                         dVec: String, roundTo: Int = 6): DataFrame = {
+    val (model, radii) = loadRangeIndex(spark, dir)
+    val rad = radii
+      .select(col(model.idCol).cast("long"),
+        col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val cents = collectCentroids(model)
+    val slack = math.pow(10.0, -roundTo)
+    val qRows = queries
+      .select(col(qVec).cast("array<double>"),
+        col(epsCol).cast("double"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray,
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+    require(qRows.nonEmpty, "rangeJoinIvfStored over an empty query set")
+    require(qRows.forall { case (_, e) =>
+        e >= 0 && !e.isInfinite && !e.isNaN },
+      s"rangeJoinIvfStored: $epsCol carries a null/negative/NaN/" +
+        "infinite radius — a NaN silently drops its query, an " +
+        "infinity scans every cell")
+    val union = qRows.flatMap { case (v, eps) =>
+      cents.iterator.filter { case (cid, c) =>
+        L2.distScala(v, c) <= rad.getOrElse(cid, 0.0) + eps + slack
+      }.map(_._1)
+    }.distinct
+    val pruned = spark.read.parquet(s"$dir/rows")
+      .filter(col(model.idCol).isin(union.toSeq: _*))
+    val phys = pruned.queryExecution.executedPlan.toString
+    require(
+      s"PartitionFilters: \\[[^\\]]*${model.idCol}[^\\]]* IN ".r
+        .findFirstIn(phys).isDefined ||
+        union.isEmpty,
+      s"rangeJoinIvfStored: admitted-cell union did not become " +
+        s"PartitionFilters on the rows scan:\n$phys")
+    rangeJoinIvfPerEpsImpl(queries, qId, qVec, epsCol, pruned, dId,
+      dVec, model, radii, L2, roundTo, validateEps = false)
+  }
+
   /** COSINE range search over a stored spherical layout — the exact
     * normalized-L2 reduction [[requireTriangleMetric]] names, made
     * real: on unit vectors ‖a−b‖² = 2·cosDist(a,b), so the radii cut

@@ -1596,6 +1596,33 @@ object Retrieval {
         col("dist"))
   }
 
+  /** r89: r88 over a STORED range root ([[Ann.rangeJoinIvfStored]])
+    * — the at-rest batch form: the same 40-query per-radius log
+    * against a [[Ann.writeRangeIndex]] root, where the union of each
+    * query's ADMITTED cells (stored radii under its own eps) lands as
+    * a literal isin on the cell-partitioned rows/ scan — whole
+    * unadmitted cell directories never read; the operator asserts the
+    * PartitionFilters on every call (the matryoshka discipline).
+    * Pruning changes IO, never results, so r88's index-free oracle is
+    * shared verbatim. */
+  def rangeJoinPerEpsStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rjoin_stored").toString
+    Ann.writeRangeIndex(Ann.assign(e, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.8) + (col("vec_id") % 3).cast("double") * lit(0.3))
+          .as("eps"))
+    Ann.rangeJoinIvfStored(s, dir, queries, "q_id", "qv", "eps",
+        "vec_id", "embedding")
+      .filter(col("q_id") < col("vec_id"))
+      .select(col("q_id").as("qid"), col("vec_id").as("did"),
+        col("dist"))
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2364,6 +2391,7 @@ object Retrieval {
     "r56_range_ivf_stored" -> rangeIvfStored,
     "r57_range_join" -> rangeJoinSelf,
     "r88_range_join_per_eps" -> rangeJoinPerEps,
+    "r89_range_join_per_eps_stored" -> rangeJoinPerEpsStored,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4213,6 +4241,18 @@ object Retrieval {
     // (the same IEEE 0.8 + (id % 3) * 0.3 arithmetic) decides its
     // pairs; the IVF cut is exact per query, so the scan is the truth.
     "r88_range_join_per_eps" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS did,
+                round(list_distance(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS dist
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+           AND round(list_distance(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6)
+               <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
+         ORDER BY qid ASC, dist ASC, did ASC""",
+    // r89: the stored form prunes IO, never results — r88's oracle
+    // verbatim.
+    "r89_range_join_per_eps_stored" ->
       """SELECT a.vec_id AS qid, b.vec_id AS did,
                 round(list_distance(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) AS dist

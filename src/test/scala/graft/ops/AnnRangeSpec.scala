@@ -178,6 +178,25 @@ class AnnRangeSpec extends SparkSpecBase {
           assigned, "d_id", "dv", model, radii, Ann.L2).collect()
       }
     }
+    // the STORED form is result-identical (the admitted-cell union
+    // prunes IO, never results) and refuses bad radii on the
+    // collected values before any IO
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rjoin-st").toString
+    Ann.writeRangeIndex(
+      Ann.assign(docs, "embedding", model, Ann.L2), "embedding",
+      model, dir)
+    val gotStored = Ann.rangeJoinIvfStored(sp, dir, queries, "q_id",
+        "qv", "eps", "vec_id", "embedding")
+      .select("q_id", "vec_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotStored === want,
+      "stored per-eps join diverged from the in-memory form")
+    intercept[IllegalArgumentException] {
+      Ann.rangeJoinIvfStored(sp, dir,
+        queries.withColumn("eps", lit(-1.0)), "q_id", "qv", "eps",
+        "vec_id", "embedding")
+    }
   }
 
   test("declarative range rewrite injects the EXACT cell filter on " +
