@@ -2183,18 +2183,26 @@ object Ann {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val cents = collectCentroids(model)
     val slack = math.pow(10.0, -roundTo)
-    val qRows = queries
-      .select(col(qVec).cast("array<double>"),
-        col(epsCol).cast("double"))
-      .collect()
-      .map(r => (r.getSeq[Double](0).toArray,
-        if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
-    require(qRows.nonEmpty, "rangeJoinIvfStored over an empty query set")
+    // ONE evaluation of the query frame: the union, the eps
+    // validation, AND the join all read the same collected rows — a
+    // second evaluation of a non-deterministic input (limit/sample)
+    // could admit cells outside the pruned union and silently lose
+    // its pairs (the knnJoin* rebuild-from-collected contract)
+    val qProjected = queries
+      .select(col(qId), col(qVec).cast("array<double>").as(qVec),
+        col(epsCol).cast("double").as(epsCol))
+    val collected = qProjected.collect()
+    require(collected.nonEmpty,
+      "rangeJoinIvfStored over an empty query set")
+    val qRows = collected.map(r => (r.getSeq[Double](1).toArray,
+      if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
     require(qRows.forall { case (_, e) =>
         e >= 0 && !e.isInfinite && !e.isNaN },
       s"rangeJoinIvfStored: $epsCol carries a null/negative/NaN/" +
         "infinite radius — a NaN silently drops its query, an " +
         "infinity scans every cell")
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), qProjected.schema)
     val union = qRows.flatMap { case (v, eps) =>
       cents.iterator.filter { case (cid, c) =>
         L2.distScala(v, c) <= rad.getOrElse(cid, 0.0) + eps + slack
@@ -2203,14 +2211,19 @@ object Ann {
     val pruned = spark.read.parquet(s"$dir/rows")
       .filter(col(model.idCol).isin(union.toSeq: _*))
     val phys = pruned.queryExecution.executedPlan.toString
+    // loose pattern on purpose: Catalyst renders the literal isin as
+    // In (2-10 cells), EqualTo (1 cell), or InSet (>10 cells) — the
+    // assertPartitionPruned convention; any of the three proves the
+    // cell column reached PartitionFilters
     require(
-      s"PartitionFilters: \\[[^\\]]*${model.idCol}[^\\]]* IN ".r
+      s"PartitionFilters: \\[[^\\]]*${model.idCol}".r
         .findFirstIn(phys).isDefined ||
         union.isEmpty,
       s"rangeJoinIvfStored: admitted-cell union did not become " +
         s"PartitionFilters on the rows scan:\n$phys")
-    rangeJoinIvfPerEpsImpl(queries, qId, qVec, epsCol, pruned, dId,
-      dVec, model, radii, L2, roundTo, validateEps = false)
+    rangeJoinIvfPerEpsImpl(qLocal, qId, qVec, epsCol, pruned, dId,
+      dVec, model, radii, L2, roundTo, validateEps = false,
+      label = "rangeJoinIvfStored")
   }
 
   /** COSINE range search over a stored spherical layout — the exact
@@ -2262,7 +2275,7 @@ object Ann {
     rangeJoinIvfPerEpsImpl(
       queries.withColumn("__eps", lit(eps)), qId, qVec, "__eps",
       assigned, dId, dVec, model, radii, metric, roundTo,
-      validateEps = false)
+      validateEps = false, label = "rangeJoinIvf")
   }
 
   /** [[rangeJoinIvf]] with a PER-QUERY radius — the calibrated form a
@@ -2283,14 +2296,15 @@ object Ann {
                          radii: DataFrame, metric: Metric,
                          roundTo: Int = 6): DataFrame =
     rangeJoinIvfPerEpsImpl(queries, qId, qVec, epsCol, assigned, dId,
-      dVec, model, radii, metric, roundTo, validateEps = true)
+      dVec, model, radii, metric, roundTo, validateEps = true,
+      label = "rangeJoinIvfPerEps")
 
   private def rangeJoinIvfPerEpsImpl(
       queries: DataFrame, qId: String, qVec: String, epsCol: String,
       assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
       radii: DataFrame, metric: Metric, roundTo: Int,
-      validateEps: Boolean): DataFrame = {
-    requireTriangleMetric(metric, "rangeJoinIvfPerEps")
+      validateEps: Boolean, label: String): DataFrame = {
+    requireTriangleMetric(metric, label)
     val spark = queries.sparkSession
     val eCol = col(epsCol).cast("double")
     if (validateEps) {
@@ -2299,7 +2313,7 @@ object Ann {
           eCol === Double.PositiveInfinity)
         .limit(1).count()
       require(badEps == 0L,
-        s"rangeJoinIvfPerEps: $epsCol carries a null/negative/NaN/" +
+        s"$label: $epsCol carries a null/negative/NaN/" +
           "infinite radius — a NaN silently drops its query, an " +
           "infinity scans every cell")
     }
@@ -3716,10 +3730,21 @@ object Ann {
     val (family, _, spherical) = quantizedFamily(spark, dir)
     require(spherical == (metric == Cosine),
       s"$dir pins spherical=$spherical but the query metric is $metric")
-    val qVecs = queries.select(col(qVec).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(qVecs.nonEmpty, "knnJoinQuantizedFresh over an empty " +
+    // ONE evaluation of the query frame: the fresh-pruning union and
+    // the delegate's own probes must see the SAME rows — a second
+    // evaluation of a non-deterministic input (limit/sample) could
+    // probe a cell outside the union and silently lose its
+    // fresh-resident neighbors (top-k filled from main only); the
+    // delegate re-collects, so hand it a local frame rebuilt from
+    // this collect (the knnJoin* rebuild-from-collected contract)
+    val qProjected = queries
+      .select(col(qId), col(qVec).cast("array<double>").as(qVec))
+    val collected = qProjected.collect()
+    require(collected.nonEmpty, "knnJoinQuantizedFresh over an empty " +
       "query set")
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), qProjected.schema)
+    val qVecs = collected.map(_.getSeq[Double](1).toArray)
     // the batch's probed-cell union — the same (L2 dist, cell id)
     // sorted-take the delegate operators run per query, so the fresh
     // slice covers exactly the cells any query's own probe can reach
@@ -3745,7 +3770,7 @@ object Ann {
           .map(f => index.quantized.unionByName(
             f.select(index.quantized.columns.map(col): _*)))
           .getOrElse(index.quantized)
-        knnJoinIvfSq(queries, qId, qVec, index.copy(quantized = all),
+        knnJoinIvfSq(qLocal, qId, qVec, index.copy(quantized = all),
           dId, vecCol, metric, probes, k, rf, roundTo)
       case "pq" =>
         val index = loadIvfPq(spark, dir)
@@ -3757,10 +3782,10 @@ object Ann {
           .getOrElse(index.encoded)
         val aug = index.copy(encoded = all)
         if (metric == Cosine)
-          knnJoinIvfPqCos(queries, qId, qVec, aug, dId, vecCol,
+          knnJoinIvfPqCos(qLocal, qId, qVec, aug, dId, vecCol,
             probes, k, rf, roundTo)
         else
-          knnJoinIvfPq(queries, qId, qVec, aug, dId, vecCol,
+          knnJoinIvfPq(qLocal, qId, qVec, aug, dId, vecCol,
             probes, k, rf, roundTo)
       case _ =>
         val index = loadIvfBitq(spark, dir)
@@ -3773,7 +3798,7 @@ object Ann {
           .map(f => index.quantized.unionByName(
             f.select(index.quantized.columns.map(col): _*)))
           .getOrElse(index.quantized)
-        knnJoinIvfBitq(queries, qId, qVec, index.copy(quantized = all),
+        knnJoinIvfBitq(qLocal, qId, qVec, index.copy(quantized = all),
           dId, vecCol, metric, probes, k, refine, roundTo)
     }
   }

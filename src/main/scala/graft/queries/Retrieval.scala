@@ -3588,6 +3588,19 @@ object Retrieval {
 
   private val SparseBatchOracleSql = sparseBatchOracleSqlW("")
 
+  /** The r88/r89 oracle — index-free per-query-radius eps-join with
+    * the gates' exact IEEE radius arithmetic. */
+  private val PerEpsRangeOracleSql: String =
+    """SELECT a.vec_id AS qid, b.vec_id AS did,
+              round(list_distance(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]), 6) AS dist
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+         AND round(list_distance(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]), 6)
+             <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
+       ORDER BY qid ASC, dist ASC, did ASC"""
+
   /** r33's DuckDB replay — the batch maxsim two-phase from first
     * principles (frozen-mean cells, per-query cosine probes, phase-1
     * keep-20 by the persisted-mean dot, exact maxsim re-rank).
@@ -4237,31 +4250,13 @@ object Retrieval {
            AND round(list_distance(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) <= 1.2
          ORDER BY qid ASC, dist ASC, did ASC""",
-    // r88: index-free per-query-radius replay — each query's own eps
-    // (the same IEEE 0.8 + (id % 3) * 0.3 arithmetic) decides its
-    // pairs; the IVF cut is exact per query, so the scan is the truth.
-    "r88_range_join_per_eps" ->
-      """SELECT a.vec_id AS qid, b.vec_id AS did,
-                round(list_distance(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS dist
-         FROM embeddings a, embeddings b
-         WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
-           AND round(list_distance(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 6)
-               <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
-         ORDER BY qid ASC, dist ASC, did ASC""",
-    // r89: the stored form prunes IO, never results — r88's oracle
-    // verbatim.
-    "r89_range_join_per_eps_stored" ->
-      """SELECT a.vec_id AS qid, b.vec_id AS did,
-                round(list_distance(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS dist
-         FROM embeddings a, embeddings b
-         WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
-           AND round(list_distance(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 6)
-               <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
-         ORDER BY qid ASC, dist ASC, did ASC""",
+    // r88/r89: index-free per-query-radius replay — each query's own
+    // eps (the same IEEE 0.8 + (id % 3) * 0.3 arithmetic) decides
+    // its pairs; the IVF cut is exact per query, so the scan is the
+    // truth. ONE shared fragment: the stored form (r89) prunes IO,
+    // never results.
+    "r88_range_join_per_eps" -> PerEpsRangeOracleSql,
+    "r89_range_join_per_eps_stored" -> PerEpsRangeOracleSql,
     // r51: filtered exact top-k — the predicate composes with the
     // ordering; pushdown (the thing the gate pins) is plan-shape, not
     // semantics, so the oracle is the plain filtered scan.
