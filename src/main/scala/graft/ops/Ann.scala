@@ -1099,6 +1099,27 @@ object Ann {
     n
   }
 
+  /** [[appendIvfIdempotent]] for a GRADUATED maxsim (multivec IVF)
+    * layout — the MULTIVEC member of the graduated-root maintenance
+    * family, closing its last modality (range, composed matryoshka,
+    * BM25, sparse, dense cells, quantized fresh were the others): the
+    * at-rest maxsim layout IS an IVF layout over the persisted
+    * token-mean (`Stream.ingestMaxsim`'s delegation, at rest), so the
+    * append computes the SAME summarized mean ([[tokenMeanCol]],
+    * identical dim and rounding — the one transform both build and
+    * query paths share) and delegates with the family's pinned
+    * spherical assignment (cosine, `buildMaxsimIvf`'s convention).
+    * Id-keyed replay-safe; marker-must-exist, retrained-model and
+    * mixed-schema refusals all inherited. Returns rows appended. */
+  def appendMaxsimIdempotent(spark: org.apache.spark.sql.SparkSession,
+                             path: String, model: IvfModel,
+                             newDocs: DataFrame, idCol: String,
+                             mvCol: String, dim: Int,
+                             meanCol: String = "mv_mean"): Long =
+    appendIvfIdempotent(spark, path, model,
+      newDocs.withColumn(meanCol, tokenMeanCol(col(mvCol), dim)),
+      idCol, meanCol, Cosine)
+
   /** Deterministic digest of a model's centroid set (id-sorted, exact
     * double rendering) — the identity a GROWING layout must pin: rows
     * assigned under two different models mixed in one cell-partitioned

@@ -1298,7 +1298,81 @@ object Events {
       .select("vec_id", "dist")
   }
 
+  /** s30: streamed MAINTENANCE of a GRADUATED maxsim layout — the
+    * multivec member closing the graduated-root append family's last
+    * modality (s19 range, s21 composed, s22 BM25, s23 sparse, s24
+    * dense, s25-s27 quantized fresh): the root is batch-built from
+    * the EVEN half of s11's corpus under the full-corpus label-mean
+    * model (the offline seat — an ingest model always predates the
+    * stream), the odd half streams through
+    * [[graft.streaming.Stream.ingestMaxsimAppend]] (per-batch
+    * token-mean summarization + spherical assignment + id-keyed
+    * replay-safe append), a redelivered batch appends ZERO, and
+    * s11's exact two-phase read answers r26's oracle verbatim —
+    * grown equals built for the multivec family too. */
+  def streamMaxsimAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.select(col("vec_id"), col("label"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"))
+    val withMean = docs.withColumn("mv_mean",
+      graft.ops.Ann.tokenMeanCol(col("vecs"), dim))
+    val model = graft.ops.Ann.buildIvf(withMean, "label", "mv_mean")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s30_dir").toString
+    // graduated root from the even half: the same columns
+    // ingestMaxsim lands (id, vecs, mean) + the cell partition
+    graft.ops.Ann.writePartitioned(
+      graft.ops.Ann.assign(
+        withMean.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("vecs"), col("mv_mean")),
+        "mv_mean", model, graft.ops.Ann.Cosine), dir)
+    graft.ops.Ann.ensureIvfModelMarker(s, dir, model)
+    val rows = docs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("vecs"))
+      .as[(Long, Seq[Seq[Double]])].collect().toSeq.sortBy(_._1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s30_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Seq[Double]])]
+    val q = graft.streaming.Stream.ingestMaxsimAppend(
+      input.toDF().toDF("vec_id", "vecs"), "vec_id", "vecs", dim,
+      model, dir, ckpt)
+    try {
+      val batches = 3
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // redelivery appends ZERO (id-keyed replay safety)
+    val dup = graft.ops.Ann.appendMaxsimIdempotent(s, dir, model,
+      rows.take(rows.length / 3).toDF("vec_id", "vecs"), "vec_id",
+      "vecs", dim)
+    require(dup == 0L,
+      s"s30: replayed batch appended $dup rows — append not replay-safe")
+    val stored = s.read.parquet(dir)
+    require(stored.count() == docs.count(),
+      "s30: grown root does not hold the full corpus")
+    val cand = graft.ops.Ann.maxsimCandidatesIvf(stored, "vec_id",
+      "mv_mean", model, qts, n = 20, probes = 3)
+    stored.join(cand, Seq("vec_id"), "left_semi")
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_stream_maxsim_append" -> streamMaxsimAppend,
     "s29_stream_range_split" -> streamRangeSplit,
     "s27_stream_bitq_append" -> streamBitqAppend,
     "s25_stream_pq_append" -> streamPqAppend,
@@ -1454,6 +1528,9 @@ object Events {
     // (persisted means, label-mean centroids, cosine assignment +
     // probes, phase-1 within probed cells, exact maxsim re-rank)
     "s11_stream_maxsim_twin" -> Retrieval.oracles("r26_maxsim_ivf"),
+    // s30: grown equals built — the appended multivec root answers
+    // the same first-principles maxsim-IVF oracle as s11/r26.
+    "s30_stream_maxsim_append" -> Retrieval.oracles("r26_maxsim_ivf"),
     // s14: the streamed-then-compacted 1-bit layout must be
     // byte-identical to the batch index; r14's oracle is shared.
     "s14_stream_bitq_twin" -> Retrieval.oracles("r14_ivf_bitq_topk"),

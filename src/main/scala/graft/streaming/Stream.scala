@@ -477,6 +477,39 @@ object Stream {
       .start()
   }
 
+  /** Continuous APPEND into a GRADUATED maxsim (multivec IVF) layout
+    * — the MULTIVEC member of the graduated-root maintenance family,
+    * closing its last modality: [[ingestMaxsim]] grows a fresh
+    * commit-log dir, but a graduated ([[compactStored]]) layout is
+    * batch, so continued growth runs as foreachBatch over the
+    * id-keyed replay-safe
+    * [[graft.ops.Ann.appendMaxsimIdempotent]] (per-batch token-mean
+    * summarization under the layout's own dim + the pinned spherical
+    * assignment). Fails at START, not first batch, when `path`
+    * carries no pinned IVF model marker or the caller's model is a
+    * retrain. */
+  def ingestMaxsimAppend(docs: DataFrame, idCol: String,
+                         mvCol: String, dim: Int,
+                         model: graft.ops.Ann.IvfModel, path: String,
+                         checkpoint: String,
+                         meanCol: String = "mv_mean")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    if (graft.ops.Ann.readIvfModelMarker(spark, path).isEmpty)
+      throw new IllegalStateException(
+        s"ingestMaxsimAppend: $path has no IVF model marker — not a " +
+          "pinned maxsim layout (ensureIvfModelMarker at build time)")
+    graft.ops.Ann.ensureIvfModelMarker(spark, path, model)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Ann.appendMaxsimIdempotent(spark, path, model,
+          batch, idCol, mvCol, dim, meanCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous APPEND into a GRADUATED BM25 postings layout — the
     * keyword member of the graduated-root maintenance family
     * ([[ingestRangeAppend]]'s pattern): [[ingestBm25]] grows a fresh
