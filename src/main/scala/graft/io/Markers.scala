@@ -42,4 +42,15 @@ object Markers {
     val p = new org.apache.hadoop.fs.Path(dir, name)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Remove a marker (no-op when absent) — the closing half of a
+    * pending-operation protocol: written before a multi-step commit,
+    * removed after its last step, so a crash leaves the marker and
+    * readers refuse until the operation re-runs to completion. */
+  def remove(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    ()
+  }
 }

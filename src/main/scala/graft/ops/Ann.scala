@@ -2121,6 +2121,184 @@ object Ann {
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
+  private val MergePendingMarker = "_graft_merge_pending"
+
+  /** Refuse reads of a range root mid-merge: between the pending
+    * marker's write and the merge's last step, rows are in flight
+    * between live cell directories — a read could see a row twice or
+    * not at all, so the contract is LOUD, never wrong: readers throw
+    * until [[mergeUnderfullCells]] re-runs to completion (every step
+    * after the marker is idempotent). */
+  private def requireNoPendingMerge(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (graft.io.Markers.exists(spark, dir, MergePendingMarker))
+      throw new IllegalStateException(
+        s"$dir has a torn cell merge in flight " +
+          s"($MergePendingMarker present) — rows may be mid-move " +
+          "between cell directories; re-run mergeUnderfullCells on " +
+          "this root to complete it before reading")
+
+  /** MERGE underfull cells into their surviving neighbors — the
+    * complement actuator to [[splitOverfullCells]] for the r66 health
+    * signal's other tail: deletes drain cells, and at 100 TB a layout
+    * riddled with near-empty cells pays probe arithmetic and
+    * small-file overhead for directories that no longer earn their
+    * keep. Every cell holding FEWER than `minRows` rows (empty cells
+    * included) is dissolved: its centroid leaves the model and its
+    * rows RE-ASSIGN under the reduced model (each row to its true
+    * nearest surviving centroid — not blanket-absorbed into one
+    * neighbor, so the IVF invariant `row lives in its argmin cell`
+    * holds exactly), receiving cells' radii grow FIRST (inert,
+    * sound), and results are INVARIANT (r90's oracle pin).
+    *
+    * Crash-safety is the resumable-commit protocol: radii grow and
+    * rows stage UNREFERENCED before the pending marker lands; every
+    * step after the marker (centroid swap, staged-file moves, doomed
+    * dir deletes, radii cleanup, marker removal) is idempotent, and
+    * ALL range-root readers refuse while the marker exists
+    * ([[requireNoPendingMerge]] in [[loadRangeIndex]]) — a torn merge
+    * is loud, never silently duplicated or dropped rows; re-running
+    * this op completes it. Refuses when EVERY cell is underfull
+    * (nothing to merge into — retrain instead). Returns
+    * dissolved cell id → rows it held. */
+  def mergeUnderfullCells(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, vecCol: String,
+                          minRows: Long): Map[Long, Long] = {
+    require(minRows > 0,
+      s"mergeUnderfullCells: minRows must be positive, got $minRows")
+    completePendingMerge(spark, dir) // finish a torn run first
+    val (model, radii) = loadRangeIndex(spark, dir)
+    ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
+    val rows = spark.read.parquet(s"$dir/rows")
+    // occupancy INCLUDING zero-row cells (groupBy alone drops them)
+    val occ = rows.groupBy(col(model.idCol).cast("long").as("__cid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counts = model.centroids
+      .select(col(model.idCol).cast("long"))
+      .collect().map(_.getLong(0))
+      .map(cid => (cid, occ.getOrElse(cid, 0L))).toMap
+    val flagged = counts.filter(_._2 < minRows).keys.toSeq.sorted
+    if (flagged.isEmpty) return Map.empty
+    require(flagged.size < counts.size,
+      s"mergeUnderfullCells: every cell of $dir is below " +
+        s"minRows=$minRows — nothing to merge into; retrain the " +
+        "index instead")
+    val remaining = model.centroids
+      .filter(!col(model.idCol).cast("long").isin(flagged: _*))
+      .localCheckpoint(true)
+    val reduced = IvfModel(remaining, model.idCol, model.vecCol)
+    // rows to move: partition-pruned read of ONLY the doomed dirs,
+    // re-assigned under the reduced model; localCheckpoint severs the
+    // lineage from directories the completion will delete
+    val moving = assign(
+      rows.filter(col(model.idCol).isin(flagged: _*))
+        .drop(model.idCol),
+      vecCol, reduced, L2).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+      fs.delete(cur, true)
+      require(fs.rename(next, cur),
+        s"mergeUnderfullCells: rename $next -> $cur failed")
+    }
+    if (moving.limit(1).count() > 0) {
+      // 1) receiving radii grow FIRST (inert while doomed centroids
+      //    still exist — the r67 soundness order)
+      val incoming = cellRadii(moving, vecCol, reduced, L2)
+        .withColumnRenamed("radius", "__inc")
+      swap(radii.select(col(model.idCol), col("radius"))
+        .join(incoming, Seq(model.idCol), "left")
+        .withColumn("radius",
+          greatest(col("radius"), coalesce(col("__inc"), col("radius"))))
+        .select(col(model.idCol), col("radius")), "radii")
+      // 2) stage the moving rows UNREFERENCED (rows_merge is not part
+      //    of the layout until completion moves its files)
+      moving.write.mode("overwrite").partitionBy(model.idCol)
+        .parquet(s"$dir/rows_merge")
+    } else
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rows_merge"), true)
+    // 3) the commit point: pending marker ON — readers refuse from
+    //    here until completion's last step removes it
+    graft.io.Markers.write(spark, dir, MergePendingMarker,
+      flagged.mkString(","))
+    completePendingMerge(spark, dir)
+    flagged.map(c => c -> counts(c)).toMap
+  }
+
+  /** The idempotent back half of [[mergeUnderfullCells]] — every step
+    * re-runs safely, so a crash anywhere after the pending marker is
+    * healed by calling the merge again: (a) centroids := current
+    * minus the marker's doomed cells and the model fingerprint
+    * re-pins (doomed dirs become inert orphans — no query admits
+    * them), (b) staged files move into the receiving cell
+    * directories, (c) doomed dirs delete, (d) doomed radii rows
+    * drop, (e) the marker lifts. Reads parquet directly — this runs
+    * precisely when [[loadRangeIndex]] refuses. */
+  private def completePendingMerge(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val pending = graft.io.Markers.read(spark, dir, MergePendingMarker)
+    if (pending.isEmpty) return
+    val flagged = pending.get.split(",").filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+      fs.delete(cur, true)
+      require(fs.rename(next, cur),
+        s"completePendingMerge: rename $next -> $cur failed")
+    }
+    // (a) commit the reduced model (idempotent: filtering an
+    //     already-reduced centroid table is a no-op) + re-pin
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val remaining = cents
+      .filter(!col("centroid_id").cast("long").isin(flagged: _*))
+      .localCheckpoint(true)
+    require(remaining.limit(1).count() > 0,
+      s"completePendingMerge: merge would leave $dir with no cells")
+    swap(remaining, "centroids")
+    graft.io.Markers.write(spark, dir, IvfModelMarker,
+      modelFingerprint(IvfModel(remaining, "centroid_id", "centroid")))
+    // (b) move staged files into the receiving dirs (rename is
+    //     atomic per file; a half-moved staging resumes cleanly)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/rows_merge")
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).filter(_.isDirectory).foreach { cellDir =>
+        val dest = new org.apache.hadoop.fs.Path(
+          s"$dir/rows/${cellDir.getPath.getName}")
+        fs.mkdirs(dest)
+        fs.listStatus(cellDir.getPath)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val to = new org.apache.hadoop.fs.Path(dest,
+              f.getPath.getName)
+            if (fs.exists(to)) fs.delete(f.getPath, false)
+            else require(fs.rename(f.getPath, to),
+              s"completePendingMerge: rename ${f.getPath} -> $to failed")
+          }
+      }
+      fs.delete(staging, true)
+    }
+    // (c) doomed dirs out
+    flagged.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/rows/centroid_id=$c"), true)
+    }
+    // (d) doomed radii rows out
+    swap(spark.read.parquet(s"$dir/radii")
+      .filter(!col("centroid_id").cast("long").isin(flagged: _*))
+      .select(col("centroid_id"), col("radius"))
+      .localCheckpoint(true), "radii")
+    // (e) lift the refusal
+    graft.io.Markers.remove(spark, dir, MergePendingMarker)
+  }
+
   /** Index-health audit of a [[writeRangeIndex]] root: per cell, the
     * row count, stored pruning radius, and mean distance to the
     * centroid — the rebalance signal an operator watches at 100 TB
@@ -2160,10 +2338,12 @@ object Ann {
 
   /** Load a [[writeRangeIndex]] layout: (model, radii). */
   def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): (IvfModel, DataFrame) =
+                     dir: String): (IvfModel, DataFrame) = {
+    requireNoPendingMerge(spark, dir)
     (IvfModel(spark.read.parquet(s"$dir/centroids"), "centroid_id",
       "centroid"),
       spark.read.parquet(s"$dir/radii"))
+  }
 
   /** [[rangeSearchIvfStored]] over a self-contained
     * [[writeRangeIndex]] root — model and radii come from the layout

@@ -2248,6 +2248,57 @@ object Retrieval {
     df
   }
 
+  /** r90: MERGE of underfull cells ([[Ann.mergeUnderfullCells]]) —
+    * the complement actuator to r69's split for the r66 health
+    * signal's other tail: an S6 delete drains ASSIGNED cell 4 to a
+    * third of its size (cell membership, not labels — the synthetic
+    * embeddings don't cluster by label, the smoke-row lesson), the
+    * half-average threshold flags exactly that cell, its centroid
+    * dissolves and its surviving rows RE-ASSIGN to their true
+    * nearest surviving cells (the IVF invariant holds row-wise,
+    * never blanket-absorbed into one neighbor). The oracle is the
+    * post-delete exact scan at an everything-admitting eps over the
+    * label-IVF assignment replay — every surviving row, the moved
+    * ones included, must reappear at its exact distance, so a merge
+    * that drops, duplicates, or mis-homes even one row hash-fails.
+    * In-gate pins: exactly cell 4 merged, cell count shrank, ≥1
+    * moved (cell-4 survivor) row in the result, doomed dir gone. */
+  def rangeCellMerge(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_merge").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val lists = model.centroids.count()
+    val cell4 = assigned.filter(col("centroid_id") === 4)
+      .select(col("vec_id")).localCheckpoint(true)
+    val doomed = cell4.filter(col("vec_id") % 3 =!= 0)
+    val removed = Ann.deleteStoredIds(s, s"$dir/rows", "vec_id", doomed)
+    require(removed > 0, "r90 vacuous: the S6 delete removed nothing")
+    // SF-relative threshold (half-average, floor 3 so the drained
+    // cell is flagged even at sf0.001's ~2 survivors); cell 4 must be
+    // among the flagged — a naturally tiny sibling cell may merge
+    // with it at small SFs, which only strengthens the oracle pin
+    val minRows = math.max(3L,
+      s.read.parquet(s"$dir/rows").count() / lists / 2)
+    val merged = Ann.mergeUnderfullCells(s, dir, "embedding", minRows)
+    require(merged.contains(4L),
+      s"r90: the drained cell 4 did not merge, got ${merged.keySet}")
+    val cellsNow = Ann.indexHealth(s, dir, "embedding").count()
+    require(cellsNow == lists - merged.size,
+      s"r90: merge left $cellsNow cells, wanted ${lists - merged.size}")
+    require(!new java.io.File(s"$dir/rows/centroid_id=4").exists(),
+      "r90: the dissolved cell's directory survived")
+    val df = Ann.rangeSearchStoredSelf(s, dir, "vec_id", "embedding",
+        qvec(s, d, 9), eps = 10.0)
+      .select("vec_id", "dist")
+    require(df.join(cell4.filter(col("vec_id") % 3 === 0),
+        Seq("vec_id"), "left_semi").limit(1).count() > 0,
+      "r90 vacuous: no moved (cell-4 survivor) row in the result")
+    df
+  }
+
   /** r65: the eps-join AT REST — r57's batch shape over a
     * self-contained [[Ann.writeRangeIndex]] root: each query explodes
     * to its ball-intersecting cells (broadcast (centroid, radius)
@@ -2365,6 +2416,7 @@ object Retrieval {
     "r65_range_join_stored" -> rangeJoinStored,
     "r64_range_stored_self" -> rangeStoredSelf,
     "r69_cell_split" -> rangeCellSplit,
+    "r90_cell_merge" -> rangeCellMerge,
     "r70_matryoshka_topk" -> matryoshkaTopk,
     "r71_matryoshka_stored" -> matryoshkaStored,
     "r72_sql_surface" -> sqlSurfaceTopk,
@@ -4230,6 +4282,20 @@ object Retrieval {
     // r69: a cell split re-partitions bytes, never rows — the oracle
     // is r64's verbatim; any divergence after the split IS the bug.
     "r69_cell_split" -> RangeExactOracleSql,
+    // r90: post-delete exact scan at an everything-admitting eps over
+    // the label-IVF assignment replay — every surviving row (the
+    // cell-4 survivors included) must reappear at its exact distance
+    // through the merged layout.
+    "r90_cell_merge" ->
+      s"""WITH $LabelIvfCtes
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv9), 6)
+                   AS dist
+          FROM assigned a
+          WHERE NOT (a.centroid_id = 4 AND a.vec_id % 3 <> 0)
+            AND round(list_distance(a.embedding::DOUBLE[], $qv9), 6)
+                <= 10.0
+          ORDER BY dist ASC, vec_id ASC""",
     // r70: both matryoshka phases from first principles — the prefix
     // cut (top-50 by L2 over coordinates 1..8, ties id asc) and the
     // full-precision re-score, each rounded before its ordering.

@@ -381,6 +381,72 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(Ann.splitOverfullCells(sp, dir2, "embedding", 10L).isEmpty)
   }
 
+  test("mergeUnderfullCells: drained cells dissolve, their rows " +
+      "re-home to true nearest survivors, results invariant; a torn " +
+      "merge refuses reads and re-running completes it; an " +
+      "all-underfull merge refuses") {
+    val sp = spark
+    import sp.implicits._
+    // cluster 2 drained to 2 rows (ids 2 and 5 only)
+    val docs = clustered(sp).filter(col("vec_id") < 6 ||
+      col("vec_id") % 3 =!= 2)
+    val model = Ann.buildIvf(clustered(sp), "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-merge").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    val wantAll = Ann.rangeSearch(docs, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), Ann.L2, eps = 99.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val merged = Ann.mergeUnderfullCells(sp, dir, "embedding",
+      minRows = 5)
+    assert(merged.keySet === Set(2L) && merged(2L) === 2L,
+      s"expected cell 2 (2 rows) to dissolve, got $merged")
+    val (m2, radii2) = Ann.loadRangeIndex(sp, dir)
+    assert(m2.centroids.count() === 2L)
+    assert(radii2.count() === 2L, "doomed radii row survived")
+    assert(!new java.io.File(s"$dir/rows/centroid_id=2").exists())
+    // results invariant at an everything-admitting eps: every row,
+    // the re-homed two included, at its exact distance
+    val got = Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), eps = 99.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === wantAll, "merge changed range results")
+    // the re-homed rows live in their TRUE nearest surviving cell
+    val rehomed = sp.read.parquet(s"$dir/rows")
+      .filter(col("vec_id").isin(2L, 5L))
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expect = Ann.assign(docs.filter(col("vec_id").isin(2L, 5L)),
+        "embedding", m2, Ann.L2)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rehomed === expect, "moved rows not in their argmin cells")
+    // nothing left to merge: second run is a no-op
+    assert(Ann.mergeUnderfullCells(sp, dir, "embedding", 5).isEmpty)
+    // post-merge append works under the root's (reduced) own model
+    assert(Ann.appendRangeIndexIdempotent(sp, dir,
+      Seq((500L, Seq(0.3, 0.1), 0)).toDF("vec_id", "embedding",
+        "cluster"), "vec_id", "embedding") === 1L)
+    // torn merge: a pending marker refuses EVERY reader loudly...
+    graft.io.Markers.write(sp, dir, "_graft_merge_pending", "")
+    intercept[IllegalStateException] {
+      Ann.loadRangeIndex(sp, dir)
+    }
+    intercept[IllegalStateException] {
+      Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), eps = 1.0).collect()
+    }
+    // ...and re-running the merge completes it and lifts the refusal
+    Ann.mergeUnderfullCells(sp, dir, "embedding", 5)
+    assert(Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), eps = 99.0).count() > 0)
+    // an all-underfull threshold refuses (nothing to merge into)
+    intercept[IllegalArgumentException] {
+      Ann.mergeUnderfullCells(sp, dir, "embedding", 1000000L)
+    }
+  }
+
   test("cosine radii are refused (not a metric); the spherical " +
       "reduction is exact and prunes on angularly-clustered data") {
     val sp = spark
