@@ -2033,6 +2033,13 @@ object Ann {
   def splitOverfullCells(spark: org.apache.spark.sql.SparkSession,
                          dir: String, vecCol: String, maxRows: Long,
                          iters: Int = 2): Map[Long, Seq[Long]] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore a side table stranded by a prior split's crashed swap
+    // BEFORE reading (the merge discipline — the old delete-then-
+    // rename closure could leave centroids/radii missing)
+    healSideTableSwap(fs, dir, "centroids")
+    healSideTableSwap(fs, dir, "radii")
     val (model, radii) = loadRangeIndex(spark, dir)
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/rows")
@@ -2046,16 +2053,8 @@ object Ann {
     if (flagged.isEmpty) return Map.empty
     var nextId = model.centroids
       .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
-      fs.delete(cur, true)
-      require(fs.rename(next, cur),
-        s"splitOverfullCells: rename $next -> $cur failed")
-    }
+    def swap(df: DataFrame, name: String): Unit =
+      swapSideTable(fs, dir, name, df)
     val splits = flagged.flatMap { cell =>
       val cellRows = rows.filter(col(model.idCol) === cell)
         .drop(model.idCol)
@@ -2123,6 +2122,47 @@ object Ann {
 
   private val MergePendingMarker = "_graft_merge_pending"
 
+  /** Self-healing side-table swap (centroids/radii) — the rename-aside
+    * order ([[swapFlatDir]]'s), SHARED by split and merge so the
+    * crash-recovery story cannot drift across the three former
+    * hand-rolled closures: staged copy lands fully in `name_next`
+    * BEFORE the live copy moves aside, so no window destroys the only
+    * copy (the old delete-then-rename order bricked the root if the
+    * JVM died between the delete and the rename). Recovery is
+    * [[healSideTableSwap]], run by every entry point before its first
+    * read. */
+  private def swapSideTable(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, name: String,
+                            df: DataFrame): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/${name}_next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/${name}__old")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
+    require(fs.rename(cur, old), s"swapSideTable: $cur -> $old failed")
+    require(fs.rename(next, cur),
+      s"swapSideTable: $next -> $cur failed (live copy is at $old)")
+    fs.delete(old, true)
+  }
+
+  /** Restore a side table stranded by a crash inside
+    * [[swapSideTable]]: live missing + `__old` present ⇒ the crash
+    * fell between the two renames — the aside copy IS the
+    * authoritative table, move it back (the staged `_next` is rebuilt
+    * from it by the re-run); live present + `__old` present ⇒ the
+    * crash fell before the final cleanup — the swap completed, drop
+    * the leftover. Idempotent; a no-op on healthy layouts. */
+  private def healSideTableSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, name: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/${name}__old")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur),
+        s"healSideTableSwap: restoring $old -> $cur failed")
+    else if (fs.exists(old)) fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_next"), true)
+    ()
+  }
+
   /** Refuse reads of a range root mid-merge: between the pending
     * marker's write and the merge's last step, rows are in flight
     * between live cell directories — a read could see a row twice or
@@ -2179,7 +2219,15 @@ object Ann {
       .collect().map(_.getLong(0))
       .map(cid => (cid, occ.getOrElse(cid, 0L))).toMap
     val flagged = counts.filter(_._2 < minRows).keys.toSeq.sorted
-    if (flagged.isEmpty) return Map.empty
+    if (flagged.isEmpty) {
+      // a pre-marker crash may have left an unreferenced rows_merge
+      // staging behind; without this, a layout whose cells all grew
+      // back above minRows would leak that stale copy forever
+      new org.apache.hadoop.fs.Path(s"$dir/rows_merge")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/rows_merge"), true)
+      return Map.empty
+    }
     require(flagged.size < counts.size,
       s"mergeUnderfullCells: every cell of $dir is below " +
         s"minRows=$minRows — nothing to merge into; retrain the " +
@@ -2197,24 +2245,18 @@ object Ann {
       vecCol, reduced, L2).localCheckpoint(true)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
-      fs.delete(cur, true)
-      require(fs.rename(next, cur),
-        s"mergeUnderfullCells: rename $next -> $cur failed")
-    }
     if (moving.limit(1).count() > 0) {
       // 1) receiving radii grow FIRST (inert while doomed centroids
       //    still exist — the r67 soundness order)
       val incoming = cellRadii(moving, vecCol, reduced, L2)
         .withColumnRenamed("radius", "__inc")
-      swap(radii.select(col(model.idCol), col("radius"))
-        .join(incoming, Seq(model.idCol), "left")
-        .withColumn("radius",
-          greatest(col("radius"), coalesce(col("__inc"), col("radius"))))
-        .select(col(model.idCol), col("radius")), "radii")
+      swapSideTable(fs, dir, "radii",
+        radii.select(col(model.idCol), col("radius"))
+          .join(incoming, Seq(model.idCol), "left")
+          .withColumn("radius",
+            greatest(col("radius"),
+              coalesce(col("__inc"), col("radius"))))
+          .select(col(model.idCol), col("radius")))
       // 2) stage the moving rows UNREFERENCED (rows_merge is not part
       //    of the layout until completion moves its files)
       moving.write.mode("overwrite").partitionBy(model.idCol)
@@ -2240,20 +2282,19 @@ object Ann {
     * precisely when [[loadRangeIndex]] refuses. */
   private def completePendingMerge(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal BEFORE the marker check and before any parquet read: a
+    // crash inside either side table's swap (marker or no marker —
+    // the radii growth swaps pre-marker) leaves the authoritative
+    // copy aside as `__old`, and reading the missing live path would
+    // otherwise fail every re-run, breaking the re-run-heals contract
+    healSideTableSwap(fs, dir, "centroids")
+    healSideTableSwap(fs, dir, "radii")
     val pending = graft.io.Markers.read(spark, dir, MergePendingMarker)
     if (pending.isEmpty) return
     val flagged = pending.get.split(",").filter(_.nonEmpty)
       .map(_.toLong).toSeq
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dir/${name}_next")
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
-      fs.delete(cur, true)
-      require(fs.rename(next, cur),
-        s"completePendingMerge: rename $next -> $cur failed")
-    }
     // (a) commit the reduced model (idempotent: filtering an
     //     already-reduced centroid table is a no-op) + re-pin
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -2262,7 +2303,7 @@ object Ann {
       .localCheckpoint(true)
     require(remaining.limit(1).count() > 0,
       s"completePendingMerge: merge would leave $dir with no cells")
-    swap(remaining, "centroids")
+    swapSideTable(fs, dir, "centroids", remaining)
     graft.io.Markers.write(spark, dir, IvfModelMarker,
       modelFingerprint(IvfModel(remaining, "centroid_id", "centroid")))
     // (b) move staged files into the receiving dirs (rename is
@@ -2291,10 +2332,11 @@ object Ann {
         s"$dir/rows/centroid_id=$c"), true)
     }
     // (d) doomed radii rows out
-    swap(spark.read.parquet(s"$dir/radii")
-      .filter(!col("centroid_id").cast("long").isin(flagged: _*))
-      .select(col("centroid_id"), col("radius"))
-      .localCheckpoint(true), "radii")
+    swapSideTable(fs, dir, "radii",
+      spark.read.parquet(s"$dir/radii")
+        .filter(!col("centroid_id").cast("long").isin(flagged: _*))
+        .select(col("centroid_id"), col("radius"))
+        .localCheckpoint(true))
     // (e) lift the refusal
     graft.io.Markers.remove(spark, dir, MergePendingMarker)
   }
@@ -4357,6 +4399,13 @@ object Ann {
                                path: String, cellCol: String,
                                doomed: DataFrame => DataFrame,
                                survivors: DataFrame => DataFrame): Long = {
+    // a range root mid-merge has rows staged OUTSIDE this path
+    // (rows_merge) — a delete here could not see those copies and a
+    // later merge completion would resurrect the deleted rows; the
+    // marker lives in the layout's parent (no-op for non-range
+    // layouts, which never carry it)
+    Option(new org.apache.hadoop.fs.Path(path).getParent)
+      .foreach(p => requireNoPendingMerge(spark, p.toString))
     requireBatchLayout(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

@@ -493,22 +493,15 @@ object Stream {
                          model: graft.ops.Ann.IvfModel, path: String,
                          checkpoint: String,
                          meanCol: String = "mv_mean")
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = docs.sparkSession
-    if (graft.ops.Ann.readIvfModelMarker(spark, path).isEmpty)
-      throw new IllegalStateException(
-        s"ingestMaxsimAppend: $path has no IVF model marker — not a " +
-          "pinned maxsim layout (ensureIvfModelMarker at build time)")
-    graft.ops.Ann.ensureIvfModelMarker(spark, path, model)
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Ann.appendMaxsimIdempotent(spark, path, model,
-          batch, idCol, mvCol, dim, meanCol)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    // ONE delegation, the ingestMaxsim-over-ingestIvf shape: the
+    // summarized mean rides the streaming frame, and the start-time
+    // refusals + per-batch idempotent append are the dense member's
+    // verbatim (a second copy of that logic would drift)
+    ingestIvfAppend(
+      docs.withColumn(meanCol,
+        graft.ops.Ann.tokenMeanCol(col(mvCol), dim)),
+      idCol, meanCol, model, graft.ops.Ann.Cosine, path, checkpoint)
 
   /** Continuous APPEND into a GRADUATED BM25 postings layout — the
     * keyword member of the graduated-root maintenance family

@@ -428,23 +428,67 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(Ann.appendRangeIndexIdempotent(sp, dir,
       Seq((500L, Seq(0.3, 0.1), 0)).toDF("vec_id", "embedding",
         "cluster"), "vec_id", "embedding") === 1L)
-    // torn merge: a pending marker refuses EVERY reader loudly...
-    graft.io.Markers.write(sp, dir, "_graft_merge_pending", "")
-    intercept[IllegalStateException] {
-      Ann.loadRangeIndex(sp, dir)
-    }
-    intercept[IllegalStateException] {
-      Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
-        typedlit(Seq(0.0, 10.0)), eps = 1.0).collect()
-    }
-    // ...and re-running the merge completes it and lifts the refusal
-    Ann.mergeUnderfullCells(sp, dir, "embedding", 5)
-    assert(Ann.rangeSearchStoredSelf(sp, dir, "vec_id", "embedding",
-        typedlit(Seq(0.0, 10.0)), eps = 99.0).count() > 0)
     // an all-underfull threshold refuses (nothing to merge into)
     intercept[IllegalArgumentException] {
       Ann.mergeUnderfullCells(sp, dir, "embedding", 1000000L)
     }
+
+    // --- a GENUINELY torn merge on a second root: crash right after
+    // the pending marker — rows staged, centroids/doomed dir/radii
+    // untouched. Readers (and deletes) must refuse; ONE re-run must
+    // complete every back-half step from this state.
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-range-merge-torn").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir2)
+    val reduced = Ann.IvfModel(
+      model.centroids.filter(col("centroid_id") =!= 2)
+        .localCheckpoint(true), "centroid_id", "centroid")
+    Ann.assign(
+        sp.read.parquet(s"$dir2/rows")
+          .filter(col("centroid_id") === 2).drop("centroid_id"),
+        "embedding", reduced, Ann.L2)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir2/rows_merge")
+    graft.io.Markers.write(sp, dir2, "_graft_merge_pending", "2")
+    intercept[IllegalStateException] {
+      Ann.loadRangeIndex(sp, dir2)
+    }
+    intercept[IllegalStateException] {
+      Ann.rangeSearchStoredSelf(sp, dir2, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), eps = 1.0).collect()
+    }
+    // a delete against the torn root must refuse too — it cannot see
+    // the staged copies, and completion would resurrect its victims
+    intercept[IllegalStateException] {
+      Ann.deleteStoredIds(sp, s"$dir2/rows", "vec_id",
+        Seq(2L).toDF("vec_id"))
+    }
+    // one re-run heals: reduced model committed, staged rows moved,
+    // doomed dir gone, radii pruned, marker lifted, results exact
+    // (eps 99 admits every cell, so the sim's un-grown radii — the
+    // real op grows them pre-marker — don't mask the row moves)
+    Ann.mergeUnderfullCells(sp, dir2, "embedding", 5)
+    val (m3, radii3) = Ann.loadRangeIndex(sp, dir2)
+    assert(m3.centroids.count() === 2L && radii3.count() === 2L)
+    assert(!new java.io.File(s"$dir2/rows/centroid_id=2").exists())
+    assert(!new java.io.File(s"$dir2/rows_merge").exists())
+    val healed = Ann.rangeSearchStoredSelf(sp, dir2, "vec_id",
+        "embedding", typedlit(Seq(0.0, 10.0)), eps = 99.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(healed === wantAll, "healed torn merge changed results")
+
+    // --- a crash INSIDE a side-table swap (between the two renames)
+    // leaves the authoritative copy aside as __old; the next merge
+    // run restores it before reading (the old delete-then-rename
+    // order bricked the root here)
+    assert(new java.io.File(s"$dir2/radii")
+      .renameTo(new java.io.File(s"$dir2/radii__old")))
+    Ann.mergeUnderfullCells(sp, dir2, "embedding", 5)
+    assert(new java.io.File(s"$dir2/radii").exists())
+    assert(!new java.io.File(s"$dir2/radii__old").exists())
+    assert(Ann.rangeSearchStoredSelf(sp, dir2, "vec_id", "embedding",
+        typedlit(Seq(0.0, 10.0)), eps = 99.0).count() ===
+      wantAll.size.toLong)
   }
 
   test("cosine radii are refused (not a metric); the spherical " +
