@@ -891,6 +891,24 @@ final class Engine(reg: Registry) {
       maxFreshRatio)
   }
 
+  /** Threshold-triggered underfull-cell MERGE for a range root
+    * serving `td` — [[compactFreshIfNeeded]]'s sibling seat for the
+    * cell-count side of the r66 health signal (the split's
+    * complement): [[attachStoredIndex]]'s delete maintenance drains
+    * cells, and nothing dissolved them, so probe arithmetic and
+    * small-file overhead grew with every delete cycle. Call after a
+    * delete wave or on a maintenance cadence: every cell below
+    * `minRows` dissolves, its rows re-homing to their true argmin
+    * survivors ([[graft.ops.Ann.mergeUnderfullCells]] — results
+    * invariant, crash-healed by re-run). Returns dissolved cell id →
+    * rows it held (empty when nothing was underfull). */
+  def mergeUnderfullIfNeeded(td: TableDef[_], dir: String,
+                             minRows: Long): Map[Long, Long] = {
+    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
+      s"${td.name} has no vector index"))
+    Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
+  }
+
   /** Undo [[attachStoredIndex]]: the layout stops tracking the table's
     * deletes (no-op if never attached). */
   def detachStoredIndex(td: TableDef[_], dir: String): Unit =

@@ -259,6 +259,40 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(reg.table(td).filter(col("rid") === 5L).count() === 0)
   }
 
+  test("mergeUnderfullIfNeeded: the engine seat dissolves a " +
+      "delete-drained cell of a range root; every survivor stays " +
+      "reachable") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("vecrow_merge",
+      primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 3)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-merge-reg").toString).register(td)
+    reg.insert(td, (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 3).toFloat * 10f, (i % 3).toFloat * 10f))))
+    val eng = new Engine(reg)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 3)
+    val root = Files.createTempDirectory("graft-merge-root").toString
+    Ann.writeRangeIndex(Ann.assign(reg.table(td), "v", model, Ann.L2),
+      "v", model, root)
+    // an S6 delete drains one cluster's cell to a single row
+    val doomed = (5 until 30 by 3).map(_.toLong).toDF("rid")
+    assert(Ann.deleteStoredIds(sp, s"$root/rows", "rid", doomed) === 9L)
+    val merged = eng.mergeUnderfullIfNeeded(td, root, minRows = 5)
+    assert(merged.size === 1 && merged.values.sum === 1L,
+      s"expected the one drained cell (1 row) to dissolve, got $merged")
+    val (m2, _) = Ann.loadRangeIndex(sp, root)
+    assert(m2.centroids.count() === 2L)
+    // every survivor reachable through the merged layout
+    assert(Ann.rangeSearchStoredSelf(sp, root, "rid", "v",
+      typedlit(Seq(0.0, 0.0)), eps = 99.0).count() === 21L)
+    // below-threshold layouts are left alone
+    assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
+  }
+
   test("attachStoredIndex PQ layout: removeBy rewrites encoded/ cells " +
       "(geometry marker auto-detected); codebooks stay trained") {
     val sp = spark
