@@ -1053,6 +1053,61 @@ object ScaleSmoke {
       before
     }
 
+    // Underfull-cell MERGE at 16× (the split's complement): an S6
+    // delete drains one cell to ~1/37 of its size, and ONLY the merge
+    // call is timed — its cost is bounded by the drained cell's rows
+    // (the re-assign + staged move) plus k-row side-table swaps; the
+    // occupancy probe reads only the partition column (footer-sized),
+    // never data pages. Untimed pins: row conservation, results
+    // invariant, cell count shrank.
+    if (only.forall(_.exists("cell_merge".startsWith))) {
+      val cmModel = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 8,
+        iters = 2)
+      val cmDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_merge").toString
+      ops.Ann.writeRangeIndex(
+        ops.Ann.assign(vecs, "embedding", cmModel, ops.Ann.L2),
+        "embedding", cmModel, cmDir)
+      val cmRows = spark.read.parquet(s"$cmDir/rows")
+      val (drainCell, drainN) = cmRows
+        .groupBy(col("centroid_id").cast("long")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .minBy(_._2)
+      val doomed = cmRows
+        .filter(col("centroid_id") === drainCell &&
+          col("vec_id") % 37 =!= 0)
+        .select("vec_id").localCheckpoint(true)
+      val deleted = ops.Ann.deleteStoredIds(spark, s"$cmDir/rows",
+        "vec_id", doomed)
+      require(deleted > 0, "16x merge drain removed nothing")
+      val q = emb0.limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      def hits() = ops.Ann.rangeSearchStoredSelf(spark, cmDir,
+        "vec_id", "embedding", typedlit(q), eps = 1.26).count()
+      val before = hits()
+      val minRows = nVecs * xf / 16
+      time("cell_merge") {
+        val merged = ops.Ann.mergeUnderfullCells(spark, cmDir,
+          "embedding", minRows)
+        require(merged.contains(drainCell),
+          s"16x merge missed the drained cell $drainCell: $merged")
+        merged.size.toLong
+      }
+      locally { // untimed: conservation + invariance + shrinkage
+        val health = ops.Ann.indexHealth(spark, cmDir, "embedding")
+          .agg(count(lit(1)).as("cells"), sum(col("n_rows")).as("n"))
+          .head()
+        require(health.getLong(0) < 8L,
+          s"merge left ${health.getLong(0)} cells of 8")
+        require(health.getLong(1) == nVecs * xf - deleted,
+          s"merge lost rows: ${health.getLong(1)} vs " +
+            s"${nVecs * xf - deleted}")
+        require(hits() == before,
+          "range results changed across the merge")
+      }
+    }
+
     // DSIR at 16×: feature extraction map-only from the scan; both
     // distributions collapse to ≤ buckets rows (asserted — the join's
     // build side is bucket-sized at ANY corpus scale); one per-doc sum
