@@ -384,6 +384,18 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       who: String,
       markerName: String = "_graft_matryoshka"): (Int, Metric) = {
+    // every matryoshka-root reader funnels through this parser — the
+    // ONE seat for the torn-merge refusal ([[mergeUnderfullCellsMrlIvf]]:
+    // rows may be mid-move between cell dirs; loud, never wrong)
+    requireNoPendingMerge(spark, dir)
+    readMatryoshkaMetaUnguarded(spark, dir, who, markerName)
+  }
+
+  /** [[readMatryoshkaMeta]] without the torn-merge refusal — for the
+    * merge op itself, which runs precisely when readers refuse. */
+  private def readMatryoshkaMetaUnguarded(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      who: String, markerName: String): (Int, Metric) = {
     val marker = graft.io.Markers.read(spark, dir, markerName)
       .getOrElse(throw new IllegalStateException(
         s"$who: $dir has no $markerName marker — not a " +
@@ -2203,11 +2215,51 @@ object Ann {
     * dissolved cell id → rows it held. */
   def mergeUnderfullCells(spark: org.apache.spark.sql.SparkSession,
                           dir: String, vecCol: String,
-                          minRows: Long): Map[Long, Long] = {
+                          minRows: Long): Map[Long, Long] =
+    mergeUnderfullImpl(spark, dir, minRows, growRadii = true,
+      radiiVecCol = vecCol,
+      reassign = (dropped, reduced) =>
+        assign(dropped, vecCol, reduced, L2))
+
+  /** [[mergeUnderfullCells]] for a COMPOSED matryoshka-IVF root
+    * ([[writeMatryoshkaIvf]]) — the north-star layout drains under
+    * delete maintenance exactly like the range family, and its
+    * underfull cells cost probe slots and small files the same way.
+    * Same resumable protocol (no radii — the composed layout has
+    * none to grow): doomed centroids dissolve and their rows
+    * RE-ASSIGN under the root's own pinned geometry (cosine roots
+    * re-assign the normalized `emb_full` against the normalized
+    * reduced centroids — [[matryoshkaIvfRows]]' exact convention;
+    * `emb_pre` is row-intrinsic and moves verbatim). The post-merge
+    * search IS the composed replay under the reduced centroid set
+    * (r91's oracle — results are probe-dependent, so the truth is
+    * the reduced-model replay, not invariance). All composed-root
+    * readers refuse mid-merge ([[readMatryoshkaMeta]]'s guard). */
+  def mergeUnderfullCellsMrlIvf(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                minRows: Long): Map[Long, Long] = {
+    val (_, metric) = readMatryoshkaMetaUnguarded(spark, dir,
+      "mergeUnderfullCellsMrlIvf", "_graft_matryoshka_ivf")
+    mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
+      radiiVecCol = "",
+      reassign = (dropped, reduced) => metric match {
+        case Cosine =>
+          assign(withNormalized(dropped, "emb_full", "__nv"), "__nv",
+            normalizeModel(reduced), L2).drop("__nv")
+        case _ => assign(dropped, "emb_full", reduced, L2)
+      })
+  }
+
+  private def mergeUnderfullImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minRows: Long, growRadii: Boolean, radiiVecCol: String,
+      reassign: (DataFrame, IvfModel) => DataFrame): Map[Long, Long] = {
     require(minRows > 0,
       s"mergeUnderfullCells: minRows must be positive, got $minRows")
     completePendingMerge(spark, dir) // finish a torn run first
-    val (model, radii) = loadRangeIndex(spark, dir)
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    if (growRadii) loadRangeIndex(spark, dir) // refuse non-range roots
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/rows")
     // occupancy INCLUDING zero-row cells (groupBy alone drops them)
@@ -2239,24 +2291,27 @@ object Ann {
     // rows to move: partition-pruned read of ONLY the doomed dirs,
     // re-assigned under the reduced model; localCheckpoint severs the
     // lineage from directories the completion will delete
-    val moving = assign(
+    val moving = reassign(
       rows.filter(col(model.idCol).isin(flagged: _*))
-        .drop(model.idCol),
-      vecCol, reduced, L2).localCheckpoint(true)
+        .drop(model.idCol), reduced).localCheckpoint(true)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (moving.limit(1).count() > 0) {
       // 1) receiving radii grow FIRST (inert while doomed centroids
-      //    still exist — the r67 soundness order)
-      val incoming = cellRadii(moving, vecCol, reduced, L2)
-        .withColumnRenamed("radius", "__inc")
-      swapSideTable(fs, dir, "radii",
-        radii.select(col(model.idCol), col("radius"))
-          .join(incoming, Seq(model.idCol), "left")
-          .withColumn("radius",
-            greatest(col("radius"),
-              coalesce(col("__inc"), col("radius"))))
-          .select(col(model.idCol), col("radius")))
+      //    still exist — the r67 soundness order); the composed
+      //    layout has no radii to grow
+      if (growRadii) {
+        val radii = spark.read.parquet(s"$dir/radii")
+        val incoming = cellRadii(moving, radiiVecCol, reduced, L2)
+          .withColumnRenamed("radius", "__inc")
+        swapSideTable(fs, dir, "radii",
+          radii.select(col(model.idCol), col("radius"))
+            .join(incoming, Seq(model.idCol), "left")
+            .withColumn("radius",
+              greatest(col("radius"),
+                coalesce(col("__inc"), col("radius"))))
+            .select(col(model.idCol), col("radius")))
+      }
       // 2) stage the moving rows UNREFERENCED (rows_merge is not part
       //    of the layout until completion moves its files)
       moving.write.mode("overwrite").partitionBy(model.idCol)
@@ -2331,12 +2386,15 @@ object Ann {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$dir/rows/centroid_id=$c"), true)
     }
-    // (d) doomed radii rows out
-    swapSideTable(fs, dir, "radii",
-      spark.read.parquet(s"$dir/radii")
-        .filter(!col("centroid_id").cast("long").isin(flagged: _*))
-        .select(col("centroid_id"), col("radius"))
-        .localCheckpoint(true))
+    // (d) doomed radii rows out (range roots only — the composed
+    //     layout has no radii table; presence detected from disk so
+    //     a crashed re-run needs no flag)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/radii")))
+      swapSideTable(fs, dir, "radii",
+        spark.read.parquet(s"$dir/radii")
+          .filter(!col("centroid_id").cast("long").isin(flagged: _*))
+          .select(col("centroid_id"), col("radius"))
+          .localCheckpoint(true))
     // (e) lift the refusal
     graft.io.Markers.remove(spark, dir, MergePendingMarker)
   }

@@ -1933,6 +1933,46 @@ object Retrieval {
     df
   }
 
+  /** r91: MERGE of underfull cells on the COMPOSED matryoshka-IVF
+    * root ([[Ann.mergeUnderfullCellsMrlIvf]]) — r90's actuator
+    * reaches the north-star layout: delete maintenance drains its
+    * cells exactly like the range family's. An S6 delete drains
+    * ASSIGNED cell 4 to its `vec_id % 3` survivors, the threshold is
+    * set one above the drained count (flagging it definitionally —
+    * naturally tiny siblings may dissolve with it at small SFs,
+    * which the oracle tolerates by construction), rows re-home under
+    * the root's own geometry with `emb_pre` moving verbatim, and the
+    * post-merge search probes EVERY cell — at all-probe the composed
+    * two-phase equals the flat prefix cut over the surviving rows
+    * regardless of cell homes, so ONE oracle (the post-delete flat
+    * replay) is exact no matter which cells dissolved, while the
+    * search still exercises the merged layout's partition pruning
+    * and emb_pre-only phase 1 (operator-asserted). */
+  def mrlIvfCellMerge(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_ivf_merge").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    val lists = model.centroids.count().toInt
+    val cell4 = s.read.parquet(s"$dir/rows")
+      .filter(col("centroid_id") === 4).select(col("vec_id"))
+      .localCheckpoint(true)
+    val doomed = cell4.filter(col("vec_id") % 3 =!= 0)
+    val removed = Ann.deleteStoredIds(s, s"$dir/rows", "vec_id", doomed)
+    require(removed > 0, "r91 vacuous: the S6 delete removed nothing")
+    val drained = s.read.parquet(s"$dir/rows")
+      .filter(col("centroid_id") === 4).count()
+    val merged = Ann.mergeUnderfullCellsMrlIvf(s, dir, drained + 1)
+    require(merged.contains(4L),
+      s"r91: the drained cell 4 did not merge, got ${merged.keySet}")
+    require(!new java.io.File(s"$dir/rows/centroid_id=4").exists(),
+      "r91: the dissolved cell's directory survived")
+    Ann.matryoshkaTopKIvf(s, dir, "vec_id", qvecSeq(s, d, 5),
+      probes = lists, candidates = 50, k = 10)
+  }
+
   /** r79: the composed matryoshka-IVF layout under COSINE — r77's
     * reduction and r78's cell pruning together, the full vchordrq
     * shape for the metric real truncatable embeddings ship:
@@ -2426,6 +2466,7 @@ object Retrieval {
     "r76_matryoshka_filtered" -> matryoshkaFiltered,
     "r77_matryoshka_cos" -> matryoshkaCos,
     "r78_matryoshka_ivf" -> matryoshkaIvf,
+    "r91_mrl_ivf_cell_merge" -> mrlIvfCellMerge,
     "r79_matryoshka_ivf_cos" -> matryoshkaIvfCos,
     "r80_matryoshka_ivf_delete" -> matryoshkaIvfDelete,
     "r81_matryoshka_ivf_append" -> matryoshkaIvfAppend,
@@ -4756,6 +4797,23 @@ object Retrieval {
     // prefix cut — candidate cut and re-rank confined to probed
     // cells (the IVF recall contract under truncation).
     "r78_matryoshka_ivf" -> matryoshkaIvfOracleSql(),
+    // r91: at all-probe the composed two-phase equals the FLAT prefix
+    // cut over the surviving rows — cell homes are invisible, so one
+    // oracle is exact no matter which underfull cells dissolved; the
+    // exclusion replays the gate's assigned-cell-4 drain.
+    "r91_mrl_ivf_cell_merge" ->
+      s"""WITH $LabelIvfCtes,
+          alive AS (SELECT vec_id, embedding FROM assigned
+                    WHERE NOT (centroid_id = 4 AND vec_id % 3 <> 0)),
+          p1 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        round(list_distance(
+                          (embedding::DOUBLE[])[1:8], ($qv5)[1:8]), 6)
+                          AS pre_dist
+                 FROM alive
+                 ORDER BY pre_dist ASC, vec_id ASC LIMIT 50)
+          SELECT vec_id, pre_dist,
+                 round(list_distance(v, $qv5), 6) AS dist
+          FROM p1 ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r79: the spherical composed replay — centroids from raw label
     // means then normalized (like the r17/r43 spherical oracles),
     // assignment/probes/prefix cut on the unit sphere, re-rank true

@@ -293,6 +293,75 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
   }
 
+  test("mergeUnderfullCellsMrlIvf (cosine): drained cells dissolve " +
+      "with rows re-homed under the spherical geometry; all-probe " +
+      "results equal the flat cut; readers refuse mid-merge and one " +
+      "re-run heals") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    // three angular clusters; cluster 2 drained later
+    val dirs3 = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 0.0, 1.0))
+    val docs = (0L until 60L).map { i =>
+      val c = dirs3((i % 3).toInt)
+      val scale = 1.0 + rng.nextDouble() * 4 // cosine ignores norms
+      (i, c.zipWithIndex.map { case (x, j) =>
+        (x + (rng.nextDouble() - 0.5) * 0.1) * scale }, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "cluster")
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val root = Files.createTempDirectory("graft-mrl-merge").toString
+    Ann.writeMatryoshkaIvf(docs, "vec_id", "embedding", dims = 2,
+      model, root, metric = Ann.Cosine)
+    // drain the cell holding cluster-2's rows to two survivors
+    val cell2 = sp.read.parquet(s"$root/rows")
+      .filter(col("vec_id") % 3 === 2)
+      .select(col("centroid_id").cast("long")).head().getLong(0)
+    val doomed = sp.read.parquet(s"$root/rows")
+      .filter(col("centroid_id") === cell2 && col("vec_id") > 8)
+      .select("vec_id").localCheckpoint(true)
+    assert(Ann.deleteStoredIds(sp, s"$root/rows", "vec_id",
+      doomed) > 0)
+    val survivorsN = sp.read.parquet(s"$root/rows").count()
+    val merged = Ann.mergeUnderfullCellsMrlIvf(sp, root, minRows = 5)
+    assert(merged.keySet === Set(cell2), s"got $merged")
+    val cents = sp.read.parquet(s"$root/centroids")
+    assert(cents.count() === 2L)
+    assert(sp.read.parquet(s"$root/rows").count() === survivorsN,
+      "merge lost or duplicated rows")
+    // rows re-homed to their argmin under the REDUCED spherical model
+    // — transitively pinned by the all-probe equality below (a
+    // mis-homed row would still surface there; the operator's own
+    // partition/column pins assert on the call)
+    val q = docs.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    val got = Ann.matryoshkaTopKIvf(sp, root, "vec_id", q,
+        probes = 2, candidates = 20, k = 8, metric = Ann.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val doomedIds = doomed.as[Long].collect().toSet
+    val flat = Ann.matryoshkaTopK(
+        docs.filter(!col("vec_id").isin(doomedIds.toSeq: _*)),
+        "vec_id", "embedding", q, dims = 2, candidates = 20, k = 8,
+        metric = Ann.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === flat,
+      s"all-probe composed != flat cut over survivors:\n$got\n$flat")
+    // torn merge: readers and appends refuse; one re-run heals
+    graft.io.Markers.write(sp, root, "_graft_merge_pending", "")
+    intercept[IllegalStateException] {
+      Ann.matryoshkaTopKIvf(sp, root, "vec_id", q, probes = 1,
+        candidates = 8, k = 4, metric = Ann.Cosine)
+    }
+    intercept[IllegalStateException] {
+      Ann.appendMatryoshkaIvf(sp, root,
+        Seq((900L, Seq(1.0, 0.1, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    Ann.mergeUnderfullCellsMrlIvf(sp, root, minRows = 5)
+    assert(Ann.matryoshkaTopKIvf(sp, root, "vec_id", q, probes = 2,
+      candidates = 20, k = 8, metric = Ann.Cosine).count() === 8L)
+  }
+
   test("attachStoredIndex PQ layout: removeBy rewrites encoded/ cells " +
       "(geometry marker auto-detected); codebooks stay trained") {
     val sp = spark
