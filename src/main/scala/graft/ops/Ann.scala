@@ -1542,6 +1542,30 @@ object Ann {
     }
   }
 
+  /** Driver-side spherical query reduction — the ONE normalization
+    * every quantized batch delegate ([[knnJoinIvfSq]]/[[knnJoinIvfPq]]
+    * cos/[[knnJoinIvfBitq]]) and the fresh-pruning union
+    * ([[knnJoinQuantizedFresh]]) run, so an ulp-level arithmetic
+    * divergence between the union and a delegate's own probe can
+    * never admit a cell outside the pruned fresh slice (which would
+    * silently drop that query's fresh-resident neighbors). */
+  private def normalizeDriver(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    v.map(_ / n)
+  }
+
+  /** Driver-side nearest-`probes` cells for one phase-1 query vector —
+    * the shared sorted-take ((dist, id) tuple order, [[probeCells]]'
+    * tie-break) behind the quantized batch delegates AND
+    * [[knnJoinQuantizedFresh]]'s fresh-pruning union: one
+    * implementation, so the union covers exactly the cells any
+    * delegate's probe can reach, bit for bit. */
+  private def nearestCellsDriver(v: Array[Double],
+                                 cents: Array[(Long, Array[Double])],
+                                 probes: Int): Seq[Long] =
+    cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
+      .sorted.take(probes).map(_._2).toSeq
+
   /** The matryoshka batch operators' shared prefix convention: the
     * phase-1 (doc, query) prefix columns in the family's reduction
     * space — raw under L2, the L2-NORMALIZED vector under cosine (the
@@ -1935,20 +1959,17 @@ object Ann {
     * row append lands second. A crash between the two leaves radii
     * that only OVER-admit cells (conservative, never unsound — the
     * same stale-radii argument the delete path proves). The radii swap
-    * goes through a sibling directory + rename, never an in-place
-    * overwrite: a crash inside the new-radii write leaves the old
-    * radii intact, a crash between delete and rename leaves a MISSING
-    * radii path that [[loadRangeIndex]] fails on LOUDLY — a partial
-    * radii table (some cells silently unprobeable) can never be read
-    * back.
-    *
-    * Scale shape: one assignment pass over the batch (broadcast
-    * centroids), one combinable per-cell max unioned against the tiny
-    * radii table, one partitioned append — batch-linear, never
-    * corpus-linear. */
+    * rides [[swapSideTable]]'s rename-aside order (ONE protocol with
+    * the split/merge actuators, so the crash-recovery story cannot
+    * drift): the staged copy lands fully in `radii_next` BEFORE the
+    * live copy moves aside, no window destroys the only copy, and
+    * [[healSideTableSwap]] — run here at entry like every other
+    * range-root entry point — restores a stranded swap before the
+    * first read. */
   def appendRangeIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, newRows: DataFrame,
                        vecCol: String): Unit = {
+    healRangeRootSwaps(spark, dir)
     val (model, oldRadii) = loadRangeIndex(spark, dir)
     ensureIvfModelMarker(spark, dir, model)
     val assigned = assign(newRows, vecCol, model, L2)
@@ -1964,14 +1985,9 @@ object Ann {
     val merged = oldRadii.select(col(model.idCol), col("radius"))
       .unionByName(cellRadii(assigned, vecCol, model, L2))
       .groupBy(col(model.idCol)).agg(max(col("radius")).as("radius"))
-    merged.write.mode("overwrite").parquet(s"$dir/radii_next")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/radii")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/radii_next")
-    fs.delete(cur, true)
-    require(fs.rename(next, cur),
-      s"appendRangeIndex: rename $next -> $cur failed")
+    swapSideTable(fs, dir, "radii", merged)
     assigned.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/rows")
   }
@@ -2044,15 +2060,78 @@ object Ann {
     * (oldCell → new cell ids), empty when nothing was overfull. */
   def splitOverfullCells(spark: org.apache.spark.sql.SparkSession,
                          dir: String, vecCol: String, maxRows: Long,
-                         iters: Int = 2): Map[Long, Seq[Long]] = {
+                         iters: Int = 2): Map[Long, Seq[Long]] =
+    splitOverfullImpl(spark, dir, maxRows, iters, growRadii = true,
+      radiiVecCol = vecCol, prep = identity, spaceCol = vecCol,
+      dropCols = Nil)
+
+  /** [[splitOverfullCells]] for a COMPOSED matryoshka-IVF root
+    * ([[writeMatryoshkaIvf]]) — the north-star layout's hot cells grow
+    * unbounded under streamed append exactly like the range family's
+    * (the reference's vchordrq shape holds IVF and truncation
+    * together, /root/reference/vechord/spec.py:437-444; its `lists`
+    * maintenance is this actuator's analog), and at 100 TB probe cost
+    * drifts with every append wave nothing re-partitions. One shared
+    * impl with the range form ([[splitOverfullImpl]] — the r91 merge's
+    * refactoring template), radii steps absent (the composed layout
+    * has none): a flagged cell's rows locally retrain (k=2) UNDER THE
+    * ROOT'S OWN PINNED GEOMETRY — cosine roots split in the
+    * normalized space ([[matryoshkaIvfRows]]' exact convention:
+    * assignment and emb_pre live on the unit sphere; stored
+    * sub-centroids are unit vectors, which [[normalizeModel]] passes
+    * through unchanged on read), L2 roots on the raw `emb_full`;
+    * `emb_pre` is row-intrinsic and moves VERBATIM. Crash ordering is
+    * the range split's: sub-cell dirs land unreferenced (probes are
+    * centroid-driven), the centroid swap commits, the marker re-pins
+    * — a crash before the commit leaves the old root fully live, one
+    * after leaves inert orphan dirs no probe admits. Refuses
+    * mid-merge (the [[readMatryoshkaMeta]] guard). Returns
+    * (oldCell → new cell ids). */
+  def splitOverfullCellsMrlIvf(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, maxRows: Long,
+                               iters: Int = 2): Map[Long, Seq[Long]] = {
+    val (_, metric) = readMatryoshkaMeta(spark, dir,
+      "splitOverfullCellsMrlIvf", "_graft_matryoshka_ivf")
+    metric match {
+      case Cosine =>
+        // sub-centroids STORE as the raw k-means means (the layout's
+        // convention — buildIvf's label means aren't unit either);
+        // every geometric act normalizes on use, so the split ASSIGNS
+        // under normalizeModel exactly like matryoshkaIvfRows and the
+        // probes do — one argmin convention across build/append/split
+        splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
+          radiiVecCol = "",
+          prep = df => withNormalized(df, "emb_full", "__nv"),
+          spaceCol = "__nv", dropCols = Seq("__nv"),
+          assignModel = normalizeModel)
+      case _ =>
+        splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
+          radiiVecCol = "", prep = identity, spaceCol = "emb_full",
+          dropCols = Nil)
+    }
+  }
+
+  private def splitOverfullImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxRows: Long, iters: Int, growRadii: Boolean,
+      radiiVecCol: String, prep: DataFrame => DataFrame,
+      spaceCol: String, dropCols: Seq[String],
+      assignModel: IvfModel => IvfModel = identity)
+      : Map[Long, Seq[Long]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // restore a side table stranded by a prior split's crashed swap
     // BEFORE reading (the merge discipline — the old delete-then-
     // rename closure could leave centroids/radii missing)
     healSideTableSwap(fs, dir, "centroids")
-    healSideTableSwap(fs, dir, "radii")
-    val (model, radii) = loadRangeIndex(spark, dir)
+    if (growRadii) healSideTableSwap(fs, dir, "radii")
+    val (model, radii) =
+      if (growRadii) loadRangeIndex(spark, dir)
+      else {
+        requireNoPendingMerge(spark, dir)
+        (IvfModel(spark.read.parquet(s"$dir/centroids"),
+          "centroid_id", "centroid"), spark.emptyDataFrame)
+      }
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/rows")
     // flagged cells: bounded driver collect (the audit's own contract —
@@ -2068,12 +2147,15 @@ object Ann {
     def swap(df: DataFrame, name: String): Unit =
       swapSideTable(fs, dir, name, df)
     val splits = flagged.flatMap { cell =>
-      val cellRows = rows.filter(col(model.idCol) === cell)
-        .drop(model.idCol)
-      if (cellRows.select(portableVecHash(col(vecCol)))
+      // `prep` lifts the cell's rows into the layout's TRAINING space
+      // (identity for raw-vector layouts; normalized emb_full for a
+      // cosine composed root — the space its assignment pins)
+      val cellRows = prep(rows.filter(col(model.idCol) === cell)
+        .drop(model.idCol))
+      if (cellRows.select(portableVecHash(col(spaceCol)))
           .distinct().limit(2).count() < 2) None // unsplittable: skip
       else {
-        val sub = buildIvfKMeans(cellRows, vecCol, k = 2, L2, iters)
+        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
         val base = nextId
         val mapped = IvfModel(
           sub.centroids.select(
@@ -2081,7 +2163,9 @@ object Ann {
             col(sub.vecCol).as(model.vecCol)),
           model.idCol, model.vecCol)
         nextId += 2
-        Some((cell, mapped, assign(cellRows, vecCol, mapped, L2)))
+        Some((cell, mapped,
+          assign(cellRows, spaceCol, assignModel(mapped), L2)
+            .drop(dropCols: _*)))
       }
     }
     if (splits.isEmpty) return Map.empty
@@ -2107,10 +2191,12 @@ object Ann {
         s"splitOverfullCells: rename $src -> $dst failed")
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rows_split"), true)
-    // 2) radii first (old cells kept; orphan-to-be rows are inert)
+    // 2) radii first (old cells kept; orphan-to-be rows are inert) —
+    //    range roots only: the composed layout has no radii to grow
     val splitSet = splits.map(_._1).toSet
-    swap(radii.select(col(model.idCol), col("radius")).unionByName(
-      cellRadii(newAssigned, vecCol, newModel, L2)), "radii")
+    if (growRadii)
+      swap(radii.select(col(model.idCol), col("radius")).unionByName(
+        cellRadii(newAssigned, radiiVecCol, newModel, L2)), "radii")
     // 3) the commit point: centroids swap old cells for sub-cells
     val keptCents = model.centroids
       .filter(!col(model.idCol).cast("long").isin(splitSet.toSeq: _*))
@@ -2126,9 +2212,12 @@ object Ann {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$dir/rows/${model.idCol}=$c"), true)
     }
-    val radiiNow = spark.read.parquet(s"$dir/radii")
-    swap(radiiNow.filter(
-      !col(model.idCol).cast("long").isin(splitSet.toSeq: _*)), "radii")
+    if (growRadii) {
+      val radiiNow = spark.read.parquet(s"$dir/radii")
+      swap(radiiNow.filter(
+        !col(model.idCol).cast("long").isin(splitSet.toSeq: _*)),
+        "radii")
+    }
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
@@ -2162,17 +2251,46 @@ object Ann {
     * authoritative table, move it back (the staged `_next` is rebuilt
     * from it by the re-run); live present + `__old` present ⇒ the
     * crash fell before the final cleanup — the swap completed, drop
-    * the leftover. Idempotent; a no-op on healthy layouts. */
+    * the leftover. Live missing + NO `__old` + a COMPLETE `_next`
+    * (parquet commit marker present) ⇒ the legacy delete-then-rename
+    * window ([[appendRangeIndex]]'s old radii swap): the staged copy
+    * is the only complete table — promote it, never delete it
+    * (deleting would strand the root until a manual rebuild,
+    * contradicting the recovery-by-re-run contract). Only then is a
+    * leftover `_next` (live present, or incomplete) dropped.
+    * Idempotent; a no-op on healthy layouts. */
   private def healSideTableSwap(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: String, name: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val old = new org.apache.hadoop.fs.Path(s"$dir/${name}__old")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/${name}_next")
     if (!fs.exists(cur) && fs.exists(old))
       require(fs.rename(old, cur),
         s"healSideTableSwap: restoring $old -> $cur failed")
     else if (fs.exists(old)) fs.delete(old, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_next"), true)
+    if (!fs.exists(cur) && fs.exists(next) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
+      require(fs.rename(next, cur),
+        s"healSideTableSwap: promoting the only complete copy " +
+          s"$next -> $cur failed")
+    fs.delete(next, true)
     ()
+  }
+
+  /** Heal BOTH of a range root's side tables (centroids + radii)
+    * stranded by a crashed [[swapSideTable]] — the recovery every
+    * range-root entry point runs before its first read: the streamed
+    * maintenance path ([[graft.streaming.Stream.ingestRangeAppend]])
+    * owns the split policy whose swap can crash, and its start-time
+    * [[loadRangeIndex]] would otherwise die on the missing live path
+    * before any heal seat runs, wedging the stream that alone could
+    * self-heal. Idempotent; a no-op on healthy layouts. */
+  private[graft] def healRangeRootSwaps(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healSideTableSwap(fs, dir, "centroids")
+    healSideTableSwap(fs, dir, "radii")
   }
 
   /** Refuse reads of a range root mid-merge: between the pending
@@ -2601,13 +2719,20 @@ object Ann {
       label = "rangeJoinIvfPerEps")
 
   private def rangeJoinIvfPerEpsImpl(
-      queries: DataFrame, qId: String, qVec: String, epsCol: String,
+      queries0: DataFrame, qId: String, qVec: String, epsCol: String,
       assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
       radii: DataFrame, metric: Metric, roundTo: Int,
       validateEps: Boolean, label: String): DataFrame = {
     requireTriangleMetric(metric, label)
-    val spark = queries.sparkSession
+    val spark = queries0.sparkSession
     val eCol = col(epsCol).cast("double")
+    // ONE materialization feeds validation AND the join: a second
+    // evaluation of a non-deterministic query source (limit/sample)
+    // could pass the eps scan yet carry a NaN/negative eps into the
+    // join, silently dropping that query's pairs — exactly the hazard
+    // the stored form's collect-once contract documents and avoids
+    val queries =
+      if (validateEps) queries0.localCheckpoint(true) else queries0
     if (validateEps) {
       val badEps = queries
         .filter(eCol.isNull || isnan(eCol) || eCol < 0 ||
@@ -2704,14 +2829,12 @@ object Ann {
     // below always sees the ORIGINAL query under `exactMetric`
     val qPhase1: Array[(Long, Array[Double])] =
       if (index.spherical) qRows.map { case (id, v) =>
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-        (id, v.map(_ / n))
+        (id, normalizeDriver(v))
       } else qRows
     val cents = collectCentroids(model)
     // probe relation: (qid, cell) for each query's `probes` nearest
     val probeRows = qPhase1.flatMap { case (id, v) =>
-      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
-        .sorted.take(probes).map { case (_, cid) => (id, cid) }
+      nearestCellsDriver(v, cents, probes).map(cid => (id, cid))
     }.toSeq
     // per-query ADC LUTs: m × codes partial squared distances
     val luts: Map[Long, Array[Array[Double]]] =
@@ -2807,14 +2930,11 @@ object Ann {
     val spherical = metric == Cosine
     val qPhase1: Array[(Long, Array[Double])] =
       if (spherical) qRows.map { case (id, v) =>
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-        (id, v.map(_ / n))
+        (id, normalizeDriver(v))
       } else qRows
     val cents = collectCentroids(index.model)
     val probeRows = qPhase1.flatMap { case (id, v) =>
-      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
-        .sorted.take(probes)
-        .map { case (_, cid) => (id, cid, v.toSeq) }
+      nearestCellsDriver(v, cents, probes).map(cid => (id, cid, v.toSeq))
     }.toSeq
     import spark.implicits._
     val cellCol = index.model.idCol
@@ -2870,14 +2990,11 @@ object Ann {
     val spherical = metric == Cosine
     val qPhase1: Array[(Long, Array[Double])] =
       if (spherical) qRows.map { case (id, v) =>
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-        (id, v.map(_ / n))
+        (id, normalizeDriver(v))
       } else qRows
     val cents = collectCentroids(index.model)
     val probeRows = qPhase1.flatMap { case (id, v) =>
-      cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
-        .sorted.take(probes)
-        .map { case (_, cid) => (id, cid, v.toSeq) }
+      nearestCellsDriver(v, cents, probes).map(cid => (id, cid, v.toSeq))
     }.toSeq
     import spark.implicits._
     val cellCol = index.model.idCol
@@ -4051,14 +4168,12 @@ object Ann {
     // slice covers exactly the cells any query's own probe can reach
     def unionCells(model: IvfModel): Array[Long] = {
       val cents = collectCentroids(model)
-      val phase1 =
-        if (spherical) qVecs.map { v =>
-          val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-          v.map(_ / n)
-        } else qVecs
-      phase1.flatMap(v =>
-        cents.map { case (cid, c) => (L2.distScala(v, c), cid) }
-          .sorted.take(probes).map(_._2)).distinct
+      val phase1 = if (spherical) qVecs.map(normalizeDriver) else qVecs
+      // LITERALLY the delegates' probe arithmetic
+      // ([[nearestCellsDriver]] + [[normalizeDriver]] — one shared
+      // implementation, not a re-derivation), so the union covers
+      // exactly the cells any delegate's own probe can reach
+      phase1.flatMap(v => nearestCellsDriver(v, cents, probes)).distinct
     }
     val rf = if (refine > 0) refine else 5
     family match {

@@ -1298,6 +1298,80 @@ object Events {
       .select("vec_id", "dist")
   }
 
+  /** s31: threshold-triggered OVERFULL-CELL SPLIT on the streamed
+    * COMPOSED matryoshka-IVF maintenance path — s29's recipe on the
+    * north-star layout, closing the asymmetry where the layout the
+    * reference's own index runs (vchordrq holds IVF and truncation
+    * together) was the one whose hot cells nothing bounded:
+    * [[graft.streaming.Stream.ingestMatryoshkaIvfAppend]]'s new
+    * `splitMaxRows` is wired from the OBSERVED occupancy (one below
+    * the full-corpus maximum cell, so the policy MUST fire by stream
+    * end while near-balanced siblings stay put — the s29 lesson),
+    * the flagged cell locally retrains under the root's own pinned
+    * geometry with `emb_pre` moving verbatim, and the final search
+    * probes EVERY cell — at all-probe the composed two-phase equals
+    * the FLAT prefix cut regardless of cell homes (the r91 oracle
+    * argument), so r70's index-free oracle lands verbatim across
+    * batch AND split boundaries while the operator still asserts its
+    * partition-pruning and emb_pre-only pins on the split layout.
+    * Pins: centroid count strictly above the trained `lists`
+    * (policy fired), a replayed batch appends ZERO against the
+    * re-partitioned root (the id probe finds the copies inside the
+    * sub-cells). */
+  def streamMrlIvfSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s31_root").toString
+    graft.ops.Ann.writeMatryoshkaIvf(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dims = 8, model, root)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // SF-relative threshold from the observed occupancy (s29's
+    // recipe): one below the full-corpus max cell, so exactly the
+    // hottest cell(s) trip it by stream end
+    val maxOcc = graft.ops.Ann
+      .assign(e, "embedding", model, graft.ops.Ann.L2)
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val maxRows = math.max(1L, maxOcc - 1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s31_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Stream.ingestMatryoshkaIvfAppend(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      root, ckpt, splitMaxRows = Some(maxRows))
+    try {
+      val batches = 2 // no-fire batch, then the firing one
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin 1: the policy FIRED — more cells than the trained model
+    val cellsNow = s.read.parquet(s"$root/centroids").count()
+    require(cellsNow > lists,
+      s"s31: split policy never fired — $cellsNow cells, trained $lists")
+    // pin 2: redelivery appends ZERO against the re-partitioned root
+    val dup = graft.ops.Ann.appendMatryoshkaIvfIdempotent(s, root,
+      rows.take(rows.length / 2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s31: replayed batch appended $dup rows post-split")
+    // all-probe: the composed two-phase equals the flat prefix cut —
+    // r70's oracle verbatim, independent of which cells split
+    graft.ops.Ann.matryoshkaTopKIvf(s, root, "vec_id",
+      qvecSeqOf(s, d, 3), probes = cellsNow.toInt, candidates = 50,
+      k = 10)
+  }
+
   /** s30: streamed MAINTENANCE of a GRADUATED maxsim layout — the
     * multivec member closing the graduated-root append family's last
     * modality (s19 range, s21 composed, s22 BM25, s23 sparse, s24
@@ -1372,6 +1446,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_stream_mrl_ivf_split" -> streamMrlIvfSplit,
     "s30_stream_maxsim_append" -> streamMaxsimAppend,
     "s29_stream_range_split" -> streamRangeSplit,
     "s27_stream_bitq_append" -> streamBitqAppend,
@@ -1545,6 +1620,10 @@ object Events {
     // corpus, and sound radii make the pruning invisible — the same
     // r56 threshold scan lands verbatim on the grown root.
     "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s31: composed split boundaries are invisible at all-probe — the
+    // grown, split north-star root equals the flat prefix cut (r70's
+    // index-free oracle), regardless of which cells split.
+    "s31_stream_mrl_ivf_split" -> Retrieval.oracles("r70_matryoshka_topk"),
     // s29: split boundaries are invisible to results — the grown,
     // policy-split root answers the same index-free range oracle.
     "s29_stream_range_split" -> Retrieval.oracles("r56_range_ivf_stored"),

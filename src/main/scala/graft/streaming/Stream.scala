@@ -558,12 +558,29 @@ object Stream {
     * graduated root is a batch layout, so its continued growth runs
     * as foreachBatch over the id-keyed replay-safe
     * [[graft.ops.Ann.appendMatryoshkaIvfIdempotent]]. Fails at START,
-    * not first batch, on a non-root. */
+    * not first batch, on a non-root.
+    *
+    * `splitMaxRows` wires the OVERFULL-CELL SPLIT POLICY into the
+    * composed root's maintenance cadence —
+    * [[ingestRangeAppend]]'s seat verbatim, closing the asymmetry
+    * where the north-star layout was the one whose hot cells nothing
+    * bounded: after each batch's append, any cell past the threshold
+    * locally retrains into sub-cells under the root's own pinned
+    * geometry ([[graft.ops.Ann.splitOverfullCellsMrlIvf]] — only its
+    * directories rewritten, marker re-pinned); a sub-cell still
+    * overfull after one k=2 split catches the next batch's pass.
+    * Malformed thresholds refuse at stream START, before any
+    * mutation. */
   def ingestMatryoshkaIvfAppend(vectors: DataFrame, idCol: String,
                                 vecCol: String, root: String,
-                                checkpoint: String)
+                                checkpoint: String,
+                                splitMaxRows: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
+    splitMaxRows.foreach(m => require(m > 0,
+      s"ingestMatryoshkaIvfAppend: splitMaxRows must be positive, " +
+        s"got $m — a non-positive threshold would flag every cell " +
+        "every batch"))
     if (!graft.ops.Ann.isMatryoshkaIvfRoot(spark, root))
       throw new IllegalStateException(
         s"ingestMatryoshkaIvfAppend: $root has no composed matryoshka" +
@@ -574,6 +591,8 @@ object Stream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Ann.appendMatryoshkaIvfIdempotent(spark, root, batch,
           idCol, vecCol)
+        splitMaxRows.foreach(m =>
+          graft.ops.Ann.splitOverfullCellsMrlIvf(spark, root, m))
         ()
       }
       .start()
@@ -613,6 +632,12 @@ object Stream {
     splitMaxRows.foreach(m => require(m > 0,
       s"ingestRangeAppend: splitMaxRows must be positive, got $m — " +
         "a non-positive threshold would flag every cell every batch"))
+    // recover a side table stranded by a crash inside a prior
+    // stream-triggered split's swap BEFORE the start-time load: this
+    // stream owns the split policy, so it must be able to restart
+    // over its own crash debris instead of wedging on the missing
+    // live path until an operator intervenes by hand
+    graft.ops.Ann.healRangeRootSwaps(spark, root)
     graft.ops.Ann.loadRangeIndex(spark, root)
     if (graft.ops.Ann.readIvfModelMarker(spark, root).isEmpty)
       throw new IllegalStateException(

@@ -594,6 +594,52 @@ class AnnRangeSpec extends SparkSpecBase {
     }
   }
 
+  test("crashed radii swaps heal at appendRangeIndex entry: the " +
+      "legacy delete-then-rename window (radii missing, radii_next " +
+      "the only complete copy) PROMOTES the staged table, and the " +
+      "mid-swap window (radii aside as __old) restores it — neither " +
+      "strands the root for a manual rebuild") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-heal-spec").toString
+    Ann.writeRangeIndex(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+    // window 1 — the LEGACY protocol's crash between delete(radii)
+    // and rename: radii_next fully written (committer _SUCCESS
+    // present), live radii gone. The old heal deleted _next here,
+    // leaving the root radii-less until a hand rebuild.
+    sp.read.parquet(s"$dir/radii").write.parquet(s"$dir/radii_next")
+    fs.delete(p("radii"), true)
+    Ann.appendRangeIndex(sp, dir,
+      Seq((200L, Seq(0.3, 0.3), 0)).toDF("vec_id", "embedding",
+        "cluster"), "embedding")
+    assert(fs.exists(p("radii")) && !fs.exists(p("radii_next")))
+    // window 2 — a crash between swapSideTable's two renames: live
+    // missing, the authoritative copy aside as __old
+    require(fs.rename(p("radii"), p("radii__old")))
+    Ann.appendRangeIndex(sp, dir,
+      Seq((201L, Seq(0.3, 0.35), 0)).toDF("vec_id", "embedding",
+        "cluster"), "embedding")
+    assert(fs.exists(p("radii")) && !fs.exists(p("radii__old")))
+    // the healed root still answers: both late rows are covered
+    val seen = Ann.rangeSearchStoredSelf(sp, dir, "vec_id",
+        "embedding", typedlit(Seq(0.3, 0.32)), eps = 0.1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(seen === Set(200L, 201L))
+    // an INCOMPLETE staged copy (no _SUCCESS) is debris, not promoted
+    fs.mkdirs(p("radii_next"))
+    Ann.appendRangeIndex(sp, dir,
+      Seq((202L, Seq(0.3, 0.4), 0)).toDF("vec_id", "embedding",
+        "cluster"), "embedding")
+    assert(!fs.exists(p("radii_next")))
+  }
+
   test("indexHealth: per-cell counts, stored radii, bounded means; " +
       "payload columns pruned from the rows scan") {
     val sp = spark

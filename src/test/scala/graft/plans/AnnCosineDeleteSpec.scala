@@ -362,6 +362,88 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       candidates = 20, k = 8, metric = Ann.Cosine).count() === 8L)
   }
 
+  test("splitOverfullCellsMrlIvf (cosine): a hot cell re-partitions " +
+      "under the spherical geometry (emb_pre verbatim); all-probe " +
+      "results equal the flat cut; unsplittable cells skip; appends " +
+      "land post-split; a pending merge refuses the split") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    // two angular clusters under a ONE-cell model: that cell is hot
+    val dirs2 = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val docs = (0L until 40L).map { i =>
+      val c = dirs2((i % 2).toInt)
+      val scale = 1.0 + rng.nextDouble() * 4 // cosine ignores norms
+      (i, c.zipWithIndex.map { case (x, j) =>
+        (x + (rng.nextDouble() - 0.5) * 0.1) * scale }, 0)
+    }.toDF("vec_id", "embedding", "one")
+    val model = Ann.buildIvf(docs, "one", "embedding")
+    val root = Files.createTempDirectory("graft-mrl-split").toString
+    Ann.writeMatryoshkaIvf(docs, "vec_id", "embedding", dims = 2,
+      model, root, metric = Ann.Cosine)
+    val split = Ann.splitOverfullCellsMrlIvf(sp, root, maxRows = 30)
+    assert(split.keySet === Set(0L) && split(0L).size === 2,
+      s"expected cell 0 to split in two, got $split")
+    val cents = sp.read.parquet(s"$root/centroids")
+    assert(cents.count() === 2L, "old cell must dissolve")
+    assert(sp.read.parquet(s"$root/rows").count() === 40L,
+      "split lost or duplicated rows")
+    // every row homed at its ARGMIN under the normalized sub-model —
+    // the one convention build/append/probe all share (all-probe
+    // equality below can't see homes, so pin them directly)
+    val centList = cents.collect().map { r =>
+      val c = r.getSeq[Double](cents.columns.indexOf("centroid"))
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (r.getLong(cents.columns.indexOf("centroid_id")),
+        c.map(_ / n).toArray)
+    }
+    sp.read.parquet(s"$root/rows")
+      .select(col("vec_id"), col("emb_full"),
+        col("centroid_id").cast("long"))
+      .collect().foreach { r =>
+        val v = r.getSeq[Double](1)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val vn = v.map(_ / n).toArray
+        val want = centList.minBy { case (_, c) =>
+          math.sqrt(vn.zip(c).map { case (a, b) =>
+            (a - b) * (a - b) }.sum) }._1
+        assert(r.getLong(2) === want,
+          s"row ${r.getLong(0)} homed in ${r.getLong(2)}, argmin $want")
+      }
+    // all-probe equality to the flat spherical cut — a mis-sliced
+    // emb_pre or mis-homed row would surface here
+    val q = docs.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    val got = Ann.matryoshkaTopKIvf(sp, root, "vec_id", q,
+        probes = 2, candidates = 20, k = 8, metric = Ann.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val flat = Ann.matryoshkaTopK(docs, "vec_id", "embedding", q,
+        dims = 2, candidates = 20, k = 8, metric = Ann.Cosine)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === flat,
+      s"all-probe composed != flat cut after split:\n$got\n$flat")
+    // appends land against the re-pinned post-split root
+    assert(Ann.appendMatryoshkaIvfIdempotent(sp, root,
+      Seq((900L, Seq(1.0, 0.05, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding") === 1L)
+    // an unsplittable hot cell (one direction at hash precision —
+    // scales differ but the SPHERICAL space collapses them) skips
+    val sameDir = (0L until 20L).map { i =>
+      (i, Seq(3.0 + i, 0.0, 0.0), 0) // raw distinct, one direction
+    }.toDF("vec_id", "embedding", "one")
+    val root2 = Files.createTempDirectory("graft-mrl-split2").toString
+    Ann.writeMatryoshkaIvf(sameDir, "vec_id", "embedding", dims = 2,
+      Ann.buildIvf(sameDir, "one", "embedding"), root2,
+      metric = Ann.Cosine)
+    assert(Ann.splitOverfullCellsMrlIvf(sp, root2, maxRows = 5).isEmpty)
+    // a torn MERGE refuses the split through the one marker seat
+    graft.io.Markers.write(sp, root, "_graft_merge_pending", "")
+    intercept[IllegalStateException] {
+      Ann.splitOverfullCellsMrlIvf(sp, root, maxRows = 5)
+    }
+    graft.io.Markers.remove(sp, root, "_graft_merge_pending")
+  }
+
   test("attachStoredIndex PQ layout: removeBy rewrites encoded/ cells " +
       "(geometry marker auto-detected); codebooks stay trained") {
     val sp = spark

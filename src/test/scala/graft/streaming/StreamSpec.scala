@@ -900,6 +900,46 @@ class StreamSpec extends SparkSpecBase {
     }
   }
 
+  test("ingestRangeAppend restart SELF-HEALS a root stranded by a " +
+      "crashed split swap: centroids aside as __old no longer wedges " +
+      "the stream at its start-time load") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import graft.ops.Ann
+    val base = (0L until 20L).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(c + (i % 5) * 0.02, c), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val model = Ann.buildIvf(base, "label", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-range-heal-stream").toString
+    Ann.writeRangeIndex(Ann.assign(base, "embedding", model, Ann.L2),
+      "embedding", model, root)
+    // simulate the crash window inside a stream-triggered split's
+    // centroid swap: live copy gone, authoritative table aside
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/centroids"),
+      new org.apache.hadoop.fs.Path(s"$root/centroids__old")))
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    // the restart must NOT die on the missing live path — the heal
+    // runs before the start-time loadRangeIndex
+    val q = Stream.ingestRangeAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", root,
+      java.nio.file.Files.createTempDirectory("graft-heal-c").toString,
+      splitMaxRows = Some(100L))
+    try {
+      input.addData((300L, Seq(0.5, 0.1), 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/centroids__old")))
+    assert(sp.read.parquet(s"$root/rows").count() === 21L)
+  }
+
   test("ingestRangeAppend splitMaxRows (s29): a batch that pushes a " +
       "cell past the threshold triggers the overfull split in-stream " +
       "(results invariant); a non-positive threshold refuses at START") {
