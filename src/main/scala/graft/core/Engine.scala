@@ -891,22 +891,29 @@ final class Engine(reg: Registry) {
       maxFreshRatio)
   }
 
-  /** Threshold-triggered underfull-cell MERGE for a range root
-    * serving `td` — [[compactFreshIfNeeded]]'s sibling seat for the
-    * cell-count side of the r66 health signal (the split's
-    * complement): [[attachStoredIndex]]'s delete maintenance drains
-    * cells, and nothing dissolved them, so probe arithmetic and
-    * small-file overhead grew with every delete cycle. Call after a
-    * delete wave or on a maintenance cadence: every cell below
-    * `minRows` dissolves, its rows re-homing to their true argmin
-    * survivors ([[graft.ops.Ann.mergeUnderfullCells]] — results
-    * invariant, crash-healed by re-run). Returns dissolved cell id →
-    * rows it held (empty when nothing was underfull). */
+  /** Threshold-triggered underfull-cell MERGE for a range OR composed
+    * matryoshka-IVF root serving `td` — [[compactFreshIfNeeded]]'s
+    * sibling seat for the cell-count side of the r66 health signal
+    * (the split's complement): [[attachStoredIndex]]'s delete
+    * maintenance drains cells, and nothing dissolved them, so probe
+    * arithmetic and small-file overhead grew with every delete cycle.
+    * Dispatches on the root's own marker (the engine's maintenance
+    * cadence must reach the north-star layout it manages — round 15
+    * left composed roots mergeable only by a direct
+    * [[graft.ops.Ann.mergeUnderfullCellsMrlIvf]] call): a
+    * `_graft_matryoshka_ivf` root merges under its pinned geometry,
+    * anything else takes the range path. Call after a delete wave or
+    * on a maintenance cadence: every cell below `minRows` dissolves,
+    * its rows re-homing to their true argmin survivors (crash-healed
+    * by re-run; readers refuse mid-merge). Returns dissolved cell id
+    * → rows it held (empty when nothing was underfull). */
   def mergeUnderfullIfNeeded(td: TableDef[_], dir: String,
                              minRows: Long): Map[Long, Long] = {
     val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
       s"${td.name} has no vector index"))
-    Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
+    if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
+      Ann.mergeUnderfullCellsMrlIvf(reg.spark, dir, minRows)
+    else Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
   }
 
   /** Undo [[attachStoredIndex]]: the layout stops tracking the table's

@@ -4035,12 +4035,20 @@ object Ann {
     * probed fresh rows are SQ-encoded on read under the stored bounds
     * ([[assignQuantizeSq]] — bit-identical to the batch build's codes)
     * and unioned into the asymmetric scan, so the result equals a
-    * one-shot rebuild that had always contained them. */
+    * one-shot rebuild that had always contained them. `pred` is the
+    * family's metadata filter with the r82 placement, composed with
+    * the fresh story for the first time: it thins the main codes scan
+    * AND the encode-on-read fresh slice BEFORE the phase-1 cut
+    * (Catalyst pushes the one filter through the union into both
+    * scans), so disallowed rows never consume refine slots — a
+    * post-cut filter would starve the result set under a selective
+    * predicate exactly as the non-fresh filtered family documents. */
   def searchIvfSqStoredFresh(spark: org.apache.spark.sql.SparkSession,
                              dir: String, idCol: String, vecCol: String,
                              queryVec: Column, metric: Metric,
                              probes: Int, k: Int, refine: Int = 5,
-                             roundTo: Int = 6): DataFrame = {
+                             roundTo: Int = 6,
+                             pred: Column = lit(true)): DataFrame = {
     val index = loadIvfSq(spark, dir)
     val spherical = graft.io.Markers.read(spark, dir, SqMetaMarker)
       .exists(_.toBoolean)
@@ -4055,8 +4063,8 @@ object Ann {
           .withColumn("codes", unpackCodes(col("codes"))))
       .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
       .getOrElse(stored)
-    searchIvfSq(index.copy(quantized = all), idCol, vecCol, queryVec,
-      metric, probes, k, refine, roundTo)
+    searchIvfSq(index.copy(quantized = all.filter(pred)), idCol, vecCol,
+      queryVec, metric, probes, k, refine, roundTo)
   }
 
   /** [[searchIvfPqStored]] over a root WITH a fresh side table — the
@@ -4068,19 +4076,22 @@ object Ann {
                              dir: String, idCol: String, vecCol: String,
                              query: Seq[Double], metric: Metric,
                              probes: Int, k: Int, refine: Int = 5,
-                             roundTo: Int = 6): DataFrame = {
+                             roundTo: Int = 6,
+                             pred: Column = lit(true)): DataFrame = {
     val index = loadIvfPq(spark, dir)
     require(index.spherical == (metric == Cosine),
       s"$dir pins spherical=${index.spherical} but the query metric " +
         s"is $metric")
     searchIvfPqRestricted(index, (stored, cells) =>
       // index.model holds the STORED (spherical ⇒ already-normalized)
-      // centroids; assignEncodePq re-normalizes idempotently
+      // centroids; assignEncodePq re-normalizes idempotently. `pred`
+      // thins BOTH sides before the ADC cut (r82 placement — a
+      // disallowed row must never consume a refine slot)
       freshEncodedForQuery(spark, dir, cells, fr =>
           assignEncodePq(fr, vecCol, index.pq, index.model, metric))
         .map(f =>
           stored.unionByName(f.select(stored.columns.map(col): _*)))
-        .getOrElse(stored),
+        .getOrElse(stored).filter(pred),
       idCol, vecCol, query, metric, probes, k, refine, roundTo)
   }
 
@@ -4091,7 +4102,8 @@ object Ann {
                                vecCol: String, queryVec: Column,
                                metric: Metric, probes: Int, k: Int,
                                refine: Int = -1,
-                               roundTo: Int = 6): DataFrame = {
+                               roundTo: Int = 6,
+                               pred: Column = lit(true)): DataFrame = {
     val index = loadIvfBitq(spark, dir)
     val spherical = graft.io.Markers.read(spark, dir, BitqMetaMarker)
       .exists(_.toBoolean)
@@ -4108,8 +4120,8 @@ object Ann {
           .withColumn("bits", unpackBits(col("bits"), dims)))
       .map(f => stored.unionByName(f.select(stored.columns.map(col): _*)))
       .getOrElse(stored)
-    searchIvfBitq(index.copy(quantized = all), idCol, vecCol, queryVec,
-      metric, probes, k, refine, roundTo)
+    searchIvfBitq(index.copy(quantized = all.filter(pred)), idCol,
+      vecCol, queryVec, metric, probes, k, refine, roundTo)
   }
 
   /** Fresh-aware BATCH kNN join over a quantized root — the query-log
@@ -4144,7 +4156,8 @@ object Ann {
                             qId: String, qVec: String, dId: String,
                             vecCol: String, metric: Metric,
                             probes: Int, k: Int, refine: Int = -1,
-                            roundTo: Int = 6): DataFrame = {
+                            roundTo: Int = 6,
+                            pred: Column = lit(true)): DataFrame = {
     val (family, _, spherical) = quantizedFamily(spark, dir)
     require(spherical == (metric == Cosine),
       s"$dir pins spherical=$spherical but the query metric is $metric")
@@ -4186,7 +4199,10 @@ object Ann {
           .map(f => index.quantized.unionByName(
             f.select(index.quantized.columns.map(col): _*)))
           .getOrElse(index.quantized)
-        knnJoinIvfSq(qLocal, qId, qVec, index.copy(quantized = all),
+        // pred thins main AND fresh before every per-query cut (r82
+        // placement, batch form) — same seat in all three families
+        knnJoinIvfSq(qLocal, qId, qVec,
+          index.copy(quantized = all.filter(pred)),
           dId, vecCol, metric, probes, k, rf, roundTo)
       case "pq" =>
         val index = loadIvfPq(spark, dir)
@@ -4196,7 +4212,7 @@ object Ann {
           .map(f => index.encoded.unionByName(
             f.select(index.encoded.columns.map(col): _*)))
           .getOrElse(index.encoded)
-        val aug = index.copy(encoded = all)
+        val aug = index.copy(encoded = all.filter(pred))
         if (metric == Cosine)
           knnJoinIvfPqCos(qLocal, qId, qVec, aug, dId, vecCol,
             probes, k, rf, roundTo)
@@ -4214,7 +4230,8 @@ object Ann {
           .map(f => index.quantized.unionByName(
             f.select(index.quantized.columns.map(col): _*)))
           .getOrElse(index.quantized)
-        knnJoinIvfBitq(qLocal, qId, qVec, index.copy(quantized = all),
+        knnJoinIvfBitq(qLocal, qId, qVec,
+          index.copy(quantized = all.filter(pred)),
           dId, vecCol, metric, probes, k, refine, roundTo)
     }
   }

@@ -924,6 +924,54 @@ object Retrieval {
     df
   }
 
+  /** r92: FILTERED fresh-aware batch kNN join — the composition round
+    * 15 named as silently missing: the filtered story (c20-c25's
+    * metadata predicates) and the fresh story (s25-s28's live
+    * quantized roots) each worked alone, but a *filtered* eval loop
+    * over a *live* root had no operator. r87's even/odd SQ root
+    * replays the r48 query batch under `label IN (1,3,5)` with the
+    * r82 placement — the predicate thins the main codes scan AND the
+    * encode-on-read fresh slice BEFORE every per-query cut, so
+    * disallowed rows never consume refine slots — and lands on the
+    * parameterized r48 oracle (the same full-corpus SQ replay with
+    * the filter inside the candidate window; grown equals built).
+    * In-gate pins: appended > 0, ≥1 fresh-resident (odd) doc in the
+    * filtered top-k, NO disallowed label in the results (the no-leak
+    * assert), and `fresh/` survives the search. */
+  def quantizedFreshFilteredBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qfresh_fbatch").toString
+    Ann.writeIvfSq(index.copy(quantized =
+      index.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val appended = Ann.appendQuantizedFreshIdempotent(s, dir,
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"), col("label")),
+      "vec_id", "embedding")
+    require(appended > 0, "r92: no fresh rows appended — gate is vacuous")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val df = Ann.knnJoinQuantizedFresh(s, dir, queries, "q_id", "qv",
+        "vec_id", "embedding", Ann.L2, probes = 2, k = 3, refine = 5,
+        pred = col("label").isin(1, 3, 5))
+      .withColumnRenamed("vec_id", "d_id").localCheckpoint(true)
+    require(df.filter(col("d_id") % 2 === 1).count() > 0,
+      "r92 vacuous: no fresh-resident doc in the filtered top-k")
+    // no-leak: a result outside the predicate means a disallowed row
+    // consumed a slot somewhere past the filter seat
+    val leaked = df.join(
+      e.filter(!col("label").isin(1, 3, 5))
+        .select(col("vec_id").as("d_id")),
+      Seq("d_id"), "left_semi").count()
+    require(leaked == 0L, s"r92: $leaked disallowed docs leaked")
+    require(new java.io.File(dir, "fresh").exists(),
+      "r92: fresh/ must still exist — the batch search must not compact")
+    df
+  }
+
   /** Declarative MAXSIM rewrite — the third query shape joins the
     * declarative layer: a plain `orderBy(maxsim_dot(q, mv).desc)
     * .limit(k)` plan over a registered multivector table rewrites into
@@ -2506,6 +2554,7 @@ object Retrieval {
     "r19_stored_delete" -> storedDelete,
     "r84_sq_fresh_delete" -> sqFreshDelete,
     "r87_quantized_fresh_batch" -> quantizedFreshBatch,
+    "r92_quantized_fresh_filtered" -> quantizedFreshFilteredBatch,
     "r20_ann_topk_ip" -> annTopkIp,
     "r21_maxsim_rewrite" -> maxsimRewrite,
     "r22_bm25_rewrite" -> bm25Rewrite,
@@ -3404,7 +3453,13 @@ object Retrieval {
           SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 3"""
 
-  private val KnnJoinSqOracleSql: String =
+  /** The r48 SQ batch-join replay, PARAMETERIZED by a doc predicate —
+    * `docPred` (over `c.vec_id` / `c.label`) thins the codes scan
+    * BEFORE the per-query rank window, exactly where the operator
+    * family applies its metadata filter (a post-cut filter would
+    * starve the result set). `TRUE` reproduces the unfiltered r48/r50/
+    * r87 fragment verbatim. */
+  private def knnJoinSqOracleSqlPred(docPred: String): String =
     s"""WITH dims AS (
             SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                    round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -3416,8 +3471,8 @@ object Retrieval {
             SELECT centroid_id, list(c ORDER BY pos) AS centroid
             FROM dims GROUP BY 1),
           assigned AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-              SELECT e.vec_id, e.embedding, c.centroid_id,
+            SELECT vec_id, label, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY list_distance(e.embedding::DOUBLE[],
                                               c.centroid) ASC,
@@ -3443,7 +3498,7 @@ object Retrieval {
                    list(mx ORDER BY pos) AS maxs
             FROM mm GROUP BY 1),
           codes AS (
-            SELECT a.vec_id, a.centroid_id,
+            SELECT a.vec_id, a.label, a.centroid_id,
               list_transform(range(len(a.embedding)), i ->
                 CASE WHEN b.maxs[i+1] > b.mins[i+1]
                   THEN CAST(least(greatest(round(
@@ -3464,7 +3519,8 @@ object Retrieval {
                   c.vec_id ASC) AS rn
               FROM codes c
               JOIN bounds b USING (centroid_id)
-              JOIN qprobes p USING (centroid_id)) WHERE rn <= 15),
+              JOIN qprobes p USING (centroid_id)
+              WHERE $docPred) WHERE rn <= 15),
           rr AS (
             SELECT c.q_id, c.d_id,
                    round(list_distance(e.embedding::DOUBLE[], q.qv), 6)
@@ -3478,6 +3534,8 @@ object Retrieval {
                 FROM rr)
           SELECT q_id, d_id, dist, CAST(rank AS INTEGER) AS rank
           FROM r WHERE rank <= 3"""
+
+  private val KnnJoinSqOracleSql: String = knnJoinSqOracleSqlPred("TRUE")
 
   private val KnnJoinIvfOracleSql: String =
     s"""WITH dims AS (
@@ -4522,6 +4580,12 @@ object Retrieval {
     // batch join over an even-half root + odd-half fresh/ lands on
     // the FULL-corpus per-qid SQ replay (r48's oracle verbatim)
     "r87_quantized_fresh_batch" -> KnnJoinSqOracleSql,
+    // r92: the filtered fresh-aware replay — the same full-corpus SQ
+    // fragment with the predicate inside the candidate window (the
+    // operator's placement: filter BEFORE the per-query cut), grown
+    // equals built exactly as r87.
+    "r92_quantized_fresh_filtered" ->
+      knnJoinSqOracleSqlPred("c.label IN (1, 3, 5)"),
     // r21: BOTH maxsim phases replayed — phase 1 = per-label token-mean
     // dot against the query-token centroid, top-3 labels; phase 2 = the
     // exact maxsim (sum of per-query-token max dots) over those labels

@@ -148,6 +148,98 @@ class QuantizedFreshSpec extends SparkSpecBase {
     assert(plain == want, "folded 1-bit layout diverged (plain search)")
   }
 
+  test("filtered × fresh: pred thins main AND the encode-on-read " +
+      "fresh slice before every cut in all three families plus the " +
+      "batch join; parity with the one-shot filtered search holds " +
+      "before AND after compaction; no disallowed row ever surfaces") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val pred = col("label").isin(1, 2)
+    // --- SQ, thorough (search + batch, before/after compaction) ---
+    val fullSq = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val wantSq = ids(Ann.searchIvfSq(
+      fullSq.copy(quantized = fullSq.quantized.filter(pred)),
+      "vec_id", "embedding", typedlit(q), Ann.L2, probes = 2, k = 8,
+      refine = 5))
+    assert(wantSq.nonEmpty, "vacuous: the filtered reference is empty")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqfresh-filt").toString
+    Ann.writeIvfSq(fullSq.copy(quantized =
+      fullSq.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    Ann.ensureIvfSqRoot(sp, dir, fullSq, spherical = false)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir, odd,
+      "vec_id", "embedding") == 30L)
+    def sqFresh() = ids(Ann.searchIvfSqStoredFresh(sp, dir, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 5,
+      pred = pred))
+    val before = sqFresh()
+    assert(before == wantSq,
+      s"filtered fresh SQ diverged:\ngot  $before\nwant $wantSq")
+    // no-leak: label 0 rows must never surface
+    val disallowed = corpus.filter(_._3 == 0).map(_._1).toSet
+    assert(before.forall(r => !disallowed(r._1)))
+    // batch twin over the LIVE root, same placement
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val gotBatch = Ann.knnJoinQuantizedFresh(sp, dir, queries, "qid",
+        "qv", "vec_id", "embedding", Ann.L2, probes = 2, k = 5,
+        refine = 5, pred = pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val wantBatch = Ann.knnJoinIvfSq(queries, "qid", "qv",
+        fullSq.copy(quantized = fullSq.quantized.filter(pred)),
+        "vec_id", "embedding", Ann.L2, probes = 2, k = 5, refine = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(gotBatch == wantBatch,
+      s"filtered fresh batch join diverged:\n$gotBatch\n$wantBatch")
+    assert(gotBatch.forall(r => !disallowed(r._2)))
+    // after compaction the SAME call answers identically (the
+    // filtered non-fresh parity: fresh/ is gone, pred thins main)
+    assert(Ann.compactQuantizedFresh(sp, dir, "vec_id",
+      "embedding") == 30L)
+    assert(sqFresh() == wantSq, "post-compaction filtered SQ diverged")
+    // --- PQ (spherical) + 1-bit: before-compaction parity ---
+    val fullPq = Ann.buildIvfPq(df, "embedding", model, m = 4,
+      Ann.Cosine)
+    val wantPq = ids(Ann.searchIvfPq(
+      fullPq.copy(encoded = fullPq.encoded.filter(pred)),
+      "vec_id", "embedding", q, Ann.Cosine, probes = 2, k = 8,
+      refine = 5))
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-pqfresh-filt").toString
+    Ann.writeIvfPq(fullPq.copy(encoded =
+      fullPq.encoded.filter(col("vec_id") % 2 === 0)), dirPq)
+    Ann.ensureIvfPqRoot(sp, dirPq, fullPq.pq, model, spherical = true)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dirPq, odd,
+      "vec_id", "embedding") == 30L)
+    val gotPq = ids(Ann.searchIvfPqStoredFresh(sp, dirPq, "vec_id",
+      "embedding", q, Ann.Cosine, probes = 2, k = 8, refine = 5,
+      pred = pred))
+    assert(gotPq == wantPq,
+      s"filtered fresh PQ diverged:\ngot  $gotPq\nwant $wantPq")
+    assert(gotPq.forall(r => !disallowed(r._1)))
+    val fullBq = Ann.buildIvfBitq(df, "embedding", model, Ann.L2)
+    val wantBq = ids(Ann.searchIvfBitq(
+      fullBq.copy(quantized = fullBq.quantized.filter(pred)),
+      "vec_id", "embedding", typedlit(q), Ann.L2, probes = 2, k = 8,
+      refine = 8))
+    val dirBq = java.nio.file.Files
+      .createTempDirectory("graft-bitqfresh-filt").toString
+    Ann.writeIvfBitq(fullBq.copy(quantized =
+      fullBq.quantized.filter(col("vec_id") % 2 === 0)), dirBq)
+    Ann.ensureIvfBitqRoot(sp, dirBq, fullBq.model, spherical = false)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dirBq, odd,
+      "vec_id", "embedding") == 30L)
+    val gotBq = ids(Ann.searchIvfBitqStoredFresh(sp, dirBq, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8,
+      pred = pred))
+    assert(gotBq == wantBq,
+      s"filtered fresh 1-bit diverged:\ngot  $gotBq\nwant $wantBq")
+    assert(gotBq.forall(r => !disallowed(r._1)))
+  }
+
   test("a narrow first batch cannot poison fresh/: the append " +
       "validates every batch against the MAIN layout's doc columns") {
     val sp = spark

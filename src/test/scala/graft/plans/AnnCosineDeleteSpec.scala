@@ -293,6 +293,41 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
   }
 
+  test("mergeUnderfullIfNeeded dispatches on the root's marker: a " +
+      "COMPOSED matryoshka-IVF root merges under its own pinned " +
+      "geometry through the same engine seat") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("vecrow_mrlmerge",
+      primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 3)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-mrlmerge-reg").toString)
+      .register(td)
+    reg.insert(td, (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 3).toFloat * 10f, (i % 3).toFloat * 10f))))
+    val eng = new Engine(reg)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 3)
+    val root = Files.createTempDirectory("graft-mrlmerge-root").toString
+    Ann.writeMatryoshkaIvf(reg.table(td), "rid", "v", dims = 1, model,
+      root)
+    // drain one cluster's cell to a single row (the r91 shape)
+    val doomed = (5 until 30 by 3).map(_.toLong).toDF("rid")
+    assert(Ann.deleteStoredIds(sp, s"$root/rows", "rid", doomed) === 9L)
+    val merged = eng.mergeUnderfullIfNeeded(td, root, minRows = 5)
+    assert(merged.size === 1 && merged.values.sum === 1L,
+      s"expected the one drained cell (1 row) to dissolve, got $merged")
+    assert(sp.read.parquet(s"$root/centroids").count() === 2L)
+    // every survivor reachable at all-probe through the merged root
+    assert(Ann.matryoshkaTopKIvf(sp, root, "rid",
+      Seq(0.0, 0.0), probes = 2, candidates = 21, k = 21).count()
+      === 21L)
+    // below-threshold layouts are left alone
+    assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
+  }
+
   test("mergeUnderfullCellsMrlIvf (cosine): drained cells dissolve " +
       "with rows re-homed under the spherical geometry; all-probe " +
       "results equal the flat cut; readers refuse mid-merge and one " +
