@@ -2371,7 +2371,8 @@ object Ann {
   private def mergeUnderfullImpl(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       minRows: Long, growRadii: Boolean, radiiVecCol: String,
-      reassign: (DataFrame, IvfModel) => DataFrame): Map[Long, Long] = {
+      reassign: (DataFrame, IvfModel) => DataFrame,
+      dataSub: String = "rows"): Map[Long, Long] = {
     require(minRows > 0,
       s"mergeUnderfullCells: minRows must be positive, got $minRows")
     completePendingMerge(spark, dir) // finish a torn run first
@@ -2379,7 +2380,7 @@ object Ann {
       "centroid_id", "centroid")
     if (growRadii) loadRangeIndex(spark, dir) // refuse non-range roots
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
-    val rows = spark.read.parquet(s"$dir/rows")
+    val rows = spark.read.parquet(s"$dir/$dataSub")
     // occupancy INCLUDING zero-row cells (groupBy alone drops them)
     val occ = rows.groupBy(col(model.idCol).cast("long").as("__cid"))
       .agg(count(lit(1)).as("__n"))
@@ -2437,9 +2438,12 @@ object Ann {
     } else
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rows_merge"), true)
     // 3) the commit point: pending marker ON — readers refuse from
-    //    here until completion's last step removes it
+    //    here until completion's last step removes it. The marker
+    //    carries the data subdir so a COLD re-run (a different entry
+    //    point healing someone else's crash) completes against the
+    //    right layout; the bare legacy form parses as "rows".
     graft.io.Markers.write(spark, dir, MergePendingMarker,
-      flagged.mkString(","))
+      s"$dataSub|${flagged.mkString(",")}")
     completePendingMerge(spark, dir)
     flagged.map(c => c -> counts(c)).toMap
   }
@@ -2466,7 +2470,13 @@ object Ann {
     healSideTableSwap(fs, dir, "radii")
     val pending = graft.io.Markers.read(spark, dir, MergePendingMarker)
     if (pending.isEmpty) return
-    val flagged = pending.get.split(",").filter(_.nonEmpty)
+    // "dataSub|ids" (quantized roots merge under quantized/ or
+    // encoded/); a bare id list is the legacy range/composed form
+    val (dataSub, idPart) = pending.get.split("\\|", 2) match {
+      case Array(sub, ids) => (sub, ids)
+      case _ => ("rows", pending.get)
+    }
+    val flagged = idPart.split(",").filter(_.nonEmpty)
       .map(_.toLong).toSeq
     // (a) commit the reduced model (idempotent: filtering an
     //     already-reduced centroid table is a no-op) + re-pin
@@ -2485,7 +2495,7 @@ object Ann {
     if (fs.exists(staging)) {
       fs.listStatus(staging).filter(_.isDirectory).foreach { cellDir =>
         val dest = new org.apache.hadoop.fs.Path(
-          s"$dir/rows/${cellDir.getPath.getName}")
+          s"$dir/$dataSub/${cellDir.getPath.getName}")
         fs.mkdirs(dest)
         fs.listStatus(cellDir.getPath)
           .filterNot(_.getPath.getName.startsWith("_"))
@@ -2502,7 +2512,7 @@ object Ann {
     // (c) doomed dirs out
     flagged.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$dir/rows/centroid_id=$c"), true)
+        s"$dir/$dataSub/centroid_id=$c"), true)
     }
     // (d) doomed radii rows out (range roots only — the composed
     //     layout has no radii table; presence detected from disk so
@@ -3228,9 +3238,11 @@ object Ann {
       .parquet(s"$dir/centroids")
   }
 
-  /** Load a [[writeIvfSq]] layout; codes unpack at scan time. */
+  /** Load a [[writeIvfSq]] layout; codes unpack at scan time. Refuses
+    * mid-merge ([[mergeUnderfullCellsQuantized]]'s torn window). */
   def loadIvfSq(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IvfSqIndex = {
+    requireNoPendingMerge(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
     val quantized = spark.read.parquet(s"$dir/quantized")
       .withColumn("codes", unpackCodes(col("codes")))
@@ -3537,9 +3549,22 @@ object Ann {
 
   /** Load a [[writeIvfPq]] layout (geometry from the marker; codebooks
     * collected driver-side in (s, code) order — m·codes·subDim doubles,
-    * bounded by construction). */
+    * bounded by construction). Refuses mid-merge (rows may be mid-move
+    * between cell directories — [[mergeUnderfullCellsQuantized]]). */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IvfPqIndex = {
+    requireNoPendingMerge(spark, dir)
+    val (pq, model, spherical) = loadPqArtifacts(spark, dir)
+    IvfPqIndex(spark.read.parquet(s"$dir/encoded"), pq, model,
+      spherical)
+  }
+
+  /** The trained PQ artifacts SANS data — codebooks + centroids +
+    * spherical flag, for transforms that need the frozen training but
+    * not the encoded frame (fresh compaction, the underfull-cell
+    * merge — which runs precisely when [[loadIvfPq]] refuses). */
+  private def loadPqArtifacts(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (PqModel, IvfModel, Boolean) = {
     val meta = graft.io.Markers.read(spark, dir, PqMetaMarker)
       .getOrElse(throw new IllegalStateException(
         s"$dir has no PQ geometry marker — not a writeIvfPq layout"))
@@ -3557,10 +3582,8 @@ object Ann {
         books.head.forall(_._2.length == subDim.toInt),
       s"$dir codebooks disagree with the marker geometry $meta")
     val cents = spark.read.parquet(s"$dir/centroids")
-    IvfPqIndex(spark.read.parquet(s"$dir/encoded"),
-      PqModel(m.toInt, subDim.toInt, books),
-      IvfModel(cents, "centroid_id", "centroid"),
-      spherical = spherical.toBoolean)
+    (PqModel(m.toInt, subDim.toInt, books),
+      IvfModel(cents, "centroid_id", "centroid"), spherical.toBoolean)
   }
 
   /** [[searchIvfPq]] over a stored layout: probe cells become a
@@ -3797,6 +3820,7 @@ object Ann {
     * table); bits unpack at scan time. */
   def loadIvfBitq(spark: org.apache.spark.sql.SparkSession,
                   dir: String): IvfBitIndex = {
+    requireNoPendingMerge(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
     val dims = cents.select(size(col("centroid"))).head().getInt(0)
     val quantized = spark.read.parquet(s"$dir/quantized")
@@ -3845,7 +3869,20 @@ object Ann {
     * three (an unmarked dir must never silently become a fresh-rows
     * root: adopt-on-append would mix geometries). */
   private def quantizedFamily(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): (String, String, Boolean) =
+                              dir: String): (String, String, Boolean) = {
+    // every fresh-family entry point (append/search/compact/delete)
+    // funnels through this detect — the ONE guard seat for the
+    // quantized torn-merge refusal (the load* seats cover searches)
+    requireNoPendingMerge(spark, dir)
+    quantizedFamilyUnguarded(spark, dir)
+  }
+
+  /** [[quantizedFamily]] without the torn-merge refusal — for
+    * [[mergeUnderfullCellsQuantized]], which runs precisely when the
+    * guarded readers refuse. */
+  private def quantizedFamilyUnguarded(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Boolean) =
     graft.io.Markers.read(spark, dir, PqMetaMarker) match {
       case Some(meta) => ("pq", "encoded", meta.split(",")(2).toBoolean)
       case None => graft.io.Markers.read(spark, dir, SqMetaMarker) match {
@@ -4323,6 +4360,69 @@ object Ann {
     if (freshN > maxFreshRatio * mainN)
       Some(compactQuantizedFresh(spark, dir, idCol, vecCol))
     else None
+  }
+
+  /** MERGE underfull cells of a QUANTIZED root (SQ / PQ / 1-bit) —
+    * [[mergeUnderfullCells]]' member for the compressed families,
+    * closing the r66 health signal's last coverage gap: S6 delete
+    * maintenance drains their cells exactly like the range family's
+    * (the r84 story), and nothing dissolved them, so probe arithmetic
+    * and small-file overhead grew with every delete cycle. Same
+    * resumable-commit protocol (shared impl — the marker carries the
+    * family's data subdir so any entry point can complete a torn
+    * run); the family-specific step is the RE-ENCODE: a doomed cell's
+    * rows strip their stale codes and re-encode under the reduced
+    * model's FROZEN artifacts — SQ against the receiving cell's
+    * stored bounds, PQ against the global codebooks, 1-bit against
+    * the receiving centroid — via the exact
+    * [[compactQuantizedFresh]] transforms, so moved codes are
+    * bit-identical to what a fresh-append-then-compact of the same
+    * rows would produce (spherical roots re-assign normalized, raw
+    * vecCol stays for the exact re-rank; bounds/codebooks stay frozen
+    * — the ensure*Root digest pins survive). ALL quantized readers,
+    * appends and compactions refuse mid-merge ([[loadIvfSq]]/
+    * [[loadIvfPq]]/[[loadIvfBitq]] + [[quantizedFamily]] seats;
+    * cell-dir deletes refuse through [[deleteStoredImpl]]'s parent
+    * guard). Refuses while a `fresh/` side table exists (compact
+    * first — a merge would orphan fresh rows homed in doomed cells).
+    * Precision note: a moved row's vector can fall outside its
+    * receiving cell's frozen SQ bounds (codes clamp), degrading its
+    * PHASE-1 estimate only — the exact re-rank is on raw vectors, so
+    * recall at the family's usual refine margins is what the r93 gate
+    * pins against the index-free oracle. Returns dissolved cell id →
+    * rows it held. */
+  def mergeUnderfullCellsQuantized(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, minRows: Long): Map[Long, Long] = {
+    val (family, dataSub, spherical) = quantizedFamilyUnguarded(spark, dir)
+    require(!freshExists(spark, dir),
+      s"mergeUnderfullCellsQuantized: $dir carries a fresh/ side " +
+        "table — compact it first (compactQuantizedFresh); a merge " +
+        "would orphan fresh rows homed in doomed cells")
+    val metric = if (spherical) Cosine else (L2: Metric)
+    val stored = spark.read.parquet(s"$dir/$dataSub")
+    mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
+      radiiVecCol = "", dataSub = dataSub,
+      reassign = (dropped, reduced) => {
+        val raw = quantizedCodeCols(family).foldLeft(dropped)(_ drop _)
+        val encoded = family match {
+          case "sq" =>
+            assignQuantizeSq(raw, vecCol,
+              IvfSqIndex(spark.emptyDataFrame,
+                spark.read.parquet(s"$dir/bounds"), reduced), metric)
+          case "pq" =>
+            val (pq, _, _) = loadPqArtifacts(spark, dir)
+            assignEncodePq(raw, vecCol, pq, reduced, metric)
+          case _ =>
+            assignQuantizeBitq(raw, vecCol, reduced, metric)
+        }
+        // guard + order-normalize against the stored footer: a
+        // drifted encode transform must fail HERE, not as a
+        // nondeterministic mixed-schema read at query time
+        requireAppendSchema(stored.schema, encoded.schema,
+          Set("centroid_id"), "mergeUnderfullCellsQuantized")
+        encoded.select(stored.columns.map(col): _*)
+      })
   }
 
   /** Delete ids from a quantized root's FRESH side table (no-op when

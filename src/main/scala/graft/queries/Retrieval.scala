@@ -2387,6 +2387,68 @@ object Retrieval {
     df
   }
 
+  /** r93: MERGE of underfull cells on a QUANTIZED root
+    * ([[Ann.mergeUnderfullCellsQuantized]]) — the r66 health
+    * actuators reach the compressed families: S6 deletes drain SQ/PQ/
+    * 1-bit cells exactly like the range family's (r84's own story),
+    * and round 15 left them with neither split nor merge. The r12 SQ
+    * root is drained at its assigned cell 4 (the r90 recipe), the
+    * merge dissolves every cell below the SF-relative threshold, and
+    * moved rows RE-ENCODE under the receiving cells' frozen bounds
+    * (the compactQuantizedFresh transform — bit-identical to a
+    * fresh-append-then-compact of the same rows; bounds stay frozen
+    * so the root's digest pins survive). Because codes change homes,
+    * results at small refine are not invariant by construction — the
+    * truth is the index-free post-delete replay, which the gate pins
+    * EXACTLY by probing every surviving cell with a corpus-covering
+    * refine (phase-1 keeps everything ⇒ the exact re-rank IS the
+    * oracle's scan). In-gate pins: cell 4 dissolved and its dir gone,
+    * every surviving row reachable (moved rows included — a dropped
+    * or double-moved row changes the count), and ≥1 moved (cell-4
+    * survivor) row in the reachable set. */
+  def quantizedCellMerge(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_merge").toString
+    Ann.writeIvfSq(index, dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val lists = model.centroids.count()
+    val cell4 = s.read.parquet(s"$dir/quantized")
+      .filter(col("centroid_id") === 4).select(col("vec_id"))
+      .localCheckpoint(true)
+    val doomed = cell4.filter(col("vec_id") % 3 =!= 0)
+    val removed = Ann.deleteStoredIds(s, s"$dir/quantized", "vec_id",
+      doomed)
+    require(removed > 0, "r93 vacuous: the S6 delete removed nothing")
+    val minRows = math.max(3L,
+      s.read.parquet(s"$dir/quantized").count() / lists / 2)
+    val merged = Ann.mergeUnderfullCellsQuantized(s, dir, "vec_id",
+      "embedding", minRows)
+    require(merged.contains(4L),
+      s"r93: the drained cell 4 did not merge, got ${merged.keySet}")
+    require(!new java.io.File(s"$dir/quantized/centroid_id=4").exists(),
+      "r93: the dissolved cell's directory survived")
+    val remaining = s.read.parquet(s"$dir/quantized").count()
+    val cellsNow = (lists - merged.size).toInt
+    // reachability: every surviving row (moved included) surfaces
+    // under all-probe — row conservation through the re-encode
+    val all = Ann.searchIvfSqStored(s, dir, "vec_id", "embedding",
+      qvec(s, d, 5), Ann.L2, probes = cellsNow, k = remaining.toInt,
+      refine = 1)
+    require(all.count() == remaining,
+      "r93: merged root lost or duplicated rows under all-probe")
+    require(all.join(cell4.filter(col("vec_id") % 3 === 0),
+        Seq("vec_id"), "left_semi").limit(1).count() > 0,
+      "r93 vacuous: no moved (cell-4 survivor) row reachable")
+    // the oracle cut: all-probe + corpus-covering refine makes the
+    // exact re-rank the index-free post-delete top-10
+    Ann.searchIvfSqStored(s, dir, "vec_id", "embedding", qvec(s, d, 5),
+      Ann.L2, probes = cellsNow, k = 10,
+      refine = (remaining / 10 + 1).toInt)
+  }
+
   /** r65: the eps-join AT REST — r57's batch shape over a
     * self-contained [[Ann.writeRangeIndex]] root: each query explodes
     * to its ball-intersecting cells (broadcast (centroid, radius)
@@ -2505,6 +2567,7 @@ object Retrieval {
     "r64_range_stored_self" -> rangeStoredSelf,
     "r69_cell_split" -> rangeCellSplit,
     "r90_cell_merge" -> rangeCellMerge,
+    "r93_quantized_cell_merge" -> quantizedCellMerge,
     "r70_matryoshka_topk" -> matryoshkaTopk,
     "r71_matryoshka_stored" -> matryoshkaStored,
     "r72_sql_surface" -> sqlSurfaceTopk,
@@ -4395,6 +4458,18 @@ object Retrieval {
             AND round(list_distance(a.embedding::DOUBLE[], $qv9), 6)
                 <= 10.0
           ORDER BY dist ASC, vec_id ASC""",
+    // r93: the quantized merge's truth is the index-free post-delete
+    // replay — all-probe + corpus-covering refine make the operator's
+    // exact re-rank the plain top-10 over the surviving rows (codes
+    // re-homed under frozen bounds change phase-1 estimates only).
+    "r93_quantized_cell_merge" ->
+      s"""WITH $LabelIvfCtes
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv5), 6)
+                   AS dist
+          FROM assigned a
+          WHERE NOT (a.centroid_id = 4 AND a.vec_id % 3 <> 0)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r70: both matryoshka phases from first principles — the prefix
     // cut (top-50 by L2 over coordinates 1..8, ties id asc) and the
     // full-precision re-score, each rounded before its ordering.

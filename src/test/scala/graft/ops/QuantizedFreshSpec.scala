@@ -313,6 +313,98 @@ class QuantizedFreshSpec extends SparkSpecBase {
     assert(after == 29L, s"expected 29 even survivors, saw $after")
   }
 
+  test("mergeUnderfullCellsQuantized: drained cells dissolve with " +
+      "rows RE-ENCODED under the receiving cells' frozen artifacts " +
+      "(all three families, all-probe equals the exact scan); " +
+      "readers/appends/compactions refuse mid-merge and one re-run " +
+      "heals; a live fresh/ refuses the merge") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val survivors = df.filter(!(col("label") === 0 && col("vec_id") > 3))
+    def exactWant(k: Int) = ids(Ann.topK(survivors, "vec_id",
+      "embedding", typedlit(q), Ann.L2, k)
+      .select(col("vec_id"), col("dist")))
+    def drain(dataSub: String, dir: String): Unit = {
+      val doomed = df.filter(col("label") === 0 && col("vec_id") > 3)
+        .select("vec_id")
+      assert(Ann.deleteStoredIds(sp, s"$dir/$dataSub", "vec_id",
+        doomed) === 18L)
+    }
+    // --- SQ, thorough ---
+    val fullSq = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqmerge").toString
+    Ann.writeIvfSq(fullSq, dir)
+    Ann.ensureIvfSqRoot(sp, dir, fullSq, spherical = false)
+    drain("quantized", dir)
+    val merged = Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id",
+      "embedding", minRows = 5)
+    assert(merged.keySet.nonEmpty && merged.values.sum === 2L,
+      s"expected the drained cell (2 rows) to dissolve, got $merged")
+    assert(sp.read.parquet(s"$dir/centroids").count() === 2L)
+    // moved rows re-encoded under the receiving cells' frozen bounds:
+    // all-probe + covering refine == the exact scan over survivors
+    val got = ids(Ann.searchIvfSqStored(sp, dir, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 8, refine = 6))
+    assert(got == exactWant(8),
+      s"merged SQ root diverged from exact:\n$got\n${exactWant(8)}")
+    // codes column well-formed in the receiving cells (no null codes)
+    assert(sp.read.parquet(s"$dir/quantized")
+      .filter(col("codes").isNull).count() === 0L)
+    // bounds stayed FROZEN (digest pin survives a restart probe)
+    Ann.ensureIvfSqRoot(sp, dir,
+      fullSq.copy(model = Ann.IvfModel(
+        sp.read.parquet(s"$dir/centroids"), "centroid_id", "centroid")),
+      spherical = false)
+    // torn merge: every quantized entry point refuses; a re-run heals
+    graft.io.Markers.write(sp, dir, "_graft_merge_pending", "quantized|")
+    intercept[IllegalStateException] { Ann.loadIvfSq(sp, dir) }
+    intercept[IllegalStateException] {
+      Ann.appendQuantizedFreshIdempotent(sp, dir,
+        Seq((900L, Seq.fill(dim)(0.1), 0)).toDF(
+          "vec_id", "embedding", "label"), "vec_id", "embedding")
+    }
+    intercept[IllegalStateException] {
+      Ann.compactQuantizedFresh(sp, dir, "vec_id", "embedding")
+    }
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id",
+      "embedding", minRows = 5).isEmpty) // heals, nothing left to merge
+    assert(ids(Ann.searchIvfSqStored(sp, dir, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 8, refine = 6)) == got)
+    // a live fresh/ refuses the merge (compact first)
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      Seq((901L, Seq.fill(dim)(0.2), 1)).toDF(
+        "vec_id", "embedding", "label"), "vec_id", "embedding") === 1L)
+    val exFresh = intercept[IllegalArgumentException] {
+      Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id", "embedding",
+        minRows = 5)
+    }
+    assert(exFresh.getMessage.contains("fresh"))
+    // --- PQ (spherical) + 1-bit: dissolve + reachability ---
+    val fullPq = Ann.buildIvfPq(df, "embedding", model, m = 4,
+      Ann.Cosine)
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-pqmerge").toString
+    Ann.writeIvfPq(fullPq, dirPq)
+    drain("encoded", dirPq)
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dirPq, "vec_id",
+      "embedding", minRows = 5).values.sum === 2L)
+    assert(Ann.searchIvfPqStored(sp, dirPq, "vec_id", "embedding", q,
+      Ann.Cosine, probes = 2, k = 42, refine = 1).count() === 42L)
+    val fullBq = Ann.buildIvfBitq(df, "embedding", model, Ann.L2)
+    val dirBq = java.nio.file.Files
+      .createTempDirectory("graft-bqmerge").toString
+    Ann.writeIvfBitq(fullBq, dirBq)
+    Ann.ensureIvfBitqRoot(sp, dirBq, fullBq.model, spherical = false)
+    drain("quantized", dirBq)
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dirBq, "vec_id",
+      "embedding", minRows = 5).values.sum === 2L)
+    assert(Ann.searchIvfBitqStored(sp, dirBq, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 42, refine = 1).count()
+      === 42L)
+  }
+
   test("refusals: unmarked dirs and retrained models cannot grow a " +
       "fresh side table; mismatched metric refuses at query") {
     val sp = spark
