@@ -2728,6 +2728,72 @@ object Ann {
       dVec, model, radii, metric, roundTo, validateEps = true,
       label = "rangeJoinIvfPerEps")
 
+  /** [[rangeJoinIvfPerEps]] under COSINE — the reduction
+    * [[requireTriangleMetric]]'s refusal names, folded in per row
+    * (round 15 made the common text-embedding case hand-rolled:
+    * per-document duplicate radii over cosine embeddings needed
+    * manual prep). Cosine distance has no triangle inequality, so the
+    * cell cut runs as L2 ON THE UNIT SPHERE (‖â−b̂‖² = 2·cosDist —
+    * [[rangeSearchCosStored]]'s exact argument, row-wise): each query
+    * row's own eps reduces to `eps_l2 = sqrt(2·eps + slack)` inside
+    * the probe, the cut is `l2(q̂, centroid) ≤ radius + eps_l2 +
+    * slack` against the SPHERICAL layout ([[rangeSearchCosStored]]'s
+    * contract: `model` holds the normalized centroids the rows were
+    * assigned under, `radii` = [[cellRadii]] over the normalized
+    * column; `dVec` may stay raw — cosine ignores norms), and the
+    * OUTPUT filter is true cosine on the raw vectors against each
+    * pair's own eps. EXACT per query: round-cos(q,v) ≤ eps_q ⇒
+    * 2·cos ≤ 2·eps_q + slack ⇒ l2(q̂,v̂) ≤ eps_l2 ⇒ v's cell
+    * survives q's cut. Same refusals and collect-once discipline as
+    * the L2 form. Returns (qId, dId, dist) ordered per query. */
+  def rangeJoinIvfPerEpsCos(queries: DataFrame, qId: String,
+                            qVec: String, epsCol: String,
+                            assigned: DataFrame, dId: String,
+                            dVec: String, model: IvfModel,
+                            radii: DataFrame,
+                            roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val eCol = col(epsCol).cast("double")
+    // ONE materialization feeds validation AND the join (the L2
+    // form's discipline — a non-deterministic source could pass the
+    // eps scan yet carry a bad eps into the join)
+    val q1 = queries.localCheckpoint(true)
+    val badEps = q1
+      .filter(eCol.isNull || isnan(eCol) || eCol < 0 ||
+        eCol === Double.PositiveInfinity)
+      .limit(1).count()
+    require(badEps == 0L,
+      s"rangeJoinIvfPerEpsCos: $epsCol carries a null/negative/NaN/" +
+        "infinite radius — a NaN silently drops its query, an " +
+        "infinity scans every cell")
+    val rad = radii
+      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bc = spark.sparkContext.broadcast(
+      collectCentroids(model).map { case (id, c) =>
+        (id, c, rad.getOrElse(id, 0.0)) })
+    val slack = math.pow(10.0, -roundTo)
+    val cellsUdf = udf { (v: Seq[Double], eps: Double) =>
+      val nv = normalizeDriver(v.toArray)
+      val epsL2 = math.sqrt(2.0 * eps + slack)
+      bc.value.iterator
+        .filter { case (_, c, r) =>
+          L2.distScala(nv, c) <= r + epsL2 + slack }
+        .map(_._1).toSeq
+    }
+    val probed = q1
+      .withColumn(model.idCol,
+        explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
+    probed.join(assigned
+        .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
+      .withColumn("dist",
+        round(Cosine.dist(col(qVec).cast("array<double>"),
+          col(dVec).cast("array<double>")), roundTo))
+      .filter(col("dist") <= eCol)
+      .select(col(qId), col(dId), col("dist"))
+      .orderBy(col(qId).asc, col("dist").asc, col(dId).asc)
+  }
+
   private def rangeJoinIvfPerEpsImpl(
       queries0: DataFrame, qId: String, qVec: String, epsCol: String,
       assigned: DataFrame, dId: String, dVec: String, model: IvfModel,

@@ -1644,6 +1644,36 @@ object Retrieval {
         col("dist"))
   }
 
+  /** r94: the PER-QUERY-radius range join under COSINE
+    * ([[Ann.rangeJoinIvfPerEpsCos]]) — r88 replayed on the metric
+    * real text embeddings ship, closing round 15's "manual
+    * reduction" gap: the operator folds the normalized-L2 reduction
+    * in per row (cell cut as L2 on the unit sphere with each query's
+    * own eps_l2 = sqrt(2·eps + slack); output filter true cosine on
+    * the raw vectors), over r63's spherical layout (normalized
+    * model + radii over the normalized column, raw vectors at rest).
+    * EXACT, so the oracle is the index-free per-query cosine scan —
+    * each query's own threshold replayed in plain SQL. */
+  def rangeJoinPerEpsCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val withN = e.withColumn("__nvec", Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "label", "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    val radii = Ann.cellRadii(assigned, "__nvec", model, Ann.L2)
+    val docs = assigned.drop("__nvec")
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.65) + (col("vec_id") % 3).cast("double") * lit(0.05))
+          .as("eps"))
+    Ann.rangeJoinIvfPerEpsCos(queries, "q_id", "qv", "eps", docs,
+        "d_id", "dv", model, radii)
+      .filter(col("q_id") < col("d_id"))
+      .select(col("q_id").as("qid"), col("d_id").as("did"),
+        (col("dist") + lit(0.0)).as("dist"))
+  }
+
   /** r89: r88 over a STORED range root ([[Ann.rangeJoinIvfStored]])
     * — the at-rest batch form: the same 40-query per-radius log
     * against a [[Ann.writeRangeIndex]] root, where the union of each
@@ -2596,6 +2626,7 @@ object Retrieval {
     "r57_range_join" -> rangeJoinSelf,
     "r88_range_join_per_eps" -> rangeJoinPerEps,
     "r89_range_join_per_eps_stored" -> rangeJoinPerEpsStored,
+    "r94_range_join_per_eps_cos" -> rangeJoinPerEpsCos,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4497,6 +4528,19 @@ object Retrieval {
     // never results.
     "r88_range_join_per_eps" -> PerEpsRangeOracleSql,
     "r89_range_join_per_eps_stored" -> PerEpsRangeOracleSql,
+    // r94: the cosine twin — index-free per-query cosine threshold
+    // scan (each query row's own eps; + 0 for DuckDB's IEEE −0.0).
+    "r94_range_join_per_eps_cos" ->
+      s"""SELECT a.vec_id AS qid, b.vec_id AS did,
+                 round(${cosDistSql("a.embedding::DOUBLE[]",
+                                    "b.embedding::DOUBLE[]")}, 6) + 0
+                   AS dist
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+            AND round(${cosDistSql("a.embedding::DOUBLE[]",
+                                   "b.embedding::DOUBLE[]")}, 6)
+                <= 0.65 + CAST(a.vec_id % 3 AS DOUBLE) * 0.05
+          ORDER BY qid ASC, dist ASC, did ASC""",
     // r51: filtered exact top-k — the predicate composes with the
     // ordering; pushdown (the thing the gate pins) is plan-shape, not
     // semantics, so the oracle is the plain filtered scan.

@@ -199,6 +199,63 @@ class AnnRangeSpec extends SparkSpecBase {
     }
   }
 
+  test("rangeJoinIvfPerEpsCos: each query's own COSINE radius decides " +
+      "its pairs — equals the brute-force per-query cosine scan over " +
+      "a spherical layout with mixed norms; bad radii refuse loudly") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(17)
+    // three angular clusters with RANDOM SCALES — cosine ignores
+    // norms, so a layout confusing raw and normalized space fails here
+    val dirs3 = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.7, 0.7, 0.0))
+    val docs = (0L until 60L).map { i =>
+      val c = dirs3((i % 3).toInt)
+      val scale = 0.5 + rng.nextDouble() * 9
+      (i, c.map(x => (x + (rng.nextDouble() - 0.5) * 0.15) * scale),
+        (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "cluster")
+    val withN = docs.withColumn("__nv", Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "cluster", "__nv"))
+    val assigned = Ann.assign(withN, "__nv", model, Ann.L2)
+    val radii = Ann.cellRadii(assigned, "__nv", model, Ann.L2)
+    val docSide = assigned.drop("__nv")
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    // tight vs loose per-query cosine radii
+    val queries = docs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        when(col("vec_id") % 2 === 0, 0.02).otherwise(0.6).as("eps"))
+    val got = Ann.rangeJoinIvfPerEpsCos(queries, "q_id", "qv", "eps",
+        docSide, "d_id", "dv", model, radii)
+      .select("q_id", "d_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: per-pair rounded cosine against the query's own eps
+    val want = queries.crossJoin(docs
+        .select(col("vec_id").as("d_id"), col("embedding").as("dv")))
+      .withColumn("dist", round(Ann.Cosine.dist(
+        col("qv").cast("array<double>"),
+        col("dv").cast("array<double>")), 6))
+      .filter(col("dist") <= col("eps"))
+      .select("q_id", "d_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want,
+      s"cosine per-eps join diverged from brute force: " +
+        s"${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // the loose arm genuinely admits cross-norm same-direction pairs
+    assert(want.nonEmpty &&
+      want.exists { case (q, _, _) => q % 2 == 1 })
+    // null / NaN / negative / infinite radii refuse before any join
+    for (bad <- Seq(lit(Double.NaN), lit(-0.1),
+        lit(Double.PositiveInfinity), lit(null).cast("double"))) {
+      intercept[IllegalArgumentException] {
+        Ann.rangeJoinIvfPerEpsCos(
+          queries.withColumn("eps", bad), "q_id", "qv", "eps",
+          docSide, "d_id", "dv", model, radii).collect()
+      }
+    }
+  }
+
   test("declarative range rewrite injects the EXACT cell filter on " +
       "clustered data; unregistered columns and foreign metrics bail") {
     val sp = spark
