@@ -1108,6 +1108,85 @@ object ScaleSmoke {
       }
     }
 
+    // Composed matryoshka-IVF SPLIT at 16× — the north-star layout's
+    // hot-cell actuator (round 16): only flagged cells retrain (each
+    // from ITS directory), emb_pre moves verbatim, and ONLY the split
+    // is timed. Untimed pins: cells grew, rows conserved, the probed
+    // search still asserts its own partition + column pins.
+    if (only.forall(_.exists("mrl_ivf_split".startsWith))) {
+      val msModel = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 4,
+        iters = 2)
+      val msDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_mrlsplit").toString
+      ops.Ann.writeMatryoshkaIvf(vecs, "vec_id", "embedding", 8,
+        msModel, msDir)
+      time("mrl_ivf_split") {
+        val s = ops.Ann.splitOverfullCellsMrlIvf(spark, msDir,
+          maxRows = nVecs * xf / 8)
+        require(s.nonEmpty, "16x composed split never fired")
+        s.size.toLong
+      }
+      locally {
+        val cells = spark.read.parquet(s"$msDir/centroids").count()
+        require(cells > 4L, s"composed split left $cells cells of 4")
+        val n = spark.read.parquet(s"$msDir/rows").count()
+        require(n == nVecs * xf,
+          s"composed split lost rows: $n vs ${nVecs * xf}")
+        val q = emb0.limit(1)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val topn = ops.Ann.matryoshkaTopKIvf(spark, msDir, "vec_id",
+          q, probes = 2, candidates = 100, k = 10).count()
+        require(topn == 10L, s"post-split composed top-10 got $topn")
+      }
+    }
+
+    // Quantized-root MERGE at 16× (round 16): the drained cell's rows
+    // strip codes and RE-ENCODE under the receiving cells' frozen
+    // bounds — cost bounded by the drained rows plus side-table
+    // swaps, never the corpus; only the merge is timed.
+    if (only.forall(_.exists("quantized_merge".startsWith))) {
+      val qmModel = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 8,
+        iters = 2)
+      val qmIdx = ops.Ann.buildIvfSq(vecs, "embedding", qmModel,
+        ops.Ann.L2)
+      val qmDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_qmerge").toString
+      ops.Ann.writeIvfSq(qmIdx, qmDir)
+      ops.Ann.ensureIvfSqRoot(spark, qmDir, qmIdx, spherical = false)
+      val qmRows = spark.read.parquet(s"$qmDir/quantized")
+      val (drainCell, _) = qmRows
+        .groupBy(col("centroid_id").cast("long")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .minBy(_._2)
+      val doomed = qmRows
+        .filter(col("centroid_id") === drainCell &&
+          col("vec_id") % 37 =!= 0)
+        .select("vec_id").localCheckpoint(true)
+      val deleted = ops.Ann.deleteStoredIds(spark,
+        s"$qmDir/quantized", "vec_id", doomed)
+      require(deleted > 0, "16x quantized drain removed nothing")
+      time("quantized_merge") {
+        val merged = ops.Ann.mergeUnderfullCellsQuantized(spark,
+          qmDir, "vec_id", "embedding", minRows = nVecs * xf / 16)
+        require(merged.contains(drainCell),
+          s"16x quantized merge missed cell $drainCell: $merged")
+        merged.size.toLong
+      }
+      locally { // conservation + the merged root still searches
+        val n = spark.read.parquet(s"$qmDir/quantized").count()
+        require(n == nVecs * xf - deleted,
+          s"quantized merge lost rows: $n vs ${nVecs * xf - deleted}")
+        val q = emb0.limit(1)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val topn = ops.Ann.searchIvfSqStored(spark, qmDir, "vec_id",
+          "embedding", typedlit(q), ops.Ann.L2, probes = 2, k = 10,
+          refine = 5).count()
+        require(topn == 10L, s"post-merge SQ top-10 got $topn")
+      }
+    }
+
     // DSIR at 16×: feature extraction map-only from the scan; both
     // distributions collapse to ≤ buckets rows (asserted — the join's
     // build side is bucket-sized at ANY corpus scale); one per-doc sum

@@ -916,6 +916,27 @@ final class Engine(reg: Registry) {
     else Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
   }
 
+  /** Threshold-triggered overfull-cell SPLIT for a range OR composed
+    * matryoshka-IVF root serving `td` — [[mergeUnderfullIfNeeded]]'s
+    * complement, completing the engine's maintenance triad (fresh
+    * compaction / merge / split) so an operator can run all three on
+    * one cadence without remembering which layout needs which direct
+    * call: appends grow hot cells the way deletes drain cold ones,
+    * and a never-split root's probes over-read at 100 TB. Dispatches
+    * on the root's own marker like the merge seat; every cell past
+    * `maxRows` locally retrains into sub-cells (only its directories
+    * rewritten, marker re-pinned — range results invariant, composed
+    * results the reduced-geometry replay). Returns oldCell → new cell
+    * ids (empty when nothing was overfull). */
+  def splitOverfullIfNeeded(td: TableDef[_], dir: String,
+                            maxRows: Long): Map[Long, Seq[Long]] = {
+    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
+      s"${td.name} has no vector index"))
+    if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
+      Ann.splitOverfullCellsMrlIvf(reg.spark, dir, maxRows)
+    else Ann.splitOverfullCells(reg.spark, dir, ix.column, maxRows)
+  }
+
   /** Undo [[attachStoredIndex]]: the layout stops tracking the table's
     * deletes (no-op if never attached). */
   def detachStoredIndex(td: TableDef[_], dir: String): Unit =

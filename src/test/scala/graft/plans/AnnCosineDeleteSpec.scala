@@ -293,6 +293,47 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
   }
 
+  test("splitOverfullIfNeeded: the engine seat re-partitions a hot " +
+      "cell of a range root AND of a composed root (marker dispatch); " +
+      "below-threshold layouts are left alone") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("vecrow_split",
+      primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 1)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-split-reg").toString).register(td)
+    // two clusters under a ONE-cell model: that cell is hot
+    reg.insert(td, (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 2).toFloat * 10f + (i % 5) * 0.01f,
+        (i % 2).toFloat * 10f))))
+    val eng = new Engine(reg)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 1)
+    // range arm
+    val root = Files.createTempDirectory("graft-split-root").toString
+    Ann.writeRangeIndex(Ann.assign(reg.table(td), "v", model, Ann.L2),
+      "v", model, root)
+    val before = Ann.rangeSearchStoredSelf(sp, root, "rid", "v",
+      typedlit(Seq(0.0, 0.0)), eps = 99.0).count()
+    val split = eng.splitOverfullIfNeeded(td, root, maxRows = 20)
+    assert(split.keySet.size === 1 && split.values.head.size === 2)
+    assert(Ann.rangeSearchStoredSelf(sp, root, "rid", "v",
+      typedlit(Seq(0.0, 0.0)), eps = 99.0).count() === before,
+      "range results changed across the engine-seat split")
+    assert(eng.splitOverfullIfNeeded(td, root, maxRows = 20).isEmpty)
+    // composed arm (marker dispatch)
+    val mroot = Files.createTempDirectory("graft-split-mroot").toString
+    Ann.writeMatryoshkaIvf(reg.table(td), "rid", "v", dims = 1, model,
+      mroot)
+    val msplit = eng.splitOverfullIfNeeded(td, mroot, maxRows = 20)
+    assert(msplit.keySet.size === 1)
+    assert(sp.read.parquet(s"$mroot/centroids").count() === 2L)
+    assert(Ann.matryoshkaTopKIvf(sp, mroot, "rid", Seq(0.0, 0.0),
+      probes = 2, candidates = 30, k = 30).count() === 30L)
+  }
+
   test("mergeUnderfullIfNeeded dispatches on the root's marker: a " +
       "COMPOSED matryoshka-IVF root merges under its own pinned " +
       "geometry through the same engine seat") {
