@@ -2116,7 +2116,11 @@ object Ann {
       maxRows: Long, iters: Int, growRadii: Boolean,
       radiiVecCol: String, prep: DataFrame => DataFrame,
       spaceCol: String, dropCols: Seq[String],
-      assignModel: IvfModel => IvfModel = identity)
+      assignModel: IvfModel => IvfModel = identity,
+      dataSub: String = "rows",
+      centroidForm: Column => Column = identity,
+      encodeCell: Option[(DataFrame, IvfModel) => DataFrame] = None,
+      sideStep: Seq[(Long, Long)] => Unit = _ => ())
       : Map[Long, Seq[Long]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2133,7 +2137,7 @@ object Ann {
           "centroid_id", "centroid"), spark.emptyDataFrame)
       }
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
-    val rows = spark.read.parquet(s"$dir/rows")
+    val rows = spark.read.parquet(s"$dir/$dataSub")
     // flagged cells: bounded driver collect (the audit's own contract —
     // at 10⁵ cells this is the health table, not the corpus)
     val flagged = rows.groupBy(col(model.idCol))
@@ -2157,15 +2161,21 @@ object Ann {
       else {
         val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
         val base = nextId
+        // centroidForm lifts sub-centroids to the STORED convention —
+        // identity for layouts that normalize on read (range raw,
+        // composed), l2-normalize for spherical quantized roots whose
+        // readers and assigners use the disk centroids verbatim
         val mapped = IvfModel(
           sub.centroids.select(
             (col(sub.idCol).cast("long") + base).as(model.idCol),
-            col(sub.vecCol).as(model.vecCol)),
+            centroidForm(col(sub.vecCol)).as(model.vecCol)),
           model.idCol, model.vecCol)
         nextId += 2
-        Some((cell, mapped,
-          assign(cellRows, spaceCol, assignModel(mapped), L2)
-            .drop(dropCols: _*)))
+        val enc = encodeCell.getOrElse(
+          (df: DataFrame, m: IvfModel) =>
+            assign(df, spaceCol, assignModel(m), L2)
+              .drop(dropCols: _*))
+        Some((cell, mapped, enc(cellRows, mapped)))
       }
     }
     if (splits.isEmpty) return Map.empty
@@ -2185,7 +2195,7 @@ object Ann {
       val src = new org.apache.hadoop.fs.Path(
         s"$dir/rows_split/${model.idCol}=$id")
       val dst = new org.apache.hadoop.fs.Path(
-        s"$dir/rows/${model.idCol}=$id")
+        s"$dir/$dataSub/${model.idCol}=$id")
       fs.delete(dst, true) // a prior crashed run's unreferenced copy
       require(fs.rename(src, dst),
         s"splitOverfullCells: rename $src -> $dst failed")
@@ -2197,6 +2207,10 @@ object Ann {
     if (growRadii)
       swap(radii.select(col(model.idCol), col("radius")).unionByName(
         cellRadii(newAssigned, radiiVecCol, newModel, L2)), "radii")
+    // 2.5) family-specific side tables grow BEFORE the commit (the
+    //      radii soundness order: a side row keyed by an unlisted
+    //      cell is inert) — SQ bounds inheritance rides here
+    sideStep(newIds)
     // 3) the commit point: centroids swap old cells for sub-cells
     val keptCents = model.centroids
       .filter(!col(model.idCol).cast("long").isin(splitSet.toSeq: _*))
@@ -2210,7 +2224,7 @@ object Ann {
     // 5) cleanup: dead dirs + orphan radii
     splitSet.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$dir/rows/${model.idCol}=$c"), true)
+        s"$dir/$dataSub/${model.idCol}=$c"), true)
     }
     if (growRadii) {
       val radiiNow = spark.read.parquet(s"$dir/radii")
@@ -4457,6 +4471,78 @@ object Ann {
     * recall at the family's usual refine margins is what the r93 gate
     * pins against the index-free oracle. Returns dissolved cell id →
     * rows it held. */
+  /** SPLIT overfull cells of a QUANTIZED root (SQ / PQ / 1-bit) —
+    * [[splitOverfullCells]]' member for the compressed families,
+    * completing the actuator matrix (every cell-partitioned layout
+    * now has both a split and a merge): streamed fresh appends
+    * compact into hot cells the same way they grow range roots, and
+    * round 15's split doc declared these layouts rebuild-only. The
+    * old objection ("a cell split would orphan every code") dissolves
+    * per family once the artifacts are examined: SQ sub-cells INHERIT
+    * the parent's frozen bounds (a duplicated bounds row per new cell
+    * — staged pre-commit like radii, inert until listed), so every
+    * code stays BIT-IDENTICAL and rows merely change directories; PQ
+    * codes encode the (normalized) vector against GLOBAL codebooks —
+    * no cell coupling at all; only 1-bit codes are true residuals
+    * against their centroid, so that family alone RE-ENCODES the
+    * flagged cell's rows under the new sub-centroids
+    * ([[assignQuantizeBitq]] — the compaction transform). Spherical
+    * roots train the k=2 sub-model in the normalized space and store
+    * UNIT sub-centroids (quantized readers and assigners use the disk
+    * centroids verbatim, unlike the normalize-on-read range/composed
+    * families). The marker re-pins, so a stream restarted with the
+    * pre-split training model refuses loudly (same contract as the
+    * merge); refuses while `fresh/` exists — fresh rows partitioned
+    * under a dissolved cell would silently go dark. Returns
+    * (oldCell → new cell ids). */
+  def splitOverfullCellsQuantized(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, maxRows: Long,
+      iters: Int = 2): Map[Long, Seq[Long]] = {
+    val (family, dataSub, spherical) = quantizedFamily(spark, dir)
+    require(!freshExists(spark, dir),
+      s"splitOverfullCellsQuantized: $dir carries a fresh/ side " +
+        "table — compact it first (compactQuantizedFresh); fresh " +
+        "rows partitioned under a dissolved cell would silently go " +
+        "dark to every fresh-aware search")
+    val metric = if (spherical) Cosine else (L2: Metric)
+    val (prep, spaceCol, dropCols) =
+      if (spherical)
+        ((df: DataFrame) => withNormalized(df, vecCol, "__nv"),
+          "__nv", Seq("__nv"))
+      else (identity[DataFrame] _, vecCol, Seq.empty[String])
+    val stored = spark.read.parquet(s"$dir/$dataSub")
+    // only the residual family re-encodes; SQ/PQ rows move verbatim
+    val encodeCell: Option[(DataFrame, IvfModel) => DataFrame] =
+      if (family == "bitq") Some { (cellRows, mapped) =>
+        val raw = (quantizedCodeCols("bitq") ++ dropCols)
+          .foldLeft(cellRows)(_ drop _)
+        val enc = assignQuantizeBitq(raw, vecCol, mapped, metric)
+        requireAppendSchema(stored.schema, enc.schema,
+          Set("centroid_id"), "splitOverfullCellsQuantized")
+        enc.select(stored.columns.map(col): _*)
+      } else None
+    val sideStep: Seq[(Long, Long)] => Unit =
+      if (family == "sq") { newIds =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        healSideTableSwap(fs, dir, "bounds")
+        val bounds = spark.read.parquet(s"$dir/bounds")
+        val cidType = bounds.schema("centroid_id").dataType
+        val dup = newIds.map { case (old, nid) =>
+          bounds.filter(col("centroid_id").cast("long") === old)
+            .withColumn("centroid_id", lit(nid).cast(cidType)) }
+          .reduce(_ unionByName _)
+        swapSideTable(fs, dir, "bounds",
+          bounds.unionByName(dup).localCheckpoint(true))
+      } else (_: Seq[(Long, Long)]) => ()
+    splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
+      radiiVecCol = "", prep = prep, spaceCol = spaceCol,
+      dropCols = dropCols, dataSub = dataSub,
+      centroidForm = if (spherical) l2Normalize else identity,
+      encodeCell = encodeCell, sideStep = sideStep)
+  }
+
   def mergeUnderfullCellsQuantized(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, vecCol: String, minRows: Long): Map[Long, Long] = {

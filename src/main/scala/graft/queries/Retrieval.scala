@@ -2479,6 +2479,51 @@ object Retrieval {
       refine = (remaining / 10 + 1).toInt)
   }
 
+  /** r95: SPLIT of an overfull cell on a QUANTIZED root
+    * ([[Ann.splitOverfullCellsQuantized]]) — r93's complement,
+    * completing the actuator matrix: every cell-partitioned layout
+    * now has both directions. On the SQ family the split is
+    * code-preserving BY CONSTRUCTION (sub-cells inherit the parent's
+    * frozen bounds, so codes stay bit-identical and rows merely
+    * change directories — the spec pins the bytes); the hottest cell
+    * is flagged via the observed occupancy (the s29 recipe), and the
+    * post-split search probes every cell with a corpus-covering
+    * refine so the exact re-rank IS the index-free oracle. In-gate
+    * pins: the policy fired (cells grew), rows conserved, and the
+    * bounds table carries a row for every new sub-cell. */
+  def quantizedCellSplit(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_split").toString
+    Ann.writeIvfSq(index, dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val lists = model.centroids.count()
+    val total = s.read.parquet(s"$dir/quantized").count()
+    val maxOcc = s.read.parquet(s"$dir/quantized")
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val split = Ann.splitOverfullCellsQuantized(s, dir, "vec_id",
+      "embedding", maxRows = math.max(1L, maxOcc - 1))
+    require(split.nonEmpty, "r95: split never fired on the hot cell")
+    val cellsNow = s.read.parquet(s"$dir/centroids").count()
+    require(cellsNow > lists,
+      s"r95: $cellsNow cells after split, trained $lists")
+    require(s.read.parquet(s"$dir/quantized").count() == total,
+      "r95: split lost or duplicated rows")
+    // every new sub-cell inherited a bounds row (codes stay valid)
+    val newIds = split.values.flatten.toSeq
+    val bounded = s.read.parquet(s"$dir/bounds")
+      .filter(col("centroid_id").cast("long").isin(newIds: _*))
+      .select(col("centroid_id").cast("long")).distinct().count()
+    require(bounded == newIds.size,
+      s"r95: $bounded of ${newIds.size} sub-cells carry bounds")
+    Ann.searchIvfSqStored(s, dir, "vec_id", "embedding", qvec(s, d, 7),
+      Ann.L2, probes = cellsNow.toInt, k = 10,
+      refine = (total / 10 + 1).toInt)
+  }
+
   /** r65: the eps-join AT REST — r57's batch shape over a
     * self-contained [[Ann.writeRangeIndex]] root: each query explodes
     * to its ball-intersecting cells (broadcast (centroid, radius)
@@ -2598,6 +2643,7 @@ object Retrieval {
     "r69_cell_split" -> rangeCellSplit,
     "r90_cell_merge" -> rangeCellMerge,
     "r93_quantized_cell_merge" -> quantizedCellMerge,
+    "r95_quantized_cell_split" -> quantizedCellSplit,
     "r70_matryoshka_topk" -> matryoshkaTopk,
     "r71_matryoshka_stored" -> matryoshkaStored,
     "r72_sql_surface" -> sqlSurfaceTopk,
@@ -4500,6 +4546,15 @@ object Retrieval {
                    AS dist
           FROM assigned a
           WHERE NOT (a.centroid_id = 4 AND a.vec_id % 3 <> 0)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r95: the SQ split is code-preserving (inherited bounds), and the
+    // gate probes every cell with a covering refine — the truth is the
+    // plain exact top-10 over the whole corpus, no CTEs needed.
+    "r95_quantized_cell_split" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv7), 6)
+                   AS dist
+          FROM embeddings
           ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r70: both matryoshka phases from first principles — the prefix
     // cut (top-50 by L2 over coordinates 1..8, ties id asc) and the

@@ -405,6 +405,91 @@ class QuantizedFreshSpec extends SparkSpecBase {
       === 42L)
   }
 
+  test("splitOverfullCellsQuantized: SQ sub-cells INHERIT the frozen " +
+      "bounds so codes stay bit-identical (rows just change dirs); " +
+      "PQ moves verbatim; 1-bit RE-ENCODES residuals; spherical " +
+      "sub-centroids store unit-norm; a live fresh/ refuses") {
+    val sp = spark
+    import sp.implicits._
+    // ONE-cell models make the single cell hot by construction
+    val model1 = Ann.buildIvfKMeans(df, "embedding", 1)
+    def exactWant(k: Int) = ids(Ann.topK(df, "vec_id", "embedding",
+      typedlit(q), Ann.L2, k).select(col("vec_id"), col("dist")))
+    // --- SQ: bit-identity of every code across the split ---
+    val fullSq = Ann.buildIvfSq(df, "embedding", model1, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqsplit").toString
+    Ann.writeIvfSq(fullSq, dir)
+    Ann.ensureIvfSqRoot(sp, dir, fullSq, spherical = false)
+    def codeBytes(): Map[Long, Seq[Byte]] =
+      sp.read.parquet(s"$dir/quantized")
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[Array[Byte]](1).toSeq).toMap
+    val before = codeBytes()
+    val split = Ann.splitOverfullCellsQuantized(sp, dir, "vec_id",
+      "embedding", maxRows = 30)
+    assert(split.keySet.size === 1 && split.values.head.size === 2,
+      s"expected the one hot cell to split in two, got $split")
+    assert(sp.read.parquet(s"$dir/centroids").count() === 2L)
+    val after = codeBytes()
+    assert(after == before,
+      "SQ codes changed across the split — bounds inheritance broken")
+    // both sub-cells carry the PARENT's bounds row verbatim — the
+    // inheritance that keeps every code decodable
+    val bnds = sp.read.parquet(s"$dir/bounds")
+      .select(col("centroid_id").cast("long"), col("__mins"),
+        col("__maxs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    val parent = split.keySet.head
+    split.values.head.foreach { nid =>
+      assert(bnds.contains(nid), s"sub-cell $nid has no bounds row")
+      assert(bnds(nid) == bnds(parent),
+        s"sub-cell $nid did not inherit the parent's bounds")
+    }
+    // all-probe + covering refine == exact over the whole corpus
+    assert(ids(Ann.searchIvfSqStored(sp, dir, "vec_id", "embedding",
+      typedlit(q), Ann.L2, probes = 2, k = 8, refine = 8))
+      == exactWant(8), "post-split SQ search diverged from exact")
+    // --- PQ spherical: rows verbatim, sub-centroids unit-norm ---
+    val fullPq = Ann.buildIvfPq(df, "embedding", model1, m = 4,
+      Ann.Cosine)
+    val dirPq = java.nio.file.Files
+      .createTempDirectory("graft-pqsplit").toString
+    Ann.writeIvfPq(fullPq, dirPq)
+    assert(Ann.splitOverfullCellsQuantized(sp, dirPq, "vec_id",
+      "embedding", maxRows = 30).values.head.size === 2)
+    val pqCents = sp.read.parquet(s"$dirPq/centroids")
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).map(x => x * x).sum)
+    pqCents.foreach(n => assert(math.abs(n - 1.0) < 1e-9,
+      s"spherical sub-centroid not unit-norm: $n"))
+    assert(Ann.searchIvfPqStored(sp, dirPq, "vec_id", "embedding", q,
+      Ann.Cosine, probes = 2, k = 60, refine = 1).count() === 60L)
+    // --- 1-bit: residuals re-encode under the new sub-centroids ---
+    val fullBq = Ann.buildIvfBitq(df, "embedding", model1, Ann.L2)
+    val dirBq = java.nio.file.Files
+      .createTempDirectory("graft-bqsplit").toString
+    Ann.writeIvfBitq(fullBq, dirBq)
+    Ann.ensureIvfBitqRoot(sp, dirBq, fullBq.model, spherical = false)
+    assert(Ann.splitOverfullCellsQuantized(sp, dirBq, "vec_id",
+      "embedding", maxRows = 30).values.head.size === 2)
+    assert(ids(Ann.searchIvfBitqStored(sp, dirBq, "vec_id",
+      "embedding", typedlit(q), Ann.L2, probes = 2, k = 8,
+      refine = 8)) == exactWant(8),
+      "post-split 1-bit search diverged — residual re-encode broken")
+    // --- a live fresh/ refuses the split ---
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      Seq((902L, Seq.fill(dim)(0.3), 2)).toDF(
+        "vec_id", "embedding", "label"), "vec_id", "embedding") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Ann.splitOverfullCellsQuantized(sp, dir, "vec_id", "embedding",
+        maxRows = 5)
+    }
+    assert(ex.getMessage.contains("fresh"))
+  }
+
   test("refusals: unmarked dirs and retrained models cannot grow a " +
       "fresh side table; mismatched metric refuses at query") {
     val sp = spark
