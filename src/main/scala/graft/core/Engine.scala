@@ -891,8 +891,9 @@ final class Engine(reg: Registry) {
       maxFreshRatio)
   }
 
-  /** Threshold-triggered underfull-cell MERGE for a range OR composed
-    * matryoshka-IVF root serving `td` — [[compactFreshIfNeeded]]'s
+  /** Threshold-triggered underfull-cell MERGE for a range, composed
+    * matryoshka-IVF, or quantized (SQ/PQ/1-bit) root serving `td` —
+    * [[compactFreshIfNeeded]]'s
     * sibling seat for the cell-count side of the r66 health signal
     * (the split's complement): [[attachStoredIndex]]'s delete
     * maintenance drains cells, and nothing dissolved them, so probe
@@ -901,8 +902,11 @@ final class Engine(reg: Registry) {
     * cadence must reach the north-star layout it manages — round 15
     * left composed roots mergeable only by a direct
     * [[graft.ops.Ann.mergeUnderfullCellsMrlIvf]] call): a
-    * `_graft_matryoshka_ivf` root merges under its pinned geometry,
-    * anything else takes the range path. Call after a delete wave or
+    * `_graft_matryoshka_ivf` root merges under its pinned geometry, a
+    * quantized geometry marker routes to the re-encoding merge
+    * ([[graft.ops.Ann.mergeUnderfullCellsQuantized]] — refuses while
+    * `fresh/` exists; run [[compactFreshIfNeeded]] first), anything
+    * else takes the range path. Call after a delete wave or
     * on a maintenance cadence: every cell below `minRows` dissolves,
     * its rows re-homing to their true argmin survivors (crash-healed
     * by re-run; readers refuse mid-merge). Returns dissolved cell id
@@ -913,11 +917,15 @@ final class Engine(reg: Registry) {
       s"${td.name} has no vector index"))
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.mergeUnderfullCellsMrlIvf(reg.spark, dir, minRows)
+    else if (Ann.isQuantizedRoot(reg.spark, dir))
+      Ann.mergeUnderfullCellsQuantized(reg.spark, dir, td.pk,
+        ix.column, minRows)
     else Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
   }
 
-  /** Threshold-triggered overfull-cell SPLIT for a range OR composed
-    * matryoshka-IVF root serving `td` — [[mergeUnderfullIfNeeded]]'s
+  /** Threshold-triggered overfull-cell SPLIT for a range, composed
+    * matryoshka-IVF, or quantized (SQ/PQ/1-bit) root serving `td` —
+    * [[mergeUnderfullIfNeeded]]'s
     * complement, completing the engine's maintenance triad (fresh
     * compaction / merge / split) so an operator can run all three on
     * one cadence without remembering which layout needs which direct
@@ -934,6 +942,9 @@ final class Engine(reg: Registry) {
       s"${td.name} has no vector index"))
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.splitOverfullCellsMrlIvf(reg.spark, dir, maxRows)
+    else if (Ann.isQuantizedRoot(reg.spark, dir))
+      Ann.splitOverfullCellsQuantized(reg.spark, dir, td.pk,
+        ix.column, maxRows)
     else Ann.splitOverfullCells(reg.spark, dir, ix.column, maxRows)
   }
 

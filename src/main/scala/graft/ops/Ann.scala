@@ -2116,11 +2116,7 @@ object Ann {
       maxRows: Long, iters: Int, growRadii: Boolean,
       radiiVecCol: String, prep: DataFrame => DataFrame,
       spaceCol: String, dropCols: Seq[String],
-      assignModel: IvfModel => IvfModel = identity,
-      dataSub: String = "rows",
-      centroidForm: Column => Column = identity,
-      encodeCell: Option[(DataFrame, IvfModel) => DataFrame] = None,
-      sideStep: Seq[(Long, Long)] => Unit = _ => ())
+      assignModel: IvfModel => IvfModel = identity)
       : Map[Long, Seq[Long]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2137,7 +2133,7 @@ object Ann {
           "centroid_id", "centroid"), spark.emptyDataFrame)
       }
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
-    val rows = spark.read.parquet(s"$dir/$dataSub")
+    val rows = spark.read.parquet(s"$dir/rows")
     // flagged cells: bounded driver collect (the audit's own contract —
     // at 10⁵ cells this is the health table, not the corpus)
     val flagged = rows.groupBy(col(model.idCol))
@@ -2161,21 +2157,15 @@ object Ann {
       else {
         val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
         val base = nextId
-        // centroidForm lifts sub-centroids to the STORED convention —
-        // identity for layouts that normalize on read (range raw,
-        // composed), l2-normalize for spherical quantized roots whose
-        // readers and assigners use the disk centroids verbatim
         val mapped = IvfModel(
           sub.centroids.select(
             (col(sub.idCol).cast("long") + base).as(model.idCol),
-            centroidForm(col(sub.vecCol)).as(model.vecCol)),
+            col(sub.vecCol).as(model.vecCol)),
           model.idCol, model.vecCol)
         nextId += 2
-        val enc = encodeCell.getOrElse(
-          (df: DataFrame, m: IvfModel) =>
-            assign(df, spaceCol, assignModel(m), L2)
-              .drop(dropCols: _*))
-        Some((cell, mapped, enc(cellRows, mapped)))
+        Some((cell, mapped,
+          assign(cellRows, spaceCol, assignModel(mapped), L2)
+            .drop(dropCols: _*)))
       }
     }
     if (splits.isEmpty) return Map.empty
@@ -2195,7 +2185,7 @@ object Ann {
       val src = new org.apache.hadoop.fs.Path(
         s"$dir/rows_split/${model.idCol}=$id")
       val dst = new org.apache.hadoop.fs.Path(
-        s"$dir/$dataSub/${model.idCol}=$id")
+        s"$dir/rows/${model.idCol}=$id")
       fs.delete(dst, true) // a prior crashed run's unreferenced copy
       require(fs.rename(src, dst),
         s"splitOverfullCells: rename $src -> $dst failed")
@@ -2207,10 +2197,6 @@ object Ann {
     if (growRadii)
       swap(radii.select(col(model.idCol), col("radius")).unionByName(
         cellRadii(newAssigned, radiiVecCol, newModel, L2)), "radii")
-    // 2.5) family-specific side tables grow BEFORE the commit (the
-    //      radii soundness order: a side row keyed by an unlisted
-    //      cell is inert) — SQ bounds inheritance rides here
-    sideStep(newIds)
     // 3) the commit point: centroids swap old cells for sub-cells
     val keptCents = model.centroids
       .filter(!col(model.idCol).cast("long").isin(splitSet.toSeq: _*))
@@ -2224,7 +2210,7 @@ object Ann {
     // 5) cleanup: dead dirs + orphan radii
     splitSet.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$dir/$dataSub/${model.idCol}=$c"), true)
+        s"$dir/rows/${model.idCol}=$c"), true)
     }
     if (growRadii) {
       val radiiNow = spark.read.parquet(s"$dir/radii")
@@ -2386,7 +2372,8 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       minRows: Long, growRadii: Boolean, radiiVecCol: String,
       reassign: (DataFrame, IvfModel) => DataFrame,
-      dataSub: String = "rows"): Map[Long, Long] = {
+      dataSub: String = "rows",
+      doomed: Option[Seq[Long]] = None): Map[Long, Long] = {
     require(minRows > 0,
       s"mergeUnderfullCells: minRows must be positive, got $minRows")
     completePendingMerge(spark, dir) // finish a torn run first
@@ -2403,7 +2390,13 @@ object Ann {
       .select(col(model.idCol).cast("long"))
       .collect().map(_.getLong(0))
       .map(cid => (cid, occ.getOrElse(cid, 0L))).toMap
-    val flagged = counts.filter(_._2 < minRows).keys.toSeq.sorted
+    // `doomed` names cells to dissolve EXPLICITLY (the quantized
+    // split's dissolve-the-parent step); the default flags by the
+    // occupancy threshold
+    doomed.foreach(ds => ds.foreach(c => require(counts.contains(c),
+      s"mergeUnderfullCells: doomed cell $c is not in $dir's model")))
+    val flagged = doomed.getOrElse(
+      counts.filter(_._2 < minRows).keys.toSeq).sorted
     if (flagged.isEmpty) {
       // a pre-marker crash may have left an unreferenced rows_merge
       // staging behind; without this, a layout whose cells all grew
@@ -4091,11 +4084,21 @@ object Ann {
     * rows (up to 4 per cell across up to 16 cells — an unordered
     * limit(64) would read one partition dir and sample exactly the
     * deep-in-cell rows least likely to expose a mismatch; per-cell
-    * reads are partition-pruned, one row group each) must RE-ASSIGN
-    * to its stored cells under the inferred geometry, else refuse
-    * loudly. MEMOIZED per (dir, model fingerprint): the property is
-    * immutable (the fingerprint pin refuses retrains), so a streaming
-    * ingest pays the probe once, not per micro-batch. */
+    * reads are partition-pruned, one row group each) must sit NEAR
+    * its stored cell under the inferred geometry, else refuse
+    * loudly. "Near" is a decisive-mismatch margin, not exact argmin:
+    * a row is evidence of a foreign metric only when its stored-cell
+    * distance exceeds its true argmin by >25% — a wrong assignment
+    * metric lands rows in essentially unrelated cells (large
+    * ratios), while legitimate cell MAINTENANCE drifts assignments
+    * only marginally (a split's new sub-centroid can sit slightly
+    * nearer to a neighboring cell's boundary row than that row's own
+    * centroid — standard IVF staleness every probed search already
+    * absorbs), and exact-argmin checking would wedge every
+    * post-split stream on it. MEMOIZED per (dir, model fingerprint):
+    * the property is stable per geometry (the fingerprint pin
+    * refuses retrains; maintenance re-pins), so a streaming ingest
+    * pays the probe once per geometry, not per micro-batch. */
   private val geometryProbed =
     new graft.core.LruCache[String, java.lang.Boolean](64)
   private def verifyQuantizedGeometry(
@@ -4114,16 +4117,25 @@ object Ann {
               col(model.idCol).cast("long").as("__stored_cell"))
             .limit(4))
         .reduce(_ unionByName _)
-      val re =
-        if (spherical)
-          assign(withNormalized(sample, vecCol, "__nvec"), "__nvec",
-            model, L2)
-        else assign(sample, vecCol, model, L2)
-      val bad = re.filter(col(model.idCol) =!= col("__stored_cell"))
+      val bcCents = spark.sparkContext.broadcast(
+        collectCentroids(model).toMap)
+      val sph = spherical
+      val decisiveMismatch = udf { (v: Seq[Double], stored: Long) =>
+        val raw = v.toArray
+        val arr = if (sph) normalizeDriver(raw) else raw
+        val dStored = bcCents.value.get(stored)
+          .map(c => L2.distScala(arr, c))
+          .getOrElse(Double.PositiveInfinity)
+        val dMin = bcCents.value.valuesIterator
+          .map(c => L2.distScala(arr, c)).min
+        dStored > dMin * 1.25 + 1e-9
+      }
+      val bad = sample.filter(decisiveMismatch(
+        col(vecCol).cast("array<double>"), col("__stored_cell")))
         .count()
       require(bad == 0L,
         s"appendQuantizedFreshIdempotent: $bad sampled rows in " +
-          s"$dir/$dataSub do not re-assign to their stored cells " +
+          s"$dir/$dataSub sit decisively outside their stored cells " +
           "under the marker's geometry — the root was built under a " +
           "different assignment metric; fresh appends would land in " +
           "the wrong cells. Rebuild the root or use an L2/cosine " +
@@ -4474,27 +4486,36 @@ object Ann {
   /** SPLIT overfull cells of a QUANTIZED root (SQ / PQ / 1-bit) —
     * [[splitOverfullCells]]' member for the compressed families,
     * completing the actuator matrix (every cell-partitioned layout
-    * now has both a split and a merge): streamed fresh appends
-    * compact into hot cells the same way they grow range roots, and
-    * round 15's split doc declared these layouts rebuild-only. The
-    * old objection ("a cell split would orphan every code") dissolves
-    * per family once the artifacts are examined: SQ sub-cells INHERIT
-    * the parent's frozen bounds (a duplicated bounds row per new cell
-    * — staged pre-commit like radii, inert until listed), so every
-    * code stays BIT-IDENTICAL and rows merely change directories; PQ
-    * codes encode the (normalized) vector against GLOBAL codebooks —
-    * no cell coupling at all; only 1-bit codes are true residuals
-    * against their centroid, so that family alone RE-ENCODES the
-    * flagged cell's rows under the new sub-centroids
-    * ([[assignQuantizeBitq]] — the compaction transform). Spherical
-    * roots train the k=2 sub-model in the normalized space and store
-    * UNIT sub-centroids (quantized readers and assigners use the disk
-    * centroids verbatim, unlike the normalize-on-read range/composed
-    * families). The marker re-pins, so a stream restarted with the
-    * pre-split training model refuses loudly (same contract as the
-    * merge); refuses while `fresh/` exists — fresh rows partitioned
-    * under a dissolved cell would silently go dark. Returns
-    * (oldCell → new cell ids). */
+    * now has both a split and a merge): compaction folds streamed
+    * appends into hot cells the same way appends grow range roots,
+    * and round 15's split doc declared these layouts rebuild-only.
+    *
+    * Construction: ADD the sub-centroids first, then DISSOLVE the
+    * parent through the quantized merge protocol. A flagged cell's
+    * rows locally retrain (k=2, in the normalized space for
+    * spherical roots — sub-centroids store UNIT vectors, because
+    * quantized readers and assigners use disk centroids verbatim,
+    * unlike the normalize-on-read range/composed families), the
+    * sub-centroids and (for SQ) the parent's bounds rows —
+    * DUPLICATED per sub-cell, keeping every inherited code
+    * decodable — land while the sub-cells are still empty (an empty
+    * cell wastes a probe; it cannot be wrong), the marker re-pins,
+    * and [[mergeQuantizedImpl]] dissolves the parents: every row
+    * re-homes to its TRUE GLOBAL argmin among the surviving cells
+    * and re-encodes under its receiver's frozen artifacts. This is
+    * the invariant that makes a local-argmin split UNSOUND here: the
+    * quantized appends' geometry probe ([[verifyQuantizedGeometry]])
+    * and every probed search assume `row lives in its global argmin
+    * cell`, and a row assigned only between the two sub-centroids
+    * can be globally closer to a third cell. Rows that stay in the
+    * sub-cells re-encode under the INHERITED bounds, so SQ codes
+    * remain bit-identical (spec-pinned); crash-safety, torn-state
+    * refusals and re-run healing are the merge protocol's. A crash
+    * between the centroid add and the dissolve leaves live parents
+    * plus empty sub-cells — sound; the empty orphans dissolve on the
+    * next merge cadence. Refuses while `fresh/` exists (fresh rows
+    * partitioned under a dissolved cell would silently go dark) and
+    * mid-merge. Returns (oldCell → new sub-cell ids). */
   def splitOverfullCellsQuantized(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, vecCol: String, maxRows: Long,
@@ -4505,56 +4526,100 @@ object Ann {
         "table — compact it first (compactQuantizedFresh); fresh " +
         "rows partitioned under a dissolved cell would silently go " +
         "dark to every fresh-aware search")
-    val metric = if (spherical) Cosine else (L2: Metric)
-    val (prep, spaceCol, dropCols) =
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healSideTableSwap(fs, dir, "centroids")
+    if (family == "sq") healSideTableSwap(fs, dir, "bounds")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
+    val rows = spark.read.parquet(s"$dir/$dataSub")
+    val flagged = rows.groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .select(col(model.idCol).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    if (flagged.isEmpty) return Map.empty
+    val (prep, spaceCol): (DataFrame => DataFrame, String) =
       if (spherical)
-        ((df: DataFrame) => withNormalized(df, vecCol, "__nv"),
-          "__nv", Seq("__nv"))
-      else (identity[DataFrame] _, vecCol, Seq.empty[String])
-    val stored = spark.read.parquet(s"$dir/$dataSub")
-    // only the residual family re-encodes; SQ/PQ rows move verbatim
-    val encodeCell: Option[(DataFrame, IvfModel) => DataFrame] =
-      if (family == "bitq") Some { (cellRows, mapped) =>
-        val raw = (quantizedCodeCols("bitq") ++ dropCols)
-          .foldLeft(cellRows)(_ drop _)
-        val enc = assignQuantizeBitq(raw, vecCol, mapped, metric)
-        requireAppendSchema(stored.schema, enc.schema,
-          Set("centroid_id"), "splitOverfullCellsQuantized")
-        enc.select(stored.columns.map(col): _*)
-      } else None
-    val sideStep: Seq[(Long, Long)] => Unit =
-      if (family == "sq") { newIds =>
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        healSideTableSwap(fs, dir, "bounds")
-        val bounds = spark.read.parquet(s"$dir/bounds")
-        val cidType = bounds.schema("centroid_id").dataType
-        val dup = newIds.map { case (old, nid) =>
-          bounds.filter(col("centroid_id").cast("long") === old)
-            .withColumn("centroid_id", lit(nid).cast(cidType)) }
-          .reduce(_ unionByName _)
-        swapSideTable(fs, dir, "bounds",
-          bounds.unionByName(dup).localCheckpoint(true))
-      } else (_: Seq[(Long, Long)]) => ()
-    splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
-      radiiVecCol = "", prep = prep, spaceCol = spaceCol,
-      dropCols = dropCols, dataSub = dataSub,
-      centroidForm = if (spherical) l2Normalize else identity,
-      encodeCell = encodeCell, sideStep = sideStep)
+        ((df: DataFrame) => withNormalized(df, vecCol, "__nv"), "__nv")
+      else (identity[DataFrame] _, vecCol)
+    var nextId = model.centroids
+      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
+    val splits = flagged.flatMap { cell =>
+      val cellRows = prep(rows.filter(col(model.idCol) === cell)
+        .drop(model.idCol))
+      if (cellRows.select(portableVecHash(col(spaceCol)))
+          .distinct().limit(2).count() < 2) None // unsplittable: skip
+      else {
+        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
+        val base = nextId
+        // spherical sub-centroids store UNIT (disk-verbatim readers)
+        val form: Column => Column =
+          if (spherical) l2Normalize else identity
+        val mapped = sub.centroids.select(
+          (col(sub.idCol).cast("long") + base).as(model.idCol),
+          form(col(sub.vecCol)).as(model.vecCol))
+        nextId += 2
+        Some((cell, mapped))
+      }
+    }
+    if (splits.isEmpty) return Map.empty
+    val newCents = splits.map(_._2).reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val newIds: Seq[(Long, Long)] = splits.toSeq.flatMap {
+      case (old, m) =>
+        m.select(col(model.idCol).cast("long"))
+          .collect().map(_.getLong(0)).map(old -> _).toSeq
+    }
+    // (a) SQ bounds inheritance FIRST — a bounds row keyed by an
+    //     unlisted cell is inert (the radii soundness order)
+    if (family == "sq") {
+      val bounds = spark.read.parquet(s"$dir/bounds")
+      val cidType = bounds.schema("centroid_id").dataType
+      val dup = newIds.map { case (old, nid) =>
+        bounds.filter(col("centroid_id").cast("long") === old)
+          .withColumn("centroid_id", lit(nid).cast(cidType)) }
+        .reduce(_ unionByName _)
+      swapSideTable(fs, dir, "bounds",
+        bounds.unionByName(dup).localCheckpoint(true))
+    }
+    // (b) sub-centroids land EMPTY (probes may now reach them; an
+    //     empty cell is wasted IO, never a wrong answer) + re-pin
+    val grown = model.centroids
+      .select(col(model.idCol).cast("long").as(model.idCol),
+        col(model.vecCol))
+      .unionByName(newCents).localCheckpoint(true)
+    swapSideTable(fs, dir, "centroids", grown)
+    graft.io.Markers.write(spark, dir, IvfModelMarker,
+      modelFingerprint(IvfModel(grown, model.idCol, model.vecCol)))
+    // (c) dissolve the parents through the merge protocol: rows
+    //     re-home to their GLOBAL argmin and re-encode per receiver
+    mergeQuantizedImpl(spark, dir, vecCol, minRows = 1L,
+      doomed = Some(splits.map(_._1)),
+      who = "splitOverfullCellsQuantized")
+    newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
   def mergeUnderfullCellsQuantized(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String, vecCol: String, minRows: Long): Map[Long, Long] = {
+      idCol: String, vecCol: String, minRows: Long): Map[Long, Long] =
+    mergeQuantizedImpl(spark, dir, vecCol, minRows, doomed = None,
+      "mergeUnderfullCellsQuantized")
+
+  private def mergeQuantizedImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecCol: String, minRows: Long, doomed: Option[Seq[Long]],
+      who: String): Map[Long, Long] = {
     val (family, dataSub, spherical) = quantizedFamilyUnguarded(spark, dir)
     require(!freshExists(spark, dir),
-      s"mergeUnderfullCellsQuantized: $dir carries a fresh/ side " +
+      s"$who: $dir carries a fresh/ side " +
         "table — compact it first (compactQuantizedFresh); a merge " +
         "would orphan fresh rows homed in doomed cells")
     val metric = if (spherical) Cosine else (L2: Metric)
     val stored = spark.read.parquet(s"$dir/$dataSub")
     mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
-      radiiVecCol = "", dataSub = dataSub,
+      radiiVecCol = "", dataSub = dataSub, doomed = doomed,
       reassign = (dropped, reduced) => {
         val raw = quantizedCodeCols(family).foldLeft(dropped)(_ drop _)
         val encoded = family match {
@@ -4572,7 +4637,7 @@ object Ann {
         // drifted encode transform must fail HERE, not as a
         // nondeterministic mixed-schema read at query time
         requireAppendSchema(stored.schema, encoded.schema,
-          Set("centroid_id"), "mergeUnderfullCellsQuantized")
+          Set("centroid_id"), who)
         encoded.select(stored.columns.map(col): _*)
       })
   }

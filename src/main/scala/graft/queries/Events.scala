@@ -1372,6 +1372,80 @@ object Events {
       k = 10)
   }
 
+  /** s32: the QUANTIZED lifecycle closed — compaction and the
+    * overfull-cell split run as ONE streamed policy cadence
+    * ([[graft.streaming.Stream.ingestQuantizedFreshAppend]]'s
+    * `compactRatio` + `splitMaxRows`): each batch appends raw into
+    * `fresh/`, the ratio-0 policy folds it immediately (the s28
+    * trigger), and the split re-partitions any cell past the
+    * observed-occupancy threshold right after the fold — the only
+    * moment the quantized split's no-fresh precondition holds. SQ
+    * codes stay bit-identical across splits (inherited bounds,
+    * r95's spec-pinned property), so the final root answers the
+    * plain index-free exact oracle at all-probe with covering
+    * refine, no matter which cells split at which batch boundary.
+    * Pins: the policy fired (cells grew past the trained count),
+    * `fresh/` is gone, and a crash-redelivered batch appends ZERO
+    * against the folded, re-partitioned root. */
+  def streamQuantizedSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count()
+    val full = graft.ops.Ann.buildIvfSq(e, "embedding", model,
+      graft.ops.Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s32_root").toString
+    graft.ops.Ann.writeIvfSq(
+      full.copy(quantized =
+        full.quantized.filter(col("vec_id") % 2 === 0)), dir)
+    graft.ops.Ann.ensureIvfSqRoot(s, dir, full, spherical = false)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    // SF-relative threshold from the observed full-corpus occupancy
+    // (the s29/s31 recipe): one below the max cell, so the policy
+    // MUST fire by stream end while near-balanced siblings stay put
+    val maxOcc = graft.ops.Ann
+      .assign(e, "embedding", model, graft.ops.Ann.L2)
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s32_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      "embedding", dir, ckpt, compactRatio = Some(0.0),
+      splitMaxRows = Some(math.max(1L, maxOcc - 1)))
+    try {
+      val batches = 2
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cellsNow = s.read.parquet(s"$dir/centroids").count()
+    require(cellsNow > lists,
+      s"s32: split policy never fired — $cellsNow cells, trained $lists")
+    require(!new java.io.File(dir, "fresh").exists(),
+      "s32: the ratio-0 cadence must leave no fresh/ behind")
+    val dup = graft.ops.Ann.appendQuantizedFreshIdempotent(s, dir,
+      rows.take(rows.length / 2).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding")
+    require(dup == 0L,
+      s"s32: replayed batch appended $dup rows post-split+fold")
+    val total = s.read.parquet(s"$dir/quantized").count()
+    graft.ops.Ann.searchIvfSqStored(s, dir, "vec_id", "embedding",
+      typedlit(qvecSeqOf(s, d, 7)), graft.ops.Ann.L2,
+      probes = cellsNow.toInt, k = 10,
+      refine = (total / 10 + 1).toInt)
+  }
+
   /** s30: streamed MAINTENANCE of a GRADUATED maxsim layout — the
     * multivec member closing the graduated-root append family's last
     * modality (s19 range, s21 composed, s22 BM25, s23 sparse, s24
@@ -1446,6 +1520,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_stream_quantized_split" -> streamQuantizedSplit,
     "s31_stream_mrl_ivf_split" -> streamMrlIvfSplit,
     "s30_stream_maxsim_append" -> streamMaxsimAppend,
     "s29_stream_range_split" -> streamRangeSplit,
@@ -1620,6 +1695,12 @@ object Events {
     // corpus, and sound radii make the pruning invisible — the same
     // r56 threshold scan lands verbatim on the grown root.
     "s19_stream_range_append" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s32: the streamed compact+split cadence is invisible at
+    // all-probe with covering refine — SQ codes stay bit-identical
+    // across splits (inherited bounds), so r95's plain exact oracle
+    // lands verbatim on the fully-streamed root.
+    "s32_stream_quantized_split" ->
+      Retrieval.oracles("r95_quantized_cell_split"),
     // s31: composed split boundaries are invisible at all-probe — the
     // grown, split north-star root equals the flat prefix cut (r70's
     // index-free oracle), regardless of which cells split.

@@ -666,17 +666,38 @@ object Stream {
     * and fold into the main layout at
     * [[graft.ops.Ann.compactQuantizedFresh]]. Fails at START, not
     * first batch, when `root` carries no quantized geometry marker or
-    * no pinned IVF model. */
+    * no pinned IVF model.
+    *
+    * `compactRatio` + `splitMaxRows` form ONE policy cadence (the s28
+    * + s29 lessons on the quantized lifecycle): fresh/ graduates when
+    * it outgrows ratio·|main|, and immediately after a fold the
+    * overfull-cell split re-partitions any cell past `splitMaxRows`
+    * ([[graft.ops.Ann.splitOverfullCellsQuantized]] — it refuses on a
+    * live fresh/, so riding the compaction trigger is the only sound
+    * wiring; `splitMaxRows` without `compactRatio` refuses at
+    * START). */
   def ingestQuantizedFreshAppend(vectors: DataFrame, idCol: String,
                                  vecCol: String, root: String,
                                  checkpoint: String,
-                                 compactRatio: Option[Double] = None)
+                                 compactRatio: Option[Double] = None,
+                                 splitMaxRows: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // a malformed ratio must refuse at stream START, not first batch
     compactRatio.foreach(r =>
       require(r >= 0.0 && !r.isNaN && !r.isInfinity,
         s"ingestQuantizedFreshAppend: compactRatio must be a finite " +
           s"ratio >= 0, got $r"))
+    splitMaxRows.foreach(m => require(m > 0,
+      s"ingestQuantizedFreshAppend: splitMaxRows must be positive, " +
+        s"got $m — a non-positive threshold would flag every cell " +
+        "every batch"))
+    // the quantized split refuses while fresh/ exists, so the split
+    // policy can only ride the compaction trigger — a split threshold
+    // without a compaction ratio would silently never fire
+    require(splitMaxRows.isEmpty || compactRatio.isDefined,
+      "ingestQuantizedFreshAppend: splitMaxRows needs compactRatio — " +
+        "the overfull split runs on the compacted (fresh-less) root, " +
+        "so the two thresholds form ONE policy cadence")
     val spark = vectors.sparkSession
     // loud on a non-root BEFORE any mutation: the append itself also
     // family-detects, but a stream must refuse at start
@@ -699,8 +720,22 @@ object Stream {
         // ratio·|main| — results identical across the trigger
         // (compactQuantizedFresh's contract), so a stream can run
         // forever without fresh/ growing unboundedly
-        compactRatio.foreach(r => graft.ops.Ann
-          .compactQuantizedFreshIfNeeded(spark, root, idCol, vecCol, r))
+        compactRatio.foreach { r =>
+          val compacted = graft.ops.Ann
+            .compactQuantizedFreshIfNeeded(spark, root, idCol, vecCol, r)
+          // the SPLIT half of the lifecycle (round 16): compaction is
+          // exactly what grows hot cells, so the overfull policy runs
+          // right after a fold emptied fresh/ — the only moment the
+          // quantized split's no-fresh precondition holds by
+          // construction. Flagged cells re-partition (SQ codes stay
+          // bit-identical under inherited bounds; 1-bit re-encodes),
+          // the marker re-pins, and the next batch's append assigns
+          // under the post-split disk centroids.
+          if (compacted.isDefined)
+            splitMaxRows.foreach(m => graft.ops.Ann
+              .splitOverfullCellsQuantized(spark, root, idCol, vecCol,
+                m))
+        }
         ()
       }
       .start()

@@ -369,6 +369,48 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
   }
 
+  test("engine maintenance seats dispatch QUANTIZED roots by marker: " +
+      "the merge re-encodes under frozen artifacts, the split " +
+      "inherits bounds — one cadence covers all three layout kinds") {
+    val sp = spark
+    import sp.implicits._
+    import Spec._
+    val td = Spec.TableDef[VecRow]("vecrow_qseat",
+      primaryKey = Some("rid"),
+      indexes = Seq(VectorIndex("v", Ann.L2, lists = 3)),
+      vectorDims = Map("v" -> 2))
+    val reg = new Registry(spark,
+      Files.createTempDirectory("graft-qseat-reg").toString).register(td)
+    reg.insert(td, (0 until 30).map(i =>
+      VecRow(i.toLong, Seq((i % 3).toFloat * 10f, (i % 3).toFloat * 10f))))
+    val eng = new Engine(reg)
+    val model = Ann.buildIvfKMeans(reg.table(td), "v", 3)
+    val idx = Ann.buildIvfSq(reg.table(td), "v", model, Ann.L2)
+    val root = Files.createTempDirectory("graft-qseat-root").toString
+    Ann.writeIvfSq(idx, root)
+    Ann.ensureIvfSqRoot(sp, root, idx, spherical = false)
+    // drain one cluster's cell to a single row, then the MERGE seat
+    val doomed = (5 until 30 by 3).map(_.toLong).toDF("rid")
+    assert(Ann.deleteStoredIds(sp, s"$root/quantized", "rid",
+      doomed) === 9L)
+    val merged = eng.mergeUnderfullIfNeeded(td, root, minRows = 5)
+    assert(merged.size === 1 && merged.values.sum === 1L,
+      s"expected the drained cell (1 row) to dissolve, got $merged")
+    assert(sp.read.parquet(s"$root/centroids").count() === 2L)
+    // the SPLIT seat re-partitions the now-hottest cell
+    val maxOcc = sp.read.parquet(s"$root/quantized")
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val split = eng.splitOverfullIfNeeded(td, root,
+      maxRows = maxOcc - 1)
+    assert(split.nonEmpty, "engine-seat quantized split never fired")
+    assert(sp.read.parquet(s"$root/centroids").count() === 3L)
+    // every survivor reachable through the re-partitioned root
+    assert(Ann.searchIvfSqStored(sp, root, "rid", "v",
+      typedlit(Seq(0.0, 0.0)), Ann.L2, probes = 3, k = 21,
+      refine = 1).count() === 21L)
+  }
+
   test("mergeUnderfullCellsMrlIvf (cosine): drained cells dissolve " +
       "with rows re-homed under the spherical geometry; all-probe " +
       "results equal the flat cut; readers refuse mid-merge and one " +
