@@ -1168,7 +1168,7 @@ object ScaleSmoke {
       require(deleted > 0, "16x quantized drain removed nothing")
       time("quantized_merge") {
         val merged = ops.Ann.mergeUnderfullCellsQuantized(spark,
-          qmDir, "vec_id", "embedding", minRows = nVecs * xf / 16)
+          qmDir, "embedding", minRows = nVecs * xf / 16)
         require(merged.contains(drainCell),
           s"16x quantized merge missed cell $drainCell: $merged")
         merged.size.toLong

@@ -918,8 +918,7 @@ final class Engine(reg: Registry) {
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.mergeUnderfullCellsMrlIvf(reg.spark, dir, minRows)
     else if (Ann.isQuantizedRoot(reg.spark, dir))
-      Ann.mergeUnderfullCellsQuantized(reg.spark, dir, td.pk,
-        ix.column, minRows)
+      Ann.mergeUnderfullCellsQuantized(reg.spark, dir, ix.column, minRows)
     else Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
   }
 
@@ -943,8 +942,7 @@ final class Engine(reg: Registry) {
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.splitOverfullCellsMrlIvf(reg.spark, dir, maxRows)
     else if (Ann.isQuantizedRoot(reg.spark, dir))
-      Ann.splitOverfullCellsQuantized(reg.spark, dir, td.pk,
-        ix.column, maxRows)
+      Ann.splitOverfullCellsQuantized(reg.spark, dir, ix.column, maxRows)
     else Ann.splitOverfullCells(reg.spark, dir, ix.column, maxRows)
   }
 

@@ -735,10 +735,23 @@ object Ann {
     * dropped first (the existence probe reads ONLY touched cell
     * directories — batch-cells-bounded, never corpus-bounded), so a
     * redelivered batch appends NOTHING under the immutable-row
-    * contract. Returns rows actually appended. */
+    * contract. Returns rows actually appended.
+    *
+    * SPLITS INVALIDATE THE TOUCHED-CELLS PROBE: a later
+    * [[splitOverfullCellsMrlIvf]] can steal a neighboring cell's
+    * boundary row's argmin (the new sub-centroid lands nearer than
+    * that row's own centroid), stranding its stored copy off today's
+    * argmin — the default probe would miss it and a replayed batch
+    * would duplicate it. `probeAllCells = true` switches to the
+    * SOUND whole-layout id probe (an id-pushdown scan: no partition
+    * pruning, but only the id column's pages whose row groups can
+    * match) — the streamed seat wires it automatically whenever its
+    * split policy is enabled, which is exactly when the hazard
+    * exists. */
   def appendMatryoshkaIvfIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      newRows: DataFrame, idCol: String, vecCol: String): Long = {
+      newRows: DataFrame, idCol: String, vecCol: String,
+      probeAllCells: Boolean = false): Long = {
     val (dims, metric) = readMatryoshkaMeta(spark, dir,
       "appendMatryoshkaIvfIdempotent", "_graft_matryoshka_ivf")
     // layout refusal BEFORE the probe: a fully-duplicate batch
@@ -751,9 +764,12 @@ object Ann {
         model, metric, Nil)
       .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
-    val existing = spark.read.parquet(s"$dir/rows")
-      .filter(col(model.idCol).isin(touched: _*))
-      .select(col(idCol))
+    val existing =
+      if (probeAllCells) spark.read.parquet(s"$dir/rows")
+        .select(col(idCol))
+      else spark.read.parquet(s"$dir/rows")
+        .filter(col(model.idCol).isin(touched: _*))
+        .select(col(idCol))
     // micro-batch-sized; materialized once — the append reads its
     // input several times (schema probe, row build, write)
     val fresh = newRows.join(existing, Seq(idCol), "left_anti")
@@ -1969,7 +1985,7 @@ object Ann {
   def appendRangeIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, newRows: DataFrame,
                        vecCol: String): Unit = {
-    healRangeRootSwaps(spark, dir)
+    healRoot(spark, dir)
     val (model, oldRadii) = loadRangeIndex(spark, dir)
     ensureIvfModelMarker(spark, dir, model)
     val assigned = assign(newRows, vecCol, model, L2)
@@ -1997,23 +2013,50 @@ object Ann {
     * drives one call per micro-batch): a foreachBatch sink can
     * redeliver a batch after a crash, and a blind re-append would
     * duplicate every row. Rows whose `idCol` already exists in the
-    * cells this batch touches are dropped before the append, so a
+    * cells this batch can REACH are dropped before the append, so a
     * redelivered batch appends NOTHING (idempotent under the
     * immutable-row contract: one id, one vector — the same contract
-    * the file-sink commit log gives the other ingest twins). The
-    * existence probe reads ONLY the touched cell directories
-    * (partition pruning — batch-cells-bounded, never corpus-bounded).
-    * Returns rows actually appended (0 for a full replay). */
+    * the file-sink commit log gives the other ingest twins).
+    *
+    * The existence probe admits cells by the COVERING RADII, not by
+    * argmin: a stored copy always lies within its own cell's radius
+    * (radii grow before rows become visible; deletes leave them
+    * conservative; split/merge maintain them), so the radii cut
+    * `dist(row, centroid) ≤ radius + slack` reaches EVERY cell a copy
+    * could live in — including a copy stranded off today's argmin by
+    * a later SPLIT (a new sub-centroid can steal a neighboring cell's
+    * boundary row's argmin; an argmin-only probe would miss that copy
+    * and a redelivered batch would silently duplicate it). Still
+    * partition-pruned and batch-bounded: only the admitting cells'
+    * id columns are read, never the corpus. Returns rows actually
+    * appended (0 for a full replay). */
   def appendRangeIndexIdempotent(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, newRows: DataFrame,
                                  idCol: String, vecCol: String): Long = {
-    val (model, _) = loadRangeIndex(spark, dir)
-    val touched = assign(newRows, vecCol, model, L2)
-      .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
-    if (touched.isEmpty) return 0L
-    val existing = spark.read.parquet(s"$dir/rows")
-      .filter(col(model.idCol).isin(touched: _*))
-      .select(col(idCol))
+    healRoot(spark, dir)
+    val (model, radii) = loadRangeIndex(spark, dir)
+    val rad = radii
+      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bc = spark.sparkContext.broadcast(
+      collectCentroids(model).map { case (id, c) =>
+        (id, c, rad.getOrElse(id, 0.0)) })
+    val slack = 1e-6
+    val admitUdf = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      bc.value.iterator
+        .filter { case (_, c, r) => L2.distScala(varr, c) <= r + slack }
+        .map(_._1).toSeq
+    }
+    val touched = newRows
+      .select(explode(admitUdf(col(vecCol).cast("array<double>")))
+        .as(model.idCol))
+      .distinct().collect().map(_.getLong(0))
+    val existing =
+      if (touched.isEmpty) newRows.select(col(idCol)).limit(0)
+      else spark.read.parquet(s"$dir/rows")
+        .filter(col(model.idCol).isin(touched: _*))
+        .select(col(idCol))
     // micro-batch-sized; materialized once — appendRangeIndex reads
     // its input three times (schema probe, radii growth, row append)
     val fresh = newRows.join(existing, Seq(idCol), "left_anti")
@@ -2134,41 +2177,17 @@ object Ann {
       }
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/rows")
-    // flagged cells: bounded driver collect (the audit's own contract —
-    // at 10⁵ cells this is the health table, not the corpus)
-    val flagged = rows.groupBy(col(model.idCol))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxRows)
-      .select(col(model.idCol).cast("long"))
-      .collect().map(_.getLong(0)).sorted
-    if (flagged.isEmpty) return Map.empty
-    var nextId = model.centroids
-      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
     def swap(df: DataFrame, name: String): Unit =
       swapSideTable(fs, dir, name, df)
-    val splits = flagged.flatMap { cell =>
-      // `prep` lifts the cell's rows into the layout's TRAINING space
-      // (identity for raw-vector layouts; normalized emb_full for a
-      // cosine composed root — the space its assignment pins)
-      val cellRows = prep(rows.filter(col(model.idCol) === cell)
-        .drop(model.idCol))
-      if (cellRows.select(portableVecHash(col(spaceCol)))
-          .distinct().limit(2).count() < 2) None // unsplittable: skip
-      else {
-        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
-        val base = nextId
-        val mapped = IvfModel(
-          sub.centroids.select(
-            (col(sub.idCol).cast("long") + base).as(model.idCol),
-            col(sub.vecCol).as(model.vecCol)),
-          model.idCol, model.vecCol)
-        nextId += 2
-        Some((cell, mapped,
-          assign(cellRows, spaceCol, assignModel(mapped), L2)
-            .drop(dropCols: _*)))
-      }
+    val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
+      spaceCol, identity)
+    if (trained.isEmpty) return Map.empty
+    val splits = trained.map { case (cell, mappedDf, cellRows) =>
+      val mapped = IvfModel(mappedDf, model.idCol, model.vecCol)
+      (cell, mapped,
+        assign(cellRows, spaceCol, assignModel(mapped), L2)
+          .drop(dropCols: _*))
     }
-    if (splits.isEmpty) return Map.empty
     val newCents = splits.map(_._2.centroids).reduce(_ unionByName _)
       .localCheckpoint(true)
     val newModel = IvfModel(newCents, model.idCol, model.vecCol)
@@ -2219,6 +2238,50 @@ object Ann {
         "radii")
     }
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+  }
+
+  /** Shared flag-and-train front half of EVERY cell split (range,
+    * composed, quantized — one copy, so the occupancy audit, the
+    * unsplittable criterion and the k=2 local retrain cannot drift):
+    * occupancy-flag cells holding more than `maxRows` rows (a bounded
+    * driver collect — at 10⁵ cells this is the health table, not the
+    * corpus), lift each flagged cell's rows into the layout's
+    * TRAINING space via `prep`, skip cells whose training-space rows
+    * are identical at hash precision (splitting cannot separate
+    * them), retrain k=2, and map fresh sub-cell ids above the current
+    * max. `centroidForm` lifts sub-centroids to the family's STORED
+    * convention (identity for normalize-on-read layouts; l2-normalize
+    * for spherical quantized roots whose readers use disk centroids
+    * verbatim). Returns (oldCell, 2-row mapped centroid frame, the
+    * prepped cell rows). */
+  private def flagAndTrainSubs(
+      rows: DataFrame, model: IvfModel, maxRows: Long, iters: Int,
+      prep: DataFrame => DataFrame, spaceCol: String,
+      centroidForm: Column => Column)
+      : Seq[(Long, DataFrame, DataFrame)] = {
+    val flagged = rows.groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .select(col(model.idCol).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    if (flagged.isEmpty) return Nil
+    var nextId = model.centroids
+      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
+    flagged.toSeq.flatMap { cell =>
+      val cellRows = prep(rows.filter(col(model.idCol) === cell)
+        .drop(model.idCol))
+      if (cellRows.select(portableVecHash(col(spaceCol)))
+          .distinct().limit(2).count() < 2) None // unsplittable: skip
+      else {
+        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
+        val base = nextId
+        val mapped = sub.centroids.select(
+          (col(sub.idCol).cast("long") + base).as(model.idCol),
+          centroidForm(col(sub.vecCol)).as(model.vecCol))
+        nextId += 2
+        Some((cell, mapped, cellRows))
+      }
+    }
   }
 
   private val MergePendingMarker = "_graft_merge_pending"
@@ -2277,20 +2340,26 @@ object Ann {
     ()
   }
 
-  /** Heal BOTH of a range root's side tables (centroids + radii)
-    * stranded by a crashed [[swapSideTable]] — the recovery every
-    * range-root entry point runs before its first read: the streamed
-    * maintenance path ([[graft.streaming.Stream.ingestRangeAppend]])
-    * owns the split policy whose swap can crash, and its start-time
-    * [[loadRangeIndex]] would otherwise die on the missing live path
-    * before any heal seat runs, wedging the stream that alone could
-    * self-heal. Idempotent; a no-op on healthy layouts. */
-  private[graft] def healRangeRootSwaps(
+  /** Heal EVERY recoverable torn state of a cell-partitioned root —
+    * the recovery every maintenance-owning entry point runs before
+    * its first read: (a) side tables stranded mid-[[swapSideTable]]
+    * (centroids / radii / bounds — each a no-op where the table
+    * doesn't exist) and (b) a pending cell MERGE, completed through
+    * its idempotent back half. The streamed maintenance seats own the
+    * split/merge policies whose swaps and markers can crash, and
+    * their start-time loads would otherwise die on the missing live
+    * path (or refuse on the pending marker) BEFORE any heal seat
+    * runs — wedging the one stream that could self-heal until an
+    * operator intervened by hand. Idempotent; a no-op on healthy
+    * layouts. */
+  private[graft] def healRoot(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healSideTableSwap(fs, dir, "centroids")
     healSideTableSwap(fs, dir, "radii")
+    healSideTableSwap(fs, dir, "bounds")
+    completePendingMerge(spark, dir)
   }
 
   /** Refuse reads of a range root mid-merge: between the pending
@@ -4010,10 +4079,21 @@ object Ann {
     * would end up live in two cells (main + fresh), both visible to
     * the fresh-aware searches. Updated-vector re-ingest must be
     * delete-then-append ([[deleteQuantizedFreshIds]] /
-    * [[deleteStoredIds]] first). Returns rows appended. */
+    * [[deleteStoredIds]] first). Returns rows appended.
+    *
+    * SPLITS INVALIDATE THE TOUCHED-CELLS PROBE (the
+    * [[appendMatryoshkaIvfIdempotent]] hazard, quantized form): a
+    * [[splitOverfullCellsQuantized]] between a batch's original
+    * append and its redelivery can strand a neighboring cell's
+    * boundary row off today's argmin, and the default probe would
+    * miss that copy. `probeAllCells = true` switches BOTH probes
+    * (main + fresh) to the sound whole-layout id form; the streamed
+    * seat wires it automatically whenever its split policy is
+    * enabled. */
   def appendQuantizedFreshIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      newRows: DataFrame, idCol: String, vecCol: String): Long = {
+      newRows: DataFrame, idCol: String, vecCol: String,
+      probeAllCells: Boolean = false): Long = {
     val (family, dataSub, spherical) = quantizedFamily(spark, dir)
     if (readIvfModelMarker(spark, dir).isEmpty)
       throw new IllegalStateException(
@@ -4037,11 +4117,13 @@ object Ann {
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
     val hasFresh = freshExists(spark, dir)
-    val inMain = main
-      .filter(col(model.idCol).isin(touched: _*)).select(col(idCol))
+    def thin(df: DataFrame): DataFrame =
+      if (probeAllCells) df.select(col(idCol))
+      else df.filter(col(model.idCol).isin(touched: _*))
+        .select(col(idCol))
+    val inMain = thin(main)
     val inFresh =
-      if (hasFresh) spark.read.parquet(freshPath(dir))
-        .filter(col(model.idCol).isin(touched: _*)).select(col(idCol))
+      if (hasFresh) thin(spark.read.parquet(freshPath(dir)))
       else inMain.limit(0)
     val fresh = assigned
       .join(inFresh.unionByName(inMain).withColumnRenamed(idCol, "__eid"),
@@ -4518,7 +4600,7 @@ object Ann {
     * mid-merge. Returns (oldCell → new sub-cell ids). */
   def splitOverfullCellsQuantized(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String, vecCol: String, maxRows: Long,
+      vecCol: String, maxRows: Long,
       iters: Int = 2): Map[Long, Seq[Long]] = {
     val (family, dataSub, spherical) = quantizedFamily(spark, dir)
     require(!freshExists(spark, dir),
@@ -4534,46 +4616,28 @@ object Ann {
       "centroid_id", "centroid")
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/$dataSub")
-    val flagged = rows.groupBy(col(model.idCol))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxRows)
-      .select(col(model.idCol).cast("long"))
-      .collect().map(_.getLong(0)).sorted
-    if (flagged.isEmpty) return Map.empty
-    val (prep, spaceCol): (DataFrame => DataFrame, String) =
+    val (prep, spaceCol) =
       if (spherical)
         ((df: DataFrame) => withNormalized(df, vecCol, "__nv"), "__nv")
       else (identity[DataFrame] _, vecCol)
-    var nextId = model.centroids
-      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
-    val splits = flagged.flatMap { cell =>
-      val cellRows = prep(rows.filter(col(model.idCol) === cell)
-        .drop(model.idCol))
-      if (cellRows.select(portableVecHash(col(spaceCol)))
-          .distinct().limit(2).count() < 2) None // unsplittable: skip
-      else {
-        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
-        val base = nextId
-        // spherical sub-centroids store UNIT (disk-verbatim readers)
-        val form: Column => Column =
-          if (spherical) l2Normalize else identity
-        val mapped = sub.centroids.select(
-          (col(sub.idCol).cast("long") + base).as(model.idCol),
-          form(col(sub.vecCol)).as(model.vecCol))
-        nextId += 2
-        Some((cell, mapped))
-      }
-    }
-    if (splits.isEmpty) return Map.empty
-    val newCents = splits.map(_._2).reduce(_ unionByName _)
+    // spherical sub-centroids store UNIT (disk-verbatim readers)
+    val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
+      spaceCol, if (spherical) l2Normalize else identity)
+    if (trained.isEmpty) return Map.empty
+    val newCents = trained.map(_._2).reduce(_ unionByName _)
       .localCheckpoint(true)
-    val newIds: Seq[(Long, Long)] = splits.toSeq.flatMap {
-      case (old, m) =>
+    val newIds: Seq[(Long, Long)] = trained.flatMap {
+      case (old, m, _) =>
         m.select(col(model.idCol).cast("long"))
           .collect().map(_.getLong(0)).map(old -> _).toSeq
     }
+    val subIds = newIds.map(_._2)
     // (a) SQ bounds inheritance FIRST — a bounds row keyed by an
-    //     unlisted cell is inert (the radii soundness order)
+    //     unlisted cell is inert (the radii soundness order). The
+    //     union FILTERS OUT the sub ids before adding, so a crashed
+    //     run's re-execution with the same fresh ids cannot duplicate
+    //     bounds rows (duplicates would fan out in every bounds join,
+    //     doubling ids in search results)
     if (family == "sq") {
       val bounds = spark.read.parquet(s"$dir/bounds")
       val cidType = bounds.schema("centroid_id").dataType
@@ -4582,13 +4646,17 @@ object Ann {
           .withColumn("centroid_id", lit(nid).cast(cidType)) }
         .reduce(_ unionByName _)
       swapSideTable(fs, dir, "bounds",
-        bounds.unionByName(dup).localCheckpoint(true))
+        bounds.filter(!col("centroid_id").cast("long")
+            .isin(subIds: _*))
+          .unionByName(dup).localCheckpoint(true))
     }
     // (b) sub-centroids land EMPTY (probes may now reach them; an
-    //     empty cell is wasted IO, never a wrong answer) + re-pin
+    //     empty cell is wasted IO, never a wrong answer) + re-pin.
+    //     Same filter-out-then-union idempotency as the bounds step.
     val grown = model.centroids
       .select(col(model.idCol).cast("long").as(model.idCol),
         col(model.vecCol))
+      .filter(!col(model.idCol).isin(subIds: _*))
       .unionByName(newCents).localCheckpoint(true)
     swapSideTable(fs, dir, "centroids", grown)
     graft.io.Markers.write(spark, dir, IvfModelMarker,
@@ -4596,14 +4664,14 @@ object Ann {
     // (c) dissolve the parents through the merge protocol: rows
     //     re-home to their GLOBAL argmin and re-encode per receiver
     mergeQuantizedImpl(spark, dir, vecCol, minRows = 1L,
-      doomed = Some(splits.map(_._1)),
+      doomed = Some(trained.map(_._1)),
       who = "splitOverfullCellsQuantized")
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
   def mergeUnderfullCellsQuantized(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String, vecCol: String, minRows: Long): Map[Long, Long] =
+      vecCol: String, minRows: Long): Map[Long, Long] =
     mergeQuantizedImpl(spark, dir, vecCol, minRows, doomed = None,
       "mergeUnderfullCellsQuantized")
 

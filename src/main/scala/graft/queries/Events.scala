@@ -1360,9 +1360,12 @@ object Events {
     require(cellsNow > lists,
       s"s31: split policy never fired — $cellsNow cells, trained $lists")
     // pin 2: redelivery appends ZERO against the re-partitioned root
+    // — via the SOUND whole-layout id probe the split-policy stream
+    // itself uses (a split can strand a replayed neighbor row
+    // off-argmin; the touched-cells probe would miss its copy)
     val dup = graft.ops.Ann.appendMatryoshkaIvfIdempotent(s, root,
       rows.take(rows.length / 2).toDF("vec_id", "embedding"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", probeAllCells = true)
     require(dup == 0L,
       s"s31: replayed batch appended $dup rows post-split")
     // all-probe: the composed two-phase equals the flat prefix cut —
@@ -1434,9 +1437,11 @@ object Events {
       s"s32: split policy never fired — $cellsNow cells, trained $lists")
     require(!new java.io.File(dir, "fresh").exists(),
       "s32: the ratio-0 cadence must leave no fresh/ behind")
+    // the replay rides the SOUND whole-layout probe, as the
+    // split-policy stream itself does
     val dup = graft.ops.Ann.appendQuantizedFreshIdempotent(s, dir,
       rows.take(rows.length / 2).toDF("vec_id", "embedding", "label"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", probeAllCells = true)
     require(dup == 0L,
       s"s32: replayed batch appended $dup rows post-split+fold")
     val total = s.read.parquet(s"$dir/quantized").count()

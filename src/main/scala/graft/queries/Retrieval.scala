@@ -2454,7 +2454,7 @@ object Retrieval {
     require(removed > 0, "r93 vacuous: the S6 delete removed nothing")
     val minRows = math.max(3L,
       s.read.parquet(s"$dir/quantized").count() / lists / 2)
-    val merged = Ann.mergeUnderfullCellsQuantized(s, dir, "vec_id",
+    val merged = Ann.mergeUnderfullCellsQuantized(s, dir,
       "embedding", minRows)
     require(merged.contains(4L),
       s"r93: the drained cell 4 did not merge, got ${merged.keySet}")
@@ -2504,7 +2504,7 @@ object Retrieval {
     val maxOcc = s.read.parquet(s"$dir/quantized")
       .groupBy(col("centroid_id")).count()
       .agg(max(col("count"))).head().getLong(0)
-    val split = Ann.splitOverfullCellsQuantized(s, dir, "vec_id",
+    val split = Ann.splitOverfullCellsQuantized(s, dir,
       "embedding", maxRows = math.max(1L, maxOcc - 1))
     require(split.nonEmpty, "r95: split never fired on the hot cell")
     val cellsNow = s.read.parquet(s"$dir/centroids").count()

@@ -585,12 +585,18 @@ object Stream {
       throw new IllegalStateException(
         s"ingestMatryoshkaIvfAppend: $root has no composed matryoshka" +
           "-IVF marker — not a graduated writeMatryoshkaIvf root")
+    // this stream owns split/merge policies whose swaps and markers
+    // can crash mid-batch — restart over the debris, don't wedge
+    graft.ops.Ann.healRoot(spark, root)
     spark.read.parquet(s"$root/centroids") // loud when centroids miss
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // with a split policy wired, a redelivered batch can race a
+        // split that stranded a neighbor's row off-argmin — probe the
+        // WHOLE layout's ids (sound), not just the touched cells
         graft.ops.Ann.appendMatryoshkaIvfIdempotent(spark, root, batch,
-          idCol, vecCol)
+          idCol, vecCol, probeAllCells = splitMaxRows.isDefined)
         splitMaxRows.foreach(m =>
           graft.ops.Ann.splitOverfullCellsMrlIvf(spark, root, m))
         ()
@@ -632,12 +638,12 @@ object Stream {
     splitMaxRows.foreach(m => require(m > 0,
       s"ingestRangeAppend: splitMaxRows must be positive, got $m — " +
         "a non-positive threshold would flag every cell every batch"))
-    // recover a side table stranded by a crash inside a prior
-    // stream-triggered split's swap BEFORE the start-time load: this
-    // stream owns the split policy, so it must be able to restart
-    // over its own crash debris instead of wedging on the missing
-    // live path until an operator intervenes by hand
-    graft.ops.Ann.healRangeRootSwaps(spark, root)
+    // recover EVERY torn state (crashed side-table swaps, a pending
+    // cell merge) BEFORE the start-time load: this stream owns the
+    // split policy, so it must be able to restart over its own crash
+    // debris instead of wedging on the missing live path (or the
+    // pending-merge refusal) until an operator intervenes by hand
+    graft.ops.Ann.healRoot(spark, root)
     graft.ops.Ann.loadRangeIndex(spark, root)
     if (graft.ops.Ann.readIvfModelMarker(spark, root).isEmpty)
       throw new IllegalStateException(
@@ -709,12 +715,17 @@ object Stream {
       throw new IllegalStateException(
         s"ingestQuantizedFreshAppend: $root has no pinned IVF model " +
           "marker — not a graduated quantized root")
+    // this stream owns compact/split policies whose swaps and markers
+    // can crash mid-batch — restart over the debris, don't wedge
+    graft.ops.Ann.healRoot(spark, root)
     spark.read.parquet(s"$root/centroids") // loud when centroids miss
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // split policy wired ⇒ sound whole-layout id probe (a replay
+        // can race a split that stranded a neighbor row off-argmin)
         graft.ops.Ann.appendQuantizedFreshIdempotent(spark, root, batch,
-          idCol, vecCol)
+          idCol, vecCol, probeAllCells = splitMaxRows.isDefined)
         // the post-append POLICY seat (r14 verdict #4): with a ratio
         // wired, fresh/ graduates as soon as it outgrows
         // ratio·|main| — results identical across the trigger
@@ -733,7 +744,7 @@ object Stream {
           // under the post-split disk centroids.
           if (compacted.isDefined)
             splitMaxRows.foreach(m => graft.ops.Ann
-              .splitOverfullCellsQuantized(spark, root, idCol, vecCol,
+              .splitOverfullCellsQuantized(spark, root, vecCol,
                 m))
         }
         ()

@@ -651,6 +651,49 @@ class AnnRangeSpec extends SparkSpecBase {
     }
   }
 
+  test("appendRangeIndexIdempotent probes by COVERING RADII, not " +
+      "argmin: a copy stranded off today's argmin (the post-split " +
+      "drift shape) is still found, so a replay appends zero") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-drift-spec").toString
+    Ann.writeRangeIndex(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    // strand row 0 (cluster 0) in cluster 1's cell: exactly the shape
+    // a split leaves behind when a new sub-centroid steals a
+    // neighboring cell's boundary row's argmin
+    val argminCell = Ann.assign(docs.filter(col("vec_id") === 0),
+      "embedding", model, Ann.L2).select(col("centroid_id"))
+      .head().getLong(0)
+    val otherCell = model.centroids
+      .select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0)).filter(_ != argminCell).head
+    assert(Ann.deleteStoredIds(sp, s"$dir/rows", "vec_id",
+      Seq(0L).toDF("vec_id")) === 1L)
+    docs.filter(col("vec_id") === 0)
+      .withColumn("centroid_id", lit(otherCell))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/rows")
+    // radii must COVER the stranded copy (the invariant every
+    // maintenance op preserves — grow them to the recomputed truth)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val covered = Ann.cellRadii(sp.read.parquet(s"$dir/rows"),
+      "embedding", model, Ann.L2).localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/radii"), true)
+    covered.write.parquet(s"$dir/radii")
+    // the replay: row 0's argmin cell does NOT hold its copy, but the
+    // radii-admitting probe reaches the stranded one — appends ZERO
+    assert(Ann.appendRangeIndexIdempotent(sp, dir,
+      docs.filter(col("vec_id") === 0), "vec_id", "embedding") === 0L)
+    assert(sp.read.parquet(s"$dir/rows")
+      .filter(col("vec_id") === 0).count() === 1L,
+      "the stranded copy must not be duplicated by the replay")
+  }
+
   test("crashed radii swaps heal at appendRangeIndex entry: the " +
       "legacy delete-then-rename window (radii missing, radii_next " +
       "the only complete copy) PROMOTES the staged table, and the " +

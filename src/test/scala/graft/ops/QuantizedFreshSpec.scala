@@ -338,7 +338,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
     Ann.writeIvfSq(fullSq, dir)
     Ann.ensureIvfSqRoot(sp, dir, fullSq, spherical = false)
     drain("quantized", dir)
-    val merged = Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id",
+    val merged = Ann.mergeUnderfullCellsQuantized(sp, dir,
       "embedding", minRows = 5)
     assert(merged.keySet.nonEmpty && merged.values.sum === 2L,
       s"expected the drained cell (2 rows) to dissolve, got $merged")
@@ -368,7 +368,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
     intercept[IllegalStateException] {
       Ann.compactQuantizedFresh(sp, dir, "vec_id", "embedding")
     }
-    assert(Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id",
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dir,
       "embedding", minRows = 5).isEmpty) // heals, nothing left to merge
     assert(ids(Ann.searchIvfSqStored(sp, dir, "vec_id", "embedding",
       typedlit(q), Ann.L2, probes = 2, k = 8, refine = 6)) == got)
@@ -377,7 +377,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
       Seq((901L, Seq.fill(dim)(0.2), 1)).toDF(
         "vec_id", "embedding", "label"), "vec_id", "embedding") === 1L)
     val exFresh = intercept[IllegalArgumentException] {
-      Ann.mergeUnderfullCellsQuantized(sp, dir, "vec_id", "embedding",
+      Ann.mergeUnderfullCellsQuantized(sp, dir, "embedding",
         minRows = 5)
     }
     assert(exFresh.getMessage.contains("fresh"))
@@ -388,7 +388,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
       .createTempDirectory("graft-pqmerge").toString
     Ann.writeIvfPq(fullPq, dirPq)
     drain("encoded", dirPq)
-    assert(Ann.mergeUnderfullCellsQuantized(sp, dirPq, "vec_id",
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dirPq,
       "embedding", minRows = 5).values.sum === 2L)
     assert(Ann.searchIvfPqStored(sp, dirPq, "vec_id", "embedding", q,
       Ann.Cosine, probes = 2, k = 42, refine = 1).count() === 42L)
@@ -398,7 +398,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
     Ann.writeIvfBitq(fullBq, dirBq)
     Ann.ensureIvfBitqRoot(sp, dirBq, fullBq.model, spherical = false)
     drain("quantized", dirBq)
-    assert(Ann.mergeUnderfullCellsQuantized(sp, dirBq, "vec_id",
+    assert(Ann.mergeUnderfullCellsQuantized(sp, dirBq,
       "embedding", minRows = 5).values.sum === 2L)
     assert(Ann.searchIvfBitqStored(sp, dirBq, "vec_id", "embedding",
       typedlit(q), Ann.L2, probes = 2, k = 42, refine = 1).count()
@@ -427,7 +427,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
         .map(r => r.getLong(0) ->
           r.getAs[Array[Byte]](1).toSeq).toMap
     val before = codeBytes()
-    val split = Ann.splitOverfullCellsQuantized(sp, dir, "vec_id",
+    val split = Ann.splitOverfullCellsQuantized(sp, dir,
       "embedding", maxRows = 30)
     assert(split.keySet.size === 1 && split.values.head.size === 2,
       s"expected the one hot cell to split in two, got $split")
@@ -458,7 +458,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
     val dirPq = java.nio.file.Files
       .createTempDirectory("graft-pqsplit").toString
     Ann.writeIvfPq(fullPq, dirPq)
-    assert(Ann.splitOverfullCellsQuantized(sp, dirPq, "vec_id",
+    assert(Ann.splitOverfullCellsQuantized(sp, dirPq,
       "embedding", maxRows = 30).values.head.size === 2)
     val pqCents = sp.read.parquet(s"$dirPq/centroids")
       .select(col("centroid")).collect()
@@ -473,7 +473,7 @@ class QuantizedFreshSpec extends SparkSpecBase {
       .createTempDirectory("graft-bqsplit").toString
     Ann.writeIvfBitq(fullBq, dirBq)
     Ann.ensureIvfBitqRoot(sp, dirBq, fullBq.model, spherical = false)
-    assert(Ann.splitOverfullCellsQuantized(sp, dirBq, "vec_id",
+    assert(Ann.splitOverfullCellsQuantized(sp, dirBq,
       "embedding", maxRows = 30).values.head.size === 2)
     assert(ids(Ann.searchIvfBitqStored(sp, dirBq, "vec_id",
       "embedding", typedlit(q), Ann.L2, probes = 2, k = 8,
@@ -484,10 +484,47 @@ class QuantizedFreshSpec extends SparkSpecBase {
       Seq((902L, Seq.fill(dim)(0.3), 2)).toDF(
         "vec_id", "embedding", "label"), "vec_id", "embedding") === 1L)
     val ex = intercept[IllegalArgumentException] {
-      Ann.splitOverfullCellsQuantized(sp, dir, "vec_id", "embedding",
+      Ann.splitOverfullCellsQuantized(sp, dir, "embedding",
         maxRows = 5)
     }
     assert(ex.getMessage.contains("fresh"))
+  }
+
+  test("probeAllCells: a copy stranded off-argmin (the post-split " +
+      "drift shape) is deduped by the sound whole-layout id probe; " +
+      "the default touched-cells probe documents the fast-path " +
+      "limitation by missing it") {
+    val sp = spark
+    import sp.implicits._
+    val model = Ann.buildIvf(df, "label", "embedding")
+    val fullSq = Ann.buildIvfSq(df, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqdrift").toString
+    Ann.writeIvfSq(fullSq, dir)
+    Ann.ensureIvfSqRoot(sp, dir, fullSq, spherical = false)
+    // strand row 1's copy in a non-argmin cell (raw cell-dir move)
+    val argminCell = Ann.assign(df.filter(col("vec_id") === 1),
+      "embedding", model, Ann.L2).select(col("centroid_id"))
+      .head().getLong(0)
+    val otherCell = (0L until 3L).filter(_ != argminCell).head
+    val strand = sp.read.parquet(s"$dir/quantized")
+      .filter(col("vec_id") === 1)
+      .withColumn("centroid_id", lit(otherCell))
+      .localCheckpoint(true)
+    assert(Ann.deleteStoredIds(sp, s"$dir/quantized", "vec_id",
+      Seq(1L).toDF("vec_id")) === 1L)
+    strand.write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/quantized")
+    // sound probe: the replay finds the stranded copy — appends zero
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      df.filter(col("vec_id") === 1), "vec_id", "embedding",
+      probeAllCells = true) === 0L)
+    // the DEFAULT probe misses it (the documented fast-path trade):
+    // the duplicate lands in fresh/ — pinning why split-policy
+    // streams must ride probeAllCells
+    assert(Ann.appendQuantizedFreshIdempotent(sp, dir,
+      df.filter(col("vec_id") === 1), "vec_id",
+      "embedding") === 1L)
   }
 
   test("refusals: unmarked dirs and retrained models cannot grow a " +

@@ -369,6 +369,36 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
     assert(eng.mergeUnderfullIfNeeded(td, root, minRows = 5).isEmpty)
   }
 
+  test("appendMatryoshkaIvfIdempotent probeAllCells: a copy stranded " +
+      "off-argmin on a composed root is deduped by the whole-layout " +
+      "id probe (the split-policy stream's sound mode)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, Seq((i % 3).toDouble * 10 + (i % 5) * 0.01,
+        (i % 3).toDouble * 10))).toDF("vec_id", "embedding")
+    val model = Ann.buildIvfKMeans(docs, "embedding", 3)
+    val root = Files.createTempDirectory("graft-mrl-drift").toString
+    Ann.writeMatryoshkaIvf(docs, "vec_id", "embedding", dims = 1,
+      model, root)
+    // strand row 2's copy in a non-argmin cell
+    val strand = sp.read.parquet(s"$root/rows")
+      .filter(col("vec_id") === 2).localCheckpoint(true)
+    val home = strand.select(col("centroid_id").cast("long"))
+      .head().getLong(0)
+    val other = (0L until 3L).filter(_ != home).head
+    assert(Ann.deleteStoredIds(sp, s"$root/rows", "vec_id",
+      Seq(2L).toDF("vec_id")) === 1L)
+    strand.withColumn("centroid_id", lit(other))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$root/rows")
+    assert(Ann.appendMatryoshkaIvfIdempotent(sp, root,
+      docs.filter(col("vec_id") === 2), "vec_id", "embedding",
+      probeAllCells = true) === 0L)
+    assert(sp.read.parquet(s"$root/rows")
+      .filter(col("vec_id") === 2).count() === 1L)
+  }
+
   test("engine maintenance seats dispatch QUANTIZED roots by marker: " +
       "the merge re-encodes under frozen artifacts, the split " +
       "inherits bounds — one cadence covers all three layout kinds") {
