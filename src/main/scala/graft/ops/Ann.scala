@@ -4212,16 +4212,23 @@ object Ann {
           .map(c => L2.distScala(arr, c)).min
         dStored > dMin * 1.25 + 1e-9
       }
+      val total = sample.count()
       val bad = sample.filter(decisiveMismatch(
         col(vecCol).cast("array<double>"), col("__stored_cell")))
         .count()
-      require(bad == 0L,
-        s"appendQuantizedFreshIdempotent: $bad sampled rows in " +
-          s"$dir/$dataSub sit decisively outside their stored cells " +
-          "under the marker's geometry — the root was built under a " +
-          "different assignment metric; fresh appends would land in " +
-          "the wrong cells. Rebuild the root or use an L2/cosine " +
-          "geometry.")
+      // refuse on a FRACTION, not a single row: a foreign metric
+      // mis-homes most of the sample (assignments land in unrelated
+      // cells), while a split's drift is boundary-local — and its
+      // ratio is unbounded in principle (a sub-centroid can land
+      // arbitrarily close to a neighbor's boundary row), so even the
+      // 25% margin alone could refuse a healthy maintained root
+      require(total == 0L || bad * 4 <= total,
+        s"appendQuantizedFreshIdempotent: $bad of $total sampled " +
+          s"rows in $dir/$dataSub sit decisively outside their " +
+          "stored cells under the marker's geometry — the root was " +
+          "built under a different assignment metric; fresh appends " +
+          "would land in the wrong cells. Rebuild the root or use " +
+          "an L2/cosine geometry.")
       java.lang.Boolean.TRUE
     }
     ()
