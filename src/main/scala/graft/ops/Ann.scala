@@ -2066,179 +2066,182 @@ object Ann {
     n
   }
 
-  /** Split overfull cells of a [[writeRangeIndex]] root IN PLACE — the
+  /** Split overfull cells of a [[writeRangeIndex]] root — the
     * actuator for [[indexHealth]]'s retrain signal: every cell holding
-    * more than `maxRows` rows is locally retrained into two sub-cells
+    * more than `maxRows` rows locally retrains into two sub-cells
     * (the r42-oracled deterministic KMeans restricted to that cell's
-    * rows, k=2) and its directory replaced, leaving every other cell's
+    * rows, k=2) and dissolves into them, leaving every other cell's
     * bytes untouched — the 100 TB answer to "one hot cell ruins probe
-    * selectivity" that never rewrites the corpus. Raw-vector layouts
-    * only by construction: quantized families (SQ/1-bit/PQ) store
-    * residuals AGAINST their centroid, so a cell split there would
-    * orphan every code — those layouts rebuild, this one splits.
+    * selectivity" that never rewrites the corpus.
+    *
+    * Construction (ONE shape across the range, composed and quantized
+    * families — [[splitViaDissolve]]): the sub-centroids land EMPTY
+    * first (with zero-radius radii rows — an empty cell wastes a
+    * probe, it cannot be wrong), the marker re-pins, and the parent
+    * DISSOLVES through the merge protocol: every parent row re-homes
+    * to its TRUE GLOBAL argmin among the surviving cells (not merely
+    * the nearer of the two subs — a local-argmin placement leaves
+    * rows whose global argmin is a THIRD cell stranded off-argmin,
+    * the drift [[appendRangeIndexIdempotent]]'s covering-radii probe
+    * exists to absorb), receiving radii grow before rows move, and
+    * crash-safety is the merge's resumable-commit protocol: a torn
+    * dissolve refuses readers LOUDLY and ANY maintenance entry point
+    * (or [[healRoot]]) completes it — including this one, which
+    * self-heals pending merges at entry instead of refusing.
     *
     * Correctness is an invariance: the row set is merely
-    * re-partitioned, so every range/kNN result over the root is
-    * IDENTICAL before and after (the r69 gate pins this against the
-    * index-free oracle). Cells whose rows are all identical at hash
-    * precision are skipped (splitting cannot separate them).
-    *
-    * Crash ordering (same discipline as [[appendRangeIndex]]): new
-    * sub-cell dirs are staged under `rows_split/` then RENAMED into
-    * `rows/` while still unreferenced (rangeCells probes only cells
-    * the centroid table lists — [[rangeCells]] is centroid-driven, so
-    * an unlisted directory is invisible); radii grow FIRST (old cells
-    * kept, new cells added — a radius row without a centroid is
-    * inert), the centroid swap is the single commit point (sibling
-    * dir + rename), the marker re-pins the NEW fingerprint, and only
-    * then are the dead dirs deleted and orphan radii pruned. A crash
-    * before the commit leaves the old index fully live; a crash
-    * between commit and marker leaves appends refusing LOUDLY on the
-    * fingerprint mismatch (recoverable, never silent).
+    * re-partitioned under covering radii, so every range/kNN result
+    * over the root is IDENTICAL before and after (the r69 gate pins
+    * this against the index-free oracle). Cells whose rows are all
+    * identical at hash precision are skipped (splitting cannot
+    * separate them).
     *
     * Scale shape: the audit is one combinable count; each flagged
-    * cell's retrain reads ONE directory (driver loop over the handful
-    * of flagged cells — each iteration a distributed job over that
-    * cell only); metadata tables stay cell-count-sized. Returns
-    * (oldCell → new cell ids), empty when nothing was overfull. */
+    * cell's retrain reads ONE directory; the dissolve is bounded by
+    * the flagged cells' rows; metadata tables stay cell-count-sized.
+    * Returns (oldCell → new cell ids), empty when nothing was
+    * overfull. */
   def splitOverfullCells(spark: org.apache.spark.sql.SparkSession,
                          dir: String, vecCol: String, maxRows: Long,
                          iters: Int = 2): Map[Long, Seq[Long]] =
-    splitOverfullImpl(spark, dir, maxRows, iters, growRadii = true,
-      radiiVecCol = vecCol, prep = identity, spaceCol = vecCol,
-      dropCols = Nil)
+    splitViaDissolve(spark, dir, maxRows, iters, dataSub = "rows",
+      growRadii = true, prep = identity, spaceCol = vecCol,
+      centroidForm = identity, preDissolve = _ => (),
+      dissolve = parents => {
+        mergeUnderfullImpl(spark, dir, minRows = 1L, growRadii = true,
+          radiiVecCol = vecCol,
+          reassign = (d, r) => assign(d, vecCol, r, L2),
+          doomed = Some(parents))
+        ()
+      })
 
   /** [[splitOverfullCells]] for a COMPOSED matryoshka-IVF root
     * ([[writeMatryoshkaIvf]]) — the north-star layout's hot cells grow
     * unbounded under streamed append exactly like the range family's
     * (the reference's vchordrq shape holds IVF and truncation
     * together, /root/reference/vechord/spec.py:437-444; its `lists`
-    * maintenance is this actuator's analog), and at 100 TB probe cost
-    * drifts with every append wave nothing re-partitions. One shared
-    * impl with the range form ([[splitOverfullImpl]] — the r91 merge's
-    * refactoring template), radii steps absent (the composed layout
-    * has none): a flagged cell's rows locally retrain (k=2) UNDER THE
-    * ROOT'S OWN PINNED GEOMETRY — cosine roots split in the
-    * normalized space ([[matryoshkaIvfRows]]' exact convention:
-    * assignment and emb_pre live on the unit sphere; stored
-    * sub-centroids are unit vectors, which [[normalizeModel]] passes
-    * through unchanged on read), L2 roots on the raw `emb_full`;
-    * `emb_pre` is row-intrinsic and moves VERBATIM. Crash ordering is
-    * the range split's: sub-cell dirs land unreferenced (probes are
-    * centroid-driven), the centroid swap commits, the marker re-pins
-    * — a crash before the commit leaves the old root fully live, one
-    * after leaves inert orphan dirs no probe admits. Refuses
-    * mid-merge (the [[readMatryoshkaMeta]] guard). Returns
-    * (oldCell → new cell ids). */
+    * maintenance is this actuator's analog). Same
+    * [[splitViaDissolve]] construction, radii steps absent (the
+    * composed layout has none): the flagged cell retrains UNDER THE
+    * ROOT'S OWN PINNED GEOMETRY — cosine roots train in the
+    * normalized space and store raw k-means means (the layout's
+    * normalize-on-read convention; the dissolve's re-assignment runs
+    * under [[normalizeModel]], [[matryoshkaIvfRows]]' exact argmin) —
+    * and dissolves through the merge protocol, so its rows land at
+    * their TRUE GLOBAL argmin (`emb_pre` is row-intrinsic and moves
+    * verbatim). Readers refuse mid-dissolve through the ONE
+    * [[readMatryoshkaMeta]] seat; this entry (like every maintenance
+    * actuator) COMPLETES a pending merge instead of refusing.
+    * Returns (oldCell → new cell ids). */
   def splitOverfullCellsMrlIvf(spark: org.apache.spark.sql.SparkSession,
                                dir: String, maxRows: Long,
                                iters: Int = 2): Map[Long, Seq[Long]] = {
-    val (_, metric) = readMatryoshkaMeta(spark, dir,
+    val (_, metric) = readMatryoshkaMetaUnguarded(spark, dir,
       "splitOverfullCellsMrlIvf", "_graft_matryoshka_ivf")
-    metric match {
-      case Cosine =>
-        // sub-centroids STORE as the raw k-means means (the layout's
-        // convention — buildIvf's label means aren't unit either);
-        // every geometric act normalizes on use, so the split ASSIGNS
-        // under normalizeModel exactly like matryoshkaIvfRows and the
-        // probes do — one argmin convention across build/append/split
-        splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
-          radiiVecCol = "",
-          prep = df => withNormalized(df, "emb_full", "__nv"),
-          spaceCol = "__nv", dropCols = Seq("__nv"),
-          assignModel = normalizeModel)
-      case _ =>
-        splitOverfullImpl(spark, dir, maxRows, iters, growRadii = false,
-          radiiVecCol = "", prep = identity, spaceCol = "emb_full",
-          dropCols = Nil)
-    }
+    val (prep, spaceCol): (DataFrame => DataFrame, String) =
+      metric match {
+        case Cosine =>
+          ((df: DataFrame) => withNormalized(df, "emb_full", "__nv"),
+            "__nv")
+        case _ => (identity[DataFrame] _, "emb_full")
+      }
+    splitViaDissolve(spark, dir, maxRows, iters, dataSub = "rows",
+      growRadii = false, prep = prep, spaceCol = spaceCol,
+      centroidForm = identity, preDissolve = _ => (),
+      dissolve = parents => {
+        mergeUnderfullImpl(spark, dir, minRows = 1L,
+          growRadii = false, radiiVecCol = "",
+          reassign = mrlIvfReassign(metric), doomed = Some(parents))
+        ()
+      })
   }
 
-  private def splitOverfullImpl(
+  /** The ONE construction behind every cell split (range, composed,
+    * quantized): flag + train ([[flagAndTrainSubs]]), land the
+    * sub-centroids EMPTY (plus family side rows: zero radii for range
+    * roots here, inherited SQ bounds via `preDissolve` — all
+    * filter-out-then-union, so a crashed run's re-execution with the
+    * same fresh ids cannot duplicate side rows), re-pin the marker,
+    * then `dissolve` the parents through the family's merge protocol
+    * so every parent row re-homes to its TRUE GLOBAL argmin among
+    * survivors. Crash windows: before the centroid commit the old
+    * root is fully live; between commit and dissolve the root is live
+    * with empty (inert) sub-cells — a re-run re-flags the parent and
+    * trains fresh ids, leaving the old empties as orphans the next
+    * merge cadence dissolves; inside the dissolve the merge's
+    * resumable protocol applies (readers refuse, any entry heals).
+    * Self-heals at entry: crashed side-table swaps restore and a
+    * pending merge COMPLETES (actuators heal; readers refuse). */
+  private def splitViaDissolve(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      maxRows: Long, iters: Int, growRadii: Boolean,
-      radiiVecCol: String, prep: DataFrame => DataFrame,
-      spaceCol: String, dropCols: Seq[String],
-      assignModel: IvfModel => IvfModel = identity)
-      : Map[Long, Seq[Long]] = {
+      maxRows: Long, iters: Int, dataSub: String, growRadii: Boolean,
+      prep: DataFrame => DataFrame, spaceCol: String,
+      centroidForm: Column => Column,
+      preDissolve: Seq[(Long, Long)] => Unit,
+      dissolve: Seq[Long] => Unit): Map[Long, Seq[Long]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // restore a side table stranded by a prior split's crashed swap
-    // BEFORE reading (the merge discipline — the old delete-then-
-    // rename closure could leave centroids/radii missing)
-    healSideTableSwap(fs, dir, "centroids")
-    if (growRadii) healSideTableSwap(fs, dir, "radii")
-    val (model, radii) =
-      if (growRadii) loadRangeIndex(spark, dir)
-      else {
-        requireNoPendingMerge(spark, dir)
-        (IvfModel(spark.read.parquet(s"$dir/centroids"),
-          "centroid_id", "centroid"), spark.emptyDataFrame)
-      }
+    healSideTableSwap(fs, dir, "bounds") // no-op where absent
+    completePendingMerge(spark, dir) // heals centroids/radii + marker
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
-    val rows = spark.read.parquet(s"$dir/rows")
-    def swap(df: DataFrame, name: String): Unit =
-      swapSideTable(fs, dir, name, df)
+    val rows = spark.read.parquet(s"$dir/$dataSub")
     val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
-      spaceCol, identity)
+      spaceCol, centroidForm)
     if (trained.isEmpty) return Map.empty
-    val splits = trained.map { case (cell, mappedDf, cellRows) =>
-      val mapped = IvfModel(mappedDf, model.idCol, model.vecCol)
-      (cell, mapped,
-        assign(cellRows, spaceCol, assignModel(mapped), L2)
-          .drop(dropCols: _*))
-    }
-    val newCents = splits.map(_._2.centroids).reduce(_ unionByName _)
+    val newCents = trained.map(_._2).reduce(_ unionByName _)
       .localCheckpoint(true)
-    val newModel = IvfModel(newCents, model.idCol, model.vecCol)
-    val newAssigned = splits.map(_._3).reduce(_ unionByName _)
-    // 1) stage the re-partitioned rows, then move the (unreferenced)
-    //    sub-cell dirs into rows/ — overwrite staging is rerun-safe
-    newAssigned.write.mode("overwrite").partitionBy(model.idCol)
-      .parquet(s"$dir/rows_split")
-    val newIds = splits.flatMap { case (old, m, _) =>
-      m.centroids.select(col(model.idCol).cast("long"))
-        .collect().map(_.getLong(0)).map(old -> _)
+    val newIds: Seq[(Long, Long)] = trained.flatMap {
+      case (old, m, _) =>
+        m.select(col(model.idCol).cast("long"))
+          .collect().map(_.getLong(0)).map(old -> _).toSeq
     }
-    newIds.map(_._2).foreach { id =>
-      val src = new org.apache.hadoop.fs.Path(
-        s"$dir/rows_split/${model.idCol}=$id")
-      val dst = new org.apache.hadoop.fs.Path(
-        s"$dir/rows/${model.idCol}=$id")
-      fs.delete(dst, true) // a prior crashed run's unreferenced copy
-      require(fs.rename(src, dst),
-        s"splitOverfullCells: rename $src -> $dst failed")
+    val subIds = newIds.map(_._2)
+    // (a) family side rows FIRST (inert until the commit lists the
+    //     sub-cells — the radii soundness order); idempotent via
+    //     filter-out-then-union
+    preDissolve(newIds)
+    if (growRadii) {
+      val sp2 = spark
+      import sp2.implicits._
+      val seed = subIds.map((_, 0.0))
+        .toDF(model.idCol, "radius")
+      swapSideTable(fs, dir, "radii",
+        spark.read.parquet(s"$dir/radii")
+          .select(col(model.idCol).cast("long").as(model.idCol),
+            col("radius").cast("double").as("radius"))
+          .filter(!col(model.idCol).isin(subIds: _*))
+          .unionByName(seed).localCheckpoint(true))
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rows_split"), true)
-    // 2) radii first (old cells kept; orphan-to-be rows are inert) —
-    //    range roots only: the composed layout has no radii to grow
-    val splitSet = splits.map(_._1).toSet
-    if (growRadii)
-      swap(radii.select(col(model.idCol), col("radius")).unionByName(
-        cellRadii(newAssigned, radiiVecCol, newModel, L2)), "radii")
-    // 3) the commit point: centroids swap old cells for sub-cells
-    val keptCents = model.centroids
-      .filter(!col(model.idCol).cast("long").isin(splitSet.toSeq: _*))
+    // (b) sub-centroids land EMPTY + re-pin (filter-out-then-union)
+    val grown = model.centroids
       .select(col(model.idCol).cast("long").as(model.idCol),
         col(model.vecCol))
+      .filter(!col(model.idCol).isin(subIds: _*))
       .unionByName(newCents).localCheckpoint(true)
-    swap(keptCents, "centroids")
-    // 4) re-pin the marker to the post-split model
+    swapSideTable(fs, dir, "centroids", grown)
     graft.io.Markers.write(spark, dir, IvfModelMarker,
-      modelFingerprint(IvfModel(keptCents, model.idCol, model.vecCol)))
-    // 5) cleanup: dead dirs + orphan radii
-    splitSet.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$dir/rows/${model.idCol}=$c"), true)
-    }
-    if (growRadii) {
-      val radiiNow = spark.read.parquet(s"$dir/radii")
-      swap(radiiNow.filter(
-        !col(model.idCol).cast("long").isin(splitSet.toSeq: _*)),
-        "radii")
-    }
+      modelFingerprint(IvfModel(grown, model.idCol, model.vecCol)))
+    // (c) dissolve the parents: rows re-home to their GLOBAL argmin
+    dissolve(trained.map(_._1))
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
+
+  /** The composed root's metric-aware re-assignment — shared by
+    * [[mergeUnderfullCellsMrlIvf]] and [[splitOverfullCellsMrlIvf]]'s
+    * dissolve, so the two cannot drift: cosine roots re-assign the
+    * normalized `emb_full` against the normalized reduced centroids
+    * ([[matryoshkaIvfRows]]' exact convention); `emb_pre` is
+    * row-intrinsic and moves verbatim. */
+  private def mrlIvfReassign(metric: Metric)
+      : (DataFrame, IvfModel) => DataFrame =
+    (dropped, reduced) => metric match {
+      case Cosine =>
+        assign(withNormalized(dropped, "emb_full", "__nv"), "__nv",
+          normalizeModel(reduced), L2).drop("__nv")
+      case _ => assign(dropped, "emb_full", reduced, L2)
+    }
 
   /** Shared flag-and-train front half of EVERY cell split (range,
     * composed, quantized — one copy, so the occupancy audit, the
@@ -2428,13 +2431,7 @@ object Ann {
     val (_, metric) = readMatryoshkaMetaUnguarded(spark, dir,
       "mergeUnderfullCellsMrlIvf", "_graft_matryoshka_ivf")
     mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
-      radiiVecCol = "",
-      reassign = (dropped, reduced) => metric match {
-        case Cosine =>
-          assign(withNormalized(dropped, "emb_full", "__nv"), "__nv",
-            normalizeModel(reduced), L2).drop("__nv")
-        case _ => assign(dropped, "emb_full", reduced, L2)
-      })
+      radiiVecCol = "", reassign = mrlIvfReassign(metric))
   }
 
   private def mergeUnderfullImpl(
@@ -4609,71 +4606,47 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       vecCol: String, maxRows: Long,
       iters: Int = 2): Map[Long, Seq[Long]] = {
-    val (family, dataSub, spherical) = quantizedFamily(spark, dir)
+    val (family, dataSub, spherical) = quantizedFamilyUnguarded(spark, dir)
     require(!freshExists(spark, dir),
       s"splitOverfullCellsQuantized: $dir carries a fresh/ side " +
         "table — compact it first (compactQuantizedFresh); fresh " +
         "rows partitioned under a dissolved cell would silently go " +
         "dark to every fresh-aware search")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healSideTableSwap(fs, dir, "centroids")
-    if (family == "sq") healSideTableSwap(fs, dir, "bounds")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
-    ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
-    val rows = spark.read.parquet(s"$dir/$dataSub")
     val (prep, spaceCol) =
       if (spherical)
         ((df: DataFrame) => withNormalized(df, vecCol, "__nv"), "__nv")
       else (identity[DataFrame] _, vecCol)
-    // spherical sub-centroids store UNIT (disk-verbatim readers)
-    val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
-      spaceCol, if (spherical) l2Normalize else identity)
-    if (trained.isEmpty) return Map.empty
-    val newCents = trained.map(_._2).reduce(_ unionByName _)
-      .localCheckpoint(true)
-    val newIds: Seq[(Long, Long)] = trained.flatMap {
-      case (old, m, _) =>
-        m.select(col(model.idCol).cast("long"))
-          .collect().map(_.getLong(0)).map(old -> _).toSeq
-    }
-    val subIds = newIds.map(_._2)
-    // (a) SQ bounds inheritance FIRST — a bounds row keyed by an
-    //     unlisted cell is inert (the radii soundness order). The
-    //     union FILTERS OUT the sub ids before adding, so a crashed
-    //     run's re-execution with the same fresh ids cannot duplicate
-    //     bounds rows (duplicates would fan out in every bounds join,
-    //     doubling ids in search results)
-    if (family == "sq") {
-      val bounds = spark.read.parquet(s"$dir/bounds")
-      val cidType = bounds.schema("centroid_id").dataType
-      val dup = newIds.map { case (old, nid) =>
-        bounds.filter(col("centroid_id").cast("long") === old)
-          .withColumn("centroid_id", lit(nid).cast(cidType)) }
-        .reduce(_ unionByName _)
-      swapSideTable(fs, dir, "bounds",
-        bounds.filter(!col("centroid_id").cast("long")
-            .isin(subIds: _*))
-          .unionByName(dup).localCheckpoint(true))
-    }
-    // (b) sub-centroids land EMPTY (probes may now reach them; an
-    //     empty cell is wasted IO, never a wrong answer) + re-pin.
-    //     Same filter-out-then-union idempotency as the bounds step.
-    val grown = model.centroids
-      .select(col(model.idCol).cast("long").as(model.idCol),
-        col(model.vecCol))
-      .filter(!col(model.idCol).isin(subIds: _*))
-      .unionByName(newCents).localCheckpoint(true)
-    swapSideTable(fs, dir, "centroids", grown)
-    graft.io.Markers.write(spark, dir, IvfModelMarker,
-      modelFingerprint(IvfModel(grown, model.idCol, model.vecCol)))
-    // (c) dissolve the parents through the merge protocol: rows
-    //     re-home to their GLOBAL argmin and re-encode per receiver
-    mergeQuantizedImpl(spark, dir, vecCol, minRows = 1L,
-      doomed = Some(trained.map(_._1)),
-      who = "splitOverfullCellsQuantized")
-    newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    // SQ bounds inheritance — each sub-cell DUPLICATES its parent's
+    // frozen bounds row, keeping every inherited code decodable;
+    // filter-out-then-union so a crashed run's re-execution with the
+    // same fresh ids cannot duplicate bounds rows (duplicates fan out
+    // in every bounds join, doubling ids in search results)
+    val preDissolve: Seq[(Long, Long)] => Unit =
+      if (family == "sq") { newIds =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bounds = spark.read.parquet(s"$dir/bounds")
+        val cidType = bounds.schema("centroid_id").dataType
+        val dup = newIds.map { case (old, nid) =>
+          bounds.filter(col("centroid_id").cast("long") === old)
+            .withColumn("centroid_id", lit(nid).cast(cidType)) }
+          .reduce(_ unionByName _)
+        val subIds = newIds.map(_._2)
+        swapSideTable(fs, dir, "bounds",
+          bounds.filter(!col("centroid_id").cast("long")
+              .isin(subIds: _*))
+            .unionByName(dup).localCheckpoint(true))
+      } else (_: Seq[(Long, Long)]) => ()
+    splitViaDissolve(spark, dir, maxRows, iters, dataSub = dataSub,
+      growRadii = false, prep = prep, spaceCol = spaceCol,
+      // spherical sub-centroids store UNIT (disk-verbatim readers)
+      centroidForm = if (spherical) l2Normalize else identity,
+      preDissolve = preDissolve,
+      dissolve = parents => {
+        mergeQuantizedImpl(spark, dir, vecCol, minRows = 1L,
+          doomed = Some(parents), who = "splitOverfullCellsQuantized")
+        ()
+      })
   }
 
   def mergeUnderfullCellsQuantized(

@@ -510,10 +510,11 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       candidates = 20, k = 8, metric = Ann.Cosine).count() === 8L)
   }
 
-  test("splitOverfullCellsMrlIvf (cosine): a hot cell re-partitions " +
-      "under the spherical geometry (emb_pre verbatim); all-probe " +
-      "results equal the flat cut; unsplittable cells skip; appends " +
-      "land post-split; a pending merge refuses the split") {
+  test("splitOverfullCellsMrlIvf (cosine): a hot cell dissolves into " +
+      "its sub-cells under the spherical geometry (emb_pre verbatim, " +
+      "rows at GLOBAL argmin); all-probe results equal the flat cut; " +
+      "unsplittable cells skip; appends land post-split; a pending " +
+      "merge is COMPLETED at entry, not refused") {
     val sp = spark
     import sp.implicits._
     val rng = new scala.util.Random(11)
@@ -584,12 +585,14 @@ class AnnCosineDeleteSpec extends SparkSpecBase {
       Ann.buildIvf(sameDir, "one", "embedding"), root2,
       metric = Ann.Cosine)
     assert(Ann.splitOverfullCellsMrlIvf(sp, root2, maxRows = 5).isEmpty)
-    // a torn MERGE refuses the split through the one marker seat
+    // a torn MERGE no longer blocks the actuator: the split — like
+    // every maintenance entry point — COMPLETES the pending merge at
+    // entry (readers refuse; actuators heal), then proceeds
     graft.io.Markers.write(sp, root, "_graft_merge_pending", "")
-    intercept[IllegalStateException] {
-      Ann.splitOverfullCellsMrlIvf(sp, root, maxRows = 5)
-    }
-    graft.io.Markers.remove(sp, root, "_graft_merge_pending")
+    assert(Ann.splitOverfullCellsMrlIvf(sp, root, maxRows = 1000)
+      .isEmpty) // nothing overfull at this threshold — entry healed
+    assert(!graft.io.Markers.exists(sp, root, "_graft_merge_pending"),
+      "the split entry must complete (and lift) a pending merge")
   }
 
   test("attachStoredIndex PQ layout: removeBy rewrites encoded/ cells " +
