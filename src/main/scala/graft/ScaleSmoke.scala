@@ -1053,6 +1053,35 @@ object ScaleSmoke {
       before
     }
 
+    // MANY-FLAGGED split at 16× (VERDICT r16 #5's measure-first row):
+    // a long-neglected 64-cell DENSE root whose half-average threshold
+    // flags ~half the cells at once — the first-ever health pass over
+    // a root that streamed unattended. flagAndTrainSubs retrains
+    // flagged cells in a driver loop (one k=2 KMeans per cell); this
+    // row times that worst case so a restructure to one grouped job
+    // happens only if job-submission overhead actually dominates.
+    // Build is OUTSIDE the timer; only the split is measured.
+    if (only.forall(_.exists("many_flagged_split".startsWith))) {
+      val coarse = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 64,
+        iters = 1)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_manysplit").toString
+      ops.Ann.writeDenseRoot(
+        ops.Ann.assign(vecs, "embedding", coarse, ops.Ann.L2),
+        "embedding", coarse, ops.Ann.L2, dir)
+      time("many_flagged_split") {
+        val splits = ops.Ann.splitOverfullCellsDense(spark, dir,
+          maxRows = nVecs * xf / 128)
+        require(splits.size >= 16,
+          s"many-flagged split fired on only ${splits.size} cells — " +
+            "the row no longer measures the driver-loop worst case")
+        splits.size.toLong
+      }
+      val n = spark.read.parquet(s"$dir/rows").count()
+      require(n == nVecs * xf,
+        s"many-flagged split lost rows: $n vs ${nVecs * xf}")
+    }
+
     // Underfull-cell MERGE at 16× (the split's complement): an S6
     // delete drains one cell to ~1/37 of its size, and ONLY the merge
     // call is timed — its cost is bounded by the drained cell's rows

@@ -804,9 +804,13 @@ final class Engine(reg: Registry) {
     * deletes rewrite `encoded/` cells, codebooks stay trained), a
     * [[Ann.writePartitioned]] path, a [[Bm25.writePostings]]
     * keyword layout (detected by its `_graft_buckets` marker — deletes
-    * rewrite the affected term buckets), or a [[Ann.writeMatryoshka]]
+    * rewrite the affected term buckets), a [[Ann.writeMatryoshka]]
     * root (detected via [[Ann.isMatryoshkaRoot]] — deletes swap
-    * `rows/` whole-directory through [[Ann.deleteMatryoshkaIds]]). */
+    * `rows/` whole-directory through [[Ann.deleteMatryoshkaIds]]), or
+    * a [[Ann.writeDenseRoot]] cell root (family marker — deletes
+    * rewrite only the `rows/` cells holding doomed rows; pair with
+    * [[mergeUnderfullIfNeeded]] on a cadence so drained cells
+    * eventually dissolve). */
   def attachStoredIndex(td: TableDef[_], dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
@@ -835,6 +839,10 @@ final class Engine(reg: Registry) {
         // the same codes-outlive-rows contract as SQ bounds)
         new org.apache.hadoop.fs.Path(root, "encoded").toString
       else if (fs.exists(q)) q.toString
+      else if (Ann.isDenseRoot(reg.spark, dir))
+        // self-contained dense cell root: data under rows/ (beside
+        // the root-owned centroids, which deletes never touch)
+        new org.apache.hadoop.fs.Path(root, "rows").toString
       else dir
     // fail at ATTACH, not first delete: a streaming-grown dir
     // (_spark_metadata commit log) cannot take batch cell rewrites —
@@ -912,15 +920,20 @@ final class Engine(reg: Registry) {
     * by re-run; readers refuse mid-merge). Returns dissolved cell id
     * → rows it held (empty when nothing was underfull). */
   def mergeUnderfullIfNeeded(td: TableDef[_], dir: String,
-                             minRows: Long): Map[Long, Long] = {
-    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
-      s"${td.name} has no vector index"))
+                             minRows: Long): Map[Long, Long] =
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.mergeUnderfullCellsMrlIvf(reg.spark, dir, minRows)
     else if (Ann.isQuantizedRoot(reg.spark, dir))
-      Ann.mergeUnderfullCellsQuantized(reg.spark, dir, ix.column, minRows)
-    else Ann.mergeUnderfullCells(reg.spark, dir, ix.column, minRows)
-  }
+      Ann.mergeUnderfullCellsQuantized(reg.spark, dir,
+        vectorColumn(td), minRows)
+    else if (Ann.isDenseRoot(reg.spark, dir))
+      // the root's own marker carries metric + vector column — no
+      // index declaration needed, which is what lets a MAXSIM table
+      // (multivec index, no vectorIndex) ride the same cadence
+      Ann.mergeUnderfullCellsDense(reg.spark, dir, minRows)
+    else if (Ann.isRangeRoot(reg.spark, dir))
+      Ann.mergeUnderfullCells(reg.spark, dir, vectorColumn(td), minRows)
+    else throw new IllegalStateException(unknownFamily(dir))
 
   /** Threshold-triggered overfull-cell SPLIT for a range, composed
     * matryoshka-IVF, or quantized (SQ/PQ/1-bit) root serving `td` —
@@ -936,15 +949,36 @@ final class Engine(reg: Registry) {
     * results the reduced-geometry replay). Returns oldCell → new cell
     * ids (empty when nothing was overfull). */
   def splitOverfullIfNeeded(td: TableDef[_], dir: String,
-                            maxRows: Long): Map[Long, Seq[Long]] = {
-    val ix = td.vectorIndex.getOrElse(throw new IllegalStateException(
-      s"${td.name} has no vector index"))
+                            maxRows: Long): Map[Long, Seq[Long]] =
     if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
       Ann.splitOverfullCellsMrlIvf(reg.spark, dir, maxRows)
     else if (Ann.isQuantizedRoot(reg.spark, dir))
-      Ann.splitOverfullCellsQuantized(reg.spark, dir, ix.column, maxRows)
-    else Ann.splitOverfullCells(reg.spark, dir, ix.column, maxRows)
-  }
+      Ann.splitOverfullCellsQuantized(reg.spark, dir,
+        vectorColumn(td), maxRows)
+    else if (Ann.isDenseRoot(reg.spark, dir))
+      Ann.splitOverfullCellsDense(reg.spark, dir, maxRows)
+    else if (Ann.isRangeRoot(reg.spark, dir))
+      Ann.splitOverfullCells(reg.spark, dir, vectorColumn(td), maxRows)
+    else throw new IllegalStateException(unknownFamily(dir))
+
+  /** The families whose roots need the table's declared vector
+    * column (quantized re-encodes moved rows; range radii grow over
+    * it) — dense and composed roots carry their own. */
+  private def vectorColumn(td: TableDef[_]): String =
+    td.vectorIndex.getOrElse(throw new IllegalStateException(
+      s"${td.name} has no vector index")).column
+
+  /** The maintenance triad's typed refusal (round 17 — previously
+    * anything unrecognized took the range path and died inside
+    * `loadRangeIndex` with a bare missing-path error): name every
+    * family the triad CAN dispatch, so a mis-pointed dir refuses by
+    * contract, not by accident. */
+  private def unknownFamily(dir: String): String =
+    s"$dir is none of the maintainable cell-partitioned families — " +
+      "no composed matryoshka-IVF marker, no quantized geometry " +
+      "marker, no dense cell-root marker, no range radii table. " +
+      "Flat writePartitioned layouts have no disk-owned geometry to " +
+      "maintain: graduate one with Ann.graduateDenseRoot first."
 
   /** Undo [[attachStoredIndex]]: the layout stops tracking the table's
     * deletes (no-op if never attached). */

@@ -745,9 +745,13 @@ object Ann {
     * would duplicate it. `probeAllCells = true` switches to the
     * SOUND whole-layout id probe (an id-pushdown scan: no partition
     * pruning, but only the id column's pages whose row groups can
-    * match) — the streamed seat wires it automatically whenever its
-    * split policy is enabled, which is exactly when the hazard
-    * exists. */
+    * match) — the streamed seat wires it whenever its split policy
+    * is enabled, and a root that has EVER been split
+    * ([[hasSplitHistory]] — any actuator, including an out-of-band
+    * engine-cadence split between a batch and its crash redelivery)
+    * rides the sound probe UNCONDITIONALLY: once split, a stranded
+    * copy can exist forever, so the fast probe is only ever the
+    * default on never-split roots where it is actually sound. */
   def appendMatryoshkaIvfIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newRows: DataFrame, idCol: String, vecCol: String,
@@ -764,8 +768,9 @@ object Ann {
         model, metric, Nil)
       .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
+    val probeAll = probeAllCells || hasSplitHistory(spark, dir)
     val existing =
-      if (probeAllCells) spark.read.parquet(s"$dir/rows")
+      if (probeAll) spark.read.parquet(s"$dir/rows")
         .select(col(idCol))
       else spark.read.parquet(s"$dir/rows")
         .filter(col(model.idCol).isin(touched: _*))
@@ -1222,6 +1227,318 @@ object Ann {
       .orderBy(col("__qdist").asc, col(model.idCol).asc)
       .limit(probes)
       .select(col(model.idCol))
+
+  // ---------------------------------------------------------------
+  // DENSE CELL ROOT — the self-contained, maintainable form of the
+  // plain [[writePartitioned]] layout (round 17): the flat layout
+  // stores only the model FINGERPRINT, so its geometry lives in the
+  // caller's hands and no actuator can ever change it (a split that
+  // re-pinned the marker would strand every caller's stale model).
+  // A dense ROOT owns its centroids on disk (`dir/rows` +
+  // `dir/centroids` — structurally the range root minus radii, so
+  // the split/merge/heal protocol machinery is shared VERBATIM) and
+  // pins `metric|vecCol` in its own marker, making it the fourth
+  // cell-partitioned family the maintenance actuators reach (range,
+  // composed matryoshka-IVF, quantized were the first three).
+  // Reference analog: the same vchordrq `lists` maintenance
+  // (/root/reference/vechord/spec.py:437-444) that motivated the
+  // range/composed/quantized actuators.
+  // ---------------------------------------------------------------
+
+  private val DenseCellsMarker = "_graft_dense_cells"
+
+  /** The dense family supports the two metrics with a training-space
+    * story (L2 trains raw; Cosine trains on the unit sphere — the
+    * spherical-centroids convention). InnerProduct argmin is not a
+    * metric and has no local-retrain space: refuse at build, not at
+    * the first split years later. */
+  private def requireDenseMetric(metric: Metric, who: String): Unit =
+    require(metric == L2 || metric == Cosine,
+      s"$who: dense cell roots support L2 and Cosine, got $metric — " +
+        "InnerProduct argmin has no split/merge training space")
+  private def metricToken(metric: Metric): String = metric match {
+    case Cosine => "cos"
+    case L2 => "l2"
+    case other => throw new IllegalArgumentException(
+      s"no dense-root token for metric $other")
+  }
+  private def tokenMetric(tok: String): Metric = tok match {
+    case "cos" => Cosine
+    case "l2" => L2
+    case other => throw new IllegalStateException(
+      s"unknown dense-root metric token '$other'")
+  }
+
+  /** Persist a SELF-CONTAINED dense cell root: `dir/rows`
+    * cell-partitioned (partition pruning for probed searches, exactly
+    * [[writePartitioned]]'s contract), `dir/centroids` owned by the
+    * layout (readers and maintenance need nothing driver-resident),
+    * the model fingerprint pinned, and `metric|vecCol` recorded in
+    * the family marker — written LAST, the commit point: a crash
+    * mid-write leaves a directory [[isDenseRoot]] rejects. `assigned`
+    * must already carry the model's `centroid_id` column (the
+    * [[assign]] output under the SAME metric — a cosine root's rows
+    * assigned under L2 would be silently unsearchable). */
+  def writeDenseRoot(assigned: DataFrame, vecCol: String,
+                     model: IvfModel, metric: Metric,
+                     dir: String): Unit = {
+    requireDenseMetric(metric, "writeDenseRoot")
+    val spark = assigned.sparkSession
+    writePartitioned(assigned, s"$dir/rows")
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ensureIvfModelMarker(spark, dir, model)
+    graft.io.Markers.write(spark, dir, DenseCellsMarker,
+      s"${metricToken(metric)}|$vecCol")
+  }
+
+  /** Is `dir` a [[writeDenseRoot]] root? */
+  def isDenseRoot(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, DenseCellsMarker)
+
+  /** The dense root's pinned (metric, vecCol) WITHOUT the
+    * pending-merge refusal — the maintenance actuators' entry read
+    * (actuators heal a torn merge; readers refuse through
+    * [[loadDenseRoot]]). */
+  private def readDenseMetaUnguarded(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      who: String): (Metric, String) = {
+    val raw = graft.io.Markers.read(spark, dir, DenseCellsMarker)
+      .getOrElse(throw new IllegalStateException(
+        s"$who: $dir has no dense cell-root marker — not a " +
+          "writeDenseRoot layout (graduateDenseRoot a flat " +
+          "writePartitioned dir first)"))
+    raw.split("\\|", 2) match {
+      case Array(tok, vecCol) if vecCol.nonEmpty =>
+        (tokenMetric(tok), vecCol)
+      case _ => throw new IllegalStateException(
+        s"$who: $dir carries a malformed dense cell-root marker " +
+          s"'$raw' (want 'metric|vecCol')")
+    }
+  }
+
+  /** The dense root's pinned (metric, vecCol) without loading the
+    * centroids — the cheap start-time validation read (stream seats
+    * and the engine triad dispatch on it). Does NOT refuse mid-merge:
+    * the marker is metadata, not row state. */
+  def denseRootMeta(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, who: String): (Metric, String) =
+    readDenseMetaUnguarded(spark, dir, who)
+
+  /** Load a [[writeDenseRoot]] layout: (model, metric, vecCol).
+    * READER seat: refuses mid-merge ([[requireNoPendingMerge]] — the
+    * one loud-never-wrong contract every cell family shares) and
+    * refuses centroids that drifted from the pinned fingerprint (a
+    * hand-swapped `centroids/` dir). */
+  def loadDenseRoot(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (IvfModel, Metric, String) = {
+    requireNoPendingMerge(spark, dir)
+    val (metric, vecCol) =
+      readDenseMetaUnguarded(spark, dir, "loadDenseRoot")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    ensureIvfModelMarker(spark, dir, model)
+    (model, metric, vecCol)
+  }
+
+  /** GRADUATE a flat [[writePartitioned]] layout into a
+    * self-contained dense root IN PLACE — the migration seat for
+    * every layout [[appendIvfIdempotent]] / `ingestIvfAppend` grew
+    * before round 17: the top-level cell directories move (atomic
+    * per-dir renames — metadata ops, zero data bytes) under
+    * `dir/rows`, the caller's model (which MUST be the layout's pin
+    * — validated, never adopted) lands as `dir/centroids`, and the
+    * family marker commits last. Stop-the-world like every
+    * graduation ([[graft.streaming.Stream.compactStored]]'s
+    * contract): readers of the flat path must be quiesced first — a
+    * half-moved dir reads LOUDLY wrong (conflicting partition
+    * structures), never silently partial, and re-running this op
+    * completes it (every step idempotent). */
+  def graduateDenseRoot(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, model: IvfModel, metric: Metric,
+                        vecCol: String): Unit = {
+    requireDenseMetric(metric, "graduateDenseRoot")
+    if (isDenseRoot(spark, dir)) {
+      val (m, vc) = readDenseMetaUnguarded(spark, dir,
+        "graduateDenseRoot")
+      require(m == metric && vc == vecCol,
+        s"graduateDenseRoot: $dir is already a dense root pinned to " +
+          s"($m, '$vc') — offered ($metric, '$vecCol')")
+      return
+    }
+    if (readIvfModelMarker(spark, dir).isEmpty)
+      throw new IllegalStateException(
+        s"graduateDenseRoot: $dir has no IVF model marker — not a " +
+          "pinned writePartitioned layout")
+    ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowsDir = new org.apache.hadoop.fs.Path(s"$dir/rows")
+    fs.mkdirs(rowsDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .foreach { cell =>
+        val to = new org.apache.hadoop.fs.Path(rowsDir,
+          cell.getPath.getName)
+        require(fs.rename(cell.getPath, to),
+          s"graduateDenseRoot: ${cell.getPath} -> $to failed")
+      }
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.io.Markers.write(spark, dir, DenseCellsMarker,
+      s"${metricToken(metric)}|$vecCol")
+  }
+
+  /** [[searchIvfStored]] over a self-contained dense root — model,
+    * metric and vector column come from the layout itself, so a
+    * reader needs nothing driver-resident and maintenance (split/
+    * merge) is invisible: at equal probes the cut runs over whatever
+    * cells the root currently has, and at all-probe the result is
+    * the exact top-k regardless of any split/merge history. */
+  def searchDenseStoredSelf(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, idCol: String,
+                            queryVec: Column, probes: Int, k: Int,
+                            roundTo: Int = 6,
+                            pred: Column = lit(true)): DataFrame = {
+    val (model, metric, vecCol) = loadDenseRoot(spark, dir)
+    searchIvfStored(spark, s"$dir/rows", idCol, vecCol, model,
+      queryVec, metric, probes, k, roundTo, pred)
+  }
+
+  /** [[appendIvfIdempotent]] for a SELF-CONTAINED dense root — the
+    * maintained layout's append: the model comes from the root's own
+    * `centroids/` (so appends keep working across splits/merges that
+    * re-pin the fingerprint — exactly what the flat form's
+    * caller-supplied model cannot do), heals crash debris at entry
+    * (maintenance-owning seat), and drops already-present ids before
+    * the append (crash-redelivery appends nothing).
+    *
+    * The existence probe reads only the batch's touched cells UNLESS
+    * the root has EVER been split ([[hasSplitHistory]]) or the
+    * caller forces `probeAllCells`: a split can strand a NEIGHBORING
+    * cell's boundary row off today's argmin (the new sub-centroid
+    * steals its argmin while its stored copy stays put), and the
+    * touched-cells probe would miss that copy — so on ever-split
+    * roots the probe switches to the sound whole-layout id form
+    * automatically, not opt-in. Returns rows appended. */
+  def appendDenseRootIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newRows: DataFrame, idCol: String,
+      probeAllCells: Boolean = false): Long = {
+    healRoot(spark, dir)
+    val (model, metric, vecCol) = loadDenseRoot(spark, dir)
+    requireBatchLayout(spark, s"$dir/rows")
+    val stored = spark.read.parquet(s"$dir/rows")
+    val assigned = assign(newRows, vecCol, model, metric)
+    val touched = assigned.select(col(model.idCol)).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    val probeAll = probeAllCells || hasSplitHistory(spark, dir)
+    val existing =
+      if (probeAll) stored.select(col(idCol))
+      else stored.filter(col(model.idCol).isin(touched: _*))
+        .select(col(idCol))
+    val fresh = assigned
+      .join(existing.withColumnRenamed(idCol, "__eid"),
+        assigned(idCol) === col("__eid"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0L) {
+      requireAppendSchema(stored.schema, fresh.schema,
+        Set(model.idCol), "appendDenseRootIdempotent")
+      fresh.write.mode("append").partitionBy(model.idCol)
+        .parquet(s"$dir/rows")
+    }
+    n
+  }
+
+  /** [[appendDenseRootIdempotent]] for a MAXSIM dense root (a
+    * [[writeDenseRoot]] layout over the persisted token-mean, metric
+    * Cosine — [[appendMaxsimIdempotent]]'s self-contained twin): the
+    * summarized mean is computed by the ONE transform both build and
+    * query share ([[tokenMeanCol]]) and the dense append does the
+    * rest, so the two paths cannot drift. */
+  def appendMaxsimRootIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, mvCol: String, dim: Int,
+      meanCol: String = "mv_mean",
+      probeAllCells: Boolean = false): Long =
+    appendDenseRootIdempotent(spark, dir,
+      newDocs.withColumn(meanCol, tokenMeanCol(col(mvCol), dim)),
+      idCol, probeAllCells)
+
+  /** Split overfull cells of a DENSE root — the fourth member of the
+    * unified [[splitViaDissolve]] construction (range/composed/
+    * quantized were the first three), closing the asymmetry where the
+    * PLAIN cell layout `ingestIvfAppend` grows was the one whose hot
+    * cells nothing bounded: no radii, no side artifacts; cosine roots
+    * flag/train on the unit sphere and store unit sub-centroids (the
+    * spherical-centroids convention — cosine argmin and probes are
+    * scale-invariant in the centroid, so disk-verbatim readers agree),
+    * and the dissolve re-homes every parent row to its TRUE GLOBAL
+    * argmin under the root's own metric. Results at equal probes are
+    * geometry-dependent like every IVF family; at all-probe they are
+    * exactly the pre-split top-k (the r98 oracle pin). Returns
+    * (oldCell → new cell ids). */
+  def splitOverfullCellsDense(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, maxRows: Long,
+                              iters: Int = 2): Map[Long, Seq[Long]] = {
+    val (metric, vecCol) = readDenseMetaUnguarded(spark, dir,
+      "splitOverfullCellsDense")
+    val (prep, spaceCol): (DataFrame => DataFrame, String) =
+      metric match {
+        case Cosine =>
+          ((df: DataFrame) => withNormalized(df, vecCol, "__nv"),
+            "__nv")
+        case _ => (identity[DataFrame] _, vecCol)
+      }
+    splitViaDissolve(spark, dir, maxRows, iters, dataSub = "rows",
+      growRadii = false, prep = prep, spaceCol = spaceCol,
+      centroidForm =
+        if (metric == Cosine) l2Normalize else identity,
+      preDissolve = _ => (),
+      dissolve = parents => {
+        mergeUnderfullImpl(spark, dir, minRows = 1L,
+          growRadii = false, radiiVecCol = "",
+          reassign = (d, r) => assign(d, vecCol, r, metric),
+          doomed = Some(parents))
+        ()
+      })
+  }
+
+  /** Merge underfull cells of a DENSE root — [[mergeUnderfullCells]]
+    * for the dense family (no radii to maintain): doomed centroids
+    * dissolve and their rows RE-ASSIGN to their true argmin survivors
+    * under the root's own pinned metric; the resumable-commit
+    * protocol, reader refusals and crash healing are the shared
+    * machinery verbatim. At all-probe results are invariant (exact
+    * top-k — the r99 oracle pin). Returns dissolved cell id → rows
+    * it held. */
+  def mergeUnderfullCellsDense(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minRows: Long): Map[Long, Long] = {
+    val (metric, vecCol) = readDenseMetaUnguarded(spark, dir,
+      "mergeUnderfullCellsDense")
+    mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
+      radiiVecCol = "",
+      reassign = (d, r) => assign(d, vecCol, r, metric))
+  }
+
+  /** Is `dir` a [[writeRangeIndex]] root? Detection is the radii side
+    * table's presence (any swap state — a torn swap's `__old`/`_next`
+    * still names the family; the actuator heals it at entry): the
+    * range family predates the marker convention, so its layouts
+    * self-describe by shape. Used by the engine's maintenance triad
+    * to dispatch BY FAMILY instead of defaulting unknowns onto the
+    * range path (where a foreign root died inside [[loadRangeIndex]]
+    * with a path error instead of a typed refusal). */
+  def isRangeRoot(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("radii", "radii__old", "radii_next").exists(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n")))
+  }
 
   /** Scalar-quantization (SQ) model: per-dimension [min, max] over the
     * corpus. The reference's index quantizes vectors internally (RaBitQ
@@ -2214,7 +2531,13 @@ object Ann {
           .filter(!col(model.idCol).isin(subIds: _*))
           .unionByName(seed).localCheckpoint(true))
     }
-    // (b) sub-centroids land EMPTY + re-pin (filter-out-then-union)
+    // (b) the split-history marker lands BEFORE the sub-centroids
+    //     commit (marker-then-commit: a crash between leaves a
+    //     marked-but-unsplit root, which only makes replay probes
+    //     conservative — the reverse order would leave a split root
+    //     whose appends still trust the unsound touched-cells probe)
+    graft.io.Markers.write(spark, dir, SplitHistoryMarker, "split")
+    // (c) sub-centroids land EMPTY + re-pin (filter-out-then-union)
     val grown = model.centroids
       .select(col(model.idCol).cast("long").as(model.idCol),
         col(model.vecCol))
@@ -2223,7 +2546,7 @@ object Ann {
     swapSideTable(fs, dir, "centroids", grown)
     graft.io.Markers.write(spark, dir, IvfModelMarker,
       modelFingerprint(IvfModel(grown, model.idCol, model.vecCol)))
-    // (c) dissolve the parents: rows re-home to their GLOBAL argmin
+    // (d) dissolve the parents: rows re-home to their GLOBAL argmin
     dissolve(trained.map(_._1))
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
@@ -2289,6 +2612,25 @@ object Ann {
 
   private val MergePendingMarker = "_graft_merge_pending"
 
+  private val SplitHistoryMarker = "_graft_split_history"
+
+  /** Has `dir` EVER been through a cell split? Written by
+    * [[splitViaDissolve]] BEFORE the sub-centroids commit (a crash
+    * between the two leaves a marked-but-unsplit root — conservative:
+    * the sound probe runs where the fast one would have been safe,
+    * never the reverse) and never removed: once a split has run, a
+    * stored copy can sit off today's argmin FOREVER (the sub-centroid
+    * that stole its argmin stays), so the touched-cells replay probe
+    * is permanently unsound on such a root. The idempotent appends
+    * consult this to default to the sound whole-layout probe — the
+    * round-16 wiring made it opt-in via the stream's own split
+    * policy, which missed out-of-band splits (the engine's
+    * `splitOverfullIfNeeded` between a batch and its crash
+    * redelivery). */
+  def hasSplitHistory(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Boolean =
+    graft.io.Markers.exists(spark, dir, SplitHistoryMarker)
+
   /** Self-healing side-table swap (centroids/radii) — the rename-aside
     * order ([[swapFlatDir]]'s), SHARED by split and merge so the
     * crash-recovery story cannot drift across the three former
@@ -2322,9 +2664,18 @@ object Ann {
     * window ([[appendRangeIndex]]'s old radii swap): the staged copy
     * is the only complete table — promote it, never delete it
     * (deleting would strand the root until a manual rebuild,
-    * contradicting the recovery-by-re-run contract). Only then is a
-    * leftover `_next` (live present, or incomplete) dropped.
-    * Idempotent; a no-op on healthy layouts. */
+    * contradicting the recovery-by-re-run contract). Completeness is
+    * the `_SUCCESS` commit marker OR any committed data file —
+    * clusters that disable `marksuccessfuljobs` never get the
+    * marker, yet their part files still appear only through the
+    * committer's task-commit renames, so a data file present means
+    * the write committed (the marker-only probe DELETED the only
+    * copy on such clusters: the exact outcome this branch exists to
+    * prevent). When live and `__old` are both missing and the staged
+    * copy holds no data, the table is genuinely lost — refuse LOUDLY
+    * instead of deleting the last evidence. Only then is a leftover
+    * `_next` (live present) dropped. Idempotent; a no-op on healthy
+    * layouts. */
   private def healSideTableSwap(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: String, name: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
@@ -2334,11 +2685,25 @@ object Ann {
       require(fs.rename(old, cur),
         s"healSideTableSwap: restoring $old -> $cur failed")
     else if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.exists(cur) && fs.exists(next) &&
-        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
-      require(fs.rename(next, cur),
-        s"healSideTableSwap: promoting the only complete copy " +
-          s"$next -> $cur failed")
+    if (!fs.exists(cur) && fs.exists(next)) {
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")) ||
+          fs.listStatus(next).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+      if (complete)
+        require(fs.rename(next, cur),
+          s"healSideTableSwap: promoting the only complete copy " +
+            s"$next -> $cur failed")
+      else throw new IllegalStateException(
+        s"healSideTableSwap: $cur is missing, no $old aside copy " +
+          s"exists, and the staged $next holds no committed data " +
+          "file — the table is lost beyond what a re-run can " +
+          "recover; refusing to delete the remaining evidence. " +
+          "Rebuild the layout (or restore the side table from a " +
+          "backup) before retrying.")
+    }
     fs.delete(next, true)
     ()
   }
@@ -2677,7 +3042,55 @@ object Ann {
   def rangeJoinIvfStored(spark: org.apache.spark.sql.SparkSession,
                          dir: String, queries: DataFrame, qId: String,
                          qVec: String, epsCol: String, dId: String,
-                         dVec: String, roundTo: Int = 6): DataFrame = {
+                         dVec: String, roundTo: Int = 6,
+                         pred: Column = lit(true)): DataFrame =
+    rangeJoinIvfStoredImpl(spark, dir, queries, qId, qVec, epsCol,
+      dId, dVec, roundTo, pred, cosine = false)
+
+  /** [[rangeJoinIvfStored]] under COSINE — the at-rest form of
+    * [[rangeJoinIvfPerEpsCos]], closing the round-16 asymmetry where
+    * the calibrated-cosine workload (per-document duplicate radii
+    * over text embeddings — THE common text-embedding case) could
+    * not get partition pruning: the root must be the SPHERICAL
+    * layout ([[rangeSearchCosStored]]'s contract — rows assigned
+    * under the normalized model, `radii` = [[cellRadii]] over the
+    * normalized column; `dVec` may stay raw, cosine ignores norms),
+    * each query's admitted cells come from the stored radii under
+    * its OWN reduced radius (`l2(q̂, centroid) ≤ radius + eps_l2 +
+    * slack`, eps_l2 = sqrt(2·eps_q + slack) — exactly the cut the
+    * distributed UDF applies, so the literal union is everything the
+    * join can touch), the union lands as PartitionFilters on the
+    * cell-partitioned `rows/` scan (asserted per call), and the
+    * per-eps cosine join runs over the pruned frame unchanged.
+    * Pruning changes IO, never results (the r96 oracle shares r94's
+    * index-free scan verbatim). */
+  def rangeJoinIvfStoredCos(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, queries: DataFrame,
+                            qId: String, qVec: String, epsCol: String,
+                            dId: String, dVec: String,
+                            roundTo: Int = 6,
+                            pred: Column = lit(true)): DataFrame =
+    rangeJoinIvfStoredImpl(spark, dir, queries, qId, qVec, epsCol,
+      dId, dVec, roundTo, pred, cosine = true)
+
+  /** The ONE stored per-eps range-join recipe (L2 + cosine arms):
+    * collect the query frame ONCE (union, eps validation and join
+    * all read the same rows — a second evaluation of a limit/sample
+    * source could admit cells outside the pruned union and silently
+    * lose pairs), compute each query's admitted cells driver-side
+    * from the stored radii (the cosine arm reduces per query onto
+    * the unit sphere first), prune the rows scan by the literal
+    * union (asserted as PartitionFilters), push `pred` into the SAME
+    * pruned scan (PushedFilters next to the isin — the r82
+    * placement, at-rest form), and delegate to the family's one
+    * distributed join impl. */
+  private def rangeJoinIvfStoredImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, qId: String, qVec: String, epsCol: String,
+      dId: String, dVec: String, roundTo: Int, pred: Column,
+      cosine: Boolean): DataFrame = {
+    val label =
+      if (cosine) "rangeJoinIvfStoredCos" else "rangeJoinIvfStored"
     val (model, radii) = loadRangeIndex(spark, dir)
     val rad = radii
       .select(col(model.idCol).cast("long"),
@@ -2694,24 +3107,29 @@ object Ann {
       .select(col(qId), col(qVec).cast("array<double>").as(qVec),
         col(epsCol).cast("double").as(epsCol))
     val collected = qProjected.collect()
-    require(collected.nonEmpty,
-      "rangeJoinIvfStored over an empty query set")
+    require(collected.nonEmpty, s"$label over an empty query set")
     val qRows = collected.map(r => (r.getSeq[Double](1).toArray,
       if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
     require(qRows.forall { case (_, e) =>
         e >= 0 && !e.isInfinite && !e.isNaN },
-      s"rangeJoinIvfStored: $epsCol carries a null/negative/NaN/" +
+      s"$label: $epsCol carries a null/negative/NaN/" +
         "infinite radius — a NaN silently drops its query, an " +
         "infinity scans every cell")
     val qLocal = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), qProjected.schema)
+    // per-query admitted cells — the cosine arm runs the SAME cut the
+    // distributed UDF will apply: normalized query, reduced radius
     val union = qRows.flatMap { case (v, eps) =>
+      val (qv, effEps) =
+        if (cosine) (normalizeDriver(v), math.sqrt(2.0 * eps + slack))
+        else (v, eps)
       cents.iterator.filter { case (cid, c) =>
-        L2.distScala(v, c) <= rad.getOrElse(cid, 0.0) + eps + slack
+        L2.distScala(qv, c) <= rad.getOrElse(cid, 0.0) + effEps + slack
       }.map(_._1)
     }.distinct
     val pruned = spark.read.parquet(s"$dir/rows")
       .filter(col(model.idCol).isin(union.toSeq: _*))
+      .filter(pred)
     val phys = pruned.queryExecution.executedPlan.toString
     // loose pattern on purpose: Catalyst renders the literal isin as
     // In (2-10 cells), EqualTo (1 cell), or InSet (>10 cells) — the
@@ -2721,11 +3139,16 @@ object Ann {
       s"PartitionFilters: \\[[^\\]]*${model.idCol}".r
         .findFirstIn(phys).isDefined ||
         union.isEmpty,
-      s"rangeJoinIvfStored: admitted-cell union did not become " +
+      s"$label: admitted-cell union did not become " +
         s"PartitionFilters on the rows scan:\n$phys")
-    rangeJoinIvfPerEpsImpl(qLocal, qId, qVec, epsCol, pruned, dId,
-      dVec, model, radii, L2, roundTo, validateEps = false,
-      label = "rangeJoinIvfStored")
+    if (cosine)
+      rangeJoinIvfPerEpsCosImpl(qLocal, qId, qVec, epsCol, pruned,
+        dId, dVec, model, radii, roundTo, validateEps = false,
+        label = label, pred = lit(true))
+    else
+      rangeJoinIvfPerEpsImpl(qLocal, qId, qVec, epsCol, pruned, dId,
+        dVec, model, radii, L2, roundTo, validateEps = false,
+        label = label, pred = lit(true))
   }
 
   /** COSINE range search over a stored spherical layout — the exact
@@ -2770,14 +3193,15 @@ object Ann {
   def rangeJoinIvf(queries: DataFrame, qId: String, qVec: String,
                    assigned: DataFrame, dId: String, dVec: String,
                    model: IvfModel, radii: DataFrame, metric: Metric,
-                   eps: Double, roundTo: Int = 6): DataFrame = {
+                   eps: Double, roundTo: Int = 6,
+                   pred: Column = lit(true)): DataFrame = {
     require(eps >= 0 && !eps.isInfinite && !eps.isNaN,
       s"rangeJoinIvf: eps must be finite and non-negative, got $eps")
     // scalar already validated — skip the per-row probe job
     rangeJoinIvfPerEpsImpl(
       queries.withColumn("__eps", lit(eps)), qId, qVec, "__eps",
       assigned, dId, dVec, model, radii, metric, roundTo,
-      validateEps = false, label = "rangeJoinIvf")
+      validateEps = false, label = "rangeJoinIvf", pred = pred)
   }
 
   /** [[rangeJoinIvf]] with a PER-QUERY radius — the calibrated form a
@@ -2791,15 +3215,25 @@ object Ann {
     * there is ONE implementation and the r57/s19 oracles pin both.
     * Null/negative/NaN/infinite radii refuse loudly before any join
     * (a NaN would silently drop its query; an infinity would scan
-    * every cell). Returns (qId, dId, dist) ordered per query. */
+    * every cell).
+    *
+    * `pred` is the family's metadata filter (round 17 — the last
+    * search family without one): it thins the ASSIGNED frame BEFORE
+    * the cell join (the r82 placement), so disallowed rows never
+    * reach the distance cut — a filtered duplicate-radius sweep
+    * (dedup within one language/source) pays candidate generation
+    * only for rows the predicate admits, and surviving pairs are
+    * byte-identical to post-filtering the unfiltered join. Returns
+    * (qId, dId, dist) ordered per query. */
   def rangeJoinIvfPerEps(queries: DataFrame, qId: String, qVec: String,
                          epsCol: String, assigned: DataFrame,
                          dId: String, dVec: String, model: IvfModel,
                          radii: DataFrame, metric: Metric,
-                         roundTo: Int = 6): DataFrame =
+                         roundTo: Int = 6,
+                         pred: Column = lit(true)): DataFrame =
     rangeJoinIvfPerEpsImpl(queries, qId, qVec, epsCol, assigned, dId,
       dVec, model, radii, metric, roundTo, validateEps = true,
-      label = "rangeJoinIvfPerEps")
+      label = "rangeJoinIvfPerEps", pred = pred)
 
   /** [[rangeJoinIvfPerEps]] under COSINE — the reduction
     * [[requireTriangleMetric]]'s refusal names, folded in per row
@@ -2824,21 +3258,35 @@ object Ann {
                             assigned: DataFrame, dId: String,
                             dVec: String, model: IvfModel,
                             radii: DataFrame,
-                            roundTo: Int = 6): DataFrame = {
-    val spark = queries.sparkSession
+                            roundTo: Int = 6,
+                            pred: Column = lit(true)): DataFrame =
+    rangeJoinIvfPerEpsCosImpl(queries, qId, qVec, epsCol, assigned,
+      dId, dVec, model, radii, roundTo, validateEps = true,
+      label = "rangeJoinIvfPerEpsCos", pred = pred)
+
+  private def rangeJoinIvfPerEpsCosImpl(
+      queries0: DataFrame, qId: String, qVec: String, epsCol: String,
+      assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
+      radii: DataFrame, roundTo: Int, validateEps: Boolean,
+      label: String, pred: Column): DataFrame = {
+    val spark = queries0.sparkSession
     val eCol = col(epsCol).cast("double")
     // ONE materialization feeds validation AND the join (the L2
     // form's discipline — a non-deterministic source could pass the
-    // eps scan yet carry a bad eps into the join)
-    val q1 = queries.localCheckpoint(true)
-    val badEps = q1
-      .filter(eCol.isNull || isnan(eCol) || eCol < 0 ||
-        eCol === Double.PositiveInfinity)
-      .limit(1).count()
-    require(badEps == 0L,
-      s"rangeJoinIvfPerEpsCos: $epsCol carries a null/negative/NaN/" +
-        "infinite radius — a NaN silently drops its query, an " +
-        "infinity scans every cell")
+    // eps scan yet carry a bad eps into the join); the stored form
+    // arrives pre-collected and pre-validated
+    val q1 =
+      if (validateEps) queries0.localCheckpoint(true) else queries0
+    if (validateEps) {
+      val badEps = q1
+        .filter(eCol.isNull || isnan(eCol) || eCol < 0 ||
+          eCol === Double.PositiveInfinity)
+        .limit(1).count()
+      require(badEps == 0L,
+        s"$label: $epsCol carries a null/negative/NaN/" +
+          "infinite radius — a NaN silently drops its query, an " +
+          "infinity scans every cell")
+    }
     val rad = radii
       .select(col(model.idCol).cast("long"), col("radius").cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -2857,7 +3305,9 @@ object Ann {
     val probed = q1
       .withColumn(model.idCol,
         explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
-    probed.join(assigned
+    // `pred` thins the assigned frame BEFORE the cell join (the r82
+    // placement): disallowed rows never reach the distance cut
+    probed.join(assigned.filter(pred)
         .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
       .withColumn("dist",
         round(Cosine.dist(col(qVec).cast("array<double>"),
@@ -2871,7 +3321,8 @@ object Ann {
       queries0: DataFrame, qId: String, qVec: String, epsCol: String,
       assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
       radii: DataFrame, metric: Metric, roundTo: Int,
-      validateEps: Boolean, label: String): DataFrame = {
+      validateEps: Boolean, label: String,
+      pred: Column = lit(true)): DataFrame = {
     requireTriangleMetric(metric, label)
     val spark = queries0.sparkSession
     val eCol = col(epsCol).cast("double")
@@ -2909,7 +3360,9 @@ object Ann {
     val probed = queries
       .withColumn(model.idCol,
         explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
-    probed.join(assigned
+    // `pred` thins the assigned frame BEFORE the cell join (the r82
+    // placement): disallowed rows never reach the distance cut
+    probed.join(assigned.filter(pred)
         .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
       .withColumn("dist", round(metric.dist(col(qVec).cast("array<double>"),
         col(dVec).cast("array<double>")), roundTo))
@@ -4085,8 +4538,11 @@ object Ann {
     * boundary row off today's argmin, and the default probe would
     * miss that copy. `probeAllCells = true` switches BOTH probes
     * (main + fresh) to the sound whole-layout id form; the streamed
-    * seat wires it automatically whenever its split policy is
-    * enabled. */
+    * seat wires it whenever its split policy is enabled, and a root
+    * with ANY split history ([[hasSplitHistory]]) rides the sound
+    * probe unconditionally — an out-of-band engine-cadence split
+    * between a batch and its crash redelivery must not depend on the
+    * stream's own policy flag. */
   def appendQuantizedFreshIdempotent(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       newRows: DataFrame, idCol: String, vecCol: String,
@@ -4114,8 +4570,9 @@ object Ann {
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return 0L
     val hasFresh = freshExists(spark, dir)
+    val probeAll = probeAllCells || hasSplitHistory(spark, dir)
     def thin(df: DataFrame): DataFrame =
-      if (probeAllCells) df.select(col(idCol))
+      if (probeAll) df.select(col(idCol))
       else df.filter(col(model.idCol).isin(touched: _*))
         .select(col(idCol))
     val inMain = thin(main)
@@ -4190,12 +4647,17 @@ object Ann {
         .select(col(model.idCol).cast("long"))
         .orderBy(col(model.idCol)).limit(16)
         .collect().map(_.getLong(0))
+      // materialized ONCE: a limit-based frame legally re-samples on
+      // every evaluation, and the count + mismatch-count pair below
+      // must read the SAME rows (the collect-once contract the
+      // per-eps range joins document, applied to this probe)
       val sample = cellIds.map(cid =>
           main.filter(col(model.idCol) === cid)
             .select(col(idCol), col(vecCol),
               col(model.idCol).cast("long").as("__stored_cell"))
             .limit(4))
         .reduce(_ unionByName _)
+        .localCheckpoint(true)
       val bcCents = spark.sparkContext.broadcast(
         collectCentroids(model).toMap)
       val sph = spherical
@@ -4209,17 +4671,26 @@ object Ann {
           .map(c => L2.distScala(arr, c)).min
         dStored > dMin * 1.25 + 1e-9
       }
-      val total = sample.count()
-      val bad = sample.filter(decisiveMismatch(
-        col(vecCol).cast("array<double>"), col("__stored_cell")))
-        .count()
-      // refuse on a FRACTION, not a single row: a foreign metric
-      // mis-homes most of the sample (assignments land in unrelated
-      // cells), while a split's drift is boundary-local — and its
-      // ratio is unbounded in principle (a sub-centroid can land
-      // arbitrarily close to a neighbor's boundary row), so even the
-      // 25% margin alone could refuse a healthy maintained root
-      require(total == 0L || bad * 4 <= total,
+      // ONE aggregation reads the materialized sample: total + the
+      // decisive-mismatch count in a single pass
+      val agg = sample.agg(count(lit(1)),
+        sum(when(decisiveMismatch(col(vecCol).cast("array<double>"),
+          col("__stored_cell")), 1L).otherwise(0L))).head()
+      val total = agg.getLong(0)
+      val bad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      // tolerance is EARNED by split history, never granted: a split
+      // legitimately strands boundary rows of neighboring cells
+      // (standard IVF staleness, unbounded ratio in principle), so
+      // ever-split roots refuse on a decisive-mismatch FRACTION
+      // (a foreign metric mis-homes most of the cross-cell sample,
+      // drift is boundary-local) — while a NEVER-split root has no
+      // legitimate source of drift at all (merges re-home to argmin,
+      // deletes move nothing), so there the original zero tolerance
+      // holds and a mildly foreign metric (e.g. inner-product over
+      // mostly-normalized data) cannot slip under the fraction gate
+      val tolerated =
+        if (hasSplitHistory(spark, dir)) bad * 4 <= total else bad == 0L
+      require(total == 0L || tolerated,
         s"appendQuantizedFreshIdempotent: $bad of $total sampled " +
           s"rows in $dir/$dataSub sit decisively outside their " +
           "stored cells under the marker's geometry — the root was " +

@@ -1524,7 +1524,181 @@ object Events {
       .select("vec_id", "score")
   }
 
+  /** s33: threshold-triggered OVERFULL-CELL SPLIT on the streamed
+    * DENSE-root maintenance path — s29's recipe on the FOURTH and
+    * last cell-partitioned family (VERDICT r16 #1: the plain layout
+    * `ingestIvfAppend` grows had no actuator, and COULD not have one
+    * — its geometry lived in the caller's hands; the self-contained
+    * dense root owns its centroids, so
+    * [[graft.streaming.Stream.ingestDenseRootAppend]]'s `splitMaxRows`
+    * can retrain and re-pin without stranding anyone's model). The
+    * even half lands as a [[graft.ops.Ann.writeDenseRoot]] root, the
+    * odd half streams in with the observed-occupancy threshold, and
+    * the final search at all-probe answers r01's index-free exact
+    * top-k VERBATIM across batch AND split boundaries. Pins: policy
+    * fired (cells grew past the trained count), a replayed batch
+    * appends ZERO through the DEFAULT probe (the split-history marker
+    * forces the sound whole-layout form — the round-17 ADVICE
+    * closure, pinned here on a live lifecycle), and every stored row
+    * sits at its true argmin after the dissolve. */
+  def streamDenseSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val model = graft.ops.Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s33_root").toString
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    graft.ops.Ann.writeDenseRoot(
+      graft.ops.Ann.assign(base, "embedding", model, graft.ops.Ann.L2),
+      "embedding", model, graft.ops.Ann.L2, root)
+    val rows = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+    // SF-relative threshold from the observed occupancy (the s29
+    // recipe): one below the full-corpus max cell, so exactly the
+    // hottest cell(s) trip it by stream end
+    val maxOcc = graft.ops.Ann
+      .assign(e, "embedding", model, graft.ops.Ann.L2)
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val maxRows = math.max(1L, maxOcc - 1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s33_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.Stream.ingestDenseRootAppend(
+      input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+      root, ckpt, splitMaxRows = Some(maxRows))
+    try {
+      val batches = 2 // no-fire batch, then the firing one
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // pin 1: the policy FIRED — more cells than the trained model
+    val cellsNow = s.read.parquet(s"$root/centroids").count()
+    require(cellsNow > lists,
+      s"s33: split policy never fired — $cellsNow cells, trained $lists")
+    // pin 2: redelivery appends ZERO through the DEFAULT probe — the
+    // split-history marker must force the sound whole-layout form
+    // without the caller opting in (an out-of-band split between a
+    // batch and its redelivery gets no opt-in)
+    val dup = graft.ops.Ann.appendDenseRootIdempotent(s, root,
+      rows.take(rows.length / 2).toDF("vec_id", "embedding", "label"),
+      "vec_id")
+    require(dup == 0L,
+      s"s33: replayed batch appended $dup rows post-split")
+    // pin 3: row conservation — the split re-partitions, never adds
+    // or drops (NOT an every-row-at-argmin pin: a sub-centroid
+    // legitimately steals NEIGHBORING cells' boundary rows' argmin
+    // without moving them — the standard IVF staleness every probed
+    // search absorbs and the sound replay probe exists for; only the
+    // dissolved parent's own rows are guaranteed re-homed)
+    val total = s.read.parquet(s"$root/rows").count()
+    require(total == e.count(),
+      s"s33: split lost or duplicated rows — $total of ${e.count()}")
+    // all-probe: splits are invisible — r01's exact oracle verbatim
+    graft.ops.Ann.searchDenseStoredSelf(s, root, "vec_id",
+        typedlit(qvecSeqOf(s, d, 0)), probes = cellsNow.toInt, k = 10)
+      .select("vec_id", "dist")
+  }
+
+  /** s34: threshold-triggered OVERFULL-CELL SPLIT on the streamed
+    * MAXSIM (multivec) maintenance path — the graduated maxsim
+    * layout IS a dense root over the persisted token-mean (Cosine by
+    * construction), so
+    * [[graft.streaming.Stream.ingestMaxsimRootAppend]] rides the
+    * dense seat and inherits its whole actuator story: the even half
+    * lands as a cosine [[graft.ops.Ann.writeDenseRoot]] over
+    * (vec_id, vecs, mv_mean), the odd half streams in (the mean
+    * computed per batch by the ONE shared transform), the hottest
+    * mean-cell splits ON THE UNIT SPHERE, and the final search is
+    * the EXACT maxsim top-10 (phase-1 keep-N covers the corpus at
+    * all-probe, so cell homes are invisible) — an index-free
+    * sum-of-max oracle in plain SQL. Pins: policy fired, replayed
+    * batch appends zero through the maxsim delegation. */
+  def streamMaxsimSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val qts: Seq[Seq[Double]] = e.filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val docs = e.select(col("vec_id"),
+      array(col("embedding").cast("array<double>"),
+        reverse(col("embedding")).cast("array<double>")).as("vecs"))
+    val withMean = docs.withColumn("mv_mean",
+      graft.ops.Ann.tokenMeanCol(col("vecs"), dim))
+    val model = graft.ops.Ann.buildIvf(
+      withMean.join(e.select(col("vec_id"), col("label")), "vec_id"),
+      "label", "mv_mean")
+    val lists = model.centroids.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s34_root").toString
+    graft.ops.Ann.writeDenseRoot(
+      graft.ops.Ann.assign(
+        withMean.filter(col("vec_id") % 2 === 0),
+        "mv_mean", model, graft.ops.Ann.Cosine),
+      "mv_mean", model, graft.ops.Ann.Cosine, root)
+    val rows = docs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("vecs"))
+      .as[(Long, Seq[Seq[Double]])].collect().toSeq.sortBy(_._1)
+    val maxOcc = graft.ops.Ann
+      .assign(withMean, "mv_mean", model, graft.ops.Ann.Cosine)
+      .groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val maxRows = math.max(1L, maxOcc - 1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_s34_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Seq[Double]])]
+    val q = graft.streaming.Stream.ingestMaxsimRootAppend(
+      input.toDF().toDF("vec_id", "vecs"), "vec_id", "vecs", dim,
+      root, ckpt, splitMaxRows = Some(maxRows))
+    try {
+      val batches = 2 // no-fire batch, then the firing one
+      (0 until batches).foreach { b =>
+        input.addData(rows.slice(b * rows.length / batches,
+          (b + 1) * rows.length / batches): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cellsNow = s.read.parquet(s"$root/centroids").count()
+    require(cellsNow > lists,
+      s"s34: split policy never fired — $cellsNow cells, trained $lists")
+    val dup = graft.ops.Ann.appendMaxsimRootIdempotent(s, root,
+      rows.take(rows.length / 2).toDF("vec_id", "vecs"), "vec_id",
+      "vecs", dim)
+    require(dup == 0L,
+      s"s34: replayed batch appended $dup rows post-split")
+    val stored = s.read.parquet(s"$root/rows")
+    val total = stored.count()
+    // all-probe + corpus-covering keep-N ⇒ phase 1 admits everything
+    // and the exact sum-of-max re-rank IS the oracle's scan
+    val cand = graft.ops.Ann.maxsimCandidatesIvf(stored, "vec_id",
+      "mv_mean",
+      graft.ops.Ann.loadDenseRoot(s, root)._1, qts,
+      n = total.toInt, probes = cellsNow.toInt)
+    stored.join(cand, Seq("vec_id"), "left_semi")
+      .withColumn("score", round(org.apache.spark.sql.graft.VecExprs
+        .maxSimDot(typedlit(qts), col("vecs")), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_stream_dense_split" -> streamDenseSplit,
+    "s34_stream_maxsim_split" -> streamMaxsimSplit,
     "s32_stream_quantized_split" -> streamQuantizedSplit,
     "s31_stream_mrl_ivf_split" -> streamMrlIvfSplit,
     "s30_stream_maxsim_append" -> streamMaxsimAppend,
@@ -1713,6 +1887,26 @@ object Events {
     // s29: split boundaries are invisible to results — the grown,
     // policy-split root answers the same index-free range oracle.
     "s29_stream_range_split" -> Retrieval.oracles("r56_range_ivf_stored"),
+    // s33: dense split boundaries are invisible at all-probe — the
+    // grown, policy-split dense root answers r01's exact top-k.
+    "s33_stream_dense_split" -> Retrieval.oracles("r01_ann_topk_l2"),
+    // s34: the maxsim root's truth is the index-free EXACT sum-of-max
+    // scan (all-probe + corpus-covering phase-1 keep-N make the
+    // operator's exact re-rank the plain maxsim over every doc bag).
+    "s34_stream_maxsim_split" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+          d AS (SELECT vec_id, [emb, list_reverse(emb)] AS vecs FROM e),
+          q AS (SELECT vec_id AS qi, emb AS qt FROM e
+                WHERE vec_id IN (0, 1)),
+          dt AS (SELECT vec_id, unnest(vecs) AS dtok FROM d),
+          best AS (SELECT dt.vec_id, q.qi,
+                          max(list_inner_product(q.qt, dt.dtok)) AS m
+                   FROM dt CROSS JOIN q GROUP BY 1, 2),
+          sc AS (SELECT vec_id, round(sum(m), 6) AS score
+                 FROM best GROUP BY 1)
+          SELECT vec_id, score FROM sc
+          ORDER BY score DESC, vec_id ASC LIMIT 10""",
     // the fresh-rows maintenance gates land on the one-shot
     // full-corpus builds' oracles verbatim: frozen full-corpus
     // codebooks/bounds + encode-on-read == the rebuilt layout

@@ -1701,6 +1701,161 @@ object Retrieval {
         col("dist"))
   }
 
+  /** r96: the PER-QUERY-radius COSINE range join over a STORED
+    * spherical root ([[Ann.rangeJoinIvfStoredCos]]) — r94's workload
+    * with the at-rest pruning r89 gave the L2 form, closing round
+    * 16's asymmetry (the calibrated-cosine dedup case — per-document
+    * duplicate radii over text embeddings — read whole unadmitted
+    * cell directories): each query's admitted cells come from the
+    * stored radii under its OWN reduced radius (eps_l2 =
+    * sqrt(2·eps + slack) on the unit sphere), the union lands as
+    * PartitionFilters on the cell-partitioned rows/ scan (asserted
+    * in-operator per call), and the per-eps cosine join runs over
+    * the pruned frame unchanged. Pruning changes IO, never results:
+    * r94's index-free per-query cosine oracle is shared VERBATIM. */
+  def rangeJoinPerEpsCosStored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val withN = e.withColumn("__nvec", Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "label", "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rjoin_cos_stored").toString
+    Ann.writeRangeIndex(assigned, "__nvec", model, dir)
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.65) + (col("vec_id") % 3).cast("double") * lit(0.05))
+          .as("eps"))
+    Ann.rangeJoinIvfStoredCos(s, dir, queries, "q_id", "qv", "eps",
+        "vec_id", "embedding")
+      .filter(col("q_id") < col("vec_id"))
+      .select(col("q_id").as("qid"), col("vec_id").as("did"),
+        (col("dist") + lit(0.0)).as("dist"))
+  }
+
+  /** r97: FILTERED per-query-radius range join — r88's calibrated
+    * workload under a metadata predicate (`label % 2 = 1` — dedup
+    * within one slice of the corpus, the c20-c25 curation story on
+    * the range-join family): `pred` thins the ASSIGNED frame BEFORE
+    * the cell join (the r82 placement), so disallowed rows never
+    * reach the distance cut — where the round-16 surface had to
+    * post-filter pairs, paying full candidate generation for rows
+    * the predicate would have thinned. EXACT per query, so the
+    * oracle is r88's index-free scan with the predicate as one extra
+    * conjunct on the doc side; the in-gate no-leak pin catches a
+    * placement that filters after pair emission only if it LEAKS —
+    * the hash comparison catches everything else. */
+  def rangeJoinPerEpsFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("label"), col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.8) + (col("vec_id") % 3).cast("double") * lit(0.3))
+          .as("eps"))
+    val df = Ann.rangeJoinIvfPerEps(queries, "q_id", "qv", "eps",
+        assigned, "d_id", "dv", model, radii, Ann.L2,
+        pred = col("label") % 2 === 1)
+      .filter(col("q_id") < col("d_id"))
+      .select(col("q_id").as("qid"), col("d_id").as("did"),
+        col("dist"))
+      .localCheckpoint(true)
+    val leaked = df.join(
+        e.filter(col("label") % 2 =!= 1)
+          .select(col("vec_id").as("did")), Seq("did"), "left_semi")
+      .count()
+    require(leaked == 0L, s"r97: $leaked disallowed docs leaked " +
+      "through the range-join predicate")
+    df
+  }
+
+  /** r98: SPLIT of an overfull cell on a COSINE dense root
+    * ([[Ann.splitOverfullCellsDense]]) — the round-17 closure of the
+    * actuator matrix: the plain cell-partitioned layout
+    * `ingestIvfAppend` grows was the last family whose hot cells
+    * nothing bounded (VERDICT r16 #1). The full corpus lands as a
+    * self-contained dense root under the SPHERICAL geometry (cosine
+    * assignment — the maxsim family's by construction), the
+    * observed-occupancy threshold flags exactly the hottest cell(s),
+    * the flagged cells retrain ON THE UNIT SPHERE and dissolve
+    * through the shared merge protocol (every parent row re-homes to
+    * its true global cosine argmin). At all-probe the search is the
+    * exact cosine top-k regardless of cell homes, so r02's oracle
+    * lands verbatim — a split that drops, duplicates or mis-homes
+    * one row hash-fails. In-gate pins: policy fired (cells grew),
+    * rows conserved, occupancy bounded. */
+  def denseCellSplit(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val lists = model.centroids.count()
+    val assigned = Ann.assign(e, "embedding", model, Ann.Cosine)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dense_split").toString
+    Ann.writeDenseRoot(assigned, "embedding", model, Ann.Cosine, dir)
+    val total = e.count()
+    val maxOcc = assigned.groupBy(col("centroid_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val maxRows = math.max(1L, maxOcc - 1)
+    val split = Ann.splitOverfullCellsDense(s, dir, maxRows)
+    require(split.nonEmpty, "r98 vacuous: no cell split")
+    val cellsNow = s.read.parquet(s"$dir/centroids").count()
+    require(cellsNow > lists,
+      s"r98: split left $cellsNow cells, trained $lists")
+    require(s.read.parquet(s"$dir/rows").count() == total,
+      "r98: split lost or duplicated rows")
+    Ann.searchDenseStoredSelf(s, dir, "vec_id", qvec(s, d, 7),
+        probes = cellsNow.toInt, k = 10)
+      .select(col("vec_id"), (col("dist") + lit(0.0)).as("dist"))
+  }
+
+  /** r99: MERGE of underfull cells on a dense root
+    * ([[Ann.mergeUnderfullCellsDense]]) — r90's drain-and-dissolve
+    * recipe on the fourth family: an S6 delete drains assigned cell
+    * 4 to a third of its size, the half-average threshold flags it,
+    * its centroid leaves the root's OWN on-disk model (the flat
+    * layout had no disk model for an actuator to shrink — the reason
+    * this family needed the dense-root promotion) and its surviving
+    * rows re-assign to their true nearest survivors. The oracle is
+    * the post-delete exact top-10 over the label-IVF assignment
+    * replay; the gate also pins row conservation at all-probe with a
+    * corpus-covering k. */
+  def denseCellMerge(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dense_merge").toString
+    Ann.writeDenseRoot(assigned, "embedding", model, Ann.L2, dir)
+    val lists = model.centroids.count()
+    val cell4 = assigned.filter(col("centroid_id") === 4)
+      .select(col("vec_id")).localCheckpoint(true)
+    val doomed = cell4.filter(col("vec_id") % 3 =!= 0)
+    val removed = Ann.deleteStoredIds(s, s"$dir/rows", "vec_id", doomed)
+    require(removed > 0, "r99 vacuous: the S6 delete removed nothing")
+    val minRows = math.max(3L,
+      s.read.parquet(s"$dir/rows").count() / lists / 2)
+    val merged = Ann.mergeUnderfullCellsDense(s, dir, minRows)
+    require(merged.contains(4L),
+      s"r99: the drained cell 4 did not merge, got ${merged.keySet}")
+    require(!new java.io.File(s"$dir/rows/centroid_id=4").exists(),
+      "r99: the dissolved cell's directory survived")
+    val cellsNow = s.read.parquet(s"$dir/centroids").count()
+    require(cellsNow == lists - merged.size,
+      s"r99: merge left $cellsNow cells, wanted ${lists - merged.size}")
+    // row conservation: every survivor reachable at all-probe
+    val remaining = s.read.parquet(s"$dir/rows").count()
+    require(Ann.searchDenseStoredSelf(s, dir, "vec_id", qvec(s, d, 9),
+        probes = cellsNow.toInt, k = remaining.toInt).count()
+      == remaining, "r99: a surviving row went dark after the merge")
+    Ann.searchDenseStoredSelf(s, dir, "vec_id", qvec(s, d, 9),
+        probes = cellsNow.toInt, k = 10)
+      .select("vec_id", "dist")
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2673,6 +2828,10 @@ object Retrieval {
     "r88_range_join_per_eps" -> rangeJoinPerEps,
     "r89_range_join_per_eps_stored" -> rangeJoinPerEpsStored,
     "r94_range_join_per_eps_cos" -> rangeJoinPerEpsCos,
+    "r96_range_join_cos_stored" -> rangeJoinPerEpsCosStored,
+    "r97_range_join_filtered" -> rangeJoinPerEpsFiltered,
+    "r98_dense_cell_split" -> denseCellSplit,
+    "r99_dense_cell_merge" -> denseCellMerge,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -3879,18 +4038,38 @@ object Retrieval {
 
   private val SparseBatchOracleSql = sparseBatchOracleSqlW("")
 
-  /** The r88/r89 oracle — index-free per-query-radius eps-join with
-    * the gates' exact IEEE radius arithmetic. */
-  private val PerEpsRangeOracleSql: String =
-    """SELECT a.vec_id AS qid, b.vec_id AS did,
+  /** The r88/r89/r97 oracle — index-free per-query-radius eps-join
+    * with the gates' exact IEEE radius arithmetic. `andPred` ("" =
+    * unfiltered) is r97's metadata predicate as one extra conjunct on
+    * the DOC side — the operator's placement (thin before the
+    * distance cut) is IO-shape, not semantics, so the filtered truth
+    * is the same scan with the conjunct. */
+  private def perEpsRangeOracleSqlW(andPred: String): String =
+    s"""SELECT a.vec_id AS qid, b.vec_id AS did,
               round(list_distance(a.embedding::DOUBLE[],
                                   b.embedding::DOUBLE[]), 6) AS dist
        FROM embeddings a, embeddings b
-       WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+       WHERE a.vec_id < 40 AND a.vec_id < b.vec_id$andPred
          AND round(list_distance(a.embedding::DOUBLE[],
                                  b.embedding::DOUBLE[]), 6)
              <= 0.8 + CAST(a.vec_id % 3 AS DOUBLE) * 0.3
        ORDER BY qid ASC, dist ASC, did ASC"""
+
+  private val PerEpsRangeOracleSql: String = perEpsRangeOracleSqlW("")
+
+  /** The r94/r96 oracle — the cosine twin of [[PerEpsRangeOracleSql]]
+    * (each query row's own eps; + 0 normalizes DuckDB's IEEE −0.0). */
+  private lazy val PerEpsCosRangeOracleSql: String =
+    s"""SELECT a.vec_id AS qid, b.vec_id AS did,
+               round(${cosDistSql("a.embedding::DOUBLE[]",
+                                  "b.embedding::DOUBLE[]")}, 6) + 0
+                 AS dist
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+          AND round(${cosDistSql("a.embedding::DOUBLE[]",
+                                 "b.embedding::DOUBLE[]")}, 6)
+              <= 0.65 + CAST(a.vec_id % 3 AS DOUBLE) * 0.05
+        ORDER BY qid ASC, dist ASC, did ASC"""
 
   /** r33's DuckDB replay — the batch maxsim two-phase from first
     * principles (frozen-mean cells, per-query cosine probes, phase-1
@@ -4583,19 +4762,34 @@ object Retrieval {
     // never results.
     "r88_range_join_per_eps" -> PerEpsRangeOracleSql,
     "r89_range_join_per_eps_stored" -> PerEpsRangeOracleSql,
-    // r94: the cosine twin — index-free per-query cosine threshold
-    // scan (each query row's own eps; + 0 for DuckDB's IEEE −0.0).
-    "r94_range_join_per_eps_cos" ->
-      s"""SELECT a.vec_id AS qid, b.vec_id AS did,
-                 round(${cosDistSql("a.embedding::DOUBLE[]",
-                                    "b.embedding::DOUBLE[]")}, 6) + 0
+    // r94/r96: the cosine twin — index-free per-query cosine
+    // threshold scan (each query row's own eps; + 0 for DuckDB's
+    // IEEE −0.0). ONE fragment: the stored form (r96) prunes IO,
+    // never results — r89's argument on the spherical layout.
+    "r94_range_join_per_eps_cos" -> PerEpsCosRangeOracleSql,
+    "r96_range_join_cos_stored" -> PerEpsCosRangeOracleSql,
+    // r97: r88's scan with the predicate as one extra doc-side
+    // conjunct — filtering is IO-shape in the operator, semantics
+    // here.
+    "r97_range_join_filtered" ->
+      perEpsRangeOracleSqlW(" AND b.label % 2 = 1"),
+    // r98: at all-probe the post-split dense root answers the exact
+    // cosine top-10 — r02's oracle verbatim (splits re-partition,
+    // never re-rank).
+    "r98_dense_cell_split" ->
+      s"""SELECT vec_id,
+          round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) + 0 AS dist
+          FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r99: the dense merge's truth is the post-delete exact top-10
+    // over the label-IVF assignment replay (r90's delete folded in).
+    "r99_dense_cell_merge" ->
+      s"""WITH $LabelIvfCtes
+          SELECT a.vec_id,
+                 round(list_distance(a.embedding::DOUBLE[], $qv9), 6)
                    AS dist
-          FROM embeddings a, embeddings b
-          WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
-            AND round(${cosDistSql("a.embedding::DOUBLE[]",
-                                   "b.embedding::DOUBLE[]")}, 6)
-                <= 0.65 + CAST(a.vec_id % 3 AS DOUBLE) * 0.05
-          ORDER BY qid ASC, dist ASC, did ASC""",
+          FROM assigned a
+          WHERE NOT (a.centroid_id = 4 AND a.vec_id % 3 <> 0)
+          ORDER BY dist ASC, vec_id ASC LIMIT 10""",
     // r51: filtered exact top-k — the predicate composes with the
     // ordering; pushdown (the thing the gate pins) is plan-shape, not
     // semantics, so the oracle is the plain filtered scan.

@@ -503,6 +503,91 @@ object Stream {
         graft.ops.Ann.tokenMeanCol(col(mvCol), dim)),
       idCol, meanCol, model, graft.ops.Ann.Cosine, path, checkpoint)
 
+  /** Continuous APPEND into a SELF-CONTAINED dense root
+    * ([[graft.ops.Ann.writeDenseRoot]] — or a flat layout promoted by
+    * [[graft.ops.Ann.graduateDenseRoot]]), completing the
+    * maintenance-actuator matrix: [[ingestIvfAppend]] serves the
+    * legacy flat layout, but that layout's geometry lives in the
+    * caller's hands (only the fingerprint is pinned), so no split
+    * policy can ever ride it — a split re-pins the model and every
+    * caller-supplied copy goes stale. The dense ROOT owns its
+    * centroids, so each micro-batch assigns under the DISK model
+    * ([[graft.ops.Ann.appendDenseRootIdempotent]] — id-keyed
+    * replay-safe, heals crash debris at entry) and keeps working
+    * across every split/merge the policy triggers.
+    *
+    * `splitMaxRows` wires the OVERFULL-CELL SPLIT POLICY into the
+    * cadence ([[ingestRangeAppend]]'s seat verbatim): after each
+    * batch's append, any cell past the threshold locally retrains
+    * into sub-cells under the root's own pinned metric (cosine roots
+    * on the unit sphere), the marker re-pins, and the replay probe
+    * rides the sound whole-layout form (auto-wired here AND by the
+    * split-history marker, so even a policy-less restart of this
+    * stream over a previously split root stays replay-safe).
+    * Malformed thresholds refuse at stream START. */
+  def ingestDenseRootAppend(vectors: DataFrame, idCol: String,
+                            root: String, checkpoint: String,
+                            splitMaxRows: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    splitMaxRows.foreach(m => require(m > 0,
+      s"ingestDenseRootAppend: splitMaxRows must be positive, got " +
+        s"$m — a non-positive threshold would flag every cell every " +
+        "batch"))
+    if (!graft.ops.Ann.isDenseRoot(spark, root))
+      throw new IllegalStateException(
+        s"ingestDenseRootAppend: $root has no dense cell-root " +
+          "marker — not a writeDenseRoot layout (graduateDenseRoot " +
+          "a flat writePartitioned dir first)")
+    // this stream owns a split policy whose swaps and markers can
+    // crash mid-batch — restart over the debris, don't wedge
+    graft.ops.Ann.healRoot(spark, root)
+    spark.read.parquet(s"$root/centroids") // loud when centroids miss
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // split policy wired ⇒ sound whole-layout id probe (the
+        // split-history marker also forces it once any split has run)
+        graft.ops.Ann.appendDenseRootIdempotent(spark, root, batch,
+          idCol, probeAllCells = splitMaxRows.isDefined)
+        splitMaxRows.foreach(m =>
+          graft.ops.Ann.splitOverfullCellsDense(spark, root, m))
+        ()
+      }
+      .start()
+  }
+
+  /** [[ingestDenseRootAppend]] for a MAXSIM dense root — the
+    * graduated multivec layout IS a dense root over the persisted
+    * token-mean (metric Cosine by construction —
+    * [[ingestMaxsimAppend]]'s delegation, with actuators): the
+    * summarized mean rides the streaming frame through the ONE
+    * transform build and query share, and the dense seat does the
+    * rest, split policy included. The root's pinned vector column
+    * must be `meanCol` (validated at START — a root pinned to a
+    * different column would refuse inside the first batch's assign,
+    * far from the misuse). */
+  def ingestMaxsimRootAppend(docs: DataFrame, idCol: String,
+                             mvCol: String, dim: Int, root: String,
+                             checkpoint: String,
+                             splitMaxRows: Option[Long] = None,
+                             meanCol: String = "mv_mean")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    if (graft.ops.Ann.isDenseRoot(spark, root)) {
+      val (metric, vc) = graft.ops.Ann.denseRootMeta(spark, root,
+        "ingestMaxsimRootAppend")
+      require(vc == meanCol && metric == graft.ops.Ann.Cosine,
+        s"ingestMaxsimRootAppend: $root is pinned to ($metric, " +
+          s"'$vc') but the maxsim family appends (Cosine, " +
+          s"'$meanCol') — one root, one geometry")
+    }
+    ingestDenseRootAppend(
+      docs.withColumn(meanCol,
+        graft.ops.Ann.tokenMeanCol(col(mvCol), dim)),
+      idCol, root, checkpoint, splitMaxRows)
+  }
+
   /** Continuous APPEND into a GRADUATED BM25 postings layout — the
     * keyword member of the graduated-root maintenance family
     * ([[ingestRangeAppend]]'s pattern): [[ingestBm25]] grows a fresh

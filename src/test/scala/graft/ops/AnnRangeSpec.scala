@@ -774,4 +774,156 @@ class AnnRangeSpec extends SparkSpecBase {
     assert(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
       !phys.contains("cluster"))
   }
+
+  // angularly-clustered, MIXED-norm corpus: cosine ignores norms, so
+  // the spherical layout is the only sound cell geometry for it
+  private def angular(sp: org.apache.spark.sql.SparkSession) = {
+    import sp.implicits._
+    val rng = new scala.util.Random(61)
+    (0L until 60L).map { i =>
+      val base = (i % 3).toDouble * 1.2
+      val a = base + rng.nextDouble() * 0.15
+      val norm = 1.0 + (i % 4).toDouble
+      (i, Seq(math.cos(a) * norm, math.sin(a) * norm), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "cluster")
+  }
+
+  private def sphericalRoot(sp: org.apache.spark.sql.SparkSession,
+                            docs: org.apache.spark.sql.DataFrame) = {
+    val withN = docs.withColumn("__nvec",
+      Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "cluster",
+      "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    val radii = Ann.cellRadii(assigned, "__nvec", model, Ann.L2)
+    (model, assigned, radii)
+  }
+
+  test("rangeJoinIvfStoredCos == rangeJoinIvfPerEpsCos on the same " +
+      "spherical root (pruning changes IO, never results), and both " +
+      "equal the index-free per-query cosine scan") {
+    val sp = spark
+    import sp.implicits._
+    val docs = angular(sp)
+    val (model, assigned, radii) = sphericalRoot(sp, docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rjoin-storedcos").toString
+    Ann.writeRangeIndex(assigned, "__nvec", model, dir)
+    val queries = docs.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.02) + (col("vec_id") % 3).cast("double") * lit(0.01))
+          .as("eps"))
+    val inMem = Ann.rangeJoinIvfPerEpsCos(queries, "q_id", "qv",
+        "eps", assigned.select(col("vec_id").as("d_id"),
+          col("embedding").as("dv"), col("centroid_id")),
+        "d_id", "dv", model, radii)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val stored = Ann.rangeJoinIvfStoredCos(sp, dir, queries, "q_id",
+        "qv", "eps", "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(stored === inMem)
+    // index-free truth: per-query cosine threshold scan
+    val all = docs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(1.0 - dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      (qid, qv) <- all if qid < 12
+      eps = 0.02 + (qid % 3).toDouble * 0.01
+      (did, dv) <- all
+      d = cos(qv, dv) if d <= eps
+    } yield (qid, did, d))
+      .sortBy { case (q, d2, dist) => (q, dist, d2) }.toSeq
+    assert(inMem === want)
+  }
+
+  test("pred on the range-join family: filtered == post-filtered " +
+      "unfiltered on all four forms, and disallowed rows never " +
+      "surface (no-leak)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = clustered(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val assigned = Ann.assign(docs, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("cluster"), col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = docs.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.5) + (col("vec_id") % 3).cast("double") * lit(0.2))
+          .as("eps"))
+    val allowed = docs.filter(col("cluster") === 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // fixed-eps form
+    val f1 = rows(Ann.rangeJoinIvf(queries, "q_id", "qv", assigned,
+      "d_id", "dv", model, radii, Ann.L2, eps = 0.7,
+      pred = col("cluster") === 0))
+    val u1 = rows(Ann.rangeJoinIvf(queries, "q_id", "qv", assigned,
+      "d_id", "dv", model, radii, Ann.L2, eps = 0.7))
+      .filter(t => allowed.contains(t._2))
+    assert(f1 === u1)
+    assert(f1.forall(t => allowed.contains(t._2)))
+    // per-eps form
+    val f2 = rows(Ann.rangeJoinIvfPerEps(queries, "q_id", "qv", "eps",
+      assigned, "d_id", "dv", model, radii, Ann.L2,
+      pred = col("cluster") === 0))
+    val u2 = rows(Ann.rangeJoinIvfPerEps(queries, "q_id", "qv", "eps",
+      assigned, "d_id", "dv", model, radii, Ann.L2))
+      .filter(t => allowed.contains(t._2))
+    assert(f2 === u2)
+    // stored L2 form (pred pushes into the pruned scan)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rjoin-pred").toString
+    Ann.writeRangeIndex(
+      Ann.assign(docs, "embedding", model, Ann.L2), "embedding",
+      model, dir)
+    val f3 = rows(Ann.rangeJoinIvfStored(sp, dir, queries, "q_id",
+      "qv", "eps", "vec_id", "embedding",
+      pred = col("cluster") === 0))
+    val u3 = rows(Ann.rangeJoinIvfStored(sp, dir, queries, "q_id",
+      "qv", "eps", "vec_id", "embedding"))
+      .filter(t => allowed.contains(t._2))
+    assert(f3 === u3)
+    // cosine per-eps + stored-cos forms on the spherical layout
+    val adocs = angular(sp)
+    val (m2, a2, r2) = sphericalRoot(sp, adocs)
+    val aq = adocs.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        lit(0.05).as("eps"))
+    val aAllowed = adocs.filter(col("cluster") === 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val f4 = rows(Ann.rangeJoinIvfPerEpsCos(aq, "q_id", "qv", "eps",
+      a2.select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("cluster"), col("centroid_id")),
+      "d_id", "dv", m2, r2, pred = col("cluster") === 0))
+    val u4 = rows(Ann.rangeJoinIvfPerEpsCos(aq, "q_id", "qv", "eps",
+      a2.select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("cluster"), col("centroid_id")),
+      "d_id", "dv", m2, r2)).filter(t => aAllowed.contains(t._2))
+    assert(f4 === u4)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-rjoin-predcos").toString
+    Ann.writeRangeIndex(a2, "__nvec", m2, dir2)
+    val f5 = rows(Ann.rangeJoinIvfStoredCos(sp, dir2, aq, "q_id",
+      "qv", "eps", "vec_id", "embedding",
+      pred = col("cluster") === 0))
+    val u5 = rows(Ann.rangeJoinIvfStoredCos(sp, dir2, aq, "q_id",
+      "qv", "eps", "vec_id", "embedding"))
+      .filter(t => aAllowed.contains(t._2))
+    assert(f5 === u5)
+    assert(f5 === f4)
+  }
 }

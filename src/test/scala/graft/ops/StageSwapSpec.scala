@@ -128,6 +128,62 @@ class StageSwapSpec extends SparkSpecBase {
     assert(back.filter(col("centroid_id") === 1L).count() === 10L)
   }
 
+  test("healSideTableSwap promotes a complete orphaned _next WITHOUT " +
+      "a _SUCCESS marker (marksuccessfuljobs=false clusters) — the " +
+      "committed part file IS the completeness evidence") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, Seq((i % 3).toDouble * 10.0, 0.0), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "cluster")
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-heal-nosuccess").toString
+    Ann.writeRangeIndex(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    val q = typedlit(Seq(0.0, 0.0))
+    val before = Ann.rangeSearchStoredSelf(sp, dir, "vec_id",
+        "embedding", q, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      sp.sparkContext.hadoopConfiguration)
+    // the legacy window on a no-marker cluster: live radii deleted,
+    // the staged copy is complete but carries no _SUCCESS
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/radii"),
+      new org.apache.hadoop.fs.Path(s"$dir/radii_next")))
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/radii_next/_SUCCESS"), false)
+    Ann.healRoot(sp, dir) // pre-fix: DELETED the only copy
+    val after = Ann.rangeSearchStoredSelf(sp, dir, "vec_id",
+        "embedding", q, eps = 1.0)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(after === before)
+  }
+
+  test("healSideTableSwap refuses LOUDLY when the only staged copy " +
+      "holds no committed data — never deletes the last evidence") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, Seq((i % 3).toDouble * 10.0, 0.0), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "cluster")
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-heal-lost").toString
+    Ann.writeRangeIndex(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/radii"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/radii_next"))
+    val e = intercept[IllegalStateException] {
+      Ann.healRoot(sp, dir)
+    }
+    assert(e.getMessage.contains("no committed data"))
+    // the evidence survived the refusal
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/radii_next")))
+  }
+
   test("compactStored targets STRING cells through Spark's partition-" +
       "path escaping (a `cell=a%3Ab` dir compacts, no rows lost)") {
     val sp = spark
