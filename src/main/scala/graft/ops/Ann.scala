@@ -2578,8 +2578,20 @@ object Ann {
     * max. `centroidForm` lifts sub-centroids to the family's STORED
     * convention (identity for normalize-on-read layouts; l2-normalize
     * for spherical quantized roots whose readers use disk centroids
-    * verbatim). Returns (oldCell, 2-row mapped centroid frame, the
-    * prepped cell rows). */
+    * verbatim).
+    *
+    * The per-cell retrains run CONCURRENTLY from a bounded driver
+    * pool (round 17 — the many_flagged_split smoke row showed a
+    * first-ever health pass over a long-neglected root serializing
+    * hundreds of small jobs): each cell's probe + k=2 KMeans is an
+    * independent chain of jobs over ITS directory only, and Spark
+    * schedules jobs from concurrent driver threads, so the pass costs
+    * ~max(per-cell time), not the sum of every job submission.
+    * Determinism is unchanged — each cell's training is
+    * self-contained, and sub-cell ids are assigned by flagged ORDER
+    * before the fork (an unsplittable cell leaves a 2-id gap; ids
+    * only ever need to be fresh and unique). Returns (oldCell, 2-row
+    * mapped centroid frame, the prepped cell rows), flagged-order. */
   private def flagAndTrainSubs(
       rows: DataFrame, model: IvfModel, maxRows: Long, iters: Int,
       prep: DataFrame => DataFrame, spaceCol: String,
@@ -2591,23 +2603,35 @@ object Ann {
       .select(col(model.idCol).cast("long"))
       .collect().map(_.getLong(0)).sorted
     if (flagged.isEmpty) return Nil
-    var nextId = model.centroids
-      .agg(max(col(model.idCol).cast("long"))).head().getLong(0) + 1
-    flagged.toSeq.flatMap { cell =>
-      val cellRows = prep(rows.filter(col(model.idCol) === cell)
-        .drop(model.idCol))
-      if (cellRows.select(portableVecHash(col(spaceCol)))
-          .distinct().limit(2).count() < 2) None // unsplittable: skip
-      else {
-        val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2, iters)
-        val base = nextId
-        val mapped = sub.centroids.select(
-          (col(sub.idCol).cast("long") + base).as(model.idCol),
-          centroidForm(col(sub.vecCol)).as(model.vecCol))
-        nextId += 2
-        Some((cell, mapped, cellRows))
+    val maxId = model.centroids
+      .agg(max(col(model.idCol).cast("long"))).head().getLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(flagged.length, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = flagged.toSeq.zipWithIndex.map { case (cell, i) =>
+        scala.concurrent.Future {
+          val cellRows = prep(rows.filter(col(model.idCol) === cell)
+            .drop(model.idCol))
+          if (cellRows.select(portableVecHash(col(spaceCol)))
+              .distinct().limit(2).count() < 2)
+            None // unsplittable: skip (identical at hash precision)
+          else {
+            val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2,
+              iters)
+            val base = maxId + 1 + 2L * i
+            val mapped = sub.centroids.select(
+              (col(sub.idCol).cast("long") + base).as(model.idCol),
+              centroidForm(col(sub.vecCol)).as(model.vecCol))
+            Some((cell, mapped, cellRows))
+          }
+        }
       }
-    }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
   }
 
   private val MergePendingMarker = "_graft_merge_pending"
