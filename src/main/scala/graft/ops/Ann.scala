@@ -1371,6 +1371,11 @@ object Ann {
         s"graduateDenseRoot: $dir has no IVF model marker — not a " +
           "pinned writePartitioned layout")
     ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    // a streaming-grown dir is governed by its commit log; moving its
+    // cell dirs out from under _spark_metadata would desync every
+    // later read — compact to a batch layout first (the same refusal
+    // every cell-rewrite maintenance path makes)
+    requireBatchLayout(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rowsDir = new org.apache.hadoop.fs.Path(s"$dir/rows")
@@ -1522,6 +1527,31 @@ object Ann {
     mergeUnderfullImpl(spark, dir, minRows, growRadii = false,
       radiiVecCol = "",
       reassign = (d, r) => assign(d, vecCol, r, metric))
+  }
+
+  /** [[indexHealth]] for a DENSE root — the r66 health signal for the
+    * fourth cell-partitioned family, the numbers an operator feeds
+    * [[splitOverfullCellsDense]] / [[mergeUnderfullCellsDense]]: per
+    * cell, the row count and mean distance to the centroid under the
+    * root's OWN pinned metric (no radii — the dense layout has none
+    * to certify; a cell whose count or mean dwarfs the others means
+    * stale centroids). Same scale shape as the range audit: ONE pass
+    * over the rows scan — broadcast centroid join, combinable
+    * count/avg — reading ONLY the vector + partition columns (payload
+    * pruned; the r100 gate pins it). */
+  def indexHealthDense(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, roundTo: Int = 6): DataFrame = {
+    val (model, metric, vecCol) = loadDenseRoot(spark, dir)
+    spark.read.parquet(s"$dir/rows")
+      .select(col(model.idCol), col(vecCol))
+      .join(broadcast(model.centroids), model.idCol)
+      .withColumn("__d",
+        round(metric.dist(col(vecCol).cast("array<double>"),
+          col(model.vecCol)), roundTo))
+      .groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("__d")), roundTo).as("mean_dist"))
+      .select(col(model.idCol), col("n_rows"), col("mean_dist"))
   }
 
   /** Is `dir` a [[writeRangeIndex]] root? Detection is the radii side

@@ -1856,6 +1856,31 @@ object Retrieval {
       .select("vec_id", "dist")
   }
 
+  /** r100: the r66 INDEX-HEALTH signal on a COSINE dense root
+    * ([[Ann.indexHealthDense]]) — the audit an operator feeds the
+    * dense split/merge actuators (r98/r99), on the family's spherical
+    * arm: per cell, row count and mean COSINE distance to the
+    * root-owned centroid (no radii — the dense layout has none to
+    * certify). The oracle replays the label-mean centroids, the raw-
+    * cosine argmin assignment (the dense Cosine convention — scale-
+    * invariant in the centroid), and the per-cell aggregate from
+    * first principles. The payload-pruning pin (vec_id/label never
+    * read by the rows scan) is asserted in-gate, r66's discipline. */
+  def denseIndexHealth(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dense_health").toString
+    Ann.writeDenseRoot(Ann.assign(e, "embedding", model, Ann.Cosine),
+      "embedding", model, Ann.Cosine, dir)
+    val df = Ann.indexHealthDense(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("label"),
+      s"dense index-health audit must not read payload columns:\n$phys")
+    df
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2832,6 +2857,7 @@ object Retrieval {
     "r97_range_join_filtered" -> rangeJoinPerEpsFiltered,
     "r98_dense_cell_split" -> denseCellSplit,
     "r99_dense_cell_merge" -> denseCellMerge,
+    "r100_dense_index_health" -> denseIndexHealth,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4780,6 +4806,37 @@ object Retrieval {
       s"""SELECT vec_id,
           round(${cosDistSql("embedding::DOUBLE[]", qv7)}, 6) + 0 AS dist
           FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    // r100: the dense health audit from first principles — label-mean
+    // centroids, raw-COSINE argmin assignment (the dense Cosine
+    // convention; scale-invariant in the centroid), per-cell count +
+    // mean of per-row-rounded cosine distances.
+    "r100_dense_index_health" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS INTEGER) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosDistSql("e.embedding::DOUBLE[]",
+                                             "c.centroid")} ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          ad AS (
+            SELECT a.centroid_id,
+                   round(${cosDistSql("a.embedding::DOUBLE[]",
+                                      "c.centroid")}, 6) AS d
+            FROM assigned a JOIN cents c USING (centroid_id))
+          SELECT centroid_id, count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM ad GROUP BY 1 ORDER BY 1""",
     // r99: the dense merge's truth is the post-delete exact top-10
     // over the label-IVF assignment replay (r90's delete folded in).
     "r99_dense_cell_merge" ->

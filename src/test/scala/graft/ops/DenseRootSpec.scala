@@ -290,6 +290,69 @@ class DenseRootSpec extends SparkSpecBase {
     }
   }
 
+  test("graduateDenseRoot completes a crashed half-move: cells " +
+      "already under rows/ stay, the rest follow, the marker commits " +
+      "last — re-run-heals, never silent-partial") {
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val flat = tmp("crashmove")
+    Ann.writePartitioned(Ann.assign(docs, "embedding", model, Ann.L2),
+      flat)
+    Ann.ensureIvfModelMarker(sp, flat, model)
+    // simulate the crash window: rows/ created, ONE cell moved, the
+    // marker never written
+    val fs = new org.apache.hadoop.fs.Path(flat).getFileSystem(
+      sp.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$flat/rows"))
+    val firstCell = fs.listStatus(new org.apache.hadoop.fs.Path(flat))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("centroid_id="))
+      .head.getPath
+    assert(fs.rename(firstCell, new org.apache.hadoop.fs.Path(
+      s"$flat/rows/${firstCell.getName}")))
+    assert(!Ann.isDenseRoot(sp, flat)) // half-moved is NOT a root yet
+    Ann.graduateDenseRoot(sp, flat, model, Ann.L2, "embedding")
+    assert(Ann.isDenseRoot(sp, flat))
+    assert(sp.read.parquet(s"$flat/rows").count() === 100L)
+    val q = typedlit(Seq(1.0, 0.0))
+    val got = Ann.searchDenseStoredSelf(sp, flat, "vec_id", q,
+        probes = 3, k = 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val want = Ann.topK(docs, "vec_id", "embedding", q, Ann.L2, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("ingestDenseRootAppend refuses at START on a non-root and on " +
+      "a non-positive threshold, before any mutation") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dense-ckpt").toString
+    val stray = tmp("notroot")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.Stream.ingestDenseRootAppend(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", stray,
+        ckpt)
+    }
+    assert(e.getMessage.contains("dense cell-root marker"))
+    val docs = corpus(sp)
+    val model = Ann.buildIvf(docs, "cluster", "embedding")
+    val dir = tmp("threshold")
+    Ann.writeDenseRoot(Ann.assign(docs, "embedding", model, Ann.L2),
+      "embedding", model, Ann.L2, dir)
+    intercept[IllegalArgumentException] {
+      graft.streaming.Stream.ingestDenseRootAppend(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", dir,
+        ckpt, splitMaxRows = Some(0L))
+    }
+  }
+
   test("engine maintenance triad: dense roots dispatch by marker; " +
       "an unrecognized dir refuses by family name, not a path error") {
     val sp = spark
