@@ -99,6 +99,48 @@ object AnnIndex {
   private[plans] def lookup(vecCol: String): Option[Entry] =
     entries.get(vecCol)
 
+  /** Register a SELF-CONTAINED dense cell root
+    * ([[Ann.writeDenseRoot]]) for declarative rewrites,
+    * MAINTENANCE-AWARE: vector column and metric come from the root's
+    * own marker, and the resolver re-reads the pinned model
+    * FINGERPRINT per rewrite, re-collecting the disk centroids
+    * exactly when maintenance re-pinned them (split / merge /
+    * graduation) — so a declarative plan over `dir/rows` keeps
+    * probing the root's CURRENT geometry with no re-install, where a
+    * frozen [[register]] snapshot would keep injecting DISSOLVED cell
+    * ids after a split (empty pruned scans — silent recall loss, the
+    * exact failure the stale-caller-model refusals exist to prevent
+    * on the imperative path). Collection cost is paid once per re-pin
+    * (fingerprint-keyed), never per rewrite; a torn root (pending
+    * merge) REFUSES at resolve time through [[Ann.loadDenseRoot]] —
+    * declarative readers honor the family's loud-never-wrong
+    * contract like every other reader. */
+  def registerDenseRoot(spark: SparkSession, dir: String, probes: Int,
+                        owner: String = ""): Unit = {
+    val (_, metric, vecCol) = Ann.loadDenseRoot(spark, dir)
+    val cache = new java.util.concurrent.atomic.AtomicReference[
+      (String, Seq[(Long, Array[Double])])](null)
+    val resolve: () => Seq[(Long, Array[Double])] = () => {
+      val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
+      val c = cache.get()
+      if (c != null && c._1 == fp) c._2
+      else {
+        val (model, _, _) = Ann.loadDenseRoot(spark, dir)
+        val cents = model.centroids
+          .select(org.apache.spark.sql.functions
+              .col(model.idCol).cast("long"),
+            org.apache.spark.sql.functions
+              .col(model.vecCol).cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1)
+        cache.set((fp, cents))
+        cents
+      }
+    }
+    register(vecCol, resolve, "centroid_id", metric, probes, owner)
+  }
+
   /** Range-search registry — the declarative form of
     * [[Ann.rangeSearchIvfStored]]: a plain
     * `filter(round(dist(vec, q), s) <= eps)` plan gets an EXACT cell

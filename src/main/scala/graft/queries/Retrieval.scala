@@ -1881,6 +1881,81 @@ object Retrieval {
     df
   }
 
+  /** r101: MAINTENANCE-AWARE declarative rewrite over a dense root
+    * ([[graft.plans.AnnIndex.registerDenseRoot]]) — the declarative
+    * path made safe under the round's actuators: a frozen r09-style
+    * registration snapshots centroids at install, so after a SPLIT it
+    * keeps injecting the dissolved parent's cell id (an empty pruned
+    * scan — silent recall loss); the dense-root registration resolves
+    * through the root's model-fingerprint marker per rewrite, so the
+    * same installed plan shape probes the post-split geometry with no
+    * re-install. In-gate pins: the rewrite fires (PartitionFilters on
+    * the rows scan), and after the split a probes=1 declarative query
+    * AT A DISSOLVED-PARENT ROW'S OWN VECTOR returns that row (a stale
+    * snapshot would probe the dead parent and return nothing). The
+    * oracled result is the all-probe declarative read — exact top-10,
+    * r01's scan verbatim, split boundaries invisible. */
+  def denseRewrite(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dense_rw").toString
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    Ann.writeDenseRoot(assigned, "embedding", model, Ann.L2, dir)
+    graft.plans.AnnIndex.install(s)
+    def declarative(q: org.apache.spark.sql.Column) =
+      s.read.parquet(s"$dir/rows")
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+    try {
+      // split the hottest cell(s): the root re-pins its fingerprint
+      val maxOcc = assigned.groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      // a dissolved parent's member row, fetched BEFORE the split
+      val hotCell = assigned.groupBy(col("centroid_id")).count()
+        .orderBy(col("count").desc, col("centroid_id").asc)
+        .head().getLong(0)
+      val parentRow = assigned
+        .filter(col("centroid_id") === hotCell)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      graft.plans.AnnIndex.registerDenseRoot(s, dir, probes = 4096,
+        owner = "r101")
+      val splits = Ann.splitOverfullCellsDense(s, dir,
+        math.max(1L, maxOcc - 1))
+      require(splits.contains(hotCell),
+        s"r101 vacuous: hottest cell $hotCell did not split " +
+          s"(got ${splits.keySet})")
+      // freshness pin: probes=1 at the dissolved parent's own row —
+      // a frozen snapshot injects the dead parent cell and returns
+      // nothing; the fingerprint-keyed resolver probes the live
+      // sub-cell that now holds the row
+      graft.plans.AnnIndex.registerDenseRoot(s, dir, probes = 1,
+        owner = "r101")
+      val near = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq))
+        .localCheckpoint(true)
+      require(near.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r101: probes=1 declarative query after the split missed the " +
+          "dissolved parent's row — the registration resolved a " +
+          "STALE geometry")
+      // oracled read: all-probe (4096 >= any cell count) = exact
+      graft.plans.AnnIndex.registerDenseRoot(s, dir, probes = 4096,
+        owner = "r101")
+      val df = declarative(qvec(s, d, 0))
+      val phys = df.queryExecution.executedPlan.toString
+      assertPartitionPruned(phys, "centroid_id",
+        "dense-root declarative rewrite")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregister("embedding")
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2858,6 +2933,7 @@ object Retrieval {
     "r98_dense_cell_split" -> denseCellSplit,
     "r99_dense_cell_merge" -> denseCellMerge,
     "r100_dense_index_health" -> denseIndexHealth,
+    "r101_dense_rewrite" -> denseRewrite,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4083,6 +4159,13 @@ object Retrieval {
 
   private val PerEpsRangeOracleSql: String = perEpsRangeOracleSqlW("")
 
+  /** The r01/r101 oracle — exact L2 top-10 for qv0 (r101's all-probe
+    * declarative read over the split dense root reduces to it). */
+  private lazy val ExactL2TopkQv0Sql: String =
+    s"""SELECT vec_id,
+        round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
+        FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
   /** The r94/r96 oracle — the cosine twin of [[PerEpsRangeOracleSql]]
     * (each query row's own eps; + 0 normalizes DuckDB's IEEE −0.0). */
   private lazy val PerEpsCosRangeOracleSql: String =
@@ -4228,10 +4311,11 @@ object Retrieval {
           round_even(scores[i + 1] * 1000000, 0) / 1000000 AS mmr_score
         FROM (SELECT ids, scores, unnest(range(len(ids))) AS i FROM fin)
         ORDER BY mmr_rank""",
-    "r01_ann_topk_l2" ->
-      s"""SELECT vec_id,
-          round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
-          FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10""",
+    "r01_ann_topk_l2" -> ExactL2TopkQv0Sql,
+    // r101: probes >= every cell admit everything, so the declarative
+    // rewrite over the (split) dense root is the exact top-10 — r01's
+    // scan verbatim; the maintenance-awareness pins live in-gate.
+    "r101_dense_rewrite" -> ExactL2TopkQv0Sql,
     // + 0 here and in the other output-facing cosine oracles
     // normalizes -0.0 → 0.0: Spark's round runs through BigDecimal
     // (no signed zero), DuckDB's keeps IEEE -0.0 when a self-pair's
