@@ -1554,6 +1554,43 @@ object Ann {
       .select(col(model.idCol), col("n_rows"), col("mean_dist"))
   }
 
+  /** [[indexHealthDense]] for a COMPOSED matryoshka-IVF root — the
+    * r66 health signal for the north-star layout (its split/merge
+    * actuators landed in rounds 15-16, but the operator-visible
+    * per-cell numbers that justify pulling them did not): per cell,
+    * row count and mean distance IN THE ROOT'S ASSIGNMENT SPACE —
+    * cosine roots audit the normalized `emb_full` against the
+    * normalized centroids under L2 ([[matryoshkaIvfRows]]' exact
+    * argmin convention, so the audit measures the geometry the
+    * layout actually partitions by), L2 roots audit raw. Same
+    * one-pass scale shape as the other audits; refuses mid-merge
+    * (reader seat). */
+  def indexHealthMrlIvf(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, roundTo: Int = 6): DataFrame = {
+    val (_, metric) = readMatryoshkaMeta(spark, dir,
+      "indexHealthMrlIvf", "_graft_matryoshka_ivf")
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    ensureIvfModelMarker(spark, dir, model)
+    val rows = spark.read.parquet(s"$dir/rows")
+      .select(col(model.idCol), col("emb_full"))
+    val (audited, cents, vc) = metric match {
+      case Cosine =>
+        (withNormalized(rows, "emb_full", "__nv"),
+          normalizeModel(model), "__nv")
+      case _ => (rows, model, "emb_full")
+    }
+    audited
+      .join(broadcast(cents.centroids), model.idCol)
+      .withColumn("__d",
+        round(L2.dist(col(vc).cast("array<double>"),
+          col(model.vecCol)), roundTo))
+      .groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("__d")), roundTo).as("mean_dist"))
+      .select(col(model.idCol), col("n_rows"), col("mean_dist"))
+  }
+
   /** Is `dir` a [[writeRangeIndex]] root? Detection is the radii side
     * table's presence (any swap state — a torn swap's `__old`/`_next`
     * still names the family; the actuator heals it at entry): the

@@ -1956,6 +1956,31 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregister("embedding")
   }
 
+  /** r102: the r66 INDEX-HEALTH signal on the COMPOSED matryoshka-IVF
+    * root ([[Ann.indexHealthMrlIvf]]) — the north-star layout gained
+    * split/merge actuators in rounds 15-16 but exposed no
+    * operator-visible per-cell numbers to justify pulling them; this
+    * audit reports count + mean distance in the root's ASSIGNMENT
+    * space (L2 here; cosine roots audit the normalized geometry —
+    * specced). The oracle replays the label-mean centroids, the L2
+    * argmin assignment and the per-cell aggregate from first
+    * principles; the gate pins that the scan reads NEITHER the
+    * prefix column nor the id payload (emb_pre/vec_id pruned). */
+  def mrlIvfIndexHealth(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_health").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    val df = Ann.indexHealthMrlIvf(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("emb_pre") &&
+        !phys.contains("vec_id"),
+      s"composed health audit must not read emb_pre/payload:\n$phys")
+    df
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2934,6 +2959,7 @@ object Retrieval {
     "r99_dense_cell_merge" -> denseCellMerge,
     "r100_dense_index_health" -> denseIndexHealth,
     "r101_dense_rewrite" -> denseRewrite,
+    "r102_mrl_ivf_index_health" -> mrlIvfIndexHealth,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4919,6 +4945,21 @@ object Retrieval {
                                       "c.centroid")}, 6) AS d
             FROM assigned a JOIN cents c USING (centroid_id))
           SELECT centroid_id, count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM ad GROUP BY 1 ORDER BY 1""",
+    // r102: the composed health audit from first principles — the
+    // label-mean centroids, L2 argmin assignment (the composed L2
+    // convention over emb_full = the raw embedding), per-cell count +
+    // mean of per-row-rounded L2 distances (r66's audit minus radii).
+    "r102_mrl_ivf_index_health" ->
+      s"""WITH $LabelIvfCtes,
+          ad AS (
+            SELECT a.centroid_id,
+                   round(list_distance(a.embedding::DOUBLE[],
+                                       c.centroid), 6) AS d
+            FROM assigned a JOIN cents c USING (centroid_id))
+          SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+                 count(*) AS n_rows,
                  round(avg(d), 6) AS mean_dist
           FROM ad GROUP BY 1 ORDER BY 1""",
     // r99: the dense merge's truth is the post-delete exact top-10

@@ -105,4 +105,50 @@ class MrlBatchSpec extends SparkSpecBase {
   // batch (Ann.knnJoinMrl) are parity-covered against the engine's
   // single-query branches in EngineSpec ("searchByVectorBatch
   // matryoshka + composed matryoshka-IVF"), under both metrics.
+
+  test("indexHealthMrlIvf audits the root's ASSIGNMENT space: cosine " +
+      "roots measure the normalized geometry (zero mean-dist only if " +
+      "a cell is degenerate), counts match occupancy, L2 gate-covered") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val model = Ann.buildIvf(docs, "label", "vec")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mrl-health-cos").toString
+    Ann.writeMatryoshkaIvf(docs, "id", "vec", dims = 2, model, dir,
+      metric = Ann.Cosine)
+    val health = Ann.indexHealthMrlIvf(sp, dir)
+      .collect().map(r => (r.getAs[Any]("centroid_id").toString.toLong,
+        r.getAs[Long]("n_rows"), r.getAs[Double]("mean_dist"))).toList
+    // counts match the layout's actual occupancy per cell
+    val occ = sp.read.parquet(s"$dir/rows")
+      .groupBy(col("centroid_id")).count()
+      .collect().map(r => (r.getAs[Any]("centroid_id").toString.toLong,
+        r.getLong(1))).toMap
+    assert(health.map(h => (h._1, h._2)).toMap === occ)
+    // the audited space is the normalized one: mean dists are the
+    // L2-on-unit-sphere values, all within [0, 2] and not all zero
+    assert(health.forall(h => h._3 >= 0.0 && h._3 <= 2.0))
+    assert(health.exists(_._3 > 0.0))
+    // manual replay of one cell's mean in the normalized space
+    val cell = health.head._1
+    val norm = Ann.normalizeModel(model).centroids
+      .filter(col("centroid_id") === cell)
+      .select(col("centroid").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val mean = sp.read.parquet(s"$dir/rows")
+      .filter(col("centroid_id") === cell)
+      .select(col("emb_full").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val nv = v.map(_ / n)
+        BigDecimal(math.sqrt(nv.zip(norm)
+            .map { case (a, b) => (a - b) * (a - b) }.sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val want = BigDecimal(mean.sum / mean.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(health.find(_._1 == cell).get._3 - want) <= 1e-6)
+  }
 }
