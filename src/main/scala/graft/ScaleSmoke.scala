@@ -1216,6 +1216,63 @@ object ScaleSmoke {
       }
     }
 
+    // Streamed DENSE cadence at 16× (VERDICT r17 #4): the s33
+    // lifecycle's per-batch cost — ingestDenseRootAppend (idempotent
+    // assign-and-append) + the wired split policy — timed ALONE, so a
+    // regression in the dense seat's per-batch path can't hide behind
+    // the argument that its pieces are timed elsewhere. Root build
+    // (even half) and the post-stream pins are OUTSIDE the timer.
+    if (only.forall(_.exists("stream_dense_append".startsWith))) {
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val sdModel = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 8,
+        iters = 2)
+      val sdDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sdense").toString
+      // store doubles: the streamed batches arrive as array<double>
+      // and the append seat refuses mixed-schema layouts (s33's base)
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+      ops.Ann.writeDenseRoot(
+        ops.Ann.assign(even, "embedding", sdModel, ops.Ann.L2),
+        "embedding", sdModel, ops.Ann.L2, sdDir)
+      val maxOcc = ops.Ann.assign(vecs, "embedding", sdModel, ops.Ann.L2)
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val odd = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>"), col("label"))
+        .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sdense_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Double], Int)]
+      val q = graft.streaming.Stream.ingestDenseRootAppend(
+        input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+        sdDir, ckpt, splitMaxRows = Some(math.max(1L, maxOcc - 1)))
+      try {
+        time("stream_dense_append") {
+          val batches = 4
+          (0 until batches).foreach { b =>
+            input.addData(odd.slice(b * odd.length / batches,
+              (b + 1) * odd.length / batches): _*)
+            q.processAllAvailable()
+          }
+          odd.length.toLong
+        }
+      } finally q.stop()
+      locally { // untimed: policy fired + row conservation
+        val cellsNow = spark.read.parquet(s"$sdDir/centroids").count()
+        require(cellsNow > 8L,
+          s"16x streamed dense split never fired ($cellsNow cells of 8)")
+        val n = spark.read.parquet(s"$sdDir/rows").count()
+        require(n == nVecs * xf,
+          s"streamed dense cadence lost rows: $n vs ${nVecs * xf}")
+      }
+    }
+
     // DSIR at 16×: feature extraction map-only from the scan; both
     // distributions collapse to ≤ buckets rows (asserted — the join's
     // build side is bucket-sized at ANY corpus scale); one per-doc sum

@@ -961,6 +961,29 @@ final class Engine(reg: Registry) {
       Ann.splitOverfullCells(reg.spark, dir, vectorColumn(td), maxRows)
     else throw new IllegalStateException(unknownFamily(dir))
 
+  /** The per-cell HEALTH SIGNAL for any maintainable root serving
+    * `td` — the READ side of the maintenance triad, completing the
+    * operator loop: [[mergeUnderfullIfNeeded]] /
+    * [[splitOverfullIfNeeded]] exist precisely so an operator need
+    * not know which family a dir is, but the SIGNALS that justify
+    * pulling them ([[graft.ops.Ann.indexHealth]] range,
+    * [[graft.ops.Ann.indexHealthDense]], [[graft.ops.Ann
+    * .indexHealthMrlIvf]], [[graft.ops.Ann.indexHealthQuantized]])
+    * still had to be matched to the root by hand. Dispatches on the
+    * root's own marker like the actuators, with the same typed
+    * refusal for unknowns. Every arm returns (centroid_id, n_rows,
+    * mean_dist); the range arm adds its stored `radius`. */
+  def indexHealthFor(td: TableDef[_], dir: String): DataFrame =
+    if (Ann.isMatryoshkaIvfRoot(reg.spark, dir))
+      Ann.indexHealthMrlIvf(reg.spark, dir)
+    else if (Ann.isQuantizedRoot(reg.spark, dir))
+      Ann.indexHealthQuantized(reg.spark, dir)
+    else if (Ann.isDenseRoot(reg.spark, dir))
+      Ann.indexHealthDense(reg.spark, dir)
+    else if (Ann.isRangeRoot(reg.spark, dir))
+      Ann.indexHealth(reg.spark, dir, vectorColumn(td))
+    else throw new IllegalStateException(unknownFamily(dir))
+
   /** The families whose roots need the table's declared vector
     * column (quantized re-encodes moved rows; range radii grow over
     * it) — dense and composed roots carry their own. */

@@ -1591,6 +1591,90 @@ object Ann {
       .select(col(model.idCol), col("n_rows"), col("mean_dist"))
   }
 
+  /** The composed matryoshka-IVF root's coarse quantizer, loaded with
+    * the family's reader guards (torn-merge refusal + marker
+    * validation) — the resolve seat the declarative registration's
+    * fingerprint-keyed cache re-collects through
+    * ([[graft.plans.AnnIndex.registerMatryoshkaIvf]]), so a
+    * maintenance re-pin reaches declarative probe selection while a
+    * mid-merge root refuses loudly instead of serving half-moved
+    * cells. */
+  def loadMrlIvfModel(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): IvfModel = {
+    requireNoPendingMerge(spark, dir)
+    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
+      "centroid_id", "centroid")
+    ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    model
+  }
+
+  /** [[indexHealth]] for a QUANTIZED root (SQ / PQ / 1-bit) — the r66
+    * health signal for the last signal-less family (its split/merge
+    * actuators existed since rounds 15-16, but an operator had to
+    * pull them blind): per cell, row count and mean DEQUANTIZED
+    * distance to the centroid in the marker's geometry — the main
+    * layouts store codes, not raw vectors, so the audit measures what
+    * the index itself can know: how far the codes' reconstructions
+    * sit from their cell center (spherical roots audit on the unit
+    * sphere, where their codes and stored centroids both live).
+    * Per family: SQ dequantizes through the per-cell bounds
+    * ([[sqDistCols]] with the CENTROID as the "query" — the same
+    * asymmetric expression the search scan runs); PQ reconstructs
+    * each row from the literal codebooks ([[pqReconstructCol]]) and
+    * measures L2 to the centroid; 1-bit needs no reconstruction at
+    * all — the dequantized vector is centroid + r̂ with ‖r̂‖ = the
+    * stored `rnorm`, so the distance IS `rnorm` (already rounded at
+    * encode time).
+    *
+    * Scale shape (the r100/r102 discipline): ONE pass over the
+    * codes scan — broadcast bounds/centroid joins, combinable
+    * count/avg — and the scan reads ONLY the code (or rnorm) +
+    * partition columns; the full-precision vector and id payload are
+    * column-pruned out (the r104 gate pins it). Refuses mid-merge
+    * and while `fresh/` exists (uncompacted fresh rows are invisible
+    * to a codes-only audit — its counts would under-report exactly
+    * the cells an operator is about to act on; compact first, the
+    * actuators' own precondition). */
+  def indexHealthQuantized(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, roundTo: Int = 6): DataFrame = {
+    val (family, dataSub, _) = quantizedFamily(spark, dir)
+    require(!freshExists(spark, dir),
+      s"indexHealthQuantized: $dir carries a fresh/ side table — " +
+        "compact it first (compactQuantizedFresh); a codes-only " +
+        "audit cannot see uncompacted fresh rows and would " +
+        "under-report the cells the signal exists to flag")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val model = IvfModel(cents, "centroid_id", "centroid")
+    ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    val rows = spark.read.parquet(s"$dir/$dataSub")
+    val withD = family match {
+      case "sq" =>
+        rows.select(col(model.idCol), col("codes"))
+          .withColumn("codes", unpackCodes(col("codes")))
+          .join(broadcast(spark.read.parquet(s"$dir/bounds")
+            .select(col(model.idCol), col("__mins"), col("__maxs"))),
+            model.idCol)
+          .join(broadcast(model.centroids), model.idCol)
+          .withColumn("__d", round(sqDistCols(col(model.vecCol),
+            col("codes"), col("__mins"), col("__maxs")), roundTo))
+      case "pq" =>
+        val (pq, _, _) = loadPqArtifacts(spark, dir)
+        rows.select(col(model.idCol), col("pq_codes"))
+          .join(broadcast(model.centroids), model.idCol)
+          .withColumn("__d", round(L2.dist(
+            pqReconstructCol(col("pq_codes"), pq),
+            col(model.vecCol)), roundTo))
+      case _ =>
+        // 1-bit: dist(centroid + r̂, centroid) = ‖r̂‖ = rnorm, already
+        // rounded at encode time — the audit reads ONE double per row
+        rows.select(col(model.idCol), col("rnorm").as("__d"))
+    }
+    withD.groupBy(col(model.idCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("__d")), roundTo).as("mean_dist"))
+      .select(col(model.idCol), col("n_rows"), col("mean_dist"))
+  }
+
   /** Is `dir` a [[writeRangeIndex]] root? Detection is the radii side
     * table's presence (any swap state — a torn swap's `__old`/`_next`
     * still names the family; the actuator heals it at entry): the
@@ -1865,6 +1949,27 @@ object Ann {
             try_element_at(try_element_at(lutCol, i + 1), c + 1)),
           lit(Double.PositiveInfinity))),
       lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** Columnar PQ DECODE: reconstruct the quantized vector from an
+    * m-slot code column and the literal codebooks (m·codes·subDim
+    * doubles — the same bounded driver budget as the ADC LUT,
+    * independent of cell count, which is what keeps the quantized
+    * health audit broadcastable at 100 TB where a per-(cell, slot,
+    * code) LUT would not be). Malformed codes follow [[pqAdcDist]]'s
+    * contract — they decode to +Inf sub-vectors, so any distance
+    * computed from them is +Inf (a corrupted cell's health mean
+    * jumps instead of silently averaging in garbage). */
+  def pqReconstructCol(codesCol: Column, model: PqModel): Column = {
+    val books: Seq[Seq[Seq[Double]]] =
+      model.codebooks.toSeq.map(_.toSeq.map(_._2.toSeq))
+    val booksCol = typedlit(books)
+    val inf = typedlit(Seq.fill(model.subDim)(Double.PositiveInfinity))
+    flatten(transform(codesCol, (c, s) =>
+      coalesce(
+        when(c >= 0, try_element_at(try_element_at(booksCol, s + 1),
+          c + 1)),
+        inf)))
   }
 
   /** PQ search — [[searchSq]]'s two-phase shape with a far cheaper
@@ -4589,6 +4694,19 @@ object Ann {
     graft.io.Markers.read(spark, dir, PqMetaMarker).nonEmpty ||
       graft.io.Markers.read(spark, dir, SqMetaMarker).nonEmpty ||
       graft.io.Markers.read(spark, dir, BitqMetaMarker).nonEmpty
+
+  /** Public (family, spherical) probe of a quantized root — what a
+    * caller that must DISPATCH on the family (the declarative
+    * [[graft.plans.AnnIndex.registerQuantizedRoot]] — SQ, PQ and
+    * 1-bit resolve to different index loaders and refine defaults)
+    * needs from the geometry marker without reading any data.
+    * Guarded like every quantized reader: refuses mid-merge and
+    * refuses unmarked dirs with the family's typed message. */
+  def quantizedRootFamily(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (String, Boolean) = {
+    val (family, _, spherical) = quantizedFamily(spark, dir)
+    (family, spherical)
+  }
 
   private def freshPath(dir: String) = s"$dir/fresh"
 

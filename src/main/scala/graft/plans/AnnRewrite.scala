@@ -186,6 +186,63 @@ object AnnIndex {
     }
   }
 
+  /** Register a SELF-CONTAINED range root ([[Ann.writeRangeIndex]])
+    * for declarative rewrites, MAINTENANCE-AWARE — the
+    * [[registerDenseRoot]] recipe applied to the family where a
+    * frozen snapshot is SHARPEST: the range rewrite's entire
+    * justification is "never changes results" (the injected cell
+    * filter removes provably-empty directories only), but a frozen
+    * [[registerRange]] snapshot taken before an out-of-band
+    * [[Ann.splitOverfullCells]] keeps admitting the DISSOLVED
+    * parent's cell id — whose directory no longer exists — while the
+    * new sub-cells holding its rows are absent from the frozen list,
+    * so the "provably-empty" filter prunes live rows: silent row
+    * loss in the one rewrite documented as exact. The resolver
+    * re-reads the root's model-fingerprint marker per rewrite and
+    * re-collects centroids + radii exactly when maintenance
+    * re-pinned them (split / merge / append all re-pin or preserve
+    * it); collection cost is paid once per re-pin, never per
+    * rewrite. A torn root (pending merge) refuses at resolve time
+    * through [[Ann.loadRangeIndex]]. L2 pinned like [[registerRange]]
+    * (spherical roots store normalized columns and L2 radii — the
+    * cosine reduction happens before the plan reaches this rule). */
+  def registerRangeRoot(spark: SparkSession, dir: String,
+                        vecCol: String, owner: String = ""): Unit = {
+    Ann.loadRangeIndex(spark, dir) // refuse torn/foreign dirs at install
+    val cache = new java.util.concurrent.atomic.AtomicReference[
+      (String, Seq[(Long, Array[Double], Double)])](null)
+    val resolve: () => Seq[(Long, Array[Double], Double)] = () => {
+      val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
+      val c = cache.get()
+      if (c != null && c._1 == fp) c._2
+      else {
+        val (model, radii) = Ann.loadRangeIndex(spark, dir)
+        val rad = radii
+          .select(org.apache.spark.sql.functions.col(model.idCol)
+              .cast("long"),
+            org.apache.spark.sql.functions.col("radius").cast("double"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        val cents = model.centroids
+          .select(org.apache.spark.sql.functions.col(model.idCol)
+              .cast("long"),
+            org.apache.spark.sql.functions.col(model.vecCol)
+              .cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            rad.getOrElse(r.getLong(0), 0.0)))
+          .toSeq.sortBy(_._1)
+        cache.set((fp, cents))
+        cents
+      }
+    }
+    rangeEntries.synchronized {
+      requireFreeOrSameOwner("Range", vecCol,
+        rangeEntries.get(vecCol).map(_.owner), owner)
+      rangeEntries(vecCol) =
+        RangeEntry(vecCol, "centroid_id", Ann.L2, resolve, owner)
+    }
+  }
+
   def unregisterRange(vecCol: String): Unit = rangeEntries.remove(vecCol)
   private[plans] def lookupRange(vecCol: String): Option[RangeEntry] =
     rangeEntries.get(vecCol)
@@ -376,16 +433,43 @@ object AnnIndex {
                                        refine: Int, owner: String = "")
       extends QuantEntry {
     def metric: Ann.Metric = Ann.L2
+    // MAINTENANCE-AWARE probe selection, the [[registerDenseRoot]]
+    // recipe: centroids are collected once per model-fingerprint
+    // re-pin (split / merge re-pin the marker), not once per rewrite
+    // (the pre-round-18 shape ran a collect JOB on every candidate
+    // plan) and never frozen at register time; a torn root (pending
+    // merge) refuses at resolve time through [[Ann.loadMrlIvfModel]].
+    private val centCache =
+      new java.util.concurrent.atomic.AtomicReference[
+        (String, Seq[(Long, Array[Double])])](null)
+    private def cents(spark: org.apache.spark.sql.SparkSession)
+        : Seq[(Long, Array[Double])] = {
+      val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
+      val c = centCache.get()
+      if (c != null && c._1 == fp) c._2
+      else {
+        import org.apache.spark.sql.functions.col
+        val model = Ann.loadMrlIvfModel(spark, dir)
+        val collected = model.centroids
+          .select(col(model.idCol).cast("long"),
+            col(model.vecCol).cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1)
+        centCache.set((fp, collected))
+        collected
+      }
+    }
     def candidateIds(q: Array[Double], n: Int) = {
       require(q.length >= dims,
         s"matryoshka-IVF rewrite: query has ${q.length} dims but the " +
           s"root's prefix is $dims — wrong embedding space")
       val spark = org.apache.spark.sql.SparkSession.active
       import org.apache.spark.sql.functions.{col, round, typedlit}
-      val model = Ann.IvfModel(
-        spark.read.parquet(s"$dir/centroids"), "centroid_id", "centroid")
-      val cells = Ann.probeCells(model, typedlit(q.toSeq), Ann.L2,
-        probes).collect().map(_.getLong(0))
+      // (dist, id) tuple sort = probeCells' (__qdist asc, id asc)
+      val cells = cents(spark)
+        .map { case (id, c) => (Ann.L2.distScala(c, q), id) }
+        .sorted.take(probes).map(_._2)
       spark.read.parquet(s"$dir/rows")
         .filter(col("centroid_id").isin(cells: _*))
         .select(col(idCol),
@@ -474,6 +558,68 @@ object AnnIndex {
         quantEntries.get(vecCol).map(_.owner), owner)
       quantEntries(vecCol) =
         PqQuant(resolve, idCol, metric, probes, refine, owner)
+    }
+  }
+
+  /** A resolver that re-runs `load` only when the root's pinned model
+    * FINGERPRINT changed — the [[registerDenseRoot]] cache, factored
+    * for the quantized loaders: maintenance (split / merge) re-pins
+    * the marker, so the loaded artifacts follow it with no
+    * re-install; between re-pins the rewrite pays one marker read,
+    * never an artifact reload. */
+  private def fingerprintCached[A](spark: SparkSession, dir: String)
+                                  (load: => A): () => A = {
+    val cache = new java.util.concurrent.atomic.AtomicReference[
+      (String, A)](null)
+    () => {
+      val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
+      val c = cache.get()
+      if (c != null && c._1 == fp) c._2
+      else {
+        val v = load
+        cache.set((fp, v))
+        v
+      }
+    }
+  }
+
+  /** Register a STORED quantized root for declarative rewrite,
+    * MAINTENANCE-AWARE — the family member of [[registerDenseRoot]]'s
+    * recipe for SQ / PQ / 1-bit layouts: the family and metric come
+    * from the root's own geometry marker
+    * ([[Ann.quantizedRootFamily]] — spherical roots serve cosine
+    * plans, the build's own contract), and the resolver re-loads the
+    * index artifacts keyed by the pinned model fingerprint, so an
+    * out-of-band [[Ann.splitOverfullCellsQuantized]] /
+    * [[Ann.mergeUnderfullCellsQuantized]] reaches declarative probe
+    * selection with no re-install — where the frozen
+    * [[registerQuantized]](index) form keeps scanning the
+    * install-time FILE LISTING: after a split, the dissolved
+    * parent's files are gone (the probed scan dies on
+    * FileNotFound at best) and the sub-cells holding its rows are
+    * invisible at worst. A torn root (pending merge) refuses at
+    * resolve time through the family's loader. `refine <= 0` = the
+    * family default (5; 1-bit [[Ann.defaultBitqRefine]]). */
+  def registerQuantizedRoot(spark: SparkSession, dir: String,
+                            vecCol: String, idCol: String, probes: Int,
+                            refine: Int = -1,
+                            owner: String = ""): Unit = {
+    val (family, spherical) = Ann.quantizedRootFamily(spark, dir)
+    val metric: Ann.Metric = if (spherical) Ann.Cosine else Ann.L2
+    val eff = if (refine > 0) refine else 5
+    family match {
+      case "sq" =>
+        registerQuantized(vecCol, idCol,
+          fingerprintCached(spark, dir)(Ann.loadIvfSq(spark, dir)),
+          metric, probes, eff, owner)
+      case "pq" =>
+        registerPq(vecCol, idCol,
+          fingerprintCached(spark, dir)(Ann.loadIvfPq(spark, dir)),
+          metric, probes, eff, owner)
+      case _ =>
+        registerOneBit(vecCol, idCol,
+          fingerprintCached(spark, dir)(Ann.loadIvfBitq(spark, dir)),
+          metric, probes, refine, owner) // <= 0 = defaultBitqRefine
     }
   }
 

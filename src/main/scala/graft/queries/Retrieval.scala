@@ -1981,6 +1981,346 @@ object Retrieval {
     df
   }
 
+  /** r103: MAINTENANCE-AWARE declarative rewrite over a RANGE root
+    * ([[graft.plans.AnnIndex.registerRangeRoot]]) — r101's recipe on
+    * the family where a frozen snapshot is sharpest: the range
+    * rewrite is the ONE rewrite documented as never changing results
+    * (the injected cell filter removes provably-empty directories
+    * only), but a frozen r62-style [[graft.plans.AnnIndex
+    * .registerRange]] snapshot taken before an out-of-band
+    * [[Ann.splitOverfullCells]] keeps admitting the dissolved
+    * parent's cell id — whose directory is GONE — while the live
+    * sub-cells holding its rows are absent from the frozen list:
+    * silent row LOSS, not merely recall loss. The root-backed
+    * registration resolves centroids + radii through the root's
+    * model-fingerprint marker, so the same installed plan prunes the
+    * post-split geometry with no re-install. In-gate pins: the
+    * rewrite fires post-split (PartitionFilters), and a tiny-eps
+    * declarative query AT A DISSOLVED-PARENT ROW'S OWN VECTOR
+    * returns that row (the frozen snapshot admits only the dead
+    * parent's id — an empty pruned scan). The oracled result is
+    * r62's declarative plan shape post-split — exact by the family's
+    * invariance contract, so r62's plain-SQL oracle is shared
+    * verbatim. */
+  def rangeRewriteMaintained(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_rw_maint").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerRangeRoot(s, dir, "embedding",
+      owner = "r103")
+    def declarative(q: org.apache.spark.sql.Column, eps: Double) =
+      s.read.parquet(s"$dir/rows")
+        .filter(col("label").isin(1, 3, 5) &&
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6) <= eps)
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .select("vec_id", "dist")
+    try {
+      // the pin row must pass the plan's label predicate, so pick the
+      // cell holding the most label-1/3/5 rows — and flag on that
+      // cell's TOTAL occupancy so it provably splits (assignment is
+      // argmin, not label: the globally hottest cell might hold none)
+      val hotCell = assigned.filter(col("label").isin(1, 3, 5))
+        .groupBy(col("centroid_id")).count()
+        .orderBy(col("count").desc, col("centroid_id").asc)
+        .head().getLong(0)
+      val hotTotal = assigned
+        .filter(col("centroid_id") === hotCell).count()
+      val parentRow = assigned
+        .filter(col("centroid_id") === hotCell &&
+          col("label").isin(1, 3, 5))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      val splits = Ann.splitOverfullCells(s, dir, "embedding",
+        math.max(1L, hotTotal - 1))
+      require(splits.contains(hotCell),
+        s"r103 vacuous: hottest label-filtered cell $hotCell did not " +
+          s"split (got ${splits.keySet})")
+      // freshness pin: a self-query whose ball only the parent's OLD
+      // cell could admit — the frozen snapshot prunes the live
+      // sub-cell directory and silently loses the row
+      val near = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq), 1e-4)
+        .localCheckpoint(true)
+      require(near.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r103: post-split declarative range query lost the dissolved " +
+          "parent's row — the registration resolved a STALE geometry")
+      // oracled read: r62's plan shape over the split root (exact —
+      // the rewrite's invariance contract survives maintenance)
+      val df = declarative(qvec(s, d, 9), 1.3)
+      val phys = df.queryExecution.executedPlan.toString
+      assertPartitionPruned(phys, "centroid_id",
+        "maintained declarative range")
+      df.localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterRange("embedding")
+  }
+
+  /** r104: the r66 INDEX-HEALTH signal on a QUANTIZED root
+    * ([[Ann.indexHealthQuantized]]) — the last signal-less family
+    * (range r66, dense r100, composed r102): per cell, row count and
+    * mean DEQUANTIZED distance to the centroid — the main layout
+    * stores codes, not vectors, so the audit measures what the index
+    * itself can know, through the same asymmetric expression the
+    * search scan runs with the CENTROID as the query. The oracle
+    * replays the r12 dequantization CTEs (label-mean centroids,
+    * argmin assignment, per-cell min/max bounds, 0..255 codes) and
+    * takes each code's reconstruction distance to its own centroid
+    * from first principles. The payload-pruning pin (vec_id /
+    * embedding / label never read by the codes scan) is asserted
+    * in-gate, r100's discipline. */
+  def quantizedIndexHealth(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_health").toString
+    Ann.writeIvfSq(index, dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    val df = Ann.indexHealthQuantized(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("embedding") && !phys.contains("label"),
+      s"quantized health audit must not read payload columns:\n$phys")
+    df
+  }
+
+  /** r105: MAINTENANCE-AWARE declarative rewrite over a QUANTIZED
+    * root ([[graft.plans.AnnIndex.registerQuantizedRoot]]) — r101's
+    * recipe for the SQ/PQ/1-bit family: the frozen r16-style
+    * [[graft.plans.AnnIndex.registerQuantized]](index) form holds
+    * the INSTALL-TIME FILE LISTING, so after an out-of-band
+    * [[Ann.splitOverfullCellsQuantized]] the dissolved parent's
+    * files are gone (the probed scan dies on FileNotFound at best,
+    * serves stale bytes at worst); the root-backed registration
+    * re-loads the index artifacts keyed by the model-fingerprint
+    * marker, so the same installed plan probes the post-split
+    * geometry with no re-install. In-gate pins: LeftSemi fires, and
+    * a probes=1 declarative query AT A DISSOLVED-PARENT ROW'S OWN
+    * VECTOR returns that row. The oracled read is the all-probe
+    * declarative plan: split inheritance keeps codes AND bounds
+    * bit-identical, so the all-probe phase-1 cut equals the
+    * pre-split one and the r12-style SQ replay (probes dropped)
+    * lands verbatim. */
+  def quantizedRewriteMaintained(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_rw_maint").toString
+    Ann.writeIvfSq(index, dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = false)
+    graft.plans.AnnIndex.install(s)
+    def reg(probes: Int): Unit =
+      graft.plans.AnnIndex.registerQuantizedRoot(s, dir, "embedding",
+        "vec_id", probes = probes, refine = 5, owner = "r105")
+    def declarative(q: org.apache.spark.sql.Column) = {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString
+          .contains("LeftSemi"),
+        "r105: quantized rewrite did not engage")
+      df
+    }
+    try {
+      reg(4096)
+      val quant = index.quantized
+      val maxOcc = quant.groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val hotCell = quant.groupBy(col("centroid_id")).count()
+        .orderBy(col("count").desc, col("centroid_id").asc)
+        .head().getLong(0)
+      val parentRow = quant
+        .filter(col("centroid_id") === hotCell)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      val splits = Ann.splitOverfullCellsQuantized(s, dir, "embedding",
+        math.max(1L, maxOcc - 1))
+      require(splits.contains(hotCell),
+        s"r105 vacuous: hottest cell $hotCell did not split " +
+          s"(got ${splits.keySet})")
+      // freshness pin: probes=1 at the dissolved parent's own row —
+      // the frozen file listing has no sub-cell files to scan
+      reg(1)
+      val near = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq))
+        .localCheckpoint(true)
+      require(near.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r105: probes=1 declarative query after the split missed the " +
+          "dissolved parent's row — the registration resolved a " +
+          "STALE index")
+      // oracled read: all probes — split-invariant by code/bounds
+      // inheritance
+      reg(4096)
+      declarative(qvec(s, d, 11)).localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
+  /** r106: MAINTENANCE-AWARE declarative rewrite over the COMPOSED
+    * matryoshka-IVF root — the round's recipe completing the
+    * declarative-registration matrix (dense r101, range r103,
+    * quantized r105): [[graft.plans.AnnIndex.registerMatryoshkaIvf]]
+    * now resolves centroids through a fingerprint-keyed cache
+    * (collected once per maintenance re-pin, not once per rewrite —
+    * and refusing torn roots through [[Ann.loadMrlIvfModel]]), so an
+    * out-of-band [[Ann.splitOverfullCellsMrlIvf]] reaches
+    * declarative probe selection with no re-install. In-gate pins:
+    * LeftSemi fires, and a probes=1 declarative query at a
+    * dissolved-parent row's own vector returns that row (a frozen
+    * centroid snapshot would probe the dead parent's empty
+    * directory). The oracled read is the all-probe declarative plan:
+    * at all-probe the composed cut equals the FLAT prefix cut (r91's
+    * argument), so r74's plain matryoshka oracle lands verbatim. */
+  def mrlIvfRewriteMaintained(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mrl_rw_maint").toString
+    Ann.writeMatryoshkaIvf(e, "vec_id", "embedding", dims = 8, model,
+      dir)
+    graft.plans.AnnIndex.install(s)
+    def reg(probes: Int): Unit =
+      graft.plans.AnnIndex.registerMatryoshkaIvf("embedding", "vec_id",
+        dir, probes = probes, refine = 5, owner = "r106")
+    def declarative(q: org.apache.spark.sql.Column) = {
+      val df = e
+        .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+          .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      require(df.queryExecution.optimizedPlan.toString
+          .contains("LeftSemi"),
+        "r106: composed rewrite did not engage")
+      df
+    }
+    try {
+      reg(4096)
+      val rows0 = s.read.parquet(s"$dir/rows")
+      val maxOcc = rows0.groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val hotCell = rows0.groupBy(col("centroid_id").cast("long")
+          .as("cid")).count()
+        .orderBy(col("count").desc, col("cid").asc)
+        .head().getLong(0)
+      val parentRow = rows0
+        .filter(col("centroid_id").cast("long") === hotCell)
+        .select(col("vec_id"), col("emb_full").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      val splits = Ann.splitOverfullCellsMrlIvf(s, dir,
+        math.max(1L, maxOcc - 1))
+      require(splits.contains(hotCell),
+        s"r106 vacuous: hottest cell $hotCell did not split " +
+          s"(got ${splits.keySet})")
+      // freshness pin: probes=1 at the dissolved parent's own row
+      reg(1)
+      val near = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq))
+        .localCheckpoint(true)
+      require(near.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r106: probes=1 declarative query after the split missed the " +
+          "dissolved parent's row — the registration resolved a " +
+          "STALE geometry")
+      // oracled read: all probes = the flat prefix cut (r91)
+      reg(4096)
+      declarative(qvec(s, d, 3)).localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterQuantized("embedding")
+  }
+
+  final case class EmbT(vec_id: Long, embedding: Seq[Double],
+                        label: Long)
+  private implicit val embTEnc: org.apache.spark.sql.Encoder[EmbT] =
+    org.apache.spark.sql.Encoders.product[EmbT]
+
+  /** r107: the ENGINE health seat ([[graft.core.Engine
+    * .indexHealthFor]]) — the read side of the maintenance triad,
+    * exercised over TWO families in one run: the actuator seats
+    * dispatch split/merge by the root's own marker precisely so an
+    * operator need not know the family, but the SIGNALS that justify
+    * pulling them still had to be matched to the root by hand. One
+    * call against a RANGE root (L2) and one against a DENSE root
+    * (cosine) must land on each family's own audit (r66's / r100's
+    * numbers — the shared-column projection of both, tagged and
+    * unioned; the oracle is the two first-principles replays
+    * unioned). */
+  def engineIndexHealth(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft_eng_health_r").toString
+    Ann.writeRangeIndex(Ann.assign(e, "embedding", model, Ann.L2),
+      "embedding", model, dirR)
+    val dirD = java.nio.file.Files
+      .createTempDirectory("graft_eng_health_d").toString
+    Ann.writeDenseRoot(Ann.assign(e, "embedding", model, Ann.Cosine),
+      "embedding", model, Ann.Cosine, dirD)
+    val reg = new graft.core.Registry(s, java.nio.file.Files
+      .createTempDirectory("graft_eng_health").toString)
+    val td = graft.core.Spec.TableDef[EmbT]("emb",
+      primaryKey = Some("vec_id"),
+      indexes = Seq(graft.core.Spec.VectorIndex("embedding")))
+    val eng = new graft.core.Engine(reg)
+    def arm(dir: String, family: String) =
+      eng.indexHealthFor(td, dir)
+        .select(col("centroid_id"), col("n_rows"), col("mean_dist"))
+        .withColumn("family", lit(family))
+    arm(dirR, "range").unionByName(arm(dirD, "dense"))
+      .orderBy(col("family").asc, col("centroid_id").asc)
+  }
+
+  /** r108: the STORED cosine per-eps range join FILTERED — r96's
+    * workload under r97's metadata predicate, closing the last cell
+    * of the range-join matrix (stored × cosine × pred): `pred`
+    * reaches the SAME pruned scan as the admitted-cells isin
+    * (PushedFilters beside PartitionFilters, asserted in-operator),
+    * so disallowed docs never consume candidate generation. EXACT
+    * per query; the oracle is r94's index-free cosine scan with the
+    * predicate as one extra conjunct on the doc side, and the
+    * in-gate no-leak pin catches a placement that merely
+    * post-filters pairs only if it LEAKS — the hash catches
+    * everything else. */
+  def rangeJoinPerEpsCosStoredFiltered(s: SparkSession,
+                                       d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val withN = e.withColumn("__nvec", Ann.l2Normalize(col("embedding")))
+    val model = Ann.normalizeModel(Ann.buildIvf(withN, "label", "__nvec"))
+    val assigned = Ann.assign(withN, "__nvec", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rjoin_cos_stored_f").toString
+    Ann.writeRangeIndex(assigned, "__nvec", model, dir)
+    val queries = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        (lit(0.65) + (col("vec_id") % 3).cast("double") * lit(0.05))
+          .as("eps"))
+    val df = Ann.rangeJoinIvfStoredCos(s, dir, queries, "q_id", "qv",
+        "eps", "vec_id", "embedding",
+        pred = col("label") % 2 === 1)
+      .filter(col("q_id") < col("vec_id"))
+      .select(col("q_id").as("qid"), col("vec_id").as("did"),
+        (col("dist") + lit(0.0)).as("dist"))
+      .localCheckpoint(true)
+    val leaked = df.join(
+        e.filter(col("label") % 2 =!= 1)
+          .select(col("vec_id").as("did")), Seq("did"), "left_semi")
+      .count()
+    require(leaked == 0L, s"r108: $leaked disallowed docs leaked " +
+      "through the stored cosine range-join predicate")
+    df
+  }
+
   /** r58: FILTERED keyword search — BM25 top-k under a metadata
     * predicate (`lang = 'en'`), the keyword member of the filtered
     * family (r51-r54 dense): corpus statistics stay WHOLE-corpus (a
@@ -2960,6 +3300,13 @@ object Retrieval {
     "r100_dense_index_health" -> denseIndexHealth,
     "r101_dense_rewrite" -> denseRewrite,
     "r102_mrl_ivf_index_health" -> mrlIvfIndexHealth,
+    "r103_range_rewrite_maintained" -> rangeRewriteMaintained,
+    "r104_quantized_index_health" -> quantizedIndexHealth,
+    "r105_quantized_rewrite_maintained" -> quantizedRewriteMaintained,
+    "r106_mrl_ivf_rewrite_maintained" -> mrlIvfRewriteMaintained,
+    "r107_engine_index_health" -> engineIndexHealth,
+    "r108_range_join_cos_stored_filtered" ->
+      rangeJoinPerEpsCosStoredFiltered,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -3328,6 +3675,14 @@ object Retrieval {
     * bounds/codes stay the PRE-delete ones (codes were built against
     * them — exactly the stored layout's post-delete state). */
   private def ivfSqOracle(candFilter: String): String =
+    ivfSqOracleW(candFilter, probed = true)
+
+  /** [[ivfSqOracle]] with the probe cut optional: `probed = false` is
+    * the ALL-PROBE replay (r105 — probes >= every cell, so the
+    * phase-1 cut ranks the whole codes table; split inheritance keeps
+    * codes and bounds bit-identical, which is what makes one oracle
+    * exact across out-of-band splits). */
+  private def ivfSqOracleW(candFilter: String, probed: Boolean): String =
     s"""WITH dims AS (
           SELECT CAST(label AS BIGINT) AS centroid_id, pos,
                  round(avg(CAST(x AS DOUBLE)), 5) AS c
@@ -3348,8 +3703,9 @@ object Retrieval {
         q AS (SELECT $qv11 AS qv),
         probes AS (
           SELECT centroid_id FROM cents CROSS JOIN q
-          ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC
-          LIMIT 3),
+          ${if (probed)
+      "ORDER BY list_distance(centroid, q.qv) ASC, centroid_id ASC LIMIT 3"
+    else ""}),
         mm AS (
           SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
           FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
@@ -4192,19 +4548,26 @@ object Retrieval {
         round(list_distance(embedding::DOUBLE[], $qv0), 6) AS dist
         FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
-  /** The r94/r96 oracle — the cosine twin of [[PerEpsRangeOracleSql]]
-    * (each query row's own eps; + 0 normalizes DuckDB's IEEE −0.0). */
-  private lazy val PerEpsCosRangeOracleSql: String =
+  /** The r94/r96/r108 oracle — the cosine twin of
+    * [[PerEpsRangeOracleSql]] (each query row's own eps; + 0
+    * normalizes DuckDB's IEEE −0.0). `andPred` ("" = unfiltered) is
+    * r108's metadata predicate as one extra conjunct on the DOC side
+    * — the operator's placement (thin inside the pruned scan) is
+    * IO-shape, not semantics. */
+  private def perEpsCosRangeOracleSqlW(andPred: String): String =
     s"""SELECT a.vec_id AS qid, b.vec_id AS did,
                round(${cosDistSql("a.embedding::DOUBLE[]",
                                   "b.embedding::DOUBLE[]")}, 6) + 0
                  AS dist
         FROM embeddings a, embeddings b
-        WHERE a.vec_id < 40 AND a.vec_id < b.vec_id
+        WHERE a.vec_id < 40 AND a.vec_id < b.vec_id$andPred
           AND round(${cosDistSql("a.embedding::DOUBLE[]",
                                  "b.embedding::DOUBLE[]")}, 6)
               <= 0.65 + CAST(a.vec_id % 3 AS DOUBLE) * 0.05
         ORDER BY qid ASC, dist ASC, did ASC"""
+
+  private lazy val PerEpsCosRangeOracleSql: String =
+    perEpsCosRangeOracleSqlW("")
 
   /** r33's DuckDB replay — the batch maxsim two-phase from first
     * principles (frozen-mean cells, per-query cosine probes, phase-1
@@ -4962,6 +5325,110 @@ object Retrieval {
                  count(*) AS n_rows,
                  round(avg(d), 6) AS mean_dist
           FROM ad GROUP BY 1 ORDER BY 1""",
+    // r103: the maintained declarative range plan must still
+    // reproduce the plain threshold scan AFTER an out-of-band split —
+    // the rewrite is EXACT by contract and the family's split is an
+    // invariance, so r62's oracle is shared verbatim.
+    "r103_range_rewrite_maintained" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
+          ORDER BY dist ASC, vec_id ASC""",
+    // r104: the quantized health audit from first principles — the
+    // r12 dequantization CTEs (label-mean centroids, L2 argmin
+    // assignment, per-cell min/max bounds, 0..255 codes), then each
+    // code's RECONSTRUCTION distance to its own centroid (per-row
+    // rounded, per-cell count + re-rounded mean — r66's aggregate
+    // over the dequantized geometry).
+    "r104_quantized_index_health" ->
+      s"""WITH $LabelIvfCtes,
+          mm AS (
+            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT centroid_id, unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)
+            GROUP BY 1, 2),
+          bounds AS (
+            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                   list(mx ORDER BY pos) AS maxs
+            FROM mm GROUP BY 1),
+          codes AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.embedding)), i ->
+                CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (a.embedding[i+1]::DOUBLE - b.mins[i+1]) /
+                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM assigned a JOIN bounds b USING (centroid_id)),
+          hd AS (
+            SELECT c.centroid_id,
+              round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+                (ct.centroid[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1]))) *
+                (ct.centroid[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1])))))), 6) AS d
+            FROM codes c
+            JOIN bounds b USING (centroid_id)
+            JOIN cents ct USING (centroid_id))
+          SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+                 count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM hd GROUP BY 1 ORDER BY 1""",
+    // r105: at all-probe the quantized two-phase is split-invariant
+    // (sub-cells inherit their parent's bounds and codes verbatim),
+    // so the post-split declarative read lands on the r12 replay with
+    // the probe cut dropped.
+    "r105_quantized_rewrite_maintained" ->
+      ivfSqOracleW("", probed = false),
+    // r106: at all-probe the composed cut equals the FLAT prefix cut
+    // (r91's argument) and the rewritten plan computes only the final
+    // distance — r74's oracle verbatim, split boundaries invisible.
+    "r106_mrl_ivf_rewrite_maintained" -> MatryoshkaRewriteOracleSql,
+    // r107: the engine health seat must land each root on ITS OWN
+    // family's audit — the range arm is r66's replay (minus the
+    // radius column the shared projection drops), the dense arm is
+    // r100's cosine replay, tagged and unioned.
+    "r107_engine_index_health" ->
+      s"""WITH $LabelIvfCtes,
+          adr AS (
+            SELECT a.centroid_id,
+                   round(list_distance(a.embedding::DOUBLE[],
+                                       c.centroid), 6) AS d
+            FROM assigned a JOIN cents c USING (centroid_id)),
+          assigned_cos AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosDistSql("e.embedding::DOUBLE[]",
+                                             "c.centroid")} ASC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          add_ AS (
+            SELECT a.centroid_id,
+                   round(${cosDistSql("a.embedding::DOUBLE[]",
+                                      "c.centroid")}, 6) AS d
+            FROM assigned_cos a JOIN cents c USING (centroid_id)),
+          uni AS (
+            SELECT 'range' AS family, CAST(centroid_id AS INTEGER)
+                     AS centroid_id,
+                   count(*) AS n_rows, round(avg(d), 6) AS mean_dist
+            FROM adr GROUP BY 2
+            UNION ALL
+            SELECT 'dense' AS family, CAST(centroid_id AS INTEGER)
+                     AS centroid_id,
+                   count(*) AS n_rows, round(avg(d), 6) AS mean_dist
+            FROM add_ GROUP BY 2)
+          SELECT centroid_id, n_rows, mean_dist, family FROM uni
+          ORDER BY family ASC, centroid_id ASC""",
+    // r108: the stored+filtered cosine join is EXACT per query, so
+    // the oracle is r94's index-free cosine scan with the predicate
+    // as one extra conjunct on the doc side.
+    "r108_range_join_cos_stored_filtered" ->
+      perEpsCosRangeOracleSqlW(" AND b.label % 2 = 1"),
     // r99: the dense merge's truth is the post-delete exact top-10
     // over the label-IVF assignment replay (r90's delete folded in).
     "r99_dense_cell_merge" ->
