@@ -1273,6 +1273,65 @@ object ScaleSmoke {
       }
     }
 
+    // Streamed QUANTIZED-FRESH cadence at 16× — the dense row's
+    // sibling for the family whose per-batch path is genuinely
+    // different machinery (two-layout existence probe, raw fresh
+    // append, ratio-triggered compaction encode, split on the
+    // compacted root); the maxsim cadence needs no row of its own
+    // (it IS the dense seat plus one map-only mean transform).
+    // Build untimed; ratio 0 compacts every batch on purpose —
+    // the worst-case cadence s32 runs at gate scale.
+    if (only.forall(_.exists("stream_quantized_append".startsWith))) {
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val sqModel = ops.Ann.buildIvfKMeans(vecs, "embedding", k = 8,
+        iters = 2)
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+      val sqIdx = ops.Ann.buildIvfSq(even, "embedding", sqModel,
+        ops.Ann.L2)
+      val sqDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sqstream").toString
+      ops.Ann.writeIvfSq(sqIdx, sqDir)
+      ops.Ann.ensureIvfSqRoot(spark, sqDir, sqIdx, spherical = false)
+      val maxOcc = ops.Ann.assign(vecs, "embedding", sqModel, ops.Ann.L2)
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val odd = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>"), col("label"))
+        .as[(Long, Seq[Double], Int)].collect().toSeq.sortBy(_._1)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sqstream_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Double], Int)]
+      val q = graft.streaming.Stream.ingestQuantizedFreshAppend(
+        input.toDF().toDF("vec_id", "embedding", "label"), "vec_id",
+        "embedding", sqDir, ckpt, compactRatio = Some(0.0),
+        splitMaxRows = Some(math.max(1L, maxOcc - 1)))
+      try {
+        time("stream_quantized_append") {
+          val batches = 4
+          (0 until batches).foreach { b =>
+            input.addData(odd.slice(b * odd.length / batches,
+              (b + 1) * odd.length / batches): _*)
+            q.processAllAvailable()
+          }
+          odd.length.toLong
+        }
+      } finally q.stop()
+      locally { // untimed: policy fired + row conservation
+        val cellsNow = spark.read.parquet(s"$sqDir/centroids").count()
+        require(cellsNow > 8L,
+          s"16x streamed quantized split never fired ($cellsNow of 8)")
+        val n = spark.read.parquet(s"$sqDir/quantized").count()
+        require(n == nVecs * xf,
+          s"streamed quantized cadence lost rows: $n vs ${nVecs * xf}")
+      }
+    }
+
     // DSIR at 16×: feature extraction map-only from the scan; both
     // distributions collapse to ≤ buckets rows (asserted — the join's
     // build side is bucket-sized at ANY corpus scale); one per-doc sum

@@ -2092,6 +2092,80 @@ object Retrieval {
     df
   }
 
+  /** r109: [[quantizedIndexHealth]]'s SPHERICAL arm — a cosine SQ
+    * root's codes and stored centroids both live on the unit sphere
+    * (the spherical-centroids build), so the audit's dequantized
+    * distance is L2 THERE: normalized label-mean centroids, argmin
+    * and bounds and codes all in the normalized space, each code's
+    * reconstruction distance to its own UNIT centroid. Closes the
+    * health audit's metric matrix (r104 gated L2 only; the geometry
+    * dispatch was code-live but unpinned). Same payload-pruning pin. */
+  def quantizedIndexHealthCos(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfSq(e, "embedding", model, Ann.Cosine)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_health_cos").toString
+    Ann.writeIvfSq(index, dir)
+    Ann.ensureIvfSqRoot(s, dir, index, spherical = true)
+    val df = Ann.indexHealthQuantized(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("embedding") && !phys.contains("label"),
+      s"spherical quantized health audit read payload columns:\n$phys")
+    df
+  }
+
+  /** r110: [[quantizedIndexHealth]]'s PQ arm — the audit reconstructs
+    * each row from the codebooks ([[Ann.pqReconstructCol]]) and
+    * measures L2 to its cell centroid; the oracle replays r38's
+    * codebook construction (per-(cell, subspace) mean slices,
+    * positional argmin codes) and takes each code's reconstruction
+    * distance to the CENTROID'S OWN SLICES from first principles —
+    * with the PQ family the only quantizer whose dequantized geometry
+    * is piecewise (m sub-vectors), this pins the slice assembly, not
+    * just the aggregate. Same payload-pruned-scan pin. */
+  def quantizedIndexHealthPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfPq(e, "embedding", model, m = 8, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_health_g").toString
+    Ann.writeIvfPq(index, dir)
+    val df = Ann.indexHealthQuantized(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("embedding") && !phys.contains("label"),
+      s"PQ health audit read payload columns:\n$phys")
+    df
+  }
+
+  /** r111: [[quantizedIndexHealth]]'s 1-BIT arm — the family needs no
+    * reconstruction at all: a sign-code row's dequantized vector is
+    * centroid + r̂ with ‖r̂‖ = the stored `rnorm`, so the mean
+    * dequantized distance IS the mean residual norm — which equals
+    * the mean distance-to-centroid the dense audit measures. The
+    * oracle is therefore r66's assignment replay minus the radius
+    * column: the audit reads ONE stored double per row where every
+    * other family computes, and the gate pins that the numbers agree
+    * with the from-scratch geometry. */
+  def quantizedIndexHealthBitq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val index = Ann.buildIvfBitq(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bitq_health_g").toString
+    Ann.writeIvfBitq(index, dir)
+    Ann.ensureIvfBitqRoot(s, dir, model, spherical = false)
+    val df = Ann.indexHealthQuantized(s, dir).orderBy("centroid_id")
+    val phys = df.queryExecution.executedPlan.toString
+    require(phys.contains("ReadSchema") && !phys.contains("vec_id") &&
+        !phys.contains("embedding") && !phys.contains("label") &&
+        !phys.contains("bits"),
+      s"1-bit health audit must read rnorm + cell only:\n$phys")
+    df
+  }
+
   /** r105: MAINTENANCE-AWARE declarative rewrite over a QUANTIZED
     * root ([[graft.plans.AnnIndex.registerQuantizedRoot]]) — r101's
     * recipe for the SQ/PQ/1-bit family: the frozen r16-style
@@ -3307,6 +3381,9 @@ object Retrieval {
     "r107_engine_index_health" -> engineIndexHealth,
     "r108_range_join_cos_stored_filtered" ->
       rangeJoinPerEpsCosStoredFiltered,
+    "r109_quantized_index_health_cos" -> quantizedIndexHealthCos,
+    "r110_quantized_index_health_pq" -> quantizedIndexHealthPq,
+    "r111_quantized_index_health_bitq" -> quantizedIndexHealthBitq,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -5378,6 +5455,138 @@ object Retrieval {
                  count(*) AS n_rows,
                  round(avg(d), 6) AS mean_dist
           FROM hd GROUP BY 1 ORDER BY 1""",
+    // r109: the spherical health replay — normalized label-mean
+    // centroids, unit-sphere argmin/bounds/codes (the r17 cosine SQ
+    // CTEs), each code's reconstruction distance to its UNIT centroid.
+    "r109_quantized_index_health_cos" ->
+      s"""WITH dims AS (
+            SELECT CAST(label AS BIGINT) AS centroid_id, pos,
+                   round(avg(CAST(x AS DOUBLE)), 5) AS c
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY 1, 2),
+          cents0 AS (
+            SELECT centroid_id, list(c ORDER BY pos) AS centroid
+            FROM dims GROUP BY 1),
+          cents AS (
+            SELECT centroid_id,
+                   list_transform(centroid, x ->
+                     x / sqrt(list_inner_product(centroid, centroid)))
+                     AS centroid
+            FROM cents0),
+          nv AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x ->
+                     x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])))
+                     AS nvec
+            FROM embeddings),
+          assigned AS (
+            SELECT vec_id, nvec, centroid_id FROM (
+              SELECT n.vec_id, n.nvec, c.centroid_id,
+                     row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_distance(n.nvec, c.centroid) ASC,
+                                c.centroid_id ASC) AS rn
+              FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+          mm AS (
+            SELECT centroid_id, pos, min(x) AS mn, max(x) AS mx
+            FROM (SELECT centroid_id, unnest(nvec) AS x,
+                         unnest(range(len(nvec))) AS pos
+                  FROM assigned)
+            GROUP BY 1, 2),
+          bounds AS (
+            SELECT centroid_id, list(mn ORDER BY pos) AS mins,
+                   list(mx ORDER BY pos) AS maxs
+            FROM mm GROUP BY 1),
+          codes AS (
+            SELECT a.vec_id, a.centroid_id,
+              list_transform(range(len(a.nvec)), i ->
+                CASE WHEN b.maxs[i+1] > b.mins[i+1]
+                  THEN CAST(least(greatest(round(
+                    (a.nvec[i+1] - b.mins[i+1]) /
+                    (b.maxs[i+1] - b.mins[i+1]) * 255.0, 0), 0.0), 255.0)
+                    AS INTEGER)
+                  ELSE 0 END) AS codes
+            FROM assigned a JOIN bounds b USING (centroid_id)),
+          hd AS (
+            SELECT c.centroid_id,
+              round(sqrt(list_sum(list_transform(range(len(c.codes)), i ->
+                (ct.centroid[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1]))) *
+                (ct.centroid[i+1] - (b.mins[i+1] + c.codes[i+1] / 255.0 *
+                   (b.maxs[i+1] - b.mins[i+1])))))), 6) AS d
+            FROM codes c
+            JOIN bounds b USING (centroid_id)
+            JOIN cents ct USING (centroid_id))
+          SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+                 count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM hd GROUP BY 1 ORDER BY 1""",
+    // r110: the PQ health replay — r38's codebook CTEs (per-(cell,
+    // subspace) mean slices, positional argmin codes), each code's
+    // reconstruction distance to its cell centroid's OWN slices.
+    "r110_quantized_index_health_pq" ->
+      s"""WITH $LabelIvfCtes,
+          asub AS (
+            SELECT vec_id, centroid_id,
+                   CAST(pos AS INTEGER) // 8 AS s, pos, x
+            FROM (SELECT vec_id, centroid_id,
+                         unnest(embedding::DOUBLE[]) AS x,
+                         unnest(range(len(embedding))) AS pos
+                  FROM assigned)),
+          cbdim AS (
+            SELECT centroid_id AS cid, s, pos, round(avg(x), 5) AS c
+            FROM asub GROUP BY 1, 2, 3),
+          cb AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent,
+                   CAST(row_number() OVER (PARTITION BY s
+                     ORDER BY cid ASC) - 1 AS INTEGER) AS code
+            FROM cbdim GROUP BY s, cid),
+          docsub AS (
+            SELECT vec_id, s, list(x ORDER BY pos) AS sv
+            FROM asub GROUP BY 1, 2),
+          codes AS (
+            SELECT vec_id, s, code FROM (
+              SELECT d.vec_id, d.s, cb.code,
+                     row_number() OVER (PARTITION BY d.vec_id, d.s
+                       ORDER BY list_distance(d.sv, cb.cent) ASC,
+                                cb.cid ASC) AS rn
+              FROM docsub d JOIN cb USING (s)) WHERE rn = 1),
+          csub AS (
+            SELECT centroid_id, CAST(pos AS INTEGER) // 8 AS s,
+                   list(c ORDER BY pos) AS cv
+            FROM dims GROUP BY 1, 2),
+          hd AS (
+            SELECT c.vec_id, a.centroid_id,
+                   round(sqrt(sum(list_sum(list_transform(
+                     range(len(cs.cv)), i ->
+                       (cs.cv[i+1] - cb.cent[i+1]) *
+                       (cs.cv[i+1] - cb.cent[i+1]))))), 6) AS d
+            FROM codes c
+            JOIN assigned a USING (vec_id)
+            JOIN cb ON cb.s = c.s AND cb.code = c.code
+            JOIN csub cs ON cs.centroid_id = a.centroid_id
+                        AND cs.s = c.s
+            GROUP BY 1, 2)
+          SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+                 count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM hd GROUP BY 1 ORDER BY 1""",
+    // r111: the 1-bit health truth is the assignment geometry itself
+    // (mean residual norm = mean distance to centroid) — r66's replay
+    // minus the radius column.
+    "r111_quantized_index_health_bitq" ->
+      s"""WITH $LabelIvfCtes,
+          ad AS (
+            SELECT a.centroid_id,
+                   round(list_distance(a.embedding::DOUBLE[],
+                                       c.centroid), 6) AS d
+            FROM assigned a JOIN cents c USING (centroid_id))
+          SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+                 count(*) AS n_rows,
+                 round(avg(d), 6) AS mean_dist
+          FROM ad GROUP BY 1 ORDER BY 1""",
     // r105: at all-probe the quantized two-phase is split-invariant
     // (sub-cells inherit their parent's bounds and codes verbatim),
     // so the post-split declarative read lands on the r12 replay with

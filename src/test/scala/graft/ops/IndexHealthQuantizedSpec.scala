@@ -137,6 +137,29 @@ class IndexHealthQuantizedSpec extends SparkSpecBase {
       eng.indexHealthFor(td, bogus)
     }
     assert(err.getMessage.contains("none of the maintainable"))
+
+    // the other three families land on their own audits too (the
+    // range+dense pair is oracle-gated at r107; composed is seat-only)
+    val assigned = Ann.assign(df, "embedding", model, Ann.L2)
+    val rDir = tmp("graft_seat_range")
+    Ann.writeRangeIndex(assigned, "embedding", model, rDir)
+    assert(eng.indexHealthFor(td, rDir).orderBy("centroid_id")
+        .collect().toSeq ==
+      Ann.indexHealth(sp, rDir, "embedding").orderBy("centroid_id")
+        .collect().toSeq)
+    val dDir = tmp("graft_seat_dense")
+    Ann.writeDenseRoot(assigned, "embedding", model, Ann.L2, dDir)
+    assert(eng.indexHealthFor(td, dDir).orderBy("centroid_id")
+        .collect().toSeq ==
+      Ann.indexHealthDense(sp, dDir).orderBy("centroid_id")
+        .collect().toSeq)
+    val mDir = tmp("graft_seat_mrl")
+    Ann.writeMatryoshkaIvf(df, "vec_id", "embedding", dims = 4, model,
+      mDir)
+    assert(eng.indexHealthFor(td, mDir).orderBy("centroid_id")
+        .collect().toSeq ==
+      Ann.indexHealthMrlIvf(sp, mDir).orderBy("centroid_id")
+        .collect().toSeq)
   }
 
   test("registerQuantizedRoot dispatches PQ and 1-bit by marker and " +
