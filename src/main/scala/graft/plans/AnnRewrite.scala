@@ -200,40 +200,50 @@ object AnnIndex {
     * loss in the one rewrite documented as exact. The resolver
     * re-reads the root's model-fingerprint marker per rewrite and
     * re-collects centroids + radii exactly when maintenance
-    * re-pinned them (split / merge / append all re-pin or preserve
-    * it); collection cost is paid once per re-pin, never per
-    * rewrite. A torn root (pending merge) refuses at resolve time
-    * through [[Ann.loadRangeIndex]]. L2 pinned like [[registerRange]]
+    * re-pinned them (split / merge). The RADII are re-collected at
+    * EVERY resolve, never cached: [[Ann.appendRangeIndex]] and the
+    * delete path grow/shrink a cell's stored radius WITHOUT a model
+    * re-pin (the model didn't change), and a radius served stale is
+    * the exact failure the rewrite must never have — a row appended
+    * beyond its cell's cached radius would sit within eps of a query
+    * whose admitted-cells cut prunes its directory (silent row
+    * loss). Radii are k rows; the per-rewrite collect is the same
+    * bounded cost the generic resolver contract documents. A torn
+    * root (pending merge) refuses at resolve time through
+    * [[Ann.loadRangeIndex]]. L2 pinned like [[registerRange]]
     * (spherical roots store normalized columns and L2 radii — the
     * cosine reduction happens before the plan reaches this rule). */
   def registerRangeRoot(spark: SparkSession, dir: String,
                         vecCol: String, owner: String = ""): Unit = {
     Ann.loadRangeIndex(spark, dir) // refuse torn/foreign dirs at install
-    val cache = new java.util.concurrent.atomic.AtomicReference[
-      (String, Seq[(Long, Array[Double], Double)])](null)
+    val centCache = new java.util.concurrent.atomic.AtomicReference[
+      (String, Seq[(Long, Array[Double])])](null)
     val resolve: () => Seq[(Long, Array[Double], Double)] = () => {
+      // loadRangeIndex per resolve: torn-merge refusal stays live and
+      // the radii frame reads the CURRENT file listing
+      val (model, radii) = Ann.loadRangeIndex(spark, dir)
       val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
-      val c = cache.get()
-      if (c != null && c._1 == fp) c._2
-      else {
-        val (model, radii) = Ann.loadRangeIndex(spark, dir)
-        val rad = radii
-          .select(org.apache.spark.sql.functions.col(model.idCol)
-              .cast("long"),
-            org.apache.spark.sql.functions.col("radius").cast("double"))
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-        val cents = model.centroids
-          .select(org.apache.spark.sql.functions.col(model.idCol)
-              .cast("long"),
-            org.apache.spark.sql.functions.col(model.vecCol)
-              .cast("array<double>"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-            rad.getOrElse(r.getLong(0), 0.0)))
-          .toSeq.sortBy(_._1)
-        cache.set((fp, cents))
-        cents
-      }
+      val c = centCache.get()
+      val cents =
+        if (c != null && c._1 == fp) c._2
+        else {
+          val collected = model.centroids
+            .select(org.apache.spark.sql.functions.col(model.idCol)
+                .cast("long"),
+              org.apache.spark.sql.functions.col(model.vecCol)
+                .cast("array<double>"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            .toSeq.sortBy(_._1)
+          centCache.set((fp, collected))
+          collected
+        }
+      val rad = radii
+        .select(org.apache.spark.sql.functions.col(model.idCol)
+            .cast("long"),
+          org.apache.spark.sql.functions.col("radius").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      cents.map { case (id, v) => (id, v, rad.getOrElse(id, 0.0)) }
     }
     rangeEntries.synchronized {
       requireFreeOrSameOwner("Range", vecCol,
@@ -561,45 +571,30 @@ object AnnIndex {
     }
   }
 
-  /** A resolver that re-runs `load` only when the root's pinned model
-    * FINGERPRINT changed — the [[registerDenseRoot]] cache, factored
-    * for the quantized loaders: maintenance (split / merge) re-pins
-    * the marker, so the loaded artifacts follow it with no
-    * re-install; between re-pins the rewrite pays one marker read,
-    * never an artifact reload. */
-  private def fingerprintCached[A](spark: SparkSession, dir: String)
-                                  (load: => A): () => A = {
-    val cache = new java.util.concurrent.atomic.AtomicReference[
-      (String, A)](null)
-    () => {
-      val fp = Ann.readIvfModelMarker(spark, dir).getOrElse("unpinned")
-      val c = cache.get()
-      if (c != null && c._1 == fp) c._2
-      else {
-        val v = load
-        cache.set((fp, v))
-        v
-      }
-    }
-  }
-
   /** Register a STORED quantized root for declarative rewrite,
     * MAINTENANCE-AWARE — the family member of [[registerDenseRoot]]'s
     * recipe for SQ / PQ / 1-bit layouts: the family and metric come
     * from the root's own geometry marker
     * ([[Ann.quantizedRootFamily]] — spherical roots serve cosine
-    * plans, the build's own contract), and the resolver re-loads the
-    * index artifacts keyed by the pinned model fingerprint, so an
-    * out-of-band [[Ann.splitOverfullCellsQuantized]] /
-    * [[Ann.mergeUnderfullCellsQuantized]] reaches declarative probe
-    * selection with no re-install — where the frozen
-    * [[registerQuantized]](index) form keeps scanning the
+    * plans, the build's own contract), and the resolver RE-LOADS the
+    * root at every resolve, so every maintenance wave reaches
+    * declarative probe selection with no re-install — where the
+    * frozen [[registerQuantized]](index) form keeps scanning the
     * install-time FILE LISTING: after a split, the dissolved
-    * parent's files are gone (the probed scan dies on
-    * FileNotFound at best) and the sub-cells holding its rows are
-    * invisible at worst. A torn root (pending merge) refuses at
-    * resolve time through the family's loader. `refine <= 0` = the
-    * family default (5; 1-bit [[Ann.defaultBitqRefine]]). */
+    * parent's files are gone (the probed scan dies on FileNotFound
+    * at best) and the sub-cells holding its rows are invisible at
+    * worst. Loading per resolve rather than caching by fingerprint
+    * is deliberate: a fresh-rows COMPACTION
+    * ([[Ann.compactQuantizedFresh]]) appends encoded rows to the
+    * main layout WITHOUT a model re-pin (the quantizer didn't
+    * change), so a fingerprint-keyed listing would silently exclude
+    * every compacted row from phase-1 candidates — and per-resolve
+    * loading keeps the torn-merge refusal live mid-maintenance
+    * instead of serving a pre-merge listing of half-moved files. The
+    * per-rewrite cost is the loaders' bounded metadata work (file
+    * listings; PQ re-collects its m·codes codebook rows — the
+    * generic resolver contract's documented budget). `refine <= 0` =
+    * the family default (5; 1-bit [[Ann.defaultBitqRefine]]). */
   def registerQuantizedRoot(spark: SparkSession, dir: String,
                             vecCol: String, idCol: String, probes: Int,
                             refine: Int = -1,
@@ -610,15 +605,15 @@ object AnnIndex {
     family match {
       case "sq" =>
         registerQuantized(vecCol, idCol,
-          fingerprintCached(spark, dir)(Ann.loadIvfSq(spark, dir)),
+          () => Ann.loadIvfSq(spark, dir),
           metric, probes, eff, owner)
       case "pq" =>
         registerPq(vecCol, idCol,
-          fingerprintCached(spark, dir)(Ann.loadIvfPq(spark, dir)),
+          () => Ann.loadIvfPq(spark, dir),
           metric, probes, eff, owner)
       case _ =>
         registerOneBit(vecCol, idCol,
-          fingerprintCached(spark, dir)(Ann.loadIvfBitq(spark, dir)),
+          () => Ann.loadIvfBitq(spark, dir),
           metric, probes, refine, owner) // <= 0 = defaultBitqRefine
     }
   }

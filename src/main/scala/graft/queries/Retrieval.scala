@@ -2023,6 +2023,30 @@ object Retrieval {
         .orderBy(col("dist").asc, col("vec_id").asc)
         .select("vec_id", "dist")
     try {
+      // freshness pin 1: APPEND-grown radii without a model re-pin —
+      // appendRangeIndex grows the receiving cell's stored radius but
+      // the quantizer didn't change, so a fingerprint-cached radius
+      // would keep pruning the ONLY cell that can hold the new row
+      // (silent row loss via append, the split hazard's quiet twin).
+      // The far row is deleted again before the oracled read (deletes
+      // leave radii conservative — over-admission, never wrongness).
+      val far = e.filter(col("vec_id") === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(100.0))
+            .cast(e.schema("embedding").dataType).as("embedding"),
+          lit(1).cast(e.schema("label").dataType).as("label"))
+        .localCheckpoint(true)
+      Ann.appendRangeIndex(s, dir, far, "embedding")
+      val farVec = far.select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val pin1 = declarative(typedlit(farVec), 1e-4)
+        .localCheckpoint(true)
+      require(pin1.filter(col("vec_id") === 10000000L).count() == 1L,
+        "r103: post-append declarative range query missed the row " +
+          "that grew its cell's radius — the registration served a " +
+          "STALE radii snapshot")
+      require(Ann.deleteStoredIds(s, s"$dir/rows", "vec_id",
+        far.select("vec_id")) == 1L, "r103: far-row cleanup failed")
       // the pin row must pass the plan's label predicate, so pick the
       // cell holding the most label-1/3/5 rows — and flag on that
       // cell's TOTAL occupancy so it provably splits (assignment is
@@ -2235,6 +2259,39 @@ object Retrieval {
         "r105: probes=1 declarative query after the split missed the " +
           "dissolved parent's row — the registration resolved a " +
           "STALE index")
+      // freshness pin 2: fresh APPEND + COMPACTION without a model
+      // re-pin — compaction writes encoded rows into the main layout
+      // but the quantizer didn't change, so a fingerprint-cached file
+      // listing would exclude them from phase-1 forever. The plan
+      // scans the root's OWN frame (the appended row is index-only);
+      // the row is deleted again before the oracled read.
+      val dup = e.filter(col("vec_id") === 11)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint(true)
+      require(Ann.appendQuantizedFreshIdempotent(s, dir, dup,
+        "vec_id", "embedding") == 1L, "r105: fresh append lost the row")
+      require(Ann.compactQuantizedFresh(s, dir, "vec_id",
+        "embedding") == 1L, "r105: compaction lost the row")
+      reg(1)
+      val pin2 = {
+        val scanRoot = s.read.parquet(s"$dir/quantized")
+        val df = scanRoot
+          .withColumn("dist", round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), qvec(s, d, 11)), 6))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id", "dist")
+        require(df.queryExecution.optimizedPlan.toString
+            .contains("LeftSemi"),
+          "r105: quantized rewrite did not engage on the root scan")
+        df.localCheckpoint(true)
+      }
+      require(pin2.filter(col("vec_id") === 10000011L).count() == 1L,
+        "r105: post-compaction declarative query missed the compacted " +
+          "row — the registration served a STALE file listing")
+      require(Ann.deleteStoredIds(s, s"$dir/quantized", "vec_id",
+        dup.select("vec_id")) == 1L, "r105: dup-row cleanup failed")
       // oracled read: all probes — split-invariant by code/bounds
       // inheritance
       reg(4096)
