@@ -150,7 +150,10 @@ object AnnIndex {
     * changes results — it only removes provably-empty cell
     * directories from the scan. Radii and centroids are collected at
     * register time (k rows each, the [[register]] driver-side
-    * budget). */
+    * budget) — a FROZEN snapshot: prefer [[registerRangeRoot]] for a
+    * self-contained [[Ann.writeRangeIndex]] root, where maintenance
+    * (splits, merges, radius-growing appends) must keep reaching the
+    * installed plan. */
   final case class RangeEntry(vecCol: String, cellCol: String,
                               metric: Ann.Metric,
                               cents: () => Seq[(Long, Array[Double], Double)],
@@ -215,7 +218,13 @@ object AnnIndex {
     * cosine reduction happens before the plan reaches this rule). */
   def registerRangeRoot(spark: SparkSession, dir: String,
                         vecCol: String, owner: String = ""): Unit = {
-    Ann.loadRangeIndex(spark, dir) // refuse torn/foreign dirs at install
+    // typed refusal before the loader's raw path error — the triad's
+    // discipline: a mis-pointed dir refuses by contract, not accident
+    require(Ann.isRangeRoot(spark, dir),
+      s"registerRangeRoot: $dir has no radii side table — not a " +
+        "writeRangeIndex root (register a dense root via " +
+        "registerDenseRoot, a quantized root via registerQuantizedRoot)")
+    Ann.loadRangeIndex(spark, dir) // refuse torn dirs at install
     val centCache = new java.util.concurrent.atomic.AtomicReference[
       (String, Seq[(Long, Array[Double])])](null)
     val resolve: () => Seq[(Long, Array[Double], Double)] = () => {

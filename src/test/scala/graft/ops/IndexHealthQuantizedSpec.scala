@@ -162,6 +162,15 @@ class IndexHealthQuantizedSpec extends SparkSpecBase {
         .collect().toSeq)
   }
 
+  test("registerRangeRoot refuses non-range dirs with a typed message") {
+    val sp = spark
+    val bogus = tmp("graft_rr_bogus")
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AnnIndex.registerRangeRoot(sp, bogus, "embedding")
+    }
+    assert(err.getMessage.contains("no radii side table"))
+  }
+
   test("registerQuantizedRoot dispatches PQ and 1-bit by marker and " +
       "matches the explicit stored operators") {
     val sp = spark
