@@ -28,6 +28,27 @@ import graft.ops.Ann
   * centroid column name) pair — any plan whose scan exposes both columns
   * and sorts by a recognized distance expression over that vector column
   * is rewritten. Register distinct column names per logical index.
+  *
+  * MAINTENANCE-AWARENESS map (round 18) — which registrations keep
+  * serving a root's CURRENT geometry across out-of-band maintenance
+  * (split / merge / append / fresh-compaction), and which are frozen
+  * snapshots by design:
+  *  - root-backed, maintenance-aware: [[registerDenseRoot]] (centroids
+  *    fingerprint-cached; appends move nothing else),
+  *    [[registerRangeRoot]] (centroids fingerprint-cached, radii
+  *    re-collected per resolve — appends grow them without a re-pin),
+  *    [[registerQuantizedRoot]] (full re-load per resolve — compaction
+  *    changes the data listing without a re-pin),
+  *    [[registerMatryoshkaIvf]] (centroids fingerprint-cached, rows
+  *    re-read per candidate plan).
+  *  - resolver-backed (as current as the caller's closure):
+  *    [[registerDistributed]], [[registerBm25]], [[registerSparse]],
+  *    [[registerMaxsim]], and every `resolve:`-taking overload — the
+  *    Engine backs these with version-keyed caches.
+  *  - frozen snapshots, documented: [[register]](model),
+  *    [[registerRange]](model, radii), [[registerQuantized]](index)
+  *    and siblings taking a built index value, [[registerMatryoshka]]
+  *    (the flat root has no actuators — rebuilds replace it).
   */
 object AnnIndex {
 
