@@ -162,6 +162,29 @@ object AnnIndex {
     register(vecCol, resolve, "centroid_id", metric, probes, owner)
   }
 
+  /** [[registerDenseRoot]]'s EXECUTOR-SIDE twin — the registration
+    * that stays viable past the driver's centroid-collect budget
+    * (the [[register]] scaladoc's ~10⁵-cell ceiling; at 100 TB a
+    * dense root's cell count sits there): probe selection runs as a
+    * semi-joined Sort+Limit SUBPLAN over the root's own centroids
+    * table ([[registerDistributed]]'s machinery — centroids never
+    * leave the cluster, DynamicPruningSubquery prunes the cell
+    * directories at runtime), while metric and vector column still
+    * come from the root's marker and the centroid table is re-read
+    * per resolve through [[Ann.loadDenseRoot]] — a CURRENT file
+    * listing every rewrite (splits/merges re-write `centroids/`) and
+    * the torn-merge refusal live, with no per-rewrite collect and no
+    * driver cache to go stale. */
+  def registerDenseRootDistributed(spark: SparkSession, dir: String,
+                                   probes: Int,
+                                   owner: String = ""): Unit = {
+    val (_, metric, vecCol) = Ann.loadDenseRoot(spark, dir)
+    registerDistributed(vecCol,
+      () => Ann.loadDenseRoot(spark, dir)._1.centroids,
+      "centroid_id", "centroid", metric, probes,
+      cellCol = "centroid_id", owner = owner)
+  }
+
   /** Range-search registry — the declarative form of
     * [[Ann.rangeSearchIvfStored]]: a plain
     * `filter(round(dist(vec, q), s) <= eps)` plan gets an EXACT cell

@@ -2140,6 +2140,80 @@ object Retrieval {
     df
   }
 
+  /** r112: the MAINTENANCE-AWARE declarative rewrite at EXECUTOR-SIDE
+    * probe scale ([[graft.plans.AnnIndex.registerDenseRootDistributed]])
+    * — r101's staleness story on the registration that survives past
+    * the driver's centroid-collect budget (~10⁵ cells): probe
+    * selection is a semi-joined Sort+Limit subplan over the root's own
+    * centroids table, re-read through the guarded loader at every
+    * resolve, so an out-of-band split reaches the installed plan with
+    * no re-install AND no driver-side collect to go stale. In-gate
+    * pins: LeftSemi with NO centroid-literal IN (the r73 discipline —
+    * a fall-through to driver literals cannot fake green), runtime
+    * partition pruning (DynamicPruningSubquery), and the probes=1
+    * post-split self-query at a dissolved parent's row. Oracled read
+    * at all-probe = r01's exact top-10. */
+  def denseRewriteDistributed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dense_rw_dist").toString
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    Ann.writeDenseRoot(assigned, "embedding", model, Ann.L2, dir)
+    graft.plans.AnnIndex.install(s)
+    def reg(probes: Int): Unit =
+      graft.plans.AnnIndex.registerDenseRootDistributed(s, dir,
+        probes = probes, owner = "r112")
+    def declarative(q: org.apache.spark.sql.Column) = {
+      val df = s.read.parquet(s"$dir/rows")
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "dist")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"r112: distributed dense rewrite did not engage:\n$plan")
+      require(!plan.contains(" IN ("),
+        s"r112: expected subplan probes, found centroid literals:\n$plan")
+      require(df.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "r112: expected runtime partition pruning on the rows scan")
+      df
+    }
+    try {
+      reg(4096)
+      val maxOcc = assigned.groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val hotCell = assigned.groupBy(col("centroid_id")).count()
+        .orderBy(col("count").desc, col("centroid_id").asc)
+        .head().getLong(0)
+      val parentRow = assigned
+        .filter(col("centroid_id") === hotCell)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      val splits = Ann.splitOverfullCellsDense(s, dir,
+        math.max(1L, maxOcc - 1))
+      require(splits.contains(hotCell),
+        s"r112 vacuous: hottest cell $hotCell did not split " +
+          s"(got ${splits.keySet})")
+      // freshness pin: probes=1 at the dissolved parent's own row —
+      // the probe SUBPLAN must rank the post-split centroids table
+      reg(1)
+      val near = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq))
+        .localCheckpoint(true)
+      require(near.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r112: probes=1 distributed query after the split missed the " +
+          "dissolved parent's row — the probe subplan read a STALE " +
+          "centroids listing")
+      reg(4096)
+      declarative(qvec(s, d, 0)).localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterDistributed("embedding")
+  }
+
   /** r110: [[quantizedIndexHealth]]'s PQ arm — the audit reconstructs
     * each row from the codebooks ([[Ann.pqReconstructCol]]) and
     * measures L2 to its cell centroid; the oracle replays r38's
@@ -3441,6 +3515,7 @@ object Retrieval {
     "r109_quantized_index_health_cos" -> quantizedIndexHealthCos,
     "r110_quantized_index_health_pq" -> quantizedIndexHealthPq,
     "r111_quantized_index_health_bitq" -> quantizedIndexHealthBitq,
+    "r112_dense_rewrite_distributed" -> denseRewriteDistributed,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -4839,6 +4914,9 @@ object Retrieval {
     // rewrite over the (split) dense root is the exact top-10 — r01's
     // scan verbatim; the maintenance-awareness pins live in-gate.
     "r101_dense_rewrite" -> ExactL2TopkQv0Sql,
+    // r112: the executor-side-probe twin reduces to the same exact
+    // read at all-probe — one oracle, two probe-selection engines.
+    "r112_dense_rewrite_distributed" -> ExactL2TopkQv0Sql,
     // + 0 here and in the other output-facing cosine oracles
     // normalizes -0.0 → 0.0: Spark's round runs through BigDecimal
     // (no signed zero), DuckDB's keeps IEEE -0.0 when a self-pair's
