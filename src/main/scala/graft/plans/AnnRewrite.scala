@@ -310,6 +310,85 @@ object AnnIndex {
   private[plans] def lookupRange(vecCol: String): Option[RangeEntry] =
     rangeEntries.get(vecCol)
 
+  /** EXECUTOR-SIDE range registration — [[registerRangeRoot]]'s twin
+    * past the driver-side budget (the [[registerDenseRootDistributed]]
+    * story for the EXACT rewrite): instead of collecting centroids +
+    * radii and injecting an `IN (cells...)` literal, the rule injects
+    * a LEFT SEMI join against a subplan that computes the ADMITTED
+    * cells from the (centroid, radius) side table itself —
+    * `filter(l2_dist(centroid, q) <= radius + eps + slack)` — plus
+    * the DynamicPruningSubquery that turns it into runtime partition
+    * pruning. The cut is the SAME triangle-inequality proof as the
+    * literal form, evaluated where the table lives: still exact,
+    * still never changes results. `resolveCentRad` yields
+    * (centroid_id, centroid, radius) and runs at every rewrite. */
+  final case class RangeDistEntry(vecCol: String, cellCol: String,
+                                  resolveCentRad: () => org.apache.spark
+                                    .sql.DataFrame,
+                                  owner: String = "") {
+    def metric: Ann.Metric = Ann.L2
+    def admittedCellsDf(q: Array[Double], eps: Double, slack: Double,
+                        cellType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      resolveCentRad()
+        .filter(org.apache.spark.sql.graft.VecExprs.l2Dist(
+            col("centroid").cast("array<double>"), typedlit(q.toSeq))
+          <= col("radius").cast("double") + lit(eps + slack))
+        // cast to the scanned cell column's type + fresh exprId — the
+        // SqQuant discipline
+        .select(col("centroid_id").cast(cellType)
+          .as("__cell_centroid_id"))
+    }
+  }
+
+  private val rangeDistEntries = TrieMap.empty[String, RangeDistEntry]
+
+  /** Resolver form: `resolveCentRad` yields (centroid_id, centroid,
+    * radius) — re-run at every rewrite, so back it with whatever
+    * freshness discipline the layout needs (the root form below
+    * re-reads the root's own side tables). */
+  def registerRangeDistributed(vecCol: String,
+                               resolveCentRad: () => org.apache.spark
+                                 .sql.DataFrame,
+                               owner: String = ""): Unit =
+    rangeDistEntries.synchronized {
+      requireFreeOrSameOwner("distributed range", vecCol,
+        rangeDistEntries.get(vecCol).map(_.owner), owner)
+      rangeDistEntries(vecCol) =
+        RangeDistEntry(vecCol, "centroid_id", resolveCentRad, owner)
+    }
+
+  /** [[registerRangeRoot]]'s executor-side form over a self-contained
+    * [[Ann.writeRangeIndex]] root: the admitted-cells subplan joins
+    * the root's OWN centroids and radii side tables, re-read through
+    * the guarded loader at every resolve — current file listings per
+    * rewrite (appends grow radii without a re-pin; splits rewrite
+    * both tables), torn-merge refusal live, and NO driver-side
+    * collect at any point, which is what keeps the exact rewrite
+    * viable at 100 TB cell counts. */
+  def registerRangeRootDistributed(spark: SparkSession, dir: String,
+                                   vecCol: String,
+                                   owner: String = ""): Unit = {
+    require(Ann.isRangeRoot(spark, dir),
+      s"registerRangeRootDistributed: $dir has no radii side table — " +
+        "not a writeRangeIndex root")
+    Ann.loadRangeIndex(spark, dir) // refuse torn dirs at install
+    registerRangeDistributed(vecCol, () => {
+      val (model, radii) = Ann.loadRangeIndex(spark, dir)
+      model.centroids.join(
+        radii.select(org.apache.spark.sql.functions.col(model.idCol),
+          org.apache.spark.sql.functions.col("radius")),
+        model.idCol)
+    }, owner)
+  }
+
+  def unregisterRangeDistributed(vecCol: String): Unit =
+    rangeDistEntries.remove(vecCol)
+  private[plans] def lookupRangeDist(vecCol: String)
+      : Option[RangeDistEntry] =
+    rangeDistEntries.get(vecCol)
+
   /** EXECUTOR-SIDE probe selection — the fallback past [[register]]'s
     * driver-side centroid budget (~10⁵ cells): instead of collecting
     * centroids and injecting an `IN (cells...)` literal filter, the
@@ -1002,7 +1081,8 @@ object AnnIndex {
   private[plans] def hasAny: Boolean =
     entries.nonEmpty || distEntries.nonEmpty || quantEntries.nonEmpty ||
       maxsimEntries.nonEmpty || bm25Entries.nonEmpty ||
-      sparseEntries.nonEmpty || rangeEntries.nonEmpty
+      sparseEntries.nonEmpty || rangeEntries.nonEmpty ||
+      rangeDistEntries.nonEmpty
 
   /** Install the rewrite on a session (the
     * `spark.experimental.extraOptimizations` injection point; for a
@@ -1517,7 +1597,48 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         }
         if (injected) f.copy(child = newChild) else f
       }
-      rewritten.getOrElse(f)
+      // EXECUTOR-SIDE range arm — the same exact radii cut computed by
+      // a subplan over the (centroid, radius) side table instead of
+      // driver-collected literals (the distRewritten recipe on the
+      // one rewrite with no approximation contract): LeftSemi bounds
+      // compute, the hand-planted DynamicPruningSubquery bounds IO.
+      lazy val rangeDistRewritten = for {
+        (distE, eps) <- conjuncts(cond).collectFirst(Function.unlift {
+          case LessThanOrEqual(d, l) if extractDist(d).isDefined =>
+            litDouble(l).map((d, _))
+          case LessThan(d, l) if extractDist(d).isDefined =>
+            litDouble(l).map((d, _))
+          case _ => None
+        })
+        (vecAttr, q, metric) <- extractDist(distE)
+        entry <- AnnIndex.lookupRangeDist(vecAttr.name)
+        if entry.metric == metric
+        leaf <- (child +: child.collect { case n => n }).collectFirst {
+          case l: LeafNode if l.output.exists(_.exprId == vecAttr.exprId) &&
+              l.output.exists(_.name == entry.cellCol) => l
+        }
+        cellAttr = leaf.output.find(_.name == entry.cellCol).get
+        if !hasCandidateSemiJoin(child, cellAttr)
+      } yield {
+        val candPlan = entry.admittedCellsDf(q, eps, roundSlack(distE),
+          cellAttr.dataType).queryExecution.optimizedPlan
+        val candId = candPlan.output.head
+        var injected = false
+        val newChild = child.transformUp {
+          case l: LeafNode if !injected && (l fastEquals leaf) =>
+            injected = true
+            val pruned = Filter(
+              DynamicPruningSubquery(cellAttr, candPlan, Seq(candId),
+                Seq(0), onlyInBroadcast = false), l)
+            val j = Join(pruned, candPlan, LeftSemi,
+              Some(EqualTo(cellAttr, candId)),
+              org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+            j.setTagValue(AnnTopKRule.InjectedQuant, ())
+            j
+        }
+        if (injected) f.copy(child = newChild) else f
+      }
+      rewritten.orElse(rangeDistRewritten).getOrElse(f)
   }
 }
 

@@ -2214,6 +2214,98 @@ object Retrieval {
     } finally graft.plans.AnnIndex.unregisterDistributed("embedding")
   }
 
+  /** r113: the EXECUTOR-SIDE range rewrite
+    * ([[graft.plans.AnnIndex.registerRangeRootDistributed]]) — r103's
+    * maintained story past the driver's collect budget: the admitted
+    * cells come from a SUBPLAN over the root's own (centroid, radius)
+    * side tables (`l2_dist(centroid, q) <= radius + eps + slack` —
+    * the same triangle-inequality proof, evaluated where the table
+    * lives), semi-joined into the plan with a hand-planted
+    * DynamicPruningSubquery, and the side tables are re-read through
+    * the guarded loader at every resolve — no driver collect, no
+    * cache to go stale. In-gate pins: LeftSemi with NO cell-literal
+    * IN, runtime partition pruning, the APPEND staleness pin (a far
+    * row grows its cell's radius; the subplan must read the grown
+    * value), and the post-split dissolved-parent pin. Exact by the
+    * family's contract, so r62's plain-SQL oracle is shared
+    * verbatim. */
+  def rangeRewriteDistributed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range_rw_dist").toString
+    Ann.writeRangeIndex(assigned, "embedding", model, dir)
+    graft.plans.AnnIndex.install(s)
+    graft.plans.AnnIndex.registerRangeRootDistributed(s, dir,
+      "embedding", owner = "r113")
+    def declarative(q: org.apache.spark.sql.Column, eps: Double) = {
+      val df = s.read.parquet(s"$dir/rows")
+        .filter(col("label").isin(1, 3, 5) &&
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6) <= eps)
+        .withColumn("dist",
+          round(org.apache.spark.sql.graft.VecExprs
+            .l2Dist(col("embedding"), q), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .select("vec_id", "dist")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"r113: distributed range rewrite did not engage:\n$plan")
+      require(!"""centroid_id#\d+L? IN \(""".r.findFirstIn(plan)
+          .isDefined,
+        s"r113: expected subplan admitted-cells, found literals:\n$plan")
+      require(df.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "r113: expected runtime partition pruning on the rows scan")
+      df
+    }
+    try {
+      // append pin: the subplan must see the GROWN radius (r103's
+      // hazard, executor-side form)
+      val far = e.filter(col("vec_id") === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(100.0))
+            .cast(e.schema("embedding").dataType).as("embedding"),
+          lit(1).cast(e.schema("label").dataType).as("label"))
+        .localCheckpoint(true)
+      Ann.appendRangeIndex(s, dir, far, "embedding")
+      val farVec = far.select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val pin1 = declarative(typedlit(farVec), 1e-4)
+        .localCheckpoint(true)
+      require(pin1.filter(col("vec_id") === 10000000L).count() == 1L,
+        "r113: post-append distributed range query missed the row " +
+          "that grew its cell's radius")
+      require(Ann.deleteStoredIds(s, s"$dir/rows", "vec_id",
+        far.select("vec_id")) == 1L, "r113: far-row cleanup failed")
+      // split pin: the dissolved parent's row via the live subplan
+      val hotCell = assigned.filter(col("label").isin(1, 3, 5))
+        .groupBy(col("centroid_id")).count()
+        .orderBy(col("count").desc, col("centroid_id").asc)
+        .head().getLong(0)
+      val hotTotal = assigned
+        .filter(col("centroid_id") === hotCell).count()
+      val parentRow = assigned
+        .filter(col("centroid_id") === hotCell &&
+          col("label").isin(1, 3, 5))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).head()
+      val splits = Ann.splitOverfullCells(s, dir, "embedding",
+        math.max(1L, hotTotal - 1))
+      require(splits.contains(hotCell),
+        s"r113 vacuous: cell $hotCell did not split (${splits.keySet})")
+      val pin2 = declarative(
+          typedlit(parentRow.getSeq[Double](1).toSeq), 1e-4)
+        .localCheckpoint(true)
+      require(pin2.filter(col("vec_id") === parentRow.getLong(0))
+          .count() == 1L,
+        "r113: post-split distributed range query lost the dissolved " +
+          "parent's row")
+      declarative(qvec(s, d, 9), 1.3).localCheckpoint(true)
+    } finally graft.plans.AnnIndex.unregisterRangeDistributed("embedding")
+  }
+
   /** r110: [[quantizedIndexHealth]]'s PQ arm — the audit reconstructs
     * each row from the codebooks ([[Ann.pqReconstructCol]]) and
     * measures L2 to its cell centroid; the oracle replays r38's
@@ -3516,6 +3608,7 @@ object Retrieval {
     "r110_quantized_index_health_pq" -> quantizedIndexHealthPq,
     "r111_quantized_index_health_bitq" -> quantizedIndexHealthBitq,
     "r112_dense_rewrite_distributed" -> denseRewriteDistributed,
+    "r113_range_rewrite_distributed" -> rangeRewriteDistributed,
     "r01_ann_topk_l2" -> annTopkL2,
     "r02_ann_topk_cos" -> annTopkCos,
     "r03_ann_ivf_l2" -> annIvfL2,
@@ -5541,6 +5634,15 @@ object Retrieval {
     // reproduce the plain threshold scan AFTER an out-of-band split —
     // the rewrite is EXACT by contract and the family's split is an
     // invariance, so r62's oracle is shared verbatim.
+    // r113: the executor-side form computes the SAME exact cut in a
+    // subplan — r62's oracle, three probe-selection engines now.
+    "r113_range_rewrite_distributed" ->
+      s"""SELECT vec_id,
+                 round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
+          FROM embeddings
+          WHERE label IN (1, 3, 5)
+            AND round(list_distance(embedding::DOUBLE[], $qv9), 6) <= 1.3
+          ORDER BY dist ASC, vec_id ASC""",
     "r103_range_rewrite_maintained" ->
       s"""SELECT vec_id,
                  round(list_distance(embedding::DOUBLE[], $qv9), 6) AS dist
