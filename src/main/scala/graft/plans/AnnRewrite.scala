@@ -40,7 +40,10 @@ import graft.ops.Ann
   *    [[registerQuantizedRoot]] (full re-load per resolve — compaction
   *    changes the data listing without a re-pin),
   *    [[registerMatryoshkaIvf]] (centroids fingerprint-cached, rows
-  *    re-read per candidate plan).
+  *    re-read per candidate plan), and the EXECUTOR-SIDE twins
+  *    [[registerDenseRootDistributed]] / [[registerRangeRootDistributed]]
+  *    (probe/admission subplans over the root's own side tables,
+  *    re-read per resolve — no driver collect at any cell count).
   *  - resolver-backed (as current as the caller's closure):
   *    [[registerDistributed]], [[registerBm25]], [[registerSparse]],
   *    [[registerMaxsim]], and every `resolve:`-taking overload — the

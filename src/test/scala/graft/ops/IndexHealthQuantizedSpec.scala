@@ -169,6 +169,11 @@ class IndexHealthQuantizedSpec extends SparkSpecBase {
       graft.plans.AnnIndex.registerRangeRoot(sp, bogus, "embedding")
     }
     assert(err.getMessage.contains("no radii side table"))
+    val err2 = intercept[IllegalArgumentException] {
+      graft.plans.AnnIndex.registerRangeRootDistributed(sp, bogus,
+        "embedding")
+    }
+    assert(err2.getMessage.contains("no radii side table"))
   }
 
   test("registerQuantizedRoot dispatches PQ and 1-bit by marker and " +
