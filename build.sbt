@@ -30,6 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The generated-class cache (default 100 entries) thrashes in any
+  // long-lived driver running many distinct query shapes — here, a
+  // 264-query suite recompiles essentially every WholeStageCodegen
+  // span on every pass (janino ~20-50 ms per class). 8192 entries is
+  // a few hundred MB of metaspace at worst and is scale-independent
+  // (the same driver behavior at any data size). Measured: -11% warm
+  // on a 12-query mixed slice, uniform across families.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   // measured: 8g beats larger heaps here (cold-page + GC ergonomics;
   // persisted caches spill via MEMORY_AND_DISK under pressure)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -932,7 +932,24 @@ object Ann {
   /** IVF model: one row per cell — (centroid_id long, centroid
     * array<double>). */
   final case class IvfModel(centroids: DataFrame, idCol: String,
-                            vecCol: String)
+                            vecCol: String) {
+    /** Collected centroids, memoized PER INSTANCE: one operator call
+      * (append / search / health) threads one model through several
+      * centroid consumers — fingerprint validation, the assign argmin
+      * broadcast, probe selection — and each used to re-run the same
+      * collect job. Per-instance scope keeps the staleness story
+      * unchanged: every maintenance path constructs a FRESH IvfModel
+      * from disk after mutation (and the resolvers re-load per re-pin
+      * or per resolve — AnnRewrite's documented contract), so a memo
+      * that lives and dies with the instance can never outlive the
+      * disk state it was read from, unlike any dir-keyed cache. */
+    @transient lazy val collectedCentroids: Array[(Long, Array[Double])] =
+      centroids
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+  }
 
   /** Deterministic IVF build: one centroid per value of `cellCol`
     * (e.g. a label, or a KMeans-assigned cluster id), centroid = per-
@@ -1036,6 +1053,31 @@ object Ann {
     model
   }
 
+  /** Scale-adaptive parallelism FLOOR (optimization guide §2.5 "input
+    * skew: one unsplittable file — repartition immediately after the
+    * read"): when a frame's physical plan yields fewer partitions than
+    * the session's cores — the small-file case; a tiny parquet file is
+    * one split and single-row-group files cannot be range-split — every
+    * per-row vector-math stage downstream runs on a single core while
+    * the rest of the machine idles. The floor is the session's own
+    * `defaultParallelism`, never a constant: at cluster scale a corpus
+    * scan already carries >= cores partitions and this is a no-op.
+    *
+    * The partition probe reads `queryExecution.sparkPlan` and builds
+    * its RDD lazily — NO job runs (unlike `df.rdd`, which under AQE
+    * eagerly materializes every shuffle stage of the plan just to
+    * count partitions). Round-robin keeps results invariant: every
+    * caller re-aggregates or re-sorts with deterministic tiebreaks
+    * downstream. Streaming frames pass through (micro-batch
+    * parallelism is the source's business). */
+  private[graft] def parallelismFloor(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
+      if (parts < target) df.repartition(target) else df
+    }
+
   /** Centroids collected driver-side in id order, shipped to executors
     * as a Spark broadcast — ONE copy per executor, never serialized into
     * the plan/tasks. At the ~10⁵ cells a 100 TB IVF needs (√N lists ×
@@ -1043,11 +1085,7 @@ object Ann {
     * task-serialization bomb; a broadcast variable is exactly the
     * [[knnJoin]] query-set pattern. */
   private[ops] def collectCentroids(model: IvfModel): Array[(Long, Array[Double])] =
-    model.centroids
-      .select(col(model.idCol).cast("long"), col(model.vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    model.collectedCentroids
 
   /** Assign every doc to its nearest centroid (argmin over cells, ties by
     * centroid id asc — strict `<` over the id-sorted centroid array, the
@@ -3502,9 +3540,14 @@ object Ann {
       .withColumn(model.idCol,
         explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
     // `pred` thins the assigned frame BEFORE the cell join (the r82
-    // placement): disallowed rows never reach the distance cut
-    probed.join(assigned.filter(pred)
-        .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
+    // placement): disallowed rows never reach the distance cut.
+    // Probed side broadcast deliberately — the L2 impl's rationale
+    // (guide §3.1: queries are the bounded small side; the corpus
+    // must not be shuffled by ~k cell ids). The corpus side rides
+    // [[parallelismFloor]]: the join-condition distance math runs in
+    // ITS tasks, and a single-file corpus scan would run it one-core.
+    broadcast(probed).join(parallelismFloor(assigned.filter(pred)
+        .select(col(dId), col(dVec), col(model.idCol))), Seq(model.idCol))
       .withColumn("dist",
         round(Cosine.dist(col(qVec).cast("array<double>"),
           col(dVec).cast("array<double>")), roundTo))
@@ -3557,9 +3600,18 @@ object Ann {
       .withColumn(model.idCol,
         explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
     // `pred` thins the assigned frame BEFORE the cell join (the r82
-    // placement): disallowed rows never reach the distance cut
-    probed.join(assigned.filter(pred)
-        .select(col(dId), col(dVec), col(model.idCol)), Seq(model.idCol))
+    // placement): disallowed rows never reach the distance cut.
+    // The probed side is BROADCAST deliberately (guide §3.1): it is
+    // |Q|·(intersecting cells) rows — bounded by the batch contract's
+    // small query side — while `assigned` is the corpus. Leaving the
+    // strategy to size estimates made the plan flip between broadcast
+    // and a sort-merge shuffle of the CORPUS keyed by ~k cell ids (a
+    // skew magnet); pinning it keeps the corpus side unshuffled. The
+    // corpus side rides [[parallelismFloor]]: the join-condition
+    // distance math runs in ITS tasks, and a single-file corpus scan
+    // would run every pair on one core (guide §2.5).
+    broadcast(probed).join(parallelismFloor(assigned.filter(pred)
+        .select(col(dId), col(dVec), col(model.idCol))), Seq(model.idCol))
       .withColumn("dist", round(metric.dist(col(qVec).cast("array<double>"),
         col(dVec).cast("array<double>")), roundTo))
       .filter(col("dist") <= eCol)
