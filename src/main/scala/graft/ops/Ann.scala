@@ -833,8 +833,7 @@ object Ann {
         (normalizeModel(model), typedlit(qn), typedlit(qn.take(dims)))
       case _ => (model, typedlit(q), typedlit(q.take(dims)))
     }
-    val cells = probeCells(probeModel, qProbe, L2, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(probeModel, qProbe, L2, probes)
     val rows = spark.read.parquet(s"$dir/rows")
     rows.filter(col("emb_full").isNotNull)
       .select(size(col("emb_full")).as("__d")).limit(1).collect()
@@ -1249,8 +1248,7 @@ object Ann {
                       model: IvfModel, queryVec: Column, metric: Metric,
                       probes: Int, k: Int, roundTo: Int = 6,
                       pred: Column = lit(true)): DataFrame = {
-    val cells = probeCells(model, queryVec, metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(model, queryVec, metric, probes)
     val pruned = spark.read.parquet(path)
       .filter(col(model.idCol).isin(cells: _*))
       .filter(pred)
@@ -1265,6 +1263,55 @@ object Ann {
       .orderBy(col("__qdist").asc, col(model.idCol).asc)
       .limit(probes)
       .select(col(model.idCol))
+
+  /** The query vector behind a Column when it is a plain literal
+    * (`typedlit(...)`, optionally cast between float/double element
+    * types) — None for anything computed. Used for the driver-side
+    * probe fast path below; float→double widening is exact, so the
+    * extracted array is bit-identical to what the column form feeds
+    * the distance expression. */
+  private[graft] def literalVec(c: Column): Option[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    def un(e: Expression): Option[Array[Double]] = e match {
+      case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
+        Some(a.toDoubleArray())
+      case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
+        Some(a.toFloatArray().map(_.toDouble))
+      case c: Cast => un(c.child)
+      case _ => None
+    }
+    un(org.apache.spark.sql.graft.VecExprs.exprOf(c))
+  }
+
+  /** [[probeCells]] collected to ids — with a DRIVER-side fast path
+    * when the query vector is a literal (the overwhelmingly common
+    * case: every stored search embeds the query as `typedlit`). The
+    * fast path ranks the memoized centroid array with
+    * [[Metric.distScala]], which is documented/tested bit-identical
+    * to the column form (same left-to-right double fold), with the
+    * same (dist asc, id asc) order and the same arg order
+    * (centroid, query) — so the selected cells are EXACTLY the cells
+    * the Spark job form selects, minus one collect job per search.
+    * Driver cost is |cells|·dim flops — the register scaladoc's
+    * documented ~10⁵-cell driver budget; the declarative distributed
+    * twins remain the answer beyond it. Non-literal query columns
+    * (e.g. computed probes) fall back to the distributed form. */
+  private[graft] def probeCellIds(model: IvfModel, queryVec: Column,
+                                  metric: Metric,
+                                  probes: Int): Array[Long] =
+    literalVec(queryVec) match {
+      case Some(q) =>
+        model.collectedCentroids
+          .map { case (id, c) => (metric.distScala(c, q), id) }
+          .sortBy { case (d, id) => (d, id) }
+          .take(probes)
+          .map(_._2)
+      case None =>
+        probeCells(model, queryVec, metric, probes)
+          .collect().map(_.getLong(0))
+    }
 
   // ---------------------------------------------------------------
   // DENSE CELL ROOT — the self-contained, maintainable form of the
@@ -4100,8 +4147,7 @@ object Ann {
                         k: Int, refine: Int = 5,
                         roundTo: Int = 6): DataFrame = {
     val index = loadIvfSq(spark, dir)
-    val cells = probeCells(index.model, queryVec, metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(index.model, queryVec, metric, probes)
     val pruned = index.copy(quantized = index.quantized
       .filter(col(index.model.idCol).isin(cells: _*)))
     searchIvfSq(pruned, idCol, vecCol, queryVec, metric, probes, k,
@@ -4461,8 +4507,7 @@ object Ann {
         val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x * x))
         (query.map(_ / n), L2: Metric)
       } else (query, metric)
-    val cells = probeCells(index.model, typedlit(qs), m, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(index.model, typedlit(qs), m, probes)
     val restricted = augment(index.encoded
       .filter(col(index.model.idCol).isin(cells: _*)), cells)
     val cand = restricted.select(col(idCol), col("pq_codes"))
@@ -4676,8 +4721,7 @@ object Ann {
                           k: Int, refine: Int = -1,
                           roundTo: Int = 6): DataFrame = {
     val index = loadIvfBitq(spark, dir)
-    val cells = probeCells(index.model, queryVec, metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(index.model, queryVec, metric, probes)
     val pruned = index.copy(quantized = index.quantized
       .filter(col(index.model.idCol).isin(cells: _*)))
     searchIvfBitq(pruned, idCol, vecCol, queryVec, metric, probes, k,
@@ -5001,8 +5045,7 @@ object Ann {
       .exists(_.toBoolean)
     require(spherical == (metric == Cosine),
       s"$dir pins spherical=$spherical but the query metric is $metric")
-    val cells = probeCells(index.model, queryVec, metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(index.model, queryVec, metric, probes)
     val stored = index.quantized
       .filter(col(index.model.idCol).isin(cells: _*))
     val all = freshEncodedForQuery(spark, dir, cells, fr =>
@@ -5058,8 +5101,7 @@ object Ann {
       s"$dir pins spherical=$spherical but the query metric is $metric")
     val dims = index.model.centroids
       .select(size(col(index.model.vecCol))).head().getInt(0)
-    val cells = probeCells(index.model, queryVec, metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(index.model, queryVec, metric, probes)
     val stored = index.quantized
       .filter(col(index.model.idCol).isin(cells: _*))
     val all = freshEncodedForQuery(spark, dir, cells, fr =>
@@ -5562,8 +5604,7 @@ object Ann {
                           roundTo: Int = 6,
                           metric: Metric = Cosine): DataFrame = {
     val centroid = queryCentroid(queryVecs)
-    val cells = probeCells(model, typedlit(centroid), metric, probes)
-      .collect().map(_.getLong(0))
+    val cells = probeCellIds(model, typedlit(centroid), metric, probes)
     assigned.filter(col(model.idCol).isin(cells: _*))
       .withColumn("__approx", round(org.apache.spark.sql.graft.VecExprs
         .dot(col(meanCol).cast("array<double>"), typedlit(centroid)),

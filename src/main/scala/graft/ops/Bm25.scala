@@ -66,7 +66,11 @@ object Bm25 {
     // at sf0.1), so skip it and let the plan stay a plain map.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
     val par = spark.sparkContext.defaultParallelism
-    val spread = base.rdd.getNumPartitions < par &&
+    // partition probe via the non-adaptive physical plan's lazy RDD:
+    // zero jobs, where `.rdd` under AQE eagerly materializes every
+    // shuffle stage of the plan just to count partitions
+    val spread =
+      base.queryExecution.sparkPlan.execute().getNumPartitions < par &&
       base.queryExecution.optimizedPlan.stats.sizeInBytes >
         BuildBarrierMinBytes
     val plainUdf = udf((s: String) =>
