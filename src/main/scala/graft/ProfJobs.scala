@@ -23,12 +23,29 @@ object ProfJobs {
     val starts = mutable.Map.empty[Int, (String, Long)]
     val bySite = mutable.LinkedHashMap.empty[String, (Int, Double)]
     val byFrame = mutable.LinkedHashMap.empty[String, (Int, Double)]
+    val execDesc = mutable.Map.empty[Long, String]
     var nStages = 0
     var nTasks = 0L
     val listener = new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            starts.synchronized { execDesc(s.executionId) = s.description }
+          case _ => ()
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val props = Option(js.properties)
+        // AQE sub-jobs carry no call site, but every job carries its
+        // SQL execution id — the execution START event's description
+        // is the owning action's call site
+        val site = props
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => starts.synchronized {
+            execDesc.get(id.toLong) })
+          .orElse(props.flatMap(p =>
+            Option(p.getProperty("callSite.short"))))
           .getOrElse("unknown")
         starts.synchronized { starts(js.jobId) = (site, System.nanoTime()) }
       }
@@ -88,6 +105,10 @@ object ProfJobs {
       spark.sparkContext.removeSparkListener(listener)
       println(f"\n=== $name: total ${total}%.3f s, jobs=${bySite.values.map(_._1).sum}, stages=$nStages, tasks=$nTasks ===")
       val jobSum = bySite.values.map(_._2).sum
+      println("  -- by job site (wall sum) --")
+      bySite.toSeq.sortBy(-_._2._2).foreach { case (site, (n, s)) =>
+        println(f"  ${s}%8.3f s  jobs=$n%-4d $site")
+      }
       println("  -- by stage frame (stage-duration sum) --")
       byFrame.toSeq.sortBy(-_._2._2).foreach { case (f, (n, s)) =>
         println(f"  ${s}%8.3f s  stages=$n%-4d $f")

@@ -84,6 +84,11 @@ final case class FakeCodec() extends MediaCodec {
   */
 final case class ImageIoCodec() extends MediaCodec {
   private val fake = FakeCodec()
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // of an in-memory payload creates and deletes a temp FILE. Executor
+  // tasks decode thousands of byte-array payloads — memory-cache them.
+  // Output bytes are identical; this is a JDK I/O-strategy flag only.
+  javax.imageio.ImageIO.setUseCache(false)
 
   def decode(data: Array[Byte], meta: MediaMeta): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(
@@ -266,13 +271,12 @@ object MjpegAvi {
   *  - `resize` → delegates to [[FakeCodec]]: no spatial dims in audio.
   */
 final case class WavCodec() extends MediaCodec {
-  import javax.sound.sampled.{AudioFormat, AudioSystem}
+  import javax.sound.sampled.AudioFormat
 
   private val fake = FakeCodec()
 
   def decode(data: Array[Byte], meta: MediaMeta): Array[Byte] = {
-    val in = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(data))
+    val in = WavCodec.audioInputStream(data)
     try decodeStream(in) finally in.close()
   }
 
@@ -317,10 +321,8 @@ final case class WavCodec() extends MediaCodec {
 
   def frames(data: Array[Byte], meta: MediaMeta,
              everyMs: Long): Seq[Array[Byte]] = {
-    // one header parse + decode per payload (provider lookup inside
-    // getAudioInputStream is the expensive part, not the PCM math)
-    val in = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(data))
+    // one header parse + decode per payload
+    val in = WavCodec.audioInputStream(data)
     val (rate, samples) =
       try (in.getFormat.getSampleRate, decodeStream(in))
       finally in.close()
@@ -330,26 +332,73 @@ final case class WavCodec() extends MediaCodec {
 }
 
 object WavCodec {
+  // SPI providers resolved ONCE: AudioSystem.getAudioInputStream /
+  // AudioSystem.write go through a class-synchronized provider
+  // registry on every call — thousands of per-row encodes/decodes
+  // across 32 executor threads serialize on that monitor. Iterating
+  // the same ServiceLoader providers from an immutable list is the
+  // exact AudioSystem algorithm (first provider that accepts wins)
+  // without the shared lock; decoded/encoded bytes are identical.
+  private val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private[multimodal] def audioInputStream(
+      data: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val readers = audioReaders.iterator
+    while (readers.hasNext) {
+      val r = readers.next()
+      try return r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** Encode samples as a mono 8-bit unsigned PCM WAV at `rate` Hz
     * (lossless: [[WavCodec.decode]] returns exactly these bytes back) —
     * the fixture generator for tests/gates, and the write half of the
     * audio path. */
   def pcmWav(samples: Array[Byte], rate: Float): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,
-      AudioInputStream, AudioSystem}
+      AudioInputStream}
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, rate,
       8, 1, 1, rate, false)
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(samples), fmt,
       samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
+    try {
+      val w = audioWriters
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+        .getOrElse(throw new IllegalArgumentException(
+          "could not write WAVE audio: no provider"))
+      w.write(ais, AudioFileFormat.Type.WAVE, bos)
+    } finally ais.close()
     bos.toByteArray
   }
 }
 
 object ImageIoCodec {
+  // the same disk-cache opt-out for the encode half (JVM-global flag,
+  // idempotent — set in both the reader class and here so either
+  // entry point alone flips it)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode one-byte-per-pixel grayscale pixels as a PNG (lossless:
     * [[ImageIoCodec.decode]] returns exactly these bytes back) — the
     * fixture generator for tests/gates, and the write half of the

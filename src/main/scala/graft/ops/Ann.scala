@@ -666,8 +666,7 @@ object Ann {
     val (dims, metric) = readMatryoshkaMeta(spark, dir,
       "appendMatryoshkaIvf", "_graft_matryoshka_ivf")
     requireBatchLayout(spark, s"$dir/rows")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     val storedCols = spark.read.parquet(s"$dir/rows").columns.toSet
     val standard = Set(idCol, "emb_pre", "emb_full", model.idCol)
     val keep = (storedCols -- standard).toSeq.sorted
@@ -762,8 +761,7 @@ object Ann {
     // against a streaming-grown root must refuse loudly, not return
     // 0 and mask the misuse until fresh rows arrive
     requireBatchLayout(spark, s"$dir/rows")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     val touched = matryoshkaIvfRows(newRows, idCol, vecCol, dims,
         model, metric, Nil)
       .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
@@ -823,8 +821,7 @@ object Ann {
     require(dims <= q.length,
       s"matryoshkaTopKIvf: stored dims=$dims exceeds query " +
         s"dimension ${q.length} — wrong embedding space for this root")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     // probes and the phase-1 query live in the root's reduction
     // space: raw under L2, the unit sphere under cosine
     val (probeModel, qProbe, qPre) = metric match {
@@ -948,6 +945,40 @@ object Ann {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
+  }
+
+  /** A root's `centroids/` side table as an [[IvfModel]], memoized per
+    * (session, dir, LISTING SIGNATURE): maintenance paths and repeated
+    * searches re-load the same few-KB table once per call, and each
+    * load re-ran schema inference plus (via [[collectCentroids]]) a
+    * collect job. The signature is a driver-side `listStatus` digest
+    * (name, length, mtime of every file in the dir — no Spark job):
+    * EVERY mutation path replaces the dir's files (swapSideTable
+    * renames a freshly-written staging dir in; overwrite writes emit
+    * new part-UUID names), so any change to the centroids set changes
+    * the key and the stale entry dies by construction — the same
+    * staleness discipline as MrlIvfQuant's fingerprint-keyed centroid
+    * cache (AnnRewrite), applied at the loader. Session id is in the
+    * key so a cached frame can never outlive its SparkSession (test
+    * suites cycle sessions). */
+  private val dirModelCache = new graft.core.LruCache[String, IvfModel](64)
+  private[graft] def listingSig(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array("absent") }
+    entries.sorted.mkString("|")
+  }
+  private[graft] def ivfModelAt(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): IvfModel = {
+    val cdir = s"$dir/centroids"
+    dirModelCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}|$cdir|${listingSig(spark, cdir)}") {
+      IvfModel(spark.read.parquet(cdir), "centroid_id", "centroid")
+    }
   }
 
   /** Deterministic IVF build: one centroid per value of `cellCol`
@@ -1420,8 +1451,7 @@ object Ann {
     requireNoPendingMerge(spark, dir)
     val (metric, vecCol) =
       readDenseMetaUnguarded(spark, dir, "loadDenseRoot")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     ensureIvfModelMarker(spark, dir, model)
     (model, metric, vecCol)
   }
@@ -1654,8 +1684,7 @@ object Ann {
                         dir: String, roundTo: Int = 6): DataFrame = {
     val (_, metric) = readMatryoshkaMeta(spark, dir,
       "indexHealthMrlIvf", "_graft_matryoshka_ivf")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     ensureIvfModelMarker(spark, dir, model)
     val rows = spark.read.parquet(s"$dir/rows")
       .select(col(model.idCol), col("emb_full"))
@@ -1687,8 +1716,7 @@ object Ann {
   def loadMrlIvfModel(spark: org.apache.spark.sql.SparkSession,
                       dir: String): IvfModel = {
     requireNoPendingMerge(spark, dir)
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     ensureIvfModelMarker(spark, dir, model) // validate, never adopt
     model
   }
@@ -1728,8 +1756,7 @@ object Ann {
         "compact it first (compactQuantizedFresh); a codes-only " +
         "audit cannot see uncompacted fresh rows and would " +
         "under-report the cells the signal exists to flag")
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val model = IvfModel(cents, "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     ensureIvfModelMarker(spark, dir, model) // validate, never adopt
     val rows = spark.read.parquet(s"$dir/$dataSub")
     val withD = family match {
@@ -2314,8 +2341,7 @@ object Ann {
       s"matryoshkaTopKIvfBatch: $dir is pinned to metric=$rootMetric " +
         s"but the query asks $metric — emb_pre and the cell geometry " +
         "live in the root's reduction space")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     val qv = col(qVec).cast("array<double>")
     val rows = spark.read.parquet(s"$dir/rows")
     requireMrlBatchSpace(rows, "emb_full", queries, qVec, dims,
@@ -2757,8 +2783,7 @@ object Ann {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healSideTableSwap(fs, dir, "bounds") // no-op where absent
     completePendingMerge(spark, dir) // heals centroids/radii + marker
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/$dataSub")
     val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
@@ -3089,8 +3114,7 @@ object Ann {
     require(minRows > 0,
       s"mergeUnderfullCells: minRows must be positive, got $minRows")
     completePendingMerge(spark, dir) // finish a torn run first
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     if (growRadii) loadRangeIndex(spark, dir) // refuse non-range roots
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/$dataSub")
@@ -3287,8 +3311,7 @@ object Ann {
   def loadRangeIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): (IvfModel, DataFrame) = {
     requireNoPendingMerge(spark, dir)
-    (IvfModel(spark.read.parquet(s"$dir/centroids"), "centroid_id",
-      "centroid"),
+    (ivfModelAt(spark, dir),
       spark.read.parquet(s"$dir/radii"))
   }
 
@@ -4130,11 +4153,10 @@ object Ann {
   def loadIvfSq(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IvfSqIndex = {
     requireNoPendingMerge(spark, dir)
-    val cents = spark.read.parquet(s"$dir/centroids")
     val quantized = spark.read.parquet(s"$dir/quantized")
       .withColumn("codes", unpackCodes(col("codes")))
     IvfSqIndex(quantized, spark.read.parquet(s"$dir/bounds"),
-      IvfModel(cents, "centroid_id", "centroid"))
+      ivfModelAt(spark, dir))
   }
 
   /** [[searchIvfSq]] over a stored layout: probe cells become a LITERAL
@@ -4467,9 +4489,8 @@ object Ann {
     require(books.forall(_.length == books.head.length) &&
         books.head.forall(_._2.length == subDim.toInt),
       s"$dir codebooks disagree with the marker geometry $meta")
-    val cents = spark.read.parquet(s"$dir/centroids")
     (PqModel(m.toInt, subDim.toInt, books),
-      IvfModel(cents, "centroid_id", "centroid"), spherical.toBoolean)
+      ivfModelAt(spark, dir), spherical.toBoolean)
   }
 
   /** [[searchIvfPq]] over a stored layout: probe cells become a
@@ -4706,11 +4727,15 @@ object Ann {
   def loadIvfBitq(spark: org.apache.spark.sql.SparkSession,
                   dir: String): IvfBitIndex = {
     requireNoPendingMerge(spark, dir)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val dims = cents.select(size(col("centroid"))).head().getInt(0)
+    val model = ivfModelAt(spark, dir)
+    // dims from the memoized centroid array — no per-load head() job
+    val dims = model.collectedCentroids.headOption
+      .map(_._2.length)
+      .getOrElse(spark.read.parquet(s"$dir/centroids")
+        .select(size(col("centroid"))).head().getInt(0))
     val quantized = spark.read.parquet(s"$dir/quantized")
       .withColumn("bits", unpackBits(col("bits"), dims))
-    IvfBitIndex(quantized, IvfModel(cents, "centroid_id", "centroid"))
+    IvfBitIndex(quantized, model)
   }
 
   /** [[searchIvfBitq]] over a stored layout with literal partition
@@ -4858,8 +4883,7 @@ object Ann {
         s"appendQuantizedFreshIdempotent: $dir has no IVF model " +
           "marker — pin the build model first (ensure*Root at write " +
           "time)")
-    val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-      "centroid_id", "centroid")
+    val model = ivfModelAt(spark, dir)
     // validates the centroids actually on disk against the pinned
     // fingerprint (a hand-swapped centroids/ dir refuses here)
     ensureIvfModelMarker(spark, dir, model)
@@ -4948,21 +4972,21 @@ object Ann {
       spherical: Boolean, idCol: String, vecCol: String): Unit = {
     val fp = readIvfModelMarker(spark, dir).getOrElse("unmarked")
     geometryProbed.getOrElseUpdate(s"$dir|$fp|$spherical") {
-      val cellIds = model.centroids
-        .select(col(model.idCol).cast("long"))
-        .orderBy(col(model.idCol)).limit(16)
-        .collect().map(_.getLong(0))
-      // materialized ONCE: a limit-based frame legally re-samples on
-      // every evaluation, and the count + mismatch-count pair below
-      // must read the SAME rows (the collect-once contract the
-      // per-eps range joins document, applied to this probe)
+      // id-sorted by the memo's contract — no job for the id list
+      val cellIds = model.collectedCentroids.iterator
+        .map(_._1).take(16).toArray
+      // per-cell limit(4) keeps the probe partition-pruned and
+      // one-row-group cheap at scale (a window sample would read the
+      // probed cells WHOLE); the union feeds exactly ONE aggregation
+      // below — a single evaluation — so the limits' legal
+      // re-sampling cannot split the (total, mismatches) pair and no
+      // materialization job is needed
       val sample = cellIds.map(cid =>
           main.filter(col(model.idCol) === cid)
             .select(col(idCol), col(vecCol),
               col(model.idCol).cast("long").as("__stored_cell"))
             .limit(4))
         .reduce(_ unionByName _)
-        .localCheckpoint(true)
       val bcCents = spark.sparkContext.broadcast(
         collectCentroids(model).toMap)
       val sph = spherical
@@ -5249,8 +5273,7 @@ object Ann {
         val idx = loadIvfPq(spark, dir)
         assignEncodePq(fresh, vecCol, idx.pq, idx.model, metric)
       case _ =>
-        val model = IvfModel(spark.read.parquet(s"$dir/centroids"),
-          "centroid_id", "centroid")
+        val model = ivfModelAt(spark, dir)
         // assignQuantizeBitq already packs bits — its output IS the
         // at-rest form ingestIvfBitq appends verbatim (a second
         // packBits over the binary column would throw)
@@ -5495,8 +5518,7 @@ object Ann {
                             dir: String): IvfSqIndex =
     IvfSqIndex(spark.emptyDataFrame,
       spark.read.parquet(s"$dir/bounds"),
-      IvfModel(spark.read.parquet(s"$dir/centroids"),
-        "centroid_id", "centroid"))
+      ivfModelAt(spark, dir))
 
   /** Pack 0/1 bit codes into a `binary` column, 8 bits per byte
     * MSB-first (dims pad to a whole byte) — the at-rest form of a
