@@ -1717,7 +1717,11 @@ object Ann {
                       dir: String): IvfModel = {
     requireNoPendingMerge(spark, dir)
     val model = ivfModelAt(spark, dir)
-    ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    // validates against an existing pin; on a never-pinned root this
+    // ADOPTS the fingerprint of the root's own on-disk centroids (a
+    // one-time metadata write on first read — safe because the pinned
+    // identity IS the disk state being read, never a caller's model)
+    ensureIvfModelMarker(spark, dir, model)
     model
   }
 
@@ -1757,7 +1761,12 @@ object Ann {
         "audit cannot see uncompacted fresh rows and would " +
         "under-report the cells the signal exists to flag")
     val model = ivfModelAt(spark, dir)
-    ensureIvfModelMarker(spark, dir, model) // validate, never adopt
+    // validates against an existing pin; on a never-pinned root
+    // (writeIvfSq/writeIvfPq do not pin _graft_ivf_model) this ADOPTS
+    // the fingerprint of the root's own on-disk centroids — a
+    // one-time metadata write on first read, pinning exactly the
+    // state being audited
+    ensureIvfModelMarker(spark, dir, model)
     val rows = spark.read.parquet(s"$dir/$dataSub")
     val withD = family match {
       case "sq" =>

@@ -378,11 +378,18 @@ object AnnIndex {
         "not a writeRangeIndex root")
     Ann.loadRangeIndex(spark, dir) // refuse torn dirs at install
     registerRangeDistributed(vecCol, () => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
       val (model, radii) = Ann.loadRangeIndex(spark, dir)
+      // LEFT join + coalesce(radius, 0.0): a cell missing its radii
+      // row must be admitted with radius 0 exactly like the driver-
+      // literal twins (registerRange/registerRangeRoot use
+      // rad.getOrElse(id, 0.0)) — an inner join would silently prune
+      // a live cell under a damaged/partial radii side table, making
+      // the two 'exact' engines diverge
       model.centroids.join(
-        radii.select(org.apache.spark.sql.functions.col(model.idCol),
-          org.apache.spark.sql.functions.col("radius")),
-        model.idCol)
+        radii.select(col(model.idCol), col("radius")),
+        Seq(model.idCol), "left")
+        .withColumn("radius", coalesce(col("radius"), lit(0.0)))
     }, owner)
   }
 
@@ -1622,6 +1629,24 @@ case class AnnTopKRule() extends Rule[LogicalPlan] {
         }
         cellAttr = leaf.output.find(_.name == entry.cellCol).get
         if !hasCandidateSemiJoin(child, cellAttr)
+        // the literal range arm's work also counts: a vecCol registered
+        // in BOTH range registries would otherwise get a redundant
+        // LeftSemi + DynamicPruningSubquery stacked on the already-
+        // injected literal cell filter on a second rule application —
+        // results stay exact but the admitted-cells subplan runs for
+        // nothing
+        if !f.exists {
+          case pf: Filter =>
+            pf.getTagValue(AnnTopKRule.Injected).isDefined ||
+              (!(pf fastEquals f) && pf.condition.exists {
+                case In(c: AttributeReference, _) =>
+                  c.exprId == cellAttr.exprId
+                case InSet(c: AttributeReference, _) =>
+                  c.exprId == cellAttr.exprId
+                case _ => false
+              })
+          case _ => false
+        }
       } yield {
         val candPlan = entry.admittedCellsDf(q, eps, roundSlack(distE),
           cellAttr.dataType).queryExecution.optimizedPlan
