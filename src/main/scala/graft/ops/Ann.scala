@@ -1040,7 +1040,32 @@ object Ann {
 
   def buildIvfKMeans(docs: DataFrame, vecCol: String, k: Int,
                      metric: Metric = L2, iters: Int = 5,
-                     roundTo: Int = 5): IvfModel = {
+                     roundTo: Int = 5): IvfModel =
+    buildIvfKMeansCore(docs, vecCol, k, metric, iters, roundTo,
+      requireSplittable = false).get
+
+  /** [[buildIvfKMeans]] that answers the cell-split "unsplittable"
+    * question FROM ITS OWN SEED DRAW instead of a separate
+    * distinct-hash probe job per flagged cell: None ⟺ the corpus has
+    * fewer than 2 distinct vectors at hash precision (k=2 cannot
+    * separate them). Equivalence to the old probe (`distinct hashes
+    * >= 2` over ALL rows): when the 8k-row oversample yields >= 2
+    * seeds, >= 2 global hashes exist; when it yields < 2 the build
+    * falls back to the FULL one-per-hash draw, whose row count IS the
+    * global distinct-hash count capped at k. The splittable path
+    * produces a bit-identical model to [[buildIvfKMeans]] (same
+    * draw, same fold). */
+  private[ops] def buildIvfKMeansIfSplittable(
+      docs: DataFrame, vecCol: String, k: Int, metric: Metric = L2,
+      iters: Int = 5, roundTo: Int = 5): Option[IvfModel] =
+    buildIvfKMeansCore(docs, vecCol, k, metric, iters, roundTo,
+      requireSplittable = true)
+
+  private def buildIvfKMeansCore(docs: DataFrame, vecCol: String,
+                                 k: Int, metric: Metric, iters: Int,
+                                 roundTo: Int,
+                                 requireSplittable: Boolean)
+      : Option[IvfModel] = {
     val hashed = docs.select(col(vecCol))
       .withColumn("__h", portableVecHash(col(vecCol)))
     // materialized once (≤ k tiny rows): the count() guard below and
@@ -1060,9 +1085,22 @@ object Ann {
         hashed.orderBy(col("__h")).limit(k * 8)) // ≤ 8k rows
       .orderBy(col("__h")).limit(k)
       .localCheckpoint(true)
+    val overN = overSampled.count()
     val seeds =
-      if (overSampled.count() >= k || k <= 1) overSampled
-      else onePerHash(hashed).orderBy(col("__h")).limit(k)
+      if (overN >= k || k <= 1) overSampled
+      else if (!requireSplittable)
+        onePerHash(hashed).orderBy(col("__h")).limit(k)
+      else {
+        // the oversample can under-count when >= 16 copies of the
+        // min-hash vector fill the TakeOrdered window — the full
+        // one-per-hash draw is the global truth
+        val full = onePerHash(hashed).orderBy(col("__h")).limit(k)
+          .localCheckpoint(true)
+        if (full.count() < 2) return None
+        full
+      }
+    if (requireSplittable && overN < 2 && (seeds eq overSampled))
+      return None
     // seed ranking without a global window: the k seed rows are already
     // a TakeOrderedAndProject result; pin them to one partition, sort
     // within it, and number by in-partition row order (ids 0..k-1) —
@@ -1080,7 +1118,7 @@ object Ann {
       val assigned = assign(docs, vecCol, model, metric)
       model = buildIvf(assigned, model.idCol, vecCol, roundTo)
     }
-    model
+    Some(model)
   }
 
   /** Scale-adaptive parallelism FLOOR (optimization guide §2.5 "input
@@ -2894,8 +2932,9 @@ object Ann {
       .select(col(model.idCol).cast("long"))
       .collect().map(_.getLong(0)).sorted
     if (flagged.isEmpty) return Nil
-    val maxId = model.centroids
-      .agg(max(col(model.idCol).cast("long"))).head().getLong(0)
+    // max id from the memoized centroid array (id-sorted) — the same
+    // ids the aggregate read, without a driver job
+    val maxId = model.collectedCentroids.last._1
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(flagged.length, 8))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -2905,17 +2944,15 @@ object Ann {
         scala.concurrent.Future {
           val cellRows = prep(rows.filter(col(model.idCol) === cell)
             .drop(model.idCol))
-          if (cellRows.select(portableVecHash(col(spaceCol)))
-              .distinct().limit(2).count() < 2)
-            None // unsplittable: skip (identical at hash precision)
-          else {
-            val sub = buildIvfKMeans(cellRows, spaceCol, k = 2, L2,
-              iters)
+          // the k=2 build's own seed draw answers "unsplittable"
+          // (identical at hash precision) — no separate probe job
+          buildIvfKMeansIfSplittable(cellRows, spaceCol, k = 2, L2,
+            iters).map { sub =>
             val base = maxId + 1 + 2L * i
             val mapped = sub.centroids.select(
               (col(sub.idCol).cast("long") + base).as(model.idCol),
               centroidForm(col(sub.vecCol)).as(model.vecCol))
-            Some((cell, mapped, cellRows))
+            (cell, mapped, cellRows)
           }
         }
       }
