@@ -131,7 +131,6 @@ object Bench {
       println(s"""{"metric":"qps_by_family","families":$body}""")
     }
     println(s"""{"metric":"pass_totals","value":[${passTotals.map(fmt).mkString(",")}],"unit":"sec"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_cold":${fmt(totalCold)},"n":${results.size},"sf":"$sfDir","passes":$passes}""")
     // The DURABLE per-query record: stdout is tail-bounded on the
     // driver side (2 KB keeps ~3 of 12 chunks at 118 queries), so the
     // full cold+warm maps also go to a FILE committed at round close —
@@ -169,6 +168,11 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"""{"metric":"bench_local","path":"$out"}""")
     }
+    // The totals line must be the LAST stdout line: the driver's PERF
+    // comparator parses the final JSON line, and round 18's trailing
+    // bench_local pointer made it capture the pointer instead of the
+    // totals (PERF_r19.json came back with an empty per_query map).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_cold":${fmt(totalCold)},"n":${results.size},"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }
