@@ -102,7 +102,7 @@ object Ann {
     * normalize subtree into every downstream zip_with/codegen unit.
     * Non-literal columns fall back to the expression form. */
   private def l2NormalizeQuery(queryVec: Column): Column =
-    org.apache.spark.sql.graft.VecExprs.exprOf(queryVec) match {
+    org.apache.spark.sql.graft.VecExprs.catalystExpr(queryVec) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(
           a: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(
@@ -960,7 +960,17 @@ object Ann {
     * staleness discipline as MrlIvfQuant's fingerprint-keyed centroid
     * cache (AnnRewrite), applied at the loader. Session id is in the
     * key so a cached frame can never outlive its SparkSession (test
-    * suites cycle sessions). */
+    * suites cycle sessions).
+    *
+    * KNOWN LIMIT (external writers only): the (name, length, mtime)
+    * signature cannot see an IN-PLACE rewrite of a centroids file with
+    * the same name and length inside the filesystem's mtime
+    * granularity window (whole seconds on some HDFS/ext3 setups). No
+    * in-repo mutator can hit it — every one replaces files under
+    * fresh part-UUID names or a staging-dir rename — so the hole is
+    * reachable only by an external/non-Spark writer mutating
+    * `centroids/` in place; such writers must touch/rename the files
+    * (or cycle the session) to invalidate the cache. */
   private val dirModelCache = new graft.core.LruCache[String, IvfModel](64)
   private[graft] def listingSig(
       spark: org.apache.spark.sql.SparkSession, path: String): String = {
@@ -1138,12 +1148,48 @@ object Ann {
     * caller re-aggregates or re-sorts with deterministic tiebreaks
     * downstream. Streaming frames pass through (micro-batch
     * parallelism is the source's business). */
+  /** Partition count of `df`'s non-adaptive physical plan WITHOUT
+    * running anything — None when the probe itself would not be free.
+    * `sparkPlan.execute()` builds the RDD lazily (zero jobs) ONLY for
+    * exchange/subquery-free frames: `SparkPlan.execute()` calls
+    * `prepare()`/`waitForSubqueries()`, so a frame carrying a
+    * broadcast join or a (scalar/DPP) subquery would eagerly launch
+    * those jobs on the NON-adaptive plan — work AQE's real execution
+    * then redoes. (And never `df.rdd`, which under AQE materializes
+    * every shuffle stage of the plan just to count partitions.) */
+  private[graft] def lazyPartitionCount(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+    val plan = df.queryExecution.sparkPlan
+    // `sparkPlan` is the planner's output BEFORE EnsureRequirements, so
+    // a broadcast join carries NO Exchange node yet — the distribution
+    // REQUIREMENT is what marks it (execute() on the un-prepared plan
+    // would call doExecuteBroadcast on a plain child and throw, or
+    // launch the broadcast job). Any non-trivial required distribution
+    // means exchanges get inserted later, i.e. the frame runs at >=
+    // shuffle.partitions downstream anyway — skipping the floor is
+    // both safe and right.
+    val unsafe = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case p if p.requiredChildDistribution
+        .exists(_ != UnspecifiedDistribution) => true
+      case p => p.expressions.exists(_.exists(
+        _.isInstanceOf[PlanExpression[_]]))
+    }
+    if (unsafe) None else Some(plan.execute().getNumPartitions)
+  }
+
   private[graft] def parallelismFloor(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
-      if (parts < target) df.repartition(target) else df
+      // A plan with an exchange already runs at >= shuffle.partitions
+      // downstream, and a subquery-bearing plan cannot be probed for
+      // free (above) — both skip the floor rather than pay jobs for it.
+      lazyPartitionCount(df) match {
+        case Some(parts) if parts < target => df.repartition(target)
+        case _ => df
+      }
     }
 
   /** Centroids collected driver-side in id order, shipped to executors
@@ -1264,9 +1310,18 @@ object Ann {
     * assigned under two different models mixed in one cell-partitioned
     * dir are silently unsearchable (each query prunes with ONE model's
     * cell geometry). */
-  def modelFingerprint(model: IvfModel): String = {
+  def modelFingerprint(model: IvfModel): String =
+    fingerprintCentroids(collectCentroids(model))
+
+  /** [[modelFingerprint]] over an ALREADY-COLLECTED (id-sorted)
+    * centroid array — maintenance paths that hold the post-mutation
+    * centroids driver-side anyway (merge completion, split commit)
+    * fingerprint without re-running a collect job. Byte-identical to
+    * the model form by construction (same id order, same rendering). */
+  private[ops] def fingerprintCentroids(
+      cents: Array[(Long, Array[Double])]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    collectCentroids(model).foreach { case (id, v) =>
+    cents.foreach { case (id, v) =>
       md.update(s"$id:${v.mkString(",")}\n".getBytes("UTF-8"))
     }
     md.digest().map("%02x".format(_)).mkString
@@ -1334,11 +1389,15 @@ object Ann {
       .select(col(model.idCol))
 
   /** The query vector behind a Column when it is a plain literal
-    * (`typedlit(...)`, optionally cast between float/double element
-    * types) — None for anything computed. Used for the driver-side
-    * probe fast path below; float→double widening is exact, so the
-    * extracted array is bit-identical to what the column form feeds
-    * the distance expression. */
+    * (`typedlit(...)`, optionally under WIDENING casts) — None for
+    * anything computed. Used for the driver-side probe fast path
+    * below; float→double widening is exact, so the extracted array is
+    * bit-identical to what the column form feeds the distance
+    * expression. A NARROWING cast (array<double> literal under
+    * `.cast("array<float>")`) is refused: the distributed form would
+    * compute on float-truncated values while the driver path would
+    * see the full-precision doubles — the fast path must never select
+    * different cells than the job form it replaces. */
   private[graft] def literalVec(c: Column): Option[Array[Double]] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
     import org.apache.spark.sql.catalyst.util.ArrayData
@@ -1348,10 +1407,24 @@ object Ann {
         Some(a.toDoubleArray())
       case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
         Some(a.toFloatArray().map(_.toDouble))
-      case c: Cast => un(c.child)
+      // a cast TO array<double> is widening or identity — exact either
+      // way; a cast to any other element type can truncate, so the
+      // distributed form (which sees the post-cast values) must run
+      case c: Cast if c.dataType.isInstanceOf[ArrayType] &&
+          c.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        un(c.child)
+      case c: Cast => c.child match {
+        // identity cast (float literal under .cast("array<float>")):
+        // the post-cast values are the literal's own
+        case Literal(a: ArrayData, ArrayType(FloatType, _))
+            if c.dataType == ArrayType(FloatType, false) ||
+               c.dataType == ArrayType(FloatType, true) =>
+          Some(a.toFloatArray().map(_.toDouble))
+        case _ => None
+      }
       case _ => None
     }
-    un(org.apache.spark.sql.graft.VecExprs.exprOf(c))
+    un(org.apache.spark.sql.graft.VecExprs.catalystExpr(c))
   }
 
   /** [[probeCells]] collected to ids — with a DRIVER-side fast path
@@ -2553,18 +2626,62 @@ object Ann {
     requireTriangleMetric(metric, "rangeCells")
     val spark = model.centroids.sparkSession
     import spark.implicits._
-    val q = model.centroids.sparkSession.range(1)
-      .select(queryVec.cast("array<double>").as("q"))
-      .as[Seq[Double]].head().toArray
-    val rad = radii
-      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // literal queries (every stored search) extract driver-side —
+    // [[literalVec]]'s exactness contract (widening-only) — instead of
+    // paying a one-row Spark job per call; computed columns keep the
+    // job form
+    val q = literalVec(queryVec).getOrElse(
+      model.centroids.sparkSession.range(1)
+        .select(queryVec.cast("array<double>").as("q"))
+        .as[Seq[Double]].head().toArray)
+    val rad = collectRadiiMap(model, radii)
     val slack = math.pow(10.0, -roundTo)
     collectCentroids(model)
       .filter { case (id, c) =>
         metric.distScala(q, c) <= rad.getOrElse(id, 0.0) + eps + slack }
       .map(_._1)
   }
+
+  /** Collected (cell id → covering radius) — the radii twin of
+    * [[ivfModelAt]]'s memo: every stored range search/append/join
+    * collects the same few-KB radii side table driver-side, one
+    * collect JOB per call. When the frame is a plain single-root
+    * parquet scan (the [[loadRangeIndex]] shape), the collect is
+    * LRU-memoized per (session, root path, LISTING SIGNATURE);
+    * staleness discipline is ivfModelAt's verbatim — every radii
+    * mutation is a swapSideTable rename or an overwrite with fresh
+    * part-UUID names, so the key changes by construction. Computed /
+    * multi-root radii frames keep the plain collect. */
+  private val dirRadiiCache =
+    new graft.core.LruCache[String, Map[Long, Double]](64)
+  private[ops] def collectRadiiMap(model: IvfModel,
+                                   radii: DataFrame): Map[Long, Double] = {
+    def doCollect(): Map[Long, Double] = radii
+      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    parquetRootOf(radii) match {
+      case Some(path) =>
+        val spark = radii.sparkSession
+        dirRadiiCache.getOrElseUpdate(
+          s"${System.identityHashCode(spark)}|${model.idCol}|$path|" +
+            listingSig(spark, path))(doCollect())
+      case None => doCollect()
+    }
+  }
+
+  /** The single root path behind a PLAIN parquet scan (no projections,
+    * no filters, one root) — None for anything else. */
+  private def parquetRootOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+            Some(fs.location.rootPaths.head.toString)
+          case _ => None
+        }
+      case _ => None
+    }
 
   /** Range search over a [[writePartitioned]] layout — EXACT, unlike
     * the probes family: [[rangeCells]]' triangle-inequality cut plants
@@ -2682,9 +2799,7 @@ object Ann {
                                  idCol: String, vecCol: String): Long = {
     healRoot(spark, dir)
     val (model, radii) = loadRangeIndex(spark, dir)
-    val rad = radii
-      .select(col(model.idCol).cast("long"), col("radius").cast("double"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rad = collectRadiiMap(model, radii)
     val bc = spark.sparkContext.broadcast(
       collectCentroids(model).map { case (id, c) =>
         (id, c, rad.getOrElse(id, 0.0)) })
@@ -2836,12 +2951,23 @@ object Ann {
     val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
       spaceCol, centroidForm)
     if (trained.isEmpty) return Map.empty
+    // each per-cell frame is already checkpointed (flagAndTrainSubs):
+    // the union re-reads materialized 2-row RDDs, and the collects
+    // below read them too instead of re-executing each cell's whole
+    // KMeans chain (which this collect used to do, once per cell, on
+    // top of the union's own execution). The collect carries the
+    // VECTORS too: the commit fingerprint below is then pure driver
+    // arithmetic instead of one more job over the grown table.
     val newCents = trained.map(_._2).reduce(_ unionByName _)
-      .localCheckpoint(true)
-    val newIds: Seq[(Long, Long)] = trained.flatMap {
+    val newIdVecs: Seq[(Long, (Long, Array[Double]))] = trained.flatMap {
       case (old, m, _) =>
-        m.select(col(model.idCol).cast("long"))
-          .collect().map(_.getLong(0)).map(old -> _).toSeq
+        m.select(col(model.idCol).cast("long"), col(model.vecCol))
+          .collect()
+          .map(r => old -> (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq
+    }
+    val newIds: Seq[(Long, Long)] = newIdVecs.map {
+      case (old, (id, _)) => (old, id)
     }
     val subIds = newIds.map(_._2)
     // (a) family side rows FIRST (inert until the commit lists the
@@ -2853,12 +2979,14 @@ object Ann {
       import sp2.implicits._
       val seed = subIds.map((_, 0.0))
         .toDF(model.idCol, "radius")
+      // no checkpoint: the staged write reads the live radii files and
+      // completes before the swap renames them away
       swapSideTable(fs, dir, "radii",
         spark.read.parquet(s"$dir/radii")
           .select(col(model.idCol).cast("long").as(model.idCol),
             col("radius").cast("double").as("radius"))
           .filter(!col(model.idCol).isin(subIds: _*))
-          .unionByName(seed).localCheckpoint(true))
+          .unionByName(seed))
     }
     // (b) the split-history marker lands BEFORE the sub-centroids
     //     commit (marker-then-commit: a crash between leaves a
@@ -2866,15 +2994,25 @@ object Ann {
     //     conservative — the reverse order would leave a split root
     //     whose appends still trust the unsound touched-cells probe)
     graft.io.Markers.write(spark, dir, SplitHistoryMarker, "split")
-    // (c) sub-centroids land EMPTY + re-pin (filter-out-then-union)
+    // (c) sub-centroids land EMPTY + re-pin (filter-out-then-union).
+    //     No checkpoint on the grown frame — the staged write executes
+    //     before swapSideTable's renames — and the fingerprint is pure
+    //     driver arithmetic over the memoized survivors plus the
+    //     collected sub-centroids (byte-identical to collecting the
+    //     grown table: same ids, same doubles, same id order), where
+    //     the old form paid a materialize job AND a fingerprint
+    //     collect job per split pass.
     val grown = model.centroids
       .select(col(model.idCol).cast("long").as(model.idCol),
         col(model.vecCol))
       .filter(!col(model.idCol).isin(subIds: _*))
-      .unionByName(newCents).localCheckpoint(true)
+      .unionByName(newCents)
     swapSideTable(fs, dir, "centroids", grown)
+    val subIdSet = subIds.toSet
     graft.io.Markers.write(spark, dir, IvfModelMarker,
-      modelFingerprint(IvfModel(grown, model.idCol, model.vecCol)))
+      fingerprintCentroids(
+        (model.collectedCentroids.filterNot(c => subIdSet(c._1)) ++
+          newIdVecs.map(_._2)).sortBy(_._1)))
     // (d) dissolve the parents: rows re-home to their GLOBAL argmin
     dissolve(trained.map(_._1))
     newIds.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
@@ -2949,9 +3087,15 @@ object Ann {
           buildIvfKMeansIfSplittable(cellRows, spaceCol, k = 2, L2,
             iters).map { sub =>
             val base = maxId + 1 + 2L * i
+            // checkpointed HERE, inside the concurrent pool: the k=2
+            // KMeans plan (iters layers of assign+mean) executes once
+            // per cell — downstream consumers (the sub-centroid union,
+            // the new-id read) reuse the materialized 2 rows instead
+            // of re-executing the whole retrain chain per consumer
             val mapped = sub.centroids.select(
               (col(sub.idCol).cast("long") + base).as(model.idCol),
               centroidForm(col(sub.vecCol)).as(model.vecCol))
+              .localCheckpoint(true)
             (cell, mapped, cellRows)
           }
         }
@@ -3164,19 +3308,28 @@ object Ann {
     if (growRadii) loadRangeIndex(spark, dir) // refuse non-range roots
     ensureIvfModelMarker(spark, dir, model) // refuse foreign roots
     val rows = spark.read.parquet(s"$dir/$dataSub")
-    // occupancy INCLUDING zero-row cells (groupBy alone drops them)
-    val occ = rows.groupBy(col(model.idCol).cast("long").as("__cid"))
+    // centroid ids from the memoized array (id-sorted) — the same ids
+    // the old per-call collect job read, without a job
+    val centroidIds = model.collectedCentroids.map(_._1)
+    // `doomed` names cells to dissolve EXPLICITLY (a split's
+    // dissolve-the-parent step); membership is a model-ids check, no
+    // occupancy needed to FLAG — so the dissolve path's occupancy scan
+    // is PARTITION-PRUNED to just the doomed dirs (its result only
+    // feeds the returned old-count map), where the threshold path must
+    // still count the whole corpus. Occupancy INCLUDES zero-row cells
+    // (groupBy alone drops them).
+    doomed.foreach { ds =>
+      val known = centroidIds.toSet
+      ds.foreach(c => require(known.contains(c),
+        s"mergeUnderfullCells: doomed cell $c is not in $dir's model"))
+    }
+    val occ = doomed.fold(rows)(ds =>
+        rows.filter(col(model.idCol).isin(ds: _*)))
+      .groupBy(col(model.idCol).cast("long").as("__cid"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val counts = model.centroids
-      .select(col(model.idCol).cast("long"))
-      .collect().map(_.getLong(0))
+    val counts = (doomed.getOrElse(centroidIds.toSeq): Seq[Long])
       .map(cid => (cid, occ.getOrElse(cid, 0L))).toMap
-    // `doomed` names cells to dissolve EXPLICITLY (the quantized
-    // split's dissolve-the-parent step); the default flags by the
-    // occupancy threshold
-    doomed.foreach(ds => ds.foreach(c => require(counts.contains(c),
-      s"mergeUnderfullCells: doomed cell $c is not in $dir's model")))
     val flagged = doomed.getOrElse(
       counts.filter(_._2 < minRows).keys.toSeq).sorted
     if (flagged.isEmpty) {
@@ -3188,7 +3341,7 @@ object Ann {
         .delete(new org.apache.hadoop.fs.Path(s"$dir/rows_merge"), true)
       return Map.empty
     }
-    require(flagged.size < counts.size,
+    require(flagged.size < centroidIds.length,
       s"mergeUnderfullCells: every cell of $dir is below " +
         s"minRows=$minRows — nothing to merge into; retrain the " +
         "index instead")
@@ -3268,16 +3421,25 @@ object Ann {
     val flagged = idPart.split(",").filter(_.nonEmpty)
       .map(_.toLong).toSeq
     // (a) commit the reduced model (idempotent: filtering an
-    //     already-reduced centroid table is a no-op) + re-pin
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val remaining = cents
-      .filter(!col("centroid_id").cast("long").isin(flagged: _*))
-      .localCheckpoint(true)
-    require(remaining.limit(1).count() > 0,
+    //     already-reduced centroid table is a no-op) + re-pin. The
+    //     emptiness probe and the fingerprint run on the MEMOIZED
+    //     collected array (the maintenance entry's ivfModelAt already
+    //     paid this listing's one collect) — the old form paid three
+    //     jobs on the same few-KB table per completion: a
+    //     localCheckpoint materialize, a limit(1) probe, and the
+    //     fingerprint's collect. The staged write itself executes
+    //     BEFORE swapSideTable's renames touch the live dir, so the
+    //     un-checkpointed filter-over-live-files plan is safe.
+    val flaggedSet = flagged.toSet
+    val keep = ivfModelAt(spark, dir).collectedCentroids
+      .filterNot { case (id, _) => flaggedSet(id) }
+    require(keep.nonEmpty,
       s"completePendingMerge: merge would leave $dir with no cells")
-    swapSideTable(fs, dir, "centroids", remaining)
+    swapSideTable(fs, dir, "centroids",
+      spark.read.parquet(s"$dir/centroids")
+        .filter(!col("centroid_id").cast("long").isin(flagged: _*)))
     graft.io.Markers.write(spark, dir, IvfModelMarker,
-      modelFingerprint(IvfModel(remaining, "centroid_id", "centroid")))
+      fingerprintCentroids(keep))
     // (b) move staged files into the receiving dirs (rename is
     //     atomic per file; a half-moved staging resumes cleanly)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/rows_merge")
@@ -3305,13 +3467,14 @@ object Ann {
     }
     // (d) doomed radii rows out (range roots only — the composed
     //     layout has no radii table; presence detected from disk so
-    //     a crashed re-run needs no flag)
+    //     a crashed re-run needs no flag). No checkpoint: the staged
+    //     write reads the live radii files and completes before the
+    //     swap renames them away.
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/radii")))
       swapSideTable(fs, dir, "radii",
         spark.read.parquet(s"$dir/radii")
           .filter(!col("centroid_id").cast("long").isin(flagged: _*))
-          .select(col("centroid_id"), col("radius"))
-          .localCheckpoint(true))
+          .select(col("centroid_id"), col("radius")))
     // (e) lift the refusal
     graft.io.Markers.remove(spark, dir, MergePendingMarker)
   }
@@ -3442,10 +3605,7 @@ object Ann {
     val label =
       if (cosine) "rangeJoinIvfStoredCos" else "rangeJoinIvfStored"
     val (model, radii) = loadRangeIndex(spark, dir)
-    val rad = radii
-      .select(col(model.idCol).cast("long"),
-        col("radius").cast("double"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rad = collectRadiiMap(model, radii)
     val cents = collectCentroids(model)
     val slack = math.pow(10.0, -roundTo)
     // ONE evaluation of the query frame: the union, the eps
@@ -3519,7 +3679,11 @@ object Ann {
                            roundTo: Int = 6,
                            pred: Column = lit(true)): DataFrame = {
     val epsL2 = math.sqrt(2.0 * eps + math.pow(10.0, -roundTo))
-    val cells = rangeCells(model, radii, l2Normalize(queryVec), L2,
+    // l2NormalizeQuery folds a LITERAL query's normalization on the
+    // driver (bit-identical by its contract), which keeps the cell cut
+    // inside rangeCells' driver fast path — the plain l2Normalize form
+    // is a computed column the fast path must decline
+    val cells = rangeCells(model, radii, l2NormalizeQuery(queryVec), L2,
       epsL2, roundTo)
     val pruned = spark.read.parquet(path)
       .filter(col(model.idCol).isin(cells: _*))
@@ -3614,6 +3778,36 @@ object Ann {
       dId, dVec, model, radii, roundTo, validateEps = true,
       label = "rangeJoinIvfPerEpsCos", pred = pred)
 
+  /** The range joins' probe side under a SIZE-GATED broadcast pin.
+    * The exploded probe side (|Q|·intersecting-cells rows with full
+    * vectors) is the bounded small side under the batch contract, and
+    * pinning it broadcast keeps the CORPUS side unshuffled (guide
+    * §3.1) — but rangeJoinIvf is also used as a corpus SELF-join
+    * (r57's shape: queries = the whole embeddings table), where an
+    * unconditional hint bypasses size estimation entirely: at 100 TB
+    * the broadcast build would hard-fail on Spark's 8 GB / 512M-row
+    * relation cap (or OOM the driver first) where the unhinted
+    * planner falls back to a shuffle join. So the pin applies only
+    * while a WORST-CASE driver-side estimate — the query side's
+    * optimizer size estimate times the cell count, i.e. every query
+    * intersecting every cell — stays under
+    * `spark.graft.range.broadcastMaxBytes` (default 512 MB,
+    * comfortably inside the broadcast cap; at bench scale the
+    * estimate is a few MB and the pin always holds). Past the bound
+    * the join is left UNHINTED: the planner's own estimates choose,
+    * which at that size means a shuffle join — the scale-correct
+    * fallback. */
+  private def broadcastProbedIfBounded(probed: DataFrame,
+                                       queries0: DataFrame,
+                                       ncells: Int): DataFrame = {
+    val maxBytes = BigInt(probed.sparkSession.conf
+      .get("spark.graft.range.broadcastMaxBytes", (512L << 20).toString))
+    val worstCase =
+      queries0.queryExecution.optimizedPlan.stats.sizeInBytes *
+        math.max(ncells, 1)
+    if (worstCase <= maxBytes) broadcast(probed) else probed
+  }
+
   private def rangeJoinIvfPerEpsCosImpl(
       queries0: DataFrame, qId: String, qVec: String, epsCol: String,
       assigned: DataFrame, dId: String, dVec: String, model: IvfModel,
@@ -3657,12 +3851,15 @@ object Ann {
         explode(cellsUdf(col(qVec).cast("array<double>"), eCol)))
     // `pred` thins the assigned frame BEFORE the cell join (the r82
     // placement): disallowed rows never reach the distance cut.
-    // Probed side broadcast deliberately — the L2 impl's rationale
-    // (guide §3.1: queries are the bounded small side; the corpus
-    // must not be shuffled by ~k cell ids). The corpus side rides
-    // [[parallelismFloor]]: the join-condition distance math runs in
-    // ITS tasks, and a single-file corpus scan would run it one-core.
-    broadcast(probed).join(parallelismFloor(assigned.filter(pred)
+    // Probed side under the SIZE-GATED broadcast pin — the L2 impl's
+    // rationale (guide §3.1: queries are the bounded small side; the
+    // corpus must not be shuffled by ~k cell ids), with
+    // [[broadcastProbedIfBounded]]'s scale fallback. The corpus side
+    // rides [[parallelismFloor]]: the join-condition distance math
+    // runs in ITS tasks, and a single-file corpus scan would run it
+    // one-core.
+    broadcastProbedIfBounded(probed, queries0, bc.value.length)
+      .join(parallelismFloor(assigned.filter(pred)
         .select(col(dId), col(dVec), col(model.idCol))), Seq(model.idCol))
       .withColumn("dist",
         round(Cosine.dist(col(qVec).cast("array<double>"),
@@ -3723,10 +3920,14 @@ object Ann {
     // strategy to size estimates made the plan flip between broadcast
     // and a sort-merge shuffle of the CORPUS keyed by ~k cell ids (a
     // skew magnet); pinning it keeps the corpus side unshuffled. The
+    // pin is SIZE-GATED ([[broadcastProbedIfBounded]]): a corpus
+    // self-join's query side at 100 TB would hard-fail the broadcast
+    // cap, so past the bound the join is left to the planner. The
     // corpus side rides [[parallelismFloor]]: the join-condition
     // distance math runs in ITS tasks, and a single-file corpus scan
     // would run every pair on one core (guide §2.5).
-    broadcast(probed).join(parallelismFloor(assigned.filter(pred)
+    broadcastProbedIfBounded(probed, queries0, bc.value.length)
+      .join(parallelismFloor(assigned.filter(pred)
         .select(col(dId), col(dVec), col(model.idCol))), Seq(model.idCol))
       .withColumn("dist", round(metric.dist(col(qVec).cast("array<double>"),
         col(dVec).cast("array<double>")), roundTo))

@@ -66,11 +66,14 @@ object Bm25 {
     // at sf0.1), so skip it and let the plan stay a plain map.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
     val par = spark.sparkContext.defaultParallelism
-    // partition probe via the non-adaptive physical plan's lazy RDD:
-    // zero jobs, where `.rdd` under AQE eagerly materializes every
-    // shuffle stage of the plan just to count partitions
+    // partition probe via the non-adaptive physical plan's lazy RDD
+    // (zero jobs — never `.rdd`, which under AQE materializes every
+    // shuffle stage just to count partitions); [[Ann.lazyPartitionCount]]
+    // returns None for exchange/subquery-bearing frames, whose
+    // execute() would eagerly launch broadcast/subquery jobs — those
+    // frames already run wide downstream, so the barrier is skipped
     val spread =
-      base.queryExecution.sparkPlan.execute().getNumPartitions < par &&
+      Ann.lazyPartitionCount(base).exists(_ < par) &&
       base.queryExecution.optimizedPlan.stats.sizeInBytes >
         BuildBarrierMinBytes
     val plainUdf = udf((s: String) =>

@@ -406,6 +406,25 @@ object VecExprs {
     * used e.g. to detect literal query vectors and pre-fold them). */
   def exprOf(col: Column): Expression = ExpressionUtils.expression(col)
 
+  /** Column → catalyst Expression with Spark-4 COLUMN NODES CONVERTED:
+    * a user-facing `typedlit(...)`/`.cast(...)` column arrives as a
+    * lazy [[org.apache.spark.sql.classic.ColumnNodeExpression]]
+    * wrapper, on which no catalyst pattern (Literal, Cast, ...) can
+    * fire — a literal-detection fast path fed [[exprOf]] silently
+    * falls back to its distributed form for every user-built column.
+    * The conversion is the same driver-side rewrite analysis performs
+    * (no session, no job); anything the converter refuses keeps the
+    * unconverted wrapper, which downstream matchers treat as
+    * "computed". */
+  def catalystExpr(col: Column): Expression =
+    ExpressionUtils.expression(col) match {
+      case w @ org.apache.spark.sql.classic.ColumnNodeExpression(node) =>
+        scala.util.Try(
+          org.apache.spark.sql.classic
+            .ColumnNodeToExpressionConverter(node)).getOrElse(w)
+      case e => e
+    }
+
   def l2Dist(a: Column, b: Column): Column =
     c(L2Dist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def cosDist(a: Column, b: Column): Column =

@@ -103,4 +103,71 @@ class OptimizedPathsSpec extends SparkSpecBase {
     assert(Ann.parallelismFloor(wide) eq wide,
       "a frame already at/above the floor must pass through untouched")
   }
+
+  test("literalVec unwraps widening casts only: a narrowing " +
+      "array<double> -> array<float> cast falls back to the job form") {
+    val dbl = Seq(0.1, 0.2, 0.3)
+    val flt = Seq(0.1f, 0.2f, 0.3f)
+    // plain literals and widening casts extract exactly
+    assert(Ann.literalVec(typedlit(dbl)).map(_.toSeq).contains(dbl))
+    assert(Ann.literalVec(typedlit(flt).cast("array<double>"))
+      .map(_.toSeq).contains(flt.map(_.toDouble)))
+    // identity float cast: post-cast values are the literal's own
+    assert(Ann.literalVec(typedlit(flt).cast("array<float>"))
+      .map(_.toSeq).contains(flt.map(_.toDouble)))
+    // NARROWING cast: the distributed form computes on float-truncated
+    // values (0.1 != 0.1f as a double), so the extractor must decline
+    assert(Ann.literalVec(typedlit(dbl).cast("array<float>")).isEmpty)
+    // and the fallback still agrees with the job form end to end
+    val docs = vecs(80, 3, 13).toDF("id", "v")
+    val model = Ann.buildIvfKMeans(docs, "v", k = 4, Ann.L2, iters = 1)
+    val narrowed = typedlit(dbl).cast("array<float>")
+    val viaDriverPath = Ann.probeCellIds(model, narrowed, Ann.L2, 2).toSeq
+    val viaJob = Ann.probeCells(model, narrowed, Ann.L2, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaDriverPath == viaJob)
+  }
+
+  test("lazyPartitionCount declines exchange/subquery-bearing frames " +
+      "(whose execute() would launch jobs) and probes plain scans free") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lazyparts").toString
+    vecs(50, 3, 2).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(Ann.lazyPartitionCount(scan).contains(1))
+    assert(Ann.lazyPartitionCount(scan.repartition(4)).isEmpty,
+      "an Exchange-bearing plan must not be probed")
+    val small = Seq((1L, "a")).toDF("id", "tag")
+    val joined = scan.join(broadcast(small), Seq("id"))
+    assert(Ann.lazyPartitionCount(joined).isEmpty,
+      "a broadcast-join plan must not be probed (execute() would " +
+        "launch the broadcast job on the non-adaptive plan)")
+  }
+
+  test("range join is identical with the probed-side broadcast pin " +
+      "gated off (the 100 TB fallback arm)") {
+    val e = vecs(150, 4, 21).toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val model = Ann.buildIvf(e, "label", "embedding")
+    val assigned = Ann.assign(e, "embedding", model, Ann.L2)
+      .select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+        col("centroid_id"))
+    val radii = Ann.cellRadii(
+      assigned.withColumnRenamed("dv", "embedding"), "embedding",
+      model, Ann.L2)
+    val queries = e.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"))
+    def run(): Seq[(Long, Long, Double)] =
+      Ann.rangeJoinIvf(queries, "q_id", "qv", assigned, "d_id", "dv",
+          model, radii, Ann.L2, eps = 2.0)
+        .as[(Long, Long, Double)].collect().toSeq
+    val pinned = run()
+    spark.conf.set("spark.graft.range.broadcastMaxBytes", "0")
+    try {
+      val unhinted = run()
+      assert(unhinted == pinned,
+        "the unhinted fallback must return byte-identical pairs")
+    } finally spark.conf.unset("spark.graft.range.broadcastMaxBytes")
+  }
 }
