@@ -251,13 +251,17 @@ object Sparse {
     val posts = invertedPostings(docs, idCol, idxCol, valCol)
       .withColumn("__b", pmod(col("bucket"), lit(buckets)))
       .localCheckpoint(true)
-    val touched = posts.select(col("__b")).distinct()
-      .collect().map(_.getInt(0))
+    val touched = graft.ops.Ann.distinctIntKeys(posts, col("__b"))
     if (touched.isEmpty) return 0L
     val stored = spark.read.parquet(dir)
     val existing = stored.filter(col("__b").isin(touched: _*))
       .select(col("id"), col("bucket"))
-    val fresh = posts.join(existing, Seq("id", "bucket"), "left_anti")
+    // size-gated broadcast pin — foreachBatch runs AQE-off and the
+    // unprojected file stats push this per-batch probe into a
+    // sort-merge otherwise (Ann.broadcastExistingIfBounded's contract)
+    val fresh = posts.join(
+        graft.ops.Ann.broadcastExistingIfBounded(existing),
+        Seq("id", "bucket"), "left_anti")
       .localCheckpoint(true)
     if (fresh.isEmpty) return 0L
     graft.ops.Ann.requireAppendSchema(stored.schema, fresh.schema,
@@ -360,12 +364,13 @@ object Sparse {
       throw new IllegalArgumentException(
         s"$dir has no $BucketsMarker marker — not a writePostings " +
           "layout"))
-    val qb = queries
-      .select(explode(col(idxCol)).as("__qi"))
-      // pmod preserves the input type — cast so array<long> index
-      // columns read back as Int instead of throwing in the collect
-      .select(pmod(col("__qi"), lit(buckets)).cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val qb = graft.ops.Ann.distinctIntKeys(
+      queries
+        .select(explode(col(idxCol)).as("__qi"))
+        // pmod preserves the input type — cast so array<long> index
+        // columns read back as Int instead of throwing in the collect
+        .select(pmod(col("__qi"), lit(buckets)).cast("int").as("__b")),
+      col("__b")).toSeq
     val pruned = spark.read.parquet(dir)
       .filter(col("__b").isin(qb: _*))
     invertedTopKBatch(pruned, queries, qIdCol, idxCol, valCol, k,

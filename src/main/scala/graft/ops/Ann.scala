@@ -762,9 +762,9 @@ object Ann {
     // 0 and mask the misuse until fresh rows arrive
     requireBatchLayout(spark, s"$dir/rows")
     val model = ivfModelAt(spark, dir)
-    val touched = matryoshkaIvfRows(newRows, idCol, vecCol, dims,
-        model, metric, Nil)
-      .select(col(model.idCol)).distinct().collect().map(_.getLong(0))
+    val touched = distinctLongKeys(
+      matryoshkaIvfRows(newRows, idCol, vecCol, dims, model, metric,
+        Nil), col(model.idCol))
     if (touched.isEmpty) return 0L
     val probeAll = probeAllCells || hasSplitHistory(spark, dir)
     val existing =
@@ -775,7 +775,8 @@ object Ann {
         .select(col(idCol))
     // micro-batch-sized; materialized once — the append reads its
     // input several times (schema probe, row build, write)
-    val fresh = newRows.join(existing, Seq(idCol), "left_anti")
+    val fresh = newRows.join(broadcastExistingIfBounded(existing),
+        Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0L) appendMatryoshkaIvf(spark, dir, fresh, idCol, vecCol)
@@ -1091,38 +1092,56 @@ object Ann {
     // vectors collided
     def onePerHash(df: DataFrame): DataFrame =
       df.groupBy("__h").agg(min(col(vecCol)).as(vecCol))
+    // the ≤ k seed rows COLLECT driver-side in ONE job where the old
+    // form paid two (an eager localCheckpoint materialize plus the
+    // count guard): the guard reads the collected length, and the
+    // initial model below is a LOCAL relation, whose own collects
+    // (assign's broadcast of iteration 0, a fingerprint) run through
+    // LocalTableScan.executeCollect — no job at all
     val overSampled = onePerHash(
         hashed.orderBy(col("__h")).limit(k * 8)) // ≤ 8k rows
       .orderBy(col("__h")).limit(k)
-      .localCheckpoint(true)
-    val overN = overSampled.count()
+      .collect()
+    val overN = overSampled.length
     val seeds =
       if (overN >= k || k <= 1) overSampled
       else if (!requireSplittable)
-        onePerHash(hashed).orderBy(col("__h")).limit(k)
+        onePerHash(hashed).orderBy(col("__h")).limit(k).collect()
       else {
         // the oversample can under-count when >= 16 copies of the
         // min-hash vector fill the TakeOrdered window — the full
         // one-per-hash draw is the global truth
         val full = onePerHash(hashed).orderBy(col("__h")).limit(k)
-          .localCheckpoint(true)
-        if (full.count() < 2) return None
+          .collect()
+        if (full.length < 2) return None
         full
       }
     if (requireSplittable && overN < 2 && (seeds eq overSampled))
       return None
-    // seed ranking without a global window: the k seed rows are already
-    // a TakeOrderedAndProject result; pin them to one partition, sort
-    // within it, and number by in-partition row order (ids 0..k-1) —
-    // no WindowExec-moves-everything-to-one-partition stage, and the
-    // "single partition" is k rows by construction, not the table.
+    // seed ranking driver-side: the collected rows sorted by __h take
+    // ids 0..k-1 — exactly what the old coalesce(1) /
+    // sortWithinPartitions / monotonically_increasing_id pipeline
+    // produced (__h is unique after onePerHash, so the order is
+    // total) — and each element rounds through [[roundScala]],
+    // Spark `round`'s documented bit-identical twin.
+    val spark = docs.sparkSession
+    val hIdx = seeds.headOption.map(_.fieldIndex("__h")).getOrElse(0)
+    val vIdx = seeds.headOption.map(_.fieldIndex(vecCol)).getOrElse(1)
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        seeds.sortBy(_.getLong(hIdx)).zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i.toLong,
+            r.getSeq[Any](vIdx).map {
+              case d: java.lang.Double => roundScala(d, roundTo)
+              case n: java.lang.Number => roundScala(n.doubleValue(), roundTo)
+            })
+        }: _*)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
     var model = IvfModel(
-      seeds
-        .coalesce(1).sortWithinPartitions("__h")
-        .withColumn("centroid_id", monotonically_increasing_id())
-        .select(col("centroid_id"),
-          transform(col(vecCol),
-            x => round(x.cast("double"), roundTo)).as("centroid")),
+      spark.createDataFrame(seedRows, StructType(Seq(
+        StructField("centroid_id", LongType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType, containsNull = false))))),
       "centroid_id", "centroid")
     for (_ <- 1 to iters) {
       val assigned = assign(docs, vecCol, model, metric)
@@ -1177,6 +1196,46 @@ object Ann {
         _.isInstanceOf[PlanExpression[_]]))
     }
     if (unsafe) None else Some(plan.execute().getNumPartitions)
+  }
+
+  /** The append/compact existence probes' EXISTING side under a
+    * SIZE-GATED broadcast pin. foreachBatch maintenance runs with AQE
+    * off, and the planner's file-size stats — which include the
+    * vector/code payload the id-only projection never ships — push
+    * every micro-batch's anti-join into a sort-merge: THREE exchanges
+    * plus sorts at full shuffle.partitions, per batch, on a probe
+    * whose right side is bounded by the batch's touched cells. When
+    * even the UNPROJECTED scan estimate fits
+    * `spark.graft.append.broadcastMaxBytes` (default 256 MB of raw
+    * file bytes — a hard over-estimate of the id column actually
+    * shipped, comfortably inside Spark's 8 GB broadcast cap), the pin
+    * makes the join a broadcast-anti and the batch never shuffles.
+    * Past the bound the hint is withheld and the planner's own choice
+    * stands (sort-merge — the scale-correct fallback). */
+  /** Distinct values of ONE non-null key column, driver-side, through
+    * a single-partition collect_set aggregate: the naive
+    * `select(key).distinct().collect()` hash-shuffles the frame across
+    * the full `shuffle.partitions` (32 reduce tasks for a handful of
+    * cell ids — per MICRO-BATCH on the streaming appends, where AQE
+    * cannot coalesce), while collect_set's partial aggregation ships
+    * one small set per input partition to ONE reduce task. Same
+    * driver-size budget (the distinct key set), same unordered result;
+    * key domains here (cell ids, bucket ids) are non-null by
+    * construction, so collect_set's null-dropping is vacuous. */
+  private[graft] def distinctLongKeys(df: DataFrame,
+                                      key: Column): Array[Long] =
+    df.agg(collect_set(key)).head().getSeq[Long](0).toArray
+  private[graft] def distinctIntKeys(df: DataFrame,
+                                     key: Column): Array[Int] =
+    df.agg(collect_set(key)).head().getSeq[Int](0).toArray
+
+  private[graft] def broadcastExistingIfBounded(
+      existing: DataFrame): DataFrame = {
+    val maxBytes = BigInt(existing.sparkSession.conf
+      .get("spark.graft.append.broadcastMaxBytes", (256L << 20).toString))
+    if (existing.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(existing)
+    else existing
   }
 
   private[graft] def parallelismFloor(df: DataFrame): DataFrame =
@@ -1265,14 +1324,14 @@ object Ann {
     requireBatchLayout(spark, path)
     val stored = spark.read.parquet(path)
     val assigned = assign(newRows, vecCol, model, metric)
-    val touched = assigned.select(col(model.idCol)).distinct()
-      .collect().map(_.getLong(0))
+    val touched = distinctLongKeys(assigned, col(model.idCol))
     if (touched.isEmpty) return 0L
     val existing = stored
       .filter(col(model.idCol).isin(touched: _*))
       .select(col(idCol))
     val fresh = assigned
-      .join(existing.withColumnRenamed(idCol, "__eid"),
+      .join(broadcastExistingIfBounded(
+          existing.withColumnRenamed(idCol, "__eid")),
         assigned(idCol) === col("__eid"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
@@ -1661,8 +1720,7 @@ object Ann {
     requireBatchLayout(spark, s"$dir/rows")
     val stored = spark.read.parquet(s"$dir/rows")
     val assigned = assign(newRows, vecCol, model, metric)
-    val touched = assigned.select(col(model.idCol)).distinct()
-      .collect().map(_.getLong(0))
+    val touched = distinctLongKeys(assigned, col(model.idCol))
     if (touched.isEmpty) return 0L
     val probeAll = probeAllCells || hasSplitHistory(spark, dir)
     val existing =
@@ -1670,7 +1728,8 @@ object Ann {
       else stored.filter(col(model.idCol).isin(touched: _*))
         .select(col(idCol))
     val fresh = assigned
-      .join(existing.withColumnRenamed(idCol, "__eid"),
+      .join(broadcastExistingIfBounded(
+          existing.withColumnRenamed(idCol, "__eid")),
         assigned(idCol) === col("__eid"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
@@ -2486,8 +2545,7 @@ object Ann {
       .select(col(qId), qPre.as("__qpre"),
         explode(probeUdf(qProbe)).as("centroid_id"))
       .localCheckpoint(true)
-    val cells = probed.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
+    val cells = distinctLongKeys(probed, col("centroid_id"))
     if (cells.isEmpty)
       return probed
         .select(col(qId), lit(0L).as(idCol),
@@ -2810,10 +2868,9 @@ object Ann {
         .filter { case (_, c, r) => L2.distScala(varr, c) <= r + slack }
         .map(_._1).toSeq
     }
-    val touched = newRows
-      .select(explode(admitUdf(col(vecCol).cast("array<double>")))
-        .as(model.idCol))
-      .distinct().collect().map(_.getLong(0))
+    val touched = distinctLongKeys(
+      newRows.select(explode(admitUdf(col(vecCol).cast("array<double>")))
+        .as(model.idCol)), col(model.idCol))
     val existing =
       if (touched.isEmpty) newRows.select(col(idCol)).limit(0)
       else spark.read.parquet(s"$dir/rows")
@@ -2821,7 +2878,8 @@ object Ann {
         .select(col(idCol))
     // micro-batch-sized; materialized once — appendRangeIndex reads
     // its input three times (schema probe, radii growth, row append)
-    val fresh = newRows.join(existing, Seq(idCol), "left_anti")
+    val fresh = newRows.join(broadcastExistingIfBounded(existing),
+        Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0L) appendRangeIndex(spark, dir, fresh, vecCol)
@@ -2951,13 +3009,12 @@ object Ann {
     val trained = flagAndTrainSubs(rows, model, maxRows, iters, prep,
       spaceCol, centroidForm)
     if (trained.isEmpty) return Map.empty
-    // each per-cell frame is already checkpointed (flagAndTrainSubs):
-    // the union re-reads materialized 2-row RDDs, and the collects
-    // below read them too instead of re-executing each cell's whole
-    // KMeans chain (which this collect used to do, once per cell, on
-    // top of the union's own execution). The collect carries the
-    // VECTORS too: the commit fingerprint below is then pure driver
-    // arithmetic instead of one more job over the grown table.
+    // each per-cell frame is a LOCAL relation (flagAndTrainSubs
+    // collected the trained 2 rows inside the pool): the union and
+    // the collects below are pure driver data — no job re-executes
+    // any cell's KMeans chain. The collect carries the VECTORS too:
+    // the commit fingerprint below is then pure driver arithmetic
+    // instead of one more job over the grown table.
     val newCents = trained.map(_._2).reduce(_ unionByName _)
     val newIdVecs: Seq[(Long, (Long, Array[Double]))] = trained.flatMap {
       case (old, m, _) =>
@@ -3087,15 +3144,31 @@ object Ann {
           buildIvfKMeansIfSplittable(cellRows, spaceCol, k = 2, L2,
             iters).map { sub =>
             val base = maxId + 1 + 2L * i
-            // checkpointed HERE, inside the concurrent pool: the k=2
-            // KMeans plan (iters layers of assign+mean) executes once
-            // per cell — downstream consumers (the sub-centroid union,
-            // the new-id read) reuse the materialized 2 rows instead
-            // of re-executing the whole retrain chain per consumer
-            val mapped = sub.centroids.select(
-              (col(sub.idCol).cast("long") + base).as(model.idCol),
+            // the trained 2-row model COLLECTS here, inside the
+            // concurrent pool — the ONE materialization of the k=2
+            // KMeans chain (the old localCheckpoint's job) — and is
+            // re-shaped as a LOCAL relation: the id/centroid mapping
+            // below applies the SAME Column expressions (Catalyst
+            // evaluates a deterministic Project over a LocalRelation
+            // driver-side), so downstream consumers (the sub-centroid
+            // union, the new-id/vector read, the commit fingerprint)
+            // are pure driver data instead of one job each
+            val spark = rows.sparkSession
+            import org.apache.spark.sql.types.{ArrayType, DoubleType,
+              LongType, StructField, StructType}
+            val centRows = sub.centroids
+              .select(col(sub.idCol).cast("long").as(sub.idCol),
+                col(sub.vecCol).cast("array<double>").as(sub.vecCol))
+              .collect()
+            val local = spark.createDataFrame(
+              java.util.Arrays.asList(centRows: _*),
+              StructType(Seq(
+                StructField(sub.idCol, LongType, nullable = false),
+                StructField(sub.vecCol,
+                  ArrayType(DoubleType, containsNull = true)))))
+            val mapped = local.select(
+              (col(sub.idCol) + base).as(model.idCol),
               centroidForm(col(sub.vecCol)).as(model.vecCol))
-              .localCheckpoint(true)
             (cell, mapped, cellRows)
           }
         }
@@ -5142,8 +5215,7 @@ object Ann {
         assign(withNormalized(newRows, vecCol, "__nvec"), "__nvec",
           model, L2).drop("__nvec")
       else assign(newRows, vecCol, model, L2)
-    val touched = assigned.select(col(model.idCol)).distinct()
-      .collect().map(_.getLong(0))
+    val touched = distinctLongKeys(assigned, col(model.idCol))
     if (touched.isEmpty) return 0L
     val hasFresh = freshExists(spark, dir)
     val probeAll = probeAllCells || hasSplitHistory(spark, dir)
@@ -5156,7 +5228,8 @@ object Ann {
       if (hasFresh) thin(spark.read.parquet(freshPath(dir)))
       else inMain.limit(0)
     val fresh = assigned
-      .join(inFresh.unionByName(inMain).withColumnRenamed(idCol, "__eid"),
+      .join(broadcastExistingIfBounded(
+          inFresh.unionByName(inMain).withColumnRenamed(idCol, "__eid")),
         assigned(idCol) === col("__eid"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
@@ -5528,12 +5601,12 @@ object Ann {
     }
     val mainPath = s"$dir/$dataSub"
     val stored = spark.read.parquet(mainPath)
-    val touched = encoded.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
+    val touched = distinctLongKeys(encoded, col("centroid_id"))
     val existing = stored.filter(col("centroid_id").isin(touched: _*))
       .select(col(idCol))
     val toAppend = encoded
-      .join(existing.withColumnRenamed(idCol, "__eid"),
+      .join(broadcastExistingIfBounded(
+          existing.withColumnRenamed(idCol, "__eid")),
         encoded(idCol) === col("__eid"), "left_anti")
       .localCheckpoint(true)
     val n = toAppend.count()

@@ -416,13 +416,17 @@ object Bm25 {
     // term's bucket is deterministic).
     val posts = postingsOf(docs, idCol, textCol, tok, buckets)
       .localCheckpoint(true)
-    val touched = posts.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0))
+    val touched = graft.ops.Ann.distinctIntKeys(posts, col("bucket"))
     if (touched.isEmpty) return 0L
     val stored = spark.read.parquet(dir)
     val existing = stored.filter(col("bucket").isin(touched: _*))
       .select(col("id"), col("term"))
-    val fresh = posts.join(existing, Seq("id", "term"), "left_anti")
+    // size-gated broadcast pin — foreachBatch runs AQE-off and the
+    // unprojected file stats push this per-batch probe into a
+    // sort-merge otherwise (Ann.broadcastExistingIfBounded's contract)
+    val fresh = posts.join(
+        graft.ops.Ann.broadcastExistingIfBounded(existing),
+        Seq("id", "term"), "left_anti")
       .localCheckpoint(true)
     if (fresh.isEmpty) return 0L
     graft.ops.Ann.requireAppendSchema(stored.schema, fresh.schema,
