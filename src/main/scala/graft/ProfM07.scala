@@ -46,6 +46,37 @@ object ProfM07 {
       }
       val tFp = (System.nanoTime() - t0) / 1e9
       println(f"PROF round=$round enc=$tEnc%.3f dec=$tDec%.3f fp=$tFp%.3f sink=$sink")
+      // parallel rounds: 32 threads hammer each phase — a wall-clock
+      // far above single-thread/32 means a shared lock, not CPU
+      def par[A](what: String)(work: Int => A): Unit = {
+        val threads = 32
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val chunk = (all.length + threads - 1) / threads
+        val futs = (0 until threads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              var i = t * chunk
+              val end = math.min(all.length, (t + 1) * chunk)
+              while (i < end) { work(i); i += 1 }
+            }
+          })
+        }
+        futs.foreach(_.get())
+        pool.shutdown()
+        println(f"PROF round=$round par32 $what=${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
+      par("enc")(i => graft.multimodal.WavCodec
+        .pcmWav(all(i).getBytes("UTF-8"), 1000f))
+      par("dec")(i => codec.decode(wavs(i), meta))
+      par("probe") { i =>
+        val in = graft.multimodal.WavCodec.audioInputStream(wavs(i))
+        in.close()
+      }
+      par("readall") { i =>
+        val in = graft.multimodal.WavCodec.audioInputStream(wavs(i))
+        try in.readAllBytes() finally in.close()
+      }
     }
   }
 }

@@ -354,15 +354,35 @@ object WavCodec {
     b.result()
   }
 
-  private[multimodal] def audioInputStream(
+  /** The JDK's MIDI-backed reader probes through MidiSystem's
+    * class-SYNCHRONIZED provider registry (the AudioSystem monitor
+    * pathology this object exists to avoid, re-entering through the
+    * MIDI side door) — and it sits BEFORE the WAVE readers in
+    * ServiceLoader order, so every WAV decode paid that global
+    * monitor once per row (measured: the 32-thread probe ran 3×
+    * SLOWER than single-threaded). Its acceptance condition is
+    * exactly the 4-byte standard-MIDI magic ("MThd" — anything else
+    * makes MidiSystem throw InvalidMidiDataException, which it
+    * rethrows as UnsupportedAudioFileException), so skipping it for
+    * non-MThd payloads is behavior-identical for EVERY input and
+    * keeps first-accepting-provider order intact. */
+  private def acceptsOnlyMThd(r: javax.sound.sampled.spi.AudioFileReader) =
+    r.getClass.getName == "com.sun.media.sound.SoftMidiAudioFileReader"
+  private def hasMThdMagic(data: Array[Byte]): Boolean =
+    data.length >= 4 && data(0) == 'M' && data(1) == 'T' &&
+      data(2) == 'h' && data(3) == 'd'
+
+  private[graft] def audioInputStream(
       data: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     val readers = audioReaders.iterator
     while (readers.hasNext) {
       val r = readers.next()
-      try return r.getAudioInputStream(
-        new java.io.ByteArrayInputStream(data))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      if (!(acceptsOnlyMThd(r) && !hasMThdMagic(data))) {
+        try return r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
       }
     }
     throw new javax.sound.sampled.UnsupportedAudioFileException(
